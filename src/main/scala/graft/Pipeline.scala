@@ -1,0 +1,486 @@
+package graft
+
+import graft.mongo.{ExprCtx, MongoExpr, MongoMatch}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Compiles a MongoDB aggregation pipeline (JSON array of `{"$stage": spec}`
+  * objects — the surface of
+  * /root/reference/src/main/java/net/pincette/mongo/streams/Pipeline.java:231-260)
+  * into a `DataFrame => DataFrame` chain of idiomatic Spark transforms. Each
+  * stage emits declarative Catalyst plans (filter/select/groupBy/join), so
+  * predicate pushdown, column pruning, and whole-stage codegen all apply.
+  *
+  * Like the reference (`Pipeline.java:265-266`) unknown stages are ignored
+  * unless supplied via the `extensions` registry (built-ins win,
+  * `Pipeline.java:275-276`). Desugaring rewrites mirror the reference:
+  * `$set`→`$addFields`, `$unset`→drop, `$replaceRoot`→`$replaceWith`,
+  * `$bucket`→`$group`+`$switch`, `$count`→`$group`.
+  *
+  * @param catalog    resolves `$lookup.from` collection names to DataFrames.
+  * @param extensions user stage extensions (name → (df, spec) => df).
+  */
+final class Pipeline(
+    catalog: String => DataFrame = n =>
+      throw new IllegalArgumentException(s"no catalog for collection $n"),
+    extensions: Map[String, (DataFrame, JValue) => DataFrame] = Map.empty) {
+
+  def run(df: DataFrame, pipelineJson: String): DataFrame =
+    run(df, JsonMethods.parse(pipelineJson))
+
+  def run(df: DataFrame, pipeline: JValue): DataFrame = pipeline match {
+    case JArray(stages) =>
+      stages.foldLeft(df) {
+        case (d, JObject(fields)) =>
+          fields.find(f => f._1 != "_trace") match {
+            case Some((name, spec)) => applyStage(d, name, spec)
+            case None               => d
+          }
+        case (_, other) => throw new IllegalArgumentException(s"bad stage: $other")
+      }
+    case other => throw new IllegalArgumentException(s"pipeline must be an array: $other")
+  }
+
+  def applyStage(df: DataFrame, name: String, spec: JValue): DataFrame = {
+    implicit val ctx: ExprCtx = Stages.ctxFor(df)
+    name match {
+      case "$match"       => df.filter(MongoMatch.compile(spec))
+      case "$project"     => Stages.project(df, spec)
+      case "$addFields" | "$set" => Stages.addFields(df, spec)
+      case "$unset"       => Stages.unset(df, spec)
+      case "$replaceWith" => Stages.replaceWith(df, spec)
+      case "$replaceRoot" => Stages.replaceWith(df, spec \ "newRoot")
+      case "$setKey"      => df.withColumn("key", MongoExpr.compile(spec).cast(StringType))
+      case "$unwind"      => Stages.unwind(df, spec)
+      case "$group"       => Stages.group(df, spec)
+      case "$bucket"      => Stages.group(df, Stages.bucketToGroup(spec))
+      case "$count"       => Stages.countStage(df, spec)
+      case "$lookup"      => Stages.lookup(df, spec, catalog)
+      case "$deduplicate" => Stages.deduplicate(df, spec)
+      case "$redact"      => Stages.redact(df, spec)
+      case "$trace" | "$backTrace" | "$probe" => df // observability no-ops in batch
+      case ext if extensions.contains(ext) => extensions(ext)(df, spec)
+      case _ => df // unrecognized stages are silently ignored (Pipeline.java:265)
+    }
+  }
+}
+
+private[graft] object Stages {
+  import MongoExpr.{compile => cexpr}
+
+  /** ROOT = the whole current document; $$KEEP/$$PRUNE/$$DESCEND markers for
+    * `$redact` (Redact.java:34-39). */
+  def ctxFor(df: DataFrame): ExprCtx = {
+    val docCols = df.columns.filter(_ != "key")
+    ExprCtx(vars = Map(
+      "ROOT" -> struct(docCols.map(col).toIndexedSeq: _*),
+      "KEEP" -> lit("__KEEP__"), "PRUNE" -> lit("__PRUNE__"),
+      "DESCEND" -> lit("__DESCEND__")))
+  }
+
+  private def str(v: JValue): String = v match {
+    case JString(s) => s
+    case other      => throw new IllegalArgumentException(s"expected string: $other")
+  }
+
+  private def bool(v: JValue, default: Boolean): Boolean = v match {
+    case JBool(b) => b
+    case _        => default
+  }
+
+  // ---- $project -----------------------------------------------------------
+
+  private def isExclusion(v: JValue): Boolean = v match {
+    case JBool(false)      => true
+    case JInt(i) if i == 0 => true
+    case JDouble(0.0)      => true
+    case _                 => false
+  }
+
+  private def isInclusion(v: JValue): Boolean = v match {
+    case JBool(true)            => true
+    case JInt(i) if i != 0      => true
+    case JDouble(d) if d != 0.0 => true
+    case _                      => false
+  }
+
+  /** Pure include/exclude nesting (no `$` operators anywhere below). */
+  private def pureNest(v: JValue): Boolean = v match {
+    case o: JObject =>
+      o.obj.nonEmpty && !o.obj.exists(_._1.startsWith("$")) && o.obj.forall(f => pureNest(f._2))
+    case x => isInclusion(x) || isExclusion(x)
+  }
+
+  /** `{a:{b:1}}` ≡ `{"a.b":1}` (Project.java:55-60). Computed expressions
+    * (anything with `$`) are left intact. */
+  private def flatten(fields: List[(String, JValue)]): List[(String, JValue)] =
+    fields.flatMap {
+      case (k, o: JObject) if pureNest(o) =>
+        flatten(o.obj).map { case (k2, v2) => (s"$k.$k2", v2) }
+      case kv => List(kv)
+    }
+
+  def project(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    val JObject(rawFields) = (spec: @unchecked)
+    val entries = flatten(rawFields)
+    val excludes = entries.collect { case (k, v) if isExclusion(v) => k }
+    val includes = entries.collect { case (k, v) if isInclusion(v) => k }
+    val computed = entries.collect {
+      case (k, v) if !isInclusion(v) && !isExclusion(v) => (k, v)
+    }
+    val excludesId = excludes.contains("_id")
+    require(excludes.forall(_ == "_id") || (includes.isEmpty && computed.isEmpty),
+      "$project cannot mix include and exclude") // Project.java:127,135-138
+
+    if (includes.isEmpty && computed.isEmpty) unsetPaths(df, excludes)
+    else {
+      val keep = scala.collection.mutable.LinkedHashMap[String, Column]()
+      if (df.columns.contains("_id") && !excludesId && !includes.contains("_id") &&
+        !computed.exists(_._1 == "_id")) keep("_id") = col("_id")
+      val topIncludes = includes.filter(!_.contains('.'))
+      val nestedIncludes = includes.filter(_.contains('.')).groupBy(_.split('.').head)
+      topIncludes.foreach(f => keep(f) = col(f))
+      nestedIncludes.foreach { case (top, paths) =>
+        keep(top) = rebuildStruct(col(top), paths.map(_.split('.').toList.tail))
+      }
+      computed.foreach {
+        case (_, JString("$$REMOVE"))   => // dropped (Project.java:46-47)
+        case (k, v) if !k.contains('.') => keep(k) = cexpr(v)
+        case (k, v) => // dotted computed target -> nested struct
+          val parts = k.split('.').toList
+          val existing = keep.get(parts.head)
+          keep(parts.head) = existing match {
+            case Some(c) => c.withField(parts.tail.mkString("."), cexpr(v))
+            case None    => freshStruct(parts.tail, cexpr(v))
+          }
+      }
+      val cols = keep.toList.map { case (n, c) => c.as(n) }
+      if (df.columns.contains("key")) df.select((col("key") :: cols): _*)
+      else df.select(cols: _*)
+    }
+  }
+
+  /** Rebuild a struct keeping only the given sub-paths. */
+  private def rebuildStruct(base: Column, paths: List[List[String]]): Column = {
+    val byHead = paths.groupBy(_.head)
+    struct(byHead.toList.sortBy(_._1).map { case (h, ps) =>
+      val subPaths = ps.map(_.tail).filter(_.nonEmpty)
+      if (subPaths.isEmpty) base.getField(h).as(h)
+      else rebuildStruct(base.getField(h), subPaths).as(h)
+    }: _*)
+  }
+
+  private def freshStruct(path: List[String], v: Column): Column = path match {
+    case Nil          => v
+    case head :: tail => struct(freshStruct(tail, v).as(head))
+  }
+
+  // ---- $addFields / $set --------------------------------------------------
+
+  /** Deep-merge one expression per (possibly dotted) target path
+    * (AddFields.java:32-90). Non-struct values at intermediate paths are
+    * overwritten, matching the reference's merge core (37-58). */
+  def addFields(df: DataFrame, spec: JValue): DataFrame = {
+    val JObject(fields) = (spec: @unchecked)
+    fields.foldLeft(df) { case (d, (path, expr)) =>
+      val c = cexpr(expr)(ctxFor(d))
+      val parts = path.split('.').toList
+      if (parts.length == 1) d.withColumn(path, c)
+      else {
+        val top = parts.head
+        val merged = d.schema.find(_.name == top).map(_.dataType) match {
+          case Some(st: StructType) => mergeAt(st, col(top), parts.tail, c)
+          case _                    => freshStruct(parts.tail, c)
+        }
+        d.withColumn(top, merged)
+      }
+    }
+  }
+
+  /** Schema-aware deep-set: descend through existing struct levels, create
+    * missing ones, overwrite non-struct intermediates (AddFields.java:37-58). */
+  private def mergeAt(st: StructType, base: Column, path: List[String], v: Column): Column =
+    path match {
+      case Nil         => v
+      case last :: Nil => base.withField(last, v)
+      case head :: tail =>
+        st.find(_.name == head).map(_.dataType) match {
+          case Some(sub: StructType) =>
+            base.withField(head, mergeAt(sub, base.getField(head), tail, v))
+          case _ => base.withField(head, freshStruct(tail, v))
+        }
+    }
+
+  // ---- $unset -------------------------------------------------------------
+
+  def unset(df: DataFrame, spec: JValue): DataFrame = {
+    val paths = spec match {
+      case JString(s) => List(s)
+      case JArray(xs) => xs.map(str)
+      case other      => throw new IllegalArgumentException(s"$$unset: $other")
+    }
+    unsetPaths(df, paths)
+  }
+
+  private def unsetPaths(df: DataFrame, paths: List[String]): DataFrame = {
+    val (top, nested) = paths.partition(!_.contains('.'))
+    val afterTop = if (top.nonEmpty) df.drop(top: _*) else df
+    nested.groupBy(_.split('.').head).foldLeft(afterTop) {
+      case (d, (topField, ps)) if d.columns.contains(topField) =>
+        d.withColumn(topField,
+          col(topField).dropFields(ps.map(_.split('.').tail.mkString(".")): _*))
+      case (d, _) => d
+    }
+  }
+
+  // ---- $replaceWith / $replaceRoot ---------------------------------------
+
+  /** The expression result becomes the new document; output key = new `_id`
+    * if present else old key (ReplaceWith.java:25-38). */
+  def replaceWith(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    val doc = cexpr(spec)
+    val hasKey = df.columns.contains("key")
+    val tmp = if (hasKey) df.select(col("key"), doc.as("__doc"))
+              else df.select(doc.as("__doc"))
+    val fields = tmp.schema("__doc").dataType match {
+      case s: StructType => s.fieldNames.toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"$$replaceWith result must be a document, got $other")
+    }
+    val docCols = fields.map(f => col("__doc").getField(f).as(f))
+    if (hasKey) {
+      val newKey =
+        if (fields.contains("_id"))
+          coalesce(col("__doc").getField("_id").cast(StringType), col("key"))
+        else col("key")
+      tmp.select((newKey.as("key") +: docCols): _*)
+    } else tmp.select(docCols: _*)
+  }
+
+  // ---- $unwind ------------------------------------------------------------
+
+  /** `posexplode`(-`_outer` for preserveNullAndEmptyArrays) + put the element
+    * back at the path (Unwind.java:43-140). */
+  def unwind(df: DataFrame, spec: JValue): DataFrame = {
+    val (path, includeIndex, preserve, newIds) = spec match {
+      case JString(p) => (p.stripPrefix("$"), None, false, false)
+      case o: JObject =>
+        (str(o \ "path").stripPrefix("$"),
+          (o \ "includeArrayIndex") match { case JString(s) => Some(s); case _ => None },
+          bool(o \ "preserveNullAndEmptyArrays", default = false),
+          bool(o \ "newIds", default = false))
+      case other => throw new IllegalArgumentException(s"$$unwind: $other")
+    }
+    require(!path.contains('.'), "$unwind nested paths not yet supported")
+    val gen = if (preserve) posexplode_outer(col(path)) else posexplode(col(path))
+    val exploded = df
+      .select(col("*"), gen.as(Seq("__pos", "__elem")))
+      .withColumn(path, col("__elem")).drop("__elem")
+    val withIdx = includeIndex match {
+      case Some(idxField) => exploded.withColumn(idxField, col("__pos").cast(LongType))
+      case None           => exploded
+    }
+    val out = withIdx.drop("__pos")
+    if (newIds) {
+      val withId = out.withColumn("_id", expr("uuid()"))
+      if (out.columns.contains("key")) withId.withColumn("key", col("_id")) else withId
+    } else out
+  }
+
+  // ---- $group (+ $bucket/$count sugar) ------------------------------------
+
+  private def isLiteralId(v: JValue): Boolean = v match {
+    case JNull | JBool(_) | JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) => true
+    case JString(s) => !s.startsWith("$")
+    case _          => false
+  }
+
+  /** `$mergeObjects` accumulator over map-typed docs: fold `map_concat`
+    * (requires spark.sql.mapKeyDedupPolicy=LAST_WIN → later wins, matching
+    * Group.java:291-304). Null/non-map handling: nulls skipped by
+    * collect_list, empty input → null. */
+  private def mergeObjectsAgg(c: Column): Column = {
+    val l = collect_list(c)
+    when(size(l) === 0, lit(null))
+      .otherwise(aggregate(slice(l, lit(2), greatest(size(l) - 1, lit(0))),
+        element_at(l, 1), (acc, x) => map_concat(acc, x)))
+  }
+
+  def accumulator(op: String, spec: JValue)(implicit ctx: ExprCtx): Column = op match {
+    case "$sum"   => sum(cexpr(spec))
+    case "$avg"   => avg(cexpr(spec))
+    case "$count" =>
+      require(spec == JObject(Nil), "$count accumulator takes {}") // Group.java:209-217
+      count(lit(1))
+    case "$max"      => max(cexpr(spec))
+    case "$min"      => min(cexpr(spec))
+    case "$push"     => collect_list(cexpr(spec))
+    case "$addToSet" => array_sort(collect_set(cexpr(spec))) // sorted (Group.java:130-149)
+    case "$last"     => last(cexpr(spec))
+    case "$stdDevPop" => stddev_pop(cexpr(spec)) // the documented σ, not the
+      // reference's emit-the-count quirk (Group.java:451-453) — see SURVEY §2.4
+    case "$mergeObjects" => mergeObjectsAgg(cexpr(spec))
+    case other => throw new IllegalArgumentException(s"unsupported accumulator $other")
+  }
+
+  def group(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    val JObject(fields) = (spec: @unchecked)
+    val idSpec = fields.find(_._1 == "_id").map(_._2)
+      .getOrElse(throw new IllegalArgumentException("$group needs _id"))
+    val accs: List[(String, Column)] = fields.collect {
+      case (name, JObject((accOp, accSpec) :: Nil))
+          if name != "_id" && name != "_collection" =>
+        name -> accumulator(accOp, accSpec)
+    }
+    require(accs.nonEmpty, "$group needs at least one accumulator")
+    val aggCols = accs.map { case (n, c) => c.as(n) }
+    if (isLiteralId(idSpec))
+      // literal key = single global bucket, emitted as _id: null (Group.java:88,385-388)
+      df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+        .select((lit(null).cast(StringType).as("_id") :: accs.map(a => col(a._1))): _*)
+    else {
+      val grouped = df.groupBy(cexpr(idSpec).as("_id")).agg(aggCols.head, aggCols.tail: _*)
+      // output key = stringified group key (Group.java:430) — only in the
+      // keyed message model
+      if (df.columns.contains("key")) grouped.withColumn("key", col("_id").cast(StringType))
+      else grouped
+    }
+  }
+
+  /** `$bucket` → `$group` with a `$switch` key over boundary pairs
+    * (Bucket.java:74-115). */
+  def bucketToGroup(spec: JValue): JValue = {
+    val groupBy = spec \ "groupBy"
+    val JArray(bounds) = ((spec \ "boundaries"): @unchecked)
+    require(bounds.size >= 2, "$bucket needs >= 2 boundaries")
+    val ordered = bounds.map {
+      case JInt(i) => BigDecimal(i); case JLong(l) => BigDecimal(l)
+      case JDouble(d) => BigDecimal(d); case JDecimal(d) => d
+      case other => throw new IllegalArgumentException(s"bad boundary $other")
+    }
+    require(ordered == ordered.sorted && ordered.distinct == ordered,
+      "$bucket boundaries must be strictly ascending") // Bucket.java:69-72
+    val branches = bounds.sliding(2).map { case List(lo, hi) =>
+      JObject(List(
+        "case" -> JObject(List("$and" -> JArray(List(
+          JObject(List("$gte" -> JArray(List(groupBy, lo)))),
+          JObject(List("$lt" -> JArray(List(groupBy, hi)))))))),
+        "then" -> lo))
+    }.toList
+    val default = spec \ "default"
+    val switch = JObject(List("$switch" -> JObject(List(
+      "branches" -> JArray(branches)) ++
+      (default match { case JNothing => Nil; case d => List("default" -> d) }))))
+    val output = spec \ "output" match {
+      case JObject(fs) => fs
+      case _           => List("count" -> JObject(List("$sum" -> JInt(1))))
+    }
+    JObject(("_id" -> switch) :: output)
+  }
+
+  /** `$count` stage: → `$group {_id:null, f:{$sum:1}}` minus `_id`
+    * (Count.java:28-41). */
+  def countStage(df: DataFrame, spec: JValue): DataFrame =
+    df.groupBy().agg(count(lit(1)).as(str(spec)))
+
+  // ---- $lookup ------------------------------------------------------------
+
+  /** Equality form: pre-aggregate the static side per foreign key (one
+    * shuffle of the small side; AQE broadcasts it when small) and left-join —
+    * the huge stream side is never re-grouped. Pipeline/let form and
+    * array-valued local fields: join + regroup by a synthetic row id.
+    * (Lookup.java:59-201.) */
+  def lookup(df: DataFrame, spec: JValue, catalog: String => DataFrame)
+      (implicit ctx: ExprCtx): DataFrame = {
+    val from = catalog(str(spec \ "from"))
+    val as = str(spec \ "as")
+    val inner = bool(spec \ "inner", default = false)
+    val unwindFlag = bool(spec \ "unwind", default = false)
+    val fromDoc = from.select(struct(from.columns.map(col).toIndexedSeq: _*).as("__as"))
+
+    def regroupJoin(cond: Column): DataFrame = {
+      val withId = df.withColumn("__rid", monotonically_increasing_id())
+      val keepCols = df.columns.toIndexedSeq
+      val j = withId.join(fromDoc, cond, "left")
+      j.groupBy(col("__rid"))
+        .agg(first(col(keepCols.head)).as(keepCols.head),
+          (keepCols.tail.map(c => first(col(c)).as(c)) :+
+            collect_list(col("__as")).as(as)): _*)
+        .drop("__rid")
+    }
+
+    (spec \ "localField", spec \ "foreignField") match {
+      case (JString(local), JString(foreign)) =>
+        val localCol = ctx.field(local)
+        val localIsArray =
+          df.select(localCol).schema.head.dataType.isInstanceOf[ArrayType]
+        val matchCond =
+          if (localIsArray) array_contains(localCol, col("__as").getField(foreign))
+          else localCol === col("__as").getField(foreign)
+        if (unwindFlag) // one output per match, `as` scalar (Lookup.java:144-148)
+          df.join(fromDoc, matchCond, "inner").withColumnRenamed("__as", as)
+        else if (localIsArray) {
+          val j = regroupJoin(matchCond)
+          if (inner) j.filter(size(col(as)) > 0) else j
+        } else {
+          val grouped = from
+            .groupBy(col(foreign).as("__fk"))
+            .agg(collect_list(struct(from.columns.map(col).toIndexedSeq: _*))
+              .as("__matches"))
+          val elemType =
+            grouped.schema("__matches").dataType.asInstanceOf[ArrayType].elementType
+          val j = df.join(grouped, localCol === col("__fk"), "left")
+            .withColumn(as, coalesce(col("__matches"), array().cast(ArrayType(elemType))))
+            .drop("__fk", "__matches")
+          if (inner) j.filter(size(col(as)) > 0) else j
+        }
+      case _ =>
+        // let + pipeline form: a single $match sub-stage becomes the join
+        // condition (covers equality and theta predicates, Lookup.java:116-129)
+        val letVars: Map[String, Column] = spec \ "let" match {
+          case JObject(vs) => vs.map { case (n, e) => n -> cexpr(e) }.toMap
+          case _           => Map.empty
+        }
+        val JArray(subStages) = ((spec \ "pipeline"): @unchecked)
+        val matchSpec = subStages match {
+          case List(JObject(List(("$match", m)))) => m
+          case _ => throw new IllegalArgumentException(
+            "$lookup pipeline form: only a single $match sub-stage is supported")
+        }
+        val subCtx = ExprCtx(
+          field = p => p.split('.').foldLeft(col("__as"))(_ getField _),
+          vars = letVars)
+        val cond = MongoMatch.compile(matchSpec)(subCtx)
+        if (unwindFlag) df.join(fromDoc, cond, "inner").withColumnRenamed("__as", as)
+        else {
+          val j = regroupJoin(cond)
+          if (inner) j.filter(size(col(as)) > 0) else j
+        }
+    }
+  }
+
+  // ---- $deduplicate -------------------------------------------------------
+
+  /** Batch semantics: keep one message per distinct expression value
+    * (Deduplicate.java:62-147; streaming gets dropDuplicatesWithinWatermark). */
+  def deduplicate(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    val exprSpec = spec \ "expression" match {
+      case JNothing => spec
+      case e        => e
+    }
+    df.withColumn("__dedup", cexpr(exprSpec))
+      .dropDuplicates("__dedup")
+      .drop("__dedup")
+  }
+
+  // ---- $redact ------------------------------------------------------------
+
+  /** v1: root-level decision only ($$PRUNE at the root drops the message,
+    * Redact.java:51-53); recursive sub-document descent lands with the
+    * JSON-AST fallback (SURVEY §2.1). */
+  def redact(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame =
+    df.filter(cexpr(spec) =!= lit("__PRUNE__"))
+}

@@ -1,13 +1,506 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.llm.{DedupOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 (or one
+  * LLM-data-pipeline operator) through the Mongo-pipeline compiler
+  * ([[Pipeline]]); `oracleSql` holds the DuckDB-equivalent SQL the driver
+  * hash-compares against on sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tune(s: SparkSession): Unit = {
+    // Mongo-ish permissive semantics: bad casts -> null, out-of-range
+    // element_at -> null (Spark 4 defaults to ANSI).
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    // $mergeObjects: later key wins (Group.java:291-304)
+    s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects — read as
+    // long and convert in the loader below.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    tune(s)
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** Run a Mongo pipeline against a table, with all sf tables as $lookup catalog. */
+  private def pipe(s: SparkSession, dir: String, table: String, json: String): DataFrame = {
+    tune(s)
+    new Pipeline(name => t(s, dir, name)).run(t(s, dir, table), json)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * $match → $lookup(unwind) → $group → $project end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    pipe(spark, "/root/testdata/sf0.001", "orders",
+      """[
+        {"$match": {"o_orderstatus": {"$in": ["F", "O"]}}},
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "cust", "unwind": true}},
+        {"$group": {"_id": "$cust.c_mktsegment",
+                    "n": {"$count": {}},
+                    "total": {"$sum": "$o_totalprice"}}},
+        {"$project": {"_id": 1, "n": 1, "total": {"$round": ["$total", 2]}}}
+      ]""")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- $match (query language) ------------------------------------------
+    "q_match" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$match": {"l_returnflag": "A", "l_quantity": {"$gte": 30}}},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1}}
+      ]""")),
+    "q_match_expr" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$match": {"$expr": {"$gt": ["$l_extendedprice",
+                                      {"$multiply": [1500, "$l_quantity"]}]}}},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1}}
+      ]""")),
+    "q_match_ops" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$match": {"$and": [
+          {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},
+          {"o_totalprice": {"$gt": 50000, "$lte": 200000}},
+          {"o_orderstatus": {"$ne": "P"}},
+          {"o_custkey": {"$exists": true}}]}},
+        {"$project": {"o_orderkey": 1, "o_custkey": 1}}
+      ]""")),
+    "q_match_regex" -> ((s, dir) => pipe(s, dir, "part",
+      """[
+        {"$match": {"p_type": {"$regex": "^STANDARD.*BRASS$"}}},
+        {"$project": {"p_partkey": 1, "p_type": 1}}
+      ]""")),
+
+    // ---- $project ---------------------------------------------------------
+    "q_project" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+          "revenue": {"$round": [{"$multiply": ["$l_extendedprice",
+                                  {"$subtract": [1, "$l_discount"]}]}, 4]}}}
+      ]""")),
+    "q_project_exclude" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$project": {"o_orderdate": 0, "o_orderpriority": 0}}]""")),
+
+    // ---- $addFields / $set ------------------------------------------------
+    "q_addfields" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$addFields": {
+          "revenue": {"$round": [{"$multiply": ["$l_extendedprice",
+                                  {"$subtract": [1, "$l_discount"]}]}, 4]},
+          "ship_year": {"$year": "$l_shipdate"}}},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+                      "revenue": 1, "ship_year": 1}}
+      ]""")),
+    "q_addfields_nested" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$addFields": {"meta.status": "$o_orderstatus",
+                        "meta.price.total": "$o_totalprice"}},
+        {"$project": {"o_orderkey": 1, "st": "$meta.status",
+                      "tot": "$meta.price.total"}}
+      ]""")),
+
+    // ---- $unset -----------------------------------------------------------
+    "q_unset" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$unset": ["o_orderdate", "o_orderpriority"]}]""")),
+
+    // ---- $replaceWith / $replaceRoot --------------------------------------
+    "q_replace_with" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$replaceWith": {"id": "$o_orderkey", "status": "$o_orderstatus",
+                          "total": {"$round": ["$o_totalprice", 0]}}}
+      ]""")),
+    "q_replace_root" -> ((s, dir) => pipe(s, dir, "customer",
+      """[
+        {"$replaceRoot": {"newRoot": {"ck": "$c_custkey",
+                                      "seg": {"$toLower": "$c_mktsegment"}}}}
+      ]""")),
+
+    // ---- $setKey ----------------------------------------------------------
+    "q_setkey" -> ((s, dir) => pipe(s, dir, "events",
+      """[
+        {"$project": {"event_id": 1, "user_id": 1}},
+        {"$setKey": "$user_id"}
+      ]""")),
+
+    // ---- $unwind ----------------------------------------------------------
+    "q_unwind" -> ((s, dir) => pipe(s, dir, "documents",
+      """[
+        {"$project": {"doc_id": 1, "toks": {"$split": ["$text", " "]}}},
+        {"$unwind": {"path": "$toks", "includeArrayIndex": "idx"}}
+      ]""")),
+
+    // ---- $group family ----------------------------------------------------
+    "q_group" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$group": {"_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"},
+                    "sum_qty": {"$sum": "$l_quantity"},
+                    "avg_price": {"$avg": "$l_extendedprice"},
+                    "n": {"$count": {}}}},
+        {"$project": {"_id": 0, "rf": "$_id.rf", "ls": "$_id.ls",
+                      "sum_qty": 1, "avg_price": {"$round": ["$avg_price", 4]},
+                      "n": 1}}
+      ]""")),
+    "q_group_global" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$group": {"_id": null, "total": {"$sum": "$o_totalprice"},
+                    "n": {"$count": {}}}},
+        {"$project": {"_id": 1, "total": {"$round": ["$total", 2]}, "n": 1}}
+      ]""")),
+    "q_group_minmax" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$group": {"_id": "$o_orderstatus",
+                    "max_total": {"$max": "$o_totalprice"},
+                    "min_total": {"$min": "$o_totalprice"}}}
+      ]""")),
+    "q_group_stddev" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$group": {"_id": "$l_returnflag", "sd": {"$stdDevPop": "$l_quantity"}}},
+        {"$project": {"_id": 1, "sd": {"$round": ["$sd", 6]}}}
+      ]""")),
+    "q_group_addtoset" -> ((s, dir) => pipe(s, dir, "nation",
+      """[
+        {"$group": {"_id": "$n_regionkey", "names": {"$addToSet": "$n_name"}}},
+        {"$project": {"_id": 1, "names_str": {"$reduce": {
+          "input": "$names", "initialValue": "",
+          "in": {"$concat": ["$$value", ",", "$$this"]}}}}}
+      ]""")),
+    "q_group_push" -> ((s, dir) => // arrival-order array: rows-only check
+      pipe(s, dir, "nation",
+        """[{"$group": {"_id": "$n_regionkey", "names": {"$push": "$n_name"}}}]""")),
+    "q_group_last" -> ((s, dir) => // arrival-order pick: rows-only check
+      pipe(s, dir, "nation",
+        """[{"$group": {"_id": "$n_regionkey", "last_name": {"$last": "$n_name"}}}]""")),
+
+    // ---- $bucket / $count -------------------------------------------------
+    "q_bucket" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$bucket": {"groupBy": "$l_quantity",
+                     "boundaries": [1, 10, 25, 40, 51],
+                     "output": {"n": {"$sum": 1}}}}
+      ]""")),
+    "q_count" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$match": {"o_orderstatus": "F"}}, {"$count": "n_f"}]""")),
+
+    // ---- $lookup ----------------------------------------------------------
+    "q_lookup_unwind" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "cust", "unwind": true}},
+        {"$project": {"o_orderkey": 1, "cname": "$cust.c_name",
+                      "cseg": "$cust.c_mktsegment"}}
+      ]""")),
+    "q_lookup_agg" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "cust"}},
+        {"$project": {"o_orderkey": 1, "n_cust": {"$size": "$cust"}}}
+      ]""")),
+    "q_lookup_theta" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$match": {"o_orderkey": {"$lt": 50}}},
+        {"$lookup": {"from": "customer", "let": {"t": "$o_totalprice"},
+          "pipeline": [{"$match": {"$expr": {"$and": [
+            {"$gte": ["$c_acctbal", {"$subtract": [{"$divide": ["$$t", 100]}, 50]}]},
+            {"$lte": ["$c_acctbal", {"$divide": ["$$t", 100]}]}]}}}],
+          "as": "near"}},
+        {"$project": {"o_orderkey": 1, "n_near": {"$size": "$near"}}}
+      ]""")),
+
+    // ---- $deduplicate -----------------------------------------------------
+    "q_dedup" -> ((s, dir) => pipe(s, dir, "events",
+      """[
+        {"$project": {"user_id": 1}},
+        {"$deduplicate": {"expression": "$user_id"}}
+      ]""")),
+
+    // ---- expression-language coverage -------------------------------------
+    "q_expr_strings" -> ((s, dir) => pipe(s, dir, "part",
+      """[
+        {"$project": {"p_partkey": 1,
+          "up": {"$toUpper": "$p_name"},
+          "low": {"$toLower": "$p_brand"},
+          "sub": {"$substrCP": ["$p_type", 0, 5]},
+          "len": {"$strLenCP": "$p_name"},
+          "idx": {"$indexOfCP": ["$p_type", "BRASS"]},
+          "repl": {"$replaceAll": {"input": "$p_brand", "find": "#",
+                                   "replacement": "-"}},
+          "cat": {"$concat": ["$p_brand", "/", "$p_type"]}}}
+      ]""")),
+    "q_expr_cond" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$project": {"o_orderkey": 1,
+          "prio_class": {"$switch": {"branches": [
+            {"case": {"$eq": ["$o_orderpriority", "1-URGENT"]}, "then": "hot"},
+            {"case": {"$eq": ["$o_orderpriority", "2-HIGH"]}, "then": "warm"}],
+            "default": "cold"}},
+          "flag": {"$cond": [{"$gte": ["$o_totalprice", 100000]}, "big", "small"]},
+          "fb": {"$ifNull": ["$o_orderstatus", "?"]}}}
+      ]""")),
+    "q_expr_arith" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+          "a": {"$round": [{"$multiply": ["$l_extendedprice", "$l_discount"]}, 4]},
+          "b": {"$mod": ["$l_linenumber", 3]},
+          "c": {"$abs": {"$subtract": ["$l_quantity", 25]}},
+          "d": {"$floor": {"$divide": ["$l_extendedprice", 100]}},
+          "e": {"$ceil": {"$sqrt": "$l_quantity"}},
+          "f": {"$trunc": [{"$ln": {"$add": ["$l_quantity", 1]}}, 2]}}}
+      ]""")),
+    "q_expr_dates" -> ((s, dir) => pipe(s, dir, "events",
+      """[
+        {"$project": {"event_id": 1,
+          "y": {"$year": "$ts"}, "m": {"$month": "$ts"},
+          "d": {"$dayOfMonth": "$ts"}, "h": {"$hour": "$ts"},
+          "ds": {"$dateToString": {"format": "%Y-%m-%d", "date": "$ts"}}}}
+      ]""")),
+    "q_expr_arrays" -> ((s, dir) => pipe(s, dir, "documents",
+      """[
+        {"$addFields": {"toks": {"$split": ["$text", " "]}}},
+        {"$project": {"doc_id": 1,
+          "n_long": {"$size": {"$filter": {"input": "$toks", "as": "t",
+                     "cond": {"$gt": [{"$strLenCP": "$$t"}, 5]}}}},
+          "lens_sum": {"$reduce": {"input": {"$map": {"input": "$toks", "as": "t",
+                       "in": {"$strLenCP": "$$t"}}},
+                       "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}},
+          "first_tok": {"$first": "$toks"},
+          "rev_first": {"$arrayElemAt": [{"$reverseArray": "$toks"}, 0]}}}
+      ]""")),
+
+    // ---- LLM-data-pipeline operators --------------------------------------
+    "llm_dedup_exact" -> ((s, dir) => {
+      tune(s); DedupOps.exact(t(s, dir, "documents"), "text", "doc_id")
+    }),
+    "llm_token_count" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+    }),
+    "llm_quality" -> ((s, dir) => {
+      tune(s)
+      TextOps.withQuality(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "mean_word_len", "punct_ratio",
+          "upper_ratio", "digit_ratio", "stopword_ratio", "quality")
+    }),
+    "llm_langid" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    }),
+    "llm_fingerprint" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp"))
+    }),
+    "llm_minhash_pairs" -> ((s, dir) => { // xxhash64 internals: rows-only check
+      tune(s)
+      DedupOps.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
+    }),
+    "llm_simhash_neardup" -> ((s, dir) => { // rows-only check
+      tune(s)
+      DedupOps.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3)
+    }),
+    "llm_ngram_jaccard" -> ((s, dir) => {
+      tune(s)
+      val d = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          DedupOps.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
+        .filter(col("jaccard") > 0)
+    }),
+    "llm_cosine_topk" -> ((s, dir) => { // float-math: rows-only check
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+    }),
+    "llm_ann_lsh" -> ((s, dir) => { // rows-only check
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.lshTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nPlanes = 12)
+    }),
+  )
+
+  /** DuckDB-equivalent SQL per query (column names/types matched to the Spark
+    * output; DuckDB BIGINT/DOUBLE defaults cast where Spark emits INT/LONG). */
+  def oracleSql: Map[String, String] = Map(
+    "q_match" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_returnflag = 'A' AND l_quantity >= 30""",
+    "q_match_expr" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_extendedprice > 1500 * l_quantity""",
+    "q_match_ops" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+           AND o_totalprice > 50000 AND o_totalprice <= 200000
+           AND o_orderstatus <> 'P' AND o_custkey IS NOT NULL""",
+    "q_match_regex" ->
+      """SELECT p_partkey, p_type FROM part
+         WHERE regexp_matches(p_type, '^STANDARD.*BRASS$')""",
+    "q_project" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * (1 - l_discount), 4) AS revenue
+         FROM lineitem""",
+    "q_project_exclude" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders""",
+    "q_addfields" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+                CAST(year(l_shipdate) AS INT) AS ship_year
+         FROM lineitem""",
+    "q_addfields_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS tot FROM orders""",
+    "q_unset" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders""",
+    "q_replace_with" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status,
+                round(o_totalprice, 0) AS total FROM orders""",
+    "q_replace_root" ->
+      """SELECT c_custkey AS ck, lower(c_mktsegment) AS seg FROM customer""",
+    "q_setkey" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, event_id, user_id FROM events""",
+    "q_unwind" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS toks,
+                unnest(range(len(string_split(text, ' ')))) AS idx
+         FROM documents""",
+    "q_group" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+                sum(l_quantity) AS sum_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                count(*) AS n
+         FROM lineitem GROUP BY 1, 2""",
+    "q_group_global" ->
+      """SELECT CAST(NULL AS VARCHAR) AS _id,
+                round(sum(o_totalprice), 2) AS total, count(*) AS n FROM orders""",
+    "q_group_minmax" ->
+      """SELECT o_orderstatus AS _id, max(o_totalprice) AS max_total,
+                min(o_totalprice) AS min_total FROM orders GROUP BY 1""",
+    "q_group_stddev" ->
+      """SELECT l_returnflag AS _id,
+                round(stddev_pop(l_quantity), 6) AS sd
+         FROM lineitem GROUP BY 1""",
+    "q_group_addtoset" ->
+      """SELECT n_regionkey AS _id,
+                ',' || string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS names_str
+         FROM nation GROUP BY 1""",
+    "q_bucket" ->
+      """SELECT CASE
+                  WHEN l_quantity >= 1  AND l_quantity < 10 THEN 1
+                  WHEN l_quantity >= 10 AND l_quantity < 25 THEN 10
+                  WHEN l_quantity >= 25 AND l_quantity < 40 THEN 25
+                  WHEN l_quantity >= 40 AND l_quantity < 51 THEN 40
+                END AS _id,
+                count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q_count" ->
+      """SELECT count(*) AS n_f FROM orders WHERE o_orderstatus = 'F'""",
+    "q_lookup_unwind" ->
+      """SELECT o_orderkey, c_name AS cname, c_mktsegment AS cseg
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q_lookup_agg" ->
+      """SELECT o_orderkey,
+                CAST((SELECT count(*) FROM customer c
+                      WHERE c.c_custkey = o.o_custkey) AS INT) AS n_cust
+         FROM orders o""",
+    "q_lookup_theta" ->
+      """SELECT o_orderkey,
+                CAST((SELECT count(*) FROM customer c
+                      WHERE c.c_acctbal >= o.o_totalprice / 100 - 50
+                        AND c.c_acctbal <= o.o_totalprice / 100) AS INT) AS n_near
+         FROM orders o WHERE o_orderkey < 50""",
+    "q_dedup" ->
+      """SELECT DISTINCT user_id FROM events""",
+    "q_expr_strings" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS low,
+                substring(p_type, 1, 5) AS sub,
+                CAST(length(p_name) AS INT) AS len,
+                CAST(strpos(p_type, 'BRASS') - 1 AS INT) AS idx,
+                replace(p_brand, '#', '-') AS repl,
+                p_brand || '/' || p_type AS cat
+         FROM part""",
+    "q_expr_cond" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+                     WHEN o_orderpriority = '2-HIGH' THEN 'warm'
+                     ELSE 'cold' END AS prio_class,
+                CASE WHEN o_totalprice >= 100000 THEN 'big' ELSE 'small' END AS flag,
+                coalesce(o_orderstatus, '?') AS fb
+         FROM orders""",
+    "q_expr_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * l_discount, 4) AS a,
+                l_linenumber % 3 AS b,
+                abs(l_quantity - 25) AS c,
+                CAST(floor(l_extendedprice / 100) AS BIGINT) AS d,
+                CAST(ceil(sqrt(l_quantity)) AS BIGINT) AS e,
+                floor(ln(l_quantity + 1) * 100) / 100 AS f
+         FROM lineitem""",
+    "q_expr_dates" ->
+      """SELECT event_id,
+                CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+                CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+                strftime(ts, '%Y-%m-%d') AS ds
+         FROM events""",
+    "q_expr_arrays" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     t -> length(t) > 5)) AS INT) AS n_long,
+                CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+                                       t -> length(t))), 0) AS INT) AS lens_sum,
+                string_split(text, ' ')[1] AS first_tok,
+                list_reverse(string_split(text, ' '))[1] AS rev_first
+         FROM documents""",
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+    "llm_token_count" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     t -> length(t) > 0)) AS INT) AS n_tokens
+         FROM documents""",
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+    "llm_langid" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            t -> length(t) > 0), t -> lower(t)) AS toks
+           FROM documents),
+         s2 AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','zu','den'], t))) AS INT) AS s_de,
+             CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS INT) AS s_en,
+             CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','y','de','que','es','un','para'], t))) AS INT) AS s_es,
+             CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','de','un','une','est','que','pour'], t))) AS INT) AS s_fr,
+             CAST(len(list_filter(toks, t -> list_contains(['il','la','che','di','e','un','una','per','non','sono'], t))) AS INT) AS s_it
+           FROM scored)
+         SELECT doc_id,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'de'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'en'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'es'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'fr'
+                ELSE 'it' END AS lang_pred
+         FROM s2""",
+  )
 }

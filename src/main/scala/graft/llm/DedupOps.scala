@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines. Scale notes:
+  *  - exact dedup = one hash-shuffle on a 16-byte digest (not the full text);
+  *  - MinHash-LSH = per-doc signature computation (map-side, codegen'd) + one
+  *    shuffle per band on (band, bucket) — candidate pairs only ever meet
+  *    inside a bucket, never via a cross join;
+  *  - SimHash = 64-bit signature, bucketed by 16-bit chunks (Hamming ≤ k via
+  *    the pigeonhole principle).
+  * All hash functions are Spark-native (`xxhash64`, `md5`) — deterministic
+  * across runs and cluster sizes.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the lowest-id doc per md5(text); adds `dup_count`. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_md5"), col(idCol))
+      .groupBy("text_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word k-shingles of the lowercased text. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextOps.tokens(lower(text))
+    val n = size(toks)
+    when(n >= k,
+      array_distinct(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(when(n > 0, array(concat_ws(" ", toks))).otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  /** MinHash signature: `numHashes` minima of per-shingle seeded xxhash64.
+    * Seeding by prepending the hash index keeps all hashes independent while
+    * staying 100% codegen (no UDF). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))): _*)
+
+  /** LSH banding: docs sharing any (band, bucket) are candidate pairs.
+    * numHashes = bands * rowsPerBand.
+    *
+    * Returns candidate pairs `(id_a, id_b, jaccard)` with exact shingle-set
+    * Jaccard computed only for candidates, filtered at `threshold`.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // explode to (band, bucketHash, doc, shingles)
+    val banded = withSig.select(
+      col("doc"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast(ArrayType(StringType)).cast(StringType))))
+        .as(Seq("band", "bucket")))
+    // self-join within (band, bucket); id_a < id_b dedups the pair
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per-bit vote of each token's xxhash64.
+    * Built from a 64-slot counter array folded with `zip_with` — stays native.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(TextOps.tokens(lower(text)))
+    val votes = aggregate(toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
+      (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Near-dup candidates by SimHash: bucket on each of the four 16-bit chunks
+    * (any doc pair within Hamming distance 3 shares at least one chunk), then
+    * verify exact Hamming distance ≤ maxHamming. */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("chunk", "bucket")))
+    val a = banded.select(col("chunk"), col("bucket"), col("doc").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("chunk"), col("bucket"), col("doc").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns. */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
+    val sa = shingles(a, k)
+    val sb = shingles(b, k)
+    when(size(array_union(sa, sb)) > 0,
+      round(size(array_intersect(sa, sb)).cast(DoubleType) / size(array_union(sa, sb)), 6))
+      .otherwise(lit(null))
+  }
+}

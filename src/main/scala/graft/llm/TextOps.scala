@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, language ID, quality scoring, fingerprinting.
+  * Everything is composed from `org.apache.spark.sql.functions` (no UDFs), so
+  * the whole column pipeline stays inside whole-stage codegen and scales
+  * linearly with no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens (empty-string safe: 0 tokens). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-chars runs, digits, and single punctuation
+    * each count as a token (a cheap deterministic stand-in for a real BPE). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  // --- language ID ---------------------------------------------------------
+
+  /** Tiny per-language stopword lists (public knowledge). Scoring = number of
+    * stopword hits among the document's tokens; argmax wins, ties broken by
+    * language order; no hits ⇒ "und". */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "que", "es", "un", "para"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non", "sono"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val toks = transform(tokens(text), lower _)
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t)))
+  }
+
+  /** Heuristic language ID over the stopword lists; deterministic. */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => langScore(text, l))
+    val best = greatest(scores: _*)
+    val pick = langs.zip(scores).foldRight(lit("und")) {
+      case ((l, s), acc) => when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** Document-quality features: char/token counts, mean word length,
+    * punctuation & uppercase & digit ratios, stopword ratio. A composite
+    * `quality` in [0,1] combines them with fixed weights. */
+  def qualityFeatures(text: Column): DataFrameCols = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val meanWordLen = when(nTokens > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / nTokens)
+      .otherwise(lit(0d))
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
+    val punctRatio = when(nChars > 0, punct.cast(DoubleType) / nChars).otherwise(0d)
+    val uppers = length(regexp_replace(text, "[^A-Z]", ""))
+    val upperRatio = when(nChars > 0, uppers.cast(DoubleType) / nChars).otherwise(0d)
+    val digits = length(regexp_replace(text, "[^0-9]", ""))
+    val digitRatio = when(nChars > 0, digits.cast(DoubleType) / nChars).otherwise(0d)
+    val enSw = array(stopwords("en").map(lit): _*)
+    val swHits = size(filter(transform(toks, lower _), t => array_contains(enSw, t)))
+    val swRatio = when(nTokens > 0, swHits.cast(DoubleType) / nTokens).otherwise(0d)
+    DataFrameCols(nChars, nTokens, meanWordLen, punctRatio, upperRatio, digitRatio, swRatio)
+  }
+
+  final case class DataFrameCols(nChars: Column, nTokens: Column, meanWordLen: Column,
+      punctRatio: Column, upperRatio: Column, digitRatio: Column, stopwordRatio: Column) {
+    /** Composite score in [0,1]: rewards length & stopword presence, penalizes
+      * punctuation/digit/uppercase excess. Fixed public heuristic. */
+    def quality: Column = {
+      val lenScore = least(nTokens.cast(DoubleType) / 100d, lit(1d))
+      val clean = greatest(lit(0d), lit(1d) - (punctRatio + digitRatio + upperRatio))
+      val sw = least(stopwordRatio * 4d, lit(1d))
+      round(lenScore * 0.3 + clean * 0.4 + sw * 0.3, 6)
+    }
+  }
+
+  /** Apply all quality features as columns on a documents DataFrame. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val f = qualityFeatures(col(textCol))
+    df.withColumn("n_tokens", f.nTokens)
+      .withColumn("mean_word_len", round(f.meanWordLen, 6))
+      .withColumn("punct_ratio", round(f.punctRatio, 6))
+      .withColumn("upper_ratio", round(f.upperRatio, 6))
+      .withColumn("digit_ratio", round(f.digitRatio, 6))
+      .withColumn("stopword_ratio", round(f.stopwordRatio, 6))
+      .withColumn("quality", f.quality)
+  }
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** Canonical-text fingerprint: lowercase, collapse whitespace, md5.
+    * Identical up to whitespace/case ⇒ identical fingerprint. (md5 so the
+    * DuckDB oracle can replicate it.) */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling polynomial hash over tokens (order-sensitive), base 31.
+    * xxhash64 per token keeps it cheap and well-mixed. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+}

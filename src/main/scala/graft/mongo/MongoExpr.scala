@@ -1,0 +1,392 @@
+package graft.mongo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+/** Compilation context for the MongoDB aggregation expression language.
+  *
+  * @param field resolves a (possibly dotted) document field path to a Column.
+  *              Default: top-level column + `getField` chain for nested structs.
+  * @param vars  system + user variables (`$$ROOT`, `$$this`, `$$value`, `$lookup`
+  *              `let` vars, `$let` vars). Bound values are Columns.
+  */
+final case class ExprCtx(
+    field: String => Column = MongoExpr.defaultFieldRef,
+    vars: Map[String, Column] = Map.empty) {
+  def bind(name: String, c: Column): ExprCtx = copy(vars = vars + (name -> c))
+}
+
+/** Compiles MongoDB aggregation *expressions* (the `pincette-mongo`
+  * `Expression.function` surface used by the reference —
+  * /root/reference/src/main/java/net/pincette/mongo/streams/Pipeline.java:37 and
+  * SURVEY.md §2.9) into Catalyst [[Column]]s. Everything stays inside
+  * whole-stage codegen: no UDFs.
+  *
+  * Notable deviations (documented; see SURVEY.md §7):
+  *  - truthiness of non-empty strings (Mongo: true) is approximated via a
+  *    boolean cast (null for strings ⇒ false);
+  *  - Mongo's cross-BSON-type total order is not replicated — comparisons use
+  *    Spark/ANSI-less semantics on homogeneous types;
+  *  - `$regexFind` returns just the matched string, not `{match,idx,captures}`.
+  */
+object MongoExpr {
+
+  def defaultFieldRef(path: String): Column = {
+    val parts = path.split('.')
+    parts.tail.foldLeft(col(parts.head))(_ getField _)
+  }
+
+  /** Mongo truthiness: null/missing/0/false ⇒ false, else true. */
+  def truthy(c: Column): Column = coalesce(c.cast(BooleanType), lit(false))
+
+  def literal(v: JValue): Column = v match {
+    case JString(s)  => lit(s)
+    case JInt(i)     => if (i.isValidInt) lit(i.toInt) else lit(i.toLong)
+    case JLong(l)    => lit(l)
+    case JDouble(d)  => lit(d)
+    case JDecimal(d) => lit(d.toDouble)
+    case JBool(b)    => lit(b)
+    case JNull       => lit(null)
+    case JArray(xs)  => array(xs.map(literal): _*)
+    case JObject(fs) => struct(fs.map { case (k, x) => literal(x).as(k) }: _*)
+    case other       => throw new IllegalArgumentException(s"bad literal: $other")
+  }
+
+  def compile(v: JValue)(implicit ctx: ExprCtx): Column = v match {
+    case JString(s) if s.startsWith("$$") => variable(s.drop(2))
+    case JString(s) if s.startsWith("$")  => ctx.field(s.drop(1))
+    case JObject((op, spec) :: Nil) if op.startsWith("$") => applyOp(op, spec)
+    case JObject(fields) => // expression object {f1: e1, ...} builds a document
+      struct(fields.map { case (k, e) => compile(e).as(k) }: _*)
+    case JArray(xs) => array(xs.map(compile): _*)
+    case other      => literal(other)
+  }
+
+  private def variable(ref: String)(implicit ctx: ExprCtx): Column = {
+    val parts = ref.split('.')
+    val base = ctx.vars.getOrElse(parts.head,
+      throw new IllegalArgumentException(s"unbound variable $$$$${parts.head}"))
+    parts.tail.foldLeft(base)(_ getField _)
+  }
+
+  private def args(spec: JValue)(implicit ctx: ExprCtx): List[Column] = spec match {
+    case JArray(xs) => xs.map(compile)
+    case single     => List(compile(single))
+  }
+
+  private def field(spec: JValue, name: String): JValue = spec match {
+    case o: JObject => o \ name
+    case _          => JNothing
+  }
+
+  private def opt(v: JValue): Option[JValue] = v match {
+    case JNothing | JNull => None
+    case x                => Some(x)
+  }
+
+  private def str(v: JValue): String = v match {
+    case JString(s) => s
+    case other      => throw new IllegalArgumentException(s"expected string, got $other")
+  }
+
+  // Mongo %-style date format -> java.time pattern (used by $dateToString).
+  private[graft] def mongoDateFormat(f: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < f.length) {
+      if (f.charAt(i) == '%' && i + 1 < f.length) {
+        out.append(f.charAt(i + 1) match {
+          case 'Y' => "yyyy"; case 'm' => "MM"; case 'd' => "dd"
+          case 'H' => "HH"; case 'M' => "mm"; case 'S' => "ss"
+          case 'L' => "SSS"; case 'j' => "DDD"; case '%' => "%"
+          case c   => throw new IllegalArgumentException(s"unsupported date spec %$c")
+        })
+        i += 2
+      } else { out.append(f.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  private def interval(unit: String, amount: Column): Column = {
+    val zero = lit(0)
+    unit match {
+      case "year"        => make_interval(amount, zero, zero, zero, zero, zero, lit(0d))
+      case "quarter"     => make_interval(zero, amount * 3, zero, zero, zero, zero, lit(0d))
+      case "month"       => make_interval(zero, amount, zero, zero, zero, zero, lit(0d))
+      case "week"        => make_interval(zero, zero, amount, zero, zero, zero, lit(0d))
+      case "day"         => make_interval(zero, zero, zero, amount, zero, zero, lit(0d))
+      case "hour"        => make_interval(zero, zero, zero, zero, amount, zero, lit(0d))
+      case "minute"      => make_interval(zero, zero, zero, zero, zero, amount, lit(0d))
+      case "second"      => make_interval(zero, zero, zero, zero, zero, zero, amount.cast(DoubleType))
+      case "millisecond" => make_interval(zero, zero, zero, zero, zero, zero, amount.cast(DoubleType) / 1000d)
+      case other         => throw new IllegalArgumentException(s"unsupported unit $other")
+    }
+  }
+
+  private def applyOp(op: String, spec: JValue)(implicit ctx: ExprCtx): Column = op match {
+    // ---- arithmetic -------------------------------------------------------
+    case "$add"      => args(spec).reduce(_ + _)
+    case "$subtract" => val List(a, b) = args(spec); a - b
+    case "$multiply" => args(spec).reduce(_ * _)
+    case "$divide"   => val List(a, b) = args(spec); a / b
+    case "$mod"      => val List(a, b) = args(spec); a % b
+    case "$abs"      => abs(args(spec).head)
+    case "$ceil"     => ceil(args(spec).head)
+    case "$floor"    => floor(args(spec).head)
+    case "$sqrt"     => sqrt(args(spec).head)
+    case "$exp"      => exp(args(spec).head)
+    case "$ln"       => log(args(spec).head)
+    case "$log10"    => log10(args(spec).head)
+    case "$log"      => val List(x, b) = args(spec); log(x) / log(b)
+    case "$pow"      => val List(a, b) = args(spec); pow(a, b)
+    case "$round" =>
+      spec match {
+        case JArray(List(x))    => round(compile(x), 0)
+        case JArray(List(x, p)) =>
+          val place = p match {
+            case JInt(i)  => i.toInt
+            case JLong(l) => l.toInt
+            case _ => throw new IllegalArgumentException("$round place must be a literal int")
+          }
+          round(compile(x), place)
+        case x => round(compile(x), 0)
+      }
+    case "$trunc" =>
+      args(spec) match {
+        case List(x) => x.cast(LongType)
+        case List(x, p) =>
+          val f = pow(lit(10d), p)
+          (when(x >= 0, floor(x * f)).otherwise(ceil(x * f)) / f)
+        case _ => throw new IllegalArgumentException("$trunc arity")
+      }
+
+    // ---- comparison -------------------------------------------------------
+    case "$eq"  => val List(a, b) = args(spec); a <=> b
+    case "$ne"  => val List(a, b) = args(spec); !(a <=> b)
+    case "$gt"  => val List(a, b) = args(spec); a > b
+    case "$gte" => val List(a, b) = args(spec); a >= b
+    case "$lt"  => val List(a, b) = args(spec); a < b
+    case "$lte" => val List(a, b) = args(spec); a <= b
+    case "$cmp" =>
+      val List(a, b) = args(spec)
+      when(a < b, -1).when(a > b, 1).otherwise(0)
+
+    // ---- boolean ----------------------------------------------------------
+    case "$and" => args(spec).map(truthy).reduce(_ && _)
+    case "$or"  => args(spec).map(truthy).reduce(_ || _)
+    case "$not" => !truthy(args(spec).head)
+
+    // ---- conditional ------------------------------------------------------
+    case "$cond" =>
+      val (i, t, e) = spec match {
+        case JArray(List(a, b, c)) => (a, b, c)
+        case o: JObject            => (o \ "if", o \ "then", o \ "else")
+        case _ => throw new IllegalArgumentException("$cond spec")
+      }
+      when(truthy(compile(i)), compile(t)).otherwise(compile(e))
+    case "$ifNull" => coalesce(args(spec): _*)
+    case "$switch" =>
+      val branches = (field(spec, "branches"): @unchecked) match {
+        case JArray(bs) => bs.map { b =>
+          (truthy(compile(field(b, "case"))), compile(field(b, "then")))
+        }
+      }
+      val default = opt(field(spec, "default")).map(compile)
+      val chain = branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (c, t)) => acc.when(c, t)
+      }
+      default.map(chain.otherwise).getOrElse(chain)
+
+    // ---- string -----------------------------------------------------------
+    case "$concat"   => concat(args(spec): _*)
+    case "$toLower"  => lower(args(spec).head)
+    case "$toUpper"  => upper(args(spec).head)
+    case "$strLenCP" => length(args(spec).head)
+    case "$substrCP" | "$substr" =>
+      val List(s, i, n) = args(spec); s.substr(i + 1, n)
+    case "$split" =>
+      val JArray(List(s, d)) = (spec: @unchecked)
+      split(compile(s), java.util.regex.Pattern.quote(str(d)))
+    case "$trim"  => trimOp(spec, (c, ch) => ch.map(x => trim(c, x)).getOrElse(trim(c)))
+    case "$ltrim" => trimOp(spec, (c, ch) => ch.map(x => ltrim(c, x)).getOrElse(ltrim(c)))
+    case "$rtrim" => trimOp(spec, (c, ch) => ch.map(x => rtrim(c, x)).getOrElse(rtrim(c)))
+    case "$indexOfCP" =>
+      args(spec) match {
+        case List(s, sub)        => locate_dyn(sub, s, lit(1)) - 1
+        case List(s, sub, start) => locate_dyn(sub, s, start + 1) - 1
+        case _ => throw new IllegalArgumentException("$indexOfCP arity")
+      }
+    case "$regexMatch" =>
+      compile(field(spec, "input")).rlike(str(field(spec, "regex")))
+    case "$regexFind" => // deviation: returns the matched string, not a doc
+      val m = regexp_extract(compile(field(spec, "input")), str(field(spec, "regex")), 0)
+      when(m === "", lit(null)).otherwise(m)
+    case "$replaceOne" =>
+      val in = compile(field(spec, "input"))
+      val find = compile(field(spec, "find"))
+      val repl = compile(field(spec, "replacement"))
+      val pos = locate_dyn(find, in, lit(1))
+      when(pos === 0, in).otherwise(
+        concat(in.substr(lit(1), pos - 1), repl,
+          in.substr(pos + length(find), length(in))))
+    case "$replaceAll" =>
+      call_function("replace", compile(field(spec, "input")),
+        compile(field(spec, "find")), compile(field(spec, "replacement")))
+    case "$toString" => args(spec).head.cast(StringType)
+
+    // ---- arrays -----------------------------------------------------------
+    case "$arrayElemAt" =>
+      val List(arr, idx) = args(spec)
+      element_at(arr, when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
+    case "$size" => size(args(spec).head)
+    case "$slice" =>
+      args(spec) match {
+        case List(arr, n) =>
+          slice(arr, when(n >= 0, lit(1)).otherwise(greatest(n, -size(arr))),
+            abs(n).cast(IntegerType))
+        case List(arr, skip, n) => slice(arr, skip + 1, n)
+        case _ => throw new IllegalArgumentException("$slice arity")
+      }
+    case "$filter" =>
+      val as = opt(field(spec, "as")).map(str).getOrElse("this")
+      val input = compile(field(spec, "input"))
+      val cond = field(spec, "cond")
+      filter(input, x => truthy(compile(cond)(ctx.bind(as, x))))
+    case "$map" =>
+      val as = opt(field(spec, "as")).map(str).getOrElse("this")
+      val input = compile(field(spec, "input"))
+      val in = field(spec, "in")
+      transform(input, x => compile(in)(ctx.bind(as, x)))
+    case "$reduce" =>
+      val input = compile(field(spec, "input"))
+      val init = compile(field(spec, "initialValue"))
+      val in = field(spec, "in")
+      aggregate(input, init,
+        (acc, x) => compile(in)(ctx.bind("value", acc).bind("this", x)))
+    case "$in" =>
+      val List(elem, arr) = args(spec)
+      array_contains(arr, elem)
+    case "$concatArrays" => concat(args(spec): _*)
+    case "$reverseArray" => reverse(args(spec).head)
+    case "$range" =>
+      val (start, end, step) = args(spec) match {
+        case List(s, e)     => (s, e, lit(1))
+        case List(s, e, st) => (s, e, st)
+        case _              => throw new IllegalArgumentException("$range arity")
+      }
+      // Mongo excludes `end`; sequence() is inclusive -> shrink end by one step-sign.
+      when((end - start) * signum(step) > 0,
+        sequence(start.cast(LongType),
+          (end - signum(step).cast(LongType)).cast(LongType), step.cast(LongType)))
+        .otherwise(array().cast(ArrayType(LongType)))
+    case "$zip" =>
+      val JArray(List(a, b)) = (field(spec, "inputs"): @unchecked)
+      zip_with(compile(a), compile(b), (x, y) => array(x, y))
+    case "$isArray" =>
+      args(spec).headOption.map(c => call_function("typeof", c).startsWith("array"))
+        .getOrElse(lit(false))
+    case "$first" => element_at(args(spec).head, 1)
+    case "$last"  => element_at(args(spec).head, -1)
+    case "$arrayToObject" => // array of {k,v} docs -> map
+      map_from_entries(transform(args(spec).head,
+        e => struct(e.getField("k"), e.getField("v"))))
+    case "$objectToArray" => // map column -> [{k,v}]
+      transform(map_entries(args(spec).head),
+        e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
+    case "$mergeObjects" => map_concat(args(spec): _*) // map columns only (v1)
+    case "$getField" =>
+      spec match {
+        case JString(f) => ctx.field(f)
+        case o: JObject => compile(o \ "input").getField(str(o \ "field"))
+        case _          => throw new IllegalArgumentException("$getField spec")
+      }
+
+    // ---- types ------------------------------------------------------------
+    case "$toInt"    => args(spec).head.cast(IntegerType)
+    case "$toLong"   => args(spec).head.cast(LongType)
+    case "$toDouble" => args(spec).head.cast(DoubleType)
+    case "$toBool"   => args(spec).head.cast(BooleanType)
+    case "$convert" =>
+      val in = compile(field(spec, "input"))
+      val to = str(field(spec, "to")) match {
+        case "int" => IntegerType; case "long" => LongType
+        case "double" => DoubleType; case "bool" => BooleanType
+        case "string" => StringType; case "date" => TimestampType
+        case other => throw new IllegalArgumentException(s"$$convert to $other")
+      }
+      val conv = in.cast(to)
+      opt(field(spec, "onNull")).map(d => coalesce(conv, compile(d))).getOrElse(conv)
+    case "$isNumber" =>
+      call_function("typeof", args(spec).head)
+        .isin("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    case "$type" =>
+      val t = call_function("typeof", args(spec).head)
+      when(t === "int", "int").when(t === "bigint", "long")
+        .when(t === "double" || t === "float", "double")
+        .when(t === "string", "string").when(t === "boolean", "bool")
+        .when(t.startsWith("array"), "array")
+        .when(t.startsWith("struct") || t.startsWith("map"), "object")
+        .when(t.startsWith("timestamp") || t === "date", "date")
+        .otherwise(t)
+
+    // ---- dates ------------------------------------------------------------
+    case "$year"       => year(args(spec).head)
+    case "$month"      => month(args(spec).head)
+    case "$dayOfMonth" => dayofmonth(args(spec).head)
+    case "$hour"       => hour(args(spec).head)
+    case "$minute"     => minute(args(spec).head)
+    case "$second"     => second(args(spec).head)
+    case "$dayOfWeek"  => dayofweek(args(spec).head)
+    case "$dayOfYear"  => dayofyear(args(spec).head)
+    case "$week"       => weekofyear(args(spec).head)
+    case "$toDate"     => args(spec).head.cast(TimestampType)
+    case "$dateToString" =>
+      date_format(compile(field(spec, "date")),
+        mongoDateFormat(str(field(spec, "format"))))
+    case "$dateFromString" =>
+      val ds = compile(field(spec, "dateString"))
+      opt(field(spec, "format")) match {
+        case Some(f) => to_timestamp(ds, mongoDateFormat(str(f)))
+        case None    => to_timestamp(ds)
+      }
+    case "$dateAdd" =>
+      compile(field(spec, "startDate")) +
+        interval(str(field(spec, "unit")), compile(field(spec, "amount")))
+    case "$dateDiff" =>
+      val s = compile(field(spec, "startDate"))
+      val e = compile(field(spec, "endDate"))
+      str(field(spec, "unit")) match {
+        case "day"    => datediff(e.cast(DateType), s.cast(DateType)).cast(LongType)
+        case "hour"   => floor((e.cast(LongType) - s.cast(LongType)) / 3600L)
+        case "minute" => floor((e.cast(LongType) - s.cast(LongType)) / 60L)
+        case "second" => (e.cast(LongType) - s.cast(LongType))
+        case "year"   => (year(e) - year(s)).cast(LongType)
+        case "month"  => ((year(e) - year(s)) * 12 + (month(e) - month(s))).cast(LongType)
+        case other    => throw new IllegalArgumentException(s"$$dateDiff unit $other")
+      }
+
+    // ---- misc -------------------------------------------------------------
+    case "$literal" => literal(spec)
+    case "$let" =>
+      val bound = (field(spec, "vars"): @unchecked) match {
+        case JObject(vs) =>
+          vs.foldLeft(ctx) { case (c, (name, e)) => c.bind(name, compile(e)(c)) }
+      }
+      compile(field(spec, "in"))(bound)
+
+    case other => throw new IllegalArgumentException(s"unsupported operator $other")
+  }
+
+  private def trimOp(spec: JValue, f: (Column, Option[String]) => Column)
+      (implicit ctx: ExprCtx): Column = {
+    val in = compile(field(spec, "input"))
+    val chars = opt(field(spec, "chars")).map(str)
+    f(in, chars)
+  }
+
+  /** `locate` with a dynamic substring/position (functions.locate needs literals). */
+  private def locate_dyn(sub: Column, s: Column, pos: Column): Column =
+    call_function("locate", sub, s, pos.cast(IntegerType))
+}

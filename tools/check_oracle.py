@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry.oracleSql vs the Verify parquet dumps.
+Mimics the driver's DuckDB compare: sort columns by name, sort rows, compare values.
+Usage: check_oracle.py <verify_out_dir> <sf_dir>"""
+import sys, json, glob, os
+import duckdb, pandas as pd, numpy as np
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            fails.append((name, "no spark output")); continue
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        want = con.execute(sql).fetchdf()
+        if sorted(got.columns) != sorted(want.columns):
+            fails.append((name, f"cols: spark={sorted(got.columns)} duck={sorted(want.columns)}")); continue
+        if len(got) != len(want):
+            fails.append((name, f"rows: spark={len(got)} duck={len(want)}")); continue
+        g, w = canon(got), canon(want)
+        for c in g.columns:
+            gv, wv = g[c], w[c]
+            if str(gv.dtype) != str(wv.dtype):
+                fails.append((name, f"dtype {c}: spark={gv.dtype} duck={wv.dtype}")); break
+            if gv.dtype == object:
+                eq = (gv.fillna("\0") == wv.fillna("\0")).all()
+            elif np.issubdtype(gv.dtype, np.floating):
+                eq = np.allclose(gv.fillna(0), wv.fillna(0), rtol=0, atol=0) and (gv.isna() == wv.isna()).all()
+            else:
+                eq = gv.equals(wv)
+            if not eq:
+                bad = (gv != wv) & ~(gv.isna() & wv.isna())
+                i = bad.idxmax()
+                fails.append((name, f"value {c} row{i}: spark={gv[i]!r} duck={wv[i]!r} ({int(bad.sum())} diffs)")); break
+        else:
+            print(f"OK    {name} ({len(got)} rows)")
+            continue
+    except Exception as e:
+        fails.append((name, f"EXC {type(e).__name__}: {e}"))
+for name, msg in fails:
+    print(f"FAIL  {name}: {msg}")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
