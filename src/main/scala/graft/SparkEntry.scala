@@ -333,7 +333,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
       VectorOps.lshTopK(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", k = 5, nPlanes = 12)
+        queries, "vec_id", "embedding", k = 5, nPlanes = 6)
     }),
   )
 

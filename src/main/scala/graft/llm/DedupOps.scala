@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines. Scale notes:
   *  - exact dedup = one hash-shuffle on a 16-byte digest (not the full text);
@@ -45,29 +46,48 @@ object DedupOps {
     * Returns candidate pairs `(id_a, id_b, jaccard)` with exact shingle-set
     * Jaccard computed only for candidates, filtered at `threshold`.
     */
+  /** Collapse exact-duplicate texts to their min-id representative before
+    * near-dup detection: exact dups are [[exact]]'s job, and identical texts
+    * collide in EVERY band, turning LSH buckets quadratic for no signal. */
+  private def distinctTexts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol).as("__text")).agg(min(col(idCol)).as("doc"))
+
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df
-      .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+    // persisted: this per-doc relation feeds the banding AND both payload
+    // re-joins — without persist the shingle subtree runs 3x
+    val withSh = distinctTexts(df, textCol, idCol)
+      .select(col("doc"), shingles(col("__text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // explode to (band, bucketHash, doc, shingles)
-    val banded = withSig.select(
-      col("doc"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-          .cast(ArrayType(StringType)).cast(StringType))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Signature computed data-wise (explode + 32 `min` aggregates with
+    // map-side combine) rather than as one 32-transform expression tree:
+    // the expression form Janino-compiles for tens of seconds and its
+    // per-band inlining multiplies that; the aggregate form is a tiny tree
+    // and shuffles only numHashes longs per doc.
+    val exploded = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
+    val mins = exploded.groupBy("doc").agg(
+      min(xxhash64(lit(0), col("shingle"))).as("m0"),
+      (1 until numHashes).map(j =>
+        min(xxhash64(lit(j), col("shingle"))).as(s"m$j")): _*)
+    // (doc, band, bucket) only — shingle sets are NOT carried through the
+    // bucket join; payloads re-attach after pair-dedup
+    val banded = mins.select(col("doc"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}"))): _*)): _*))
         .as(Seq("band", "bucket")))
-    // self-join within (band, bucket); id_a < id_b dedups the pair
-    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     pairs
+      .join(withSh.select(col("doc").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("doc").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -97,7 +117,22 @@ object DedupOps {
     * verify exact Hamming distance ≤ maxHamming. */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("sig"))
+    // data-wise votes (explode distinct tokens + 64 signed-bit sums) for the
+    // same codegen-size reason as in minhashLsh
+    val toks = distinctTexts(df, textCol, idCol)
+      .select(col("doc"),
+        explode(array_distinct(TextOps.tokens(lower(col("__text"))))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = toks.groupBy("doc").agg(
+      sum(when(col("h").bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+      (1 until 64).map(i =>
+        sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"v$i")): _*)
+    val sigExpr = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = votes.select(col("doc"), sigExpr.as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sides of the self-join
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*))

@@ -26,15 +26,26 @@ object VectorOps {
     when(d > 0, dot(a, b) / d).otherwise(lit(0d))
   }
 
+  /** L2-normalize a vector (zero vectors pass through unscaled). */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n > 0, transform(a, x => x / n)).otherwise(a)
+  }
+
   /** Brute-force top-k cosine neighbors of each query vector.
-    * `queries(query_id, qvec)` is broadcast; corpus is scanned once. */
+    * `queries(query_id, qvec)` is broadcast; corpus is scanned once. Both
+    * sides are normalized ONCE per row before the join so each of the
+    * corpus×queries pairs costs a single dot product — norms are never
+    * recomputed per pair. */
   def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    val joined = corpus.select(col(idCol).as("nn_id"), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
-      .crossJoin(broadcast(queries.select(col(qIdCol).as("query_id"),
-        col(qVecCol).cast(ArrayType(DoubleType)).as("__q"))))
+    val c = corpus.select(col(idCol).as("nn_id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+    val joined = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("__v"), col("__q")))
+      .withColumn("sim", dot(col("__v"), col("__q")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -69,14 +80,14 @@ object VectorOps {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nPlanes: Int = 12): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .withColumn("bucket", hyperplaneBucket(col("__v"), nPlanes))
     val q = queries.select(col(qIdCol).as("query_id"),
-      col(qVecCol).cast(ArrayType(DoubleType)).as("__q"))
+      normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
       .withColumn("bucket", hyperplaneBucket(col("__q"), nPlanes))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("__v"), col("__q")))
+      .withColumn("sim", dot(col("__v"), col("__q")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
