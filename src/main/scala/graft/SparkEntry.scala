@@ -463,7 +463,7 @@ object SparkEntry {
                 CAST(len(list_filter(string_split(text, ' '),
                                      t -> length(t) > 5)) AS INT) AS n_long,
                 CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
-                                       t -> length(t))), 0) AS INT) AS lens_sum,
+                                       t -> length(t))), 0) AS BIGINT) AS lens_sum,
                 string_split(text, ' ')[1] AS first_tok,
                 list_reverse(string_split(text, ' '))[1] AS rev_first
          FROM documents""",

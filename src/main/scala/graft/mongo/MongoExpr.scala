@@ -261,7 +261,13 @@ object MongoExpr {
       transform(input, x => compile(in)(ctx.bind(as, x)))
     case "$reduce" =>
       val input = compile(field(spec, "input"))
-      val init = compile(field(spec, "initialValue"))
+      // widen integral literal inits to long: Spark's `aggregate` requires the
+      // zero/lambda types to line up exactly, and int + long = long
+      val init = field(spec, "initialValue") match {
+        case JInt(i)  => lit(i.toLong)
+        case JLong(l) => lit(l)
+        case other    => compile(other)
+      }
       val in = field(spec, "in")
       aggregate(input, init,
         (acc, x) => compile(in)(ctx.bind("value", acc).bind("this", x)))
@@ -316,8 +322,11 @@ object MongoExpr {
         case "string" => StringType; case "date" => TimestampType
         case other => throw new IllegalArgumentException(s"$$convert to $other")
       }
+      // deviation: with ANSI off a failed cast and a null input both surface
+      // as null, so onError/onNull are a single coalesce fallback
       val conv = in.cast(to)
-      opt(field(spec, "onNull")).map(d => coalesce(conv, compile(d))).getOrElse(conv)
+      val fallback = opt(field(spec, "onError")).orElse(opt(field(spec, "onNull")))
+      fallback.map(d => coalesce(conv, compile(d))).getOrElse(conv)
     case "$isNumber" =>
       call_function("typeof", args(spec).head)
         .isin("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")

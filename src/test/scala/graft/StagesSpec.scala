@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Per-stage semantics mirroring the reference's test corpus
+  * (/root/reference/src/test/java/net/pincette/mongo/streams/Test*.java —
+  * see FIXTURES.md §2 for the document shapes). */
+class StagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // flat-scalar fixture (TestGroup/TestMatch/TestBucket shape)
+  private def flat = Seq(("0", 0L), ("1", 1L), ("2", 2L), ("3", 3L))
+    .toDF("_id", "test")
+
+  // ---- $match (TestMatch.java) -------------------------------------------
+  test("$match equality and operators") {
+    assert(sorted1[String](
+      pipeline.run(flat, """[{"$match": {"test": 2}}]"""), "_id") == List("2"))
+    assert(sorted1[String](
+      pipeline.run(flat, """[{"$match": {"test": {"$gte": 1, "$lt": 3}}}]"""),
+      "_id") == List("1", "2"))
+    assert(sorted1[String](
+      pipeline.run(flat, """[{"$match": {"$or": [{"test": 0}, {"test": 3}]}}]"""),
+      "_id") == List("0", "3"))
+    assert(sorted1[String](
+      pipeline.run(flat, """[{"$match": {"test": {"$in": [1, 2]}}}]"""),
+      "_id") == List("1", "2"))
+    assert(sorted1[String](
+      pipeline.run(flat, """[{"$match": {"test": {"$not": {"$gt": 1}}}}]"""),
+      "_id") == List("0", "1"))
+    assert(sorted1[String](
+      pipeline.run(flat,
+        """[{"$match": {"$expr": {"$eq": [{"$mod": ["$test", 2]}, 0]}}}]"""),
+      "_id") == List("0", "2"))
+  }
+
+  // ---- $addFields (TestAddFields.java: deep merge, dotted paths) ---------
+  test("$addFields dotted path creates nested objects") {
+    val out = pipeline.run(flat,
+      """[{"$addFields": {"test4.test.test1": {"$add": ["$test", 10]},
+                          "plain": "x"}}]""")
+    val r = out.filter($"_id" === "2").select("test4.test.test1", "plain").head()
+    assert(r.getLong(0) == 12L && r.getString(1) == "x")
+  }
+
+  test("$addFields overwrites non-object intermediate values") {
+    val df = Seq(("0", 1L)).toDF("_id", "a")
+    val out = pipeline.run(df, """[{"$addFields": {"a.b": 5}}]""")
+    assert(out.select("a.b").head().getInt(0) == 5)
+  }
+
+  // ---- $project (TestProject.java) ---------------------------------------
+  test("$project include keeps _id unless excluded") {
+    val df = Seq(("0", 1L, 2L)).toDF("_id", "test1", "test2")
+    assert(pipeline.run(df, """[{"$project": {"test1": 1}}]""").columns.toSeq
+      == Seq("_id", "test1"))
+    assert(pipeline.run(df, """[{"$project": {"test1": 1, "_id": 0}}]""")
+      .columns.toSeq == Seq("test1"))
+  }
+
+  test("$project nested include via dotted path and nested spec") {
+    val df = Seq(("0", 1L, 2L)).toDF("_id", "t1", "t2")
+      .select($"_id", struct($"t1".as("test1"), $"t2".as("test2")).as("test3"))
+    val a = pipeline.run(df, """[{"$project": {"test3.test1": 1, "_id": 0}}]""")
+    assert(a.select("test3.test1").head().getLong(0) == 1L)
+    assert(a.select("test3.*").columns.toSeq == Seq("test1"))
+    val b = pipeline.run(df, """[{"$project": {"test3": {"test1": 1}, "_id": 0}}]""")
+    assert(b.select("test3.*").columns.toSeq == Seq("test1"))
+  }
+
+  test("$project exclude mode and mixed-mode rejection") {
+    val df = Seq(("0", 1L, 2L)).toDF("_id", "test1", "test2")
+    assert(pipeline.run(df, """[{"$project": {"test2": 0}}]""").columns.toSeq
+      == Seq("_id", "test1"))
+    intercept[IllegalArgumentException] {
+      pipeline.run(df, """[{"$project": {"test1": 1, "test2": 0}}]""")
+    }
+  }
+
+  test("$project computed + $$REMOVE") {
+    val df = Seq(("0", 1L)).toDF("_id", "test")
+    val out = pipeline.run(df,
+      """[{"$project": {"doubled": {"$multiply": ["$test", 2]},
+                        "gone": "$$REMOVE", "_id": 0}}]""")
+    assert(out.columns.toSeq == Seq("doubled"))
+    assert(out.head().getLong(0) == 2L)
+  }
+
+  // ---- $unset (TestUnset.java) -------------------------------------------
+  test("$unset drops top-level and nested fields") {
+    val df = Seq(("0", 1L, (2L, 3L))).toDF("_id", "a", "b")
+    assert(pipeline.run(df, """[{"$unset": "a"}]""").columns.toSeq == Seq("_id", "b"))
+    val out = pipeline.run(df, """[{"$unset": ["a", "b._2"]}]""")
+    assert(out.select("b.*").columns.toSeq == Seq("_1"))
+  }
+
+  // ---- $replaceWith / $replaceRoot (re-key by new _id) -------------------
+  test("$replaceWith re-keys by the new document's _id") {
+    val df = Seq(("k0", "old", ("inner", 5L))).toDF("key", "_id", "sub")
+      .select($"key", $"_id", struct($"sub._1".as("_id"), $"sub._2".as("test")).as("sub"))
+    val out = pipeline.run(df, """[{"$replaceWith": "$sub"}]""")
+    assert(out.columns.toSeq == Seq("key", "_id", "test"))
+    assert(out.head().getString(0) == "inner") // key = new _id (ReplaceWith.java:33-36)
+  }
+
+  // ---- $setKey (TestSetKey.java) -----------------------------------------
+  test("$setKey stringifies the expression value") {
+    val df = Seq(("a", 7L)).toDF("key", "test")
+    assert(pipeline.run(df, """[{"$setKey": "$test"}]""")
+      .select("key").head().getString(0) == "7")
+  }
+
+  // ---- $unwind (TestUnwind.java) -----------------------------------------
+  private def arrDf = Seq(("0", Seq(1L, 2L, 3L)), ("1", Seq.empty[Long]))
+    .toDF("_id", "test")
+
+  test("$unwind basic drops empty arrays") {
+    val out = pipeline.run(arrDf, """[{"$unwind": "$test"}]""")
+    assert(sorted1[Long](out, "test") == List(1L, 2L, 3L))
+  }
+
+  test("$unwind preserveNullAndEmptyArrays keeps the empty-array doc") {
+    val out = pipeline.run(arrDf,
+      """[{"$unwind": {"path": "$test", "preserveNullAndEmptyArrays": true}}]""")
+    assert(out.count() == 4)
+    assert(out.filter($"_id" === "1").select("test").head().isNullAt(0))
+  }
+
+  test("$unwind includeArrayIndex") {
+    val out = pipeline.run(arrDf,
+      """[{"$unwind": {"path": "$test", "includeArrayIndex": "idx"}}]""")
+    assert(rows(out.select("test", "idx")) ==
+      Set(List(1L, 0L), List(2L, 1L), List(3L, 2L)))
+  }
+
+  test("$unwind newIds generates unique _id and re-keys") {
+    val df = Seq(("k", "0", Seq(1L, 2L))).toDF("key", "_id", "test")
+    val out = pipeline.run(df, """[{"$unwind": {"path": "$test", "newIds": true}}]""")
+    val ids = out.select("_id").collect().map(_.getString(0))
+    assert(ids.distinct.length == 2)
+    assert(rows(out.select("key")) == rows(out.select("_id")))
+  }
+
+  // ---- $group (TestGroup.java) -------------------------------------------
+  test("$group accumulators") {
+    val df = Seq(("0", "a", 1L), ("1", "a", 2L), ("2", "b", 3L), ("3", "a", 2L))
+      .toDF("_id", "g", "v")
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": "$g",
+            "s": {"$sum": "$v"}, "av": {"$avg": "$v"}, "n": {"$count": {}},
+            "mx": {"$max": "$v"}, "mn": {"$min": "$v"},
+            "set": {"$addToSet": "$v"}, "ps": {"$push": "$v"}}}]""")
+    val a = out.filter($"_id" === "a").head()
+    assert(a.getAs[Long]("s") == 5L && a.getAs[Double]("av") == 5.0 / 3)
+    assert(a.getAs[Long]("n") == 3L && a.getAs[Long]("mx") == 2L && a.getAs[Long]("mn") == 1L)
+    assert(a.getSeq[Long](a.fieldIndex("set")).toList == List(1L, 2L)) // sorted (Group.java:130-149)
+    assert(a.getSeq[Long](a.fieldIndex("ps")).toList.sorted == List(1L, 2L, 2L))
+  }
+
+  test("$group literal _id = single global bucket emitted as null") {
+    val out = pipeline.run(flat, """[{"$group": {"_id": null, "n": {"$count": {}}}}]""")
+    assert(out.count() == 1 && out.head().isNullAt(0) && out.head().getLong(1) == 4L)
+  }
+
+  test("$group compound expression-object key") {
+    val df = Seq(("0", "x", 1L), ("1", "x", 1L), ("2", "y", 2L)).toDF("_id", "a", "b")
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": {"f1": "$a", "f2": "$b"}, "n": {"$count": {}}}}]""")
+    assert(rows(out.select("_id.f1", "_id.f2", "n")) ==
+      Set(List("x", 1L, 2L), List("y", 2L, 1L)))
+  }
+
+  test("$group $mergeObjects merges maps, later wins") {
+    val df = Seq(
+      ("0", "g", Map("a" -> "1", "b" -> "2")),
+      ("1", "g", Map("b" -> "3", "c" -> "4"))).toDF("_id", "g", "m")
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": "$g", "merged": {"$mergeObjects": "$m"}}}]""")
+    assert(out.head().getAs[Map[String, String]]("merged") ==
+      Map("a" -> "1", "b" -> "3", "c" -> "4"))
+  }
+
+  test("$group $last and $stdDevPop") {
+    val out = pipeline.run(flat,
+      """[{"$group": {"_id": null, "sd": {"$stdDevPop": "$test"}}}]""")
+    assert(math.abs(out.head().getDouble(1) - math.sqrt(1.25)) < 1e-9)
+  }
+
+  // ---- $bucket (TestBucket.java) -----------------------------------------
+  test("$bucket counts per boundary pair; validates ordering") {
+    val df = (0L until 71L).map(i => (i.toString, i)).toDF("_id", "test")
+    val out = pipeline.run(df,
+      """[{"$bucket": {"groupBy": "$test", "boundaries": [0, 10, 50, 71]}}]""")
+    assert(rows(out.select("_id", "count")) ==
+      Set(List(0, 10L), List(10, 40L), List(50, 21L)))
+    intercept[IllegalArgumentException] {
+      pipeline.run(df, """[{"$bucket": {"groupBy": "$test", "boundaries": [10, 0]}}]""")
+    }
+  }
+
+  // ---- $count stage (TestCount.java) -------------------------------------
+  test("$count stage") {
+    val out = pipeline.run(flat, """[{"$count": "total"}]""")
+    assert(out.columns.toSeq == Seq("total") && out.head().getLong(0) == 4L)
+  }
+
+  // ---- $deduplicate (TestDeduplicate.java) -------------------------------
+  test("$deduplicate by expression keeps one row per value") {
+    val df = Seq(("0", 1L), ("1", 1L), ("2", 2L)).toDF("_id", "test")
+    val out = pipeline.run(df, """[{"$deduplicate": {"expression": "$test"}}]""")
+    assert(sorted1[Long](out, "test") == List(1L, 2L))
+  }
+
+  // ---- $lookup (TestLookup.java) -----------------------------------------
+  private def coll = Seq(("m1", 1L), ("m2", 2L)).toDF("_id", "test")
+  private def look = new Pipeline(catalog = _ => coll)
+
+  test("$lookup equality form collects matches as array") {
+    val df = Seq(("0", 1L), ("1", 3L)).toDF("_id", "local")
+    val out = look.run(df,
+      """[{"$lookup": {"from": "c", "localField": "local",
+                       "foreignField": "test", "as": "m"}}]""")
+    assert(out.filter($"_id" === "0").select(size($"m")).head().getInt(0) == 1)
+    assert(out.filter($"_id" === "1").select(size($"m")).head().getInt(0) == 0)
+  }
+
+  test("$lookup inner drops non-matching; unwind emits scalar per match") {
+    val df = Seq(("0", 1L), ("1", 3L)).toDF("_id", "local")
+    assert(look.run(df,
+      """[{"$lookup": {"from": "c", "localField": "local",
+                       "foreignField": "test", "as": "m", "inner": true}}]""")
+      .count() == 1)
+    val uw = look.run(df,
+      """[{"$lookup": {"from": "c", "localField": "local",
+                       "foreignField": "test", "as": "m", "unwind": true}}]""")
+    assert(uw.count() == 1 && uw.select("m._id").head().getString(0) == "m1")
+  }
+
+  test("$lookup array-valued local field joins per element (lookup3)") {
+    val df = Seq(("0", Seq(1L, 2L))).toDF("_id", "local")
+    val out = look.run(df,
+      """[{"$lookup": {"from": "c", "localField": "local",
+                       "foreignField": "test", "as": "m"}}]""")
+    assert(out.select(size($"m")).head().getInt(0) == 2)
+  }
+
+  test("$lookup let+pipeline theta join (lookup10)") {
+    val df = Seq(("0", 2L)).toDF("_id", "local")
+    val out = look.run(df,
+      """[{"$lookup": {"from": "c", "let": {"lv": "$local"},
+            "pipeline": [{"$match": {"$expr": {"$gte": ["$test", "$$lv"]}}}],
+            "as": "m"}}]""")
+    assert(out.select(size($"m")).head().getInt(0) == 1)
+  }
+
+  // ---- unknown stages ignored (Pipeline.java:265) ------------------------
+  test("unknown stages pass through; extensions apply") {
+    assert(pipeline.run(flat, """[{"$nonsense": 1}]""").count() == 4)
+    val ext = new Pipeline(extensions = Map(
+      "$wait" -> ((df, _) => df.limit(2)))) // Base.java:78-82 style extension
+    assert(ext.run(flat, """[{"$wait": {}}]""").count() == 2)
+  }
+}
