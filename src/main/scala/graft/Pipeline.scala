@@ -26,7 +26,9 @@ import org.json4s.jackson.JsonMethods
 final class Pipeline(
     catalog: String => DataFrame = n =>
       throw new IllegalArgumentException(s"no catalog for collection $n"),
-    extensions: Map[String, (DataFrame, JValue) => DataFrame] = Map.empty) {
+    extensions: Map[String, (DataFrame, JValue) => DataFrame] = Map.empty,
+    store: graft.sources.DocumentStore = Pipeline.noStore,
+    producer: DataFrame => Unit = _ => ()) {
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, JsonMethods.parse(pipelineJson))
@@ -61,11 +63,30 @@ final class Pipeline(
       case "$lookup"      => Stages.lookup(df, spec, catalog)
       case "$deduplicate" => Stages.deduplicate(df, spec)
       case "$redact"      => Stages.redact(df, spec)
-      case "$trace" | "$backTrace" | "$probe" => df // observability no-ops in batch
+      case "$merge"       => SinkStages.merge(df, spec, store)
+      case "$out"         => SinkStages.out(df, spec, store)
+      case "$delete"      => SinkStages.delete(df, spec, store)
+      case "$send"        => SinkStages.send(df, spec, producer)
+      case "$delay"       => SinkStages.delay(df, spec, producer)
+      case "$probe"       => SinkStages.probe(df, spec, producer)
+      case "$per"         => SinkStages.per(df, spec)
+      case "$throttle"    => df // rate control is source-side in Spark
+        // (maxOffsetsPerTrigger) — documented deviation, SURVEY §2.3
+      case "$trace" | "$backTrace" => df // observability no-ops in batch
       case ext if extensions.contains(ext) => extensions(ext)(df, spec)
       case _ => df // unrecognized stages are silently ignored (Pipeline.java:265)
     }
   }
+}
+
+object Pipeline {
+  private[graft] def noStore: graft.sources.DocumentStore =
+    new graft.sources.DocumentStore {
+      def read(name: String): DataFrame =
+        throw new IllegalStateException("no DocumentStore configured")
+      def overwrite(name: String, df: DataFrame): Unit =
+        throw new IllegalStateException("no DocumentStore configured")
+    }
 }
 
 private[graft] object Stages {
@@ -478,9 +499,74 @@ private[graft] object Stages {
 
   // ---- $redact ------------------------------------------------------------
 
-  /** v1: root-level decision only ($$PRUNE at the root drops the message,
-    * Redact.java:51-53); recursive sub-document descent lands with the
-    * JSON-AST fallback (SURVEY §2.1). */
-  def redact(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame =
-    df.filter(cexpr(spec) =!= lit("__PRUNE__"))
+  private val KEEP = "__KEEP__"
+  private val PRUNE = "__PRUNE__"
+
+  /** Field resolution against a KNOWN schema level: paths that don't exist in
+    * this sub-document resolve to null (Mongo missing-field semantics) instead
+    * of failing analysis. */
+  private def safeField(st: StructType, base: Option[Column])(path: String): Column = {
+    def walk(t: DataType, c: Column, parts: List[String]): Column = (t, parts) match {
+      case (_, Nil) => c
+      case (s: StructType, p :: rest) =>
+        s.find(_.name == p) match {
+          case Some(f) => walk(f.dataType, c.getField(p), rest)
+          case None    => lit(null)
+        }
+      case _ => lit(null)
+    }
+    val parts = path.split('.').toList
+    base match {
+      case Some(c) => walk(st, c, parts)
+      case None => // top level: first part is a column
+        st.find(_.name == parts.head) match {
+          case Some(f) => walk(f.dataType, col(parts.head), parts.tail)
+          case None    => lit(null)
+        }
+    }
+  }
+
+  /** Recursive `$redact` (Redact.java:33-94): the expression is evaluated
+    * against the root and every nested sub-document (including objects inside
+    * arrays) with paths resolved relative to that level. `$$PRUNE` at the root
+    * drops the message; on a nested object it nulls the field; inside an
+    * array it removes the element. `$$KEEP` stops descending; `$$DESCEND`
+    * recurses. Non-object array elements are kept. Entirely schema-driven
+    * Column rebuilding — no UDF, no shuffle. */
+  def redact(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    def decision(st: StructType, base: Option[Column]): Column =
+      cexpr(spec)(ctx.copy(field = safeField(st, base)))
+
+    def rebuildStructVal(st: StructType, c: Column): Column = {
+      val d = decision(st, Some(c))
+      when(d === PRUNE, lit(null))
+        .when(d === KEEP, c)
+        .otherwise(descendInto(st, c))
+    }
+
+    def descendInto(st: StructType, c: Column): Column =
+      struct(st.fields.map { f =>
+        rebuildField(f.dataType, c.getField(f.name)).as(f.name)
+      }.toIndexedSeq: _*)
+
+    def rebuildField(dt: DataType, c: Column): Column = dt match {
+      case sub: StructType => rebuildStructVal(sub, c)
+      case ArrayType(sub: StructType, _) =>
+        filter(transform(c, e => rebuildStructVal(sub, e)), e => e.isNotNull)
+      case _ => c
+    }
+
+    val rootSchema = StructType(df.schema.filter(_.name != "key"))
+    val rootDecision = decision(rootSchema, None)
+    val kept = df.filter(rootDecision =!= PRUNE) // root prune drops the message
+    val rebuilt = df.columns.map { name =>
+      if (name == "key") col("key").as("key")
+      else {
+        val dt = df.schema(name).dataType
+        when(rootDecision === KEEP, col(name))
+          .otherwise(rebuildField(dt, col(name))).as(name)
+      }
+    }
+    kept.select(rebuilt.toIndexedSeq: _*)
+  }
 }

@@ -1,0 +1,241 @@
+package graft
+
+import graft.mongo.{ExprCtx, MongoExpr}
+import graft.sources.DocumentStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+/** Sink / effect stages (SURVEY.md §2.6): `$merge`, `$out`, `$delete` write to
+  * a [[DocumentStore]]; `$send`, `$delay`, `$probe` hand batches to a producer
+  * callback (the reference produces to Kafka — Context.java:32). Batch
+  * semantics here; Structured Streaming wires the same logic via
+  * `foreachBatch`. Effects run eagerly when the stage is applied; the returned
+  * DataFrame is the stage's downstream echo.
+  */
+private[graft] object SinkStages {
+  import MongoExpr.{compile => cexpr}
+
+  private def str(v: JValue): String = v match {
+    case JString(s) => s
+    case other      => throw new IllegalArgumentException(s"expected string: $other")
+  }
+
+  private def strOr(v: JValue, default: String): String = v match {
+    case JString(s) => s
+    case _          => default
+  }
+
+  private def onFields(spec: JValue): List[String] = spec \ "on" match {
+    case JString(s) => List(s)
+    case JArray(xs) => xs.map(str)
+    case _          => List("_id")
+  }
+
+  /** `$merge` (Merge.java:47-198): upsert into `into`, matching on the `on`
+    * fields. Implemented as one full-outer join between the incoming batch and
+    * the current collection; the new collection contents and the downstream
+    * echo both fall out of the join row classification.
+    *
+    * Field-overlay (`whenMatched: "merge"`) is schema-level: a column present
+    * in the incoming schema overlays the target's value (documents here are
+    * typed rows, not sparse maps).
+    */
+  def merge(df: DataFrame, spec: JValue, store: DocumentStore)
+      (implicit ctx: ExprCtx): DataFrame = {
+    val into = str(spec \ "into")
+    val on = onFields(spec)
+    val whenMatched = strOr(spec \ "whenMatched", "merge")
+    val whenNotMatched = strOr(spec \ "whenNotMatched", "insert")
+    val hasKey = df.columns.contains("key")
+
+    // `key` expression value becomes the document `_id` (Merge.java docs)
+    val incoming0 = spec \ "key" match {
+      case JNothing => df
+      case k        => df.withColumn("_id", cexpr(k)(Stages.ctxFor(df)))
+    }
+    val incoming = incoming0.drop("key")
+
+    // messages missing an `on` field -> FailException (Merge.java matchQuery)
+    val badOn = incoming.filter(on.map(f => col(f).isNull).reduce(_ || _))
+    if (!badOn.isEmpty)
+      throw new IllegalStateException(s"$$merge: message missing 'on' field(s) $on")
+
+    val target = store.read(into)
+    val iCols = incoming.columns.toSeq
+    val tCols = target.columns.toSeq
+    val allCols = (tCols ++ iCols.filterNot(tCols.contains)).toIndexedSeq
+
+    val t = target.select(struct(tCols.map(col): _*).as("__t"))
+    val i = incoming.select(struct(iCols.map(col): _*).as("__i"))
+    val cond = on.map(f => col("__t").getField(f) <=> col("__i").getField(f))
+      .reduce(_ && _)
+    val j = t.join(i, cond, "full_outer")
+
+    def tf(f: String): Column =
+      if (tCols.contains(f)) col("__t").getField(f) else lit(null)
+    def tfType(f: String): DataType =
+      target.schema.find(_.name == f).map(_.dataType)
+        .getOrElse(incoming.schema(f).dataType)
+    // incoming value, coerced to the target column's type (an object-valued
+    // `key` _id lands in a string-typed _id column as its stringification)
+    def inf(f: String): Column =
+      if (!iCols.contains(f)) lit(null)
+      else if (tCols.contains(f) && incoming.schema(f).dataType != tfType(f))
+        col("__i").getField(f).cast(tfType(f))
+      else col("__i").getField(f)
+    // insert generates a UUID _id when the message has none (Merge.java)
+    def insertDoc(f: String): Column =
+      if (f == "_id") coalesce(inf(f), expr("uuid()").cast(tfType(f)))
+      else inf(f)
+
+    val matched = col("__t").isNotNull && col("__i").isNotNull
+    val insertOnly = col("__t").isNull && col("__i").isNotNull
+
+    def resultFor(f: String): Column = {
+      val onMatch = whenMatched match {
+        case "merge"        => if (iCols.contains(f)) inf(f) else tf(f)
+        case "replace"      => inf(f)
+        case "keepExisting" => tf(f)
+        case "fail" => raise_error(lit("$merge: whenMatched=fail and a match occurred"))
+        case other => throw new IllegalArgumentException(s"whenMatched $other")
+      }
+      val onInsert = whenNotMatched match {
+        case "insert"  => insertDoc(f)
+        case "discard" => lit(null) // row filtered out below
+        case "fail" => raise_error(lit("$merge: whenNotMatched=fail and no match"))
+        case other => throw new IllegalArgumentException(s"whenNotMatched $other")
+      }
+      when(matched, onMatch).when(insertOnly, onInsert).otherwise(tf(f)).as(f)
+    }
+
+    val discardInsert = whenNotMatched == "discard"
+    val resolved = j.select((Seq(col("__t"), col("__i")) ++
+      allCols.map(resultFor)): _*)
+      .withColumn("__written",
+        matched || (insertOnly && lit(!discardInsert)))
+
+    // new collection contents: everything except discarded inserts
+    val newTarget = resolved
+      .filter(col("__t").isNotNull || !lit(discardInsert))
+      .filter(col("__t").isNotNull || col("__written"))
+      .select(allCols.map(col): _*)
+    store.overwrite(into, newTarget)
+
+    // downstream echo: written/kept docs for each incoming message, with the
+    // incoming _id restored, re-keyed by _id (Merge.java:142-179)
+    val echoCols = allCols.map {
+      case "_id" if iCols.contains("_id") =>
+        coalesce(inf("_id"), col("_id")).as("_id")
+      case f => col(f)
+    }
+    val echoed = resolved.filter(col("__i").isNotNull && col("__written"))
+      .select(echoCols: _*)
+    if (hasKey && echoed.columns.contains("_id"))
+      echoed.withColumn("key", col("_id").cast(StringType))
+    else echoed
+  }
+
+  /** `$out` = `$merge {into, on:_id, whenMatched:replace, whenNotMatched:
+    * insert}` (Out.java:29-41). */
+  def out(df: DataFrame, spec: JValue, store: DocumentStore)
+      (implicit ctx: ExprCtx): DataFrame = {
+    val into = spec match {
+      case JString(s) => s
+      case o: JObject => str(o \ "into")
+      case other      => throw new IllegalArgumentException(s"$$out: $other")
+    }
+    merge(df, JObject(List("into" -> JString(into),
+      "whenMatched" -> JString("replace"), "whenNotMatched" -> JString("insert"))),
+      store)
+  }
+
+  /** `$delete` (Delete.java:33-71): delete docs in `from` whose `on` fields
+    * equal the message's; messages lacking the fields are dropped, others pass
+    * through. */
+  def delete(df: DataFrame, spec: JValue, store: DocumentStore): DataFrame = {
+    val from = str(spec \ "from")
+    val on = onFields(spec)
+    val valid = df.filter(on.map(f => col(f).isNotNull).reduce(_ && _))
+    val keys = valid.select(on.map(col): _*).distinct()
+    val target = store.read(from)
+    val cond = on.map(f => target(f) <=> keys(f)).reduce(_ && _)
+    store.overwrite(from, target.join(keys, cond, "left_anti"))
+    valid
+  }
+
+  /** `$send` (Send.java:36-68): produce to the topic named by the expression;
+    * sent messages leave the stream; a non-string topic result passes the
+    * message through unsent. */
+  def send(df: DataFrame, spec: JValue, producer: DataFrame => Unit)
+      (implicit ctx: ExprCtx): DataFrame = {
+    val topicCol = cexpr(spec \ "topic" match {
+      case JNothing => spec
+      case t        => t
+    })
+    val typed = df.withColumn("__topic", topicCol)
+    val isString = typed.schema("__topic").dataType == StringType
+    if (!isString) df // non-string topic -> everything passes through
+    else {
+      producer(typed.filter(col("__topic").isNotNull))
+      typed.filter(col("__topic").isNull).drop("__topic")
+    }
+  }
+
+  /** `$delay` (Delay.java:32-77): schedule a delayed produce (`__deliverAt`
+    * retry-topic pattern); scheduled messages leave the stream; invalid specs
+    * pass through. */
+  def delay(df: DataFrame, spec: JValue, producer: DataFrame => Unit)
+      (implicit ctx: ExprCtx): DataFrame = {
+    val duration = cexpr(spec \ "duration").cast(LongType)
+    val topic = cexpr(spec \ "topic")
+    val typed = df.withColumn("__topic", topic).withColumn("__durationMs", duration)
+    if (typed.schema("__topic").dataType != StringType) df
+    else {
+      val valid = col("__topic").isNotNull && col("__durationMs").isNotNull
+      producer(typed.filter(valid).withColumn("__deliverAt",
+        timestamp_millis((unix_millis(current_timestamp()) + col("__durationMs")))))
+      typed.filter(!valid).drop("__topic", "__durationMs")
+    }
+  }
+
+  /** `$probe` (Probe.java:29-84): emit `{name, minute, count}` to a topic;
+    * passthrough. Batch = one count per (processing) minute. */
+  def probe(df: DataFrame, spec: JValue, producer: DataFrame => Unit): DataFrame = {
+    val name = str(spec \ "name")
+    val topic = str(spec \ "topic")
+    producer(df.groupBy()
+      .agg(count(lit(1)).as("count"))
+      .withColumn("name", lit(name))
+      .withColumn("minute", date_trunc("minute", current_timestamp()))
+      .withColumn("__topic", lit(topic))
+      .select("__topic", "name", "minute", "count"))
+    df
+  }
+
+  /** `$per` (Per.java:27-49): batch `amount` messages into one
+    * `{as: [docs]}` message, key = random UUID. Batching is per input
+    * partition (the reference batches per pipeline instance, i.e. per Kafka
+    * partition — Pipeline.java:140-145), grouped with NO extra sort:
+    * `monotonically_increasing_id` already encodes (partition, offset). */
+  def per(df: DataFrame, spec: JValue): DataFrame = {
+    val amount = spec \ "amount" match {
+      case JInt(i)  => i.toLong
+      case JLong(l) => l
+      case other    => throw new IllegalArgumentException(s"$$per amount: $other")
+    }
+    val as = str(spec \ "as")
+    val docCols = df.columns.filter(_ != "key")
+    val withId = df.withColumn("__mid", monotonically_increasing_id())
+    // id = partitionId << 33 | offset -> (partition, offset/amount) buckets
+    val bucket = struct(
+      shiftright(col("__mid"), 33).as("p"),
+      floor(col("__mid").bitwiseAND((1L << 33) - 1) / amount).as("b"))
+    val grouped = withId
+      .groupBy(bucket.as("__bucket"))
+      .agg(collect_list(struct(docCols.map(col).toIndexedSeq: _*)).as(as))
+      .select((expr("uuid()").as("key") +: Seq(col(as))): _*)
+    if (df.columns.contains("key")) grouped else grouped.drop("key")
+  }
+}

@@ -216,12 +216,80 @@ object SparkEntry {
         {"$project": {"o_orderkey": 1, "n_near": {"$size": "$near"}}}
       ]""")),
 
+    // ---- $redact ----------------------------------------------------------
+    "q_redact" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$addFields": {"meta.status": "$o_orderstatus",
+                        "meta.secret.total": "$o_totalprice"}},
+        {"$redact": {"$cond": [
+          {"$lte": [{"$ifNull": ["$total", 0]}, 150000]},
+          "$$DESCEND", "$$PRUNE"]}},
+        {"$project": {"o_orderkey": 1, "s_total": "$meta.secret.total"}}
+      ]""")),
+
     // ---- $deduplicate -----------------------------------------------------
     "q_dedup" -> ((s, dir) => pipe(s, dir, "events",
       """[
         {"$project": {"user_id": 1}},
         {"$deduplicate": {"expression": "$user_id"}}
       ]""")),
+
+    // ---- sinks: $merge / $out / $delete / $send / $per / $throttle --------
+    "q_merge" -> ((s, dir) => {
+      tune(s)
+      val store = new graft.sources.ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_merge").toString)
+      val ordersNoDate = t(s, dir, "orders").drop("o_orderdate")
+      store.seed("tgt", ordersNoDate.filter(col("o_orderkey") < 3000)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)))
+      new Pipeline(store = store).run(ordersNoDate,
+        """[{"$merge": {"into": "tgt", "on": "o_orderkey",
+                        "whenMatched": "keepExisting",
+                        "whenNotMatched": "insert"}}]""")
+        .count() // drive the upsert
+      store.read("tgt")
+    }),
+    "q_out" -> ((s, dir) => {
+      tune(s)
+      val store = new graft.sources.ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_out").toString)
+      val ordersNoDate = t(s, dir, "orders").drop("o_orderdate")
+        .withColumn("_id", col("o_orderkey").cast("string"))
+      store.seed("tgt", ordersNoDate.filter(col("o_orderkey") < 3000)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)))
+      new Pipeline(store = store).run(ordersNoDate,
+        """[{"$out": {"into": "tgt"}}]""").count()
+      store.read("tgt") // replace-upsert: every seeded row overwritten
+    }),
+    "q_delete" -> ((s, dir) => {
+      tune(s)
+      val store = new graft.sources.ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_delete").toString)
+      store.seed("tgt", t(s, dir, "orders").drop("o_orderdate"))
+      new Pipeline(store = store).run(
+        t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+          .select("o_orderkey"),
+        """[{"$delete": {"from": "tgt", "on": "o_orderkey"}}]""").count()
+      store.read("tgt")
+    }),
+    "q_send" -> ((s, dir) => {
+      tune(s)
+      var captured: DataFrame = null
+      new Pipeline(producer = df => captured = df)
+        .run(t(s, dir, "events").select("event_id", "event_type"),
+          """[{"$send": {"topic": "$event_type"}}]""").count()
+      captured
+    }),
+    "q_per" -> ((s, dir) => // per-partition batch sizes: rows-only check
+      pipe(s, dir, "events",
+        """[{"$project": {"event_id": 1}},
+            {"$per": {"amount": 50, "as": "batch"}},
+            {"$project": {"n": {"$size": "$batch"}}}]""")),
+    "q_throttle" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$throttle": {"maxPerSecond": 1000000}},
+          {"$project": {"event_id": 1, "user_id": 1}}]""")),
+    "q_trace" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$trace": {}}, {"$backTrace": {}}, {"$project": {"o_orderkey": 1}}]""")),
 
     // ---- expression-language coverage -------------------------------------
     "q_expr_strings" -> ((s, dir) => pipe(s, dir, "part",
@@ -427,6 +495,29 @@ object SparkEntry {
          FROM orders o WHERE o_orderkey < 50""",
     "q_dedup" ->
       """SELECT DISTINCT user_id FROM events""",
+    "q_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey < 3000 THEN round(o_totalprice * 2, 2)
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders""",
+    "q_out" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority, CAST(o_orderkey AS VARCHAR) AS _id
+         FROM orders""",
+    "q_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderpriority FROM orders WHERE o_totalprice <= 200000""",
+    "q_send" ->
+      """SELECT event_id, event_type, event_type AS __topic FROM events""",
+    "q_throttle" ->
+      """SELECT event_id, user_id FROM events""",
+    "q_trace" ->
+      """SELECT o_orderkey FROM orders""",
+    "q_redact" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
+         FROM orders""",
     "q_expr_strings" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS low,
                 substring(p_type, 1, 5) AS sub,

@@ -254,6 +254,37 @@ class StagesSpec extends SparkSpec {
     assert(out.select(size($"m")).head().getInt(0) == 1)
   }
 
+  // ---- $redact (TestRedact.java: $$KEEP/$$PRUNE/$$DESCEND) ---------------
+  test("$redact recursive descent prunes nested objects and array elements") {
+    val df = Seq(
+      ("0", true, (true, 1L), Seq((true, 10L), (false, 20L))),
+      ("1", false, (true, 2L), Seq.empty[(Boolean, Long)]))
+      .toDF("_id", "visible", "subRaw", "arrRaw")
+      .select($"_id", $"visible",
+        struct($"subRaw._1".as("visible"), $"subRaw._2".as("v")).as("sub"),
+        expr("transform(arrRaw, e -> struct(e._1 as visible, e._2 as v))").as("arr"))
+    val out = pipeline.run(df,
+      """[{"$redact": {"$cond": [{"$ifNull": ["$visible", true]},
+                                 "$$DESCEND", "$$PRUNE"]}}]""")
+    // root with visible=false is dropped entirely (Redact.java:51-53)
+    assert(out.count() == 1)
+    val r = out.head()
+    assert(r.getString(0) == "0")
+    assert(out.select("sub.v").head().getLong(0) == 1L)
+    // array keeps only the visible element
+    assert(out.select(size($"arr")).head().getInt(0) == 1)
+    assert(out.select(element_at($"arr", 1).getField("v")).head().getLong(0) == 10L)
+  }
+
+  test("$redact $$KEEP stops descending") {
+    val df = Seq(("0", true, (false, 5L))).toDF("_id", "visible", "subRaw")
+      .select($"_id", $"visible",
+        struct($"subRaw._1".as("visible"), $"subRaw._2".as("v")).as("sub"))
+    val out = pipeline.run(df, """[{"$redact": "$$KEEP"}]""")
+    // KEEP at root: sub survives even though sub.visible=false
+    assert(out.select("sub.v").head().getLong(0) == 5L)
+  }
+
   // ---- unknown stages ignored (Pipeline.java:265) ------------------------
   test("unknown stages pass through; extensions apply") {
     assert(pipeline.run(flat, """[{"$nonsense": 1}]""").count() == 4)
