@@ -70,6 +70,7 @@ final class Pipeline(
       case "$delay"       => SinkStages.delay(df, spec, producer)
       case "$probe"       => SinkStages.probe(df, spec, producer)
       case "$per"         => SinkStages.per(df, spec)
+      case "$http"        => graft.operators.HttpStage(df, spec)
       case "$throttle"    => df // rate control is source-side in Spark
         // (maxOffsetsPerTrigger) — documented deviation, SURVEY §2.3
       case "$trace" | "$backTrace" => df // observability no-ops in batch

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Runs a Mongo pipeline over an unbounded (Structured Streaming) DataFrame.
+  *
+  * Mapping of the reference's infinite-stream semantics
+  * (SURVEY.md §2/§3) onto Spark's model:
+  *
+  *  - stateless stages ($match/$project/$addFields/$unwind/...) apply to the
+  *    streaming DataFrame unchanged — Catalyst plans them incrementally;
+  *  - `$group` becomes a streaming aggregation in **update** output mode:
+  *    one emission per changed key per micro-batch, the documented
+  *    approximation of the reference's per-message continuous emission
+  *    (Pipeline.java:68-81, SURVEY §2.4). State lives in the Spark state
+  *    store (HDFS/RocksDB) instead of a MongoDB collection;
+  *  - `$deduplicate` becomes `dropDuplicates` on the expression value —
+  *    exact, checkpointed, replacing the reference's Mongo seen-set;
+  *  - sink/effect stages (`$merge`, `$send`, ...) cannot run inside an
+  *    incremental plan; the pipeline is split at the first sink stage and the
+  *    suffix runs per micro-batch via `foreachBatch`, which is exactly the
+  *    reference's at-least-once micro-batched side-effect model (retries =
+  *    checkpoint replay instead of retry-forever, SURVEY §3).
+  */
+final class StreamingPipeline(pipeline: Pipeline) {
+
+  private val sinkStages =
+    Set("$merge", "$out", "$delete", "$send", "$delay", "$probe", "$per", "$http")
+
+  private def stageName(stage: JValue): String = stage match {
+    case JObject(fields) => fields.collectFirst {
+      case (n, _) if n != "_trace" => n
+    }.getOrElse("")
+    case _ => ""
+  }
+
+  /** Split the pipeline: longest prefix with no sink stage (runs natively on
+    * the stream), and the remainder (runs in foreachBatch). */
+  private[graft] def split(pipelineJson: String): (JValue, JValue) = {
+    val JArray(stages) = (JsonMethods.parse(pipelineJson): @unchecked)
+    val (native, rest) = stages.span(s => !sinkStages.contains(stageName(s)))
+    (JArray(native), JArray(rest))
+  }
+
+  /** Transform the streaming frame with the native prefix. The caller owns
+    * the writeStream; use [[start]] for the full pipeline incl. sinks. */
+  def run(stream: DataFrame, pipelineJson: String): DataFrame = {
+    val (native, rest) = split(pipelineJson)
+    require(rest == JArray(Nil),
+      s"pipeline contains sink stages — use start(): $rest")
+    pipeline.run(stream, native)
+  }
+
+  /** Run the whole pipeline: native prefix on the stream, sink suffix (if
+    * any) + `collect` callback per micro-batch. Update output mode so `$group`
+    * emits per changed key per batch. */
+  def start(stream: DataFrame, pipelineJson: String,
+      collect: DataFrame => Unit,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val (native, rest) = split(pipelineJson)
+    val transformed = pipeline.run(stream, native)
+    val writer: DataStreamWriter[Row] = transformed.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        collect(pipeline.run(batch, rest))
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+}

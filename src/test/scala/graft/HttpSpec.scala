@@ -1,0 +1,83 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.functions._
+
+/** `$http` golden-style tests mirroring the reference's http1..http9 corpus
+  * (GET accumulate/unwind, POST json, 404 -> httpError). */
+class HttpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withServer(f: Int => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    def reply(ex: HttpExchange, status: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    server.createContext("/ok", (ex: HttpExchange) => reply(ex, 200, """{"x":1}"""))
+    server.createContext("/arr", (ex: HttpExchange) =>
+      reply(ex, 200, """[{"a":1},{"a":2}]"""))
+    server.createContext("/empty", (ex: HttpExchange) => reply(ex, 200, "[]"))
+    server.createContext("/missing", (ex: HttpExchange) => reply(ex, 404, "nope"))
+    server.createContext("/echo", (ex: HttpExchange) => {
+      val in = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      reply(ex, 200, in)
+    })
+    server.start()
+    try f(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  test("$http GET puts the body in `as`; 404 -> httpError (http1/http5)") {
+    withServer { port =>
+      val df = Seq(("0", "ok"), ("1", "missing")).toDF("_id", "resource")
+      val out = pipeline.run(df,
+        s"""[{"$$http": {"url": {"$$concat":
+              ["http://127.0.0.1:$port/", "$$resource"]},
+              "as": "result", "retries": 0}}]""")
+      val okRow = out.filter($"_id" === "0").head()
+      assert(okRow.getAs[String]("result") == """{"x":1}""")
+      assert(okRow.getAs[Any]("httpError") == null)
+      val err = out.filter($"_id" === "1").select("httpError.statusCode",
+        "httpError.body").head()
+      assert(err.getInt(0) == 404 && err.getString(1) == "nope")
+    }
+  }
+
+  test("$http unwind emits one message per array element, none for empty (http GET unwind)") {
+    withServer { port =>
+      val df = Seq(("0", "arr"), ("1", "empty")).toDF("_id", "resource")
+      val out = pipeline.run(df,
+        s"""[{"$$http": {"url": {"$$concat":
+              ["http://127.0.0.1:$port/", "$$resource"]},
+              "as": "result", "unwind": true, "retries": 0}}]""")
+      assert(out.count() == 2) // 2 elements from /arr, 0 from /empty
+      val results = out.select("result").collect().map(_.getString(0)).sorted
+      assert(results.toSeq == Seq("""{"a":1}""", """{"a":2}"""))
+    }
+  }
+
+  test("$http POST sends the JSON body (http POST json)") {
+    withServer { port =>
+      val df = Seq(("0", 7L)).toDF("_id", "v")
+      val out = pipeline.run(df,
+        s"""[{"$$http": {"url": "http://127.0.0.1:$port/echo",
+              "method": "POST", "body": {"n": "$$v"}, "as": "result",
+              "retries": 0}}]""")
+      assert(out.head().getAs[String]("result") == """{"n":7}""")
+    }
+  }
+
+  test("$http invalid method -> httpError 400 (Http.java:111-113)") {
+    withServer { port =>
+      val df = Seq(("0", "BOGUS")).toDF("_id", "m")
+      val out = pipeline.run(df,
+        s"""[{"$$http": {"url": "http://127.0.0.1:$port/ok", "method": "$$m",
+              "as": "result", "retries": 0}}]""")
+      assert(out.select("httpError.statusCode").head().getInt(0) == 400)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.StreamingPipeline
+import graft.sources.InMemoryStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics: update-mode `$group` (per-changed-key emission per
+  * micro-batch — the SURVEY §2.4 approximation of the reference's continuous
+  * emission), state-store `$deduplicate`, and sink stages via foreachBatch. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def collectBatches(): (scala.collection.mutable.Buffer[Array[(String, Long)]],
+      DataFrame => Unit) = {
+    val buf = scala.collection.mutable.Buffer.empty[Array[(String, Long)]]
+    (buf, df => buf += df.collect().map(r =>
+      (Option(r.get(0)).map(_.toString).orNull, r.getLong(1))))
+  }
+
+  test("streaming $group emits updated aggregates per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("g", "v")
+    val (batches, sink) = collectBatches()
+    val sp = new StreamingPipeline(pipeline)
+    input.addData(("a", 1L), ("b", 2L))
+    val q = sp.start(stream,
+      """[{"$group": {"_id": "$g", "s": {"$sum": "$v"}}}]""", sink,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      input.addData(("a", 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = batches.filter(_.nonEmpty)
+    // batch 1: both keys; batch 2: only the changed key "a" with running sum
+    assert(all.head.toSet == Set(("a", 1L), ("b", 2L)))
+    assert(all.last.toSet == Set(("a", 11L)))
+  }
+
+  test("streaming $match + $addFields prefix runs natively") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(pipeline)
+    val out = sp.run(input.toDF().toDF("g", "v"),
+      """[{"$match": {"v": {"$gte": 2}}},
+          {"$addFields": {"vv": {"$multiply": ["$v", 10]}}}]""")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("t_native")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1L), ("b", 2L), ("c", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_native").select("g", "vv").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 20L), ("c", 30L)))
+  }
+
+  test("streaming $deduplicate keeps first arrival across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(pipeline)
+    val out = sp.run(input.toDF().toDF("id", "v"),
+      """[{"$deduplicate": {"expression": "$v"}}]""")
+    val q = out.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1L), ("b", 1L))
+      q.processAllAvailable()
+      input.addData(("c", 1L), ("d", 2L)) // v=1 already seen in batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("t_dedup").select("v").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming pipeline with $merge sink upserts per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = new InMemoryStore(spark)
+    st.overwrite("c", Seq(("seed", 0L)).toDF("_id", "s"))
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(new Pipeline(store = st))
+    val echoes = scala.collection.mutable.Buffer.empty[Long]
+    val q = sp.start(input.toDF().toDF("_id", "s"),
+      """[{"$group": {"_id": "$_id", "s": {"$sum": "$s"}}},
+          {"$merge": {"into": "c"}}]""",
+      df => echoes += df.count(),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(("x", 5L))
+      q.processAllAvailable()
+      input.addData(("x", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // state-store group keeps the running sum; merge upserted the latest
+    assert(rows(st.read("c")) == Set(List("seed", 0L), List("x", 7L)))
+  }
+}
