@@ -389,6 +389,17 @@ object SparkEntry {
           DedupOps.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
         .filter(col("jaccard") > 0)
     }),
+    "llm_media_meta" -> ((s, dir) => {
+      tune(s)
+      graft.llm.MultimodalOps.decodeImageMeta(
+        graft.llm.MultimodalOps.asMedia(t(s, dir, "documents"), "text", "doc_id"))
+    }),
+    "llm_media_frames" -> ((s, dir) => {
+      tune(s)
+      graft.llm.MultimodalOps.sampleFrames(
+        graft.llm.MultimodalOps.asMedia(t(s, dir, "documents"), "text", "doc_id"),
+        n = 4).select("media_id", "frame_idx", "frame_ts_ms")
+    }),
     "llm_cosine_topk" -> ((s, dir) => { // float-math: rows-only check
       tune(s)
       val emb = t(s, dir, "embeddings")
@@ -571,6 +582,26 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents""",
+    "llm_media_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                CAST(16 + octet_length(encode(text)) % 240 AS INT) AS width,
+                CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
+                3 AS channels, 'stub' AS format
+         FROM documents""",
+    "llm_media_frames" ->
+      """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
+                CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms
+         FROM documents WHERE octet_length(encode(text)) > 0""",
+    "llm_media_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                CAST(16 + octet_length(encode(text)) % 240 AS INT) AS width,
+                CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
+                3 AS channels, 'stub' AS format
+         FROM documents""",
+    "llm_media_frames" ->
+      """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
+                CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms
+         FROM documents WHERE octet_length(encode(text)) > 0""",
     "llm_langid" ->
       """WITH scored AS (
            SELECT doc_id,
