@@ -93,14 +93,33 @@ object Pipeline {
 private[graft] object Stages {
   import MongoExpr.{compile => cexpr}
 
+  /** Resolve a dotted path against a schema; None if any step is missing or
+    * traverses a non-struct. */
+  def resolveType(st: StructType, path: String): Option[DataType] = {
+    def walk(t: DataType, parts: List[String]): Option[DataType] = (t, parts) match {
+      case (x, Nil)                 => Some(x)
+      case (s: StructType, p :: ps) => s.find(_.name == p).flatMap(f => walk(f.dataType, ps))
+      case _                        => None
+    }
+    walk(st, path.split('.').toList)
+  }
+
   /** ROOT = the whole current document; $$KEEP/$$PRUNE/$$DESCEND markers for
-    * `$redact` (Redact.java:34-39). */
+    * `$redact` (Redact.java:34-39). Field paths resolve schema-safely: a path
+    * that doesn't exist in the document yields null (Mongo missing-field
+    * semantics) instead of an AnalysisException. */
   def ctxFor(df: DataFrame): ExprCtx = {
     val docCols = df.columns.filter(_ != "key")
-    ExprCtx(vars = Map(
-      "ROOT" -> struct(docCols.map(col).toIndexedSeq: _*),
-      "KEEP" -> lit("__KEEP__"), "PRUNE" -> lit("__PRUNE__"),
-      "DESCEND" -> lit("__DESCEND__")))
+    val docSchema = StructType(df.schema.filter(_.name != "key"))
+    ExprCtx(
+      field = p =>
+        if (resolveType(docSchema, p).isDefined) MongoExpr.defaultFieldRef(p)
+        else lit(null),
+      vars = Map(
+        "ROOT" -> struct(docCols.map(col).toIndexedSeq: _*),
+        "KEEP" -> lit("__KEEP__"), "PRUNE" -> lit("__PRUNE__"),
+        "DESCEND" -> lit("__DESCEND__")),
+      typeOf = p => resolveType(docSchema, p))
   }
 
   private def str(v: JValue): String = v match {

@@ -14,7 +14,8 @@ import org.json4s._
   */
 final case class ExprCtx(
     field: String => Column = MongoExpr.defaultFieldRef,
-    vars: Map[String, Column] = Map.empty) {
+    vars: Map[String, Column] = Map.empty,
+    typeOf: String => Option[DataType] = _ => None) {
   def bind(name: String, c: Column): ExprCtx = copy(vars = vars + (name -> c))
 }
 

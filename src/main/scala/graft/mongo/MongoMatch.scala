@@ -29,7 +29,7 @@ object MongoMatch {
     case "$nor" => !subSpecs(v).map(compile(_)).reduce(_ || _)
     case "$expr" => MongoExpr.truthy(MongoExpr.compile(v))
     case "$comment" => lit(true)
-    case f => fieldPredicate(ctx.field(f), v)
+    case f => fieldPredicate(ctx.field(f), v, ctx.typeOf(f))
   }
 
   private def subSpecs(v: JValue): List[JValue] = v match {
@@ -42,11 +42,20 @@ object MongoMatch {
     case _           => false
   }
 
-  private def fieldPredicate(c: Column, v: JValue)(implicit ctx: ExprCtx): Column =
+  private def fieldPredicate(c: Column, v: JValue,
+      fieldType: Option[org.apache.spark.sql.types.DataType] = None)
+      (implicit ctx: ExprCtx): Column =
     if (isOpDoc(v)) {
       val JObject(ops) = (v: @unchecked)
       ops.map { case (op, operand) => opPredicate(c, op, operand) }.reduce(_ && _)
-    } else c <=> MongoExpr.literal(v) // equality ({f: null} matches null/missing)
+    } else (fieldType, v) match {
+      // Mongo array-equality: {f: 1} matches f = [0, 1] (element containment)
+      // as well as f = 1 — SURVEY §2.2, TestLookup lookup3 semantics
+      case (Some(_: org.apache.spark.sql.types.ArrayType), lit_)
+          if !lit_.isInstanceOf[JArray] && lit_ != JNull =>
+        array_contains(c, MongoExpr.literal(lit_))
+      case _ => c <=> MongoExpr.literal(v) // {f: null} matches null/missing
+    }
 
   private def opPredicate(c: Column, op: String, v: JValue)
       (implicit ctx: ExprCtx): Column = op match {

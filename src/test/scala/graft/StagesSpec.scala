@@ -35,6 +35,17 @@ class StagesSpec extends SparkSpec {
       "_id") == List("0", "2"))
   }
 
+  test("$match missing fields and array-equality semantics") {
+    // missing field: equality-null matches, $exists:false matches
+    assert(pipeline.run(flat, """[{"$match": {"nope": null}}]""").count() == 4)
+    assert(pipeline.run(flat, """[{"$match": {"nope": {"$exists": false}}}]""").count() == 4)
+    assert(pipeline.run(flat, """[{"$match": {"nope": 1}}]""").count() == 0)
+    // array field equality matches per element (Mongo {f:1} vs f=[0,1])
+    val adf = Seq(("0", Seq(0L, 1L)), ("1", Seq(2L))).toDF("_id", "test")
+    assert(sorted1[String](
+      pipeline.run(adf, """[{"$match": {"test": 1}}]"""), "_id") == List("0"))
+  }
+
   // ---- $addFields (TestAddFields.java: deep merge, dotted paths) ---------
   test("$addFields dotted path creates nested objects") {
     val out = pipeline.run(flat,
