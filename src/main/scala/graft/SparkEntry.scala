@@ -181,6 +181,17 @@ object SparkEntry {
       pipe(s, dir, "nation",
         """[{"$group": {"_id": "$n_regionkey", "last_name": {"$last": "$n_name"}}}]""")),
 
+    "q_group_mergeobjects" -> ((s, dir) => {
+      tune(s)
+      val ev = t(s, dir, "events")
+        .withColumn("props_map",
+          from_json(col("props"), "map<string,string>", Map.empty[String, String]))
+      new Pipeline().run(ev,
+        """[{"$group": {"_id": "$user_id",
+                        "merged": {"$mergeObjects": "$props_map"}}}]""")
+        .select(col("_id"), size(map_keys(col("merged"))).as("n_keys"))
+    }),
+
     // ---- $bucket / $count -------------------------------------------------
     "q_bucket" -> ((s, dir) => pipe(s, dir, "lineitem",
       """[
@@ -479,6 +490,10 @@ object SparkEntry {
       """SELECT n_regionkey AS _id,
                 ',' || string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS names_str
          FROM nation GROUP BY 1""",
+    "q_group_mergeobjects" ->
+      """SELECT user_id AS _id, CAST(count(DISTINCT k) AS INT) AS n_keys
+         FROM (SELECT user_id, unnest(json_keys(props)) AS k FROM events)
+         GROUP BY 1""",
     "q_bucket" ->
       """SELECT CASE
                   WHEN l_quantity >= 1  AND l_quantity < 10 THEN 1
@@ -602,6 +617,39 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
                 CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms
          FROM documents WHERE octet_length(encode(text)) > 0""",
+    "llm_quality" ->
+      """WITH b AS (
+           SELECT doc_id, text, length(text) AS nc,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> length(t) > 0) AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, nc, len(toks) AS nt,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+               ELSE 0 END AS mwl,
+             CASE WHEN nc > 0 THEN
+               CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / nc
+               ELSE 0 END AS pr,
+             CASE WHEN nc > 0 THEN
+               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / nc
+               ELSE 0 END AS ur,
+             CASE WHEN nc > 0 THEN
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc
+               ELSE 0 END AS dr,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                 t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS DOUBLE) / len(toks)
+               ELSE 0 END AS sr
+           FROM b)
+         SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+                round(mwl, 6) AS mean_word_len, round(pr, 6) AS punct_ratio,
+                round(ur, 6) AS upper_ratio, round(dr, 6) AS digit_ratio,
+                round(sr, 6) AS stopword_ratio,
+                round(least(CAST(nt AS DOUBLE) / 100, 1) * 0.3 +
+                      greatest(0, 1 - (pr + dr + ur)) * 0.4 +
+                      least(sr * 4, 1) * 0.3, 6) AS quality
+         FROM f""",
     "llm_langid" ->
       """WITH scored AS (
            SELECT doc_id,

@@ -52,39 +52,33 @@ object VectorOps {
       .select(col("query_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1,1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000000L)).cast(DoubleType) / 1000000d) - 1d
+  /** Deterministic random hyperplanes, generated driver-side with a fixed
+    * seed and embedded as literal arrays — each row then pays `nPlanes` dot
+    * products instead of nPlanes×dim hash evaluations. java.util.Random's
+    * algorithm is specified, so planes are identical on every JVM/cluster. */
+  private[llm] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
 
-  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(nPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x * planeComponent0(p, i)),
-          lit(0d), (a, v) => a + v)
-        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), p.cast(IntegerType))).otherwise(0L))
-      })
-
-  // plane index is a Column here (comes from sequence()) — same hash recipe
-  private def planeComponent0(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(2000000L)).cast(DoubleType) / 1000000d) - 1d
+  /** Sign-bit LSH bucket id from `nPlanes` literal hyperplanes. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    planes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN via hyperplane-LSH: queries probe only their own bucket.
     * Recall < 1 by construction; nProbes>1 would flip bits for better recall
     * (future work). */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nPlanes: Int = 12): DataFrame = {
+      k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
-      .withColumn("bucket", hyperplaneBucket(col("__v"), nPlanes))
+      .withColumn("bucket", hyperplaneBucket(col("__v"), nPlanes, dim))
     val q = queries.select(col(qIdCol).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
-      .withColumn("bucket", hyperplaneBucket(col("__q"), nPlanes))
+      .withColumn("bucket", hyperplaneBucket(col("__q"), nPlanes, dim))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", dot(col("__v"), col("__q")))
