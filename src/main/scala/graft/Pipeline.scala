@@ -374,7 +374,18 @@ private[graft] object Stages {
     val accs: List[(String, Column)] = fields.collect {
       case (name, JObject((accOp, accSpec) :: Nil))
           if name != "_id" && name != "_collection" =>
-        name -> accumulator(accOp, accSpec)
+        // $mergeObjects over typed struct docs: shallow overlay in arrival
+        // order ≡ per-field latest non-null (null/missing fields don't
+        // overwrite — Group.java:291-304); probe the expression's type
+        name -> (if (accOp == "$mergeObjects") {
+          val c = cexpr(accSpec)
+          df.select(c).schema.head.dataType match {
+            case st: StructType =>
+              struct(st.fieldNames.map(f =>
+                last(c.getField(f), ignoreNulls = true).as(f)).toIndexedSeq: _*)
+            case _ => accumulator(accOp, accSpec)
+          }
+        } else accumulator(accOp, accSpec))
     }
     require(accs.nonEmpty, "$group needs at least one accumulator")
     val aggCols = accs.map { case (n, c) => c.as(n) }

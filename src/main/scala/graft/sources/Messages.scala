@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Adapters between the reference's message model — (key: String,
+  * value: JsonObject) Kafka records (net.pincette.rs.streams.Message,
+  * Stage.java:16-17) — and this engine's row model (one column per top-level
+  * document field, plus an optional `key` column).
+  *
+  * A Kafka source lands as a DataFrame with `key`/`value` binary or string
+  * columns (`spark.read/readStream.format("kafka")`); [[parse]] turns it into
+  * pipeline rows, [[toJson]] turns pipeline output back into producible
+  * records. Works identically on batch and streaming frames.
+  */
+object Messages {
+
+  /** (key string, value json-string) records -> (key, <fields...>) rows. */
+  def parse(records: DataFrame, schema: StructType): DataFrame = {
+    val parsed = records.select(
+      col("key").cast("string").as("key"),
+      from_json(col("value").cast("string"), schema).as("__doc"))
+    parsed.select((col("key") +:
+      schema.fieldNames.toIndexedSeq.map(f => col("__doc").getField(f).as(f))): _*)
+  }
+
+  /** Pipeline rows -> (key, value json-string) records; key defaults to the
+    * document `_id` (Base.java:54-57 behavior) when no key column exists. */
+  def toJson(df: DataFrame): DataFrame = {
+    val docCols = df.columns.filter(_ != "key")
+    val keyCol =
+      if (df.columns.contains("key")) col("key")
+      else if (df.columns.contains("_id")) col("_id").cast("string")
+      else expr("uuid()")
+    df.select(keyCol.as("key"),
+      to_json(struct(docCols.map(col).toIndexedSeq: _*)).as("value"))
+  }
+}

@@ -192,6 +192,19 @@ class StagesSpec extends SparkSpec {
       Map("a" -> "1", "b" -> "3", "c" -> "4"))
   }
 
+  test("$group $mergeObjects over struct docs: per-field latest non-null") {
+    val df = Seq(
+      ("0", "g", (Some(1L), Option.empty[String])),
+      ("1", "g", (Option.empty[Long], Some("x"))),
+      ("2", "g", (Some(3L), Option.empty[String])))
+      .toDF("_id", "g", "raw")
+      .select($"_id", $"g", struct($"raw._1".as("n"), $"raw._2".as("s")).as("doc"))
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": "$g", "merged": {"$mergeObjects": "$doc"}}}]""")
+    val m = out.select("merged.n", "merged.s").head()
+    assert(m.getLong(0) == 3L && m.getString(1) == "x")
+  }
+
   test("$group $last and $stdDevPop") {
     val out = pipeline.run(flat,
       """[{"$group": {"_id": null, "sd": {"$stdDevPop": "$test"}}}]""")
