@@ -62,22 +62,21 @@ object DedupOps {
       .select(col("doc"), shingles(col("__text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Signature computed data-wise (explode + 32 `min` aggregates with
-    // map-side combine) rather than as one 32-transform expression tree:
-    // the expression form Janino-compiles for tens of seconds and its
-    // per-band inlining multiplies that; the aggregate form is a tiny tree
-    // and shuffles only numHashes longs per doc.
+    // Signature = ONE custom TypedImperativeAggregate over exploded shingles
+    // (graft.functions.MinHashAgg): numHashes seeded XXH64s folded into an
+    // elementwise-min buffer in a tight JVM loop. Map-side combine means only
+    // numHashes longs per doc cross the shuffle; the expression-tree
+    // alternative (numHashes separate min(xxhash64) aggs) spends more time in
+    // Janino than in data.
     val exploded = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
-    val mins = exploded.groupBy("doc").agg(
-      min(xxhash64(lit(0), col("shingle"))).as("m0"),
-      (1 until numHashes).map(j =>
-        min(xxhash64(lit(j), col("shingle"))).as(s"m$j")): _*)
+    val sigs = exploded.groupBy("doc")
+      .agg(graft.functions.HashAggs.minhash(col("shingle"), numHashes).as("sig"))
     // (doc, band, bucket) only — shingle sets are NOT carried through the
     // bucket join; payloads re-attach after pair-dedup
-    val banded = mins.select(col("doc"),
+    val banded = sigs.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-          col(s"m${b * rowsPerBand + r}"))): _*)): _*))
+        xxhash64(lit(b), slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))
+          .cast(StringType))): _*))
         .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
@@ -117,21 +116,13 @@ object DedupOps {
     * verify exact Hamming distance ≤ maxHamming. */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // data-wise votes (explode distinct tokens + 64 signed-bit sums) for the
-    // same codegen-size reason as in minhashLsh
+    // ONE custom vote aggregate over exploded distinct tokens
+    // (graft.functions.SimHashAgg) — same motivation as in minhashLsh
     val toks = distinctTexts(df, textCol, idCol)
       .select(col("doc"),
         explode(array_distinct(TextOps.tokens(lower(col("__text"))))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = toks.groupBy("doc").agg(
-      sum(when(col("h").bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
-      (1 until 64).map(i =>
-        sum(when(call_function("shiftright", col("h"), lit(i)).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"v$i")): _*)
-    val sigExpr = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = votes.select(col("doc"), sigExpr.as("sig"))
+    val sigs = toks.groupBy("doc")
+      .agg(graft.functions.HashAggs.simhash(col("tok")).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sides of the self-join
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+  /** Codegen'd native expression — see [[graft.functions.DotProduct]] for why
+    * this beats `aggregate(zip_with(...))` (interpreted HOFs) in the ANN
+    * inner loop. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{DotProduct, HashAggs}
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst pieces: MinHashAgg / SimHashAgg / DotProduct. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotProduct matches the HOF formulation and handles nulls") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+    val got = df.select(DotProduct($"a", $"b")).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(32.0, 0.0))
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0d), (s, v) => s + v))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == hof.toSeq)
+    assert(df.select(DotProduct(lit(null).cast("array<double>"), $"b"))
+      .head().isNullAt(0))
+  }
+
+  test("MinHashAgg: identical shingle sets give identical signatures; partial-merge safe") {
+    val a = Seq.tabulate(50)(i => ("d1", s"sh$i")) ++
+      Seq.tabulate(50)(i => ("d2", s"sh${i + 25}"))
+    val df = a.toDF("doc", "sh").repartition(4) // force partial+merge path
+    val sigs = df.groupBy("doc").agg(HashAggs.minhash($"sh", 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("d1").length == 16)
+    // re-run gives identical signatures (determinism across partitioning)
+    val sigs2 = a.toDF("doc", "sh").repartition(7).groupBy("doc")
+      .agg(HashAggs.minhash($"sh", 16).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs == sigs2)
+    // overlapping sets share some minima, disjoint parts differ
+    assert(sigs("d1") != sigs("d2"))
+  }
+
+  test("SimHashAgg: similar token sets have low Hamming distance") {
+    val base = (0 until 60).map(i => s"tok$i")
+    val df = (base.map(("d1", _)) ++ (base.drop(2) ++ Seq("x", "y")).map(("d2", _)) ++
+      (0 until 60).map(i => ("d3", s"other$i"))).toDF("doc", "tok")
+    val sigs = df.groupBy("doc").agg(HashAggs.simhash($"tok").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs("d1"), sigs("d2")) < ham(sigs("d1"), sigs("d3")))
+  }
+}
