@@ -57,7 +57,10 @@ final class Pipeline(
       case "$replaceRoot" => Stages.replaceWith(df, spec \ "newRoot")
       case "$setKey"      => df.withColumn("key", MongoExpr.compile(spec).cast(StringType))
       case "$unwind"      => Stages.unwind(df, spec)
-      case "$group"       => Stages.group(df, spec)
+      case "$group" => // _continuous: exact per-message emission (streaming)
+        if ((spec \ "_continuous") == JBool(true))
+          graft.streaming.ContinuousGroup(df, spec)
+        else Stages.group(df, spec)
       case "$bucket"      => Stages.group(df, Stages.bucketToGroup(spec))
       case "$count"       => Stages.countStage(df, spec)
       case "$lookup"      => Stages.lookup(df, spec, catalog)
@@ -315,11 +318,18 @@ private[graft] object Stages {
           bool(o \ "newIds", default = false))
       case other => throw new IllegalArgumentException(s"$$unwind: $other")
     }
-    require(!path.contains('.'), "$unwind nested paths not yet supported")
-    val gen = if (preserve) posexplode_outer(col(path)) else posexplode(col(path))
-    val exploded = df
-      .select(col("*"), gen.as(Seq("__pos", "__elem")))
-      .withColumn(path, col("__elem")).drop("__elem")
+    val parts = path.split('.').toList
+    val arrCol = parts.tail.foldLeft(col(parts.head))(_ getField _)
+    val gen = if (preserve) posexplode_outer(arrCol) else posexplode(arrCol)
+    val withElem = df.select(col("*"), gen.as(Seq("__pos", "__elem")))
+    // put the element back at the (possibly nested) path (Unwind.java:68-83)
+    val exploded = (if (parts.length == 1) withElem.withColumn(path, col("__elem"))
+      else {
+        val top = parts.head
+        val topType = df.schema(top).dataType.asInstanceOf[StructType]
+        withElem.withColumn(top,
+          mergeAt(topType, col(top), parts.tail, col("__elem")))
+      }).drop("__elem")
     val withIdx = includeIndex match {
       case Some(idxField) => exploded.withColumn(idxField, col("__pos").cast(LongType))
       case None           => exploded

@@ -153,6 +153,15 @@ class StagesSpec extends SparkSpec {
     assert(rows(out.select("key")) == rows(out.select("_id")))
   }
 
+  test("$unwind nested path replaces the element in place") {
+    val df = Seq(("0", Seq(1L, 2L))).toDF("_id", "raw")
+      .select($"_id", struct($"raw".as("arr"), lit("z").as("other")).as("sub"))
+    val out = pipeline.run(df, """[{"$unwind": "$sub.arr"}]""")
+    assert(out.count() == 2)
+    assert(sorted1[Long](out.select($"sub.arr".as("v")), "v") == List(1L, 2L))
+    assert(out.select("sub.other").head().getString(0) == "z")
+  }
+
   // ---- $group (TestGroup.java) -------------------------------------------
   test("$group accumulators") {
     val df = Seq(("0", "a", 1L), ("1", "a", 2L), ("2", "b", 3L), ("3", "a", 2L))

@@ -77,6 +77,41 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("continuous $group emits per input message (TestGroup 4-in-4-out)") {
+    // batch frame, but exact per-message semantics via flatMapGroupsWithState
+    val df = Seq(("0", 0L), ("1", 1L), ("2", 2L), ("3", 3L)).toDF("_id", "test")
+      .coalesce(1)
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": null, "_continuous": true,
+                      "value": {"$sum": "$test"}}}]""")
+    // reference: 4 inputs -> 4 emissions of the running sum... except input 0
+    // leaves the sum unchanged after the first fold initializes it
+    val sums = out.select("value").collect().map(_.getLong(0)).toSeq
+    assert(sums == Seq(0L, 1L, 3L, 6L))
+  }
+
+  test("continuous $group per-key streaming emission across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(pipeline)
+    val collected = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+    val out = new Pipeline().run(input.toDF().toDF("g", "v"),
+      """[{"$group": {"_id": "$g", "_continuous": true,
+                      "s": {"$sum": "$v"}, "n": {"$count": {}}}}]""")
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected ++= b.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      input.addData(("a", 1L), ("a", 2L))
+      q.processAllAvailable()
+      input.addData(("a", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collected.toList == List(("a", 1L, 1L), ("a", 3L, 2L), ("a", 6L, 3L)))
+  }
+
   test("streaming pipeline with $merge sink upserts per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val st = new InMemoryStore(spark)
