@@ -28,20 +28,34 @@ final class Pipeline(
       throw new IllegalArgumentException(s"no catalog for collection $n"),
     extensions: Map[String, (DataFrame, JValue) => DataFrame] = Map.empty,
     store: graft.sources.DocumentStore = Pipeline.noStore,
-    producer: DataFrame => Unit = _ => ()) {
+    producer: DataFrame => Unit = _ => (),
+    trace: Boolean = false) {
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, JsonMethods.parse(pipelineJson))
 
+  /** Per-stage profiling (Pipeline.java:289-292,332-339: wall-time logs when
+    * `context.trace` or a stage-level `_trace: true`): the Spark-idiomatic
+    * equivalent is an `observe` metric per traced stage — row counts surface
+    * through QueryExecutionListener / StreamingQueryListener without forcing
+    * extra actions. */
   def run(df: DataFrame, pipeline: JValue): DataFrame = pipeline match {
     case JArray(stages) =>
-      stages.foldLeft(df) {
-        case (d, JObject(fields)) =>
+      stages.zipWithIndex.foldLeft(df) {
+        case (d, (JObject(fields), i)) =>
+          val stageTraced = trace ||
+            fields.contains(("_trace", JBool(true))) // Pipeline.java:332
           fields.find(f => f._1 != "_trace") match {
-            case Some((name, spec)) => applyStage(d, name, spec)
-            case None               => d
+            case Some((name, spec)) =>
+              val out = applyStage(d, name, spec)
+              if (stageTraced)
+                out.observe(s"stage${i}_${name.stripPrefix("$")}",
+                  count(lit(1)).as("rows"))
+              else out
+            case None => d
           }
-        case (_, other) => throw new IllegalArgumentException(s"bad stage: $other")
+        case (_, (other, _)) =>
+          throw new IllegalArgumentException(s"bad stage: $other")
       }
     case other => throw new IllegalArgumentException(s"pipeline must be an array: $other")
   }

@@ -318,6 +318,30 @@ class StagesSpec extends SparkSpec {
     assert(out.select("sub.v").head().getLong(0) == 5L)
   }
 
+  test("_trace registers observe metrics without changing results") {
+    val observed = scala.collection.mutable.Map.empty[String, Long]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, r) =>
+          observed(k) = r.getAs[Long]("rows") }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = pipeline.run(flat,
+        """[{"$match": {"test": {"$gte": 1}}, "_trace": true}]""")
+      assert(out.count() == 3)
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (!observed.contains("stage0_match") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(observed.get("stage0_match").contains(3L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // ---- unknown stages ignored (Pipeline.java:265) ------------------------
   test("unknown stages pass through; extensions apply") {
     assert(pipeline.run(flat, """[{"$nonsense": 1}]""").count() == 4)

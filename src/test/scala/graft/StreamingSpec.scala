@@ -112,6 +112,37 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toList == List(("a", 1L, 1L), ("a", 3L, 2L), ("a", 6L, 3L)))
   }
 
+  test("group state survives a checkpointed restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val srcDir = dir.resolve("src").toString
+    val ckpt = dir.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def write(n: Int, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("g", "v").coalesce(1).write.mode("overwrite")
+        .parquet(s"$srcDir/batch$n")
+    def runOnce(): Map[String, Long] = {
+      val got = scala.collection.mutable.Map.empty[String, Long]
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$srcDir/batch*")
+      val q = new StreamingPipeline(pipeline).start(stream,
+        """[{"$group": {"_id": "$g", "s": {"$sum": "$v"}}}]""",
+        df => df.collect().foreach(r => got(r.getString(0)) = r.getLong(1)),
+        checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+      got.toMap
+    }
+    write(1, Seq(("a", 1L), ("b", 5L)))
+    assert(runOnce() == Map("a" -> 1L, "b" -> 5L))
+    write(2, Seq(("a", 2L)))
+    // restart from checkpoint: state carries the previous sums
+    assert(runOnce() == Map("a" -> 3L))
+  }
+
   test("streaming pipeline with $merge sink upserts per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val st = new InMemoryStore(spark)
