@@ -33,13 +33,6 @@ object DedupOps {
       .otherwise(when(n > 0, array(concat_ws(" ", toks))).otherwise(array().cast(ArrayType(StringType))))
   }
 
-  /** MinHash signature: `numHashes` minima of per-shingle seeded xxhash64.
-    * Seeding by prepending the hash index keeps all hashes independent while
-    * staying 100% codegen (no UDF). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))): _*)
-
   /** LSH banding: docs sharing any (band, bucket) are candidate pairs.
     * numHashes = bands * rowsPerBand.
     *
@@ -92,23 +85,6 @@ object DedupOps {
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
-
-  /** 64-bit SimHash over tokens: per-bit vote of each token's xxhash64.
-    * Built from a 64-slot counter array folded with `zip_with` — stays native.
-    */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(TextOps.tokens(lower(text)))
-    val votes = aggregate(toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(zip_with(votes, sequence(lit(0), lit(63)),
-      (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** Near-dup candidates by SimHash: bucket on each of the four 16-bit chunks
