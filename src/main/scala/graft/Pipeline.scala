@@ -530,10 +530,51 @@ private[graft] object Stages {
           field = p => p.split('.').foldLeft(col("__as"))(_ getField _),
           vars = letVars)
         val cond = MongoMatch.compile(matchSpec)(subCtx)
-        if (unwindFlag) df.join(fromDoc, cond, "inner").withColumnRenamed("__as", as)
-        else {
-          val j = regroupJoin(cond)
-          if (inner) j.filter(size(col(as)) > 0) else j
+
+        // `_rangeJoin: {field, width, lo, hi}` turns the theta join into a
+        // bucketed equi-join: the right side lands in bucket
+        // floor(field/width); each left row probes buckets floor(lo/width)..
+        // floor(hi/width). Both sides shuffle on the bucket hash (sort-merge/
+        // shuffled-hash) instead of a BroadcastNestedLoopJoin — the scale
+        // path for band predicates (docs/SCALING.md §3). The original $match
+        // condition is still applied, so results are exact.
+        spec \ "_rangeJoin" match {
+          case rj: JObject =>
+            val bField = str(rj \ "field")
+            val width = (rj \ "width") match {
+              case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+              case JDouble(d) => d; case JDecimal(d) => d.toDouble
+              case other => throw new IllegalArgumentException(s"width: $other")
+            }
+            val lo = cexpr(rj \ "lo")
+            val hi = cexpr(rj \ "hi")
+            val right = fromDoc.withColumn("__bucket",
+              floor(col("__as").getField(bField) / width))
+            val probes = sequence(floor(lo / width), floor(hi / width))
+            if (unwindFlag) {
+              val left = df.withColumn("__bucket", explode_outer(probes))
+              left.join(right, Seq("__bucket")).filter(cond)
+                .drop("__bucket").withColumnRenamed("__as", as)
+            } else {
+              val keepCols = df.columns.toIndexedSeq
+              val left = df.withColumn("__rid", monotonically_increasing_id())
+                .withColumn("__bucket", explode_outer(probes)) // null range -> kept, no match
+              // a right row lives in exactly one bucket -> no duplicate pairs
+              val j = left.join(right, Seq("__bucket"), "left")
+                .withColumn("__as", when(cond, col("__as")))
+                .groupBy(col("__rid"))
+                .agg(first(col(keepCols.head)).as(keepCols.head),
+                  (keepCols.tail.map(c => first(col(c)).as(c)) :+
+                    collect_list(col("__as")).as(as)): _*)
+                .drop("__rid")
+              if (inner) j.filter(size(col(as)) > 0) else j
+            }
+          case _ =>
+            if (unwindFlag) df.join(fromDoc, cond, "inner").withColumnRenamed("__as", as)
+            else {
+              val j = regroupJoin(cond)
+              if (inner) j.filter(size(col(as)) > 0) else j
+            }
         }
     }
   }

@@ -227,6 +227,19 @@ object SparkEntry {
         {"$project": {"o_orderkey": 1, "n_near": {"$size": "$near"}}}
       ]""")),
 
+    "q_lookup_range" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$lookup": {"from": "customer", "let": {"t": "$o_totalprice"},
+          "pipeline": [{"$match": {"$expr": {"$and": [
+            {"$gte": ["$c_acctbal", {"$subtract": [{"$divide": ["$$t", 100]}, 50]}]},
+            {"$lte": ["$c_acctbal", {"$divide": ["$$t", 100]}]}]}}}],
+          "_rangeJoin": {"field": "c_acctbal", "width": 50,
+            "lo": {"$subtract": [{"$divide": ["$o_totalprice", 100]}, 50]},
+            "hi": {"$divide": ["$o_totalprice", 100]}},
+          "as": "near"}},
+        {"$project": {"o_orderkey": 1, "n_near": {"$size": "$near"}}}
+      ]""")),
+
     // ---- $redact ----------------------------------------------------------
     "q_redact" -> ((s, dir) => pipe(s, dir, "orders",
       """[
@@ -521,6 +534,12 @@ object SparkEntry {
          FROM orders o WHERE o_orderkey < 50""",
     "q_dedup" ->
       """SELECT DISTINCT user_id FROM events""",
+    "q_lookup_range" ->
+      """SELECT o_orderkey,
+                CAST((SELECT count(*) FROM customer c
+                      WHERE c.c_acctbal >= o.o_totalprice / 100 - 50
+                        AND c.c_acctbal <= o.o_totalprice / 100) AS INT) AS n_near
+         FROM orders o""",
     "q_merge" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 CASE WHEN o_orderkey < 3000 THEN round(o_totalprice * 2, 2)

@@ -238,6 +238,26 @@ class StagesSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("total") && out.head().getLong(0) == 4L)
   }
 
+  test("$lookup _rangeJoin bucketed theta matches the plain theta join") {
+    val left = (1L to 40L).map(i => (i.toString, i.toDouble)).toDF("_id", "v")
+    val right = (1L to 60L).map(i => (s"r$i", i.toDouble * 0.7)).toDF("_id", "x")
+    val lk = new Pipeline(catalog = _ => right)
+    def q(extra: String) = lk.run(left,
+      s"""[{"$$lookup": {"from": "c", "let": {"lv": "$$v"},
+            "pipeline": [{"$$match": {"$$expr": {"$$and": [
+              {"$$gte": ["$$x", {"$$subtract": ["$$$$lv", 3]}]},
+              {"$$lte": ["$$x", {"$$add": ["$$$$lv", 3]}]}]}}}],
+            $extra "as": "m"}},
+           {"$$project": {"_id": 1, "n": {"$$size": "$$m"}}}]""")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val plain = q("")
+    val bucketed = q(
+      """"_rangeJoin": {"field": "x", "width": 2.5,
+          "lo": {"$subtract": ["$v", 3]}, "hi": {"$add": ["$v", 3]}},""")
+    assert(plain == bucketed)
+    assert(plain.exists(_._2 > 0))
+  }
+
   // ---- $deduplicate (TestDeduplicate.java) -------------------------------
   test("$deduplicate by expression keeps one row per value") {
     val df = Seq(("0", 1L), ("1", 1L), ("2", 2L)).toDF("_id", "test")
