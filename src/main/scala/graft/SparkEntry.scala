@@ -393,6 +393,21 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp"))
     }),
+    "llm_pii_scrub" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.scrubPii(col("text")).as("clean"))
+    }),
+    "llm_sample_stratified" -> ((s, dir) => {
+      tune(s)
+      TextOps.stratifiedSample(t(s, dir, "documents"), "lang", "text", "doc_id", 20)
+        .select("doc_id", "lang")
+    }),
+    "llm_pack_windows" -> ((s, dir) => {
+      tune(s)
+      TextOps.packIntoWindows(t(s, dir, "documents"), "doc_id", "text", 4096)
+        .select("doc_id", "n_tokens", "window_id")
+    }),
     "llm_minhash_pairs" -> ((s, dir) => { // xxhash64 internals: rows-only check
       tune(s)
       DedupOps.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
@@ -616,16 +631,33 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents""",
-    "llm_media_meta" ->
-      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-                CAST(16 + octet_length(encode(text)) % 240 AS INT) AS width,
-                CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
-                3 AS channels, 'stub' AS format
+    "llm_pii_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ ]+', '<URL>', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean
          FROM documents""",
-    "llm_media_frames" ->
-      """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
-                CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms
-         FROM documents WHERE octet_length(encode(text)) > 0""",
+    "llm_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY md5(text), doc_id) AS rn
+           FROM documents) WHERE rn <= 20""",
+    "llm_pack_windows" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096) AS BIGINT)
+                  AS window_id
+         FROM t""",
     "llm_media_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 CAST(16 + octet_length(encode(text)) % 240 AS INT) AS width,

@@ -113,4 +113,55 @@ object TextOps {
     * xxhash64 per token keeps it cheap and well-mixed. */
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
+
+  // --- PII scrubbing -------------------------------------------------------
+
+  /** Replace common PII shapes with typed placeholders (training-data
+    * hygiene). Regexes stay within the RE2-compatible subset so external
+    * engines (and the DuckDB oracle) agree byte-for-byte. Order matters:
+    * emails before bare domains, URLs before IPs. */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    var c = regexp_replace(text, email, "<EMAIL>")
+    c = regexp_replace(c, url, "<URL>")
+    c = regexp_replace(c, ssn, "<SSN>")
+    c = regexp_replace(c, ip, "<IP>")
+    c = regexp_replace(c, phone, "<PHONE>")
+    c
+  }
+
+  // --- deterministic sampling & packing ------------------------------------
+
+  /** Stratified sample: first `perStratum` docs per stratum, ordered by
+    * md5(text) (a deterministic uniform-ish shuffle that any engine can
+    * reproduce) with id tiebreak. One shuffle on the stratum key. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, stratumCol: String,
+      textCol: String, idCol: String, perStratum: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Greedy token packing: assign docs (in `idCol` order) to fixed-size
+    * context windows by cumulative token count. Deterministic; the global
+    * ordering makes this single-reducer — production packs per shard
+    * (`partitionBy(shard)` on the window) which is the same plan with a
+    * partition key (docs/SCALING.md §7). */
+  def packIntoWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, windowTokens: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__n", tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("window_id", floor((col("__cum") - col("__n")) / windowTokens))
+      .drop("__cum")
+      .withColumnRenamed("__n", "n_tokens")
+  }
 }
