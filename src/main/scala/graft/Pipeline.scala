@@ -221,6 +221,41 @@ private[graft] object Stages {
     }
   }
 
+  /** `$project` applied to a DOCUMENT-VALUED column (used by `$lookup`
+    * sub-pipelines): same include/exclude/computed rules, field paths resolve
+    * within the struct. */
+  def projectDoc(base: Column, st: StructType, spec: JValue)
+      (implicit ctx: ExprCtx): Column = {
+    val JObject(rawFields) = (spec: @unchecked)
+    val entries = flatten(rawFields)
+    val excludes = entries.collect { case (k, v) if isExclusion(v) => k }
+    val includes = entries.collect { case (k, v) if isInclusion(v) => k }
+    val computed = entries.collect {
+      case (k, v) if !isInclusion(v) && !isExclusion(v) => (k, v)
+    }
+    require(excludes.forall(_ == "_id") || (includes.isEmpty && computed.isEmpty),
+      "$project cannot mix include and exclude")
+    val inCtx = ctx.copy(field = p => p.split('.').foldLeft(base)(_ getField _))
+    if (includes.isEmpty && computed.isEmpty) base.dropFields(excludes: _*)
+    else {
+      val keep = scala.collection.mutable.LinkedHashMap[String, Column]()
+      if (st.fieldNames.contains("_id") && !excludes.contains("_id") &&
+        !includes.contains("_id") && !computed.exists(_._1 == "_id"))
+        keep("_id") = base.getField("_id")
+      includes.filter(!_.contains('.')).foreach(f => keep(f) = base.getField(f))
+      includes.filter(_.contains('.')).groupBy(_.split('.').head).foreach {
+        case (top, paths) =>
+          keep(top) = rebuildStruct(base.getField(top),
+            paths.map(_.split('.').toList.tail))
+      }
+      computed.foreach {
+        case (_, JString("$$REMOVE")) =>
+        case (k, v)                   => keep(k) = cexpr(v)(inCtx)
+      }
+      struct(keep.toList.map { case (n, c) => c.as(n) }: _*)
+    }
+  }
+
   /** Rebuild a struct keeping only the given sub-paths. */
   private def rebuildStruct(base: Column, paths: List[List[String]]): Column = {
     val byHead = paths.groupBy(_.head)
@@ -476,15 +511,16 @@ private[graft] object Stages {
     val inner = bool(spec \ "inner", default = false)
     val unwindFlag = bool(spec \ "unwind", default = false)
     val fromDoc = from.select(struct(from.columns.map(col).toIndexedSeq: _*).as("__as"))
+    val fromStruct = fromDoc.schema("__as").dataType.asInstanceOf[StructType]
 
-    def regroupJoin(cond: Column): DataFrame = {
+    def regroupJoin(cond: Column, res: Column): DataFrame = {
       val withId = df.withColumn("__rid", monotonically_increasing_id())
       val keepCols = df.columns.toIndexedSeq
       val j = withId.join(fromDoc, cond, "left")
       j.groupBy(col("__rid"))
         .agg(first(col(keepCols.head)).as(keepCols.head),
           (keepCols.tail.map(c => first(col(c)).as(c)) :+
-            collect_list(col("__as")).as(as)): _*)
+            collect_list(res).as(as)): _*)
         .drop("__rid")
     }
 
@@ -499,7 +535,7 @@ private[graft] object Stages {
         if (unwindFlag) // one output per match, `as` scalar (Lookup.java:144-148)
           df.join(fromDoc, matchCond, "inner").withColumnRenamed("__as", as)
         else if (localIsArray) {
-          val j = regroupJoin(matchCond)
+          val j = regroupJoin(matchCond, col("__as"))
           if (inner) j.filter(size(col(as)) > 0) else j
         } else {
           val grouped = from
@@ -521,15 +557,23 @@ private[graft] object Stages {
           case _           => Map.empty
         }
         val JArray(subStages) = ((spec \ "pipeline"): @unchecked)
-        val matchSpec = subStages match {
-          case List(JObject(List(("$match", m)))) => m
+        // supported sub-pipeline: one $match (→ join condition, may use
+        // $$vars) optionally followed by one $project (→ struct projection
+        // of each joined doc)
+        val (matchSpec, projectSpec) = subStages match {
+          case List(JObject(List(("$match", m)))) => (m, None)
+          case List(JObject(List(("$match", m))), JObject(List(("$project", p)))) =>
+            (m, Some(p))
           case _ => throw new IllegalArgumentException(
-            "$lookup pipeline form: only a single $match sub-stage is supported")
+            "$lookup pipeline form: supported shapes are [$match] or [$match, $project]")
         }
         val subCtx = ExprCtx(
           field = p => p.split('.').foldLeft(col("__as"))(_ getField _),
           vars = letVars)
         val cond = MongoMatch.compile(matchSpec)(subCtx)
+        // result doc per joined row: projected when a $project sub-stage given
+        def resDoc(doc: Column): Column =
+          projectSpec.map(p => projectDoc(doc, fromStruct, p)).getOrElse(doc)
 
         // `_rangeJoin: {field, width, lo, hi}` turns the theta join into a
         // bucketed equi-join: the right side lands in bucket
@@ -554,7 +598,7 @@ private[graft] object Stages {
             if (unwindFlag) {
               val left = df.withColumn("__bucket", explode_outer(probes))
               left.join(right, Seq("__bucket")).filter(cond)
-                .drop("__bucket").withColumnRenamed("__as", as)
+                .drop("__bucket").withColumn(as, resDoc(col("__as"))).drop("__as")
             } else {
               val keepCols = df.columns.toIndexedSeq
               val left = df.withColumn("__rid", monotonically_increasing_id())
@@ -565,14 +609,16 @@ private[graft] object Stages {
                 .groupBy(col("__rid"))
                 .agg(first(col(keepCols.head)).as(keepCols.head),
                   (keepCols.tail.map(c => first(col(c)).as(c)) :+
-                    collect_list(col("__as")).as(as)): _*)
+                    collect_list(resDoc(col("__as"))).as(as)): _*)
                 .drop("__rid")
               if (inner) j.filter(size(col(as)) > 0) else j
             }
           case _ =>
-            if (unwindFlag) df.join(fromDoc, cond, "inner").withColumnRenamed("__as", as)
+            if (unwindFlag)
+              df.join(fromDoc, cond, "inner")
+                .withColumn(as, resDoc(col("__as"))).drop("__as")
             else {
-              val j = regroupJoin(cond)
+              val j = regroupJoin(cond, resDoc(col("__as")))
               if (inner) j.filter(size(col(as)) > 0) else j
             }
         }

@@ -238,6 +238,18 @@ class StagesSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("total") && out.head().getLong(0) == 4L)
   }
 
+  test("$lookup sub-pipeline [$match, $project] projects the joined docs") {
+    val df = Seq(("0", 1L)).toDF("_id", "local")
+    val out = look.run(df,
+      """[{"$lookup": {"from": "c", "let": {"lv": "$local"},
+            "pipeline": [
+              {"$match": {"$expr": {"$eq": ["$test", "$$lv"]}}},
+              {"$project": {"t2": {"$multiply": ["$test", 10]}, "_id": 0}}],
+            "as": "m", "unwind": true}}]""")
+    assert(out.select("m.t2").head().getLong(0) == 10L)
+    assert(out.select("m.*").columns.toSeq == Seq("t2"))
+  }
+
   test("$lookup _rangeJoin bucketed theta matches the plain theta join") {
     val left = (1L to 40L).map(i => (i.toString, i.toDouble)).toDF("_id", "v")
     val right = (1L to 60L).map(i => (s"r$i", i.toDouble * 0.7)).toDF("_id", "x")
