@@ -296,6 +296,35 @@ object MongoExpr {
         .getOrElse(lit(false))
     case "$first" => element_at(args(spec).head, 1)
     case "$last"  => element_at(args(spec).head, -1)
+    case "$firstN" =>
+      slice(compile(field(spec, "input")), lit(1), compile(field(spec, "n")))
+    case "$lastN" =>
+      val in = compile(field(spec, "input"))
+      val n = compile(field(spec, "n"))
+      slice(in, greatest(size(in) - n + 1, lit(1)), n)
+    case "$indexOfArray" =>
+      val List(arr, target) = args(spec).take(2)
+      // Mongo: 0-based index of first match, -1 when absent
+      coalesce(array_position(arr, target).cast(IntegerType) - 1, lit(-1))
+    case "$sortArray" =>
+      val in = compile(field(spec, "input"))
+      field(spec, "sortBy") match {
+        case JInt(i) if i < 0 => reverse(array_sort(in))
+        case _                => array_sort(in)
+      }
+    case "$setUnion"        => array_sort(args(spec).reduce(array_union))
+    case "$setIntersection" => array_sort(args(spec).reduce(array_intersect))
+    case "$setDifference"   => val List(a, b) = args(spec); array_sort(array_except(a, b))
+    case "$setEquals" =>
+      val List(a, b) = args(spec)
+      size(array_except(a, b)) === 0 && size(array_except(b, a)) === 0
+    case "$setIsSubset" =>
+      val List(a, b) = args(spec)
+      size(array_except(a, b)) === 0
+    case "$allElementsTrue" =>
+      forall(args(spec).head, e => truthy(e))
+    case "$anyElementTrue" =>
+      exists(args(spec).head, e => truthy(e))
     case "$arrayToObject" => // array of {k,v} docs -> map
       map_from_entries(transform(args(spec).head,
         e => struct(e.getField("k"), e.getField("v"))))
@@ -309,6 +338,11 @@ object MongoExpr {
         case o: JObject => compile(o \ "input").getField(str(o \ "field"))
         case _          => throw new IllegalArgumentException("$getField spec")
       }
+    case "$setField" =>
+      compile(field(spec, "input"))
+        .withField(str(field(spec, "field")), compile(field(spec, "value")))
+    case "$unsetField" =>
+      compile(field(spec, "input")).dropFields(str(field(spec, "field")))
 
     // ---- types ------------------------------------------------------------
     case "$toInt"    => args(spec).head.cast(IntegerType)
@@ -361,6 +395,21 @@ object MongoExpr {
         case Some(f) => to_timestamp(ds, mongoDateFormat(str(f)))
         case None    => to_timestamp(ds)
       }
+    case "$dateTrunc" =>
+      date_trunc(str(field(spec, "unit")), compile(field(spec, "date")))
+    case "$dateToParts" =>
+      val d = compile(field(spec, "date"))
+      struct(year(d).as("year"), month(d).as("month"), dayofmonth(d).as("day"),
+        hour(d).as("hour"), minute(d).as("minute"), second(d).as("second"),
+        (unix_millis(d) % 1000).cast(IntegerType).as("millisecond"))
+    case "$dateFromParts" =>
+      make_timestamp(
+        compile(field(spec, "year")),
+        opt(field(spec, "month")).map(compile).getOrElse(lit(1)),
+        opt(field(spec, "day")).map(compile).getOrElse(lit(1)),
+        opt(field(spec, "hour")).map(compile).getOrElse(lit(0)),
+        opt(field(spec, "minute")).map(compile).getOrElse(lit(0)),
+        opt(field(spec, "second")).map(compile).getOrElse(lit(0)))
     case "$dateAdd" =>
       compile(field(spec, "startDate")) +
         interval(str(field(spec, "unit")), compile(field(spec, "amount")))

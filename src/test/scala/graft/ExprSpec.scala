@@ -102,6 +102,33 @@ class ExprSpec extends SparkSpec {
       Seq(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L), Seq(4L, 4L)))
   }
 
+  test("set and N-ary array operators") {
+    assert(eval("""{"$firstN": {"input": "$arr", "n": 2}}""") == Seq(1L, 2L))
+    assert(eval("""{"$lastN": {"input": "$arr", "n": 2}}""") == Seq(3L, 4L))
+    assert(eval("""{"$indexOfArray": ["$arr", 3]}""") == 2)
+    assert(eval("""{"$indexOfArray": ["$arr", 99]}""") == -1)
+    assert(eval("""{"$sortArray": {"input": {"$reverseArray": "$arr"}, "sortBy": 1}}""")
+      == Seq(1L, 2L, 3L, 4L))
+    assert(eval("""{"$sortArray": {"input": "$arr", "sortBy": -1}}""")
+      == Seq(4L, 3L, 2L, 1L))
+    assert(eval("""{"$setUnion": ["$arr", [4, 9]]}""") == Seq(1L, 2L, 3L, 4L, 9L))
+    assert(eval("""{"$setIntersection": ["$arr", [2, 9]]}""") == Seq(2L))
+    assert(eval("""{"$setDifference": ["$arr", [1, 2]]}""") == Seq(3L, 4L))
+    assert(eval("""{"$setEquals": [[2, 1], [1, 2]]}""") == true)
+    assert(eval("""{"$setIsSubset": [[1, 2], "$arr"]}""") == true)
+    assert(eval("""{"$setIsSubset": [[1, 9], "$arr"]}""") == false)
+    assert(eval("""{"$allElementsTrue": [[true, true]]}""") == true)
+    assert(eval("""{"$allElementsTrue": [[true, false]]}""") == false)
+    assert(eval("""{"$anyElementTrue": [[false, false, true]]}""") == true)
+  }
+
+  test("$setField / $unsetField / $dateTrunc / $dateToParts / $dateFromParts") {
+    assert(eval("""{"$getField": {"input": {"$setField":
+      {"input": {"a": 1}, "field": "b", "value": 5}}, "field": "b"}}""") == 5)
+    assert(eval("""{"$unsetField": {"input": {"a": 1, "b": 2}, "field": "b"}}""")
+      match { case r: org.apache.spark.sql.Row => r.length == 1; case _ => false })
+  }
+
   test("types + conversion") {
     assert(eval("""{"$toInt": "42"}""") == 42)
     assert(eval("""{"$toLong": "42"}""") == 42L)
