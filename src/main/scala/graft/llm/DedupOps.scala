@@ -62,8 +62,11 @@ object DedupOps {
     // alternative (numHashes separate min(xxhash64) aggs) spends more time in
     // Janino than in data.
     val exploded = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
+    // persisted: both sides of the bucket self-join scan the banding, which
+    // would otherwise recompute the signature aggregate twice
     val sigs = exploded.groupBy("doc")
       .agg(graft.functions.HashAggs.minhash(col("shingle"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // (doc, band, bucket) only — shingle sets are NOT carried through the
     // bucket join; payloads re-attach after pair-dedup
     val banded = sigs.select(col("doc"),
