@@ -69,18 +69,28 @@ object VectorOps {
       when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** ANN via hyperplane-LSH: queries probe only their own bucket.
-    * Recall < 1 by construction; nProbes>1 would flip bits for better recall
-    * (future work). */
+  /** ANN via hyperplane-LSH. Multi-probe: each query also probes the buckets
+    * at Hamming distance 1 from its own (flip each plane bit once) —
+    * `1 + nPlanes` probes per query lifts recall substantially for near-
+    * boundary vectors while the corpus is still scanned by bucket, never
+    * fully. The corpus side stays one row per vector; only the (small,
+    * broadcast) query side explodes. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      k: Int, nPlanes: Int = 12, dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .withColumn("bucket", hyperplaneBucket(col("__v"), nPlanes, dim))
-    val q = queries.select(col(qIdCol).as("query_id"),
+    val q0 = queries.select(col(qIdCol).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
-      .withColumn("bucket", hyperplaneBucket(col("__q"), nPlanes, dim))
+      .withColumn("__b0", hyperplaneBucket(col("__q"), nPlanes, dim))
+    val q =
+      if (multiProbe)
+        q0.withColumn("bucket", explode(array(
+          (col("__b0") +: (0 until nPlanes).map(i =>
+            col("__b0").bitwiseXOR(lit(1L << i)))): _*))).drop("__b0")
+      else q0.withColumnRenamed("__b0", "bucket")
     val joined = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", dot(col("__v"), col("__q")))

@@ -1,0 +1,31 @@
+package graft
+
+import graft.llm.VectorOps
+import org.apache.spark.sql.functions._
+
+/** ANN quality: multi-probe LSH recall vs brute-force ground truth. */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") % 50 === 0)
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe LSH recall beats single-probe and finds real neighbors") {
+    val truth = hits(VectorOps.bruteTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    val single = hits(VectorOps.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nPlanes = 4, multiProbe = false))
+    val multi = hits(VectorOps.lshTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nPlanes = 4, multiProbe = true))
+    val rSingle = (single & truth).size.toDouble / truth.size
+    val rMulti = (multi & truth).size.toDouble / truth.size
+    assert(rMulti >= rSingle)
+    // synthetic embeddings are weakly clustered (top-5 cosine ~0.32): with
+    // 4 planes, single-probe expects ~13% bucket collision, multi-probe ~48%
+    assert(rMulti > 0.3, s"multi-probe recall $rMulti too low")
+  }
+}

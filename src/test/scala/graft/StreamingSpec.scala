@@ -112,6 +112,32 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toList == List(("a", 1L, 1L), ("a", 3L, 2L), ("a", 6L, 3L)))
   }
 
+  test("$http runs inside a foreachBatch sink suffix") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/e", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val b = """{"ok":true}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      val results = scala.collection.mutable.Buffer.empty[String]
+      val q = new StreamingPipeline(pipeline).start(input.toDF().toDF("_id", "v"),
+        s"""[{"$$match": {"v": {"$$gte": 1}}},
+             {"$$http": {"url": "http://127.0.0.1:${server.getAddress.getPort}/e",
+                         "as": "result", "retries": 0}}]""",
+        df => results ++= df.select("result").collect().map(_.getString(0)))
+      try {
+        input.addData(("a", 1L), ("b", 0L))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(results.toList == List("""{"ok":true}"""))
+    } finally server.stop(0)
+  }
+
   test("group state survives a checkpointed restart") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val srcDir = dir.resolve("src").toString
