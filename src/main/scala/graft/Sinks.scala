@@ -58,17 +58,23 @@ private[graft] object SinkStages {
     val incoming = incoming0.drop("key")
 
     // messages missing an `on` field -> FailException (Merge.java matchQuery)
-    val badOn = incoming.filter(on.map(f => col(f).isNull).reduce(_ || _))
+    val badOn = incoming0.filter(on.map(f => col(f).isNull).reduce(_ || _))
     if (!badOn.isEmpty)
       throw new IllegalStateException(s"$$merge: message missing 'on' field(s) $on")
 
+    // The reference applies messages sequentially, so several messages with
+    // the same `on` key collapse to the last write. A full-outer join would
+    // instead fan out duplicate target rows — dedupe the batch per key first
+    // (one surviving doc per key; intra-batch order is partition-arrival).
+    val dedupedIncoming = incoming.dropDuplicates(on)
+
     val target = store.read(into)
-    val iCols = incoming.columns.toSeq
+    val iCols = dedupedIncoming.columns.toSeq
     val tCols = target.columns.toSeq
     val allCols = (tCols ++ iCols.filterNot(tCols.contains)).toIndexedSeq
 
     val t = target.select(struct(tCols.map(col): _*).as("__t"))
-    val i = incoming.select(struct(iCols.map(col): _*).as("__i"))
+    val i = dedupedIncoming.select(struct(iCols.map(col): _*).as("__i"))
     val cond = on.map(f => col("__t").getField(f) <=> col("__i").getField(f))
       .reduce(_ && _)
     val j = t.join(i, cond, "full_outer")

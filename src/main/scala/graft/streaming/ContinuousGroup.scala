@@ -39,10 +39,11 @@ object ContinuousGroup {
         (name, op, s)
     }
 
+    val ALL = "\u0000__ALL__" // sentinel that can't collide with a real key
     val keyCol = idSpec match {
-      case JNull | JBool(_) | JInt(_) | JLong(_) | JDouble(_) => lit("all")
-      case JString(s) if !s.startsWith("$")                   => lit("all")
-      case e                                                  => MongoExpr.compile(e).cast(StringType)
+      case JNull | JBool(_) | JInt(_) | JLong(_) | JDouble(_) => lit(ALL)
+      case JString(s) if !s.startsWith("$")                   => lit(ALL)
+      case e => MongoExpr.compile(e).cast(StringType)
     }
     val inputCols = accSpecs.map { case (name, op, s) =>
       (if (op == "$count") lit(1L) else MongoExpr.compile(s)).as(name)
@@ -86,7 +87,7 @@ object ContinuousGroup {
             if (next != st) { // emit only when the aggregate changed (Group.java:178-180)
               st = next
               out += Row.fromSeq(
-                (if (key == "all") null else key) +: accs.map(a => finish(a, st.get(a.name))))
+                (if (key == ALL) null else key) +: accs.map(a => finish(a, st.get(a.name))))
             }
           }
           state.update(st)

@@ -56,6 +56,15 @@ class SinksSpec extends SparkSpec {
     assert(echo.count() == 1)
   }
 
+  test("$merge collapses duplicate on-keys within a batch (sequential-write semantics)") {
+    val st = store
+    st.overwrite("c", Seq(("1", 10L)).toDF("_id", "v"))
+    mkPipe(st).run(Seq(("1", 77L), ("1", 77L), ("2", 5L)).toDF("_id", "v"),
+      """[{"$merge": {"into": "c"}}]""")
+    assert(st.read("c").count() == 2) // no duplicate target rows
+    assert(st.read("c").filter($"_id" === "1").select("v").head().getLong(0) == 77L)
+  }
+
   test("$merge missing on-field fails") {
     val st = store
     st.overwrite("c", Seq(("1", 10L)).toDF("_id", "v"))
