@@ -449,8 +449,11 @@ private[graft] object Stages {
     require(accs.nonEmpty, "$group needs at least one accumulator")
     val aggCols = accs.map { case (n, c) => c.as(n) }
     if (isLiteralId(idSpec))
-      // literal key = single global bucket, emitted as _id: null (Group.java:88,385-388)
-      df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      // literal key = single global bucket, emitted as _id: null
+      // (Group.java:88,385-388); empty input -> NO output row (the reference
+      // emits per message), so guard on the input count
+      df.groupBy().agg(count(lit(1)).as("__n"), aggCols: _*)
+        .filter(col("__n") > 0)
         .select((lit(null).cast(StringType).as("_id") :: accs.map(a => col(a._1))): _*)
     else {
       val grouped = df.groupBy(cexpr(idSpec).as("_id")).agg(aggCols.head, aggCols.tail: _*)
@@ -495,7 +498,7 @@ private[graft] object Stages {
   /** `$count` stage: → `$group {_id:null, f:{$sum:1}}` minus `_id`
     * (Count.java:28-41). */
   def countStage(df: DataFrame, spec: JValue): DataFrame =
-    df.groupBy().agg(count(lit(1)).as(str(spec)))
+    df.groupBy().agg(count(lit(1)).as(str(spec))).filter(col(str(spec)) > 0)
 
   // ---- $lookup ------------------------------------------------------------
 

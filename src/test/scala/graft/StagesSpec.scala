@@ -178,6 +178,13 @@ class StagesSpec extends SparkSpec {
     assert(a.getSeq[Long](a.fieldIndex("ps")).toList.sorted == List(1L, 2L, 2L))
   }
 
+  test("global $group and $count emit nothing on empty input") {
+    val empty = flat.filter($"test" > 100)
+    assert(pipeline.run(empty,
+      """[{"$group": {"_id": null, "n": {"$count": {}}}}]""").count() == 0)
+    assert(pipeline.run(empty, """[{"$count": "n"}]""").count() == 0)
+  }
+
   test("$group literal _id = single global bucket emitted as null") {
     val out = pipeline.run(flat, """[{"$group": {"_id": null, "n": {"$count": {}}}}]""")
     assert(out.count() == 1 && out.head().isNullAt(0) && out.head().getLong(1) == 4L)
