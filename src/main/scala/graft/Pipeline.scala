@@ -630,16 +630,25 @@ private[graft] object Stages {
 
   // ---- $deduplicate -------------------------------------------------------
 
-  /** Batch semantics: keep one message per distinct expression value
-    * (Deduplicate.java:62-147; streaming gets dropDuplicatesWithinWatermark). */
+  /** Keep one message per distinct expression value (Deduplicate.java:62-147).
+    * Batch / unbounded streaming: `dropDuplicates` (state-store backed, exact,
+    * replacing the reference's MongoDB seen-set). Streaming with a TTL — the
+    * reference's `cacheWindow` — declares `_watermark: {column, delay}` and
+    * uses `dropDuplicatesWithinWatermark`, so seen-state expires instead of
+    * growing forever. */
   def deduplicate(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
     val exprSpec = spec \ "expression" match {
       case JNothing => spec
       case e        => e
     }
-    df.withColumn("__dedup", cexpr(exprSpec))
-      .dropDuplicates("__dedup")
-      .drop("__dedup")
+    val keyed = df.withColumn("__dedup", cexpr(exprSpec))
+    val deduped = spec \ "_watermark" match {
+      case wm: JObject if df.isStreaming =>
+        keyed.withWatermark(str(wm \ "column"), str(wm \ "delay"))
+          .dropDuplicatesWithinWatermark("__dedup")
+      case _ => keyed.dropDuplicates("__dedup")
+    }
+    deduped.drop("__dedup")
   }
 
   // ---- $redact ------------------------------------------------------------

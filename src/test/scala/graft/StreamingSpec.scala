@@ -112,6 +112,23 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toList == List(("a", 1L, 1L), ("a", 3L, 2L), ("a", 6L, 3L)))
   }
 
+  test("$deduplicate with _watermark uses TTL'd state (dropDuplicatesWithinWatermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = new StreamingPipeline(pipeline).run(input.toDF().toDF("ts", "v"),
+      """[{"$deduplicate": {"expression": "$v",
+           "_watermark": {"column": "ts", "delay": "10 seconds"}}}]""")
+    val q = out.writeStream.format("memory").queryName("t_wmdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((t0, 1L), (t0, 1L), (t0, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("t_wmdedup").select("v").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("$http runs inside a foreachBatch sink suffix") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(0), 0)
