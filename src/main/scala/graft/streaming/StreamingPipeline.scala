@@ -58,19 +58,48 @@ final class StreamingPipeline(pipeline: Pipeline) {
 
   /** Run the whole pipeline: native prefix on the stream, sink suffix (if
     * any) + `collect` callback per micro-batch. Update output mode so `$group`
-    * emits per changed key per batch. */
+    * emits per changed key per batch.
+    *
+    * @param batchGuard optional [[BatchGuard]]: skips the sink suffix for
+    *        micro-batches already processed before a crash/restart, turning
+    *        checkpoint-replay at-least-once into effectively-once for the
+    *        side effects (the reference is plain at-least-once — retries may
+    *        re-send; SURVEY §2.8).
+    */
   def start(stream: DataFrame, pipelineJson: String,
       collect: DataFrame => Unit,
       trigger: Trigger = Trigger.AvailableNow(),
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      batchGuard: Option[BatchGuard] = None): StreamingQuery = {
     val (native, rest) = split(pipelineJson)
     val transformed = pipeline.run(stream, native)
     val writer: DataStreamWriter[Row] = transformed.writeStream
       .outputMode("update")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        collect(pipeline.run(batch, rest))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchGuard match {
+          case Some(g) => g.once(batchId) { collect(pipeline.run(batch, rest)) }
+          case None    => collect(pipeline.run(batch, rest))
+        }
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
+}
+
+/** File-marker idempotence for foreachBatch side effects: a batch id runs its
+  * effect once; replays (checkpoint recovery) are skipped. The marker commits
+  * AFTER the effect — a crash between effect and marker re-runs the batch,
+  * so downstream writes should be idempotent per batch (same guarantee as
+  * Spark's own file sinks). */
+final class BatchGuard(dir: String) {
+  java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+
+  private def marker(batchId: Long) =
+    java.nio.file.Paths.get(dir, s"batch-$batchId.done")
+
+  def once(batchId: Long)(effect: => Unit): Unit =
+    if (!java.nio.file.Files.exists(marker(batchId))) {
+      effect
+      java.nio.file.Files.createFile(marker(batchId))
+    }
 }

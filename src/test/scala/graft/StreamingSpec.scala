@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingPipeline
+import graft.streaming.{BatchGuard, StreamingPipeline}
 import graft.sources.InMemoryStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -153,6 +153,16 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
       assert(results.toList == List("""{"ok":true}"""))
     } finally server.stop(0)
+  }
+
+  test("BatchGuard runs an effect once per batch id") {
+    val g = new BatchGuard(
+      java.nio.file.Files.createTempDirectory("graft_guard").toString)
+    var runs = 0
+    g.once(7L) { runs += 1 }
+    g.once(7L) { runs += 1 } // replay skipped
+    g.once(8L) { runs += 1 }
+    assert(runs == 2)
   }
 
   test("group state survives a checkpointed restart") {
