@@ -393,6 +393,13 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp"))
     }),
+    "llm_ann_ivf" -> ((s, dir) => { // KMeans-trained buckets: rows-only check
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      VectorOps.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 2)
+    }),
     "llm_pii_scrub" -> ((s, dir) => {
       tune(s)
       t(s, dir, "documents").select(col("doc_id"),
