@@ -477,7 +477,7 @@ private[graft] object Stages {
     }
     require(ordered == ordered.sorted && ordered.distinct == ordered,
       "$bucket boundaries must be strictly ascending") // Bucket.java:69-72
-    val branches = bounds.sliding(2).map { case List(lo, hi) =>
+    val branches = bounds.sliding(2).collect { case List(lo, hi) =>
       JObject(List(
         "case" -> JObject(List("$and" -> JArray(List(
           JObject(List("$gte" -> JArray(List(groupBy, lo)))),

@@ -25,6 +25,20 @@ object Messages {
       schema.fieldNames.toIndexedSeq.map(f => col("__doc").getField(f).as(f))): _*)
   }
 
+  /** Schemaless ingestion (SURVEY §1: "schema_of_json-style inference at
+    * pipeline build time"): infer one unioned schema from the batch of JSON
+    * values, then parse. Heterogeneous documents land in the union schema
+    * with nulls for fields they lack — matching the engine's missing≈null
+    * semantics. (Batch only: streaming needs a declared schema, like every
+    * Spark streaming source.) */
+  def parseInferred(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val values = records.select(col("value").cast("string").as("value")).as[String]
+    val inferred = spark.read.json(values).schema
+    parse(records, inferred)
+  }
+
   /** Pipeline rows -> (key, value json-string) records; key defaults to the
     * document `_id` (Base.java:54-57 behavior) when no key column exists. */
   def toJson(df: DataFrame): DataFrame = {

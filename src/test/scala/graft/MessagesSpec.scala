@@ -24,6 +24,18 @@ class MessagesSpec extends SparkSpec {
       List("20", """{"_id":"b","test":20}""")))
   }
 
+  test("parseInferred handles heterogeneous schemaless documents") {
+    val records = Seq(
+      ("k1", """{"_id": "a", "n": 1, "tag": "x"}"""),
+      ("k2", """{"_id": "b", "n": 2, "extra": true}""")).toDF("key", "value")
+    val rows = Messages.parseInferred(records)
+    // union schema: fields from BOTH docs, nulls where missing
+    assert(rows.columns.toSet == Set("key", "_id", "n", "tag", "extra"))
+    val out = pipeline.run(rows,
+      """[{"$match": {"tag": {"$exists": false}}}]""") // missing ≈ null
+    assert(out.select("_id").head().getString(0) == "b")
+  }
+
   test("toJson keys by _id when no key column exists") {
     val back = Messages.toJson(Seq(("a", 1L)).toDF("_id", "test"))
     assert(back.head().getString(0) == "a")
