@@ -137,7 +137,7 @@ object HttpStage {
         return Right((resp.statusCode(), resp.body()))
       } catch {
         case e: Exception =>
-          last = Left(e.getMessage)
+          last = Left(e.toString) // getMessage can be null (e.g. ConnectException)
           attempt += 1
           if (attempt <= retries) Thread.sleep(1000L * attempt)
       }

@@ -71,6 +71,44 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("$http recovers from transient failures within bounded retries (http5Recover)") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val n = attempts.incrementAndGet()
+      val (status, body) = if (n <= 1) (503, "down") else (200, """{"up":true}""")
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val df = Seq(("0", "x")).toDF("_id", "r")
+      // status>=300 is an httpError (no retry, like the reference: only
+      // TRANSPORT errors retry) — so first call lands 503 as httpError
+      val out = pipeline.run(df,
+        s"""[{"$$http": {"url": "http://127.0.0.1:${server.getAddress.getPort}/flaky",
+              "as": "result", "retries": 0}}]""")
+      assert(out.select("httpError.statusCode").head().getInt(0) == 503)
+      // subsequent pipeline (n=3) gets the recovered body
+      val out2 = pipeline.run(df,
+        s"""[{"$$http": {"url": "http://127.0.0.1:${server.getAddress.getPort}/flaky",
+              "as": "result", "retries": 0}}]""")
+      assert(out2.select("result").head().getString(0) == """{"up":true}""")
+    } finally server.stop(0)
+  }
+
+  test("$http transport failure after bounded retries -> httpError statusCode 0") {
+    val df = Seq(("0", "x")).toDF("_id", "r")
+    // closed port: connection refused, 1 retry then error row (vs the
+    // reference's retry-forever — documented deviation)
+    val out = pipeline.run(df,
+      """[{"$http": {"url": "http://127.0.0.1:1/none", "as": "result",
+            "retries": 1}}]""")
+    val e = out.select("httpError.statusCode", "httpError.body").head()
+    assert(e.getInt(0) == 0 && e.getString(1) != null)
+  }
+
   test("$http invalid method -> httpError 400 (Http.java:111-113)") {
     withServer { port =>
       val df = Seq(("0", "BOGUS")).toDF("_id", "m")
