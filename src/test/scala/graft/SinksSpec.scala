@@ -74,6 +74,15 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("$merge whenMatched=fail raises on a match") {
+    val st = store
+    st.overwrite("c", Seq(("1", 10L)).toDF("_id", "v"))
+    intercept[Exception] {
+      mkPipe(st).run(Seq(("1", 99L)).toDF("_id", "v"),
+        """[{"$merge": {"into": "c", "whenMatched": "fail"}}]""")
+    }
+  }
+
   test("$out replaces matched docs wholesale") {
     val st = store
     st.overwrite("c", Seq(("1", 10L), ("9", 90L)).toDF("_id", "v"))
