@@ -105,7 +105,14 @@ object MongoExpr {
           case c   => throw new IllegalArgumentException(s"unsupported date spec %$c")
         })
         i += 2
-      } else { out.append(f.charAt(i)); i += 1 }
+      } else {
+        val c = f.charAt(i)
+        // literal letters (e.g. the ISO 'T' in "%Y-%m-%dT%H:%M:%S") must be
+        // quoted — java.time treats bare letters as pattern fields
+        if (c.isLetter) out.append('\'').append(c).append('\'')
+        else out.append(c)
+        i += 1
+      }
     }
     out.toString
   }

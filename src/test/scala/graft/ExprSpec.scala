@@ -173,6 +173,8 @@ class ExprSpec extends SparkSpec {
     assert(ev("""{"$second": "$ts"}""") == 7)
     assert(ev("""{"$dateToString": {"format": "%Y-%m-%d %H:%M:%S", "date": "$ts"}}""")
       == "2021-03-04 05:06:07")
+    assert(ev("""{"$dateToString": {"format": "%Y-%m-%dT%H:%M:%S", "date": "$ts"}}""")
+      == "2021-03-04T05:06:07") // literal letters must not be pattern fields
     assert(ev("""{"$dateFromString": {"dateString": "2021-03-04"}}""")
       .toString.startsWith("2021-03-04"))
     assert(ev("""{"$dateAdd": {"startDate": "$ts", "unit": "day", "amount": 2}}""")
