@@ -64,9 +64,19 @@ private[graft] object SinkStages {
 
     // The reference applies messages sequentially, so several messages with
     // the same `on` key collapse to the last write. A full-outer join would
-    // instead fan out duplicate target rows — dedupe the batch per key first
-    // (one surviving doc per key; intra-batch order is partition-arrival).
-    val dedupedIncoming = incoming.dropDuplicates(on)
+    // instead fan out duplicate target rows — keep exactly one doc per key:
+    // the one with the highest monotonically_increasing_id, i.e. the latest
+    // in (partition, offset) order, approximating arrival order
+    // deterministically (dropDuplicates would keep an arbitrary survivor).
+    val dedupedIncoming = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(on.map(col): _*)
+        .orderBy(col("__mid").desc)
+      incoming.withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__mid", "__rn")
+    }
 
     val target = store.read(into)
     val iCols = dedupedIncoming.columns.toSeq

@@ -62,17 +62,23 @@ object HttpStage {
       case b        => to_json(cexpr(b)) // object/array -> JSON (Http.java:468-474)
     }
 
+    // A second $http in the same pipeline overwrites `as`/`httpError` on the
+    // message (the reference replaces the fields, Http.java:131-141) — drop
+    // pre-existing columns so the output schema never holds duplicates. The
+    // expression columns above were compiled against the ORIGINAL df, so a
+    // body/url referencing the previous stage's result still resolves.
+    val base0 = df.drop(as, "httpError")
     val prepared = df
       .withColumn("__url", urlCol).withColumn("__method", methodCol)
       .withColumn("__headers", headersCol).withColumn("__body", bodyCol)
+      .drop(as, "httpError")
     val inSchema = prepared.schema
-    val n = inSchema.length
-    val outSchema = StructType(df.schema.fields ++ Array(
+    val outSchema = StructType(base0.schema.fields ++ Array(
       StructField(as, StringType, nullable = true),
       StructField("httpError", StructType(Seq(
         StructField("statusCode", IntegerType),
         StructField("body", StringType))), nullable = true)))
-    val keepIdx = df.schema.fieldNames.map(inSchema.fieldIndex).toIndexedSeq
+    val keepIdx = base0.schema.fieldNames.map(inSchema.fieldIndex).toIndexedSeq
 
     val out = prepared.mapPartitions { rows =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

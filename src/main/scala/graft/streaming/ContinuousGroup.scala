@@ -53,10 +53,16 @@ object ContinuousGroup {
 
     val accs = accSpecs.map { case (name, op, _) =>
       val inT = inTypes(name).dataType
+      def fractional(t: DataType): Boolean = t match {
+        case FloatType | DoubleType | _: DecimalType => true
+        case _                                       => false
+      }
       val outT = op match {
         case "$avg" | "$stdDevPop"  => DoubleType
         case "$count"               => LongType
-        case "$sum"                 => if (inT == DoubleType) DoubleType else LongType
+        // any fractional input sums as Double (fold produces num(v): Double);
+        // integral inputs keep exact Long arithmetic
+        case "$sum"                 => if (fractional(inT)) DoubleType else LongType
         case "$push" | "$addToSet"  => ArrayType(inT)
         case _                      => inT
       }
@@ -96,8 +102,9 @@ object ContinuousGroup {
   }
 
   private def num(v: Any): Double = v.asInstanceOf[Number].doubleValue()
-  private def isLongish(v: Any): Boolean =
-    v.isInstanceOf[java.lang.Long] || v.isInstanceOf[java.lang.Integer]
+  private def isLongish(v: Any): Boolean = v.isInstanceOf[java.lang.Long] ||
+    v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Short] ||
+    v.isInstanceOf[java.lang.Byte]
 
   /** Fold one input value into one accumulator's state. Nulls are ignored by
     * every accumulator except $last (Group.java per-accumulator behavior). */
@@ -144,10 +151,15 @@ object ContinuousGroup {
       s"unsupported continuous accumulator $other")
   }
 
+  /** Cross-type numeric compare, same-type Comparable compare (timestamps,
+    * dates, booleans, strings); genuinely incomparable mixed-type pairs keep
+    * the accumulated value (0), mirroring Mongo's keep-first on type ties. */
   private def compareAny(a: Any, b: Any): Int = (a, b) match {
-    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: String, y: String) => x.compareTo(y)
-    case _                      => 0
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: Comparable[_], y) if x.getClass == y.getClass =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => 0
   }
 
   /** Final value from accumulator state (the selector — Group.java:121-122). */

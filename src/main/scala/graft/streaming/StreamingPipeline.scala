@@ -56,9 +56,24 @@ final class StreamingPipeline(pipeline: Pipeline) {
     pipeline.run(stream, native)
   }
 
+  /** True when the native prefix contains a `_continuous: true` `$group` —
+    * that compiles to flatMapGroupsWithState(Append), which Spark only allows
+    * in an append-output-mode query. */
+  private[graft] def hasContinuousGroup(native: JValue): Boolean = native match {
+    case JArray(stages) => stages.exists {
+      case JObject(fields) => fields.exists { case (n, spec) =>
+        n == "$group" && (spec \ "_continuous") == JBool(true)
+      }
+      case _ => false
+    }
+    case _ => false
+  }
+
   /** Run the whole pipeline: native prefix on the stream, sink suffix (if
     * any) + `collect` callback per micro-batch. Update output mode so `$group`
-    * emits per changed key per batch.
+    * emits per changed key per batch — except when the prefix holds a
+    * `_continuous` `$group` (flatMapGroupsWithState), which Spark requires to
+    * run in append mode; `outputMode` overrides the choice explicitly.
     *
     * @param batchGuard optional [[BatchGuard]]: skips the sink suffix for
     *        micro-batches already processed before a crash/restart, turning
@@ -70,11 +85,14 @@ final class StreamingPipeline(pipeline: Pipeline) {
       collect: DataFrame => Unit,
       trigger: Trigger = Trigger.AvailableNow(),
       checkpoint: Option[String] = None,
-      batchGuard: Option[BatchGuard] = None): StreamingQuery = {
+      batchGuard: Option[BatchGuard] = None,
+      outputMode: Option[String] = None): StreamingQuery = {
     val (native, rest) = split(pipelineJson)
     val transformed = pipeline.run(stream, native)
+    val mode = outputMode.getOrElse(
+      if (hasContinuousGroup(native)) "append" else "update")
     val writer: DataStreamWriter[Row] = transformed.writeStream
-      .outputMode("update")
+      .outputMode(mode)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batchGuard match {

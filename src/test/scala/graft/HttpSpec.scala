@@ -47,6 +47,23 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("two $http stages in one pipeline: second overwrites as/httpError (no dup columns)") {
+    withServer { port =>
+      val df = Seq(("0", "missing")).toDF("_id", "resource")
+      val out = pipeline.run(df,
+        s"""[{"$$http": {"url": "http://127.0.0.1:$port/missing",
+              "as": "result", "retries": 0}},
+             {"$$http": {"url": "http://127.0.0.1:$port/ok",
+              "as": "result", "retries": 0}}]""")
+      // exactly ONE result and ONE httpError column survive
+      assert(out.columns.count(_ == "result") == 1)
+      assert(out.columns.count(_ == "httpError") == 1)
+      val row = out.head()
+      assert(row.getAs[String]("result") == """{"x":1}""") // 2nd stage's body
+      assert(row.getAs[Any]("httpError") == null) // 2nd stage cleared the 404
+    }
+  }
+
   test("$http unwind emits one message per array element, none for empty (http GET unwind)") {
     withServer { port =>
       val df = Seq(("0", "arr"), ("1", "empty")).toDF("_id", "resource")

@@ -59,7 +59,11 @@ class SinksSpec extends SparkSpec {
   test("$merge collapses duplicate on-keys within a batch (sequential-write semantics)") {
     val st = store
     st.overwrite("c", Seq(("1", 10L)).toDF("_id", "v"))
-    mkPipe(st).run(Seq(("1", 77L), ("1", 77L), ("2", 5L)).toDF("_id", "v"),
+    // DISTINCT values for the duplicated key: the reference applies messages
+    // sequentially, so the LAST write must win — deterministically, not
+    // whichever dropDuplicates happened to keep
+    mkPipe(st).run(
+      Seq(("1", 41L), ("1", 77L), ("2", 5L)).toDF("_id", "v").coalesce(1),
       """[{"$merge": {"into": "c"}}]""")
     assert(st.read("c").count() == 2) // no duplicate target rows
     assert(st.read("c").filter($"_id" === "1").select("v").head().getLong(0) == 77L)

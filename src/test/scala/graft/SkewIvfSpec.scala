@@ -22,6 +22,20 @@ class SkewIvfSpec extends SparkSpec {
     assert(gotCd == want.view.mapValues(_._2).toMap)
   }
 
+  test("salting spreads a constant-valued hot key across reducers") {
+    // the canonical hot-key counting case: every row of the hot key carries
+    // the SAME value — a value-derived salt would land all of them in one
+    // (key, salt) group, keeping the skew
+    val df = (Seq.fill(4000)(("hot", 1L)) ++ Seq.fill(50)(("cold", 2L)))
+      .toDF("k", "v").repartition(4)
+    val partials = Skew.saltedPartials(df, $"k", 8, sum, $"v")
+      .filter($"__k" === "hot")
+    assert(partials.count() == 8, "hot key must spread over all 8 salts")
+    val got = Skew.saltedSum(df, $"k", $"v", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 4000L, "cold" -> 100L))
+  }
+
   test("IVF ANN recall on clustered embeddings beats hyperplane LSH") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 50 === 0)

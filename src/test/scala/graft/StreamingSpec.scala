@@ -90,6 +90,23 @@ class StreamingSpec extends SparkSpec {
     assert(sums == Seq(0L, 1L, 3L, 6L))
   }
 
+  test("continuous $group: float $sum widens to Double; $max orders timestamps") {
+    val df = Seq(
+      ("a", 1.5f, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      ("a", 2.25f, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("g", "f", "ts").coalesce(1)
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": "$g", "_continuous": true,
+                      "s": {"$sum": "$f"}, "latest": {"$max": "$ts"}}}]""")
+    assert(out.schema("s").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val last = out.collect().last
+    assert(last.getDouble(out.schema.fieldIndex("s")) == 3.75)
+    // $max must keep the LARGER timestamp even though it arrived first
+    assert(last.getTimestamp(out.schema.fieldIndex("latest")) ==
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+  }
+
   test("continuous $group per-key streaming emission across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
@@ -110,6 +127,27 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     assert(collected.toList == List(("a", 1L, 1L), ("a", 3L, 2L), ("a", 6L, 3L)))
+  }
+
+  test("start() auto-selects append mode for a _continuous $group") {
+    // the README's advertised combination: _continuous group run via
+    // StreamingPipeline.start — flatMapGroupsWithState(Append) is rejected by
+    // Spark in an update-mode query, so start() must pick append itself
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(pipeline)
+    val collected = scala.collection.mutable.Buffer.empty[(String, Long)]
+    val q = sp.start(input.toDF().toDF("g", "v"),
+      """[{"$group": {"_id": "$g", "_continuous": true,
+                      "s": {"$sum": "$v"}}}]""",
+      df => collected ++= df.collect().map(r => (r.getString(0), r.getLong(1))),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(("a", 1L), ("a", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // exact per-message emission, run through start() without AnalysisException
+    assert(collected.toList == List(("a", 1L), ("a", 3L)))
   }
 
   test("$deduplicate with _watermark uses TTL'd state (dropDuplicatesWithinWatermark)") {
