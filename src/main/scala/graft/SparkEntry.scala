@@ -174,12 +174,23 @@ object SparkEntry {
           "input": "$names", "initialValue": "",
           "in": {"$concat": ["$$value", ",", "$$this"]}}}}}
       ]""")),
-    "q_group_push" -> ((s, dir) => // arrival-order array: rows-only check
-      pipe(s, dir, "nation",
-        """[{"$group": {"_id": "$n_regionkey", "names": {"$push": "$n_name"}}}]""")),
-    "q_group_last" -> ((s, dir) => // arrival-order pick: rows-only check
-      pipe(s, dir, "nation",
-        """[{"$group": {"_id": "$n_regionkey", "last_name": {"$last": "$n_name"}}}]""")),
+    // $push gathers in arrival order; the test projects a SORTED join so the
+    // output is oracle-checkable (and scalar — the driver's compare cannot
+    // sort raw array columns)
+    "q_group_push" -> ((s, dir) => pipe(s, dir, "nation",
+      """[{"$group": {"_id": "$n_regionkey", "names": {"$push": "$n_name"}}},
+          {"$project": {"_id": 1, "names_str": {"$reduce": {
+            "input": {"$sortArray": {"input": "$names", "sortBy": 1}},
+            "initialValue": "",
+            "in": {"$concat": ["$$value", ",", "$$this"]}}}}}]""")),
+    // $last = arrival order; pin it by feeding a single sorted partition so
+    // the oracle (arg_max by nationkey) is exact
+    "q_group_last" -> ((s, dir) => {
+      tune(s)
+      new Pipeline().run(
+        t(s, dir, "nation").orderBy("n_nationkey").coalesce(1),
+        """[{"$group": {"_id": "$n_regionkey", "last_name": {"$last": "$n_name"}}}]""")
+    }),
 
     "q_group_mergeobjects" -> ((s, dir) => {
       tune(s)
@@ -304,11 +315,15 @@ object SparkEntry {
           """[{"$send": {"topic": "$event_type"}}]""").count()
       captured
     }),
-    "q_per" -> ((s, dir) => // per-partition batch sizes: rows-only check
-      pipe(s, dir, "events",
-        """[{"$project": {"event_id": 1}},
-            {"$per": {"amount": 50, "as": "batch"}},
-            {"$project": {"n": {"$size": "$batch"}}}]""")),
+    // $per batches per partition; a single input partition makes the batch
+    // sizes exact (N/amount full batches) and therefore oracle-checkable
+    "q_per" -> ((s, dir) => {
+      tune(s)
+      new Pipeline().run(
+        t(s, dir, "events").select("event_id").coalesce(1),
+        """[{"$per": {"amount": 50, "as": "batch"}},
+            {"$project": {"n": {"$size": "$batch"}}}]""")
+    }),
     "q_throttle" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$throttle": {"maxPerSecond": 1000000}},
           {"$project": {"event_id": 1, "user_id": 1}}]""")),
@@ -427,13 +442,15 @@ object SparkEntry {
     }),
     "llm_ngram_jaccard" -> ((s, dir) => {
       tune(s)
-      val d = t(s, dir, "documents").filter(col("doc_id") % 97 === 0)
-      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      // shingle ONCE per doc before the pair join — inlining the shingling
+      // into the pair expression re-tokenizes per pair (O(pairs × doc_len))
+      val d = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          DedupOps.ngramJaccard(col("ta"), col("tb"), 3).as("jaccard"))
-        .filter(col("jaccard") > 0)
+          DedupOps.jaccardOfSets(col("sh_a"), col("sh_b")).as("jaccard"))
     }),
     "llm_media_meta" -> ((s, dir) => {
       tune(s)
@@ -446,7 +463,7 @@ object SparkEntry {
         graft.llm.MultimodalOps.asMedia(t(s, dir, "documents"), "text", "doc_id"),
         n = 4).select("media_id", "frame_idx", "frame_ts_ms")
     }),
-    "llm_cosine_topk" -> ((s, dir) => { // float-math: rows-only check
+    "llm_cosine_topk" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -521,6 +538,60 @@ object SparkEntry {
       """SELECT l_returnflag AS _id,
                 round(stddev_pop(l_quantity), 6) AS sd
          FROM lineitem GROUP BY 1""",
+    "q_group_push" ->
+      """SELECT n_regionkey AS _id,
+                ',' || string_agg(n_name, ',' ORDER BY n_name) AS names_str
+         FROM nation GROUP BY 1""",
+    "q_group_last" ->
+      """SELECT n_regionkey AS _id, arg_max(n_name, n_nationkey) AS last_name
+         FROM nation GROUP BY 1""",
+    "q_per" ->
+      """SELECT CAST(count(*) AS INT) AS n
+         FROM (SELECT (row_number() OVER () - 1) // 50 AS g FROM events)
+         GROUP BY g""",
+    "llm_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> length(x) > 0) AS toks
+           FROM documents WHERE doc_id % 17 = 0),
+         s AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' ')))
+                  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                  ELSE [] END AS sh
+           FROM d)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CASE WHEN len(list_distinct(a.sh || b.sh)) > 0 THEN
+                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        len(list_distinct(a.sh || b.sh)), 6)
+                END AS jaccard
+         FROM s a JOIN s b ON a.doc_id < b.doc_id""",
+    "llm_cosine_topk" ->
+      """WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0),
+         s AS (
+           SELECT q.query_id, c.vec_id AS nn_id,
+                  list_inner_product(c.v, q.qv) AS sim0
+           FROM n c, q WHERE c.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, nn_id, sim0,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim0 DESC, nn_id) AS rk
+           FROM s)
+         SELECT query_id, nn_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
+         FROM r WHERE rk <= 5""",
     "q_group_addtoset" ->
       """SELECT n_regionkey AS _id,
                 ',' || string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS names_str

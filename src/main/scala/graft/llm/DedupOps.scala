@@ -118,12 +118,17 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity between two text columns. */
-  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column = {
-    val sa = shingles(a, k)
-    val sb = shingles(b, k)
+  /** Jaccard similarity of two precomputed shingle-set columns. For pairwise
+    * use (cross/bucket joins) ALWAYS shingle each side once before the join
+    * and pass the sets here — inlining [[shingles]] into the pair expression
+    * re-tokenizes both texts for every PAIR, an O(pairs × doc_len) blowup
+    * measured at 30+ s on a 51-doc cross join. */
+  def jaccardOfSets(sa: Column, sb: Column): Column =
     when(size(array_union(sa, sb)) > 0,
       round(size(array_intersect(sa, sb)).cast(DoubleType) / size(array_union(sa, sb)), 6))
       .otherwise(lit(null))
-  }
+
+  /** Exact n-gram Jaccard similarity between two text columns. */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column =
+    jaccardOfSets(shingles(a, k), shingles(b, k))
 }
