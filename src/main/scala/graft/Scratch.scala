@@ -8,6 +8,16 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args(0) == "entry") { val d = SparkEntry.entry(spark); d.show(10, false); println(s"entry rows=${d.count()}") }
+    else if (args(0) == "time") { // time <name> [sfDir] [reps]: isolated wall time per run
+      val q = SparkEntry.queries(args(1))
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      val reps = if (args.length > 3) args(3).toInt else 2
+      for (i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = q(spark, dir).count()
+        println(f"TIME ${args(1)} run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     else {
       val q = SparkEntry.queries(args(0))
       q(spark, if (args.length > 1) args(1) else "/root/testdata/sf0.001").show(5, false)

@@ -57,22 +57,25 @@ private[graft] object SinkStages {
     }
     val incoming = incoming0.drop("key")
 
-    // messages missing an `on` field -> FailException (Merge.java matchQuery)
-    val badOn = incoming0.filter(on.map(f => col(f).isNull).reduce(_ || _))
-    if (!badOn.isEmpty)
-      throw new IllegalStateException(s"$$merge: message missing 'on' field(s) $on")
-
     // The reference applies messages sequentially, so several messages with
     // the same `on` key collapse to the last write. A full-outer join would
     // instead fan out duplicate target rows — keep exactly one doc per key:
     // the one with the highest monotonically_increasing_id, i.e. the latest
     // in (partition, offset) order, approximating arrival order
     // deterministically (dropDuplicates would keep an arbitrary survivor).
+    // Messages missing an `on` field fail the batch (Merge.java matchQuery);
+    // the check rides the `__mid` column so it costs no extra pass — the
+    // versioned store only flips its pointer on success, so the failed write
+    // leaves the collection untouched.
+    val badOnMsg = s"$$merge: message missing 'on' field(s) $on"
     val dedupedIncoming = {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(on.map(col): _*)
         .orderBy(col("__mid").desc)
-      incoming.withColumn("__mid", monotonically_increasing_id())
+      incoming.withColumn("__mid",
+          when(on.map(f => col(f).isNull).reduce(_ || _),
+            raise_error(lit(badOnMsg)).cast(LongType))
+            .otherwise(monotonically_increasing_id()))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__mid", "__rn")
@@ -127,17 +130,33 @@ private[graft] object SinkStages {
     }
 
     val discardInsert = whenNotMatched == "discard"
-    val resolved = j.select((Seq(col("__t"), col("__i")) ++
+    // the missing-on-field raise_error can fire wherever the plan first
+    // evaluates — optimizer constant folding on the driver (persist eagerly
+    // optimizes), or inside the write job — so both eager calls translate it
+    def translating[A](f: => A): A =
+      try f
+      catch {
+        case e: Throwable =>
+          val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+          if (causes.exists(c => Option(c.getMessage).exists(_.contains(badOnMsg))))
+            throw new IllegalStateException(badOnMsg)
+          else throw e
+      }
+    // persisted: the join feeds BOTH the new collection write (eager, below)
+    // and the downstream echo (lazy) — without this the full-outer join and
+    // the arrival-order window run twice
+    val resolved = translating(j.select((Seq(col("__t"), col("__i")) ++
       allCols.map(resultFor)): _*)
       .withColumn("__written",
         matched || (insertOnly && lit(!discardInsert)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // new collection contents: everything except discarded inserts
     val newTarget = resolved
       .filter(col("__t").isNotNull || !lit(discardInsert))
       .filter(col("__t").isNotNull || col("__written"))
       .select(allCols.map(col): _*)
-    store.overwrite(into, newTarget)
+    translating(store.overwrite(into, newTarget))
 
     // downstream echo: written/kept docs for each incoming message, with the
     // incoming _id restored, re-keyed by _id (Merge.java:142-179)

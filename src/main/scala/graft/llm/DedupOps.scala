@@ -23,15 +23,22 @@ object DedupOps {
       .groupBy("text_md5")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word k-shingles of the lowercased text. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextOps.tokens(lower(text))
-    val n = size(toks)
-    when(n >= k,
-      array_distinct(transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(when(n > 0, array(concat_ws(" ", toks))).otherwise(array().cast(ArrayType(StringType))))
-  }
+  /** Word k-shingles of the lowercased text.
+    *
+    * The token array is let-bound through a single-element `transform` lambda:
+    * higher-order functions evaluate their lambda BODY per element, so writing
+    * `slice(tokens(text), …)` inside the per-shingle lambda re-tokenizes the
+    * document once per shingle — O(len²) per doc, measured 5 s for 5k short
+    * docs. A lambda variable is evaluated once per row. */
+  def shingles(text: Column, k: Int): Column =
+    element_at(transform(array(TextOps.tokens(lower(text))), { toks =>
+      val n = size(toks)
+      when(n >= k,
+        array_distinct(transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+        .otherwise(when(n > 0, array(concat_ws(" ", toks)))
+          .otherwise(array().cast(ArrayType(StringType))))
+    }), 1)
 
   /** LSH banding: docs sharing any (band, bucket) are candidate pairs.
     * numHashes = bands * rowsPerBand.
