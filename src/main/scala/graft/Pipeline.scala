@@ -88,6 +88,8 @@ final class Pipeline(
       case "$probe"       => SinkStages.probe(df, spec, producer)
       case "$per"         => SinkStages.per(df, spec)
       case "$http"        => graft.operators.HttpStage(df, spec)
+      case "$jslt"        => graft.operators.ScriptStages.jslt(df, spec)
+      case "$jq"          => graft.operators.ScriptStages.jq(df, spec)
       case "$throttle"    => df // rate control is source-side in Spark
         // (maxOffsetsPerTrigger) — documented deviation, SURVEY §2.3
       case "$trace" | "$backTrace" => df // observability no-ops in batch

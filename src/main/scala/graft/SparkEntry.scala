@@ -251,6 +251,12 @@ object SparkEntry {
         {"$project": {"o_orderkey": 1, "n_near": {"$size": "$near"}}}
       ]""")),
 
+    // ---- $jslt / $jq (columnar script compile, ScriptStages) --------------
+    "q_jslt" -> ((s, dir) => pipe(s, dir, "customer",
+      """[{"$jslt": "{\"cust\": uppercase(.c_name), \"seg\": lowercase(.c_mktsegment), \"bal2\": .c_acctbal * 2, \"cls\": if (.c_acctbal > 0) \"pos\" else \"neg\", \"key_\": .c_custkey, *: .}"}]""")),
+    "q_jq" -> ((s, dir) => pipe(s, dir, "part",
+      """[{"$jq": "select(.p_size > 25) | {part: .p_name, double_size: (.p_size * 2), brand: (.p_brand | ascii_downcase), pk: .p_partkey}"}]""")),
+
     // ---- $redact ----------------------------------------------------------
     "q_redact" -> ((s, dir) => pipe(s, dir, "orders",
       """[
@@ -656,6 +662,17 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
          FROM orders""",
+    "q_jslt" ->
+      """SELECT upper(c_name) AS cust, lower(c_mktsegment) AS seg,
+                c_acctbal * 2 AS bal2,
+                CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'neg' END AS cls,
+                c_custkey AS key_,
+                c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer""",
+    "q_jq" ->
+      """SELECT p_name AS part, CAST(p_size * 2 AS BIGINT) AS double_size,
+                lower(p_brand) AS brand, p_partkey AS pk
+         FROM part WHERE p_size > 25""",
     "q_expr_strings" ->
       """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS low,
                 substring(p_type, 1, 5) AS sub,

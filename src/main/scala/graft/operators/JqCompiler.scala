@@ -1,0 +1,452 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A jq-subset compiler for the reference's `$jq` stage (Jq.java:16-33;
+  * jackson-jq underneath). Same columnar strategy as [[JsltCompiler]]: the
+  * filter is compiled against the input schema to Catalyst `Column`s.
+  *
+  * Supported subset:
+  *  - identity `.`, paths `.foo.bar`, `.foo[0]`, `.[1]`
+  *  - pipe `f | g` (the right side's context is the left side's output —
+  *    the right side must be path/constructor-shaped so its type is known)
+  *  - literals, object construction `{a: .b, "c": 1, d}` (shorthand `d` =
+  *    `d: .d`), array construction
+  *  - `+` (numbers add, strings/arrays concatenate, objects merge — RIGHT
+  *    wins, per jq), `- * /`, comparisons, `and or not`
+  *  - `//` (alternative: left if not null/false, else right)
+  *  - `if c then a else b end`
+  *  - `select(cond)` at the TOP level of the filter (drops non-matching
+  *    messages, like the stage-level semantics of emitting nothing)
+  *  - functions: length, keys, has(k), ascii_downcase, ascii_upcase,
+  *    tostring, tonumber, floor, ceil, round, map(f), join(s), split(s)
+  *
+  * Anything else raises `JqCompileError` at stage-build time (the reference
+  * rethrows script errors — Script.java:40-55).
+  */
+object JqCompiler {
+
+  final class JqCompileError(msg: String) extends IllegalArgumentException(msg)
+
+  import JsltCompiler.TC
+
+  sealed trait Jq
+  case class JPath(steps: List[JStep]) extends Jq
+  case class JLit(v: Any) extends Jq
+  case class JObjC(pairs: List[(String, Jq)]) extends Jq
+  case class JArrC(items: List[Jq]) extends Jq
+  case class JPipe(l: Jq, r: Jq) extends Jq
+  case class JBin(op: String, l: Jq, r: Jq) extends Jq
+  case class JIf(c: Jq, t: Jq, e: Jq) extends Jq
+  case class JCall(fn: String, args: List[Jq]) extends Jq
+  case class JSelect(cond: Jq) extends Jq
+
+  sealed trait JStep
+  case class JField(name: String) extends JStep
+  case class JIndex(i: Long) extends JStep
+
+  // ---- parser ---------------------------------------------------------------
+
+  private case class Tok(kind: String, text: String, pos: Int)
+
+  private def tokenize(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#') { while (i < n && src(i) != '\n') i += 1 }
+      else if (c == '"') {
+        val sb = new StringBuilder
+        var j = i + 1
+        while (j < n && src(j) != '"') {
+          if (src(j) == '\\' && j + 1 < n) {
+            sb.append(src(j + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case other => other
+            })
+            j += 2
+          } else { sb.append(src(j)); j += 1 }
+        }
+        if (j >= n) throw new JqCompileError(s"unterminated string at $i")
+        out += Tok("str", sb.toString, i); i = j + 1
+      } else if (c.isDigit) {
+        var j = i
+        while (j < n && (src(j).isDigit || src(j) == '.')) j += 1
+        out += Tok("num", src.substring(i, j), i); i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (src(j).isLetterOrDigit || src(j) == '_')) j += 1
+        out += Tok("id", src.substring(i, j), i); i = j
+      } else {
+        val two = if (i + 1 < n) src.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=", "//").contains(two)) {
+          out += Tok("op", two, i); i += 2
+        } else { out += Tok("op", c.toString, i); i += 1 }
+      }
+    }
+    out += Tok("eof", "", n)
+    out.result()
+  }
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var p = 0
+    private def peek = toks(p)
+    private def next() = { val t = toks(p); p += 1; t }
+    private def expect(s: String): Unit = {
+      val t = next()
+      if (!(t.kind == "op" && t.text == s))
+        throw new JqCompileError(s"expected '$s', got '${t.text}' at ${t.pos}")
+    }
+    // operator tokens only — a STRING literal "-" must not match an operator
+    private def at(s: String) = peek.kind == "op" && peek.text == s
+    private def atId(s: String) = peek.kind == "id" && peek.text == s
+
+    def parseProgram(): Jq = {
+      val e = parsePipe()
+      if (peek.kind != "eof")
+        throw new JqCompileError(s"trailing input at ${peek.pos}: '${peek.text}'")
+      e
+    }
+
+    def parsePipe(): Jq = {
+      var l = parseAlt()
+      while (at("|")) { next(); l = JPipe(l, parseAlt()) }
+      l
+    }
+
+    private def parseAlt(): Jq = {
+      var l = parseOr()
+      while (at("//")) { next(); l = JBin("//", l, parseOr()) }
+      l
+    }
+    private def parseOr(): Jq = {
+      var l = parseAnd()
+      while (atId("or")) { next(); l = JBin("or", l, parseAnd()) }
+      l
+    }
+    private def parseAnd(): Jq = {
+      var l = parseCmp()
+      while (atId("and")) { next(); l = JBin("and", l, parseCmp()) }
+      l
+    }
+    private def parseCmp(): Jq = {
+      val l = parseAdd()
+      if (peek.kind == "op" && Set("==", "!=", "<", "<=", ">", ">=").contains(peek.text)) {
+        val op = next().text
+        JBin(op, l, parseAdd())
+      } else l
+    }
+    private def parseAdd(): Jq = {
+      var l = parseMul()
+      while (at("+") || (at("-") && toks(p + 1).text != ">")) {
+        val op = next().text
+        l = JBin(op, l, parseMul())
+      }
+      l
+    }
+    private def parseMul(): Jq = {
+      var l = parsePrimary()
+      while (at("*") || at("/")) {
+        val op = next().text
+        l = JBin(op, l, parsePrimary())
+      }
+      l
+    }
+
+    private def parsePath(): JPath = {
+      // already consumed "."
+      val steps = List.newBuilder[JStep]
+      var continue = true
+      while (continue) {
+        if (peek.kind == "id") {
+          steps += JField(next().text)
+          if (at(".")) next()
+          else if (at("[")) { next(); steps += parseIndex(); expect("]"); if (at(".")) next() else continue = false }
+          else continue = false
+        } else if (at("[")) {
+          next(); steps += parseIndex(); expect("]")
+          if (at(".")) next() else continue = false
+        } else continue = false
+      }
+      JPath(steps.result())
+    }
+
+    private def parseIndex(): JStep = {
+      val t = next()
+      if (t.kind == "num") JIndex(t.text.toLong)
+      else if (t.kind == "str") JField(t.text)
+      else throw new JqCompileError(s"unsupported index '${t.text}' at ${t.pos}")
+    }
+
+    private def parsePrimary(): Jq = {
+      val t = peek
+      t.kind match {
+        case "num" =>
+          next()
+          if (t.text.contains('.')) JLit(t.text.toDouble) else JLit(t.text.toLong)
+        case "str" => next(); JLit(t.text)
+        case "id" =>
+          t.text match {
+            case "true"  => next(); JLit(true)
+            case "false" => next(); JLit(false)
+            case "null"  => next(); JLit(null)
+            case "if" =>
+              next()
+              val c = parsePipe()
+              if (!atId("then")) throw new JqCompileError("expected 'then'")
+              next()
+              val thn = parsePipe()
+              val els = if (atId("else")) { next(); parsePipe() } else JLit(null)
+              if (!atId("end")) throw new JqCompileError("expected 'end'")
+              next()
+              JIf(c, thn, els)
+            case "select" =>
+              next(); expect("(")
+              val c = parsePipe()
+              expect(")")
+              JSelect(c)
+            case "not" => next(); JCall("not", Nil)
+            case name =>
+              next()
+              if (at("(")) {
+                next()
+                val args = List.newBuilder[Jq]
+                args += parsePipe()
+                while (at(";")) { next(); args += parsePipe() }
+                expect(")")
+                JCall(name, args.result())
+              } else JCall(name, Nil)
+          }
+        case _ =>
+          t.text match {
+            case "." => next(); parsePath()
+            case "(" =>
+              next()
+              val e = parsePipe()
+              expect(")")
+              e
+            case "[" =>
+              next()
+              val items = List.newBuilder[Jq]
+              if (!at("]")) {
+                items += parsePipe()
+                while (at(",")) { next(); items += parsePipe() }
+              }
+              expect("]")
+              JArrC(items.result())
+            case "{" =>
+              next()
+              val pairs = List.newBuilder[(String, Jq)]
+              if (!at("}")) {
+                def pair(): Unit = {
+                  val k = next()
+                  val key = k.kind match {
+                    case "id" | "str" => k.text
+                    case _ => throw new JqCompileError(s"bad key '${k.text}' at ${k.pos}")
+                  }
+                  if (at(":")) { next(); pairs += key -> parseAlt() }
+                  else pairs += key -> JPath(List(JField(key))) // {a} == {a: .a}
+                }
+                pair()
+                while (at(",")) { next(); pair() }
+              }
+              expect("}")
+              JObjC(pairs.result())
+            case other => throw new JqCompileError(s"unexpected '$other' at ${t.pos}")
+          }
+      }
+    }
+  }
+
+  def parse(src: String): Jq = new Parser(tokenize(src)).parseProgram()
+
+  // ---- compiler -------------------------------------------------------------
+
+  /** Compiled filter: the document transform plus an optional row predicate
+    * (from top-level `select`). */
+  final case class CompiledJq(doc: TC, keep: Option[Column])
+
+  final case class JCtx(root: StructType, context: Option[TC])
+
+  def compileProgram(src: String, root: StructType): CompiledJq = {
+    val ast = parse(src)
+    compileTop(ast, JCtx(root, None))
+  }
+
+  private def rootTC(ctx: JCtx): TC =
+    ctx.context.getOrElse(TC(
+      struct(ctx.root.fields.map(f => col(f.name).as(f.name)).toIndexedSeq: _*),
+      Some(ctx.root)))
+
+  /** Top level: peel `select` filters off a pipe chain into row predicates. */
+  private def compileTop(e: Jq, ctx: JCtx): CompiledJq = e match {
+    case JSelect(c) =>
+      CompiledJq(rootTC(ctx), Some(truthy(comp(c, ctx))))
+    case JPipe(l, r) =>
+      val left = compileTop(l, ctx)
+      val right = compileTop(r, ctx.copy(context = Some(left.doc)))
+      CompiledJq(right.doc, (left.keep, right.keep) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b)             => a.orElse(b)
+      })
+    case other => CompiledJq(comp(other, ctx), None)
+  }
+
+  private def truthy(tc: TC): Column = tc.typ match {
+    case Some(BooleanType) => coalesce(tc.col, lit(false))
+    case Some(NullType)    => lit(false)
+    // jq truthiness: only null and false are falsy
+    case Some(_)           => tc.col.isNotNull
+    case None              => tc.col.isNotNull
+  }
+
+  private def walk(tc: TC, steps: List[JStep]): TC = steps match {
+    case Nil => tc
+    case JField(name) :: rest =>
+      tc.typ match {
+        case Some(st: StructType) =>
+          st.find(_.name == name) match {
+            case Some(f) => walk(TC(tc.col.getField(name), Some(f.dataType)), rest)
+            case None    => TC(lit(null), Some(NullType))
+          }
+        case _ => walk(TC(tc.col.getField(name), None), rest)
+      }
+    case JIndex(i) :: rest =>
+      val elemT = tc.typ.collect { case ArrayType(t, _) => t }
+      val idx = if (i >= 0) lit(i + 1) else lit(i) // jq 0-based, element_at 1-based
+      walk(TC(element_at(tc.col, idx.cast(IntegerType)), elemT), rest)
+  }
+
+  private def objFields(e: Jq, ctx: JCtx): Option[List[(String, Column)]] = e match {
+    case JPath(steps) =>
+      val base = walk(rootTC(ctx), steps)
+      base.typ.collect { case st: StructType =>
+        st.fields.map(f => f.name -> base.col.getField(f.name)).toList
+      }
+    case JObjC(pairs) => Some(pairs.map { case (k, v) => k -> comp(v, ctx).col })
+    case JBin("+", l, r) => // jq object +: RIGHT wins
+      for (lf <- objFields(l, ctx); rf <- objFields(r, ctx))
+        yield lf.filterNot { case (k, _) => rf.exists(_._1 == k) } ++ rf
+    case _ => None
+  }
+
+  private def comp(e: Jq, ctx: JCtx): TC = e match {
+    case JPath(steps) => walk(rootTC(ctx), steps)
+    case JLit(null)       => TC(lit(null), Some(NullType))
+    case JLit(b: Boolean) => TC(lit(b), Some(BooleanType))
+    case JLit(l: Long)    => TC(lit(l), Some(LongType))
+    case JLit(d: Double)  => TC(lit(d), Some(DoubleType))
+    case JLit(s: String)  => TC(lit(s), Some(StringType))
+    case JLit(o)          => throw new JqCompileError(s"bad literal $o")
+    case JObjC(pairs) =>
+      if (pairs.isEmpty) throw new JqCompileError("empty object")
+      TC(struct(pairs.map { case (k, v) => comp(v, ctx).col.as(k) }: _*), None)
+    case JArrC(items) =>
+      val cs = items.map(comp(_, ctx))
+      TC(array(cs.map(_.col): _*), None)
+    case JPipe(l, r) =>
+      val lv = comp(l, ctx)
+      comp(r, ctx.copy(context = Some(lv)))
+    case JIf(c, t, f) =>
+      val (tv, fv) = (comp(t, ctx), comp(f, ctx))
+      val typ = (tv.typ, fv.typ) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case (Some(a), Some(NullType))    => Some(a)
+        case (Some(NullType), Some(b))    => Some(b)
+        case _                            => None
+      }
+      TC(when(truthy(comp(c, ctx)), tv.col).otherwise(fv.col), typ)
+    case JSelect(_) =>
+      throw new JqCompileError("select(...) is only supported at the top level of the filter")
+    case JBin(op, l, r) => op match {
+      case "and" => TC(truthy(comp(l, ctx)) && truthy(comp(r, ctx)), Some(BooleanType))
+      case "or"  => TC(truthy(comp(l, ctx)) || truthy(comp(r, ctx)), Some(BooleanType))
+      case "//" =>
+        val (lv, rv) = (comp(l, ctx), comp(r, ctx))
+        val typ = if (lv.typ == rv.typ) lv.typ else None
+        TC(when(truthy(lv), lv.col).otherwise(rv.col), typ)
+      case "==" => TC(comp(l, ctx).col === comp(r, ctx).col, Some(BooleanType))
+      case "!=" => TC(comp(l, ctx).col =!= comp(r, ctx).col, Some(BooleanType))
+      case "<"  => TC(comp(l, ctx).col < comp(r, ctx).col, Some(BooleanType))
+      case "<=" => TC(comp(l, ctx).col <= comp(r, ctx).col, Some(BooleanType))
+      case ">"  => TC(comp(l, ctx).col > comp(r, ctx).col, Some(BooleanType))
+      case ">=" => TC(comp(l, ctx).col >= comp(r, ctx).col, Some(BooleanType))
+      case "+" =>
+        (objFields(l, ctx), objFields(r, ctx)) match {
+          case (Some(lf), Some(rf)) => // jq merge: right wins
+            val merged = lf.filterNot { case (k, _) => rf.exists(_._1 == k) } ++ rf
+            TC(struct(merged.map { case (k, c) => c.as(k) }: _*), None)
+          case _ =>
+            val (lv, rv) = (comp(l, ctx), comp(r, ctx))
+            if (lv.typ.contains(StringType) || rv.typ.contains(StringType))
+              TC(concat(lv.col.cast(StringType), rv.col.cast(StringType)), Some(StringType))
+            else if (lv.typ.exists(_.isInstanceOf[ArrayType]) &&
+              rv.typ.exists(_.isInstanceOf[ArrayType]))
+              TC(concat(lv.col, rv.col), lv.typ)
+            else TC(lv.col + rv.col, None)
+        }
+      case "-" => TC(comp(l, ctx).col - comp(r, ctx).col, None)
+      case "*" => TC(comp(l, ctx).col * comp(r, ctx).col, None)
+      case "/" => TC(comp(l, ctx).col.cast(DoubleType) / comp(r, ctx).col.cast(DoubleType),
+        Some(DoubleType))
+      case o => throw new JqCompileError(s"operator $o")
+    }
+    case JCall(fn, args) => call(fn, args, ctx)
+  }
+
+  private def call(fn: String, args: List[Jq], ctx: JCtx): TC = {
+    val me = rootTC(ctx)
+    fn match {
+      case "length" => me.typ match {
+        case Some(StringType)   => TC(length(me.col), Some(IntegerType))
+        case Some(_: ArrayType) => TC(size(me.col), Some(IntegerType))
+        case Some(st: StructType) => TC(lit(st.size), Some(IntegerType))
+        case _ => TC(size(me.col), Some(IntegerType))
+      }
+      case "keys" => me.typ match {
+        case Some(st: StructType) =>
+          TC(array(st.fieldNames.sorted.map(lit).toIndexedSeq: _*), Some(ArrayType(StringType)))
+        case _ => throw new JqCompileError("keys needs a schema-known object")
+      }
+      case "has" =>
+        val k = args.headOption match {
+          case Some(JLit(s: String)) => s
+          case _ => throw new JqCompileError("has(\"key\") needs a literal key")
+        }
+        me.typ match {
+          case Some(st: StructType) => TC(lit(st.fieldNames.contains(k)), Some(BooleanType))
+          case _ => throw new JqCompileError("has needs a schema-known object")
+        }
+      case "not" => TC(!truthy(me), Some(BooleanType))
+      case "ascii_downcase" => TC(lower(me.col), Some(StringType))
+      case "ascii_upcase"   => TC(upper(me.col), Some(StringType))
+      case "tostring" => TC(me.col.cast(StringType), Some(StringType))
+      case "tonumber" => TC(me.col.cast(DoubleType), Some(DoubleType))
+      case "floor" => TC(floor(me.col).cast(LongType), Some(LongType))
+      case "ceil"  => TC(ceil(me.col).cast(LongType), Some(LongType))
+      case "round" => TC(round(me.col).cast(LongType), Some(LongType))
+      case "map" =>
+        val body = args.headOption.getOrElse(throw new JqCompileError("map(f)"))
+        val elemT = me.typ.collect { case ArrayType(t, _) => t }
+        TC(transform(me.col, x =>
+          comp(body, ctx.copy(context = Some(TC(x, elemT)))).col), None)
+      case "join" =>
+        val sep = args.headOption.map(comp(_, ctx).col).getOrElse(lit(""))
+        TC(when(size(me.col) === 0, lit(""))
+          .otherwise(aggregate(slice(me.col, lit(2), greatest(size(me.col) - 1, lit(0))),
+            element_at(me.col, 1).cast(StringType),
+            (acc, x) => concat(acc, sep.cast(StringType), x.cast(StringType)))),
+          Some(StringType))
+      case "split" => // jq split is literal, not regex — quote it
+        val sepRe = args.headOption match {
+          case Some(JLit(s: String)) => java.util.regex.Pattern.quote(s)
+          case _ => throw new JqCompileError("split needs a literal separator")
+        }
+        TC(split(me.col, sepRe), Some(ArrayType(StringType)))
+      case other => throw new JqCompileError(s"unsupported function: $other")
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `$jslt` / `$jq` semantics (TestScript.java:18-56: both fixtures must turn
+  * `{_id:"0", test:0}` into `{_id:"0", test:1}`; Script.java:71-73 re-key).
+  */
+class ScriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val in = Seq(("0", "0", 0L)).toDF("key", "_id", "test")
+
+  private def run1(stage: String, script: String) = {
+    val out = pipeline.run(in, s"""[{"$stage": ${ujsonStr(script)}}]""")
+    out.collect().map(r => (r.getAs[String]("key"), r.getAs[String]("_id"),
+      r.getAs[Long]("test"))).toList
+  }
+
+  private def ujsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+
+  test("$jslt inline object with matcher (TestScript jslt2)") {
+    assert(run1("$jslt", """{"test": 1, *: .}""") == List(("0", "0", 1L)))
+  }
+
+  test("$jslt resource script (TestScript jslt1)") {
+    assert(run1("$jslt", "resource:/test.jslt") == List(("0", "0", 1L)))
+  }
+
+  test("$jq inline merge (TestScript jq2)") {
+    assert(run1("$jq", ". + {test: 1}") == List(("0", "0", 1L)))
+  }
+
+  test("$jq resource script (TestScript jq1)") {
+    assert(run1("$jq", "resource:/test.jq") == List(("0", "0", 1L)))
+  }
+
+  test("$jslt re-keys when the result _id changes (Script.java:71-73)") {
+    val out = pipeline.run(in,
+      """[{"$jslt": "{\"_id\": \"9\", *: .}"}]""")
+    val r = out.collect()(0)
+    assert(r.getAs[String]("key") == "9" && r.getAs[String]("_id") == "9")
+  }
+
+  test("$jslt paths, arithmetic, if/else, let, functions") {
+    val df = Seq(("a", 2L, "Hello World", Seq(1L, 2L, 3L)))
+      .toDF("name", "n", "text", "xs")
+    val out = pipeline.run(df,
+      """[{"$jslt": "let two = 2 {\"dbl\": .n * $two, \"up\": uppercase(.name), \"nx\": size(.xs), \"first\": .xs[0], \"cls\": if (.n > 1) \"big\" else \"small\", \"w\": join(split(.text, \" \"), \"-\")}"}]""")
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("dbl") == 4L)
+    assert(r.getAs[String]("up") == "A")
+    assert(r.getAs[Int]("nx") == 3)
+    assert(r.getAs[Long]("first") == 1L)
+    assert(r.getAs[String]("cls") == "big")
+    assert(r.getAs[String]("w") == "Hello-World")
+  }
+
+  test("$jslt for-comprehension with filter") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), 0L)).toDF("xs", "z")
+    val out = pipeline.run(df,
+      """[{"$jslt": "{\"doubled\": [for (.xs) . * 2 if (. > 2)], \"z\": .z}"}]""")
+    assert(out.collect()(0).getAs[scala.collection.Seq[Long]]("doubled").toList == List(6L, 8L))
+  }
+
+  test("$jslt object + merge: left wins (JSLT spec)") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val out = pipeline.run(df,
+      """[{"$jslt": "{\"a\": 99} + ."}]""")
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("a") == 99L && r.getAs[Long]("b") == 2L)
+  }
+
+  test("$jslt matcher minus excludes fields") {
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    val out = pipeline.run(df, """[{"$jslt": "{\"x\": .a, * - b : .}"}]""")
+    assert(out.columns.toSet == Set("x", "a", "c"))
+  }
+
+  test("$jq pipe, select, object construction, builtins") {
+    val df = Seq(("x", 5L, "Ab"), ("y", 1L, "Cd")).toDF("name", "n", "s")
+    val out = pipeline.run(df,
+      """[{"$jq": "select(.n > 2) | {name, big: (.n * 10), low: (.s | ascii_downcase)}"}]""")
+    val r = out.collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("name") == "x")
+    assert(r(0).getAs[Long]("big") == 50L)
+    assert(r(0).getAs[String]("low") == "ab")
+  }
+
+  test("$jq alternative // and map") {
+    val df = Seq((Seq(1L, 2L), null.asInstanceOf[String])).toDF("xs", "maybe")
+    val out = pipeline.run(df,
+      """[{"$jq": "{ys: (.xs | map(. + 1)), v: (.maybe // \"dflt\")}"}]""")
+    val r = out.collect()(0)
+    assert(r.getAs[scala.collection.Seq[Long]]("ys").toList == List(2L, 3L))
+    assert(r.getAs[String]("v") == "dflt")
+  }
+
+  test("jslt/jq compile errors are rethrown (Script.java:40-55)") {
+    intercept[IllegalArgumentException] {
+      pipeline.run(in, """[{"$jslt": "fnord(.x)"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      pipeline.run(in, """[{"$jq": "reduce .x as $i (0; .)"}]""")
+    }
+  }
+}
