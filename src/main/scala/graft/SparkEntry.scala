@@ -476,6 +476,16 @@ object SparkEntry {
       VectorOps.bruteTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5)
     }),
+    "llm_embed_neardup" -> ((s, dir) => {
+      tune(s)
+      VectorOps.embedNearDupExact(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
+    "llm_embed_neardup_lsh" -> ((s, dir) => { // approximate recall: rows-only
+      tune(s)
+      VectorOps.embedNearDupLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
     "llm_ann_lsh" -> ((s, dir) => { // rows-only check
       tune(s)
       val emb = t(s, dir, "embeddings")
@@ -575,6 +585,21 @@ object SparkEntry {
                         len(list_distinct(a.sh || b.sh)), 6)
                 END AS jaccard
          FROM s a JOIN s b ON a.doc_id < b.doc_id""",
+    "llm_embed_neardup" ->
+      """WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_inner_product(a.v, b.v), 6) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE round(list_inner_product(a.v, b.v), 6) >= 0.4""",
     "llm_cosine_topk" ->
       """WITH u AS (
            SELECT vec_id,

@@ -168,4 +168,61 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** Embedding-cosine near-duplicate pairs: `(id_a, id_b, cos)` with
+    * `cos >= threshold`, `id_a < id_b`. EXACT — every qualifying pair is
+    * found (this is the dedup analogue of [[bruteTopK]]: use it to verify,
+    * or on corpora small enough for an all-pairs pass). The self-join has no
+    * equi-key, so Spark plans a broadcast nested-loop: fine up to a few
+    * hundred thousand normalized vectors, O(n²) beyond — at 100 TB use
+    * [[embedNearDupLsh]], which only compares within sign-buckets. */
+  def embedNearDupExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = df.select(col(idCol).as("__id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    val a = n.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = n.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** LSH-bucketed embedding near-dup: candidate pairs share the full
+    * sign-bit bucket over `nPlanes` hyperplanes; the exact cosine then
+    * verifies `>= threshold`. One shuffle on the 64-bit bucket, pairs only
+    * form inside buckets — the 100 TB path. Recall < 1 by construction
+    * (near-dups straddling a plane in every probe are missed); more bands =
+    * more recall, like [[DedupOps.minhashLsh]] banding. */
+  def embedNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64,
+      bands: Int = 4): DataFrame = {
+    val n = df.select(col(idCol).as("__id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    // `bands` independent sign-buckets (disjoint plane sets); a pair is a
+    // candidate when ANY band's bucket matches
+    val banded = n.select(col("__id"), col("__v"),
+      posexplode(array((0 until bands).map(bd =>
+        hyperplaneBucketAt(col("__v"), nPlanes, dim, bd * nPlanes)): _*))
+        .as(Seq("bandIdx", "bucket")))
+    val a = banded.select(col("bandIdx"), col("bucket"),
+      col("__id").as("id_a"), col("__v").as("__va"))
+    val b = banded.select(col("bandIdx"), col("bucket"),
+      col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("bandIdx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(dot(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Sign-bucket over an independent plane set per band (seed varies by
+    * band offset, staying deterministic across JVMs). */
+  private def hyperplaneBucketAt(vec: Column, nPlanes: Int, dim: Int,
+      offset: Int): Column =
+    planes(nPlanes, dim, seed = 42L + offset).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 }

@@ -28,4 +28,18 @@ class AnnSpec extends SparkSpec {
     // 4 planes, single-probe expects ~13% bucket collision, multi-probe ~48%
     assert(rMulti > 0.3, s"multi-probe recall $rMulti too low")
   }
+
+  test("embedding near-dup: exact finds all pairs, LSH is a sound subset") {
+    val exact = VectorOps.embedNearDupExact(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.forall { case (a, b) => a < b })
+    // every LSH-found pair is a true near-dup pair (precision 1 after the
+    // exact cosine verify); recall < 1 is expected
+    val lsh = VectorOps.embedNearDupLsh(emb, "vec_id", "embedding", 0.3,
+      nPlanes = 4, bands = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "4x4-band LSH should find at least one pair at t=0.3")
+  }
 }
