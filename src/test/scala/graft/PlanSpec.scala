@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that matter at 100 TB are facts
+  * about the PLAN, not the output — filters must reach the parquet scan,
+  * projections must prune the read schema, small joins must broadcast,
+  * aggregates must have a map-side partial phase, and stateless pipelines
+  * must stay in one whole-stage-codegen span with no exchange. These specs
+  * pin them so a refactor that silently de-optimizes a stage fails CI.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def orders = spark.read.parquet(s"$sf/orders.parquet")
+  private def nation = spark.read.parquet(s"$sf/nation.parquet")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("$match predicate is pushed down to the parquet scan") {
+    val out = pipeline.run(orders,
+      """[{"$match": {"o_orderstatus": "F", "o_totalprice": {"$gt": 100000}}},
+          {"$project": {"o_orderkey": 1}}]""")
+    val p = plan(out)
+    // Mongo equality is null-safe (missing ≈ null), so it pushes as
+    // EqualNullSafe; the range predicate pushes as GreaterThan
+    assert(p.contains("PushedFilters:"), s"expected pushed filters in:\n$p")
+    assert(p.contains("EqualNullSafe(o_orderstatus,F)"), p)
+    assert(p.contains("GreaterThan(o_totalprice,100000"), p)
+  }
+
+  test("$project prunes the parquet read schema") {
+    val out = pipeline.run(orders,
+      """[{"$project": {"o_orderkey": 1, "o_totalprice": 1}}]""")
+    val p = plan(out)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("stateless stage chain stays map-side: no exchange in the plan") {
+    val out = pipeline.run(orders,
+      """[{"$match": {"o_orderstatus": "O"}},
+          {"$addFields": {"big": {"$gt": ["$o_totalprice", 150000]}}},
+          {"$project": {"o_orderkey": 1, "big": 1}},
+          {"$replaceWith": {"k": "$o_orderkey", "b": "$big"}}]""")
+    val p = plan(out)
+    assert(!p.contains("Exchange"), s"stateless pipeline must not shuffle:\n$p")
+    // "*(1)" = whole-stage-codegen span 1: the entire chain fused into ONE
+    // generated function over the scan
+    assert(p.contains("*(1)"), s"expected a fused codegen span:\n$p")
+  }
+
+  test("$group compiles to hash aggregation with a map-side partial phase") {
+    val out = pipeline.run(orders,
+      """[{"$group": {"_id": "$o_orderstatus",
+                      "n": {"$count": {}}, "total": {"$sum": "$o_totalprice"}}}]""")
+    val p = plan(out)
+    // partial -> exchange -> final: only the partial rows cross the wire
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("$lookup of a small dimension broadcasts (no shuffle of the fact side)") {
+    val out = new Pipeline(catalog = name => spark.read.parquet(s"$sf/$name.parquet"))
+      .run(orders,
+        """[{"$lookup": {"from": "nation", "localField": "o_orderkey",
+                         "foreignField": "n_nationkey", "as": "n", "unwind": true}}]""")
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"small-side lookup should broadcast:\n$p")
+  }
+
+  test("minhash LSH candidate join is a bucketed equi-join, never a cross join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.DedupOps.minhashLsh(docs, "text", "doc_id")
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH pair formation must stay an equi-join:\n$p")
+  }
+
+  test("exact dedup shuffles the 16-byte digest, not the document text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")
+    val p = plan(out)
+    // the exchange partitions on the md5 digest; the raw text column
+    // (plan ref "text#<id>") must not appear at or below the shuffle
+    assert(p.contains("Exchange hashpartitioning(text_md5"), p)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(!p.substring(exchangeIdx).linesIterator.next().contains("text#"),
+      s"full text must not cross the shuffle:\n$p")
+    assert(p.contains("partial_min"), s"expected map-side partial agg:\n$p")
+  }
+}
