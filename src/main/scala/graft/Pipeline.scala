@@ -518,10 +518,11 @@ private[graft] object Stages {
     val fromDoc = from.select(struct(from.columns.map(col).toIndexedSeq: _*).as("__as"))
     val fromStruct = fromDoc.schema("__as").dataType.asInstanceOf[StructType]
 
-    def regroupJoin(cond: Column, res: Column): DataFrame = {
+    def regroupJoin(cond: Column, res: Column,
+        docFrame: DataFrame = fromDoc): DataFrame = {
       val withId = df.withColumn("__rid", monotonically_increasing_id())
       val keepCols = df.columns.toIndexedSeq
-      val j = withId.join(fromDoc, cond, "left")
+      val j = withId.join(docFrame, cond, "left")
       j.groupBy(col("__rid"))
         .agg(first(col(keepCols.head)).as(keepCols.head),
           (keepCols.tail.map(c => first(col(c)).as(c)) :+
@@ -555,30 +556,91 @@ private[graft] object Stages {
           if (inner) j.filter(size(col(as)) > 0) else j
         }
       case _ =>
-        // let + pipeline form: a single $match sub-stage becomes the join
-        // condition (covers equality and theta predicates, Lookup.java:116-129)
+        // let + pipeline form (Lookup.java:110-129: the sub-pipeline is sent
+        // verbatim to MongoDB's aggregate, so ANY stage is legal). Spark
+        // split:
+        //  1. the longest PREFIX of stages not referencing let-variables is
+        //     uncorrelated — it runs ONCE against the `from` collection
+        //     through a full recursive Pipeline (any stage: $match, $group,
+        //     $unwind, …), exactly what Mongo computes per message;
+        //  2. the first $$var-referencing stage must be a $match — it
+        //     becomes the join condition;
+        //  3. TRAILING $sort / $limit / $project apply per message on the
+        //     matched array (array_sort comparator / slice / per-element
+        //     struct projection) — no extra shuffle, the per-message top-k
+        //     pattern.
         val letVars: Map[String, Column] = spec \ "let" match {
           case JObject(vs) => vs.map { case (n, e) => n -> cexpr(e) }.toMap
           case _           => Map.empty
         }
         val JArray(subStages) = ((spec \ "pipeline"): @unchecked)
-        // supported sub-pipeline: one $match (→ join condition, may use
-        // $$vars) optionally followed by one $project (→ struct projection
-        // of each joined doc)
-        val (matchSpec, projectSpec) = subStages match {
-          case List(JObject(List(("$match", m)))) => (m, None)
-          case List(JObject(List(("$match", m))), JObject(List(("$project", p)))) =>
-            (m, Some(p))
-          case _ => throw new IllegalArgumentException(
-            "$lookup pipeline form: supported shapes are [$match] or [$match, $project]")
+        def usesVars(st: JValue): Boolean = {
+          val s = JsonMethods.compact(JsonMethods.render(st))
+          letVars.keys.exists(n => s.contains("$$" + n))
+        }
+        val (prefixStages, rest) = subStages.span(st => !usesVars(st))
+        val effFrom =
+          if (prefixStages.isEmpty) from
+          else new Pipeline(catalog = catalog).run(from, JArray(prefixStages))
+        val fromDoc2 = effFrom.select(
+          struct(effFrom.columns.map(col).toIndexedSeq: _*).as("__as"))
+        val fromStruct2 = fromDoc2.schema("__as").dataType.asInstanceOf[StructType]
+        val (matchSpec, trailing) = rest match {
+          case JObject(List(("$match", m))) :: t => (Some(m), t)
+          case Nil                               => (None, Nil)
+          case other :: _ => throw new IllegalArgumentException(
+            "$lookup pipeline: the first let-variable-referencing stage must " +
+              s"be a $$match, got ${JsonMethods.compact(JsonMethods.render(other))}")
         }
         val subCtx = ExprCtx(
           field = p => p.split('.').foldLeft(col("__as"))(_ getField _),
           vars = letVars)
-        val cond = MongoMatch.compile(matchSpec)(subCtx)
-        // result doc per joined row: projected when a $project sub-stage given
-        def resDoc(doc: Column): Column =
-          projectSpec.map(p => projectDoc(doc, fromStruct, p)).getOrElse(doc)
+        // no correlated $match -> every message gets the whole (prefixed)
+        // collection, like Mongo running the sub-pipeline as-is
+        val cond = matchSpec.map(m => MongoMatch.compile(m)(subCtx))
+          .getOrElse(lit(true))
+
+        def sortCmp(keys: List[(String, JValue)], l: Column, r: Column): Column =
+          keys.foldRight(lit(0)) { case ((f, dir), tie) =>
+            val asc = dir match {
+              case JInt(i)    => i >= 0
+              case JLong(v)   => v >= 0
+              case JDouble(d) => d >= 0
+              case _          => true
+            }
+            val (lf, rf) = (l.getField(f), r.getField(f))
+            when(lf < rf, lit(if (asc) -1 else 1))
+              .when(lf > rf, lit(if (asc) 1 else -1))
+              .otherwise(tie)
+          }
+        /** Trailing sub-stages over the per-message matched array. */
+        def applyTrailing(arr0: Column): Column =
+          trailing.foldLeft(arr0) { (arr, st) =>
+            st match {
+              case JObject(List(("$project", p))) =>
+                transform(arr, d => projectDoc(d, fromStruct2, p))
+              case JObject(List(("$sort", JObject(keys)))) =>
+                array_sort(arr, (l, r) => sortCmp(keys, l, r))
+              case JObject(List(("$limit", n))) =>
+                val lim = n match {
+                  case JInt(i)  => i.toInt
+                  case JLong(l) => l.toInt
+                  case other    => throw new IllegalArgumentException(s"$$limit: $other")
+                }
+                slice(arr, 1, lim)
+              case other => throw new IllegalArgumentException(
+                "$lookup trailing sub-stage must be $project/$sort/$limit: " +
+                  JsonMethods.compact(JsonMethods.render(other)))
+            }
+          }
+        // unwind mode emits rows, not arrays: only a per-row $project can
+        // apply without re-grouping
+        def resDoc(doc: Column): Column = trailing match {
+          case Nil => doc
+          case List(JObject(List(("$project", p)))) => projectDoc(doc, fromStruct2, p)
+          case _ => throw new IllegalArgumentException(
+            "$lookup with unwind supports at most a trailing $project")
+        }
 
         // `_rangeJoin: {field, width, lo, hi}` turns the theta join into a
         // bucketed equi-join: the right side lands in bucket
@@ -597,7 +659,7 @@ private[graft] object Stages {
             }
             val lo = cexpr(rj \ "lo")
             val hi = cexpr(rj \ "hi")
-            val right = fromDoc.withColumn("__bucket",
+            val right = fromDoc2.withColumn("__bucket",
               floor(col("__as").getField(bField) / width))
             val probes = sequence(floor(lo / width), floor(hi / width))
             if (unwindFlag) {
@@ -609,21 +671,25 @@ private[graft] object Stages {
               val left = df.withColumn("__rid", monotonically_increasing_id())
                 .withColumn("__bucket", explode_outer(probes)) // null range -> kept, no match
               // a right row lives in exactly one bucket -> no duplicate pairs
+              // (collect raw docs — nulls are skipped — THEN run trailing
+              // stages over the clean array)
               val j = left.join(right, Seq("__bucket"), "left")
                 .withColumn("__as", when(cond, col("__as")))
                 .groupBy(col("__rid"))
                 .agg(first(col(keepCols.head)).as(keepCols.head),
                   (keepCols.tail.map(c => first(col(c)).as(c)) :+
-                    collect_list(resDoc(col("__as"))).as(as)): _*)
+                    collect_list(col("__as")).as(as)): _*)
                 .drop("__rid")
+                .withColumn(as, applyTrailing(col(as)))
               if (inner) j.filter(size(col(as)) > 0) else j
             }
           case _ =>
             if (unwindFlag)
-              df.join(fromDoc, cond, "inner")
+              df.join(fromDoc2, cond, "inner")
                 .withColumn(as, resDoc(col("__as"))).drop("__as")
             else {
-              val j = regroupJoin(cond, resDoc(col("__as")))
+              val j = regroupJoin(cond, col("__as"), fromDoc2)
+                .withColumn(as, applyTrailing(col(as)))
               if (inner) j.filter(size(col(as)) > 0) else j
             }
         }

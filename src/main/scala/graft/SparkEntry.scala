@@ -227,6 +227,24 @@ object SparkEntry {
                      "foreignField": "c_custkey", "as": "cust"}},
         {"$project": {"o_orderkey": 1, "n_cust": {"$size": "$cust"}}}
       ]""")),
+    // full sub-pipeline: uncorrelated prefix runs once against `from`,
+    // correlated $match joins, trailing $sort/$limit/$project act per
+    // message on the matched array (per-order top-2 lineitems)
+    "q_lookup_pipeline" -> ((s, dir) => pipe(s, dir, "orders",
+      """[
+        {"$match": {"o_orderkey": {"$lt": 200}}},
+        {"$lookup": {"from": "lineitem", "let": {"ok": "$o_orderkey"},
+          "pipeline": [
+            {"$match": {"l_returnflag": "N"}},
+            {"$match": {"$expr": {"$eq": ["$l_orderkey", "$$ok"]}}},
+            {"$sort": {"l_quantity": -1, "l_linenumber": 1}},
+            {"$limit": 2},
+            {"$project": {"l_linenumber": 1, "l_quantity": 1}}],
+          "as": "top"}},
+        {"$unwind": "$top"},
+        {"$project": {"o_orderkey": 1,
+                      "ln": "$top.l_linenumber", "qty": "$top.l_quantity"}}
+      ]""")),
     "q_lookup_theta" -> ((s, dir) => pipe(s, dir, "orders",
       """[
         {"$match": {"o_orderkey": {"$lt": 50}}},
@@ -687,6 +705,15 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
          FROM orders""",
+    "q_lookup_pipeline" ->
+      """WITH ranked AS (
+           SELECT l_orderkey, l_linenumber, l_quantity,
+                  row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_quantity DESC, l_linenumber) AS rk
+           FROM lineitem WHERE l_returnflag = 'N')
+         SELECT o.o_orderkey, CAST(r.l_linenumber AS INT) AS ln, r.l_quantity AS qty
+         FROM orders o JOIN ranked r ON r.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey < 200 AND r.rk <= 2""",
     "q_jslt" ->
       """SELECT upper(c_name) AS cust, lower(c_mktsegment) AS seg,
                 c_acctbal * 2 AS bal2,

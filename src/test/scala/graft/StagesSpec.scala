@@ -257,6 +257,34 @@ class StagesSpec extends SparkSpec {
     assert(out.select("m.*").columns.toSeq == Seq("t2"))
   }
 
+  test("$lookup sub-pipeline: uncorrelated prefix + $match + $sort/$limit/$project") {
+    // collection rows test=1..6; prefix $match keeps evens; correlated
+    // $match keeps >= local; sort desc; top-2; project t10
+    val big = (1L to 6L).map(i => (s"m$i", i)).toDF("_id", "test")
+    val lk = new Pipeline(catalog = _ => big)
+    val df = Seq(("0", 1L)).toDF("_id", "local")
+    val out = lk.run(df,
+      """[{"$lookup": {"from": "c", "let": {"lv": "$local"},
+            "pipeline": [
+              {"$match": {"$expr": {"$eq": [{"$mod": ["$test", 2]}, 0]}}},
+              {"$match": {"$expr": {"$gte": ["$test", "$$lv"]}}},
+              {"$sort": {"test": -1}},
+              {"$limit": 2},
+              {"$project": {"t10": {"$multiply": ["$test", 10]}, "_id": 0}}],
+            "as": "m"}}]""")
+    val m = out.select("m").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(m.map(_.getAs[Long]("t10")) == Seq(60L, 40L)) // 6,4 desc, limit 2
+    assert(m.head.schema.fieldNames.toSeq == Seq("t10"))
+  }
+
+  test("$lookup sub-pipeline with no correlated $match attaches the whole collection") {
+    val df = Seq(("0", 1L)).toDF("_id", "local")
+    val out = look.run(df,
+      """[{"$lookup": {"from": "c",
+            "pipeline": [{"$match": {"test": {"$gte": 2}}}], "as": "m"}}]""")
+    assert(out.select(size($"m")).head().getInt(0) == 1) // only m2 (test=2)
+  }
+
   test("$lookup _rangeJoin bucketed theta matches the plain theta join") {
     val left = (1L to 40L).map(i => (i.toString, i.toDouble)).toDF("_id", "v")
     val right = (1L to 60L).map(i => (s"r$i", i.toDouble * 0.7)).toDF("_id", "x")
