@@ -464,6 +464,13 @@ object SparkEntry {
       DedupOps.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
         maxHamming = 3)
     }),
+    // cross-engine-reproducible MinHash: the DuckDB oracle replays the WHOLE
+    // LSH pipeline (md5 hash family, banding, candidates, jaccard verify)
+    "llm_minhash_md5" -> ((s, dir) => {
+      tune(s)
+      DedupOps.minhashLshMd5(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
+    }),
     "llm_ngram_jaccard" -> ((s, dir) => {
       tune(s)
       // shingle ONCE per doc before the pair join — inlining the shingling
@@ -603,6 +610,37 @@ object SparkEntry {
                         len(list_distinct(a.sh || b.sh)), 6)
                 END AS jaccard
          FROM s a JOIN s b ON a.doc_id < b.doc_id""",
+    "llm_minhash_md5" ->
+      """WITH dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
+         d AS (SELECT doc,
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> length(x) > 0) AS toks
+               FROM dt),
+         s AS (SELECT doc,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+               FROM d),
+         sn AS (SELECT doc, sh FROM s WHERE len(sh) > 0),
+         e AS (SELECT doc, unnest(sh) AS shingle FROM sn),
+         h AS (SELECT e.doc, sd.seed,
+                      CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                           & 9223372036854775807 AS BIGINT) AS hv
+               FROM e CROSS JOIN (SELECT unnest(range(32)) AS seed) sd),
+         m AS (SELECT doc, seed, min(hv) AS minh FROM h GROUP BY doc, seed),
+         bk AS (SELECT doc, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM m GROUP BY doc, seed // 4),
+         p AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+               FROM bk a JOIN bk b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+         j AS (SELECT p.id_a, p.id_b,
+                      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                            len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+               FROM p JOIN sn x ON x.doc = p.id_a JOIN sn y ON y.doc = p.id_b)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4""",
     "llm_embed_neardup" ->
       """WITH u AS (
            SELECT vec_id,

@@ -138,4 +138,65 @@ object DedupOps {
   /** Exact n-gram Jaccard similarity between two text columns. */
   def ngramJaccard(a: Column, b: Column, k: Int = 3): Column =
     jaccardOfSets(shingles(a, k), shingles(b, k))
+
+  // ---- cross-engine reproducible MinHash ----------------------------------
+
+  /** The low 63 bits of DuckDB's `md5_number_lower`: little-endian uint64 of
+    * md5-digest bytes 8..15, masked to 63 bits so signed/unsigned engines
+    * agree. Lets an external engine (DuckDB, a Python auditor, …) replay
+    * dedup decisions bit-for-bit — same spirit as
+    * [[TextOps.fingerprintMd5]]. */
+  def md5Lower63(c: Column): Column = {
+    val hex = md5(c)
+    // bytes 8..15 are hex chars 17..32 (2 per byte); little-endian = most
+    // significant byte LAST in the string, so reverse the byte pairs
+    val rev = concat((0 until 8).map(k => substring(hex, 31 - 2 * k, 2)): _*)
+    val hi = conv(substring(rev, 1, 8), 16, 10).cast(LongType)
+    val lo = conv(substring(rev, 9, 8), 16, 10).cast(LongType)
+    shiftleft(hi, 32).bitwiseOR(lo).bitwiseAND(lit(0x7fffffffffffffffL))
+  }
+
+  /** MinHash-LSH in cross-engine-reproducible mode: hash family
+    * `md5Lower63(seed || ':' || shingle)`, band bucket = the ordered minhash
+    * values joined as a string — every intermediate is replayable in any
+    * engine with md5 (the DuckDB oracle replays the WHOLE pipeline,
+    * candidates included). Costs one md5 per (shingle, seed) instead of
+    * [[graft.functions.MinHashAgg]]'s fused xxhash64 loop — use THAT for
+    * production scale, this when dedup decisions must be audited outside
+    * Spark. Same banding math, same exact-Jaccard verify. */
+  def minhashLshMd5(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSh = distinctTexts(df, textCol, idCol)
+      .select(col("doc"), shingles(col("__text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val minhs = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
+      .select(col("doc"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .withColumn("hv", md5Lower63(
+        concat(col("seed").cast(StringType), lit(":"), col("shingle"))))
+      .groupBy("doc", "seed").agg(min("hv").as("minh"))
+    val banded = minhs
+      .withColumn("band", floor(col("seed") / rowsPerBand).cast(IntegerType))
+      .groupBy("doc", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+          x => x.getField("minh").cast(StringType))).as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(withSh.select(col("doc").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("doc").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

@@ -7,6 +7,19 @@ import org.apache.spark.sql.functions._
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("md5Lower63 reproduces DuckDB md5_number_lower & (2^63-1) bit-for-bit") {
+    // expected values computed with DuckDB:
+    //   SELECT md5_number_lower(s) & 9223372036854775807
+    val cases = Seq(
+      "a" -> 7000413967451013937L,
+      "0:hello world foo" -> 472746949817357672L,
+      "31:the quick brown" -> 8406793302262891031L)
+    val df = cases.map(_._1).toDF("s")
+    val got = df.select(graft.llm.DedupOps.md5Lower63($"s")).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("DotProduct matches the HOF formulation and handles nulls") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
