@@ -471,6 +471,13 @@ object SparkEntry {
       DedupOps.minhashLshMd5(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
     }),
+    // same idea for SimHash: md5 bit votes -> 63-bit signature, chunk
+    // buckets, hamming verify — all replayed by the DuckDB oracle
+    "llm_simhash_md5" -> ((s, dir) => {
+      tune(s)
+      DedupOps.simhashNearDupMd5(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3)
+    }),
     "llm_ngram_jaccard" -> ((s, dir) => {
       tune(s)
       // shingle ONCE per doc before the pair join — inlining the shingling
@@ -641,6 +648,34 @@ object SparkEntry {
                             len(list_distinct(x.sh || y.sh)), 6) AS jaccard
                FROM p JOIN sn x ON x.doc = p.id_a JOIN sn y ON y.doc = p.id_b)
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4""",
+    "llm_simhash_md5" ->
+      """WITH dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
+         tk AS (SELECT doc,
+                       unnest(list_distinct(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> length(x) > 0))) AS tok
+                FROM dt),
+         hv AS (SELECT doc,
+                       CAST(md5_number_lower(tok) & 9223372036854775807 AS BIGINT) AS hv
+                FROM tk),
+         v AS (SELECT hv.doc, js.j,
+                      CASE WHEN (hv.hv >> js.j) & 1 = 1 THEN 1 ELSE -1 END AS vote
+               FROM hv CROSS JOIN (SELECT unnest(range(63)) AS j) js),
+         sb AS (SELECT doc, j,
+                       CASE WHEN sum(vote) > 0 THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS bit
+                FROM v GROUP BY doc, j),
+         sg AS (SELECT doc, CAST(sum(bit << j) AS BIGINT) AS sig
+                FROM sb GROUP BY doc),
+         ck AS (SELECT doc, sig, ii.i AS chunk,
+                       (sig >> (16 * ii.i)) & 65535 AS bucket
+                FROM sg CROSS JOIN (SELECT unnest(range(4)) AS i) ii),
+         p AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+                      a.sig AS sa, b.sig AS sb2
+               FROM ck a JOIN ck b
+                 ON a.chunk = b.chunk AND a.bucket = b.bucket AND a.doc < b.doc)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb2)) AS INT) AS hamming
+         FROM p WHERE bit_count(xor(sa, sb2)) <= 3""",
     "llm_embed_neardup" ->
       """WITH u AS (
            SELECT vec_id,

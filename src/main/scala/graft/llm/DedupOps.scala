@@ -199,4 +199,43 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** SimHash near-dup in cross-engine-reproducible mode: 63-bit signature
+    * from per-token [[md5Lower63]] bit votes (bit j set when strictly more
+    * tokens have bit j set than clear), chunk-bucketed like
+    * [[simhashNearDup]]. One row per (token, bit) — verification-mode cost;
+    * [[graft.functions.SimHashAgg]]'s fused xxhash64 vote loop is the
+    * production path. */
+  def simhashNearDupMd5(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val toks = distinctTexts(df, textCol, idCol)
+      .select(col("doc"),
+        explode(array_distinct(TextOps.tokens(lower(col("__text"))))).as("tok"))
+      .withColumn("hv", md5Lower63(col("tok")))
+    val sigs = toks
+      .select(col("doc"), col("hv"),
+        explode(sequence(lit(0), lit(62))).as("j"))
+      .withColumn("vote", when(
+        expr("shiftright(hv, j)").bitwiseAND(lit(1L)) === 1, lit(1L))
+        .otherwise(lit(-1L)))
+      .groupBy("doc", "j").agg(sum("vote").as("s"))
+      .withColumn("bit", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy("doc").agg(sum(expr("shiftleft(bit, j)")).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("chunk", "bucket")))
+    val a = banded.select(col("chunk"), col("bucket"),
+      col("doc").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("chunk"), col("bucket"),
+      col("doc").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }
