@@ -90,8 +90,7 @@ final class Pipeline(
       case "$http"        => graft.operators.HttpStage(df, spec)
       case "$jslt"        => graft.operators.ScriptStages.jslt(df, spec)
       case "$jq"          => graft.operators.ScriptStages.jq(df, spec)
-      case "$throttle"    => df // rate control is source-side in Spark
-        // (maxOffsetsPerTrigger) — documented deviation, SURVEY §2.3
+      case "$throttle"    => Stages.throttle(df, spec)
       case "$trace" | "$backTrace" => df // observability no-ops in batch
       case ext if extensions.contains(ext) => extensions(ext)(df, spec)
       case _ => df // unrecognized stages are silently ignored (Pipeline.java:265)
@@ -697,6 +696,44 @@ private[graft] object Stages {
   }
 
   // ---- $deduplicate -------------------------------------------------------
+
+  /** `$throttle` (Throttle.java:28-58): pace rows to `maxPerSecond`. The
+    * reference throttles per pipeline instance (= per Kafka partition); the
+    * faithful Spark analogue is a per-PARTITION token bucket inside
+    * `mapPartitions` — each partition paces independently, so total
+    * cluster-wide rate = maxPerSecond × partitions, exactly like the
+    * reference running one pipeline per partition. The reference's only
+    * timing assertion (TestThrottle.java:30-42: elapsed = total/maxPerSecond
+    * ± 5%) holds per partition. For source-side control in streaming, use
+    * maxOffsetsPerTrigger/maxFilesPerTrigger instead — this stage is a
+    * deliberate execution barrier, that's its purpose. */
+  def throttle(df: DataFrame, spec: JValue): DataFrame = {
+    val maxPerSecond = spec \ "maxPerSecond" match {
+      case JInt(i)    => i.toDouble
+      case JLong(l)   => l.toDouble
+      case JDouble(d) => d
+      case other => throw new IllegalArgumentException(s"maxPerSecond: $other")
+    }
+    require(maxPerSecond > 0, "$throttle.maxPerSecond must be positive")
+    // pacing above this rate costs more in sleep jitter than it saves
+    if (maxPerSecond >= 1e6) df
+    else {
+      val nanosPerMsg = (1e9 / maxPerSecond).toLong
+      df.mapPartitions { it =>
+        var next = 0L
+        it.map { r =>
+          val now = System.nanoTime()
+          if (next == 0L) next = now
+          if (now < next) {
+            val wait = next - now
+            Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+          }
+          next = math.max(next, now) + nanosPerMsg
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(df.schema))
+    }
+  }
 
   /** Keep one message per distinct expression value (Deduplicate.java:62-147).
     * Batch / unbounded streaming: `dropDuplicates` (state-store backed, exact,

@@ -410,6 +410,22 @@ class StagesSpec extends SparkSpec {
   }
 
   // ---- unknown stages ignored (Pipeline.java:265) ------------------------
+  test("$throttle paces rows per partition (TestThrottle.java:30-42)") {
+    val df = (1L to 100L).toDF("v").coalesce(1)
+    val t0 = System.nanoTime()
+    val n = pipeline.run(df,
+      """[{"$throttle": {"maxPerSecond": 500}}]""").count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(n == 100L)
+    // 100 msgs at 500/s = 0.2 s floor; generous ceiling for CI jitter
+    assert(elapsed >= 0.19, s"no pacing: $elapsed s")
+    assert(elapsed < 3.0, s"over-throttled: $elapsed s")
+    // values unchanged, order preserved within the partition
+    val vs = pipeline.run(df, """[{"$throttle": {"maxPerSecond": 1000000}}]""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vs == (1L to 100L))
+  }
+
   test("unknown stages pass through; extensions apply") {
     assert(pipeline.run(flat, """[{"$nonsense": 1}]""").count() == 4)
     val ext = new Pipeline(extensions = Map(
