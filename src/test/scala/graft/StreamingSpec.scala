@@ -40,6 +40,25 @@ class StreamingSpec extends SparkSpec {
     assert(all.last.toSet == Set(("a", 11L)))
   }
 
+  test("streaming $jslt/$jq run natively (columnar compile, no sink split)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(pipeline)
+    val out = sp.run(input.toDF().toDF("g", "v"),
+      """[{"$jslt": "{\"g\": .g, \"v10\": .v * 10}"},
+          {"$jq": "select(.v10 > 10) | {g, v10}"}]""")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("t_script")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_script").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 20L)))
+  }
+
   test("streaming $match + $addFields prefix runs natively") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
