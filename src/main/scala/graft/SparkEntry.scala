@@ -377,6 +377,18 @@ object SparkEntry {
           "flag": {"$cond": [{"$gte": ["$o_totalprice", 100000]}, "big", "small"]},
           "fb": {"$ifNull": ["$o_orderstatus", "?"]}}}
       ]""")),
+    "q_expr_mathext" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$match": {"l_orderkey": {"$lt": 1000}}},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+          "rs": {"$round": [{"$sin": "$l_quantity"}, 6]},
+          "rc": {"$round": [{"$cos": "$l_quantity"}, 6]},
+          "ra": {"$round": [{"$atan2": ["$l_quantity", 10]}, 6]},
+          "rad": {"$round": [{"$degreesToRadians": "$l_quantity"}, 6]},
+          "range_sum": {"$sum": {"$range": [0, "$l_linenumber"]}},
+          "range_avg": {"$avg": {"$range": [0, "$l_linenumber"]}},
+          "range_max": {"$max": {"$range": [0, "$l_linenumber"]}}}}
+      ]""")),
     "q_expr_arith" -> ((s, dir) => pipe(s, dir, "lineitem",
       """[
         {"$project": {"l_orderkey": 1, "l_linenumber": 1,
@@ -778,6 +790,16 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
          FROM orders""",
+    "q_expr_mathext" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(sin(l_quantity), 6) AS rs,
+                round(cos(l_quantity), 6) AS rc,
+                round(atan2(l_quantity, 10), 6) AS ra,
+                round(radians(l_quantity), 6) AS rad,
+                CAST(list_sum(range(0, l_linenumber)) AS DOUBLE) AS range_sum,
+                CAST(list_avg(range(0, l_linenumber)) AS DOUBLE) AS range_avg,
+                CAST(list_max(range(0, l_linenumber)) AS BIGINT) AS range_max
+         FROM lineitem WHERE l_orderkey < 1000""",
     "q_lookup_pipeline" ->
       """WITH ranked AS (
            SELECT l_orderkey, l_linenumber, l_quantity,

@@ -144,6 +144,19 @@ object MongoExpr {
     case "$ceil"     => ceil(args(spec).head)
     case "$floor"    => floor(args(spec).head)
     case "$sqrt"     => sqrt(args(spec).head)
+    // trigonometry (all map 1:1 to codegen'd Spark functions)
+    case "$sin"   => sin(args(spec).head)
+    case "$cos"   => cos(args(spec).head)
+    case "$tan"   => tan(args(spec).head)
+    case "$asin"  => asin(args(spec).head)
+    case "$acos"  => acos(args(spec).head)
+    case "$atan"  => atan(args(spec).head)
+    case "$atan2" => val List(y, x) = args(spec); atan2(y, x)
+    case "$sinh"  => sinh(args(spec).head)
+    case "$cosh"  => cosh(args(spec).head)
+    case "$tanh"  => tanh(args(spec).head)
+    case "$degreesToRadians" => radians(args(spec).head)
+    case "$radiansToDegrees" => degrees(args(spec).head)
     case "$exp"      => exp(args(spec).head)
     case "$ln"       => log(args(spec).head)
     case "$log10"    => log10(args(spec).head)
@@ -284,6 +297,20 @@ object MongoExpr {
       array_contains(arr, elem)
     case "$concatArrays" => concat(args(spec): _*)
     case "$reverseArray" => reverse(args(spec).head)
+    // array-context aggregation operators (MongoDB: $sum/$avg/$max/$min as
+    // EXPRESSIONS take an array argument; the accumulator forms live in
+    // Stages.accumulator). Nulls are skipped like Mongo ignores non-numerics.
+    case "$sum" =>
+      val a = args(spec).head
+      coalesce(aggregate(filter(a, x => x.isNotNull),
+        lit(0d), (acc, x) => acc + x), lit(0d))
+    case "$avg" =>
+      val a = args(spec).head
+      val nn = filter(a, x => x.isNotNull)
+      when(size(nn) > 0,
+        aggregate(nn, lit(0d), (acc, x) => acc + x) / size(nn))
+    case "$max" => array_max(args(spec).head)
+    case "$min" => array_min(args(spec).head)
     case "$range" =>
       val (start, end, step) = args(spec) match {
         case List(s, e)     => (s, e, lit(1))

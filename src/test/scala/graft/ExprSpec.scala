@@ -141,6 +141,18 @@ class ExprSpec extends SparkSpec {
     assert(eval("""{"$type": "$a"}""") == "long")
   }
 
+  test("array-context $sum/$avg/$max/$min and trig") {
+    assert(eval("""{"$sum": ["$arr"]}""") == 10.0)
+    assert(eval("""{"$avg": ["$arr"]}""") == 2.5)
+    assert(eval("""{"$max": ["$arr"]}""") == 4L)
+    assert(eval("""{"$min": ["$arr"]}""") == 1L)
+    assert(eval("""{"$sin": 0}""") == 0.0)
+    assert(eval("""{"$cos": 0}""") == 1.0)
+    assert(eval("""{"$atan2": [0, 1]}""") == 0.0)
+    assert(eval("""{"$radiansToDegrees": 3.141592653589793}""") == 180.0)
+    assert(eval("""{"$degreesToRadians": 180}""") == 3.141592653589793)
+  }
+
   test("$let and expression objects and $literal") {
     assert(eval("""{"$let": {"vars": {"t": {"$add": ["$a", 1]}},
                    "in": {"$multiply": ["$$t", 2]}}}""") == 6L)
