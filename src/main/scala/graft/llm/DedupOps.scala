@@ -172,18 +172,20 @@ object DedupOps {
       .select(col("doc"), shingles(col("__text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val minhs = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
-      .select(col("doc"), col("shingle"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .withColumn("hv", md5Lower63(
-        concat(col("seed").cast(StringType), lit(":"), col("shingle"))))
-      .groupBy("doc", "seed").agg(min("hv").as("minh"))
-    val banded = minhs
-      .withColumn("band", floor(col("seed") / rowsPerBand).cast(IntegerType))
-      .groupBy("doc", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-          x => x.getField("minh").cast(StringType))).as("bucket"))
+    // ONE aggregate (graft.functions.Md5MinHashAgg) computes the whole
+    // signature in a JVM loop — the explode-by-seed formulation shuffled
+    // numHashes rows per SHINGLE; this shuffles numHashes longs per DOC
+    val sigs = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
+      .groupBy("doc")
+      .agg(graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes).as("sig"))
+    // band bucket = the band's minhash values joined as a string — the same
+    // string DuckDB's string_agg(minh, ',' ORDER BY seed) produces
+    val banded = sigs.select(col("doc"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(",", transform(
+          slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
+          x => x.cast(StringType)))): _*))
+        .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -208,19 +210,14 @@ object DedupOps {
     * production path. */
   def simhashNearDupMd5(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val toks = distinctTexts(df, textCol, idCol)
+    // ONE aggregate (graft.functions.Md5SimHashAgg): per-token md5 + 63 bit
+    // votes in a JVM loop — the explode-by-bit formulation shuffled 63 rows
+    // per token; this shuffles one 63-int vote buffer per doc partial
+    val sigs = distinctTexts(df, textCol, idCol)
       .select(col("doc"),
         explode(array_distinct(TextOps.tokens(lower(col("__text"))))).as("tok"))
-      .withColumn("hv", md5Lower63(col("tok")))
-    val sigs = toks
-      .select(col("doc"), col("hv"),
-        explode(sequence(lit(0), lit(62))).as("j"))
-      .withColumn("vote", when(
-        expr("shiftright(hv, j)").bitwiseAND(lit(1L)) === 1, lit(1L))
-        .otherwise(lit(-1L)))
-      .groupBy("doc", "j").agg(sum("vote").as("s"))
-      .withColumn("bit", when(col("s") > 0, lit(1L)).otherwise(lit(0L)))
-      .groupBy("doc").agg(sum(expr("shiftleft(bit, j)")).as("sig"))
+      .groupBy("doc")
+      .agg(graft.functions.Md5HashAggs.simhash(col("tok")).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
