@@ -20,6 +20,15 @@ class FunctionsSpec extends SparkSpec {
     assert(got == cases.map(_._2))
   }
 
+  test("Md5Hash.lower63 (JVM twin) matches the same DuckDB constants") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = graft.functions.Md5Hash.lower63(md,
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(h("a") == 7000413967451013937L)
+    assert(h("0:hello world foo") == 472746949817357672L)
+    assert(h("31:the quick brown") == 8406793302262891031L)
+  }
+
   test("DotProduct matches the HOF formulation and handles nulls") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
