@@ -222,6 +222,7 @@ object JqCompiler {
           }
         case _ =>
           t.text match {
+            case "-" => next(); JBin("-", JLit(0L), parsePrimary()) // unary minus
             case "." => next(); parsePath()
             case "(" =>
               next()

@@ -1,0 +1,195 @@
+package graft
+
+import graft.operators.JqCompiler
+import graft.operators.JqCompiler._
+import org.json4s._
+
+/** Differential testing of the jq→Column compiler, mirroring
+  * [[JsltPropertySpec]]: an independent tree-walk interpreter over JSON
+  * values vs the schema-compiled Columns, on seeded generated filters.
+  * Generator constraints (same-kind `+`, no division, null-free docs) keep
+  * static and dynamic semantics aligned by construction.
+  */
+class JqPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def truthy(v: JValue): Boolean = v match {
+    case JNull | JNothing => false
+    case JBool(b)         => b
+    case _                => true // jq: only null/false are falsy
+  }
+
+  private def interp(q: Jq, context: JValue): JValue = q match {
+    case JLit(null)       => JNull
+    case JLit(b: Boolean) => JBool(b)
+    case JLit(l: Long)    => JLong(l)
+    case JLit(d: Double)  => JDouble(d)
+    case JLit(s: String)  => JString(s)
+    case JLit(o)          => sys.error(s"lit $o")
+    case JPath(steps) => steps.foldLeft(context) {
+      case (JObject(fs), JqCompiler.JField(n)) => fs.find(_._1 == n).map(_._2).getOrElse(JNull)
+      case (JArray(xs), JqCompiler.JIndex(i)) =>
+        val idx = if (i < 0) xs.length + i.toInt else i.toInt
+        if (idx >= 0 && idx < xs.length) xs(idx) else JNull
+      case (_, _) => JNull
+    }
+    case JObjC(pairs) => JObject(pairs.map { case (k, v) => k -> interp(v, context) })
+    case JArrC(items) => JArray(items.map(interp(_, context)))
+    case JPipe(l, r)  => interp(r, interp(l, context))
+    case JIf(c, t, e) =>
+      if (truthy(interp(c, context))) interp(t, context) else interp(e, context)
+    case JSelect(_) => sys.error("select not generated for the doc property")
+    case JBin(op, l, r) => bin(op, interp(l, context), interp(r, context))
+    case JCall(fn, args) => call(fn, args, context)
+  }
+
+  private def num(v: JValue): Either[Long, Double] = v match {
+    case JLong(l)   => Left(l)
+    case JInt(i)    => Left(i.toLong)
+    case JDouble(d) => Right(d)
+    case other      => sys.error(s"num $other")
+  }
+
+  private def cmp(l: JValue, r: JValue): Int = (num(l), num(r)) match {
+    case (Left(a), Left(b)) => java.lang.Long.compare(a, b)
+    case (na, nb) => java.lang.Double.compare(
+      na.fold(_.toDouble, identity), nb.fold(_.toDouble, identity))
+  }
+
+  private def bin(op: String, l: JValue, r: JValue): JValue = op match {
+    case "and" => JBool(truthy(l) && truthy(r))
+    case "or"  => JBool(truthy(l) || truthy(r))
+    case "//"  => if (truthy(l)) l else r
+    case "==" => (l, r) match {
+      case (JString(a), JString(b)) => JBool(a == b)
+      case _                        => JBool(cmp(l, r) == 0)
+    }
+    case "!=" => (l, r) match {
+      case (JString(a), JString(b)) => JBool(a != b)
+      case _                        => JBool(cmp(l, r) != 0)
+    }
+    case "<"  => JBool(cmp(l, r) < 0)
+    case "<=" => JBool(cmp(l, r) <= 0)
+    case ">"  => JBool(cmp(l, r) > 0)
+    case ">=" => JBool(cmp(l, r) >= 0)
+    case "+" => (l, r) match {
+      case (JString(a), JString(b)) => JString(a + b)
+      case (JObject(a), JObject(b)) => // jq: RIGHT wins
+        JObject(a.filterNot { case (k, _) => b.exists(_._1 == k) } ++ b)
+      case (JArray(a), JArray(b)) => JArray(a ++ b)
+      case _ => arith(l, r)(_ + _, _ + _)
+    }
+    case "-" => arith(l, r)(_ - _, _ - _)
+    case "*" => arith(l, r)(_ * _, _ * _)
+    case other => sys.error(s"op $other")
+  }
+
+  private def arith(l: JValue, r: JValue)(fl: (Long, Long) => Long,
+      fd: (Double, Double) => Double): JValue = (num(l), num(r)) match {
+    case (Left(a), Left(b)) => JLong(fl(a, b))
+    case (na, nb) => JDouble(fd(
+      na.fold(_.toDouble, identity), nb.fold(_.toDouble, identity)))
+  }
+
+  private def call(fn: String, args: List[Jq], context: JValue): JValue = fn match {
+    case "length" => context match {
+      case JString(s) => JLong(s.length.toLong)
+      case JArray(xs) => JLong(xs.length.toLong)
+      case JObject(f) => JLong(f.length.toLong)
+      case _          => JNull
+    }
+    case "ascii_downcase" => JString(context.asInstanceOf[JString].s.toLowerCase)
+    case "ascii_upcase"   => JString(context.asInstanceOf[JString].s.toUpperCase)
+    case "floor" => JLong(num(context).fold(identity, d => Math.floor(d).toLong))
+    case "ceil"  => JLong(num(context).fold(identity, d => Math.ceil(d).toLong))
+    case "map" => context match {
+      case JArray(xs) => JArray(xs.map(x => interp(args.head, x)))
+      case _          => JNull
+    }
+    case other => sys.error(s"fn $other")
+  }
+
+  // ---- doc + Row→JValue ----------------------------------------------------
+
+  private def docDF(a: Long, b: Long, d: Double, s: String, arr: Seq[Long]) =
+    Seq((a, b, d, s, arr)).toDF("a", "b", "d", "s", "arr")
+
+  private def docJson(a: Long, b: Long, d: Double, s: String, arr: Seq[Long]) =
+    JObject(List("a" -> JLong(a), "b" -> JLong(b), "d" -> JDouble(d),
+      "s" -> JString(s), "arr" -> JArray(arr.toList.map(JLong(_)))))
+
+  private def anyToJ(v: Any): JValue = v match {
+    case null       => JNull
+    case l: Long    => JLong(l)
+    case i: Int     => JLong(i.toLong)
+    case d: Double  => JDouble(d)
+    case b: Boolean => JBool(b)
+    case s: String  => JString(s)
+    case r: org.apache.spark.sql.Row =>
+      JObject(r.schema.fieldNames.toList.zipWithIndex.map { case (n, i) =>
+        n -> anyToJ(r.get(i)) })
+    case xs: scala.collection.Seq[_] => JArray(xs.toList.map(anyToJ))
+    case other => sys.error(s"anyToJ ${other.getClass}")
+  }
+
+  // ---- generator (seeded) --------------------------------------------------
+
+  private val rnd = new scala.util.Random(777)
+  private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+  private def genNum(depth: Int): String =
+    if (depth <= 0) pick(Seq(".a", ".b", ".arr[0]", ".arr[2]",
+      rnd.between(-4L, 9L).toString))
+    else rnd.nextInt(6) match {
+      case 0 | 1 | 2 => genNum(0)
+      case 3 | 4 =>
+        s"(${genNum(depth - 1)} ${pick(Seq("+", "-", "*"))} ${genNum(depth - 1)})"
+      case 5 =>
+        s"(if ${genBool(depth - 1)} then ${genNum(depth - 1)} else ${genNum(depth - 1)} end)"
+    }
+
+  private def genStr(depth: Int): String =
+    if (depth <= 0) pick(Seq(".s", "\"" + rnd.alphanumeric.take(4).mkString + "\""))
+    else rnd.nextInt(5) match {
+      case 0 | 1 => genStr(0)
+      case 2     => s"(${genStr(depth - 1)} + ${genStr(depth - 1)})"
+      case 3     => s"(${genStr(depth - 1)} | ascii_upcase)"
+      case 4     => s"(${genStr(depth - 1)} | ascii_downcase)"
+    }
+
+  private def genBool(depth: Int): String =
+    s"(${genNum(depth)} ${pick(Seq("<", "<=", ">", ">=", "==", "!="))} ${genNum(depth)})"
+
+  private def genValue(depth: Int): String = rnd.nextInt(10) match {
+    case 0 | 1 | 2 | 3 => genNum(depth)
+    case 4 | 5         => genStr(depth)
+    case 6             => genBool(depth)
+    case 7             => s"(.arr | map(. * ${rnd.between(1L, 5L)}))"
+    case 8             => "(.arr | length)"
+    case 9             => "(.s | length)"
+  }
+
+  private def genFilter(): String = {
+    val n = 1 + rnd.nextInt(4)
+    val keys = rnd.shuffle(List("k1", "k2", "k3", "k4")).take(n)
+    s"{${keys.map(k => s"$k: ${genValue(2)}").mkString(", ")}}"
+  }
+
+  // ---- the property --------------------------------------------------------
+
+  test("compiled jq agrees with the independent interpreter on generated filters") {
+    for (i <- 1 to 120) {
+      val filter = genFilter()
+      val (a, b, d, s, arr) = (rnd.between(-3L, 10L), rnd.between(0L, 7L),
+        rnd.between(-8L, 25L) / 2.0, pick(Seq("Hello World", "xY z", "abc")),
+        List.fill(4)(rnd.between(-2L, 9L)))
+      val df = docDF(a, b, d, s, arr)
+      val compiled = JqCompiler.compileProgram(filter,
+        org.apache.spark.sql.types.StructType(df.schema))
+      assert(compiled.keep.isEmpty)
+      val got = anyToJ(df.select(compiled.doc.col.as("r")).head().get(0))
+      val want = interp(JqCompiler.parse(filter), docJson(a, b, d, s, arr))
+      assert(got == want, s"\ncase $i\nfilter: $filter\ndoc: a=$a b=$b d=$d s=$s arr=$arr")
+    }
+  }
+}
