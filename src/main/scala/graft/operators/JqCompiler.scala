@@ -270,31 +270,24 @@ object JqCompiler {
     * (from top-level `select`). */
   final case class CompiledJq(doc: TC, keep: Option[Column])
 
-  final case class JCtx(root: StructType, context: Option[TC])
+  final case class JCtx(root: StructType, context: Option[TC],
+      keeps: scala.collection.mutable.Buffer[Column])
 
   def compileProgram(src: String, root: StructType): CompiledJq = {
     val ast = parse(src)
-    compileTop(ast, JCtx(root, None))
+    // jq's empty stream propagates outward: a failing `select` ANYWHERE in
+    // a single-output filter means the whole filter emits nothing for that
+    // input — i.e. the row is dropped. Each compiled select contributes its
+    // condition (in its own pipe context) to one conjunctive row predicate.
+    val keeps = scala.collection.mutable.Buffer.empty[Column]
+    val doc = comp(ast, JCtx(root, None, keeps))
+    CompiledJq(doc, keeps.reduceOption(_ && _))
   }
 
   private def rootTC(ctx: JCtx): TC =
     ctx.context.getOrElse(TC(
       struct(ctx.root.fields.map(f => col(f.name).as(f.name)).toIndexedSeq: _*),
       Some(ctx.root)))
-
-  /** Top level: peel `select` filters off a pipe chain into row predicates. */
-  private def compileTop(e: Jq, ctx: JCtx): CompiledJq = e match {
-    case JSelect(c) =>
-      CompiledJq(rootTC(ctx), Some(truthy(comp(c, ctx))))
-    case JPipe(l, r) =>
-      val left = compileTop(l, ctx)
-      val right = compileTop(r, ctx.copy(context = Some(left.doc)))
-      CompiledJq(right.doc, (left.keep, right.keep) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (a, b)             => a.orElse(b)
-      })
-    case other => CompiledJq(comp(other, ctx), None)
-  }
 
   private def truthy(tc: TC): Column = tc.typ match {
     case Some(BooleanType) => coalesce(tc.col, lit(false))
@@ -360,8 +353,10 @@ object JqCompiler {
         case _                            => None
       }
       TC(when(truthy(comp(c, ctx)), tv.col).otherwise(fv.col), typ)
-    case JSelect(_) =>
-      throw new JqCompileError("select(...) is only supported at the top level of the filter")
+    case JSelect(c) =>
+      // contributes to the row predicate; the value passes through unchanged
+      ctx.keeps += truthy(comp(c, ctx))
+      rootTC(ctx)
     case JBin(op, l, r) => op match {
       case "and" => TC(truthy(comp(l, ctx)) && truthy(comp(r, ctx)), Some(BooleanType))
       case "or"  => TC(truthy(comp(l, ctx)) || truthy(comp(r, ctx)), Some(BooleanType))
@@ -432,8 +427,25 @@ object JqCompiler {
       case "map" =>
         val body = args.headOption.getOrElse(throw new JqCompileError("map(f)"))
         val elemT = me.typ.collect { case ArrayType(t, _) => t }
-        TC(transform(me.col, x =>
-          comp(body, ctx.copy(context = Some(TC(x, elemT)))).col), None)
+        // inside map, select filters ELEMENTS (jq's map(select(...)) idiom),
+        // not rows — compile with a local buffer and reject other placements
+        def elemCtx(x: Column) = ctx.copy(context = Some(TC(x, elemT)),
+          keeps = scala.collection.mutable.Buffer.empty)
+        body match {
+          case JSelect(c) =>
+            TC(filter(me.col, x => truthy(comp(c, elemCtx(x)))), me.typ)
+          case JPipe(JSelect(c), rest) =>
+            val kept = filter(me.col, x => truthy(comp(c, elemCtx(x))))
+            TC(transform(kept, x => comp(rest, elemCtx(x)).col), None)
+          case other =>
+            TC(transform(me.col, { x =>
+              val c = elemCtx(x)
+              val r = comp(other, c)
+              if (c.keeps.nonEmpty) throw new JqCompileError(
+                "select inside map is supported as map(select(c)) or map(select(c) | f)")
+              r.col
+            }), None)
+        }
       case "join" =>
         val sep = args.headOption.map(comp(_, ctx).col).getOrElse(lit(""))
         TC(when(size(me.col) === 0, lit(""))

@@ -97,6 +97,21 @@ class ScriptSpec extends SparkSpec {
     assert(r.getAs[String]("v") == "dflt")
   }
 
+  test("$jq select at any pipe depth drops the row; map(select) filters elements") {
+    val df = Seq(("a", 5L, Seq(1L, 5L, 9L)), ("b", 1L, Seq(2L, 3L, 4L)))
+      .toDF("name", "n", "xs")
+    // nested select inside a value pipe: jq's empty stream propagates out
+    val out = pipeline.run(df,
+      """[{"$jq": "{name, big: (.n | select(. > 2))}"}]""")
+    assert(out.collect().map(_.getString(0)).toList == List("a"))
+    // map(select(c)) filters elements; map(select(c) | f) filters + maps
+    val out2 = pipeline.run(df,
+      """[{"$jq": "{name, odd: (.xs | map(select(. > 2))), dbl: (.xs | map(select(. > 2) | . * 2))}"}]""")
+    val r = out2.filter(col("name") === "a").head()
+    assert(r.getAs[scala.collection.Seq[Long]]("odd").toList == List(5L, 9L))
+    assert(r.getAs[scala.collection.Seq[Long]]("dbl").toList == List(10L, 18L))
+  }
+
   test("jslt/jq compile errors are rethrown (Script.java:40-55)") {
     intercept[IllegalArgumentException] {
       pipeline.run(in, """[{"$jslt": "fnord(.x)"}]""")
