@@ -40,6 +40,27 @@ class StreamingSpec extends SparkSpec {
     assert(all.last.toSet == Set(("a", 11L)))
   }
 
+  test("streaming $lookup against a static catalog is a stream-static join") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "label")
+    val sp = new StreamingPipeline(new Pipeline(catalog = _ => dim))
+    val out = sp.run(input.toDF().toDF("g", "v"),
+      """[{"$lookup": {"from": "dim", "localField": "v",
+                       "foreignField": "k", "as": "d", "unwind": true}},
+          {"$project": {"g": 1, "label": "$d.label"}}]""")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("t_lookup")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1L), ("b", 2L), ("c", 9L)) // 9 has no match -> dropped (unwind=inner)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_lookup").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "one"), ("b", "two")))
+  }
+
   test("streaming $jslt/$jq run natively (columnar compile, no sink split)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
