@@ -459,6 +459,31 @@ object JqCompiler {
           case _ => throw new JqCompileError("split needs a literal separator")
         }
         TC(split(me.col, sepRe), Some(ArrayType(StringType)))
+      case "add" => // numeric arrays; empty -> null, like jq
+        TC(when(size(me.col) > 0,
+          aggregate(me.col, lit(0d), (acc, x) => acc + x)), Some(DoubleType))
+      case "min" => TC(array_min(me.col), me.typ.collect { case ArrayType(t, _) => t })
+      case "max" => TC(array_max(me.col), me.typ.collect { case ArrayType(t, _) => t })
+      case "first"   => TC(element_at(me.col, 1), me.typ.collect { case ArrayType(t, _) => t })
+      case "last"    => TC(element_at(me.col, -1), me.typ.collect { case ArrayType(t, _) => t })
+      case "reverse" => TC(reverse(me.col), me.typ)
+      case "sort"    => TC(array_sort(me.col), me.typ)
+      case "unique"  => TC(array_sort(array_distinct(me.col)), me.typ)
+      case "abs"     => TC(abs(me.col), me.typ)
+      case "ltrimstr" => args.headOption match {
+        case Some(JLit(s: String)) =>
+          TC(when(me.col.startsWith(s),
+            me.col.substr(lit(s.length + 1), length(me.col))).otherwise(me.col),
+            Some(StringType))
+        case _ => throw new JqCompileError("ltrimstr needs a literal string")
+      }
+      case "rtrimstr" => args.headOption match {
+        case Some(JLit(s: String)) =>
+          TC(when(me.col.endsWith(s),
+            me.col.substr(lit(1), length(me.col) - s.length)).otherwise(me.col),
+            Some(StringType))
+        case _ => throw new JqCompileError("rtrimstr needs a literal string")
+      }
       case other => throw new JqCompileError(s"unsupported function: $other")
     }
   }

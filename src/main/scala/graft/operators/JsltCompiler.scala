@@ -579,6 +579,22 @@ object JsltCompiler {
       case "round"   => TC(round(one.col).cast(LongType), Some(LongType))
       case "floor"   => TC(floor(one.col).cast(LongType), Some(LongType))
       case "ceiling" => TC(ceil(one.col).cast(LongType), Some(LongType))
+      case "replace" => // replace(value, regexp, out) — JSLT regex semantics
+        val List(v, re, out) = args.map(compile(_, ctx))
+        TC(regexp_replace(v.col, re.col, out.col), Some(StringType))
+      case "flatten" =>
+        val a = one
+        TC(flatten(a.col), a.typ.collect { case ArrayType(inner, _) => inner })
+      case "sum" =>
+        val a = one
+        TC(coalesce(aggregate(filter(a.col, x => x.isNotNull),
+          lit(0d), (acc, x) => acc + x), lit(0d)), Some(DoubleType))
+      case "min" =>
+        val (x, y) = two
+        TC(least(x.col, y.col), if (x.typ == y.typ) x.typ else None)
+      case "max" =>
+        val (x, y) = two
+        TC(greatest(x.col, y.col), if (x.typ == y.typ) x.typ else None)
       case "error" =>
         TC(raise_error(one.col.cast(StringType)), Some(NullType))
       case other => throw new JsltCompileError(s"unsupported function: $other")

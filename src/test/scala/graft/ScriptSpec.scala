@@ -112,6 +112,26 @@ class ScriptSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("dbl").toList == List(10L, 18L))
   }
 
+  test("extended builtins: jslt replace/flatten/sum/min-max, jq add/sort/unique/trimstr") {
+    val df = Seq(("x-y-z", Seq(Seq(1L, 2L), Seq(3L)), 7L, "pre.mid.post"))
+      .toDF("s", "nested", "n", "p")
+    val r1 = pipeline.run(df,
+      """[{"$jslt": "{\"rep\": replace(.s, \"-\", \"_\"), \"fl\": flatten(.nested), \"sm\": sum(flatten(.nested)), \"mn\": min(.n, 3), \"mx\": max(.n, 3)}"}]""")
+      .head()
+    assert(r1.getAs[String]("rep") == "x_y_z")
+    assert(r1.getAs[scala.collection.Seq[Long]]("fl").toList == List(1L, 2L, 3L))
+    assert(r1.getAs[Double]("sm") == 6.0)
+    assert(r1.getAs[Long]("mn") == 3L && r1.getAs[Long]("mx") == 7L)
+    val r2 = pipeline.run(df,
+      """[{"$jq": "{total: (.nested | map(add) | add), srt: ([3, 1, 2] | sort), uniq: ([2, 1, 2] | unique), lt: (.p | ltrimstr(\"pre.\")), rt: (.p | rtrimstr(\".post\"))}"}]""")
+      .head()
+    assert(r2.getAs[Double]("total") == 6.0)
+    assert(r2.getAs[scala.collection.Seq[Long]]("srt").toList == List(1L, 2L, 3L))
+    assert(r2.getAs[scala.collection.Seq[Long]]("uniq").toList == List(1L, 2L))
+    assert(r2.getAs[String]("lt") == "mid.post")
+    assert(r2.getAs[String]("rt") == "pre.mid")
+  }
+
   test("jslt/jq compile errors are rethrown (Script.java:40-55)") {
     intercept[IllegalArgumentException] {
       pipeline.run(in, """[{"$jslt": "fnord(.x)"}]""")
