@@ -106,6 +106,23 @@ class JqPropertySpec extends SparkSpec {
       case JArray(xs) => JArray(xs.map(x => interp(args.head, x)))
       case _          => JNull
     }
+    case "add" => context match {
+      case JArray(Nil) => JNull
+      case JArray(xs)  => JDouble(xs.map(num(_).fold(_.toDouble, identity)).sum)
+      case _           => JNull
+    }
+    case "sort" => context match {
+      case JArray(xs) => JArray(xs.sortBy(num(_).fold(_.toDouble, identity)))
+      case _          => JNull
+    }
+    case "unique" => context match {
+      case JArray(xs) => JArray(xs.distinct.sortBy(num(_).fold(_.toDouble, identity)))
+      case _          => JNull
+    }
+    case "reverse" => context match {
+      case JArray(xs) => JArray(xs.reverse)
+      case _          => JNull
+    }
     case other => sys.error(s"fn $other")
   }
 
@@ -160,13 +177,17 @@ class JqPropertySpec extends SparkSpec {
   private def genBool(depth: Int): String =
     s"(${genNum(depth)} ${pick(Seq("<", "<=", ">", ">=", "==", "!="))} ${genNum(depth)})"
 
-  private def genValue(depth: Int): String = rnd.nextInt(10) match {
+  private def genValue(depth: Int): String = rnd.nextInt(14) match {
     case 0 | 1 | 2 | 3 => genNum(depth)
     case 4 | 5         => genStr(depth)
     case 6             => genBool(depth)
     case 7             => s"(.arr | map(. * ${rnd.between(1L, 5L)}))"
     case 8             => "(.arr | length)"
     case 9             => "(.s | length)"
+    case 10            => "(.arr | add)"
+    case 11            => "(.arr | sort)"
+    case 12            => "(.arr | unique)"
+    case 13            => "(.arr | reverse)"
   }
 
   private def genFilter(): String = {
