@@ -337,7 +337,12 @@ object JqCompiler {
     case JLit(o)          => throw new JqCompileError(s"bad literal $o")
     case JObjC(pairs) =>
       if (pairs.isEmpty) throw new JqCompileError("empty object")
-      TC(struct(pairs.map { case (k, v) => comp(v, ctx).col.as(k) }: _*), None)
+      // duplicate keys: last wins (JSON object semantics)
+      val compiled = pairs.map { case (k, v) => k -> comp(v, ctx).col }
+      val dedup = compiled.map(_._1).distinct.map { k =>
+        k -> compiled.reverse.find(_._1 == k).get._2
+      }
+      TC(struct(dedup.map { case (k, c) => c.as(k) }: _*), None)
     case JArrC(items) =>
       val cs = items.map(comp(_, ctx))
       TC(array(cs.map(_.col): _*), None)

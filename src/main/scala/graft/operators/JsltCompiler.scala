@@ -406,7 +406,12 @@ object JsltCompiler {
     }
 
   private def compileObjFields(o: ObjC, ctx: Cctx): List[(String, Column)] = {
+    // duplicate literal keys: LAST wins (JSON object semantics), keeping the
+    // first occurrence's position
     val explicit = o.pairs.map { case (k, v) => k -> compile(v, ctx).col }
+    val dedup = explicit.map(_._1).distinct.map { k =>
+      k -> explicit.reverse.find(_._1 == k).get._2
+    }
     val matched = o.matcher match {
       case None => Nil
       case Some((minus, expr)) =>
@@ -415,16 +420,17 @@ object JsltCompiler {
         val taken = o.pairs.map(_._1).toSet ++ minus
         fields.filterNot { case (k, _) => taken(k) }
     }
-    explicit ++ matched
+    dedup ++ matched
   }
 
   private def numLit(v: Any): Column = lit(v)
 
-  /** JSLT falsiness: null, false, 0, "" (and empty array) are false. */
+  /** JSLT falsiness: null, false, 0, "" (and empty array/object) are false. */
   private def truthy(tc: TC): Column = tc.typ match {
     case Some(BooleanType)     => coalesce(tc.col, lit(false))
     case Some(StringType)      => tc.col.isNotNull && length(tc.col) > 0
     case Some(_: ArrayType)    => tc.col.isNotNull && size(tc.col) > 0
+    case Some(_: StructType)   => tc.col.isNotNull // schema structs are non-empty
     case Some(t) if t.isInstanceOf[NumericType] => tc.col.isNotNull && tc.col =!= 0
     case Some(NullType)        => lit(false)
     case _                     => coalesce(tc.col.cast(BooleanType), lit(false))

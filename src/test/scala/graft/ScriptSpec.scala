@@ -132,6 +132,14 @@ class ScriptSpec extends SparkSpec {
     assert(r2.getAs[String]("rt") == "pre.mid")
   }
 
+  test("duplicate object keys last-win in both script languages") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val r1 = pipeline.run(df, """[{"$jslt": "{\"k\": .a, \"k\": .b}"}]""").head()
+    assert(r1.schema.fieldNames.count(_ == "k") == 1 && r1.getAs[Long]("k") == 2L)
+    val r2 = pipeline.run(df, """[{"$jq": "{k: .a, k: .b}"}]""").head()
+    assert(r2.schema.fieldNames.count(_ == "k") == 1 && r2.getAs[Long]("k") == 2L)
+  }
+
   test("jslt/jq compile errors are rethrown (Script.java:40-55)") {
     intercept[IllegalArgumentException] {
       pipeline.run(in, """[{"$jslt": "fnord(.x)"}]""")
