@@ -83,6 +83,14 @@ class PlanSpec extends SparkSpec {
       s"LSH pair formation must stay an equi-join:\n$p")
   }
 
+  test("embed near-dup LSH pair formation is a bucketed equi-join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = graft.llm.VectorOps.embedNearDupLsh(emb, "vec_id", "embedding", 0.3)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded LSH must join on (bandIdx, bucket):\n$p")
+  }
+
   test("exact dedup shuffles the 16-byte digest, not the document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")
