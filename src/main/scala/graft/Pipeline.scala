@@ -573,9 +573,19 @@ private[graft] object Stages {
           case _           => Map.empty
         }
         val JArray(subStages) = ((spec \ "pipeline"): @unchecked)
+        // structural $$var detection: a let-variable reference is a JSON
+        // STRING VALUE of the form "$$name" or "$$name.path" — a substring
+        // scan over rendered JSON would misfire on "$$x" inside a plain
+        // string literal or on a var name that prefixes another.
         def usesVars(st: JValue): Boolean = {
-          val s = JsonMethods.compact(JsonMethods.render(st))
-          letVars.keys.exists(n => s.contains("$$" + n))
+          def refs(v: JValue): Boolean = v match {
+            case JString(s) if s.startsWith("$$") =>
+              letVars.contains(s.drop(2).takeWhile(_ != '.'))
+            case JObject(fields) => fields.exists { case (_, fv) => refs(fv) }
+            case JArray(items)   => items.exists(refs)
+            case _               => false
+          }
+          refs(st)
         }
         val (prefixStages, rest) = subStages.span(st => !usesVars(st))
         val effFrom =
@@ -591,6 +601,17 @@ private[graft] object Stages {
             "$lookup pipeline: the first let-variable-referencing stage must " +
               s"be a $$match, got ${JsonMethods.compact(JsonMethods.render(other))}")
         }
+        // Mongo preserves sub-pipeline output order in `as`; our prefix runs
+        // once and the matches are collect_list'd (unordered), so a $sort in
+        // the prefix would be silently lost unless a trailing $sort re-orders.
+        def isSort(st: JValue) = st match {
+          case JObject(List(("$sort", _))) => true
+          case _                           => false
+        }
+        if (prefixStages.exists(isSort) && !trailing.exists(isSort))
+          throw new IllegalArgumentException(
+            "$lookup pipeline: a $sort before the correlated $match cannot be " +
+              "preserved in the `as` array; add a trailing $sort after it")
         val subCtx = ExprCtx(
           field = p => p.split('.').foldLeft(col("__as"))(_ getField _),
           vars = letVars)

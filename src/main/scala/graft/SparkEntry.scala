@@ -796,7 +796,7 @@ object SparkEntry {
                 round(cos(l_quantity), 6) AS rc,
                 round(atan2(l_quantity, 10), 6) AS ra,
                 round(radians(l_quantity), 6) AS rad,
-                CAST(list_sum(range(0, l_linenumber)) AS DOUBLE) AS range_sum,
+                CAST(coalesce(list_sum(range(0, l_linenumber)), 0) AS BIGINT) AS range_sum,
                 CAST(list_avg(range(0, l_linenumber)) AS DOUBLE) AS range_avg,
                 CAST(list_max(range(0, l_linenumber)) AS BIGINT) AS range_max
          FROM lineitem WHERE l_orderkey < 1000""",

@@ -301,14 +301,19 @@ object MongoExpr {
     // EXPRESSIONS take an array argument; the accumulator forms live in
     // Stages.accumulator). Nulls are skipped like Mongo ignores non-numerics.
     case "$sum" =>
+      // seed with the FIRST element so integral arrays stay integral (Mongo
+      // $sum preserves int/long; a 0.0 seed forced DoubleType); empty/all-null
+      // arrays fall through coalesce to Mongo's 0
       val a = args(spec).head
-      coalesce(aggregate(filter(a, x => x.isNotNull),
-        lit(0d), (acc, x) => acc + x), lit(0d))
+      val nn = filter(a, x => x.isNotNull)
+      coalesce(aggregate(slice(nn, lit(2), greatest(size(nn) - 1, lit(0))),
+        element_at(nn, 1), (acc, x) => acc + x), lit(0))
     case "$avg" =>
       val a = args(spec).head
       val nn = filter(a, x => x.isNotNull)
       when(size(nn) > 0,
-        aggregate(nn, lit(0d), (acc, x) => acc + x) / size(nn))
+        aggregate(slice(nn, lit(2), greatest(size(nn) - 1, lit(0))),
+          element_at(nn, 1), (acc, x) => acc + x).cast(DoubleType) / size(nn))
     case "$max" => array_max(args(spec).head)
     case "$min" => array_min(args(spec).head)
     case "$range" =>

@@ -156,12 +156,16 @@ object JqCompiler {
       l
     }
 
+    // jq reserves these — `. end` must terminate the path, not read `.end`
+    private val keywords =
+      Set("then", "else", "elif", "end", "and", "or", "if", "as", "reduce")
+
     private def parsePath(): JPath = {
       // already consumed "."
       val steps = List.newBuilder[JStep]
       var continue = true
       while (continue) {
-        if (peek.kind == "id") {
+        if (peek.kind == "id" && !keywords.contains(peek.text)) {
           steps += JField(next().text)
           if (at(".")) next()
           else if (at("[")) { next(); steps += parseIndex(); expect("]"); if (at(".")) next() else continue = false }
@@ -271,7 +275,8 @@ object JqCompiler {
   final case class CompiledJq(doc: TC, keep: Option[Column])
 
   final case class JCtx(root: StructType, context: Option[TC],
-      keeps: scala.collection.mutable.Buffer[Column])
+      keeps: scala.collection.mutable.Buffer[Column],
+      guard: Option[Column] = None)
 
   def compileProgram(src: String, root: StructType): CompiledJq = {
     val ast = parse(src)
@@ -350,17 +355,25 @@ object JqCompiler {
       val lv = comp(l, ctx)
       comp(r, ctx.copy(context = Some(lv)))
     case JIf(c, t, f) =>
-      val (tv, fv) = (comp(t, ctx), comp(f, ctx))
+      // a `select` inside a branch only drops the row when that branch is
+      // TAKEN — thread the branch condition as a guard so contributed keeps
+      // become (branch-active => cond) instead of unconditional conjuncts
+      val g = truthy(comp(c, ctx))
+      def branch(b: Jq, bg: Column) =
+        comp(b, ctx.copy(guard = Some(ctx.guard.fold(bg)(_ && bg))))
+      val (tv, fv) = (branch(t, g), branch(f, !g))
       val typ = (tv.typ, fv.typ) match {
         case (Some(a), Some(b)) if a == b => Some(a)
         case (Some(a), Some(NullType))    => Some(a)
         case (Some(NullType), Some(b))    => Some(b)
         case _                            => None
       }
-      TC(when(truthy(comp(c, ctx)), tv.col).otherwise(fv.col), typ)
+      TC(when(g, tv.col).otherwise(fv.col), typ)
     case JSelect(c) =>
-      // contributes to the row predicate; the value passes through unchanged
-      ctx.keeps += truthy(comp(c, ctx))
+      // contributes to the row predicate; the value passes through unchanged.
+      // Under an if-branch guard the keep only applies when the branch runs.
+      val cond = truthy(comp(c, ctx))
+      ctx.keeps += ctx.guard.fold(cond)(g => !g || cond)
       rootTC(ctx)
     case JBin(op, l, r) => op match {
       case "and" => TC(truthy(comp(l, ctx)) && truthy(comp(r, ctx)), Some(BooleanType))
@@ -435,13 +448,21 @@ object JqCompiler {
         // inside map, select filters ELEMENTS (jq's map(select(...)) idiom),
         // not rows — compile with a local buffer and reject other placements
         def elemCtx(x: Column) = ctx.copy(context = Some(TC(x, elemT)),
-          keeps = scala.collection.mutable.Buffer.empty)
+          keeps = scala.collection.mutable.Buffer.empty, guard = None)
         body match {
           case JSelect(c) =>
             TC(filter(me.col, x => truthy(comp(c, elemCtx(x)))), me.typ)
           case JPipe(JSelect(c), rest) =>
             val kept = filter(me.col, x => truthy(comp(c, elemCtx(x))))
-            TC(transform(kept, x => comp(rest, elemCtx(x)).col), None)
+            TC(transform(kept, { x =>
+              val ec = elemCtx(x)
+              val r = comp(rest, ec)
+              // a FURTHER select inside `rest` would be silently dropped —
+              // reject it like the plain-body branch below does
+              if (ec.keeps.nonEmpty) throw new JqCompileError(
+                "select inside map is supported as map(select(c)) or map(select(c) | f)")
+              r.col
+            }), None)
           case other =>
             TC(transform(me.col, { x =>
               val c = elemCtx(x)
@@ -465,8 +486,12 @@ object JqCompiler {
         }
         TC(split(me.col, sepRe), Some(ArrayType(StringType)))
       case "add" => // numeric arrays; empty -> null, like jq
+        // seed with the FIRST element so the sum keeps the element type
+        // (jq prints 6 for [1,2,3]|add, not 6.0 — a 0.0 seed forced Double)
         TC(when(size(me.col) > 0,
-          aggregate(me.col, lit(0d), (acc, x) => acc + x)), Some(DoubleType))
+          aggregate(slice(me.col, lit(2), greatest(size(me.col) - 1, lit(0))),
+            element_at(me.col, 1), (acc, x) => acc + x)),
+          me.typ.collect { case ArrayType(t, _) => t })
       case "min" => TC(array_min(me.col), me.typ.collect { case ArrayType(t, _) => t })
       case "max" => TC(array_max(me.col), me.typ.collect { case ArrayType(t, _) => t })
       case "first"   => TC(element_at(me.col, 1), me.typ.collect { case ArrayType(t, _) => t })

@@ -42,7 +42,13 @@ object ScriptStages {
     val hasKey = df.columns.contains("key")
     val withRes = df.select(
       (if (hasKey) Seq(col("key")) else Nil) :+ doc.as("__doc"): _*)
-    val resType = withRes.schema("__doc").dataType.asInstanceOf[StructType]
+    val resType = withRes.schema("__doc").dataType match {
+      case st: StructType => st
+      case other => throw new IllegalArgumentException(
+        s"$$jslt/$$jq must produce an object in this implementation; " +
+          s"the script's top-level result is ${other.simpleString} " +
+          "(the reference logs a script error per Script.java:40-55)")
+    }
     val newKey =
       if (hasKey && resType.exists(f => f.name == "_id" && f.dataType == StringType))
         coalesce(col("__doc").getField("_id"), col("key")).as("key")

@@ -142,7 +142,9 @@ class ExprSpec extends SparkSpec {
   }
 
   test("array-context $sum/$avg/$max/$min and trig") {
-    assert(eval("""{"$sum": ["$arr"]}""") == 10.0)
+    // Mongo $sum preserves the integral element type (10, not 10.0)
+    val s = eval("""{"$sum": ["$arr"]}""")
+    assert(s == 10L && s.isInstanceOf[Long])
     assert(eval("""{"$avg": ["$arr"]}""") == 2.5)
     assert(eval("""{"$max": ["$arr"]}""") == 4L)
     assert(eval("""{"$min": ["$arr"]}""") == 1L)

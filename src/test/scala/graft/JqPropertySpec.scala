@@ -108,8 +108,11 @@ class JqPropertySpec extends SparkSpec {
     }
     case "add" => context match {
       case JArray(Nil) => JNull
-      case JArray(xs)  => JDouble(xs.map(num(_).fold(_.toDouble, identity)).sum)
-      case _           => JNull
+      case JArray(xs) => // like jq: an all-integer array sums to an integer
+        val ns = xs.map(num)
+        if (ns.forall(_.isLeft)) JLong(ns.map(_.swap.getOrElse(0L)).sum)
+        else JDouble(ns.map(_.fold(_.toDouble, identity)).sum)
+      case _ => JNull
     }
     case "sort" => context match {
       case JArray(xs) => JArray(xs.sortBy(num(_).fold(_.toDouble, identity)))

@@ -125,7 +125,8 @@ class ScriptSpec extends SparkSpec {
     val r2 = pipeline.run(df,
       """[{"$jq": "{total: (.nested | map(add) | add), srt: ([3, 1, 2] | sort), uniq: ([2, 1, 2] | unique), lt: (.p | ltrimstr(\"pre.\")), rt: (.p | rtrimstr(\".post\"))}"}]""")
       .head()
-    assert(r2.getAs[Double]("total") == 6.0)
+    // integral arrays keep integer type through add, like jq prints 6 not 6.0
+    assert(r2.getAs[Long]("total") == 6L)
     assert(r2.getAs[scala.collection.Seq[Long]]("srt").toList == List(1L, 2L, 3L))
     assert(r2.getAs[scala.collection.Seq[Long]]("uniq").toList == List(1L, 2L))
     assert(r2.getAs[String]("lt") == "mid.post")
@@ -138,6 +139,31 @@ class ScriptSpec extends SparkSpec {
     assert(r1.schema.fieldNames.count(_ == "k") == 1 && r1.getAs[Long]("k") == 2L)
     val r2 = pipeline.run(df, """[{"$jq": "{k: .a, k: .b}"}]""").head()
     assert(r2.schema.fieldNames.count(_ == "k") == 1 && r2.getAs[Long]("k") == 2L)
+  }
+
+  test("$jq select inside if branches only applies when the branch is taken") {
+    val df = Seq(("a", 1L, 0L), ("b", 0L, 0L), ("c", 1L, 5L))
+      .toDF("name", "c", "v")
+    // jq: when .c > 0 require .v > 2, otherwise pass the row through —
+    // the select's condition must NOT leak into the other branch
+    val out = pipeline.run(df,
+      """[{"$jq": "if (.c > 0) then select(.v > 2) else . end"}]""")
+    assert(out.collect().map(_.getAs[String]("name")).toSet == Set("b", "c"))
+  }
+
+  test("$jq nested select inside a map body is rejected, not ignored") {
+    val df = Seq((Seq(1L, 2L, 3L), 0L)).toDF("xs", "z")
+    intercept[IllegalArgumentException] {
+      pipeline.run(df,
+        """[{"$jq": "{r: (.xs | map(select(. > 0) | select(. > 1))), z: .z}"}]""")
+    }
+  }
+
+  test("$jq/$jslt non-object top-level result raises a clear shape error") {
+    val e = intercept[IllegalArgumentException] {
+      pipeline.run(in, """[{"$jq": ".test"}]""")
+    }
+    assert(e.getMessage.contains("must produce an object"))
   }
 
   test("jslt/jq compile errors are rethrown (Script.java:40-55)") {

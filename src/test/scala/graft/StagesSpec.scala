@@ -277,6 +277,37 @@ class StagesSpec extends SparkSpec {
     assert(m.head.schema.fieldNames.toSeq == Seq("t10"))
   }
 
+  test("$lookup sub-pipeline: '$$name' inside a plain string is not a var reference") {
+    val big = (1L to 3L).map(i => (s"m$i", i)).toDF("_id", "test")
+    val lk = new Pipeline(catalog = _ => big)
+    val df = Seq(("0", 1L)).toDF("_id", "local")
+    // the $project writes a literal containing "$$lv" — the rendered-JSON
+    // substring scan used to misclassify this uncorrelated stage as
+    // correlated and reject it because it is not a $match
+    val out = lk.run(df,
+      """[{"$lookup": {"from": "c", "let": {"lv": "$local"},
+            "pipeline": [
+              {"$project": {"tag": {"$literal": "costs $$lv dollars"}, "test": 1, "_id": 0}},
+              {"$match": {"$expr": {"$gte": ["$test", "$$lv"]}}}],
+            "as": "m"}}]""")
+    assert(out.select(size($"m")).head().getInt(0) == 3)
+  }
+
+  test("$lookup sub-pipeline: prefix $sort without a trailing $sort is rejected") {
+    val big = (1L to 3L).map(i => (s"m$i", i)).toDF("_id", "test")
+    val lk = new Pipeline(catalog = _ => big)
+    val df = Seq(("0", 1L)).toDF("_id", "local")
+    val e = intercept[IllegalArgumentException] {
+      lk.run(df,
+        """[{"$lookup": {"from": "c", "let": {"lv": "$local"},
+              "pipeline": [
+                {"$sort": {"test": -1}},
+                {"$match": {"$expr": {"$gte": ["$test", "$$lv"]}}}],
+              "as": "m"}}]""")
+    }
+    assert(e.getMessage.contains("$sort"))
+  }
+
   test("$lookup sub-pipeline with no correlated $match attaches the whole collection") {
     val df = Seq(("0", 1L)).toDF("_id", "local")
     val out = look.run(df,
