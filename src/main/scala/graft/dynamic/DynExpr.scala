@@ -1,0 +1,479 @@
+package graft.dynamic
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.json4s._
+
+import scala.jdk.CollectionConverters._
+
+/** Mongo aggregation-expression compiler for the DYNAMIC document mode: a
+  * json4s spec compiles ONCE (driver side) to a serializable [[DOp]] tree
+  * that executors evaluate per document against Jackson trees. The typed
+  * twin is [[graft.mongo.MongoExpr]] (spec → Catalyst Column); this one
+  * exists for documents whose shape is unknowable at plan time
+  * (Expression.function in the reference, via pincette-mongo).
+  *
+  * Semantics notes:
+  *  - missing ≠ null: path misses evaluate to MISSING and vanish from
+  *    object constructors (like Mongo drops missing fields)
+  *  - integral arithmetic stays integral; `/` is always double
+  *  - comparisons use the Mongo cross-type total order (DynJson.compare)
+  */
+object DynExpr {
+
+  import DynJson._
+
+  /** Evaluation context: the current document plus `$$var` bindings. */
+  final case class DCtx(doc: JsonNode, vars: Map[String, JsonNode])
+
+  sealed trait DOp extends Serializable { def eval(ctx: DCtx): JsonNode }
+
+  /** Sentinel result of `$$REMOVE`. */
+  val REMOVE: JsonNode = com.fasterxml.jackson.databind.node.MissingNode.getInstance
+
+  // ---- path resolution ------------------------------------------------------
+
+  /** Mongo path semantics incl. descent into arrays: a non-index segment on
+    * an array maps over the elements, collecting present values. */
+  def resolve(n: JsonNode, path: List[String]): JsonNode = path match {
+    case Nil => n
+    case seg :: rest =>
+      n match {
+        case o: ObjectNode =>
+          val child = o.get(seg)
+          if (child == null) MISSING else resolve(child, rest)
+        case a: ArrayNode =>
+          if (seg.nonEmpty && seg.forall(_.isDigit)) {
+            val i = seg.toInt
+            if (i < a.size) resolve(a.get(i), rest) else MISSING
+          } else {
+            val out = arr()
+            a.asScala.foreach { el =>
+              val v = resolve(el, seg :: rest)
+              if (!isMissing(v)) out.add(v)
+            }
+            out
+          }
+        case _ => MISSING
+      }
+  }
+
+  final case class DPath(segs: List[String]) extends DOp {
+    def eval(ctx: DCtx): JsonNode = resolve(ctx.doc, segs)
+  }
+  final case class DVar(name: String, segs: List[String]) extends DOp {
+    def eval(ctx: DCtx): JsonNode = name match {
+      case "ROOT" | "CURRENT" => resolve(ctx.doc, segs)
+      case "REMOVE"           => REMOVE
+      case "NOW"              => text(java.time.Instant.now.toString)
+      case _ =>
+        ctx.vars.get(name) match {
+          case Some(v) => resolve(v, segs)
+          case None => throw new IllegalArgumentException(s"unbound variable $$$$$name")
+        }
+    }
+  }
+  final case class DConst(json: String) extends DOp {
+    @transient private lazy val node: JsonNode = parse(json)
+    def eval(ctx: DCtx): JsonNode = node
+  }
+  final case class DObj(fields: List[(String, DOp)]) extends DOp {
+    def eval(ctx: DCtx): JsonNode = {
+      val out = obj()
+      fields.foreach { case (k, op) =>
+        val v = op.eval(ctx)
+        if (!isMissing(v)) out.set[JsonNode](k, v) // $$REMOVE / missing drop
+      }
+      out
+    }
+  }
+  final case class DArr(items: List[DOp]) extends DOp {
+    def eval(ctx: DCtx): JsonNode = {
+      val out = arr()
+      items.foreach(op => out.add(missingToNull(op.eval(ctx))))
+      out
+    }
+  }
+  final case class DFn(name: String, args: List[DOp]) extends DOp {
+    def eval(ctx: DCtx): JsonNode = Ops.eval(name, args, ctx)
+  }
+  final case class DLet(vars: List[(String, DOp)], in: DOp) extends DOp {
+    def eval(ctx: DCtx): JsonNode = {
+      val bound = vars.foldLeft(ctx.vars) { case (vs, (n, op)) =>
+        vs + (n -> missingToNull(op.eval(ctx.copy(vars = vs))))
+      }
+      in.eval(ctx.copy(vars = bound))
+    }
+  }
+  /** $map / $filter with an `as` binding evaluated per element. */
+  final case class DMapArr(input: DOp, as: String, in: DOp) extends DOp {
+    def eval(ctx: DCtx): JsonNode = input.eval(ctx) match {
+      case a: ArrayNode =>
+        val out = arr()
+        a.asScala.foreach(el =>
+          out.add(missingToNull(in.eval(ctx.copy(vars = ctx.vars + (as -> el))))))
+        out
+      case n if n.isNull || isMissing(n) => NULL
+      case _ => throw new IllegalArgumentException("$map input must be an array")
+    }
+  }
+  final case class DFilterArr(input: DOp, as: String, cond: DOp) extends DOp {
+    def eval(ctx: DCtx): JsonNode = input.eval(ctx) match {
+      case a: ArrayNode =>
+        val out = arr()
+        a.asScala.foreach { el =>
+          if (truthy(cond.eval(ctx.copy(vars = ctx.vars + (as -> el))))) out.add(el)
+        }
+        out
+      case n if n.isNull || isMissing(n) => NULL
+      case _ => throw new IllegalArgumentException("$filter input must be an array")
+    }
+  }
+  final case class DReduce(input: DOp, init: DOp, in: DOp) extends DOp {
+    def eval(ctx: DCtx): JsonNode = input.eval(ctx) match {
+      case a: ArrayNode =>
+        var acc = missingToNull(init.eval(ctx))
+        a.asScala.foreach { el =>
+          acc = missingToNull(
+            in.eval(ctx.copy(vars = ctx.vars + ("value" -> acc) + ("this" -> el))))
+        }
+        acc
+      case n if n.isNull || isMissing(n) => NULL
+      case _ => throw new IllegalArgumentException("$reduce input must be an array")
+    }
+  }
+  final case class DSwitch(branches: List[(DOp, DOp)], default: Option[DOp]) extends DOp {
+    def eval(ctx: DCtx): JsonNode =
+      branches.find { case (c, _) => truthy(c.eval(ctx)) } match {
+        case Some((_, t)) => t.eval(ctx)
+        case None => default.map(_.eval(ctx)).getOrElse(
+          throw new IllegalArgumentException("$switch fell through without default"))
+      }
+  }
+
+  // ---- compile --------------------------------------------------------------
+
+  def compile(spec: JValue): DOp = spec match {
+    case JString(s) if s.startsWith("$$") =>
+      val segs = s.drop(2).split('.').toList
+      DVar(segs.head, segs.tail)
+    case JString(s) if s.startsWith("$") => DPath(s.drop(1).split('.').toList)
+    case JString(s)  => DConst(DynJson.render(text(s)))
+    case JInt(i)     => DConst(i.toString)
+    case JLong(l)    => DConst(l.toString)
+    case JDouble(d)  => DConst(d.toString)
+    case JDecimal(d) => DConst(d.toString)
+    case JBool(b)    => DConst(b.toString)
+    case JNull       => DConst("null")
+    case JArray(items) => DArr(items.map(compile))
+    case JObject(List((op, arg))) if op.startsWith("$") => compileOp(op, arg)
+    case JObject(fields) =>
+      DObj(fields.map { case (k, v) => k -> compile(v) })
+    case other => throw new IllegalArgumentException(s"bad expression: $other")
+  }
+
+  private def argList(arg: JValue): List[DOp] = arg match {
+    case JArray(items) => items.map(compile)
+    case single        => List(compile(single))
+  }
+
+  private def compileOp(op: String, arg: JValue): DOp = op match {
+    case "$literal" =>
+      DConst(org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(arg)))
+    case "$let" =>
+      val vars = (arg \ "vars") match {
+        case JObject(vs) => vs.map { case (n, e) => n -> compile(e) }
+        case _           => Nil
+      }
+      DLet(vars, compile(arg \ "in"))
+    case "$map" =>
+      val as = arg \ "as" match { case JString(a) => a; case _ => "this" }
+      DMapArr(compile(arg \ "input"), as, compile(arg \ "in"))
+    case "$filter" =>
+      val as = arg \ "as" match { case JString(a) => a; case _ => "this" }
+      DFilterArr(compile(arg \ "input"), as, compile(arg \ "cond"))
+    case "$reduce" =>
+      DReduce(compile(arg \ "input"), compile(arg \ "initialValue"), compile(arg \ "in"))
+    case "$cond" =>
+      arg match {
+        case JArray(List(c, t, e)) => DSwitch(List((compile(c), compile(t))), Some(compile(e)))
+        case o: JObject =>
+          DSwitch(List((compile(o \ "if"), compile(o \ "then"))), Some(compile(o \ "else")))
+        case other => throw new IllegalArgumentException(s"$$cond: $other")
+      }
+    case "$switch" =>
+      val branches = (arg \ "branches") match {
+        case JArray(bs) =>
+          bs.map(b => (compile(b \ "case"), compile(b \ "then")))
+        case _ => Nil
+      }
+      val default = (arg \ "default") match {
+        case JNothing => None
+        case d        => Some(compile(d))
+      }
+      DSwitch(branches, default)
+    case name => DFn(name, argList(arg))
+  }
+
+  /** Operator evaluators (the `DFn` body) — n-ary ops over evaluated args. */
+  private object Ops {
+
+    private def numArith(name: String, args: List[JsonNode])(
+        fl: (Long, Long) => Long, fd: (Double, Double) => Double): JsonNode = {
+      if (args.exists(a => a.isNull || isMissing(a))) return NULL
+      if (!args.forall(_.isNumber))
+        throw new IllegalArgumentException(s"$name needs numbers, got ${args.map(typeName)}")
+      if (args.forall(_.isIntegralNumber))
+        long(args.map(_.longValue).reduce(fl))
+      else double(args.map(_.doubleValue).reduce(fd))
+    }
+
+    private def mathFn(args: List[JsonNode])(f: Double => Double): JsonNode =
+      args.head match {
+        case n if n.isNull || isMissing(n) => NULL
+        case n if n.isNumber               => double(f(n.doubleValue))
+        case other => throw new IllegalArgumentException(s"math op on ${typeName(other)}")
+      }
+
+    def eval(name: String, argOps: List[DOp], ctx: DCtx): JsonNode = {
+      def a(i: Int): JsonNode = argOps(i).eval(ctx)
+      lazy val args: List[JsonNode] = argOps.map(_.eval(ctx))
+      name match {
+        case "$add"      => numArith(name, args)(_ + _, _ + _)
+        case "$subtract" => numArith(name, args)(_ - _, _ - _)
+        case "$multiply" => numArith(name, args)(_ * _, _ * _)
+        case "$divide" =>
+          val List(x, y) = args
+          if (x.isNull || y.isNull || isMissing(x) || isMissing(y)) NULL
+          else double(x.doubleValue / y.doubleValue)
+        case "$mod" => numArith(name, args)(_ % _, _ % _)
+        case "$abs" => numArith(name, args)(math.abs, math.abs)
+        case "$pow"   => mathFn(List(a(0)))(x => math.pow(x, a(1).doubleValue))
+        case "$sqrt"  => mathFn(args)(math.sqrt)
+        case "$exp"   => mathFn(args)(math.exp)
+        case "$ln"    => mathFn(args)(math.log)
+        case "$log10" => mathFn(args)(math.log10)
+        case "$floor" =>
+          args.head match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n => long(math.floor(n.doubleValue).toLong)
+          }
+        case "$ceil" =>
+          args.head match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n => long(math.ceil(n.doubleValue).toLong)
+          }
+        case "$round" | "$trunc" =>
+          args.head match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n =>
+              val places = if (args.size > 1) args(1).intValue else 0
+              val f = math.pow(10, places)
+              val v =
+                if (name == "$round")
+                  BigDecimal(n.doubleValue).setScale(places, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+                else math.floor(math.abs(n.doubleValue) * f) / f * math.signum(n.doubleValue)
+              num(v, places <= 0)
+          }
+
+        case "$concat" =>
+          if (args.exists(x => x.isNull || isMissing(x))) NULL
+          else text(args.map(_.textValue).mkString)
+        case "$toUpper" => if (a(0).isNull || isMissing(a(0))) text("") else text(a(0).textValue.toUpperCase)
+        case "$toLower" => if (a(0).isNull || isMissing(a(0))) text("") else text(a(0).textValue.toLowerCase)
+        case "$strLenCP" => long(a(0).textValue.codePointCount(0, a(0).textValue.length).toLong)
+        case "$substrCP" =>
+          val s = a(0).textValue
+          val start = a(1).intValue
+          val len = a(2).intValue
+          val from = math.min(math.max(start, 0), s.length)
+          text(s.substring(from, math.min(from + math.max(len, 0), s.length)))
+        case "$split" =>
+          val s = a(0); val sep = a(1)
+          if (s.isNull || isMissing(s)) NULL
+          else {
+            val out = arr()
+            // literal separator, like Mongo (not a regex)
+            s.textValue.split(java.util.regex.Pattern.quote(sep.textValue), -1)
+              .foreach(p => out.add(text(p)))
+            out
+          }
+        case "$trim"  => text(a(0).textValue.trim)
+        case "$indexOfCP" =>
+          val i = a(0).textValue.indexOf(a(1).textValue)
+          long(i.toLong)
+
+        case "$eq"  => bool(deepEq(a(0), a(1)))
+        case "$ne"  => bool(!deepEq(a(0), a(1)))
+        case "$gt"  => bool(compare(a(0), a(1)) > 0)
+        case "$gte" => bool(compare(a(0), a(1)) >= 0)
+        case "$lt"  => bool(compare(a(0), a(1)) < 0)
+        case "$lte" => bool(compare(a(0), a(1)) <= 0)
+        case "$cmp" => long(Integer.signum(compare(a(0), a(1))).toLong)
+
+        case "$and" => bool(argOps.forall(op => truthy(op.eval(ctx))))
+        case "$or"  => bool(argOps.exists(op => truthy(op.eval(ctx))))
+        case "$not" => bool(!truthy(a(0)))
+
+        case "$ifNull" =>
+          argOps.iterator.map(_.eval(ctx)).find(v => !v.isNull && !isMissing(v))
+            .getOrElse(NULL)
+
+        case "$mergeObjects" =>
+          val out = obj()
+          args.foreach {
+            case o: ObjectNode =>
+              o.fields().asScala.foreach(e => out.set[JsonNode](e.getKey, e.getValue))
+            case n if n.isNull || isMissing(n) => ()
+            case other =>
+              throw new IllegalArgumentException(s"$$mergeObjects on ${typeName(other)}")
+          }
+          out
+        case "$objectToArray" =>
+          a(0) match {
+            case o: ObjectNode =>
+              val out = arr()
+              o.fields().asScala.foreach { e =>
+                val kv = obj()
+                kv.set[JsonNode]("k", text(e.getKey))
+                kv.set[JsonNode]("v", e.getValue)
+                out.add(kv)
+              }
+              out
+            case _ => NULL
+          }
+        case "$arrayToObject" =>
+          a(0) match {
+            case ar: ArrayNode =>
+              val out = obj()
+              ar.asScala.foreach {
+                case kv: ObjectNode => out.set[JsonNode](kv.get("k").textValue, kv.get("v"))
+                case pair: ArrayNode => out.set[JsonNode](pair.get(0).textValue, pair.get(1))
+                case other =>
+                  throw new IllegalArgumentException(s"$$arrayToObject entry ${typeName(other)}")
+              }
+              out
+            case _ => NULL
+          }
+
+        case "$size" =>
+          a(0) match {
+            case ar: ArrayNode => long(ar.size.toLong)
+            case other => throw new IllegalArgumentException(s"$$size of ${typeName(other)}")
+          }
+        case "$arrayElemAt" =>
+          a(0) match {
+            case ar: ArrayNode =>
+              val i0 = a(1).intValue
+              val i = if (i0 < 0) ar.size + i0 else i0
+              if (i >= 0 && i < ar.size) ar.get(i) else MISSING
+            case _ => NULL
+          }
+        case "$first" => eval("$arrayElemAt", List(argOps.head, DConst("0")), ctx)
+        case "$last"  => eval("$arrayElemAt", List(argOps.head, DConst("-1")), ctx)
+        case "$concatArrays" =>
+          if (args.exists(x => x.isNull || isMissing(x))) NULL
+          else {
+            val out = arr()
+            args.foreach { case ar: ArrayNode => out.addAll(ar); case _ => () }
+            out
+          }
+        case "$slice" =>
+          a(0) match {
+            case ar: ArrayNode =>
+              val out = arr()
+              val (from, n) =
+                if (args.size == 3) (a(1).intValue, a(2).intValue)
+                else { val k = a(1).intValue; if (k < 0) (ar.size + k, -k) else (0, k) }
+              val start = math.max(if (from < 0) ar.size + from else from, 0)
+              (start until math.min(start + math.max(n, 0), ar.size)).foreach(i => out.add(ar.get(i)))
+              out
+            case _ => NULL
+          }
+        case "$reverseArray" =>
+          a(0) match {
+            case ar: ArrayNode =>
+              val out = arr()
+              (ar.size - 1 to 0 by -1).foreach(i => out.add(ar.get(i)))
+              out
+            case _ => NULL
+          }
+        case "$in" =>
+          a(1) match {
+            case ar: ArrayNode => bool(ar.asScala.exists(deepEq(_, a(0))))
+            case _ => throw new IllegalArgumentException("$in needs an array")
+          }
+        case "$range" =>
+          val step = if (args.size > 2) a(2).longValue else 1L
+          val out = arr()
+          var i = a(0).longValue
+          val end = a(1).longValue
+          while (if (step > 0) i < end else i > end) { out.add(long(i)); i += step }
+          out
+        // array-context aggregates (the accumulator forms live in DynGroupAgg)
+        case "$sum" | "$avg" | "$max" | "$min" =>
+          val in = args.head match {
+            case ar: ArrayNode => ar.asScala.toList
+            case single        => List(single)
+          }
+          name match {
+            case "$sum" =>
+              val nums = in.filter(_.isNumber)
+              if (nums.isEmpty) long(0)
+              else if (nums.forall(_.isIntegralNumber)) long(nums.map(_.longValue).sum)
+              else double(nums.map(_.doubleValue).sum)
+            case "$avg" =>
+              val nums = in.filter(_.isNumber)
+              if (nums.isEmpty) NULL else double(nums.map(_.doubleValue).sum / nums.size)
+            case "$max" =>
+              val vs = in.filterNot(v => v.isNull || isMissing(v))
+              if (vs.isEmpty) NULL else vs.max(mongoOrder)
+            case "$min" =>
+              val vs = in.filterNot(v => v.isNull || isMissing(v))
+              if (vs.isEmpty) NULL else vs.min(mongoOrder)
+          }
+
+        case "$type" => text(typeName(a(0)))
+        case "$toString" =>
+          a(0) match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n if n.isTextual              => n
+            case n                             => text(canonicalScalar(n))
+          }
+        case "$toInt" | "$toLong" =>
+          a(0) match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n if n.isNumber  => long(n.longValue)
+            case n if n.isTextual => long(n.textValue.trim.toDouble.toLong)
+            case n if n.isBoolean => long(if (n.booleanValue) 1 else 0)
+            case other => throw new IllegalArgumentException(s"$$toLong of ${typeName(other)}")
+          }
+        case "$toDouble" =>
+          a(0) match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n if n.isNumber  => double(n.doubleValue)
+            case n if n.isTextual => double(n.textValue.trim.toDouble)
+            case n if n.isBoolean => double(if (n.booleanValue) 1 else 0)
+            case other => throw new IllegalArgumentException(s"$$toDouble of ${typeName(other)}")
+          }
+        case "$toBool" =>
+          a(0) match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n => bool(truthy(n))
+          }
+
+        case other =>
+          throw new IllegalArgumentException(
+            s"dynamic mode: unsupported expression operator $other " +
+              "(supported subset documented in DynExpr; use typed mode for the rest)")
+      }
+    }
+
+    /** Mongo $toString of a number: integral without decimal point. */
+    private def canonicalScalar(n: JsonNode): String =
+      if (n.isIntegralNumber) n.longValue.toString
+      else if (n.isNumber) n.doubleValue.toString
+      else if (n.isBoolean) n.booleanValue.toString
+      else n.toString
+  }
+}
