@@ -247,7 +247,13 @@ object DynExpr {
           if (x.isNull || y.isNull || isMissing(x) || isMissing(y)) NULL
           else double(x.doubleValue / y.doubleValue)
         case "$mod" => numArith(name, args)(_ % _, _ % _)
-        case "$abs" => numArith(name, args)(math.abs, math.abs)
+        case "$abs" =>
+          args.head match {
+            case n if n.isNull || isMissing(n) => NULL
+            case n if n.isIntegralNumber       => long(math.abs(n.longValue))
+            case n if n.isNumber               => double(math.abs(n.doubleValue))
+            case other => throw new IllegalArgumentException(s"$$abs on ${typeName(other)}")
+          }
         case "$pow"   => mathFn(List(a(0)))(x => math.pow(x, a(1).doubleValue))
         case "$sqrt"  => mathFn(args)(math.sqrt)
         case "$exp"   => mathFn(args)(math.exp)
