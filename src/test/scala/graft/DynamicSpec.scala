@@ -1,0 +1,302 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.dynamic.{DynExpr, DynJson, DynMatch, DynPipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DYNAMIC (schemaless) pipeline mode — semantics mirrored from the
+  * reference test corpus on documents with NO schema: mixed-type fields,
+  * deep merges, non-object $replaceWith results, cross-type group
+  * accumulators (TestAddFields.java, TestReplaceWith.java, TestGroup.java).
+  */
+class DynamicSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(jsons: String*): DataFrame = jsons.toSeq.toDF("doc")
+
+  private def run(df: DataFrame, pipeline: String): DataFrame =
+    DynPipeline.run(df, pipeline)
+
+  private def outDocs(df: DataFrame): Set[JsonNode] =
+    df.select("doc").collect().map(r => DynJson.parse(r.getString(0))).toSet
+
+  private def node(s: String): JsonNode = DynJson.parse(s)
+
+  // ---- $addFields (TestAddFields.java:18-106) ------------------------------
+
+  test("$addFields 1: dotted paths, in-place replace, literal-dot keys kept") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","test1":0,"test3":{"test":0},"test.test":0}"""),
+      """[{"$addFields": {"test1": 1, "test2": 0, "test3.test": 1,
+            "test4.test.test1": 2, "test4.test.test2": 3}}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","test1":1,"test3":{"test":1},"test.test":0,
+         "test2":0,"test4":{"test":{"test1":2,"test2":3}}}""")))
+  }
+
+  test("$addFields 2: new nested path on missing parents") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","test1":0,"test3":{"test":0}}"""),
+      """[{"$addFields": {"test4.test.test2": 3}}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","test1":0,"test3":{"test":0},"test4":{"test":{"test2":3}}}""")))
+  }
+
+  test("$addFields 3: merge into existing object") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","test1":0,"test3":{"test":0}}"""),
+      """[{"$addFields": {"test3.test1.test2": 3}}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","test1":0,"test3":{"test":0,"test1":{"test2":3}}}""")))
+  }
+
+  test("$addFields 4: null on the path is replaced by an object") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","test1":0,"test3":{"test":0,"test1":null}}"""),
+      """[{"$addFields": {"test3.test1.test2": 3}}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","test1":0,"test3":{"test":0,"test1":{"test2":3}}}""")))
+  }
+
+  test("$addFields: expressions see the original document; mixed types") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","a":2,"b":"x"}""", """{"_id":"1","a":"s","b":3}"""),
+      """[{"$addFields": {"c": {"$cond": [{"$eq": [{"$type": "$a"}, "long"]},
+                                          {"$multiply": ["$a", 10]}, "$b"]},
+                          "a": "replaced"}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","a":"replaced","b":"x","c":20}"""),
+      node("""{"_id":"1","a":"replaced","b":3,"c":3}""")))
+  }
+
+  // ---- $replaceWith (ReplaceWith.java:29-36, TestReplaceWith.java) ---------
+
+  test("$replaceWith: object result replaces, non-object passes through") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","test":{"inner":1},"x":9}""",
+           """{"_id":"1","test":"scalar","x":8}"""),
+      """[{"$replaceWith": "$test"}]"""))
+    assert(out == Set(
+      node("""{"inner":1}"""),
+      node("""{"_id":"1","test":"scalar","x":8}""")))
+  }
+
+  test("$replaceWith: key follows the new _id") {
+    val out = run(
+      docs("""{"_id":"0","test":{"_id":"new-key","v":1}}"""),
+      """[{"$replaceWith": "$test"}]""")
+    assert(out.select("key").as[String].collect().toList == List("new-key"))
+  }
+
+  test("$replaceRoot newRoot + $mergeObjects") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","a":{"x":1},"b":{"y":2}}"""),
+      """[{"$replaceRoot": {"newRoot": {"$mergeObjects": ["$a", "$b", {"z": 3}]}}}]"""))
+    assert(out == Set(node("""{"x":1,"y":2,"z":3}""")))
+  }
+
+  // ---- $project / $unset ---------------------------------------------------
+
+  test("$project inclusion with computed and dotted; _id default") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","a":{"b":1,"c":2},"d":5}"""),
+      """[{"$project": {"a.b": 1, "e": {"$add": ["$d", 1]}}}]"""))
+    assert(out == Set(node("""{"_id":"0","a":{"b":1},"e":6}""")))
+  }
+
+  test("$project exclusion and $unset") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","a":{"b":1,"c":2},"d":5}"""),
+      """[{"$project": {"a.c": 0, "d": 0}}]"""))
+    assert(out == Set(node("""{"_id":"0","a":{"b":1}}""")))
+    val out2 = outDocs(run(
+      docs("""{"_id":"0","a":{"b":1,"c":2},"d":5}"""),
+      """[{"$unset": ["a.b", "_id"]}]"""))
+    assert(out2 == Set(node("""{"a":{"c":2},"d":5}""")))
+  }
+
+  // ---- $match on heterogeneous values --------------------------------------
+
+  test("$match: type brackets, arrays, exists, regex") {
+    val d = docs(
+      """{"_id":"0","v":5}""",
+      """{"_id":"1","v":"5"}""",
+      """{"_id":"2","v":[4,5,6]}""",
+      """{"_id":"3","w":1}""",
+      """{"_id":"4","v":"street"}""")
+    def ids(p: String): Set[JsonNode] =
+      outDocs(run(d, p)).map(_.get("_id"))
+    // numeric comparison only matches numbers (incl. inside arrays)
+    assert(ids("""[{"$match": {"v": {"$gt": 4}}}]""") ==
+      Set(DynJson.text("0"), DynJson.text("2")))
+    // equality matches scalars and array elements
+    assert(ids("""[{"$match": {"v": 5}}]""") ==
+      Set(DynJson.text("0"), DynJson.text("2")))
+    // whole-array equality
+    assert(ids("""[{"$match": {"v": [4,5,6]}}]""") == Set(DynJson.text("2")))
+    assert(ids("""[{"$match": {"v": {"$exists": false}}}]""") == Set(DynJson.text("3")))
+    assert(ids("""[{"$match": {"v": {"$regex": "^st", "$options": "i"}}}]""") ==
+      Set(DynJson.text("4")))
+    assert(ids("""[{"$match": {"v": {"$type": "string"}}}]""") ==
+      Set(DynJson.text("1"), DynJson.text("4")))
+    assert(ids("""[{"$match": {"v": {"$size": 3}}}]""") == Set(DynJson.text("2")))
+  }
+
+  // ---- $group with cross-type accumulators (TestGroup.java) ----------------
+
+  test("$group: cross-type $max/$min use the BSON bracket order") {
+    // numbers < strings in the bracket order, regardless of magnitude
+    val d = docs(
+      """{"_id":"a","t":999}""",
+      """{"_id":"b","t":"zz"}""",
+      """{"_id":"c","t":1}""",
+      """{"_id":"d","t":"aa"}""")
+    val out = outDocs(run(d,
+      """[{"$group": {"_id": null, "max": {"$max": "$t"}, "min": {"$min": "$t"}}}]"""))
+    assert(out == Set(node("""{"_id":null,"max":"zz","min":1}""")))
+  }
+
+  test("$group: integral $sum stays integral; mixed goes double; 1 and 1.0 same group") {
+    val d = docs(
+      """{"g":1,"v":2}""", """{"g":1.0,"v":3}""", """{"g":2,"v":1.5}""",
+      """{"g":2,"v":1}""", """{"g":2,"v":"skip"}""")
+    val out = outDocs(run(d,
+      """[{"$group": {"_id": "$g", "s": {"$sum": "$v"}, "n": {"$sum": 1}}}]"""))
+    assert(out == Set(
+      node("""{"_id":1,"s":5,"n":2}"""),
+      node("""{"_id":2,"s":2.5,"n":3}""")))
+  }
+
+  test("$group: $push/$addToSet/$avg/$first-last/$mergeObjects/stddev") {
+    val d = docs(
+      """{"g":"x","v":1,"o":{"a":1}}""",
+      """{"g":"x","v":1.0,"o":{"b":2}}""",
+      """{"g":"x","v":3,"o":{"a":9}}""")
+    val out = run(d,
+      """[{"$group": {"_id": "$g",
+           "set": {"$addToSet": "$v"}, "all": {"$push": "$v"},
+           "avg": {"$avg": "$v"}, "merged": {"$mergeObjects": "$o"},
+           "sd": {"$stdDevPop": "$v"}}}]""")
+    val doc = DynJson.parse(out.select("doc").as[String].collect().head)
+    assert(doc.get("set").size == 2)          // 1 == 1.0 dedupes
+    assert(doc.get("all").size == 3)
+    assert(math.abs(doc.get("avg").doubleValue - 5.0 / 3) < 1e-9)
+    assert(doc.get("merged").get("a").intValue == 9)
+    assert(doc.get("merged").get("b").intValue == 2)
+    assert(math.abs(doc.get("sd").doubleValue - 0.9428090415820634) < 1e-9)
+  }
+
+  test("$bucket and $count in dynamic mode") {
+    val d = docs("""{"p":1}""", """{"p":5}""", """{"p":12}""", """{"p":7}""")
+    val out = outDocs(run(d,
+      """[{"$bucket": {"groupBy": "$p", "boundaries": [0, 5, 10],
+                       "default": "rest",
+                       "output": {"n": {"$sum": 1}}}}]"""))
+    assert(out == Set(
+      node("""{"_id":0,"n":1}"""),
+      node("""{"_id":5,"n":2}"""),
+      node("""{"_id":"rest","n":1}""")))
+    val counted = outDocs(run(d, """[{"$count": "total"}]"""))
+    assert(counted == Set(node("""{"total":4}""")))
+  }
+
+  // ---- $unwind / $redact / $setKey / $deduplicate --------------------------
+
+  test("$unwind with index and preserve") {
+    val d = docs(
+      """{"_id":"0","a":[10,20]}""",
+      """{"_id":"1","a":[]}""",
+      """{"_id":"2"}""",
+      """{"_id":"3","a":7}""")
+    val out = outDocs(run(d,
+      """[{"$unwind": {"path": "$a", "includeArrayIndex": "i",
+                       "preserveNullAndEmptyArrays": true}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","a":10,"i":0}"""),
+      node("""{"_id":"0","a":20,"i":1}"""),
+      node("""{"_id":"1","i":null}"""),
+      node("""{"_id":"2","i":null}"""),
+      node("""{"_id":"3","a":7,"i":null}""")))
+    assert(run(d, """[{"$unwind": "$a"}]""").count() == 3)
+  }
+
+  test("$redact DESCEND/PRUNE on mixed trees") {
+    val d = docs(
+      """{"_id":"0","level":1,"sub":{"level":5,"secret":1},"keep":true}""",
+      """{"_id":"1","level":5}""")
+    val out = outDocs(run(d,
+      """[{"$redact": {"$cond": [{"$lte": ["$level", 3]}, "DESCEND", "PRUNE"]}}]"""))
+    assert(out == Set(node("""{"_id":"0","level":1,"sub":null,"keep":true}"""))
+      || out == Set(node("""{"_id":"0","level":1,"keep":true}""")))
+  }
+
+  test("$setKey and $deduplicate") {
+    val d = docs("""{"_id":"a","v":1}""", """{"_id":"a","v":1.0}""", """{"_id":"b","v":2}""")
+    val keyed = run(d, """[{"$setKey": "$_id"}]""")
+    assert(keyed.select("key").as[String].collect().sorted.toList == List("a", "a", "b"))
+    assert(run(d, """[{"$deduplicate": {"expression": "$_id"}}]""").count() == 2)
+  }
+
+  // ---- stage fusion ---------------------------------------------------------
+
+  test("consecutive document-local stages fuse into one mapPartitions") {
+    val d = docs("""{"_id":"0","a":1}""")
+    val out = run(d,
+      """[{"$addFields": {"b": {"$add": ["$a", 1]}}},
+          {"$match": {"b": 2}},
+          {"$project": {"b": 1}},
+          {"$unset": "_id"}]""")
+    // one SerializeFromObject (one mapPartitions pass) in the whole plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert("SerializeFromObject".r.findAllIn(plan).size == 1, plan)
+    assert(outDocs(out) == Set(node("""{"b":2}""")))
+  }
+
+  // ---- expression-level unit checks ----------------------------------------
+
+  private def evalExpr(spec: String, doc: String): JsonNode =
+    DynExpr.compile(org.json4s.jackson.JsonMethods.parse(spec))
+      .eval(DynExpr.DCtx(DynJson.parse(doc), Map.empty))
+
+  test("DynExpr: integral arithmetic, missing vs null, cross-type compare") {
+    assert(evalExpr("""{"$add": [2, 3]}""", "{}") == DynJson.long(5))
+    assert(evalExpr("""{"$add": [2, 3.5]}""", "{}") == DynJson.double(5.5))
+    assert(evalExpr("""{"$divide": [5, 2]}""", "{}") == DynJson.double(2.5))
+    // missing vanishes from object constructors, null does not
+    assert(evalExpr("""{"out": "$nope"}""", "{}").toString == "{}")
+    assert(evalExpr("""{"out": "$x"}""", """{"x":null}""").toString == """{"out":null}""")
+    // cross-type aggregation comparison: numbers < strings
+    assert(evalExpr("""{"$lt": [999, "a"]}""", "{}") == DynJson.bool(true))
+    assert(evalExpr("""{"$eq": [1, 1.0]}""", "{}") == DynJson.bool(true))
+    // $let, $map, $filter, $reduce
+    assert(evalExpr(
+      """{"$let": {"vars": {"t": 3}, "in": {"$multiply": ["$$t", "$$t"]}}}""",
+      "{}") == DynJson.long(9))
+    assert(evalExpr(
+      """{"$map": {"input": [1, 2], "as": "e", "in": {"$add": ["$$e", 10]}}}""",
+      "{}").toString == "[11,12]")
+    assert(evalExpr(
+      """{"$filter": {"input": [1, "a", 2], "as": "e",
+                      "cond": {"$eq": [{"$type": "$$e"}, "long"]}}}""",
+      "{}").toString == """[1,2]""")
+    assert(evalExpr(
+      """{"$reduce": {"input": [1, 2, 3], "initialValue": 0,
+                      "in": {"$add": ["$$value", "$$this"]}}}""",
+      "{}") == DynJson.long(6))
+  }
+
+  test("DynMatch: elemMatch, all, mod, nin") {
+    def m(spec: String, doc: String): Boolean =
+      DynMatch.compile(org.json4s.jackson.JsonMethods.parse(spec))
+        .test(DynExpr.DCtx(DynJson.parse(doc), Map.empty))
+    assert(m("""{"a": {"$elemMatch": {"$gte": 2, "$lt": 4}}}""", """{"a":[1,3,9]}"""))
+    assert(!m("""{"a": {"$elemMatch": {"$gte": 4, "$lt": 6}}}""", """{"a":[1,3,9]}"""))
+    assert(m("""{"a": {"$elemMatch": {"b": 1}}}""", """{"a":[{"b":1},{"b":2}]}"""))
+    assert(m("""{"a": {"$all": [1, 3]}}""", """{"a":[1,2,3]}"""))
+    assert(!m("""{"a": {"$all": [1, 4]}}""", """{"a":[1,2,3]}"""))
+    assert(m("""{"a": {"$mod": [3, 1]}}""", """{"a":7}"""))
+    assert(m("""{"a": {"$nin": [2, 3]}}""", """{"a":1}"""))
+    assert(!m("""{"a": {"$nin": [1]}}""", """{"a":1}"""))
+  }
+}
