@@ -419,6 +419,87 @@ object SparkEntry {
           "rev_first": {"$arrayElemAt": [{"$reverseArray": "$toks"}, 0]}}}
       ]""")),
 
+    // ---- DYNAMIC (schemaless) pipeline mode -------------------------------
+    // Documents carried as one JSON string column; heterogeneously-typed
+    // fields and deep merges the typed engine cannot represent.
+    "q_dynamic_addfields" -> ((s, dir) => {
+      val docs = t(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("_id"),
+        col("o_totalprice").as("price"),
+        struct(col("o_orderstatus").as("status")).as("meta"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$addFields": {
+              "meta.flag": {"$cond": [{"$gt": ["$price", 150000]}, "high", 0]},
+              "meta.k": {"$concat": ["$meta.status", "!"]},
+              "extra.a.b": {"$add": ["$_id", 1]}}},
+            {"$unset": "price"}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.meta.flag").as("flag"),
+        get_json_object(col("doc"), "$.meta.k").as("k"),
+        get_json_object(col("doc"), "$.extra.a.b").cast("long").as("ab"))
+    }),
+    "q_dynamic_replacewith" -> ((s, dir) => {
+      // sub is an OBJECT for even order keys, a scalar otherwise: the
+      // non-object result leaves the message unchanged (ReplaceWith.java:33-36)
+      val docs = t(s, dir, "orders").select(concat(
+        lit("{\"_id\":"), col("o_orderkey"),
+        lit(",\"sub\":"),
+        when(col("o_orderkey") % 2 === 0,
+          concat(lit("{\"x\":"), col("o_custkey"), lit("}")))
+          .otherwise(lit("\"scalar\"")),
+        lit("}")).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs, """[{"$replaceWith": "$sub"}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.x").cast("long").as("x"),
+        get_json_object(col("doc"), "$.sub").as("sub"))
+    }),
+    "q_dynamic_match" -> ((s, dir) => {
+      // v is a number for 2/3 of parts, a string otherwise: the query
+      // $gt only matches within the numeric type bracket
+      val docs = t(s, dir, "part").select(concat(
+        lit("{\"_id\":"), col("p_partkey"), lit(",\"v\":"),
+        when(col("p_partkey") % 3 =!= 0, col("p_size").cast("string"))
+          .otherwise(concat(lit("\""), col("p_brand"), lit("\""))),
+        lit("}")).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$match": {"v": {"$gt": 10}}}]""")
+      out.select(get_json_object(col("doc"), "$._id").cast("long").as("_id"))
+    }),
+    "q_dynamic_group" -> ((s, dir) => {
+      // heterogeneous accumulator inputs: number < string in the BSON
+      // bracket order, $sum skips non-numbers and stays integral
+      val docs = t(s, dir, "orders").select(concat(
+        lit("{\"_id\":"), col("o_custkey") % 100, lit(",\"v\":"),
+        when(col("o_orderkey") % 1000 === 0,
+          concat(lit("\""), col("o_orderpriority"), lit("\"")))
+          .otherwise(col("o_custkey").cast("string")),
+        lit("}")).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$group": {"_id": "$_id",
+              "mx": {"$max": "$v"}, "mn": {"$min": "$v"},
+              "s": {"$sum": "$v"}, "n": {"$sum": 1}}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.mx").as("mx"),
+        get_json_object(col("doc"), "$.mn").as("mn"),
+        get_json_object(col("doc"), "$.s").cast("long").as("s"),
+        get_json_object(col("doc"), "$.n").cast("long").as("n"))
+    }),
+    "q_dynamic_unwind" -> ((s, dir) => {
+      val docs = t(s, dir, "part").select(concat(
+        lit("{\"_id\":"), col("p_partkey"),
+        lit(",\"arr\":["), col("p_size"), lit(","), col("p_partkey") % 10,
+        lit("]}")).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$unwind": {"path": "$arr", "includeArrayIndex": "i"}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.arr").cast("long").as("el"),
+        get_json_object(col("doc"), "$.i").cast("long").as("i"))
+    }),
+
     // ---- LLM-data-pipeline operators --------------------------------------
     "llm_dedup_exact" -> ((s, dir) => {
       tune(s); DedupOps.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -786,6 +867,40 @@ object SparkEntry {
       """SELECT event_id, user_id FROM events""",
     "q_trace" ->
       """SELECT o_orderkey FROM orders""",
+    "q_dynamic_addfields" ->
+      """SELECT o_orderkey AS _id,
+                CASE WHEN o_totalprice > 150000 THEN 'high' ELSE '0' END AS flag,
+                o_orderstatus || '!' AS k,
+                CAST(o_orderkey + 1 AS BIGINT) AS ab
+         FROM orders""",
+    "q_dynamic_replacewith" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderkey END AS _id,
+                CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END AS x,
+                CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'scalar' END AS sub
+         FROM orders""",
+    "q_dynamic_match" ->
+      """SELECT p_partkey AS _id FROM part
+         WHERE p_partkey % 3 <> 0 AND p_size > 10""",
+    "q_dynamic_group" ->
+      """WITH d AS (
+           SELECT o_custkey % 100 AS g,
+                  CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_custkey END AS nval,
+                  CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority END AS sval
+           FROM orders)
+         SELECT g AS _id,
+                CASE WHEN count(sval) > 0 THEN max(sval)
+                     ELSE CAST(max(nval) AS VARCHAR) END AS mx,
+                CASE WHEN count(nval) > 0 THEN CAST(min(nval) AS VARCHAR)
+                     ELSE min(sval) END AS mn,
+                CAST(coalesce(sum(nval), 0) AS BIGINT) AS s,
+                count(*) AS n
+         FROM d GROUP BY g""",
+    "q_dynamic_unwind" ->
+      """SELECT p_partkey AS _id, CAST(p_size AS BIGINT) AS el, CAST(0 AS BIGINT) AS i
+         FROM part
+         UNION ALL
+         SELECT p_partkey, CAST(p_partkey % 10 AS BIGINT), CAST(1 AS BIGINT)
+         FROM part""",
     "q_redact" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
