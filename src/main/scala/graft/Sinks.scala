@@ -81,7 +81,30 @@ private[graft] object SinkStages {
         .drop("__mid", "__rn")
     }
 
-    val target = store.read(into)
+    // Incremental path (bucketed store, same `on`, no new columns, same key
+    // types): read and rewrite ONLY the buckets the batch touches —
+    // O(batch), not O(collection). Costs one extra cheap pass over the
+    // incoming batch (distinct bucket ids); at scale that is noise next to
+    // not rewriting the collection. Inserts that generate a fresh `_id`
+    // hash into arbitrary buckets and are APPENDED (merge-on-read) rather
+    // than forcing those buckets to be read.
+    val targetSchema = store.read(into).schema
+    val iColsPre = incoming.columns.toSeq
+    val sameKeyTypes = on.forall(f =>
+      targetSchema.find(_.name == f).map(_.dataType) ==
+        incoming.schema.find(_.name == f).map(_.dataType))
+    val bucketedN = store.bucketing(into, on)
+      .filter(_ => iColsPre.forall(targetSchema.fieldNames.contains) && sameKeyTypes)
+    val touched: Seq[Int] = bucketedN match {
+      case Some(n) =>
+        incoming.select(
+            graft.sources.DocumentStore.bucketColumn(on, n).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      case None => Nil
+    }
+
+    val target =
+      if (bucketedN.isDefined) store.readBuckets(into, touched) else store.read(into)
     val iCols = dedupedIncoming.columns.toSeq
     val tCols = target.columns.toSeq
     val allCols = (tCols ++ iCols.filterNot(tCols.contains)).toIndexedSeq
@@ -156,7 +179,16 @@ private[graft] object SinkStages {
       .filter(col("__t").isNotNull || !lit(discardInsert))
       .filter(col("__t").isNotNull || col("__written"))
       .select(allCols.map(col): _*)
-    translating(store.overwrite(into, newTarget))
+    bucketedN match {
+      case Some(n) =>
+        // bucket from the RESOLVED key values (covers generated insert _ids;
+        // resolved is persisted, so uuid() is pinned before bucketing)
+        translating(store.replaceBuckets(into, touched,
+          newTarget.withColumn("__bucket",
+            graft.sources.DocumentStore.bucketColumn(on, n))))
+      case None =>
+        translating(store.overwrite(into, newTarget))
+    }
 
     // downstream echo: written/kept docs for each incoming message, with the
     // incoming _id restored, re-keyed by _id (Merge.java:142-179)
@@ -194,9 +226,26 @@ private[graft] object SinkStages {
     val on = onFields(spec)
     val valid = df.filter(on.map(f => col(f).isNotNull).reduce(_ && _))
     val keys = valid.select(on.map(col): _*).distinct()
-    val target = store.read(from)
-    val cond = on.map(f => target(f) <=> keys(f)).reduce(_ && _)
-    store.overwrite(from, target.join(keys, cond, "left_anti"))
+    val targetSchema = store.read(from).schema
+    val sameKeyTypes = on.forall(f =>
+      targetSchema.find(_.name == f).map(_.dataType) ==
+        df.schema.find(_.name == f).map(_.dataType))
+    store.bucketing(from, on).filter(_ => sameKeyTypes) match {
+      case Some(n) =>
+        // rewrite only the buckets holding deleted keys
+        val touched = keys.select(
+            graft.sources.DocumentStore.bucketColumn(on, n).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        val target = store.readBuckets(from, touched)
+        val cond = on.map(f => target(f) <=> keys(f)).reduce(_ && _)
+        store.replaceBuckets(from, touched,
+          target.join(keys, cond, "left_anti").withColumn("__bucket",
+            graft.sources.DocumentStore.bucketColumn(on, n)))
+      case None =>
+        val target = store.read(from)
+        val cond = on.map(f => target(f) <=> keys(f)).reduce(_ && _)
+        store.overwrite(from, target.join(keys, cond, "left_anti"))
+    }
     valid
   }
 

@@ -296,11 +296,12 @@ object SparkEntry {
     // ---- sinks: $merge / $out / $delete / $send / $per / $throttle --------
     "q_merge" -> ((s, dir) => {
       tune(s)
-      val store = new graft.sources.ParquetStore(s,
+      val store = new graft.sources.BucketedParquetStore(s,
         java.nio.file.Files.createTempDirectory("graft_merge").toString)
       val ordersNoDate = t(s, dir, "orders").drop("o_orderdate")
       store.seed("tgt", ordersNoDate.filter(col("o_orderkey") < 3000)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+        on = List("o_orderkey"))
       new Pipeline(store = store).run(ordersNoDate,
         """[{"$merge": {"into": "tgt", "on": "o_orderkey",
                         "whenMatched": "keepExisting",
@@ -308,23 +309,41 @@ object SparkEntry {
         .count() // drive the upsert
       store.read("tgt")
     }),
+    // the 100 TB shape: a SMALL batch against a LARGE collection rewrites
+    // only the buckets it touches (BucketedParquetStore manifest)
+    "q_merge_incr" -> ((s, dir) => {
+      tune(s)
+      val store = new graft.sources.BucketedParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_merge_incr").toString)
+      val ordersNoDate = t(s, dir, "orders").drop("o_orderdate")
+      store.seed("tgt", ordersNoDate, on = List("o_orderkey"))
+      val batch = ordersNoDate.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2))
+      new Pipeline(store = store).run(batch,
+        """[{"$merge": {"into": "tgt", "on": "o_orderkey",
+                        "whenMatched": "replace",
+                        "whenNotMatched": "insert"}}]""").count()
+      store.read("tgt")
+    }),
     "q_out" -> ((s, dir) => {
       tune(s)
-      val store = new graft.sources.ParquetStore(s,
+      val store = new graft.sources.BucketedParquetStore(s,
         java.nio.file.Files.createTempDirectory("graft_out").toString)
       val ordersNoDate = t(s, dir, "orders").drop("o_orderdate")
         .withColumn("_id", col("o_orderkey").cast("string"))
       store.seed("tgt", ordersNoDate.filter(col("o_orderkey") < 3000)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2)),
+        on = List("_id"))
       new Pipeline(store = store).run(ordersNoDate,
         """[{"$out": {"into": "tgt"}}]""").count()
       store.read("tgt") // replace-upsert: every seeded row overwritten
     }),
     "q_delete" -> ((s, dir) => {
       tune(s)
-      val store = new graft.sources.ParquetStore(s,
+      val store = new graft.sources.BucketedParquetStore(s,
         java.nio.file.Files.createTempDirectory("graft_delete").toString)
-      store.seed("tgt", t(s, dir, "orders").drop("o_orderdate"))
+      store.seed("tgt", t(s, dir, "orders").drop("o_orderdate"),
+        on = List("o_orderkey"))
       new Pipeline(store = store).run(
         t(s, dir, "orders").filter(col("o_totalprice") > 200000)
           .select("o_orderkey"),
@@ -851,6 +870,12 @@ object SparkEntry {
     "q_merge" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
                 CASE WHEN o_orderkey < 3000 THEN round(o_totalprice * 2, 2)
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders""",
+    "q_merge_incr" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 1000 = 0 THEN round(o_totalprice * 3, 2)
                      ELSE o_totalprice END AS o_totalprice,
                 o_orderpriority
          FROM orders""",

@@ -9,6 +9,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait DocumentStore {
   def read(name: String): DataFrame
   def overwrite(name: String, df: DataFrame): Unit
+
+  /** Some(n) when collection `name` is hash-bucketed on exactly `on` into n
+    * buckets and supports incremental bucket replacement; None = sinks fall
+    * back to read-all/overwrite-all. */
+  def bucketing(name: String, on: List[String]): Option[Int] = None
+
+  /** Rows of just the given buckets (partition-pruned on bucketed stores). */
+  def readBuckets(name: String, touched: Seq[Int]): DataFrame = read(name)
+
+  /** Incremental write: `rows` must carry a `__bucket` column; buckets in
+    * `touched` are REPLACED by their rows, buckets present only in `rows`
+    * are APPENDED (merge-on-read). */
+  def replaceBuckets(name: String, touched: Seq[Int], rows: DataFrame): Unit =
+    throw new UnsupportedOperationException(s"$name: not a bucketed store")
+}
+
+object DocumentStore {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+
+  /** THE bucket function — sinks and bucketed stores must agree on it
+    * (Murmur3 is stable across sessions, so bucketed data is durable). */
+  def bucketColumn(on: Seq[String], numBuckets: Int): Column =
+    pmod(hash(on.map(col): _*), lit(numBuckets))
 }
 
 /** Parquet-directory store with versioned writes: `overwrite` lands in a new
