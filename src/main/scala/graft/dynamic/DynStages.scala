@@ -106,6 +106,7 @@ object DynPipeline {
     case "$setKey"             =>
       val op = DynExpr.compile(spec)
       Some { case (_, doc) => Iterator.single((keyString(op.eval(DynExpr.DCtx(doc, Map.empty))), doc)) }
+    case "$http"               => Some(http(spec))
     case "$trace" | "$backTrace" => Some(Iterator.single(_))
     case "$group" | "$count" | "$bucket" | "$deduplicate" => None
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
@@ -322,6 +323,100 @@ object DynPipeline {
       walk(copy(doc).asInstanceOf[ObjectNode]) match {
         case Some(d) => Iterator.single((k, d))
         case None    => Iterator.empty
+      }
+    }
+  }
+
+  /** `$http` with FULL reference response parsing (Http.java:340-405):
+    * dynamic documents are JSON trees, so a JSON response lands in `as` as
+    * its parsed value of ANY shape — singleton arrays reduce to their only
+    * element, text content types land as strings, other types land no body.
+    * `unwind: true` emits one message per response-array element; non-2xx
+    * sets `httpError: {statusCode, body}` instead (body parsed when JSON).
+    * The I/O runs inside the fused mapPartitions pass with the shared
+    * per-executor client ([[graft.operators.HttpIO]]). */
+  private def http(spec: JValue): DocFn = {
+    import graft.operators.HttpIO
+    val as = spec \ "as" match { case JString(s) => Some(s); case _ => None }
+    val unwind = (spec \ "unwind") == JBool(true)
+    val retries = spec \ "retries" match { case JInt(i) => i.toInt; case _ => 3 }
+    val urlOp = DynExpr.compile(spec \ "url")
+    val methodOp = spec \ "method" match {
+      case JNothing => None
+      case m        => Some(DynExpr.compile(m))
+    }
+    val headersOp = spec \ "headers" match {
+      case JNothing => None
+      case h        => Some(DynExpr.compile(h))
+    }
+    val bodyOp = spec \ "body" match {
+      case JNothing => None
+      case b        => Some(DynExpr.compile(b))
+    }
+
+    msg => {
+      val (k, doc0) = msg
+      val ctx = DynExpr.DCtx(doc0, Map.empty)
+      def withField(field: String, v: JsonNode): JsonNode = {
+        val d = copy(doc0).asInstanceOf[ObjectNode]
+        d.remove("httpError"); as.foreach(d.remove)
+        d.set[JsonNode](field, v)
+        d
+      }
+      def errOut(status: Int, body: JsonNode): Iterator[Msg] = {
+        val e = obj()
+        e.set[JsonNode]("statusCode", long(status.toLong))
+        e.set[JsonNode]("body", missingToNull(body))
+        Iterator.single((k, withField("httpError", e)))
+      }
+
+      val urlV = urlOp.eval(ctx)
+      val methodV = methodOp.map(_.eval(ctx)).getOrElse(text("GET"))
+      if (!urlV.isTextual || !methodV.isTextual ||
+          !HttpIO.methods.contains(methodV.textValue.toUpperCase))
+        errOut(400, MISSING) // invalid url/method (Http.java:111-113)
+      else {
+        val headers: Seq[(String, String)] = headersOp.map(_.eval(ctx)) match {
+          case Some(h: ObjectNode) =>
+            h.fields().asScala.flatMap { e =>
+              e.getValue match {
+                case a: ArrayNode => a.asScala.map(v => e.getKey -> v.asText()).toSeq
+                case v            => Seq(e.getKey -> (if (v.isTextual) v.textValue else render(v)))
+              }
+            }.toSeq
+          case _ => Nil
+        }
+        val bodyStr = bodyOp.map(_.eval(ctx)).map {
+          case v if v.isTextual => v.textValue
+          case v                => render(v)
+        }
+        HttpIO.request(urlV.textValue, methodV.textValue.toUpperCase, headers,
+          bodyStr.orNull, retries) match {
+          case Right(r) if r.status < 300 =>
+            val parsed: JsonNode =
+              if (r.body == null || r.body.isEmpty) MISSING
+              else if (HttpIO.isJson(r.contentType)) {
+                val n = parse(r.body)
+                if (n.isArray && n.size == 1) n.get(0) else n // singleton reduction
+              } else if (HttpIO.isText(r.contentType)) text(r.body)
+              else MISSING // opaque content types carry no body (Http.java:364-366)
+            as match {
+              case None => Iterator.single((k, doc0))
+              case Some(field) =>
+                if (unwind && parsed.isArray)
+                  parsed.asInstanceOf[ArrayNode].asScala.iterator
+                    .map(el => (k, withField(field, el)))
+                else if (isMissing(parsed)) Iterator.single((k, doc0))
+                else Iterator.single((k, withField(field, parsed)))
+            }
+          case Right(r) =>
+            val body: JsonNode =
+              if (r.body == null || r.body.isEmpty) NULL
+              else if (HttpIO.isJson(r.contentType)) parse(r.body)
+              else text(r.body)
+            errOut(r.status, body)
+          case Left(m) => errOut(0, text(m))
+        }
       }
     }
   }

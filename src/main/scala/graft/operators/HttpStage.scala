@@ -6,21 +6,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.json4s._
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.time.Duration
-
 /** `$http` (Http.java:86-548, SURVEY.md §2.7): per-message HTTP enrichment.
   *
   * Spark-first split: `url` / `method` / `headers` / `body` are compiled to
   * Catalyst columns and evaluated inside codegen; only the I/O itself runs in
   * `mapPartitions` with one shared `java.net.http.HttpClient` per executor.
   *
-  * Deviations (documented): the `as` field receives the raw response body as
-  * a STRING column (callers parse with `from_json`; Spark is schema-first so
-  * auto-parsing to a dynamic document column is not representable); retries
-  * are bounded (`retries`, default 3, 1 s backoff) instead of infinite;
-  * `sslContext` client certs are not supported.
+  * Response parsing (Http.java:358-375): a JSON content-type body is
+  * normalized — a singleton array reduces to its only element — and lands in
+  * `as` as its canonical JSON string; declare `responseSchema` (a Spark DDL
+  * string) to get a TYPED `as` column via `from_json`. Full shape-preserving
+  * parsing with no schema lives in the DYNAMIC mode's `$http`
+  * ([[graft.dynamic.DynPipeline]]), where documents are JSON trees anyway.
+  *
+  * Deviations (documented): retries are bounded (`retries`, default 3, 1 s
+  * backoff) instead of infinite; `sslContext` client certs are not
+  * supported.
   *
   * Error semantics match the reference: non-2xx → `httpError
   * {statusCode, body}` on the message (Http.java:131-141); invalid
@@ -29,11 +30,6 @@ import java.time.Duration
   * (Http.java:506-545).
   */
 object HttpStage {
-
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
-    .followRedirects(HttpClient.Redirect.NORMAL)
-    .connectTimeout(Duration.ofSeconds(10))
-    .build()
 
   private def str(v: JValue): Option[String] = v match {
     case JString(s) => Some(s)
@@ -97,57 +93,60 @@ object HttpStage {
 
         val url = row.getAs[String]("__url")
         val method = Option(row.getAs[String]("__method")).map(_.toUpperCase)
-        if (url == null || method.isEmpty ||
-          !Set("GET", "POST", "PUT", "DELETE", "PATCH", "HEAD").contains(method.get))
+        if (url == null || method.isEmpty || !HttpIO.methods.contains(method.get))
           emit(null, Row(400, null)) // invalid url/method (Http.java:111-113)
         else {
-          val resp = request(url, method.get, row.getAs[String]("__headers"),
-            row.getAs[String]("__body"), retries, mapper)
+          val resp = HttpIO.request(url, method.get,
+            parseHeaders(row.getAs[String]("__headers"), mapper),
+            row.getAs[String]("__body"), retries)
           resp match {
-            case Right((status, body)) if status < 300 => emit(body, null)
-            case Right((status, body))                 => emit(null, Row(status, body))
-            case Left(msg)                             => emit(null, Row(0, msg))
+            case Right(r) if r.status < 300 =>
+              emit(normalize(r, mapper), null)
+            case Right(r) =>
+              emit(null, Row(r.status, if (r.body == null || r.body.isEmpty) null else r.body))
+            case Left(msg) => emit(null, Row(0, msg))
           }
         }
       }
     }(Encoders.row(outSchema))
-    out
+    // responseSchema: land a TYPED `as` column (Spark DDL, e.g.
+    // "STRUCT<resource: STRING>" or "ARRAY<STRUCT<a: BIGINT>>")
+    str(spec \ "responseSchema") match {
+      case Some(ddl) => out.withColumn(as, from_json(col(as), ddl, Map.empty[String, String]))
+      case None      => out
+    }
   }
 
-  private def request(url: String, method: String, headersJson: String,
-      body: String, retries: Int,
-      mapper: com.fasterxml.jackson.databind.ObjectMapper)
-      : Either[String, (Int, String)] = {
-    var attempt = 0
-    var last: Either[String, (Int, String)] = Left("no attempt")
-    while (attempt <= retries) {
-      try {
-        val b = HttpRequest.newBuilder(URI.create(url))
-          .timeout(Duration.ofSeconds(30))
-        if (headersJson != null) {
-          val node = mapper.readTree(headersJson)
-          node.fieldNames().forEachRemaining { k =>
-            val v = node.get(k)
-            if (v.isArray) (0 until v.size()).foreach(i =>
-              b.header(k, v.get(i).asText())) // multi-valued (Http.java:200-212)
-            else b.header(k, if (v.isTextual) v.asText() else v.toString)
-          }
-        }
-        val publisher =
-          if (body == null) HttpRequest.BodyPublishers.noBody()
-          else HttpRequest.BodyPublishers.ofString(body)
-        if (body != null && headersJson == null)
-          b.header("Content-Type", "application/json")
-        val req = b.method(method, publisher).build()
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        return Right((resp.statusCode(), resp.body()))
-      } catch {
-        case e: Exception =>
-          last = Left(e.toString) // getMessage can be null (e.g. ConnectException)
-          attempt += 1
-          if (attempt <= retries) Thread.sleep(1000L * attempt)
+  /** JSON body normalization (Http.java:358-375): singleton array → its only
+    * element, rendered canonically; non-JSON content types pass through. */
+  private def normalize(r: HttpIO.Resp,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): String =
+    if (r.body == null || !HttpIO.isJson(r.contentType)) r.body
+    else {
+      val t = r.body.trim
+      if (!t.startsWith("[")) r.body
+      else {
+        val node = mapper.readTree(t)
+        if (node.size == 1) {
+          val e = node.get(0)
+          if (e.isTextual) e.asText() else mapper.writeValueAsString(e)
+        } else r.body
       }
     }
-    last
-  }
+
+  /** Header spec JSON -> (name, value) pairs, multi-valued arrays expanded
+    * (Http.java:200-212). */
+  private def parseHeaders(headersJson: String,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): Seq[(String, String)] =
+    if (headersJson == null) Nil
+    else {
+      val node = mapper.readTree(headersJson)
+      val out = Seq.newBuilder[(String, String)]
+      node.fieldNames().forEachRemaining { k =>
+        val v = node.get(k)
+        if (v.isArray) (0 until v.size()).foreach(i => out += (k -> v.get(i).asText()))
+        else out += (k -> (if (v.isTextual) v.asText() else v.toString))
+      }
+      out.result()
+    }
 }
