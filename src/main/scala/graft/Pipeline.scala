@@ -84,7 +84,7 @@ final class Pipeline(
       case "$out"         => SinkStages.out(df, spec, store)
       case "$delete"      => SinkStages.delete(df, spec, store)
       case "$send"        => SinkStages.send(df, spec, producer)
-      case "$delay"       => SinkStages.delay(df, spec, producer)
+      case "$delay"       => SinkStages.delay(df, spec, producer, store)
       case "$probe"       => SinkStages.probe(df, spec, producer)
       case "$per"         => SinkStages.per(df, spec)
       case "$http"        => graft.operators.HttpStage(df, spec)

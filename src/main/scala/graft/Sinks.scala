@@ -267,32 +267,85 @@ private[graft] object SinkStages {
     }
   }
 
-  /** `$delay` (Delay.java:32-77): schedule a delayed produce (`__deliverAt`
-    * retry-topic pattern); scheduled messages leave the stream; invalid specs
-    * pass through. */
-  def delay(df: DataFrame, spec: JValue, producer: DataFrame => Unit)
-      (implicit ctx: ExprCtx): DataFrame = {
+  /** `$delay` (Delay.java:32-77): the retry-topic pattern. Valid messages
+    * (long duration, string topic) are stamped `__deliverAt = clock +
+    * duration ms`, handed to the producer AND parked in the store collection
+    * `__delay__<topic>`; they leave the stream. Invalid messages pass
+    * through. [[redeliverDue]] is the second half of the loop: each batch
+    * (or micro-batch, via foreachBatch) re-emits parked messages whose
+    * deliverAt has passed.
+    *
+    * `_clock` (extension): an expression giving the scheduling time,
+    * defaulting to the wall clock — an event-time column makes the stage
+    * deterministic and oracle-checkable.
+    */
+  def delay(df: DataFrame, spec: JValue, producer: DataFrame => Unit,
+      store: DocumentStore)(implicit ctx: ExprCtx): DataFrame = {
     val duration = cexpr(spec \ "duration").cast(LongType)
     val topic = cexpr(spec \ "topic")
+    val clock = spec \ "_clock" match {
+      case JNothing => current_timestamp()
+      case c        => cexpr(c).cast(TimestampType)
+    }
     val typed = df.withColumn("__topic", topic).withColumn("__durationMs", duration)
     if (typed.schema("__topic").dataType != StringType) df
     else {
       val valid = col("__topic").isNotNull && col("__durationMs").isNotNull
-      producer(typed.filter(valid).withColumn("__deliverAt",
-        timestamp_millis((unix_millis(current_timestamp()) + col("__durationMs")))))
+      val scheduled = typed.filter(valid).withColumn("__deliverAt",
+        timestamp_millis(unix_millis(clock) + col("__durationMs")))
+        .drop("__durationMs")
+      producer(scheduled)
+      // park per target topic so redelivery preserves the topic routing
+      val parked = scheduled.persist()
+      parked.select("__topic").distinct().collect().map(_.getString(0)).foreach { t =>
+        val coll = s"__delay__$t"
+        val batch = parked.filter(col("__topic") === t).drop("__topic")
+        val merged =
+          try store.read(coll).unionByName(batch, allowMissingColumns = true)
+          catch { case _: Exception => batch } // first schedule for this topic
+        store.overwrite(coll, merged)
+      }
+      parked.unpersist()
       typed.filter(!valid).drop("__topic", "__durationMs")
     }
   }
 
-  /** `$probe` (Probe.java:29-84): emit `{name, minute, count}` to a topic;
-    * passthrough. Batch = one count per (processing) minute. */
-  def probe(df: DataFrame, spec: JValue, producer: DataFrame => Unit): DataFrame = {
+  /** Redelivery pass (Delay.java:40-52's delayed produce, batch form): pop
+    * and return the parked messages of `topic` that are due at `now`; the
+    * rest stay parked. In streaming this runs once per micro-batch. */
+  def redeliverDue(store: DocumentStore, topic: String, now: Column): DataFrame = {
+    val coll = s"__delay__$topic"
+    val all = store.read(coll).persist()
+    val due = all.filter(col("__deliverAt") <= now)
+    store.overwrite(coll, all.filter(col("__deliverAt") > now))
+    val out = due.drop("__deliverAt")
+    all.unpersist()
+    out
+  }
+
+  /** `$probe` (Probe.java:29-84): per-minute message counts
+    * `{name, minute, count}` emitted to a topic; messages pass through
+    * unchanged. The reference emits a minute's count when the NEXT minute's
+    * first message arrives, so the final (still-running) minute is never
+    * emitted; the batch equivalent emits every COMPLETE minute — all but
+    * the batch's last. `_clock` (extension): count by an event-time
+    * expression instead of the wall clock, making the stage deterministic
+    * (with the wall-clock default a batch spans one minute and emits
+    * nothing, exactly like the reference inside a single minute). */
+  def probe(df: DataFrame, spec: JValue, producer: DataFrame => Unit)
+      (implicit ctx: ExprCtx): DataFrame = {
     val name = str(spec \ "name")
     val topic = str(spec \ "topic")
-    producer(df.groupBy()
+    val clock = spec \ "_clock" match {
+      case JNothing => current_timestamp()
+      case c        => cexpr(c).cast(TimestampType)
+    }
+    val counted = df.groupBy(date_trunc("minute", clock).as("minute"))
       .agg(count(lit(1)).as("count"))
+    val lastMinute = counted.agg(max("minute").as("__last"))
+    producer(counted.crossJoin(broadcast(lastMinute))
+      .filter(col("minute") < col("__last"))
       .withColumn("name", lit(name))
-      .withColumn("minute", date_trunc("minute", current_timestamp()))
       .withColumn("__topic", lit(topic))
       .select("__topic", "name", "minute", "count"))
     df

@@ -358,6 +358,35 @@ object SparkEntry {
           """[{"$send": {"topic": "$event_type"}}]""").count()
       captured
     }),
+    // $delay retry-topic loop: schedule with an event-time clock, then
+    // redeliver what is due at a frozen cutoff — fully deterministic
+    "q_delay" -> ((s, dir) => {
+      tune(s)
+      val store = new graft.sources.ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_delay").toString)
+      new Pipeline(store = store, producer = _ => ())
+        .run(t(s, dir, "events").select("event_id", "user_id", "ts"),
+          """[{"$delay": {
+                "duration": {"$multiply": [{"$add": [{"$mod": ["$event_id", 5]}, 1]},
+                                           3600000]},
+                "topic": "retry", "_clock": "$ts"}}]""").count()
+      SinkStages.redeliverDue(store, "retry",
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id")
+    }),
+    // $probe per-minute rollover counts on an event-time clock
+    "q_probe" -> ((s, dir) => {
+      tune(s)
+      var captured: DataFrame = null
+      new Pipeline(producer = df => captured = df)
+        .run(t(s, dir, "events"),
+          """[{"$probe": {"name": "ev", "topic": "metrics", "_clock": "$ts"}}]""")
+        .count()
+      // minute as a formatted string: raw timestamp columns diverge in
+      // parquet/pandas dtype between Spark and the DuckDB oracle
+      captured.select(col("name"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm").as("minute"), col("count"))
+    }),
     // $per batches per partition; a single input partition makes the batch
     // sizes exact (N/amount full batches) and therefore oracle-checkable
     "q_per" -> ((s, dir) => {
@@ -888,6 +917,16 @@ object SparkEntry {
                 o_orderpriority FROM orders WHERE o_totalprice <= 200000""",
     "q_send" ->
       """SELECT event_id, event_type, event_type AS __topic FROM events""",
+    "q_delay" ->
+      """SELECT event_id, user_id FROM events
+         WHERE epoch_ms(ts::TIMESTAMP) + (event_id % 5 + 1) * 3600000
+               <= epoch_ms(TIMESTAMP '2024-01-15 00:00:00')""",
+    "q_probe" ->
+      """WITH c AS (SELECT date_trunc('minute', ts::TIMESTAMP) AS minute,
+                           count(*) AS count
+                    FROM events GROUP BY 1)
+         SELECT 'ev' AS name, strftime(minute, '%Y-%m-%d %H:%M') AS minute, count
+         FROM c WHERE minute < (SELECT max(minute) FROM c)""",
     "q_throttle" ->
       """SELECT event_id, user_id FROM events""",
     "q_trace" ->

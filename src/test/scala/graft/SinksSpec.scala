@@ -129,13 +129,56 @@ class SinksSpec extends SparkSpec {
     assert(sent.head.columns.contains("__deliverAt"))
   }
 
-  test("$probe emits {name, minute, count} and passes through") {
+  test("$delay parks messages; redeliverDue pops exactly the due ones (Delay.java:40-52)") {
+    val st = store
+    val out = mkPipe(st).run(
+      Seq(("a", 60000L, "2024-01-01 00:00:00"),
+          ("b", 3600000L, "2024-01-01 00:00:00"),
+          ("c", 60000L, "2024-01-01 02:00:00")).toDF("_id", "d", "at"),
+      """[{"$delay": {"duration": "$d", "topic": "later",
+                      "_clock": {"$toDate": "$at"}}}]""")
+    assert(out.count() == 0) // all scheduled messages leave the stream
+    // at 01:00: only a (00:01) and b (01:00) are due; c (02:01) stays parked
+    val due = SinkStages.redeliverDue(st, "later",
+      lit("2024-01-01 01:00:00").cast("timestamp"))
+    assert(sorted1[String](due, "_id") == List("a", "b"))
+    val due2 = SinkStages.redeliverDue(st, "later",
+      lit("2024-01-01 03:00:00").cast("timestamp"))
+    assert(sorted1[String](due2, "_id") == List("c"))
+    assert(SinkStages.redeliverDue(st, "later",
+      lit("2024-01-01 09:00:00").cast("timestamp")).count() == 0)
+  }
+
+  test("$delay invalid duration/topic passes through unscheduled") {
+    val st = store
+    val out = mkPipe(st).run(
+      Seq(("a", Some(1000L)), ("b", None)).toDF("_id", "d"),
+      """[{"$delay": {"duration": "$d", "topic": "later"}}]""")
+    assert(sorted1[String](out, "_id") == List("b")) // null duration -> passthrough
+  }
+
+  test("$probe emits complete minutes only, passes through (Probe.java:63-78)") {
+    val sent = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = mkPipe(store, sent).run(
+      Seq(("0", "2024-01-01 00:00:10"), ("1", "2024-01-01 00:00:50"),
+          ("2", "2024-01-01 00:01:10"), ("3", "2024-01-01 00:02:05"))
+        .toDF("_id", "at"),
+      """[{"$probe": {"name": "p", "topic": "monitor",
+                      "_clock": {"$toDate": "$at"}}}]""")
+    assert(out.count() == 4) // passthrough
+    // minutes 00:00 (2 msgs) and 00:01 (1 msg) are complete; 00:02 still runs
+    val got = sent.head.select("name", "minute", "count").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(got == Set(("p", "2024-01-01 00:00:00.0", 2L),
+                      ("p", "2024-01-01 00:01:00.0", 1L)))
+  }
+
+  test("$probe within a single (wall-clock) minute emits nothing") {
     val sent = scala.collection.mutable.Buffer.empty[DataFrame]
     val out = mkPipe(store, sent).run(Seq(("0", 1L), ("1", 2L)).toDF("_id", "v"),
       """[{"$probe": {"name": "p", "topic": "monitor"}}]""")
     assert(out.count() == 2)
-    val p = sent.head.select("name", "count").head()
-    assert(p.getString(0) == "p" && p.getLong(1) == 2L)
+    assert(sent.head.count() == 0) // the running minute is never emitted
   }
 
   test("$per batches per partition, emits arrays under `as`") {
