@@ -704,10 +704,38 @@ private[graft] object Stages {
               if (inner) j.filter(size(col(as)) > 0) else j
             }
           case _ =>
+            // Refuse a silent O(n·m) plan: a non-equality condition over a
+            // `from` side that cannot broadcast would run as a
+            // BroadcastNestedLoopJoin / CartesianProduct streaming the whole
+            // fact side against the whole `from` side. The `_rangeJoin`
+            // bucketing above is the scale path; demand it explicitly.
+            def guarded(joined: DataFrame): DataFrame = {
+              val sess = joined.sparkSession
+              val thresh = org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(
+                  sess.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+              val fromBytes = fromDoc2.queryExecution.optimizedPlan.stats.sizeInBytes
+              if (thresh > 0 && fromBytes > BigInt(thresh)) {
+                val bad = joined.queryExecution.sparkPlan.collect {
+                  case p if p.nodeName.contains("BroadcastNestedLoopJoin") ||
+                    p.nodeName.contains("CartesianProduct") => p.nodeName
+                }
+                if (bad.nonEmpty) throw new IllegalArgumentException(
+                  s"$$lookup: non-equality join condition with a `from` side " +
+                    s"of ~$fromBytes bytes (> spark.sql." +
+                    s"autoBroadcastJoinThreshold=$thresh) would plan " +
+                    s"${bad.head} — O(n*m) at scale. Add _rangeJoin " +
+                    "{field, width, lo, hi} to bucket the predicate, or " +
+                    "raise the threshold if the `from` side truly fits in " +
+                    "executor memory.")
+              }
+              joined
+            }
             if (unwindFlag)
-              df.join(fromDoc2, cond, "inner")
+              guarded(df.join(fromDoc2, cond, "inner"))
                 .withColumn(as, resDoc(col("__as"))).drop("__as")
             else {
+              guarded(df.join(fromDoc2, cond, "left")) // plan probe only
               val j = regroupJoin(cond, col("__as"), fromDoc2)
                 .withColumn(as, applyTrailing(col(as)))
               if (inner) j.filter(size(col(as)) > 0) else j

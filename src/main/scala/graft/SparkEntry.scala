@@ -595,6 +595,13 @@ object SparkEntry {
       TextOps.packIntoWindows(t(s, dir, "documents"), "doc_id", "text", 4096)
         .select("doc_id", "n_tokens", "window_id")
     }),
+    // sharded packing: one window partition per `source`, the scale path
+    "llm_pack_windows_sharded" -> ((s, dir) => {
+      tune(s)
+      TextOps.packIntoWindows(t(s, dir, "documents"), "doc_id", "text", 4096,
+          shardCol = Some("source"))
+        .select("doc_id", "source", "n_tokens", "window_id")
+    }),
     "llm_minhash_pairs" -> ((s, dir) => { // xxhash64 internals: rows-only check
       tune(s)
       DedupOps.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
@@ -1078,6 +1085,17 @@ object SparkEntry {
                 CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096) AS BIGINT)
                   AS window_id
+         FROM t""",
+    "llm_pack_windows_sharded" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, source, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / 4096) AS BIGINT) AS window_id
          FROM t""",
     "llm_media_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -149,14 +149,21 @@ object TextOps {
   }
 
   /** Greedy token packing: assign docs (in `idCol` order) to fixed-size
-    * context windows by cumulative token count. Deterministic; the global
-    * ordering makes this single-reducer — production packs per shard
-    * (`partitionBy(shard)` on the window) which is the same plan with a
-    * partition key (docs/SCALING.md §7). */
+    * context windows by cumulative token count. Deterministic.
+    *
+    * With `shardCol` (the 100 TB path) each shard packs independently and in
+    * parallel — one window-function partition per shard, windows never span
+    * shards, exactly how a production packer assigns one packing worker per
+    * shard. `window_id` is then shard-local; (shard, window_id) is the
+    * global window key. Without a shard the plan is a single global
+    * cumulative sum — one reducer; fine for small corpora and verification,
+    * never for a full corpus. */
   def packIntoWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, windowTokens: Int): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(idCol))
+      textCol: String, windowTokens: Int,
+      shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = shardCol.fold(W.orderBy(col(idCol)))(s =>
+        W.partitionBy(col(s)).orderBy(col(idCol)))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     df.withColumn("__n", tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", sum(col("__n")).over(w))

@@ -66,24 +66,38 @@ object VectorOps {
     * via one posexplode aggregation, re-normalize). MLlib's KMeans was
     * measured 20-50× slower for this: it runs dozens of tiny driver-blocking
     * jobs, which is pure scheduler overhead at any scale and serializes the
-    * whole bench under a FAIR pool. At 100 TB: train on a sample (the seed
-    * `limit` + Lloyd scans are the only full passes; swap `corpus` for
-    * `corpus.sample(...)` in `train`), assignment stays map-side.
+    * whole bench under a FAIR pool. At 100 TB: set `trainFraction` so the
+    * quantizer trains on a hash-deterministic sample — the seed top-N and
+    * Lloyd scans then touch only the sample; assignment stays map-side over
+    * the full corpus.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nLists: Int = 16, nProbe: Int = 2,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1]: $trainFraction")
     val c0 = corpus.select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // At 100 TB the quantizer trains on a deterministic sample — k-means
+    // centroids converge on a fraction of the corpus; only ASSIGNMENT must
+    // see every row (and that is map-side). Sampling by hash, not
+    // .sample(), so the train set is reproducible across engines/retries.
+    val train =
+      if (trainFraction >= 1.0) c0
+      else c0.filter(
+        pmod(xxhash64(col("nn_id").cast(StringType)), lit(1000000)) <
+          lit((trainFraction * 1000000).toLong))
 
     def normed(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n > 0) a.map(_ / n) else a
     }
-    // deterministic pseudo-random seeds: the nLists lowest-hash corpus rows
-    var cents: Array[Array[Double]] = c0
+    // deterministic pseudo-random seeds: the nLists lowest-hash train rows
+    // (orderBy+limit plans as TakeOrderedAndProject — per-partition top-N,
+    // no full sort)
+    var cents: Array[Array[Double]] = train
       .orderBy(xxhash64(col("nn_id").cast(StringType)))
       .limit(nLists).select("__v").collect()
       .map(_.getSeq[Double](0).toArray)
@@ -98,7 +112,7 @@ object VectorOps {
 
     for (_ <- 0 until lloydIters) {
       // one aggregation job per Lloyd step: mean per (list, dimension)
-      val means = c0
+      val means = train
         .withColumn("list", element_at(bestLists(col("__v"), 1), 1).getField("list"))
         .select(col("list"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("list", "pos").agg(avg("x").as("m"))

@@ -29,6 +29,23 @@ class AnnSpec extends SparkSpec {
     assert(rMulti > 0.3, s"multi-probe recall $rMulti too low")
   }
 
+  test("IVF sample-trained quantizer keeps recall close to full training") {
+    val truth = hits(VectorOps.bruteTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5))
+    def recall(frac: Double): Double = {
+      val got = hits(VectorOps.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 2,
+        trainFraction = frac))
+      (got & truth).size.toDouble / truth.size
+    }
+    val full = recall(1.0)
+    val sampled = recall(0.5)
+    // the quantizer only places centroids; a half-corpus train must not
+    // collapse recall (allow some centroid drift)
+    assert(sampled >= full - 0.2, s"sampled=$sampled full=$full")
+    assert(sampled > 0.2, s"sampled recall $sampled too low")
+  }
+
   test("embedding near-dup: exact finds all pairs, LSH is a sound subset") {
     val exact = VectorOps.embedNearDupExact(emb, "vec_id", "embedding", 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

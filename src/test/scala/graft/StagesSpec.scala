@@ -336,6 +336,29 @@ class StagesSpec extends SparkSpec {
     assert(plain.exists(_._2 > 0))
   }
 
+  test("theta $lookup above the broadcast threshold is refused with a _rangeJoin pointer") {
+    val left = (1L to 40L).map(i => (i.toString, i.toDouble)).toDF("_id", "v")
+    val right = (1L to 60L).map(i => (s"r$i", i.toDouble * 0.7)).toDF("_id", "x")
+    val lk = new Pipeline(catalog = _ => right)
+    def q(extra: String) = lk.run(left,
+      s"""[{"$$lookup": {"from": "c", "let": {"lv": "$$v"},
+            "pipeline": [{"$$match": {"$$expr": {"$$and": [
+              {"$$gte": ["$$x", {"$$subtract": ["$$$$lv", 3]}]},
+              {"$$lte": ["$$x", {"$$add": ["$$$$lv", 3]}]}]}}}],
+            $extra "as": "m"}}]""")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val e = intercept[IllegalArgumentException](q(""))
+      assert(e.getMessage.contains("_rangeJoin"), e.getMessage)
+      // the bucketed escape hatch still plans and runs under the same conf
+      val ok = q(
+        """"_rangeJoin": {"field": "x", "width": 2.5,
+            "lo": {"$subtract": ["$v", 3]}, "hi": {"$add": ["$v", 3]}},""")
+      assert(ok.count() == 40)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---- $deduplicate (TestDeduplicate.java) -------------------------------
   test("$deduplicate by expression keeps one row per value") {
     val df = Seq(("0", 1L), ("1", 1L), ("2", 2L)).toDF("_id", "test")
