@@ -69,16 +69,19 @@ private[graft] object SinkStages {
     // leaves the collection untouched.
     val badOnMsg = s"$$merge: message missing 'on' field(s) $on"
     val dedupedIncoming = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(on.map(col): _*)
-        .orderBy(col("__mid").desc)
+      // last-write-wins per key via max_by on the arrival id: hash
+      // aggregation with a map-side partial phase — strictly cheaper at
+      // scale than the equivalent sort-based window (no per-key sort, and
+      // duplicate keys collapse BEFORE the shuffle). __mid is unique, so
+      // the survivor is deterministic.
+      val cols = incoming.columns.toIndexedSeq
       incoming.withColumn("__mid",
           when(on.map(f => col(f).isNull).reduce(_ || _),
             raise_error(lit(badOnMsg)).cast(LongType))
             .otherwise(monotonically_increasing_id()))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__mid", "__rn")
+        .groupBy(on.map(col): _*)
+        .agg(max_by(struct(cols.map(col): _*), col("__mid")).as("__doc"))
+        .select(cols.map(f => col("__doc").getField(f).as(f)): _*)
     }
 
     // Incremental path (bucketed store, same `on`, no new columns, same key

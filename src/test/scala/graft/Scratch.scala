@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev utility (test scope, not shipped): run/inspect a single SparkEntry
+  * query.
+  *
+  *  - `Test/runMain graft.Scratch entry`                      — flagship smoke
+  *  - `Test/runMain graft.Scratch time <name> [sfDir] [reps]` — isolated wall time
+  *  - `Test/runMain graft.Scratch explain <name> [sfDir]`     — formatted physical plan
+  *  - `Test/runMain graft.Scratch <name> [sfDir]`             — show rows
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -17,6 +26,10 @@ object Scratch {
         val n = q(spark, dir).count()
         println(f"TIME ${args(1)} run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+    }
+    else if (args(0) == "explain") {
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      SparkEntry.queries(args(1))(spark, dir).explain("formatted")
     }
     else {
       val q = SparkEntry.queries(args(0))
