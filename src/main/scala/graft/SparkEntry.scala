@@ -547,6 +547,49 @@ object SparkEntry {
         get_json_object(col("doc"), "$.arr").cast("long").as("el"),
         get_json_object(col("doc"), "$.i").cast("long").as("i"))
     }),
+    // full-language $jslt on schemaless docs: recursive user def (digit
+    // count), object comprehension with a computed key, null-drop rule
+    "q_dynamic_jslt" -> ((s, dir) => {
+      val docs = t(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("_id"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))).as("doc"))
+      val script =
+        """def nd(n) if ($n < 10) 1 else 1 + nd(floor($n / 10))
+          |def tier(p) if ($p > 150000) "high" else "low"
+          |{"_id": ._id, "t": tier(.price), "nd": nd(._id),
+          | "m": {for ({"s": .status}) .key + "2" : .value}}""".stripMargin
+      val out = graft.dynamic.DynPipeline.run(docs,
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(List(org.json4s.JObject(List(
+            "$jslt" -> org.json4s.JString(script))))))))
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.t").as("t"),
+        get_json_object(col("doc"), "$.nd").cast("long").as("nd"),
+        get_json_object(col("doc"), "$.m.s2").as("s2"))
+    }),
+
+    // full-language $jq on schemaless docs: user def, reduce over .[],
+    // max/first builtins, stream select dropping rows
+    "q_dynamic_jq" -> ((s, dir) => {
+      val docs = t(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("_id"),
+        array(col("o_custkey") % 10, col("o_orderkey") % 7, lit(3)).as("xs"))).as("doc"))
+      val script =
+        """def total: reduce .xs[] as $x (0; . + $x);
+          |{"_id": ._id, "s": total, "mx": (.xs | max), "f": (.xs | first)}
+          || select(.mx > 5)""".stripMargin
+      val out = graft.dynamic.DynPipeline.run(docs,
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(List(org.json4s.JObject(List(
+            "$jq" -> org.json4s.JString(script))))))))
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.s").cast("long").as("s"),
+        get_json_object(col("doc"), "$.mx").cast("long").as("mx"),
+        get_json_object(col("doc"), "$.f").cast("long").as("f"))
+    }),
 
     // ---- LLM-data-pipeline operators --------------------------------------
     "llm_dedup_exact" -> ((s, dir) => {
@@ -972,6 +1015,17 @@ object SparkEntry {
          UNION ALL
          SELECT p_partkey, CAST(p_partkey % 10 AS BIGINT), CAST(1 AS BIGINT)
          FROM part""",
+    "q_dynamic_jslt" ->
+      """SELECT o_orderkey AS _id,
+                CASE WHEN o_totalprice > 150000 THEN 'high' ELSE 'low' END AS t,
+                CAST(length(CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS nd,
+                o_orderstatus AS s2
+         FROM orders""",
+    "q_dynamic_jq" ->
+      """WITH d AS (SELECT o_orderkey AS _id, o_custkey % 10 AS a,
+                           o_orderkey % 7 AS b FROM orders)
+         SELECT _id, a + b + 3 AS s, greatest(a, b, 3) AS mx, a AS f
+         FROM d WHERE greatest(a, b, 3) > 5""",
     "q_redact" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total

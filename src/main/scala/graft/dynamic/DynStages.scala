@@ -107,6 +107,8 @@ object DynPipeline {
       val op = DynExpr.compile(spec)
       Some { case (_, doc) => Iterator.single((keyString(op.eval(DynExpr.DCtx(doc, Map.empty))), doc)) }
     case "$http"               => Some(http(spec))
+    case "$jslt"               => Some(jslt(spec))
+    case "$jq"                 => Some(jq(spec))
     case "$trace" | "$backTrace" => Some(Iterator.single(_))
     case "$group" | "$count" | "$bucket" | "$deduplicate" => None
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
@@ -324,6 +326,48 @@ object DynPipeline {
         case Some(d) => Iterator.single((k, d))
         case None    => Iterator.empty
       }
+    }
+  }
+
+  /** `$jslt` in dynamic mode: the FULL language via the
+    * [[graft.operators.JsltInterp]] tree-walk engine — computed keys,
+    * object-for, user `def`s with recursion — running fused inside the same
+    * mapPartitions pass as its neighbors (the reference runs the real JSLT
+    * engine per message, Jslt.java:18-36). The result must be an object; a
+    * string `_id` in it re-keys the message (Script.java:70-72). */
+  private def jslt(spec: JValue): DocFn = {
+    val src = graft.operators.ScriptStages.scriptSource(spec)
+    val f = graft.operators.JsltInterp.compiled(src)
+    msg => {
+      val r = f(msg._2)
+      if (!r.isObject) throw new IllegalArgumentException(
+        s"$$jslt must produce an object, got: ${render(r)}")
+      val k2 = r.path("_id") match {
+        case id if id.isTextual => id.textValue
+        case _                  => msg._1
+      }
+      Iterator.single((k2, r))
+    }
+  }
+
+  /** `$jq` in dynamic mode: full stream semantics via
+    * [[graft.operators.JqInterp]] — `.[]`, `,`, `as`, `reduce`, recursive
+    * `def`s (the reference runs jackson-jq, Jq.java:16-33). An empty output
+    * stream drops the message (jq `select`); otherwise the first output
+    * must be an object and re-keys on its string `_id` like `$jslt`. */
+  private def jq(spec: JValue): DocFn = {
+    val src = graft.operators.ScriptStages.scriptSource(spec)
+    val f = graft.operators.JqInterp.compiled(src)
+    msg => f(msg._2) match {
+      case Nil => Iterator.empty
+      case r :: _ if r.isObject =>
+        val k2 = r.path("_id") match {
+          case id if id.isTextual => id.textValue
+          case _                  => msg._1
+        }
+        Iterator.single((k2, r))
+      case r :: _ => throw new IllegalArgumentException(
+        s"$$jq must produce an object, got: ${render(r)}")
     }
   }
 

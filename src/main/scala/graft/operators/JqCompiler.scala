@@ -42,10 +42,24 @@ object JqCompiler {
   case class JIf(c: Jq, t: Jq, e: Jq) extends Jq
   case class JCall(fn: String, args: List[Jq]) extends Jq
   case class JSelect(cond: Jq) extends Jq
+  /** `f, g` — output concatenation (dynamic mode; static rejects). */
+  case class JComma(l: Jq, r: Jq) extends Jq
+  /** `$name` variable reference (`as`-bound or def param). */
+  case class JVar(name: String) extends Jq
+  /** `EXPR as $x | BODY`. */
+  case class JAs(src: Jq, name: String, body: Jq) extends Jq
+  /** `reduce SRC as $x (INIT; UPDATE)` — `.` in UPDATE is the accumulator. */
+  case class JReduce(src: Jq, name: String, init: Jq, update: Jq) extends Jq
+  /** `def name: body;` / `def name(a; b): body;` — params are FILTERS,
+    * substituted call-by-name (jq's closure rule for the supported shapes). */
+  case class JqDef(name: String, params: List[String], body: Jq)
+  case class JDefs(defs: List[JqDef], body: Jq) extends Jq
 
   sealed trait JStep
   case class JField(name: String) extends JStep
   case class JIndex(i: Long) extends JStep
+  /** `.[]` — iterate array elements / object values (dynamic mode). */
+  case object JIterate extends JStep
 
   // ---- parser ---------------------------------------------------------------
 
@@ -105,15 +119,53 @@ object JqCompiler {
     private def atId(s: String) = peek.kind == "id" && peek.text == s
 
     def parseProgram(): Jq = {
+      val defs = List.newBuilder[JqDef]
+      while (atId("def")) defs += parseDef()
       val e = parsePipe()
       if (peek.kind != "eof")
         throw new JqCompileError(s"trailing input at ${peek.pos}: '${peek.text}'")
-      e
+      val db = defs.result()
+      if (db.isEmpty) e else JDefs(db, e)
+    }
+
+    private def parseDef(): JqDef = {
+      next() // def
+      val name = next().text
+      val params = List.newBuilder[String]
+      if (at("(")) {
+        next()
+        def param(): String = {
+          if (at("$")) next()
+          next().text
+        }
+        params += param()
+        while (at(";")) { next(); params += param() }
+        expect(")")
+      }
+      expect(":")
+      val body = parsePipe()
+      expect(";")
+      JqDef(name, params.result(), body)
     }
 
     def parsePipe(): Jq = {
+      var l = parseSeg()
+      while (at("|")) { next(); l = JPipe(l, parseSeg()) }
+      l
+    }
+
+    // one pipe segment: comma-concatenation of alts, or an `as` binding
+    // (which swallows the rest of the pipe as its body)
+    private def parseSeg(): Jq = {
       var l = parseAlt()
-      while (at("|")) { next(); l = JPipe(l, parseAlt()) }
+      if (atId("as")) {
+        next()
+        expect("$")
+        val name = next().text
+        expect("|")
+        return JAs(l, name, parsePipe())
+      }
+      while (at(",")) { next(); l = JComma(l, parseAlt()) }
       l
     }
 
@@ -179,10 +231,13 @@ object JqCompiler {
     }
 
     private def parseIndex(): JStep = {
-      val t = next()
-      if (t.kind == "num") JIndex(t.text.toLong)
-      else if (t.kind == "str") JField(t.text)
-      else throw new JqCompileError(s"unsupported index '${t.text}' at ${t.pos}")
+      if (at("]")) JIterate // `.[]` — caller's expect("]") consumes the bracket
+      else {
+        val t = next()
+        if (t.kind == "num") JIndex(t.text.toLong)
+        else if (t.kind == "str") JField(t.text)
+        else throw new JqCompileError(s"unsupported index '${t.text}' at ${t.pos}")
+      }
     }
 
     private def parsePrimary(): Jq = {
@@ -212,6 +267,18 @@ object JqCompiler {
               val c = parsePipe()
               expect(")")
               JSelect(c)
+            case "reduce" =>
+              next()
+              val src = parseAlt()
+              if (!atId("as")) throw new JqCompileError("expected 'as' in reduce")
+              next(); expect("$")
+              val name = next().text
+              expect("(")
+              val init = parsePipe()
+              expect(";")
+              val update = parsePipe()
+              expect(")")
+              JReduce(src, name, init, update)
             case "not" => next(); JCall("not", Nil)
             case name =>
               next()
@@ -227,6 +294,7 @@ object JqCompiler {
         case _ =>
           t.text match {
             case "-" => next(); JBin("-", JLit(0L), parsePrimary()) // unary minus
+            case "$" => next(); JVar(next().text)
             case "." => next(); parsePath()
             case "(" =>
               next()
@@ -279,7 +347,7 @@ object JqCompiler {
       guard: Option[Column] = None)
 
   def compileProgram(src: String, root: StructType): CompiledJq = {
-    val ast = parse(src)
+    val ast = expand(parse(src), Map.empty, Map.empty, Set.empty)
     // jq's empty stream propagates outward: a failing `select` ANYWHERE in
     // a single-output filter means the whole filter emits nothing for that
     // input — i.e. the row is dropped. Each compiled select contributes its
@@ -287,6 +355,39 @@ object JqCompiler {
     val keeps = scala.collection.mutable.Buffer.empty[Column]
     val doc = comp(ast, JCtx(root, None, keeps))
     CompiledJq(doc, keeps.reduceOption(_ && _))
+  }
+
+  /** Macro-expand user `def`s (static mode): a call site becomes the def
+    * body with param references — `$p` or bare `p` — replaced by the
+    * ARGUMENT AST, jq's call-by-name rule. Recursion cannot expand. */
+  private[operators] def expand(e: Jq, defs: Map[String, JqDef],
+      params: Map[String, Jq], stack: Set[String]): Jq = {
+    def go(x: Jq): Jq = expand(x, defs, params, stack)
+    e match {
+      case JDefs(ds, b) => expand(b, defs ++ ds.map(d => d.name -> d), params, stack)
+      case JVar(n) if params.contains(n)        => params(n)
+      case JCall(fn, Nil) if params.contains(fn) => params(fn)
+      case JCall(fn, args) if defs.contains(fn) =>
+        val d = defs(fn)
+        if (stack(fn)) throw new JqCompileError(
+          s"recursive function '$fn' cannot compile statically; use the dynamic pipeline mode")
+        if (d.params.length != args.length) throw new JqCompileError(
+          s"$fn expects ${d.params.length} arguments, got ${args.length}")
+        val argSub = d.params.zip(args.map(go)).toMap
+        expand(d.body, defs, argSub, stack + fn)
+      case JPath(_) | JLit(_) | JVar(_) => e
+      case JObjC(ps)      => JObjC(ps.map { case (k, v) => k -> go(v) })
+      case JArrC(items)   => JArrC(items.map(go))
+      case JPipe(l, r)    => JPipe(go(l), go(r))
+      case JBin(op, l, r) => JBin(op, go(l), go(r))
+      case JIf(c, t, f)   => JIf(go(c), go(t), go(f))
+      case JCall(fn, args) => JCall(fn, args.map(go))
+      case JSelect(c)     => JSelect(go(c))
+      case JComma(l, r)   => JComma(go(l), go(r))
+      case JAs(s, n, b)   => JAs(go(s), n, expand(b, defs, params - n, stack))
+      case JReduce(s, n, i, u) =>
+        JReduce(go(s), n, go(i), expand(u, defs, params - n, stack))
+    }
   }
 
   private def rootTC(ctx: JCtx): TC =
@@ -317,6 +418,8 @@ object JqCompiler {
       val elemT = tc.typ.collect { case ArrayType(t, _) => t }
       val idx = if (i >= 0) lit(i + 1) else lit(i) // jq 0-based, element_at 1-based
       walk(TC(element_at(tc.col, idx.cast(IntegerType)), elemT), rest)
+    case JIterate :: _ => throw new JqCompileError(
+      ".[] iteration emits multiple outputs; use the dynamic pipeline mode")
   }
 
   private def objFields(e: Jq, ctx: JCtx): Option[List[(String, Column)]] = e match {
@@ -349,7 +452,13 @@ object JqCompiler {
       }
       TC(struct(dedup.map { case (k, c) => c.as(k) }: _*), None)
     case JArrC(items) =>
-      val cs = items.map(comp(_, ctx))
+      // `[f, g]` collects the comma-stream's outputs as elements — the one
+      // place the static subset CAN express `,`
+      def flat(x: Jq): List[Jq] = x match {
+        case JComma(l, r) => flat(l) ++ flat(r)
+        case other        => List(other)
+      }
+      val cs = items.flatMap(flat).map(comp(_, ctx))
       TC(array(cs.map(_.col): _*), None)
     case JPipe(l, r) =>
       val lv = comp(l, ctx)
@@ -409,6 +518,15 @@ object JqCompiler {
       case o => throw new JqCompileError(s"operator $o")
     }
     case JCall(fn, args) => call(fn, args, ctx)
+    case JVar(n) => throw new JqCompileError(
+      s"$$$n is unbound; 'as' variable bindings require the dynamic pipeline mode")
+    case _: JComma => throw new JqCompileError(
+      "',' emits multiple outputs; use the dynamic pipeline mode")
+    case _: JAs => throw new JqCompileError(
+      "'as' bindings require the dynamic pipeline mode")
+    case _: JReduce => throw new JqCompileError(
+      "'reduce' requires the dynamic pipeline mode")
+    case _: JDefs => throw new JqCompileError("unexpanded defs") // unreachable
   }
 
   private def call(fn: String, args: List[Jq], ctx: JCtx): TC = {

@@ -45,14 +45,27 @@ object JsltCompiler {
   case class Lit(v: Any) extends Ast // null, Boolean, Long, Double, String
   case class Path(steps: List[Step]) extends Ast // empty = "."
   case class Var(name: String) extends Ast
-  case class ObjC(pairs: List[(String, Ast)], matcher: Option[(List[String], Ast)]) extends Ast
+  /** Object constructor. Keys are expressions: the static compiler requires
+    * them to be string literals; the dynamic interpreter evaluates any
+    * string-valued key. */
+  case class ObjC(pairs: List[(Ast, Ast)], matcher: Option[(List[String], Ast)]) extends Ast
   case class ArrC(items: List[Ast]) extends Ast
   case class ForArr(input: Ast, body: Ast, cond: Option[Ast]) extends Ast
+  /** `{for (input) key : value if (cond)}` — object comprehension; the
+    * context inside key/value/cond is `[k, v]` per the JSLT spec. Dynamic
+    * mode only (output keys are data-dependent). */
+  case class ObjFor(input: Ast, key: Ast, value: Ast, cond: Option[Ast]) extends Ast
   case class If(cond: Ast, thn: Ast, els: Ast) extends Ast
   case class Bin(op: String, l: Ast, r: Ast) extends Ast
   case class Neg(e: Ast) extends Ast
   case class Call(fn: String, args: List[Ast]) extends Ast
   case class Let(bindings: List[(String, Ast)], body: Ast) extends Ast
+  /** `def name(p1, p2) body` user function. Static mode inline-expands
+    * non-recursive calls; the dynamic interpreter supports recursion with a
+    * depth cap. */
+  case class FnDef(name: String, params: List[String], body: Ast)
+  /** A program with user function definitions in scope. */
+  case class Prog(defs: List[FnDef], body: Ast) extends Ast
 
   sealed trait Step
   case class FieldStep(name: String) extends Step
@@ -128,21 +141,46 @@ object JsltCompiler {
     private def at(text: String): Boolean = peek.kind == "op" && peek.text == text
 
     def parseProgram(): Ast = {
-      val lets = parseLets()
+      val defs = List.newBuilder[FnDef]
+      val lets = List.newBuilder[(String, Ast)]
+      var more = true
+      while (more) { // defs and lets interleave at the top level
+        if (peek.kind == "id" && peek.text == "def") defs += parseDef()
+        else if (peek.kind == "id" && peek.text == "let") lets += parseLet()
+        else more = false
+      }
       val e = parseExpr()
       if (peek.kind != "eof")
         throw new JsltCompileError(s"trailing input at ${peek.pos}: '${peek.text}'")
-      if (lets.isEmpty) e else Let(lets, e)
+      val lb = lets.result()
+      val body = if (lb.isEmpty) e else Let(lb, e)
+      val db = defs.result()
+      if (db.isEmpty) body else Prog(db, body)
+    }
+
+    private def parseDef(): FnDef = {
+      next() // def
+      val name = next().text
+      expect("(")
+      val params = List.newBuilder[String]
+      if (!at(")")) {
+        params += next().text
+        while (at(",")) { next(); params += next().text }
+      }
+      expect(")")
+      FnDef(name, params.result(), parseExpr())
+    }
+
+    private def parseLet(): (String, Ast) = {
+      next() // let
+      val name = next().text
+      expect("=")
+      name -> parseExpr()
     }
 
     private def parseLets(): List[(String, Ast)] = {
       val bs = List.newBuilder[(String, Ast)]
-      while (peek.kind == "id" && peek.text == "let") {
-        next()
-        val name = next().text
-        expect("=")
-        bs += name -> parseExpr()
-      }
+      while (peek.kind == "id" && peek.text == "let") bs += parseLet()
       bs.result()
     }
 
@@ -296,36 +334,58 @@ object JsltCompiler {
             case "{" =>
               next()
               val lets = parseLets()
-              val pairs = List.newBuilder[(String, Ast)]
-              var matcher: Option[(List[String], Ast)] = None
-              var continue = !at("}")
-              while (continue) {
-                if (at("*")) {
-                  next()
-                  val minus = List.newBuilder[String]
-                  if (at("-")) {
+              // object comprehension: {for (input) key : value [if (cond)]}
+              if (peek.kind == "id" && peek.text == "for" &&
+                  toks(p + 1).kind == "op" && toks(p + 1).text == "(") {
+                next(); expect("(")
+                val input = parseExpr()
+                expect(")")
+                val key = parseExpr()
+                expect(":")
+                val value = parseExpr()
+                val cond =
+                  if (peek.kind == "id" && peek.text == "if") {
+                    next(); expect("(")
+                    val c = parseExpr()
+                    expect(")")
+                    Some(c)
+                  } else None
+                expect("}")
+                val o = ObjFor(input, key, value, cond)
+                if (lets.isEmpty) o else Let(lets, o)
+              } else {
+                val pairs = List.newBuilder[(Ast, Ast)]
+                var matcher: Option[(List[String], Ast)] = None
+                var continue = !at("}")
+                while (continue) {
+                  if (at("*")) {
                     next()
-                    minus += next().text
-                    while (at(",")) { next(); minus += next().text }
+                    val minus = List.newBuilder[String]
+                    if (at("-")) {
+                      next()
+                      minus += next().text
+                      while (at(",")) { next(); minus += next().text }
+                    }
+                    expect(":")
+                    matcher = Some((minus.result(), parseExpr()))
+                  } else {
+                    // literal key sugar (`{"k": v}` / `{k: v}`) when the next
+                    // token is ':'; anything else is a computed-key expression
+                    val k: Ast =
+                      if ((peek.kind == "str" || peek.kind == "id") &&
+                          toks(p + 1).kind == "op" && toks(p + 1).text == ":")
+                        Lit(next().text)
+                      else parseExpr()
+                    expect(":")
+                    pairs += k -> parseExpr()
                   }
-                  expect(":")
-                  matcher = Some((minus.result(), parseExpr()))
-                } else {
-                  val k = next() match {
-                    case Tok("str", s, _) => s
-                    case Tok("id", s, _)  => s
-                    case other => throw new JsltCompileError(
-                      s"bad object key '${other.text}' at ${other.pos}")
-                  }
-                  expect(":")
-                  pairs += k -> parseExpr()
+                  if (at(",")) next() else continue = false
+                  if (at("}")) continue = false
                 }
-                if (at(",")) next() else continue = false
-                if (at("}")) continue = false
+                expect("}")
+                val o = ObjC(pairs.result(), matcher)
+                if (lets.isEmpty) o else Let(lets, o)
               }
-              expect("}")
-              val o = ObjC(pairs.result(), matcher)
-              if (lets.isEmpty) o else Let(lets, o)
             case other =>
               throw new JsltCompileError(s"unexpected '$other' at ${t.pos}")
           }
@@ -346,9 +406,11 @@ object JsltCompiler {
   final case class TC(col: Column, typ: Option[DataType])
 
   /** Compilation context: the document schema, the current JSLT context
-    * (None = the root document, whose fields are the DataFrame columns), and
-    * let/for bindings. */
-  final case class Cctx(root: StructType, context: Option[TC], vars: Map[String, TC])
+    * (None = the root document, whose fields are the DataFrame columns),
+    * let/for bindings, user function defs, and the inline-expansion stack
+    * (recursion detection). */
+  final case class Cctx(root: StructType, context: Option[TC], vars: Map[String, TC],
+      defs: Map[String, FnDef] = Map.empty, expanding: Set[String] = Set.empty)
 
   def compileProgram(src: String, root: StructType): TC =
     compile(parse(src), Cctx(root, None, Map.empty))
@@ -397,6 +459,8 @@ object JsltCompiler {
       for (lf <- objFields(l, ctx); rf <- objFields(r, ctx))
         yield lf ++ rf.filterNot { case (k, _) => lf.exists(_._1 == k) }
     case Let(bs, body) => objFields(body, bindLets(bs, ctx))
+    case Prog(defs, body) =>
+      objFields(body, ctx.copy(defs = ctx.defs ++ defs.map(d => d.name -> d)))
     case _ => None
   }
 
@@ -405,10 +469,18 @@ object JsltCompiler {
       c.copy(vars = c.vars + (name -> compile(e, c)))
     }
 
+  /** Static object keys must be string literals; computed keys are a
+    * dynamic-mode construct (the output schema would be data-dependent). */
+  private def litKey(k: Ast): String = k match {
+    case Lit(s: String) => s
+    case other => throw new JsltCompileError(
+      s"computed object keys require the dynamic pipeline mode: $other")
+  }
+
   private def compileObjFields(o: ObjC, ctx: Cctx): List[(String, Column)] = {
     // duplicate literal keys: LAST wins (JSON object semantics), keeping the
     // first occurrence's position
-    val explicit = o.pairs.map { case (k, v) => k -> compile(v, ctx).col }
+    val explicit = o.pairs.map { case (k, v) => litKey(k) -> compile(v, ctx).col }
     val dedup = explicit.map(_._1).distinct.map { k =>
       k -> explicit.reverse.find(_._1 == k).get._2
     }
@@ -417,7 +489,7 @@ object JsltCompiler {
       case Some((minus, expr)) =>
         val fields = objFields(expr, ctx).getOrElse(throw new JsltCompileError(
           "matcher '*' needs a schema-known object expression (a path or object)"))
-        val taken = o.pairs.map(_._1).toSet ++ minus
+        val taken = o.pairs.map(p => litKey(p._1)).toSet ++ minus
         fields.filterNot { case (k, _) => taken(k) }
     }
     dedup ++ matched
@@ -535,6 +607,12 @@ object JsltCompiler {
     case Call(fn, args) => compileCall(fn, args, ctx)
 
     case Let(bs, body) => compile(body, bindLets(bs, ctx))
+
+    case Prog(defs, body) =>
+      compile(body, ctx.copy(defs = ctx.defs ++ defs.map(d => d.name -> d)))
+
+    case _: ObjFor => throw new JsltCompileError(
+      "object-for produces data-dependent keys; use the dynamic pipeline mode")
   }
 
   private def numType(l: TC, r: TC): Option[DataType] = (l.typ, r.typ) match {
@@ -603,7 +681,22 @@ object JsltCompiler {
         TC(greatest(x.col, y.col), if (x.typ == y.typ) x.typ else None)
       case "error" =>
         TC(raise_error(one.col.cast(StringType)), Some(NullType))
-      case other => throw new JsltCompileError(s"unsupported function: $other")
+      case other =>
+        ctx.defs.get(other) match {
+          case Some(d) =>
+            // inline expansion: the body compiles at the call site with
+            // params bound as vars — the function sees the caller's `.`
+            // context, exactly JSLT's rule. A cycle cannot inline.
+            if (ctx.expanding(other)) throw new JsltCompileError(
+              s"recursive function '$other' cannot compile statically; " +
+                "use the dynamic pipeline mode")
+            if (d.params.length != args.length) throw new JsltCompileError(
+              s"$other expects ${d.params.length} arguments, got ${args.length}")
+            val bound = d.params.zip(args.map(compile(_, ctx))).toMap
+            compile(d.body, ctx.copy(vars = ctx.vars ++ bound,
+              expanding = ctx.expanding + other))
+          case None => throw new JsltCompileError(s"unsupported function: $other")
+        }
     }
   }
 

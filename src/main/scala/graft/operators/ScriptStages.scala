@@ -21,7 +21,7 @@ import org.json4s._
   */
 object ScriptStages {
 
-  private def scriptSource(spec: JValue): String = spec match {
+  private[graft] def scriptSource(spec: JValue): String = spec match {
     case JString(s) if s.startsWith("resource:") =>
       val path = s.stripPrefix("resource:")
       val in = getClass.getResourceAsStream(path)

@@ -299,4 +299,108 @@ class DynamicSpec extends SparkSpec {
     assert(m("""{"a": {"$nin": [2, 3]}}""", """{"a":1}"""))
     assert(!m("""{"a": {"$nin": [1]}}""", """{"a":1}"""))
   }
+
+  // ---- $jslt full-language dynamic mode (TestScript.java jslt2) -----------
+
+  test("$jslt dynamic: reference test {\"test\": 1, *: .} rewrites and re-keys") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","test":0}"""),
+      """[{"$jslt": "{\"test\": 1, *: .}"}]"""))
+    assert(out == Set(node("""{"test":1,"_id":"0"}""")))
+  }
+
+  test("$jslt dynamic: computed keys and object-for") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","k":"name","v":7,"m":{"a":1,"b":2}}"""),
+      """[{"$jslt": "{\"_id\": ._id, .k : .v, \"doubled\": {for (.m) .key : .value * 2}}"}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","name":7,"doubled":{"a":2,"b":4}}""")))
+  }
+
+  test("$jslt dynamic: recursive user function (static mode rejects it)") {
+    val fact = """def fact(n) if ($n < 2) 1 else $n * fact($n - 1)
+                  {"_id": ._id, "f": fact(.n)}"""
+    val out = outDocs(run(
+      docs("""{"_id":"0","n":5}""", """{"_id":"1","n":1}"""),
+      s"""[{"$$jslt": ${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(fact)))}}]"""))
+    assert(out == Set(node("""{"_id":"0","f":120}"""),
+                      node("""{"_id":"1","f":1}""")))
+    // the same script statically: clear compile error, not a wrong answer
+    val e = intercept[graft.operators.JsltCompiler.JsltCompileError] {
+      graft.operators.JsltCompiler.compileProgram(fact,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    }
+    assert(e.getMessage.contains("recursive"))
+  }
+
+  test("$jslt dynamic: null-valued pairs are dropped (JSLT object rule)") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","a":1}"""),
+      """[{"$jslt": "{\"_id\": ._id, \"a\": .a, \"gone\": .missing}"}]"""))
+    assert(out == Set(node("""{"_id":"0","a":1}""")))
+  }
+
+  test("$jslt dynamic: get-key with fallback on unknown objects") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","o":{"x":5},"k":"x"}""", """{"_id":"1","o":{"y":1},"k":"x"}"""),
+      """[{"$jslt": "{\"_id\": ._id, \"v\": get-key(.o, .k, 0)}"}]"""))
+    assert(out == Set(node("""{"_id":"0","v":5}"""), node("""{"_id":"1","v":0}""")))
+  }
+
+  // ---- $jq full-language dynamic mode -------------------------------------
+
+  test("$jq dynamic: reference test . + {test: 1} (TestScript jq2)") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","test":0}"""),
+      """[{"$jq": ". + {test: 1}"}]"""))
+    assert(out == Set(node("""{"_id":"0","test":1}""")))
+  }
+
+  test("$jq dynamic: .[] iteration, reduce, as-binding") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","xs":[1,2,3],"base":10}"""),
+      """[{"$jq": ".base as $b | {\"_id\": ._id, \"total\": (reduce .xs[] as $x ($b; . + $x)), \"n\": (.xs | length)}"}]"""))
+    assert(out == Set(node("""{"_id":"0","total":16,"n":3}""")))
+  }
+
+  test("$jq dynamic: recursive def (static mode rejects it)") {
+    val script = """def fact: if . < 2 then 1 else . * (. - 1 | fact) end;
+                    {"_id": ._id, "f": (.n | fact)}"""
+    val out = outDocs(run(
+      docs("""{"_id":"0","n":5}"""),
+      s"""[{"$$jq": ${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(script)))}}]"""))
+    assert(out == Set(node("""{"_id":"0","f":120}""")))
+    val e = intercept[graft.operators.JqCompiler.JqCompileError] {
+      graft.operators.JqCompiler.compileProgram(script,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    }
+    assert(e.getMessage.contains("recursive"))
+  }
+
+  test("$jq dynamic: def with filter param is call-by-name") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","xs":[1,2,3]}"""),
+      """[{"$jq": "def second(g): [.xs[] | g] | .[1]; {\"_id\": ._id, \"y\": second(. * 10)}"}]"""))
+    assert(out == Set(node("""{"_id":"0","y":20}""")))
+  }
+
+  test("$jq dynamic: empty output stream drops the message (select)") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","v":1}""", """{"_id":"1","v":5}"""),
+      """[{"$jq": "select(.v > 3)"}]"""))
+    assert(out == Set(node("""{"_id":"1","v":5}""")))
+  }
+
+  test("$jq dynamic: to_entries/from_entries round-trip with transform") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","m":{"a":1,"b":2}}"""),
+      """[{"$jq": "{\"_id\": ._id, \"m\": (.m | to_entries | map({key: .key, value: (.value * 2)}) | from_entries)}"}]"""))
+    assert(out == Set(node("""{"_id":"0","m":{"a":2,"b":4}}""")))
+  }
 }

@@ -44,11 +44,16 @@ class JsltPropertySpec extends SparkSpec {
       case Sel(base, s)    => step(interp(base, context, vars), s, context, vars)
       case Var(n)          => vars(n)
       case ObjC(pairs, matcher) =>
-        val explicit = pairs.map { case (k, v) => k -> interp(v, context, vars) }
+        // generator emits literal string keys only (the static subset)
+        def key(k: Ast): String = k match {
+          case Lit(s: String) => s
+          case other          => sys.error(s"non-literal key $other")
+        }
+        val explicit = pairs.map { case (k, v) => key(k) -> interp(v, context, vars) }
         val matched = matcher match {
           case None => Nil
           case Some((minus, expr)) =>
-            val taken = pairs.map(_._1).toSet ++ minus
+            val taken = pairs.map(p => key(p._1)).toSet ++ minus
             interp(expr, context, vars) match {
               case JObject(fs) => fs.filterNot { case (k, _) => taken(k) }
               case _           => Nil

@@ -63,6 +63,23 @@ class ScriptSpec extends SparkSpec {
     assert(out.collect()(0).getAs[scala.collection.Seq[Long]]("doubled").toList == List(6L, 8L))
   }
 
+  test("$jslt user def inline-expands in typed mode (non-recursive)") {
+    val df = Seq((2L, 3L)).toDF("a", "b")
+    val out = pipeline.run(df,
+      """[{"$jslt": "def hyp2(x, y) $x * $x + $y * $y def twice(v) $v * 2 {\"h\": hyp2(.a, .b), \"t\": twice(.a)}"}]""")
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("h") == 13L)
+    assert(r.getAs[Long]("t") == 4L)
+  }
+
+  test("$jslt computed key in typed mode is a clear compile error") {
+    val df = Seq((1L, "k")).toDF("a", "key2")
+    val e = intercept[graft.operators.JsltCompiler.JsltCompileError] {
+      pipeline.run(df, """[{"$jslt": "{.key2 : .a}"}]""").collect()
+    }
+    assert(e.getMessage.contains("dynamic"))
+  }
+
   test("$jslt object + merge: left wins (JSLT spec)") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     val out = pipeline.run(df,
