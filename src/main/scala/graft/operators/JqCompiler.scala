@@ -120,12 +120,48 @@ object JqCompiler {
 
     def parseProgram(): Jq = {
       val defs = List.newBuilder[JqDef]
-      while (atId("def")) defs += parseDef()
+      var header = true
+      while (header) {
+        if (atId("def")) defs += parseDef()
+        else if (atId("include")) {
+          // `include "module";` — splice the module's defs (the reference
+          // exposes jackson-jq's module loader via Features.jqModuleLoader,
+          // Jq.java:25-27; here a module is a defs-only script resolved
+          // like any script spec: resource:/x, a file path, or inline)
+          next()
+          val m = next()
+          if (m.kind != "str") throw new JqCompileError(
+            s"include expects a string at ${m.pos}")
+          expect(";")
+          defs ++= parseModule(loadModule(m.text))
+        } else if (atId("import")) throw new JqCompileError(
+          "namespaced 'import' is not supported; use include \"module\";")
+        else header = false
+      }
       val e = parsePipe()
       if (peek.kind != "eof")
         throw new JqCompileError(s"trailing input at ${peek.pos}: '${peek.text}'")
       val db = defs.result()
       if (db.isEmpty) e else JDefs(db, e)
+    }
+
+    def parseModuleDefs(): List[JqDef] = {
+      val defs = List.newBuilder[JqDef]
+      var header = true
+      while (header) { // modules may include other modules
+        if (atId("def")) defs += parseDef()
+        else if (atId("include")) {
+          next()
+          val m = next()
+          if (m.kind != "str") throw new JqCompileError(
+            s"include expects a string at ${m.pos}")
+          expect(";")
+          defs ++= parseModule(loadModule(m.text))
+        } else header = false
+      }
+      if (peek.kind != "eof") throw new JqCompileError(
+        s"a jq module may only contain defs; found '${peek.text}' at ${peek.pos}")
+      defs.result()
     }
 
     private def parseDef(): JqDef = {
@@ -335,6 +371,13 @@ object JqCompiler {
   }
 
   def parse(src: String): Jq = new Parser(tokenize(src)).parseProgram()
+
+  /** A jq module: definitions only. */
+  private def parseModule(src: String): List[JqDef] =
+    new Parser(tokenize(src)).parseModuleDefs()
+
+  private def loadModule(path: String): String =
+    ScriptStages.scriptSource(org.json4s.JString(path))
 
   // ---- compiler -------------------------------------------------------------
 

@@ -397,6 +397,13 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"_id":"1","v":5}""")))
   }
 
+  test("$jq dynamic: include loads module defs (Features.jqModuleLoader)") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","n":4,"xs":[1,2]}"""),
+      """[{"$jq": "include \"resource:/mod.jq\"; {\"_id\": ._id, \"i\": (.n | inc), \"s\": sumxs}"}]"""))
+    assert(out == Set(node("""{"_id":"0","i":5,"s":3}""")))
+  }
+
   test("$jq dynamic: to_entries/from_entries round-trip with transform") {
     val out = outDocs(run(
       docs("""{"_id":"0","m":{"a":1,"b":2}}"""),

@@ -40,6 +40,29 @@ class StreamingSpec extends SparkSpec {
     assert(all.last.toSet == Set(("a", 11L)))
   }
 
+  test("dynamic (schemaless) pipeline runs natively on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val stream = input.toDF().toDF("doc")
+    // fused doc stages are one mapPartitions — incremental-plan friendly;
+    // full-language $jslt (recursion) included
+    val out = graft.dynamic.DynPipeline.run(stream,
+      """[{"$addFields": {"b.c": {"$add": ["$a", 1]}}},
+          {"$jslt": "def twice(x) $x * 2 {\"_id\": ._id, \"t\": twice(.b.c)}"},
+          {"$match": {"t": {"$gte": 4}}}]""")
+    val q = out.writeStream.format("memory").queryName("dynstream")
+      .outputMode("append").start()
+    try {
+      input.addData("""{"_id":"0","a":1}""", """{"_id":"1","a":5}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select doc from dynstream").collect()
+      .map(r => graft.dynamic.DynJson.parse(r.getString(0))).toSet
+    assert(got == Set(
+      graft.dynamic.DynJson.parse("""{"_id":"0","t":4}"""),
+      graft.dynamic.DynJson.parse("""{"_id":"1","t":12}""")))
+  }
+
   test("streaming $lookup against a static catalog is a stream-static join") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
