@@ -384,6 +384,7 @@ object DynPipeline {
     val as = spec \ "as" match { case JString(s) => Some(s); case _ => None }
     val unwind = (spec \ "unwind") == JBool(true)
     val retries = spec \ "retries" match { case JInt(i) => i.toInt; case _ => 3 }
+    val ssl = graft.operators.HttpStage.sslSpec(spec)
     val urlOp = DynExpr.compile(spec \ "url")
     val methodOp = spec \ "method" match {
       case JNothing => None
@@ -435,7 +436,7 @@ object DynPipeline {
           case v                => render(v)
         }
         HttpIO.request(urlV.textValue, methodV.textValue.toUpperCase, headers,
-          bodyStr.orNull, retries) match {
+          bodyStr.orNull, retries, ssl) match {
           case Right(r) if r.status < 300 =>
             val parsed: JsonNode =
               if (r.body == null || r.body.isEmpty) MISSING

@@ -20,8 +20,9 @@ import org.json4s._
   * ([[graft.dynamic.DynPipeline]]), where documents are JSON trees anyway.
   *
   * Deviations (documented): retries are bounded (`retries`, default 3, 1 s
-  * backoff) instead of infinite; `sslContext` client certs are not
-  * supported.
+  * backoff) instead of infinite. `sslContext: {keyStore, password}` loads a
+  * PKCS#12 client certificate with mtime hot reload
+  * ([[HttpIO.clientFor]], Http.java:183-198/254-277).
   *
   * Error semantics match the reference: non-2xx → `httpError
   * {statusCode, body}` on the message (Http.java:131-141); invalid
@@ -36,6 +37,18 @@ object HttpStage {
     case _          => None
   }
 
+  /** `sslContext: {keyStore, password}` (shared with the dynamic stage). */
+  private[graft] def sslSpec(spec: JValue): Option[HttpIO.SslSpec] =
+    (spec \ "sslContext") match {
+      case JNothing => None
+      case s =>
+        (str(s \ "keyStore"), str(s \ "password")) match {
+          case (Some(ks), Some(pw)) => Some(HttpIO.SslSpec(ks, pw))
+          case _ => throw new IllegalArgumentException(
+            "$http sslContext needs string keyStore and password")
+        }
+    }
+
   def apply(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
     import MongoExpr.{compile => cexpr}
     val as = str(spec \ "as").getOrElse("result")
@@ -44,6 +57,7 @@ object HttpStage {
       case JInt(i) => i.toInt
       case _       => 3
     }
+    val ssl = HttpStage.sslSpec(spec)
     val urlCol = cexpr(spec \ "url").cast(StringType)
     val methodCol = (spec \ "method") match {
       case JNothing => lit("GET")
@@ -98,7 +112,7 @@ object HttpStage {
         else {
           val resp = HttpIO.request(url, method.get,
             parseHeaders(row.getAs[String]("__headers"), mapper),
-            row.getAs[String]("__body"), retries)
+            row.getAs[String]("__body"), retries, ssl)
           resp match {
             case Right(r) if r.status < 300 =>
               emit(normalize(r, mapper), null)

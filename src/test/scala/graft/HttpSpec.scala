@@ -135,4 +135,35 @@ class HttpSpec extends SparkSpec {
       assert(out.select("httpError.statusCode").head().getInt(0) == 400)
     }
   }
+
+  test("$http sslContext loads a PKCS#12 client cert and hot-reloads on rotation") {
+    import graft.operators.HttpIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssl")
+    val ks = dir.resolve("client.p12").toString
+    def genKeystore(): Unit = {
+      val rc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "c",
+        "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+        "-dname", "CN=graft-test", "-keystore", ks, "-storetype", "PKCS12",
+        "-storepass", "changeit", "-keypass", "changeit")
+        .redirectErrorStream(true).start().waitFor()
+      assert(rc == 0, s"keytool failed: $rc")
+    }
+    genKeystore()
+    val spec = Some(HttpIO.SslSpec(ks, "changeit"))
+    val c1 = HttpIO.clientFor(spec)
+    assert(c1.sslContext() != null && (c1 ne HttpIO.clientFor(None)))
+    assert(HttpIO.clientFor(spec) eq c1) // cached while the file is unchanged
+    // rotate the certificate: same path, newer mtime -> NEW client
+    Thread.sleep(1100) // mtime granularity
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ks))
+    genKeystore()
+    val c2 = HttpIO.clientFor(spec)
+    assert(c2 ne c1, "rotated keystore must rebuild the client")
+    // bad spec shapes fail fast at stage build
+    val e = intercept[IllegalArgumentException] {
+      pipeline.run(Seq(("0", 1L)).toDF("_id", "v"),
+        """[{"$http": {"url": "http://x/", "sslContext": {"keyStore": "k"}}}]""")
+    }
+    assert(e.getMessage.contains("password"))
+  }
 }
