@@ -40,10 +40,25 @@ object DynPipeline {
   type Msg = (String, JsonNode)
   type DocFn = Msg => Iterator[Msg]
 
-  def run(df: DataFrame, pipelineJson: String): DataFrame =
-    run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson))
+  /** Side-effect context, mirroring [[graft.Pipeline]]'s constructor:
+    * `producer` receives sink batches ($send/$delay/$probe), `store` backs
+    * $merge/$out/$delete collections, `catalog` resolves $lookup `from`
+    * names to JSON-document frames (a `doc` column, optional `key`). */
+  final case class DynCtx(
+      producer: DataFrame => Unit = _ => (),
+      store: graft.sources.DocumentStore = null,
+      catalog: String => DataFrame = name =>
+        throw new IllegalArgumentException(s"no catalog for $$lookup from: $name"))
 
-  def run(df: DataFrame, pipeline: JValue): DataFrame = pipeline match {
+  def run(df: DataFrame, pipelineJson: String): DataFrame =
+    run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), DynCtx())
+
+  def run(df: DataFrame, pipelineJson: String, ctx: DynCtx): DataFrame =
+    run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), ctx)
+
+  def run(df: DataFrame, pipeline: JValue): DataFrame = run(df, pipeline, DynCtx())
+
+  def run(df: DataFrame, pipeline: JValue, ctx: DynCtx): DataFrame = pipeline match {
     case JArray(stages) =>
       var cur = normalize(df)
       var pending = List.newBuilder[DocFn]
@@ -58,7 +73,7 @@ object DynPipeline {
             case Some(fn) => pending += fn; pendingN += 1
             case None =>
               flush()
-              cur = applyBarrier(cur, name, spec)
+              cur = applyBarrier(cur, name, spec, ctx)
           }
         case other => throw new IllegalArgumentException(s"bad stage: $other")
       }
@@ -110,7 +125,9 @@ object DynPipeline {
     case "$jslt"               => Some(jslt(spec))
     case "$jq"                 => Some(jq(spec))
     case "$trace" | "$backTrace" => Some(Iterator.single(_))
-    case "$group" | "$count" | "$bucket" | "$deduplicate" => None
+    case "$group" | "$count" | "$bucket" | "$deduplicate" |
+         "$send" | "$throttle" | "$per" | "$delay" | "$probe" |
+         "$merge" | "$out" | "$delete" | "$lookup" => None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
 
@@ -468,7 +485,8 @@ object DynPipeline {
 
   // ---- barrier stages ---------------------------------------------------------
 
-  private def applyBarrier(df: DataFrame, name: String, spec: JValue): DataFrame = name match {
+  private def applyBarrier(df: DataFrame, name: String, spec: JValue,
+      ctx: DynCtx): DataFrame = name match {
     case "$group"       => group(df, spec)
     case "$bucket"      => group(df, graft.Stages.bucketToGroup(spec))
     case "$count"       =>
@@ -477,7 +495,385 @@ object DynPipeline {
         lit(null).cast(StringType).as("key"),
         concat(lit(s"""{"$field":"""), col("__n").cast(StringType), lit("}")).as("doc"))
     case "$deduplicate" => deduplicate(df, spec)
+    case "$throttle"    => graft.Stages.throttle(df, spec) // schema-free pacing
+    case "$send"        => send(df, spec, ctx)
+    case "$per"         => per(df, spec)
+    case "$delay"       => delay(df, spec, ctx)
+    case "$probe"       => probe(df, spec, ctx)
+    case "$merge"       => mergeStage(df, spec, ctx)
+    case "$out" =>
+      val into = spec match {
+        case JString(s) => s
+        case o: JObject => o \ "into" match {
+          case JString(s) => s
+          case other      => throw new IllegalArgumentException(s"$$out into: $other")
+        }
+        case other => throw new IllegalArgumentException(s"$$out: $other")
+      }
+      mergeStage(df, JObject(List("into" -> JString(into),
+        "whenMatched" -> JString("replace"), "whenNotMatched" -> JString("insert"))), ctx)
+    case "$delete"      => delete(df, spec, ctx)
+    case "$lookup"      => lookup(df, spec, ctx)
     case other => throw new IllegalArgumentException(s"dynamic mode: unsupported stage $other")
+  }
+
+  // ---- sink / effect stages ---------------------------------------------------
+
+  /** `$send` (Send.java:36-68), per MESSAGE: a string topic result sends the
+    * message (it leaves the stream); anything else passes it through. */
+  private def send(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    val topicSpec = spec \ "topic" match { case JNothing => spec; case t => t }
+    val op = DynExpr.compile(topicSpec)
+    val tuple3Enc = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    val typed = df.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val v = op.eval(DynExpr.DCtx(parse(s), Map.empty))
+        (k, s, if (v != null && v.isTextual) v.textValue else null)
+      }
+    }(tuple3Enc).toDF("key", "doc", "__topic").persist()
+    ctx.producer(typed.filter(col("__topic").isNotNull))
+    val rest = typed.filter(col("__topic").isNull).drop("__topic")
+    rest
+  }
+
+  /** `$per` (Per.java:28-49): batches of `amount` docs per input partition
+    * become one `{as: [...]}` doc keyed by a fresh UUID. */
+  private def per(df: DataFrame, spec: JValue): DataFrame = {
+    val amount = spec \ "amount" match {
+      case JInt(i) => i.toInt
+      case other   => throw new IllegalArgumentException(s"$$per amount: $other")
+    }
+    val as = spec \ "as" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$per as: $other")
+    }
+    require(amount > 0, "$per.amount must be positive")
+    normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.map(_._2).grouped(amount).map { batch =>
+        val o = obj()
+        val a = arr()
+        batch.foreach(s => a.add(parse(s)))
+        o.set[JsonNode](as, a)
+        (java.util.UUID.randomUUID().toString, render(o))
+      }
+    }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** `$delay` (Delay.java:32-77): valid messages (long duration, string
+    * topic) are stamped `__deliverAt`, produced AND parked in the store
+    * collection `__delay__<topic>`; invalid ones pass through. `_clock`
+    * (extension) evaluates an event-time epoch-millis expression per doc. */
+  private def delay(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    require(ctx.store != null, "$delay needs a DocumentStore in dynamic mode")
+    val topicOp = DynExpr.compile(spec \ "topic")
+    val durOp = DynExpr.compile(spec \ "duration")
+    val clockOp = spec \ "_clock" match {
+      case JNothing => None
+      case c        => Some(DynExpr.compile(c))
+    }
+    val enc4 = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
+      Encoders.scalaLong)
+    val typed = df.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val dctx = DynExpr.DCtx(parse(s), Map.empty)
+        val t = topicOp.eval(dctx)
+        val d = durOp.eval(dctx)
+        val valid = t != null && t.isTextual && d != null && d.isIntegralNumber
+        val base = clockOp.map(_.eval(dctx)) match {
+          case Some(c) if c != null && c.isNumber => c.longValue
+          case _                                  => System.currentTimeMillis()
+        }
+        if (valid) (k, s, t.textValue, base + d.longValue)
+        else (k, s, null.asInstanceOf[String], 0L)
+      }
+    }(enc4).toDF("key", "doc", "__topic", "__deliverAtMs").persist()
+    val scheduled = typed.filter(col("__topic").isNotNull)
+      .withColumn("__deliverAt", timestamp_millis(col("__deliverAtMs")))
+      .drop("__deliverAtMs")
+    ctx.producer(scheduled)
+    scheduled.select("__topic").distinct().collect().map(_.getString(0)).foreach { t =>
+      val coll = s"__delay__$t"
+      val batch = scheduled.filter(col("__topic") === t).drop("__topic")
+      val merged =
+        try ctx.store.read(coll).unionByName(batch, allowMissingColumns = true)
+        catch { case _: Exception => batch }
+      ctx.store.overwrite(coll, merged)
+    }
+    typed.filter(col("__topic").isNull).select(col("key"), col("doc"))
+  }
+
+  /** `$probe` (Probe.java:29-84): complete-minute counts `{name, minute,
+    * count}` to a topic; passthrough. `_clock` = event-time epoch millis. */
+  private def probe(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    val name = spec \ "name" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$probe name: $other")
+    }
+    val topic = spec \ "topic" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$probe topic: $other")
+    }
+    val clockOp = spec \ "_clock" match {
+      case JNothing => None
+      case c        => Some(DynExpr.compile(c))
+    }
+    val enc3 = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    val stamped = df.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val ms = clockOp.map(_.eval(DynExpr.DCtx(parse(s), Map.empty))) match {
+          case Some(c) if c != null && c.isNumber => c.longValue
+          case _                                  => System.currentTimeMillis()
+        }
+        (k, s, ms - ms % 60000L)
+      }
+    }(enc3).toDF("key", "doc", "__minute").persist()
+    val counted = stamped.groupBy(col("__minute")).agg(count(lit(1)).as("count"))
+    val lastMinute = counted.agg(max("__minute").as("__last"))
+    ctx.producer(counted.crossJoin(broadcast(lastMinute))
+      .filter(col("__minute") < col("__last"))
+      .select(lit(topic).as("__topic"), lit(name).as("name"),
+        timestamp_millis(col("__minute")).as("minute"), col("count")))
+    stamped.select(col("key"), col("doc"))
+  }
+
+  // ---- store stages -----------------------------------------------------------
+
+  private val tuple3Enc =
+    Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+
+  private def onFields(spec: JValue): List[String] = spec \ "on" match {
+    case JString(s) => List(s)
+    case JArray(xs) => xs.map { case JString(s) => s
+      case other => throw new IllegalArgumentException(s"on: $other") }
+    case _ => List("_id")
+  }
+
+  /** Canonical string of a doc's `on` values (dotted paths), or null when
+    * any is missing — the join/bucket key for dynamic store stages. Multi-
+    * field keys join on NUL, which cannot appear inside rendered JSON. */
+  private def onKey(doc: JsonNode, on: List[String]): String = {
+    val parts = on.map { f =>
+      val v = f.split('.').foldLeft(doc)((d, seg) =>
+        if (d != null && d.isObject) d.path(seg) else MISSING)
+      if (isMissing(v)) return null else canonical(v)
+    }
+    parts.mkString("\u0000")
+  }
+
+  /** `$merge` in dynamic mode (Merge.java:47-198): upsert JSON docs into a
+    * store collection of schema (doc, __on) where `__on` is the canonical
+    * `on` key — the same one-join classification as the typed stage,
+    * schema-free, and the same bucketed incremental write path: when the
+    * store is bucketed on `__on`, only the buckets the batch touches are
+    * read and rewritten. whenMatched `merge` = top-level field overlay
+    * (incoming wins per field), `replace`, `keepExisting`, `fail`;
+    * whenNotMatched `insert` (fresh UUID `_id` if absent), `discard`,
+    * `fail`. The echo re-keys on the result `_id` (Merge.java:142-179). */
+  private def mergeStage(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    require(ctx.store != null, "$merge needs a DocumentStore in dynamic mode")
+    val into = spec \ "into" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$merge into: $other")
+    }
+    val on = onFields(spec)
+    val whenMatched = spec \ "whenMatched" match { case JString(s) => s; case _ => "merge" }
+    val whenNotMatched = spec \ "whenNotMatched" match { case JString(s) => s; case _ => "insert" }
+    val keyOp = spec \ "key" match { case JNothing => None; case k => Some(DynExpr.compile(k)) }
+
+    val incoming = df.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (_, s) =>
+        val doc = parse(s).deepCopy[ObjectNode]()
+        keyOp.foreach { op =>
+          val v = op.eval(DynExpr.DCtx(doc, Map.empty))
+          doc.set[JsonNode]("_id", missingToNull(v))
+        }
+        val ok = onKey(doc, on)
+        if (ok == null) throw new IllegalStateException(
+          s"$$merge: message missing 'on' field(s) $on")
+        (ok, render(doc))
+      }
+    }(tuple2Enc).toDF("__on", "doc")
+      // last write per key wins (arrival order approximated by input order)
+      .withColumn("__mid", monotonically_increasing_id())
+      .groupBy(col("__on"))
+      .agg(max_by(col("doc"), col("__mid")).as("doc"))
+      .persist()
+
+    val onCols = List("__on")
+    val bucketedN = ctx.store.bucketing(into, onCols)
+    val touched: Seq[Int] = bucketedN match {
+      case Some(n) => incoming.select(
+          graft.sources.DocumentStore.bucketColumn(onCols, n).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      case None => Nil
+    }
+    val target = bucketedN match {
+      case Some(_) => ctx.store.readBuckets(into, touched)
+      case None =>
+        try ctx.store.read(into)
+        catch { case _: Exception =>
+          import df.sparkSession.implicits._
+          Seq.empty[(String, String)].toDF("doc", "__on")
+        }
+    }
+
+    val j = target.select(col("doc").as("__tdoc"), col("__on").as("__ton"))
+      .join(incoming.select(col("doc").as("__idoc"), col("__on").as("__ion")),
+        col("__ton") <=> col("__ion"), "full_outer")
+    val resolved = j.select(col("__tdoc"), col("__idoc"),
+        coalesce(col("__ion"), col("__ton")).as("__on")).as(tuple3Enc)
+      .mapPartitions { it =>
+        it.flatMap { case (tdoc, idoc, onk) =>
+          (Option(tdoc), Option(idoc)) match {
+            case (Some(ts), Some(is)) =>
+              val merged: JsonNode = whenMatched match {
+                case "replace"      => parse(is)
+                case "keepExisting" => parse(ts)
+                case "merge" =>
+                  val o = parse(ts).deepCopy[ObjectNode]()
+                  o.setAll[ObjectNode](parse(is).asInstanceOf[ObjectNode])
+                  o
+                case "fail" => throw new IllegalStateException(
+                  "$merge: whenMatched=fail and a match occurred")
+                case other => throw new IllegalArgumentException(s"whenMatched $other")
+              }
+              Iterator.single((render(merged), onk, "w"))
+            case (None, Some(is)) =>
+              whenNotMatched match {
+                case "insert" =>
+                  val o = parse(is).deepCopy[ObjectNode]()
+                  if (!o.has("_id"))
+                    o.set[JsonNode]("_id", text(java.util.UUID.randomUUID().toString))
+                  Iterator.single((render(o), onk, "w"))
+                case "discard" => Iterator.empty
+                case "fail" => throw new IllegalStateException(
+                  "$merge: whenNotMatched=fail and no match")
+                case other => throw new IllegalArgumentException(s"whenNotMatched $other")
+              }
+            case (Some(ts), None) => Iterator.single((ts, onk, "k"))
+            case (None, None)     => Iterator.empty
+          }
+        }
+      }(tuple3Enc).toDF("doc", "__on", "__w").persist()
+
+    val newTarget = resolved.select(col("doc"), col("__on"))
+    bucketedN match {
+      case Some(n) =>
+        ctx.store.replaceBuckets(into, touched, newTarget.withColumn("__bucket",
+          graft.sources.DocumentStore.bucketColumn(onCols, n)))
+      case None => ctx.store match {
+        case b: graft.sources.BucketedParquetStore => b.seed(into, newTarget, onCols)
+        case _ => ctx.store.overwrite(into, newTarget)
+      }
+    }
+
+    // echo: written docs, re-keyed by _id
+    resolved.filter(col("__w") === "w").select("doc").as(Encoders.STRING)
+      .mapPartitions { it =>
+        it.map { s =>
+          val d = parse(s)
+          val id = d.path("_id")
+          (if (id.isTextual) id.textValue
+           else if (isMissing(id) || id.isNull) null
+           else canonical(id), s)
+        }
+      }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** `$delete` (Delete.java:33-71): remove matching docs from the store
+    * collection (only touched buckets rewritten when bucketed on the `on`
+    * key); messages lacking the `on` fields are dropped, the rest pass
+    * through. */
+  private def delete(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    require(ctx.store != null, "$delete needs a DocumentStore in dynamic mode")
+    val from = spec \ "from" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$delete from: $other")
+    }
+    val on = onFields(spec)
+    val keyed = df.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) => (k, s, onKey(parse(s), on)) }
+    }(tuple3Enc).toDF("key", "doc", "__k").persist()
+    val valid = keyed.filter(col("__k").isNotNull)
+    val keys = valid.select(col("__k").as("__on")).distinct()
+    val onCols = List("__on")
+    ctx.store.bucketing(from, onCols) match {
+      case Some(n) =>
+        val touched = keys.select(
+            graft.sources.DocumentStore.bucketColumn(onCols, n).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        val target = ctx.store.readBuckets(from, touched)
+        ctx.store.replaceBuckets(from, touched,
+          target.join(keys, target("__on") <=> keys("__on"), "left_anti")
+            .withColumn("__bucket",
+              graft.sources.DocumentStore.bucketColumn(onCols, n)))
+      case None =>
+        val target = ctx.store.read(from)
+        ctx.store.overwrite(from,
+          target.join(keys, target("__on") <=> keys("__on"), "left_anti"))
+    }
+    valid.select(col("key"), col("doc"))
+  }
+
+  /** `$lookup` equality form in dynamic mode (Lookup.java:83-109): one
+    * hash-distributed equi-join on the canonical foreign value; matches are
+    * pre-grouped on the `from` side so each message gains one array field.
+    * `unwind: true` emits one message per match; `inner: true` drops
+    * match-less messages. Pipeline-form lookups need the typed engine. */
+  private def lookup(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    val from = spec \ "from" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$lookup from: $other")
+    }
+    val (local, foreign) = (spec \ "localField", spec \ "foreignField") match {
+      case (JString(l), JString(f)) => (l, f)
+      case _ => throw new IllegalArgumentException(
+        "dynamic $lookup supports the localField/foreignField equality form; " +
+          "use the typed engine for let+pipeline lookups")
+    }
+    val as = spec \ "as" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$lookup as: $other")
+    }
+    val unwindFlag = (spec \ "unwind") == JBool(true)
+    val inner = (spec \ "inner") == JBool(true)
+
+    val left = df.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) => (k, s, onKey(parse(s), List(local))) }
+    }(tuple3Enc).toDF("key", "doc", "__lk")
+    // matched docs ship as one NUL-joined string: NUL cannot appear inside
+    // rendered JSON, and a primitive string column avoids a nested-array
+    // encoder in the typed-tuple path
+    val right = normalize(ctx.catalog(from)).as(tuple2Enc).mapPartitions { it =>
+      it.map { case (_, s) => (onKey(parse(s), List(foreign)), s) }
+    }(tuple2Enc).toDF("__fk", "__fdoc")
+      .filter(col("__fk").isNotNull)
+      .groupBy(col("__fk")).agg(
+        concat_ws("\u0000", collect_list(col("__fdoc"))).as("__matches"))
+
+    left.join(right, col("__lk") <=> col("__fk"), "left")
+      .select(col("key"), col("doc"),
+        coalesce(col("__matches"), lit("")).as("__m")).as(tuple3Enc)
+      .mapPartitions { it =>
+        it.flatMap { case (k, s, m) =>
+          val matches = if (m == null || m.isEmpty) Array.empty[String]
+            else m.split('\u0000')
+          val doc = parse(s).deepCopy[ObjectNode]()
+          if (unwindFlag) {
+            matches.iterator.map { ms =>
+              val d = doc.deepCopy[ObjectNode]()
+              d.set[JsonNode](as, parse(ms))
+              (k, render(d))
+            }
+          } else {
+            val a = arr()
+            matches.foreach(ms => a.add(parse(ms)))
+            doc.set[JsonNode](as, a)
+            if (inner && a.isEmpty) Iterator.empty
+            else Iterator.single((k, render(doc)))
+          }
+        }
+      }(tuple2Enc).toDF("key", "doc")
   }
 
   /** $group: map-side canonical key extraction, ONE fused DynGroupAgg for

@@ -237,7 +237,7 @@ object JqCompiler {
     }
     private def parseMul(): Jq = {
       var l = parsePrimary()
-      while (at("*") || at("/")) {
+      while (at("*") || at("/") || at("%")) {
         val op = next().text
         l = JBin(op, l, parsePrimary())
       }
@@ -558,6 +558,7 @@ object JqCompiler {
       case "*" => TC(comp(l, ctx).col * comp(r, ctx).col, None)
       case "/" => TC(comp(l, ctx).col.cast(DoubleType) / comp(r, ctx).col.cast(DoubleType),
         Some(DoubleType))
+      case "%" => TC(comp(l, ctx).col % comp(r, ctx).col, None)
       case o => throw new JqCompileError(s"operator $o")
     }
     case JCall(fn, args) => call(fn, args, ctx)

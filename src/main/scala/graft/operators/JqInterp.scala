@@ -205,12 +205,13 @@ object JqInterp {
         o
       } else throw new IllegalArgumentException(
         s"${l.getNodeType} and ${r.getNodeType} cannot be added")
-    case "-" | "*" | "/" =>
+    case "-" | "*" | "/" | "%" =>
       if (!l.isNumber || !r.isNumber) throw new IllegalArgumentException(
         s"${l.getNodeType} and ${r.getNodeType}: arithmetic needs numbers")
       else op match {
         case "-" => num(l.doubleValue - r.doubleValue, isIntegral(l) && isIntegral(r))
         case "*" => num(l.doubleValue * r.doubleValue, isIntegral(l) && isIntegral(r))
+        case "%" => long(l.longValue % r.longValue) // jq % is integral
         case _ =>
           val d = l.doubleValue / r.doubleValue
           // jq keeps integral results integral when cleanly divisible

@@ -410,4 +410,135 @@ class DynamicSpec extends SparkSpec {
       """[{"$jq": "{\"_id\": ._id, \"m\": (.m | to_entries | map({key: .key, value: (.value * 2)}) | from_entries)}"}]"""))
     assert(out == Set(node("""{"_id":"0","m":{"a":2,"b":4}}""")))
   }
+
+  // ---- dynamic sink / store stages ----------------------------------------
+
+  private def dynCtx(sent: scala.collection.mutable.Buffer[DataFrame] = null,
+      store: graft.sources.DocumentStore = null,
+      catalog: String => DataFrame = null) =
+    DynPipeline.DynCtx(
+      producer = if (sent == null) _ => () else df => sent += df,
+      store = store,
+      catalog = if (catalog == null)
+        n => throw new IllegalArgumentException(s"no catalog: $n") else catalog)
+
+  private def tmpStore() = new graft.sources.BucketedParquetStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_dyn").toString, numBuckets = 8)
+
+  test("dynamic $send: string topic sends per message, non-string passes through") {
+    val sent = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = outDocs(DynPipeline.run(
+      docs("""{"_id":"0","t":"a"}""", """{"_id":"1","t":5}""", """{"_id":"2","t":"b"}"""),
+      """[{"$send": {"topic": "$t"}}]""", dynCtx(sent)))
+    assert(out == Set(node("""{"_id":"1","t":5}"""))) // non-string stays
+    val produced = sent.head.select("__topic").collect().map(_.getString(0)).toSet
+    assert(produced == Set("a", "b"))
+  }
+
+  test("dynamic $per batches docs into {as: [...]} with fresh keys (Per.java:28-49)") {
+    val out = DynPipeline.run(
+      docs("""{"a":1}""", """{"a":2}""", """{"a":3}""").repartition(1),
+      """[{"$per": {"amount": 2, "as": "batch"}}]""")
+    val got = out.select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0)).path("batch").size).sorted.toList
+    assert(got == List(1, 2))
+    assert(out.select("key").collect().forall(_.getString(0) != null)) // UUID keys
+  }
+
+  test("dynamic $delay parks per topic; redeliverDue pops due docs") {
+    val st = tmpStore()
+    val out = DynPipeline.run(
+      docs("""{"_id":"a","d":60000,"at":1704067200000}""",
+           """{"_id":"b","d":7200000,"at":1704067200000}"""),
+      """[{"$delay": {"duration": "$d", "topic": "later", "_clock": "$at"}}]""",
+      dynCtx(store = st))
+    assert(out.count() == 0)
+    val due = SinkStages.redeliverDue(st, "later",
+      lit("2024-01-01 01:00:00").cast("timestamp")) // epoch 1704070800
+    val ids = due.select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0)).path("_id").textValue).toSet
+    assert(ids == Set("a")) // b due at 02:00
+  }
+
+  test("dynamic $probe counts complete event-time minutes") {
+    val sent = scala.collection.mutable.Buffer.empty[DataFrame]
+    val out = DynPipeline.run(
+      docs("""{"at":1704067210000}""", """{"at":1704067250000}""",
+           """{"at":1704067270000}""", """{"at":1704067325000}"""),
+      """[{"$probe": {"name": "p", "topic": "m", "_clock": "$at"}}]""",
+      dynCtx(sent))
+    assert(out.count() == 4) // passthrough
+    val got = sent.head.select("name", "count").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList.sorted
+    assert(got == List(("p", 1L), ("p", 2L))) // last minute still open
+  }
+
+  test("dynamic $out then $merge: bucketed upsert, modes, echo re-key") {
+    val st = tmpStore()
+    // create the collection via $out (replace/insert on _id)
+    DynPipeline.run(
+      docs("""{"_id":"a","v":1,"w":10}""", """{"_id":"b","v":2,"w":20}"""),
+      """[{"$out": {"into": "t"}}]""", dynCtx(store = st)).count()
+    // merge: overlay v for a, insert c; keep b untouched
+    val echo = DynPipeline.run(
+      docs("""{"_id":"a","v":100}""", """{"_id":"c","v":3}"""),
+      """[{"$merge": {"into": "t", "on": "_id",
+                      "whenMatched": "merge", "whenNotMatched": "insert"}}]""",
+      dynCtx(store = st))
+    val echoed = echo.collect().map(r => (r.getString(0),
+      DynJson.parse(r.getString(1)))).toMap
+    assert(echoed.keySet == Set("a", "c"))
+    assert(echoed("a") == node("""{"_id":"a","v":100,"w":10}""")) // overlay keeps w
+    val coll = st.read("t").select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0))).toSet
+    assert(coll == Set(
+      node("""{"_id":"a","v":100,"w":10}"""),
+      node("""{"_id":"b","v":2,"w":20}"""),
+      node("""{"_id":"c","v":3}""")))
+    // incremental: the second write touched a strict subset of buckets
+    assert(st.manifest("t").nonEmpty)
+  }
+
+  test("dynamic $delete removes matching docs, drops keyless messages") {
+    val st = tmpStore()
+    DynPipeline.run(
+      docs("""{"_id":"a","v":1}""", """{"_id":"b","v":2}""", """{"_id":"c","v":3}"""),
+      """[{"$out": {"into": "t"}}]""", dynCtx(store = st)).count()
+    val out = DynPipeline.run(
+      docs("""{"_id":"b"}""", """{"x":1}"""), // second lacks _id -> dropped
+      """[{"$delete": {"from": "t", "on": "_id"}}]""", dynCtx(store = st))
+    assert(outDocs(out) == Set(node("""{"_id":"b"}""")))
+    val left = st.read("t").select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0)).path("_id").textValue).toSet
+    assert(left == Set("a", "c"))
+  }
+
+  test("dynamic $lookup equality form: array attach, unwind, inner") {
+    val dims = docs("""{"k":1,"name":"one"}""", """{"k":1,"name":"uno"}""",
+                    """{"k":2,"name":"two"}""")
+    val ctx = dynCtx(catalog = _ => dims)
+    val out = outDocs(DynPipeline.run(
+      docs("""{"_id":"a","fk":1}""", """{"_id":"b","fk":9}"""),
+      """[{"$lookup": {"from": "d", "localField": "fk", "foreignField": "k",
+                       "as": "m"}}]""", ctx))
+    val byId = out.map(d => d.path("_id").textValue -> d.path("m").size).toMap
+    assert(byId == Map("a" -> 2, "b" -> 0))
+    val unwound = outDocs(DynPipeline.run(
+      docs("""{"_id":"a","fk":2}"""),
+      """[{"$lookup": {"from": "d", "localField": "fk", "foreignField": "k",
+                       "as": "m", "unwind": true}}]""", ctx))
+    assert(unwound == Set(node("""{"_id":"a","fk":2,"m":{"k":2,"name":"two"}}""")))
+    val inner = outDocs(DynPipeline.run(
+      docs("""{"_id":"a","fk":1}""", """{"_id":"b","fk":9}"""),
+      """[{"$lookup": {"from": "d", "localField": "fk", "foreignField": "k",
+                       "as": "m", "inner": true}}]""", ctx))
+    assert(inner.map(_.path("_id").textValue) == Set("a"))
+  }
+
+  test("dynamic mode: $throttle paces rows unchanged") {
+    val out = outDocs(DynPipeline.run(
+      docs("""{"a":1}""", """{"a":2}"""),
+      """[{"$throttle": {"maxPerSecond": 1000000}}]"""))
+    assert(out == Set(node("""{"a":1}"""), node("""{"a":2}""")))
+  }
 }
