@@ -591,6 +591,45 @@ object SparkEntry {
         get_json_object(col("doc"), "$.f").cast("long").as("f"))
     }),
 
+    // dynamic $lookup: schemaless equi-join against a JSON catalog frame
+    "q_dynamic_lookup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(to_json(struct(
+        col("c_custkey").as("ck"), col("c_name").as("name"))).as("doc"))
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") < 30000)
+        .select(to_json(struct(
+          col("o_orderkey").as("_id"), col("o_custkey").as("ck"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(ords,
+        """[{"$lookup": {"from": "cust", "localField": "ck",
+              "foreignField": "ck", "as": "c", "unwind": true}}]""",
+        graft.dynamic.DynPipeline.DynCtx(catalog = _ => cust))
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.ck").cast("long").as("ck"),
+        get_json_object(col("doc"), "$.c.name").as("cname"))
+    }),
+    // dynamic $merge on the bucketed store: schemaless upsert, field overlay
+    "q_dynamic_merge" -> ((s, dir) => {
+      val store = new graft.sources.BucketedParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_dynm").toString)
+      val base = t(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("_id"), col("o_totalprice").as("p"),
+        col("o_orderstatus").as("st"))).as("doc"))
+      val ctx = graft.dynamic.DynPipeline.DynCtx(store = store)
+      graft.dynamic.DynPipeline.run(base,
+        """[{"$out": {"into": "t"}}]""", ctx).count()
+      val batch = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(to_json(struct(
+          col("o_orderkey").as("_id"),
+          round(col("o_totalprice") * 2, 2).as("p"))).as("doc"))
+      graft.dynamic.DynPipeline.run(batch,
+        """[{"$merge": {"into": "t", "on": "_id",
+              "whenMatched": "merge", "whenNotMatched": "insert"}}]""", ctx).count()
+      store.read("t").select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.p").cast("double").as("p"),
+        get_json_object(col("doc"), "$.st").as("st"))
+    }),
+
     // ---- LLM-data-pipeline operators --------------------------------------
     "llm_dedup_exact" -> ((s, dir) => {
       tune(s); DedupOps.exact(t(s, dir, "documents"), "text", "doc_id")
@@ -1026,6 +1065,16 @@ object SparkEntry {
                            o_orderkey % 7 AS b FROM orders)
          SELECT _id, a + b + 3 AS s, greatest(a, b, 3) AS mx, a AS f
          FROM d WHERE greatest(a, b, 3) > 5""",
+    "q_dynamic_lookup" ->
+      """SELECT o_orderkey AS _id, o_custkey AS ck, c_name AS cname
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey < 30000""",
+    "q_dynamic_merge" ->
+      """SELECT o_orderkey AS _id,
+                CASE WHEN o_orderkey % 100 = 0 THEN round(o_totalprice * 2, 2)
+                     ELSE o_totalprice END AS p,
+                o_orderstatus AS st
+         FROM orders""",
     "q_redact" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
