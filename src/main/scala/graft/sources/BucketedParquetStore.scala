@@ -53,9 +53,16 @@ final class BucketedParquetStore(
       .toSeq
   }
 
+  /** One shuffle partition per bucket before a partitionBy write: without
+    * it every shuffle partition opens a writer per bucket directory it
+    * sees — up to partitions×buckets small files PER GENERATION, the
+    * classic lakehouse small-file explosion. With it, one file per bucket. */
+  private def oneFilePerBucket(df: DataFrame): DataFrame =
+    df.repartition(numBuckets, col("__bucket"))
+
   def seed(name: String, df: DataFrame, on: List[String] = List("_id")): Unit = {
     val g = states.get(name).map(_.nextGen).getOrElse(0)
-    df.withColumn("__bucket", bucketColumn(on))
+    oneFilePerBucket(df.withColumn("__bucket", bucketColumn(on)))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path(name, g))
     states(name) = State(on, g + 1, bucketsIn(name, g).map(_ -> List(g)).toMap)
   }
@@ -85,7 +92,8 @@ final class BucketedParquetStore(
   override def replaceBuckets(name: String, touched: Seq[Int], rows: DataFrame): Unit = {
     val st = states(name)
     val g = st.nextGen
-    rows.write.mode("overwrite").partitionBy("__bucket").parquet(path(name, g))
+    oneFilePerBucket(rows)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path(name, g))
     val present = bucketsIn(name, g).toSet
     var gens = st.gens
     // replaced buckets: only the new generation (empty new contents drop out)
@@ -104,7 +112,7 @@ final class BucketedParquetStore(
   def compact(name: String): Unit = {
     val st = states(name)
     val g = st.nextGen
-    readInternal(name)
+    oneFilePerBucket(readInternal(name))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path(name, g))
     states(name) = State(st.on, g + 1, bucketsIn(name, g).map(_ -> List(g)).toMap)
   }

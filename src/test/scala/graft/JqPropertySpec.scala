@@ -216,4 +216,34 @@ class JqPropertySpec extends SparkSpec {
       assert(got == want, s"\ncase $i\nfilter: $filter\ndoc: a=$a b=$b d=$d s=$s arr=$arr")
     }
   }
+
+  private def nodeToJ(n: com.fasterxml.jackson.databind.JsonNode): JValue = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || n.isNull || n.isMissingNode) JNull
+    else if (n.isIntegralNumber) JLong(n.longValue)
+    else if (n.isNumber) JDouble(n.doubleValue)
+    else if (n.isTextual) JString(n.textValue)
+    else if (n.isBoolean) JBool(n.booleanValue)
+    else if (n.isArray) JArray(n.elements.asScala.toList.map(nodeToJ))
+    else JObject(n.properties.asScala.toList.map(e => e.getKey -> nodeToJ(e.getValue)))
+  }
+
+  test("dynamic JqInterp agrees with the independent interpreter on generated filters") {
+    // single-output filters by construction: the stream engine must return
+    // exactly one value equal to the tree-walk result
+    for (i <- 1 to 120) {
+      val filter = genFilter()
+      val (a, b, d, s, arr) = (rnd.between(-3L, 10L), rnd.between(0L, 7L),
+        rnd.between(-8L, 25L) / 2.0, pick(Seq("Hello World", "xY z", "abc")),
+        List.fill(4)(rnd.between(-2L, 9L)))
+      val doc = docJson(a, b, d, s, arr)
+      val want = interp(JqCompiler.parse(filter), doc)
+      val node = graft.dynamic.DynJson.parse(
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(doc)))
+      val outs = graft.operators.JqInterp.run(filter, node)
+      assert(outs.length == 1, s"case $i: ${outs.length} outputs for $filter")
+      assert(nodeToJ(outs.head) == want,
+        s"\ncase $i\nfilter: $filter\ndoc: a=$a b=$b d=$d s=$s arr=$arr")
+    }
+  }
 }

@@ -293,4 +293,34 @@ class JsltPropertySpec extends SparkSpec {
         s"\ncase $i\nscript: $script\ndoc: a=$a b=$b d=$d s=$s t=$t arr=$arr")
     }
   }
+
+  // ---- the DYNAMIC engine against the same oracle --------------------------
+
+  private def nodeToJ(n: com.fasterxml.jackson.databind.JsonNode): JValue = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || n.isNull || n.isMissingNode) JNull
+    else if (n.isIntegralNumber) JLong(n.longValue)
+    else if (n.isNumber) JDouble(n.doubleValue)
+    else if (n.isTextual) JString(n.textValue)
+    else if (n.isBoolean) JBool(n.booleanValue)
+    else if (n.isArray) JArray(n.elements.asScala.toList.map(nodeToJ))
+    else JObject(n.properties.asScala.toList.map(e => e.getKey -> nodeToJ(e.getValue)))
+  }
+
+  test("dynamic JsltInterp agrees with the independent interpreter on generated scripts") {
+    // the generator never produces null pair values, so the JSLT null-drop
+    // rule (dynamic engine) and the keep-as-null static behavior coincide —
+    // the three engines must agree exactly
+    for (i <- 1 to 120) {
+      val script = genScript()
+      val (a, b, d, s, t, arr) = genDoc()
+      val doc = docJson(a, b, d, s, t, arr)
+      val want = interp(JsltCompiler.parse(script), doc, Map.empty)
+      val node = graft.dynamic.DynJson.parse(
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(doc)))
+      val got = nodeToJ(graft.operators.JsltInterp.run(script, node))
+      assert(got == want,
+        s"\ncase $i\nscript: $script\ndoc: a=$a b=$b d=$d s=$s t=$t arr=$arr")
+    }
+  }
 }
