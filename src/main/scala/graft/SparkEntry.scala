@@ -684,6 +684,16 @@ object SparkEntry {
           shardCol = Some("source"))
         .select("doc_id", "source", "n_tokens", "window_id")
     }),
+    // connected components over a deterministic chain pair list: every
+    // near-dup cluster gets min-id as its label (the keep-one step after
+    // pair generation)
+    "llm_dedup_clusters" -> ((s, dir) => {
+      tune(s)
+      val pairs = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      DedupOps.clusters(pairs)
+    }),
     "llm_minhash_pairs" -> ((s, dir) => { // xxhash64 internals: rows-only check
       tune(s)
       DedupOps.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
@@ -1189,6 +1199,12 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096) AS BIGINT)
                   AS window_id
          FROM t""",
+    "llm_dedup_clusters" ->
+      """WITH n AS (
+           SELECT doc_id AS id FROM documents WHERE doc_id % 10 < 3
+           UNION
+           SELECT doc_id + 1 FROM documents WHERE doc_id % 10 < 3)
+         SELECT id, CAST(id - (id % 10) AS BIGINT) AS cluster FROM n""",
     "llm_pack_windows_sharded" ->
       """WITH t AS (
            SELECT doc_id, source,

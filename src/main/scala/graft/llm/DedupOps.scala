@@ -235,4 +235,52 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Connected components over a near-dup pair list: every document in a
+    * duplicate cluster gets the cluster's MINIMUM id as its `cluster` label
+    * — the step after MinHash/SimHash/embedding pair generation that turns
+    * pairwise matches into keep-one-per-cluster decisions.
+    *
+    * Hash-min label propagation: labels start as own ids; each round every
+    * node takes the min of its neighbors' labels (one equi-join + one
+    * min-aggregate, both hash-shuffled on the node id — no driver-side
+    * graph). Rounds needed = max cluster DIAMETER, which for near-dup
+    * clusters is small (dup clusters are dense); `maxIter` bounds
+    * pathological chains, and each round's convergence check is one count.
+    * At much larger diameters switch to large-star/small-star (same
+    * join-agg primitives, O(log d) rounds).
+    */
+  def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    // localCheckpoint, not persist: persist caches DATA but the logical
+    // plan still nests one level per round — analysis cost grows
+    // exponentially across iterations. Checkpointing truncates the lineage
+    // so every round plans against a flat scan. (On a cluster with
+    // unreliable executors, use reliable checkpoint() instead.)
+    val edges = pairs.select(col(aCol).cast("long").as("s"), col(bCol).cast("long").as("t"))
+      .union(pairs.select(col(bCol).cast("long").as("s"), col(aCol).cast("long").as("t")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // rename-based equi-joins: labels derives from edges, so df("col")
+      // references would be ambiguous self-join attributes
+      val viaNeighbors = edges.select(col("s"), col("t").as("id"))
+        .join(labels, Seq("id"))
+        .select(col("s").as("id"), col("cluster"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      changed = next.withColumnRenamed("cluster", "__nc")
+        .join(labels, Seq("id"))
+        .filter(col("__nc") =!= col("cluster")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

@@ -68,4 +68,21 @@ class FunctionsSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs("d1"), sigs("d2")) < ham(sigs("d1"), sigs("d3")))
   }
+
+  test("clusters: hash-min label propagation finds connected components") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = graft.llm.DedupOps.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters: long chain converges (diameter-bound iterations)") {
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.llm.DedupOps.clusters(pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 16 && got.values.forall(_ == 0L))
+  }
 }
