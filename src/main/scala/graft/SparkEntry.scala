@@ -684,6 +684,13 @@ object SparkEntry {
           shardCol = Some("source"))
         .select("doc_id", "source", "n_tokens", "window_id")
     }),
+    // int8 embedding quantization: 4-8x storage/shuffle cut before ANN
+    "llm_quantize_int8" -> ((s, dir) => {
+      tune(s)
+      VectorOps.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          concat_ws(",", transform(col("qvec"), x => x.cast("string"))).as("q"))
+    }),
     // connected components over a deterministic chain pair list: every
     // near-dup cluster gets min-id as its label (the keep-one step after
     // pair generation)
@@ -1198,6 +1205,19 @@ object SparkEntry {
                 CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096) AS BIGINT)
                   AS window_id
+         FROM t""",
+    "llm_quantize_int8" ->
+      """WITH t AS (
+           SELECT vec_id,
+                  127.0 / greatest(
+                    list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale,
+                  embedding
+           FROM embeddings)
+         SELECT vec_id, round(scale, 6) AS scale,
+                array_to_string(list_transform(embedding,
+                  x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)
+                            AS VARCHAR)), ',') AS q
          FROM t""",
     "llm_dedup_clusters" ->
       """WITH n AS (

@@ -48,7 +48,18 @@ object DynPipeline {
       producer: DataFrame => Unit = _ => (),
       store: graft.sources.DocumentStore = null,
       catalog: String => DataFrame = name =>
-        throw new IllegalArgumentException(s"no catalog for $$lookup from: $name"))
+        throw new IllegalArgumentException(s"no catalog for $$lookup from: $name"),
+      /** User stage extensions; built-ins win on a name clash
+        * (Pipeline.java:275-276, Context.java:35). */
+      extensions: Map[String, (DataFrame, JValue, DynCtx) => DataFrame] = Map.empty)
+
+  /** Names the engine handles itself — extensions merge UNDER these. */
+  private val builtinStages: Set[String] = Set(
+    "$addFields", "$set", "$project", "$unset", "$replaceWith", "$replaceRoot",
+    "$match", "$unwind", "$redact", "$setKey", "$http", "$jslt", "$jq",
+    "$trace", "$backTrace", "$group", "$count", "$bucket", "$deduplicate",
+    "$send", "$throttle", "$per", "$delay", "$probe", "$merge", "$out",
+    "$delete", "$lookup")
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), DynCtx())
@@ -69,7 +80,10 @@ object DynPipeline {
       }
       stages.foreach {
         case JObject(List((name, spec))) =>
-          compileDocStage(name, spec) match {
+          if (!builtinStages(name) && ctx.extensions.contains(name)) {
+            flush()
+            cur = ctx.extensions(name)(cur, spec, ctx)
+          } else compileDocStage(name, spec) match {
             case Some(fn) => pending += fn; pendingN += 1
             case None =>
               flush()

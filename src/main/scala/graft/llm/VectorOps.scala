@@ -239,4 +239,24 @@ object VectorOps {
     planes(nPlanes, dim, seed = 42L + offset).zipWithIndex.map { case (p, i) =>
       when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Per-vector symmetric int8 quantization: `scale = 127 / max|v|`,
+    * `qvec[i] = floor(v[i]·scale + 0.5)` as a tinyint — 4× (vs float32) /
+    * 8× (vs float64) less embedding storage and shuffle volume, the
+    * standard first step before ANN at corpus scale. Dequantized dot:
+    * `dot(qa, qb) / (scale_a · scale_b)`, error bounded by 1/254 per
+    * component. `floor(x + 0.5)`, not `round`: identical IEEE semantics in
+    * every engine (Spark's round goes through decimal strings). The max is
+    * computed in a PRIOR projection so the per-element lambda references a
+    * plain attribute — an interpreted HOF re-evaluates its subtree per
+    * element, which would make this O(dim²) otherwise. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .withColumn("__mx",
+        greatest(array_max(transform(col("__v"), x => abs(x))), lit(1e-12)))
+      .select(col(idCol),
+        (lit(127.0) / col("__mx")).as("scale"),
+        transform(col("__v"),
+          x => floor(x * (lit(127.0) / col("__mx")) + lit(0.5)).cast(ByteType))
+          .as("qvec"))
 }

@@ -46,6 +46,22 @@ class AnnSpec extends SparkSpec {
     assert(sampled > 0.2, s"sampled recall $sampled too low")
   }
 
+  test("int8 quantization: bounded reconstruction error, rank-preserving dots") {
+    val q = VectorOps.quantizeInt8(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Byte](2).toArray)).toList
+    val orig = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    q.take(50).foreach { case (id, scale, qv) =>
+      val v = orig(id)
+      assert(qv.length == v.length)
+      val err = v.indices.map(i => math.abs(v(i) - qv(i) / scale)).max
+      // per-component error <= 0.5/scale = max|v|/254
+      val bound = v.map(math.abs).max / 254.0 + 1e-9
+      assert(err <= bound * 1.01, s"id=$id err=$err bound=$bound")
+    }
+  }
+
   test("embedding near-dup: exact finds all pairs, LSH is a sound subset") {
     val exact = VectorOps.embedNearDupExact(emb, "vec_id", "embedding", 0.3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -535,6 +535,17 @@ class DynamicSpec extends SparkSpec {
     assert(inner.map(_.path("_id").textValue) == Set("a"))
   }
 
+  test("dynamic stage extensions run; built-ins win on a name clash") {
+    val ext = Map[String, (DataFrame, org.json4s.JValue, DynPipeline.DynCtx) => DataFrame](
+      "$wait" -> ((df, _, _) => df), // mirrors the reference's test $wait stage
+      "$match" -> ((_, _, _) => fail("built-in $match must win")))
+    val out = outDocs(DynPipeline.run(
+      docs("""{"a":1}""", """{"a":2}"""),
+      """[{"$wait": {}}, {"$match": {"a": 2}}]""",
+      DynPipeline.DynCtx(extensions = ext)))
+    assert(out == Set(node("""{"a":2}""")))
+  }
+
   test("dynamic mode: $throttle paces rows unchanged") {
     val out = outDocs(DynPipeline.run(
       docs("""{"a":1}""", """{"a":2}"""),

@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
       graft.dynamic.DynJson.parse("""{"_id":"1","t":12}""")))
   }
 
+  test("dynamic $group on a stream emits updated cross-type aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = graft.dynamic.DynPipeline.run(input.toDF().toDF("doc"),
+      """[{"$group": {"_id": "$g", "s": {"$sum": "$v"}}}]""")
+    val q = out.writeStream.format("memory").queryName("dyngroup")
+      .outputMode("update").start()
+    try {
+      input.addData("""{"g":"a","v":1}""", """{"g":"b","v":2}""")
+      q.processAllAvailable()
+      input.addData("""{"g":"a","v":10}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: last emission per key has the running aggregate
+    val byKey = spark.sql("select doc from dyngroup").collect()
+      .map(r => graft.dynamic.DynJson.parse(r.getString(0)))
+      .groupBy(_.path("_id").textValue).view
+      .mapValues(_.map(_.path("s").longValue).max).toMap
+    assert(byKey == Map("a" -> 11L, "b" -> 2L))
+  }
+
   test("streaming $lookup against a static catalog is a stream-static join") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
