@@ -342,7 +342,11 @@ private[graft] object Stages {
     val fields = tmp.schema("__doc").dataType match {
       case s: StructType => s.fieldNames.toIndexedSeq
       case other => throw new IllegalArgumentException(
-        s"$$replaceWith result must be a document, got $other")
+        s"$$replaceWith result must be a document in the typed engine, got " +
+          s"$other. The reference passes non-object results through unchanged " +
+          "(ReplaceWith.java:33-36) — a schema divergence a typed plan cannot " +
+          "express; run this pipeline in the dynamic (schemaless) mode " +
+          "(graft.dynamic.DynPipeline), which implements the passthrough.")
     }
     val docCols = fields.map(f => col("__doc").getField(f).as(f))
     if (hasKey) {

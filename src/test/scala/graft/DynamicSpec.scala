@@ -546,6 +546,33 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"a":2}""")))
   }
 
+  test("dynamic kitchen sink: addFields|lookup|unwind|jq|match|group|out") {
+    val st = tmpStore()
+    val dims = docs("""{"cat":"a","mult":2}""", """{"cat":"b","mult":10}""")
+    val input = docs(
+      """{"_id":"1","cat":"a","vals":[1,2]}""",
+      """{"_id":"2","cat":"b","vals":[3]}""",
+      """{"_id":"3","cat":"a","vals":[5,0]}""")
+    val out = DynPipeline.run(input,
+      """[
+        {"$addFields": {"n": {"$size": "$vals"}}},
+        {"$lookup": {"from": "d", "localField": "cat", "foreignField": "cat",
+                     "as": "dim", "unwind": true}},
+        {"$unwind": {"path": "$vals"}},
+        {"$jq": "{_id: ._id, cat: .cat, n: .n, x: (.vals * .dim.mult)}"},
+        {"$match": {"x": {"$gt": 0}}},
+        {"$group": {"_id": "$cat", "sx": {"$sum": "$x"}, "c": {"$sum": 1}}},
+        {"$out": {"into": "res"}}
+      ]""", dynCtx(store = st, catalog = _ => dims))
+    out.count() // drive the sink
+    val res = st.read("res").select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0))).toSet
+    // a: (1+2+5)*2 = 16 over 3 surviving unwound rows; b: 3*10 = 30 over 1
+    assert(res == Set(
+      node("""{"_id":"a","sx":16,"c":3}"""),
+      node("""{"_id":"b","sx":30,"c":1}""")))
+  }
+
   test("dynamic mode: $throttle paces rows unchanged") {
     val out = outDocs(DynPipeline.run(
       docs("""{"a":1}""", """{"a":2}"""),
