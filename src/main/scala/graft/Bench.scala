@@ -24,7 +24,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val pool = Executors.newFixedThreadPool(math.max(4, cpus.toInt / 4))
+    // cpus/2 workers: per-query wall time is dominated by one-time Janino
+    // codegen + planning (driver-side, parallel across queries), so more
+    // in-flight queries overlap compilation with other queries' execution
+    val pool = Executors.newFixedThreadPool(math.max(4, cpus.toInt / 2))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
