@@ -591,6 +591,35 @@ object SparkEntry {
         get_json_object(col("doc"), "$.f").cast("long").as("f"))
     }),
 
+    // dynamic expression breadth: dates, regex, sets, sortArray over
+    // schemaless docs
+    "q_dynamic_expr" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("ts"),
+        col("event_type").as("et"), col("user_id").as("u"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$addFields": {
+              "y": {"$year": "$ts"}, "d": {"$dayOfMonth": "$ts"},
+              "day": {"$dateToString": {"format": "%Y-%m-%d", "date": "$ts"}},
+              "age": {"$dateDiff": {"startDate": "$ts",
+                       "endDate": "2024-02-01T00:00:00Z", "unit": "day"}},
+              "hasE": {"$regexMatch": {"input": "$et", "regex": "e$"}},
+              "clean": {"$replaceAll": {"input": "$et", "find": "a",
+                                        "replacement": "_"}},
+              "mods": {"$sortArray": {"input": [{"$mod": ["$u", 7]},
+                        {"$mod": ["$u", 5]}, {"$mod": ["$u", 3]}],
+                       "sortBy": 1}}}},
+            {"$unset": ["ts", "et", "u"]}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.y").cast("long").as("y"),
+        get_json_object(col("doc"), "$.d").cast("long").as("d"),
+        get_json_object(col("doc"), "$.day").as("day"),
+        get_json_object(col("doc"), "$.age").cast("long").as("age"),
+        get_json_object(col("doc"), "$.hasE").cast("boolean").as("hase"),
+        get_json_object(col("doc"), "$.clean").as("clean"),
+        get_json_object(col("doc"), "$.mods").as("mods"))
+    }),
     // dynamic $lookup: schemaless equi-join against a JSON catalog frame
     "q_dynamic_lookup" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select(to_json(struct(
@@ -1082,6 +1111,18 @@ object SparkEntry {
                            o_orderkey % 7 AS b FROM orders)
          SELECT _id, a + b + 3 AS s, greatest(a, b, 3) AS mx, a AS f
          FROM d WHERE greatest(a, b, 3) > 5""",
+    "q_dynamic_expr" ->
+      """SELECT event_id AS _id,
+                CAST(year(ts) AS BIGINT) AS y,
+                CAST(day(ts) AS BIGINT) AS d,
+                strftime(ts, '%Y-%m-%d') AS day,
+                CAST(date_diff('day', CAST(ts AS DATE),
+                               DATE '2024-02-01') AS BIGINT) AS age,
+                regexp_matches(event_type, 'e$') AS hase,
+                replace(event_type, 'a', '_') AS clean,
+                '[' || array_to_string(list_sort([user_id % 7, user_id % 5,
+                                                  user_id % 3]), ',') || ']' AS mods
+         FROM events""",
     "q_dynamic_lookup" ->
       """SELECT o_orderkey AS _id, o_custkey AS ck, c_name AS cname
          FROM orders JOIN customer ON o_custkey = c_custkey

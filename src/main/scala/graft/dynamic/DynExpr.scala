@@ -212,6 +212,33 @@ object DynExpr {
         case d        => Some(compile(d))
       }
       DSwitch(branches, default)
+    case "$dateToString" =>
+      DFn(op, List(compile(arg \ "date"), compile(arg \ "format")))
+    case "$dateFromString" =>
+      DFn("$toDate", List(compile(arg \ "dateString")))
+    case "$dateAdd" =>
+      DFn(op, List(compile(arg \ "startDate"), compile(arg \ "unit"),
+        compile(arg \ "amount")))
+    case "$dateDiff" =>
+      DFn(op, List(compile(arg \ "startDate"), compile(arg \ "endDate"),
+        compile(arg \ "unit")))
+    case "$dateTrunc" =>
+      DFn(op, List(compile(arg \ "date"), compile(arg \ "unit")))
+    case "$regexMatch" | "$regexFind" =>
+      DFn(op, List(compile(arg \ "input"), compile(arg \ "regex")))
+    case "$replaceAll" | "$replaceOne" =>
+      DFn(op, List(compile(arg \ "input"), compile(arg \ "find"),
+        compile(arg \ "replacement")))
+    case "$ltrim" | "$rtrim" =>
+      DFn(op, compile(arg \ "input") :: (arg \ "chars" match {
+        case JNothing => Nil; case c => List(compile(c)) }))
+    case "$sortArray" =>
+      DFn(op, List(compile(arg \ "input"),
+        DConst(arg \ "sortBy" match {
+          case JInt(i) => i.toString; case JLong(l) => l.toString; case _ => "1" })))
+    case "$firstN" | "$lastN" =>
+      DFn(op, List(compile(arg \ "input"), compile(arg \ "n")))
+    case "$zip" => DFn(op, argList(arg \ "inputs"))
     case name => DFn(name, argList(arg))
   }
 
@@ -234,6 +261,23 @@ object DynExpr {
         case n if n.isNumber               => double(f(n.doubleValue))
         case other => throw new IllegalArgumentException(s"math op on ${typeName(other)}")
       }
+
+    private def toInstant(n: JsonNode): Option[java.time.Instant] =
+      if (n == null || n.isNull || isMissing(n)) None
+      else if (n.isIntegralNumber) Some(java.time.Instant.ofEpochMilli(n.longValue))
+      else if (n.isTextual) {
+        val s = n.textValue
+        (try Some(java.time.Instant.parse(s)) catch { case _: Exception => None })
+          .orElse(try Some(java.time.OffsetDateTime.parse(s).toInstant)
+            catch { case _: Exception => None })
+          .orElse(try Some(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)) catch { case _: Exception => None })
+          .orElse(try Some(java.time.LocalDate.parse(s).atStartOfDay
+            .toInstant(java.time.ZoneOffset.UTC)) catch { case _: Exception => None })
+      } else None
+
+    private def utc(n: JsonNode): Option[java.time.ZonedDateTime] =
+      toInstant(n).map(i => java.time.ZonedDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
 
     def eval(name: String, argOps: List[DOp], ctx: DCtx): JsonNode = {
       def a(i: Int): JsonNode = argOps(i).eval(ctx)
@@ -466,6 +510,206 @@ object DynExpr {
           a(0) match {
             case n if n.isNull || isMissing(n) => NULL
             case n => bool(truthy(n))
+          }
+
+        // ---- dates (ISO-8601 strings or epoch millis in; ISO strings out:
+        // JSON has no date type and the reference's documents carry ISO
+        // strings; extraction fields mirror the typed engine's Spark
+        // functions — dayOfWeek 1=Sunday, week = ISO week) ----------------
+        case "$toDate" =>
+          toInstant(a(0)).map(i => text(i.toString): JsonNode).getOrElse(NULL)
+        case "$year" | "$month" | "$dayOfMonth" | "$hour" | "$minute" |
+             "$second" | "$millisecond" | "$dayOfWeek" | "$dayOfYear" | "$week" =>
+          utc(a(0)) match {
+            case None => NULL
+            case Some(z) => long(name match {
+              case "$year"        => z.getYear.toLong
+              case "$month"       => z.getMonthValue.toLong
+              case "$dayOfMonth"  => z.getDayOfMonth.toLong
+              case "$hour"        => z.getHour.toLong
+              case "$minute"      => z.getMinute.toLong
+              case "$second"      => z.getSecond.toLong
+              case "$millisecond" => (z.getNano / 1000000).toLong
+              case "$dayOfWeek"   => (z.getDayOfWeek.getValue % 7 + 1).toLong
+              case "$dayOfYear"   => z.getDayOfYear.toLong
+              case _ => z.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear).toLong
+            })
+          }
+        case "$dateToString" =>
+          utc(a(0)) match {
+            case None => NULL
+            case Some(z) => text(java.time.format.DateTimeFormatter
+              .ofPattern(graft.mongo.MongoExpr.mongoDateFormat(a(1).textValue))
+              .format(z))
+          }
+        case "$dateAdd" =>
+          utc(a(0)) match {
+            case None => NULL
+            case Some(z) =>
+              val amt = a(2).longValue
+              val z2 = a(1).textValue match {
+                case "year"        => z.plusYears(amt)
+                case "quarter"     => z.plusMonths(amt * 3)
+                case "month"       => z.plusMonths(amt)
+                case "week"        => z.plusWeeks(amt)
+                case "day"         => z.plusDays(amt)
+                case "hour"        => z.plusHours(amt)
+                case "minute"      => z.plusMinutes(amt)
+                case "second"      => z.plusSeconds(amt)
+                case "millisecond" => z.plus(amt, java.time.temporal.ChronoUnit.MILLIS)
+                case u => throw new IllegalArgumentException(s"$$dateAdd unit $u")
+              }
+              text(z2.toInstant.toString)
+          }
+        case "$dateDiff" =>
+          (utc(a(0)), utc(a(1))) match {
+            case (Some(zs), Some(ze)) =>
+              val unit = a(2).textValue
+              long(unit match {
+                case "day" => java.time.temporal.ChronoUnit.DAYS
+                  .between(zs.toLocalDate, ze.toLocalDate)
+                case "hour" => Math.floorDiv(
+                  ze.toEpochSecond - zs.toEpochSecond, 3600L)
+                case "minute" => Math.floorDiv(
+                  ze.toEpochSecond - zs.toEpochSecond, 60L)
+                case "second" => ze.toEpochSecond - zs.toEpochSecond
+                case "year"   => (ze.getYear - zs.getYear).toLong
+                case "month"  =>
+                  (ze.getYear - zs.getYear) * 12L + (ze.getMonthValue - zs.getMonthValue)
+                case u => throw new IllegalArgumentException(s"$$dateDiff unit $u")
+              })
+            case _ => NULL
+          }
+        case "$dateTrunc" =>
+          utc(a(0)) match {
+            case None => NULL
+            case Some(z) =>
+              val t = a(1).textValue match {
+                case "year"   => z.withDayOfYear(1).truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+                case "month"  => z.withDayOfMonth(1).truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+                case "week"   => z.minusDays((z.getDayOfWeek.getValue % 7).toLong)
+                  .truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+                case "day"    => z.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+                case "hour"   => z.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+                case "minute" => z.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+                case "second" => z.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+                case u => throw new IllegalArgumentException(s"$$dateTrunc unit $u")
+              }
+              text(t.toInstant.toString)
+          }
+
+        // ---- regex / string family -------------------------------------
+        case "$regexMatch" =>
+          val (in, re) = (a(0), a(1))
+          if (in.isNull || isMissing(in)) bool(false)
+          else bool(java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue).find)
+        case "$regexFind" =>
+          val (in, re) = (a(0), a(1))
+          if (in.isNull || isMissing(in)) NULL
+          else {
+            val m = java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue)
+            if (!m.find) NULL
+            else {
+              val o = obj()
+              o.set[JsonNode]("match", text(m.group))
+              o.set[JsonNode]("idx", long(m.start.toLong))
+              val caps = arr()
+              (1 to m.groupCount).foreach(g =>
+                caps.add(if (m.group(g) == null) NULL else text(m.group(g))))
+              o.set[JsonNode]("captures", caps)
+              o
+            }
+          }
+        case "$replaceAll" | "$replaceOne" => // Mongo: LITERAL find, not regex
+          val (in, find, repl) = (a(0), a(1), a(2))
+          if (in.isNull || isMissing(in)) NULL
+          else if (name == "$replaceAll") text(in.textValue.replace(find.textValue, repl.textValue))
+          else {
+            val s0 = in.textValue
+            val i = s0.indexOf(find.textValue)
+            text(if (i < 0) s0
+              else s0.substring(0, i) + repl.textValue + s0.substring(i + find.textValue.length))
+          }
+        case "$ltrim" | "$rtrim" =>
+          val in = a(0)
+          if (in.isNull || isMissing(in)) NULL
+          else {
+            val chars: Set[Char] =
+              if (args.size > 1) args(1).textValue.toSet else " \t\n\r".toSet
+            var str = in.textValue
+            if (name == "$ltrim") str = str.dropWhile(chars)
+            else str = str.reverse.dropWhile(chars).reverse
+            text(str)
+          }
+        case "$isArray"  => bool(a(0).isArray)
+        case "$isNumber" => bool(a(0).isNumber)
+
+        // ---- set operators (arrays as sets; deterministic Mongo-ordered
+        // output for cross-engine replay) ---------------------------------
+        case "$setUnion" | "$setIntersection" | "$setDifference" =>
+          if (args.exists(x => x.isNull || isMissing(x))) NULL
+          else {
+            val sets = args.map(_.asScala.toList.distinctBy(canonical))
+            val keys = sets.map(_.map(canonical).toSet)
+            val kept = name match {
+              case "$setUnion"        => sets.flatten.distinctBy(canonical)
+              case "$setIntersection" =>
+                sets.head.filter(v => keys.tail.forall(_(canonical(v))))
+              case _ =>
+                sets.head.filterNot(v => keys.tail.exists(_(canonical(v))))
+            }
+            val out = arr()
+            kept.sorted(mongoOrder).foreach(out.add)
+            out
+          }
+        case "$setEquals" =>
+          val keys = args.map(_.asScala.map(canonical).toSet)
+          bool(keys.forall(_ == keys.head))
+        case "$setIsSubset" =>
+          val (x, y) = (a(0).asScala.map(canonical).toSet, a(1).asScala.map(canonical).toSet)
+          bool(x.subsetOf(y))
+        case "$allElementsTrue" => bool(a(0).asScala.forall(truthy))
+        case "$anyElementTrue"  => bool(a(0).asScala.exists(truthy))
+
+        // ---- more array ops ---------------------------------------------
+        case "$indexOfArray" =>
+          a(0) match {
+            case ar: ArrayNode =>
+              long(ar.asScala.toList.indexWhere(deepEq(_, a(1))).toLong)
+            case _ => NULL
+          }
+        case "$sortArray" =>
+          a(0) match {
+            case ar: ArrayNode =>
+              val asc = a(1).intValue >= 0
+              val sorted0 = ar.asScala.toList.sorted(mongoOrder)
+              val out = arr()
+              (if (asc) sorted0 else sorted0.reverse).foreach(out.add)
+              out
+            case _ => NULL
+          }
+        case "$firstN" | "$lastN" =>
+          a(0) match {
+            case ar: ArrayNode =>
+              val n = math.max(a(1).intValue, 0)
+              val out = arr()
+              val xs = ar.asScala.toList
+              (if (name == "$firstN") xs.take(n) else xs.takeRight(n)).foreach(out.add)
+              out
+            case _ => NULL
+          }
+        case "$zip" =>
+          if (args.exists(x => x.isNull || isMissing(x))) NULL
+          else {
+            val arrays = args.map(_.asScala.toList)
+            val n = arrays.map(_.length).min
+            val out = arr()
+            (0 until n).foreach { i =>
+              val tup = arr()
+              arrays.foreach(xs => tup.add(xs(i)))
+              out.add(tup)
+            }
+            out
           }
 
         case other =>

@@ -286,6 +286,61 @@ class DynamicSpec extends SparkSpec {
       "{}") == DynJson.long(6))
   }
 
+  test("DynExpr: date family on ISO strings and epoch millis") {
+    def ev(spec: String, doc: String) =
+      DynExpr.compile(org.json4s.jackson.JsonMethods.parse(spec))
+        .eval(DynExpr.DCtx(DynJson.parse(doc), Map.empty))
+    val d = """{"t":"2024-03-15T10:30:45Z","ms":1710498645000}"""
+    assert(ev("""{"$year": "$t"}""", d) == DynJson.long(2024))
+    assert(ev("""{"$month": "$ms"}""", d) == DynJson.long(3))
+    assert(ev("""{"$dayOfMonth": "$t"}""", d) == DynJson.long(15))
+    assert(ev("""{"$hour": "$t"}""", d) == DynJson.long(10))
+    assert(ev("""{"$dayOfWeek": "$t"}""", d) == DynJson.long(6)) // Friday, 1=Sun
+    assert(ev("""{"$dateToString": {"date": "$t", "format": "%Y-%m-%d"}}""", d)
+      == DynJson.text("2024-03-15"))
+    assert(ev("""{"$dateAdd": {"startDate": "$t", "unit": "day", "amount": 20}}""", d)
+      == DynJson.text("2024-04-04T10:30:45Z"))
+    assert(ev("""{"$dateDiff": {"startDate": "$t",
+                  "endDate": "2024-03-17T00:00:00Z", "unit": "day"}}""", d)
+      == DynJson.long(2))
+    assert(ev("""{"$dateTrunc": {"date": "$t", "unit": "hour"}}""", d)
+      == DynJson.text("2024-03-15T10:00:00Z"))
+    assert(ev("""{"$toDate": "$ms"}""", d) == DynJson.text("2024-03-15T10:30:45Z"))
+  }
+
+  test("DynExpr: regex, replace, trim, sets, sortArray, zip, firstN") {
+    def ev(spec: String, doc: String) =
+      DynExpr.compile(org.json4s.jackson.JsonMethods.parse(spec))
+        .eval(DynExpr.DCtx(DynJson.parse(doc), Map.empty))
+    val d = """{"s":"a1b22c","xs":[3,1,2],"ys":[2,3,4]}"""
+    assert(ev("""{"$regexMatch": {"input": "$s", "regex": "b\\d+"}}""", d) == DynJson.bool(true))
+    val rf = ev("""{"$regexFind": {"input": "$s", "regex": "(\\d+)c"}}""", d)
+    assert(rf.path("match").textValue == "22c" && rf.path("idx").intValue == 3 &&
+      rf.path("captures").get(0).textValue == "22")
+    assert(ev("""{"$replaceAll": {"input": "$s", "find": "2", "replacement": "X"}}""", d)
+      == DynJson.text("a1bXXc"))
+    assert(ev("""{"$replaceOne": {"input": "$s", "find": "2", "replacement": "X"}}""", d)
+      == DynJson.text("a1bX2c"))
+    assert(ev("""{"$ltrim": {"input": "xxhixx", "chars": "x"}}""", "{}")
+      == DynJson.text("hixx"))
+    assert(ev("""{"$rtrim": {"input": "xxhixx", "chars": "x"}}""", "{}")
+      == DynJson.text("xxhi"))
+    assert(ev("""{"$setUnion": ["$xs", "$ys"]}""", d).toString == "[1,2,3,4]")
+    assert(ev("""{"$setIntersection": ["$xs", "$ys"]}""", d).toString == "[2,3]")
+    assert(ev("""{"$setDifference": ["$xs", "$ys"]}""", d).toString == "[1]")
+    assert(ev("""{"$setIsSubset": [[1, 2], "$xs"]}""", d) == DynJson.bool(true))
+    assert(ev("""{"$setEquals": [[1, 2, 3], "$xs"]}""", d) == DynJson.bool(true))
+    assert(ev("""{"$allElementsTrue": ["$xs"]}""", d) == DynJson.bool(true))
+    assert(ev("""{"$anyElementTrue": [[0, false, 1]]}""", "{}") == DynJson.bool(true))
+    assert(ev("""{"$sortArray": {"input": "$xs", "sortBy": -1}}""", d).toString == "[3,2,1]")
+    assert(ev("""{"$indexOfArray": ["$xs", 1]}""", d) == DynJson.long(1))
+    assert(ev("""{"$zip": {"inputs": ["$xs", "$ys"]}}""", d).toString == "[[3,2],[1,3],[2,4]]")
+    assert(ev("""{"$firstN": {"input": "$xs", "n": 2}}""", d).toString == "[3,1]")
+    assert(ev("""{"$lastN": {"input": "$xs", "n": 2}}""", d).toString == "[1,2]")
+    assert(ev("""{"$isArray": ["$xs"]}""", d) == DynJson.bool(true))
+    assert(ev("""{"$isNumber": "$s"}""", d) == DynJson.bool(false))
+  }
+
   test("DynMatch: elemMatch, all, mod, nin") {
     def m(spec: String, doc: String): Boolean =
       DynMatch.compile(org.json4s.jackson.JsonMethods.parse(spec))
