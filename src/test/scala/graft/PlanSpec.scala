@@ -91,6 +91,36 @@ class PlanSpec extends SparkSpec {
       s"banded LSH must join on (bandIdx, bucket):\n$p")
   }
 
+  test("dynamic $lookup plans one hash equi-join, never a nested loop") {
+    import spark.implicits._
+    val left = Seq("""{"_id":"a","fk":1}""").toDF("doc")
+    val dims = Seq("""{"k":1,"v":"x"}""").toDF("doc")
+    val out = graft.dynamic.DynPipeline.run(left,
+      """[{"$lookup": {"from": "d", "localField": "fk",
+                       "foreignField": "k", "as": "m"}}]""",
+      graft.dynamic.DynPipeline.DynCtx(catalog = _ => dims))
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dynamic lookup must stay an equi-join:\n$p")
+    assert(p.contains("HashAggregate"), s"from side must pre-group matches:\n$p")
+  }
+
+  test("int8 quantization is a pure projection: no exchange, no aggregate") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.llm.VectorOps.quantizeInt8(emb, "vec_id", "embedding"))
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+  }
+
+  test("sharded packIntoWindows partitions the window by shard (no global sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.TextOps.packIntoWindows(docs, "doc_id", "text", 4096,
+      shardCol = Some("source")))
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"window must partition on the shard:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sharded packing must not serialize through one reducer:\n$p")
+  }
+
   test("exact dedup shuffles the 16-byte digest, not the document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")
