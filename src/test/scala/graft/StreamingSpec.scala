@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
       graft.dynamic.DynJson.parse("""{"_id":"1","t":12}""")))
   }
 
+  test("streaming $delay parks via foreachBatch; redelivery passes pop due messages once") {
+    implicit val sqlCtx = spark.sqlContext
+    val st = new InMemoryStore(spark)
+    val input = MemoryStream[(String, Long, String)]
+    val stream = input.toDF().toDF("_id", "d", "at")
+    val sp = new StreamingPipeline(new Pipeline(store = st, producer = _ => ()))
+    input.addData(("a", 60000L, "2024-01-01 00:00:00"),
+                  ("b", 7200000L, "2024-01-01 00:00:00"))
+    val q = sp.start(stream,
+      """[{"$delay": {"duration": "$d", "topic": "later",
+                      "_clock": {"$toDate": "$at"}}}]""", _ => (),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      input.addData(("c", 60000L, "2024-01-01 03:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the redelivery driver (production: a scheduled foreachBatch job)
+    def due(at: String) = SinkStages.redeliverDue(st, "later",
+      lit(at).cast("timestamp")).select("_id").collect().map(_.getString(0)).toSet
+    assert(due("2024-01-01 01:00:00") == Set("a"))        // a due, b/c later
+    assert(due("2024-01-01 04:00:00") == Set("b", "c"))   // popped once each
+    assert(due("2024-01-01 09:00:00") == Set.empty)
+  }
+
   test("dynamic $group on a stream emits updated cross-type aggregates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
