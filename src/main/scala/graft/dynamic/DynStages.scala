@@ -841,9 +841,7 @@ object DynPipeline {
     }
     val (local, foreign) = (spec \ "localField", spec \ "foreignField") match {
       case (JString(l), JString(f)) => (l, f)
-      case _ => throw new IllegalArgumentException(
-        "dynamic $lookup supports the localField/foreignField equality form; " +
-          "use the typed engine for let+pipeline lookups")
+      case _ => return pipelineLookup(df, spec, ctx)
     }
     val as = spec \ "as" match {
       case JString(s) => s
@@ -882,6 +880,176 @@ object DynPipeline {
           } else {
             val a = arr()
             matches.foreach(ms => a.add(parse(ms)))
+            doc.set[JsonNode](as, a)
+            if (inner && a.isEmpty) Iterator.empty
+            else Iterator.single((k, render(doc)))
+          }
+        }
+      }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** `$lookup` let+pipeline form in dynamic mode, the typed engine's split
+    * (Lookup.java:110-129) on schemaless docs:
+    *  1. the longest prefix of sub-stages not referencing let-variables runs
+    *     ONCE against `from` through a recursive dynamic pipeline;
+    *  2. the first `$$var`-referencing stage must be a `$match` whose
+    *     `$expr` is an equality (or `$and` of equalities) between a pure
+    *     let-variable expression and a foreign-document expression — the
+    *     hash-join keys (theta conditions need the typed engine's
+    *     `_rangeJoin`);
+    *  3. trailing `$sort`/`$limit`/`$project` apply per message on the
+    *     matched array. */
+  private def pipelineLookup(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    import org.json4s.jackson.JsonMethods
+    val from = spec \ "from" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$lookup from: $other")
+    }
+    val as = spec \ "as" match {
+      case JString(s) => s
+      case other      => throw new IllegalArgumentException(s"$$lookup as: $other")
+    }
+    val unwindFlag = (spec \ "unwind") == JBool(true)
+    val inner = (spec \ "inner") == JBool(true)
+    val letSpecs: List[(String, DynExpr.DOp)] = spec \ "let" match {
+      case JObject(vs) => vs.map { case (n, e) => n -> DynExpr.compile(e) }
+      case _           => Nil
+    }
+    val letNames = letSpecs.map(_._1).toSet
+    val JArray(subStages) = ((spec \ "pipeline"): @unchecked)
+
+    def refsVars(v: JValue): Boolean = v match {
+      case JString(s) if s.startsWith("$$") => letNames(s.drop(2).takeWhile(_ != '.'))
+      case JObject(fields) => fields.exists { case (_, fv) => refsVars(fv) }
+      case JArray(items)   => items.exists(refsVars)
+      case _               => false
+    }
+    val (prefixStages, rest) = subStages.span(st => !refsVars(st))
+    def isSort(st: JValue) = st match {
+      case JObject(List(("$sort", _))) => true
+      case _                           => false
+    }
+    val (matchSpec, trailing) = rest match {
+      case JObject(List(("$match", m))) :: t => (Some(m), t)
+      case Nil                               => (None, Nil)
+      case other :: _ => throw new IllegalArgumentException(
+        "$lookup pipeline: the first let-variable-referencing stage must be " +
+          s"a $$match, got ${JsonMethods.compact(JsonMethods.render(other))}")
+    }
+    if (prefixStages.exists(isSort) && !trailing.exists(isSort))
+      throw new IllegalArgumentException(
+        "$lookup pipeline: a $sort before the correlated $match cannot be " +
+          "preserved in the `as` array; add a trailing $sort after it")
+
+    // equality pairs out of the correlated $match
+    val eqPairs: List[(DynExpr.DOp, DynExpr.DOp)] = matchSpec.map { m =>
+      def eqs(e: JValue): List[(JValue, JValue)] = e match {
+        case JObject(List(("$eq", JArray(List(x, y))))) => List((x, y))
+        case JObject(List(("$and", JArray(cs))))        => cs.flatMap(eqs)
+        case other => throw new IllegalArgumentException(
+          "dynamic $lookup pipeline: the correlated $match must be a $expr " +
+            "$eq (or $and of $eq) between a let-variable expression and a " +
+            s"foreign-field expression; got ${JsonMethods.compact(JsonMethods.render(other))}" +
+            " — theta conditions need the typed engine (_rangeJoin)")
+      }
+      val expr = m \ "$expr" match {
+        case JNothing => throw new IllegalArgumentException(
+          "dynamic $lookup pipeline: correlated $match must use $expr")
+        case e => e
+      }
+      eqs(expr).map { case (x, y) =>
+        (refsVars(x), refsVars(y)) match {
+          case (true, false) => (DynExpr.compile(x), DynExpr.compile(y))
+          case (false, true) => (DynExpr.compile(y), DynExpr.compile(x))
+          case _ => throw new IllegalArgumentException(
+            "dynamic $lookup pipeline: each $eq must compare a let-variable " +
+              "expression with a foreign-document expression")
+        }
+      }
+    }.getOrElse(Nil)
+    val localSides = eqPairs.map(_._1)
+    val foreignSides = eqPairs.map(_._2)
+
+    val effFrom = normalize(
+      if (prefixStages.isEmpty) ctx.catalog(from)
+      else run(ctx.catalog(from), JArray(prefixStages), ctx))
+
+    // no correlated $match -> every message gets the whole prefixed
+    // collection under a constant key (like Mongo running the sub-pipeline)
+    val left = df.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val doc = parse(s)
+        val vars = letSpecs.map { case (n, op) =>
+          n -> missingToNull(op.eval(DynExpr.DCtx(doc, Map.empty)))
+        }.toMap
+        val key =
+          if (localSides.isEmpty) ""
+          else localSides.map(op =>
+            canonical(op.eval(DynExpr.DCtx(doc, vars)))).mkString("\u0000")
+        (k, s, key)
+      }
+    }(tuple3Enc).toDF("key", "doc", "__lk")
+    val right = effFrom.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (_, s) =>
+        val doc = parse(s)
+        val key =
+          if (foreignSides.isEmpty) ""
+          else foreignSides.map(op =>
+            canonical(op.eval(DynExpr.DCtx(doc, Map.empty)))).mkString("\u0000")
+        (key, s)
+      }
+    }(tuple2Enc).toDF("__fk", "__fdoc")
+      .groupBy(col("__fk")).agg(
+        concat_ws("\u0000", collect_list(col("__fdoc"))).as("__matches"))
+
+    // trailing stages over the matched docs of ONE message
+    def applyTrailing(xs: List[JsonNode]): List[JsonNode] =
+      trailing.foldLeft(xs) {
+        case (acc, JObject(List(("$sort", JObject(keys))))) =>
+          def dir(v: JValue): Int = v match {
+            case JInt(i) => if (i >= 0) 1 else -1
+            case JLong(l) => if (l >= 0) 1 else -1
+            case _ => 1
+          }
+          acc.sortWith { (a, b) =>
+            keys.iterator.map { case (f, d) =>
+              DynJson.compare(DynExpr.resolve(a, f.split('.').toList),
+                DynExpr.resolve(b, f.split('.').toList)) * dir(d)
+            }.find(_ != 0).exists(_ < 0)
+          }
+        case (acc, JObject(List(("$limit", n)))) =>
+          val lim = n match {
+            case JInt(i)  => i.toInt
+            case JLong(l) => l.toInt
+            case other    => throw new IllegalArgumentException(s"$$limit: $other")
+          }
+          acc.take(lim)
+        case (acc, JObject(List(("$project", p)))) =>
+          val fn = project(p)
+          acc.flatMap(d => fn((null, d)).map(_._2).toList)
+        case (_, other) => throw new IllegalArgumentException(
+          "$lookup trailing sub-stage must be $project/$sort/$limit: " +
+            JsonMethods.compact(JsonMethods.render(other)))
+      }
+
+    left.join(right, col("__lk") <=> col("__fk"), "left")
+      .select(col("key"), col("doc"),
+        coalesce(col("__matches"), lit("")).as("__m")).as(tuple3Enc)
+      .mapPartitions { it =>
+        it.flatMap { case (k, s, m) =>
+          val matched0 = if (m == null || m.isEmpty) List.empty[JsonNode]
+            else m.split('\u0000').toList.map(parse)
+          val matched = applyTrailing(matched0)
+          val doc = parse(s).deepCopy[ObjectNode]()
+          if (unwindFlag) {
+            matched.iterator.map { md =>
+              val d = doc.deepCopy[ObjectNode]()
+              d.set[JsonNode](as, md)
+              (k, render(d))
+            }
+          } else {
+            val a = arr()
+            matched.foreach(a.add)
             doc.set[JsonNode](as, a)
             if (inner && a.isEmpty) Iterator.empty
             else Iterator.single((k, render(doc)))

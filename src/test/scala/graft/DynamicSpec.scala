@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.JsonNode
 import graft.dynamic.{DynExpr, DynJson, DynMatch, DynPipeline}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** DYNAMIC (schemaless) pipeline mode — semantics mirrored from the
   * reference test corpus on documents with NO schema: mixed-type fields,
@@ -588,6 +589,46 @@ class DynamicSpec extends SparkSpec {
       """[{"$lookup": {"from": "d", "localField": "fk", "foreignField": "k",
                        "as": "m", "inner": true}}]""", ctx))
     assert(inner.map(_.path("_id").textValue) == Set("a"))
+  }
+
+  test("dynamic $lookup pipeline form: prefix + eq-correlated $match + trailing stages") {
+    val dims = docs(
+      """{"k":1,"v":30,"tag":"x"}""", """{"k":1,"v":10,"tag":"keep"}""",
+      """{"k":1,"v":20,"tag":"keep"}""", """{"k":2,"v":5,"tag":"keep"}""")
+    val ctx = dynCtx(catalog = _ => dims)
+    val out = outDocs(DynPipeline.run(
+      docs("""{"_id":"a","fk":1}""", """{"_id":"b","fk":2}"""),
+      """[{"$lookup": {"from": "d", "let": {"lk": "$fk"},
+            "pipeline": [
+              {"$match": {"tag": "keep"}},
+              {"$match": {"$expr": {"$eq": ["$$lk", "$k"]}}},
+              {"$sort": {"v": -1}}, {"$limit": 2},
+              {"$project": {"v": 1, "_id": 0}}],
+            "as": "m"}}]""", ctx))
+    val byId = out.map(d => d.path("_id").textValue ->
+      d.path("m").elements().asScala.map(_.path("v").intValue).toList).toMap
+    assert(byId == Map("a" -> List(20, 10), "b" -> List(5)))
+  }
+
+  test("dynamic $lookup pipeline form: no correlated $match attaches everything") {
+    val dims = docs("""{"x":1}""", """{"x":2}""")
+    val out = outDocs(DynPipeline.run(
+      docs("""{"_id":"a"}"""),
+      """[{"$lookup": {"from": "d",
+            "pipeline": [{"$match": {"x": {"$gte": 2}}}], "as": "m"}}]""",
+      dynCtx(catalog = _ => dims)))
+    assert(out.head.path("m").size == 1)
+  }
+
+  test("dynamic $lookup pipeline form: theta condition is rejected with a typed pointer") {
+    val e = intercept[IllegalArgumentException] {
+      DynPipeline.run(docs("""{"_id":"a","fk":1}"""),
+        """[{"$lookup": {"from": "d", "let": {"lk": "$fk"},
+              "pipeline": [{"$match": {"$expr": {"$gte": ["$$lk", "$k"]}}}],
+              "as": "m"}}]""", dynCtx(catalog = _ => docs("""{"k":1}""")))
+        .count()
+    }
+    assert(e.getMessage.contains("typed engine"))
   }
 
   test("dynamic stage extensions run; built-ins win on a name clash") {
