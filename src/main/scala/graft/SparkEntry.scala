@@ -636,6 +636,27 @@ object SparkEntry {
         get_json_object(col("doc"), "$.ck").cast("long").as("ck"),
         get_json_object(col("doc"), "$.c.name").as("cname"))
     }),
+    // dynamic $lookup PIPELINE form: uncorrelated prefix, eq-correlated
+    // $match, trailing $project — all on schemaless docs
+    "q_dynamic_lookup_pipe" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(to_json(struct(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        col("c_mktsegment").as("seg"))).as("doc"))
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") < 40000)
+        .select(to_json(struct(
+          col("o_orderkey").as("_id"), col("o_custkey").as("ck"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(ords,
+        """[{"$lookup": {"from": "c", "let": {"lk": "$ck"},
+              "pipeline": [
+                {"$match": {"seg": "BUILDING"}},
+                {"$match": {"$expr": {"$eq": ["$$lk", "$k"]}}},
+                {"$project": {"name": 1, "_id": 0}}],
+              "as": "m"}}]""",
+        graft.dynamic.DynPipeline.DynCtx(catalog = _ => cust))
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.m[0].name").as("cname"))
+    }),
     // dynamic $merge on the bucketed store: schemaless upsert, field overlay
     "q_dynamic_merge" -> ((s, dir) => {
       val store = new graft.sources.BucketedParquetStore(s,
@@ -1127,6 +1148,12 @@ object SparkEntry {
       """SELECT o_orderkey AS _id, o_custkey AS ck, c_name AS cname
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderkey < 30000""",
+    "q_dynamic_lookup_pipe" ->
+      """SELECT o_orderkey AS _id, c_name AS cname
+         FROM orders LEFT JOIN (SELECT * FROM customer
+                                WHERE c_mktsegment = 'BUILDING') c
+           ON o_custkey = c_custkey
+         WHERE o_orderkey < 40000""",
     "q_dynamic_merge" ->
       """SELECT o_orderkey AS _id,
                 CASE WHEN o_orderkey % 100 = 0 THEN round(o_totalprice * 2, 2)
