@@ -22,6 +22,8 @@ import org.apache.spark.sql.types._
   *    messages, like the stage-level semantics of emitting nothing)
   *  - functions: length, keys, has(k), ascii_downcase, ascii_upcase,
   *    tostring, tonumber, floor, ceil, round, map(f), join(s), split(s)
+  *  - modules: `include "m";` splices defs; `import "m" as ns;` exposes
+  *    them as `ns::name` (jackson-jq's loader hook, Jq.java:25-27)
   *
   * Anything else raises `JqCompileError` at stage-build time (the reference
   * rethrows script errors — Script.java:40-55).
@@ -96,7 +98,7 @@ object JqCompiler {
         out += Tok("id", src.substring(i, j), i); i = j
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
-        if (Set("==", "!=", "<=", ">=", "//").contains(two)) {
+        if (Set("==", "!=", "<=", ">=", "//", "::").contains(two)) {
           out += Tok("op", two, i); i += 2
         } else { out += Tok("op", c.toString, i); i += 1 }
       }
@@ -134,8 +136,7 @@ object JqCompiler {
             s"include expects a string at ${m.pos}")
           expect(";")
           defs ++= parseModule(loadModule(m.text))
-        } else if (atId("import")) throw new JqCompileError(
-          "namespaced 'import' is not supported; use include \"module\";")
+        } else if (atId("import")) defs ++= parseImport()
         else header = false
       }
       val e = parsePipe()
@@ -157,11 +158,32 @@ object JqCompiler {
             s"include expects a string at ${m.pos}")
           expect(";")
           defs ++= parseModule(loadModule(m.text))
-        } else header = false
+        } else if (atId("import")) defs ++= parseImport()
+        else header = false
       }
       if (peek.kind != "eof") throw new JqCompileError(
         s"a jq module may only contain defs; found '${peek.text}' at ${peek.pos}")
       defs.result()
+    }
+
+    /** `import "module" as ns;` — the module's defs become visible as
+      * `ns::name` (jackson-jq resolves the same loader for both forms,
+      * Jq.java:25-27). Splicing with renamed defs keeps one flat def list;
+      * calls INSIDE the module to its own defs are rewritten to the
+      * namespaced names unless shadowed by a local def or a param. */
+    private def parseImport(): List[JqDef] = {
+      next() // import
+      val m = next()
+      if (m.kind != "str") throw new JqCompileError(
+        s"import expects a string at ${m.pos}")
+      if (!atId("as")) throw new JqCompileError(
+        s"import requires 'as <namespace>' at ${peek.pos}")
+      next()
+      val ns = next()
+      if (ns.kind != "id") throw new JqCompileError(
+        s"import namespace must be an identifier at ${ns.pos}")
+      expect(";")
+      namespaced(ns.text, parseModule(loadModule(m.text)))
     }
 
     private def parseDef(): JqDef = {
@@ -316,8 +338,16 @@ object JqCompiler {
               expect(")")
               JReduce(src, name, init, update)
             case "not" => next(); JCall("not", Nil)
-            case name =>
+            case name0 =>
               next()
+              // namespaced call: `ns::fn` (from `import "m" as ns;`)
+              val name = if (at("::")) {
+                next()
+                val member = next()
+                if (member.kind != "id") throw new JqCompileError(
+                  s"expected identifier after '::' at ${member.pos}")
+                s"$name0::${member.text}"
+              } else name0
               if (at("(")) {
                 next()
                 val args = List.newBuilder[Jq]
@@ -375,6 +405,35 @@ object JqCompiler {
   /** A jq module: definitions only. */
   private def parseModule(src: String): List[JqDef] =
     new Parser(tokenize(src)).parseModuleDefs()
+
+  /** Rename a module's defs to `ns::name` and rewrite intra-module calls to
+    * the renamed defs. jq scope rule preserved: a call inside the module
+    * resolves to the nearest enclosing def/param of that name, so rewrites
+    * skip names shadowed by inner `def`s or by a def's own params. */
+  private def namespaced(ns: String, defs: List[JqDef]): List[JqDef] = {
+    val top = defs.map(_.name).toSet
+    def rw(e: Jq, shadow: Set[String]): Jq = e match {
+      case JCall(fn, args) =>
+        val fn2 = if (top(fn) && !shadow(fn)) s"$ns::$fn" else fn
+        JCall(fn2, args.map(rw(_, shadow)))
+      case JDefs(ds, b) =>
+        val sh = shadow ++ ds.map(_.name)
+        JDefs(ds.map(d => JqDef(d.name, d.params, rw(d.body, sh ++ d.params))),
+          rw(b, sh))
+      case JPath(_) | JLit(_) | JVar(_) => e
+      case JObjC(ps)      => JObjC(ps.map { case (k, v) => k -> rw(v, shadow) })
+      case JArrC(items)   => JArrC(items.map(rw(_, shadow)))
+      case JPipe(l, r)    => JPipe(rw(l, shadow), rw(r, shadow))
+      case JBin(op, l, r) => JBin(op, rw(l, shadow), rw(r, shadow))
+      case JIf(c, t, f)   => JIf(rw(c, shadow), rw(t, shadow), rw(f, shadow))
+      case JSelect(c)     => JSelect(rw(c, shadow))
+      case JComma(l, r)   => JComma(rw(l, shadow), rw(r, shadow))
+      case JAs(s, n, b)   => JAs(rw(s, shadow), n, rw(b, shadow))
+      case JReduce(s, n, i, u) =>
+        JReduce(rw(s, shadow), n, rw(i, shadow), rw(u, shadow))
+    }
+    defs.map(d => JqDef(s"$ns::${d.name}", d.params, rw(d.body, d.params.toSet)))
+  }
 
   private def loadModule(path: String): String =
     ScriptStages.scriptSource(org.json4s.JString(path))

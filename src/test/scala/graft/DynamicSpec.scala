@@ -460,6 +460,13 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"_id":"0","i":5,"s":3}""")))
   }
 
+  test("$jq dynamic: namespaced import (import \"m\" as ns; ns::f)") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","n":4,"xs":[1,2]}"""),
+      """[{"$jq": "import \"resource:/mod.jq\" as m; {\"_id\": ._id, \"i\": (.n | m::inc), \"s\": m::sumxs}"}]"""))
+    assert(out == Set(node("""{"_id":"0","i":5,"s":3}""")))
+  }
+
   test("$jq dynamic: to_entries/from_entries round-trip with transform") {
     val out = outDocs(run(
       docs("""{"_id":"0","m":{"a":1,"b":2}}"""),

@@ -72,6 +72,14 @@ class ScriptSpec extends SparkSpec {
     assert(r.getAs[Long]("t") == 4L)
   }
 
+  test("$jq namespaced import resolves ns::f and intra-module calls") {
+    // `scaled` calls `base` module-locally; after `import .. as q` both are
+    // spliced as q::base / q::scaled and the inner call is rewritten
+    assert(run1("$jq",
+      """import "resource:/ns.jq" as q; {_id: ._id, test: q::scaled(.test + 3)}""")
+      == List(("0", "0", 30L)))
+  }
+
   test("$jslt computed key in typed mode is a clear compile error") {
     val df = Seq((1L, "k")).toDF("a", "key2")
     val e = intercept[graft.operators.JsltCompiler.JsltCompileError] {
