@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{DedupOps, TextOps, VectorOps}
+import graft.llm.{CorpusOps, DedupOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -822,6 +822,48 @@ object SparkEntry {
       VectorOps.lshTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5, nPlanes = 6)
     }),
+    // Gopher-style repetition signals: dup-word + top-bigram fractions,
+    // computed per doc with no shuffle (ints carried so the fractions are
+    // auditable)
+    "llm_repetition" -> ((s, dir) => {
+      tune(s)
+      val rep = TextOps.repetitionFeatures(col("text"))
+      t(s, dir, "documents").select(col("doc_id"), rep.as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_distinct_words").as("n_distinct_words"),
+          round(lit(1.0) - col("r.n_distinct_words") / col("r.n_words"), 4)
+            .as("dup_word_frac"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.top_bigram_count").as("top_bigram_count"),
+          when(col("r.n_bigrams") === 0, lit(null))
+            .otherwise(round(col("r.top_bigram_count") / col("r.n_bigrams"), 4))
+            .as("top_bigram_frac"))
+    }),
+    // benchmark decontamination: flag docs sharing any word 8-gram with the
+    // "eval set" (docs with doc_id % 97 == 0 stand in for it)
+    "llm_decontaminate" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 8)
+    }),
+    "llm_tfidf_topk" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.tfidfTopK(t(s, dir, "documents"), "text", "doc_id", k = 3)
+    }),
+    "llm_unigram_logprob" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+    }),
+    // gap-based sessionization over the event stream (30-min gap)
+    "q_sessionize" -> ((s, dir) => {
+      tune(s)
+      graft.operators.Sessionize(t(s, dir, "events"),
+        "user_id", "ts", "value", gapSeconds = 1800L)
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (column names/types matched to the Spark
@@ -1369,5 +1411,91 @@ object SparkEntry {
                 WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'fr'
                 ELSE 'it' END AS lang_pred
          FROM s2""",
+    "llm_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                      t -> length(t) > 0) AS ws
+           FROM documents),
+         b AS (
+           SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nd,
+                  list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                                 i -> ws[i] || ' ' || ws[i+1]) AS bgs
+           FROM w),
+         c AS (SELECT doc_id, bg, count(*) AS n
+               FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY 1, 2),
+         m AS (SELECT doc_id, max(n) AS mx FROM c GROUP BY 1)
+         SELECT b.doc_id,
+                CAST(b.nw AS INT) AS n_words,
+                CAST(b.nd AS INT) AS n_distinct_words,
+                round(1.0 - b.nd / b.nw, 4) AS dup_word_frac,
+                CAST(len(b.bgs) AS INT) AS n_bigrams,
+                CAST(coalesce(m.mx, 0) AS BIGINT) AS top_bigram_count,
+                round(coalesce(m.mx, 0) / nullif(len(b.bgs), 0), 4) AS top_bigram_frac
+         FROM b LEFT JOIN m USING (doc_id)""",
+    "llm_decontaminate" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                      t -> length(t) > 0) AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(ws) - 7, 0)),
+                                        i -> array_to_string(ws[i:i+7], ' '))) AS gram
+           FROM w),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+         h AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gram) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+                CAST(coalesce(h.n, 0) > 0 AS INT) AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         LEFT JOIN h USING (doc_id)""",
+    "llm_tfidf_topk" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                             t -> length(t) > 0)) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         s AS (SELECT tf.doc_id, tf.word,
+                      tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+               FROM tf JOIN df USING (word) CROSS JOIN n),
+         r AS (SELECT doc_id, word,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, word) AS rn
+               FROM s)
+         SELECT doc_id, string_agg(word, ',' ORDER BY rn) AS top_terms
+         FROM r WHERE rn <= 3 GROUP BY doc_id""",
+    "llm_unigram_logprob" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                             t -> length(t) > 0)) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         uni AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM uni),
+         p AS (SELECT word, ln(CAST(cnt AS DOUBLE) / total) AS logp
+               FROM uni CROSS JOIN tot)
+         SELECT tf.doc_id,
+                round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp,
+                CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+         FROM tf JOIN p USING (word) GROUP BY 1""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, value, ts, epoch_us(ts) // 1000000 AS sec,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (SELECT *, CASE WHEN prev IS NULL
+                              OR sec - (epoch_us(prev) // 1000000) > 1800
+                              THEN 1 ELSE 0 END AS nf
+               FROM e),
+         s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS session_seq
+               FROM f)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                CAST(min(sec) AS BIGINT) AS start_s,
+                CAST(max(sec) AS BIGINT) AS end_s,
+                count(*) AS n_events, round(sum(value), 4) AS sum_value
+         FROM s GROUP BY 1, 2""",
   )
 }

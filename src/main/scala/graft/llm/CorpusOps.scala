@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide (two-pass) training-data operators: benchmark decontamination,
+  * TF-IDF keyword extraction, and unigram language-model scoring.
+  *
+  * All three share the same distributed shape: a small derived relation
+  * (benchmark n-gram set, document-frequency table, unigram counts) is
+  * aggregated once and broadcast, and the full corpus then streams through a
+  * map-side broadcast hash join — the 100 TB side is never shuffled for the
+  * lookup, only for its own per-document aggregation on `idCol`.
+  */
+object CorpusOps {
+
+  /** Word n-grams of the lowercased text as space-joined strings. The token
+    * array is let-bound once per row (see DedupOps.shingles for why: a
+    * `tokens(text)` subtree inside the per-gram lambda would re-tokenize the
+    * document once per gram — O(len²)). */
+  def wordNgrams(text: Column, n: Int): Column =
+    element_at(transform(array(TextOps.tokens(lower(text))), { ws =>
+      // sequence(1, 0) DESCENDS in Spark, so guard short docs explicitly
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => array_join(slice(ws, i, lit(n)), " ")))
+    }), 1)
+
+  /** Benchmark decontamination (the n-gram-overlap check run before training
+    * on any corpus that may contain eval data): a document is contaminated
+    * when it shares at least one word `n`-gram with the benchmark set.
+    * Returns `(idCol, n_hit_grams, contaminated)` for every corpus document.
+    *
+    * Scale: the benchmark gram set is distinct'd and broadcast (eval suites
+    * are MBs against a 100 TB corpus); corpus grams are distinct'd per doc
+    * (one shuffle on (id, gram) — Spark plans the distinct as partial
+    * aggregation first) and then map-side joined against the broadcast. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+    val docGrams = corpus
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(count("*").as("n_hit_grams"))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left").select(
+      col(idCol),
+      coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+      (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** Top-k TF-IDF terms per document, emitted as a comma-joined string in
+    * rank order (array outputs crash the driver's pandas row sort).
+    *
+    * The idf is the PLAIN ratio nDocs/df, not log(nDocs/df): ordering is the
+    * same (log is monotone) but the ratio is a single IEEE division, so both
+    * engines produce bit-identical scores — a log() idf risks 1-ulp
+    * cross-library rank flips between mathematically-equal scores (e.g.
+    * tf=2 over idf=25 vs tf=4 over idf=5). Ties break on the term itself. */
+  def tfidfTopK(corpus: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = corpus
+      .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+      .groupBy(idCol, "word").agg(count("*").as("tf"))
+    val dfTab = tf.groupBy("word").agg(count("*").as("df"))
+    val nDocs = corpus.select(col(idCol)).distinct().agg(count("*").as("n_docs"))
+    tf.join(broadcast(dfTab), Seq("word")).crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
+      .groupBy(idCol)
+      // per-doc top-k without a global window: sort the collected (score desc,
+      // word) structs and slice — the doc's term list is small by definition
+      .agg(concat_ws(",", transform(
+        slice(array_sort(collect_list(struct((col("score") * -1).as("negs"),
+          col("word").as("w")))), 1, k),
+        s => s.getField("w"))).as("top_terms"))
+  }
+
+  /** Per-document average unigram log-probability under the corpus's own
+    * unigram distribution — the cheap "perplexity" quality signal used to
+    * rank documents before a real LM scores them. Output is rounded to 4
+    * digits: ln() is correct to 1 ulp per engine and the per-doc sum order
+    * is engine-dependent, so lower digits are not comparable. */
+  def unigramLogProb(corpus: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = corpus
+      .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("word"))
+      .groupBy(idCol, "word").agg(count("*").as("tf"))
+    val uni = tf.groupBy("word").agg(sum("tf").as("cnt"))
+    val tot = uni.agg(sum("cnt").as("total"))
+    val probs = uni.crossJoin(broadcast(tot))
+      .select(col("word"), log(col("cnt").cast("double") / col("total")).as("logp"))
+    tf.join(broadcast(probs), Seq("word"))
+      .groupBy(idCol)
+      .agg(round(sum(col("tf") * col("logp")) / sum(col("tf")), 4).as("avg_logp"),
+        sum("tf").cast("long").as("n_tokens"))
+  }
+}

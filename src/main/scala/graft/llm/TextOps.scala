@@ -114,6 +114,38 @@ object TextOps {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + xxhash64(t))
 
+  // --- repetition signals --------------------------------------------------
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", table A1 — public): duplicate-word fraction
+    * and most-frequent-bigram fraction. Returns a struct column
+    * `{n_words, n_distinct_words, n_bigrams, top_bigram_count}` computed
+    * per document with NO shuffle: the bigram mode is found by sorting the
+    * per-doc bigram array and scanning runs in one `aggregate` fold
+    * (O(n log n) per doc), so the signal scales embarrassingly-parallel.
+    * The token array is let-bound once per row (see DedupOps.shingles). */
+  def repetitionFeatures(text: Column): Column =
+    element_at(transform(array(tokens(lower(text))), { ws =>
+      val n = size(ws)
+      val len = greatest(n - 1, lit(0))
+      val bigrams = zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b))
+      val sorted = array_sort(bigrams)
+      val top = aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, x) => {
+          val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))
+      struct(n.as("n_words"),
+        size(array_distinct(ws)).as("n_distinct_words"),
+        size(bigrams).as("n_bigrams"),
+        top.as("top_bigram_count"))
+    }), 1)
+
   // --- PII scrubbing -------------------------------------------------------
 
   /** Replace common PII shapes with typed placeholders (training-data

@@ -1,0 +1,92 @@
+package graft
+
+import graft.llm.{CorpusOps, TextOps}
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionFeatures: dup-word and top-bigram counts") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "w")).toDF("id", "text")
+    val got = df.select($"id", TextOps.repetitionFeatures($"text").as("r"))
+      .select($"id", $"r.n_words", $"r.n_distinct_words", $"r.n_bigrams",
+        $"r.top_bigram_count")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    // "a a a b": bigrams [a a, a a, a b] — mode "a a" runs twice
+    assert(got(1L) == ((4, 2, 3, 2L)))
+    assert(got(2L) == ((3, 3, 2, 1L)))
+    // single word: no bigrams, fold returns 0
+    assert(got(3L) == ((1, 1, 0, 0L)))
+  }
+
+  test("wordNgrams: short docs yield no grams; grams are space-joined windows") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+    val got = df.select($"id", CorpusOps.wordNgrams($"text", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty)
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "one two three four five"), // contains bench 3-gram
+      (2L, "six seven eight nine ten")).toDF("doc_id", "text")
+    val bench = Seq((99L, "zero two three four")).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // doc 1 shares "two three four"; doc 2 shares nothing
+    assert(got == Set((1L, 1L, 1), (2L, 0L, 0)))
+  }
+
+  test("decontaminate broadcasts the benchmark gram set (no corpus shuffle for the probe)") {
+    val corpus = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e f g h i j")).toDF("doc_id", "text")
+    val plan = CorpusOps.decontaminate(corpus, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("tfidfTopK ranks by tf * n/df with term tie-break") {
+    val corpus = Seq(
+      (1L, "apple apple apple common"),
+      (2L, "banana banana common common"),
+      (3L, "cherry common zebra")).toDF("doc_id", "text")
+    val got = CorpusOps.tfidfTopK(corpus, "text", "doc_id", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: apple tf=3 df=1 score=9 > common tf=1 df=3 score=1
+    assert(got(1L) == "apple,common")
+    // doc 2: banana 2*3=6 > common 2*1=2
+    assert(got(2L) == "banana,common")
+    // doc 3: cherry 1*3=3 == zebra 1*3=3 — tie breaks on the word
+    assert(got(3L) == "cherry,zebra")
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(1/vocab) per token") {
+    val corpus = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = CorpusOps.unigramLogProb(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val want = BigDecimal(math.log(0.25))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((want, 2L)) && got(2L) == ((want, 2L)))
+  }
+
+  test("sessionize splits on gap and aggregates per session") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val ev = Seq(
+      (7L, ts(0), 1.0), (7L, ts(600), 2.0),   // session 1: 0..600
+      (7L, ts(3000), 4.0),                     // gap 2400 > 1800 -> session 2
+      (8L, ts(100), 8.0))                      // other user
+      .toDF("user_id", "ts", "value")
+    val got = Sessionize(ev, "user_id", "ts", "value", gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val t0 = base.getTime / 1000
+    assert(got == Set(
+      (7L, 1L, t0, t0 + 600, 2L, 3.0),
+      (7L, 2L, t0 + 3000, t0 + 3000, 1L, 4.0),
+      (8L, 1L, t0 + 100, t0 + 100, 1L, 8.0)))
+  }
+}
