@@ -121,6 +121,36 @@ class PlanSpec extends SparkSpec {
       s"sharded packing must not serialize through one reducer:\n$p")
   }
 
+  test("repetition signals are a pure projection: no exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(docs.select(col("doc_id"),
+      graft.llm.TextOps.repetitionFeatures(col("text")).as("r")))
+    assert(!p.contains("Exchange"), s"per-doc signals must not shuffle:\n$p")
+  }
+
+  test("decontamination probes a broadcast gram set (corpus never shuffles for the join)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.CorpusOps.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0), "text", "doc_id"))
+    assert(p.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not sort-merge against the eval set:\n$p")
+  }
+
+  test("sessionize plans one user-hash exchange and a single window") {
+    val ev = SparkEntry.queries("q_sessionize")(spark, sf)
+    val p = plan(ev)
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"sessionization must hash-partition by user:\n$p")
+    // lag + running sum share (partition, order) -> ONE Window exec, and the
+    // per-session groupBy reuses the user hash partitioning (no 2nd shuffle
+    // of the event stream beyond the aggregate's own partial phase)
+    assert("(?s)Window".r.findAllIn(p).size >= 1)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global ordering may appear:\n$p")
+  }
+
   test("exact dedup shuffles the 16-byte digest, not the document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")
