@@ -864,6 +864,37 @@ object SparkEntry {
       graft.operators.Sessionize(t(s, dir, "events"),
         "user_id", "ts", "value", gapSeconds = 1800L)
     }),
+    // backward as-of join: even events (trades) pick up the latest odd
+    // event's value (quotes) per user — union+window, one key shuffle
+    "q_asof" -> ((s, dir) => {
+      tune(s)
+      val ev = t(s, dir, "events").withColumn("sec", unix_timestamp(col("ts")))
+      val trades = ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "sec")
+      val quotes = ev.filter(col("event_id") % 2 === 1)
+        .groupBy("user_id", "sec")
+        .agg(max_by(col("value"), col("event_id")).as("qvalue"))
+      graft.operators.AsOfJoin(trades, quotes, "user_id", "sec", Seq("qvalue"))
+    }),
+    // 1-hour tumbling windows per event type (the batch shape of the
+    // streaming windowed aggregation)
+    "q_event_windows" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+    // exact linear-interpolation percentiles per event type (round 5: the
+    // true values have <= 4 exact decimals, so the grid contains them)
+    "q_percentiles" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "events").groupBy("event_type").agg(
+        round(percentile(col("value"), lit(0.5)), 5).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 5).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 5).as("p99"))
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (column names/types matched to the Spark
@@ -1497,5 +1528,25 @@ object SparkEntry {
                 CAST(max(sec) AS BIGINT) AS end_s,
                 count(*) AS n_events, round(sum(value), 4) AS sum_value
          FROM s GROUP BY 1, 2""",
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+                           value
+                    FROM events),
+         tr AS (SELECT event_id, user_id, sec FROM e WHERE event_id % 2 = 0),
+         q AS (SELECT user_id, sec, max_by(value, event_id) AS qvalue
+               FROM e WHERE event_id % 2 = 1 GROUP BY 1, 2)
+         SELECT tr.event_id, tr.user_id, tr.sec, q.qvalue AS asof_qvalue
+         FROM tr ASOF LEFT JOIN q
+           ON tr.user_id = q.user_id AND tr.sec >= q.sec""",
+    "q_event_windows" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start,
+                event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 5) AS p50,
+                round(quantile_cont(value, 0.9), 5) AS p90,
+                round(quantile_cont(value, 0.99), 5) AS p99
+         FROM events GROUP BY 1""",
   )
 }
