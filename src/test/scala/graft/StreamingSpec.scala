@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     assert(all.last.toSet == Set(("a", 11L)))
   }
 
+  test("streaming sessionization: native session_window closes sessions at the watermark") {
+    // the streaming counterpart of operators.Sessionize — Spark's built-in
+    // gap-based session_window + watermark emits each session once, when the
+    // watermark passes its close (append mode = finalized sessions only)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val out = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .select(col("user_id"), col("n"), col("s"))
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, ts(0), 1.0), (7L, ts(10), 2.0)) // one session
+      q.processAllAvailable()
+      input.addData((7L, ts(120), 4.0)) // 110-min gap: watermark closes it
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((7L, 2L, 3.0)))
+  }
+
   test("dynamic (schemaless) pipeline runs natively on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
