@@ -37,12 +37,15 @@ object CorpusOps {
     * (one shuffle on (id, gram) — Spark plans the distinct as partial
     * aggregation first) and then map-side joined against the broadcast. */
   def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, n: Int = 8): DataFrame = {
-    val benchGrams = bench
-      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
-    val docGrams = corpus
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
+      idCol: String, n: Int = 8, hashGrams: Boolean = false): DataFrame = {
+    // hashGrams: ship xxhash64(gram) instead of the gram text — same plan,
+    // 8-byte shuffle/broadcast payload; the oracle uses the string mode
+    def grams(df: DataFrame) = {
+      val e = df.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      if (hashGrams) e.withColumn("gram", xxhash64(col("gram"))) else e
+    }
+    val benchGrams = grams(bench).select("gram").distinct()
+    val docGrams = grams(corpus).distinct()
     val hits = docGrams.join(broadcast(benchGrams), Seq("gram"))
       .groupBy(idCol).agg(count("*").as("n_hit_grams"))
     corpus.select(col(idCol)).join(hits, Seq(idCol), "left").select(

@@ -681,6 +681,12 @@ object JsltCompiler {
         TC(greatest(x.col, y.col), if (x.typ == y.typ) x.typ else None)
       case "error" =>
         TC(raise_error(one.col.cast(StringType)), Some(NullType))
+      case "fallback" =>
+        // first non-null argument (missing compiles to null already); the
+        // result type is the common declared type if the args agree
+        val cs = args.map(compile(_, ctx))
+        TC(coalesce(cs.map(_.col): _*),
+          cs.map(_.typ).distinct match { case List(t) => t; case _ => None })
       case other =>
         ctx.defs.get(other) match {
           case Some(d) =>

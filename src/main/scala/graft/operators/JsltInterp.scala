@@ -280,6 +280,9 @@ object JsltInterp {
       case "min" => val (x, y) = (a(0), a(1)); if (jCmp(x, y) <= 0) x else y
       case "max" => val (x, y) = (a(0), a(1)); if (jCmp(x, y) >= 0) x else y
       case "error" => throw new IllegalStateException(asStr(a(0)))
+      case "fallback" => // first non-null/non-missing argument, lazily
+        args.iterator.map(eval(_, ctx, env)).map(missingToNull)
+          .find(!_.isNull).getOrElse(NULL)
       case "get-key" =>
         val (o, k) = (a(0), a(1))
         val v = if (o.isObject && k.isTextual) missingToNull(o.path(k.textValue)) else NULL

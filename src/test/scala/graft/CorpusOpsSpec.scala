@@ -48,6 +48,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("decontaminate hashed-gram mode (the 100 TB payload) matches string mode") {
+    val corpus = Seq(
+      (1L, "one two three four five"),
+      (2L, "six seven eight nine ten"),
+      (3L, "zero two three four six")).toDF("doc_id", "text")
+    val bench = Seq((99L, "zero two three four")).toDF("doc_id", "text")
+    def res(h: Boolean) =
+      CorpusOps.decontaminate(corpus, bench, "text", "doc_id", n = 3, hashGrams = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(res(true) == res(false))
+  }
+
   test("tfidfTopK ranks by tf * n/df with term tie-break") {
     val corpus = Seq(
       (1L, "apple apple apple common"),

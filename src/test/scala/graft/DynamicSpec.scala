@@ -460,6 +460,14 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"_id":"0","i":5,"s":3}""")))
   }
 
+  test("$jslt dynamic: fallback() skips null and missing") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","a":null,"b":2}"""),
+      """[{"$jslt": "{\"_id\": ._id, \"v\": fallback(.a, .b, 9), \"w\": fallback(.x, .y)}"}]"""))
+    // all-null fallback -> null -> the key is omitted (JSLT object rule)
+    assert(out == Set(node("""{"_id":"0","v":2}""")))
+  }
+
   test("$jq dynamic: namespaced import (import \"m\" as ns; ns::f)") {
     val out = outDocs(run(
       docs("""{"_id":"0","n":4,"xs":[1,2]}"""),

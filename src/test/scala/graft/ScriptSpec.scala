@@ -72,6 +72,11 @@ class ScriptSpec extends SparkSpec {
     assert(r.getAs[Long]("t") == 4L)
   }
 
+  test("$jslt fallback() returns the first non-null/non-missing argument") {
+    assert(run1("$jslt", """{"test": fallback(.missing, .test + 1), *: .}""")
+      == List(("0", "0", 1L)))
+  }
+
   test("$jq namespaced import resolves ns::f and intra-module calls") {
     // `scaled` calls `base` module-locally; after `import .. as q` both are
     // spliced as q::base / q::scaled and the inner call is rewritten
