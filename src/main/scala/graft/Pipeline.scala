@@ -428,6 +428,35 @@ private[graft] object Stages {
     case "$stdDevPop" => stddev_pop(cexpr(spec)) // the documented σ, not the
       // reference's emit-the-count quirk (Group.java:451-453) — see SURVEY §2.4
     case "$mergeObjects" => mergeObjectsAgg(cexpr(spec))
+    // --- beyond the reference's 10: the modern-MQL accumulators -------------
+    case "$first" => first(cexpr(spec))
+    case "$stdDevSamp" => stddev_samp(cexpr(spec))
+    case "$median" => // {input, method} or bare expr; exact linear interp
+      percentile(cexpr(spec match {
+        case JObject(fs) if fs.exists(_._1 == "input") =>
+          fs.collectFirst { case ("input", v) => v }.get
+        case v => v
+      }), lit(0.5))
+    case "$percentile" => // {input, p: [..]} -> array<double> in p order
+      val JObject(fs) = (spec: @unchecked)
+      val input = cexpr(fs.collectFirst { case ("input", v) => v }
+        .getOrElse(throw new IllegalArgumentException("$percentile needs input")))
+      val ps = fs.collectFirst { case ("p", JArray(l)) => l }
+        .getOrElse(throw new IllegalArgumentException("$percentile needs p"))
+        .map {
+          case JDouble(d) => lit(d)
+          case JInt(i)    => lit(i.toDouble)
+          case other => throw new IllegalArgumentException(s"$$percentile p: $other")
+        }
+      percentile(input, array(ps: _*))
+    case "$maxN" | "$minN" => // n largest/smallest, Mongo's output ordering
+      val JObject(fs) = (spec: @unchecked)
+      val input = cexpr(fs.collectFirst { case ("input", v) => v }
+        .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
+      val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+        .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
+      val sorted = array_sort(collect_list(input)) // collect_list drops nulls
+      slice(if (op == "$maxN") reverse(sorted) else sorted, 1, n)
     case other => throw new IllegalArgumentException(s"unsupported accumulator $other")
   }
 

@@ -28,7 +28,10 @@ object SparkEntry {
     tune(s)
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` = exact integer division: epoch NANOS (~1.7e18) exceed double
+      // precision, so `/ 1000.0` would be off by up to ~256 ns — visible as
+      // off-by-one milliseconds after truncation
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
@@ -886,6 +889,25 @@ object SparkEntry {
         .select(unix_timestamp(col("w.start")).as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
     }),
+    // bitwise / ISO-date / byte-length expression breadth
+    "q_expr_bits" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$project": {"event_id": 1,
+            "band": {"$bitAnd": ["$event_id", 255]},
+            "bor":  {"$bitOr":  ["$event_id", 16]},
+            "bxor": {"$bitXor": ["$event_id", 129]},
+            "bnot": {"$bitNot": "$event_id"},
+            "blen": {"$strLenBytes": "$event_type"},
+            "ms":  {"$millisecond": "$ts"},
+            "iw":  {"$isoWeek": "$ts"},
+            "idw": {"$isoDayOfWeek": "$ts"},
+            "iwy": {"$isoWeekYear": "$ts"}}}]""")),
+    // modern-MQL group accumulators through the pipeline compiler
+    "q_group_median" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$group": {"_id": "$event_type",
+            "med": {"$median": {"input": "$value"}},
+            "sd": {"$stdDevSamp": "$value"}}},
+          {"$project": {"_id": 1, "med": {"$round": ["$med", 5]},
+                        "sd": {"$round": ["$sd", 5]}}}]""")),
     // exact linear-interpolation percentiles per event type (round 5: the
     // true values have <= 4 exact decimals, so the grid contains them)
     "q_percentiles" -> ((s, dir) => {
@@ -1542,6 +1564,23 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start,
                 event_type, count(*) AS n, round(sum(value), 4) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q_expr_bits" ->
+      """SELECT event_id,
+                event_id & 255 AS band,
+                event_id | 16 AS bor,
+                xor(event_id, 129) AS bxor,
+                xor(event_id, -1) AS bnot,
+                CAST(strlen(event_type) AS INT) AS blen,
+                CAST((epoch_us(ts) % 1000000) // 1000 AS INT) AS ms,
+                CAST(week(ts) AS INT) AS iw,
+                CAST(isodow(ts) AS INT) AS idw,
+                CAST(isoyear(ts) AS INT) AS iwy
+         FROM events""",
+    "q_group_median" ->
+      """SELECT event_type AS _id,
+                round(median(value), 5) AS med,
+                round(stddev_samp(value), 5) AS sd
+         FROM events GROUP BY 1""",
     "q_percentiles" ->
       """SELECT event_type,
                 round(quantile_cont(value, 0.5), 5) AS p50,

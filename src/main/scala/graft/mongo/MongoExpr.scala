@@ -155,6 +155,9 @@ object MongoExpr {
     case "$sinh"  => sinh(args(spec).head)
     case "$cosh"  => cosh(args(spec).head)
     case "$tanh"  => tanh(args(spec).head)
+    case "$asinh" => asinh(args(spec).head)
+    case "$acosh" => acosh(args(spec).head)
+    case "$atanh" => atanh(args(spec).head)
     case "$degreesToRadians" => radians(args(spec).head)
     case "$radiansToDegrees" => degrees(args(spec).head)
     case "$exp"      => exp(args(spec).head)
@@ -225,6 +228,12 @@ object MongoExpr {
     case "$toLower"  => lower(args(spec).head)
     case "$toUpper"  => upper(args(spec).head)
     case "$strLenCP" => length(args(spec).head)
+    case "$strLenBytes" => octet_length(args(spec).head)
+    // variadic bitwise (Mongo 6.3+); integers only, like the server
+    case "$bitAnd" => args(spec).reduce(_.bitwiseAND(_))
+    case "$bitOr"  => args(spec).reduce(_.bitwiseOR(_))
+    case "$bitXor" => args(spec).reduce(_.bitwiseXOR(_))
+    case "$bitNot" => bitwise_not(args(spec).head)
     case "$substrCP" | "$substr" =>
       val List(s, i, n) = args(spec); s.substr(i + 1, n)
     case "$split" =>
@@ -341,6 +350,12 @@ object MongoExpr {
       val in = compile(field(spec, "input"))
       val n = compile(field(spec, "n"))
       slice(in, greatest(size(in) - n + 1, lit(1)), n)
+    case "$maxN" => // n largest, descending (nulls ignored, like the server)
+      val in = filter(compile(field(spec, "input")), x => x.isNotNull)
+      slice(reverse(array_sort(in)), lit(1), compile(field(spec, "n")))
+    case "$minN" =>
+      val in = filter(compile(field(spec, "input")), x => x.isNotNull)
+      slice(array_sort(in), lit(1), compile(field(spec, "n")))
     case "$indexOfArray" =>
       val List(arr, target) = args(spec).take(2)
       // Mongo: 0-based index of first match, -1 when absent
@@ -424,6 +439,13 @@ object MongoExpr {
     case "$dayOfWeek"  => dayofweek(args(spec).head)
     case "$dayOfYear"  => dayofyear(args(spec).head)
     case "$week"       => weekofyear(args(spec).head)
+    case "$millisecond" => // ms within the second (post-1970 data)
+      ((unix_micros(args(spec).head) % 1000000L) / 1000L).cast(IntegerType)
+    case "$isoWeek" => weekofyear(args(spec).head) // Spark weekofyear IS ISO 8601
+    case "$isoDayOfWeek" => // 1 = Monday .. 7 = Sunday
+      date_part(lit("DAYOFWEEK_ISO"), args(spec).head).cast(IntegerType)
+    case "$isoWeekYear" =>
+      date_part(lit("YEAROFWEEK"), args(spec).head).cast(IntegerType)
     case "$toDate"     => args(spec).head.cast(TimestampType)
     case "$dateToString" =>
       date_format(compile(field(spec, "date")),

@@ -197,4 +197,31 @@ class ExprSpec extends SparkSpec {
                   "endDate": {"$dateAdd": {"startDate": "$ts", "unit": "hour",
                                            "amount": 48}}, "unit": "day"}}""") == 2L)
   }
+
+  test("inverse hyperbolics, bytes length, bitwise, maxN/minN") {
+    assert(eval("""{"$asinh": 0}""") == 0.0)
+    assert(eval("""{"$acosh": 1}""") == 0.0)
+    assert(eval("""{"$atanh": 0}""") == 0.0)
+    assert(eval("""{"$strLenBytes": "$s"}""") == 11)
+    assert(eval("""{"$bitAnd": [6, 3]}""") == 2L)
+    assert(eval("""{"$bitOr": [6, 3, 8]}""") == 15L)
+    assert(eval("""{"$bitXor": [6, 3]}""") == 5L)
+    assert(eval("""{"$bitNot": 0}""") == -1L)
+    assert(eval("""{"$maxN": {"input": "$arr", "n": 2}}""") == Seq(4L, 3L))
+    assert(eval("""{"$minN": {"input": "$arr", "n": 2}}""") == Seq(1L, 2L))
+  }
+
+  test("ISO date parts and millisecond") {
+    def ev(json: String): Any = {
+      // 2021-03-04 is a Thursday, ISO week 9 of ISO year 2021
+      val df = Seq(Tuple1(java.sql.Timestamp.valueOf("2021-03-04 05:06:07.123")))
+        .toDF("ts")
+      implicit val ctx: ExprCtx = ExprCtx()
+      df.select(MongoExpr.compile(JsonMethods.parse(json)).as("r")).head().get(0)
+    }
+    assert(ev("""{"$isoWeek": "$ts"}""") == 9)
+    assert(ev("""{"$isoDayOfWeek": "$ts"}""") == 4)
+    assert(ev("""{"$isoWeekYear": "$ts"}""") == 2021)
+    assert(ev("""{"$millisecond": "$ts"}""") == 123)
+  }
 }

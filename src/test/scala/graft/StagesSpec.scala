@@ -178,6 +178,24 @@ class StagesSpec extends SparkSpec {
     assert(a.getSeq[Long](a.fieldIndex("ps")).toList.sorted == List(1L, 2L, 2L))
   }
 
+  test("$group modern-MQL accumulators: median/percentile/maxN/minN/stdDevSamp") {
+    val df = Seq(("0", "a", 1.0), ("1", "a", 2.0), ("2", "a", 3.0),
+      ("3", "a", 4.0), ("4", "b", 10.0)).toDF("_id", "g", "v")
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": "$g",
+            "med": {"$median": {"input": "$v"}},
+            "pct": {"$percentile": {"input": "$v", "p": [0.25, 0.75]}},
+            "top2": {"$maxN": {"input": "$v", "n": 2}},
+            "low2": {"$minN": {"input": "$v", "n": 2}},
+            "sd": {"$stdDevSamp": "$v"}}}]""")
+    val a = out.filter($"_id" === "a").head()
+    assert(a.getAs[Double]("med") == 2.5)
+    assert(a.getSeq[Double](a.fieldIndex("pct")).toList == List(1.75, 3.25))
+    assert(a.getSeq[Double](a.fieldIndex("top2")).toList == List(4.0, 3.0))
+    assert(a.getSeq[Double](a.fieldIndex("low2")).toList == List(1.0, 2.0))
+    assert(math.abs(a.getAs[Double]("sd") - 1.2909944487358056) < 1e-12)
+  }
+
   test("global $group and $count emit nothing on empty input") {
     val empty = flat.filter($"test" > 100)
     assert(pipeline.run(empty,
