@@ -236,7 +236,7 @@ object DynExpr {
       DFn(op, List(compile(arg \ "input"),
         DConst(arg \ "sortBy" match {
           case JInt(i) => i.toString; case JLong(l) => l.toString; case _ => "1" })))
-    case "$firstN" | "$lastN" =>
+    case "$firstN" | "$lastN" | "$maxN" | "$minN" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "n")))
     case "$zip" => DFn(op, argList(arg \ "inputs"))
     case name => DFn(name, argList(arg))
@@ -303,6 +303,22 @@ object DynExpr {
         case "$exp"   => mathFn(args)(math.exp)
         case "$ln"    => mathFn(args)(math.log)
         case "$log10" => mathFn(args)(math.log10)
+        case "$sin"   => mathFn(args)(math.sin)
+        case "$cos"   => mathFn(args)(math.cos)
+        case "$tan"   => mathFn(args)(math.tan)
+        case "$asin"  => mathFn(args)(math.asin)
+        case "$acos"  => mathFn(args)(math.acos)
+        case "$atan"  => mathFn(args)(math.atan)
+        case "$atan2" => mathFn(List(a(0)))(y => math.atan2(y, a(1).doubleValue))
+        case "$sinh"  => mathFn(args)(math.sinh)
+        case "$cosh"  => mathFn(args)(math.cosh)
+        case "$tanh"  => mathFn(args)(math.tanh)
+        // JDK has no inverse hyperbolics; the log identities are exact enough
+        case "$asinh" => mathFn(args)(x => math.log(x + math.sqrt(x * x + 1)))
+        case "$acosh" => mathFn(args)(x => math.log(x + math.sqrt(x * x - 1)))
+        case "$atanh" => mathFn(args)(x => 0.5 * math.log((1 + x) / (1 - x)))
+        case "$degreesToRadians" => mathFn(args)(math.toRadians)
+        case "$radiansToDegrees" => mathFn(args)(math.toDegrees)
         case "$floor" =>
           args.head match {
             case n if n.isNull || isMissing(n) => NULL
@@ -332,6 +348,17 @@ object DynExpr {
         case "$toUpper" => if (a(0).isNull || isMissing(a(0))) text("") else text(a(0).textValue.toUpperCase)
         case "$toLower" => if (a(0).isNull || isMissing(a(0))) text("") else text(a(0).textValue.toLowerCase)
         case "$strLenCP" => long(a(0).textValue.codePointCount(0, a(0).textValue.length).toLong)
+        case "$strLenBytes" => long(a(0).textValue
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+        case "$bitAnd" | "$bitOr" | "$bitXor" =>
+          if (args.exists(x => x.isNull || isMissing(x))) NULL
+          else long(args.map(_.longValue).reduce((x, y) => name match {
+            case "$bitAnd" => x & y
+            case "$bitOr"  => x | y
+            case _         => x ^ y
+          }))
+        case "$bitNot" =>
+          if (a(0).isNull || isMissing(a(0))) NULL else long(~a(0).longValue)
         case "$substrCP" =>
           val s = a(0).textValue
           val start = a(1).intValue
@@ -519,7 +546,8 @@ object DynExpr {
         case "$toDate" =>
           toInstant(a(0)).map(i => text(i.toString): JsonNode).getOrElse(NULL)
         case "$year" | "$month" | "$dayOfMonth" | "$hour" | "$minute" |
-             "$second" | "$millisecond" | "$dayOfWeek" | "$dayOfYear" | "$week" =>
+             "$second" | "$millisecond" | "$dayOfWeek" | "$dayOfYear" | "$week" |
+             "$isoWeek" | "$isoDayOfWeek" | "$isoWeekYear" =>
           utc(a(0)) match {
             case None => NULL
             case Some(z) => long(name match {
@@ -531,7 +559,10 @@ object DynExpr {
               case "$second"      => z.getSecond.toLong
               case "$millisecond" => (z.getNano / 1000000).toLong
               case "$dayOfWeek"   => (z.getDayOfWeek.getValue % 7 + 1).toLong
+              case "$isoDayOfWeek" => z.getDayOfWeek.getValue.toLong // 1 = Monday
               case "$dayOfYear"   => z.getDayOfYear.toLong
+              case "$isoWeekYear" =>
+                z.get(java.time.temporal.WeekFields.ISO.weekBasedYear).toLong
               case _ => z.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear).toLong
             })
           }
@@ -695,6 +726,17 @@ object DynExpr {
               val out = arr()
               val xs = ar.asScala.toList
               (if (name == "$firstN") xs.take(n) else xs.takeRight(n)).foreach(out.add)
+              out
+            case _ => NULL
+          }
+        case "$maxN" | "$minN" => // nulls ignored; $maxN descending
+          a(0) match {
+            case ar: ArrayNode =>
+              val n = math.max(a(1).intValue, 0)
+              val xs = ar.asScala.toList
+                .filterNot(x => x.isNull || isMissing(x)).sorted(mongoOrder)
+              val out = arr()
+              (if (name == "$maxN") xs.reverse.take(n) else xs.take(n)).foreach(out.add)
               out
             case _ => NULL
           }

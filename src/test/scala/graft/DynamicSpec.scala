@@ -460,6 +460,26 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"_id":"0","i":5,"s":3}""")))
   }
 
+  test("dynamic expr: trig/bitwise/ISO-date/maxN parity with the typed engine") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","x":6,"y":3,"s":"abc","ts":"2021-03-04T05:06:07Z","a":[3,1,null,4]}"""),
+      """[{"$addFields": {
+            "band": {"$bitAnd": ["$x", "$y"]},
+            "bnot": {"$bitNot": "$x"},
+            "blen": {"$strLenBytes": "$s"},
+            "iw": {"$isoWeek": "$ts"},
+            "idw": {"$isoDayOfWeek": "$ts"},
+            "iwy": {"$isoWeekYear": "$ts"},
+            "top2": {"$maxN": {"input": "$a", "n": 2}},
+            "c": {"$cos": 0},
+            "ash": {"$asinh": 0}}},
+          {"$project": {"band": 1, "bnot": 1, "blen": 1, "iw": 1, "idw": 1,
+                        "iwy": 1, "top2": 1, "c": 1, "ash": 1}}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","band":2,"bnot":-7,"blen":3,"iw":9,"idw":4,"iwy":2021,
+         "top2":[4,3],"c":1.0,"ash":0.0}""".replaceAll("\\s+", ""))))
+  }
+
   test("$jslt dynamic: fallback() skips null and missing") {
     val out = outDocs(run(
       docs("""{"_id":"0","a":null,"b":2}"""),
