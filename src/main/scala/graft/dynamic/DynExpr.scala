@@ -216,7 +216,7 @@ object DynExpr {
       DFn(op, List(compile(arg \ "date"), compile(arg \ "format")))
     case "$dateFromString" =>
       DFn("$toDate", List(compile(arg \ "dateString")))
-    case "$dateAdd" =>
+    case "$dateAdd" | "$dateSubtract" =>
       DFn(op, List(compile(arg \ "startDate"), compile(arg \ "unit"),
         compile(arg \ "amount")))
     case "$dateDiff" =>
@@ -573,11 +573,12 @@ object DynExpr {
               .ofPattern(graft.mongo.MongoExpr.mongoDateFormat(a(1).textValue))
               .format(z))
           }
-        case "$dateAdd" =>
+        case "$dateAdd" | "$dateSubtract" =>
           utc(a(0)) match {
             case None => NULL
             case Some(z) =>
-              val amt = a(2).longValue
+              val amt = if (name == "$dateSubtract") -a(2).longValue
+                        else a(2).longValue
               val z2 = a(1).textValue match {
                 case "year"        => z.plusYears(amt)
                 case "quarter"     => z.plusMonths(amt * 3)

@@ -474,6 +474,9 @@ object MongoExpr {
     case "$dateAdd" =>
       compile(field(spec, "startDate")) +
         interval(str(field(spec, "unit")), compile(field(spec, "amount")))
+    case "$dateSubtract" =>
+      compile(field(spec, "startDate")) -
+        interval(str(field(spec, "unit")), compile(field(spec, "amount")))
     case "$dateDiff" =>
       val s = compile(field(spec, "startDate"))
       val e = compile(field(spec, "endDate"))

@@ -480,6 +480,14 @@ class DynamicSpec extends SparkSpec {
          "top2":[4,3],"c":1.0,"ash":0.0}""".replaceAll("\\s+", ""))))
   }
 
+  test("dynamic expr: $dateSubtract mirrors $dateAdd") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","ts":"2021-03-04T05:06:07Z"}"""),
+      """[{"$project": {"back": {"$dateSubtract":
+            {"startDate": "$ts", "unit": "day", "amount": 3}}}}]"""))
+    assert(out == Set(node("""{"_id":"0","back":"2021-03-01T05:06:07Z"}""")))
+  }
+
   test("$jslt dynamic: fallback() skips null and missing") {
     val out = outDocs(run(
       docs("""{"_id":"0","a":null,"b":2}"""),

@@ -196,6 +196,9 @@ class ExprSpec extends SparkSpec {
     assert(ev("""{"$dateDiff": {"startDate": "$ts",
                   "endDate": {"$dateAdd": {"startDate": "$ts", "unit": "hour",
                                            "amount": 48}}, "unit": "day"}}""") == 2L)
+    assert(ev("""{"$dateSubtract": {"startDate": "$ts", "unit": "day",
+                                    "amount": 3}}""")
+      .toString.startsWith("2021-03-01"))
   }
 
   test("inverse hyperbolics, bytes length, bitwise, maxN/minN") {
