@@ -457,6 +457,46 @@ private[graft] object Stages {
         .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
       val sorted = array_sort(collect_list(input)) // collect_list drops nulls
       slice(if (op == "$maxN") reverse(sorted) else sorted, 1, n)
+    case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+      // {output, sortBy: {f: 1|-1}, n?} — the group's docs sorted by sortBy;
+      // $top/$topN take from the front, $bottom/$bottomN from the back.
+      // Sort keys ride along inside the collected struct; the comparator is
+      // null-safe with Mongo's nulls-first ascending rule.
+      val JObject(fs) = (spec: @unchecked)
+      val output = cexpr(fs.collectFirst { case ("output", v) => v }
+        .getOrElse(throw new IllegalArgumentException(s"$op needs output")))
+      val JObject(sortKeys) = (fs.collectFirst { case ("sortBy", v) => v }
+        .getOrElse(throw new IllegalArgumentException(s"$op needs sortBy")): @unchecked)
+      val nOpt = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+      if ((op == "$topN" || op == "$bottomN") && nOpt.isEmpty)
+        throw new IllegalArgumentException(s"$op needs a literal n")
+      val packed = struct((sortKeys.zipWithIndex.map { case ((f, _), i) =>
+        cexpr(JString("$" + f)).as(s"__k$i") } :+ output.as("__out")): _*)
+      def cmp(l: Column, r: Column): Column =
+        sortKeys.zipWithIndex.foldRight(lit(0)) { case (((_, dir), i), tie) =>
+          val asc = dir match {
+            case JInt(v)    => v >= 0
+            case JLong(v)   => v >= 0
+            case JDouble(d) => d >= 0
+            case _          => true
+          }
+          val (lf, rf) = (l.getField(s"__k$i"), r.getField(s"__k$i"))
+          when(lf.isNull && rf.isNull, tie)
+            .when(lf.isNull || lf < rf, lit(if (asc) -1 else 1))
+            .when(rf.isNull || lf > rf, lit(if (asc) 1 else -1))
+            .otherwise(tie)
+        }
+      val sorted = array_sort(collect_list(packed), (l, r) => cmp(l, r))
+      op match {
+        case "$top"    => element_at(sorted, 1).getField("__out")
+        case "$bottom" => element_at(sorted, -1).getField("__out")
+        case "$topN"   => transform(slice(sorted, lit(1), lit(nOpt.get)),
+          _.getField("__out"))
+        case _ =>
+          val n = nOpt.get
+          transform(slice(sorted, greatest(size(sorted) - n + 1, lit(1)),
+            lit(n)), _.getField("__out"))
+      }
     case other => throw new IllegalArgumentException(s"unsupported accumulator $other")
   }
 

@@ -901,6 +901,14 @@ object SparkEntry {
             "iw":  {"$isoWeek": "$ts"},
             "idw": {"$isoDayOfWeek": "$ts"},
             "iwy": {"$isoWeekYear": "$ts"}}}]""")),
+    // $top/$bottom: per type, the value of the newest/oldest event
+    // (event_id tie-break keeps equal timestamps deterministic)
+    "q_group_top" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$group": {"_id": "$event_type",
+            "latest": {"$top": {"output": "$value",
+                                "sortBy": {"ts": -1, "event_id": -1}}},
+            "earliest": {"$bottom": {"output": "$value",
+                                     "sortBy": {"ts": -1, "event_id": -1}}}}}]""")),
     // modern-MQL group accumulators through the pipeline compiler
     "q_group_median" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$group": {"_id": "$event_type",
@@ -1576,6 +1584,16 @@ object SparkEntry {
                 CAST(isodow(ts) AS INT) AS idw,
                 CAST(isoyear(ts) AS INT) AS iwy
          FROM events""",
+    "q_group_top" ->
+      """WITH r AS (SELECT event_type, value,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY ts DESC, event_id DESC) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM events)
+         SELECT event_type AS _id,
+                max(CASE WHEN rn = 1 THEN value END) AS latest,
+                max(CASE WHEN rn = cnt THEN value END) AS earliest
+         FROM r GROUP BY 1""",
     "q_group_median" ->
       """SELECT event_type AS _id,
                 round(median(value), 5) AS med,

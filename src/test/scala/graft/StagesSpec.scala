@@ -196,6 +196,21 @@ class StagesSpec extends SparkSpec {
     assert(math.abs(a.getAs[Double]("sd") - 1.2909944487358056) < 1e-12)
   }
 
+  test("$group $top/$bottom/$topN/$bottomN with directional sortBy") {
+    val df = Seq(("0", "a", 1L, "w1"), ("1", "a", 3L, "w3"),
+      ("2", "a", 2L, "w2"), ("3", "b", 9L, "w9")).toDF("_id", "g", "v", "w")
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": "$g",
+            "hi":  {"$top":    {"output": "$w", "sortBy": {"v": -1}}},
+            "lo":  {"$bottom": {"output": "$w", "sortBy": {"v": -1}}},
+            "hi2": {"$topN":   {"output": "$w", "sortBy": {"v": -1}, "n": 2}},
+            "lo2": {"$bottomN":{"output": "$w", "sortBy": {"v": -1}, "n": 2}}}}]""")
+    val a = out.filter($"_id" === "a").head()
+    assert(a.getAs[String]("hi") == "w3" && a.getAs[String]("lo") == "w1")
+    assert(a.getSeq[String](a.fieldIndex("hi2")).toList == List("w3", "w2"))
+    assert(a.getSeq[String](a.fieldIndex("lo2")).toList == List("w2", "w1"))
+  }
+
   test("global $group and $count emit nothing on empty input") {
     val empty = flat.filter($"test" > 100)
     assert(pipeline.run(empty,
