@@ -721,6 +721,16 @@ object JqCompiler {
       case "sort"    => TC(array_sort(me.col), me.typ)
       case "unique"  => TC(array_sort(array_distinct(me.col)), me.typ)
       case "abs"     => TC(abs(me.col), me.typ)
+      case "test" => args.headOption match {
+        case Some(JLit(re: String)) =>
+          TC(regexp_like(me.col, lit(re)), Some(BooleanType))
+        case _ => throw new JqCompileError("test needs a literal regex")
+      }
+      case "gsub" => (args.headOption, args.lift(1)) match {
+        case (Some(JLit(re: String)), Some(JLit(repl: String))) =>
+          TC(regexp_replace(me.col, lit(re), lit(repl)), Some(StringType))
+        case _ => throw new JqCompileError("gsub needs literal regex and replacement")
+      }
       case "ltrimstr" => args.headOption match {
         case Some(JLit(s: String)) =>
           TC(when(me.col.startsWith(s),

@@ -312,6 +312,17 @@ object JqInterp {
             if (acc.nonEmpty && jEq(acc.head, x)) acc else x :: acc
           }.reverse.foreach(a.add)
         List(a)
+      case "test" => // Java regex, not Oniguruma — the common subset agrees
+        a1.map(re => bool(java.util.regex.Pattern.compile(re.textValue)
+          .matcher(in.textValue).find()))
+      case "sub" | "gsub" => // plain replacement strings (no capture refs)
+        if (!in.isTextual) List(in)
+        else for (re <- a1; repl <- eval(args(1), in, env)) yield {
+          val m = java.util.regex.Pattern.compile(re.textValue)
+            .matcher(in.textValue)
+          val r = java.util.regex.Matcher.quoteReplacement(repl.textValue)
+          text(if (fn == "sub") m.replaceFirst(r) else m.replaceAll(r))
+        }
       case "ltrimstr" =>
         a1.map(p => if (in.isTextual && p.isTextual && in.textValue.startsWith(p.textValue))
           text(in.textValue.stripPrefix(p.textValue)) else in)

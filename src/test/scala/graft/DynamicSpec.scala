@@ -496,6 +496,13 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"_id":"0","v":2}""")))
   }
 
+  test("$jq dynamic: test/sub/gsub regex builtins") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","s":"a1b2c3"}"""),
+      """[{"$jq": "{\"_id\": ._id, \"t\": (.s | test(\"[0-9]\")), \"one\": (.s | sub(\"[0-9]\"; \"_\")), \"all\": (.s | gsub(\"[0-9]\"; \"_\"))}"}]"""))
+    assert(out == Set(node("""{"_id":"0","t":true,"one":"a_b2c3","all":"a_b_c_"}""")))
+  }
+
   test("$jq dynamic: namespaced import (import \"m\" as ns; ns::f)") {
     val out = outDocs(run(
       docs("""{"_id":"0","n":4,"xs":[1,2]}"""),

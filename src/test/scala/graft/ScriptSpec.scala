@@ -72,6 +72,13 @@ class ScriptSpec extends SparkSpec {
     assert(r.getAs[Long]("t") == 4L)
   }
 
+  test("$jq typed: test/gsub compile to regexp columns") {
+    val out = pipeline.run(in,
+      """[{"$jq": "{_id, test: .test, num: (._id | test(\"[0-9]\")), z: (._id | gsub(\"0\"; \"9\"))}"}]""")
+    val r = out.collect()(0)
+    assert(r.getAs[Boolean]("num") && r.getAs[String]("z") == "9")
+  }
+
   test("$jslt fallback() returns the first non-null/non-missing argument") {
     assert(run1("$jslt", """{"test": fallback(.missing, .test + 1), *: .}""")
       == List(("0", "0", 1L)))
