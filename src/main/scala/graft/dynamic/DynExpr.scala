@@ -224,7 +224,7 @@ object DynExpr {
         compile(arg \ "unit")))
     case "$dateTrunc" =>
       DFn(op, List(compile(arg \ "date"), compile(arg \ "unit")))
-    case "$regexMatch" | "$regexFind" =>
+    case "$regexMatch" | "$regexFind" | "$regexFindAll" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "regex")))
     case "$replaceAll" | "$replaceOne" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "find"),
@@ -651,6 +651,24 @@ object DynExpr {
               o.set[JsonNode]("captures", caps)
               o
             }
+          }
+        case "$regexFindAll" => // every match, Mongo's {match, idx, captures}
+          val (in, re) = (a(0), a(1))
+          if (in.isNull || isMissing(in)) arr()
+          else {
+            val m = java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue)
+            val out = arr()
+            while (m.find) {
+              val o = obj()
+              o.set[JsonNode]("match", text(m.group))
+              o.set[JsonNode]("idx", long(m.start.toLong))
+              val caps = arr()
+              (1 to m.groupCount).foreach(g =>
+                caps.add(if (m.group(g) == null) NULL else text(m.group(g))))
+              o.set[JsonNode]("captures", caps)
+              out.add(o)
+            }
+            out
           }
         case "$replaceAll" | "$replaceOne" => // Mongo: LITERAL find, not regex
           val (in, find, repl) = (a(0), a(1), a(2))

@@ -253,6 +253,10 @@ object MongoExpr {
     case "$regexFind" => // deviation: returns the matched string, not a doc
       val m = regexp_extract(compile(field(spec, "input")), str(field(spec, "regex")), 0)
       when(m === "", lit(null)).otherwise(m)
+    case "$regexFindAll" => // same deviation: array of matched strings
+      // (the dynamic engine returns Mongo's full {match, idx, captures})
+      regexp_extract_all(compile(field(spec, "input")),
+        lit(str(field(spec, "regex"))), lit(0))
     case "$replaceOne" =>
       val in = compile(field(spec, "input"))
       val find = compile(field(spec, "find"))

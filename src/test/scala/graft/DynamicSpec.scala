@@ -480,6 +480,15 @@ class DynamicSpec extends SparkSpec {
          "top2":[4,3],"c":1.0,"ash":0.0}""".replaceAll("\\s+", ""))))
   }
 
+  test("dynamic expr: $regexFindAll returns every {match, idx, captures}") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","s":"a1b22"}"""),
+      """[{"$project": {"m": {"$regexFindAll": {"input": "$s", "regex": "([0-9]+)"}}}}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","m":[{"match":"1","idx":1,"captures":["1"]},
+          {"match":"22","idx":3,"captures":["22"]}]}""".replaceAll("\\n\\s*", ""))))
+  }
+
   test("dynamic expr: $dateSubtract mirrors $dateAdd") {
     val out = outDocs(run(
       docs("""{"_id":"0","ts":"2021-03-04T05:06:07Z"}"""),

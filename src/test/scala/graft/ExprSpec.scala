@@ -201,6 +201,11 @@ class ExprSpec extends SparkSpec {
       .toString.startsWith("2021-03-01"))
   }
 
+  test("$regexFindAll returns all matched strings (typed deviation)") {
+    assert(eval("""{"$regexFindAll": {"input": "$s", "regex": "[A-Z]"}}""")
+      == Seq("H", "W"))
+  }
+
   test("inverse hyperbolics, bytes length, bitwise, maxN/minN") {
     assert(eval("""{"$asinh": 0}""") == 0.0)
     assert(eval("""{"$acosh": 1}""") == 0.0)
