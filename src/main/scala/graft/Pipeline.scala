@@ -90,6 +90,7 @@ final class Pipeline(
       case "$http"        => graft.operators.HttpStage(df, spec)
       case "$jslt"        => graft.operators.ScriptStages.jslt(df, spec)
       case "$jq"          => graft.operators.ScriptStages.jq(df, spec)
+      case "$setWindowFields" => Stages.setWindowFields(df, spec)
       case "$throttle"    => Stages.throttle(df, spec)
       case "$trace" | "$backTrace" => df // observability no-ops in batch
       case ext if extensions.contains(ext) => extensions(ext)(df, spec)
@@ -818,6 +819,101 @@ private[graft] object Stages {
   }
 
   // ---- $deduplicate -------------------------------------------------------
+
+  /** `$setWindowFields` (MQL 5.0+, BEYOND the reference's stage set): window
+    * functions over the document stream. partitionBy/sortBy map 1:1 onto a
+    * Spark [[org.apache.spark.sql.expressions.Window]] — one hash exchange on
+    * the partition key, a per-partition sort, and every output field shares
+    * that single Window exec. A null/absent partitionBy is Mongo's global
+    * window (single partition — document the scale cost; give it a
+    * partitionBy at 100 TB).
+    *
+    * Supported output operators: $sum $avg $min $max $count $push $first
+    * $last $rank $denseRank $documentNumber $shift, with `window.documents`
+    * row frames (`"unbounded" | "current" | <int>` bounds). Default frame
+    * follows Mongo: whole partition without sortBy, [unbounded, current]
+    * with it; rank-family ops use the bare ordered window.
+    * Deviation: $shift's `default` also fills data nulls (coalesce), not
+    * only out-of-frame positions. */
+  def setWindowFields(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    val partCols: Seq[Column] = spec \ "partitionBy" match {
+      case JNothing | JNull => Seq(lit(1))
+      case p                => Seq(cexpr(p))
+    }
+    val sortKeys: List[(String, Boolean)] = spec \ "sortBy" match {
+      case JObject(ks) => ks.map { case (f, d) =>
+        (f, d match {
+          case JInt(i)    => i >= 0
+          case JLong(l)   => l >= 0
+          case JDouble(x) => x >= 0
+          case _          => true
+        })
+      }
+      case _ => Nil
+    }
+    val ordered: WindowSpec = {
+      val base = Window.partitionBy(partCols: _*)
+      if (sortKeys.isEmpty) base
+      else base.orderBy(sortKeys.map { case (f, asc) =>
+        if (asc) col(f).asc else col(f).desc }: _*)
+    }
+    val rankOps = Set("$rank", "$denseRank", "$documentNumber", "$shift")
+    val JObject(outs) = (spec \ "output": @unchecked)
+    outs.foldLeft(df) { case (acc, (name, out)) =>
+      val JObject(fields) = (out: @unchecked)
+      require(!name.contains("."),
+        "$setWindowFields: top-level output fields only")
+      val (op, opSpec) = fields.filterNot(_._1 == "window").head
+      val framed: WindowSpec = fields.collectFirst { case ("window", w) => w } match {
+        case Some(w) =>
+          val JArray(List(lo, hi)) = ((w \ "documents"): @unchecked)
+          def b(v: JValue, isLo: Boolean): Long = v match {
+            case JString("unbounded") =>
+              if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
+            case JString("current") => Window.currentRow
+            case JInt(i)            => i.toLong
+            case other => throw new IllegalArgumentException(s"documents bound: $other")
+          }
+          ordered.rowsBetween(b(lo, isLo = true), b(hi, isLo = false))
+        case None if sortKeys.isEmpty =>
+          ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        case None if rankOps(op) => ordered
+        case None =>
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      }
+      if (rankOps(op) && op != "$shift") require(sortKeys.nonEmpty,
+        s"$op requires sortBy")
+      val c = op match {
+        case "$sum"   => sum(cexpr(opSpec)).over(framed)
+        case "$avg"   => avg(cexpr(opSpec)).over(framed)
+        case "$min"   => min(cexpr(opSpec)).over(framed)
+        case "$max"   => max(cexpr(opSpec)).over(framed)
+        case "$count" => count(lit(1)).over(framed)
+        case "$push"  => collect_list(cexpr(opSpec)).over(framed)
+        case "$first" => first(cexpr(opSpec)).over(framed)
+        case "$last"  => last(cexpr(opSpec)).over(framed)
+        case "$rank"           => rank().over(ordered)
+        case "$denseRank"      => dense_rank().over(ordered)
+        case "$documentNumber" => row_number().over(ordered)
+        case "$shift" =>
+          val outC = cexpr(opSpec \ "output")
+          val by = opSpec \ "by" match {
+            case JInt(i) => i.toInt
+            case JNothing => 1
+            case other => throw new IllegalArgumentException(s"$$shift by: $other")
+          }
+          val shifted = (if (by >= 0) lead(outC, by) else lag(outC, -by)).over(ordered)
+          opSpec \ "default" match {
+            case JNothing => shifted
+            case d        => coalesce(shifted, cexpr(d))
+          }
+        case other =>
+          throw new IllegalArgumentException(s"$$setWindowFields operator $other")
+      }
+      acc.withColumn(name, c)
+    }
+  }
 
   /** `$throttle` (Throttle.java:28-58): pace rows to `maxPerSecond`. The
     * reference throttles per pipeline instance (= per Kafka partition); the

@@ -901,6 +901,21 @@ object SparkEntry {
             "iw":  {"$isoWeek": "$ts"},
             "idw": {"$isoDayOfWeek": "$ts"},
             "iwy": {"$isoWeekYear": "$ts"}}}]""")),
+    // $setWindowFields: running sum / document number / shift / bounded
+    // moving average per event type, all over ONE Spark Window
+    "q_window_fields" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$setWindowFields": {
+            "partitionBy": "$event_type",
+            "sortBy": {"ts": 1, "event_id": 1},
+            "output": {
+              "running": {"$sum": "$value"},
+              "rnk": {"$documentNumber": {}},
+              "prev": {"$shift": {"output": "$value", "by": -1, "default": 0}},
+              "avg3": {"$avg": "$value", "window": {"documents": [-2, "current"]}}}}},
+          {"$project": {"event_id": 1,
+                        "running": {"$round": ["$running", 2]},
+                        "rnk": 1, "prev": 1,
+                        "avg3": {"$round": ["$avg3", 4]}}}]""")),
     // $top/$bottom: per type, the value of the newest/oldest event
     // (event_id tie-break keeps equal timestamps deterministic)
     "q_group_top" -> ((s, dir) => pipe(s, dir, "events",
@@ -1584,6 +1599,19 @@ object SparkEntry {
                 CAST(isodow(ts) AS INT) AS idw,
                 CAST(isoyear(ts) AS INT) AS iwy
          FROM events""",
+    "q_window_fields" ->
+      """SELECT event_id,
+                round(sum(value) OVER w_run, 2) AS running,
+                CAST(row_number() OVER w_ord AS INT) AS rnk,
+                coalesce(lag(value, 1) OVER w_ord, 0) AS prev,
+                round(avg(value) OVER w_avg, 4) AS avg3
+         FROM events
+         WINDOW
+           w_ord AS (PARTITION BY event_type ORDER BY ts, event_id),
+           w_run AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING),
+           w_avg AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     "q_group_top" ->
       """WITH r AS (SELECT event_type, value,
                            row_number() OVER (PARTITION BY event_type

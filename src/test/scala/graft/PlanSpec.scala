@@ -151,6 +151,15 @@ class PlanSpec extends SparkSpec {
       s"no global ordering may appear:\n$p")
   }
 
+  test("$setWindowFields plans ONE Window exec for all output fields") {
+    val p = plan(SparkEntry.queries("q_window_fields")(spark, sf))
+    // rank/shift share the ordered window; framed aggs get their own frame
+    // but stay in the same Window exec chain with ONE exchange on the key
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1,
+      s"one partition exchange expected:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("exact dedup shuffles the 16-byte digest, not the document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")

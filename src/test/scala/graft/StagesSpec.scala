@@ -211,6 +211,37 @@ class StagesSpec extends SparkSpec {
     assert(a.getSeq[String](a.fieldIndex("lo2")).toList == List("w2", "w1"))
   }
 
+  test("$setWindowFields: running sum, rank family, shift, bounded frame") {
+    val df = Seq(("0", "a", 1L, 10.0), ("1", "a", 2L, 20.0), ("2", "a", 3L, 30.0),
+      ("3", "b", 1L, 5.0)).toDF("_id", "g", "seq", "v")
+    val out = pipeline.run(df,
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+              "run":  {"$sum": "$v"},
+              "num":  {"$documentNumber": {}},
+              "prev": {"$shift": {"output": "$v", "by": -1, "default": -1}},
+              "win2": {"$sum": "$v", "window": {"documents": [-1, "current"]}}}}}]""")
+    val rows = out.filter($"g" === "a").orderBy("seq")
+      .select("run", "num", "prev", "win2").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toList
+    assert(rows == List((10.0, 1, -1.0, 10.0), (30.0, 2, 10.0, 30.0),
+      (60.0, 3, 20.0, 50.0)))
+  }
+
+  test("$setWindowFields: no sortBy = whole-partition frame; global window without partitionBy") {
+    val df = Seq(("0", "a", 1.0), ("1", "a", 2.0), ("2", "b", 4.0))
+      .toDF("_id", "g", "v")
+    val perPart = pipeline.run(df,
+      """[{"$setWindowFields": {"partitionBy": "$g",
+            "output": {"tot": {"$sum": "$v"}}}}]""")
+    assert(perPart.filter($"g" === "a").select("tot").collect()
+      .map(_.getDouble(0)).toList == List(3.0, 3.0))
+    val global = pipeline.run(df,
+      """[{"$setWindowFields": {"output": {"tot": {"$sum": "$v"}}}}]""")
+    assert(global.select("tot").collect().map(_.getDouble(0)).toSet == Set(7.0))
+  }
+
   test("global $group and $count emit nothing on empty input") {
     val empty = flat.filter($"test" > 100)
     assert(pipeline.run(empty,
