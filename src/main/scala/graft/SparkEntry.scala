@@ -594,6 +594,27 @@ object SparkEntry {
         get_json_object(col("doc"), "$.f").cast("long").as("f"))
     }),
 
+    // dynamic $setWindowFields: cross-type window over schemaless docs
+    // (binary sortableKey carries the BSON order through the Window)
+    "q_dynamic_window" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("event_type").as("et"),
+        col("value").as("v"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$setWindowFields": {
+              "partitionBy": "$et", "sortBy": {"_id": 1},
+              "output": {
+                "rn": {"$documentNumber": {}},
+                "run": {"$sum": "$v"},
+                "prev": {"$shift": {"output": "$v", "by": -1, "default": 0}}}}},
+            {"$project": {"rn": 1,
+                          "run": {"$round": ["$run", 2]}, "prev": 1}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.rn").cast("long").as("rn"),
+        get_json_object(col("doc"), "$.run").cast("double").as("run"),
+        get_json_object(col("doc"), "$.prev").cast("double").as("prev"))
+    }),
     // dynamic expression breadth: dates, regex, sets, sortArray over
     // schemaless docs
     "q_dynamic_expr" -> ((s, dir) => {
@@ -1599,6 +1620,15 @@ object SparkEntry {
                 CAST(isodow(ts) AS INT) AS idw,
                 CAST(isoyear(ts) AS INT) AS iwy
          FROM events""",
+    "q_dynamic_window" ->
+      """WITH e AS (SELECT event_id AS _id, event_type AS et, value AS v
+                    FROM events)
+         SELECT _id,
+                CAST(row_number() OVER w AS BIGINT) AS rn,
+                round(sum(v) OVER (PARTITION BY et ORDER BY _id
+                                   ROWS UNBOUNDED PRECEDING), 2) AS run,
+                coalesce(lag(v, 1) OVER w, 0) AS prev
+         FROM e WINDOW w AS (PARTITION BY et ORDER BY _id)""",
     "q_window_fields" ->
       """SELECT event_id,
                 round(sum(value) OVER w_run, 2) AS running,

@@ -97,6 +97,33 @@ object DynJson {
       }
   }
 
+  /** Order-preserving byte encoding of [[compare]]'s total order: UNSIGNED
+    * lexicographic comparison of `sortableKey` bytes matches `compare` for
+    * missing/null/number/string/boolean — which lets a Spark BinaryType
+    * column carry the cross-type BSON order through shuffles, sorts and
+    * windows (Spark compares binary unsigned-lexicographically).
+    *
+    * Numbers encode as sign-flipped IEEE-754 bits (the classic trick:
+    * negative doubles bit-inverted, positives with the sign bit flipped),
+    * so longs beyond 2^53 collapse to their double — same caveat as
+    * [[compare]]'s double path. Containers encode as canonical JSON under
+    * their rank byte: ordered WITHIN the type bracket, but by JSON text,
+    * not BSON element order (documented deviation; scalar sort keys are
+    * the overwhelmingly common case). */
+  def sortableKey(n0: JsonNode): Array[Byte] = {
+    val n = if (n0 == null) MISSING else n0
+    val rank = typeRank(n).toByte
+    if (n.isNumber) {
+      val bits = java.lang.Double.doubleToLongBits(n.doubleValue)
+      val flipped = if (bits < 0) ~bits else bits ^ java.lang.Long.MIN_VALUE
+      java.nio.ByteBuffer.allocate(9).put(rank).putLong(flipped).array()
+    } else if (n.isTextual)
+      rank +: n.textValue.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    else if (n.isBoolean) Array(rank, if (n.booleanValue) 1.toByte else 0.toByte)
+    else if (isMissing(n) || n.isNull) Array(rank)
+    else rank +: canonical(n).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Mongo equality: numeric across representations, structural for
     * containers (1 == 1.0; {a:1} == {a:1.0}). */
   def deepEq(a: JsonNode, b: JsonNode): Boolean = compare(a, b) == 0

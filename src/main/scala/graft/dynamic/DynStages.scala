@@ -141,7 +141,8 @@ object DynPipeline {
     case "$trace" | "$backTrace" => Some(Iterator.single(_))
     case "$group" | "$count" | "$bucket" | "$deduplicate" |
          "$send" | "$throttle" | "$per" | "$delay" | "$probe" |
-         "$merge" | "$out" | "$delete" | "$lookup" => None // barrier stages
+         "$merge" | "$out" | "$delete" | "$lookup" |
+         "$setWindowFields" => None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
 
@@ -509,6 +510,7 @@ object DynPipeline {
         lit(null).cast(StringType).as("key"),
         concat(lit(s"""{"$field":"""), col("__n").cast(StringType), lit("}")).as("doc"))
     case "$deduplicate" => deduplicate(df, spec)
+    case "$setWindowFields" => setWindowFields(df, spec)
     case "$throttle"    => graft.Stages.throttle(df, spec) // schema-free pacing
     case "$send"        => send(df, spec, ctx)
     case "$per"         => per(df, spec)
@@ -1090,6 +1092,184 @@ object DynPipeline {
         parse(aggs).asInstanceOf[ObjectNode].fields().asScala
           .foreach(e => out.set[JsonNode](e.getKey, e.getValue))
         (gkey, render(out))
+      }
+    }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** `$setWindowFields` in DYNAMIC mode: the cross-type BSON order rides in
+    * a BinaryType [[DynJson.sortableKey]] column (order-preserving byte
+    * encoding), so Spark's Window machinery — ONE hash exchange on the
+    * canonical partition key + a per-partition sort — executes Mongo window
+    * semantics over schemaless documents. Numeric windows carry
+    * (double, wasIntegral) pairs so integer sums stay integers; $min/$max
+    * order by the binary key and return the canonical value; $push/$first/
+    * $last/$shift round-trip canonical JSON. $shift's default fills ONLY
+    * out-of-frame positions (data nulls round-trip as the string "null"). */
+  private def setWindowFields(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+
+    val partOp = spec \ "partitionBy" match {
+      case JNothing | JNull => None
+      case p                => Some(DynExpr.compile(p))
+    }
+    val sortOps: List[(DynExpr.DOp, Boolean)] = spec \ "sortBy" match {
+      case JObject(ks) => ks.map { case (f, d) =>
+        (DynExpr.compile(JString("$" + f)), d match {
+          case JInt(i)    => i >= 0
+          case JLong(l)   => l >= 0
+          case JDouble(x) => x >= 0
+          case _          => true
+        })
+      }
+      case _ => Nil
+    }
+    val rankOps = Set("$rank", "$denseRank", "$documentNumber")
+    case class Out(name: String, op: String, input: Option[DynExpr.DOp],
+        by: Int, default: Option[String], frame: Option[(Long, Long)])
+    val JObject(outsJ) = ((spec \ "output"): @unchecked)
+    val outs: List[Out] = outsJ.map { case (name, o) =>
+      val JObject(fields) = (o: @unchecked)
+      val (op, opSpec) = fields.filterNot(_._1 == "window").head
+      val frame = fields.collectFirst { case ("window", w) =>
+        val JArray(List(lo, hi)) = ((w \ "documents"): @unchecked)
+        def b(v: JValue, isLo: Boolean): Long = v match {
+          case JString("unbounded") => if (isLo) Long.MinValue else Long.MaxValue
+          case JString("current")   => 0L
+          case JInt(i)              => i.toLong
+          case other => throw new IllegalArgumentException(s"documents bound: $other")
+        }
+        (b(lo, isLo = true), b(hi, isLo = false))
+      }
+      op match {
+        case "$shift" =>
+          val by = opSpec \ "by" match { case JInt(i) => i.toInt; case _ => 1 }
+          val dflt = opSpec \ "default" match {
+            case JNothing => None
+            case d => Some(org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(d)))
+          }
+          Out(name, op, Some(DynExpr.compile(opSpec \ "output")), by, dflt, frame)
+        case r if rankOps(r) =>
+          require(sortOps.nonEmpty, s"$r requires sortBy")
+          Out(name, op, None, 0, None, frame)
+        case _ => Out(name, op, Some(DynExpr.compile(opSpec)), 0, None, frame)
+      }
+    }
+
+    // extraction pass: canonical partition key, binary sort keys, and per-
+    // output value columns — documents never re-parse after this point
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("doc", StringType),
+      StructField("__p", StringType)) ++
+      sortOps.indices.map(i => StructField(s"__s$i", BinaryType)) ++
+      outs.zipWithIndex.flatMap { case (o, i) => o.op match {
+        case "$sum" | "$avg" =>
+          Seq(StructField(s"__v$i", DoubleType), StructField(s"__int$i", BooleanType))
+        case "$min" | "$max" =>
+          Seq(StructField(s"__b$i", BinaryType), StructField(s"__c$i", StringType))
+        case "$push" | "$first" | "$last" | "$shift" =>
+          Seq(StructField(s"__c$i", StringType))
+        case _ => Nil
+      }})
+    val extracted = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val dctx = DynExpr.DCtx(parse(s), Map.empty)
+        val vals = scala.collection.mutable.ArrayBuffer[Any](k, s,
+          partOp.map(op => canonical(op.eval(dctx))).getOrElse(""))
+        sortOps.foreach { case (op, _) => vals += sortableKey(op.eval(dctx)) }
+        outs.zipWithIndex.foreach { case (o, i) => o.op match {
+          case "$sum" | "$avg" =>
+            val v = o.input.get.eval(dctx)
+            if (v != null && v.isNumber) { vals += v.doubleValue; vals += v.isIntegralNumber }
+            else { vals += null; vals += true } // non-numeric: $sum skips (0), $avg skips
+          case "$min" | "$max" =>
+            val v = o.input.get.eval(dctx)
+            if (v == null || v.isNull || isMissing(v)) { vals += null; vals += null }
+            else { vals += sortableKey(v); vals += canonical(v) }
+          case "$push" | "$first" | "$last" | "$shift" =>
+            val v = o.input.get.eval(dctx)
+            vals += (if (v == null || isMissing(v)) "null" else canonical(v))
+          case _ => ()
+        }}
+        Row.fromSeq(vals.toSeq)
+      }
+    }(Encoders.row(schema))
+
+    val ordered: WindowSpec = {
+      val base = Window.partitionBy(col("__p"))
+      if (sortOps.isEmpty) base
+      else base.orderBy(sortOps.zipWithIndex.map { case ((_, asc), i) =>
+        if (asc) col(s"__s$i").asc else col(s"__s$i").desc }: _*)
+    }
+    def framed(o: Out): WindowSpec = o.frame match {
+      case Some((lo, hi)) =>
+        val l = if (lo == Long.MinValue) Window.unboundedPreceding else lo
+        val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi
+        ordered.rowsBetween(l, h)
+      case None if sortOps.isEmpty =>
+        ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      case None if rankOps(o.op) || o.op == "$shift" => ordered
+      case None => ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val withCols = outs.zipWithIndex.foldLeft(extracted.toDF()) { case (acc, (o, i)) =>
+      def ordStruct = when(col(s"__b$i").isNull, lit(null))
+        .otherwise(struct(col(s"__b$i").as("b"), col(s"__c$i").as("c")))
+      val c = o.op match {
+        case "$sum" => struct(
+          coalesce(sum(col(s"__v$i")).over(framed(o)), lit(0d)).as("v"),
+          coalesce(bool_and(col(s"__int$i")).over(framed(o)), lit(true)).as("int"))
+        case "$avg" => struct(avg(col(s"__v$i")).over(framed(o)).as("v"),
+          lit(false).as("int"))
+        case "$min"   => min(ordStruct).over(framed(o)).getField("c")
+        case "$max"   => max(ordStruct).over(framed(o)).getField("c")
+        case "$count" => count(lit(1)).over(framed(o))
+        case "$push"  => collect_list(col(s"__c$i")).over(framed(o))
+        case "$first" => first(col(s"__c$i")).over(framed(o))
+        case "$last"  => last(col(s"__c$i")).over(framed(o))
+        case "$rank"           => rank().over(ordered)
+        case "$denseRank"      => dense_rank().over(ordered)
+        case "$documentNumber" => row_number().over(ordered)
+        case "$shift" =>
+          val s0 = (if (o.by >= 0) lead(col(s"__c$i"), o.by)
+                    else lag(col(s"__c$i"), -o.by)).over(ordered)
+          o.default.map(d => coalesce(s0, lit(d))).getOrElse(s0)
+        case other =>
+          throw new IllegalArgumentException(s"$$setWindowFields operator $other")
+      }
+      acc.withColumn(s"__r$i", c)
+    }
+
+    val projected = withCols.select(
+      (col("key") +: col("doc") +: outs.indices.map(i => col(s"__r$i"))): _*)
+    projected.mapPartitions { rows =>
+      rows.map { r =>
+        val doc = parse(r.getString(1)).asInstanceOf[ObjectNode]
+        outs.zipWithIndex.foreach { case (o, i) =>
+          val idx = 2 + i
+          val node: JsonNode = o.op match {
+            case "$sum" =>
+              val st = r.getStruct(idx)
+              val v = st.getDouble(0)
+              if (st.getBoolean(1) && v == math.rint(v) && math.abs(v) < 9.007199254740992e15)
+                nodes.numberNode(v.toLong)
+              else nodes.numberNode(v)
+            case "$avg" =>
+              val st = r.getStruct(idx)
+              if (st.isNullAt(0)) nodes.nullNode else nodes.numberNode(st.getDouble(0))
+            case "$min" | "$max" | "$first" | "$last" | "$shift" =>
+              if (r.isNullAt(idx)) nodes.nullNode else parse(r.getString(idx))
+            case "$push" =>
+              val a = arr()
+              r.getSeq[String](idx).foreach(s => a.add(parse(s)))
+              a
+            case _ => // $count / rank family: integer-valued
+              nodes.numberNode(r.getAs[Number](idx).longValue)
+          }
+          doc.set[JsonNode](o.name, node)
+        }
+        (if (r.isNullAt(0)) null else r.getString(0), render(doc))
       }
     }(tuple2Enc).toDF("key", "doc")
   }

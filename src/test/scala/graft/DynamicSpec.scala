@@ -480,6 +480,43 @@ class DynamicSpec extends SparkSpec {
          "top2":[4,3],"c":1.0,"ash":0.0}""".replaceAll("\\s+", ""))))
   }
 
+  test("dynamic $setWindowFields: running sum, rank, shift over cross-type sort keys") {
+    // sort key "s" is heterogeneous: numbers sort before strings (BSON
+    // bracket order), carried through the window by the binary sortableKey
+    val out = outDocs(run(
+      docs("""{"_id":"0","g":"a","s":2,"v":10}""",
+        """{"_id":"1","g":"a","s":"x","v":5}""",
+        """{"_id":"2","g":"a","s":1,"v":2.5}""",
+        """{"_id":"3","g":"b","s":1,"v":7}"""),
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"s": 1},
+            "output": {
+              "run": {"$sum": "$v"},
+              "num": {"$documentNumber": {}},
+              "prev": {"$shift": {"output": "$v", "by": -1, "default": "none"}},
+              "hi": {"$max": "$v"}}}},
+          {"$project": {"run": 1, "num": 1, "prev": 1, "hi": 1}}]"""))
+    // group a sort order: s=1 (v=2.5), s=2 (v=10), s="x" (v=5);
+    // default frame with sortBy is [unbounded, current] -> hi is a RUNNING max
+    assert(out == Set(
+      node("""{"_id":"2","run":2.5,"num":1,"prev":"none","hi":2.5}"""),
+      node("""{"_id":"0","run":12.5,"num":2,"prev":2.5,"hi":10}"""),
+      node("""{"_id":"1","run":17.5,"num":3,"prev":10,"hi":10}"""),
+      node("""{"_id":"3","run":7,"num":1,"prev":"none","hi":7}""")))
+  }
+
+  test("dynamic $setWindowFields: integral sums stay integers; push keeps frame order") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","k":1,"v":2}""", """{"_id":"1","k":2,"v":3}"""),
+      """[{"$setWindowFields": {"sortBy": {"k": 1},
+            "output": {"tot": {"$sum": "$v"},
+                       "seen": {"$push": "$v"}}}},
+          {"$project": {"tot": 1, "seen": 1}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","tot":2,"seen":[2]}"""),
+      node("""{"_id":"1","tot":5,"seen":[2,3]}""")))
+  }
+
   test("dynamic expr: $regexFindAll returns every {match, idx, captures}") {
     val out = outDocs(run(
       docs("""{"_id":"0","s":"a1b22"}"""),
