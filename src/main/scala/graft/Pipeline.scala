@@ -91,6 +91,7 @@ final class Pipeline(
       case "$jslt"        => graft.operators.ScriptStages.jslt(df, spec)
       case "$jq"          => graft.operators.ScriptStages.jq(df, spec)
       case "$setWindowFields" => Stages.setWindowFields(df, spec)
+      case "$fill"        => Stages.fill(df, spec)
       case "$throttle"    => Stages.throttle(df, spec)
       case "$trace" | "$backTrace" => df // observability no-ops in batch
       case ext if extensions.contains(ext) => extensions(ext)(df, spec)
@@ -893,6 +894,8 @@ private[graft] object Stages {
         case "$push"  => collect_list(cexpr(opSpec)).over(framed)
         case "$first" => first(cexpr(opSpec)).over(framed)
         case "$last"  => last(cexpr(opSpec)).over(framed)
+        case "$locf" => // last observation carried forward
+          last(cexpr(opSpec), ignoreNulls = true).over(framed)
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)
         case "$documentNumber" => row_number().over(ordered)
@@ -912,6 +915,31 @@ private[graft] object Stages {
           throw new IllegalArgumentException(s"$$setWindowFields operator $other")
       }
       acc.withColumn(name, c)
+    }
+  }
+
+  /** `$fill` (MQL 5.3+, beyond the reference): fill null/missing values —
+    * `method: "locf"` rewrites to a `$setWindowFields` `$locf` over the
+    * given partition/sort; `value: <expr>` is a document-local `$ifNull`.
+    * `linear` interpolation is not supported (clear error). */
+  def fill(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    val JObject(outs) = ((spec \ "output"): @unchecked)
+    val (locf, rest) = outs.partition { case (_, v) =>
+      (v \ "method") == JString("locf") }
+    rest.foreach { case (f, v) =>
+      if ((v \ "value") == JNothing) throw new IllegalArgumentException(
+        s"$$fill $f: only method: locf and value: <expr> are supported")
+    }
+    val afterLocf =
+      if (locf.isEmpty) df
+      else setWindowFields(df, JObject(List(
+        "partitionBy" -> (spec \ "partitionBy"),
+        "sortBy" -> (spec \ "sortBy"),
+        "output" -> JObject(locf.map { case (f, _) =>
+          f -> JObject(List("$locf" -> JString("$" + f))) }))))
+    rest.foldLeft(afterLocf) { case (acc, (f, v)) =>
+      addFields(acc, JObject(List(f -> JObject(List(
+        "$ifNull" -> JArray(List(JString("$" + f), v \ "value")))))))
     }
   }
 

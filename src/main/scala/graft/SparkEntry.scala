@@ -937,6 +937,14 @@ object SparkEntry {
                         "running": {"$round": ["$running", 2]},
                         "rnk": 1, "prev": 1,
                         "avg3": {"$round": ["$avg3", 4]}}}]""")),
+    // $fill locf: every third event's value nulled, then carried forward
+    "q_fill" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$addFields": {"v": {"$cond": [
+            {"$eq": [{"$mod": ["$event_id", 3]}, 0]}, null, "$value"]}}},
+          {"$fill": {"partitionBy": "$event_type",
+                     "sortBy": {"ts": 1, "event_id": 1},
+                     "output": {"v": {"method": "locf"}}}},
+          {"$project": {"event_id": 1, "v": 1}}]""")),
     // $top/$bottom: per type, the value of the newest/oldest event
     // (event_id tie-break keeps equal timestamps deterministic)
     "q_group_top" -> ((s, dir) => pipe(s, dir, "events",
@@ -1642,6 +1650,16 @@ object SparkEntry {
                      ROWS UNBOUNDED PRECEDING),
            w_avg AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_fill" ->
+      """WITH e AS (SELECT event_id, event_type, ts,
+                           CASE WHEN event_id % 3 = 0 THEN NULL
+                                ELSE value END AS v
+                    FROM events)
+         SELECT event_id,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS v
+         FROM e""",
     "q_group_top" ->
       """WITH r AS (SELECT event_type, value,
                            row_number() OVER (PARTITION BY event_type

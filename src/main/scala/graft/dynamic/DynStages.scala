@@ -142,7 +142,7 @@ object DynPipeline {
     case "$group" | "$count" | "$bucket" | "$deduplicate" |
          "$send" | "$throttle" | "$per" | "$delay" | "$probe" |
          "$merge" | "$out" | "$delete" | "$lookup" |
-         "$setWindowFields" => None // barrier stages
+         "$setWindowFields" | "$fill" => None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
 
@@ -511,6 +511,7 @@ object DynPipeline {
         concat(lit(s"""{"$field":"""), col("__n").cast(StringType), lit("}")).as("doc"))
     case "$deduplicate" => deduplicate(df, spec)
     case "$setWindowFields" => setWindowFields(df, spec)
+    case "$fill"        => fillStage(df, spec)
     case "$throttle"    => graft.Stages.throttle(df, spec) // schema-free pacing
     case "$send"        => send(df, spec, ctx)
     case "$per"         => per(df, spec)
@@ -1169,7 +1170,7 @@ object DynPipeline {
           Seq(StructField(s"__v$i", DoubleType), StructField(s"__int$i", BooleanType))
         case "$min" | "$max" =>
           Seq(StructField(s"__b$i", BinaryType), StructField(s"__c$i", StringType))
-        case "$push" | "$first" | "$last" | "$shift" =>
+        case "$push" | "$first" | "$last" | "$shift" | "$locf" =>
           Seq(StructField(s"__c$i", StringType))
         case _ => Nil
       }})
@@ -1191,6 +1192,9 @@ object DynPipeline {
           case "$push" | "$first" | "$last" | "$shift" =>
             val v = o.input.get.eval(dctx)
             vals += (if (v == null || isMissing(v)) "null" else canonical(v))
+          case "$locf" => // SQL-null when absent so last(ignoreNulls) skips it
+            val v = o.input.get.eval(dctx)
+            vals += (if (v == null || v.isNull || isMissing(v)) null else canonical(v))
           case _ => ()
         }}
         Row.fromSeq(vals.toSeq)
@@ -1228,6 +1232,7 @@ object DynPipeline {
         case "$push"  => collect_list(col(s"__c$i")).over(framed(o))
         case "$first" => first(col(s"__c$i")).over(framed(o))
         case "$last"  => last(col(s"__c$i")).over(framed(o))
+        case "$locf"  => last(col(s"__c$i"), ignoreNulls = true).over(framed(o))
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)
         case "$documentNumber" => row_number().over(ordered)
@@ -1258,7 +1263,7 @@ object DynPipeline {
             case "$avg" =>
               val st = r.getStruct(idx)
               if (st.isNullAt(0)) nodes.nullNode else nodes.numberNode(st.getDouble(0))
-            case "$min" | "$max" | "$first" | "$last" | "$shift" =>
+            case "$min" | "$max" | "$first" | "$last" | "$shift" | "$locf" =>
               if (r.isNullAt(idx)) nodes.nullNode else parse(r.getString(idx))
             case "$push" =>
               val a = arr()
@@ -1272,6 +1277,30 @@ object DynPipeline {
         (if (r.isNullAt(0)) null else r.getString(0), render(doc))
       }
     }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** `$fill` in dynamic mode: `method: locf` fields rewrite to ONE
+    * `$setWindowFields` `$locf` pass; `value: <expr>` fields are a fused
+    * per-document `$ifNull` (no shuffle). */
+  private def fillStage(df: DataFrame, spec: JValue): DataFrame = {
+    val JObject(outs) = ((spec \ "output"): @unchecked)
+    val (locf, rest) = outs.partition { case (_, v) =>
+      (v \ "method") == JString("locf") }
+    rest.foreach { case (f, v) =>
+      if ((v \ "value") == JNothing) throw new IllegalArgumentException(
+        s"$$fill $f: only method: locf and value: <expr> are supported")
+    }
+    val afterLocf =
+      if (locf.isEmpty) df
+      else setWindowFields(df, JObject(List(
+        "partitionBy" -> (spec \ "partitionBy"),
+        "sortBy" -> (spec \ "sortBy"),
+        "output" -> JObject(locf.map { case (f, _) =>
+          f -> JObject(List("$locf" -> JString("$" + f))) }))))
+    if (rest.isEmpty) afterLocf
+    else applyFused(afterLocf, List(addFields(JObject(rest.map { case (f, v) =>
+      f -> JObject(List("$ifNull" -> JArray(List(JString("$" + f), v \ "value"))))
+    }))))
   }
 
   /** $deduplicate on an expression (canonical Mongo equality): first doc per

@@ -480,6 +480,32 @@ class DynamicSpec extends SparkSpec {
          "top2":[4,3],"c":1.0,"ash":0.0}""".replaceAll("\\s+", ""))))
   }
 
+  test("sortableKey: unsigned-lexicographic byte order matches DynJson.compare") {
+    import graft.dynamic.DynJson
+    val rnd = new scala.util.Random(99)
+    val nodes: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Seq(DynJson.MISSING, DynJson.nodes.nullNode(),
+        DynJson.nodes.booleanNode(true), DynJson.nodes.booleanNode(false)) ++
+      Seq.fill(40)(DynJson.nodes.numberNode(rnd.nextLong(2000) - 1000)) ++
+      Seq.fill(40)(DynJson.nodes.numberNode(rnd.nextDouble() * 2000 - 1000)) ++
+      Seq.fill(40)(DynJson.nodes.textNode(rnd.alphanumeric.take(rnd.nextInt(6)).mkString))
+    def unsignedCmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return Integer.signum(d)
+        i += 1
+      }
+      Integer.compare(a.length, b.length)
+    }
+    for (x <- nodes; y <- nodes) {
+      val want = Integer.signum(DynJson.compare(x, y))
+      val got = unsignedCmp(DynJson.sortableKey(x), DynJson.sortableKey(y))
+      assert(got == want, s"order mismatch: $x vs $y (got $got want $want)")
+    }
+  }
+
   test("dynamic $setWindowFields: running sum, rank, shift over cross-type sort keys") {
     // sort key "s" is heterogeneous: numbers sort before strings (BSON
     // bracket order), carried through the window by the binary sortableKey
@@ -515,6 +541,22 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(
       node("""{"_id":"0","tot":2,"seen":[2]}"""),
       node("""{"_id":"1","tot":5,"seen":[2,3]}""")))
+  }
+
+  test("dynamic $fill: locf over schemaless docs; value via $ifNull") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","g":"a","s":1,"v":10}""",
+        """{"_id":"1","g":"a","s":2,"v":null}""",
+        """{"_id":"2","g":"a","s":3}""",
+        """{"_id":"3","g":"b","s":1,"w":null}"""),
+      """[{"$fill": {"partitionBy": "$g", "sortBy": {"s": 1},
+            "output": {"v": {"method": "locf"}, "w": {"value": "x"}}}},
+          {"$project": {"v": 1, "w": 1}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","v":10,"w":"x"}"""),
+      node("""{"_id":"1","v":10,"w":"x"}"""),
+      node("""{"_id":"2","v":10,"w":"x"}"""),
+      node("""{"_id":"3","v":null,"w":"x"}""")))
   }
 
   test("dynamic expr: $regexFindAll returns every {match, idx, captures}") {

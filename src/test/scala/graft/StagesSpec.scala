@@ -242,6 +242,22 @@ class StagesSpec extends SparkSpec {
     assert(global.select("tot").collect().map(_.getDouble(0)).toSet == Set(7.0))
   }
 
+  test("$fill: locf carries forward within partition; value fills with a constant") {
+    val df = Seq(("0", "a", 1L, Some(10.0), None: Option[Long]),
+      ("1", "a", 2L, None, Some(7L)), ("2", "a", 3L, None, None),
+      ("3", "b", 1L, None, None))
+      .toDF("_id", "g", "seq", "v", "w")
+    val out = pipeline.run(df,
+      """[{"$fill": {"partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {"v": {"method": "locf"}, "w": {"value": -1}}}}]""")
+      .orderBy("g", "seq")
+      .collect().map(r => (Option(r.get(r.fieldIndex("v"))),
+        r.getAs[Long]("w"))).toList
+    // a: 10 carried through seq 2 and 3; b: leading null stays null
+    assert(out == List((Some(10.0), -1L), (Some(10.0), 7L), (Some(10.0), -1L),
+      (None, -1L)))
+  }
+
   test("global $group and $count emit nothing on empty input") {
     val empty = flat.filter($"test" > 100)
     assert(pipeline.run(empty,
