@@ -92,6 +92,7 @@ final class Pipeline(
       case "$jq"          => graft.operators.ScriptStages.jq(df, spec)
       case "$setWindowFields" => Stages.setWindowFields(df, spec)
       case "$fill"        => Stages.fill(df, spec)
+      case "$densify"     => Stages.densify(df, spec)
       case "$throttle"    => Stages.throttle(df, spec)
       case "$trace" | "$backTrace" => df // observability no-ops in batch
       case ext if extensions.contains(ext) => extensions(ext)(df, spec)
@@ -916,6 +917,57 @@ private[graft] object Stages {
       }
       acc.withColumn(name, c)
     }
+  }
+
+  /** `$densify` (MQL 5.1+, beyond the reference): generate the missing
+    * points of a numeric sequence. `{field, partitionByFields?, range:
+    * {step, bounds: "full" | "partition" | [lo, hi)}}` — integer steps.
+    *
+    * Distributed shape: bounds are a tiny per-partition (or global) min/max
+    * aggregate; `sequence()` explodes the grid per partition key; a
+    * LEFT ANTI join against the existing (partition, value) pairs keeps only
+    * the gaps; the stubs union back with every other column null. No
+    * driver-side loops, no cross join wider than (partitions × grid). */
+  def densify(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    val JString(fieldName) = ((spec \ "field"): @unchecked)
+    val partFields: List[String] = spec \ "partitionByFields" match {
+      case JArray(xs) => xs.map { case JString(s) => s
+        case other => throw new IllegalArgumentException(s"partitionByFields: $other") }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"partitionByFields: $other")
+    }
+    val step = spec \ "range" \ "step" match {
+      case JInt(i) => i.toLong
+      case other => throw new IllegalArgumentException(s"$$densify integer step only: $other")
+    }
+    val f = col(fieldName).cast("long")
+    val parts = partFields.map(col)
+    def partKeys = if (partFields.isEmpty) df.select(lit(1).as("__one")).limit(1)
+                   else df.select(parts: _*).distinct()
+    val (bounded, exclusiveHi) = spec \ "range" \ "bounds" match {
+      case JString("partition") =>
+        require(partFields.nonEmpty, "bounds: partition needs partitionByFields")
+        (df.groupBy(parts: _*).agg(min(f).as("__lo"), max(f).as("__hi")), false)
+      case JString("full") =>
+        val g = df.agg(min(f).as("__lo"), max(f).as("__hi"))
+        (partKeys.crossJoin(broadcast(g)), false)
+      case JArray(List(lo, hi)) =>
+        def n(v: JValue): Long = v match {
+          case JInt(i) => i.toLong
+          case other => throw new IllegalArgumentException(s"bounds: $other")
+        }
+        // Mongo explicit bounds are [lo, hi): generate up to hi - 1
+        (partKeys.withColumn("__lo", lit(n(lo))).withColumn("__hi", lit(n(hi))), true)
+      case other => throw new IllegalArgumentException(s"$$densify bounds: $other")
+    }
+    val hiCol = if (exclusiveHi) col("__hi") - 1 else col("__hi")
+    val grid = bounded
+      .filter(col("__lo").isNotNull && col("__lo") <= hiCol)
+      .select((parts :+
+        explode(sequence(col("__lo"), hiCol, lit(step))).as(fieldName)): _*)
+    val existing = df.select((parts :+ f.as(fieldName)): _*).distinct()
+    val missing = grid.join(existing, partFields :+ fieldName, "left_anti")
+    df.unionByName(missing, allowMissingColumns = true)
   }
 
   /** `$fill` (MQL 5.3+, beyond the reference): fill null/missing values —

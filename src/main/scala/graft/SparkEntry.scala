@@ -937,6 +937,13 @@ object SparkEntry {
                         "running": {"$round": ["$running", 2]},
                         "rnk": 1, "prev": 1,
                         "avg3": {"$round": ["$avg3", 4]}}}]""")),
+    // $densify: missing user slots per event type generated as stub rows
+    "q_densify" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$project": {"event_id": 1, "event_type": 1,
+                        "slot": {"$mod": ["$user_id", 50]}}},
+          {"$densify": {"field": "slot", "partitionByFields": ["event_type"],
+                        "range": {"step": 1, "bounds": [0, 50]}}},
+          {"$project": {"event_id": 1, "event_type": 1, "slot": 1}}]""")),
     // $fill locf: every third event's value nulled, then carried forward
     "q_fill" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$addFields": {"v": {"$cond": [
@@ -1650,6 +1657,18 @@ object SparkEntry {
                      ROWS UNBOUNDED PRECEDING),
            w_avg AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_densify" ->
+      """WITH e AS (SELECT event_id, event_type, user_id % 50 AS slot
+                    FROM events),
+         parts AS (SELECT DISTINCT event_type FROM e),
+         gen AS (SELECT event_type, unnest(generate_series(0, 49)) AS slot
+                 FROM parts),
+         miss AS (SELECT g.event_type, g.slot FROM gen g
+                  ANTI JOIN (SELECT DISTINCT event_type, slot FROM e) x
+                  ON g.event_type = x.event_type AND g.slot = x.slot)
+         SELECT event_id, event_type, slot FROM e
+         UNION ALL
+         SELECT NULL, event_type, slot FROM miss""",
     "q_fill" ->
       """WITH e AS (SELECT event_id, event_type, ts,
                            CASE WHEN event_id % 3 = 0 THEN NULL

@@ -258,6 +258,26 @@ class StagesSpec extends SparkSpec {
       (None, -1L)))
   }
 
+  test("$densify generates gap rows per partition; existing points untouched") {
+    val df = Seq(("0", "a", 1L, "x"), ("1", "a", 4L, "y"), ("2", "b", 2L, "z"))
+      .toDF("_id", "g", "n", "payload")
+    val out = pipeline.run(df,
+      """[{"$densify": {"field": "n", "partitionByFields": ["g"],
+            "range": {"step": 1, "bounds": "partition"}}}]""")
+    val got = out.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n"),
+        Option(r.getAs[String]("payload")))).toSet
+    assert(got == Set(("a", 1L, Some("x")), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some("y")), ("b", 2L, Some("z"))))
+  }
+
+  test("$densify explicit [lo, hi) bounds are exclusive of hi") {
+    val df = Seq(("0", 1L)).toDF("_id", "n")
+    val out = pipeline.run(df,
+      """[{"$densify": {"field": "n", "range": {"step": 2, "bounds": [0, 6]}}}]""")
+    assert(out.select("n").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 4L))
+  }
+
   test("global $group and $count emit nothing on empty input") {
     val empty = flat.filter($"test" > 100)
     assert(pipeline.run(empty,
