@@ -93,6 +93,50 @@ final class Pipeline(
       case "$setWindowFields" => Stages.setWindowFields(df, spec)
       case "$fill"        => Stages.fill(df, spec)
       case "$densify"     => Stages.densify(df, spec)
+      // ---- batch-only MQL stages the reference excludes by design (its
+      // streams are unbounded, SURVEY §2.8); legitimate on bounded inputs --
+      case "$sort"        => Stages.sortStage(df, spec)
+      case "$limit" => spec match {
+        case JInt(n) => df.limit(n.toInt)
+        case other   => throw new IllegalArgumentException(s"$$limit: $other")
+      }
+      case "$skip" => spec match {
+        case JInt(n) => df.offset(n.toInt)
+        case other   => throw new IllegalArgumentException(s"$$skip: $other")
+      }
+      case "$sample" => // DEVIATION: deterministic hash order, not random —
+        // reproducible runs and oracle checks beat true randomness here
+        spec \ "size" match {
+          case JInt(n) =>
+            df.orderBy(xxhash64(df.columns.map(col): _*)).limit(n.toInt)
+          case other => throw new IllegalArgumentException(s"$$sample: $other")
+        }
+      case "$sortByCount" =>
+        df.groupBy(MongoExpr.compile(spec).as("_id"))
+          .agg(count(lit(1)).as("count"))
+          .orderBy(col("count").desc, col("_id")) // _id tiebreak: determinism
+      case "$unionWith" =>
+        val (coll, sub) = spec match {
+          case JString(c) => (c, JNothing)
+          case o: JObject => (o \ "coll" match {
+            case JString(c) => c
+            case other => throw new IllegalArgumentException(s"$$unionWith coll: $other")
+          }, o \ "pipeline")
+          case other => throw new IllegalArgumentException(s"$$unionWith: $other")
+        }
+        val other0 = catalog(coll)
+        val other = sub match {
+          case JNothing | JNull => other0
+          case p                => run(other0, p)
+        }
+        df.unionByName(other, allowMissingColumns = true)
+      case "$facet" => // each sub-pipeline folds to ONE array column; the
+        // single-row facet frames cross-join into one document
+        val JObject(facets) = (spec: @unchecked)
+        val framed = facets.map { case (fname, sub) =>
+          run(df, sub).select(array_agg(struct(col("*"))).as(fname))
+        }
+        framed.reduce((a, b) => a.crossJoin(b))
       case "$throttle"    => Stages.throttle(df, spec)
       case "$trace" | "$backTrace" => df // observability no-ops in batch
       case ext if extensions.contains(ext) => extensions(ext)(df, spec)
@@ -917,6 +961,23 @@ private[graft] object Stages {
       }
       acc.withColumn(name, c)
     }
+  }
+
+  /** `$sort` (batch-only; the reference's unbounded streams cannot sort).
+    * Mongo null placement matches Spark defaults: nulls first ascending,
+    * last descending. A global sort is a range-exchange over the whole
+    * input — fine for bounded pipelines, deliberate cost at 100 TB. */
+  def sortStage(df: DataFrame, spec: JValue): DataFrame = {
+    val JObject(keys) = (spec: @unchecked)
+    df.orderBy(keys.map { case (f, dir) =>
+      val asc = dir match {
+        case JInt(i)    => i >= 0
+        case JLong(l)   => l >= 0
+        case JDouble(d) => d >= 0
+        case _          => true
+      }
+      if (asc) col(f).asc else col(f).desc
+    }: _*)
   }
 
   /** `$densify` (MQL 5.1+, beyond the reference): generate the missing

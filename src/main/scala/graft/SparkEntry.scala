@@ -937,6 +937,16 @@ object SparkEntry {
                         "running": {"$round": ["$running", 2]},
                         "rnk": 1, "prev": 1,
                         "avg3": {"$round": ["$avg3", 4]}}}]""")),
+    // batch-only MQL stages (the reference's unbounded streams exclude them)
+    "q_sort_limit" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$sort": {"value": -1, "event_id": 1}}, {"$limit": 100},
+          {"$project": {"event_id": 1, "value": 1}}]""")),
+    "q_sortbycount" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$sortByCount": "$event_type"}]""")),
+    "q_unionwith" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$project": {"event_id": 1}},
+          {"$unionWith": {"coll": "nation",
+            "pipeline": [{"$project": {"event_id": "$n_nationkey"}}]}}]""")),
     // $densify: missing user slots per event type generated as stub rows
     "q_densify" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$project": {"event_id": 1, "event_type": 1,
@@ -1657,6 +1667,15 @@ object SparkEntry {
                      ROWS UNBOUNDED PRECEDING),
            w_avg AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_sort_limit" ->
+      """SELECT event_id, value FROM events
+         ORDER BY value DESC, event_id LIMIT 100""",
+    "q_sortbycount" ->
+      """SELECT event_type AS _id, count(*) AS count
+         FROM events GROUP BY 1""",
+    "q_unionwith" ->
+      """SELECT event_id FROM events
+         UNION ALL SELECT n_nationkey FROM nation""",
     "q_densify" ->
       """WITH e AS (SELECT event_id, event_type, user_id % 50 AS slot
                     FROM events),

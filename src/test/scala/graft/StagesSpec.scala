@@ -278,6 +278,49 @@ class StagesSpec extends SparkSpec {
     assert(out.select("n").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 4L))
   }
 
+  test("batch stages: $sort/$limit/$skip/$sortByCount/$facet") {
+    val df = Seq(("0", "b", 3L), ("1", "a", 1L), ("2", "a", 2L), ("3", "c", 9L))
+      .toDF("_id", "g", "v")
+    val sorted = pipeline.run(df,
+      """[{"$sort": {"v": -1}}, {"$limit": 2}]""")
+      .select("_id").collect().map(_.getString(0)).toList
+    assert(sorted == List("3", "0"))
+    val skipped = pipeline.run(df,
+      """[{"$sort": {"v": 1}}, {"$skip": 3}]""")
+      .select("_id").collect().map(_.getString(0)).toList
+    assert(skipped == List("3"))
+    val byCount = pipeline.run(df, """[{"$sortByCount": "$g"}]""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(byCount == List(("a", 2L), ("b", 1L), ("c", 1L)))
+    val facet = pipeline.run(df,
+      """[{"$facet": {
+            "top": [{"$sort": {"v": -1}}, {"$limit": 1}, {"$project": {"_id": 1}}],
+            "byG": [{"$sortByCount": "$g"}]}}]""")
+    val r = facet.head()
+    assert(facet.count() == 1)
+    assert(r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)) == Seq("3"))
+    assert(r.getSeq[org.apache.spark.sql.Row](1).length == 3)
+  }
+
+  test("$sample is a deterministic hash-ordered subset (documented deviation)") {
+    val df = Seq.tabulate(50)(i => (i.toString, i.toLong)).toDF("_id", "v")
+    val a = pipeline.run(df, """[{"$sample": {"size": 10}}]""")
+      .collect().map(_.getString(0)).toSet
+    val b = pipeline.run(df, """[{"$sample": {"size": 10}}]""")
+      .collect().map(_.getString(0)).toSet
+    assert(a == b && a.size == 10)
+  }
+
+  test("$unionWith concatenates a catalog collection run through its pipeline") {
+    val df = Seq(("0", 1L)).toDF("_id", "v")
+    val dim = Seq((7L, "x"), (8L, "y")).toDF("k", "label")
+    val p = new Pipeline(catalog = { case "dim" => dim })
+    val out = p.run(df,
+      """[{"$unionWith": {"coll": "dim",
+            "pipeline": [{"$project": {"v": "$k"}}]}}]""")
+    assert(out.select("v").collect().map(_.getLong(0)).toSet == Set(1L, 7L, 8L))
+  }
+
   test("global $group and $count emit nothing on empty input") {
     val empty = flat.filter($"test" > 100)
     assert(pipeline.run(empty,
