@@ -1032,16 +1032,22 @@ private[graft] object Stages {
   }
 
   /** `$fill` (MQL 5.3+, beyond the reference): fill null/missing values —
-    * `method: "locf"` rewrites to a `$setWindowFields` `$locf` over the
-    * given partition/sort; `value: <expr>` is a document-local `$ifNull`.
-    * `linear` interpolation is not supported (clear error). */
+    * `method: "locf"` rewrites to a `$setWindowFields` `$locf`;
+    * `method: "linear"` interpolates between the bracketing non-null
+    * observations ON THE SORT FIELD (Mongo's rule; requires a single
+    * numeric sortBy key), via one backward + one forward window;
+    * `value: <expr>` is a document-local `$ifNull`. */
   def fill(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val JObject(outs) = ((spec \ "output"): @unchecked)
-    val (locf, rest) = outs.partition { case (_, v) =>
-      (v \ "method") == JString("locf") }
+    def method(v: JValue): Option[String] = v \ "method" match {
+      case JString(m) => Some(m); case _ => None
+    }
+    val (locf, rest0) = outs.partition(o => method(o._2).contains("locf"))
+    val (linear, rest) = rest0.partition(o => method(o._2).contains("linear"))
     rest.foreach { case (f, v) =>
       if ((v \ "value") == JNothing) throw new IllegalArgumentException(
-        s"$$fill $f: only method: locf and value: <expr> are supported")
+        s"$$fill $f: method must be locf or linear, or give value: <expr>")
     }
     val afterLocf =
       if (locf.isEmpty) df
@@ -1050,7 +1056,37 @@ private[graft] object Stages {
         "sortBy" -> (spec \ "sortBy"),
         "output" -> JObject(locf.map { case (f, _) =>
           f -> JObject(List("$locf" -> JString("$" + f))) }))))
-    rest.foldLeft(afterLocf) { case (acc, (f, v)) =>
+    val afterLinear = if (linear.isEmpty) afterLocf else {
+      val sortKeys = spec \ "sortBy" match {
+        case JObject(List((f, _))) => f
+        case other => throw new IllegalArgumentException(
+          s"$$fill linear needs exactly one sortBy field, got $other")
+      }
+      val s = col(sortKeys).cast("double")
+      val part = spec \ "partitionBy" match {
+        case JNothing | JNull => lit(1)
+        case p                => cexpr(p)(ctxFor(afterLocf))
+      }
+      val back = Window.partitionBy(part).orderBy(col(sortKeys))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(part).orderBy(col(sortKeys))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      linear.foldLeft(afterLocf) { case (acc, (f, _)) =>
+        val v = col(f).cast("double")
+        val obs = when(v.isNotNull, struct(s.as("s"), v.as("v")))
+        val prev = last(obs, ignoreNulls = true).over(back)
+        val next = first(obs, ignoreNulls = true).over(fwd)
+        val interp = prev.getField("v") +
+          (next.getField("v") - prev.getField("v")) *
+            (s - prev.getField("s")) /
+            (next.getField("s") - prev.getField("s"))
+        acc.withColumn(f,
+          when(col(f).isNotNull, col(f))
+            .when(prev.isNull || next.isNull, lit(null))
+            .otherwise(interp))
+      }
+    }
+    rest.foldLeft(afterLinear) { case (acc, (f, v)) =>
       addFields(acc, JObject(List(f -> JObject(List(
         "$ifNull" -> JArray(List(JString("$" + f), v \ "value")))))))
     }

@@ -142,7 +142,9 @@ object DynPipeline {
     case "$group" | "$count" | "$bucket" | "$deduplicate" |
          "$send" | "$throttle" | "$per" | "$delay" | "$probe" |
          "$merge" | "$out" | "$delete" | "$lookup" |
-         "$setWindowFields" | "$fill" => None // barrier stages
+         "$setWindowFields" | "$fill" | "$densify" | "$sort" | "$limit" |
+         "$skip" | "$sample" | "$sortByCount" | "$unionWith" |
+         "$facet" => None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
 
@@ -227,7 +229,9 @@ object DynPipeline {
       case other => throw new IllegalArgumentException(s"$$project: $other")
     }
     def isExclude(v: JValue): Boolean = v == JInt(0) || v == JBool(false)
-    val inclusionMode = fields.exists { case (k, v) => k != "_id" && !isExclude(v) }
+    // ANY included field (incl. a bare {"_id": 1}) makes this an inclusion
+    // projection; only an all-exclusion spec means exclusion mode
+    val inclusionMode = fields.exists { case (_, v) => !isExclude(v) }
     if (!inclusionMode) unset(JArray(fields.map { case (k, _) => JString(k) }))
     else {
       val idExcluded = fields.exists { case (k, v) => k == "_id" && isExclude(v) }
@@ -512,6 +516,64 @@ object DynPipeline {
     case "$deduplicate" => deduplicate(df, spec)
     case "$setWindowFields" => setWindowFields(df, spec)
     case "$fill"        => fillStage(df, spec)
+    case "$densify"     => densifyStage(df, spec)
+    case "$sort"        => sortStage(df, spec)
+    case "$limit" => spec match {
+      case JInt(n) => df.limit(n.toInt)
+      case other   => throw new IllegalArgumentException(s"$$limit: $other")
+    }
+    case "$skip" => spec match {
+      case JInt(n) => df.offset(n.toInt)
+      case other   => throw new IllegalArgumentException(s"$$skip: $other")
+    }
+    case "$sample" => spec \ "size" match { // deterministic hash order
+      case JInt(n) => df.orderBy(xxhash64(col("doc"))).limit(n.toInt)
+      case other   => throw new IllegalArgumentException(s"$$sample: $other")
+    }
+    case "$sortByCount" =>
+      val op = DynExpr.compile(spec)
+      normalize(df).as(tuple2Enc).mapPartitions { it =>
+        it.map { case (_, s) =>
+          (canonical(op.eval(DynExpr.DCtx(parse(s), Map.empty))), s)
+        }
+      }(tuple2Enc).toDF("__k", "doc")
+        .groupBy("__k").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("__k"))
+        .select(lit(null).cast(StringType).as("key"),
+          concat(lit("""{"_id":"""), col("__k"), lit(""","count":"""),
+            col("__n").cast(StringType), lit("}")).as("doc"))
+    case "$unionWith" =>
+      val (coll, sub) = spec match {
+        case JString(c) => (c, JNothing)
+        case o: JObject => (o \ "coll" match {
+          case JString(c) => c
+          case other => throw new IllegalArgumentException(s"$$unionWith coll: $other")
+        }, o \ "pipeline")
+        case other => throw new IllegalArgumentException(s"$$unionWith: $other")
+      }
+      val other0 = normalize(ctx.catalog(coll))
+      val other = sub match {
+        case JNothing | JNull => other0
+        case p                => run(other0, p, ctx)
+      }
+      normalize(df).unionByName(other)
+    case "$facet" =>
+      val JObject(facets) = (spec: @unchecked)
+      val framed = facets.map { case (fname, sub) =>
+        run(normalize(df), sub, ctx)
+          .agg(collect_list(col("doc")).as(fname))
+      }
+      framed.reduce((a, b) => a.crossJoin(b)).mapPartitions { rows =>
+        rows.map { r =>
+          val out = obj()
+          facets.map(_._1).zipWithIndex.foreach { case (fname, i) =>
+            val a = arr()
+            r.getSeq[String](i).foreach(s => a.add(parse(s)))
+            out.set[JsonNode](fname, a)
+          }
+          (null: String, render(out))
+        }
+      }(tuple2Enc).toDF("key", "doc")
     case "$throttle"    => graft.Stages.throttle(df, spec) // schema-free pacing
     case "$send"        => send(df, spec, ctx)
     case "$per"         => per(df, spec)
@@ -1277,6 +1339,104 @@ object DynPipeline {
         (if (r.isNullAt(0)) null else r.getString(0), render(doc))
       }
     }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** `$sort` in dynamic mode: each sort key rides as a
+    * [[DynJson.sortableKey]] binary column, so the global range exchange
+    * orders by the cross-type BSON order without a comparator UDF. */
+  private def sortStage(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val JObject(keys) = (spec: @unchecked)
+    val ops = keys.map { case (f, dir) =>
+      (DynExpr.compile(JString("$" + f)), dir match {
+        case JInt(i)    => i >= 0
+        case JLong(l)   => l >= 0
+        case JDouble(d) => d >= 0
+        case _          => true
+      })
+    }
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("doc", StringType)) ++
+      ops.indices.map(i => StructField(s"__s$i", BinaryType)))
+    normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val dctx = DynExpr.DCtx(parse(s), Map.empty)
+        Row.fromSeq(Seq(k, s) ++ ops.map { case (op, _) => sortableKey(op.eval(dctx)) })
+      }
+    }(Encoders.row(schema))
+      .orderBy(ops.zipWithIndex.map { case ((_, asc), i) =>
+        if (asc) col(s"__s$i").asc else col(s"__s$i").desc }: _*)
+      .select("key", "doc")
+  }
+
+  /** `$densify` in dynamic mode: same bounds-aggregate + sequence + anti
+    * join shape as the typed engine; stub docs are rebuilt from the
+    * partition fields' canonical values. Integer field/step only. */
+  private def densifyStage(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val JString(fieldName) = ((spec \ "field"): @unchecked)
+    val partFields: List[String] = spec \ "partitionByFields" match {
+      case JArray(xs) => xs.map { case JString(s) => s
+        case other => throw new IllegalArgumentException(s"partitionByFields: $other") }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(s"partitionByFields: $other")
+    }
+    val step = spec \ "range" \ "step" match {
+      case JInt(i) => i.toLong
+      case other => throw new IllegalArgumentException(s"$$densify integer step only: $other")
+    }
+    val partOps = partFields.map(f => DynExpr.compile(JString("$" + f)))
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("doc", StringType),
+      StructField("__p", StringType), StructField("__pj", StringType),
+      StructField("__slot", LongType)))
+    val extracted = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val dctx = DynExpr.DCtx(parse(s), Map.empty)
+        val vals = partOps.map(_.eval(dctx))
+        val pj = { val a = arr(); vals.foreach(v => a.add(missingToNull(v))); render(a) }
+        val fv = DynExpr.compile(JString("$" + fieldName)).eval(dctx)
+        val slot: Any = if (fv != null && fv.isIntegralNumber) fv.longValue else null
+        Row(k, s, vals.map(canonical).mkString(" "), pj, slot)
+      }
+    }(Encoders.row(schema))
+    def partKeys = extracted.select("__p", "__pj").distinct()
+    val (bounded, exclusiveHi) = spec \ "range" \ "bounds" match {
+      case JString("partition") =>
+        require(partFields.nonEmpty, "bounds: partition needs partitionByFields")
+        (extracted.groupBy("__p", "__pj")
+          .agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi")), false)
+      case JString("full") =>
+        val g = extracted.agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi"))
+        (partKeys.crossJoin(broadcast(g)), false)
+      case JArray(List(lo, hi)) =>
+        def n(v: JValue): Long = v match {
+          case JInt(i) => i.toLong
+          case other => throw new IllegalArgumentException(s"bounds: $other")
+        }
+        (partKeys.withColumn("__lo", lit(n(lo))).withColumn("__hi", lit(n(hi))), true)
+      case other => throw new IllegalArgumentException(s"$$densify bounds: $other")
+    }
+    val hiCol = if (exclusiveHi) col("__hi") - 1 else col("__hi")
+    val grid = bounded.filter(col("__lo").isNotNull && col("__lo") <= hiCol)
+      .select(col("__p"), col("__pj"),
+        explode(sequence(col("__lo"), hiCol, lit(step))).as("__slot"))
+    val missing = grid.join(
+      extracted.select("__p", "__slot").distinct(), Seq("__p", "__slot"), "left_anti")
+    val stubs = missing.select("__pj", "__slot")
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .mapPartitions { it =>
+        it.map { case (pj, slot) =>
+          val out = obj()
+          val vals = parse(pj).asInstanceOf[ArrayNode]
+          partFields.zipWithIndex.foreach { case (f, i) => out.set[JsonNode](f, vals.get(i)) }
+          out.set[JsonNode](fieldName, nodes.numberNode(slot))
+          (null: String, render(out))
+        }
+      }(tuple2Enc).toDF("key", "doc")
+    normalize(df).unionByName(stubs)
   }
 
   /** `$fill` in dynamic mode: `method: locf` fields rewrite to ONE

@@ -543,6 +543,39 @@ class DynamicSpec extends SparkSpec {
       node("""{"_id":"1","tot":5,"seen":[2,3]}""")))
   }
 
+  test("dynamic $sort orders cross-type by BSON bracket; $limit applies") {
+    val out = run(
+      docs("""{"_id":"0","v":"a"}""", """{"_id":"1","v":2}""", """{"_id":"2","v":1}"""),
+      """[{"$sort": {"v": 1}}, {"$limit": 2}]""")
+    val got = out.select("doc").collect()
+      .map(r => graft.dynamic.DynJson.parse(r.getString(0)).path("_id").textValue).toList
+    // numbers sort before strings: v=1, v=2, then "a" is cut by the limit
+    assert(got == List("2", "1"))
+  }
+
+  test("dynamic $densify generates stub docs for partition gaps") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","g":"a","n":1}""", """{"_id":"1","g":"a","n":4}"""),
+      """[{"$densify": {"field": "n", "partitionByFields": ["g"],
+            "range": {"step": 1, "bounds": "partition"}}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","g":"a","n":1}"""), node("""{"_id":"1","g":"a","n":4}"""),
+      node("""{"g":"a","n":2}"""), node("""{"g":"a","n":3}""")))
+  }
+
+  test("dynamic $sortByCount and $facet") {
+    val byCount = outDocs(run(
+      docs("""{"_id":"0","t":"x"}""", """{"_id":"1","t":"x"}""", """{"_id":"2","t":"y"}"""),
+      """[{"$sortByCount": "$t"}]"""))
+    assert(byCount == Set(node("""{"_id":"x","count":2}"""),
+      node("""{"_id":"y","count":1}""")))
+    val facet = outDocs(run(
+      docs("""{"_id":"0","v":5}"""),
+      """[{"$facet": {"cnt": [{"$count": "n"}],
+                      "ids": [{"$project": {"_id": 1}}]}}]"""))
+    assert(facet == Set(node("""{"cnt":[{"n":1}],"ids":[{"_id":"0"}]}""")))
+  }
+
   test("dynamic $fill: locf over schemaless docs; value via $ifNull") {
     val out = outDocs(run(
       docs("""{"_id":"0","g":"a","s":1,"v":10}""",

@@ -242,6 +242,19 @@ class StagesSpec extends SparkSpec {
     assert(global.select("tot").collect().map(_.getDouble(0)).toSet == Set(7.0))
   }
 
+  test("$fill linear interpolates on the sort field between bracketing points") {
+    val df = Seq(("0", 0L, Some(0.0)), ("1", 2L, None), ("2", 3L, None),
+      ("3", 4L, Some(8.0)), ("4", 6L, None))
+      .toDF("_id", "s", "v")
+    val out = pipeline.run(df,
+      """[{"$fill": {"sortBy": {"s": 1},
+            "output": {"v": {"method": "linear"}}}}]""")
+      .orderBy("s").select("v").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toList
+    // s=2 -> 0 + 8*(2/4) = 4; s=3 -> 6; trailing s=6 has no next -> null
+    assert(out == List(Some(0.0), Some(4.0), Some(6.0), Some(8.0), None))
+  }
+
   test("$fill: locf carries forward within partition; value fills with a constant") {
     val df = Seq(("0", "a", 1L, Some(10.0), None: Option[Long]),
       ("1", "a", 2L, None, Some(7L)), ("2", "a", 3L, None, None),
