@@ -32,6 +32,16 @@ final class StreamingPipeline(pipeline: Pipeline) {
   private val sinkStages =
     Set("$merge", "$out", "$delete", "$send", "$delay", "$probe", "$per", "$http")
 
+  /** Stages Spark cannot run natively on an unbounded stream (windows,
+    * global sorts, gap generation, stream-static union, facets). They split
+    * the pipeline like a sink does: everything from the first one on runs
+    * inside foreachBatch, i.e. with PER-MICRO-BATCH semantics — windows and
+    * sorts see one batch at a time, which is the only meaning they can have
+    * on an infinite input. */
+  private val batchOnlyStages = Set("$setWindowFields", "$fill", "$densify",
+    "$sort", "$limit", "$skip", "$sample", "$sortByCount", "$unionWith",
+    "$facet")
+
   private def stageName(stage: JValue): String = stage match {
     case JObject(fields) => fields.collectFirst {
       case (n, _) if n != "_trace" => n
@@ -43,7 +53,8 @@ final class StreamingPipeline(pipeline: Pipeline) {
     * the stream), and the remainder (runs in foreachBatch). */
   private[graft] def split(pipelineJson: String): (JValue, JValue) = {
     val JArray(stages) = (JsonMethods.parse(pipelineJson): @unchecked)
-    val (native, rest) = stages.span(s => !sinkStages.contains(stageName(s)))
+    val (native, rest) = stages.span(s => !sinkStages.contains(stageName(s)) &&
+      !batchOnlyStages.contains(stageName(s)))
     (JArray(native), JArray(rest))
   }
 
@@ -52,7 +63,7 @@ final class StreamingPipeline(pipeline: Pipeline) {
   def run(stream: DataFrame, pipelineJson: String): DataFrame = {
     val (native, rest) = split(pipelineJson)
     require(rest == JArray(Nil),
-      s"pipeline contains sink stages — use start(): $rest")
+      s"pipeline contains sink or batch-only stages — use start(): $rest")
     pipeline.run(stream, native)
   }
 

@@ -40,6 +40,37 @@ class StreamingSpec extends SparkSpec {
     assert(all.last.toSet == Set(("a", 11L)))
   }
 
+  test("batch-only stages split to foreachBatch: per-micro-batch window semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(pipeline)
+    val got = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+    input.addData(("a", 1L), ("a", 2L), ("b", 5L))
+    val q = sp.start(input.toDF().toDF("g", "v"),
+      """[{"$setWindowFields": {"partitionBy": "$g", "sortBy": {"v": 1},
+            "output": {"run": {"$sum": "$v"}}}}]""",
+      df => got ++= df.collect().map(r => (r.getAs[String]("g"),
+        r.getAs[Long]("v"), r.getAs[Long]("run"))),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      input.addData(("a", 10L)) // new batch: windows restart per batch
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == Set(("a", 1L, 1L), ("a", 2L, 3L), ("b", 5L, 5L),
+      ("a", 10L, 10L)))
+  }
+
+  test("streaming run() rejects batch-only stages with a pointer to start()") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val sp = new StreamingPipeline(pipeline)
+    val e = intercept[IllegalArgumentException] {
+      sp.run(input.toDF().toDF("g", "v"), """[{"$sort": {"v": 1}}]""")
+    }
+    assert(e.getMessage.contains("use start()"))
+  }
+
   test("streaming sessionization: native session_window closes sessions at the watermark") {
     // the streaming counterpart of operators.Sessionize — Spark's built-in
     // gap-based session_window + watermark emits each session once, when the
