@@ -981,14 +981,18 @@ private[graft] object Stages {
   }
 
   /** `$densify` (MQL 5.1+, beyond the reference): generate the missing
-    * points of a numeric sequence. `{field, partitionByFields?, range:
-    * {step, bounds: "full" | "partition" | [lo, hi)}}` — integer steps.
+    * points of a numeric or date sequence. `{field, partitionByFields?,
+    * range: {step, unit?, bounds: "full" | "partition" | [lo, hi)}}` —
+    * integer steps; with `unit` (millisecond..year) the field is a
+    * timestamp and the grid steps by a calendar interval (UTC, like Mongo).
     *
     * Distributed shape: bounds are a tiny per-partition (or global) min/max
-    * aggregate; `sequence()` explodes the grid per partition key; a
-    * LEFT ANTI join against the existing (partition, value) pairs keeps only
-    * the gaps; the stubs union back with every other column null. No
-    * driver-side loops, no cross join wider than (partitions × grid). */
+    * aggregate; `sequence()` explodes the grid per partition key (Spark's
+    * sequence natively steps timestamps by day-time or year-month
+    * intervals); a LEFT ANTI join against the existing (partition, value)
+    * pairs keeps only the gaps; the stubs union back with every other
+    * column null. No driver-side loops, no cross join wider than
+    * (partitions × grid). */
   def densify(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
     val JString(fieldName) = ((spec \ "field"): @unchecked)
     val partFields: List[String] = spec \ "partitionByFields" match {
@@ -1001,7 +1005,14 @@ private[graft] object Stages {
       case JInt(i) => i.toLong
       case other => throw new IllegalArgumentException(s"$$densify integer step only: $other")
     }
-    val f = col(fieldName).cast("long")
+    val unit: Option[String] = spec \ "range" \ "unit" match {
+      case JString(u) => Some(u)
+      case JNothing   => None
+      case other => throw new IllegalArgumentException(s"$$densify unit: $other")
+    }
+    val stepCol = unit.fold(lit(step))(Stages.densifyInterval(_, step))
+    val f = if (unit.isDefined) col(fieldName).cast(TimestampType)
+            else col(fieldName).cast("long")
     val parts = partFields.map(col)
     def partKeys = if (partFields.isEmpty) df.select(lit(1).as("__one")).limit(1)
                    else df.select(parts: _*).distinct()
@@ -1013,23 +1024,49 @@ private[graft] object Stages {
         val g = df.agg(min(f).as("__lo"), max(f).as("__hi"))
         (partKeys.crossJoin(broadcast(g)), false)
       case JArray(List(lo, hi)) =>
-        def n(v: JValue): Long = v match {
-          case JInt(i) => i.toLong
+        def n(v: JValue): Column = (v, unit) match {
+          case (JInt(i), None) => lit(i.toLong)
+          case (JString(s), Some(_)) => lit(java.time.Instant.parse(s))
           case other => throw new IllegalArgumentException(s"bounds: $other")
         }
-        // Mongo explicit bounds are [lo, hi): generate up to hi - 1
-        (partKeys.withColumn("__lo", lit(n(lo))).withColumn("__hi", lit(n(hi))), true)
+        // Mongo explicit bounds are [lo, hi): generate up to hi - 1 slot
+        (partKeys.withColumn("__lo", n(lo)).withColumn("__hi", n(hi)), true)
       case other => throw new IllegalArgumentException(s"$$densify bounds: $other")
     }
-    val hiCol = if (exclusiveHi) col("__hi") - 1 else col("__hi")
+    // exclusive hi: integers step on a unit grid so hi-1 is exact; dates are
+    // millisecond-precision in Mongo so hi-1ms is the same strict bound
+    val hiCol =
+      if (!exclusiveHi) col("__hi")
+      else if (unit.isDefined)
+        col("__hi") - make_dt_interval(lit(0), lit(0), lit(0), lit(0.001))
+      else col("__hi") - 1
+    val fieldType = df.schema.find(_.name == fieldName).map(_.dataType)
     val grid = bounded
       .filter(col("__lo").isNotNull && col("__lo") <= hiCol)
       .select((parts :+
-        explode(sequence(col("__lo"), hiCol, lit(step))).as(fieldName)): _*)
-    val existing = df.select((parts :+ f.as(fieldName)): _*).distinct()
+        explode(sequence(col("__lo"), hiCol, stepCol)).as("__gridval")): _*)
+      .select((parts :+
+        fieldType.fold(col("__gridval"))(col("__gridval").cast).as(fieldName)): _*)
+    val existing = df.select((parts :+ col(fieldName)): _*).distinct()
     val missing = grid.join(existing, partFields :+ fieldName, "left_anti")
     df.unionByName(missing, allowMissingColumns = true)
   }
+
+  /** Step interval for a `$densify` date unit (Mongo units, UTC calendar). */
+  private[graft] def densifyInterval(unit: String, step: Long): Column =
+    unit match {
+      case "millisecond" =>
+        make_dt_interval(lit(0), lit(0), lit(0), lit(step / 1000.0))
+      case "second"  => make_dt_interval(lit(0), lit(0), lit(0), lit(step.toDouble))
+      case "minute"  => make_dt_interval(lit(0), lit(0), lit(step))
+      case "hour"    => make_dt_interval(lit(0), lit(step))
+      case "day"     => make_dt_interval(lit(step))
+      case "week"    => make_dt_interval(lit(step * 7))
+      case "month"   => make_ym_interval(lit(0), lit(step.toInt))
+      case "quarter" => make_ym_interval(lit(0), lit(step.toInt * 3))
+      case "year"    => make_ym_interval(lit(step.toInt))
+      case other => throw new IllegalArgumentException(s"$$densify unit: $other")
+    }
 
   /** `$fill` (MQL 5.3+, beyond the reference): fill null/missing values —
     * `method: "locf"` rewrites to a `$setWindowFields` `$locf`;

@@ -954,6 +954,12 @@ object SparkEntry {
           {"$densify": {"field": "slot", "partitionByFields": ["event_type"],
                         "range": {"step": 1, "bounds": [0, 50]}}},
           {"$project": {"event_id": 1, "event_type": 1, "slot": 1}}]""")),
+    // $densify date unit: day grid over the sparse high-price order dates
+    "q_densify_date" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$match": {"$expr": {"$gt": ["$o_totalprice", 450000]}}},
+          {"$project": {"d": "$o_orderdate", "_id": 0}},
+          {"$densify": {"field": "d",
+                        "range": {"step": 1, "unit": "day", "bounds": "full"}}}]""")),
     // $fill locf: every third event's value nulled, then carried forward
     "q_fill" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$addFields": {"v": {"$cond": [
@@ -1688,6 +1694,16 @@ object SparkEntry {
          SELECT event_id, event_type, slot FROM e
          UNION ALL
          SELECT NULL, event_type, slot FROM miss""",
+    "q_densify_date" ->
+      """WITH src AS (SELECT o_orderdate AS d FROM orders
+                      WHERE o_totalprice > 450000),
+         b AS (SELECT CAST(min(d) AS TIMESTAMP) AS lo,
+                      CAST(max(d) AS TIMESTAMP) AS hi FROM src),
+         gen AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                             AS DATE) AS d FROM b),
+         miss AS (SELECT g.d FROM gen g
+                  ANTI JOIN (SELECT DISTINCT d FROM src) x ON g.d = x.d)
+         SELECT d FROM src UNION ALL SELECT d FROM miss""",
     "q_fill" ->
       """WITH e AS (SELECT event_id, event_type, ts,
                            CASE WHEN event_id % 3 = 0 THEN NULL

@@ -243,6 +243,11 @@ object DynExpr {
   }
 
   /** Operator evaluators (the `DFn` body) — n-ary ops over evaluated args. */
+  /** Mongo-ish date coercion (epoch millis, ISO-8601 variants) — shared
+    * with DynStages' `$densify` date units. */
+  private[dynamic] def parseInstant(n: JsonNode): Option[java.time.Instant] =
+    Ops.toInstant(n)
+
   private object Ops {
 
     private def numArith(name: String, args: List[JsonNode])(
@@ -262,7 +267,7 @@ object DynExpr {
         case other => throw new IllegalArgumentException(s"math op on ${typeName(other)}")
       }
 
-    private def toInstant(n: JsonNode): Option[java.time.Instant] =
+    private[dynamic] def toInstant(n: JsonNode): Option[java.time.Instant] =
       if (n == null || n.isNull || isMissing(n)) None
       else if (n.isIntegralNumber) Some(java.time.Instant.ofEpochMilli(n.longValue))
       else if (n.isTextual) {

@@ -1372,7 +1372,10 @@ object DynPipeline {
 
   /** `$densify` in dynamic mode: same bounds-aggregate + sequence + anti
     * join shape as the typed engine; stub docs are rebuilt from the
-    * partition fields' canonical values. Integer field/step only. */
+    * partition fields' canonical values. Integer steps; with `range.unit`
+    * the field is a date (epoch millis or ISO-8601 string) carried through
+    * the join as an epoch-micros slot, and the grid steps by a calendar
+    * interval in UTC (Spark `sequence` over timestamps). */
   private def densifyStage(df: DataFrame, spec: JValue): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -1387,6 +1390,13 @@ object DynPipeline {
       case JInt(i) => i.toLong
       case other => throw new IllegalArgumentException(s"$$densify integer step only: $other")
     }
+    val unit: Option[String] = spec \ "range" \ "unit" match {
+      case JString(u) => Some(u)
+      case JNothing   => None
+      case other => throw new IllegalArgumentException(s"$$densify unit: $other")
+    }
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
     val partOps = partFields.map(f => DynExpr.compile(JString("$" + f)))
     val schema = StructType(Seq(
       StructField("key", StringType), StructField("doc", StringType),
@@ -1398,7 +1408,10 @@ object DynPipeline {
         val vals = partOps.map(_.eval(dctx))
         val pj = { val a = arr(); vals.foreach(v => a.add(missingToNull(v))); render(a) }
         val fv = DynExpr.compile(JString("$" + fieldName)).eval(dctx)
-        val slot: Any = if (fv != null && fv.isIntegralNumber) fv.longValue else null
+        val slot: Any =
+          if (unit.isDefined)
+            DynExpr.parseInstant(fv).map(i => java.lang.Long.valueOf(micros(i))).orNull
+          else if (fv != null && fv.isIntegralNumber) fv.longValue else null
         Row(k, s, vals.map(canonical).mkString(" "), pj, slot)
       }
     }(Encoders.row(schema))
@@ -1412,17 +1425,28 @@ object DynPipeline {
         val g = extracted.agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi"))
         (partKeys.crossJoin(broadcast(g)), false)
       case JArray(List(lo, hi)) =>
-        def n(v: JValue): Long = v match {
-          case JInt(i) => i.toLong
+        def n(v: JValue): Long = (v, unit) match {
+          case (JInt(i), None) => i.toLong
+          case (JString(s), Some(_)) => micros(java.time.Instant.parse(s))
           case other => throw new IllegalArgumentException(s"bounds: $other")
         }
         (partKeys.withColumn("__lo", lit(n(lo))).withColumn("__hi", lit(n(hi))), true)
       case other => throw new IllegalArgumentException(s"$$densify bounds: $other")
     }
-    val hiCol = if (exclusiveHi) col("__hi") - 1 else col("__hi")
-    val grid = bounded.filter(col("__lo").isNotNull && col("__lo") <= hiCol)
-      .select(col("__p"), col("__pj"),
+    // exclusive hi: ints step on a unit grid so hi-1 is exact; Mongo dates
+    // are millisecond-precision so hi-1ms (1000 micros) is the strict bound
+    val hiCol =
+      if (!exclusiveHi) col("__hi")
+      else col("__hi") - (if (unit.isDefined) 1000L else 1L)
+    val grid0 = bounded.filter(col("__lo").isNotNull && col("__lo") <= hiCol)
+    val grid = unit match {
+      case None => grid0.select(col("__p"), col("__pj"),
         explode(sequence(col("__lo"), hiCol, lit(step))).as("__slot"))
+      case Some(u) => grid0.select(col("__p"), col("__pj"),
+        explode(sequence(timestamp_micros(col("__lo")), timestamp_micros(hiCol),
+          graft.Stages.densifyInterval(u, step))).as("__ts"))
+        .select(col("__p"), col("__pj"), unix_micros(col("__ts")).as("__slot"))
+    }
     val missing = grid.join(
       extracted.select("__p", "__slot").distinct(), Seq("__p", "__slot"), "left_anti")
     val stubs = missing.select("__pj", "__slot")
@@ -1432,7 +1456,10 @@ object DynPipeline {
           val out = obj()
           val vals = parse(pj).asInstanceOf[ArrayNode]
           partFields.zipWithIndex.foreach { case (f, i) => out.set[JsonNode](f, vals.get(i)) }
-          out.set[JsonNode](fieldName, nodes.numberNode(slot))
+          out.set[JsonNode](fieldName,
+            if (unit.isDefined) nodes.textNode(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(slot, 1000000L), Math.floorMod(slot, 1000000L) * 1000L).toString)
+            else nodes.numberNode(slot))
           (null: String, render(out))
         }
       }(tuple2Enc).toDF("key", "doc")

@@ -563,6 +563,19 @@ class DynamicSpec extends SparkSpec {
       node("""{"g":"a","n":2}"""), node("""{"g":"a","n":3}""")))
   }
 
+  test("dynamic $densify date unit: day grid stubs ISO dates") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","d":"2021-01-01T00:00:00Z"}""",
+           """{"_id":"1","d":"2021-01-04T00:00:00Z"}"""),
+      """[{"$densify": {"field": "d",
+            "range": {"step": 1, "unit": "day", "bounds": "full"}}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","d":"2021-01-01T00:00:00Z"}"""),
+      node("""{"_id":"1","d":"2021-01-04T00:00:00Z"}"""),
+      node("""{"d":"2021-01-02T00:00:00Z"}"""),
+      node("""{"d":"2021-01-03T00:00:00Z"}""")))
+  }
+
   test("dynamic $sortByCount and $facet") {
     val byCount = outDocs(run(
       docs("""{"_id":"0","t":"x"}""", """{"_id":"1","t":"x"}""", """{"_id":"2","t":"y"}"""),

@@ -291,6 +291,35 @@ class StagesSpec extends SparkSpec {
     assert(out.select("n").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 4L))
   }
 
+  test("$densify date unit: month grid fills the missing months per partition") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val df = Seq(("0", "a", ts("2021-01-31T00:00:00Z")),
+                 ("1", "a", ts("2021-04-30T00:00:00Z"))).toDF("_id", "g", "d")
+    val out = pipeline.run(df,
+      """[{"$densify": {"field": "d", "partitionByFields": ["g"],
+            "range": {"step": 1, "unit": "month", "bounds": "partition"}}}]""")
+    val got = out.collect().map(r => (Option(r.getAs[String]("_id")),
+      r.getAs[Timestamp]("d").toInstant.toString)).toSet
+    // grid is lo + k*step (scaled, not iterative): each point clamps from
+    // the ORIGIN, so Jan 31 -> Feb 28 -> Mar 31 -> Apr 30
+    assert(got == Set(
+      (Some("0"), "2021-01-31T00:00:00Z"), (None, "2021-02-28T00:00:00Z"),
+      (None, "2021-03-31T00:00:00Z"), (Some("1"), "2021-04-30T00:00:00Z")))
+  }
+
+  test("$densify date unit: explicit ISO [lo, hi) bounds, day step") {
+    import java.sql.Timestamp
+    val df = Seq(("0", Timestamp.from(java.time.Instant.parse("2021-01-02T00:00:00Z"))))
+      .toDF("_id", "d")
+    val out = pipeline.run(df,
+      """[{"$densify": {"field": "d", "range": {"step": 1, "unit": "day",
+            "bounds": ["2021-01-01T00:00:00Z", "2021-01-04T00:00:00Z"]}}}]""")
+    assert(out.select("d").collect()
+      .map(_.getAs[Timestamp](0).toInstant.toString).toSet ==
+      Set("2021-01-01T00:00:00Z", "2021-01-02T00:00:00Z", "2021-01-03T00:00:00Z"))
+  }
+
   test("batch stages: $sort/$limit/$skip/$sortByCount/$facet") {
     val df = Seq(("0", "b", 3L), ("1", "a", 1L), ("2", "a", 2L), ("3", "c", 9L))
       .toDF("_id", "g", "v")
