@@ -37,6 +37,9 @@ object JqCompiler {
   sealed trait Jq
   case class JPath(steps: List[JStep]) extends Jq
   case class JLit(v: Any) extends Jq
+  /** `"a\(expr)b"` — string interpolation; Right parts stringify like jq
+    * (strings verbatim, everything else JSON-encoded). */
+  case class JStrI(parts: List[Either[String, Jq]]) extends Jq
   case class JObjC(pairs: List[(String, Jq)]) extends Jq
   case class JArrC(items: List[Jq]) extends Jq
   case class JPipe(l: Jq, r: Jq) extends Jq
@@ -76,18 +79,13 @@ object JqCompiler {
       if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && src(i) != '\n') i += 1 }
       else if (c == '"') {
-        val sb = new StringBuilder
-        var j = i + 1
-        while (j < n && src(j) != '"') {
-          if (src(j) == '\\' && j + 1 < n) {
-            sb.append(src(j + 1) match {
-              case 'n' => '\n'; case 't' => '\t'; case other => other
-            })
-            j += 2
-          } else { sb.append(src(j)); j += 1 }
-        }
-        if (j >= n) throw new JqCompileError(s"unterminated string at $i")
-        out += Tok("str", sb.toString, i); i = j + 1
+        // mode-aware scan: `\(expr)` interpolations may nest strings which
+        // may themselves interpolate, so string and paren scanning recurse
+        val end = scanStringEnd(src, i)
+        val raw = src.substring(i + 1, end - 1)
+        if (rawHasInterp(raw)) out += Tok("istr", raw, i)
+        else out += Tok("str", unescape(raw), i)
+        i = end
       } else if (c.isDigit) {
         var j = i
         while (j < n && (src(j).isDigit || src(j) == '.')) j += 1
@@ -105,6 +103,92 @@ object JqCompiler {
     }
     out += Tok("eof", "", n)
     out.result()
+  }
+
+  /** Index just past the closing quote of the string starting at `start`
+    * (src(start) == '"'), skipping escapes and whole `\(...)` blocks. */
+  private def scanStringEnd(src: String, start: Int): Int = {
+    val n = src.length
+    var j = start + 1
+    while (j < n) {
+      src(j) match {
+        case '\\' if j + 1 < n && src(j + 1) == '(' =>
+          j = scanParensEnd(src, j + 2)
+        case '\\' => j += 2
+        case '"'  => return j + 1
+        case _    => j += 1
+      }
+    }
+    throw new JqCompileError(s"unterminated string at $start")
+  }
+
+  /** Index just past the `)` matching the `(` that ends at `k` (k = first
+    * char inside the parens); nested strings are skipped whole. */
+  private def scanParensEnd(src: String, k: Int): Int = {
+    val n = src.length
+    var j = k
+    var depth = 1
+    while (j < n && depth > 0) {
+      src(j) match {
+        case '"' => j = scanStringEnd(src, j)
+        case '(' => depth += 1; j += 1
+        case ')' => depth -= 1; j += 1
+        case _   => j += 1
+      }
+    }
+    if (depth > 0) throw new JqCompileError(s"unbalanced interpolation at $k")
+    j
+  }
+
+  /** Does the RAW (still escaped) string body contain a top-level `\(`? */
+  private def rawHasInterp(raw: String): Boolean = {
+    var j = 0
+    while (j < raw.length - 1) {
+      if (raw(j) == '\\') {
+        if (raw(j + 1) == '(') return true
+        j += 2
+      } else j += 1
+    }
+    false
+  }
+
+  private def unescape(raw: String): String = {
+    val sb = new StringBuilder
+    var j = 0
+    while (j < raw.length) {
+      if (raw(j) == '\\' && j + 1 < raw.length) {
+        sb.append(raw(j + 1) match {
+          case 'n' => '\n'; case 't' => '\t'; case other => other
+        })
+        j += 2
+      } else { sb.append(raw(j)); j += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split a raw interpolated-string body into literal / expression parts;
+    * each expression sub-source parses with the full grammar. */
+  private def splitInterp(raw: String): List[Either[String, Jq]] = {
+    val parts = List.newBuilder[Either[String, Jq]]
+    val litBuf = new StringBuilder
+    var j = 0
+    def flushLit(): Unit =
+      if (litBuf.nonEmpty) { parts += Left(litBuf.toString); litBuf.clear() }
+    while (j < raw.length) {
+      if (raw(j) == '\\' && j + 1 < raw.length && raw(j + 1) == '(') {
+        val end = scanParensEnd(raw, j + 2)
+        flushLit()
+        parts += Right(parse(raw.substring(j + 2, end - 1)))
+        j = end
+      } else if (raw(j) == '\\' && j + 1 < raw.length) {
+        litBuf.append(raw(j + 1) match {
+          case 'n' => '\n'; case 't' => '\t'; case other => other
+        })
+        j += 2
+      } else { litBuf.append(raw(j)); j += 1 }
+    }
+    flushLit()
+    parts.result()
   }
 
   private final class Parser(toks: Vector[Tok]) {
@@ -304,7 +388,8 @@ object JqCompiler {
         case "num" =>
           next()
           if (t.text.contains('.')) JLit(t.text.toDouble) else JLit(t.text.toLong)
-        case "str" => next(); JLit(t.text)
+        case "str"  => next(); JLit(t.text)
+        case "istr" => next(); JStrI(splitInterp(t.text))
         case "id" =>
           t.text match {
             case "true"  => next(); JLit(true)
@@ -421,6 +506,7 @@ object JqCompiler {
         JDefs(ds.map(d => JqDef(d.name, d.params, rw(d.body, sh ++ d.params))),
           rw(b, sh))
       case JPath(_) | JLit(_) | JVar(_) => e
+      case JStrI(parts)   => JStrI(parts.map(_.map(rw(_, shadow))))
       case JObjC(ps)      => JObjC(ps.map { case (k, v) => k -> rw(v, shadow) })
       case JArrC(items)   => JArrC(items.map(rw(_, shadow)))
       case JPipe(l, r)    => JPipe(rw(l, shadow), rw(r, shadow))
@@ -478,6 +564,7 @@ object JqCompiler {
         val argSub = d.params.zip(args.map(go)).toMap
         expand(d.body, defs, argSub, stack + fn)
       case JPath(_) | JLit(_) | JVar(_) => e
+      case JStrI(parts)   => JStrI(parts.map(_.map(go)))
       case JObjC(ps)      => JObjC(ps.map { case (k, v) => k -> go(v) })
       case JArrC(items)   => JArrC(items.map(go))
       case JPipe(l, r)    => JPipe(go(l), go(r))
@@ -545,6 +632,23 @@ object JqCompiler {
     case JLit(d: Double)  => TC(lit(d), Some(DoubleType))
     case JLit(s: String)  => TC(lit(s), Some(StringType))
     case JLit(o)          => throw new JqCompileError(s"bad literal $o")
+    // interpolation stringifies like jq: strings verbatim, null -> "null",
+    // containers JSON-encoded (Spark cast renders 1.0 as "1.0" where jq
+    // prints "1" — integral-typed columns keep integer rendering)
+    case JStrI(parts) =>
+      val cols = parts.map {
+        case Left(s)  => lit(s)
+        case Right(e) =>
+          val tc = comp(e, ctx)
+          val s = tc.typ match {
+            case Some(StringType) => tc.col
+            case Some(_: ArrayType) | Some(_: StructType) | Some(_: MapType) =>
+              to_json(tc.col)
+            case _ => tc.col.cast(StringType)
+          }
+          coalesce(s, lit("null"))
+      }
+      TC(concat(cols: _*), Some(StringType))
     case JObjC(pairs) =>
       if (pairs.isEmpty) throw new JqCompileError("empty object")
       // duplicate keys: last wins (JSON object semantics)

@@ -75,6 +75,17 @@ object JqInterp {
     case JLit(l: Long)    => List(long(l))
     case JLit(d: Double)  => List(double(d))
     case JLit(s: String)  => List(text(s))
+    // interpolation: strings verbatim, other values JSON-encoded; multiple
+    // outputs of an embedded expression fan out as a cross product (jq rule)
+    case JStrI(parts) =>
+      parts.foldLeft(List(new StringBuilder)) { (acc, part) =>
+        part match {
+          case Left(s)  => acc.foreach(_.append(s)); acc
+          case Right(e) =>
+            for (sb <- acc; v <- eval(e, in, env)) yield new StringBuilder(
+              sb.toString + (if (v.isTextual) v.textValue else DynJson.canonical(v)))
+        }
+      }.map(sb => text(sb.toString): JsonNode)
     case JLit(o)          => throw new JqCompileError(s"bad literal $o")
 
     case JPath(steps) => steps.foldLeft(List(in))(stepAll)
@@ -173,6 +184,40 @@ object JqInterp {
       la.zip(ra).iterator.map { case (a, b) => jqCmp(a, b) }
         .find(_ != 0).getOrElse(Integer.compare(la.size, ra.size))
     } else DynJson.canonical(l).compareTo(DynJson.canonical(r))
+  }
+
+  /** Named groups `(?<name>...)` in source order. Java 17's Pattern does
+    * not expose its name set, so scan the pattern text (skipping escapes
+    * and character classes, where `(` is literal). */
+  private def regexGroupNames(pattern: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    var inClass = false
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' => i += 1
+        case '[' if !inClass => inClass = true
+        case ']' if inClass  => inClass = false
+        case '(' if !inClass && pattern.regionMatches(i, "(?<", 0, 3) &&
+             i + 3 < pattern.length && pattern.charAt(i + 3) != '=' &&
+             pattern.charAt(i + 3) != '!' =>
+          val end = pattern.indexOf('>', i + 3)
+          if (end > 0) { out += pattern.substring(i + 3, end); i = end }
+        case _ =>
+      }
+      i += 1
+    }
+    out.toList
+  }
+
+  private def captureObject(m: java.util.regex.Matcher,
+                            names: List[String]): JsonNode = {
+    val o = obj()
+    names.foreach { n =>
+      val g = m.group(n)
+      o.set[JsonNode](n, if (g == null) NULL else text(g))
+    }
+    o
   }
 
   private def jEq(l: JsonNode, r: JsonNode): Boolean =
@@ -315,13 +360,62 @@ object JqInterp {
       case "test" => // Java regex, not Oniguruma — the common subset agrees
         a1.map(re => bool(java.util.regex.Pattern.compile(re.textValue)
           .matcher(in.textValue).find()))
-      case "sub" | "gsub" => // plain replacement strings (no capture refs)
+      case "sub" | "gsub" =>
+        // jq: the replacement FILTER runs with the named-capture object as
+        // its input ("\(.name)" interpolation); multiple replacement
+        // outputs fan out as a cross product across matches, like jq
         if (!in.isTextual) List(in)
-        else for (re <- a1; repl <- eval(args(1), in, env)) yield {
-          val m = java.util.regex.Pattern.compile(re.textValue)
-            .matcher(in.textValue)
-          val r = java.util.regex.Matcher.quoteReplacement(repl.textValue)
-          text(if (fn == "sub") m.replaceFirst(r) else m.replaceAll(r))
+        else a1.flatMap { re =>
+          val pat = java.util.regex.Pattern.compile(re.textValue)
+          val names = regexGroupNames(re.textValue)
+          val s = in.textValue
+          val m = pat.matcher(s)
+          var found = scala.collection.mutable.ListBuffer
+            .empty[(Int, Int, JsonNode)]
+          while (m.find() && (fn == "gsub" || found.isEmpty)) {
+            found += ((m.start, m.end, captureObject(m, names)))
+            // zero-width match: step forward so gsub terminates, like jq
+            if (m.end == m.start && m.end < s.length) m.region(m.end + 1, s.length)
+            else if (m.end == m.start) m.region(s.length, s.length)
+          }
+          found.foldLeft(List(("", 0))) { case (acc, (st, en, caps)) =>
+            for {
+              (prefix, pos) <- acc
+              r <- eval(args(1), caps, env)
+            } yield {
+              if (!r.isTextual) throw new IllegalArgumentException(
+                s"$fn replacement must be a string, got ${r.getNodeType}")
+              (prefix + s.substring(pos, st) + r.textValue, en)
+            }
+          }.map { case (prefix, pos) => text(prefix + s.substring(pos)): JsonNode }
+        }
+      case "capture" => // named captures of the FIRST match; no match => empty
+        if (!in.isTextual) Nil
+        else a1.flatMap { re =>
+          val m = java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue)
+          if (m.find()) List(captureObject(m, regexGroupNames(re.textValue))) else Nil
+        }
+      case "match" => // jq match object: offset/length/string/captures
+        if (!in.isTextual) Nil
+        else a1.flatMap { re =>
+          val names = regexGroupNames(re.textValue)
+          val m = java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue)
+          if (!m.find()) Nil else List {
+            val o = obj()
+            o.set[JsonNode]("offset", long(m.start.toLong))
+            o.set[JsonNode]("length", long((m.end - m.start).toLong))
+            o.set[JsonNode]("string", text(m.group))
+            val caps = arr()
+            names.foreach { n =>
+              val c = obj()
+              val g = m.group(n)
+              c.set[JsonNode]("name", text(n))
+              c.set[JsonNode]("string", if (g == null) NULL else text(g))
+              caps.add(c)
+            }
+            o.set[JsonNode]("captures", caps)
+            o
+          }
         }
       case "ltrimstr" =>
         a1.map(p => if (in.isTextual && p.isTextual && in.textValue.startsWith(p.textValue))

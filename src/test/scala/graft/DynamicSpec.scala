@@ -637,6 +637,14 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"_id":"0","t":true,"one":"a_b2c3","all":"a_b_c_"}""")))
   }
 
+  test("$jq dynamic: named captures in sub/gsub, capture and match builtins") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","s":"a1b22c"}"""),
+      """[{"$jq": "{\"_id\": ._id, \"sw\": (.s | gsub(\"(?<d>[0-9]+)\"; \"<\\(.d)>\")), \"cap\": (.s | capture(\"(?<hd>[a-z])(?<n>[0-9]+)\")), \"m\": (.s | match(\"b(?<x>[0-9]+)\") | {off: .offset, x: (.captures[0].string)})}"}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","sw":"a<1>b<22>c","cap":{"hd":"a","n":"1"},"m":{"off":2,"x":"22"}}""")))
+  }
+
   test("$jq dynamic: namespaced import (import \"m\" as ns; ns::f)") {
     val out = outDocs(run(
       docs("""{"_id":"0","n":4,"xs":[1,2]}"""),

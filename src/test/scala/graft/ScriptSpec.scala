@@ -79,6 +79,12 @@ class ScriptSpec extends SparkSpec {
     assert(r.getAs[Boolean]("num") && r.getAs[String]("z") == "9")
   }
 
+  test("$jq typed: string interpolation compiles to concat") {
+    val out = pipeline.run(in,
+      """[{"$jq": "{_id, msg: \"id=\\(._id)/t=\\(.test + 1)!\"}"}]""")
+    assert(out.collect()(0).getAs[String]("msg") == "id=0/t=1!")
+  }
+
   test("$jslt fallback() returns the first non-null/non-missing argument") {
     assert(run1("$jslt", """{"test": fallback(.missing, .test + 1), *: .}""")
       == List(("0", "0", 1L)))
