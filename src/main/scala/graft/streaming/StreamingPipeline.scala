@@ -29,34 +29,8 @@ import org.json4s.jackson.JsonMethods
   */
 final class StreamingPipeline(pipeline: Pipeline) {
 
-  private val sinkStages =
-    Set("$merge", "$out", "$delete", "$send", "$delay", "$probe", "$per", "$http")
-
-  /** Stages Spark cannot run natively on an unbounded stream (windows,
-    * global sorts, gap generation, stream-static union, facets). They split
-    * the pipeline like a sink does: everything from the first one on runs
-    * inside foreachBatch, i.e. with PER-MICRO-BATCH semantics — windows and
-    * sorts see one batch at a time, which is the only meaning they can have
-    * on an infinite input. */
-  private val batchOnlyStages = Set("$setWindowFields", "$fill", "$densify",
-    "$sort", "$limit", "$skip", "$sample", "$sortByCount", "$unionWith",
-    "$facet")
-
-  private def stageName(stage: JValue): String = stage match {
-    case JObject(fields) => fields.collectFirst {
-      case (n, _) if n != "_trace" => n
-    }.getOrElse("")
-    case _ => ""
-  }
-
-  /** Split the pipeline: longest prefix with no sink stage (runs natively on
-    * the stream), and the remainder (runs in foreachBatch). */
-  private[graft] def split(pipelineJson: String): (JValue, JValue) = {
-    val JArray(stages) = (JsonMethods.parse(pipelineJson): @unchecked)
-    val (native, rest) = stages.span(s => !sinkStages.contains(stageName(s)) &&
-      !batchOnlyStages.contains(stageName(s)))
-    (JArray(native), JArray(rest))
-  }
+  private[graft] def split(pipelineJson: String): (JValue, JValue) =
+    StreamSplit.split(pipelineJson)
 
   /** Transform the streaming frame with the native prefix. The caller owns
     * the writeStream; use [[start]] for the full pipeline incl. sinks. */
@@ -109,6 +83,80 @@ final class StreamingPipeline(pipeline: Pipeline) {
         batchGuard match {
           case Some(g) => g.once(batchId) { collect(pipeline.run(batch, rest)) }
           case None    => collect(pipeline.run(batch, rest))
+        }
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+}
+
+/** Where to cut a pipeline for Structured Streaming — shared by the typed
+  * and the dynamic (schemaless) streaming runners. */
+private[streaming] object StreamSplit {
+
+  private val sinkStages =
+    Set("$merge", "$out", "$delete", "$send", "$delay", "$probe", "$per", "$http")
+
+  /** Stages Spark cannot run natively on an unbounded stream (windows,
+    * global sorts, gap generation, stream-static union, facets). They split
+    * the pipeline like a sink does: everything from the first one on runs
+    * inside foreachBatch, i.e. with PER-MICRO-BATCH semantics — windows and
+    * sorts see one batch at a time, which is the only meaning they can have
+    * on an infinite input. */
+  private val batchOnlyStages = Set("$setWindowFields", "$fill", "$densify",
+    "$sort", "$limit", "$skip", "$sample", "$sortByCount", "$unionWith",
+    "$facet")
+
+  private def stageName(stage: JValue): String = stage match {
+    case JObject(fields) => fields.collectFirst {
+      case (n, _) if n != "_trace" => n
+    }.getOrElse("")
+    case _ => ""
+  }
+
+  /** Split the pipeline: longest prefix with no sink / batch-only stage
+    * (runs natively on the stream), and the remainder (runs per
+    * micro-batch in foreachBatch). */
+  def split(pipelineJson: String): (JValue, JValue) = {
+    val JArray(stages) = (JsonMethods.parse(pipelineJson): @unchecked)
+    val (native, rest) = stages.span(s => !sinkStages.contains(stageName(s)) &&
+      !batchOnlyStages.contains(stageName(s)))
+    (JArray(native), JArray(rest))
+  }
+}
+
+/** The dynamic (schemaless) counterpart of [[StreamingPipeline]]: runs a
+  * `(key, doc)` JSON stream through [[graft.dynamic.DynPipeline]] with the
+  * same split rule — stateless/group prefix natively (update mode), sink
+  * and batch-only suffix per micro-batch in foreachBatch. */
+final class DynStreamingPipeline(
+    ctx: graft.dynamic.DynPipeline.DynCtx = graft.dynamic.DynPipeline.DynCtx()) {
+
+  import graft.dynamic.DynPipeline
+
+  /** Transform the streaming frame with the native prefix. The caller owns
+    * the writeStream; use [[start]] for the full pipeline incl. sinks. */
+  def run(stream: DataFrame, pipelineJson: String): DataFrame = {
+    val (native, rest) = StreamSplit.split(pipelineJson)
+    require(rest == JArray(Nil),
+      s"pipeline contains sink or batch-only stages — use start(): $rest")
+    DynPipeline.run(stream, native, ctx)
+  }
+
+  def start(stream: DataFrame, pipelineJson: String,
+      collect: DataFrame => Unit,
+      trigger: Trigger = Trigger.AvailableNow(),
+      checkpoint: Option[String] = None,
+      batchGuard: Option[BatchGuard] = None,
+      outputMode: String = "update"): StreamingQuery = {
+    val (native, rest) = StreamSplit.split(pipelineJson)
+    val transformed = DynPipeline.run(stream, native, ctx)
+    val writer: DataStreamWriter[Row] = transformed.writeStream
+      .outputMode(outputMode)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchGuard match {
+          case Some(g) => g.once(batchId) { collect(DynPipeline.run(batch, rest, ctx)) }
+          case None    => collect(DynPipeline.run(batch, rest, ctx))
         }
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()

@@ -119,6 +119,32 @@ class StreamingSpec extends SparkSpec {
       graft.dynamic.DynJson.parse("""{"_id":"1","t":12}""")))
   }
 
+  test("dynamic streaming split: batch-only suffix runs per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sp = new graft.streaming.DynStreamingPipeline()
+    val got = scala.collection.mutable.Buffer.empty[String]
+    input.addData("""{"_id":"0","v":1}""", """{"_id":"1","v":5}""")
+    // $addFields runs natively on the stream; $sort/$limit cut to
+    // foreachBatch -> per-batch top-1
+    val q = sp.start(input.toDF().toDF("doc"),
+      """[{"$addFields": {"w": {"$multiply": ["$v", 2]}}},
+          {"$sort": {"w": -1}}, {"$limit": 1}]""",
+      df => got ++= df.select("doc").collect().map(r =>
+        graft.dynamic.DynJson.parse(r.getString(0)).path("_id").textValue),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      input.addData("""{"_id":"2","v":3}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toList == List("1", "2"))
+    val e = intercept[IllegalArgumentException] {
+      sp.run(input.toDF().toDF("doc"), """[{"$sort": {"v": 1}}]""")
+    }
+    assert(e.getMessage.contains("use start()"))
+  }
+
   test("streaming $delay parks via foreachBatch; redelivery passes pop due messages once") {
     implicit val sqlCtx = spark.sqlContext
     val st = new InMemoryStore(spark)
