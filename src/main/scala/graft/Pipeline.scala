@@ -130,6 +130,8 @@ final class Pipeline(
           case p                => run(other0, p)
         }
         df.unionByName(other, allowMissingColumns = true)
+      case "$graphLookup" => Stages.graphLookup(df, spec, catalog)
+      case "$bucketAuto"  => Stages.bucketAuto(df, spec)
       case "$facet" => // each sub-pipeline folds to ONE array column; the
         // single-row facet frames cross-join into one document
         val JObject(facets) = (spec: @unchecked)
@@ -621,6 +623,144 @@ private[graft] object Stages {
   def countStage(df: DataFrame, spec: JValue): DataFrame =
     df.groupBy().agg(count(lit(1)).as(str(spec))).filter(col(str(spec)) > 0)
 
+  /** `$bucketAuto` (MQL, beyond the reference's stage set): split the input
+    * into `buckets` groups of as-equal-as-possible size along the sorted
+    * `groupBy` value. Distributed shape: ONE global rank (range exchange +
+    * per-partition rank — the op is inherently a global quantile), ties keep
+    * the bucket of their first occurrence (rank, not row_number, so equal
+    * values never split), then an ordinary hash aggregation per bucket.
+    * Boundaries follow Mongo: each bucket's `_id.max` is the next bucket's
+    * `_id.min`; the last bucket's max is the global max (inclusive).
+    * `granularity` rounding is not supported (clear error). At 100 TB swap
+    * the exact rank for approx_percentile boundaries — the aggregation
+    * shape is unchanged. */
+  def bucketAuto(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gb = cexpr(spec \ "groupBy")
+    val b = spec \ "buckets" match {
+      case JInt(n) if n > 0 => n.toInt
+      case other => throw new IllegalArgumentException(s"$$bucketAuto buckets: $other")
+    }
+    if ((spec \ "granularity") != JNothing) throw new IllegalArgumentException(
+      "$bucketAuto granularity is not supported; use explicit $bucket boundaries")
+    val outputs: List[(String, JValue)] = spec \ "output" match {
+      case JObject(fs) => fs
+      case JNothing    => List("count" -> JObject(List("$sum" -> JInt(1))))
+      case other => throw new IllegalArgumentException(s"$$bucketAuto output: $other")
+    }
+    val ranked = df.withColumn("__v", gb)
+      .withColumn("__rk", rank().over(Window.orderBy(col("__v").asc)))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__b", expr(s"((CAST(__rk AS BIGINT) - 1) * $b) div __n"))
+    val aggs = outputs.map { case (name, o) =>
+      val JObject(List((op, aspec))) = (o: @unchecked)
+      accumulator(op, aspec)(ctxFor(df)).as(name)
+    }
+    val grouped = ranked.groupBy(col("__b"))
+      .agg(min(col("__v")).as("__min"), (max(col("__v")).as("__max") +: aggs): _*)
+    grouped
+      .withColumn("__nextMin", lead(col("__min"), 1).over(Window.orderBy(col("__b"))))
+      .select(struct(col("__min").as("min"),
+        coalesce(col("__nextMin"), col("__max")).as("max")).as("_id") +:
+        outputs.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** `$graphLookup` (MQL, beyond the reference's stage set): recursive
+    * lookup over `from` — a breadth-first search per input document.
+    * Distributed shape: the frontier is a (source-row id, node value) pair
+    * set; every round is ONE hash equi-join frontier ⋈ from on
+    * `connectToField` plus a left-anti join against the visited set — no
+    * data ever sits on the driver, only a loop bounded by `maxDepth` (or by
+    * the longest acyclic chain: visited-dedup guarantees termination on
+    * cycles). Rounds localCheckpoint their deltas to cut lineage; each doc
+    * carries its FIRST-visit depth, i.e. BFS depth, like Mongo. Array-valued
+    * `startWith`/`connectFromField` fan out via explode. */
+  def graphLookup(df: DataFrame, spec: JValue, catalog: String => DataFrame)
+      (implicit ctx: ExprCtx): DataFrame = {
+    val JString(fromName) = ((spec \ "from"): @unchecked)
+    val JString(asField) = ((spec \ "as"): @unchecked)
+    val JString(connectFrom) = ((spec \ "connectFromField"): @unchecked)
+    val JString(connectTo) = ((spec \ "connectToField"): @unchecked)
+    val maxDepth: Option[Int] = spec \ "maxDepth" match {
+      case JInt(d)  => Some(d.toInt)
+      case JNothing => None
+      case other => throw new IllegalArgumentException(s"maxDepth: $other")
+    }
+    val depthField: Option[String] = spec \ "depthField" match {
+      case JString(f) => Some(f)
+      case JNothing   => None
+      case other => throw new IllegalArgumentException(s"depthField: $other")
+    }
+    val from0 = catalog(fromName)
+    val from = spec \ "restrictSearchWithMatch" match {
+      case JNothing | JNull => from0
+      case m => from0.filter(MongoMatch.compile(m)(ctxFor(from0)))
+    }
+    val fromPacked = from.select(
+      col(connectTo).as("__to"),
+      col(connectFrom).as("__nextRaw"),
+      struct(from.columns.map(col).toIndexedSeq: _*).as("__doc"))
+    val nextIsArray = fromPacked.schema("__nextRaw").dataType.isInstanceOf[ArrayType]
+    def fanOut(d: DataFrame, c: Column): DataFrame =
+      (if (nextIsArray) d.select(col("__gid"), explode(c).as("__node"))
+       else d.select(col("__gid"), c.as("__node")))
+        .filter(col("__node").isNotNull).distinct()
+    // monotonically_increasing_id is plan-nondeterministic: pin the ids
+    val src = df.withColumn("__gid", monotonically_increasing_id())
+      .localCheckpoint()
+    val swDf = src.select(col("__gid"), cexpr(spec \ "startWith").as("__sw"))
+    val swIsArray = swDf.schema("__sw").dataType.isInstanceOf[ArrayType]
+    var frontier =
+      (if (swIsArray) swDf.select(col("__gid"), explode(col("__sw")).as("__node"))
+       else swDf.select(col("__gid"), col("__sw").as("__node")))
+        .filter(col("__node").isNotNull).distinct()
+    var visited: DataFrame = null // (__gid, __h): doc-content identity per source
+    var found: DataFrame = null   // (__gid, __doc, __depth)
+    var depth = 0
+    var done = false
+    while (!done) {
+      val hits = frontier
+        .join(fromPacked, frontier("__node") === fromPacked("__to"))
+        .select(col("__gid"), col("__doc"), col("__nextRaw"),
+          xxhash64(col("__doc")).as("__h"))
+      val newDocs = (if (visited == null) hits
+                     else hits.join(visited, Seq("__gid", "__h"), "left_anti"))
+        .dropDuplicates("__gid", "__h")
+        .localCheckpoint()
+      if (newDocs.isEmpty) done = true
+      else {
+        val stamped = newDocs.select(col("__gid"), col("__doc"),
+          lit(depth.toLong).as("__depth"))
+        found = if (found == null) stamped else found.union(stamped)
+        val newVisited = newDocs.select(col("__gid"), col("__h"))
+        visited = (if (visited == null) newVisited
+                   else visited.union(newVisited)).localCheckpoint()
+        if (maxDepth.exists(depth >= _)) done = true
+        else {
+          frontier = fanOut(newDocs, col("__nextRaw"))
+          depth += 1
+        }
+      }
+    }
+    val docType = fromPacked.schema("__doc").dataType.asInstanceOf[StructType]
+    val elemType = depthField.fold(docType)(f =>
+      StructType(docType.fields :+ StructField(f, LongType)))
+    val emptyArr = array().cast(ArrayType(elemType))
+    val out =
+      if (found == null) src.withColumn(asField, emptyArr)
+      else {
+        val elem = depthField.fold(col("__doc"))(f =>
+          col("__doc").withField(f, col("__depth")))
+        val packed = found.select(col("__gid"), elem.as("__elem"))
+          .groupBy("__gid").agg(collect_list(col("__elem")).as(asField))
+        src.join(packed, Seq("__gid"), "left")
+          .withColumn(asField, coalesce(col(asField), emptyArr))
+      }
+    out.drop("__gid")
+  }
+
   // ---- $lookup ------------------------------------------------------------
 
   /** Equality form: pre-aggregate the static side per foreign key (one
@@ -874,13 +1014,20 @@ private[graft] object Stages {
     * window (single partition — document the scale cost; give it a
     * partitionBy at 100 TB).
     *
-    * Supported output operators: $sum $avg $min $max $count $push $first
-    * $last $rank $denseRank $documentNumber $shift, with `window.documents`
-    * row frames (`"unbounded" | "current" | <int>` bounds). Default frame
-    * follows Mongo: whole partition without sortBy, [unbounded, current]
-    * with it; rank-family ops use the bare ordered window.
+    * Supported output operators: $sum $avg $min $max $count $push $addToSet
+    * $first $last $stdDevPop $stdDevSamp $covariancePop $covarianceSamp
+    * $rank $denseRank $documentNumber $shift $locf $linearFill $derivative
+    * $integral $expMovingAvg, with `window.documents` row frames
+    * (`"unbounded" | "current" | <int>` bounds) and `window.range` value
+    * frames (single sortBy key; `unit` scales date keys). Default frame
+    * follows Mongo: the WHOLE partition (documents ["unbounded",
+    * "unbounded"]) even when sortBy is given; rank-family ops use the bare
+    * ordered window; $locf/$linearFill/$expMovingAvg take no window and
+    * carry their own frames.
     * Deviation: $shift's `default` also fills data nulls (coalesce), not
-    * only out-of-frame positions. */
+    * only out-of-frame positions. $expMovingAvg folds the cumulative
+    * history per row (O(frame²) work per partition) — fine for the bounded
+    * partitions Mongo aims it at; not for a 100 TB global window. */
   def setWindowFields(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val partCols: Seq[Column] = spec \ "partitionBy" match {
@@ -904,6 +1051,35 @@ private[graft] object Stages {
       else base.orderBy(sortKeys.map { case (f, asc) =>
         if (asc) col(f).asc else col(f).desc }: _*)
     }
+    // Mongo time-unit factor in milliseconds (derivative/integral/range)
+    def unitMillis(u: String): Long = u match {
+      case "week"        => 7L * 24 * 3600 * 1000
+      case "day"         => 24L * 3600 * 1000
+      case "hour"        => 3600L * 1000
+      case "minute"      => 60L * 1000
+      case "second"      => 1000L
+      case "millisecond" => 1L
+      case other => throw new IllegalArgumentException(s"window unit: $other")
+    }
+    val sortIsDate = sortKeys.headOption.exists { case (f, _) =>
+      df.schema.find(_.name == f).exists(f0 =>
+        f0.dataType == TimestampType || f0.dataType == DateType)
+    }
+    /** The single sortBy key as a numeric axis: epoch millis over `unit` for
+      * date keys, the raw numeric for number keys ($derivative/$integral/
+      * $linearFill/range frames — Mongo restricts all of them the same way). */
+    def sortAxis(unit: Option[String]): Column = {
+      require(sortKeys.size == 1,
+        "$setWindowFields: this operator needs exactly one sortBy field")
+      val f = col(sortKeys.head._1)
+      if (sortIsDate) {
+        val u = unit.getOrElse("millisecond")
+        unix_millis(f.cast(TimestampType)).cast(DoubleType) / lit(unitMillis(u).toDouble)
+      } else {
+        require(unit.isEmpty, "unit is only valid for a date sortBy field")
+        f.cast(DoubleType)
+      }
+    }
     val rankOps = Set("$rank", "$denseRank", "$documentNumber", "$shift")
     val JObject(outs) = (spec \ "output": @unchecked)
     outs.foldLeft(df) { case (acc, (name, out)) =>
@@ -911,25 +1087,51 @@ private[graft] object Stages {
       require(!name.contains("."),
         "$setWindowFields: top-level output fields only")
       val (op, opSpec) = fields.filterNot(_._1 == "window").head
-      val framed: WindowSpec = fields.collectFirst { case ("window", w) => w } match {
-        case Some(w) =>
-          val JArray(List(lo, hi)) = ((w \ "documents"): @unchecked)
-          def b(v: JValue, isLo: Boolean): Long = v match {
-            case JString("unbounded") =>
-              if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
-            case JString("current") => Window.currentRow
-            case JInt(i)            => i.toLong
-            case other => throw new IllegalArgumentException(s"documents bound: $other")
+      def docBound(v: JValue, isLo: Boolean): Long = v match {
+        case JString("unbounded") =>
+          if (isLo) Window.unboundedPreceding else Window.unboundedFollowing
+        case JString("current") => Window.currentRow
+        case JInt(i)            => i.toLong
+        case other => throw new IllegalArgumentException(s"window bound: $other")
+      }
+      // documents frame bounds, when given (range frames handled separately)
+      val docFrame: Option[(Long, Long)] =
+        fields.collectFirst { case ("window", w) => w }.flatMap { w =>
+          w \ "documents" match {
+            case JArray(List(lo, hi)) =>
+              Some((docBound(lo, isLo = true), docBound(hi, isLo = false)))
+            case _ => None
           }
-          ordered.rowsBetween(b(lo, isLo = true), b(hi, isLo = false))
-        case None if sortKeys.isEmpty =>
+        }
+      val rangeFrame: Option[(Long, Long, Option[String])] =
+        fields.collectFirst { case ("window", w) => w }.flatMap { w =>
+          w \ "range" match {
+            case JArray(List(lo, hi)) =>
+              val u = w \ "unit" match { case JString(s) => Some(s); case _ => None }
+              Some((docBound(lo, isLo = true), docBound(hi, isLo = false), u))
+            case _ => None
+          }
+        }
+      val framed: WindowSpec = (docFrame, rangeFrame) match {
+        case (Some((lo, hi)), _) => ordered.rowsBetween(lo, hi)
+        case (None, Some((lo, hi, unit))) =>
+          // a range frame orders by the numeric axis itself — one sortBy key;
+          // date keys scale to `unit` so integer bounds mean whole units
+          val axis = sortAxis(unit)
+          val base = Window.partitionBy(partCols: _*)
+            .orderBy(if (sortKeys.head._2) axis.asc else axis.desc)
+          base.rangeBetween(lo, hi)
+        case (None, None) if rankOps(op) && sortKeys.nonEmpty => ordered
+        case (None, None) => // Mongo default: documents ["unbounded",
+          // "unbounded"] — the whole partition, sorted or not
           ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        case None if rankOps(op) => ordered
-        case None =>
-          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       }
       if (rankOps(op) && op != "$shift") require(sortKeys.nonEmpty,
         s"$op requires sortBy")
+      def covArgs: (Column, Column) = opSpec match {
+        case JArray(List(x, y)) => (cexpr(x), cexpr(y))
+        case other => throw new IllegalArgumentException(s"$op expects [x, y]: $other")
+      }
       val c = op match {
         case "$sum"   => sum(cexpr(opSpec)).over(framed)
         case "$avg"   => avg(cexpr(opSpec)).over(framed)
@@ -937,10 +1139,80 @@ private[graft] object Stages {
         case "$max"   => max(cexpr(opSpec)).over(framed)
         case "$count" => count(lit(1)).over(framed)
         case "$push"  => collect_list(cexpr(opSpec)).over(framed)
+        case "$addToSet" => array_sort(collect_set(cexpr(opSpec)).over(framed))
         case "$first" => first(cexpr(opSpec)).over(framed)
         case "$last"  => last(cexpr(opSpec)).over(framed)
-        case "$locf" => // last observation carried forward
-          last(cexpr(opSpec), ignoreNulls = true).over(framed)
+        case "$stdDevPop"  => stddev_pop(cexpr(opSpec)).over(framed)
+        case "$stdDevSamp" => stddev_samp(cexpr(opSpec)).over(framed)
+        case "$covariancePop" =>
+          val (x, y) = covArgs; covar_pop(x, y).over(framed)
+        case "$covarianceSamp" =>
+          val (x, y) = covArgs; covar_samp(x, y).over(framed)
+        case "$locf" => // last observation carried forward — takes no
+          // window in Mongo; always the backward cumulative frame
+          last(cexpr(opSpec), ignoreNulls = true).over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case "$linearFill" =>
+          // interpolate nulls between the nearest non-null neighbors along
+          // the sort axis; nulls before the first / after the last non-null
+          // stay null (both neighbor aggregates come back null there)
+          require(sortKeys.nonEmpty, "$linearFill requires sortBy")
+          val v = cexpr(opSpec).cast(DoubleType)
+          val x = sortAxis(None)
+          val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val fwd  = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          val prevV = last(v, ignoreNulls = true).over(back)
+          val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
+          val nextV = first(v, ignoreNulls = true).over(fwd)
+          val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+          when(v.isNotNull, v).otherwise(
+            prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX))
+        case "$derivative" =>
+          // slope across the frame: Δinput / Δaxis (null when the frame
+          // holds fewer than two distinct axis points, like Mongo)
+          require(sortKeys.nonEmpty, "$derivative requires sortBy")
+          val unit = opSpec \ "unit" match { case JString(s) => Some(s); case _ => None }
+          val v = cexpr(opSpec \ "input").cast(DoubleType)
+          val x = sortAxis(unit)
+          val dx = last(x).over(framed) - first(x).over(framed)
+          when(dx =!= 0d, (last(v).over(framed) - first(v).over(framed)) / dx)
+        case "$integral" =>
+          // trapezoid areas between consecutive rows, summed over the frame
+          // minus its entering edge: area(i) spans (i-1, i], so a frame
+          // [lo, hi] integrates areas (lo+1)..hi — an unbounded lo keeps
+          // unbounded (the partition-first area is null and drops out)
+          require(sortKeys.nonEmpty, "$integral requires sortBy")
+          val unit = opSpec \ "unit" match { case JString(s) => Some(s); case _ => None }
+          val v = cexpr(opSpec \ "input").cast(DoubleType)
+          val x = sortAxis(unit)
+          val area = (x - lag(x, 1).over(ordered)) *
+            (v + lag(v, 1).over(ordered)) / 2d
+          val (lo, hi) = docFrame.getOrElse(
+            (Window.unboundedPreceding, Window.unboundedFollowing))
+          val loShift = if (lo == Window.unboundedPreceding) lo else lo + 1
+          if (loShift != Window.unboundedPreceding &&
+              hi != Window.unboundedFollowing && loShift > hi) lit(0d)
+          else coalesce(
+            sum(area).over(ordered.rowsBetween(loShift, hi)), lit(0d))
+        case "$expMovingAvg" =>
+          // EMA_i = α·x_i + (1-α)·EMA_{i-1}; nulls pass through without
+          // updating. Folded over the cumulative collected history (Mongo
+          // forbids a window spec here, it is always cumulative).
+          require(sortKeys.nonEmpty, "$expMovingAvg requires sortBy")
+          val alpha: Double = (opSpec \ "alpha", opSpec \ "N") match {
+            case (JDouble(a), JNothing) => a
+            case (JNothing, JInt(n))    => 2d / (n.toDouble + 1d)
+            case (JNothing, JLong(n))   => 2d / (n.toDouble + 1d)
+            case other => throw new IllegalArgumentException(
+              s"$$expMovingAvg needs exactly one of N or alpha: $other")
+          }
+          val v = cexpr(opSpec \ "input").cast(DoubleType)
+          // collect_list drops nulls, so a null input folds to the previous
+          // EMA — Mongo's carry-forward rule for non-numeric values
+          val hist = collect_list(v).over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          aggregate(hist, lit(null).cast(DoubleType), (acc, x) =>
+            when(acc.isNull, x).otherwise(x * alpha + acc * (1d - alpha)))
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)
         case "$documentNumber" => row_number().over(ordered)

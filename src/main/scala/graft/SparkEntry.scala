@@ -605,7 +605,8 @@ object SparkEntry {
               "partitionBy": "$et", "sortBy": {"_id": 1},
               "output": {
                 "rn": {"$documentNumber": {}},
-                "run": {"$sum": "$v"},
+                "run": {"$sum": "$v",
+                        "window": {"documents": ["unbounded", "current"]}},
                 "prev": {"$shift": {"output": "$v", "by": -1, "default": 0}}}}},
             {"$project": {"rn": 1,
                           "run": {"$round": ["$run", 2]}, "prev": 1}}]""")
@@ -929,7 +930,8 @@ object SparkEntry {
             "partitionBy": "$event_type",
             "sortBy": {"ts": 1, "event_id": 1},
             "output": {
-              "running": {"$sum": "$value"},
+              "running": {"$sum": "$value",
+                          "window": {"documents": ["unbounded", "current"]}},
               "rnk": {"$documentNumber": {}},
               "prev": {"$shift": {"output": "$value", "by": -1, "default": 0}},
               "avg3": {"$avg": "$value", "window": {"documents": [-2, "current"]}}}}},
@@ -937,12 +939,88 @@ object SparkEntry {
                         "running": {"$round": ["$running", 2]},
                         "rnk": 1, "prev": 1,
                         "avg3": {"$round": ["$avg3", 4]}}}]""")),
+    // $setWindowFields statistics family: stddev / covariance / addToSet
+    "q_window_stats" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$setWindowFields": {
+            "partitionBy": "$event_type",
+            "sortBy": {"ts": 1, "event_id": 1},
+            "output": {
+              "sdp": {"$stdDevPop": "$value",
+                      "window": {"documents": [-5, "current"]}},
+              "sds": {"$stdDevSamp": "$value",
+                      "window": {"documents": [-5, "current"]}},
+              "cvp": {"$covariancePop": ["$value", {"$toDouble": "$user_id"}]},
+              "cvs": {"$covarianceSamp": ["$value", {"$toDouble": "$user_id"}]},
+              "slots": {"$addToSet": {"$mod": ["$user_id", 4]},
+                        "window": {"documents": ["unbounded", "current"]}}}}},
+          {"$project": {"event_id": 1,
+                        "sdp": {"$round": ["$sdp", 4]},
+                        "sds": {"$round": ["$sds", 4]},
+                        "cvp": {"$round": ["$cvp", 2]},
+                        "cvs": {"$round": ["$cvs", 2]},
+                        "slots": {"$reduce": {
+                          "input": "$slots", "initialValue": "",
+                          "in": {"$concat": ["$$value", ",",
+                                             {"$toString": "$$this"}]}}}}}]""")),
+    // $setWindowFields calculus family: $derivative (slope across the
+    // frame, per time unit) and $integral (cumulative trapezoid area)
+    "q_window_calc" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$setWindowFields": {
+            "partitionBy": "$event_type",
+            "sortBy": {"ts": 1},
+            "output": {
+              "slope": {"$derivative": {"input": "$value", "unit": "second"},
+                        "window": {"documents": [-3, "current"]}},
+              "area": {"$integral": {"input": "$value", "unit": "second"},
+                       "window": {"documents": ["unbounded", "current"]}}}}},
+          {"$project": {"event_id": 1,
+                        "slope": {"$round": ["$slope", 4]},
+                        "area": {"$round": ["$area", 2]}}}]""")),
+    // $setWindowFields range frames: value-based bounds on a numeric sort
+    // key (all ties enter the frame together)
+    "q_window_range" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$setWindowFields": {
+            "partitionBy": "$event_type",
+            "sortBy": {"value": 1},
+            "output": {
+              "near_sum": {"$sum": "$value", "window": {"range": [-50, "current"]}},
+              "near_n": {"$count": {}, "window": {"range": [-50, "current"]}}}}},
+          {"$project": {"event_id": 1,
+                        "near_sum": {"$round": ["$near_sum", 2]},
+                        "near_n": 1}}]""")),
+    // $linearFill (interpolate nulls along the sort axis) + $expMovingAvg
+    // (cumulative exponential moving average, N=5)
+    "q_window_fill" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$addFields": {"v": {"$cond": [
+            {"$eq": [{"$mod": ["$user_id", 10]}, 0]}, null, "$value"]}}},
+          {"$setWindowFields": {
+            "partitionBy": "$event_type",
+            "sortBy": {"event_id": 1},
+            "output": {
+              "filled": {"$linearFill": "$v"},
+              "ema": {"$expMovingAvg": {"input": "$v", "N": 5}}}}},
+          {"$project": {"event_id": 1, "filled": 1, "ema": 1}}]""")),
     // batch-only MQL stages (the reference's unbounded streams exclude them)
     "q_sort_limit" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$sort": {"value": -1, "event_id": 1}}, {"$limit": 100},
           {"$project": {"event_id": 1, "value": 1}}]""")),
     "q_sortbycount" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$sortByCount": "$event_type"}]""")),
+    // $graphLookup: per-order BFS over customer via custkey -> nationkey
+    // chains, first-visit depth recorded; flattened for the oracle
+    "q_graph_lookup" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$graphLookup": {"from": "customer", "startWith": "$o_custkey",
+            "connectFromField": "c_nationkey", "connectToField": "c_custkey",
+            "as": "chain", "maxDepth": 3, "depthField": "d"}},
+          {"$unwind": "$chain"},
+          {"$project": {"o_orderkey": 1, "ck": "$chain.c_custkey",
+                        "d": "$chain.d"}}]""")),
+    // $bucketAuto: 8 even-count buckets along the sorted price axis
+    "q_bucket_auto" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[{"$bucketAuto": {"groupBy": "$l_extendedprice", "buckets": 8,
+            "output": {"n": {"$sum": 1}, "qty": {"$sum": "$l_quantity"}}}},
+          {"$project": {"_id": 0, "lo": "$_id.min", "hi": "$_id.max",
+                        "n": 1, "qty": {"$round": ["$qty", 2]}}}]""")),
     "q_unionwith" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$project": {"event_id": 1}},
           {"$unionWith": {"coll": "nation",
@@ -1673,12 +1751,103 @@ object SparkEntry {
                      ROWS UNBOUNDED PRECEDING),
            w_avg AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_window_stats" ->
+      """SELECT event_id,
+                round(stddev_pop(value) OVER w6, 4) AS sdp,
+                round(stddev_samp(value) OVER w6, 4) AS sds,
+                round(covar_pop(value, CAST(user_id AS DOUBLE)) OVER wp, 2) AS cvp,
+                round(covar_samp(value, CAST(user_id AS DOUBLE)) OVER wp, 2) AS cvs,
+                ',' || array_to_string(
+                  list_sort(list_distinct(list(user_id % 4) OVER wcum)),
+                  ',') AS slots
+         FROM events
+         WINDOW
+           w6 AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+           wp AS (PARTITION BY event_type),
+           wcum AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)""",
+    "q_window_calc" ->
+      """WITH e AS (SELECT event_id, event_type, ts, value,
+                           epoch_ms(ts) / 1000.0 AS x
+                    FROM events),
+         a AS (SELECT event_id, event_type, ts, value, x,
+                      (x - lag(x) OVER wo) * (value + lag(value) OVER wo) / 2
+                        AS ar
+               FROM e
+               WINDOW wo AS (PARTITION BY event_type ORDER BY ts))
+         SELECT event_id,
+                round((last_value(value) OVER w - first_value(value) OVER w)
+                      / nullif(last_value(x) OVER w - first_value(x) OVER w, 0),
+                      4) AS slope,
+                round(coalesce(sum(ar) OVER wcum, 0), 2) AS area
+         FROM a
+         WINDOW
+           w AS (PARTITION BY event_type ORDER BY ts
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           wcum AS (PARTITION BY event_type ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING)""",
+    "q_window_range" ->
+      """SELECT event_id,
+                round(sum(value) OVER wr, 2) AS near_sum,
+                count(*) OVER wr AS near_n
+         FROM events
+         WINDOW wr AS (PARTITION BY event_type ORDER BY value
+                       RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)""",
+    "q_window_fill" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v
+                    FROM events),
+         s AS (SELECT event_id, v,
+                      last_value(v IGNORE NULLS) OVER wb AS pv,
+                      last_value(CASE WHEN v IS NOT NULL
+                                 THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                        OVER wb AS px,
+                      first_value(v IGNORE NULLS) OVER wf AS nv,
+                      first_value(CASE WHEN v IS NOT NULL
+                                  THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                        OVER wf AS nx,
+                      list_filter(list(v) OVER wb, x -> x IS NOT NULL) AS h
+               FROM e
+               WINDOW wb AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING),
+                      wf AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_id,
+                coalesce(v, pv + (nv - pv)
+                      * (CAST(event_id AS DOUBLE) - px) / (nx - px)) AS filled,
+                CASE WHEN len(h) = 0 THEN NULL
+                     ELSE list_reduce(h, (acc, x) ->
+                            x * (2.0 / 6.0) + acc * (1.0 - 2.0 / 6.0)) END AS ema
+         FROM s""",
     "q_sort_limit" ->
       """SELECT event_id, value FROM events
          ORDER BY value DESC, event_id LIMIT 100""",
     "q_sortbycount" ->
       """SELECT event_type AS _id, count(*) AS count
          FROM events GROUP BY 1""",
+    "q_graph_lookup" ->
+      """WITH RECURSIVE g AS (
+           SELECT o.o_orderkey, c.c_custkey AS ck, c.c_nationkey AS nk,
+                  0 AS d
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           UNION ALL
+           SELECT g.o_orderkey, c.c_custkey, c.c_nationkey, g.d + 1
+           FROM g JOIN customer c ON c.c_custkey = g.nk
+           WHERE g.d < 3)
+         SELECT o_orderkey, ck, CAST(min(d) AS BIGINT) AS d
+         FROM g GROUP BY 1, 2""",
+    "q_bucket_auto" ->
+      """WITH r AS (SELECT l_extendedprice AS v, l_quantity AS q,
+                           rank() OVER (ORDER BY l_extendedprice) AS rk,
+                           count(*) OVER () AS n
+                    FROM lineitem),
+         g AS (SELECT ((rk - 1) * 8) // n AS bk, min(v) AS mn, max(v) AS mx,
+                      count(*) AS n, round(sum(q), 2) AS qty
+               FROM r GROUP BY 1)
+         SELECT mn AS lo, coalesce(lead(mn) OVER (ORDER BY bk), mx) AS hi,
+                n, qty
+         FROM g""",
     "q_unionwith" ->
       """SELECT event_id FROM events
          UNION ALL SELECT n_nationkey FROM nation""",

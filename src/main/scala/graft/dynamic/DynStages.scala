@@ -1274,10 +1274,11 @@ object DynPipeline {
         val l = if (lo == Long.MinValue) Window.unboundedPreceding else lo
         val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi
         ordered.rowsBetween(l, h)
-      case None if sortOps.isEmpty =>
+      case None if (rankOps(o.op) || o.op == "$shift") && sortOps.nonEmpty =>
+        ordered
+      case None => // Mongo default window: the WHOLE partition ("unbounded"
+        // both sides) even when sortBy is given
         ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      case None if rankOps(o.op) || o.op == "$shift" => ordered
-      case None => ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
     val withCols = outs.zipWithIndex.foldLeft(extracted.toDF()) { case (acc, (o, i)) =>
       def ordStruct = when(col(s"__b$i").isNull, lit(null))
@@ -1294,7 +1295,9 @@ object DynPipeline {
         case "$push"  => collect_list(col(s"__c$i")).over(framed(o))
         case "$first" => first(col(s"__c$i")).over(framed(o))
         case "$last"  => last(col(s"__c$i")).over(framed(o))
-        case "$locf"  => last(col(s"__c$i"), ignoreNulls = true).over(framed(o))
+        case "$locf"  => // no window in Mongo: always backward-cumulative
+          last(col(s"__c$i"), ignoreNulls = true).over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)
         case "$documentNumber" => row_number().over(ordered)

@@ -517,26 +517,32 @@ class DynamicSpec extends SparkSpec {
       """[{"$setWindowFields": {
             "partitionBy": "$g", "sortBy": {"s": 1},
             "output": {
-              "run": {"$sum": "$v"},
+              "run": {"$sum": "$v",
+                      "window": {"documents": ["unbounded", "current"]}},
               "num": {"$documentNumber": {}},
               "prev": {"$shift": {"output": "$v", "by": -1, "default": "none"}},
-              "hi": {"$max": "$v"}}}},
-          {"$project": {"run": 1, "num": 1, "prev": 1, "hi": 1}}]"""))
-    // group a sort order: s=1 (v=2.5), s=2 (v=10), s="x" (v=5);
-    // default frame with sortBy is [unbounded, current] -> hi is a RUNNING max
+              "hi": {"$max": "$v",
+                     "window": {"documents": ["unbounded", "current"]}},
+              "tot": {"$sum": "$v"}}}},
+          {"$project": {"run": 1, "num": 1, "prev": 1, "hi": 1, "tot": 1}}]"""))
+    // group a sort order: s=1 (v=2.5), s=2 (v=10), s="x" (v=5); `hi` is a
+    // RUNNING max (explicit frame); window-less `tot` is Mongo's default
+    // whole-partition frame even with sortBy
     assert(out == Set(
-      node("""{"_id":"2","run":2.5,"num":1,"prev":"none","hi":2.5}"""),
-      node("""{"_id":"0","run":12.5,"num":2,"prev":2.5,"hi":10}"""),
-      node("""{"_id":"1","run":17.5,"num":3,"prev":10,"hi":10}"""),
-      node("""{"_id":"3","run":7,"num":1,"prev":"none","hi":7}""")))
+      node("""{"_id":"2","run":2.5,"num":1,"prev":"none","hi":2.5,"tot":17.5}"""),
+      node("""{"_id":"0","run":12.5,"num":2,"prev":2.5,"hi":10,"tot":17.5}"""),
+      node("""{"_id":"1","run":17.5,"num":3,"prev":10,"hi":10,"tot":17.5}"""),
+      node("""{"_id":"3","run":7,"num":1,"prev":"none","hi":7,"tot":7}""")))
   }
 
   test("dynamic $setWindowFields: integral sums stay integers; push keeps frame order") {
     val out = outDocs(run(
       docs("""{"_id":"0","k":1,"v":2}""", """{"_id":"1","k":2,"v":3}"""),
       """[{"$setWindowFields": {"sortBy": {"k": 1},
-            "output": {"tot": {"$sum": "$v"},
-                       "seen": {"$push": "$v"}}}},
+            "output": {"tot": {"$sum": "$v",
+                         "window": {"documents": ["unbounded", "current"]}},
+                       "seen": {"$push": "$v",
+                         "window": {"documents": ["unbounded", "current"]}}}}},
           {"$project": {"tot": 1, "seen": 1}}]"""))
     assert(out == Set(
       node("""{"_id":"0","tot":2,"seen":[2]}"""),

@@ -218,15 +218,20 @@ class StagesSpec extends SparkSpec {
       """[{"$setWindowFields": {
             "partitionBy": "$g", "sortBy": {"seq": 1},
             "output": {
-              "run":  {"$sum": "$v"},
+              "run":  {"$sum": "$v",
+                       "window": {"documents": ["unbounded", "current"]}},
+              "tot":  {"$sum": "$v"},
               "num":  {"$documentNumber": {}},
               "prev": {"$shift": {"output": "$v", "by": -1, "default": -1}},
               "win2": {"$sum": "$v", "window": {"documents": [-1, "current"]}}}}}]""")
     val rows = out.filter($"g" === "a").orderBy("seq")
-      .select("run", "num", "prev", "win2").collect()
-      .map(r => (r.getDouble(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toList
-    assert(rows == List((10.0, 1, -1.0, 10.0), (30.0, 2, 10.0, 30.0),
-      (60.0, 3, 20.0, 50.0)))
+      .select("run", "tot", "num", "prev", "win2").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4))).toList
+    // `tot` has no window: Mongo's default is the WHOLE partition even
+    // with sortBy — not the SQL cumulative default
+    assert(rows == List((10.0, 60.0, 1, -1.0, 10.0), (30.0, 60.0, 2, 10.0, 30.0),
+      (60.0, 60.0, 3, 20.0, 50.0)))
   }
 
   test("$setWindowFields: no sortBy = whole-partition frame; global window without partitionBy") {
@@ -240,6 +245,93 @@ class StagesSpec extends SparkSpec {
     val global = pipeline.run(df,
       """[{"$setWindowFields": {"output": {"tot": {"$sum": "$v"}}}}]""")
     assert(global.select("tot").collect().map(_.getDouble(0)).toSet == Set(7.0))
+  }
+
+  test("$graphLookup: BFS depths, cycle termination, maxDepth, restrict") {
+    // chain d -> c -> b -> a, plus a 2-cycle x <-> y
+    val emp = Seq(("a", null), ("b", "a"), ("c", "b"), ("d", "c"),
+      ("x", "y"), ("y", "x")).toDF("name", "boss")
+    val p = new Pipeline(catalog = { case "emp" => emp })
+    val out = p.run(emp, """[{"$graphLookup": {"from": "emp",
+        "startWith": "$boss", "connectFromField": "boss",
+        "connectToField": "name", "as": "chain", "depthField": "d"}}]""")
+    def chain(n: String): Set[(String, Long)] =
+      out.filter($"name" === n).select(explode($"chain")).select("col.name", "col.d")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(chain("d") == Set(("c", 0L), ("b", 1L), ("a", 2L)))
+    assert(chain("a") == Set.empty) // null startWith -> empty array
+    // cycle: x's bosses are y (0) then x itself (1), visited-dedup stops there
+    assert(chain("x") == Set(("y", 0L), ("x", 1L)))
+    val capped = p.run(emp, """[{"$graphLookup": {"from": "emp",
+        "startWith": "$boss", "connectFromField": "boss",
+        "connectToField": "name", "as": "chain", "maxDepth": 0}}]""")
+    assert(capped.filter($"name" === "d").select(size($"chain")).head.getInt(0) == 1)
+    val restricted = p.run(emp, """[{"$graphLookup": {"from": "emp",
+        "startWith": "$boss", "connectFromField": "boss",
+        "connectToField": "name", "as": "chain",
+        "restrictSearchWithMatch": {"name": {"$ne": "b"}}}}]""")
+    // b is excluded from the searchable set: d finds only c (the walk stops)
+    assert(restricted.filter($"name" === "d")
+      .select(explode($"chain")).select("col.name")
+      .collect().map(_.getString(0)).toSet == Set("c"))
+  }
+
+  test("$bucketAuto: even-count buckets, tie cohesion, Mongo boundaries") {
+    val df = (1 to 7).map(i => (i.toString, i.toDouble)).toDF("_id", "v")
+    val out = pipeline.run(df,
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2}}]""")
+      .select($"_id.min", $"_id.max", $"count").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).sortBy(_._1).toList
+    // 7 docs / 2 buckets -> 4 + 3; bucket max = next bucket's min,
+    // last max = global max inclusive
+    assert(out == List((1.0, 5.0, 4L), (5.0, 7.0, 3L)))
+    val ties = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0, "e" -> 2.0)
+      .toDF("_id", "v")
+    val out2 = pipeline.run(ties,
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+            "output": {"n": {"$sum": 1}, "hi": {"$max": "$v"}}}}]""")
+      .select($"_id.min", $"_id.max", $"n", $"hi").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toList
+    // equal values never split: all four 1.0s stay in bucket 0
+    assert(out2 == List((1.0, 2.0, 4L, 1.0), (2.0, 2.0, 1L, 2.0)))
+  }
+
+  test("$setWindowFields: calculus + statistics family over one partition") {
+    val df = Seq(("0", "a", 1L, Some(0.0)), ("1", "a", 2L, Some(10.0)),
+      ("2", "a", 3L, None), ("3", "a", 4L, Some(20.0)))
+      .toDF("_id", "g", "x", "v")
+    val out = pipeline.run(df,
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"x": 1},
+            "output": {
+              "slope": {"$derivative": {"input": "$v"},
+                        "window": {"documents": [-1, "current"]}},
+              "area": {"$integral": {"input": "$v"},
+                       "window": {"documents": ["unbounded", "current"]}},
+              "fill": {"$linearFill": "$v"},
+              "ema": {"$expMovingAvg": {"input": "$v", "N": 3}},
+              "sd": {"$stdDevPop": "$v"},
+              "cv": {"$covariancePop": [{"$toDouble": "$x"}, "$v"]},
+              "rsum": {"$sum": "$v", "window": {"range": [-1, "current"]}}}}}]""")
+      .orderBy("x")
+    def d(name: String): List[Option[Double]] =
+      out.select(name).collect().map(r => Option(r.get(0)).map {
+        case x: Double => x; case x: java.lang.Double => x.doubleValue }).toList
+    // slope: Δv/Δx over [-1, current]; null frames (single row / null v) stay null
+    assert(d("slope") == List(None, Some(10.0), None, None))
+    // area: trapezoids (1,2)->5, null-adjacent drop out
+    assert(d("area") == List(Some(0.0), Some(5.0), Some(5.0), Some(5.0)))
+    // fill: x=3 interpolates 10->20 over x 2->4
+    assert(d("fill") == List(Some(0.0), Some(10.0), Some(15.0), Some(20.0)))
+    // ema (alpha = 0.5): 0, 5, carry 5, 12.5
+    assert(d("ema") == List(Some(0.0), Some(5.0), Some(5.0), Some(12.5)))
+    // whole-partition stddev_pop of {0,10,20}
+    assert(math.abs(d("sd").head.get - 8.16496580927726) < 1e-12)
+    // covar_pop of (x, v) over non-null pairs {(1,0),(2,10),(4,20)} = 10
+    assert(d("cv").forall(c => math.abs(c.get - 10.0) < 1e-12))
+    // range [-1, current] on x: value-distance frame
+    assert(d("rsum") == List(Some(0.0), Some(10.0), Some(10.0), Some(20.0)))
   }
 
   test("$fill linear interpolates on the sort field between bracketing points") {
