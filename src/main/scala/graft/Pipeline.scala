@@ -669,14 +669,17 @@ private[graft] object Stages {
 
   /** `$graphLookup` (MQL, beyond the reference's stage set): recursive
     * lookup over `from` — a breadth-first search per input document.
-    * Distributed shape: the frontier is a (source-row id, node value) pair
-    * set; every round is ONE hash equi-join frontier ⋈ from on
-    * `connectToField` plus a left-anti join against the visited set — no
-    * data ever sits on the driver, only a loop bounded by `maxDepth` (or by
-    * the longest acyclic chain: visited-dedup guarantees termination on
-    * cycles). Rounds localCheckpoint their deltas to cut lineage; each doc
-    * carries its FIRST-visit depth, i.e. BFS depth, like Mongo. Array-valued
-    * `startWith`/`connectFromField` fan out via explode. */
+    * Distributed shape: the BFS is keyed by DISTINCT start value, not by
+    * source row — every input doc with the same `startWith` (a fact table ⋈
+    * a small dimension graph) shares one walk, so frontier state scales
+    * with the dimension, not the input. Every round is ONE hash equi-join
+    * frontier ⋈ from on `connectToField` plus a left-anti join against the
+    * visited set — no data ever sits on the driver, only a loop bounded by
+    * `maxDepth` (or by the longest acyclic chain: visited-dedup guarantees
+    * termination on cycles). Rounds localCheckpoint their deltas to cut
+    * lineage; each doc carries its FIRST-visit depth (BFS depth), like
+    * Mongo. Array-valued `startWith`/`connectFromField` fan out via
+    * explode; an array start takes the min depth per reached doc. */
   def graphLookup(df: DataFrame, spec: JValue, catalog: String => DataFrame)
       (implicit ctx: ExprCtx): DataFrame = {
     val JString(fromName) = ((spec \ "from"): @unchecked)
@@ -703,43 +706,43 @@ private[graft] object Stages {
       col(connectFrom).as("__nextRaw"),
       struct(from.columns.map(col).toIndexedSeq: _*).as("__doc"))
     val nextIsArray = fromPacked.schema("__nextRaw").dataType.isInstanceOf[ArrayType]
-    def fanOut(d: DataFrame, c: Column): DataFrame =
-      (if (nextIsArray) d.select(col("__gid"), explode(c).as("__node"))
-       else d.select(col("__gid"), c.as("__node")))
-        .filter(col("__node").isNotNull).distinct()
-    // monotonically_increasing_id is plan-nondeterministic: pin the ids
-    val src = df.withColumn("__gid", monotonically_increasing_id())
-      .localCheckpoint()
-    val swDf = src.select(col("__gid"), cexpr(spec \ "startWith").as("__sw"))
-    val swIsArray = swDf.schema("__sw").dataType.isInstanceOf[ArrayType]
-    var frontier =
-      (if (swIsArray) swDf.select(col("__gid"), explode(col("__sw")).as("__node"))
-       else swDf.select(col("__gid"), col("__sw").as("__node")))
-        .filter(col("__node").isNotNull).distinct()
-    var visited: DataFrame = null // (__gid, __h): doc-content identity per source
-    var found: DataFrame = null   // (__gid, __doc, __depth)
+    val sw = cexpr(spec \ "startWith")
+    val swIsArray = df.select(sw.as("__sw")).schema("__sw")
+      .dataType.isInstanceOf[ArrayType]
+    // BFS origins: distinct start values
+    val origins =
+      (if (swIsArray) df.select(explode(sw).as("__start"))
+       else df.select(sw.as("__start")))
+        .filter(col("__start").isNotNull).distinct()
+    var frontier = origins.select(col("__start"), col("__start").as("__node"))
+    var visited: DataFrame = null // (__start, __h): doc identity per origin
+    var found: DataFrame = null   // (__start, __h, __doc, __depth)
     var depth = 0
     var done = false
     while (!done) {
       val hits = frontier
         .join(fromPacked, frontier("__node") === fromPacked("__to"))
-        .select(col("__gid"), col("__doc"), col("__nextRaw"),
+        .select(col("__start"), col("__doc"), col("__nextRaw"),
           xxhash64(col("__doc")).as("__h"))
       val newDocs = (if (visited == null) hits
-                     else hits.join(visited, Seq("__gid", "__h"), "left_anti"))
-        .dropDuplicates("__gid", "__h")
+                     else hits.join(visited, Seq("__start", "__h"), "left_anti"))
+        .dropDuplicates("__start", "__h")
         .localCheckpoint()
       if (newDocs.isEmpty) done = true
       else {
-        val stamped = newDocs.select(col("__gid"), col("__doc"),
+        val stamped = newDocs.select(col("__start"), col("__h"), col("__doc"),
           lit(depth.toLong).as("__depth"))
         found = if (found == null) stamped else found.union(stamped)
-        val newVisited = newDocs.select(col("__gid"), col("__h"))
+        val newVisited = newDocs.select(col("__start"), col("__h"))
         visited = (if (visited == null) newVisited
                    else visited.union(newVisited)).localCheckpoint()
         if (maxDepth.exists(depth >= _)) done = true
         else {
-          frontier = fanOut(newDocs, col("__nextRaw"))
+          frontier =
+            (if (nextIsArray)
+               newDocs.select(col("__start"), explode(col("__nextRaw")).as("__node"))
+             else newDocs.select(col("__start"), col("__nextRaw").as("__node")))
+              .filter(col("__node").isNotNull).distinct()
           depth += 1
         }
       }
@@ -748,17 +751,35 @@ private[graft] object Stages {
     val elemType = depthField.fold(docType)(f =>
       StructType(docType.fields :+ StructField(f, LongType)))
     val emptyArr = array().cast(ArrayType(elemType))
-    val out =
-      if (found == null) src.withColumn(asField, emptyArr)
-      else {
-        val elem = depthField.fold(col("__doc"))(f =>
-          col("__doc").withField(f, col("__depth")))
-        val packed = found.select(col("__gid"), elem.as("__elem"))
-          .groupBy("__gid").agg(collect_list(col("__elem")).as(asField))
-        src.join(packed, Seq("__gid"), "left")
-          .withColumn(asField, coalesce(col(asField), emptyArr))
-      }
-    out.drop("__gid")
+    def elem(doc: Column, d: Column) =
+      depthField.fold(doc)(f => doc.withField(f, d))
+    if (found == null) df.withColumn(asField, emptyArr)
+    else if (!swIsArray) {
+      // scalar start: the closure array joins straight back on the value
+      val packed = found
+        .select(col("__start"), elem(col("__doc"), col("__depth")).as("__elem"))
+        .groupBy("__start").agg(collect_list(col("__elem")).as(asField))
+      df.join(packed, sw === packed("__start"), "left")
+        .withColumn(asField, coalesce(col(asField), emptyArr))
+        .drop("__start")
+    } else {
+      // array start: a doc reachable from several elements appears once,
+      // at its min depth (BFS-from-a-set semantics); row id only for
+      // regrouping — pinned, since monotonically_increasing_id is
+      // plan-nondeterministic
+      val src = df.withColumn("__gid", monotonically_increasing_id())
+        .localCheckpoint()
+      val elems = src.select(col("__gid"), explode(sw).as("__start"))
+      val best = elems.join(found, "__start" :: Nil)
+        .groupBy(col("__gid"), col("__h"))
+        .agg(min(col("__depth")).as("__depth"), first(col("__doc")).as("__doc"))
+      val packed = best
+        .select(col("__gid"), elem(col("__doc"), col("__depth")).as("__elem"))
+        .groupBy("__gid").agg(collect_list(col("__elem")).as(asField))
+      src.join(packed, Seq("__gid"), "left")
+        .withColumn(asField, coalesce(col(asField), emptyArr))
+        .drop("__gid")
+    }
   }
 
   // ---- $lookup ------------------------------------------------------------
@@ -1195,9 +1216,10 @@ private[graft] object Stages {
           else coalesce(
             sum(area).over(ordered.rowsBetween(loShift, hi)), lit(0d))
         case "$expMovingAvg" =>
-          // EMA_i = α·x_i + (1-α)·EMA_{i-1}; nulls pass through without
-          // updating. Folded over the cumulative collected history (Mongo
-          // forbids a window spec here, it is always cumulative).
+          // EMA_i = α·x_i + (1-α)·EMA_{i-1}; null inputs carry the previous
+          // EMA forward (Mongo's rule). Incremental custom aggregate over
+          // the growing frame — O(1) state per row, not a history fold
+          // (Mongo forbids a window spec here, it is always cumulative).
           require(sortKeys.nonEmpty, "$expMovingAvg requires sortBy")
           val alpha: Double = (opSpec \ "alpha", opSpec \ "N") match {
             case (JDouble(a), JNothing) => a
@@ -1206,13 +1228,8 @@ private[graft] object Stages {
             case other => throw new IllegalArgumentException(
               s"$$expMovingAvg needs exactly one of N or alpha: $other")
           }
-          val v = cexpr(opSpec \ "input").cast(DoubleType)
-          // collect_list drops nulls, so a null input folds to the previous
-          // EMA — Mongo's carry-forward rule for non-numeric values
-          val hist = collect_list(v).over(
+          graft.functions.EmaAgg.ema(cexpr(opSpec \ "input"), alpha).over(
             ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          aggregate(hist, lit(null).cast(DoubleType), (acc, x) =>
-            when(acc.isNull, x).otherwise(x * alpha + acc * (1d - alpha)))
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)
         case "$documentNumber" => row_number().over(ordered)
