@@ -616,6 +616,28 @@ object SparkEntry {
         get_json_object(col("doc"), "$.run").cast("double").as("run"),
         get_json_object(col("doc"), "$.prev").cast("double").as("prev"))
     }),
+    // dynamic window calculus: derivative/linearFill/expMovingAvg over
+    // schemaless docs (tie-safe: only bit-identical arithmetic, no rounding)
+    "q_dynamic_window_calc" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("event_type").as("et"),
+        when(col("user_id") % 10 === 0, lit(null))
+          .otherwise(col("value")).as("v"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$setWindowFields": {
+              "partitionBy": "$et", "sortBy": {"_id": 1},
+              "output": {
+                "slope": {"$derivative": {"input": "$v"},
+                          "window": {"documents": [-1, "current"]}},
+                "fill": {"$linearFill": "$v"},
+                "ema": {"$expMovingAvg": {"input": "$v", "N": 5}}}}},
+            {"$project": {"slope": 1, "fill": 1, "ema": 1}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.slope").cast("double").as("slope"),
+        get_json_object(col("doc"), "$.fill").cast("double").as("fill"),
+        get_json_object(col("doc"), "$.ema").cast("double").as("ema"))
+    }),
     // dynamic expression breadth: dates, regex, sets, sortArray over
     // schemaless docs
     "q_dynamic_expr" -> ((s, dir) => {
@@ -1738,6 +1760,33 @@ object SparkEntry {
                                    ROWS UNBOUNDED PRECEDING), 2) AS run,
                 coalesce(lag(v, 1) OVER w, 0) AS prev
          FROM e WINDOW w AS (PARTITION BY et ORDER BY _id)""",
+    "q_dynamic_window_calc" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v,
+                           CAST(event_id AS DOUBLE) AS x
+                    FROM events),
+         s AS (SELECT event_id, v, x,
+                      lag(v) OVER w AS pv0, lag(x) OVER w AS px0,
+                      last_value(v IGNORE NULLS) OVER wb AS pv,
+                      last_value(CASE WHEN v IS NOT NULL THEN x END
+                                 IGNORE NULLS) OVER wb AS px,
+                      first_value(v IGNORE NULLS) OVER wf AS nv,
+                      first_value(CASE WHEN v IS NOT NULL THEN x END
+                                  IGNORE NULLS) OVER wf AS nx,
+                      list_filter(list(v) OVER wb, y -> y IS NOT NULL) AS h
+               FROM e
+               WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
+                      wb AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING),
+                      wf AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_id AS _id,
+                (v - pv0) / (x - px0) AS slope,
+                coalesce(v, pv + (nv - pv) * (x - px) / (nx - px)) AS fill,
+                CASE WHEN len(h) = 0 THEN NULL
+                     ELSE list_reduce(h, (acc, y) ->
+                            y * (2.0 / 6.0) + acc * (1.0 - 2.0 / 6.0)) END AS ema
+         FROM s""",
     "q_window_fields" ->
       """SELECT event_id,
                 round(sum(value) OVER w_run, 2) AS running,

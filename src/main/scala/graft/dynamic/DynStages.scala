@@ -1164,10 +1164,15 @@ object DynPipeline {
     * encoding), so Spark's Window machinery — ONE hash exchange on the
     * canonical partition key + a per-partition sort — executes Mongo window
     * semantics over schemaless documents. Numeric windows carry
-    * (double, wasIntegral) pairs so integer sums stay integers; $min/$max
-    * order by the binary key and return the canonical value; $push/$first/
-    * $last/$shift round-trip canonical JSON. $shift's default fills ONLY
-    * out-of-frame positions (data nulls round-trip as the string "null"). */
+    * (double, wasIntegral) pairs so integer sums stay integers; $min/$max/
+    * $addToSet order by the binary key and return canonical values; $push/
+    * $first/$last/$shift round-trip canonical JSON. $shift's default fills
+    * ONLY out-of-frame positions (data nulls round-trip as the string
+    * "null"). The calculus/statistics family ($stdDevPop/Samp,
+    * $covariancePop/Samp, $derivative, $integral, $linearFill,
+    * $expMovingAvg) and `window.range` frames ride a numeric axis column
+    * (numbers as-is, dates as epoch millis, `unit`-rescaled) — same shapes
+    * as the typed engine, incl. the incremental [[graft.functions.EmaAgg]]. */
   private def setWindowFields(df: DataFrame, spec: JValue): DataFrame = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     import org.apache.spark.sql.types._
@@ -1190,21 +1195,34 @@ object DynPipeline {
     }
     val rankOps = Set("$rank", "$denseRank", "$documentNumber")
     case class Out(name: String, op: String, input: Option[DynExpr.DOp],
-        by: Int, default: Option[String], frame: Option[(Long, Long)])
+        by: Int, default: Option[String], frame: Option[(Long, Long)],
+        input2: Option[DynExpr.DOp] = None, alpha: Double = 0d,
+        unit: Option[String] = None,
+        rangeFrame: Option[(Long, Long)] = None, runit: Option[String] = None)
+    def bound(v: JValue, isLo: Boolean): Long = v match {
+      case JString("unbounded") => if (isLo) Long.MinValue else Long.MaxValue
+      case JString("current")   => 0L
+      case JInt(i)              => i.toLong
+      case other => throw new IllegalArgumentException(s"window bound: $other")
+    }
     val JObject(outsJ) = ((spec \ "output"): @unchecked)
     val outs: List[Out] = outsJ.map { case (name, o) =>
       val JObject(fields) = (o: @unchecked)
       val (op, opSpec) = fields.filterNot(_._1 == "window").head
-      val frame = fields.collectFirst { case ("window", w) =>
-        val JArray(List(lo, hi)) = ((w \ "documents"): @unchecked)
-        def b(v: JValue, isLo: Boolean): Long = v match {
-          case JString("unbounded") => if (isLo) Long.MinValue else Long.MaxValue
-          case JString("current")   => 0L
-          case JInt(i)              => i.toLong
-          case other => throw new IllegalArgumentException(s"documents bound: $other")
-        }
-        (b(lo, isLo = true), b(hi, isLo = false))
-      }
+      val winSpec = fields.collectFirst { case ("window", w) => w }
+      val frame = winSpec.flatMap(w => w \ "documents" match {
+        case JArray(List(lo, hi)) =>
+          Some((bound(lo, isLo = true), bound(hi, isLo = false)))
+        case _ => None
+      })
+      val rangeFrame = winSpec.flatMap(w => w \ "range" match {
+        case JArray(List(lo, hi)) =>
+          Some((bound(lo, isLo = true), bound(hi, isLo = false)))
+        case _ => None
+      })
+      val runit = winSpec.flatMap(w => w \ "unit" match {
+        case JString(u) => Some(u); case _ => None
+      })
       op match {
         case "$shift" =>
           val by = opSpec \ "by" match { case JInt(i) => i.toInt; case _ => 1 }
@@ -1213,41 +1231,93 @@ object DynPipeline {
             case d => Some(org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(d)))
           }
-          Out(name, op, Some(DynExpr.compile(opSpec \ "output")), by, dflt, frame)
+          Out(name, op, Some(DynExpr.compile(opSpec \ "output")), by, dflt,
+            frame, rangeFrame = rangeFrame, runit = runit)
         case r if rankOps(r) =>
           require(sortOps.nonEmpty, s"$r requires sortBy")
-          Out(name, op, None, 0, None, frame)
-        case _ => Out(name, op, Some(DynExpr.compile(opSpec)), 0, None, frame)
+          Out(name, op, None, 0, None, frame,
+            rangeFrame = rangeFrame, runit = runit)
+        case "$covariancePop" | "$covarianceSamp" =>
+          val JArray(List(x, y)) = (opSpec: @unchecked)
+          Out(name, op, Some(DynExpr.compile(x)), 0, None, frame,
+            input2 = Some(DynExpr.compile(y)),
+            rangeFrame = rangeFrame, runit = runit)
+        case "$derivative" | "$integral" =>
+          require(sortOps.nonEmpty, s"$op requires sortBy")
+          Out(name, op, Some(DynExpr.compile(opSpec \ "input")), 0, None,
+            frame, unit = opSpec \ "unit" match {
+              case JString(u) => Some(u); case _ => None
+            }, rangeFrame = rangeFrame, runit = runit)
+        case "$expMovingAvg" =>
+          require(sortOps.nonEmpty, s"$op requires sortBy")
+          val alpha = (opSpec \ "alpha", opSpec \ "N") match {
+            case (JDouble(a), JNothing) => a
+            case (JNothing, JInt(n))    => 2d / (n.toDouble + 1d)
+            case (JNothing, JLong(n))   => 2d / (n.toDouble + 1d)
+            case other => throw new IllegalArgumentException(
+              s"$$expMovingAvg needs exactly one of N or alpha: $other")
+          }
+          Out(name, op, Some(DynExpr.compile(opSpec \ "input")), 0, None,
+            frame, alpha = alpha)
+        case "$linearFill" =>
+          require(sortOps.nonEmpty, s"$op requires sortBy")
+          Out(name, op, Some(DynExpr.compile(opSpec)), 0, None, frame)
+        case _ => Out(name, op, Some(DynExpr.compile(opSpec)), 0, None, frame,
+          rangeFrame = rangeFrame, runit = runit)
       }
     }
+    // ops that ride a NUMERIC axis (the single sortBy value: number, or
+    // date as epoch millis — `unit` rescales in the window expressions)
+    val axisOps = Set("$derivative", "$integral", "$linearFill")
+    val needAxis = outs.exists(o => axisOps(o.op) || o.rangeFrame.nonEmpty)
+    if (needAxis) require(sortOps.size == 1,
+      "$derivative/$integral/$linearFill/range windows need exactly one sortBy field")
 
     // extraction pass: canonical partition key, binary sort keys, and per-
     // output value columns — documents never re-parse after this point
+    // numeric-input window ops: one SQL double per row (null skips)
+    val numOps = Set("$stdDevPop", "$stdDevSamp", "$linearFill",
+      "$expMovingAvg", "$derivative", "$integral")
     val schema = StructType(Seq(
       StructField("key", StringType), StructField("doc", StringType),
       StructField("__p", StringType)) ++
+      (if (needAxis) Seq(StructField("__x", DoubleType)) else Nil) ++
       sortOps.indices.map(i => StructField(s"__s$i", BinaryType)) ++
       outs.zipWithIndex.flatMap { case (o, i) => o.op match {
         case "$sum" | "$avg" =>
           Seq(StructField(s"__v$i", DoubleType), StructField(s"__int$i", BooleanType))
-        case "$min" | "$max" =>
+        case "$min" | "$max" | "$addToSet" =>
           Seq(StructField(s"__b$i", BinaryType), StructField(s"__c$i", StringType))
-        case "$push" | "$first" | "$last" | "$shift" | "$locf" =>
+        case "$push" | "$first" | "$last" | "$shift" =>
           Seq(StructField(s"__c$i", StringType))
+        case "$locf" =>
+          Seq(StructField(s"__c$i", StringType))
+        case op if numOps(op) =>
+          Seq(StructField(s"__v$i", DoubleType))
+        case "$covariancePop" | "$covarianceSamp" =>
+          Seq(StructField(s"__v$i", DoubleType), StructField(s"__w$i", DoubleType))
         case _ => Nil
       }})
+    def numOrNull(v: JsonNode): Any =
+      if (v != null && v.isNumber) v.doubleValue else null
+    // the numeric sort axis: numbers as-is, dates as epoch millis
+    def axisOf(v: JsonNode): Any =
+      if (v == null || v.isNull || isMissing(v)) null
+      else if (v.isNumber) v.doubleValue
+      else DynExpr.parseInstant(v).map(_.toEpochMilli.toDouble).orNull
     val extracted = normalize(df).as(tuple2Enc).mapPartitions { it =>
       it.map { case (k, s) =>
         val dctx = DynExpr.DCtx(parse(s), Map.empty)
         val vals = scala.collection.mutable.ArrayBuffer[Any](k, s,
           partOp.map(op => canonical(op.eval(dctx))).getOrElse(""))
+        if (needAxis) vals += axisOf(sortOps.head._1.eval(dctx))
         sortOps.foreach { case (op, _) => vals += sortableKey(op.eval(dctx)) }
         outs.zipWithIndex.foreach { case (o, i) => o.op match {
           case "$sum" | "$avg" =>
             val v = o.input.get.eval(dctx)
             if (v != null && v.isNumber) { vals += v.doubleValue; vals += v.isIntegralNumber }
             else { vals += null; vals += true } // non-numeric: $sum skips (0), $avg skips
-          case "$min" | "$max" =>
+          case "$min" | "$max" | "$addToSet" =>
             val v = o.input.get.eval(dctx)
             if (v == null || v.isNull || isMissing(v)) { vals += null; vals += null }
             else { vals += sortableKey(v); vals += canonical(v) }
@@ -1257,6 +1327,11 @@ object DynPipeline {
           case "$locf" => // SQL-null when absent so last(ignoreNulls) skips it
             val v = o.input.get.eval(dctx)
             vals += (if (v == null || v.isNull || isMissing(v)) null else canonical(v))
+          case op if numOps(op) =>
+            vals += numOrNull(o.input.get.eval(dctx))
+          case "$covariancePop" | "$covarianceSamp" =>
+            vals += numOrNull(o.input.get.eval(dctx))
+            vals += numOrNull(o.input2.get.eval(dctx))
           case _ => ()
         }}
         Row.fromSeq(vals.toSeq)
@@ -1269,15 +1344,38 @@ object DynPipeline {
       else base.orderBy(sortOps.zipWithIndex.map { case ((_, asc), i) =>
         if (asc) col(s"__s$i").asc else col(s"__s$i").desc }: _*)
     }
-    def framed(o: Out): WindowSpec = o.frame match {
-      case Some((lo, hi)) =>
+    // Mongo time units in milliseconds (range windows, derivative/integral)
+    def unitMillis(u: String): Long = u match {
+      case "week" => 7L * 24 * 3600 * 1000
+      case "day" => 24L * 3600 * 1000
+      case "hour" => 3600L * 1000
+      case "minute" => 60L * 1000
+      case "second" => 1000L
+      case "millisecond" => 1L
+      case other => throw new IllegalArgumentException(s"window unit: $other")
+    }
+    // date axes ride as epoch millis; `unit` rescales them
+    def axisFor(unit: Option[String]): Column =
+      unit.fold(col("__x"))(u => col("__x") / lit(unitMillis(u).toDouble))
+    def framed(o: Out): WindowSpec = (o.frame, o.rangeFrame) match {
+      case (Some((lo, hi)), _) =>
         val l = if (lo == Long.MinValue) Window.unboundedPreceding else lo
         val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi
         ordered.rowsBetween(l, h)
-      case None if (rankOps(o.op) || o.op == "$shift") && sortOps.nonEmpty =>
+      case (None, Some((lo, hi))) =>
+        // value-distance frame on the numeric axis; unit-scaled bounds for
+        // date axes (axis stays in millis, the bounds stretch)
+        val m = o.runit.fold(1L)(unitMillis)
+        val l = if (lo == Long.MinValue) Window.unboundedPreceding else lo * m
+        val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi * m
+        Window.partitionBy(col("__p"))
+          .orderBy(if (sortOps.head._2) col("__x").asc else col("__x").desc)
+          .rangeBetween(l, h)
+      case (None, None)
+          if (rankOps(o.op) || o.op == "$shift") && sortOps.nonEmpty =>
         ordered
-      case None => // Mongo default window: the WHOLE partition ("unbounded"
-        // both sides) even when sortBy is given
+      case (None, None) => // Mongo default window: the WHOLE partition
+        // ("unbounded" both sides) even when sortBy is given
         ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     }
     val withCols = outs.zipWithIndex.foldLeft(extracted.toDF()) { case (acc, (o, i)) =>
@@ -1297,6 +1395,51 @@ object DynPipeline {
         case "$last"  => last(col(s"__c$i")).over(framed(o))
         case "$locf"  => // no window in Mongo: always backward-cumulative
           last(col(s"__c$i"), ignoreNulls = true).over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case "$addToSet" => // dedup + order by the binary BSON sort key
+          transform(
+            array_sort(collect_set(when(col(s"__b$i").isNotNull,
+              struct(col(s"__b$i").as("b"), col(s"__c$i").as("c"))))
+              .over(framed(o))),
+            e => e.getField("c"))
+        case "$stdDevPop"  => stddev_pop(col(s"__v$i")).over(framed(o))
+        case "$stdDevSamp" => stddev_samp(col(s"__v$i")).over(framed(o))
+        case "$covariancePop" =>
+          covar_pop(col(s"__v$i"), col(s"__w$i")).over(framed(o))
+        case "$covarianceSamp" =>
+          covar_samp(col(s"__v$i"), col(s"__w$i")).over(framed(o))
+        case "$derivative" =>
+          val x = axisFor(o.unit)
+          val dx = last(x).over(framed(o)) - first(x).over(framed(o))
+          when(dx =!= 0d,
+            (last(col(s"__v$i")).over(framed(o)) -
+              first(col(s"__v$i")).over(framed(o))) / dx)
+        case "$integral" =>
+          // trapezoid areas between consecutive rows, summed over the frame
+          // minus its entering edge (same shape as the typed engine)
+          val x = axisFor(o.unit)
+          val v = col(s"__v$i")
+          val area = (x - lag(x, 1).over(ordered)) *
+            (v + lag(v, 1).over(ordered)) / 2d
+          val (lo, hi) = o.frame.getOrElse((Long.MinValue, Long.MaxValue))
+          val loShift = if (lo == Long.MinValue) Window.unboundedPreceding else lo + 1
+          val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi
+          if (loShift != Window.unboundedPreceding &&
+              h != Window.unboundedFollowing && loShift > h) lit(0d)
+          else coalesce(sum(area).over(ordered.rowsBetween(loShift, h)), lit(0d))
+        case "$linearFill" =>
+          val v = col(s"__v$i")
+          val x = col("__x")
+          val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val fwd  = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          val prevV = last(v, ignoreNulls = true).over(back)
+          val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
+          val nextV = first(v, ignoreNulls = true).over(fwd)
+          val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+          when(v.isNotNull, v).otherwise(
+            prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX))
+        case "$expMovingAvg" =>
+          graft.functions.EmaAgg.ema(col(s"__v$i"), o.alpha).over(
             ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)
@@ -1334,6 +1477,15 @@ object DynPipeline {
               val a = arr()
               r.getSeq[String](idx).foreach(s => a.add(parse(s)))
               a
+            case "$addToSet" =>
+              val a = arr()
+              if (!r.isNullAt(idx)) r.getSeq[String](idx).foreach(s => a.add(parse(s)))
+              a
+            case "$stdDevPop" | "$stdDevSamp" | "$covariancePop" |
+                 "$covarianceSamp" | "$derivative" | "$integral" |
+                 "$linearFill" | "$expMovingAvg" =>
+              if (r.isNullAt(idx)) nodes.nullNode
+              else nodes.numberNode(r.getDouble(idx))
             case _ => // $count / rank family: integer-valued
               nodes.numberNode(r.getAs[Number](idx).longValue)
           }

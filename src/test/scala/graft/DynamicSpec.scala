@@ -535,6 +535,40 @@ class DynamicSpec extends SparkSpec {
       node("""{"_id":"3","run":7,"num":1,"prev":"none","hi":7,"tot":7}""")))
   }
 
+  test("dynamic $setWindowFields: calculus + statistics family") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","g":"a","x":1,"v":0}""",
+        """{"_id":"1","g":"a","x":2,"v":10}""",
+        """{"_id":"2","g":"a","x":3,"v":null}""",
+        """{"_id":"3","g":"a","x":4,"v":20}"""),
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"x": 1},
+            "output": {
+              "slope": {"$derivative": {"input": "$v"},
+                        "window": {"documents": [-1, "current"]}},
+              "area": {"$integral": {"input": "$v"},
+                       "window": {"documents": ["unbounded", "current"]}},
+              "fill": {"$linearFill": "$v"},
+              "ema": {"$expMovingAvg": {"input": "$v", "N": 3}},
+              "sd": {"$stdDevPop": "$v"},
+              "cv": {"$covariancePop": ["$x", "$v"]},
+              "rsum": {"$sum": "$v", "window": {"range": [-1, "current"]}},
+              "set": {"$addToSet": {"$mod": ["$x", 2]},
+                      "window": {"documents": ["unbounded", "current"]}}}}},
+          {"$project": {"slope": 1, "area": 1, "fill": 1, "ema": 1,
+                        "sd": {"$round": ["$sd", 6]},
+                        "cv": 1, "rsum": 1, "set": 1}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","slope":null,"area":0.0,"fill":0.0,"ema":0.0,
+              "sd":8.164966,"cv":10.0,"rsum":0,"set":[1]}"""),
+      node("""{"_id":"1","slope":10.0,"area":5.0,"fill":10.0,"ema":5.0,
+              "sd":8.164966,"cv":10.0,"rsum":10,"set":[0,1]}"""),
+      node("""{"_id":"2","slope":null,"area":5.0,"fill":15.0,"ema":5.0,
+              "sd":8.164966,"cv":10.0,"rsum":10,"set":[0,1]}"""),
+      node("""{"_id":"3","slope":null,"area":5.0,"fill":20.0,"ema":12.5,
+              "sd":8.164966,"cv":10.0,"rsum":20,"set":[0,1]}""")))
+  }
+
   test("dynamic $setWindowFields: integral sums stay integers; push keeps frame order") {
     val out = outDocs(run(
       docs("""{"_id":"0","k":1,"v":2}""", """{"_id":"1","k":2,"v":3}"""),

@@ -48,7 +48,8 @@ class StreamingSpec extends SparkSpec {
     input.addData(("a", 1L), ("a", 2L), ("b", 5L))
     val q = sp.start(input.toDF().toDF("g", "v"),
       """[{"$setWindowFields": {"partitionBy": "$g", "sortBy": {"v": 1},
-            "output": {"run": {"$sum": "$v"}}}}]""",
+            "output": {"run": {"$sum": "$v",
+              "window": {"documents": ["unbounded", "current"]}}}}}]""",
       df => got ++= df.collect().map(r => (r.getAs[String]("g"),
         r.getAs[Long]("v"), r.getAs[Long]("run"))),
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
