@@ -160,6 +160,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("$graphLookup rounds are hash equi-joins; assembly joins on the start value") {
+    val p0 = new Pipeline(catalog =
+      { case "customer" => spark.read.parquet(s"$sf/customer.parquet") })
+    val out = p0.run(orders,
+      """[{"$graphLookup": {"from": "customer", "startWith": "$o_custkey",
+            "connectFromField": "c_nationkey", "connectToField": "c_custkey",
+            "as": "chain", "maxDepth": 1}}]""")
+    val p = plan(out)
+    // the closure re-attaches per start VALUE — an equi-join, and never a
+    // nested loop anywhere in the BFS or the assembly
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"graph lookup must stay equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("$bucketAuto aggregates per bucket after ONE global rank exchange") {
+    val out = pipeline.run(orders,
+      """[{"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 4}}]""")
+    val p = plan(out)
+    // the rank needs a single total order (inherent to the op); the bucket
+    // aggregation that follows must be a hash aggregate with partial phase
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"expected map-side partial agg per bucket:\n$p")
+  }
+
+  test("window calculus family shares the partition exchange") {
+    val p = plan(SparkEntry.queries("q_window_fill")(spark, sf))
+    // linearFill's back/fwd frames + the EMA growing frame all partition on
+    // the same key: exactly one hash exchange, no single-partition collapse
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(p).size == 1,
+      s"one partition exchange expected:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("exp_moving_avg"), s"incremental EMA aggregate expected:\n$p")
+  }
+
   test("exact dedup shuffles the 16-byte digest, not the document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")
