@@ -130,8 +130,9 @@ final class Pipeline(
           case p                => run(other0, p)
         }
         df.unionByName(other, allowMissingColumns = true)
-      case "$graphLookup" => Stages.graphLookup(df, spec, catalog)
-      case "$bucketAuto"  => Stages.bucketAuto(df, spec)
+      case "$graphLookup"  => Stages.graphLookup(df, spec, catalog)
+      case "$bucketAuto"   => Stages.bucketAuto(df, spec)
+      case "$vectorSearch" => Stages.vectorSearch(df, spec)
       case "$facet" => // each sub-pipeline folds to ONE array column; the
         // single-row facet frames cross-join into one document
         val JObject(facets) = (spec: @unchecked)
@@ -665,6 +666,41 @@ private[graft] object Stages {
       .select(struct(col("__min").as("min"),
         coalesce(col("__nextMin"), col("__max")).as("max")).as("_id") +:
         outputs.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** `$vectorSearch` (Atlas MQL surface, beyond the reference): cosine
+    * top-`limit` of the `path` embedding column against a literal
+    * `queryVector`. This is the EXACT path — one scan, a codegen'd dot
+    * product per row ([[graft.functions.DotProduct]]), and a TakeOrdered
+    * (no global sort materialization); `numCandidates` is advisory here.
+    * The approximate 100 TB paths with the same contract are
+    * [[graft.llm.VectorOps.ivfTopK]] (IVF cells) and hyperplane-LSH —
+    * swap in when recall < 1.0 is acceptable. `filter` is an ordinary
+    * `$match` pre-filter (pushes to the scan). The score surfaces through
+    * `{"$meta": "vectorSearchScore"}` like Atlas. */
+  def vectorSearch(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    val JString(path) = ((spec \ "path"): @unchecked)
+    val qv: List[Double] = spec \ "queryVector" match {
+      case JArray(xs) => xs.map {
+        case JDouble(d) => d; case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+        case JDecimal(d) => d.toDouble
+        case other => throw new IllegalArgumentException(s"queryVector: $other")
+      }
+      case other => throw new IllegalArgumentException(s"queryVector: $other")
+    }
+    val limit = spec \ "limit" match {
+      case JInt(n) if n > 0 => n.toInt
+      case other => throw new IllegalArgumentException(s"$$vectorSearch limit: $other")
+    }
+    val filtered = spec \ "filter" match {
+      case JNothing | JNull => df
+      case m                => df.filter(MongoMatch.compile(m))
+    }
+    val q = array(qv.map(lit): _*)
+    val scored = filtered.withColumn("__vsScore",
+      graft.llm.VectorOps.cosine(
+        col(path).cast(ArrayType(DoubleType)), q))
+    scored.orderBy(col("__vsScore").desc).limit(limit)
   }
 
   /** `$graphLookup` (MQL, beyond the reference's stage set): recursive

@@ -616,6 +616,17 @@ object SparkEntry {
         get_json_object(col("doc"), "$.run").cast("double").as("run"),
         get_json_object(col("doc"), "$.prev").cast("double").as("prev"))
     }),
+    // $vectorSearch: Atlas-style cosine top-k with a $match pre-filter and
+    // the score surfaced via $meta (exact path; IVF/LSH are the scale twins)
+    "q_vector_search" -> ((s, dir) => {
+      val qv = (0 until 64).map(i => ((i % 7) - 3) * 0.1).mkString("[", ",", "]")
+      pipe(s, dir, "embeddings",
+        s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $qv,
+               "numCandidates": 100, "limit": 10,
+               "filter": {"label": {"$$lte": 3}}}},
+             {"$$project": {"vec_id": 1,
+               "score": {"$$round": [{"$$meta": "vectorSearchScore"}, 6]}}}]""")
+    }),
     // dynamic window calculus: derivative/linearFill/expMovingAvg over
     // schemaless docs (tie-safe: only bit-identical arithmetic, no rounding)
     "q_dynamic_window_calc" -> ((s, dir) => {
@@ -1760,6 +1771,19 @@ object SparkEntry {
                                    ROWS UNBOUNDED PRECEDING), 2) AS run,
                 coalesce(lag(v, 1) OVER w, 0) AS prev
          FROM e WINDOW w AS (PARTITION BY et ORDER BY _id)""",
+    "q_vector_search" ->
+      """WITH q AS (SELECT list_transform(range(0, 64),
+                             i -> ((i % 7) - 3) * 0.1) AS qv),
+         c AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE label <= 3),
+         s AS (SELECT vec_id,
+                      list_inner_product(v, qv)
+                        / (sqrt(list_inner_product(v, v))
+                           * sqrt(list_inner_product(qv, qv))) AS sc
+               FROM c, q)
+         SELECT vec_id, round(sc, 6) AS score
+         FROM s ORDER BY sc DESC LIMIT 10""",
     "q_dynamic_window_calc" ->
       """WITH e AS (SELECT event_id, event_type,
                            CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v,

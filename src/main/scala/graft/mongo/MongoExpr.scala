@@ -496,6 +496,12 @@ object MongoExpr {
 
     // ---- misc -------------------------------------------------------------
     case "$literal" => literal(spec)
+    case "$meta" => spec match {
+      // Atlas surfaces the $vectorSearch score only through $meta; the
+      // stage leaves it in the hidden __vsScore column
+      case JString("vectorSearchScore") => col("__vsScore")
+      case other => throw new IllegalArgumentException(s"$$meta: $other")
+    }
     case "$let" =>
       val bound = (field(spec, "vars"): @unchecked) match {
         case JObject(vs) =>

@@ -247,6 +247,24 @@ class StagesSpec extends SparkSpec {
     assert(global.select("tot").collect().map(_.getDouble(0)).toSet == Set(7.0))
   }
 
+  test("$vectorSearch: exact cosine top-k, filter, $meta score") {
+    val emb = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.6f, 0.8f)),
+      ("c", Array(0.0f, 1.0f)), ("d", Array(-1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val out = pipeline.run(emb,
+      """[{"$vectorSearch": {"path": "vec", "queryVector": [1.0, 0.0],
+            "limit": 2}},
+          {"$project": {"id": 1,
+            "score": {"$round": [{"$meta": "vectorSearchScore"}, 4]}}}]""")
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    assert(rows == List(("a", 1.0), ("b", 0.6)))
+    val filtered = pipeline.run(emb,
+      """[{"$vectorSearch": {"path": "vec", "queryVector": [1.0, 0.0],
+            "limit": 2, "filter": {"id": {"$ne": "a"}}}}]""")
+    assert(filtered.select("id").collect().map(_.getString(0)).toList ==
+      List("b", "c"))
+  }
+
   test("$graphLookup: BFS depths, cycle termination, maxDepth, restrict") {
     // chain d -> c -> b -> a, plus a 2-cycle x <-> y
     val emp = Seq(("a", null), ("b", "a"), ("c", "b"), ("d", "c"),
