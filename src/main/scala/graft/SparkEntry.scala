@@ -747,6 +747,29 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
     }),
+    // overlapping token-window chunking (RAG prep): 96-token chunks,
+    // 32-token overlap — a pure projection
+    "llm_chunk_windows" -> ((s, dir) => {
+      tune(s)
+      TextOps.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 96, overlap = 32)
+        .select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+    }),
+    // C4-style repeated-line removal: reflow docs into 10-token lines (so
+    // near-duplicate docs share boilerplate lines), drop corpus-wide repeats
+    "llm_line_dedup" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val reflowed = docs.select(col("doc_id"),
+        element_at(transform(array(TextOps.tokens(col("text"))), { toks =>
+          array_join(transform(
+            sequence(lit(0),
+              greatest(ceil(size(toks).cast("double") / 10d).cast("int") - 1,
+                lit(0))),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n")
+        }), 1).as("text"))
+      DedupOps.dropRepeatedLines(reflowed, "doc_id", "text", minCount = 2)
+    }),
     "llm_quality" -> ((s, dir) => {
       tune(s)
       TextOps.withQuality(t(s, dir, "documents"), "text")
@@ -1519,6 +1542,41 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
                 count(*) AS dup_count
          FROM documents GROUP BY 1""",
+    "llm_chunk_windows" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       t -> length(t) > 0) AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+                      CASE WHEN len(toks) = 0 THEN 0
+                           WHEN len(toks) <= 96 THEN 1
+                           ELSE CAST(ceil((len(toks) - 32) / 64.0) AS INT)
+                      END AS nc
+               FROM d),
+         e AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS cid FROM c)
+         SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+                array_to_string(toks[cid * 64 + 1 : cid * 64 + 96], ' ') AS chunk,
+                CAST(least(96, n - cid * 64) AS INT) AS n_chunk_tokens
+         FROM e""",
+    "llm_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       t -> length(t) > 0) AS toks
+                    FROM documents),
+         r AS (SELECT doc_id,
+                      list_transform(
+                        range(0, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1)),
+                        i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+                        AS lines
+               FROM d),
+         l AS (SELECT doc_id,
+                      CAST(unnest(range(0, len(lines))) AS INT) AS pos,
+                      unnest(lines) AS line
+               FROM r),
+         b AS (SELECT md5(line) AS h FROM l GROUP BY 1 HAVING count(*) >= 2)
+         SELECT l.doc_id, l.pos, l.line
+         FROM l LEFT JOIN b ON md5(l.line) = b.h
+         WHERE b.h IS NULL""",
     "llm_token_count" ->
       """SELECT doc_id,
                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -23,6 +23,28 @@ object DedupOps {
       .groupBy("text_md5")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** C4-style repeated-line (boilerplate) removal: explode the docs into
+    * `sep`-separated lines, count each distinct line's occurrences across
+    * the WHOLE corpus, and drop lines seen >= `minCount` times (nav bars,
+    * cookie banners, license headers). Output: (idCol, pos, line) for the
+    * KEPT lines, in original order via `pos`.
+    *
+    * Distributed shape: the bad-line list aggregates on md5(line) — the
+    * 16-byte digest crosses the shuffle, never the line text — and the
+    * removal is a LEFT ANTI join against that (small) list, which AQE
+    * broadcasts. Reassembly (`concat_ws` after a groupBy) is one more
+    * shuffle on the doc id when the caller wants whole docs back. */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val bad = lines.groupBy(md5(col("line")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("__h")
+    lines.join(bad, md5(col("line")) === bad("__h"), "left_anti")
+  }
+
   /** Word k-shingles of the lowercased text.
     *
     * The token array is let-bound through a single-element `transform` lambda:

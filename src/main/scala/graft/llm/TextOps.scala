@@ -190,6 +190,35 @@ object TextOps {
     * global window key. Without a shard the plan is a single global
     * cumulative sum — one reducer; fine for small corpora and verification,
     * never for a full corpus. */
+  /** Overlapping token-window chunking (RAG / context-window preparation):
+    * doc → chunks of `chunkTokens` whitespace tokens, consecutive chunks
+    * sharing `overlap` tokens. A pure projection (tokenize once,
+    * `posexplode` a chunk-index sequence, slice) — no shuffle, no UDF,
+    * scales linearly. Output: input columns + `chunk_id` (0-based),
+    * `chunk` (re-joined text), `n_chunk_tokens` (last chunk may be short);
+    * empty docs yield no chunks. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "chunkWindows needs 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // chunks cover positions [i*stride, i*stride + chunkTokens); the last
+    // chunk starts before n - overlap so every token lands in some chunk
+    val nChunks = when(n <= chunkTokens, when(n > 0, lit(1)).otherwise(lit(0)))
+      .otherwise(ceil((n - lit(overlap)).cast(DoubleType) / stride).cast(IntegerType))
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_id", explode(
+        when(n > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
+      .withColumn("chunk",
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)), " "))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens), size(col("__toks")) - col("chunk_id") * stride))
+      .drop("__toks")
+  }
+
   def packIntoWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, windowTokens: Int,
       shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {

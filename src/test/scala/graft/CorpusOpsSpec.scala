@@ -84,6 +84,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L) == ((want, 2L)) && got(2L) == ((want, 2L)))
   }
 
+  test("chunkWindows: overlapping token windows, short tail, empty doc") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                     // fits one chunk
+      (3L, ""))                                        // no chunks
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(df, "doc_id", "text",
+      chunkTokens = 4, overlap = 2)
+      .select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSet
+    // stride 2: chunks at 0,2,4,6,8 -> ceil((10-2)/2) = 4 chunks cover all
+    assert(got == Set(
+      (1L, 0, "w1 w2 w3 w4", 4), (1L, 1, "w3 w4 w5 w6", 4),
+      (1L, 2, "w5 w6 w7 w8", 4), (1L, 3, "w7 w8 w9 w10", 4),
+      (2L, 0, "a b", 2)))
+  }
+
+  test("dropRepeatedLines removes corpus-wide boilerplate, keeps order") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter"),
+      (3L, "unique doc"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.DedupOps.dropRepeatedLines(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 1, "real content one"),
+      (2L, 1, "real content two"),
+      (3L, 0, "unique doc")))
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
