@@ -180,6 +180,11 @@ object DynExpr {
   private def compileOp(op: String, arg: JValue): DOp = op match {
     case "$literal" =>
       DConst(org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(arg)))
+    case "$meta" => arg match {
+      // $vectorSearch leaves its score in the hidden __vsScore field
+      case JString("vectorSearchScore") => DPath(List("__vsScore"))
+      case other => throw new IllegalArgumentException(s"$$meta: $other")
+    }
     case "$let" =>
       val vars = (arg \ "vars") match {
         case JObject(vs) => vs.map { case (n, e) => n -> compile(e) }

@@ -59,7 +59,9 @@ object DynPipeline {
     "$match", "$unwind", "$redact", "$setKey", "$http", "$jslt", "$jq",
     "$trace", "$backTrace", "$group", "$count", "$bucket", "$deduplicate",
     "$send", "$throttle", "$per", "$delay", "$probe", "$merge", "$out",
-    "$delete", "$lookup")
+    "$delete", "$lookup", "$setWindowFields", "$fill", "$densify", "$sort",
+    "$limit", "$skip", "$sample", "$sortByCount", "$unionWith", "$facet",
+    "$graphLookup", "$bucketAuto", "$vectorSearch")
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), DynCtx())
@@ -144,7 +146,8 @@ object DynPipeline {
          "$merge" | "$out" | "$delete" | "$lookup" |
          "$setWindowFields" | "$fill" | "$densify" | "$sort" | "$limit" |
          "$skip" | "$sample" | "$sortByCount" | "$unionWith" |
-         "$facet" => None // barrier stages
+         "$facet" | "$graphLookup" | "$bucketAuto" | "$vectorSearch" =>
+      None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
 
@@ -593,6 +596,9 @@ object DynPipeline {
         "whenMatched" -> JString("replace"), "whenNotMatched" -> JString("insert"))), ctx)
     case "$delete"      => delete(df, spec, ctx)
     case "$lookup"      => lookup(df, spec, ctx)
+    case "$graphLookup" => graphLookup(df, spec, ctx)
+    case "$bucketAuto"  => bucketAuto(df, spec)
+    case "$vectorSearch" => vectorSearch(df, spec)
     case other => throw new IllegalArgumentException(s"dynamic mode: unsupported stage $other")
   }
 
@@ -1121,6 +1127,276 @@ object DynPipeline {
           }
         }
       }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** The values of `op` as canonical strings: arrays fan out to their
+    * elements, scalars are one value, null/missing is none. */
+  private def evalVals(op: DynExpr.DOp, doc: JsonNode): List[String] = {
+    val v = op.eval(DynExpr.DCtx(doc, Map.empty))
+    if (v == null || v.isNull || isMissing(v)) Nil
+    else if (v.isArray)
+      v.asScala.toList.collect {
+        case e if !(e == null || e.isNull || isMissing(e)) => canonical(e)
+      }
+    else List(canonical(v))
+  }
+
+  /** `$vectorSearch` in dynamic mode: the embedding parses out of each doc
+    * and scores cosine against the literal query in ONE mapPartitions pass
+    * (no shuffle until the TakeOrdered top-`limit`); the score lands in the
+    * hidden `__vsScore` field where `{"$meta": "vectorSearchScore"}` reads
+    * it. Docs whose `path` is missing / not an array of the query's length
+    * are dropped, like a vector index would skip them. */
+  private def vectorSearch(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val path = spec \ "path" match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"$$vectorSearch path: $other")
+    }
+    val qv: Array[Double] = spec \ "queryVector" match {
+      case JArray(xs) => xs.map {
+        case JDouble(d) => d; case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+        case JDecimal(d) => d.toDouble
+        case other => throw new IllegalArgumentException(s"queryVector: $other")
+      }.toArray
+      case other => throw new IllegalArgumentException(s"queryVector: $other")
+    }
+    val limit = spec \ "limit" match {
+      case JInt(n) if n > 0 => n.toInt
+      case other => throw new IllegalArgumentException(s"$$vectorSearch limit: $other")
+    }
+    val pred = spec \ "filter" match {
+      case JNothing | JNull => None
+      case m                => Some(DynMatch.compile(m))
+    }
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("doc", StringType), StructField("__score", DoubleType)))
+    val scored = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.flatMap { case (k, s) =>
+        val d = parse(s)
+        if (pred.exists(p => !p.test(DynExpr.DCtx(d, Map.empty)))) Iterator.empty
+        else {
+          val v = path.split('.').foldLeft(d)((n, seg) =>
+            if (n != null && n.isObject) n.path(seg) else MISSING)
+          if (v == null || !v.isArray || v.size != qv.length) Iterator.empty
+          else {
+            var dot = 0d; var nn = 0d; var ok = true; var i = 0
+            while (ok && i < qv.length) {
+              val e = v.get(i)
+              if (e.isNumber) { val x = e.doubleValue; dot += x * qv(i); nn += x * x }
+              else ok = false
+              i += 1
+            }
+            if (!ok) Iterator.empty
+            else {
+              val denom = math.sqrt(nn) * qn
+              val score = if (denom > 0) dot / denom else 0d
+              val od = d.asInstanceOf[ObjectNode]
+              od.put("__vsScore", score)
+              Iterator.single(Row(k, render(od), score))
+            }
+          }
+        }
+      }
+    }(Encoders.row(schema))
+    scored.orderBy(col("__score").desc).limit(limit).select("key", "doc")
+  }
+
+  /** `$bucketAuto` in dynamic mode: the groupBy value's cross-type BSON
+    * order rides a binary sortableKey through ONE global rank; the bucket
+    * id and canonical groupBy value embed into each doc, and the per-bucket
+    * aggregation reuses the fused dynamic `$group` (one DynGroupAgg, so the
+    * user's `output` accumulators all apply). Boundaries chain Mongo-style
+    * afterwards over the handful of bucket rows. */
+  private def bucketAuto(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val gbOp = DynExpr.compile(spec \ "groupBy")
+    val b = spec \ "buckets" match {
+      case JInt(n) if n > 0 => n.toInt
+      case other => throw new IllegalArgumentException(s"$$bucketAuto buckets: $other")
+    }
+    if ((spec \ "granularity") != JNothing) throw new IllegalArgumentException(
+      "$bucketAuto granularity is not supported; use explicit $bucket boundaries")
+    val outputs: List[(String, JValue)] = spec \ "output" match {
+      case JObject(fs) => fs
+      case JNothing    => List("count" -> JObject(List("$sum" -> JInt(1))))
+      case other => throw new IllegalArgumentException(s"$$bucketAuto output: $other")
+    }
+    val exSchema = StructType(Seq(StructField("key", StringType),
+      StructField("doc", StringType), StructField("__b", BinaryType),
+      StructField("__gv", StringType)))
+    val extracted = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val v = gbOp.eval(DynExpr.DCtx(parse(s), Map.empty))
+        Row(k, s, sortableKey(v),
+          if (v == null || isMissing(v)) "null" else canonical(v))
+      }
+    }(Encoders.row(exSchema))
+    val ranked = extracted
+      .withColumn("__rk", rank().over(Window.orderBy(col("__b").asc)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__bk", expr(s"((CAST(__rk AS BIGINT) - 1) * $b) div __n"))
+    val docs2 = ranked.select(col("key"), col("doc"), col("__bk"), col("__gv"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.scalaLong, Encoders.STRING))
+      .mapPartitions { it =>
+        it.map { case (k, s, bk, gv) =>
+          val d = parse(s).asInstanceOf[ObjectNode]
+          d.put("__bucket", bk)
+          d.set[JsonNode]("__gv", parse(gv))
+          (k, render(d))
+        }
+      }(tuple2Enc).toDF("key", "doc")
+    val grouped = group(docs2, JObject(List(
+      "_id" -> JString("$__bucket"),
+      "__min" -> JObject(List("$min" -> JString("$__gv"))),
+      "__max" -> JObject(List("$max" -> JString("$__gv"))))
+      ++ outputs))
+    val gSchema = StructType(Seq(StructField("key", StringType),
+      StructField("doc", StringType), StructField("__id", LongType),
+      StructField("__minC", StringType)))
+    val withMin = grouped.as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val d = parse(s)
+        Row(k, s, d.path("_id").longValue, canonical(d.path("__min")))
+      }
+    }(Encoders.row(gSchema))
+      .withColumn("__nextMin", lead(col("__minC"), 1).over(Window.orderBy(col("__id"))))
+    withMin.select(col("key"), col("doc"), col("__nextMin")).as(tuple3Enc)
+      .mapPartitions { it =>
+        it.map { case (k, s, nextMin) =>
+          val d = parse(s).asInstanceOf[ObjectNode]
+          val id = obj()
+          id.set[JsonNode]("min", d.path("__min"))
+          id.set[JsonNode]("max",
+            if (nextMin != null) parse(nextMin) else d.path("__max"))
+          d.set[JsonNode]("_id", id)
+          d.remove("__min"); d.remove("__max")
+          (canonical(id), render(d))
+        }
+      }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** `$graphLookup` in dynamic mode: the same origin-keyed distributed BFS
+    * as the typed engine ([[graft.Stages.graphLookup]]) over schemaless
+    * docs — BFS state is keyed by the DISTINCT canonical startWith value,
+    * each round is one hash equi-join on the canonical `connectToField`
+    * value plus a visited anti-join, localCheckpointed. Array
+    * startWith/connectFromField values fan out; reached docs re-group per
+    * source row at their min (BFS) depth and embed into `as`. */
+  private def graphLookup(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val from = spec \ "from" match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"$$graphLookup from: $other")
+    }
+    val as = spec \ "as" match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"$$graphLookup as: $other")
+    }
+    val JString(connectFrom) = ((spec \ "connectFromField"): @unchecked)
+    val JString(connectTo) = ((spec \ "connectToField"): @unchecked)
+    val maxDepth: Option[Int] = spec \ "maxDepth" match {
+      case JInt(d) => Some(d.toInt); case JNothing => None
+      case other => throw new IllegalArgumentException(s"maxDepth: $other")
+    }
+    val depthField: Option[String] = spec \ "depthField" match {
+      case JString(f) => Some(f); case JNothing => None
+      case other => throw new IllegalArgumentException(s"depthField: $other")
+    }
+    val pred = spec \ "restrictSearchWithMatch" match {
+      case JNothing | JNull => None
+      case m                => Some(DynMatch.compile(m))
+    }
+    val startOp = DynExpr.compile(spec \ "startWith")
+    val nextOp = DynExpr.compile(JString("$" + connectFrom))
+    // from side packed once: (canonical to-key, NUL-joined next values, doc)
+    val fromPacked = normalize(ctx.catalog(from)).as(tuple2Enc).mapPartitions { it =>
+      it.flatMap { case (_, s) =>
+        val d = parse(s)
+        if (pred.exists(p => !p.test(DynExpr.DCtx(d, Map.empty)))) Iterator.empty
+        else {
+          val to = onKey(d, List(connectTo))
+          if (to == null) Iterator.empty
+          else Iterator.single((to, evalVals(nextOp, d).mkString("\u0000"), s))
+        }
+      }
+    }(tuple3Enc).toDF("__to", "__next", "__doc")
+    val origins = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.flatMap { case (_, s) => evalVals(startOp, parse(s)) }
+    }(Encoders.STRING).toDF("__start").distinct()
+    var frontier = origins.select(col("__start"), col("__start").as("__node"))
+    var visited: DataFrame = null
+    var found: DataFrame = null
+    var depth = 0
+    var done = false
+    while (!done) {
+      val hits = frontier
+        .join(fromPacked, frontier("__node") === fromPacked("__to"))
+        .select(col("__start"), col("__doc"), col("__next"),
+          xxhash64(col("__doc")).as("__h"))
+      val newDocs = (if (visited == null) hits
+                     else hits.join(visited, Seq("__start", "__h"), "left_anti"))
+        .dropDuplicates("__start", "__h")
+        .localCheckpoint()
+      if (newDocs.isEmpty) done = true
+      else {
+        val stamped = newDocs.select(col("__start"), col("__h"), col("__doc"),
+          lit(depth.toLong).as("__depth"))
+        found = if (found == null) stamped else found.union(stamped)
+        val newVisited = newDocs.select(col("__start"), col("__h"))
+        visited = (if (visited == null) newVisited
+                   else visited.union(newVisited)).localCheckpoint()
+        if (maxDepth.exists(depth >= _)) done = true
+        else {
+          frontier = newDocs
+            .select(col("__start"), explode(split(col("__next"), "\u0000")).as("__node"))
+            .filter(length(col("__node")) > 0).distinct()
+          depth += 1
+        }
+      }
+    }
+    val src = normalize(df).toDF("key", "doc")
+      .withColumn("__gid", monotonically_increasing_id()).localCheckpoint()
+    def embed(withChain: DataFrame): DataFrame =
+      withChain.mapPartitions { rows =>
+        rows.map { r =>
+          val d = parse(r.getString(1)).asInstanceOf[ObjectNode]
+          val a = arr()
+          if (!r.isNullAt(2)) r.getSeq[Row](2).foreach { e =>
+            val node = parse(e.getString(0)).asInstanceOf[ObjectNode]
+            depthField.foreach(f => node.put(f, e.getLong(1)))
+            a.add(node)
+          }
+          d.set[JsonNode](as, a)
+          (if (r.isNullAt(0)) null else r.getString(0), render(d))
+        }
+      }(tuple2Enc).toDF("key", "doc")
+    if (found == null)
+      return embed(src.select(col("key"), col("doc"),
+        lit(null).cast("array<struct<d:string,dep:bigint>>").as("__chain")))
+    val elemSchema = StructType(Seq(StructField("__gid", LongType),
+      StructField("__start", StringType)))
+    val elems = src.select(col("__gid"), col("doc")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val gid = r.getLong(0)
+        evalVals(startOp, parse(r.getString(1))).map(v => Row(gid, v))
+      }
+    }(Encoders.row(elemSchema))
+    val best = elems.join(found, "__start" :: Nil)
+      .groupBy(col("__gid"), col("__h"))
+      .agg(min(col("__depth")).as("__depth"), first(col("__doc")).as("__doc"))
+    val packed = best.groupBy("__gid")
+      .agg(collect_list(struct(col("__doc").as("d"), col("__depth").as("dep")))
+        .as("__chain"))
+    embed(src.join(packed, Seq("__gid"), "left")
+      .select(col("key"), col("doc"), col("__chain")))
   }
 
   /** $group: map-side canonical key extraction, ONE fused DynGroupAgg for

@@ -583,6 +583,54 @@ class DynamicSpec extends SparkSpec {
       node("""{"_id":"1","tot":5,"seen":[2,3]}""")))
   }
 
+  test("dynamic $vectorSearch: top-k, filter, $meta score") {
+    val out = outDocs(run(
+      docs("""{"_id":"a","vec":[1,0]}""", """{"_id":"b","vec":[0.6,0.8]}""",
+        """{"_id":"c","vec":[0,1]}""", """{"_id":"d","vec":[-1,0]}"""),
+      """[{"$vectorSearch": {"path": "vec", "queryVector": [1, 0], "limit": 2}},
+          {"$project": {"score": {"$round": [{"$meta": "vectorSearchScore"}, 4]}}}]"""))
+    assert(out.map(d => (d.path("_id").textValue,
+      d.path("score").doubleValue)) == Set(("a", 1.0), ("b", 0.6)))
+    val filtered = run(
+      docs("""{"_id":"a","vec":[1,0]}""", """{"_id":"b","vec":[0.6,0.8]}""",
+        """{"_id":"c","vec":[0,1]}"""),
+      """[{"$vectorSearch": {"path": "vec", "queryVector": [1, 0],
+            "limit": 2, "filter": {"_id": {"$ne": "a"}}}}]""")
+    assert(outDocs(filtered).map(_.path("_id").textValue) == Set("b", "c"))
+  }
+
+  test("dynamic $bucketAuto: even-count cross-type buckets, Mongo boundaries") {
+    val out = outDocs(run(
+      docs((1 to 7).map(i => s"""{"_id":"$i","v":$i}"""): _*),
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+            "output": {"n": {"$sum": 1}}}}]"""))
+    assert(out == Set(
+      node("""{"_id":{"min":1,"max":5},"n":4}"""),
+      node("""{"_id":{"min":5,"max":7},"n":3}""")))
+  }
+
+  test("dynamic $graphLookup: BFS depths over schemaless docs, cycles, restrict") {
+    val emp = docs(
+      """{"_id":"a","name":"a","boss":null}""",
+      """{"_id":"b","name":"b","boss":"a"}""",
+      """{"_id":"c","name":"c","boss":"b"}""",
+      """{"_id":"d","name":"d","boss":"c"}""",
+      """{"_id":"x","name":"x","boss":"y"}""",
+      """{"_id":"y","name":"y","boss":"x"}""")
+    val ctx = graft.dynamic.DynPipeline.DynCtx(catalog = { case "emp" => emp })
+    val out = graft.dynamic.DynPipeline.run(emp,
+      org.json4s.jackson.JsonMethods.parse(
+        """[{"$graphLookup": {"from": "emp", "startWith": "$boss",
+              "connectFromField": "boss", "connectToField": "name",
+              "as": "chain", "depthField": "dep"}}]"""), ctx)
+    def chain(n: String): Set[(String, Long)] =
+      outDocs(out).find(_.path("name").textValue == n).get.path("chain")
+        .asScala.map(e => (e.path("name").textValue, e.path("dep").longValue)).toSet
+    assert(chain("d") == Set(("c", 0L), ("b", 1L), ("a", 2L)))
+    assert(chain("a") == Set.empty) // null startWith
+    assert(chain("x") == Set(("y", 0L), ("x", 1L))) // cycle stops on visited
+  }
+
   test("dynamic $sort orders cross-type by BSON bracket; $limit applies") {
     val out = run(
       docs("""{"_id":"0","v":"a"}""", """{"_id":"1","v":2}""", """{"_id":"2","v":1}"""),
