@@ -737,6 +737,62 @@ object SparkEntry {
         get_json_object(col("doc"), "$.p").cast("double").as("p"),
         get_json_object(col("doc"), "$.st").as("st"))
     }),
+    // dynamic $graphLookup: origin-keyed BFS over schemaless docs (same
+    // distributed rounds as the typed engine, Jackson-tree documents)
+    "q_dynamic_graphlookup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(to_json(struct(
+        col("c_custkey").as("ck"), col("c_nationkey").as("nk"))).as("doc"))
+      val ords = t(s, dir, "orders").filter(col("o_orderkey") < 20000)
+        .select(to_json(struct(
+          col("o_orderkey").as("_id"), col("o_custkey").as("ck"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(ords,
+        """[{"$graphLookup": {"from": "customer", "startWith": "$ck",
+              "connectFromField": "nk", "connectToField": "ck",
+              "as": "chain", "maxDepth": 3, "depthField": "d"}},
+            {"$unwind": "$chain"},
+            {"$project": {"ck2": "$chain.ck", "d": "$chain.d"}}]""",
+        graft.dynamic.DynPipeline.DynCtx(catalog = _ => cust))
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.ck2").cast("long").as("ck2"),
+        get_json_object(col("doc"), "$.d").cast("long").as("d"))
+    }),
+    // dynamic $bucketAuto: even-count buckets over schemaless docs with
+    // Mongo boundary chaining and $group-powered output accumulators
+    "q_dynamic_bucketauto" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("value").as("v"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$bucketAuto": {"groupBy": "$v", "buckets": 8,
+              "output": {"n": {"$sum": 1},
+                         "tot": {"$sum": "$v"}}}},
+            {"$project": {"lo": "$_id.min", "hi": "$_id.max", "n": 1,
+                          "tot": {"$round": ["$tot", 2]}, "_id": 0}}]""")
+      out.select(
+        get_json_object(col("doc"), "$.lo").cast("double").as("lo"),
+        get_json_object(col("doc"), "$.hi").cast("double").as("hi"),
+        get_json_object(col("doc"), "$.n").cast("long").as("n"),
+        get_json_object(col("doc"), "$.tot").cast("double").as("tot"))
+    }),
+    // dynamic $vectorSearch: cosine top-k on schemaless docs, score via
+    // $meta; one mapPartitions scoring pass + TakeOrdered top-k
+    "q_dynamic_vectorsearch" -> ((s, dir) => {
+      val qv = (0 until 64).map(i => ((i % 7) - 3) * 0.1).mkString("[", ",", "]")
+      // cast float->double BEFORE to_json so the JSON carries the exact
+      // widened values (shortest-decimal of the FLOAT would round-trip to a
+      // different double than DuckDB's CAST(x AS DOUBLE))
+      val docs = t(s, dir, "embeddings").select(to_json(struct(
+        col("vec_id").as("_id"), col("label").as("lbl"),
+        col("embedding").cast("array<double>").as("emb"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        s"""[{"$$vectorSearch": {"path": "emb", "queryVector": $qv,
+               "limit": 10, "filter": {"lbl": {"$$lte": 3}}}},
+             {"$$project": {"score":
+               {"$$round": [{"$$meta": "vectorSearchScore"}, 6]}}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.score").cast("double").as("score"))
+    }),
 
     // ---- LLM-data-pipeline operators --------------------------------------
     "llm_dedup_exact" -> ((s, dir) => {
@@ -1464,6 +1520,42 @@ object SparkEntry {
                      ELSE o_totalprice END AS p,
                 o_orderstatus AS st
          FROM orders""",
+    "q_dynamic_graphlookup" ->
+      """WITH RECURSIVE g AS (
+           SELECT o.o_orderkey, c.c_custkey AS ck, c.c_nationkey AS nk,
+                  0 AS d
+           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+           WHERE o.o_orderkey < 20000
+           UNION ALL
+           SELECT g.o_orderkey, c.c_custkey, c.c_nationkey, g.d + 1
+           FROM g JOIN customer c ON c.c_custkey = g.nk
+           WHERE g.d < 3)
+         SELECT o_orderkey AS _id, ck AS ck2, CAST(min(d) AS BIGINT) AS d
+         FROM g GROUP BY 1, 2""",
+    "q_dynamic_bucketauto" ->
+      """WITH r AS (SELECT value AS v,
+                           rank() OVER (ORDER BY value) AS rk,
+                           count(*) OVER () AS n
+                    FROM events),
+         g AS (SELECT ((rk - 1) * 8) // n AS bk, min(v) AS mn, max(v) AS mx,
+                      CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS tot
+               FROM r GROUP BY 1)
+         SELECT mn AS lo, coalesce(lead(mn) OVER (ORDER BY bk), mx) AS hi,
+                n, tot
+         FROM g""",
+    "q_dynamic_vectorsearch" ->
+      """WITH q AS (SELECT list_transform(range(0, 64),
+                             i -> ((i % 7) - 3) * 0.1) AS qv),
+         c AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE label <= 3),
+         s AS (SELECT vec_id,
+                      list_inner_product(v, qv)
+                        / (sqrt(list_inner_product(v, v))
+                           * sqrt(list_inner_product(qv, qv))) AS sc
+               FROM c, q)
+         SELECT vec_id AS _id, round(sc, 6) AS score
+         FROM s ORDER BY sc DESC LIMIT 10""",
     "q_redact" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
