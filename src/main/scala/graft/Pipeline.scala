@@ -1082,9 +1082,9 @@ private[graft] object Stages {
     * ordered window; $locf/$linearFill/$expMovingAvg take no window and
     * carry their own frames.
     * Deviation: $shift's `default` also fills data nulls (coalesce), not
-    * only out-of-frame positions. $expMovingAvg folds the cumulative
-    * history per row (O(frame²) work per partition) — fine for the bounded
-    * partitions Mongo aims it at; not for a 100 TB global window. */
+    * only out-of-frame positions. Frames ending at unboundedFollowing are
+    * rewritten onto the reversed sort order (growing frames, incremental)
+    * so no window here is O(partition²). */
   def setWindowFields(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
     import org.apache.spark.sql.expressions.{Window, WindowSpec}
     val partCols: Seq[Column] = spec \ "partitionBy" match {
@@ -1107,6 +1107,19 @@ private[graft] object Stages {
       if (sortKeys.isEmpty) base
       else base.orderBy(sortKeys.map { case (f, asc) =>
         if (asc) col(f).asc else col(f).desc }: _*)
+    }
+    // the same partitioning over the REVERSED sort: frames that end at
+    // unboundedFollowing ("shrinking" frames) force Spark's window executor
+    // to re-scan the remainder of the partition for EVERY row — O(n²) per
+    // partition. Any [lo, +unbounded) frame is the same row set as the
+    // growing (-unbounded, -lo] frame over the reversed order, which
+    // evaluates incrementally. (With duplicate sort keys the tie order may
+    // differ — documents frames over ties are order-dependent in Mongo too.)
+    val orderedRev: WindowSpec = {
+      val base = Window.partitionBy(partCols: _*)
+      if (sortKeys.isEmpty) base
+      else base.orderBy(sortKeys.map { case (f, asc) =>
+        if (asc) col(f).desc else col(f).asc }: _*)
     }
     // Mongo time-unit factor in milliseconds (derivative/integral/range)
     def unitMillis(u: String): Long = u match {
@@ -1169,19 +1182,29 @@ private[graft] object Stages {
             case _ => None
           }
         }
-      val framed: WindowSpec = (docFrame, rangeFrame) match {
-        case (Some((lo, hi)), _) => ordered.rowsBetween(lo, hi)
+      // `reversed` marks a shrinking [lo, +unbounded) frame rewritten onto
+      // the reversed sort order (see orderedRev); order-SENSITIVE ops must
+      // then swap first<->last / reverse their collected lists
+      val (framed: WindowSpec, reversed: Boolean) = (docFrame, rangeFrame) match {
+        case (Some((lo, hi)), _) if hi == Window.unboundedFollowing &&
+            lo != Window.unboundedPreceding && sortKeys.nonEmpty =>
+          (orderedRev.rowsBetween(Window.unboundedPreceding, -lo), true)
+        case (Some((lo, hi)), _) => (ordered.rowsBetween(lo, hi), false)
         case (None, Some((lo, hi, unit))) =>
           // a range frame orders by the numeric axis itself — one sortBy key;
           // date keys scale to `unit` so integer bounds mean whole units
           val axis = sortAxis(unit)
-          val base = Window.partitionBy(partCols: _*)
-            .orderBy(if (sortKeys.head._2) axis.asc else axis.desc)
-          base.rangeBetween(lo, hi)
-        case (None, None) if rankOps(op) && sortKeys.nonEmpty => ordered
+          def base(asc: Boolean) = Window.partitionBy(partCols: _*)
+            .orderBy(if (asc) axis.asc else axis.desc)
+          if (hi == Window.unboundedFollowing && lo != Window.unboundedPreceding)
+            (base(!sortKeys.head._2)
+              .rangeBetween(Window.unboundedPreceding, -lo), true)
+          else (base(sortKeys.head._2).rangeBetween(lo, hi), false)
+        case (None, None) if rankOps(op) && sortKeys.nonEmpty => (ordered, false)
         case (None, None) => // Mongo default: documents ["unbounded",
           // "unbounded"] — the whole partition, sorted or not
-          ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          (ordered.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing), false)
       }
       if (rankOps(op) && op != "$shift") require(sortKeys.nonEmpty,
         s"$op requires sortBy")
@@ -1195,10 +1218,16 @@ private[graft] object Stages {
         case "$min"   => min(cexpr(opSpec)).over(framed)
         case "$max"   => max(cexpr(opSpec)).over(framed)
         case "$count" => count(lit(1)).over(framed)
-        case "$push"  => collect_list(cexpr(opSpec)).over(framed)
+        case "$push" =>
+          val c0 = collect_list(cexpr(opSpec)).over(framed)
+          if (reversed) reverse(c0) else c0
         case "$addToSet" => array_sort(collect_set(cexpr(opSpec)).over(framed))
-        case "$first" => first(cexpr(opSpec)).over(framed)
-        case "$last"  => last(cexpr(opSpec)).over(framed)
+        case "$first" =>
+          if (reversed) last(cexpr(opSpec)).over(framed)
+          else first(cexpr(opSpec)).over(framed)
+        case "$last" =>
+          if (reversed) first(cexpr(opSpec)).over(framed)
+          else last(cexpr(opSpec)).over(framed)
         case "$stdDevPop"  => stddev_pop(cexpr(opSpec)).over(framed)
         case "$stdDevSamp" => stddev_samp(cexpr(opSpec)).over(framed)
         case "$covariancePop" =>
@@ -1217,11 +1246,14 @@ private[graft] object Stages {
           val v = cexpr(opSpec).cast(DoubleType)
           val x = sortAxis(None)
           val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val fwd  = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          // the forward neighbor scan rides the REVERSED order as a growing
+          // frame — a [current, +unbounded) frame re-scans the partition
+          // tail per row (O(n²)); this is the same row set, incremental
+          val revBack = orderedRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
           val prevV = last(v, ignoreNulls = true).over(back)
           val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
-          val nextV = first(v, ignoreNulls = true).over(fwd)
-          val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+          val nextV = last(v, ignoreNulls = true).over(revBack)
+          val nextX = last(when(v.isNotNull, x), ignoreNulls = true).over(revBack)
           when(v.isNotNull, v).otherwise(
             prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX))
         case "$derivative" =>
@@ -1231,8 +1263,12 @@ private[graft] object Stages {
           val unit = opSpec \ "unit" match { case JString(s) => Some(s); case _ => None }
           val v = cexpr(opSpec \ "input").cast(DoubleType)
           val x = sortAxis(unit)
-          val dx = last(x).over(framed) - first(x).over(framed)
-          when(dx =!= 0d, (last(v).over(framed) - first(v).over(framed)) / dx)
+          // under a reversed frame the traversal order flips: the frame's
+          // last row in sort order is the reversed frame's FIRST
+          def edge(c: Column, atEnd: Boolean) =
+            (if (atEnd != reversed) last(c) else first(c)).over(framed)
+          val dx = edge(x, atEnd = true) - edge(x, atEnd = false)
+          when(dx =!= 0d, (edge(v, atEnd = true) - edge(v, atEnd = false)) / dx)
         case "$integral" =>
           // trapezoid areas between consecutive rows, summed over the frame
           // minus its entering edge: area(i) spans (i-1, i], so a frame
@@ -1249,6 +1285,11 @@ private[graft] object Stages {
           val loShift = if (lo == Window.unboundedPreceding) lo else lo + 1
           if (loShift != Window.unboundedPreceding &&
               hi != Window.unboundedFollowing && loShift > hi) lit(0d)
+          else if (hi == Window.unboundedFollowing &&
+              loShift != Window.unboundedPreceding)
+            // shrinking sum frame -> growing frame on the reversed order
+            coalesce(sum(area).over(orderedRev.rowsBetween(
+              Window.unboundedPreceding, -loShift)), lit(0d))
           else coalesce(
             sum(area).over(ordered.rowsBetween(loShift, hi)), lit(0d))
         case "$expMovingAvg" =>
@@ -1431,13 +1472,15 @@ private[graft] object Stages {
       }
       val back = Window.partitionBy(part).orderBy(col(sortKeys))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fwd = Window.partitionBy(part).orderBy(col(sortKeys))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // forward neighbor scan as a GROWING frame on the reversed order —
+      // a [current, +unbounded) frame is O(partition²) in Spark's executor
+      val revBack = Window.partitionBy(part).orderBy(col(sortKeys).desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       linear.foldLeft(afterLocf) { case (acc, (f, _)) =>
         val v = col(f).cast("double")
         val obs = when(v.isNotNull, struct(s.as("s"), v.as("v")))
         val prev = last(obs, ignoreNulls = true).over(back)
-        val next = first(obs, ignoreNulls = true).over(fwd)
+        val next = last(obs, ignoreNulls = true).over(revBack)
         val interp = prev.getField("v") +
           (next.getField("v") - prev.getField("v")) *
             (s - prev.getField("s")) /

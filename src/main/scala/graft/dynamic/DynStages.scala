@@ -1620,6 +1620,16 @@ object DynPipeline {
       else base.orderBy(sortOps.zipWithIndex.map { case ((_, asc), i) =>
         if (asc) col(s"__s$i").asc else col(s"__s$i").desc }: _*)
     }
+    // REVERSED sort twin: [lo, +unbounded) "shrinking" frames make Spark's
+    // window executor re-scan the partition tail per row (O(n²) per
+    // partition); the growing (-unbounded, -lo] frame over the reversed
+    // order is the same row set and evaluates incrementally
+    val orderedRev: WindowSpec = {
+      val base = Window.partitionBy(col("__p"))
+      if (sortOps.isEmpty) base
+      else base.orderBy(sortOps.zipWithIndex.map { case ((_, asc), i) =>
+        if (asc) col(s"__s$i").desc else col(s"__s$i").asc }: _*)
+    }
     // Mongo time units in milliseconds (range windows, derivative/integral)
     def unitMillis(u: String): Long = u match {
       case "week" => 7L * 24 * 3600 * 1000
@@ -1633,27 +1643,39 @@ object DynPipeline {
     // date axes ride as epoch millis; `unit` rescales them
     def axisFor(unit: Option[String]): Column =
       unit.fold(col("__x"))(u => col("__x") / lit(unitMillis(u).toDouble))
-    def framed(o: Out): WindowSpec = (o.frame, o.rangeFrame) match {
+    // second slot marks a shrinking frame rewritten onto the reversed sort
+    // order; order-SENSITIVE ops must then swap first<->last / reverse lists
+    def framedRev(o: Out): (WindowSpec, Boolean) = (o.frame, o.rangeFrame) match {
+      case (Some((lo, hi)), _) if hi == Long.MaxValue && lo != Long.MinValue &&
+          sortOps.nonEmpty =>
+        (orderedRev.rowsBetween(Window.unboundedPreceding, -lo), true)
       case (Some((lo, hi)), _) =>
         val l = if (lo == Long.MinValue) Window.unboundedPreceding else lo
         val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi
-        ordered.rowsBetween(l, h)
+        (ordered.rowsBetween(l, h), false)
       case (None, Some((lo, hi))) =>
         // value-distance frame on the numeric axis; unit-scaled bounds for
         // date axes (axis stays in millis, the bounds stretch)
         val m = o.runit.fold(1L)(unitMillis)
-        val l = if (lo == Long.MinValue) Window.unboundedPreceding else lo * m
-        val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi * m
-        Window.partitionBy(col("__p"))
-          .orderBy(if (sortOps.head._2) col("__x").asc else col("__x").desc)
-          .rangeBetween(l, h)
+        def base(asc: Boolean) = Window.partitionBy(col("__p"))
+          .orderBy(if (asc) col("__x").asc else col("__x").desc)
+        if (hi == Long.MaxValue && lo != Long.MinValue)
+          (base(!sortOps.head._2)
+            .rangeBetween(Window.unboundedPreceding, -lo * m), true)
+        else {
+          val l = if (lo == Long.MinValue) Window.unboundedPreceding else lo * m
+          val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi * m
+          (base(sortOps.head._2).rangeBetween(l, h), false)
+        }
       case (None, None)
           if (rankOps(o.op) || o.op == "$shift") && sortOps.nonEmpty =>
-        ordered
+        (ordered, false)
       case (None, None) => // Mongo default window: the WHOLE partition
         // ("unbounded" both sides) even when sortBy is given
-        ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        (ordered.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing), false)
     }
+    def framed(o: Out): WindowSpec = framedRev(o)._1
     val withCols = outs.zipWithIndex.foldLeft(extracted.toDF()) { case (acc, (o, i)) =>
       def ordStruct = when(col(s"__b$i").isNull, lit(null))
         .otherwise(struct(col(s"__b$i").as("b"), col(s"__c$i").as("c")))
@@ -1666,9 +1688,16 @@ object DynPipeline {
         case "$min"   => min(ordStruct).over(framed(o)).getField("c")
         case "$max"   => max(ordStruct).over(framed(o)).getField("c")
         case "$count" => count(lit(1)).over(framed(o))
-        case "$push"  => collect_list(col(s"__c$i")).over(framed(o))
-        case "$first" => first(col(s"__c$i")).over(framed(o))
-        case "$last"  => last(col(s"__c$i")).over(framed(o))
+        case "$push" =>
+          val (f, rev) = framedRev(o)
+          val c0 = collect_list(col(s"__c$i")).over(f)
+          if (rev) reverse(c0) else c0
+        case "$first" =>
+          val (f, rev) = framedRev(o)
+          (if (rev) last(col(s"__c$i")) else first(col(s"__c$i"))).over(f)
+        case "$last" =>
+          val (f, rev) = framedRev(o)
+          (if (rev) first(col(s"__c$i")) else last(col(s"__c$i"))).over(f)
         case "$locf"  => // no window in Mongo: always backward-cumulative
           last(col(s"__c$i"), ignoreNulls = true).over(
             ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -1686,10 +1715,15 @@ object DynPipeline {
           covar_samp(col(s"__v$i"), col(s"__w$i")).over(framed(o))
         case "$derivative" =>
           val x = axisFor(o.unit)
-          val dx = last(x).over(framed(o)) - first(x).over(framed(o))
+          val (f, rev) = framedRev(o)
+          // under a reversed frame the traversal flips: sort-order frame
+          // end = reversed frame's FIRST row
+          def edge(c: Column, atEnd: Boolean) =
+            (if (atEnd != rev) last(c) else first(c)).over(f)
+          val dx = edge(x, atEnd = true) - edge(x, atEnd = false)
           when(dx =!= 0d,
-            (last(col(s"__v$i")).over(framed(o)) -
-              first(col(s"__v$i")).over(framed(o))) / dx)
+            (edge(col(s"__v$i"), atEnd = true) -
+              edge(col(s"__v$i"), atEnd = false)) / dx)
         case "$integral" =>
           // trapezoid areas between consecutive rows, summed over the frame
           // minus its entering edge (same shape as the typed engine)
@@ -1702,16 +1736,23 @@ object DynPipeline {
           val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi
           if (loShift != Window.unboundedPreceding &&
               h != Window.unboundedFollowing && loShift > h) lit(0d)
+          else if (h == Window.unboundedFollowing &&
+              loShift != Window.unboundedPreceding)
+            // shrinking sum frame -> growing frame on the reversed order
+            coalesce(sum(area).over(orderedRev.rowsBetween(
+              Window.unboundedPreceding, -loShift)), lit(0d))
           else coalesce(sum(area).over(ordered.rowsBetween(loShift, h)), lit(0d))
         case "$linearFill" =>
           val v = col(s"__v$i")
           val x = col("__x")
           val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val fwd  = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          // forward neighbor scan as a GROWING frame on the reversed order
+          // (a [current, +unbounded) frame is O(partition²) in Spark)
+          val revBack = orderedRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
           val prevV = last(v, ignoreNulls = true).over(back)
           val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(back)
-          val nextV = first(v, ignoreNulls = true).over(fwd)
-          val nextX = first(when(v.isNotNull, x), ignoreNulls = true).over(fwd)
+          val nextV = last(v, ignoreNulls = true).over(revBack)
+          val nextX = last(when(v.isNotNull, x), ignoreNulls = true).over(revBack)
           when(v.isNotNull, v).otherwise(
             prevV + (nextV - prevV) * (x - prevX) / (nextX - prevX))
         case "$expMovingAvg" =>
