@@ -583,6 +583,40 @@ class DynamicSpec extends SparkSpec {
       node("""{"_id":"1","tot":5,"seen":[2,3]}""")))
   }
 
+  test("dynamic shrinking [lo, unbounded) frames keep sort-order semantics") {
+    // planned on the REVERSED sort (incremental, not O(partition^2)):
+    // order-sensitive ops must still see the ascending sort order
+    val out = outDocs(run(
+      docs("""{"_id":"0","g":"a","q":1,"v":10}""",
+        """{"_id":"1","g":"a","q":2,"v":20}""",
+        """{"_id":"2","g":"a","q":3,"v":30}""",
+        """{"_id":"3","g":"a","q":4,"v":40}"""),
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"q": 1},
+            "output": {
+              "restSum": {"$sum": "$v",
+                          "window": {"documents": ["current", "unbounded"]}},
+              "nxt":  {"$first": "$v",
+                       "window": {"documents": [1, "unbounded"]}},
+              "fin":  {"$last": "$v",
+                       "window": {"documents": ["current", "unbounded"]}},
+              "rest": {"$push": "$v",
+                       "window": {"documents": ["current", "unbounded"]}},
+              "slope": {"$derivative": {"input": "$v"},
+                        "window": {"documents": ["current", "unbounded"]}}}}},
+          {"$project": {"q": 1, "restSum": 1, "nxt": 1, "fin": 1,
+                        "rest": 1, "slope": 1}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","q":1,"restSum":100,"nxt":20,"fin":40,
+              "rest":[10,20,30,40],"slope":10.0}"""),
+      node("""{"_id":"1","q":2,"restSum":90,"nxt":30,"fin":40,
+              "rest":[20,30,40],"slope":10.0}"""),
+      node("""{"_id":"2","q":3,"restSum":70,"nxt":40,"fin":40,
+              "rest":[30,40],"slope":10.0}"""),
+      node("""{"_id":"3","q":4,"restSum":40,"nxt":null,"fin":40,
+              "rest":[40],"slope":null}""")))
+  }
+
   test("dynamic $vectorSearch: top-k, filter, $meta score") {
     val out = outDocs(run(
       docs("""{"_id":"a","vec":[1,0]}""", """{"_id":"b","vec":[0.6,0.8]}""",

@@ -234,6 +234,39 @@ class StagesSpec extends SparkSpec {
       (60.0, 60.0, 3, 20.0, 50.0)))
   }
 
+  test("$setWindowFields: shrinking [lo, unbounded) frames keep sort-order semantics") {
+    // these frames are planned on the REVERSED sort (incremental instead of
+    // O(partition^2)); order-sensitive ops must still see the sort order
+    val df = Seq(("0", "a", 1L, 10.0), ("1", "a", 2L, 20.0), ("2", "a", 3L, 30.0),
+      ("3", "a", 4L, 40.0), ("4", "b", 1L, 5.0)).toDF("_id", "g", "seq", "v")
+    val out = pipeline.run(df,
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+              "restSum": {"$sum": "$v",
+                          "window": {"documents": ["current", "unbounded"]}},
+              "nxt":  {"$first": "$v",
+                       "window": {"documents": [1, "unbounded"]}},
+              "fin":  {"$last": "$v",
+                       "window": {"documents": ["current", "unbounded"]}},
+              "rest": {"$push": "$v",
+                       "window": {"documents": ["current", "unbounded"]}},
+              "slope": {"$derivative": {"input": "$v"},
+                        "window": {"documents": ["current", "unbounded"]}}}}}]""")
+    val rows = out.filter($"g" === "a").orderBy("seq")
+      .select("restSum", "nxt", "fin", "rest", "slope").collect()
+    assert(rows.map(_.getDouble(0)).toList == List(100.0, 90.0, 70.0, 40.0))
+    assert(rows.map(r => Option(r.get(1)).map(_.asInstanceOf[Double])).toList ==
+      List(Some(20.0), Some(30.0), Some(40.0), None))
+    assert(rows.map(_.getDouble(2)).toList == List(40.0, 40.0, 40.0, 40.0))
+    assert(rows.map(_.getSeq[Double](3).toList).toList == List(
+      List(10.0, 20.0, 30.0, 40.0), List(20.0, 30.0, 40.0),
+      List(30.0, 40.0), List(40.0)))
+    // derivative over [current, unbounded): (v_last - v_current)/(x_last - x_current)
+    assert(rows.map(r => Option(r.get(4)).map(_.asInstanceOf[Double])).toList ==
+      List(Some(10.0), Some(10.0), Some(10.0), None))
+  }
+
   test("$setWindowFields: no sortBy = whole-partition frame; global window without partitionBy") {
     val df = Seq(("0", "a", 1.0), ("1", "a", 2.0), ("2", "b", 4.0))
       .toDF("_id", "g", "v")
