@@ -196,6 +196,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("exp_moving_avg"), s"incremental EMA aggregate expected:\n$p")
   }
 
+  test("no window frame ends at unboundedFollowing (shrinking frames are O(n^2))") {
+    // $linearFill / $locf / [x, unbounded) user frames must all plan as
+    // growing frames (reversed sort where needed): a frame whose lower edge
+    // moves and upper edge is unbounded re-scans the partition tail per row
+    for (q <- Seq("q_window_fill", "q_window_calc", "q_dynamic_window_calc")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("currentrow$(), unboundedfollowing$()") &&
+        !"specifiedwindowframe\\((RowFrame|RangeFrame), [-0-9]+, unboundedfollowing"
+          .r.findFirstIn(p).isDefined,
+        s"$q plans a shrinking frame:\n$p")
+    }
+  }
+
   test("exact dedup shuffles the 16-byte digest, not the document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")
