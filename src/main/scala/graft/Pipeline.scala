@@ -626,15 +626,15 @@ private[graft] object Stages {
 
   /** `$bucketAuto` (MQL, beyond the reference's stage set): split the input
     * into `buckets` groups of as-equal-as-possible size along the sorted
-    * `groupBy` value. Distributed shape: ONE global rank (range exchange +
-    * per-partition rank — the op is inherently a global quantile), ties keep
-    * the bucket of their first occurrence (rank, not row_number, so equal
-    * values never split), then an ordinary hash aggregation per bucket.
-    * Boundaries follow Mongo: each bucket's `_id.max` is the next bucket's
-    * `_id.min`; the last bucket's max is the global max (inclusive).
-    * `granularity` rounding is not supported (clear error). At 100 TB swap
-    * the exact rank for approx_percentile boundaries — the aggregation
-    * shape is unchanged. */
+    * `groupBy` value. Distributed shape: [[graft.operators.GlobalRank]]
+    * (range exchange + per-partition rank with broadcast offsets — NOT a
+    * single-partition window), ties keep the bucket of their first
+    * occurrence (rank, not row_number, so equal values never split), then
+    * an ordinary hash aggregation per bucket. Boundaries follow Mongo:
+    * each bucket's `_id.max` is the next bucket's `_id.min`; the last
+    * bucket's max is the global max (inclusive). `granularity` rounding is
+    * not supported (clear error). At 100 TB swap the exact rank for
+    * approx_percentile boundaries — the aggregation shape is unchanged. */
   def bucketAuto(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gb = cexpr(spec \ "groupBy")
@@ -649,12 +649,9 @@ private[graft] object Stages {
       case JNothing    => List("count" -> JObject(List("$sum" -> JInt(1))))
       case other => throw new IllegalArgumentException(s"$$bucketAuto output: $other")
     }
-    val ranked = df.withColumn("__v", gb)
-      .withColumn("__rk", rank().over(Window.orderBy(col("__v").asc)))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .withColumn("__b", expr(s"((CAST(__rk AS BIGINT) - 1) * $b) div __n"))
+    val ranked = graft.operators.GlobalRank
+      .withRank(df.withColumn("__v", gb), "__v", "__rk", "__n")
+      .withColumn("__b", expr(s"((__rk - 1) * $b) div __n"))
     val aggs = outputs.map { case (name, o) =>
       val JObject(List((op, aspec))) = (o: @unchecked)
       accumulator(op, aspec)(ctxFor(df)).as(name)

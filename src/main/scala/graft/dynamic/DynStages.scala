@@ -1205,11 +1205,13 @@ object DynPipeline {
   }
 
   /** `$bucketAuto` in dynamic mode: the groupBy value's cross-type BSON
-    * order rides a binary sortableKey through ONE global rank; the bucket
-    * id and canonical groupBy value embed into each doc, and the per-bucket
-    * aggregation reuses the fused dynamic `$group` (one DynGroupAgg, so the
-    * user's `output` accumulators all apply). Boundaries chain Mongo-style
-    * afterwards over the handful of bucket rows. */
+    * order rides a binary sortableKey through a DISTRIBUTED global rank
+    * ([[graft.operators.GlobalRank]]: range exchange + per-partition rank,
+    * no single-partition window); the bucket id and canonical groupBy value
+    * embed into each doc, and the per-bucket aggregation reuses the fused
+    * dynamic `$group` (one DynGroupAgg, so the user's `output` accumulators
+    * all apply). Boundaries chain Mongo-style afterwards over the handful
+    * of bucket rows. */
   private def bucketAuto(df: DataFrame, spec: JValue): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
@@ -1236,11 +1238,9 @@ object DynPipeline {
           if (v == null || isMissing(v)) "null" else canonical(v))
       }
     }(Encoders.row(exSchema))
-    val ranked = extracted
-      .withColumn("__rk", rank().over(Window.orderBy(col("__b").asc)))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("__bk", expr(s"((CAST(__rk AS BIGINT) - 1) * $b) div __n"))
+    val ranked = graft.operators.GlobalRank
+      .withRank(extracted.toDF(), "__b", "__rk", "__n")
+      .withColumn("__bk", expr(s"((__rk - 1) * $b) div __n"))
     val docs2 = ranked.select(col("key"), col("doc"), col("__bk"), col("__gv"))
       .as(Encoders.tuple(Encoders.STRING, Encoders.STRING,
         Encoders.scalaLong, Encoders.STRING))

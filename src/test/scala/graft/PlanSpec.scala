@@ -175,13 +175,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join") || p.contains("join"), p)
   }
 
-  test("$bucketAuto aggregates per bucket after ONE global rank exchange") {
+  test("$bucketAuto ranks distributed: range exchange, never SinglePartition") {
     val out = pipeline.run(orders,
       """[{"$bucketAuto": {"groupBy": "$o_totalprice", "buckets": 4}}]""")
     val p = plan(out)
-    // the rank needs a single total order (inherent to the op); the bucket
-    // aggregation that follows must be a hash aggregate with partial phase
-    assert(p.contains("Window"), p)
+    // the global rank is range-partitioned + per-partition offsets
+    // (GlobalRank) — a single-partition window over the INPUT would
+    // serialize the whole table through one reducer at 100 TB. The only
+    // allowed SinglePartition exchange is the boundary-chaining `lead`
+    // over the <= `buckets` aggregated rows.
+    val single = "Exchange SinglePartition".r.findAllMatchIn(p).toList
+    assert(single.size <= 1, s"one SinglePartition at most (bucket rows):\n$p")
+    single.foreach { m =>
+      assert(p.substring(m.end).contains("HashAggregate(keys=[__b"),
+        s"SinglePartition must sit above the per-bucket aggregate, not the input:\n$p")
+    }
     assert(p.contains("partial_min") || p.contains("partial_count"),
       s"expected map-side partial agg per bucket:\n$p")
   }
