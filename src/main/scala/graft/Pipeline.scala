@@ -115,19 +115,27 @@ final class Pipeline(
         df.groupBy(MongoExpr.compile(spec).as("_id"))
           .agg(count(lit(1)).as("count"))
           .orderBy(col("count").desc, col("_id")) // _id tiebreak: determinism
+      case "$documents" =>
+        // MQL db.aggregate() entry stage: literal documents REPLACE the
+        // input (Mongo requires it first; prior output is discarded here)
+        Stages.documents(df.sparkSession, spec)
       case "$unionWith" =>
-        val (coll, sub) = spec match {
-          case JString(c) => (c, JNothing)
+        val (collOpt, sub) = spec match {
+          case JString(c) => (Some(c), JNothing)
           case o: JObject => (o \ "coll" match {
-            case JString(c) => c
+            case JString(c) => Some(c)
+            case JNothing   => None // Mongo 6: collection-less $unionWith
             case other => throw new IllegalArgumentException(s"$$unionWith coll: $other")
           }, o \ "pipeline")
           case other => throw new IllegalArgumentException(s"$$unionWith: $other")
         }
-        val other0 = catalog(coll)
-        val other = sub match {
-          case JNothing | JNull => other0
-          case p                => run(other0, p)
+        val other = (collOpt, sub) match {
+          case (Some(c), JNothing | JNull) => catalog(c)
+          case (Some(c), p)                => run(catalog(c), p)
+          case (None, p @ JArray(JObject(("$documents", _) :: _) :: _)) =>
+            run(df.limit(0), p) // $documents ignores its input
+          case (None, _) => throw new IllegalArgumentException(
+            "$unionWith without coll needs a pipeline starting with $documents")
         }
         df.unionByName(other, allowMissingColumns = true)
       case "$graphLookup"  => Stages.graphLookup(df, spec, catalog)
@@ -623,6 +631,20 @@ private[graft] object Stages {
     * (Count.java:28-41). */
   def countStage(df: DataFrame, spec: JValue): DataFrame =
     df.groupBy().agg(count(lit(1)).as(str(spec))).filter(col(str(spec)) > 0)
+
+  /** `$documents` (MQL db.aggregate() entry stage): a literal array of
+    * documents becomes the stream. Schema is inferred from the rendered
+    * JSON (the DYNAMIC engine carries the documents exactly); a driver-side
+    * literal, so no distribution concerns. */
+  def documents(spark: org.apache.spark.sql.SparkSession, spec: JValue): DataFrame = {
+    val docs = spec match {
+      case JArray(ds) if ds.forall(_.isInstanceOf[JObject]) => ds
+      case other => throw new IllegalArgumentException(
+        s"$$documents expects an array of objects: $other")
+    }
+    val jsons = docs.map(d => JsonMethods.compact(JsonMethods.render(d)))
+    spark.read.json(spark.createDataset(jsons)(org.apache.spark.sql.Encoders.STRING))
+  }
 
   /** `$bucketAuto` (MQL, beyond the reference's stage set): split the input
     * into `buckets` groups of as-equal-as-possible size along the sorted

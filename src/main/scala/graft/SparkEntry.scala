@@ -1137,6 +1137,12 @@ object SparkEntry {
       """[{"$project": {"event_id": 1}},
           {"$unionWith": {"coll": "nation",
             "pipeline": [{"$project": {"event_id": "$n_nationkey"}}]}}]""")),
+    // $documents entry stage + collection-less $unionWith (Mongo 6)
+    "q_documents" -> ((s, dir) => pipe(s, dir, "nation",
+      """[{"$project": {"k": "$n_nationkey", "name": "$n_name", "_id": 0}},
+          {"$unionWith": {"pipeline": [{"$documents": [
+             {"k": 100, "name": "alpha"}, {"k": 101, "name": "beta"}]}]}},
+          {"$addFields": {"kk": {"$multiply": ["$k", 10]}}}]""")),
     // $densify: missing user slots per event type generated as stub rows
     "q_densify" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$project": {"event_id": 1, "event_type": 1,
@@ -2074,6 +2080,12 @@ object SparkEntry {
     "q_unionwith" ->
       """SELECT event_id FROM events
          UNION ALL SELECT n_nationkey FROM nation""",
+    "q_documents" ->
+      """SELECT k, name, k * 10 AS kk FROM (
+           SELECT n_nationkey AS k, n_name AS name FROM nation
+           UNION ALL
+           SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'alpha'),
+                                 (CAST(101 AS BIGINT), 'beta')) v(k, name))""",
     "q_densify" ->
       """WITH e AS (SELECT event_id, event_type, user_id % 50 AS slot
                     FROM events),

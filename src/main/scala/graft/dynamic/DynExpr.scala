@@ -244,6 +244,19 @@ object DynExpr {
     case "$firstN" | "$lastN" | "$maxN" | "$minN" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "n")))
     case "$zip" => DFn(op, argList(arg \ "inputs"))
+    // field accessors for names the path syntax can't reach ('.', '$'-led)
+    case "$getField" => arg match {
+      case JString(f) => DFn(op, List(DConst("\"" + f.replace("\"", "\\\"") + "\""),
+        DVar("CURRENT", Nil)))
+      case o: JObject => DFn(op, List(compile(o \ "field"),
+        o \ "input" match { case JNothing => DVar("CURRENT", Nil)
+                            case in       => compile(in) }))
+      case other => throw new IllegalArgumentException(s"$$getField: $other")
+    }
+    case "$setField" | "$unsetField" =>
+      DFn(op, List(compile(arg \ "field"), compile(arg \ "input")) ++
+        (op match { case "$setField" => List(compile(arg \ "value"))
+                    case _           => Nil }))
     case name => DFn(name, argList(arg))
   }
 
@@ -441,6 +454,38 @@ object DynExpr {
               }
               out
             case _ => NULL
+          }
+
+        case "$rand" => // uniform [0, 1) per evaluation (nondeterministic)
+          double(java.util.concurrent.ThreadLocalRandom.current().nextDouble())
+
+        // field accessors for names the path syntax can't reach (Mongo 5.0):
+        // $getField misses on non-objects; $setField needs object-or-null
+        // input; value $$REMOVE (MISSING) deletes the field
+        case "$getField" =>
+          val f = a(0)
+          if (!f.isTextual)
+            throw new IllegalArgumentException("$getField field must be a string")
+          a(1) match {
+            case o: ObjectNode =>
+              val v = o.get(f.textValue)
+              if (v == null) MISSING else v
+            case _ => MISSING
+          }
+        case "$setField" | "$unsetField" =>
+          val f = a(0)
+          if (!f.isTextual)
+            throw new IllegalArgumentException(s"$name field must be a string")
+          a(1) match {
+            case o: ObjectNode =>
+              val out = o.deepCopy[ObjectNode]()
+              val v = if (name == "$setField") a(2) else MISSING
+              if (isMissing(v)) out.remove(f.textValue)
+              else out.set[JsonNode](f.textValue, v)
+              out
+            case n if n.isNull || isMissing(n) => NULL
+            case other => throw new IllegalArgumentException(
+              s"$name input must be an object, got ${typeName(other)}")
           }
 
         case "$size" =>

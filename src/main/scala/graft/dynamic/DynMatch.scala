@@ -39,6 +39,11 @@ object DynMatch {
   private final case class PExpr(op: DynExpr.DOp) extends DPred {
     def test(ctx: DynExpr.DCtx): Boolean = truthy(op.eval(ctx))
   }
+  /** `$sampleRate`: keep each doc independently with probability p. */
+  private final case class PSample(p: Double) extends DPred {
+    def test(ctx: DynExpr.DCtx): Boolean =
+      java.util.concurrent.ThreadLocalRandom.current().nextDouble() < p
+  }
 
   /** One field condition: resolve the path, then "value or any element". */
   private final case class PField(segs: List[String], cond: VCond, elemWise: Boolean)
@@ -157,6 +162,11 @@ object DynMatch {
       case other         => throw new IllegalArgumentException(s"$$nor: $other")
     }
     case "$expr" => PExpr(DynExpr.compile(value))
+    case "$sampleRate" => value match {
+      case JDouble(p) => PSample(p)
+      case JInt(p)    => PSample(p.toDouble)
+      case other => throw new IllegalArgumentException(s"$$sampleRate: $other")
+    }
     case "$comment" => PAnd(Nil)
     case path =>
       val segs = path.split('.').toList

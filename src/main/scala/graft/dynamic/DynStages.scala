@@ -61,7 +61,7 @@ object DynPipeline {
     "$send", "$throttle", "$per", "$delay", "$probe", "$merge", "$out",
     "$delete", "$lookup", "$setWindowFields", "$fill", "$densify", "$sort",
     "$limit", "$skip", "$sample", "$sortByCount", "$unionWith", "$facet",
-    "$graphLookup", "$bucketAuto", "$vectorSearch")
+    "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents")
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), DynCtx())
@@ -146,7 +146,8 @@ object DynPipeline {
          "$merge" | "$out" | "$delete" | "$lookup" |
          "$setWindowFields" | "$fill" | "$densify" | "$sort" | "$limit" |
          "$skip" | "$sample" | "$sortByCount" | "$unionWith" |
-         "$facet" | "$graphLookup" | "$bucketAuto" | "$vectorSearch" =>
+         "$facet" | "$graphLookup" | "$bucketAuto" | "$vectorSearch" |
+         "$documents" =>
       None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
@@ -545,19 +546,33 @@ object DynPipeline {
         .select(lit(null).cast(StringType).as("key"),
           concat(lit("""{"_id":"""), col("__k"), lit(""","count":"""),
             col("__n").cast(StringType), lit("}")).as("doc"))
+    case "$documents" =>
+      // MQL entry stage: the literal docs REPLACE the input, carried exactly
+      val docs = spec match {
+        case JArray(ds) if ds.forall(_.isInstanceOf[JObject]) => ds
+        case other => throw new IllegalArgumentException(
+          s"$$documents expects an array of objects: $other")
+      }
+      val jsons = docs.map(d => (null: String, org.json4s.jackson.JsonMethods
+        .compact(org.json4s.jackson.JsonMethods.render(d))))
+      df.sparkSession.createDataset(jsons)(tuple2Enc).toDF("key", "doc")
     case "$unionWith" =>
-      val (coll, sub) = spec match {
-        case JString(c) => (c, JNothing)
+      val (collOpt, sub) = spec match {
+        case JString(c) => (Some(c), JNothing)
         case o: JObject => (o \ "coll" match {
-          case JString(c) => c
+          case JString(c) => Some(c)
+          case JNothing   => None // Mongo 6: collection-less $unionWith
           case other => throw new IllegalArgumentException(s"$$unionWith coll: $other")
         }, o \ "pipeline")
         case other => throw new IllegalArgumentException(s"$$unionWith: $other")
       }
-      val other0 = normalize(ctx.catalog(coll))
-      val other = sub match {
-        case JNothing | JNull => other0
-        case p                => run(other0, p, ctx)
+      val other = (collOpt, sub) match {
+        case (Some(c), JNothing | JNull) => normalize(ctx.catalog(c))
+        case (Some(c), p)                => run(normalize(ctx.catalog(c)), p, ctx)
+        case (None, p @ JArray(JObject(("$documents", _) :: _) :: _)) =>
+          run(normalize(df).limit(0), p, ctx) // $documents ignores its input
+        case (None, _) => throw new IllegalArgumentException(
+          "$unionWith without coll needs a pipeline starting with $documents")
       }
       normalize(df).unionByName(other)
     case "$facet" =>

@@ -402,6 +402,8 @@ object MongoExpr {
     case "$unsetField" =>
       compile(field(spec, "input")).dropFields(str(field(spec, "field")))
 
+    case "$rand" => rand() // uniform [0, 1) per document (nondeterministic)
+
     // ---- types ------------------------------------------------------------
     case "$toInt"    => args(spec).head.cast(IntegerType)
     case "$toLong"   => args(spec).head.cast(LongType)

@@ -28,6 +28,12 @@ object MongoMatch {
     case "$or"  => subSpecs(v).map(compile(_)).reduce(_ || _)
     case "$nor" => !subSpecs(v).map(compile(_)).reduce(_ || _)
     case "$expr" => MongoExpr.truthy(MongoExpr.compile(v))
+    case "$sampleRate" => // keep each doc independently with probability p
+      v match {
+        case JDouble(p) => rand() < lit(p)
+        case JInt(p)    => rand() < lit(p.toDouble)
+        case other => throw new IllegalArgumentException(s"$$sampleRate: $other")
+      }
     case "$comment" => lit(true)
     case f => fieldPredicate(ctx.field(f), v, ctx.typeOf(f))
   }

@@ -617,6 +617,26 @@ class DynamicSpec extends SparkSpec {
               "rest":[40],"slope":null}""")))
   }
 
+  test("dynamic $documents, collection-less $unionWith, field accessors") {
+    val out = outDocs(run(docs("""{"_id":"z"}"""),
+      """[{"$documents": [{"a.b": 1, "c": {"d": 2}}, {"a.b": 3}]},
+          {"$addFields": {
+            "got": {"$getField": "a.b"},
+            "set": {"$setField": {"field": "x.y", "input": "$c", "value": 9}},
+            "cut": {"$unsetField": {"field": "d", "input": "$c"}}}}]"""))
+    assert(out == Set(
+      node("""{"a.b":1,"c":{"d":2},"got":1,"set":{"d":2,"x.y":9},"cut":{}}"""),
+      // missing input: $setField/$unsetField return null (Mongo semantics)
+      node("""{"a.b":3,"got":3,"set":null,"cut":null}""")))
+    val unioned = outDocs(run(docs("""{"_id":"z","a":1}"""),
+      """[{"$project": {"a": 1, "_id": 0}},
+          {"$unionWith": {"pipeline": [{"$documents": [{"a": 7}]}]}}]"""))
+    assert(unioned == Set(node("""{"a":1}"""), node("""{"a":7}""")))
+    val sampled = run(docs((1 to 400).map(i => s"""{"_id":"$i"}"""): _*),
+      """[{"$match": {"$sampleRate": 0.5}}]""").count()
+    assert(sampled > 80 && sampled < 320, s"$sampled of 400 at rate 0.5")
+  }
+
   test("dynamic $vectorSearch: top-k, filter, $meta score") {
     val out = outDocs(run(
       docs("""{"_id":"a","vec":[1,0]}""", """{"_id":"b","vec":[0.6,0.8]}""",

@@ -280,6 +280,31 @@ class StagesSpec extends SparkSpec {
     assert(global.select("tot").collect().map(_.getDouble(0)).toSet == Set(7.0))
   }
 
+  test("$documents replaces the stream; collection-less $unionWith") {
+    val df = Seq(("0", 1L)).toDF("_id", "v")
+    val docs = pipeline.run(df,
+      """[{"$documents": [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]}]""")
+    assert(docs.select("a", "b").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "x"), (2L, "y")))
+    val unioned = pipeline.run(df.select(col("v").as("a")),
+      """[{"$unionWith": {"pipeline": [{"$documents": [{"a": 7}]}]}}]""")
+    assert(unioned.select("a").collect().map(_.getLong(0)).toSet == Set(1L, 7L))
+    intercept[IllegalArgumentException] {
+      pipeline.run(df, """[{"$unionWith": {"pipeline": [{"$limit": 1}]}}]""")
+    }
+  }
+
+  test("$sampleRate keeps ~p of docs; $rand is uniform [0,1)") {
+    val df = (1 to 2000).map(i => ("" + i, i.toLong)).toDF("_id", "v")
+    val kept = pipeline.run(df, """[{"$match": {"$sampleRate": 0.5}}]""").count()
+    assert(kept > 600 && kept < 1400, s"$kept of 2000 at rate 0.5")
+    assert(pipeline.run(df, """[{"$match": {"$sampleRate": 0}}]""").count() == 0)
+    val r = pipeline.run(df.limit(100),
+      """[{"$project": {"r": {"$rand": {}}}}]""")
+      .select("r").collect().map(_.getDouble(0))
+    assert(r.forall(x => x >= 0 && x < 1) && r.distinct.length > 50)
+  }
+
   test("$vectorSearch: exact cosine top-k, filter, $meta score") {
     val emb = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.6f, 0.8f)),
       ("c", Array(0.0f, 1.0f)), ("d", Array(-1.0f, 0.0f)))
