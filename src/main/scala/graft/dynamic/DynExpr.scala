@@ -97,6 +97,46 @@ object DynExpr {
   final case class DFn(name: String, args: List[DOp]) extends DOp {
     def eval(ctx: DCtx): JsonNode = Ops.eval(name, args, ctx)
   }
+  /** A pre-evaluated node as a DOp (internal plumbing for [[DConvert]]). */
+  private final case class DWrap(v: JsonNode) extends DOp {
+    def eval(ctx: DCtx): JsonNode = v
+  }
+  /** `$convert` {input, to, onError, onNull}: `to` by name or BSON type
+    * code; delegates to the `$toX` evaluators; a failed conversion falls to
+    * `onError` (else rethrows), null/missing input to `onNull` (else null). */
+  final case class DConvert(input: DOp, to: DOp,
+      onError: Option[DOp], onNull: Option[DOp]) extends DOp {
+    def eval(ctx: DCtx): JsonNode = {
+      val v = input.eval(ctx)
+      if (v == null || v.isNull || isMissing(v))
+        return onNull.map(o => missingToNull(o.eval(ctx))).getOrElse(NULL)
+      val toV = to.eval(ctx)
+      val toName =
+        if (toV.isTextual) toV.textValue
+        else toV.intValue match {
+          case 1 => "double"; case 2 => "string"; case 8 => "bool"
+          case 9 => "date"; case 16 => "int"; case 18 => "long"
+          case 19 => "decimal"
+          case other => throw new IllegalArgumentException(s"$$convert to: $other")
+        }
+      val fn = toName match {
+        case "int"                => "$toInt"
+        case "long"               => "$toLong"
+        case "double" | "decimal" => "$toDouble"
+        case "bool"               => "$toBool"
+        case "string"             => "$toString"
+        case "date"               => "$toDate"
+        case other => throw new IllegalArgumentException(s"$$convert to $other")
+      }
+      try Ops.eval(fn, List(DWrap(v)), ctx)
+      catch {
+        case e: Exception => onError match {
+          case Some(o) => missingToNull(o.eval(ctx))
+          case None    => throw e
+        }
+      }
+    }
+  }
   final case class DLet(vars: List[(String, DOp)], in: DOp) extends DOp {
     def eval(ctx: DCtx): JsonNode = {
       val bound = vars.foldLeft(ctx.vars) { case (vs, (n, op)) =>
@@ -243,6 +283,18 @@ object DynExpr {
           case JInt(i) => i.toString; case JLong(l) => l.toString; case _ => "1" })))
     case "$firstN" | "$lastN" | "$maxN" | "$minN" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "n")))
+    case "$convert" =>
+      DConvert(compile(arg \ "input"), compile(arg \ "to"),
+        arg \ "onError" match { case JNothing => None; case e => Some(compile(e)) },
+        arg \ "onNull" match { case JNothing => None; case e => Some(compile(e)) })
+    case "$dateFromParts" =>
+      val defaults = List("year" -> "null", "month" -> "1", "day" -> "1",
+        "hour" -> "0", "minute" -> "0", "second" -> "0", "millisecond" -> "0")
+      DFn(op, defaults.map { case (f, d) =>
+        arg \ f match { case JNothing => DConst(d); case e => compile(e) } })
+    case "$dateToParts" =>
+      DFn(op, List(compile(arg \ "date"),
+        DConst(arg \ "iso8601" match { case JBool(true) => "true"; case _ => "false" })))
     case "$zip" => DFn(op, argList(arg \ "inputs"))
     // field accessors for names the path syntax can't reach ('.', '$'-led)
     case "$getField" => arg match {
@@ -647,6 +699,41 @@ object DynExpr {
                 case u => throw new IllegalArgumentException(s"$$dateAdd unit $u")
               }
               text(z2.toInstant.toString)
+          }
+        case "$dateFromParts" =>
+          // out-of-range parts CARRY like Mongo (month 13 -> next January):
+          // anchor at Jan 1 of `year` and add each part as an offset
+          val parts = args
+          if (parts.exists(p => p == null || p.isNull || isMissing(p))) NULL
+          else {
+            val List(y, mo, d, h, mi, s, ms) = parts.map(_.longValue)
+            val z = java.time.ZonedDateTime
+              .of(y.toInt, 1, 1, 0, 0, 0, 0, java.time.ZoneOffset.UTC)
+              .plusMonths(mo - 1).plusDays(d - 1).plusHours(h)
+              .plusMinutes(mi).plusSeconds(s)
+              .plus(ms, java.time.temporal.ChronoUnit.MILLIS)
+            text(z.toInstant.toString)
+          }
+        case "$dateToParts" =>
+          utc(a(0)) match {
+            case None => NULL
+            case Some(z) =>
+              val out = obj()
+              if (a(1).booleanValue) {
+                val wf = java.time.temporal.WeekFields.ISO
+                out.put("isoWeekYear", z.get(wf.weekBasedYear).toLong)
+                out.put("isoWeek", z.get(wf.weekOfWeekBasedYear).toLong)
+                out.put("isoDayOfWeek", z.getDayOfWeek.getValue.toLong)
+              } else {
+                out.put("year", z.getYear.toLong)
+                out.put("month", z.getMonthValue.toLong)
+                out.put("day", z.getDayOfMonth.toLong)
+              }
+              out.put("hour", z.getHour.toLong)
+              out.put("minute", z.getMinute.toLong)
+              out.put("second", z.getSecond.toLong)
+              out.put("millisecond", (z.getNano / 1000000).toLong)
+              out
           }
         case "$dateDiff" =>
           (utc(a(0)), utc(a(1))) match {

@@ -965,6 +965,27 @@ class DynamicSpec extends SparkSpec {
     assert(e.getMessage.contains("typed engine"))
   }
 
+  test("dynamic $convert (onError/onNull), $dateFromParts carry, $dateToParts") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","s":"42","bad":"x","none":null}"""),
+      """[{"$project": {
+            "n": {"$convert": {"input": "$s", "to": "long"}},
+            "e": {"$convert": {"input": "$bad", "to": 16, "onError": -1}},
+            "z": {"$convert": {"input": "$none", "to": "double", "onNull": 0}},
+            "d": {"$dateFromParts": {"year": 2023, "month": 13, "day": 2,
+                                     "hour": 5}},
+            "p": {"$dateToParts": {"date": "2024-02-29T10:20:30.400Z"}},
+            "iso": {"$dateToParts": {"date": "2024-01-01T00:00:00Z",
+                                     "iso8601": true}}}}]"""))
+    assert(out == Set(node(
+      """{"_id":"0","n":42,"e":-1,"z":0,
+          "d":"2024-01-02T05:00:00Z",
+          "p":{"year":2024,"month":2,"day":29,"hour":10,"minute":20,
+               "second":30,"millisecond":400},
+          "iso":{"isoWeekYear":2024,"isoWeek":1,"isoDayOfWeek":1,
+                 "hour":0,"minute":0,"second":0,"millisecond":0}}""")))
+  }
+
   test("dynamic stage extensions run; built-ins win on a name clash") {
     val ext = Map[String, (DataFrame, org.json4s.JValue, DynPipeline.DynCtx) => DataFrame](
       "$wait" -> ((df, _, _) => df), // mirrors the reference's test $wait stage
