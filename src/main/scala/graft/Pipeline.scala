@@ -515,6 +515,16 @@ private[graft] object Stages {
         .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
       val sorted = array_sort(collect_list(input)) // collect_list drops nulls
       slice(if (op == "$maxN") reverse(sorted) else sorted, 1, n)
+    case "$firstN" | "$lastN" => // first/last n in encounter order (same
+      // no-total-order caveat as $first/$last without a preceding $sort)
+      val JObject(fs) = (spec: @unchecked)
+      val input = cexpr(fs.collectFirst { case ("input", v) => v }
+        .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
+      val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+        .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
+      val all = collect_list(input)
+      if (op == "$firstN") slice(all, lit(1), lit(n))
+      else slice(all, greatest(size(all) - n + 1, lit(1)), lit(n))
     case "$top" | "$bottom" | "$topN" | "$bottomN" =>
       // {output, sortBy: {f: 1|-1}, n?} — the group's docs sorted by sortBy;
       // $top/$topN take from the front, $bottom/$bottomN from the back.

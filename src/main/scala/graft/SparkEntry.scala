@@ -737,6 +737,28 @@ object SparkEntry {
         get_json_object(col("doc"), "$.p").cast("double").as("p"),
         get_json_object(col("doc"), "$.st").as("st"))
     }),
+    // dynamic modern group accumulators: exact-interp median/percentile,
+    // maxN, sortBy-comparator $top — all inside ONE fused DynGroupAgg
+    "q_dynamic_group_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("event_type").as("et"),
+        col("value").as("v"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$group": {"_id": "$et",
+              "med": {"$median": {"input": "$v", "method": "approximate"}},
+              "p90": {"$percentile": {"input": "$v", "p": [0.9],
+                                      "method": "approximate"}},
+              "top": {"$top": {"output": "$_id",
+                               "sortBy": {"v": -1, "_id": 1}}}}},
+            {"$project": {"med": {"$round": ["$med", 5]},
+                          "p90": {"$round": [{"$arrayElemAt": ["$p90", 0]}, 5]},
+                          "top": 1}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").as("_id"),
+        get_json_object(col("doc"), "$.med").cast("double").as("med"),
+        get_json_object(col("doc"), "$.p90").cast("double").as("p90"),
+        get_json_object(col("doc"), "$.top").cast("long").as("top"))
+    }),
     // dynamic $graphLookup: origin-keyed BFS over schemaless docs (same
     // distributed rounds as the typed engine, Jackson-tree documents)
     "q_dynamic_graphlookup" -> ((s, dir) => {
@@ -1526,6 +1548,18 @@ object SparkEntry {
                      ELSE o_totalprice END AS p,
                 o_orderstatus AS st
          FROM orders""",
+    "q_dynamic_group_stats" ->
+      """WITH t AS (SELECT event_type, event_id FROM (
+             SELECT event_type, event_id,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) AS rn
+             FROM events) WHERE rn = 1)
+         SELECT e.event_type AS _id,
+                round(median(e.value), 5) AS med,
+                round(quantile_cont(e.value, 0.9), 5) AS p90,
+                min(t.event_id) AS top
+         FROM events e JOIN t ON t.event_type = e.event_type
+         GROUP BY 1""",
     "q_dynamic_graphlookup" ->
       """WITH RECURSIVE g AS (
            SELECT o.o_orderkey, c.c_custkey AS ck, c.c_nationkey AS nk,

@@ -48,15 +48,73 @@ case class DynGroupAgg(
 
   import DynJson._
 
-  /** (outField, op, compiled expression) per accumulator; compiled lazily on
-    * each executor from the serializable spec. */
-  @transient private lazy val accs: Array[(String, String, DynExpr.DOp)] = {
+  /** One accumulator's compiled form: the input/output expression plus the
+    * structured extras of the modern accumulators (n, percentiles, sortBy). */
+  private final case class Acc(field: String, op: String, expr: DynExpr.DOp,
+      n: Int = 0, ps: List[Double] = Nil,
+      sort: List[(DynExpr.DOp, Boolean)] = Nil)
+
+  private val structuredOps = Set("$median", "$percentile", "$maxN", "$minN",
+    "$firstN", "$lastN", "$top", "$bottom", "$topN", "$bottomN")
+  private val topOps = Set("$top", "$bottom", "$topN", "$bottomN")
+
+  /** Per-accumulator compiled specs; compiled lazily on each executor from
+    * the serializable spec JSON. */
+  @transient private lazy val accs: Array[Acc] = {
     val spec = parse(specJson)
     spec.asInstanceOf[ObjectNode].fields().asScala.map { e =>
       val acc = e.getValue.asInstanceOf[ObjectNode]
       val op = acc.fieldNames().next()
-      (e.getKey, op, DynExpr.compile(DynStagesJson.toJValue(acc.get(op))))
+      val arg = acc.get(op)
+      def compileJ(n: JsonNode) = DynExpr.compile(DynStagesJson.toJValue(n))
+      if (!structuredOps(op) || !arg.isObject)
+        Acc(e.getKey, op, compileJ(arg))
+      else {
+        val o = arg.asInstanceOf[ObjectNode]
+        val expr = compileJ(
+          if (o.has("input")) o.get("input")
+          else if (o.has("output")) o.get("output")
+          else throw new IllegalArgumentException(s"$op needs input/output"))
+        val n = if (o.has("n")) o.get("n").intValue else 1
+        val ps = if (o.has("p")) o.get("p").asScala.map(_.doubleValue).toList
+                 else if (op == "$median") List(0.5) else Nil
+        val sort =
+          if (!o.has("sortBy")) Nil
+          else o.get("sortBy").asInstanceOf[ObjectNode].fields().asScala.map { s =>
+            (DynExpr.compile(org.json4s.JString("$" + s.getKey)),
+              s.getValue.asDouble(1d) >= 0)
+          }.toList
+        if (topOps(op) && sort.isEmpty)
+          throw new IllegalArgumentException(s"$op needs sortBy")
+        Acc(e.getKey, op, expr, n, ps, sort)
+      }
     }.toArray
+  }
+
+  /** Sort-order comparator for `$top`-family packed nodes `{s: [...], o}`:
+    * each key compares in the Mongo cross-type order, direction applied. */
+  private def cmpPacked(sort: List[(DynExpr.DOp, Boolean)])(
+      x: JsonNode, y: JsonNode): Int = {
+    var i = 0
+    var it = sort
+    while (it.nonEmpty) {
+      val c = compare(x.get("s").get(i), y.get("s").get(i))
+      if (c != 0) return if (it.head._2) c else -c
+      i += 1
+      it = it.tail
+    }
+    0
+  }
+
+  /** Insert `v` into the sorted-bounded buffer `a` (comparator `cmp`),
+    * keeping at most `max` elements from the FRONT (keepFront) or BACK. */
+  private def sortedInsert(a: ArrayNode, v: JsonNode, max: Int,
+      keepFront: Boolean, cmp: (JsonNode, JsonNode) => Int): ArrayNode = {
+    var i = 0
+    while (i < a.size && cmp(a.get(i), v) <= 0) i += 1
+    a.insert(i, v)
+    if (a.size > max) { if (keepFront) a.remove(a.size - 1) else a.remove(0) }
+    a
   }
 
   override def children: Seq[Expression] = child :: Nil
@@ -74,15 +132,26 @@ case class DynGroupAgg(
       val ctx = DynExpr.DCtx(doc, Map.empty)
       var i = 0
       while (i < accs.length) {
-        val (_, op, expr) = accs(i)
-        buf(i) = step(op, buf(i), expr.eval(ctx))
+        val acc = accs(i)
+        val value =
+          if (!topOps(acc.op)) acc.expr.eval(ctx)
+          else { // pack {s: [sort keys...], o: output} for the comparator
+            val packed = obj()
+            val ks = arr()
+            acc.sort.foreach { case (sop, _) =>
+              ks.add(DynJson.copy(missingToNull(sop.eval(ctx)))) }
+            packed.set[JsonNode]("s", ks)
+            packed.set[JsonNode]("o", DynJson.copy(missingToNull(acc.expr.eval(ctx))))
+            packed
+          }
+        buf(i) = step(acc, buf(i), value)
         i += 1
       }
     }
     buf
   }
 
-  private def step(op: String, cur: JsonNode, value: JsonNode): JsonNode = op match {
+  private def step(acc: Acc, cur: JsonNode, value: JsonNode): JsonNode = acc.op match {
     case "$sum" =>
       if (!value.isNumber) { if (isMissing(cur)) long(0) else cur }
       else if (isMissing(cur)) value
@@ -107,7 +176,9 @@ case class DynGroupAgg(
       else if (isMissing(cur)) DynJson.copy(value)
       else {
         val c = compare(value, cur)
-        if ((op == "$min" && c < 0) || (op == "$max" && c > 0)) DynJson.copy(value) else cur
+        if ((acc.op == "$min" && c < 0) || (acc.op == "$max" && c > 0))
+          DynJson.copy(value)
+        else cur
       }
     case "$first" => if (isMissing(cur)) DynJson.copy(missingToNull(value)) else cur
     case "$last"  => DynJson.copy(missingToNull(value))
@@ -145,6 +216,33 @@ case class DynGroupAgg(
         o.set[JsonNode]("m2", double(m2 + d * (x - mean1)))
         o
       }
+    case "$median" | "$percentile" => // exact: collect the numeric values
+      val a = if (isMissing(cur)) arr() else cur.asInstanceOf[ArrayNode]
+      if (value != null && value.isNumber) a.add(double(value.doubleValue))
+      a
+    case "$maxN" | "$minN" => // sorted-bounded buffer; nulls ignored
+      if (value == null || value.isNull || isMissing(value)) {
+        if (isMissing(cur)) arr() else cur
+      } else {
+        val a = if (isMissing(cur)) arr() else cur.asInstanceOf[ArrayNode]
+        // keep ascending; $maxN keeps the BACK (largest), $minN the front
+        sortedInsert(a, DynJson.copy(value), acc.n,
+          keepFront = acc.op == "$minN", compare(_, _))
+      }
+    case "$firstN" =>
+      val a = if (isMissing(cur)) arr() else cur.asInstanceOf[ArrayNode]
+      if (a.size < acc.n) a.add(DynJson.copy(missingToNull(value)))
+      a
+    case "$lastN" =>
+      val a = if (isMissing(cur)) arr() else cur.asInstanceOf[ArrayNode]
+      a.add(DynJson.copy(missingToNull(value)))
+      if (a.size > acc.n) a.remove(0)
+      a
+    case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+      val a = if (isMissing(cur)) arr() else cur.asInstanceOf[ArrayNode]
+      // sorted in sortBy order; $top/$topN keep the front, $bottom* the back
+      sortedInsert(a, value, acc.n,
+        keepFront = acc.op == "$top" || acc.op == "$topN", cmpPacked(acc.sort))
     case other =>
       throw new IllegalArgumentException(s"dynamic $$group: unsupported accumulator $other")
   }
@@ -152,13 +250,14 @@ case class DynGroupAgg(
   override def merge(a: Array[JsonNode], b: Array[JsonNode]): Array[JsonNode] = {
     var i = 0
     while (i < accs.length) {
-      a(i) = mergeOne(accs(i)._2, a(i), b(i))
+      a(i) = mergeOne(accs(i), a(i), b(i))
       i += 1
     }
     a
   }
 
-  private def mergeOne(op: String, x: JsonNode, y: JsonNode): JsonNode =
+  private def mergeOne(acc: Acc, x: JsonNode, y: JsonNode): JsonNode = {
+    val op = acc.op
     if (isMissing(x)) y
     else if (isMissing(y)) x
     else op match {
@@ -198,23 +297,47 @@ case class DynGroupAgg(
         o.set[JsonNode]("mean", double(ma + d * nb / n))
         o.set[JsonNode]("m2", double(m2a + m2b + d * d * na * nb / n))
         o
+      case "$median" | "$percentile" =>
+        x.asInstanceOf[ArrayNode].addAll(y.asInstanceOf[ArrayNode]); x
+      case "$maxN" | "$minN" =>
+        val a = x.asInstanceOf[ArrayNode]
+        y.asInstanceOf[ArrayNode].asScala.toList.foreach(v =>
+          sortedInsert(a, v, acc.n, keepFront = op == "$minN", compare(_, _)))
+        a
+      case "$firstN" =>
+        val a = x.asInstanceOf[ArrayNode]
+        y.asInstanceOf[ArrayNode].asScala.toList.foreach { v =>
+          if (a.size < acc.n) a.add(v) }
+        a
+      case "$lastN" =>
+        val a = x.asInstanceOf[ArrayNode]
+        y.asInstanceOf[ArrayNode].asScala.toList.foreach { v =>
+          a.add(v); if (a.size > acc.n) a.remove(0) }
+        a
+      case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+        val a = x.asInstanceOf[ArrayNode]
+        y.asInstanceOf[ArrayNode].asScala.toList.foreach(v => sortedInsert(
+          a, v, acc.n, keepFront = op == "$top" || op == "$topN",
+          cmpPacked(acc.sort)))
+        a
       case other =>
         throw new IllegalArgumentException(s"dynamic $$group: unsupported accumulator $other")
     }
+  }
 
   override def eval(buf: Array[JsonNode]): Any = {
     val out = obj()
     var i = 0
     while (i < accs.length) {
-      val (field, op, _) = accs(i)
-      val v = finish(op, buf(i))
-      if (!isMissing(v)) out.set[JsonNode](field, v)
+      val acc = accs(i)
+      val v = finish(acc, buf(i))
+      if (!isMissing(v)) out.set[JsonNode](acc.field, v)
       i += 1
     }
     UTF8String.fromString(render(out))
   }
 
-  private def finish(op: String, cur: JsonNode): JsonNode = op match {
+  private def finish(acc: Acc, cur: JsonNode): JsonNode = acc.op match {
     case "$sum" | "$count" => if (isMissing(cur)) long(0) else cur
     case "$avg" =>
       if (isMissing(cur)) NULL
@@ -228,6 +351,43 @@ case class DynGroupAgg(
     case "$stdDevSamp" =>
       if (isMissing(cur) || cur.get("n").longValue < 2) NULL
       else double(math.sqrt(cur.get("m2").doubleValue / (cur.get("n").longValue - 1)))
+    case "$median" | "$percentile" =>
+      // exact linear interpolation at p*(n-1), Spark `percentile` semantics
+      if (isMissing(cur) || cur.size == 0) NULL
+      else {
+        val vs = cur.asInstanceOf[ArrayNode].asScala.map(_.doubleValue)
+          .toArray.sorted
+        def at(p: Double): Double = {
+          val pos = p * (vs.length - 1)
+          val lo = math.floor(pos).toInt
+          val hi = math.ceil(pos).toInt
+          vs(lo) + (pos - lo) * (vs(hi) - vs(lo))
+        }
+        if (acc.op == "$median") double(at(0.5))
+        else {
+          val a = arr()
+          acc.ps.foreach(p => a.add(double(at(p))))
+          a
+        }
+      }
+    case "$maxN" => // Mongo returns the n largest DESCENDING
+      if (isMissing(cur)) arr()
+      else {
+        val a = arr()
+        cur.asInstanceOf[ArrayNode].asScala.toList.reverse.foreach(a.add)
+        a
+      }
+    case "$minN" | "$firstN" | "$lastN" =>
+      if (isMissing(cur)) arr() else cur
+    case "$top" | "$bottom" =>
+      if (isMissing(cur) || cur.size == 0) NULL else cur.get(0).get("o")
+    case "$topN" | "$bottomN" =>
+      if (isMissing(cur)) arr()
+      else {
+        val a = arr()
+        cur.asInstanceOf[ArrayNode].asScala.foreach(e => a.add(e.get("o")))
+        a
+      }
     case other =>
       throw new IllegalArgumentException(s"dynamic $$group: unsupported accumulator $other")
   }

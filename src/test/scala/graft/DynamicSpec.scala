@@ -965,6 +965,39 @@ class DynamicSpec extends SparkSpec {
     assert(e.getMessage.contains("typed engine"))
   }
 
+  test("dynamic $group modern accumulators: median/percentile/maxN/minN/top/bottom/firstN") {
+    val input = docs(
+      """{"_id":"0","g":"a","v":10,"w":"w10"}""",
+      """{"_id":"1","g":"a","v":30,"w":"w30"}""",
+      """{"_id":"2","g":"a","v":20,"w":"w20"}""",
+      """{"_id":"3","g":"a","v":40,"w":"w40"}""",
+      """{"_id":"4","g":"b","v":5,"w":"w5"}""")
+    val out = outDocs(run(input,
+      """[{"$group": {"_id": "$g",
+            "med":  {"$median": {"input": "$v", "method": "approximate"}},
+            "pcts": {"$percentile": {"input": "$v", "p": [0.25, 1.0],
+                                     "method": "approximate"}},
+            "hi2":  {"$maxN": {"input": "$v", "n": 2}},
+            "lo2":  {"$minN": {"input": "$v", "n": 2}},
+            "top":  {"$top":    {"output": "$w", "sortBy": {"v": -1}}},
+            "bot":  {"$bottom": {"output": "$w", "sortBy": {"v": -1}}},
+            "top2": {"$topN":   {"output": "$w", "sortBy": {"v": -1}, "n": 2}},
+            "bot2": {"$bottomN":{"output": "$w", "sortBy": {"v": -1}, "n": 2}}}}]"""))
+    assert(out == Set(
+      node("""{"_id":"a","med":25.0,"pcts":[17.5,40.0],"hi2":[40,30],
+              "lo2":[10,20],"top":"w40","bot":"w10",
+              "top2":["w40","w30"],"bot2":["w20","w10"]}"""),
+      node("""{"_id":"b","med":5.0,"pcts":[5.0,5.0],"hi2":[5],"lo2":[5],
+              "top":"w5","bot":"w5","top2":["w5"],"bot2":["w5"]}""")))
+    // encounter-order accumulators on a single partition: deterministic
+    val fl = outDocs(run(input.coalesce(1),
+      """[{"$group": {"_id": "$g", "f2": {"$firstN": {"input": "$v", "n": 2}},
+                      "l2": {"$lastN": {"input": "$v", "n": 2}}}}]"""))
+    assert(fl == Set(
+      node("""{"_id":"a","f2":[10,30],"l2":[20,40]}"""),
+      node("""{"_id":"b","f2":[5],"l2":[5]}""")))
+  }
+
   test("dynamic $convert (onError/onNull), $dateFromParts carry, $dateToParts") {
     val out = outDocs(run(
       docs("""{"_id":"0","s":"42","bad":"x","none":null}"""),

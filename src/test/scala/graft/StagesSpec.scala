@@ -211,6 +211,20 @@ class StagesSpec extends SparkSpec {
     assert(a.getSeq[String](a.fieldIndex("lo2")).toList == List("w2", "w1"))
   }
 
+  test("$group $firstN/$lastN: first/last n in encounter order") {
+    val df = Seq(("0", "a", 1L), ("1", "a", 2L), ("2", "a", 3L), ("3", "b", 9L))
+      .toDF("_id", "g", "v").coalesce(1)
+    val out = pipeline.run(df,
+      """[{"$group": {"_id": "$g",
+            "f2": {"$firstN": {"input": "$v", "n": 2}},
+            "l2": {"$lastN":  {"input": "$v", "n": 2}}}}]""")
+    val a = out.filter($"_id" === "a").head()
+    assert(a.getSeq[Long](a.fieldIndex("f2")).toList == List(1L, 2L))
+    assert(a.getSeq[Long](a.fieldIndex("l2")).toList == List(2L, 3L))
+    val b = out.filter($"_id" === "b").head()
+    assert(b.getSeq[Long](b.fieldIndex("l2")).toList == List(9L))
+  }
+
   test("$setWindowFields: running sum, rank family, shift, bounded frame") {
     val df = Seq(("0", "a", 1L, 10.0), ("1", "a", 2L, 20.0), ("2", "a", 3L, 30.0),
       ("3", "b", 1L, 5.0)).toDF("_id", "g", "seq", "v")
