@@ -1259,6 +1259,19 @@ private[graft] object Stages {
           else last(cexpr(opSpec)).over(framed)
         case "$stdDevPop"  => stddev_pop(cexpr(opSpec)).over(framed)
         case "$stdDevSamp" => stddev_samp(cexpr(opSpec)).over(framed)
+        case "$median" => // exact linear interpolation over the frame
+          percentile(cexpr(opSpec \ "input").cast(DoubleType), lit(0.5))
+            .over(framed)
+        case "$percentile" =>
+          val ps = opSpec \ "p" match {
+            case JArray(l) => l.map {
+              case JDouble(d) => lit(d); case JInt(i) => lit(i.toDouble)
+              case other => throw new IllegalArgumentException(s"$$percentile p: $other")
+            }
+            case other => throw new IllegalArgumentException(s"$$percentile p: $other")
+          }
+          percentile(cexpr(opSpec \ "input").cast(DoubleType), array(ps: _*))
+            .over(framed)
         case "$covariancePop" =>
           val (x, y) = covArgs; covar_pop(x, y).over(framed)
         case "$covarianceSamp" =>

@@ -1489,7 +1489,8 @@ object DynPipeline {
         by: Int, default: Option[String], frame: Option[(Long, Long)],
         input2: Option[DynExpr.DOp] = None, alpha: Double = 0d,
         unit: Option[String] = None,
-        rangeFrame: Option[(Long, Long)] = None, runit: Option[String] = None)
+        rangeFrame: Option[(Long, Long)] = None, runit: Option[String] = None,
+        ps: List[Double] = Nil)
     def bound(v: JValue, isLo: Boolean): Long = v match {
       case JString("unbounded") => if (isLo) Long.MinValue else Long.MaxValue
       case JString("current")   => 0L
@@ -1553,6 +1554,19 @@ object DynPipeline {
         case "$linearFill" =>
           require(sortOps.nonEmpty, s"$op requires sortBy")
           Out(name, op, Some(DynExpr.compile(opSpec)), 0, None, frame)
+        case "$median" =>
+          Out(name, op, Some(DynExpr.compile(opSpec \ "input")), 0, None,
+            frame, rangeFrame = rangeFrame, runit = runit)
+        case "$percentile" =>
+          val ps = opSpec \ "p" match {
+            case JArray(l) => l.map {
+              case JDouble(d) => d; case JInt(i) => i.toDouble
+              case other => throw new IllegalArgumentException(s"$$percentile p: $other")
+            }
+            case other => throw new IllegalArgumentException(s"$$percentile p: $other")
+          }
+          Out(name, op, Some(DynExpr.compile(opSpec \ "input")), 0, None,
+            frame, rangeFrame = rangeFrame, runit = runit, ps = ps)
         case _ => Out(name, op, Some(DynExpr.compile(opSpec)), 0, None, frame,
           rangeFrame = rangeFrame, runit = runit)
       }
@@ -1568,7 +1582,7 @@ object DynPipeline {
     // output value columns — documents never re-parse after this point
     // numeric-input window ops: one SQL double per row (null skips)
     val numOps = Set("$stdDevPop", "$stdDevSamp", "$linearFill",
-      "$expMovingAvg", "$derivative", "$integral")
+      "$expMovingAvg", "$derivative", "$integral", "$median", "$percentile")
     val schema = StructType(Seq(
       StructField("key", StringType), StructField("doc", StringType),
       StructField("__p", StringType)) ++
@@ -1724,6 +1738,10 @@ object DynPipeline {
             e => e.getField("c"))
         case "$stdDevPop"  => stddev_pop(col(s"__v$i")).over(framed(o))
         case "$stdDevSamp" => stddev_samp(col(s"__v$i")).over(framed(o))
+        case "$median" =>
+          percentile(col(s"__v$i"), lit(0.5)).over(framed(o))
+        case "$percentile" =>
+          percentile(col(s"__v$i"), array(o.ps.map(lit): _*)).over(framed(o))
         case "$covariancePop" =>
           covar_pop(col(s"__v$i"), col(s"__w$i")).over(framed(o))
         case "$covarianceSamp" =>
@@ -1815,9 +1833,16 @@ object DynPipeline {
               a
             case "$stdDevPop" | "$stdDevSamp" | "$covariancePop" |
                  "$covarianceSamp" | "$derivative" | "$integral" |
-                 "$linearFill" | "$expMovingAvg" =>
+                 "$linearFill" | "$expMovingAvg" | "$median" =>
               if (r.isNullAt(idx)) nodes.nullNode
               else nodes.numberNode(r.getDouble(idx))
+            case "$percentile" =>
+              if (r.isNullAt(idx)) nodes.nullNode
+              else {
+                val a = arr()
+                r.getSeq[Double](idx).foreach(d => a.add(nodes.numberNode(d)))
+                a
+              }
             case _ => // $count / rank family: integer-valued
               nodes.numberNode(r.getAs[Number](idx).longValue)
           }

@@ -583,6 +583,26 @@ class DynamicSpec extends SparkSpec {
       node("""{"_id":"1","tot":5,"seen":[2,3]}""")))
   }
 
+  test("dynamic window $median/$percentile ride the numeric value column") {
+    val out = outDocs(run(
+      docs("""{"_id":"0","g":"a","q":1,"v":10}""",
+        """{"_id":"1","g":"a","q":2,"v":20}""",
+        """{"_id":"2","g":"a","q":3,"v":40}"""),
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"q": 1},
+            "output": {
+              "med": {"$median": {"input": "$v", "method": "approximate"}},
+              "run": {"$median": {"input": "$v", "method": "approximate"},
+                      "window": {"documents": ["unbounded", "current"]}},
+              "pcts": {"$percentile": {"input": "$v", "p": [0.5, 1.0],
+                                       "method": "approximate"}}}}},
+          {"$project": {"med": 1, "run": 1, "pcts": 1}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","med":20.0,"run":10.0,"pcts":[20.0,40.0]}"""),
+      node("""{"_id":"1","med":20.0,"run":15.0,"pcts":[20.0,40.0]}"""),
+      node("""{"_id":"2","med":20.0,"run":20.0,"pcts":[20.0,40.0]}""")))
+  }
+
   test("dynamic shrinking [lo, unbounded) frames keep sort-order semantics") {
     // planned on the REVERSED sort (incremental, not O(partition^2)):
     // order-sensitive ops must still see the ascending sort order

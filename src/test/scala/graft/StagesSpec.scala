@@ -248,6 +248,26 @@ class StagesSpec extends SparkSpec {
       (60.0, 60.0, 3, 20.0, 50.0)))
   }
 
+  test("$setWindowFields: $median/$percentile window functions (Mongo 7)") {
+    val df = Seq(("0", "a", 1L, 10.0), ("1", "a", 2L, 20.0), ("2", "a", 3L, 40.0),
+      ("3", "b", 1L, 5.0)).toDF("_id", "g", "seq", "v")
+    val out = pipeline.run(df,
+      """[{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"seq": 1},
+            "output": {
+              "med":  {"$median": {"input": "$v", "method": "approximate"}},
+              "runMed": {"$median": {"input": "$v", "method": "approximate"},
+                         "window": {"documents": ["unbounded", "current"]}},
+              "pcts": {"$percentile": {"input": "$v", "p": [0.5, 1.0],
+                                       "method": "approximate"}}}}}]""")
+    val rows = out.filter($"g" === "a").orderBy("seq")
+      .select("med", "runMed", "pcts").collect()
+    assert(rows.map(_.getDouble(0)).toList == List(20.0, 20.0, 20.0))
+    assert(rows.map(_.getDouble(1)).toList == List(10.0, 15.0, 20.0))
+    assert(rows.map(_.getSeq[Double](2).toList).toList ==
+      List.fill(3)(List(20.0, 40.0)))
+  }
+
   test("$setWindowFields: shrinking [lo, unbounded) frames keep sort-order semantics") {
     // these frames are planned on the REVERSED sort (incremental instead of
     // O(partition^2)); order-sensitive ops must still see the sort order
