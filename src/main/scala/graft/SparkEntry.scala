@@ -1017,6 +1017,13 @@ object SparkEntry {
       tune(s)
       CorpusOps.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // BM25 lexical retrieval: one stats row broadcast back, map-side
+    // scoring, TakeOrdered cutoff
+    "llm_bm25_topk" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        query = "spark merge window", k = 20)
+    }),
     // gap-based sessionization over the event stream (30-min gap)
     "q_sessionize" -> ((s, dir) => {
       tune(s)
@@ -1909,6 +1916,37 @@ object SparkEntry {
                 round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp,
                 CAST(sum(tf.tf) AS BIGINT) AS n_tokens
          FROM tf JOIN p USING (word) GROUP BY 1""",
+    "llm_bm25_topk" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS toks
+           FROM documents),
+         dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN list_contains(toks, 'spark')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN list_contains(toks, 'merge')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                       CAST(sum(CASE WHEN list_contains(toks, 'window')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+                FROM dd),
+         sc AS (SELECT doc_id,
+                  ln((n - df0 + 0.5) / (df0 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln((n - df1 + 0.5) / (df1 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln((n - df2 + 0.5) / (df2 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+                FROM dd CROSS JOIN st)
+         SELECT doc_id, round(s, 6) AS bm25
+         FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 20""",
     "q_sessionize" ->
       """WITH e AS (
            SELECT user_id, value, ts, epoch_us(ts) // 1000000 AS sec,

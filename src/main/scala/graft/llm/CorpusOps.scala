@@ -98,4 +98,42 @@ object CorpusOps {
       .agg(round(sum(col("tf") * col("logp")) / sum(col("tf")), 4).as("avg_logp"),
         sum("tf").cast("long").as("n_tokens"))
   }
+
+  /** BM25 top-k retrieval for a literal query (Robertson/Sparck Jones,
+    * k1 = 1.2, b = 0.75 — the Lucene defaults): the lexical half of a RAG
+    * retrieval stack next to [[VectorOps]]' embedding ANN.
+    *
+    * Shape: ONE aggregate row carries N, avgdl and the query terms'
+    * document frequencies (map-side combine, a handful of doubles);
+    * broadcast-cross-joined back so scoring is a pure per-doc projection;
+    * the global cutoff is a TakeOrdered — no full sort materializes. At
+    * 100 TB both passes stream; nothing driver-side scales with the corpus.
+    * Scores round to 6 decimals and tie-break on the id so the cutoff is
+    * deterministic and cross-engine comparable. */
+  def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25TopK: empty query")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val withToks = corpus.select(col(idCol), toks.as("__toks"),
+      size(toks).cast("double").as("__dl"))
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("__toks"), t).cast("long"))
+          .cast("double").as(s"__df$i")
+      }
+    val stats = withToks.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+      val idf = log((col("__n") - col(s"__df$i") + 0.5) /
+        (col(s"__df$i") + 0.5) + 1.0)
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    withToks.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
 }

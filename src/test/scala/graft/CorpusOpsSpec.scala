@@ -133,4 +133,17 @@ class CorpusOpsSpec extends SparkSpec {
       (7L, 2L, t0 + 3000, t0 + 3000, 1L, 4.0),
       (8L, 1L, t0 + 100, t0 + 100, 1L, 8.0)))
   }
+
+  test("bm25TopK ranks term-dense short docs first; deterministic ties") {
+    val df = Seq(
+      (1L, "spark spark spark"),            // dense in the query term
+      (2L, "spark and other words here"),   // one hit, longer doc
+      (3L, "nothing relevant at all"),      // no hits
+      (4L, "spark spark spark"))            // tie with doc 1 -> id order
+      .toDF("doc_id", "text")
+    val got = CorpusOps.bm25TopK(df, "text", "doc_id", "spark", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got.map(_._1) == List(1L, 4L, 2L)) // 3 scores 0, misses the cut
+    assert(got(0)._2 == got(1)._2 && got(0)._2 > got(2)._2 && got(2)._2 > 0)
+  }
 }

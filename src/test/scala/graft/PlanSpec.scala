@@ -217,6 +217,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 plans a broadcast stats row and a TakeOrdered cutoff") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.CorpusOps.bm25TopK(docs, "text", "doc_id", "spark merge", 10)
+    val p = plan(out)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the single stats row must broadcast:\n$p")
+  }
+
   test("exact dedup shuffles the 16-byte digest, not the document text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.DedupOps.exact(docs, "text", "doc_id")
