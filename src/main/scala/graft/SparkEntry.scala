@@ -1024,6 +1024,26 @@ object SparkEntry {
       CorpusOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         query = "spark merge window", k = 20)
     }),
+    // hybrid retrieval: BM25 lexical + embedding cosine rankings fused by
+    // reciprocal rank ($rankFusion's rule); ranks ride ROUNDED scores with
+    // id tie-breaks so the fusion is cross-engine deterministic
+    "llm_hybrid_rrf" -> ((s, dir) => {
+      tune(s)
+      import org.apache.spark.sql.expressions.Window
+      def ranked(df: DataFrame, score: String, id: String): DataFrame =
+        df.withColumn("rank", row_number().over(
+          Window.orderBy(col(score).desc, col(id)))).limit(50)
+      val bm25 = ranked(CorpusOps.bm25TopK(t(s, dir, "documents"), "text",
+        "doc_id", query = "spark merge window", k = 50), "bm25", "doc_id")
+      val qdf = s.range(1).select(lit(-1L).as("qid"),
+        array((0 until 64).map(i => lit(((i % 7) - 3) * 0.1)): _*).as("qv"))
+      val cos = ranked(
+        graft.llm.VectorOps.bruteTopK(t(s, dir, "embeddings"), "vec_id",
+          "embedding", qdf, "qid", "qv", k = 1000000)
+          .select(col("nn_id").as("doc_id"), col("sim")),
+        "sim", "doc_id")
+      CorpusOps.rrfFusion(Seq((bm25, 1.0), (cos, 1.0)), "doc_id", k = 15)
+    }),
     // gap-based sessionization over the event stream (30-min gap)
     "q_sessionize" -> ((s, dir) => {
       tune(s)
@@ -1947,6 +1967,55 @@ object SparkEntry {
                 FROM dd CROSS JOIN st)
          SELECT doc_id, round(s, 6) AS bm25
          FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 20""",
+    "llm_hybrid_rrf" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS toks
+           FROM documents),
+         dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN list_contains(toks, 'spark')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN list_contains(toks, 'merge')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                       CAST(sum(CASE WHEN list_contains(toks, 'window')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+                FROM dd),
+         sc AS (SELECT doc_id,
+                  ln((n - df0 + 0.5) / (df0 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln((n - df1 + 0.5) / (df1 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln((n - df2 + 0.5) / (df2 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+                FROM dd CROSS JOIN st),
+         b AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS r
+               FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 50),
+         q AS (SELECT list_transform(range(0, 64),
+                        i -> ((i % 7) - 3) * 0.1) AS qv),
+         c AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         s2 AS (SELECT vec_id,
+                       round(list_inner_product(v, qv)
+                         / (sqrt(list_inner_product(v, v))
+                            * sqrt(list_inner_product(qv, qv))), 6) AS sim
+                FROM c, q),
+         v2 AS (SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+                FROM s2 ORDER BY sim DESC, vec_id LIMIT 50),
+         u AS (SELECT doc_id, 1.0 / (60 + r) AS p FROM b
+               UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM v2)
+         SELECT doc_id, round(sum(p), 6) AS rrf
+         FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 15""",
     "q_sessionize" ->
       """WITH e AS (
            SELECT user_id, value, ts, epoch_us(ts) // 1000000 AS sec,

@@ -136,4 +136,24 @@ object CorpusOps {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009; the combination rule of
+    * Mongo 8.1's `$rankFusion` and Atlas hybrid search): fuse weighted
+    * candidate rankings — e.g. [[bm25TopK]] lexical + [[VectorOps]] cosine —
+    * into one top-k. score(d) = Σ_r w_r / (rrfK + rank_r(d)); documents a
+    * ranking missed contribute 0 from it.
+    *
+    * Each input frame needs `idCol` and an integer `rank` column (1-based).
+    * Inputs are CANDIDATE lists (already cut to their own top-n), so this
+    * unions a few small frames and aggregates — nothing here scales with
+    * the corpus. */
+  def rrfFusion(rankings: Seq[(DataFrame, Double)], idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFusion: no rankings")
+    val scored = rankings.map { case (df, w) =>
+      df.select(col(idCol), (lit(w) / (lit(rrfK) + col("rank"))).as("__rrf"))
+    }.reduce(_ unionByName _)
+    scored.groupBy(idCol).agg(round(sum(col("__rrf")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol)).limit(k)
+  }
 }

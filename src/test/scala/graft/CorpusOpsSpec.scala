@@ -146,4 +146,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._1) == List(1L, 4L, 2L)) // 3 scores 0, misses the cut
     assert(got(0)._2 == got(1)._2 && got(0)._2 > got(2)._2 && got(2)._2 > 0)
   }
+
+  test("rrfFusion: weighted reciprocal ranks, docs missing a ranking score 0 from it") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (1L, 2)).toDF("doc_id", "rank")
+    val got = CorpusOps.rrfFusion(Seq((a, 1.0), (b, 2.0)), "doc_id", k = 3,
+      rrfK = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val e1 = r6(1.0 / 11 + 2.0 / 12) // doc 1: rank 1 in a, rank 2 in b
+    val e3 = r6(1.0 / 13 + 2.0 / 11) // doc 3: rank 3 in a, rank 1 in b
+    val e2 = r6(1.0 / 12)            // doc 2: only in a
+    assert(got == List((3L, e3), (1L, e1), (2L, e2)))
+  }
 }
