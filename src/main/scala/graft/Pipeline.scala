@@ -1242,7 +1242,8 @@ private[graft] object Stages {
         case other => throw new IllegalArgumentException(s"$op expects [x, y]: $other")
       }
       val c = op match {
-        case "$sum"   => sum(cexpr(opSpec)).over(framed)
+        case "$sum" => // empty frame -> 0, like Mongo (not SQL's null)
+          coalesce(sum(cexpr(opSpec)).over(framed), lit(0))
         case "$avg"   => avg(cexpr(opSpec)).over(framed)
         case "$min"   => min(cexpr(opSpec)).over(framed)
         case "$max"   => max(cexpr(opSpec)).over(framed)

@@ -80,4 +80,48 @@ class PropertySpec extends SparkSpec {
     val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(got == want)
   }
+
+  test("window frames: every (lo, hi) bound combo matches a brute-force oracle") {
+    // pins the shrinking-frame -> reversed-sort rewrite: for each frame the
+    // compiled $setWindowFields output must equal a direct per-row frame
+    // computation over the sorted partition (ties avoided via unique seq)
+    val docs = Seq.tabulate(60) { i =>
+      (i.toString, "g" + (i % 3), i.toLong, rnd.between(-50, 50).toDouble)
+    }
+    val df = docs.toDF("_id", "g", "seq", "v")
+    val byGroup: Map[String, IndexedSeq[(Long, Double)]] =
+      docs.groupBy(_._2).view.mapValues(
+        _.map(t => (t._3, t._4)).sortBy(_._1).toIndexedSeq).toMap
+    val bounds = Seq("\"unbounded\"", "-2", "\"current\"", "1")
+    for (lo <- bounds; hi <- bounds if bounds.indexOf(lo) <= bounds.indexOf(hi)) {
+      val out = new Pipeline().run(df,
+        s"""[{"$$setWindowFields": {
+              "partitionBy": "$$g", "sortBy": {"seq": 1},
+              "output": {
+                "s": {"$$sum": "$$v", "window": {"documents": [$lo, $hi]}},
+                "f": {"$$first": "$$v", "window": {"documents": [$lo, $hi]}},
+                "l": {"$$last": "$$v", "window": {"documents": [$lo, $hi]}},
+                "p": {"$$push": "$$v", "window": {"documents": [$lo, $hi]}}}}}]""")
+        .select("g", "seq", "s", "f", "l", "p").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          (r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+            Option(r.get(4)).map(_.asInstanceOf[Double]),
+            r.getSeq[Double](5).toList))).toList
+      def bound(b: String, i: Int, n: Int, isLo: Boolean): Int = b match {
+        case "\"unbounded\"" => if (isLo) 0 else n - 1
+        case "\"current\""   => i
+        case d               => i + d.toInt
+      }
+      for ((g, seq, got) <- out) {
+        val part = byGroup(g)
+        val i = part.indexWhere(_._1 == seq)
+        val from = math.max(0, bound(lo, i, part.length, isLo = true))
+        val to = math.min(part.length - 1, bound(hi, i, part.length, isLo = false))
+        val frame = if (from > to) IndexedSeq.empty
+                    else part.slice(from, to + 1).map(_._2)
+        val want = (frame.sum, frame.headOption, frame.lastOption, frame.toList)
+        assert(got == want, s"frame [$lo, $hi] g=$g seq=$seq: got $got want $want")
+      }
+    }
+  }
 }
