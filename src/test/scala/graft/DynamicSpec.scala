@@ -583,6 +583,49 @@ class DynamicSpec extends SparkSpec {
       node("""{"_id":"1","tot":5,"seen":[2,3]}""")))
   }
 
+  test("dynamic window frames: every (lo, hi) bound combo matches a brute-force oracle") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(45)(i => (i, "g" + (i % 3), rnd.between(-50, 50)))
+    val input = docs(rows.map { case (i, g, v) =>
+      s"""{"_id":"$i","g":"$g","q":$i,"v":$v}""" }: _*)
+    val byGroup: Map[String, IndexedSeq[(Int, Int)]] =
+      rows.groupBy(_._2).view.mapValues(
+        _.map(t => (t._1, t._3)).sortBy(_._1).toIndexedSeq).toMap
+    val bounds = Seq("\"unbounded\"", "-2", "\"current\"", "1")
+    for (lo <- bounds; hi <- bounds if bounds.indexOf(lo) <= bounds.indexOf(hi)) {
+      val out = run(input,
+        s"""[{"$$setWindowFields": {
+              "partitionBy": "$$g", "sortBy": {"q": 1},
+              "output": {
+                "s": {"$$sum": "$$v", "window": {"documents": [$lo, $hi]}},
+                "f": {"$$first": "$$v", "window": {"documents": [$lo, $hi]}},
+                "l": {"$$last": "$$v", "window": {"documents": [$lo, $hi]}},
+                "p": {"$$push": "$$v", "window": {"documents": [$lo, $hi]}}}}}]""")
+      def bound(b: String, i: Int, n: Int, isLo: Boolean): Int = b match {
+        case "\"unbounded\"" => if (isLo) 0 else n - 1
+        case "\"current\""   => i
+        case d               => i + d.toInt
+      }
+      for (d <- outDocs(out)) {
+        val (g, q) = (d.path("g").textValue, d.path("q").intValue)
+        val part = byGroup(g)
+        val i = part.indexWhere(_._1 == q)
+        val from = math.max(0, bound(lo, i, part.length, isLo = true))
+        val to = math.min(part.length - 1, bound(hi, i, part.length, isLo = false))
+        val frame = if (from > to) IndexedSeq.empty
+                    else part.slice(from, to + 1).map(_._2)
+        assert(d.path("s").longValue == frame.sum.toLong,
+          s"sum [$lo,$hi] g=$g q=$q")
+        assert((if (d.path("f").isNull) None else Some(d.path("f").intValue)) ==
+          frame.headOption, s"first [$lo,$hi] g=$g q=$q")
+        assert((if (d.path("l").isNull) None else Some(d.path("l").intValue)) ==
+          frame.lastOption, s"last [$lo,$hi] g=$g q=$q")
+        assert(d.path("p").asScala.map(_.intValue).toList == frame.toList,
+          s"push [$lo,$hi] g=$g q=$q")
+      }
+    }
+  }
+
   test("dynamic window $median/$percentile ride the numeric value column") {
     val out = outDocs(run(
       docs("""{"_id":"0","g":"a","q":1,"v":10}""",
