@@ -141,6 +141,70 @@ final class Pipeline(
       case "$graphLookup"  => Stages.graphLookup(df, spec, catalog)
       case "$bucketAuto"   => Stages.bucketAuto(df, spec)
       case "$vectorSearch" => Stages.vectorSearch(df, spec)
+      case "$rankFusion" =>
+        // Mongo 8.1 hybrid search: each input pipeline is a SELECTION
+        // pipeline over the same stream; its bounded output is ranked and
+        // the ranked lists fuse by reciprocal rank (constant 60, like
+        // Mongo) on _id. The fused score lands in the hidden __score
+        // column, surfaced via {"$meta": "score"}.
+        import org.apache.spark.sql.expressions.Window
+        val JObject(pipes) = ((spec \ "input" \ "pipelines"): @unchecked)
+        val weights: Map[String, Double] = spec \ "combination" \ "weights" match {
+          case JObject(ws) => ws.map { case (n, v) => n -> (v match {
+            case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+            case JDouble(d) => d; case _ => 1.0 }) }.toMap
+          case _ => Map.empty
+        }
+        require(df.columns.contains("_id"), "$rankFusion fuses on _id")
+        val docCols = df.columns.toSeq
+        val allowed = Set("$match", "$sort", "$limit", "$skip", "$sample",
+          "$vectorSearch")
+        val contribs = pipes.map { case (pname, pstages) =>
+          val JArray(stages) = (pstages: @unchecked)
+          val names = stages.collect { case JObject(fs) => fs.head._1 }
+          val bad = names.filterNot(allowed)
+          if (bad.nonEmpty) throw new IllegalArgumentException(
+            s"$$rankFusion pipeline '$pname': only selection stages " +
+              s"(${allowed.mkString(" ")}) are allowed, got ${bad.mkString(" ")}")
+          // boundedness: a $limit or $vectorSearch (its limit) caps the
+          // ranked list, so the rank window is over a SMALL candidate set —
+          // never a whole-collection single-partition sort
+          if (!names.contains("$limit") && !names.contains("$vectorSearch"))
+            throw new IllegalArgumentException(
+              s"$$rankFusion pipeline '$pname' must be bounded: add a $$limit")
+          val out = run(df, pstages)
+          // rank order: the trailing $sort's keys, else the vector score
+          val sortCols: Seq[Column] =
+            stages.reverse.collectFirst {
+              case JObject(List(("$sort", JObject(keys)))) =>
+                keys.map { case (f, dir) =>
+                  val asc = dir match {
+                    case JInt(i)    => i >= 0
+                    case JLong(l)   => l >= 0
+                    case JDouble(x) => x >= 0
+                    case _          => true
+                  }
+                  if (asc) col(f).asc else col(f).desc
+                }
+            }.getOrElse {
+              if (names.contains("$vectorSearch")) Seq(col("__vsScore").desc)
+              else throw new IllegalArgumentException(
+                s"$$rankFusion pipeline '$pname' must rank: end with " +
+                  "$sort or include $vectorSearch")
+            }
+          val w = weights.getOrElse(pname, 1d)
+          val rank = row_number().over(
+            Window.orderBy(sortCols :+ col("_id").asc: _*))
+          out.select(struct(docCols.map(col): _*).as("__doc"),
+              rank.as("__rank"))
+            .select(col("__doc"), (lit(w) / (lit(60) + col("__rank"))).as("__rrf"))
+        }
+        contribs.reduce(_ unionByName _)
+          .groupBy(col("__doc").getField("_id").as("__fid"))
+          .agg(first(col("__doc")).as("__doc"), sum(col("__rrf")).as("__score"))
+          .select(docCols.map(c => col("__doc").getField(c).as(c)) :+
+            col("__score"): _*)
+          .orderBy(col("__score").desc, col("_id"))
       case "$facet" => // each sub-pipeline folds to ONE array column; the
         // single-row facet frames cross-join into one document
         val JObject(facets) = (spec: @unchecked)

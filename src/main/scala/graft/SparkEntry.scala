@@ -1186,6 +1186,17 @@ object SparkEntry {
       """[{"$project": {"event_id": 1}},
           {"$unionWith": {"coll": "nation",
             "pipeline": [{"$project": {"event_id": "$n_nationkey"}}]}}]""")),
+    // $rankFusion: weighted RRF of two bounded selection pipelines
+    "q_rank_fusion" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$addFields": {"_id": "$o_orderkey"}},
+          {"$rankFusion": {"input": {"pipelines": {
+             "price": [{"$match": {"o_orderstatus": "F"}},
+                       {"$sort": {"o_totalprice": -1}}, {"$limit": 40}],
+             "date":  [{"$sort": {"o_orderdate": 1, "o_orderkey": 1}},
+                       {"$limit": 40}]}},
+            "combination": {"weights": {"price": 2, "date": 1}}}},
+          {"$project": {"_id": 1,
+            "score": {"$round": [{"$meta": "score"}, 6]}}}]""")),
     // $documents entry stage + collection-less $unionWith (Mongo 6)
     "q_documents" -> ((s, dir) => pipe(s, dir, "nation",
       """[{"$project": {"k": "$n_nationkey", "name": "$n_name", "_id": 0}},
@@ -2221,6 +2232,18 @@ object SparkEntry {
     "q_unionwith" ->
       """SELECT event_id FROM events
          UNION ALL SELECT n_nationkey FROM nation""",
+    "q_rank_fusion" ->
+      """WITH p AS (SELECT o_orderkey AS _id,
+                           row_number() OVER (ORDER BY o_totalprice DESC,
+                                              o_orderkey) AS r
+                    FROM orders WHERE o_orderstatus = 'F'
+                    QUALIFY r <= 40),
+         d AS (SELECT o_orderkey AS _id,
+                      row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS r
+               FROM orders QUALIFY r <= 40),
+         u AS (SELECT _id, 2.0 / (60 + r) AS s FROM p
+               UNION ALL SELECT _id, 1.0 / (60 + r) FROM d)
+         SELECT _id, round(sum(s), 6) AS score FROM u GROUP BY 1""",
     "q_documents" ->
       """SELECT k, name, k * 10 AS kk FROM (
            SELECT n_nationkey AS k, n_name AS name FROM nation

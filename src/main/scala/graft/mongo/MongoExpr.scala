@@ -502,6 +502,8 @@ object MongoExpr {
       // Atlas surfaces the $vectorSearch score only through $meta; the
       // stage leaves it in the hidden __vsScore column
       case JString("vectorSearchScore") => col("__vsScore")
+      // $rankFusion leaves its fused score in the hidden __score column
+      case JString("score") => col("__score")
       case other => throw new IllegalArgumentException(s"$$meta: $other")
     }
     case "$let" =>

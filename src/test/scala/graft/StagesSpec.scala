@@ -339,6 +339,41 @@ class StagesSpec extends SparkSpec {
     assert(r.forall(x => x >= 0 && x < 1) && r.distinct.length > 50)
   }
 
+  test("$rankFusion: weighted RRF over sort + vectorSearch pipelines, $meta score") {
+    val df = Seq(
+      ("a", 10.0, Array(1.0f, 0.0f)),
+      ("b", 40.0, Array(0.8f, 0.6f)),
+      ("c", 30.0, Array(0.0f, 1.0f)),
+      ("d", 20.0, Array(-1.0f, 0.0f))).toDF("_id", "pop", "vec")
+    val out = pipeline.run(df,
+      """[{"$rankFusion": {
+            "input": {"pipelines": {
+              "byPop": [{"$sort": {"pop": -1}}, {"$limit": 3}],
+              "byVec": [{"$vectorSearch": {"path": "vec",
+                          "queryVector": [1.0, 0.0], "limit": 3}}]}},
+            "combination": {"weights": {"byPop": 2, "byVec": 1}}}},
+          {"$project": {"_id": 1,
+            "score": {"$round": [{"$meta": "score"}, 6]}}}]""")
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // byPop ranks: b,c,d; byVec ranks (cosine vs [1,0]): a,b,c
+    val want = List(
+      "b" -> r6(2.0 / 61 + 1.0 / 62), // pop rank 1, vec rank 2
+      "c" -> r6(2.0 / 62 + 1.0 / 63), // pop rank 2, vec rank 3
+      "d" -> r6(2.0 / 63),            // pop rank 3 only
+      "a" -> r6(1.0 / 61))            // vec rank 1 only
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got == want)
+    intercept[IllegalArgumentException] { // unbounded pipeline refused
+      pipeline.run(df, """[{"$rankFusion": {"input": {"pipelines": {
+        "x": [{"$sort": {"pop": 1}}]}}}}]""")
+    }
+    intercept[IllegalArgumentException] { // non-selection stage refused
+      pipeline.run(df, """[{"$rankFusion": {"input": {"pipelines": {
+        "x": [{"$project": {"pop": 1}}, {"$limit": 1}]}}}}]""")
+    }
+  }
+
   test("$vectorSearch: exact cosine top-k, filter, $meta score") {
     val emb = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.6f, 0.8f)),
       ("c", Array(0.0f, 1.0f)), ("d", Array(-1.0f, 0.0f)))
