@@ -223,6 +223,8 @@ object DynExpr {
     case "$meta" => arg match {
       // $vectorSearch leaves its score in the hidden __vsScore field
       case JString("vectorSearchScore") => DPath(List("__vsScore"))
+      // $rankFusion leaves its fused score in the hidden __score field
+      case JString("score") => DPath(List("__score"))
       case other => throw new IllegalArgumentException(s"$$meta: $other")
     }
     case "$let" =>

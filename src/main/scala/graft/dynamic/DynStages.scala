@@ -61,7 +61,8 @@ object DynPipeline {
     "$send", "$throttle", "$per", "$delay", "$probe", "$merge", "$out",
     "$delete", "$lookup", "$setWindowFields", "$fill", "$densify", "$sort",
     "$limit", "$skip", "$sample", "$sortByCount", "$unionWith", "$facet",
-    "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents")
+    "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents",
+    "$rankFusion")
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), DynCtx())
@@ -147,7 +148,7 @@ object DynPipeline {
          "$setWindowFields" | "$fill" | "$densify" | "$sort" | "$limit" |
          "$skip" | "$sample" | "$sortByCount" | "$unionWith" |
          "$facet" | "$graphLookup" | "$bucketAuto" | "$vectorSearch" |
-         "$documents" =>
+         "$documents" | "$rankFusion" =>
       None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
@@ -614,6 +615,7 @@ object DynPipeline {
     case "$graphLookup" => graphLookup(df, spec, ctx)
     case "$bucketAuto"  => bucketAuto(df, spec)
     case "$vectorSearch" => vectorSearch(df, spec)
+    case "$rankFusion"  => rankFusion(df, spec, ctx)
     case other => throw new IllegalArgumentException(s"dynamic mode: unsupported stage $other")
   }
 
@@ -1217,6 +1219,94 @@ object DynPipeline {
       }
     }(Encoders.row(schema))
     scored.orderBy(col("__score").desc).limit(limit).select("key", "doc")
+  }
+
+  /** `$rankFusion` in dynamic mode (Mongo 8.1 hybrid search): each input
+    * pipeline is a bounded SELECTION pipeline (validated: only match/sort/
+    * limit/skip/sample/vectorSearch, and a `$limit` or `$vectorSearch` must
+    * cap it), ranked by its trailing `$sort`'s [[DynJson.sortableKey]]
+    * binaries (cross-type BSON order) or by the vector score, `_id`
+    * canonical tie-break; weighted 1/(60+rank) contributions fuse per
+    * DISTINCT `_id`. The fused score lands in the hidden `__score` field
+    * where `{"$meta": "score"}` reads it. Rank windows only ever span the
+    * bounded candidate lists — never the whole stream. */
+  private def rankFusion(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, StructField, StructType}
+    val JObject(pipes) = ((spec \ "input" \ "pipelines"): @unchecked)
+    val weights: Map[String, Double] = spec \ "combination" \ "weights" match {
+      case JObject(ws) => ws.map { case (n, v) => n -> (v match {
+        case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+        case JDouble(d) => d; case _ => 1.0 }) }.toMap
+      case _ => Map.empty
+    }
+    val allowed = Set("$match", "$sort", "$limit", "$skip", "$sample",
+      "$vectorSearch")
+    val idOp = DynExpr.compile(JString("$_id"))
+    val contribs = pipes.map { case (pname, pstages) =>
+      val JArray(stages) = (pstages: @unchecked)
+      val names = stages.collect { case JObject(fs) =>
+        fs.collectFirst { case (n, _) if n != "_trace" => n }.getOrElse("") }
+      val bad = names.filterNot(allowed)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$$rankFusion pipeline '$pname': only selection stages " +
+          s"(${allowed.mkString(" ")}) are allowed, got ${bad.mkString(" ")}")
+      if (!names.contains("$limit") && !names.contains("$vectorSearch"))
+        throw new IllegalArgumentException(
+          s"$$rankFusion pipeline '$pname' must be bounded: add a $$limit")
+      val out = run(df, pstages, ctx)
+      // rank order: trailing $sort keys (binary BSON order), else the score
+      val sortOps: List[(DynExpr.DOp, Boolean)] =
+        stages.reverse.collectFirst {
+          case JObject(List(("$sort", JObject(keys)))) =>
+            keys.map { case (f, dir) =>
+              (DynExpr.compile(JString("$" + f)), dir match {
+                case JInt(i)    => i >= 0
+                case JLong(l)   => l >= 0
+                case JDouble(x) => x >= 0
+                case _          => true
+              })
+            }
+        }.getOrElse {
+          if (names.contains("$vectorSearch"))
+            List((DynExpr.compile(JString("$__vsScore")), false))
+          else throw new IllegalArgumentException(
+            s"$$rankFusion pipeline '$pname' must rank: end with $$sort " +
+              "or include $vectorSearch")
+        }
+      val schema = StructType(Seq(StructField("key", StringType),
+        StructField("doc", StringType), StructField("__fid", StringType)) ++
+        sortOps.indices.map(i => StructField(s"__s$i", BinaryType)))
+      val extracted = normalize(out).as(tuple2Enc).mapPartitions { it =>
+        it.map { case (k, s) =>
+          val dctx = DynExpr.DCtx(parse(s), Map.empty)
+          Row.fromSeq(Seq(k, s, canonical(idOp.eval(dctx))) ++
+            sortOps.map { case (op, _) => sortableKey(op.eval(dctx)) })
+        }
+      }(Encoders.row(schema))
+      val w = weights.getOrElse(pname, 1d)
+      val rank = row_number().over(Window.orderBy(
+        sortOps.zipWithIndex.map { case ((_, asc), i) =>
+          if (asc) col(s"__s$i").asc else col(s"__s$i").desc
+        } :+ col("__fid").asc: _*))
+      extracted.select(col("key"), col("doc"), col("__fid"),
+        (lit(w) / (lit(60) + rank)).as("__rrf"))
+    }
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("__fid"))
+      .agg(first(col("key")).as("key"), first(col("doc")).as("doc"),
+        sum(col("__rrf")).as("__score"))
+    fused.orderBy(col("__score").desc, col("__fid"))
+      .select(col("key"), col("doc"), col("__score"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaDouble))
+      .mapPartitions { it =>
+        it.map { case (k, s, score) =>
+          val d = parse(s).asInstanceOf[ObjectNode]
+          d.put("__score", score)
+          (k, render(d))
+        }
+      }(tuple2Enc).toDF("key", "doc")
   }
 
   /** `$bucketAuto` in dynamic mode: the groupBy value's cross-type BSON

@@ -104,7 +104,8 @@ private[streaming] object StreamSplit {
     * on an infinite input. */
   private val batchOnlyStages = Set("$setWindowFields", "$fill", "$densify",
     "$sort", "$limit", "$skip", "$sample", "$sortByCount", "$unionWith",
-    "$facet", "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents")
+    "$facet", "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents",
+    "$rankFusion")
 
   private def stageName(stage: JValue): String = stage match {
     case JObject(fields) => fields.collectFirst {

@@ -700,6 +700,31 @@ class DynamicSpec extends SparkSpec {
     assert(sampled > 80 && sampled < 320, s"$sampled of 400 at rate 0.5")
   }
 
+  test("dynamic $rankFusion: weighted RRF, cross-type sort ranks, $meta score") {
+    val input = docs(
+      """{"_id":"a","pop":10,"vec":[1,0]}""",
+      """{"_id":"b","pop":40,"vec":[0.8,0.6]}""",
+      """{"_id":"c","pop":30,"vec":[0,1]}""",
+      """{"_id":"d","pop":20,"vec":[-1,0]}""")
+    val out = outDocs(run(input,
+      """[{"$rankFusion": {
+            "input": {"pipelines": {
+              "byPop": [{"$sort": {"pop": -1}}, {"$limit": 3}],
+              "byVec": [{"$vectorSearch": {"path": "vec",
+                          "queryVector": [1, 0], "limit": 3}}]}},
+            "combination": {"weights": {"byPop": 2, "byVec": 1}}}},
+          {"$project": {"score": {"$round": [{"$meta": "score"}, 6]}}}]"""))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.map(d => (d.path("_id").textValue,
+      d.path("score").doubleValue)) == Set(
+      ("b", r6(2.0 / 61 + 1.0 / 62)), ("c", r6(2.0 / 62 + 1.0 / 63)),
+      ("d", r6(2.0 / 63)), ("a", r6(1.0 / 61))))
+    intercept[IllegalArgumentException] { // unbounded pipeline refused
+      run(input, """[{"$rankFusion": {"input": {"pipelines": {
+        "x": [{"$sort": {"pop": 1}}]}}}}]""")
+    }
+  }
+
   test("dynamic $vectorSearch: top-k, filter, $meta score") {
     val out = outDocs(run(
       docs("""{"_id":"a","vec":[1,0]}""", """{"_id":"b","vec":[0.6,0.8]}""",
