@@ -141,6 +141,7 @@ final class Pipeline(
       case "$graphLookup"  => Stages.graphLookup(df, spec, catalog)
       case "$bucketAuto"   => Stages.bucketAuto(df, spec)
       case "$vectorSearch" => Stages.vectorSearch(df, spec)
+      case "$search"       => Stages.search(df, spec)
       case "$rankFusion" =>
         // Mongo 8.1 hybrid search: each input pipeline is a SELECTION
         // pipeline over the same stream; its bounded output is ranked and
@@ -158,7 +159,7 @@ final class Pipeline(
         require(df.columns.contains("_id"), "$rankFusion fuses on _id")
         val docCols = df.columns.toSeq
         val allowed = Set("$match", "$sort", "$limit", "$skip", "$sample",
-          "$vectorSearch")
+          "$vectorSearch", "$search")
         val contribs = pipes.map { case (pname, pstages) =>
           val JArray(stages) = (pstages: @unchecked)
           val names = stages.collect { case JObject(fs) => fs.head._1 }
@@ -188,9 +189,10 @@ final class Pipeline(
                 }
             }.getOrElse {
               if (names.contains("$vectorSearch")) Seq(col("__vsScore").desc)
+              else if (names.contains("$search")) Seq(col("__searchScore").desc)
               else throw new IllegalArgumentException(
                 s"$$rankFusion pipeline '$pname' must rank: end with " +
-                  "$sort or include $vectorSearch")
+                  "$sort or include $vectorSearch/$search")
             }
           val w = weights.getOrElse(pname, 1d)
           val rank = row_number().over(
@@ -759,6 +761,56 @@ private[graft] object Stages {
       .select(struct(col("__min").as("min"),
         coalesce(col("__nextMin"), col("__max")).as("max")).as("_id") +:
         outputs.map { case (name, _) => col(name) }: _*)
+  }
+
+  /** `$search` (Atlas MQL surface, documented subset): the `text` operator
+    * with BM25 relevance (k1 = 1.2, b = 0.75, the Lucene defaults). Only
+    * documents matching at least one query term survive, scored into the
+    * hidden `__searchScore` column ({"$meta": "searchScore"}), highest
+    * first. Distributed shape: ONE aggregate row carries N/avgdl/per-term
+    * document frequencies and broadcasts back, so scoring is a map-side
+    * projection; nothing driver-side scales with the corpus. Compound
+    * operators/fuzzy/index options are not supported (clear error). */
+  def search(df: DataFrame, spec: JValue): DataFrame = {
+    val text = spec \ "text" match {
+      case o: JObject => o
+      case _ => throw new IllegalArgumentException(
+        "$search: only the text operator is supported")
+    }
+    val JString(query) = ((text \ "query"): @unchecked)
+    val paths: Seq[String] = text \ "path" match {
+      case JString(p)  => Seq(p)
+      case JArray(ps)  => ps.map { case JString(p) => p
+        case other => throw new IllegalArgumentException(s"$$search path: $other") }
+      case other => throw new IllegalArgumentException(s"$$search path: $other")
+    }
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "$search: empty query")
+    val (k1, b) = (1.2, 0.75)
+    val textCol = concat_ws(" ", paths.map(col): _*)
+    val toks = graft.llm.TextOps.tokens(lower(textCol))
+    val withToks = df.withColumn("__toks", toks)
+      .withColumn("__dl", size(col("__toks")).cast(DoubleType))
+    val statAggs = count(lit(1)).cast(DoubleType).as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("__toks"), t).cast("long"))
+          .cast(DoubleType).as(s"__df$i")
+      }
+    val stats = withToks.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === t)).cast(DoubleType)
+      val idf = log((col("__n") - col(s"__df$i") + 0.5) /
+        (col(s"__df$i") + 0.5) + 1.0)
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    withToks.crossJoin(broadcast(stats))
+      .withColumn("__searchScore", score)
+      .filter(col("__searchScore") > 0d)
+      .drop((Seq("__toks", "__dl", "__n", "__avgdl") ++
+        terms.indices.map(i => s"__df$i")): _*)
+      .orderBy(col("__searchScore").desc)
   }
 
   /** `$vectorSearch` (Atlas MQL surface, beyond the reference): cosine

@@ -1186,6 +1186,11 @@ object SparkEntry {
       """[{"$project": {"event_id": 1}},
           {"$unionWith": {"coll": "nation",
             "pipeline": [{"$project": {"event_id": "$n_nationkey"}}]}}]""")),
+    // $search (Atlas text operator): BM25 relevance, matches only
+    "q_search" -> ((s, dir) => pipe(s, dir, "documents",
+      """[{"$search": {"text": {"query": "spark merge", "path": "text"}}},
+          {"$project": {"doc_id": 1,
+            "sc": {"$round": [{"$meta": "searchScore"}, 6]}}}]""")),
     // $rankFusion: weighted RRF of two bounded selection pipelines
     "q_rank_fusion" -> ((s, dir) => pipe(s, dir, "orders",
       """[{"$addFields": {"_id": "$o_orderkey"}},
@@ -2232,6 +2237,30 @@ object SparkEntry {
     "q_unionwith" ->
       """SELECT event_id FROM events
          UNION ALL SELECT n_nationkey FROM nation""",
+    "q_search" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              t -> length(t) > 0) AS toks
+           FROM documents),
+         dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN list_contains(toks, 'spark')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN list_contains(toks, 'merge')
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+                FROM dd),
+         sc AS (SELECT doc_id,
+                  ln((n - df0 + 0.5) / (df0 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                + ln((n - df1 + 0.5) / (df1 + 0.5) + 1)
+                    * CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) * 2.2
+                    / (CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+                FROM dd CROSS JOIN st)
+         SELECT doc_id, round(s, 6) AS sc FROM sc WHERE s > 0""",
     "q_rank_fusion" ->
       """WITH p AS (SELECT o_orderkey AS _id,
                            row_number() OVER (ORDER BY o_totalprice DESC,

@@ -225,6 +225,8 @@ object DynExpr {
       case JString("vectorSearchScore") => DPath(List("__vsScore"))
       // $rankFusion leaves its fused score in the hidden __score field
       case JString("score") => DPath(List("__score"))
+      // $search leaves its BM25 relevance in __searchScore
+      case JString("searchScore") => DPath(List("__searchScore"))
       case other => throw new IllegalArgumentException(s"$$meta: $other")
     }
     case "$let" =>

@@ -62,7 +62,7 @@ object DynPipeline {
     "$delete", "$lookup", "$setWindowFields", "$fill", "$densify", "$sort",
     "$limit", "$skip", "$sample", "$sortByCount", "$unionWith", "$facet",
     "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents",
-    "$rankFusion")
+    "$rankFusion", "$search")
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), DynCtx())
@@ -148,7 +148,7 @@ object DynPipeline {
          "$setWindowFields" | "$fill" | "$densify" | "$sort" | "$limit" |
          "$skip" | "$sample" | "$sortByCount" | "$unionWith" |
          "$facet" | "$graphLookup" | "$bucketAuto" | "$vectorSearch" |
-         "$documents" | "$rankFusion" =>
+         "$documents" | "$rankFusion" | "$search" =>
       None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
@@ -616,6 +616,7 @@ object DynPipeline {
     case "$bucketAuto"  => bucketAuto(df, spec)
     case "$vectorSearch" => vectorSearch(df, spec)
     case "$rankFusion"  => rankFusion(df, spec, ctx)
+    case "$search"      => search(df, spec)
     case other => throw new IllegalArgumentException(s"dynamic mode: unsupported stage $other")
   }
 
@@ -1221,6 +1222,75 @@ object DynPipeline {
     scored.orderBy(col("__score").desc).limit(limit).select("key", "doc")
   }
 
+  /** `$search` in dynamic mode (Atlas `text` operator subset): BM25
+    * relevance (k1 = 1.2, b = 0.75) over whitespace tokens of the `path`
+    * field(s). One extraction pass computes per-doc length and term
+    * frequencies; ONE aggregate row (N, avgdl, per-term document
+    * frequencies) broadcasts back; only docs matching ≥ 1 term survive,
+    * scored into the hidden `__searchScore` field for
+    * `{"$meta": "searchScore"}`, highest first. */
+  private def search(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val text = spec \ "text" match {
+      case o: JObject => o
+      case _ => throw new IllegalArgumentException(
+        "$search: only the text operator is supported")
+    }
+    val JString(query) = ((text \ "query"): @unchecked)
+    val paths: Seq[String] = text \ "path" match {
+      case JString(p) => Seq(p)
+      case JArray(ps) => ps.map { case JString(p) => p
+        case other => throw new IllegalArgumentException(s"$$search path: $other") }
+      case other => throw new IllegalArgumentException(s"$$search path: $other")
+    }
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "$search: empty query")
+    val (k1, b) = (1.2, 0.75)
+    val pathOps = paths.map(p => DynExpr.compile(JString("$" + p)))
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("doc", StringType), StructField("__dl", DoubleType)) ++
+      terms.indices.map(i => StructField(s"__tf$i", LongType)))
+    val extracted = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val dctx = DynExpr.DCtx(parse(s), Map.empty)
+        val words = pathOps.flatMap { op =>
+          val v = op.eval(dctx)
+          if (v != null && v.isTextual)
+            v.textValue.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          else Nil
+        }
+        Row.fromSeq(Seq(k, s, words.size.toDouble) ++
+          terms.map(t => words.count(_ == t).toLong))
+      }
+    }(Encoders.row(schema))
+    val statAggs = count(lit(1)).cast(DoubleType).as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"__tf$i") > 0L).cast("long")).cast(DoubleType).as(s"__df$i"))
+    val stats = extracted.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast(DoubleType)
+      val idf = log((col("__n") - col(s"__df$i") + 0.5) /
+        (col(s"__df$i") + 0.5) + 1.0)
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    extracted.crossJoin(broadcast(stats))
+      .withColumn("__sc", score)
+      .filter(col("__sc") > 0d)
+      .orderBy(col("__sc").desc)
+      .select(col("key"), col("doc"), col("__sc"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaDouble))
+      .mapPartitions { it =>
+        it.map { case (k, s, sc) =>
+          val d = parse(s).asInstanceOf[ObjectNode]
+          d.put("__searchScore", sc)
+          (k, render(d))
+        }
+      }(tuple2Enc).toDF("key", "doc")
+  }
+
   /** `$rankFusion` in dynamic mode (Mongo 8.1 hybrid search): each input
     * pipeline is a bounded SELECTION pipeline (validated: only match/sort/
     * limit/skip/sample/vectorSearch, and a `$limit` or `$vectorSearch` must
@@ -1242,7 +1312,7 @@ object DynPipeline {
       case _ => Map.empty
     }
     val allowed = Set("$match", "$sort", "$limit", "$skip", "$sample",
-      "$vectorSearch")
+      "$vectorSearch", "$search")
     val idOp = DynExpr.compile(JString("$_id"))
     val contribs = pipes.map { case (pname, pstages) =>
       val JArray(stages) = (pstages: @unchecked)
@@ -1271,9 +1341,11 @@ object DynPipeline {
         }.getOrElse {
           if (names.contains("$vectorSearch"))
             List((DynExpr.compile(JString("$__vsScore")), false))
+          else if (names.contains("$search"))
+            List((DynExpr.compile(JString("$__searchScore")), false))
           else throw new IllegalArgumentException(
             s"$$rankFusion pipeline '$pname' must rank: end with $$sort " +
-              "or include $vectorSearch")
+              "or include $vectorSearch/$search")
         }
       val schema = StructType(Seq(StructField("key", StringType),
         StructField("doc", StringType), StructField("__fid", StringType)) ++

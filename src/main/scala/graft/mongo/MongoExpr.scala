@@ -504,6 +504,8 @@ object MongoExpr {
       case JString("vectorSearchScore") => col("__vsScore")
       // $rankFusion leaves its fused score in the hidden __score column
       case JString("score") => col("__score")
+      // $search leaves its BM25 relevance in __searchScore
+      case JString("searchScore") => col("__searchScore")
       case other => throw new IllegalArgumentException(s"$$meta: $other")
     }
     case "$let" =>

@@ -700,6 +700,29 @@ class DynamicSpec extends SparkSpec {
     assert(sampled > 80 && sampled < 320, s"$sampled of 400 at rate 0.5")
   }
 
+  test("dynamic $search text: BM25 over path fields, matches only, rankFusion source") {
+    val input = docs(
+      """{"_id":"a","body":"spark spark spark","title":""}""",
+      """{"_id":"b","body":"spark and other words here","title":"spark"}""",
+      """{"_id":"c","body":"nothing relevant","title":"none"}""")
+    val out = run(input,
+      """[{"$search": {"text": {"query": "spark", "path": ["body", "title"]}}},
+          {"$project": {"sc": {"$round": [{"$meta": "searchScore"}, 6]}}}]""")
+    val got = outDocs(out).map(d =>
+      (d.path("_id").textValue, d.path("sc").doubleValue))
+    assert(got.map(_._1) == Set("a", "b") && got.forall(_._2 > 0))
+    // a bounded $search pipeline ranks inside $rankFusion
+    val fused = outDocs(run(input,
+      """[{"$rankFusion": {"input": {"pipelines": {
+            "s": [{"$search": {"text": {"query": "spark", "path": "body"}}},
+                  {"$limit": 2}]}}}},
+          {"$project": {"score": {"$round": [{"$meta": "score"}, 6]}}}]"""))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(fused.map(d => (d.path("_id").textValue,
+      d.path("score").doubleValue)) ==
+      Set(("a", r6(1.0 / 61)), ("b", r6(1.0 / 62))))
+  }
+
   test("dynamic $rankFusion: weighted RRF, cross-type sort ranks, $meta score") {
     val input = docs(
       """{"_id":"a","pop":10,"vec":[1,0]}""",

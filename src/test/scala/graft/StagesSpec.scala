@@ -339,6 +339,23 @@ class StagesSpec extends SparkSpec {
     assert(r.forall(x => x >= 0 && x < 1) && r.distinct.length > 50)
   }
 
+  test("$search text: BM25 relevance, only matches survive, $meta searchScore") {
+    val df = Seq(
+      ("a", "spark spark spark"),
+      ("b", "spark and other words here"),
+      ("c", "nothing relevant at all")).toDF("_id", "body")
+    val out = pipeline.run(df,
+      """[{"$search": {"text": {"query": "spark", "path": "body"}}},
+          {"$project": {"_id": 1,
+            "sc": {"$round": [{"$meta": "searchScore"}, 6]}}}]""")
+    val got = out.collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    assert(got.map(_._1) == List("a", "b")) // c never matches; a denser
+    assert(got.forall(_._2 > 0))
+    intercept[IllegalArgumentException] {
+      pipeline.run(df, """[{"$search": {"compound": {}}}]""")
+    }
+  }
+
   test("$rankFusion: weighted RRF over sort + vectorSearch pipelines, $meta score") {
     val df = Seq(
       ("a", 10.0, Array(1.0f, 0.0f)),
