@@ -53,7 +53,15 @@ object MongoMatch {
       (implicit ctx: ExprCtx): Column =
     if (isOpDoc(v)) {
       val JObject(ops) = (v: @unchecked)
-      ops.map { case (op, operand) => opPredicate(c, op, operand) }.reduce(_ && _)
+      // $options modifies the sibling $regex; it is not a predicate itself
+      val opts = ops.collectFirst { case ("$options", JString(o)) => o }
+      ops.collect {
+        case ("$regex", operand) =>
+          val flags = opts.filter(_.nonEmpty).map(o => s"(?$o)").getOrElse("")
+          c.rlike(flags + str(operand))
+        case (op, operand) if op != "$options" =>
+          opPredicate(c, op, operand, fieldType)
+      }.reduce(_ && _)
     } else (fieldType, v) match {
       // Mongo array-equality: {f: 1} matches f = [0, 1] (element containment)
       // as well as f = 1 — SURVEY §2.2, TestLookup lookup3 semantics
@@ -63,7 +71,8 @@ object MongoMatch {
       case _ => c <=> MongoExpr.literal(v) // {f: null} matches null/missing
     }
 
-  private def opPredicate(c: Column, op: String, v: JValue)
+  private def opPredicate(c: Column, op: String, v: JValue,
+      fieldType: Option[org.apache.spark.sql.types.DataType] = None)
       (implicit ctx: ExprCtx): Column = op match {
     case "$eq"  => c <=> MongoExpr.literal(v)
     case "$ne"  => !(c <=> MongoExpr.literal(v))
@@ -89,6 +98,36 @@ object MongoMatch {
       val JArray(List(d, r)) = (v: @unchecked)
       c % MongoExpr.literal(d) === MongoExpr.literal(r)
     case "$size" => size(c) === MongoExpr.literal(v)
+    case "$type" =>
+      // schema-first: the column's STATIC type decides; "null" tests the
+      // value. Accepts a name or an array of names (BSON aliases).
+      import org.apache.spark.sql.types._
+      val dt = fieldType.getOrElse(throw new IllegalArgumentException(
+        "$type needs a schema-resolvable field (top-level column)"))
+      def one(name: String): Column = name match {
+        case "null" => c.isNull
+        case n =>
+          val matches = (n, dt) match {
+            case ("string", StringType)                      => true
+            case ("int", IntegerType)                        => true
+            case ("long", LongType)                          => true
+            case ("double", DoubleType | FloatType)          => true
+            case ("decimal", _: DecimalType)                 => true
+            case ("bool", BooleanType)                       => true
+            case ("date", TimestampType | TimestampNTZType | DateType) => true
+            case ("array", _: ArrayType)                     => true
+            case ("object", _: StructType | _: MapType)      => true
+            case ("number", IntegerType | LongType | DoubleType |
+                            FloatType | _: DecimalType)      => true
+            case _                                           => false
+          }
+          if (matches) c.isNotNull else lit(false)
+      }
+      v match {
+        case JString(n)  => one(n)
+        case JArray(ns)  => ns.map(n => one(str(n))).reduce(_ || _)
+        case other => throw new IllegalArgumentException(s"$$type: $other")
+      }
     case "$all" =>
       val JArray(xs) = (v: @unchecked)
       xs.map(x => array_contains(c, MongoExpr.literal(x))).reduce(_ && _)

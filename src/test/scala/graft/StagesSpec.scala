@@ -339,6 +339,21 @@ class StagesSpec extends SparkSpec {
     assert(r.forall(x => x >= 0 && x < 1) && r.distinct.length > 50)
   }
 
+  test("$match $type (schema-static) and $regex with $options") {
+    val df = Seq(("0", "Alpha", 1L), ("1", "beta", 2L), ("2", null, 3L))
+      .toDF("_id", "s", "n")
+    def ids(q: String): Set[String] =
+      pipeline.run(df, q).select("_id").collect().map(_.getString(0)).toSet
+    assert(ids("""[{"$match": {"s": {"$type": "string"}}}]""") == Set("0", "1"))
+    assert(ids("""[{"$match": {"s": {"$type": "null"}}}]""") == Set("2"))
+    assert(ids("""[{"$match": {"n": {"$type": ["long", "double"]}}}]""") ==
+      Set("0", "1", "2"))
+    assert(ids("""[{"$match": {"n": {"$type": "string"}}}]""") == Set.empty)
+    assert(ids("""[{"$match": {"s": {"$regex": "^al", "$options": "i"}}}]""") ==
+      Set("0"))
+    assert(ids("""[{"$match": {"s": {"$regex": "^al"}}}]""") == Set.empty)
+  }
+
   test("$search text: BM25 relevance, only matches survive, $meta searchScore") {
     val df = Seq(
       ("a", "spark spark spark"),
