@@ -598,12 +598,15 @@ object DynExpr {
           val end = a(1).longValue
           while (if (step > 0) i < end else i > end) { out.add(long(i)); i += step }
           out
-        // array-context aggregates (the accumulator forms live in DynGroupAgg)
+        // array-context aggregates (the accumulator forms live in DynGroupAgg):
+        // one array arg flattens; the n-ary scalar form aggregates the args
         case "$sum" | "$avg" | "$max" | "$min" =>
-          val in = args.head match {
-            case ar: ArrayNode => ar.asScala.toList
-            case single        => List(single)
-          }
+          val in =
+            if (args.size > 1) args
+            else args.head match {
+              case ar: ArrayNode => ar.asScala.toList
+              case single        => List(single)
+            }
           name match {
             case "$sum" =>
               val nums = in.filter(_.isNumber)

@@ -240,6 +240,11 @@ object DynPipeline {
     if (!inclusionMode) unset(JArray(fields.map { case (k, _) => JString(k) }))
     else {
       val idExcluded = fields.exists { case (k, v) => k == "_id" && isExclude(v) }
+      // a COMPUTED _id ({"_id": <expr>}) projects like any computed field
+      val idComputed: Option[DynExpr.DOp] = fields.collectFirst {
+        case ("_id", v) if !isExclude(v) && v != JInt(1) && v != JBool(true) =>
+          DynExpr.compile(v)
+      }
       val incl: List[(List[String], Option[DynExpr.DOp])] = fields.collect {
         case (k, v) if k != "_id" && !isExclude(v) =>
           val segs = k.split('.').toList
@@ -251,7 +256,10 @@ object DynPipeline {
       msg => {
         val (k, doc0) = msg
         val out = obj()
-        if (!idExcluded) {
+        if (idComputed.nonEmpty) {
+          val v = idComputed.get.eval(DynExpr.DCtx(doc0, Map.empty))
+          if (!isMissing(v)) out.set[JsonNode]("_id", copy(v))
+        } else if (!idExcluded) {
           val id = doc0.get("_id")
           if (id != null) out.set[JsonNode]("_id", copy(id))
         }
@@ -334,8 +342,12 @@ object DynPipeline {
     * sentinels). DESCEND recurses into sub-objects (incl. inside arrays). */
   private def redact(spec: JValue): DocFn = {
     val op = DynExpr.compile(spec)
+    // Mongo's system variables resolve to the string sentinels, so both
+    // "$$KEEP" and the lenient bare "KEEP" forms work
+    val sentinels: Map[String, JsonNode] =
+      List("KEEP", "PRUNE", "DESCEND").map(s => s -> (text(s): JsonNode)).toMap
     def decide(o: JsonNode): String =
-      op.eval(DynExpr.DCtx(o, Map.empty)) match {
+      op.eval(DynExpr.DCtx(o, sentinels)) match {
         case s if s.isTextual => s.textValue
         case other => throw new IllegalArgumentException(s"$$redact must yield a sentinel, got $other")
       }

@@ -327,8 +327,14 @@ object MongoExpr {
       when(size(nn) > 0,
         aggregate(slice(nn, lit(2), greatest(size(nn) - 1, lit(0))),
           element_at(nn, 1), (acc, x) => acc + x).cast(DoubleType) / size(nn))
-    case "$max" => array_max(args(spec).head)
-    case "$min" => array_min(args(spec).head)
+    case "$max" => args(spec) match {
+      case List(one) => array_max(one) // array-context single arg flattens
+      case many      => greatest(many: _*) // n-ary scalar form, nulls ignored
+    }
+    case "$min" => args(spec) match {
+      case List(one) => array_min(one)
+      case many      => least(many: _*)
+    }
     case "$range" =>
       val (start, end, step) = args(spec) match {
         case List(s, e)     => (s, e, lit(1))
@@ -393,7 +399,10 @@ object MongoExpr {
     case "$getField" =>
       spec match {
         case JString(f) => ctx.field(f)
-        case o: JObject => compile(o \ "input").getField(str(o \ "field"))
+        case o: JObject => o \ "input" match {
+          case JNothing => ctx.field(str(o \ "field")) // default: $$CURRENT
+          case in       => compile(in).getField(str(o \ "field"))
+        }
         case _          => throw new IllegalArgumentException("$getField spec")
       }
     case "$setField" =>

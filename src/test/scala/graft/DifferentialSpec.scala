@@ -67,6 +67,25 @@ class DifferentialSpec extends SparkSpec {
       s"engines disagree on $pipeline\n typed: $t\n dynamic: $d")
   }
 
+  // a small dimension table served to both engines as catalog "dim"
+  private lazy val dimTyped: DataFrame = Seq(
+    (1L, "one", 10L), (3L, "three", 30L), (4L, "four", 40L), (7L, "seven", 70L))
+    .toDF("k", "name", "nxt").coalesce(1)
+  private lazy val dimDyn: DataFrame = dimTyped
+    .select(to_json(struct(dimTyped.columns.map(col): _*)).as("doc")).coalesce(1)
+
+  private def agreeCat(pipeline: String): Unit = {
+    val t = new Pipeline(catalog = { case "dim" => dimTyped })
+      .run(typedDf, pipeline).toJSON.collect()
+      .map(s => norm(DynJson.parse(s))).toSet
+    val d = DynPipeline.run(dynDf, pipeline,
+      DynPipeline.DynCtx(catalog = { case "dim" => dimDyn }))
+      .select("doc").collect()
+      .map(r => norm(DynJson.parse(r.getString(0)))).toSet
+    assert(t == d,
+      s"engines disagree on $pipeline\n typed: $t\n dynamic: $d")
+  }
+
   private val pipelines = Seq(
     // projections / transforms
     """[{"$project": {"a": 1, "s": 1}}]""",
@@ -144,9 +163,83 @@ class DifferentialSpec extends SparkSpec {
         {"$unwind": "$pos"}, {"$unwind": "$neg"},
         {"$project": {"p": "$pos.n", "m": "$neg.n"}}]""",
     """[{"$documents": [{"x": 1}, {"x": 2}]},
-        {"$addFields": {"y": {"$multiply": ["$x", 3]}}}]""")
+        {"$addFields": {"y": {"$multiply": ["$x", 3]}}}]""",
+    // more expression breadth
+    """[{"$addFields": {"lets": {"$let": {"vars": {"t": {"$add": ["$a", 1]}},
+         "in": {"$multiply": ["$$t", "$$t"]}}}}},
+        {"$project": {"lets": 1}}]""",
+    """[{"$addFields": {"red": {"$reduce": {"input": "$arr",
+         "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}},
+        {"$project": {"red": 1}}]""",
+    """[{"$addFields": {"rng": {"$range": [0, {"$min": ["$a", 3]}]}}},
+        {"$project": {"rng": 1}}]""",
+    """[{"$addFields": {"z": {"$zip": {"inputs": ["$arr", "$arr"]}}}},
+        {"$project": {"z": 1}}]""",
+    """[{"$addFields": {"ss": {"$substrCP": ["$s", 0, 3]},
+         "sp": {"$split": ["$s", " "]},
+         "ix": {"$indexOfCP": ["$s", "a"]}}},
+        {"$project": {"ss": 1, "sp": 1, "ix": 1}}]""",
+    """[{"$addFields": {"cc": {"$concatArrays": ["$arr", [100]]},
+         "rv": {"$reverseArray": "$arr"},
+         "in": {"$in": [2, "$arr"]}}},
+        {"$project": {"cc": 1, "rv": 1, "in": 1}}]""",
+    """[{"$addFields": {"t1": {"$trunc": [{"$divide": ["$b", 2]}, 1]},
+         "p": {"$pow": ["$a", 2]}, "sq": {"$sqrt": {"$abs": "$a"}}}},
+        {"$project": {"t1": 1, "p": 1,
+                      "sq": {"$round": ["$sq", 6]}}}]""",
+    """[{"$addFields": {"c": {"$convert": {"input": "$s", "to": "int",
+         "onError": -1}}}}, {"$project": {"c": 1}}]""",
+    """[{"$addFields": {"gf": {"$getField": {"field": "a"}},
+         "ty": {"$type": "$b"}}},
+        {"$project": {"gf": 1, "ty": 1}}]""",
+    """[{"$redact": {"$cond": [{"$gte": ["$a", 0]}, "$$KEEP", "$$PRUNE"]}},
+        {"$project": {"_id": 1}}]""",
+    """[{"$replaceRoot": {"newRoot": {"_id": "$_id",
+         "both": {"$concat": ["$s", "-", {"$toString": "$a"}]}}}}]""",
+    // more match breadth
+    """[{"$match": {"a": {"$in": [1, 3, 5]}}}, {"$project": {"_id": 1}}]""",
+    """[{"$match": {"a": {"$nin": [1, 3, 5]}}}, {"$project": {"_id": 1}}]""",
+    """[{"$match": {"arr": {"$elemMatch": {"$gte": 2, "$lt": 5}}}},
+        {"$project": {"_id": 1}}]""",
+    """[{"$match": {"s": {"$not": {"$regex": "a"}}}},
+        {"$project": {"_id": 1}}]""",
+    """[{"$match": {"a": {"$mod": [2, 1]}}}, {"$project": {"_id": 1}}]""",
+    // window family breadth
+    """[{"$setWindowFields": {"partitionBy": "$s", "sortBy": {"a": 1},
+          "output": {"rk": {"$rank": {}}, "dr": {"$denseRank": {}},
+                     "sh": {"$shift": {"output": "$a", "by": 1,
+                                       "default": -1}},
+                     "mn": {"$min": "$a"}, "pk": {"$push": "$a"}}}},
+        {"$project": {"rk": 1, "dr": 1, "sh": 1, "mn": 1, "pk": 1}}]""",
+    """[{"$addFields": {"v": {"$cond": [{"$eq": [{"$mod": ["$a", 2]}, 0]},
+          null, "$b"]}}},
+        {"$fill": {"sortBy": {"a": 1}, "output": {"v": {"method": "locf"}}}},
+        {"$project": {"v": 1}}]""",
+    """[{"$project": {"a": 1, "_id": 1}},
+        {"$densify": {"field": "a", "range": {"step": 2, "bounds": [-2, 6]}}}]""",
+    """[{"$addFields": {"sw": {"$setUnion": [["x"], {"$split": ["$s", " "]}]}}},
+        {"$project": {"sw": 1}}]""")
+
+  private val catalogPipelines = Seq(
+    """[{"$lookup": {"from": "dim", "localField": "a", "foreignField": "k",
+          "as": "m"}}, {"$project": {"m": 1, "a": 1}}]""",
+    """[{"$lookup": {"from": "dim", "localField": "a", "foreignField": "k",
+          "as": "m", "unwind": true}},
+        {"$project": {"nm": "$m.name", "a": 1}}]""",
+    """[{"$unionWith": {"coll": "dim", "pipeline": [
+          {"$project": {"_id": {"$toString": "$k"}, "a": "$nxt"}}]}},
+        {"$project": {"a": 1}}]""",
+    """[{"$graphLookup": {"from": "dim", "startWith": "$a",
+          "connectFromField": "nxt", "connectToField": "k",
+          "as": "chain", "maxDepth": 2, "depthField": "d"}},
+        {"$unwind": "$chain"},
+        {"$project": {"ck": "$chain.k", "d": "$chain.d"}}]""")
 
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)
+  }
+
+  test("typed and dynamic engines agree on catalog stages (lookup/union/graph)") {
+    catalogPipelines.foreach(agreeCat)
   }
 }
