@@ -278,7 +278,7 @@ object DynExpr {
     case "$replaceAll" | "$replaceOne" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "find"),
         compile(arg \ "replacement")))
-    case "$ltrim" | "$rtrim" =>
+    case "$trim" | "$ltrim" | "$rtrim" =>
       DFn(op, compile(arg \ "input") :: (arg \ "chars" match {
         case JNothing => Nil; case c => List(compile(c)) }))
     case "$sortArray" =>
@@ -382,6 +382,8 @@ object DynExpr {
         case "$exp"   => mathFn(args)(math.exp)
         case "$ln"    => mathFn(args)(math.log)
         case "$log10" => mathFn(args)(math.log10)
+        case "$log" => // log base b: [x, b]
+          mathFn(List(a(0)))(x => math.log(x) / math.log(a(1).doubleValue))
         case "$sin"   => mathFn(args)(math.sin)
         case "$cos"   => mathFn(args)(math.cos)
         case "$tan"   => mathFn(args)(math.tan)
@@ -454,7 +456,6 @@ object DynExpr {
               .foreach(p => out.add(text(p)))
             out
           }
-        case "$trim"  => text(a(0).textValue.trim)
         case "$indexOfCP" =>
           val i = a(0).textValue.indexOf(a(1).textValue)
           long(i.toLong)
@@ -466,6 +467,9 @@ object DynExpr {
         case "$lt"  => bool(compare(a(0), a(1)) < 0)
         case "$lte" => bool(compare(a(0), a(1)) <= 0)
         case "$cmp" => long(Integer.signum(compare(a(0), a(1))).toLong)
+        case "$strcasecmp" =>
+          long(Integer.signum(a(0).asText.toLowerCase
+            .compareTo(a(1).asText.toLowerCase)).toLong)
 
         case "$and" => bool(argOps.forall(op => truthy(op.eval(ctx))))
         case "$or"  => bool(argOps.exists(op => truthy(op.eval(ctx))))
@@ -829,15 +833,15 @@ object DynExpr {
             text(if (i < 0) s0
               else s0.substring(0, i) + repl.textValue + s0.substring(i + find.textValue.length))
           }
-        case "$ltrim" | "$rtrim" =>
+        case "$trim" | "$ltrim" | "$rtrim" =>
           val in = a(0)
           if (in.isNull || isMissing(in)) NULL
           else {
             val chars: Set[Char] =
               if (args.size > 1) args(1).textValue.toSet else " \t\n\r".toSet
             var str = in.textValue
-            if (name == "$ltrim") str = str.dropWhile(chars)
-            else str = str.reverse.dropWhile(chars).reverse
+            if (name != "$rtrim") str = str.dropWhile(chars)
+            if (name != "$ltrim") str = str.reverse.dropWhile(chars).reverse
             text(str)
           }
         case "$isArray"  => bool(a(0).isArray)

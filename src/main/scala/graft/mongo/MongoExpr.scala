@@ -196,6 +196,10 @@ object MongoExpr {
     case "$cmp" =>
       val List(a, b) = args(spec)
       when(a < b, -1).when(a > b, 1).otherwise(0)
+    case "$strcasecmp" =>
+      val List(a, b) = args(spec)
+      val (la, lb) = (lower(a), lower(b))
+      when(la < lb, -1).when(la > lb, 1).otherwise(0)
 
     // ---- boolean ----------------------------------------------------------
     case "$and" => args(spec).map(truthy).reduce(_ && _)
@@ -392,10 +396,30 @@ object MongoExpr {
     case "$arrayToObject" => // array of {k,v} docs -> map
       map_from_entries(transform(args(spec).head,
         e => struct(e.getField("k"), e.getField("v"))))
-    case "$objectToArray" => // map column -> [{k,v}]
-      transform(map_entries(args(spec).head),
-        e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
-    case "$mergeObjects" => map_concat(args(spec): _*) // map columns only (v1)
+    case "$objectToArray" => spec match {
+      // literal object: the entries come straight from the spec
+      case JObject(fields) if fields.nonEmpty && !fields.head._1.startsWith("$") =>
+        array(fields.map { case (k, v) =>
+          struct(lit(k).as("k"), compile(v).as("v")) }: _*)
+      case _ => // map column -> [{k,v}]
+        transform(map_entries(args(spec).head),
+          e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
+    }
+    case "$mergeObjects" =>
+      val argsJ = spec match { case JArray(xs) => xs; case single => List(single) }
+      def isLiteralDoc(v: JValue) = v match {
+        case JObject(fs) => fs.isEmpty || !fs.head._1.startsWith("$")
+        case _           => false
+      }
+      if (argsJ.nonEmpty && argsJ.forall(isLiteralDoc)) {
+        // literal objects: compile-time merge, later fields overwrite
+        val merged = argsJ.foldLeft(List.empty[(String, JValue)]) {
+          case (acc, JObject(fs)) => fs.foldLeft(acc) { case (m, (k, v)) =>
+            m.filterNot(_._1 == k) :+ (k -> v) }
+          case (acc, _) => acc
+        }
+        struct(merged.map { case (k, v) => compile(v).as(k) }: _*)
+      } else map_concat(args(spec): _*) // map columns
     case "$getField" =>
       spec match {
         case JString(f) => ctx.field(f)

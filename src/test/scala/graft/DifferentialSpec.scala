@@ -218,7 +218,66 @@ class DifferentialSpec extends SparkSpec {
     """[{"$project": {"a": 1, "_id": 1}},
         {"$densify": {"field": "a", "range": {"step": 2, "bounds": [-2, 6]}}}]""",
     """[{"$addFields": {"sw": {"$setUnion": [["x"], {"$split": ["$s", " "]}]}}},
-        {"$project": {"sw": 1}}]""")
+        {"$project": {"sw": 1}}]""",
+    // string family
+    """[{"$addFields": {"lo": {"$toLower": "$s"},
+         "tr": {"$trim": {"input": {"$concat": ["  ", "$s", " "]}}},
+         "lt": {"$ltrim": {"input": "$s", "chars": "Aa"}},
+         "cmp": {"$strcasecmp": ["$s", "alpha"]}}},
+        {"$project": {"lo": 1, "tr": 1, "lt": 1, "cmp": 1}}]""",
+    """[{"$addFields": {"b": {"$strLenBytes": "$s"},
+         "rf": {"$regexMatch": {"input": "$s", "regex": "a[lm]"}}}},
+        {"$project": {"b": 1, "rf": 1}}]""",
+    // set family
+    """[{"$addFields": {"si": {"$setIntersection": ["$arr", [2, 3, 4]]},
+         "sd": {"$setDifference": ["$arr", [1]]},
+         "sub": {"$setIsSubset": [[1], "$arr"]},
+         "any": {"$anyElementTrue": [[{"$gt": ["$a", 2]}, false]]}}},
+        {"$project": {"si": {"$sortArray": {"input": "$si", "sortBy": 1}},
+                      "sd": {"$sortArray": {"input": "$sd", "sortBy": 1}},
+                      "sub": 1, "any": 1}}]""",
+    // object family
+    """[{"$addFields": {"o2a": {"$objectToArray": {"p": "$a", "q": "$b"}}}},
+        {"$project": {"o2a": 1}}]""",
+    """[{"$addFields": {"a2o": {"$arrayToObject": [[{"k": "x", "v": "$a"},
+                                                    {"k": "y", "v": 2}]]}}},
+        {"$project": {"a2o": 1}}]""",
+    """[{"$addFields": {"mo": {"$mergeObjects": [{"x": 1, "y": 1},
+                                                 {"y": "$a"}]}}},
+        {"$project": {"mo": 1}}]""",
+    // type predicates / comparison
+    """[{"$addFields": {"isn": {"$isNumber": "$a"}, "isa": {"$isArray": "$arr"},
+         "cm": {"$cmp": ["$a", 3]}, "if0": {"$ifNull": [null, "$a", 9]}}},
+        {"$project": {"isn": 1, "isa": 1, "cm": 1, "if0": 1}}]""",
+    // numeric edge family
+    """[{"$addFields": {"c1": {"$ceil": "$b"}, "f1": {"$floor": "$b"},
+         "e1": {"$round": [{"$exp": {"$min": ["$a", 2]}}, 4]},
+         "l2": {"$round": [{"$log": [{"$add": [{"$abs": "$a"}, 1]}, 2]}, 4]}}},
+        {"$project": {"c1": 1, "f1": 1, "e1": 1, "l2": 1}}]""",
+    // window range frames + statistics
+    """[{"$setWindowFields": {"sortBy": {"a": 1},
+          "output": {"near": {"$sum": "$a", "window": {"range": [-2, 2]}},
+                     "sd": {"$stdDevPop": "$b"},
+                     "cv": {"$covariancePop": ["$a", "$b"]}}}},
+        {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
+                      "cv": {"$round": ["$cv", 6]}}}]""",
+    """[{"$setWindowFields": {"sortBy": {"a": 1},
+          "output": {"ema": {"$expMovingAvg": {"input": "$b", "alpha": 0.4}},
+                     "med": {"$median": {"input": "$a",
+                                         "method": "approximate"}}}}},
+        {"$project": {"ema": {"$round": ["$ema", 6]}, "med": 1}}]""",
+    // group: mergeObjects and sorted addToSet views
+    """[{"$group": {"_id": null, "ats": {"$addToSet": "$s"}}},
+        {"$project": {"ats": {"$sortArray": {"input": "$ats", "sortBy": 1}}}}]""",
+    """[{"$group": {"_id": {"$gt": ["$a", 2]}, "n": {"$sum": 1},
+                    "sumsq": {"$sum": {"$multiply": ["$a", "$a"]}}}}]""",
+    // deduplicate (expression form)
+    """[{"$deduplicate": {"expression": "$s"}}, {"$count": "n"}]""",
+    // getField/setField over computed objects
+    """[{"$addFields": {"obj": {"x": "$a"}}},
+        {"$addFields": {"sf": {"$setField": {"field": "y", "input": "$obj",
+                                             "value": 5}}}},
+        {"$project": {"sf": 1}}]""")
 
   private val catalogPipelines = Seq(
     """[{"$lookup": {"from": "dim", "localField": "a", "foreignField": "k",
