@@ -20,14 +20,18 @@ class DifferentialSpec extends SparkSpec {
   import spark.implicits._
 
   private val rows = Seq(
-    ("0", 1L, 1.5, "Alpha", Seq(1L, 2L, 3L)),
-    ("1", -2L, 2.5, "beta", Seq(4L)),
-    ("2", 3L, -0.5, "Gamma gamma", Seq.empty[Long]),
-    ("3", 4L, 0.0, "delta", Seq(7L, 8L)),
-    ("4", 5L, 12.25, "Alpha", Seq(9L)))
+    ("0", 1L, 1.5, "Alpha", Seq(1L, 2L, 3L), "2024-01-15T10:30:00Z"),
+    ("1", -2L, 2.5, "beta", Seq(4L), "2024-02-29T23:59:59Z"),
+    ("2", 3L, -0.5, "Gamma gamma", Seq.empty[Long], "2023-12-31T00:00:00Z"),
+    ("3", 4L, 0.0, "delta", Seq(7L, 8L), "2024-07-04T12:00:00Z"),
+    ("4", 5L, 12.25, "Alpha", Seq(9L), "2024-01-15T10:30:00Z"))
 
-  private lazy val typedDf: DataFrame =
-    rows.toDF("_id", "a", "b", "s", "arr").coalesce(1)
+  private lazy val typedDf: DataFrame = rows
+    .toDF("_id", "a", "b", "s", "arr", "d0")
+    // the typed engine sees a real timestamp column; the dynamic engine
+    // sees the ISO string (JSON has no date type) — same instants
+    .withColumn("d", to_timestamp(col("d0"))).drop("d0")
+    .withColumnRenamed("d", "d").coalesce(1)
   private lazy val dynDf: DataFrame = typedDf
     .select(to_json(struct(typedDf.columns.map(col): _*)).as("doc")).coalesce(1)
 
@@ -50,8 +54,16 @@ class DifferentialSpec extends SparkSpec {
         math.abs(v.doubleValue) < 9.007199254740992e15)
         DynJson.parse(v.doubleValue.toLong.toString)
       else v
+    case v if v.isTextual && isoTs.matches(v.textValue) =>
+      // engines render instants differently (trailing .000 etc.)
+      DynJson.text(java.time.Instant.parse(
+        if (v.textValue.endsWith("Z")) v.textValue else v.textValue + "Z")
+        .toString)
     case v => v
   }
+
+  private val isoTs =
+    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z?""".r
 
   private def typedOut(pipeline: String): Set[JsonNode] =
     new Pipeline().run(typedDf, pipeline).toJSON.collect()
@@ -277,7 +289,26 @@ class DifferentialSpec extends SparkSpec {
     """[{"$addFields": {"obj": {"x": "$a"}}},
         {"$addFields": {"sf": {"$setField": {"field": "y", "input": "$obj",
                                              "value": 5}}}},
-        {"$project": {"sf": 1}}]""")
+        {"$project": {"sf": 1}}]""",
+    // date family (typed sees a timestamp column, dynamic the ISO string)
+    """[{"$addFields": {"y": {"$year": "$d"}, "m": {"$month": "$d"},
+         "dd": {"$dayOfMonth": "$d"}, "dw": {"$dayOfWeek": "$d"},
+         "iw": {"$isoWeek": "$d"}, "hh": {"$hour": "$d"}}},
+        {"$project": {"y": 1, "m": 1, "dd": 1, "dw": 1, "iw": 1, "hh": 1}}]""",
+    """[{"$addFields": {"ds": {"$dateToString": {"date": "$d",
+         "format": "%Y-%m-%d %H:%M"}}}},
+        {"$project": {"ds": 1}}]""",
+    """[{"$addFields": {"plus": {"$dateAdd": {"startDate": "$d",
+         "unit": "day", "amount": 10}},
+         "minus": {"$dateSubtract": {"startDate": "$d",
+         "unit": "hour", "amount": 5}}}},
+        {"$project": {"plus": 1, "minus": 1}}]""",
+    """[{"$addFields": {"age": {"$dateDiff": {"startDate": "$d",
+         "endDate": "2024-12-31T00:00:00Z", "unit": "day"}}}},
+        {"$project": {"age": 1}}]""",
+    """[{"$match": {"$expr": {"$gte": ["$d",
+          {"$dateFromString": {"dateString": "2024-01-01T00:00:00Z"}}]}}},
+        {"$project": {"_id": 1}}]""")
 
   private val catalogPipelines = Seq(
     """[{"$lookup": {"from": "dim", "localField": "a", "foreignField": "k",
