@@ -539,7 +539,8 @@ private[graft] object Stages {
   }
 
   def accumulator(op: String, spec: JValue)(implicit ctx: ExprCtx): Column = op match {
-    case "$sum"   => sum(cexpr(spec))
+    case "$sum"   => // all-null group -> 0, like Mongo (not SQL null)
+      coalesce(sum(cexpr(spec)), lit(0))
     case "$avg"   => avg(cexpr(spec))
     case "$count" =>
       require(spec == JObject(Nil), "$count accumulator takes {}") // Group.java:209-217

@@ -428,9 +428,13 @@ object DynExpr {
           else text(args.map(_.textValue).mkString)
         case "$toUpper" => if (a(0).isNull || isMissing(a(0))) text("") else text(a(0).textValue.toUpperCase)
         case "$toLower" => if (a(0).isNull || isMissing(a(0))) text("") else text(a(0).textValue.toLowerCase)
-        case "$strLenCP" => long(a(0).textValue.codePointCount(0, a(0).textValue.length).toLong)
-        case "$strLenBytes" => long(a(0).textValue
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+        case "$strLenCP" => // null/missing -> null, like the typed Columns
+          if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
+          else long(a(0).textValue.codePointCount(0, a(0).textValue.length).toLong)
+        case "$strLenBytes" =>
+          if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
+          else long(a(0).textValue
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
         case "$bitAnd" | "$bitOr" | "$bitXor" =>
           if (args.exists(x => x.isNull || isMissing(x))) NULL
           else long(args.map(_.longValue).reduce((x, y) => name match {
@@ -441,6 +445,7 @@ object DynExpr {
         case "$bitNot" =>
           if (a(0).isNull || isMissing(a(0))) NULL else long(~a(0).longValue)
         case "$substrCP" =>
+          if (a(0) == null || a(0).isNull || isMissing(a(0))) return NULL
           val s = a(0).textValue
           val start = a(1).intValue
           val len = a(2).intValue
@@ -457,8 +462,8 @@ object DynExpr {
             out
           }
         case "$indexOfCP" =>
-          val i = a(0).textValue.indexOf(a(1).textValue)
-          long(i.toLong)
+          if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
+          else long(a(0).textValue.indexOf(a(1).textValue).toLong)
 
         case "$eq"  => bool(deepEq(a(0), a(1)))
         case "$ne"  => bool(!deepEq(a(0), a(1)))
@@ -551,6 +556,8 @@ object DynExpr {
         case "$size" =>
           a(0) match {
             case ar: ArrayNode => long(ar.size.toLong)
+            case n if n == null || n.isNull || isMissing(n) => NULL // typed
+            // engine convention: absent input -> null, not an error
             case other => throw new IllegalArgumentException(s"$$size of ${typeName(other)}")
           }
         case "$arrayElemAt" =>
@@ -593,6 +600,8 @@ object DynExpr {
         case "$in" =>
           a(1) match {
             case ar: ArrayNode => bool(ar.asScala.exists(deepEq(_, a(0))))
+            case n if n == null || n.isNull || isMissing(n) => NULL // typed
+            // engine convention: absent input -> null, not an error
             case _ => throw new IllegalArgumentException("$in needs an array")
           }
         case "$range" =>

@@ -1800,7 +1800,11 @@ object DynPipeline {
             val v = o.input.get.eval(dctx)
             if (v == null || v.isNull || isMissing(v)) { vals += null; vals += null }
             else { vals += sortableKey(v); vals += canonical(v) }
-          case "$push" | "$first" | "$last" | "$shift" =>
+          case "$push" => // MISSING contributes nothing (SQL-null slot is
+            // dropped by collect_list); explicit null IS pushed
+            val v = o.input.get.eval(dctx)
+            vals += (if (v == null || isMissing(v)) null else canonical(v))
+          case "$first" | "$last" | "$shift" =>
             val v = o.input.get.eval(dctx)
             vals += (if (v == null || isMissing(v)) "null" else canonical(v))
           case "$locf" => // SQL-null when absent so last(ignoreNulls) skips it

@@ -182,15 +182,16 @@ case class DynGroupAgg(
       }
     case "$first" => if (isMissing(cur)) DynJson.copy(missingToNull(value)) else cur
     case "$last"  => DynJson.copy(missingToNull(value))
-    case "$push" =>
+    case "$push" => // MISSING contributes nothing; explicit null IS pushed
       val a = if (isMissing(cur)) arr() else cur.asInstanceOf[ArrayNode]
-      a.add(DynJson.copy(missingToNull(value)))
+      if (!isMissing(value)) a.add(DynJson.copy(value))
       a
     case "$addToSet" =>
-      // buffer = array of elements; dedupe on Mongo equality at insert
+      // buffer = array of elements; dedupe on Mongo equality at insert.
+      // MISSING contributes nothing; explicit null IS an element
       val a = if (isMissing(cur)) arr() else cur.asInstanceOf[ArrayNode]
-      val v = missingToNull(value)
-      if (!a.asScala.exists(deepEq(_, v))) a.add(DynJson.copy(v))
+      if (!isMissing(value) && !a.asScala.exists(deepEq(_, value)))
+        a.add(DynJson.copy(value))
       a
     case "$mergeObjects" =>
       val o = if (isMissing(cur)) obj() else cur.asInstanceOf[ObjectNode]

@@ -42,6 +42,17 @@ object MongoExpr {
   /** Mongo truthiness: null/missing/0/false ⇒ false, else true. */
   def truthy(c: Column): Column = coalesce(c.cast(BooleanType), lit(false))
 
+  /** Mongo comparison: the BSON total order puts the null bracket BELOW
+    * every value ({$lt: [null, 0]} is true); within a bracket the ordinary
+    * ordering applies. Cross-NONNULL-bracket comparisons don't arise in the
+    * typed engine (a column has one static type); heterogeneous data is the
+    * dynamic engine's job (DynJson.compare). */
+  def mongoCmp(a: Column, b: Column): Column =
+    when(a.isNull && b.isNull, 0)
+      .when(a.isNull, -1)
+      .when(b.isNull, 1)
+      .when(a < b, -1).when(a > b, 1).otherwise(0)
+
   def literal(v: JValue): Column = v match {
     case JString(s)  => lit(s)
     case JInt(i)     => if (i.isValidInt) lit(i.toInt) else lit(i.toLong)
@@ -189,16 +200,15 @@ object MongoExpr {
     // ---- comparison -------------------------------------------------------
     case "$eq"  => val List(a, b) = args(spec); a <=> b
     case "$ne"  => val List(a, b) = args(spec); !(a <=> b)
-    case "$gt"  => val List(a, b) = args(spec); a > b
-    case "$gte" => val List(a, b) = args(spec); a >= b
-    case "$lt"  => val List(a, b) = args(spec); a < b
-    case "$lte" => val List(a, b) = args(spec); a <= b
-    case "$cmp" =>
-      val List(a, b) = args(spec)
-      when(a < b, -1).when(a > b, 1).otherwise(0)
+    case "$gt"  => val List(a, b) = args(spec); mongoCmp(a, b) > 0
+    case "$gte" => val List(a, b) = args(spec); mongoCmp(a, b) >= 0
+    case "$lt"  => val List(a, b) = args(spec); mongoCmp(a, b) < 0
+    case "$lte" => val List(a, b) = args(spec); mongoCmp(a, b) <= 0
+    case "$cmp" => val List(a, b) = args(spec); mongoCmp(a, b)
     case "$strcasecmp" =>
       val List(a, b) = args(spec)
-      val (la, lb) = (lower(a), lower(b))
+      // null/missing compares as "" (Mongo's string-coercion rule)
+      val (la, lb) = (coalesce(lower(a), lit("")), coalesce(lower(b), lit("")))
       when(la < lb, -1).when(la > lb, 1).otherwise(0)
 
     // ---- boolean ----------------------------------------------------------
@@ -229,8 +239,9 @@ object MongoExpr {
 
     // ---- string -----------------------------------------------------------
     case "$concat"   => concat(args(spec): _*)
-    case "$toLower"  => lower(args(spec).head)
-    case "$toUpper"  => upper(args(spec).head)
+    // null resolves to "" in Mongo's case ops (not SQL null)
+    case "$toLower"  => coalesce(lower(args(spec).head), lit(""))
+    case "$toUpper"  => coalesce(upper(args(spec).head), lit(""))
     case "$strLenCP" => length(args(spec).head)
     case "$strLenBytes" => octet_length(args(spec).head)
     // variadic bitwise (Mongo 6.3+); integers only, like the server
@@ -252,8 +263,9 @@ object MongoExpr {
         case List(s, sub, start) => locate_dyn(sub, s, start + 1) - 1
         case _ => throw new IllegalArgumentException("$indexOfCP arity")
       }
-    case "$regexMatch" =>
-      compile(field(spec, "input")).rlike(str(field(spec, "regex")))
+    case "$regexMatch" => // null/missing input -> false, like Mongo
+      coalesce(compile(field(spec, "input"))
+        .rlike(str(field(spec, "regex"))), lit(false))
     case "$regexFind" => // deviation: returns the matched string, not a doc
       val m = regexp_extract(compile(field(spec, "input")), str(field(spec, "regex")), 0)
       when(m === "", lit(null)).otherwise(m)
@@ -278,7 +290,9 @@ object MongoExpr {
     case "$arrayElemAt" =>
       val List(arr, idx) = args(spec)
       element_at(arr, when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
-    case "$size" => size(args(spec).head)
+    case "$size" => // null -> null (Spark's legacy size(null) is -1)
+      val c = args(spec).head
+      when(c.isNotNull, size(c))
     case "$slice" =>
       args(spec) match {
         case List(arr, n) =>
@@ -353,8 +367,9 @@ object MongoExpr {
     case "$zip" =>
       val JArray(List(a, b)) = (field(spec, "inputs"): @unchecked)
       zip_with(compile(a), compile(b), (x, y) => array(x, y))
-    case "$isArray" =>
-      args(spec).headOption.map(c => call_function("typeof", c).startsWith("array"))
+    case "$isArray" => // typeof is static: a NULL value is not an array
+      args(spec).headOption.map(c =>
+        c.isNotNull && call_function("typeof", c).startsWith("array"))
         .getOrElse(lit(false))
     case "$first" => element_at(args(spec).head, 1)
     case "$last"  => element_at(args(spec).head, -1)
@@ -397,10 +412,13 @@ object MongoExpr {
       map_from_entries(transform(args(spec).head,
         e => struct(e.getField("k"), e.getField("v"))))
     case "$objectToArray" => spec match {
-      // literal object: the entries come straight from the spec
+      // literal object: the entries come straight from the spec; a null
+      // value means the field was dropped by the object constructor
+      // (typed null ≈ missing), so its entry is filtered out
       case JObject(fields) if fields.nonEmpty && !fields.head._1.startsWith("$") =>
-        array(fields.map { case (k, v) =>
-          struct(lit(k).as("k"), compile(v).as("v")) }: _*)
+        filter(array(fields.map { case (k, v) =>
+          struct(lit(k).as("k"), compile(v).as("v")) }: _*),
+          e => e.getField("v").isNotNull)
       case _ => // map column -> [{k,v}]
         transform(map_entries(args(spec).head),
           e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
@@ -412,13 +430,17 @@ object MongoExpr {
         case _           => false
       }
       if (argsJ.nonEmpty && argsJ.forall(isLiteralDoc)) {
-        // literal objects: compile-time merge, later fields overwrite
-        val merged = argsJ.foldLeft(List.empty[(String, JValue)]) {
-          case (acc, JObject(fs)) => fs.foldLeft(acc) { case (m, (k, v)) =>
-            m.filterNot(_._1 == k) :+ (k -> v) }
-          case (acc, _) => acc
-        }
-        struct(merged.map { case (k, v) => compile(v).as(k) }: _*)
+        // literal objects: field order = first appearance; a later value
+        // overwrites only when non-null (a null expression means the field
+        // dropped out of that object — typed null ≈ missing)
+        val keys = argsJ.flatMap { case JObject(fs) => fs.map(_._1); case _ => Nil }.distinct
+        struct(keys.map { k =>
+          val occurrences = argsJ.flatMap {
+            case JObject(fs) => fs.collect { case (`k`, v) => compile(v) }
+            case _           => Nil
+          }
+          coalesce(occurrences.reverse: _*).as(k)
+        }: _*)
       } else map_concat(args(spec): _*) // map columns
     case "$getField" =>
       spec match {
@@ -450,17 +472,23 @@ object MongoExpr {
         case "string" => StringType; case "date" => TimestampType
         case other => throw new IllegalArgumentException(s"$$convert to $other")
       }
-      // deviation: with ANSI off a failed cast and a null input both surface
-      // as null, so onError/onNull are a single coalesce fallback
+      // Mongo routing: NULL input -> onNull (else null); a FAILED cast ->
+      // onError (else null — with ANSI off a bad cast surfaces as null)
       val conv = in.cast(to)
-      val fallback = opt(field(spec, "onError")).orElse(opt(field(spec, "onNull")))
-      fallback.map(d => coalesce(conv, compile(d))).getOrElse(conv)
-    case "$isNumber" =>
-      call_function("typeof", args(spec).head)
+      val onNull = opt(field(spec, "onNull")).map(compile(_))
+        .getOrElse(lit(null))
+      val onError = opt(field(spec, "onError")).map(d => coalesce(conv, compile(d)))
+        .getOrElse(conv)
+      when(in.isNull, onNull).otherwise(onError)
+    case "$isNumber" => // typeof is static: a NULL value is not a number
+      val in = args(spec).head
+      in.isNotNull && call_function("typeof", in)
         .isin("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
     case "$type" =>
-      val t = call_function("typeof", args(spec).head)
-      when(t === "int", "int").when(t === "bigint", "long")
+      val in = args(spec).head
+      val t = call_function("typeof", in)
+      when(in.isNull, "null") // a null VALUE types as "null", not its column
+        .when(t === "int", "int").when(t === "bigint", "long")
         .when(t === "double" || t === "float", "double")
         .when(t === "string", "string").when(t === "boolean", "bool")
         .when(t.startsWith("array"), "array")

