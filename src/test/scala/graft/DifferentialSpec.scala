@@ -229,6 +229,11 @@ class DifferentialSpec extends SparkSpec {
     """[{"$match": {"s": {"$not": {"$regex": "a"}}}},
         {"$project": {"_id": 1}}]""",
     """[{"$match": {"a": {"$mod": [2, 1]}}}, {"$project": {"_id": 1}}]""",
+    // {f: null} matches null AND missing (Mongo's rule); $exists over nulls
+    """[{"$match": {"s": null}}, {"$project": {"_id": 1}}]""",
+    """[{"$match": {"s": {"$exists": false}}}, {"$project": {"_id": 1}}]""",
+    """[{"$match": {"s": {"$ne": null}}}, {"$project": {"_id": 1}}]""",
+    """[{"$match": {"a": {"$lt": 100}}}, {"$project": {"_id": 1}}]""",
     // window family breadth
     """[{"$setWindowFields": {"partitionBy": "$s", "sortBy": {"a": 1},
           "output": {"rk": {"$rank": {}}, "dr": {"$denseRank": {}},
