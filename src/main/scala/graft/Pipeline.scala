@@ -1440,6 +1440,16 @@ private[graft] object Stages {
           val x = sortAxis(unit)
           val area = (x - lag(x, 1).over(ordered)) *
             (v + lag(v, 1).over(ordered)) / 2d
+          if (rangeFrame.isDefined) {
+            // range frame: in-frame rows are contiguous on the sort axis, so
+            // the integral over in-frame points is the frame's area sum minus
+            // the entering edge (the one area spanning a point OUTSIDE the
+            // frame). `framed` already carries the range bounds (scaled by
+            // the window's own unit); under a reversed (shrinking) frame the
+            // entering edge in sort order is the frame's LAST row.
+            val entering = (if (reversed) last(area) else first(area)).over(framed)
+            coalesce(sum(area).over(framed) - coalesce(entering, lit(0d)), lit(0d))
+          } else {
           val (lo, hi) = docFrame.getOrElse(
             (Window.unboundedPreceding, Window.unboundedFollowing))
           val loShift = if (lo == Window.unboundedPreceding) lo else lo + 1
@@ -1452,6 +1462,7 @@ private[graft] object Stages {
               Window.unboundedPreceding, -loShift)), lit(0d))
           else coalesce(
             sum(area).over(ordered.rowsBetween(loShift, hi)), lit(0d))
+          }
         case "$expMovingAvg" =>
           // EMA_i = α·x_i + (1-α)·EMA_{i-1}; null inputs carry the previous
           // EMA forward (Mongo's rule). Incremental custom aggregate over

@@ -2165,8 +2165,8 @@ object SparkEntry {
          SELECT event_id,
                 round((last_value(value) OVER w - first_value(value) OVER w)
                       / nullif(last_value(x) OVER w - first_value(x) OVER w, 0),
-                      4) AS slope,
-                round(coalesce(sum(ar) OVER wcum, 0), 2) AS area
+                      4) + 0 AS slope,
+                round(coalesce(sum(ar) OVER wcum, 0), 2) + 0 AS area
          FROM a
          WINDOW
            w AS (PARTITION BY event_type ORDER BY ts

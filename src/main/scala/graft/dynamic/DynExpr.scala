@@ -341,6 +341,15 @@ object DynExpr {
         case other => throw new IllegalArgumentException(s"math op on ${typeName(other)}")
       }
 
+    /** Two-arg math: a null/missing SECOND operand yields null too (Mongo),
+      * and a non-numeric one is a hard error — never fed to doubleValue. */
+    private def math2(name: String, x: JsonNode, y: JsonNode)(
+        f: (Double, Double) => Double): JsonNode =
+      if (y == null || y.isNull || isMissing(y)) NULL
+      else if (!y.isNumber)
+        throw new IllegalArgumentException(s"$name operand on ${typeName(y)}")
+      else mathFn(List(x))(f(_, y.doubleValue))
+
     private[dynamic] def toInstant(n: JsonNode): Option[java.time.Instant] =
       if (n == null || n.isNull || isMissing(n)) None
       else if (n.isIntegralNumber) Some(java.time.Instant.ofEpochMilli(n.longValue))
@@ -377,20 +386,20 @@ object DynExpr {
             case n if n.isNumber               => double(math.abs(n.doubleValue))
             case other => throw new IllegalArgumentException(s"$$abs on ${typeName(other)}")
           }
-        case "$pow"   => mathFn(List(a(0)))(x => math.pow(x, a(1).doubleValue))
+        case "$pow"   => math2("$pow", a(0), a(1))(math.pow)
         case "$sqrt"  => mathFn(args)(math.sqrt)
         case "$exp"   => mathFn(args)(math.exp)
         case "$ln"    => mathFn(args)(math.log)
         case "$log10" => mathFn(args)(math.log10)
         case "$log" => // log base b: [x, b]
-          mathFn(List(a(0)))(x => math.log(x) / math.log(a(1).doubleValue))
+          math2("$log", a(0), a(1))((x, b) => math.log(x) / math.log(b))
         case "$sin"   => mathFn(args)(math.sin)
         case "$cos"   => mathFn(args)(math.cos)
         case "$tan"   => mathFn(args)(math.tan)
         case "$asin"  => mathFn(args)(math.asin)
         case "$acos"  => mathFn(args)(math.acos)
         case "$atan"  => mathFn(args)(math.atan)
-        case "$atan2" => mathFn(List(a(0)))(y => math.atan2(y, a(1).doubleValue))
+        case "$atan2" => math2("$atan2", a(0), a(1))(math.atan2)
         case "$sinh"  => mathFn(args)(math.sinh)
         case "$cosh"  => mathFn(args)(math.cosh)
         case "$tanh"  => mathFn(args)(math.tanh)

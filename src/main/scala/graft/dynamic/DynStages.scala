@@ -72,11 +72,33 @@ object DynPipeline {
 
   def run(df: DataFrame, pipeline: JValue): DataFrame = run(df, pipeline, DynCtx())
 
+  // stages that plant hidden score fields read back by {"$meta": ...}
+  private val scoreStages = Set("$vectorSearch", "$search", "$rankFusion")
+  // stages that materialize documents outside the pipeline — hidden score
+  // fields must not leak into their payloads
+  private val sinkStages =
+    Set("$merge", "$out", "$delete", "$send", "$per", "$delay", "$probe")
+  private val hiddenScoreFields = List("__vsScore", "__searchScore", "__score")
+
+  /** Remove the hidden `__*Score` fields: they are visible to `$meta` WITHIN
+    * the pipeline but must not leak into sink payloads or the final output
+    * (the typed engine strips back to the original columns the same way). */
+  private val stripScores: DocFn = { case (k, d) =>
+    val stripped =
+      if (d.isObject && hiddenScoreFields.exists(d.asInstanceOf[ObjectNode].has)) {
+        val c = d.deepCopy[ObjectNode]()
+        hiddenScoreFields.foreach(c.remove)
+        c
+      } else d
+    Iterator.single((k, stripped))
+  }
+
   def run(df: DataFrame, pipeline: JValue, ctx: DynCtx): DataFrame = pipeline match {
     case JArray(stages) =>
       var cur = normalize(df)
       var pending = List.newBuilder[DocFn]
       var pendingN = 0
+      var scored = false // a score stage ran and its hidden fields may linger
       def flush(): Unit = {
         val fns = pending.result()
         if (fns.nonEmpty) { cur = applyFused(cur, fns); pending = List.newBuilder[DocFn]; pendingN = 0 }
@@ -89,11 +111,14 @@ object DynPipeline {
           } else compileDocStage(name, spec) match {
             case Some(fn) => pending += fn; pendingN += 1
             case None =>
+              if (scored && sinkStages(name)) { pending += stripScores; scored = false }
               flush()
               cur = applyBarrier(cur, name, spec, ctx)
+              if (scoreStages(name)) scored = true
           }
         case other => throw new IllegalArgumentException(s"bad stage: $other")
       }
+      if (scored) pending += stripScores
       flush()
       cur
     case other => throw new IllegalArgumentException(s"pipeline must be an array: $other")
@@ -233,7 +258,23 @@ object DynPipeline {
       case JObject(fs) => fs
       case other => throw new IllegalArgumentException(s"$$project: $other")
     }
-    def isExclude(v: JValue): Boolean = v == JInt(0) || v == JBool(false)
+    // Mongo: ANY number (int/long/double) is a plain include/exclude flag —
+    // 0/0.0/false excludes, every other number and true includes; only
+    // strings/objects/arrays are computed expressions
+    def isExclude(v: JValue): Boolean = v match {
+      case JBool(b)   => !b
+      case JInt(i)    => i == 0
+      case JLong(l)   => l == 0L
+      case JDouble(d) => d == 0d
+      case _          => false
+    }
+    def isPlainInclude(v: JValue): Boolean = v match {
+      case JBool(b)   => b
+      case JInt(i)    => i != 0
+      case JLong(l)   => l != 0L
+      case JDouble(d) => d != 0d
+      case _          => false
+    }
     // ANY included field (incl. a bare {"_id": 1}) makes this an inclusion
     // projection; only an all-exclusion spec means exclusion mode
     val inclusionMode = fields.exists { case (_, v) => !isExclude(v) }
@@ -242,16 +283,14 @@ object DynPipeline {
       val idExcluded = fields.exists { case (k, v) => k == "_id" && isExclude(v) }
       // a COMPUTED _id ({"_id": <expr>}) projects like any computed field
       val idComputed: Option[DynExpr.DOp] = fields.collectFirst {
-        case ("_id", v) if !isExclude(v) && v != JInt(1) && v != JBool(true) =>
+        case ("_id", v) if !isExclude(v) && !isPlainInclude(v) =>
           DynExpr.compile(v)
       }
       val incl: List[(List[String], Option[DynExpr.DOp])] = fields.collect {
         case (k, v) if k != "_id" && !isExclude(v) =>
           val segs = k.split('.').toList
-          v match {
-            case JInt(_) | JBool(true) => (segs, None) // include as-is
-            case expr                  => (segs, Some(DynExpr.compile(expr)))
-          }
+          if (isPlainInclude(v)) (segs, None) // include as-is
+          else (segs, Some(DynExpr.compile(v)))
       }
       msg => {
         val (k, doc0) = msg
@@ -1779,10 +1818,19 @@ object DynPipeline {
       }})
     def numOrNull(v: JsonNode): Any =
       if (v != null && v.isNumber) v.doubleValue else null
+    // `unit` (on the op or its range window) is only legal for a DATE sort
+    // axis — Mongo errors on a numeric sortBy with a unit, and the typed
+    // engine's sortAxis carries the same require; silently rescaling a
+    // numeric axis would diverge between the engines
+    val unitRequested = outs.exists(o => o.unit.nonEmpty || o.runit.nonEmpty)
     // the numeric sort axis: numbers as-is, dates as epoch millis
     def axisOf(v: JsonNode): Any =
       if (v == null || v.isNull || isMissing(v)) null
-      else if (v.isNumber) v.doubleValue
+      else if (v.isNumber) {
+        if (unitRequested) throw new IllegalArgumentException(
+          "window unit is only valid for a date sortBy field")
+        v.doubleValue
+      }
       else DynExpr.parseInstant(v).map(_.toEpochMilli.toDouble).orNull
     val extracted = normalize(df).as(tuple2Enc).mapPartitions { it =>
       it.map { case (k, s) =>
@@ -1942,6 +1990,15 @@ object DynPipeline {
           val v = col(s"__v$i")
           val area = (x - lag(x, 1).over(ordered)) *
             (v + lag(v, 1).over(ordered)) / 2d
+          if (o.rangeFrame.isDefined) {
+            // range frame: in-frame rows are contiguous on the axis, so the
+            // in-frame integral is the frame's area sum minus the entering
+            // edge (the one area spanning a point outside the frame); under
+            // a reversed frame the entering edge is the frame's LAST row
+            val (f, rev) = framedRev(o)
+            val entering = (if (rev) last(area) else first(area)).over(f)
+            coalesce(sum(area).over(f) - coalesce(entering, lit(0d)), lit(0d))
+          } else {
           val (lo, hi) = o.frame.getOrElse((Long.MinValue, Long.MaxValue))
           val loShift = if (lo == Long.MinValue) Window.unboundedPreceding else lo + 1
           val h = if (hi == Long.MaxValue) Window.unboundedFollowing else hi
@@ -1953,6 +2010,7 @@ object DynPipeline {
             coalesce(sum(area).over(orderedRev.rowsBetween(
               Window.unboundedPreceding, -loShift)), lit(0d))
           else coalesce(sum(area).over(ordered.rowsBetween(loShift, h)), lit(0d))
+          }
         case "$linearFill" =>
           val v = col(s"__v$i")
           val x = col("__x")

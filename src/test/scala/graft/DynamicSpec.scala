@@ -287,6 +287,18 @@ class DynamicSpec extends SparkSpec {
       "{}") == DynJson.long(6))
   }
 
+  test("DynExpr: two-arg math null/missing second operand yields null, non-numeric throws") {
+    // a null/missing base must yield null, NOT -Infinity/-0.0 garbage
+    assert(evalExpr("""{"$log": [8, "$nope"]}""", "{}").isNull)
+    assert(evalExpr("""{"$log": [8, null]}""", "{}").isNull)
+    assert(evalExpr("""{"$pow": [2, "$nope"]}""", "{}").isNull)
+    assert(evalExpr("""{"$atan2": [1, null]}""", "{}").isNull)
+    assert(evalExpr("""{"$log": [8, 2]}""", "{}") == DynJson.double(3.0))
+    intercept[IllegalArgumentException] {
+      evalExpr("""{"$log": [8, "two"]}""", "{}")
+    }
+  }
+
   test("DynExpr: date family on ISO strings and epoch millis") {
     def ev(spec: String, doc: String) =
       DynExpr.compile(org.json4s.jackson.JsonMethods.parse(spec))
@@ -567,6 +579,64 @@ class DynamicSpec extends SparkSpec {
               "sd":8.164966,"cv":10.0,"rsum":10,"set":[0,1]}"""),
       node("""{"_id":"3","slope":null,"area":5.0,"fill":20.0,"ema":12.5,
               "sd":8.164966,"cv":10.0,"rsum":20,"set":[0,1]}""")))
+  }
+
+  test("dynamic $setWindowFields: range-window $integral matches the typed engine") {
+    val input = docs(
+      """{"_id":"0","x":0,"v":0}""", """{"_id":"1","x":1,"v":2}""",
+      """{"_id":"2","x":2,"v":4}""", """{"_id":"3","x":4,"v":8}""",
+      """{"_id":"4","x":7,"v":14}""")
+    val out = outDocs(run(input,
+      """[{"$setWindowFields": {"sortBy": {"x": 1},
+            "output": {
+              "back": {"$integral": {"input": "$v"},
+                       "window": {"range": [-2, "current"]}},
+              "fwd":  {"$integral": {"input": "$v"},
+                       "window": {"range": ["current", "unbounded"]}}}}},
+          {"$project": {"back": 1, "fwd": 1}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","back":0.0,"fwd":49.0}"""),
+      node("""{"_id":"1","back":1.0,"fwd":48.0}"""),
+      node("""{"_id":"2","back":4.0,"fwd":45.0}"""),
+      node("""{"_id":"3","back":12.0,"fwd":33.0}"""),
+      node("""{"_id":"4","back":0.0,"fwd":0.0}""")))
+  }
+
+  test("dynamic window calculus: `unit` on a NUMERIC sort axis is rejected") {
+    val input = docs("""{"_id":"0","x":1,"v":2}""", """{"_id":"1","x":2,"v":3}""")
+    val ex = intercept[Exception] {
+      run(input,
+        """[{"$setWindowFields": {"sortBy": {"x": 1},
+              "output": {"d": {"$derivative": {"input": "$v", "unit": "second"}}}}}]""")
+        .collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("only valid for a date"))))
+  }
+
+  test("dynamic $project: any truthy number is plain inclusion, incl. _id") {
+    val input = docs("""{"_id":"7","a":1,"b":2}""")
+    // {"_id": 2} / {"a": 1.0} are inclusion flags, NOT computed literals
+    assert(outDocs(run(input, """[{"$project": {"_id": 2, "a": 1.0}}]""")) ==
+      Set(node("""{"_id":"7","a":1}""")))
+    // 0.0 excludes like 0
+    assert(outDocs(run(input, """[{"$project": {"_id": 0.0, "b": true}}]""")) ==
+      Set(node("""{"b":2}""")))
+  }
+
+  test("dynamic hidden search scores are stripped from the final output") {
+    val input = docs(
+      """{"_id":"0","emb":[1.0,0.0],"t":"alpha"}""",
+      """{"_id":"1","emb":[0.0,1.0],"t":"beta"}""")
+    // pipeline ends right after $vectorSearch — __vsScore must NOT leak
+    val out = outDocs(run(input,
+      """[{"$vectorSearch": {"path": "emb", "queryVector": [1.0, 0.0],
+             "limit": 2}}]"""))
+    assert(out == Set(
+      node("""{"_id":"0","emb":[1.0,0.0],"t":"alpha"}"""),
+      node("""{"_id":"1","emb":[0.0,1.0],"t":"beta"}""")))
   }
 
   test("dynamic $setWindowFields: integral sums stay integers; push keeps frame order") {

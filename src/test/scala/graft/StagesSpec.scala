@@ -511,6 +511,30 @@ class StagesSpec extends SparkSpec {
     assert(d("rsum") == List(Some(0.0), Some(10.0), Some(10.0), Some(20.0)))
   }
 
+  test("$setWindowFields: range-window $integral integrates only in-frame points") {
+    // x: 0,1,2,4,7 with v = 2x; consecutive trapezoid areas 1, 3, 12, 33
+    val df = Seq(("0", 0.0, 0.0), ("1", 1.0, 2.0), ("2", 2.0, 4.0),
+      ("3", 4.0, 8.0), ("4", 7.0, 14.0)).toDF("_id", "x", "v")
+    val out = pipeline.run(df,
+      """[{"$setWindowFields": {"sortBy": {"x": 1},
+            "output": {
+              "back": {"$integral": {"input": "$v"},
+                       "window": {"range": [-2, "current"]}},
+              "fwd":  {"$integral": {"input": "$v"},
+                       "window": {"range": ["current", "unbounded"]}},
+              "cum":  {"$integral": {"input": "$v"},
+                       "window": {"range": ["unbounded", "current"]}}}}}]""")
+      .orderBy("x")
+    def d(n: String) = out.select(n).collect().map(_.getDouble(0)).toList
+    // back: trapezoids whose BOTH endpoints fall in x ∈ [x_i - 2, x_i] —
+    // the entering edge (spanning a point outside the frame) is excluded
+    assert(d("back") == List(0.0, 1.0, 4.0, 12.0, 0.0))
+    // fwd: x ∈ [x_i, ∞) — the shrinking frame rides the reversed sort order
+    assert(d("fwd") == List(49.0, 48.0, 45.0, 33.0, 0.0))
+    // cumulative range frame equals the cumulative documents integral
+    assert(d("cum") == List(0.0, 1.0, 4.0, 16.0, 49.0))
+  }
+
   test("$fill linear interpolates on the sort field between bracketing points") {
     val df = Seq(("0", 0L, Some(0.0)), ("1", 2L, None), ("2", 3L, None),
       ("3", 4L, Some(8.0)), ("4", 6L, None))
