@@ -901,23 +901,33 @@ private[graft] object Stages {
     var found: DataFrame = null   // (__start, __h, __doc, __depth)
     var depth = 0
     var done = false
+    // ONE Spark job per BFS round: the round's row count rides the eager
+    // localCheckpoint materialization in an accumulator (no separate
+    // isEmpty job; retries can only over-count, an empty round reads 0),
+    // and `visited` is NOT re-checkpointed — it stays a linear union of
+    // already-checkpointed per-round slices, so its plan grows one cheap
+    // union node per round with no recomputation.
+    val roundRows = df.sparkSession.sparkContext.longAccumulator("graphLookupRound")
     while (!done) {
       val hits = frontier
         .join(fromPacked, frontier("__node") === fromPacked("__to"))
         .select(col("__start"), col("__doc"), col("__nextRaw"),
           xxhash64(col("__doc")).as("__h"))
-      val newDocs = (if (visited == null) hits
-                     else hits.join(visited, Seq("__start", "__h"), "left_anti"))
+      val pre = (if (visited == null) hits
+                 else hits.join(visited, Seq("__start", "__h"), "left_anti"))
         .dropDuplicates("__start", "__h")
-        .localCheckpoint()
-      if (newDocs.isEmpty) done = true
+      roundRows.reset()
+      val newDocs = pre.mapPartitions { it =>
+        it.map { r => roundRows.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(pre.schema)).toDF().localCheckpoint()
+      if (roundRows.value == 0L) done = true
       else {
         val stamped = newDocs.select(col("__start"), col("__h"), col("__doc"),
           lit(depth.toLong).as("__depth"))
         found = if (found == null) stamped else found.union(stamped)
         val newVisited = newDocs.select(col("__start"), col("__h"))
-        visited = (if (visited == null) newVisited
-                   else visited.union(newVisited)).localCheckpoint()
+        visited = if (visited == null) newVisited
+                  else visited.union(newVisited)
         if (maxDepth.exists(depth >= _)) done = true
         else {
           frontier =

@@ -1564,23 +1564,31 @@ object DynPipeline {
     var found: DataFrame = null
     var depth = 0
     var done = false
+    val roundRows = df.sparkSession.sparkContext.longAccumulator("dynGraphLookupRound")
     while (!done) {
       val hits = frontier
         .join(fromPacked, frontier("__node") === fromPacked("__to"))
         .select(col("__start"), col("__doc"), col("__next"),
           xxhash64(col("__doc")).as("__h"))
-      val newDocs = (if (visited == null) hits
-                     else hits.join(visited, Seq("__start", "__h"), "left_anti"))
+      val pre = (if (visited == null) hits
+                 else hits.join(visited, Seq("__start", "__h"), "left_anti"))
         .dropDuplicates("__start", "__h")
-        .localCheckpoint()
-      if (newDocs.isEmpty) done = true
+      // ONE Spark job per BFS round (same shape as the typed engine): the
+      // round's row count rides the eager localCheckpoint in an accumulator,
+      // and `visited` stays an un-checkpointed linear union of checkpointed
+      // per-round slices
+      roundRows.reset()
+      val newDocs = pre.mapPartitions { it =>
+        it.map { r => roundRows.add(1L); r }
+      }(Encoders.row(pre.schema)).toDF().localCheckpoint()
+      if (roundRows.value == 0L) done = true
       else {
         val stamped = newDocs.select(col("__start"), col("__h"), col("__doc"),
           lit(depth.toLong).as("__depth"))
         found = if (found == null) stamped else found.union(stamped)
         val newVisited = newDocs.select(col("__start"), col("__h"))
-        visited = (if (visited == null) newVisited
-                   else visited.union(newVisited)).localCheckpoint()
+        visited = if (visited == null) newVisited
+                  else visited.union(newVisited)
         if (maxDepth.exists(depth >= _)) done = true
         else {
           frontier = newDocs

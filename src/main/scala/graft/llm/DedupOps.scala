@@ -268,12 +268,19 @@ object DedupOps {
     * min-aggregate, both hash-shuffled on the node id — no driver-side
     * graph). Rounds needed = max cluster DIAMETER, which for near-dup
     * clusters is small (dup clusters are dense); `maxIter` bounds
-    * pathological chains, and each round's convergence check is one count.
-    * At much larger diameters switch to large-star/small-star (same
-    * join-agg primitives, O(log d) rounds).
+    * pathological chains. Convergence detection rides the SAME job that
+    * materializes the round's labels: the node's previous label travels
+    * through the aggregate (min over the `own` row) and an accumulator
+    * counts label changes while the eager localCheckpoint writes — ONE
+    * Spark job per round, no extra join+count action. (Task retries can
+    * only over-count, never under-count, so a converged round still reads
+    * exactly 0.) At much larger diameters switch to large-star/small-star
+    * (same join-agg primitives, O(log d) rounds).
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // localCheckpoint, not persist: persist caches DATA but the logical
     // plan still nests one level per round — analysis cost grows
     // exponentially across iterations. Checkpointing truncates the lineage
@@ -286,21 +293,35 @@ object DedupOps {
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    val changed = spark.sparkContext.longAccumulator("cc_label_changes")
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
+      changed.reset()
       // rename-based equi-joins: labels derives from edges, so df("col")
       // references would be ambiguous self-join attributes
       val viaNeighbors = edges.select(col("s"), col("t").as("id"))
         .join(labels, Seq("id"))
-        .select(col("s").as("id"), col("cluster"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
-      changed = next.withColumnRenamed("cluster", "__nc")
-        .join(labels, Seq("id"))
-        .filter(col("__nc") =!= col("cluster")).count()
+        .select(col("s").as("id"), col("cluster"), lit(false).as("own"))
+      val next = labels.select(col("id"), col("cluster"), lit(true).as("own"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(
+          min("cluster").as("cluster"),
+          // exactly one `own` row per id — its label is the previous round's
+          min(when(col("own"), col("cluster"))).as("__prev"))
+        .select(col("id").cast("long"), col("cluster").cast("long"),
+          col("__prev").cast("long"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, c, prev) =>
+            if (c != prev) changed.add(1L)
+            (id, c)
+          }
+        }
+        .toDF("id", "cluster")
+        .localCheckpoint(true) // eager: this action also fills `changed`
       labels = next
+      converged = changed.value == 0L
       i += 1
     }
     labels
