@@ -981,6 +981,77 @@ object SparkEntry {
       VectorOps.lshTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5, nPlanes = 6)
     }),
+    // ---- recall harness: every approximate method measured against its
+    // exact twin, emitting a deterministic oracle row with a pinned floor —
+    // an approximate-method regression below the floor fails the hash
+    // compare loudly. Ground-truth counts that DuckDB can derive from the
+    // data (query counts, true-jaccard/cosine pair counts) ride along.
+    "llm_ann_ivf_recall" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val exact = VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5)
+      val approx = VectorOps.ivfTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+      VectorOps.recallAtK(approx, exact).select(lit("ivf").as("method"),
+        lit(5).as("k"), col("n_queries"),
+        (col("recall") >= 0.6).as("meets_floor"))
+    }),
+    "llm_ann_lsh_recall" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val exact = VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5)
+      val approx = VectorOps.lshTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5, nPlanes = 4)
+      VectorOps.recallAtK(approx, exact).select(lit("lsh").as("method"),
+        lit(5).as("k"), col("n_queries"),
+        (col("recall") >= 0.4).as("meets_floor"))
+    }),
+    "llm_minhash_recall" -> ((s, dir) => {
+      tune(s)
+      // deterministic subset keeps the all-pairs ground truth affordable at
+      // bench scale; DuckDB replays the same subset
+      val d0 = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val approx = DedupOps.minhashLsh(d0, "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
+        .select("id_a", "id_b")
+      // ground truth: true shingle-set Jaccard >= threshold over the same
+      // distinct-text (min-id representative) universe minhashLsh works on
+      val dt = d0.groupBy(col("text")).agg(min(col("doc_id")).as("doc"))
+      val sh = dt.select(col("doc"), DedupOps.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val a = sh.select(col("doc").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+      val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .filter(DedupOps.jaccardOfSets(col("sh_a"), col("sh_b")) >= 0.4)
+        .select("id_a", "id_b")
+      DedupOps.pairRecall(approx, exact).select(lit("minhash").as("method"),
+        col("n_true"), (col("recall") >= 0.5).as("meets_floor"))
+    }),
+    "llm_simhash_recall" -> ((s, dir) => {
+      tune(s)
+      val d0 = t(s, dir, "documents")
+      val approx = DedupOps.simhashNearDup(d0, "text", "doc_id", maxHamming = 3)
+        .select("id_a", "id_b")
+      val exact = DedupOps.simhashNearDupExact(d0, "text", "doc_id", maxHamming = 3)
+      // the 16-bit pigeonhole chunks make the bucketed variant COMPLETE for
+      // maxHamming <= 3: recall must be exactly 1
+      DedupOps.pairRecall(approx, exact).select(lit("simhash").as("method"),
+        (col("n_found") === col("n_true")).as("complete"))
+    }),
+    "llm_embed_lsh_recall" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      val approx = VectorOps.embedNearDupLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 4, bands = 12).select("id_a", "id_b")
+      val exact = VectorOps.embedNearDupExact(emb, "vec_id", "embedding",
+        threshold = 0.4).select("id_a", "id_b")
+      DedupOps.pairRecall(approx, exact).select(lit("embed_lsh").as("method"),
+        col("n_true"), (col("recall") >= 0.6).as("meets_floor"))
+    }),
     // Gopher-style repetition signals: dup-word + top-bigram fractions,
     // computed per doc with no shuffle (ints carried so the fractions are
     // auditable)
@@ -1419,6 +1490,56 @@ object SparkEntry {
                 round(list_inner_product(a.v, b.v), 6) AS cos
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE round(list_inner_product(a.v, b.v), 6) >= 0.4""",
+    // recall harness: the floor booleans are the contract — a recall
+    // regression flips them and the hash compare fails. The ground-truth
+    // counts (query counts, true-jaccard/cosine pair counts) are derived
+    // from the data by DuckDB itself, so they track the corpus.
+    "llm_ann_ivf_recall" ->
+      """SELECT 'ivf' AS method, 5 AS k,
+                (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
+                  AS n_queries,
+                true AS meets_floor""",
+    "llm_ann_lsh_recall" ->
+      """SELECT 'lsh' AS method, 5 AS k,
+                (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
+                  AS n_queries,
+                true AS meets_floor""",
+    "llm_minhash_recall" ->
+      """WITH dt AS (SELECT min(doc_id) AS doc, text FROM documents
+                     WHERE doc_id % 3 = 0 GROUP BY text),
+         d AS (SELECT doc,
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> length(x) > 0) AS toks
+               FROM dt),
+         s AS (SELECT doc,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+               FROM d),
+         sn AS (SELECT doc, sh FROM s WHERE len(sh) > 0),
+         p AS (SELECT a.doc AS id_a, b.doc AS id_b
+               FROM sn a JOIN sn b ON a.doc < b.doc
+               WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                           len(list_distinct(a.sh || b.sh)), 6) >= 0.4)
+         SELECT 'minhash' AS method, (SELECT count(*) FROM p) AS n_true,
+                true AS meets_floor""",
+    "llm_simhash_recall" ->
+      """SELECT 'simhash' AS method, true AS complete""",
+    "llm_embed_lsh_recall" ->
+      """WITH u AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+                    FROM embeddings WHERE vec_id % 2 = 0),
+         n AS (SELECT vec_id,
+                      CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                        list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                      ELSE v0 END AS v
+               FROM u),
+         p AS (SELECT a.vec_id FROM n a JOIN n b ON a.vec_id < b.vec_id
+               WHERE round(list_inner_product(a.v, b.v), 6) >= 0.4)
+         SELECT 'embed_lsh' AS method, (SELECT count(*) FROM p) AS n_true,
+                true AS meets_floor""",
     "llm_cosine_topk" ->
       """WITH u AS (
            SELECT vec_id,

@@ -124,13 +124,7 @@ object DedupOps {
     * verify exact Hamming distance ≤ maxHamming. */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // ONE custom vote aggregate over exploded distinct tokens
-    // (graft.functions.SimHashAgg) — same motivation as in minhashLsh
-    val toks = distinctTexts(df, textCol, idCol)
-      .select(col("doc"),
-        explode(array_distinct(TextOps.tokens(lower(col("__text"))))).as("tok"))
-    val sigs = toks.groupBy("doc")
-      .agg(graft.functions.HashAggs.simhash(col("tok")).as("sig"))
+    val sigs = simhashSigs(df, textCol, idCol)
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sides of the self-join
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
@@ -145,6 +139,47 @@ object DedupOps {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash signatures over the distinct-text universe: ONE custom vote
+    * aggregate over exploded distinct tokens (graft.functions.SimHashAgg) —
+    * same motivation as in [[minhashLsh]]. */
+  private def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    distinctTexts(df, textCol, idCol)
+      .select(col("doc"),
+        explode(array_distinct(TextOps.tokens(lower(col("__text"))))).as("tok"))
+      .groupBy("doc")
+      .agg(graft.functions.HashAggs.simhash(col("tok")).as("sig"))
+
+  /** EXACT SimHash near-dup pairs: all-pairs Hamming over the signatures —
+    * verification-mode (O(n²) broadcast self-join), the ground truth the
+    * chunk-bucketed [[simhashNearDup]] is measured against. The 16-bit
+    * pigeonhole makes the bucketed variant COMPLETE for maxHamming ≤ 3, so
+    * their pair sets must be identical. */
+  def simhashNearDupExact(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSigs(df, textCol, idCol)
+    val a = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Recall of an approximate near-dup pair list against the exact pair
+    * set: ONE row `(n_true, n_found, recall)`. Both inputs carry
+    * `(id_a, id_b)` with `id_a < id_b`. The measurable harness behind the
+    * rows-only LSH entries — pin a recall floor and regressions fail the
+    * oracle compare loudly. */
+  def pairRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hit = exact.select(col("id_a"), col("id_b"))
+      .join(approx.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+        Seq("id_a", "id_b"), "left")
+    hit.agg(count(lit(1)).as("n_true"),
+      sum(coalesce(col("__hit"), lit(0))).as("n_found"),
+      (sum(coalesce(col("__hit"), lit(0))).cast(DoubleType) /
+        count(lit(1))).as("recall"))
   }
 
   /** Jaccard similarity of two precomputed shingle-set columns. For pairwise

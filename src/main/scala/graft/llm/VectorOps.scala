@@ -240,6 +240,23 @@ object VectorOps {
       when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Recall@k of an approximate top-k result against its exact twin
+    * ([[bruteTopK]]): ONE row `(n_queries, recall)` where `recall` is the
+    * mean per-query fraction of exact neighbors the approximate method
+    * found. Both inputs carry `(query_id, nn_id)`; the join is on those
+    * keys only, so tie-broken rank differences don't matter. This is the
+    * measurable harness behind the rows-only ANN entries: a pinned recall
+    * floor turns "approximate" into a regression-checked contract. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("nn_id"))
+      .join(approx.select(col("query_id"), col("nn_id"), lit(1).as("__hit")),
+        Seq("query_id", "nn_id"), "left")
+    hits.groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast(DoubleType) /
+        count(lit(1))).as("__r"))
+      .agg(count(lit(1)).as("n_queries"), avg(col("__r")).as("recall"))
+  }
+
   /** Per-vector symmetric int8 quantization: `scale = 127 / max|v|`,
     * `qvec[i] = floor(v[i]·scale + 0.5)` as a tinyint — 4× (vs float32) /
     * 8× (vs float64) less embedding storage and shuffle volume, the

@@ -75,4 +75,33 @@ class AnnSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.nonEmpty, "4x4-band LSH should find at least one pair at t=0.3")
   }
+
+  test("recallAtK: per-query mean of found exact neighbors") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "nn_id")
+    // q1 finds both, q2 finds one of two -> mean recall 0.75; extra
+    // non-exact hits don't count
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 99L))
+      .toDF("query_id", "nn_id")
+    val r = VectorOps.recallAtK(approx, exact).head()
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getDouble(1) - 0.75) < 1e-12)
+  }
+
+  test("pairRecall counts true pairs found; simhash bucketing is complete") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = graft.llm.DedupOps.pairRecall(approx, exact).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 2.0 / 3) < 1e-12)
+    // pigeonhole completeness: chunk-bucketed simhash == all-pairs exact
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs(graft.llm.DedupOps.simhashNearDup(docs, "text", "doc_id", 3)) ==
+      pairs(graft.llm.DedupOps.simhashNearDupExact(docs, "text", "doc_id", 3)))
+  }
 }
