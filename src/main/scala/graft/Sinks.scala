@@ -358,7 +358,11 @@ private[graft] object SinkStages {
     * `{as: [docs]}` message, key = random UUID. Batching is per input
     * partition (the reference batches per pipeline instance, i.e. per Kafka
     * partition — Pipeline.java:140-145), grouped with NO extra sort:
-    * `monotonically_increasing_id` already encodes (partition, offset). */
+    * `monotonically_increasing_id` already encodes (partition, offset).
+    * The reference's TIMEOUT flush has no meaning on a bounded batch (there
+    * is no "later"); on a stream use
+    * [[graft.streaming.StreamingPer.per]], whose processing-time timer
+    * flushes partial batches after `timeout` ms. */
   def per(df: DataFrame, spec: JValue): DataFrame = {
     val amount = spec \ "amount" match {
       case JInt(i)  => i.toLong

@@ -32,13 +32,70 @@ object MultimodalOps {
     StructField("channels", IntegerType),
     StructField("format", StringType)))
 
-  /** "Decode" each media blob to image metadata.
+  /** PNG dimensions from the IHDR chunk — pure byte parsing, no codec.
+    * Layout: 8-byte signature, 4-byte chunk length, "IHDR", then width and
+    * height as big-endian u32 at offsets 16/20; bit depth at 24, color
+    * type at 25 (channels: 0 gray=1, 2 RGB=3, 3 palette=1, 4 gray+a=2,
+    * 6 RGBA=4). */
+  private[llm] def pngMeta(b: Array[Byte]): Option[(Int, Int, Int, String)] =
+    if (b.length >= 26 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      def be32(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      val channels = (b(25) & 0xff) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 3
+      }
+      Some((be32(16), be32(20), channels, "png"))
+    } else None
+
+  /** JPEG dimensions from the first SOF frame header — walks the marker
+    * segments (each FF xx followed by a big-endian length, standalone
+    * RST/TEM/SOI markers excepted) until a start-of-frame marker
+    * (C0-CF minus C4 DHT / C8 JPG / CC DAC); the SOF payload carries
+    * precision(1) height(2) width(2) components(1). Handles both baseline
+    * (SOF0) and progressive (SOF2). */
+  private[llm] def jpegMeta(b: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
+      var j = i + 1
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) { i = j + 1 } // standalone
+      else if (marker == 0xd9) return None // EOI before any SOF
+      else {
+        if (j + 2 >= b.length) return None
+        val len = ((b(j + 1) & 0xff) << 8) | (b(j + 2) & 0xff)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (j + 8 >= b.length) return None
+          val h = ((b(j + 4) & 0xff) << 8) | (b(j + 5) & 0xff)
+          val w = ((b(j + 6) & 0xff) << 8) | (b(j + 7) & 0xff)
+          val nc = b(j + 8) & 0xff
+          return Some((w, h, nc,
+            if (marker == 0xc2) "jpeg-progressive" else "jpeg"))
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** Decode each media blob to image metadata.
     *
-    * STUB: a real implementation would parse the image header (JPEG/PNG) —
-    * no codec ships in this container, so width/height derive
-    * deterministically from the byte length. The mapPartitions shape (one
-    * decoder per partition, iterator-in/iterator-out batches) is the real
-    * production plumbing.
+    * REAL header decode for PNG (IHDR) and JPEG (SOF0/SOF2 marker scan) —
+    * both are dependency-free byte parsing. Blobs that are neither fall
+    * back to the loudly-marked STUB (deterministic fake dimensions from the
+    * byte length): full decoders for other formats don't ship in this
+    * container. The mapPartitions shape (one decoder per partition,
+    * iterator-in/iterator-out batches) is the real production plumbing.
     */
   def decodeImageMeta(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("media")).mapPartitions { rows =>
@@ -47,10 +104,17 @@ object MultimodalOps {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val n = if (bytes == null) 0 else bytes.length
-        // STUB decode: deterministic fake dimensions from byte length
-        val width = 16 + n % 240
-        val height = 16 + (n * 7) % 240
-        Row(id, n, width, height, 3, "stub")
+        val parsed =
+          if (n == 0) None
+          else pngMeta(bytes).orElse(jpegMeta(bytes))
+        parsed match {
+          case Some((w, h, c, fmt)) => Row(id, n, w, h, c, fmt)
+          case None =>
+            // STUB decode: deterministic fake dimensions from byte length
+            val width = 16 + n % 240
+            val height = 16 + (n * 7) % 240
+            Row(id, n, width, height, 3, "stub")
+        }
       }
     }(Encoders.row(metaSchema))
 

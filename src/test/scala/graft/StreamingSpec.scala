@@ -5,6 +5,7 @@ import graft.sources.InMemoryStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Streaming semantics: update-mode `$group` (per-changed-key emission per
   * micro-batch — the SURVEY §2.4 approximation of the reference's continuous
@@ -446,5 +447,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     // state-store group keeps the running sum; merge upserted the latest
     assert(rows(st.read("c")) == Set(List("seed", 0L), List("x", 7L)))
+  }
+
+  test("streaming $per: full batches emit immediately, a PARTIAL batch flushes on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("key", "doc")
+    val out = graft.streaming.StreamingPer.per(stream,
+      amount = 5, as = "batch", timeoutMs = 300L)
+    // a periodic trigger so the processing-time timer can fire on an
+    // otherwise idle stream
+    val q = out.writeStream.format("memory").queryName("perstream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    def batches(): List[List[String]] =
+      spark.sql("select doc from perstream").collect().toList
+        .map { r =>
+          val d = graft.dynamic.DynJson.parse(r.getString(0))
+          d.path("batch").asScala.toList.map(_.path("_id").textValue)
+        }
+    try {
+      // NOTE: no processAllAvailable here — a stateful query with
+      // processing-time timers keeps scheduling batches, so that call
+      // never returns; poll the sink with a deadline instead
+      def await(n: Int): Unit = {
+        val deadline = System.currentTimeMillis + 30000
+        while (batches().size < n && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+      }
+      // 7 docs with amount=5: one full batch emits at once, 2 stay buffered
+      input.addData((1 to 7).map(i => (s"k$i", s"""{"_id":"d$i"}""")): _*)
+      await(1)
+      assert(batches().map(_.size) == List(5))
+      // no new data: the 300 ms timer fires on a later trigger and flushes
+      // the partial batch of 2
+      await(2)
+      val all = batches()
+      assert(all.map(_.size).sorted == List(2, 5), s"got $all")
+      assert(all.flatten.toSet == (1 to 7).map(i => s"d$i").toSet)
+    } finally q.stop()
   }
 }
