@@ -410,7 +410,8 @@ object JsltCompiler {
     * let/for bindings, user function defs, and the inline-expansion stack
     * (recursion detection). */
   final case class Cctx(root: StructType, context: Option[TC], vars: Map[String, TC],
-      defs: Map[String, FnDef] = Map.empty, expanding: Set[String] = Set.empty)
+      defs: Map[String, FnDef] = Map.empty, expanding: Set[String] = Set.empty,
+      staticVars: Map[String, String] = Map.empty)
 
   def compileProgram(src: String, root: StructType): TC =
     compile(parse(src), Cctx(root, None, Map.empty))
@@ -466,21 +467,38 @@ object JsltCompiler {
 
   private def bindLets(bs: List[(String, Ast)], ctx: Cctx): Cctx =
     bs.foldLeft(ctx) { case (c, (name, e)) =>
-      c.copy(vars = c.vars + (name -> compile(e, c)))
+      val bound = c.copy(vars = c.vars + (name -> compile(e, c)))
+      // record let-bound CONSTANT strings so computed keys built from them
+      // stay compilable in typed mode (the key set is still static)
+      staticString(e, c).fold(bound)(s =>
+        bound.copy(staticVars = bound.staticVars + (name -> s)))
     }
 
-  /** Static object keys must be string literals; computed keys are a
-    * dynamic-mode construct (the output schema would be data-dependent). */
-  private def litKey(k: Ast): String = k match {
-    case Lit(s: String) => s
-    case other => throw new JsltCompileError(
-      s"computed object keys require the dynamic pipeline mode: $other")
+  /** AST-level constant-string evaluation: literals, let-bound constant
+    * strings, and `+` concatenations of such. Used for computed object
+    * KEYS — when the key folds to a compile-time constant, the output
+    * schema is still static and the columnar engine can take it. */
+  private def staticString(e: Ast, ctx: Cctx): Option[String] = e match {
+    case Lit(s: String) => Some(s)
+    case Var(name)      => ctx.staticVars.get(name)
+    case Bin("+", l, r) =>
+      for (a <- staticString(l, ctx); b <- staticString(r, ctx)) yield a + b
+    case Let(bs, body)  => staticString(body, bindLets(bs, ctx))
+    case _              => None
   }
+
+  /** Static object keys: string literals, or computed keys that FOLD to a
+    * compile-time constant ([[staticString]] — literal let bindings and
+    * concatenation). Truly data-dependent keys are a dynamic-mode construct
+    * (the output schema would be data-dependent). */
+  private def litKey(k: Ast, ctx: Cctx): String =
+    staticString(k, ctx).getOrElse(throw new JsltCompileError(
+      s"computed object keys require the dynamic pipeline mode: $k"))
 
   private def compileObjFields(o: ObjC, ctx: Cctx): List[(String, Column)] = {
     // duplicate literal keys: LAST wins (JSON object semantics), keeping the
     // first occurrence's position
-    val explicit = o.pairs.map { case (k, v) => litKey(k) -> compile(v, ctx).col }
+    val explicit = o.pairs.map { case (k, v) => litKey(k, ctx) -> compile(v, ctx).col }
     val dedup = explicit.map(_._1).distinct.map { k =>
       k -> explicit.reverse.find(_._1 == k).get._2
     }
@@ -489,7 +507,7 @@ object JsltCompiler {
       case Some((minus, expr)) =>
         val fields = objFields(expr, ctx).getOrElse(throw new JsltCompileError(
           "matcher '*' needs a schema-known object expression (a path or object)"))
-        val taken = o.pairs.map(p => litKey(p._1)).toSet ++ minus
+        val taken = o.pairs.map(p => litKey(p._1, ctx)).toSet ++ minus
         fields.filterNot { case (k, _) => taken(k) }
     }
     dedup ++ matched

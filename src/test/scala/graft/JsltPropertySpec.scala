@@ -323,4 +323,25 @@ class JsltPropertySpec extends SparkSpec {
         s"\ncase $i\nscript: $script\ndoc: a=$a b=$b d=$d s=$s t=$t arr=$arr")
     }
   }
+
+  test("typed mode compiles computed keys that FOLD to compile-time constants") {
+    val df = docDF(7L, 2L, 1.5, "hi", "yo", Seq(1L, 2L))
+    def run(script: String): org.apache.spark.sql.Row = {
+      val tc = JsltCompiler.compileProgram(script, df.schema)
+      df.select(tc.col.as("o")).head().getStruct(0)
+    }
+    // let-bound constant string as a key, and a concatenation of constants
+    val r = run("""let k = "score" { $k : .a, "pre_" + $k : .b }""")
+    assert(r.schema.fieldNames.toList == List("score", "pre_score"))
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L)
+    // nested let folding through concatenation
+    val r2 = run("""let p = "x" let q = $p + "y" { $q + "z" : .a }""")
+    assert(r2.schema.fieldNames.toList == List("xyz"))
+    assert(r2.getLong(0) == 7L)
+    // genuinely data-dependent keys still point at dynamic mode
+    val e = intercept[JsltCompiler.JsltCompileError] {
+      JsltCompiler.compileProgram("""{ .s : .a }""", df.schema)
+    }
+    assert(e.getMessage.contains("dynamic pipeline mode"))
+  }
 }
