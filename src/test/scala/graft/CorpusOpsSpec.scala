@@ -158,4 +158,27 @@ class CorpusOpsSpec extends SparkSpec {
     val e2 = r6(1.0 / 12)            // doc 2: only in a
     assert(got == List((3L, e3), (1L, e1), (2L, e2)))
   }
+
+  test("jaccardPairsExact (inverted index) matches the brute-force all-pairs Jaccard") {
+    import graft.llm.DedupOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: shingle once per doc, all-pairs set Jaccard
+    val dt = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc"))
+    val sh = dt.select(col("doc"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        DedupOps.jaccardOfSets(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+    val indexed = DedupOps.jaccardPairsExact(docs, "text", "doc_id",
+      shingleK = 3, threshold = 0.2)
+    val (bp, ip) = (pairs(brute), pairs(indexed))
+    assert(bp.nonEmpty, "fixture should contain at least one pair at t=0.2")
+    assert(ip == bp)
+  }
 }
