@@ -40,7 +40,14 @@ object JqCompiler {
   /** `"a\(expr)b"` — string interpolation; Right parts stringify like jq
     * (strings verbatim, everything else JSON-encoded). */
   case class JStrI(parts: List[Either[String, Jq]]) extends Jq
-  case class JObjC(pairs: List[(String, Jq)]) extends Jq
+  /** Object-constructor key: a literal name, or a computed `("expr")` /
+    * interpolated-string key. Computed keys that fold to compile-time
+    * constants still compile statically; data-dependent ones are a
+    * dynamic-mode construct. */
+  sealed trait JqKey
+  case class KLit(name: String) extends JqKey
+  case class KExpr(e: Jq) extends JqKey
+  case class JObjC(pairs: List[(JqKey, Jq)]) extends Jq
   case class JArrC(items: List[Jq]) extends Jq
   case class JPipe(l: Jq, r: Jq) extends Jq
   case class JBin(op: String, l: Jq, r: Jq) extends Jq
@@ -463,16 +470,28 @@ object JqCompiler {
               JArrC(items.result())
             case "{" =>
               next()
-              val pairs = List.newBuilder[(String, Jq)]
+              val pairs = List.newBuilder[(JqKey, Jq)]
               if (!at("}")) {
                 def pair(): Unit = {
-                  val k = next()
-                  val key = k.kind match {
-                    case "id" | "str" => k.text
-                    case _ => throw new JqCompileError(s"bad key '${k.text}' at ${k.pos}")
+                  if (at("(")) { // {(expr): value} — computed key
+                    next()
+                    val ke = parsePipe()
+                    expect(")")
+                    expect(":")
+                    pairs += (KExpr(ke): JqKey) -> parseAlt()
+                  } else {
+                    val k = next()
+                    k.kind match {
+                      case "id" | "str" =>
+                        if (at(":")) { next(); pairs += (KLit(k.text): JqKey) -> parseAlt() }
+                        else // {a} == {a: .a}
+                          pairs += (KLit(k.text): JqKey) -> JPath(List(JField(k.text)))
+                      case "istr" => // {"a\(.b)": value} — interpolated key
+                        expect(":")
+                        pairs += (KExpr(JStrI(splitInterp(k.text))): JqKey) -> parseAlt()
+                      case _ => throw new JqCompileError(s"bad key '${k.text}' at ${k.pos}")
+                    }
                   }
-                  if (at(":")) { next(); pairs += key -> parseAlt() }
-                  else pairs += key -> JPath(List(JField(key))) // {a} == {a: .a}
                 }
                 pair()
                 while (at(",")) { next(); pair() }
@@ -507,7 +526,9 @@ object JqCompiler {
           rw(b, sh))
       case JPath(_) | JLit(_) | JVar(_) => e
       case JStrI(parts)   => JStrI(parts.map(_.map(rw(_, shadow))))
-      case JObjC(ps)      => JObjC(ps.map { case (k, v) => k -> rw(v, shadow) })
+      case JObjC(ps)      => JObjC(ps.map { case (k, v) =>
+        (k match { case KExpr(ke) => KExpr(rw(ke, shadow)); case lit => lit }) ->
+          rw(v, shadow) })
       case JArrC(items)   => JArrC(items.map(rw(_, shadow)))
       case JPipe(l, r)    => JPipe(rw(l, shadow), rw(r, shadow))
       case JBin(op, l, r) => JBin(op, rw(l, shadow), rw(r, shadow))
@@ -565,7 +586,8 @@ object JqCompiler {
         expand(d.body, defs, argSub, stack + fn)
       case JPath(_) | JLit(_) | JVar(_) => e
       case JStrI(parts)   => JStrI(parts.map(_.map(go)))
-      case JObjC(ps)      => JObjC(ps.map { case (k, v) => k -> go(v) })
+      case JObjC(ps)      => JObjC(ps.map { case (k, v) =>
+        (k match { case KExpr(ke) => KExpr(go(ke)); case lit => lit }) -> go(v) })
       case JArrC(items)   => JArrC(items.map(go))
       case JPipe(l, r)    => JPipe(go(l), go(r))
       case JBin(op, l, r) => JBin(op, go(l), go(r))
@@ -617,10 +639,33 @@ object JqCompiler {
       base.typ.collect { case st: StructType =>
         st.fields.map(f => f.name -> base.col.getField(f.name)).toList
       }
-    case JObjC(pairs) => Some(pairs.map { case (k, v) => k -> comp(v, ctx).col })
+    case JObjC(pairs) => // only statically-foldable keys join a merge/matcher
+      val folded = pairs.map { case (k, v) => staticKey(k).map(_ -> comp(v, ctx).col) }
+      if (folded.forall(_.isDefined)) Some(folded.map(_.get)) else None
     case JBin("+", l, r) => // jq object +: RIGHT wins
       for (lf <- objFields(l, ctx); rf <- objFields(r, ctx))
         yield lf.filterNot { case (k, _) => rf.exists(_._1 == k) } ++ rf
+    case _ => None
+  }
+
+  /** Fold an object key to a compile-time constant string: literal names,
+    * literal-string computed keys `("k")`, `+`-concatenations of literals,
+    * and interpolated strings with only literal parts. */
+  private def staticKey(k: JqKey): Option[String] = k match {
+    case KLit(name) => Some(name)
+    case KExpr(e)   => staticStr(e)
+  }
+  private def staticStr(e: Jq): Option[String] = e match {
+    case JLit(s: String) => Some(s)
+    case JLit(l: Long)   => Some(l.toString)
+    case JBin("+", l, r) =>
+      for (a <- staticStr(l); b <- staticStr(r)) yield a + b
+    case JStrI(parts) =>
+      val folded = parts.map {
+        case Left(s)  => Some(s)
+        case Right(x) => staticStr(x)
+      }
+      if (folded.forall(_.isDefined)) Some(folded.flatten.mkString) else None
     case _ => None
   }
 
@@ -651,8 +696,14 @@ object JqCompiler {
       TC(concat(cols: _*), Some(StringType))
     case JObjC(pairs) =>
       if (pairs.isEmpty) throw new JqCompileError("empty object")
-      // duplicate keys: last wins (JSON object semantics)
-      val compiled = pairs.map { case (k, v) => k -> comp(v, ctx).col }
+      // duplicate keys: last wins (JSON object semantics); computed keys
+      // compile when they FOLD to compile-time constants (the schema stays
+      // static), otherwise they are a dynamic-mode construct
+      val compiled = pairs.map { case (k, v) =>
+        staticKey(k).getOrElse(throw new JqCompileError(
+          s"computed object keys require the dynamic pipeline mode: $k")) ->
+          comp(v, ctx).col
+      }
       val dedup = compiled.map(_._1).distinct.map { k =>
         k -> compiled.reverse.find(_._1 == k).get._2
       }

@@ -100,11 +100,20 @@ object JqInterp {
       }
 
     case JObjC(pairs) =>
-      // cartesian product over each pair's value outputs (jq rule)
+      // cartesian product over each pair's KEY and value outputs (jq rule);
+      // a computed key must evaluate to a string
       pairs.foldLeft(List(obj())) { case (acc, (k, vAst)) =>
-        for (o <- acc; v <- eval(vAst, in, env)) yield {
+        val keys: List[String] = k match {
+          case JqCompiler.KLit(name) => List(name)
+          case JqCompiler.KExpr(ke) => eval(ke, in, env).map { kv =>
+            if (kv != null && kv.isTextual) kv.textValue
+            else throw new JqCompileError(
+              s"object key must be a string, got ${if (kv == null) "null" else kv.getNodeType}")
+          }
+        }
+        for (o <- acc; key <- keys; v <- eval(vAst, in, env)) yield {
           val o2 = o.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
-          o2.set[JsonNode](k, missingToNull(v))
+          o2.set[JsonNode](key, missingToNull(v))
           o2
         }
       }

@@ -33,7 +33,16 @@ class JqPropertySpec extends SparkSpec {
         if (idx >= 0 && idx < xs.length) xs(idx) else JNull
       case (_, _) => JNull
     }
-    case JObjC(pairs) => JObject(pairs.map { case (k, v) => k -> interp(v, context) })
+    case JObjC(pairs) => JObject(pairs.map { case (k, v) =>
+      val key = k match {
+        case JqCompiler.KLit(name) => name
+        case JqCompiler.KExpr(ke) => interp(ke, context) match {
+          case JString(s) => s
+          case other      => sys.error(s"object key must be a string: $other")
+        }
+      }
+      key -> interp(v, context)
+    })
     case JArrC(items) => JArray(items.map(interp(_, context)))
     case JPipe(l, r)  => interp(r, interp(l, context))
     case JIf(c, t, e) =>
@@ -244,6 +253,37 @@ class JqPropertySpec extends SparkSpec {
       assert(outs.length == 1, s"case $i: ${outs.length} outputs for $filter")
       assert(nodeToJ(outs.head) == want,
         s"\ncase $i\nfilter: $filter\ndoc: a=$a b=$b d=$d s=$s arr=$arr")
+    }
+  }
+
+  test("jq computed object keys: static fold in typed mode, full evaluation in dynamic") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((7L, "size")).toDF("a", "s")
+    // constant-foldable computed keys compile to Columns
+    val compiled = JqCompiler.compileProgram(
+      """{("k" + "1"): .a, "pre\("fix")": .s}""", df.schema)
+    val r = df.select(compiled.doc.col.as("o")).head().getStruct(0)
+    assert(r.schema.fieldNames.toList == List("k1", "prefix"))
+    assert(r.getLong(0) == 7L && r.getString(1) == "size")
+    // data-dependent keys raise the dynamic-mode pointer in typed mode...
+    val e = intercept[JqCompiler.JqCompileError] {
+      JqCompiler.compileProgram("""{(.s): .a}""", df.schema)
+    }
+    assert(e.getMessage.contains("dynamic pipeline mode"))
+    // ...and evaluate fully in dynamic mode, incl. the cartesian key rule
+    val node = graft.dynamic.DynJson.parse("""{"a":7,"s":"size"}""")
+    val dyn = graft.operators.JqInterp.run("""{(.s): .a}""", node)
+    assert(dyn.map(nodeToJ) == List(JObject(List("size" -> JLong(7)))))
+    val multi = graft.operators.JqInterp.run("""{(.s, "t"): .a}""", node)
+    assert(multi.map(nodeToJ) == List(
+      JObject(List("size" -> JLong(7))), JObject(List("t" -> JLong(7)))))
+    // interpolated computed key with a data part
+    val interp2 = graft.operators.JqInterp.run("""{"k_\(.s)": .a}""", node)
+    assert(interp2.map(nodeToJ) == List(JObject(List("k_size" -> JLong(7)))))
+    // non-string key errors like jq
+    intercept[Exception] {
+      graft.operators.JqInterp.run("""{(.a): 1}""", node)
     }
   }
 }
