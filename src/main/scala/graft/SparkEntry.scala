@@ -1076,6 +1076,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0),
         "text", "doc_id", n = 8)
     }),
+    // fuzzy (MinHash near-dup) decontamination, md5 family so the oracle
+    // replays the whole pipeline incl. band buckets. The benchmark is a
+    // TRUNCATED copy (80% word prefix) of every 50th doc — the realistic
+    // contamination shape: eval sets hold near-verbatim fragments, not
+    // byte-identical pages.
+    "llm_decontaminate_fuzzy" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+        x => length(x) > 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(lit(1), ceil(size(toks) * 0.8).cast("int")))).as("text"))
+      CorpusOps.decontaminateFuzzy(docs, bench,
+        "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
+        threshold = 0.5)
+    }),
+    // C4/RefinedWeb-style per-domain cap: deterministic md5-priority keep
+    "llm_domain_cap" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.capPerKey(t(s, dir, "documents"), "source", "doc_id", 10)
+        .select("doc_id", "source")
+    }),
     "llm_tfidf_topk" -> ((s, dir) => {
       tune(s)
       CorpusOps.tfidfTopK(t(s, dir, "documents"), "text", "doc_id", k = 3)
@@ -2038,6 +2062,56 @@ object SparkEntry {
                 CAST(coalesce(h.n, 0) > 0 AS INT) AS contaminated
          FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          LEFT JOIN h USING (doc_id)""",
+    "llm_decontaminate_fuzzy" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+         benchsrc AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                              x -> length(x) > 0) AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+         bench AS (
+           SELECT doc_id + 10000000 AS doc_id,
+                  array_to_string(
+                    toks[1:greatest(1, CAST(ceil(0.8 * len(toks)) AS INT))],
+                    ' ') AS text
+           FROM benchsrc),
+         allt AS (SELECT doc_id, text, false AS is_bench FROM corpus
+                  UNION ALL SELECT doc_id, text, true FROM bench),
+         d AS (SELECT doc_id, is_bench,
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> length(x) > 0) AS toks
+               FROM allt),
+         s AS (SELECT doc_id, is_bench,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+               FROM d),
+         sn AS (SELECT doc_id, is_bench, sh FROM s WHERE len(sh) > 0),
+         e AS (SELECT doc_id, unnest(sh) AS shingle FROM sn),
+         h AS (SELECT e.doc_id, sd.seed,
+                      CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                           & 9223372036854775807 AS BIGINT) AS hv
+               FROM e CROSS JOIN (SELECT unnest(range(32)) AS seed) sd),
+         m AS (SELECT doc_id, seed, min(hv) AS minh FROM h GROUP BY doc_id, seed),
+         bk AS (SELECT doc_id, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM m GROUP BY doc_id, seed // 4),
+         cand AS (SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+                  FROM bk c JOIN bk b
+                    ON c.band = b.band AND c.bucket = b.bucket
+                  WHERE c.doc_id < 10000000 AND b.doc_id >= 10000000),
+         j AS (SELECT cand.doc_id, cand.bench_id,
+                      round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                            len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+               FROM cand JOIN sn x ON x.doc_id = cand.doc_id
+                         JOIN sn y ON y.doc_id = cand.bench_id)
+         SELECT doc_id, bench_id, jaccard FROM j WHERE jaccard >= 0.5""",
+    "llm_domain_cap" ->
+      """SELECT doc_id, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10""",
     "llm_tfidf_topk" ->
       """WITH w AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

@@ -54,6 +54,74 @@ object CorpusOps {
       (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Per-key document cap (the C4/RefinedWeb "at most N pages per domain"
+    * downsampling step): keep at most `maxPerKey` docs per key, chosen
+    * DETERMINISTICALLY by md5(id) priority so every engine, run, and retry
+    * keeps the same documents. One hash shuffle + per-key top-N. At 100 TB
+    * a skewed key sorts only its own partition slice (row_number over a
+    * per-key window, no global sort); keys fit the usual domain cardinality
+    * (millions), far below data volume. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerKey)
+      .drop("__rk")
+  }
+
+  /** FUZZY benchmark decontamination — the near-duplicate complement of
+    * [[decontaminate]]'s exact n-gram probe: a corpus doc is flagged when
+    * it is MinHash-near-duplicate to any benchmark doc (banded-bucket
+    * candidates, true shingle-Jaccard verify at `threshold`). Returns one
+    * row per contaminated (corpus doc, benchmark doc) pair with the
+    * verified jaccard.
+    *
+    * Hash family is [[DedupOps.md5Lower63]], so the decision replays
+    * bit-for-bit in any engine with md5 (the DuckDB oracle replays the
+    * whole pipeline). Candidates only form inside a (band, bucket); the
+    * benchmark side is an eval suite (MBs against a 100 TB corpus), so its
+    * banded relation broadcasts and the corpus is never self-joined. */
+  def decontaminateFuzzy(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val sh = df.select(col(idCol).as("doc"),
+        DedupOps.shingles(col(textCol), shingleK).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sigs = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+        .groupBy("doc")
+        .agg(graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes).as("sig"))
+      val banded = sigs.select(col("doc"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws(",", transform(
+            slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
+            x => x.cast("string")))): _*))
+          .as(Seq("band", "bucket")))
+      (sh, banded)
+    }
+    val (corpusSh, corpusBanded) = prep(corpus)
+    val (benchSh, benchBanded) = prep(bench)
+    val candidates = corpusBanded
+      .join(broadcast(benchBanded
+        .select(col("band"), col("bucket"), col("doc").as("bench_id"))),
+        Seq("band", "bucket"))
+      .select(col("doc"), col("bench_id"))
+      .dropDuplicates("doc", "bench_id")
+    candidates
+      .join(corpusSh.select(col("doc"), col("sh").as("sh_c")), "doc")
+      .join(broadcast(benchSh.select(col("doc").as("bench_id"), col("sh").as("sh_b"))),
+        "bench_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_c"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc").as(idCol), col("bench_id"), col("jaccard"))
+  }
+
   /** Top-k TF-IDF terms per document, emitted as a comma-joined string in
     * rank order (array outputs crash the driver's pandas row sort).
     *

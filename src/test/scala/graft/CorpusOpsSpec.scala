@@ -159,6 +159,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == List((3L, e3), (1L, e1), (2L, e2)))
   }
 
+  test("capPerKey keeps a deterministic md5-priority subset per key") {
+    val df = (1L to 30L).map(i => (i, s"dom${i % 3}")).toDF("id", "domain")
+    val capped = CorpusOps.capPerKey(df, "domain", "id", 4)
+    val byKey = capped.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey.values.forall(_.size == 4))
+    // deterministic: a rerun keeps exactly the same ids
+    val again = CorpusOps.capPerKey(df, "domain", "id", 4)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(again == byKey)
+    // a key with fewer docs than the cap keeps all of them
+    val small = CorpusOps.capPerKey(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "domain"), "domain", "id", 5)
+    assert(small.count() == 3)
+  }
+
+  test("decontaminateFuzzy flags near-verbatim benchmark fragments, not unrelated docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated text about spark catalyst optimizer internals"),
+      (3L, "another unrelated document describing parquet column pruning")
+    ).toDF("doc_id", "text")
+    // benchmark holds a truncated copy of doc 1
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.decontaminateFuzzy(corpus, bench, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 100L)))
+  }
+
   test("jaccardPairsExact (inverted index) matches the brute-force all-pairs Jaccard") {
     import graft.llm.DedupOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
