@@ -291,6 +291,25 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // range-window calculus: $integral over value-distance frames (both the
+    // growing and the reversed shrinking form) must agree between engines
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$setWindowFields": {"sortBy": {"a": 1},
+          "output": {"back": {"$integral": {"input": "$b"},
+                              "window": {"range": [-3, "current"]}},
+                     "fwd": {"$integral": {"input": "$b"},
+                             "window": {"range": ["current", "unbounded"]}}}}},
+        {"$project": {"back": {"$round": ["$back", 6]},
+                      "fwd": {"$round": ["$fwd", 6]}}}]""",
+    // numeric truthy $project flags (1.0 / 2 are inclusion, 0.0 exclusion)
+    """[{"$project": {"_id": 2, "a": 1.0, "b": true}}]""",
+    """[{"$project": {"_id": 0.0, "s": 3}}]""",
+    // two-arg math with a null/missing second operand stays null
+    """[{"$addFields": {"p": {"$pow": [2, "$nope"]},
+         "lg": {"$log": [8, "$nope"]}, "at": {"$atan2": [1, "$nope"]}}},
+        {"$project": {"p": {"$ifNull": ["$p", "isnull"]},
+                      "lg": {"$ifNull": ["$lg", "isnull"]},
+                      "at": {"$ifNull": ["$at", "isnull"]}}}]""",
     """[{"$setWindowFields": {"sortBy": {"a": 1},
           "output": {"ema": {"$expMovingAvg": {"input": "$b", "alpha": 0.4}},
                      "med": {"$median": {"input": "$a",

@@ -239,4 +239,39 @@ class PlanSpec extends SparkSpec {
       s"full text must not cross the shuffle:\n$p")
     assert(p.contains("partial_min"), s"expected map-side partial agg:\n$p")
   }
+
+  test("capPerKey plans one key exchange + per-key top-N, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.CorpusOps.capPerKey(docs, "source", "doc_id", 5)
+    val p = plan(out)
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+    assert(p.contains("row_number"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"per-key cap must not globally sort:\n$p")
+  }
+
+  test("decontaminateFuzzy broadcasts the benchmark side; corpus joins by bucket") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id") + 1000000L as "doc_id", col("text"))
+    val out = graft.llm.CorpusOps.decontaminateFuzzy(docs, bench,
+      "text", "doc_id", threshold = 0.5)
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"), s"bench side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must form by bucket only:\n$p")
+  }
+
+  test("jaccardPairsExact joins on the shared shingle, never all-pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.DedupOps.jaccardPairsExact(docs, "text", "doc_id",
+      shingleK = 3, threshold = 0.4)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ground truth must use the inverted index, not all-pairs:\n$p")
+    assert(p.contains("hashpartitioning(g#") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join on the shingle:\n$p")
+  }
 }
