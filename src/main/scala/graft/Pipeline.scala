@@ -1488,6 +1488,63 @@ private[graft] object Stages {
           }
           graft.functions.EmaAgg.ema(cexpr(opSpec \ "input"), alpha).over(
             ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case "$minN" | "$maxN" => // n smallest/largest over the frame
+          val JObject(fs) = (opSpec: @unchecked)
+          val input = cexpr(fs.collectFirst { case ("input", v) => v }
+            .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
+          val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+            .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
+          val sorted = array_sort(collect_list(input).over(framed))
+          slice(if (op == "$maxN") reverse(sorted) else sorted, 1, n)
+        case "$firstN" | "$lastN" => // first/last n in frame (sort) order
+          val JObject(fs) = (opSpec: @unchecked)
+          val input = cexpr(fs.collectFirst { case ("input", v) => v }
+            .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
+          val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+            .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
+          val all0 = collect_list(input).over(framed)
+          val all = if (reversed) reverse(all0) else all0
+          if (op == "$firstN") slice(all, lit(1), lit(n))
+          else slice(all, greatest(size(all) - n + 1, lit(1)), lit(n))
+        case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+          // {output, sortBy, n?} over the frame — same packed-struct
+          // null-safe comparator as the group accumulators
+          val JObject(fs) = (opSpec: @unchecked)
+          val output = cexpr(fs.collectFirst { case ("output", v) => v }
+            .getOrElse(throw new IllegalArgumentException(s"$op needs output")))
+          val JObject(sortKeys2) = (fs.collectFirst { case ("sortBy", v) => v }
+            .getOrElse(throw new IllegalArgumentException(s"$op needs sortBy")): @unchecked)
+          val nOpt = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+          if ((op == "$topN" || op == "$bottomN") && nOpt.isEmpty)
+            throw new IllegalArgumentException(s"$op needs a literal n")
+          val packed = struct((sortKeys2.zipWithIndex.map { case ((f, _), i) =>
+            cexpr(JString("$" + f)).as(s"__k$i") } :+ output.as("__out")): _*)
+          def cmp2(l: Column, r: Column): Column =
+            sortKeys2.zipWithIndex.foldRight(lit(0)) { case (((_, dir), i), tie) =>
+              val asc = dir match {
+                case JInt(v)    => v >= 0
+                case JLong(v)   => v >= 0
+                case JDouble(d) => d >= 0
+                case _          => true
+              }
+              val (lf, rf) = (l.getField(s"__k$i"), r.getField(s"__k$i"))
+              when(lf.isNull && rf.isNull, tie)
+                .when(lf.isNull || lf < rf, lit(if (asc) -1 else 1))
+                .when(rf.isNull || lf > rf, lit(if (asc) 1 else -1))
+                .otherwise(tie)
+            }
+          val sortedP = array_sort(collect_list(packed).over(framed),
+            (l, r) => cmp2(l, r))
+          op match {
+            case "$top"    => element_at(sortedP, 1).getField("__out")
+            case "$bottom" => element_at(sortedP, -1).getField("__out")
+            case "$topN"   => transform(slice(sortedP, lit(1), lit(nOpt.get)),
+              _.getField("__out"))
+            case _ =>
+              val n = nOpt.get
+              transform(slice(sortedP, greatest(size(sortedP) - n + 1, lit(1)),
+                lit(n)), _.getField("__out"))
+          }
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)
         case "$documentNumber" => row_number().over(ordered)

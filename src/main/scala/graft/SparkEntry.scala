@@ -1228,6 +1228,26 @@ object SparkEntry {
           {"$project": {"event_id": 1,
                         "slope": {"$round": ["$slope", 4]},
                         "area": {"$round": ["$area", 2]}}}]""")),
+    // windowed N-family: $minN/$lastN/$top over document frames (modern MQL
+    // window operators, beyond the group accumulators)
+    "q_window_nfamily" -> ((s, dir) => pipe(s, dir, "events",
+      """[{"$setWindowFields": {
+            "partitionBy": "$event_type", "sortBy": {"ts": 1},
+            "output": {
+              "min3": {"$minN": {"input": "$value", "n": 3},
+                       "window": {"documents": ["unbounded", "current"]}},
+              "last2": {"$lastN": {"input": "$event_id", "n": 2},
+                        "window": {"documents": [-3, "current"]}},
+              "topv": {"$top": {"output": "$event_id",
+                                "sortBy": {"value": -1, "event_id": 1}},
+                       "window": {"documents": ["unbounded", "current"]}}}}},
+          {"$project": {"event_id": 1,
+                        "m1": {"$arrayElemAt": ["$min3", 0]},
+                        "m2": {"$arrayElemAt": ["$min3", 1]},
+                        "m3": {"$arrayElemAt": ["$min3", 2]},
+                        "la": {"$arrayElemAt": ["$last2", 0]},
+                        "lb": {"$arrayElemAt": ["$last2", 1]},
+                        "topv": 1}}]""")),
     // $setWindowFields range frames: value-based bounds on a numeric sort
     // key (all ties enter the frame together)
     "q_window_range" -> ((s, dir) => pipe(s, dir, "events",
@@ -2364,6 +2384,28 @@ object SparkEntry {
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
            wcum AS (PARTITION BY event_type ORDER BY ts
                     ROWS UNBOUNDED PRECEDING)""",
+    "q_window_nfamily" ->
+      """WITH r0 AS (
+           SELECT event_id, event_type, ts, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rw
+           FROM events),
+         b AS (
+           SELECT event_id,
+                  list_sort(list(value) OVER wc) AS mins,
+                  list(event_id) OVER w3 AS l2,
+                  arg_min(event_id, rw) OVER wc AS topv
+           FROM r0
+           WINDOW
+             wc AS (PARTITION BY event_type ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING),
+             w3 AS (PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         SELECT event_id, mins[1] AS m1, mins[2] AS m2, mins[3] AS m3,
+                l2[greatest(len(l2) - 1, 1)] AS la,
+                CASE WHEN len(l2) >= 2 THEN l2[len(l2)] END AS lb,
+                topv
+         FROM b""",
     "q_window_range" ->
       """SELECT event_id,
                 round(sum(value) OVER wr, 2) AS near_sum,

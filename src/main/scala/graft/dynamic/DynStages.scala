@@ -1711,7 +1711,8 @@ object DynPipeline {
         input2: Option[DynExpr.DOp] = None, alpha: Double = 0d,
         unit: Option[String] = None,
         rangeFrame: Option[(Long, Long)] = None, runit: Option[String] = None,
-        ps: List[Double] = Nil)
+        ps: List[Double] = Nil, n: Int = 0,
+        sortOut: List[(DynExpr.DOp, Boolean)] = Nil)
     def bound(v: JValue, isLo: Boolean): Long = v match {
       case JString("unbounded") => if (isLo) Long.MinValue else Long.MaxValue
       case JString("current")   => 0L
@@ -1788,6 +1789,32 @@ object DynPipeline {
           }
           Out(name, op, Some(DynExpr.compile(opSpec \ "input")), 0, None,
             frame, rangeFrame = rangeFrame, runit = runit, ps = ps)
+        case "$minN" | "$maxN" | "$firstN" | "$lastN" =>
+          val n = opSpec \ "n" match {
+            case JInt(i) if i > 0 => i.toInt
+            case other => throw new IllegalArgumentException(s"$op n: $other")
+          }
+          Out(name, op, Some(DynExpr.compile(opSpec \ "input")), 0, None,
+            frame, rangeFrame = rangeFrame, runit = runit, n = n)
+        case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+          val nOpt = opSpec \ "n" match {
+            case JInt(i) if i > 0 => Some(i.toInt)
+            case _ => None
+          }
+          if ((op == "$topN" || op == "$bottomN") && nOpt.isEmpty)
+            throw new IllegalArgumentException(s"$op needs a literal n")
+          val JObject(sks) = ((opSpec \ "sortBy"): @unchecked)
+          val sortOut = sks.map { case (f, d) =>
+            (DynExpr.compile(JString("$" + f)), d match {
+              case JInt(i)    => i >= 0
+              case JLong(l)   => l >= 0
+              case JDouble(x) => x >= 0
+              case _          => true
+            })
+          }
+          Out(name, op, Some(DynExpr.compile(opSpec \ "output")), 0, None,
+            frame, rangeFrame = rangeFrame, runit = runit,
+            n = nOpt.getOrElse(1), sortOut = sortOut)
         case _ => Out(name, op, Some(DynExpr.compile(opSpec)), 0, None, frame,
           rangeFrame = rangeFrame, runit = runit)
       }
@@ -1812,10 +1839,15 @@ object DynPipeline {
       outs.zipWithIndex.flatMap { case (o, i) => o.op match {
         case "$sum" | "$avg" =>
           Seq(StructField(s"__v$i", DoubleType), StructField(s"__int$i", BooleanType))
-        case "$min" | "$max" | "$addToSet" =>
+        case "$min" | "$max" | "$addToSet" | "$minN" | "$maxN" =>
           Seq(StructField(s"__b$i", BinaryType), StructField(s"__c$i", StringType))
         case "$push" | "$first" | "$last" | "$shift" =>
           Seq(StructField(s"__c$i", StringType))
+        case "$firstN" | "$lastN" =>
+          Seq(StructField(s"__c$i", StringType))
+        case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+          o.sortOut.indices.map(j => StructField(s"__t${i}_$j", BinaryType)) :+
+            StructField(s"__c$i", StringType)
         case "$locf" =>
           Seq(StructField(s"__c$i", StringType))
         case op if numOps(op) =>
@@ -1852,10 +1884,18 @@ object DynPipeline {
             val v = o.input.get.eval(dctx)
             if (v != null && v.isNumber) { vals += v.doubleValue; vals += v.isIntegralNumber }
             else { vals += null; vals += true } // non-numeric: $sum skips (0), $avg skips
-          case "$min" | "$max" | "$addToSet" =>
+          case "$min" | "$max" | "$addToSet" | "$minN" | "$maxN" =>
             val v = o.input.get.eval(dctx)
             if (v == null || v.isNull || isMissing(v)) { vals += null; vals += null }
             else { vals += sortableKey(v); vals += canonical(v) }
+          case "$firstN" | "$lastN" => // null/missing skipped (typed parity:
+            // collect_list drops SQL nulls)
+            val v = o.input.get.eval(dctx)
+            vals += (if (v == null || v.isNull || isMissing(v)) null else canonical(v))
+          case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+            o.sortOut.foreach { case (sop, _) => vals += sortableKey(sop.eval(dctx)) }
+            val v = o.input.get.eval(dctx)
+            vals += (if (v == null || isMissing(v)) "null" else canonical(v))
           case "$push" => // MISSING contributes nothing (SQL-null slot is
             // dropped by collect_list); explicit null IS pushed
             val v = o.input.get.eval(dctx)
@@ -1970,6 +2010,44 @@ object DynPipeline {
               struct(col(s"__b$i").as("b"), col(s"__c$i").as("c"))))
               .over(framed(o))),
             e => e.getField("c"))
+        case "$minN" | "$maxN" => // n smallest/largest by BSON order
+          val sorted = array_sort(
+            collect_list(when(col(s"__b$i").isNotNull,
+              struct(col(s"__b$i").as("b"), col(s"__c$i").as("c"))))
+              .over(framed(o)))
+          transform(
+            slice(if (o.op == "$maxN") reverse(sorted) else sorted, 1, o.n),
+            e => e.getField("c"))
+        case "$firstN" | "$lastN" =>
+          val (f, rev) = framedRev(o)
+          val all0 = collect_list(col(s"__c$i")).over(f)
+          val all = if (rev) reverse(all0) else all0
+          if (o.op == "$firstN") slice(all, lit(1), lit(o.n))
+          else slice(all, greatest(size(all) - o.n + 1, lit(1)), lit(o.n))
+        case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+          // packed (sort keys..., canonical output) sorted by the BSON
+          // binary keys with per-key direction
+          val packed = struct(
+            (o.sortOut.indices.map(j => col(s"__t${i}_$j").as(s"k$j")) :+
+              col(s"__c$i").as("c")): _*)
+          def cmpP(l: Column, r: Column): Column =
+            o.sortOut.zipWithIndex.foldRight(lit(0)) { case (((_, asc), j), tie) =>
+              val (lf, rf) = (l.getField(s"k$j"), r.getField(s"k$j"))
+              when(lf < rf, lit(if (asc) -1 else 1))
+                .when(lf > rf, lit(if (asc) 1 else -1))
+                .otherwise(tie)
+            }
+          val sorted = array_sort(collect_list(packed).over(framed(o)),
+            (l, r) => cmpP(l, r))
+          o.op match {
+            case "$top"    => element_at(sorted, 1).getField("c")
+            case "$bottom" => element_at(sorted, -1).getField("c")
+            case "$topN"   =>
+              transform(slice(sorted, lit(1), lit(o.n)), _.getField("c"))
+            case _ =>
+              transform(slice(sorted, greatest(size(sorted) - o.n + 1, lit(1)),
+                lit(o.n)), _.getField("c"))
+          }
         case "$stdDevPop"  => stddev_pop(col(s"__v$i")).over(framed(o))
         case "$stdDevSamp" => stddev_samp(col(s"__v$i")).over(framed(o))
         case "$median" =>
@@ -2065,11 +2143,16 @@ object DynPipeline {
             case "$avg" =>
               val st = r.getStruct(idx)
               if (st.isNullAt(0)) nodes.nullNode else nodes.numberNode(st.getDouble(0))
-            case "$min" | "$max" | "$first" | "$last" | "$shift" | "$locf" =>
+            case "$min" | "$max" | "$first" | "$last" | "$shift" | "$locf" |
+                 "$top" | "$bottom" =>
               if (r.isNullAt(idx)) nodes.nullNode else parse(r.getString(idx))
             case "$push" =>
               val a = arr()
               r.getSeq[String](idx).foreach(s => a.add(parse(s)))
+              a
+            case "$minN" | "$maxN" | "$firstN" | "$lastN" | "$topN" | "$bottomN" =>
+              val a = arr()
+              if (!r.isNullAt(idx)) r.getSeq[String](idx).foreach(s => a.add(parse(s)))
               a
             case "$addToSet" =>
               val a = arr()

@@ -50,6 +50,17 @@ object MultimodalOps {
       Some((be32(16), be32(20), channels, "png"))
     } else None
 
+  /** GIF dimensions from the logical screen descriptor: "GIF87a"/"GIF89a"
+    * signature, then width and height as little-endian u16 at bytes 6-9.
+    * Palette-indexed color decodes to RGB → 3 channels. */
+  private[llm] def gifMeta(b: Array[Byte]): Option[(Int, Int, Int, String)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+      val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+      Some((w, h, 3, "gif"))
+    } else None
+
   /** JPEG dimensions from the first SOF frame header — walks the marker
     * segments (each FF xx followed by a big-endian length, standalone
     * RST/TEM/SOI markers excepted) until a start-of-frame marker
@@ -90,8 +101,9 @@ object MultimodalOps {
 
   /** Decode each media blob to image metadata.
     *
-    * REAL header decode for PNG (IHDR) and JPEG (SOF0/SOF2 marker scan) —
-    * both are dependency-free byte parsing. Blobs that are neither fall
+    * REAL header decode for PNG (IHDR), JPEG (SOF0/SOF2 marker scan), and
+    * GIF (logical screen descriptor) — all dependency-free byte parsing.
+    * Blobs that are none of these fall
     * back to the loudly-marked STUB (deterministic fake dimensions from the
     * byte length): full decoders for other formats don't ship in this
     * container. The mapPartitions shape (one decoder per partition,
@@ -106,7 +118,7 @@ object MultimodalOps {
         val n = if (bytes == null) 0 else bytes.length
         val parsed =
           if (n == 0) None
-          else pngMeta(bytes).orElse(jpegMeta(bytes))
+          else pngMeta(bytes).orElse(jpegMeta(bytes)).orElse(gifMeta(bytes))
         parsed match {
           case Some((w, h, c, fmt)) => Row(id, n, w, h, c, fmt)
           case None =>

@@ -291,6 +291,18 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // windowed N-family: minN/firstN/top/bottomN over document frames
+    """[{"$setWindowFields": {"sortBy": {"a": 1},
+          "output": {"mn2": {"$minN": {"input": "$b", "n": 2},
+                             "window": {"documents": ["unbounded", "current"]}},
+                     "f2": {"$firstN": {"input": "$a", "n": 2},
+                            "window": {"documents": [-2, "current"]}},
+                     "tp": {"$top": {"output": "$_id",
+                                     "sortBy": {"b": -1, "_id": 1}}},
+                     "bn2": {"$bottomN": {"output": "$_id",
+                                          "sortBy": {"b": 1, "_id": 1},
+                                          "n": 2}}}}},
+        {"$project": {"mn2": 1, "f2": 1, "tp": 1, "bn2": 1}}]""",
     // range-window calculus: $integral over value-distance frames (both the
     // growing and the reversed shrinking form) must agree between engines
     """[{"$match": {"a": {"$ne": null}}},

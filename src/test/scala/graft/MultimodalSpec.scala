@@ -46,8 +46,11 @@ class MultimodalSpec extends SparkSpec {
         new Array[Byte](9)
     // progressive JPEG variant: SOF2 instead of SOF0
     val jpegP = jpeg.clone(); jpegP(21) = 0xc2.toByte
+    // GIF89a logical screen descriptor: 320x200 little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00) ++ new Array[Byte](4)
     val df = spark.createDataFrame(Seq(
-      (1L, png), (2L, jpeg), (3L, jpegP),
+      (1L, png), (2L, jpeg), (3L, jpegP), (5L, gif),
       (4L, "not an image".getBytes("UTF-8"))))
       .toDF("media_id", "media")
     val out = MultimodalOps.decodeImageMeta(df).collect()
@@ -56,6 +59,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == ((640, 480, 4, "png")))
     assert(out(2L) == ((640, 480, 3, "jpeg")))
     assert(out(3L) == ((640, 480, 3, "jpeg-progressive")))
+    assert(out(5L) == ((320, 200, 3, "gif")))
     assert(out(4L)._4 == "stub") // non-image bytes keep the stub fallback
   }
 
