@@ -384,6 +384,93 @@ object DedupOps {
       converged = changed.value == 0L
       i += 1
     }
+    // silent wrong labels are worse than an error: a component whose
+    // DIAMETER exceeds maxIter has not finished propagating its min
+    if (!converged) throw new IllegalStateException(
+      s"hash-min label propagation did not converge in $maxIter rounds — " +
+        "a duplicate cluster's diameter exceeds maxIter; raise it, or use " +
+        "clustersLogD (large-star/small-star, O(log diameter) rounds)")
     labels
+  }
+
+  /** Connected components in O(log diameter) rounds: alternating
+    * LARGE-STAR / SMALL-STAR edge rewrites (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * each node hooks onto the minimum of its neighborhood, halving chain
+    * lengths per round instead of walking them. Use over [[clusters]] when
+    * components can be LONG CHAINS (URL redirect graphs, co-citation
+    * chains); for dense near-dup clusters both converge in a few rounds.
+    *
+    * Each half-round is one groupBy(min) + one join, both hash-shuffled on
+    * the node id; the edge set is localCheckpointed per round with the
+    * round's (count, hash) folded into the SAME job via accumulators —
+    * convergence = two identical consecutive edge fingerprints, no extra
+    * action. Output matches [[clusters]]: (id, cluster-min) per node. */
+  def clustersLogD(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cnt = spark.sparkContext.longAccumulator("cc_edge_count")
+    val sig = spark.sparkContext.longAccumulator("cc_edge_hash")
+    def fingerprinted(e: DataFrame): DataFrame = {
+      cnt.reset(); sig.reset()
+      e.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (u, v) =>
+            cnt.add(1L)
+            // order-independent fold: sum of per-edge hashes
+            sig.add(java.lang.Long.rotateLeft(u * 0x9E3779B97F4A7C15L, 17) ^
+              (v * 0xC2B2AE3D27D4EB4FL))
+            (u, v)
+          }
+        }.toDF("u", "v").localCheckpoint() // eager: fills cnt/sig
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("lu"), least(col("mv"), col("u")).as("m"))
+      nbrs.join(mins, nbrs("u") === col("lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = dir.groupBy("u").agg(min("v").as("m"))
+        .select(col("u").as("su"), col("m"))
+      dir.join(mins, dir("u") === col("su"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("su").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = fingerprinted(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val allNodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().localCheckpoint()
+    var prev = (cnt.value.longValue, sig.value.longValue)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = fingerprinted(smallStar(largeStar(edges)))
+      val cur = (cnt.value.longValue, sig.value.longValue)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"large-star/small-star did not converge in $maxIter rounds")
+    // converged edges form stars: every node points at its component min
+    val labeled = edges.select(greatest(col("u"), col("v")).as("id"),
+      least(col("u"), col("v")).as("cluster"))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+    // component minima (and isolated nodes of self-loop-only input) label
+    // themselves
+    allNodes.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 }

@@ -85,4 +85,33 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 16 && got.values.forall(_ == 0L))
   }
+
+  test("clusters FAILS LOUDLY past maxIter; clustersLogD handles the same chain in O(log d)") {
+    // a 150-edge chain: hash-min moves the min ONE hop per round, so
+    // maxIter=20 cannot converge — silent wrong labels would be a dedup
+    // disaster; the error must point at the O(log d) alternative
+    val chain = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.llm.DedupOps.clusters(chain, maxIter = 20).collect()
+    }
+    assert(e.getMessage.contains("clustersLogD"))
+    val logd = graft.llm.DedupOps.clustersLogD(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(logd.size == 151 && logd.values.forall(_ == 0L))
+  }
+
+  test("clustersLogD matches clusters on a random multi-component graph") {
+    val rnd = new scala.util.Random(11)
+    // ~8 components of ~12 nodes with random intra-component edges
+    val pairs = (0 until 8).flatMap { c =>
+      val base = c * 100L
+      (0 until 18).map { _ =>
+        (base + rnd.nextInt(12), base + rnd.nextInt(12))
+      }
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(graft.llm.DedupOps.clustersLogD(pairs)) ==
+      m(graft.llm.DedupOps.clusters(pairs)))
+  }
 }
