@@ -920,6 +920,15 @@ object SparkEntry {
       DedupOps.simhashNearDup(t(s, dir, "documents"), "text", "doc_id",
         maxHamming = 3)
     }),
+    // END-TO-END near-dup removal: exact-dup pairs ∪ MinHash pairs → O(log d)
+    // connected components → keep the component min; md5 family so DuckDB
+    // replays the whole keep/drop decision incl. the recursive CC
+    "llm_dedup_near" -> ((s, dir) => {
+      tune(s)
+      DedupOps.dedupNear(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4,
+        md5Mode = true).select("doc_id")
+    }),
     // cross-engine-reproducible MinHash: the DuckDB oracle replays the WHOLE
     // LSH pipeline (md5 hash family, banding, candidates, jaccard verify)
     "llm_minhash_md5" -> ((s, dir) => {
@@ -1456,6 +1465,54 @@ object SparkEntry {
                         len(list_distinct(a.sh || b.sh)), 6)
                 END AS jaccard
          FROM s a JOIN s b ON a.doc_id < b.doc_id""",
+    "llm_dedup_near" ->
+      """WITH RECURSIVE
+         dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
+         d AS (SELECT doc,
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> length(x) > 0) AS toks
+               FROM dt),
+         s AS (SELECT doc,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+               FROM d),
+         sn AS (SELECT doc, sh FROM s WHERE len(sh) > 0),
+         e AS (SELECT doc, unnest(sh) AS shingle FROM sn),
+         h AS (SELECT e.doc, sd.seed,
+                      CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                           & 9223372036854775807 AS BIGINT) AS hv
+               FROM e CROSS JOIN (SELECT unnest(range(32)) AS seed) sd),
+         m AS (SELECT doc, seed, min(hv) AS minh FROM h GROUP BY doc, seed),
+         bk AS (SELECT doc, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM m GROUP BY doc, seed // 4),
+         p AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+               FROM bk a JOIN bk b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+         nearp AS (SELECT p.id_a, p.id_b
+                   FROM p JOIN sn x ON x.doc = p.id_a JOIN sn y ON y.doc = p.id_b
+                   WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                               len(list_distinct(x.sh || y.sh)), 6) >= 0.4),
+         exactp AS (SELECT r.id_a, g.doc_id AS id_b
+                    FROM (SELECT md5(text) AS hh, min(doc_id) AS id_a
+                          FROM documents GROUP BY 1) r
+                    JOIN (SELECT doc_id, md5(text) AS hh FROM documents) g
+                      USING (hh)
+                    WHERE g.doc_id <> r.id_a),
+         edges AS (SELECT id_a AS a, id_b AS b FROM nearp
+                   UNION SELECT id_b, id_a FROM nearp
+                   UNION SELECT id_a, id_b FROM exactp
+                   UNION SELECT id_b, id_a FROM exactp),
+         lbl AS (SELECT a AS id, a AS c FROM edges
+                 UNION
+                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b),
+         labels AS (SELECT id, min(c) AS cluster FROM lbl GROUP BY id),
+         drops AS (SELECT id FROM labels WHERE cluster <> id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM drops)""",
     "llm_minhash_md5" ->
       """WITH dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
          d AS (SELECT doc,

@@ -393,6 +393,34 @@ object DedupOps {
     labels
   }
 
+  /** End-to-end near-duplicate REMOVAL — the composed pipeline a training
+    * corpus actually runs: exact-duplicate pairs (same text → min-id
+    * representative, grouped on the md5 digest so full text never keys a
+    * shuffle) UNION MinHash-LSH near-dup pairs feed connected components
+    * ([[clustersLogD]], chain-proof), and every non-minimum member of a
+    * component drops. `md5Mode = true` swaps in the cross-engine md5 hash
+    * family so an external engine can replay the WHOLE keep/drop decision
+    * (the DuckDB oracle does); default xxhash64 for production speed. */
+  def dedupNear(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, md5Mode: Boolean = false): DataFrame = {
+    val g = df.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+    val reps = g.groupBy("h").agg(min("id").as("id_a"))
+    val exactPairs = g.join(reps, "h")
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+    val nearPairs =
+      (if (md5Mode) minhashLshMd5(df, textCol, idCol, shingleK, bands,
+        rowsPerBand, threshold)
+       else minhashLsh(df, textCol, idCol, shingleK, bands, rowsPerBand,
+         threshold))
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+    val labels = clustersLogD(exactPairs.union(nearPairs), "id_a", "id_b")
+    val drop = labels.filter(col("id") =!= col("cluster")).select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
   /** Connected components in O(log diameter) rounds: alternating
     * LARGE-STAR / SMALL-STAR edge rewrites (the MapReduce CC algorithm of
     * Kiveris et al., "Connected Components in MapReduce and Beyond") —
