@@ -649,6 +649,38 @@ object SparkEntry {
         get_json_object(col("doc"), "$.fill").cast("double").as("fill"),
         get_json_object(col("doc"), "$.ema").cast("double").as("ema"))
     }),
+    // dynamic windowed N-family: minN/lastN/top via the BSON-ordered packed
+    // structs (same oracle as the typed q_window_nfamily)
+    "q_dynamic_window_nfamily" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("event_type").as("et"),
+        col("ts"), col("value").as("v"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$setWindowFields": {
+              "partitionBy": "$et", "sortBy": {"ts": 1},
+              "output": {
+                "min3": {"$minN": {"input": "$v", "n": 3},
+                         "window": {"documents": ["unbounded", "current"]}},
+                "last2": {"$lastN": {"input": "$_id", "n": 2},
+                          "window": {"documents": [-3, "current"]}},
+                "topv": {"$top": {"output": "$_id",
+                                  "sortBy": {"v": -1, "_id": 1}},
+                         "window": {"documents": ["unbounded", "current"]}}}}},
+            {"$project": {"m1": {"$arrayElemAt": ["$min3", 0]},
+                          "m2": {"$arrayElemAt": ["$min3", 1]},
+                          "m3": {"$arrayElemAt": ["$min3", 2]},
+                          "la": {"$arrayElemAt": ["$last2", 0]},
+                          "lb": {"$arrayElemAt": ["$last2", 1]},
+                          "topv": 1}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("event_id"),
+        get_json_object(col("doc"), "$.m1").cast("double").as("m1"),
+        get_json_object(col("doc"), "$.m2").cast("double").as("m2"),
+        get_json_object(col("doc"), "$.m3").cast("double").as("m3"),
+        get_json_object(col("doc"), "$.la").cast("long").as("la"),
+        get_json_object(col("doc"), "$.lb").cast("long").as("lb"),
+        get_json_object(col("doc"), "$.topv").cast("long").as("topv"))
+    }),
     // dynamic expression breadth: dates, regex, sets, sortArray over
     // schemaless docs
     "q_dynamic_expr" -> ((s, dir) => {
@@ -2442,6 +2474,28 @@ object SparkEntry {
            wcum AS (PARTITION BY event_type ORDER BY ts
                     ROWS UNBOUNDED PRECEDING)""",
     "q_window_nfamily" ->
+      """WITH r0 AS (
+           SELECT event_id, event_type, ts, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rw
+           FROM events),
+         b AS (
+           SELECT event_id,
+                  list_sort(list(value) OVER wc) AS mins,
+                  list(event_id) OVER w3 AS l2,
+                  arg_min(event_id, rw) OVER wc AS topv
+           FROM r0
+           WINDOW
+             wc AS (PARTITION BY event_type ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING),
+             w3 AS (PARTITION BY event_type ORDER BY ts
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+         SELECT event_id, mins[1] AS m1, mins[2] AS m2, mins[3] AS m3,
+                l2[greatest(len(l2) - 1, 1)] AS la,
+                CASE WHEN len(l2) >= 2 THEN l2[len(l2)] END AS lb,
+                topv
+         FROM b""",
+    "q_dynamic_window_nfamily" ->
       """WITH r0 AS (
            SELECT event_id, event_type, ts, value,
                   row_number() OVER (PARTITION BY event_type
