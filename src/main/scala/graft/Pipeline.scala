@@ -1488,27 +1488,40 @@ private[graft] object Stages {
           }
           graft.functions.EmaAgg.ema(cexpr(opSpec \ "input"), alpha).over(
             ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        // N-family window operators ride graft.functions.BoundedTopK — the
+        // composable collect_list+array_sort form re-sorts the WHOLE
+        // collected history per row of a growing frame (O(frame² log frame),
+        // a measured multi-minute stall at sf0.1); the bounded incremental
+        // aggregate is O(log k) per row with at most k buffered rows
         case "$minN" | "$maxN" => // n smallest/largest over the frame
           val JObject(fs) = (opSpec: @unchecked)
           val input = cexpr(fs.collectFirst { case ("input", v) => v }
             .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
           val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
             .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
-          val sorted = array_sort(collect_list(input).over(framed))
-          slice(if (op == "$maxN") reverse(sorted) else sorted, 1, n)
+          // null inputs skipped (NULL packed row), Mongo's rule
+          val packed = when(input.isNotNull,
+            struct(input.as("__k0"), input.as("__out")))
+          transform(graft.functions.BoundedTopK.sortedTopK(packed,
+            Seq(op == "$minN"), n).over(framed), _.getField("__out"))
         case "$firstN" | "$lastN" => // first/last n in frame (sort) order
           val JObject(fs) = (opSpec: @unchecked)
           val input = cexpr(fs.collectFirst { case ("input", v) => v }
             .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
           val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
             .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
-          val all0 = collect_list(input).over(framed)
-          val all = if (reversed) reverse(all0) else all0
-          if (op == "$firstN") slice(all, lit(1), lit(n))
-          else slice(all, greatest(size(all) - n + 1, lit(1)), lit(n))
+          val packed = when(input.isNotNull, struct(input.as("__out")))
+          // a reversed (shrinking→reversed-order) frame flips arrival order:
+          // firstN becomes lastN of the reversed stream, read back reversed
+          val takeFirst = (op == "$firstN") != reversed
+          val kept = (if (takeFirst)
+            graft.functions.BoundedTopK.firstN(packed, n)
+          else graft.functions.BoundedTopK.lastN(packed, n)).over(framed)
+          val ordered0 = if (reversed) reverse(kept) else kept
+          transform(ordered0, _.getField("__out"))
         case "$top" | "$bottom" | "$topN" | "$bottomN" =>
-          // {output, sortBy, n?} over the frame — same packed-struct
-          // null-safe comparator as the group accumulators
+          // {output, sortBy, n?} over the frame — same null-safe Mongo
+          // comparator rule as the group accumulators, kept incrementally
           val JObject(fs) = (opSpec: @unchecked)
           val output = cexpr(fs.collectFirst { case ("output", v) => v }
             .getOrElse(throw new IllegalArgumentException(s"$op needs output")))
@@ -1517,33 +1530,25 @@ private[graft] object Stages {
           val nOpt = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
           if ((op == "$topN" || op == "$bottomN") && nOpt.isEmpty)
             throw new IllegalArgumentException(s"$op needs a literal n")
+          val dirs = sortKeys2.map { case (_, dir) => dir match {
+            case JInt(v)    => v >= 0
+            case JLong(v)   => v >= 0
+            case JDouble(d) => d >= 0
+            case _          => true
+          }}
           val packed = struct((sortKeys2.zipWithIndex.map { case ((f, _), i) =>
             cexpr(JString("$" + f)).as(s"__k$i") } :+ output.as("__out")): _*)
-          def cmp2(l: Column, r: Column): Column =
-            sortKeys2.zipWithIndex.foldRight(lit(0)) { case (((_, dir), i), tie) =>
-              val asc = dir match {
-                case JInt(v)    => v >= 0
-                case JLong(v)   => v >= 0
-                case JDouble(d) => d >= 0
-                case _          => true
-              }
-              val (lf, rf) = (l.getField(s"__k$i"), r.getField(s"__k$i"))
-              when(lf.isNull && rf.isNull, tie)
-                .when(lf.isNull || lf < rf, lit(if (asc) -1 else 1))
-                .when(rf.isNull || lf > rf, lit(if (asc) 1 else -1))
-                .otherwise(tie)
-            }
-          val sortedP = array_sort(collect_list(packed).over(framed),
-            (l, r) => cmp2(l, r))
+          def keep(ds: Seq[Boolean], k: Int) =
+            graft.functions.BoundedTopK.sortedTopK(packed, ds, k).over(framed)
           op match {
-            case "$top"    => element_at(sortedP, 1).getField("__out")
-            case "$bottom" => element_at(sortedP, -1).getField("__out")
-            case "$topN"   => transform(slice(sortedP, lit(1), lit(nOpt.get)),
-              _.getField("__out"))
-            case _ =>
-              val n = nOpt.get
-              transform(slice(sortedP, greatest(size(sortedP) - n + 1, lit(1)),
-                lit(n)), _.getField("__out"))
+            case "$top" => element_at(keep(dirs, 1), 1).getField("__out")
+            case "$bottom" => // best under flipped directions = sort-order last
+              element_at(keep(dirs.map(!_), 1), 1).getField("__out")
+            case "$topN" =>
+              transform(keep(dirs, nOpt.get), _.getField("__out"))
+            case _ => // bottomN: flipped keep, read back in ascending order
+              transform(reverse(keep(dirs.map(!_), nOpt.get)),
+                _.getField("__out"))
           }
         case "$rank"           => rank().over(ordered)
         case "$denseRank"      => dense_rank().over(ordered)

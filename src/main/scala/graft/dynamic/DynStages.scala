@@ -2010,43 +2010,39 @@ object DynPipeline {
               struct(col(s"__b$i").as("b"), col(s"__c$i").as("c"))))
               .over(framed(o))),
             e => e.getField("c"))
+        // N-family rides graft.functions.BoundedTopK (same reason as the
+        // typed engine: collect+re-sort per growing-frame row is
+        // O(frame² log frame); the bounded aggregate is O(log k) per row)
         case "$minN" | "$maxN" => // n smallest/largest by BSON order
-          val sorted = array_sort(
-            collect_list(when(col(s"__b$i").isNotNull,
-              struct(col(s"__b$i").as("b"), col(s"__c$i").as("c"))))
-              .over(framed(o)))
-          transform(
-            slice(if (o.op == "$maxN") reverse(sorted) else sorted, 1, o.n),
-            e => e.getField("c"))
+          val packed = when(col(s"__b$i").isNotNull,
+            struct(col(s"__b$i").as("b"), col(s"__c$i").as("c")))
+          transform(graft.functions.BoundedTopK.sortedTopK(packed,
+            Seq(o.op == "$minN"), o.n).over(framed(o)), _.getField("c"))
         case "$firstN" | "$lastN" =>
           val (f, rev) = framedRev(o)
-          val all0 = collect_list(col(s"__c$i")).over(f)
-          val all = if (rev) reverse(all0) else all0
-          if (o.op == "$firstN") slice(all, lit(1), lit(o.n))
-          else slice(all, greatest(size(all) - o.n + 1, lit(1)), lit(o.n))
+          val packed = when(col(s"__c$i").isNotNull,
+            struct(col(s"__c$i").as("c")))
+          val takeFirst = (o.op == "$firstN") != rev
+          val kept = (if (takeFirst)
+            graft.functions.BoundedTopK.firstN(packed, o.n)
+          else graft.functions.BoundedTopK.lastN(packed, o.n)).over(f)
+          transform(if (rev) reverse(kept) else kept, _.getField("c"))
         case "$top" | "$bottom" | "$topN" | "$bottomN" =>
-          // packed (sort keys..., canonical output) sorted by the BSON
-          // binary keys with per-key direction
+          // packed (BSON-binary sort keys..., canonical output) kept
+          // incrementally with per-key direction
           val packed = struct(
             (o.sortOut.indices.map(j => col(s"__t${i}_$j").as(s"k$j")) :+
               col(s"__c$i").as("c")): _*)
-          def cmpP(l: Column, r: Column): Column =
-            o.sortOut.zipWithIndex.foldRight(lit(0)) { case (((_, asc), j), tie) =>
-              val (lf, rf) = (l.getField(s"k$j"), r.getField(s"k$j"))
-              when(lf < rf, lit(if (asc) -1 else 1))
-                .when(lf > rf, lit(if (asc) 1 else -1))
-                .otherwise(tie)
-            }
-          val sorted = array_sort(collect_list(packed).over(framed(o)),
-            (l, r) => cmpP(l, r))
+          val dirs = o.sortOut.map(_._2)
+          def keep(ds: Seq[Boolean], k: Int) =
+            graft.functions.BoundedTopK.sortedTopK(packed, ds, k).over(framed(o))
           o.op match {
-            case "$top"    => element_at(sorted, 1).getField("c")
-            case "$bottom" => element_at(sorted, -1).getField("c")
-            case "$topN"   =>
-              transform(slice(sorted, lit(1), lit(o.n)), _.getField("c"))
+            case "$top" => element_at(keep(dirs, 1), 1).getField("c")
+            case "$bottom" => element_at(keep(dirs.map(!_), 1), 1).getField("c")
+            case "$topN" =>
+              transform(keep(dirs, o.n), _.getField("c"))
             case _ =>
-              transform(slice(sorted, greatest(size(sorted) - o.n + 1, lit(1)),
-                lit(o.n)), _.getField("c"))
+              transform(reverse(keep(dirs.map(!_), o.n)), _.getField("c"))
           }
         case "$stdDevPop"  => stddev_pop(col(s"__v$i")).over(framed(o))
         case "$stdDevSamp" => stddev_samp(col(s"__v$i")).over(framed(o))
