@@ -1124,7 +1124,10 @@ object SparkEntry {
     // byte-identical pages.
     "llm_decontaminate_fuzzy" -> ((s, dir) => {
       tune(s)
-      val docs = t(s, dir, "documents")
+      // deterministic half of the corpus: md5 replay mode pays 32 md5
+      // hashes per shingle (verification-grade; production runs xxhash64
+      // via md5Mode=false), so the bench-facing oracle query bounds it
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       val toks = filter(split(trim(lower(col("text"))), "\\s+"),
         x => length(x) > 0)
       val bench = docs.filter(col("doc_id") % 50 === 0)
@@ -1133,7 +1136,7 @@ object SparkEntry {
             greatest(lit(1), ceil(size(toks) * 0.8).cast("int")))).as("text"))
       CorpusOps.decontaminateFuzzy(docs, bench,
         "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
-        threshold = 0.5)
+        threshold = 0.5, md5Mode = true)
     }),
     // C4/RefinedWeb-style per-domain cap: deterministic md5-priority keep
     "llm_domain_cap" -> ((s, dir) => {
@@ -2172,7 +2175,7 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          LEFT JOIN h USING (doc_id)""",
     "llm_decontaminate_fuzzy" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
          benchsrc AS (
            SELECT doc_id,
                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),

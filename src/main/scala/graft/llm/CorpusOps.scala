@@ -86,15 +86,21 @@ object CorpusOps {
     * banded relation broadcasts and the corpus is never self-joined. */
   def decontaminateFuzzy(corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, shingleK: Int = 3, bands: Int = 8,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      md5Mode: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
       val sh = df.select(col(idCol).as("doc"),
         DedupOps.shingles(col(textCol), shingleK).as("sh"))
         .filter(size(col("sh")) > 0)
+      // md5 family for external replay (the DuckDB oracle), fused xxhash64
+      // (graft.functions.MinHashAgg) for production throughput
       val sigs = sh.select(col("doc"), explode(col("sh")).as("shingle"))
         .groupBy("doc")
-        .agg(graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes).as("sig"))
+        .agg((if (md5Mode)
+          graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes)
+        else graft.functions.HashAggs.minhash(col("shingle"), numHashes))
+          .as("sig"))
       val banded = sigs.select(col("doc"),
         posexplode(array((0 until bands).map(b =>
           concat_ws(",", transform(
