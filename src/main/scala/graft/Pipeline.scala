@@ -574,14 +574,20 @@ private[graft] object Stages {
           case other => throw new IllegalArgumentException(s"$$percentile p: $other")
         }
       percentile(input, array(ps: _*))
+    // the group-side N-family rides graft.functions.BoundedTopK: the
+    // collect_list formulation buffered the WHOLE group per key (unbounded
+    // memory on a billion-row group); the bounded aggregate keeps at most
+    // n rows per partial AND prunes map-side before the shuffle
     case "$maxN" | "$minN" => // n largest/smallest, Mongo's output ordering
       val JObject(fs) = (spec: @unchecked)
       val input = cexpr(fs.collectFirst { case ("input", v) => v }
         .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
       val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
         .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
-      val sorted = array_sort(collect_list(input)) // collect_list drops nulls
-      slice(if (op == "$maxN") reverse(sorted) else sorted, 1, n)
+      val packed = when(input.isNotNull, // nulls skipped, Mongo's rule
+        struct(input.as("__k0"), input.as("__out")))
+      transform(graft.functions.BoundedTopK.sortedTopK(packed,
+        Seq(op == "$minN"), n), _.getField("__out"))
     case "$firstN" | "$lastN" => // first/last n in encounter order (same
       // no-total-order caveat as $first/$last without a preceding $sort)
       val JObject(fs) = (spec: @unchecked)
@@ -589,14 +595,14 @@ private[graft] object Stages {
         .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
       val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
         .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
-      val all = collect_list(input)
-      if (op == "$firstN") slice(all, lit(1), lit(n))
-      else slice(all, greatest(size(all) - n + 1, lit(1)), lit(n))
+      val packed = when(input.isNotNull, struct(input.as("__out")))
+      transform(if (op == "$firstN")
+        graft.functions.BoundedTopK.firstN(packed, n)
+      else graft.functions.BoundedTopK.lastN(packed, n), _.getField("__out"))
     case "$top" | "$bottom" | "$topN" | "$bottomN" =>
-      // {output, sortBy: {f: 1|-1}, n?} — the group's docs sorted by sortBy;
-      // $top/$topN take from the front, $bottom/$bottomN from the back.
-      // Sort keys ride along inside the collected struct; the comparator is
-      // null-safe with Mongo's nulls-first ascending rule.
+      // {output, sortBy: {f: 1|-1}, n?} — the group's best docs under the
+      // null-safe Mongo comparator (nulls first ascending); $bottom* =
+      // flipped directions + reversed readout
       val JObject(fs) = (spec: @unchecked)
       val output = cexpr(fs.collectFirst { case ("output", v) => v }
         .getOrElse(throw new IllegalArgumentException(s"$op needs output")))
@@ -605,32 +611,22 @@ private[graft] object Stages {
       val nOpt = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
       if ((op == "$topN" || op == "$bottomN") && nOpt.isEmpty)
         throw new IllegalArgumentException(s"$op needs a literal n")
+      val dirs = sortKeys.map { case (_, dir) => dir match {
+        case JInt(v)    => v >= 0
+        case JLong(v)   => v >= 0
+        case JDouble(d) => d >= 0
+        case _          => true
+      }}
       val packed = struct((sortKeys.zipWithIndex.map { case ((f, _), i) =>
         cexpr(JString("$" + f)).as(s"__k$i") } :+ output.as("__out")): _*)
-      def cmp(l: Column, r: Column): Column =
-        sortKeys.zipWithIndex.foldRight(lit(0)) { case (((_, dir), i), tie) =>
-          val asc = dir match {
-            case JInt(v)    => v >= 0
-            case JLong(v)   => v >= 0
-            case JDouble(d) => d >= 0
-            case _          => true
-          }
-          val (lf, rf) = (l.getField(s"__k$i"), r.getField(s"__k$i"))
-          when(lf.isNull && rf.isNull, tie)
-            .when(lf.isNull || lf < rf, lit(if (asc) -1 else 1))
-            .when(rf.isNull || lf > rf, lit(if (asc) 1 else -1))
-            .otherwise(tie)
-        }
-      val sorted = array_sort(collect_list(packed), (l, r) => cmp(l, r))
+      def keep(ds: Seq[Boolean], k: Int) =
+        graft.functions.BoundedTopK.sortedTopK(packed, ds, k)
       op match {
-        case "$top"    => element_at(sorted, 1).getField("__out")
-        case "$bottom" => element_at(sorted, -1).getField("__out")
-        case "$topN"   => transform(slice(sorted, lit(1), lit(nOpt.get)),
+        case "$top"    => element_at(keep(dirs, 1), 1).getField("__out")
+        case "$bottom" => element_at(keep(dirs.map(!_), 1), 1).getField("__out")
+        case "$topN"   => transform(keep(dirs, nOpt.get), _.getField("__out"))
+        case _ => transform(reverse(keep(dirs.map(!_), nOpt.get)),
           _.getField("__out"))
-        case _ =>
-          val n = nOpt.get
-          transform(slice(sorted, greatest(size(sorted) - n + 1, lit(1)),
-            lit(n)), _.getField("__out"))
       }
     case other => throw new IllegalArgumentException(s"unsupported accumulator $other")
   }
