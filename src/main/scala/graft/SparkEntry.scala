@@ -681,6 +681,34 @@ object SparkEntry {
         get_json_object(col("doc"), "$.lb").cast("long").as("lb"),
         get_json_object(col("doc"), "$.topv").cast("long").as("topv"))
     }),
+    // dynamic $fill locf over schemaless docs (to_json drops the nulled
+    // value -> MISSING, the dynamic fillable state)
+    "q_dynamic_fill" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("event_type").as("et"), col("ts"),
+        when(col("event_id") % 3 === 0, lit(null))
+          .otherwise(col("value")).as("v"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$fill": {"partitionBy": "$et", "sortBy": {"ts": 1, "_id": 1},
+                       "output": {"v": {"method": "locf"}}}},
+            {"$project": {"v": 1}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("event_id"),
+        get_json_object(col("doc"), "$.v").cast("double").as("v"))
+    }),
+    // dynamic $densify: per-partition gap rows on an integer grid
+    "q_dynamic_densify" -> ((s, dir) => {
+      val docs = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("_id"), col("event_type").as("et"),
+        (col("user_id") % 50).as("slot"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$densify": {"field": "slot", "partitionByFields": ["et"],
+                          "range": {"step": 1, "bounds": [0, 50]}}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("event_id"),
+        get_json_object(col("doc"), "$.et").as("event_type"),
+        get_json_object(col("doc"), "$.slot").cast("long").as("slot"))
+    }),
     // dynamic expression breadth: dates, regex, sets, sortArray over
     // schemaless docs
     "q_dynamic_expr" -> ((s, dir) => {
@@ -2627,6 +2655,28 @@ object SparkEntry {
            SELECT * FROM (VALUES (CAST(100 AS BIGINT), 'alpha'),
                                  (CAST(101 AS BIGINT), 'beta')) v(k, name))""",
     "q_densify" ->
+      """WITH e AS (SELECT event_id, event_type, user_id % 50 AS slot
+                    FROM events),
+         parts AS (SELECT DISTINCT event_type FROM e),
+         gen AS (SELECT event_type, unnest(generate_series(0, 49)) AS slot
+                 FROM parts),
+         miss AS (SELECT g.event_type, g.slot FROM gen g
+                  ANTI JOIN (SELECT DISTINCT event_type, slot FROM e) x
+                  ON g.event_type = x.event_type AND g.slot = x.slot)
+         SELECT event_id, event_type, slot FROM e
+         UNION ALL
+         SELECT NULL, event_type, slot FROM miss""",
+    "q_dynamic_fill" ->
+      """WITH e AS (SELECT event_id, event_type, ts,
+                           CASE WHEN event_id % 3 = 0 THEN NULL
+                                ELSE value END AS v
+                    FROM events)
+         SELECT event_id,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS v
+         FROM e""",
+    "q_dynamic_densify" ->
       """WITH e AS (SELECT event_id, event_type, user_id % 50 AS slot
                     FROM events),
          parts AS (SELECT DISTINCT event_type FROM e),
