@@ -114,4 +114,58 @@ class FunctionsSpec extends SparkSpec {
     assert(m(graft.llm.DedupOps.clustersLogD(pairs)) ==
       m(graft.llm.DedupOps.clusters(pairs)))
   }
+
+  test("BoundedTopK matches a brute-force reference on random data (nulls, ties, dirs)") {
+    import graft.functions.BoundedTopK
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(4)
+      val asc0 = rnd.nextBoolean(); val asc1 = rnd.nextBoolean()
+      // small key domain forces ties; ~15% nulls in the first key
+      val rows = Seq.tabulate(120) { i =>
+        (i.toLong,
+          if (rnd.nextInt(7) == 0) None else Some(rnd.nextInt(5).toLong),
+          rnd.nextInt(4).toLong)
+      }
+      val df = rows.toDF("id", "k0", "k1").coalesce(1)
+      val packed = struct(col("k0").as("a"), col("k1").as("b"), col("id").as("out"))
+      val got = df.agg(BoundedTopK.sortedTopK(packed, Seq(asc0, asc1), n).as("t"))
+        .select(transform(col("t"), _.getField("out")).as("ids"))
+        .head().getSeq[Long](0).toList
+      // reference: stable sort with Mongo's null rule (nulls first asc,
+      // last desc), take n
+      def keyOrd(v: Option[Long], asc: Boolean): (Int, Long) =
+        v match {
+          case None    => (if (asc) 0 else 2, 0L)
+          case Some(x) => (1, if (asc) x else -x)
+        }
+      val want = rows.sortBy { case (_, k0, k1) =>
+        (keyOrd(k0, asc0), keyOrd(Some(k1), asc1)) }.take(n).map(_._1).toList
+      assert(got == want, s"trial $trial n=$n asc=($asc0,$asc1)")
+      // window form over a growing frame: per-row prefix top-n
+      val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gotW = df.select(col("id"),
+        transform(BoundedTopK.sortedTopK(packed, Seq(asc0, asc1), n).over(w),
+          _.getField("out")).as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      rows.indices.foreach { i =>
+        val prefix = rows.take(i + 1)
+        val wantP = prefix.sortBy { case (_, k0, k1) =>
+          (keyOrd(k0, asc0), keyOrd(Some(k1), asc1)) }.take(n).map(_._1).toList
+        assert(gotW(i.toLong) == wantP, s"trial $trial row $i")
+      }
+    }
+  }
+
+  test("BoundedTopK first/last modes keep arrival order with bounded state") {
+    import graft.functions.BoundedTopK
+    val df = (1L to 50L).toDF("id").coalesce(1)
+    val packed = struct(col("id").as("out"))
+    def ids(c: org.apache.spark.sql.Column) =
+      df.agg(c.as("t")).select(transform(col("t"), _.getField("out")))
+        .head().getSeq[Long](0).toList
+    assert(ids(BoundedTopK.firstN(packed, 3)) == List(1L, 2L, 3L))
+    assert(ids(BoundedTopK.lastN(packed, 3)) == List(48L, 49L, 50L))
+  }
 }
