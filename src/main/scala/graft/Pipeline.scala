@@ -105,10 +105,17 @@ final class Pipeline(
         case other   => throw new IllegalArgumentException(s"$$skip: $other")
       }
       case "$sample" => // DEVIATION: deterministic hash order, not random —
-        // reproducible runs and oracle checks beat true randomness here
+        // reproducible runs and oracle checks beat true randomness here.
+        // Priority = xxhash64 of the canonical {"_id": <id>} rendering so
+        // BOTH engines pick the same subset (the dynamic engine hashes the
+        // same string); corpora without _id hash all columns (engine-local).
         spec \ "size" match {
           case JInt(n) =>
-            df.orderBy(xxhash64(df.columns.map(col): _*)).limit(n.toInt)
+            val priority =
+              if (df.columns.contains("_id"))
+                xxhash64(to_json(struct(col("_id").as("_id"))))
+              else xxhash64(df.columns.map(col).toIndexedSeq: _*)
+            df.orderBy(priority).limit(n.toInt)
           case other => throw new IllegalArgumentException(s"$$sample: $other")
         }
       case "$sortByCount" =>
@@ -589,13 +596,15 @@ private[graft] object Stages {
       transform(graft.functions.BoundedTopK.sortedTopK(packed,
         Seq(op == "$minN"), n), _.getField("__out"))
     case "$firstN" | "$lastN" => // first/last n in encounter order (same
-      // no-total-order caveat as $first/$last without a preceding $sort)
+      // no-total-order caveat as $first/$last without a preceding $sort).
+      // Mongo does NOT filter nulls here (unlike $minN/$maxN) — missing and
+      // null inputs occupy their position as null
       val JObject(fs) = (spec: @unchecked)
       val input = cexpr(fs.collectFirst { case ("input", v) => v }
         .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
       val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
         .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
-      val packed = when(input.isNotNull, struct(input.as("__out")))
+      val packed = struct(input.as("__out"))
       transform(if (op == "$firstN")
         graft.functions.BoundedTopK.firstN(packed, n)
       else graft.functions.BoundedTopK.lastN(packed, n), _.getField("__out"))
@@ -1500,13 +1509,14 @@ private[graft] object Stages {
             struct(input.as("__k0"), input.as("__out")))
           transform(graft.functions.BoundedTopK.sortedTopK(packed,
             Seq(op == "$minN"), n).over(framed), _.getField("__out"))
-        case "$firstN" | "$lastN" => // first/last n in frame (sort) order
+        case "$firstN" | "$lastN" => // first/last n in frame (sort) order;
+          // nulls are NOT filtered (Mongo's rule — unlike $minN/$maxN)
           val JObject(fs) = (opSpec: @unchecked)
           val input = cexpr(fs.collectFirst { case ("input", v) => v }
             .getOrElse(throw new IllegalArgumentException(s"$op needs input")))
           val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
             .getOrElse(throw new IllegalArgumentException(s"$op needs a literal n"))
-          val packed = when(input.isNotNull, struct(input.as("__out")))
+          val packed = struct(input.as("__out"))
           // a reversed (shrinking→reversed-order) frame flips arrival order:
           // firstN becomes lastN of the reversed stream, read back reversed
           val takeFirst = (op == "$firstN") != reversed

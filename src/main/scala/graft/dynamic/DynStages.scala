@@ -582,8 +582,23 @@ object DynPipeline {
       case JInt(n) => df.offset(n.toInt)
       case other   => throw new IllegalArgumentException(s"$$skip: $other")
     }
-    case "$sample" => spec \ "size" match { // deterministic hash order
-      case JInt(n) => df.orderBy(xxhash64(col("doc"))).limit(n.toInt)
+    case "$sample" => spec \ "size" match { // deterministic hash order —
+      // priority = xxhash64 of the canonical {"_id": <id>} rendering, the
+      // SAME string the typed engine hashes (to_json(struct(_id))), so both
+      // engines sample identical subsets; docs without an _id fall back to
+      // the raw doc text (engine-local)
+      case JInt(n) =>
+        val keyed = normalize(df).as(tuple2Enc).mapPartitions { it =>
+          it.map { case (k, s) =>
+            val d = parse(s)
+            val id = d.get("_id")
+            val pr =
+              if (id == null || id.isNull) s
+              else { val o = obj(); o.set[JsonNode]("_id", id); render(o) }
+            (k, s, pr)
+          }
+        }(tuple3Enc).toDF("key", "doc", "__pr")
+        keyed.orderBy(xxhash64(col("__pr"))).limit(n.toInt).select("key", "doc")
       case other   => throw new IllegalArgumentException(s"$$sample: $other")
     }
     case "$sortByCount" =>
@@ -1888,10 +1903,10 @@ object DynPipeline {
             val v = o.input.get.eval(dctx)
             if (v == null || v.isNull || isMissing(v)) { vals += null; vals += null }
             else { vals += sortableKey(v); vals += canonical(v) }
-          case "$firstN" | "$lastN" => // null/missing skipped (typed parity:
-            // collect_list drops SQL nulls)
+          case "$firstN" | "$lastN" => // null/missing occupy their position
+            // as null (Mongo does NOT filter here, unlike $minN/$maxN)
             val v = o.input.get.eval(dctx)
-            vals += (if (v == null || v.isNull || isMissing(v)) null else canonical(v))
+            vals += (if (v == null || v.isNull || isMissing(v)) "null" else canonical(v))
           case "$top" | "$bottom" | "$topN" | "$bottomN" =>
             o.sortOut.foreach { case (sop, _) => vals += sortableKey(sop.eval(dctx)) }
             val v = o.input.get.eval(dctx)
@@ -2020,8 +2035,7 @@ object DynPipeline {
             Seq(o.op == "$minN"), o.n).over(framed(o)), _.getField("c"))
         case "$firstN" | "$lastN" =>
           val (f, rev) = framedRev(o)
-          val packed = when(col(s"__c$i").isNotNull,
-            struct(col(s"__c$i").as("c")))
+          val packed = struct(col(s"__c$i").as("c"))
           val takeFirst = (o.op == "$firstN") != rev
           val kept = (if (takeFirst)
             graft.functions.BoundedTopK.firstN(packed, o.n)
@@ -2301,26 +2315,29 @@ object DynPipeline {
     normalize(df).unionByName(stubs)
   }
 
-  /** `$fill` in dynamic mode: `method: locf` fields rewrite to ONE
-    * `$setWindowFields` `$locf` pass; `value: <expr>` fields are a fused
-    * per-document `$ifNull` (no shuffle). */
+  /** `$fill` in dynamic mode: `method: locf`/`method: linear` fields
+    * rewrite to ONE `$setWindowFields` pass (`$locf` / `$linearFill` —
+    * the typed engine's rewrite exactly); `value: <expr>` fields are a
+    * fused per-document `$ifNull` (no shuffle). */
   private def fillStage(df: DataFrame, spec: JValue): DataFrame = {
     val JObject(outs) = ((spec \ "output"): @unchecked)
-    val (locf, rest) = outs.partition { case (_, v) =>
-      (v \ "method") == JString("locf") }
+    val (windowed, rest) = outs.partition { case (_, v) =>
+      (v \ "method") == JString("locf") || (v \ "method") == JString("linear") }
     rest.foreach { case (f, v) =>
       if ((v \ "value") == JNothing) throw new IllegalArgumentException(
-        s"$$fill $f: only method: locf and value: <expr> are supported")
+        s"$$fill $f: only method: locf|linear and value: <expr> are supported")
     }
-    val afterLocf =
-      if (locf.isEmpty) df
+    val afterWindowed =
+      if (windowed.isEmpty) df
       else setWindowFields(df, JObject(List(
         "partitionBy" -> (spec \ "partitionBy"),
         "sortBy" -> (spec \ "sortBy"),
-        "output" -> JObject(locf.map { case (f, _) =>
-          f -> JObject(List("$locf" -> JString("$" + f))) }))))
-    if (rest.isEmpty) afterLocf
-    else applyFused(afterLocf, List(addFields(JObject(rest.map { case (f, v) =>
+        "output" -> JObject(windowed.map { case (f, v) =>
+          f -> (if ((v \ "method") == JString("locf"))
+            JObject(List("$locf" -> JString("$" + f)))
+          else JObject(List("$linearFill" -> JString("$" + f)))) }))))
+    if (rest.isEmpty) afterWindowed
+    else applyFused(afterWindowed, List(addFields(JObject(rest.map { case (f, v) =>
       f -> JObject(List("$ifNull" -> JArray(List(JString("$" + f), v \ "value"))))
     }))))
   }

@@ -291,6 +291,53 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // $bucketAuto: even-count buckets with accumulator outputs
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$bucketAuto": {"groupBy": "$a", "buckets": 2,
+          "output": {"n": {"$sum": 1}, "hi": {"$max": "$a"}}}}]""",
+    // $sample: the deterministic hash subset must pick the SAME rows in
+    // both engines
+    """[{"$sample": {"size": 3}}, {"$project": {"a": 1}}]""",
+    // windowed N-family over RANGE frames (value-distance bounds)
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$setWindowFields": {"sortBy": {"a": 1},
+          "output": {"mn": {"$minN": {"input": "$b", "n": 2},
+                            "window": {"range": [-2, 2]}},
+                     "tp2": {"$topN": {"output": "$_id",
+                                       "sortBy": {"b": -1, "_id": 1}, "n": 2},
+                             "window": {"range": ["unbounded", "current"]}}}}},
+        {"$project": {"mn": 1, "tp2": 1}}]""",
+    // $fill: linear interpolation and constant value together
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$fill": {"sortBy": {"a": 1},
+                   "output": {"b": {"method": "linear"},
+                              "s": {"value": "filled"}}}},
+        {"$project": {"b": 1, "s": 1}}]""",
+    // $densify: per-partition bounds on the numeric field
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$project": {"g": {"$gt": ["$a", 2]}, "a": 1}},
+        {"$densify": {"field": "a", "partitionByFields": ["g"],
+                      "range": {"step": 2, "bounds": "partition"}}},
+        {"$project": {"g": 1, "a": 1}}]""",
+    // group firstN/lastN in encounter order (single-partition corpus)
+    """[{"$group": {"_id": null, "f2": {"$firstN": {"input": "$a", "n": 2}},
+                    "l2": {"$lastN": {"input": "$a", "n": 2}},
+                    "mx2": {"$maxN": {"input": "$a", "n": 2}}}}]""",
+    // windowed exact percentile/median over document frames
+    """[{"$setWindowFields": {"sortBy": {"a": 1},
+          "output": {"p": {"$percentile": {"input": "$b", "p": [0.25, 0.75],
+                                           "method": "approximate"},
+                           "window": {"documents": ["unbounded", "current"]}},
+                     "md": {"$median": {"input": "$b",
+                                        "method": "approximate"},
+                            "window": {"documents": [-2, "current"]}}}}},
+        {"$project": {"p": 1, "md": 1}}]""",
+    // $redact $$DESCEND walks nested arrays
+    """[{"$addFields": {"items": [{"level": 1, "v": "x"}, {"level": 9, "v": "y"}]}},
+        {"$redact": {"$cond": [{"$or": [{"$not": ["$level"]},
+                                        {"$lt": ["$level", 5]}]},
+                               "$$DESCEND", "$$PRUNE"]}},
+        {"$project": {"items": 1}}]""",
     // windowed N-family: minN/firstN/top/bottomN over document frames
     """[{"$setWindowFields": {"sortBy": {"a": 1},
           "output": {"mn2": {"$minN": {"input": "$b", "n": 2},
