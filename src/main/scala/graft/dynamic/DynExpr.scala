@@ -768,15 +768,24 @@ object DynExpr {
           (utc(a(0)), utc(a(1))) match {
             case (Some(zs), Some(ze)) =>
               val unit = a(2).textValue
+              // Sunday-start week buckets (Mongo's default startOfWeek):
+              // epoch day 0 is a Thursday -> (epochDay + 4) / 7
+              def weekIdx(z: java.time.ZonedDateTime): Long =
+                Math.floorDiv(z.toLocalDate.toEpochDay + 4, 7)
               long(unit match {
                 case "day" => java.time.temporal.ChronoUnit.DAYS
                   .between(zs.toLocalDate, ze.toLocalDate)
+                case "week" => weekIdx(ze) - weekIdx(zs)
                 case "hour" => Math.floorDiv(
                   ze.toEpochSecond - zs.toEpochSecond, 3600L)
                 case "minute" => Math.floorDiv(
                   ze.toEpochSecond - zs.toEpochSecond, 60L)
                 case "second" => ze.toEpochSecond - zs.toEpochSecond
+                case "millisecond" =>
+                  ze.toInstant.toEpochMilli - zs.toInstant.toEpochMilli
                 case "year"   => (ze.getYear - zs.getYear).toLong
+                case "quarter" => (ze.getYear - zs.getYear) * 4L +
+                  ((ze.getMonthValue - 1) / 3 - (zs.getMonthValue - 1) / 3)
                 case "month"  =>
                   (ze.getYear - zs.getYear) * 12L + (ze.getMonthValue - zs.getMonthValue)
                 case u => throw new IllegalArgumentException(s"$$dateDiff unit $u")

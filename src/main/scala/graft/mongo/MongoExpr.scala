@@ -266,9 +266,25 @@ object MongoExpr {
     case "$regexMatch" => // null/missing input -> false, like Mongo
       coalesce(compile(field(spec, "input"))
         .rlike(str(field(spec, "regex"))), lit(false))
-    case "$regexFind" => // deviation: returns the matched string, not a doc
-      val m = regexp_extract(compile(field(spec, "input")), str(field(spec, "regex")), 0)
-      when(m === "", lit(null)).otherwise(m)
+    case "$regexFind" =>
+      // Mongo's full {match, idx, captures} document: idx = code-point
+      // index of the first match (regexp_instr is 1-based, character
+      // counted); captures = the regex's groups on that match, with the
+      // group count read from the literal pattern. Non-participating
+      // groups surface as "" (Spark's regexp_extract), a documented corner
+      // vs Mongo's null.
+      val input = compile(field(spec, "input"))
+      val pattern = str(field(spec, "regex"))
+      val groups = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+      val captures =
+        if (groups == 0) array().cast(ArrayType(StringType))
+        else array((1 to groups).map(g =>
+          regexp_extract(input, pattern, g)): _*)
+      when(input.isNotNull && input.rlike(pattern),
+        struct(
+          regexp_extract(input, pattern, 0).as("match"),
+          (call_function("regexp_instr", input, lit(pattern)) - 1).as("idx"),
+          captures.as("captures")))
     case "$regexFindAll" => // same deviation: array of matched strings
       // (the dynamic engine returns Mongo's full {match, idx, captures})
       regexp_extract_all(compile(field(spec, "input")),
@@ -387,8 +403,12 @@ object MongoExpr {
       slice(array_sort(in), lit(1), compile(field(spec, "n")))
     case "$indexOfArray" =>
       val List(arr, target) = args(spec).take(2)
-      // Mongo: 0-based index of first match, -1 when absent
-      coalesce(array_position(arr, target).cast(IntegerType) - 1, lit(-1))
+      // Mongo: 0-based index of first match, -1 when absent, NULL when the
+      // array itself is null/missing (array_position is null for BOTH a
+      // null array and a not-found target, so the cases split explicitly)
+      when(arr.isNull, lit(null).cast(IntegerType))
+        .otherwise(coalesce(
+          array_position(arr, target).cast(IntegerType) - 1, lit(-1)))
     case "$sortArray" =>
       val in = compile(field(spec, "input"))
       field(spec, "sortBy") match {
@@ -547,12 +567,23 @@ object MongoExpr {
     case "$dateDiff" =>
       val s = compile(field(spec, "startDate"))
       val e = compile(field(spec, "endDate"))
+      // Sunday-start week buckets (Mongo's default startOfWeek): epoch day
+      // 0 is a Thursday, so (epochDay + 4) / 7 floors to the week index
+      def weekIdx(c: Column): Column = {
+        val d = datediff(c.cast(DateType), to_date(lit("1970-01-01"))) + 4
+        floor(d / lit(7.0)).cast(LongType)
+      }
       str(field(spec, "unit")) match {
         case "day"    => datediff(e.cast(DateType), s.cast(DateType)).cast(LongType)
+        case "week"   => weekIdx(e) - weekIdx(s)
         case "hour"   => floor((e.cast(LongType) - s.cast(LongType)) / 3600L)
         case "minute" => floor((e.cast(LongType) - s.cast(LongType)) / 60L)
         case "second" => (e.cast(LongType) - s.cast(LongType))
+        case "millisecond" => unix_millis(e.cast(TimestampType)) -
+          unix_millis(s.cast(TimestampType))
         case "year"   => (year(e) - year(s)).cast(LongType)
+        case "quarter" => ((year(e) - year(s)) * 4 +
+          (quarter(e) - quarter(s))).cast(LongType)
         case "month"  => ((year(e) - year(s)) * 12 + (month(e) - month(s))).cast(LongType)
         case other    => throw new IllegalArgumentException(s"$$dateDiff unit $other")
       }

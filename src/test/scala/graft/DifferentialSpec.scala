@@ -291,6 +291,38 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // array search / set ops / reversal
+    """[{"$addFields": {"ix": {"$indexOfArray": ["$arr", 2]},
+         "rv": {"$reverseArray": "$arr"},
+         "si": {"$setIntersection": ["$arr", [1, 2, 9]]},
+         "ae": {"$allElementsTrue": [["$a", 1]]}}},
+        {"$project": {"ix": 1, "rv": 1, "si": 1, "ae": 1}}]""",
+    // regex find/replace + code-point index
+    """[{"$addFields": {"rf": {"$regexFind": {"input": "$s", "regex": "a+"}},
+         "ra": {"$replaceAll": {"input": "$s", "find": "a",
+                                "replacement": "_"}},
+         "ic": {"$indexOfCP": [{"$toLower": "$s"}, "a"]}}},
+        {"$project": {"rf": 1, "ra": 1, "ic": 1}}]""",
+    // $dateTrunc to day/hour + $dateDiff weeks
+    """[{"$addFields": {"td": {"$dateTrunc": {"date": "$d", "unit": "day"}},
+         "th": {"$dateTrunc": {"date": "$d", "unit": "hour"}},
+         "dw": {"$dateDiff": {"startDate": {"$dateTrunc": {"date": "$d",
+                                            "unit": "year"}},
+                              "endDate": "$d", "unit": "week"}}}},
+        {"$project": {"td": {"$dateToString": {"date": "$td",
+                             "format": "%Y-%m-%d %H:%M"}},
+                      "th": {"$dateToString": {"date": "$th",
+                             "format": "%Y-%m-%d %H:%M"}}, "dw": 1}}]""",
+    // $unwind includeArrayIndex + preserveNullAndEmptyArrays over the
+    // null-bearing rows (row 5 has no arr, row 2 an empty one)
+    """[{"$unwind": {"path": "$arr", "includeArrayIndex": "i",
+                     "preserveNullAndEmptyArrays": true}},
+        {"$project": {"arr": 1, "i": 1}}]""",
+    // $shift backward with a default
+    """[{"$setWindowFields": {"sortBy": {"_id": 1},
+          "output": {"prev2": {"$shift": {"output": "$a", "by": -2,
+                                          "default": -99}}}}},
+        {"$project": {"prev2": 1}}]""",
     // $bucketAuto: even-count buckets with accumulator outputs
     """[{"$match": {"a": {"$ne": null}}},
         {"$bucketAuto": {"groupBy": "$a", "buckets": 2,
