@@ -299,7 +299,13 @@ object DynExpr {
     case "$dateToParts" =>
       DFn(op, List(compile(arg \ "date"),
         DConst(arg \ "iso8601" match { case JBool(true) => "true"; case _ => "false" })))
-    case "$zip" => DFn(op, argList(arg \ "inputs"))
+    case "$zip" => // inputs..., then defaults (or null) and the
+      // useLongestLength flag as trailing constant args
+      DFn(op, argList(arg \ "inputs") ++ List(
+        arg \ "defaults" match { case JNothing => DConst("null")
+                                 case d        => compile(d) },
+        DConst(if ((arg \ "useLongestLength") == JBool(true)) "true"
+               else "false")))
     // field accessors for names the path syntax can't reach ('.', '$'-led)
     case "$getField" => arg match {
       case JString(f) => DFn(op, List(DConst("\"" + f.replace("\"", "\\\"") + "\""),
@@ -940,14 +946,26 @@ object DynExpr {
             case _ => NULL
           }
         case "$zip" =>
-          if (args.exists(x => x.isNull || isMissing(x))) NULL
+          // trailing args: defaults array (or null), useLongestLength flag
+          val useLongest = args.last.asBoolean
+          val defaultsN = args(args.size - 2)
+          val inputs = args.dropRight(2)
+          if (inputs.exists(x => x == null || x.isNull || isMissing(x))) NULL
           else {
-            val arrays = args.map(_.asScala.toList)
-            val n = arrays.map(_.length).min
+            val arrays = inputs.map(_.asScala.toList)
+            val n = if (useLongest) arrays.map(_.length).max
+                    else arrays.map(_.length).min
+            val defs: List[JsonNode] =
+              if (defaultsN != null && defaultsN.isArray)
+                defaultsN.asScala.toList
+              else inputs.map(_ => NULL)
             val out = arr()
             (0 until n).foreach { i =>
               val tup = arr()
-              arrays.foreach(xs => tup.add(xs(i)))
+              arrays.zipWithIndex.foreach { case (xs, j) =>
+                tup.add(if (i < xs.length) xs(i)
+                        else missingToNull(defs.lift(j).getOrElse(NULL)))
+              }
               out.add(tup)
             }
             out

@@ -381,8 +381,28 @@ object MongoExpr {
           (end - signum(step).cast(LongType)).cast(LongType), step.cast(LongType)))
         .otherwise(array().cast(ArrayType(LongType)))
     case "$zip" =>
-      val JArray(List(a, b)) = (field(spec, "inputs"): @unchecked)
-      zip_with(compile(a), compile(b), (x, y) => array(x, y))
+      // full Mongo contract: n-ary, SHORTEST length by default,
+      // useLongestLength pads input i with defaults[i] (null without
+      // defaults); a null/missing input array nulls the whole result
+      val JArray(inputsJ) = (field(spec, "inputs"): @unchecked)
+      val inputs = inputsJ.map(compile)
+      val useLongest = field(spec, "useLongestLength") == JBool(true)
+      val defaults: List[Column] = field(spec, "defaults") match {
+        case JArray(ds) => ds.map(compile)
+        case _          => inputs.map(_ => lit(null))
+      }
+      val len =
+        if (inputs.size == 1) size(inputs.head)
+        else if (useLongest) greatest(inputs.map(size): _*)
+        else least(inputs.map(size): _*)
+      val anyNull = inputs.map(_.isNull).reduce(_ || _)
+      when(anyNull, lit(null)).otherwise(
+        when(len === 0, array().cast(ArrayType(ArrayType(NullType)))).otherwise(
+          transform(sequence(lit(0), len - 1), i =>
+            array(inputs.zip(defaults).map { case (a, d) =>
+              when(i < size(a), element_at(a, (i + 1).cast(IntegerType)))
+                .otherwise(d)
+            }: _*))))
     case "$isArray" => // typeof is static: a NULL value is not an array
       args(spec).headOption.map(c =>
         c.isNotNull && call_function("typeof", c).startsWith("array"))

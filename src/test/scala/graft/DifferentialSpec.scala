@@ -291,6 +291,38 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // match language: $all, $size, $exists false, nested $elemMatch
+    """[{"$match": {"arr": {"$all": [1, 2]}}}, {"$project": {"arr": 1}}]""",
+    """[{"$match": {"arr": {"$size": 1}}}, {"$project": {"arr": 1}}]""",
+    """[{"$match": {"arr": {"$exists": false}}}, {"$project": {"s": 1}}]""",
+    """[{"$match": {"arr": {"$elemMatch": {"$gte": 2, "$lt": 8}}}},
+        {"$project": {"arr": 1}}]""",
+    // HOFs over a null/missing array input stay null
+    """[{"$addFields": {"m": {"$map": {"input": "$arr", "as": "e",
+                                       "in": {"$add": ["$$e", 1]}}},
+         "f": {"$filter": {"input": "$arr", "as": "e",
+                           "cond": {"$gt": ["$$e", 1]}}},
+         "r": {"$reduce": {"input": "$arr", "initialValue": 0,
+                           "in": {"$add": ["$$value", "$$this"]}}}}},
+        {"$project": {"mNull": {"$eq": ["$m", null]}, "m": 1,
+                      "fNull": {"$eq": ["$f", null]},
+                      "rNull": {"$eq": ["$r", null]}}}]""",
+    // $zip shortest + longestLength with defaults
+    """[{"$addFields": {"z1": {"$zip": {"inputs": [["$a", 2], [10, 20, 30]]}},
+         "z2": {"$zip": {"inputs": [[1], [10, 20]],
+                         "useLongestLength": true, "defaults": [0, -1]}}}},
+        {"$project": {"z1": 1, "z2": 1}}]""",
+    // $convert with onError/onNull routing + $ifNull n-ary
+    """[{"$addFields": {"c1": {"$convert": {"input": "$s", "to": "int",
+                                            "onError": -7}},
+         "c2": {"$convert": {"input": "$a", "to": "string", "onNull": "none"}},
+         "i3": {"$ifNull": ["$nope", "$alsonope", "fallback"]}}},
+        {"$project": {"c1": 1, "c2": 1, "i3": 1}}]""",
+    // $let shadowing an outer variable
+    """[{"$addFields": {"v": {"$let": {"vars": {"t": 10},
+          "in": {"$let": {"vars": {"t": 3},
+                          "in": {"$multiply": ["$$t", "$$t"]}}}}}}},
+        {"$project": {"v": 1}}]""",
     // array search / set ops / reversal
     """[{"$addFields": {"ix": {"$indexOfArray": ["$arr", 2]},
          "rv": {"$reverseArray": "$arr"},
