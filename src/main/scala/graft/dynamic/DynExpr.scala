@@ -377,8 +377,34 @@ object DynExpr {
       def a(i: Int): JsonNode = argOps(i).eval(ctx)
       lazy val args: List[JsonNode] = argOps.map(_.eval(ctx))
       name match {
-        case "$add"      => numArith(name, args)(_ + _, _ + _)
-        case "$subtract" => numArith(name, args)(_ - _, _ - _)
+        // Mongo date arithmetic (typed-engine parity): a TEXTUAL operand
+        // that parses as an instant is a date — $add shifts it by the
+        // numeric operands' milliseconds, $subtract of two dates yields
+        // millis, date minus number shifts. Numbers stay plain arithmetic
+        // (an epoch-millis NUMBER is deliberately NOT auto-dated here).
+        case "$add" =>
+          def isDateN(x: JsonNode) = x != null && x.isTextual &&
+            parseInstant(x).isDefined
+          val dateIdx = args.indexWhere(isDateN)
+          if (args.exists(x => x == null || x.isNull || isMissing(x))) NULL
+          else if (dateIdx >= 0 &&
+              args.zipWithIndex.forall { case (x, i) => i == dateIdx || x.isNumber }) {
+            val shift = args.zipWithIndex.collect {
+              case (x, i) if i != dateIdx => x.longValue }.sum
+            text(parseInstant(args(dateIdx)).get.plusMillis(shift).toString)
+          } else numArith(name, args)(_ + _, _ + _)
+        case "$subtract" =>
+          def isDateN(x: JsonNode) = x != null && x.isTextual &&
+            parseInstant(x).isDefined
+          if (args.exists(x => x == null || x.isNull || isMissing(x))) NULL
+          else (args: @unchecked) match {
+            case List(a0, b0) if isDateN(a0) && isDateN(b0) =>
+              long(parseInstant(a0).get.toEpochMilli -
+                parseInstant(b0).get.toEpochMilli)
+            case List(a0, b0) if isDateN(a0) && b0.isNumber =>
+              text(parseInstant(a0).get.minusMillis(b0.longValue).toString)
+            case _ => numArith(name, args)(_ - _, _ - _)
+          }
         case "$multiply" => numArith(name, args)(_ * _, _ * _)
         case "$divide" =>
           val List(x, y) = args

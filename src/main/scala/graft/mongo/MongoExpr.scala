@@ -83,6 +83,24 @@ object MongoExpr {
     parts.tail.foldLeft(base)(_ getField _)
   }
 
+  /** Static date-ness of an operand: a schema-typed timestamp/date path,
+    * or an operator that always produces a date. Conservative — unknown
+    * shapes return false and arithmetic stays numeric. */
+  private def staticIsDate(j: JValue)(implicit ctx: ExprCtx): Boolean = j match {
+    case JString(s) if s.startsWith("$") && !s.startsWith("$$") =>
+      ctx.typeOf(s.drop(1)).exists(t => t == TimestampType || t == DateType)
+    case JObject(List((op, inner))) => op match {
+      case "$toDate" | "$dateAdd" | "$dateSubtract" | "$dateTrunc" |
+           "$dateFromParts" | "$dateFromString" => true
+      case "$ifNull" => inner match {
+        case JArray(items) => items.exists(staticIsDate)
+        case _             => false
+      }
+      case _ => false
+    }
+    case _ => false
+  }
+
   private def args(spec: JValue)(implicit ctx: ExprCtx): List[Column] = spec match {
     case JArray(xs) => xs.map(compile)
     case single     => List(compile(single))
@@ -146,8 +164,35 @@ object MongoExpr {
 
   private def applyOp(op: String, spec: JValue)(implicit ctx: ExprCtx): Column = op match {
     // ---- arithmetic -------------------------------------------------------
-    case "$add"      => args(spec).reduce(_ + _)
-    case "$subtract" => val List(a, b) = args(spec); a - b
+    // Mongo date arithmetic: $add with ONE date operand shifts it by the
+    // numeric operands (milliseconds); $subtract of two dates yields the
+    // difference in millis, date minus number shifts the date. Operand
+    // date-ness resolves statically from the schema (ctx.typeOf) or from
+    // date-producing operators; un-inferable operands fall back to plain
+    // numeric arithmetic.
+    case "$add" =>
+      val items = spec match { case JArray(l) => l; case v => List(v) }
+      val dated = items.filter(j => staticIsDate(j))
+      if (dated.isEmpty) args(spec).reduce(_ + _)
+      else {
+        require(dated.size == 1, "$add takes at most one date operand")
+        val millis = items.map { j =>
+          val c = compile(j)
+          if (staticIsDate(j)) unix_millis(c.cast(TimestampType))
+          else c.cast(LongType)
+        }.reduce(_ + _)
+        timestamp_millis(millis)
+      }
+    case "$subtract" =>
+      val List(aJ, bJ) = (spec: @unchecked) match { case JArray(l) => l.take(2) }
+      val (a, b) = (compile(aJ), compile(bJ))
+      (staticIsDate(aJ), staticIsDate(bJ)) match {
+        case (true, true) =>
+          unix_millis(a.cast(TimestampType)) - unix_millis(b.cast(TimestampType))
+        case (true, false) =>
+          timestamp_millis(unix_millis(a.cast(TimestampType)) - b.cast(LongType))
+        case _ => a - b
+      }
     case "$multiply" => args(spec).reduce(_ * _)
     case "$divide"   => val List(a, b) = args(spec); a / b
     case "$mod"      => val List(a, b) = args(spec); a % b
@@ -553,7 +598,26 @@ object MongoExpr {
       date_part(lit("DAYOFWEEK_ISO"), args(spec).head).cast(IntegerType)
     case "$isoWeekYear" =>
       date_part(lit("YEAROFWEEK"), args(spec).head).cast(IntegerType)
-    case "$toDate"     => args(spec).head.cast(TimestampType)
+    case "$toDate" => // Mongo: a NUMBER is epoch MILLIS (Spark's cast
+      // would read a long as epoch seconds) — numeric-ness resolves from
+      // the literal or the schema; strings/dates keep the plain cast
+      def toDate1(j: JValue): Column = {
+        val c = compile(j)
+        j match {
+          case JInt(_) | JLong(_) | JDouble(_) =>
+            timestamp_millis(c.cast(LongType))
+          case JString(s0) if s0.startsWith("$") && !s0.startsWith("$$") =>
+            ctx.typeOf(s0.drop(1)) match {
+              case Some(_: NumericType) => timestamp_millis(c.cast(LongType))
+              case _                    => c.cast(TimestampType)
+            }
+          case _ => c.cast(TimestampType)
+        }
+      }
+      spec match {
+        case JArray(List(j)) => toDate1(j)
+        case j               => toDate1(j)
+      }
     case "$dateToString" =>
       date_format(compile(field(spec, "date")),
         mongoDateFormat(str(field(spec, "format"))))

@@ -291,6 +291,40 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // arithmetic sign/type corners: $mod sign follows the dividend, $pow
+    // integral cases, $abs on negatives, integer division result type
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$addFields": {"m1": {"$mod": ["$a", 3]},
+                        "m2": {"$mod": [{"$multiply": ["$a", -1]}, 3]},
+                        "p2": {"$pow": ["$a", 2]},
+                        "ab": {"$abs": {"$subtract": [0, "$a"]}}}},
+        {"$project": {"m1": 1, "m2": 1, "p2": 1, "ab": 1}}]""",
+    // string surgery: $split, $strLenCP, $ltrim/$rtrim with chars
+    """[{"$addFields": {"sp": {"$split": ["$s", "a"]},
+         "ln": {"$strLenCP": "$s"},
+         "lt": {"$ltrim": {"input": "$s", "chars": "Ab"}},
+         "rt": {"$rtrim": {"input": "$s", "chars": "a"}}}},
+        {"$project": {"sp": 1, "ln": 1, "lt": 1, "rt": 1}}]""",
+    // conversions: $toBool, $toLong on doubles, $toDate on millis,
+    // date minus date (millis) and date minus number
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$addFields": {"tb": {"$toBool": "$a"},
+         "tl": {"$toLong": "$b"},
+         "dd": {"$subtract": ["$d", {"$toDate": 1700000000000}]},
+         "dn": {"$dateToString": {"date": {"$subtract": ["$d", 3600000]},
+                                  "format": "%Y-%m-%d %H:%M"}}}},
+        {"$project": {"tb": 1, "tl": 1, "dd": 1, "dn": 1}}]""",
+    // $cond array form + n-ary bitwise
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$addFields": {"c": {"$cond": [{"$gt": ["$a", 2]}, "big", "small"]},
+         "ba": {"$bitAnd": ["$a", 6, 3]}, "bo": {"$bitOr": ["$a", 8]},
+         "bx": {"$bitXor": ["$a", 5]}}},
+        {"$project": {"c": 1, "ba": 1, "bo": 1, "bx": 1}}]""",
+    // compound group _id document + $push of computed documents
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$group": {"_id": {"hi": {"$gt": ["$a", 2]}, "par": {"$mod": ["$a", 2]}},
+                    "docs": {"$push": {"v": "$a"}}}},
+        {"$project": {"docs": 1}}]""",
     // match language: $all, $size, $exists false, nested $elemMatch
     """[{"$match": {"arr": {"$all": [1, 2]}}}, {"$project": {"arr": 1}}]""",
     """[{"$match": {"arr": {"$size": 1}}}, {"$project": {"arr": 1}}]""",
