@@ -504,27 +504,43 @@ object MongoExpr {
         filter(array(fields.map { case (k, v) =>
           struct(lit(k).as("k"), compile(v).as("v")) }: _*),
           e => e.getField("v").isNotNull)
+      // schema-typed STRUCT reference: entries from the schema's field set
+      // (values coerce to their common type — the schema-first constraint)
+      case JString(s0) if s0.startsWith("$") && !s0.startsWith("$$") &&
+          ctx.typeOf(s0.drop(1)).exists(_.isInstanceOf[StructType]) =>
+        val Some(st: StructType) = (ctx.typeOf(s0.drop(1)): @unchecked)
+        val c = compile(spec)
+        filter(array(st.fields.toIndexedSeq.map(f =>
+          struct(lit(f.name).as("k"), c.getField(f.name).as("v"))): _*),
+          e => e.getField("v").isNotNull)
+      case JArray(List(single)) if single != spec => applyOp(op, single)
       case _ => // map column -> [{k,v}]
         transform(map_entries(args(spec).head),
           e => struct(e.getField("key").as("k"), e.getField("value").as("v")))
     }
     case "$mergeObjects" =>
-      val argsJ = spec match { case JArray(xs) => xs; case single => List(single) }
-      def isLiteralDoc(v: JValue) = v match {
-        case JObject(fs) => fs.isEmpty || !fs.head._1.startsWith("$")
-        case _           => false
-      }
-      if (argsJ.nonEmpty && argsJ.forall(isLiteralDoc)) {
-        // literal objects: field order = first appearance; a later value
-        // overwrites only when non-null (a null expression means the field
-        // dropped out of that object — typed null ≈ missing)
-        val keys = argsJ.flatMap { case JObject(fs) => fs.map(_._1); case _ => Nil }.distinct
-        struct(keys.map { k =>
-          val occurrences = argsJ.flatMap {
-            case JObject(fs) => fs.collect { case (`k`, v) => compile(v) }
-            case _           => Nil
+      val argsJ = (spec match { case JArray(xs) => xs; case single => List(single) })
+        .filter(v => v != JNull && v != JNothing) // Mongo ignores null operands
+      // statically-known object shapes merge as structs: literal documents,
+      // and schema-typed STRUCT field references (their field set comes from
+      // the schema). Field order = first appearance; a later value
+      // overwrites only when non-null (typed null ≈ missing).
+      def fieldsOf(v: JValue): Option[List[(String, Column)]] = v match {
+        case JObject(fs) if fs.isEmpty || !fs.head._1.startsWith("$") =>
+          Some(fs.map { case (k, fv) => k -> compile(fv) })
+        case JString(s0) if s0.startsWith("$") && !s0.startsWith("$$") =>
+          ctx.typeOf(s0.drop(1)).collect { case st: StructType =>
+            val c = compile(v)
+            st.fields.toList.map(f => f.name -> c.getField(f.name))
           }
-          coalesce(occurrences.reverse: _*).as(k)
+        case _ => None
+      }
+      val shaped = argsJ.map(fieldsOf)
+      if (argsJ.nonEmpty && shaped.forall(_.isDefined)) {
+        val fs = shaped.flatMap(_.get)
+        val keys = fs.map(_._1).distinct
+        struct(keys.map { k =>
+          coalesce(fs.collect { case (`k`, c) => c }.reverse: _*).as(k)
         }: _*)
       } else map_concat(args(spec): _*) // map columns
     case "$getField" =>

@@ -291,6 +291,18 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // object surgery: $mergeObjects null absorption, $objectToArray /
+    // $arrayToObject round-trip, $getField on a literal-dotted name
+    """[{"$addFields": {"o": {"x": "$a", "y.z": 2}}},
+        {"$addFields": {"mo": {"$mergeObjects": [null, "$o", {"w": 9}]},
+         "ota": {"$objectToArray": "$o"},
+         "rt": {"$arrayToObject": {"$objectToArray": "$o"}},
+         "gf": {"$getField": {"field": "y.z", "input": "$o"}}}},
+        {"$project": {"mo": 1, "ota": 1, "rt": 1, "gf": 1}}]""",
+    // $replaceWith a computed wrapper document + $$ROOT embedding
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$replaceWith": {"id": "$_id", "wrapped": {"val": "$a"},
+                          "keys": {"$objectToArray": {"k": "$s"}}}}]""",
     // arithmetic sign/type corners: $mod sign follows the dividend, $pow
     // integral cases, $abs on negatives, integer division result type
     """[{"$match": {"a": {"$ne": null}}},
