@@ -157,11 +157,16 @@ object DynExpr {
       case _ => throw new IllegalArgumentException("$map input must be an array")
     }
   }
-  final case class DFilterArr(input: DOp, as: String, cond: DOp) extends DOp {
+  final case class DFilterArr(input: DOp, as: String, cond: DOp,
+      limit: Option[DOp] = None) extends DOp {
     def eval(ctx: DCtx): JsonNode = input.eval(ctx) match {
       case a: ArrayNode =>
+        val max = limit.map(_.eval(ctx)).filter(_.isNumber)
+          .map(_.intValue).getOrElse(Int.MaxValue)
         val out = arr()
-        a.asScala.foreach { el =>
+        val it = a.asScala.iterator
+        while (it.hasNext && out.size < max) {
+          val el = it.next()
           if (truthy(cond.eval(ctx.copy(vars = ctx.vars + (as -> el))))) out.add(el)
         }
         out
@@ -240,7 +245,8 @@ object DynExpr {
       DMapArr(compile(arg \ "input"), as, compile(arg \ "in"))
     case "$filter" =>
       val as = arg \ "as" match { case JString(a) => a; case _ => "this" }
-      DFilterArr(compile(arg \ "input"), as, compile(arg \ "cond"))
+      DFilterArr(compile(arg \ "input"), as, compile(arg \ "cond"),
+        arg \ "limit" match { case JNothing => None; case l => Some(compile(l)) })
     case "$reduce" =>
       DReduce(compile(arg \ "input"), compile(arg \ "initialValue"), compile(arg \ "in"))
     case "$cond" =>
@@ -281,10 +287,12 @@ object DynExpr {
     case "$trim" | "$ltrim" | "$rtrim" =>
       DFn(op, compile(arg \ "input") :: (arg \ "chars" match {
         case JNothing => Nil; case c => List(compile(c)) }))
-    case "$sortArray" =>
+    case "$sortArray" => // sortBy passes through whole: 1/-1 scalar, or a
+      // {field: dir} document spec for arrays of documents
       DFn(op, List(compile(arg \ "input"),
-        DConst(arg \ "sortBy" match {
-          case JInt(i) => i.toString; case JLong(l) => l.toString; case _ => "1" })))
+        DConst(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(arg \ "sortBy" match {
+            case JNothing => JInt(1); case sb => sb })))))
     case "$firstN" | "$lastN" | "$maxN" | "$minN" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "n")))
     case "$convert" =>
@@ -943,10 +951,23 @@ object DynExpr {
         case "$sortArray" =>
           a(0) match {
             case ar: ArrayNode =>
-              val asc = a(1).intValue >= 0
-              val sorted0 = ar.asScala.toList.sorted(mongoOrder)
               val out = arr()
-              (if (asc) sorted0 else sorted0.reverse).foreach(out.add)
+              val sorted0 = a(1) match {
+                case o: ObjectNode => // document sort spec: per-field
+                  // direction with the cross-type BSON order
+                  val keys = o.properties.asScala.toList.map(e =>
+                    (e.getKey.split('.').toList, e.getValue.asInt(1) >= 0))
+                  ar.asScala.toList.sortWith { (x, y) =>
+                    keys.iterator.map { case (path, asc) =>
+                      val c = DynJson.compare(resolve(x, path), resolve(y, path))
+                      if (asc) c else -c
+                    }.find(_ != 0).exists(_ < 0)
+                  }
+                case n =>
+                  val s0 = ar.asScala.toList.sorted(mongoOrder)
+                  if (n.intValue >= 0) s0 else s0.reverse
+              }
+              sorted0.foreach(out.add)
               out
             case _ => NULL
           }

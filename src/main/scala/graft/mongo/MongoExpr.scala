@@ -366,7 +366,11 @@ object MongoExpr {
       val as = opt(field(spec, "as")).map(str).getOrElse("this")
       val input = compile(field(spec, "input"))
       val cond = field(spec, "cond")
-      filter(input, x => truthy(compile(cond)(ctx.bind(as, x))))
+      val filtered = filter(input, x => truthy(compile(cond)(ctx.bind(as, x))))
+      field(spec, "limit") match { // Mongo 5.2: first `limit` matches only
+        case JNothing => filtered
+        case l        => slice(filtered, lit(1), compile(l).cast(IntegerType))
+      }
     case "$map" =>
       val as = opt(field(spec, "as")).map(str).getOrElse("this")
       val input = compile(field(spec, "input"))
@@ -478,7 +482,24 @@ object MongoExpr {
       val in = compile(field(spec, "input"))
       field(spec, "sortBy") match {
         case JInt(i) if i < 0 => reverse(array_sort(in))
-        case _                => array_sort(in)
+        case JObject(keys) => // document sort spec over an array of docs —
+          // per-field direction with Mongo's null rule (nulls first asc)
+          def cmpDoc(l: Column, r: Column): Column =
+            keys.foldRight(lit(0)) { case ((f, dir), tie) =>
+              val asc = dir match {
+                case JInt(v)    => v >= 0
+                case JLong(v)   => v >= 0
+                case JDouble(d) => d >= 0
+                case _          => true
+              }
+              val (lf, rf) = (l.getField(f), r.getField(f))
+              when(lf.isNull && rf.isNull, tie)
+                .when(lf.isNull || lf < rf, lit(if (asc) -1 else 1))
+                .when(rf.isNull || lf > rf, lit(if (asc) 1 else -1))
+                .otherwise(tie)
+            }
+          array_sort(in, (l, r) => cmpDoc(l, r))
+        case _ => array_sort(in)
       }
     case "$setUnion"        => array_sort(args(spec).reduce(array_union))
     case "$setIntersection" => array_sort(args(spec).reduce(array_intersect))

@@ -291,6 +291,21 @@ class DifferentialSpec extends SparkSpec {
                      "cv": {"$covariancePop": ["$a", "$b"]}}}},
         {"$project": {"near": 1, "sd": {"$round": ["$sd", 6]},
                       "cv": {"$round": ["$cv", 6]}}}]""",
+    // $sortArray over DOCUMENTS (sortBy field spec, desc) + $filter limit
+    """[{"$addFields": {"docs": [{"p": 2, "q": "b"}, {"p": 1, "q": "a"},
+                                 {"p": 3, "q": "c"}]}},
+        {"$addFields": {"sorted": {"$sortArray": {"input": "$docs",
+                                                  "sortBy": {"p": -1}}},
+         "lim": {"$filter": {"input": [1, 2, 3, 4, 5], "as": "e",
+                             "cond": {"$gt": ["$$e", 1]}, "limit": 2}}}},
+        {"$project": {"sorted": 1, "lim": 1}}]""",
+    // $range with negative step + nested $map over a generated grid
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$addFields": {"rg": {"$range": [5, 0, -2]},
+         "grid": {"$map": {"input": {"$range": [0, 2]}, "as": "i",
+                   "in": {"$map": {"input": {"$range": [0, 2]}, "as": "j",
+                          "in": {"$add": [{"$multiply": ["$$i", 10]}, "$$j"]}}}}}}},
+        {"$project": {"rg": 1, "grid": 1}}]""",
     // object surgery: $mergeObjects null absorption, $objectToArray /
     // $arrayToObject round-trip, $getField on a literal-dotted name
     """[{"$addFields": {"o": {"x": "$a", "y.z": 2}}},

@@ -287,6 +287,32 @@ class DynamicSpec extends SparkSpec {
       "{}") == DynJson.long(6))
   }
 
+  test("DynExpr: $filter limit, $sortArray document spec, date arithmetic") {
+    // limit: first 2 matches only
+    assert(evalExpr(
+      """{"$filter": {"input": [1, 2, 3, 4, 5], "as": "e",
+                      "cond": {"$gt": ["$$e", 1]}, "limit": 2}}""",
+      "{}").toString == "[2,3]")
+    // document sortBy: descending by p
+    assert(evalExpr(
+      """{"$sortArray": {"input": [{"p": 2}, {"p": 1}, {"p": 3}],
+                         "sortBy": {"p": -1}}}""",
+      "{}").toString == """[{"p":3},{"p":2},{"p":1}]""")
+    // date minus date -> millis; date minus number -> shifted instant
+    assert(evalExpr(
+      """{"$subtract": ["$d", "$e"]}""",
+      """{"d":"2024-01-02T00:00:00Z","e":"2024-01-01T00:00:00Z"}""")
+      == DynJson.long(86400000L))
+    assert(evalExpr(
+      """{"$subtract": ["$d", 3600000]}""",
+      """{"d":"2024-01-02T00:00:00Z"}""").textValue
+      == "2024-01-01T23:00:00Z")
+    assert(evalExpr(
+      """{"$add": ["$d", 1000, 500]}""",
+      """{"d":"2024-01-01T00:00:00Z"}""").textValue
+      == "2024-01-01T00:00:01.500Z")
+  }
+
   test("DynExpr: two-arg math null/missing second operand yields null, non-numeric throws") {
     // a null/missing base must yield null, NOT -Infinity/-0.0 garbage
     assert(evalExpr("""{"$log": [8, "$nope"]}""", "{}").isNull)
