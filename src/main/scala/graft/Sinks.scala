@@ -33,6 +33,34 @@ private[graft] object SinkStages {
     case _          => List("_id")
   }
 
+  /** Default cap on distinct `$delay` target topics in one batch. */
+  val DefaultMaxDelayTopics = 64
+
+  /** Parking writes ONE filtered job per distinct topic — fine for the
+    * reference's semantics (topics are a configured handful), but a topic
+    * EXPRESSION with high cardinality silently degrades the stage into N
+    * full-scan jobs. Mirror theta-`$lookup`'s BroadcastNestedLoopJoin
+    * refusal: fail loudly past the cap instead, with `_maxTopics` as the
+    * explicit escape hatch. The probe reads `cap + 1` rows through a
+    * pushed-down limit, so the check itself never scans all topics. */
+  private[graft] def collectTopicsGuarded(topics: DataFrame, spec: JValue,
+      stage: String): Seq[String] = {
+    val cap = spec \ "_maxTopics" match {
+      case JInt(i)  => i.toInt
+      case JLong(l) => l.toInt
+      case _        => DefaultMaxDelayTopics
+    }
+    require(cap > 0, s"$stage: _maxTopics must be positive: $cap")
+    val got = topics.distinct().limit(cap + 1).collect().map(_.getString(0)).toSeq
+    if (got.length > cap) throw new IllegalArgumentException(
+      s"$stage: more than $cap distinct target topics in one batch — " +
+        "parking runs one filtered write job PER topic, so a " +
+        "high-cardinality topic expression degrades to N full scans. " +
+        "Raise _maxTopics if the fan-out is intended, or reduce the " +
+        "topic expression's cardinality.")
+    got
+  }
+
   /** `$merge` (Merge.java:47-198): upsert into `into`, matching on the `on`
     * fields. Implemented as one full-outer join between the incoming batch and
     * the current collection; the new collection contents and the downstream
@@ -300,7 +328,7 @@ private[graft] object SinkStages {
       producer(scheduled)
       // park per target topic so redelivery preserves the topic routing
       val parked = scheduled.persist()
-      parked.select("__topic").distinct().collect().map(_.getString(0)).foreach { t =>
+      collectTopicsGuarded(parked.select("__topic"), spec, "$delay").foreach { t =>
         val coll = s"__delay__$t"
         val batch = parked.filter(col("__topic") === t).drop("__topic")
         val merged =

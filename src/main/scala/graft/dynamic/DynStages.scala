@@ -760,7 +760,9 @@ object DynPipeline {
       .withColumn("__deliverAt", timestamp_millis(col("__deliverAtMs")))
       .drop("__deliverAtMs")
     ctx.producer(scheduled)
-    scheduled.select("__topic").distinct().collect().map(_.getString(0)).foreach { t =>
+    // cardinality-guarded: one park job per topic (see SinkStages doc)
+    graft.SinkStages.collectTopicsGuarded(
+      scheduled.select("__topic"), spec, "$delay").foreach { t =>
       val coll = s"__delay__$t"
       val batch = scheduled.filter(col("__topic") === t).drop("__topic")
       val merged =

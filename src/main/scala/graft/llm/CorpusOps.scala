@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 /** Corpus-wide (two-pass) training-data operators: benchmark decontamination,
   * TF-IDF keyword extraction, and unigram language-model scoring.
   *
-  * All three share the same distributed shape: a small derived relation
-  * (benchmark n-gram set, document-frequency table, unigram counts) is
-  * aggregated once and broadcast, and the full corpus then streams through a
-  * map-side broadcast hash join — the 100 TB side is never shuffled for the
-  * lookup, only for its own per-document aggregation on `idCol`.
+  * Broadcast discipline: only relations that are small BY CONSTRUCTION get an
+  * explicit `broadcast()` hint — benchmark n-gram sets (eval suites are MBs
+  * against a 100 TB corpus) and single-row global stats. Corpus-DERIVED
+  * relations whose size scales with the data (the document-frequency and
+  * unigram tables — tens of GB of distinct tokens at web scale) are joined
+  * WITHOUT a hint: AQE broadcasts them when they measure small and falls back
+  * to a shuffle join when they don't, instead of OOMing the driver on a
+  * mandatory build.
   */
 object CorpusOps {
 
@@ -57,19 +60,29 @@ object CorpusOps {
   /** Per-key document cap (the C4/RefinedWeb "at most N pages per domain"
     * downsampling step): keep at most `maxPerKey` docs per key, chosen
     * DETERMINISTICALLY by md5(id) priority so every engine, run, and retry
-    * keeps the same documents. One hash shuffle + per-key top-N. At 100 TB
-    * a skewed key sorts only its own partition slice (row_number over a
-    * per-key window, no global sort); keys fit the usual domain cardinality
-    * (millions), far below data volume. */
+    * keeps the same documents.
+    *
+    * Skew-safe shape: a bounded top-N AGGREGATE ([[graft.functions
+    * .BoundedTopK]]) instead of `row_number()` over a per-key window. The
+    * window form hashes EVERY row of a key to one task and sorts it there —
+    * a domain that is 5 % of a 100 TB corpus stalls the stage on one
+    * executor. The aggregate gets map-side partial aggregation: each input
+    * partition keeps at most `maxPerKey` rows per key locally, so the
+    * shuffle carries ≤ maxPerKey · numPartitions rows per key no matter how
+    * skewed the raw counts, and the reduce-side merge is O(partitions · k).
+    * The result is exactly the window's: the k smallest (md5(id), id) rows
+    * per key. */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
       maxPerKey: Int): DataFrame = {
     require(maxPerKey > 0, s"maxPerKey must be positive: $maxPerKey")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= maxPerKey)
-      .drop("__rk")
+    val payload = struct(df.columns.map(col): _*)
+    val packed = struct(md5(col(idCol).cast("string")).as("__pri"),
+      col(idCol).cast("string").as("__tie"), payload.as("__row"))
+    df.groupBy(col(keyCol).as("__capkey"))
+      .agg(graft.functions.BoundedTopK.sortedTopK(
+        packed, Seq(true, true), maxPerKey).as("__kept"))
+      .select(explode(col("__kept")).as("__k"))
+      .select(col("__k.__row.*"))
   }
 
   /** FUZZY benchmark decontamination — the near-duplicate complement of
@@ -143,7 +156,10 @@ object CorpusOps {
       .groupBy(idCol, "word").agg(count("*").as("tf"))
     val dfTab = tf.groupBy("word").agg(count("*").as("df"))
     val nDocs = corpus.select(col(idCol)).distinct().agg(count("*").as("n_docs"))
-    tf.join(broadcast(dfTab), Seq("word")).crossJoin(broadcast(nDocs))
+    // dfTab scales with the corpus vocabulary (tens of GB of distinct tokens
+    // at web scale) — NO broadcast hint; AQE picks broadcast only when it
+    // measures small. nDocs is one row, hint it.
+    tf.join(dfTab, Seq("word")).crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
       .groupBy(idCol)
       // per-doc top-k without a global window: sort the collected (score desc,
@@ -167,7 +183,9 @@ object CorpusOps {
     val tot = uni.agg(sum("cnt").as("total"))
     val probs = uni.crossJoin(broadcast(tot))
       .select(col("word"), log(col("cnt").cast("double") / col("total")).as("logp"))
-    tf.join(broadcast(probs), Seq("word"))
+    // probs is vocabulary-sized — no broadcast hint (see tfidfTopK); the
+    // single-row `tot` above keeps its hint.
+    tf.join(probs, Seq("word"))
       .groupBy(idCol)
       .agg(round(sum(col("tf") * col("logp")) / sum(col("tf")), 4).as("avg_logp"),
         sum("tf").cast("long").as("n_tokens"))

@@ -240,14 +240,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"expected map-side partial agg:\n$p")
   }
 
-  test("capPerKey plans one key exchange + per-key top-N, no global sort") {
+  test("capPerKey pre-prunes map-side: partial top-N BEFORE the key exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = graft.llm.CorpusOps.capPerKey(docs, "source", "doc_id", 5)
     val p = plan(out)
-    assert(p.contains("Exchange hashpartitioning(source"), p)
-    assert(p.contains("row_number"), p)
-    assert(!p.contains("Exchange rangepartitioning"),
+    // skew safety: the bounded top-k aggregate must run in PARTIAL mode
+    // below the exchange, so a skewed key ships <= k rows per input
+    // partition instead of every row to one task (the old row_number
+    // window did exactly that)
+    assert(!p.contains("row_number"), s"window cap reintroduced:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
       s"per-key cap must not globally sort:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(__capkey")
+    assert(exchangeIdx >= 0, s"expected one key exchange:\n$p")
+    assert(p.substring(exchangeIdx).contains("partial_bounded_top_k_sorted"),
+      s"expected a map-side partial bounded top-k below the exchange:\n$p")
+  }
+
+  test("tfidf/unigram vocabulary joins carry no mandatory broadcast hint") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // with the auto-broadcast threshold off, an UNHINTED vocab join must
+    // degrade to a shuffle join — a surviving BroadcastHashJoin would mean
+    // a forced broadcast() of the corpus-sized document-frequency/unigram
+    // table, which is a driver-OOM bomb at web scale. The single-row stats
+    // (nDocs/total) keep their hint and plan as BroadcastNestedLoopJoin,
+    // which is allowed here.
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (out <- Seq(
+          graft.llm.CorpusOps.tfidfTopK(docs, "text", "doc_id"),
+          graft.llm.CorpusOps.unigramLogProb(docs, "text", "doc_id"))) {
+        val p = plan(out)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"vocabulary-sized side must not force-broadcast:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a shuffle join on the token:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
 
   test("decontaminateFuzzy broadcasts the benchmark side; corpus joins by bucket") {
