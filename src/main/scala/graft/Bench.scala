@@ -45,6 +45,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver tail-captures the END of stdout and the line above leads
+    // with the total, so a long per-query map can push it off the capture —
+    // repeat a short total-only line LAST so the total always survives
+    println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sf":"$sfDir"}""")
     pool.shutdown()
     spark.stop()
   }

@@ -112,10 +112,23 @@ final class Pipeline(
         spec \ "size" match {
           case JInt(n) =>
             val priority =
-              if (df.columns.contains("_id"))
+              if (df.columns.contains("_id")) {
+                // PRECONDITION (cross-engine parity): the trick only holds
+                // for a SCALAR string/integer _id — to_json renders
+                // timestamps/structs engine-specifically, so hashes would
+                // silently diverge. Fail loudly instead.
+                val t = df.schema("_id").dataType
+                require(Seq[DataType](StringType, IntegerType, LongType,
+                  ShortType, ByteType).contains(t),
+                  s"$$sample cross-engine determinism needs a scalar " +
+                    s"string/integer _id, got $t — project one first " +
+                    "($toString/$toLong), or drop _id to hash the full row")
                 xxhash64(to_json(struct(col("_id").as("_id"))))
-              else xxhash64(df.columns.map(col).toIndexedSeq: _*)
-            df.orderBy(priority).limit(n.toInt)
+              } else xxhash64(df.columns.map(col).toIndexedSeq: _*)
+            // full-row tiebreak: duplicate _ids still order deterministically
+            // WITHIN this engine (cross-engine parity needs unique _ids)
+            df.orderBy(priority, xxhash64(df.columns.map(col).toIndexedSeq: _*))
+              .limit(n.toInt)
           case other => throw new IllegalArgumentException(s"$$sample: $other")
         }
       case "$sortByCount" =>

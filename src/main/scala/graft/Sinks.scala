@@ -46,12 +46,21 @@ private[graft] object SinkStages {
   private[graft] def collectTopicsGuarded(topics: DataFrame, spec: JValue,
       stage: String): Seq[String] = {
     val cap = spec \ "_maxTopics" match {
-      case JInt(i)  => i.toInt
-      case JLong(l) => l.toInt
-      case _        => DefaultMaxDelayTopics
+      case JInt(i)    => i.min(Int.MaxValue).toInt
+      case JLong(l)   => math.min(l, Int.MaxValue).toInt
+      case JDouble(d) => // JSON parsers often hand integers back as doubles
+        require(d.isWhole && d >= 1 && d <= Int.MaxValue,
+          s"$stage: _maxTopics must be a positive integer: $d")
+        d.toInt
+      case JNothing   => DefaultMaxDelayTopics
+      case other      => throw new IllegalArgumentException(
+        s"$stage: _maxTopics must be a positive integer: $other")
     }
     require(cap > 0, s"$stage: _maxTopics must be positive: $cap")
-    val got = topics.distinct().limit(cap + 1).collect().map(_.getString(0)).toSeq
+    // saturate so _maxTopics = Int.MaxValue doesn't overflow to a negative
+    // limit (cap'ing at MaxValue just disables the over-cap detection)
+    val probeN = if (cap == Int.MaxValue) cap else cap + 1
+    val got = topics.distinct().limit(probeN).collect().map(_.getString(0)).toSeq
     if (got.length > cap) throw new IllegalArgumentException(
       s"$stage: more than $cap distinct target topics in one batch — " +
         "parking runs one filtered write job PER topic, so a " +
@@ -325,18 +334,23 @@ private[graft] object SinkStages {
       val scheduled = typed.filter(valid).withColumn("__deliverAt",
         timestamp_millis(unix_millis(clock) + col("__durationMs")))
         .drop("__durationMs")
-      producer(scheduled)
-      // park per target topic so redelivery preserves the topic routing
+      // persist ONCE and run the topic-cardinality guard BEFORE producing:
+      // a guard trip after the produce would mean messages were emitted but
+      // never parked, and a batch retry would re-produce duplicates
       val parked = scheduled.persist()
-      collectTopicsGuarded(parked.select("__topic"), spec, "$delay").foreach { t =>
-        val coll = s"__delay__$t"
-        val batch = parked.filter(col("__topic") === t).drop("__topic")
-        val merged =
-          try store.read(coll).unionByName(batch, allowMissingColumns = true)
-          catch { case _: Exception => batch } // first schedule for this topic
-        store.overwrite(coll, merged)
-      }
-      parked.unpersist()
+      try {
+        val topics = collectTopicsGuarded(parked.select("__topic"), spec, "$delay")
+        producer(parked)
+        // park per target topic so redelivery preserves the topic routing
+        topics.foreach { t =>
+          val coll = s"__delay__$t"
+          val batch = parked.filter(col("__topic") === t).drop("__topic")
+          val merged =
+            try store.read(coll).unionByName(batch, allowMissingColumns = true)
+            catch { case _: Exception => batch } // first schedule for this topic
+          store.overwrite(coll, merged)
+        }
+      } finally parked.unpersist()
       typed.filter(!valid).drop("__topic", "__durationMs")
     }
   }

@@ -1026,6 +1026,14 @@ object SparkEntry {
         graft.llm.MultimodalOps.asMedia(t(s, dir, "documents"), "text", "doc_id"),
         n = 4).select("media_id", "frame_idx", "frame_ts_ms")
     }),
+    "llm_media_av" -> ((s, dir) => {
+      tune(s)
+      // synthAv builds REAL WAV/MP4 containers (params derived from the id),
+      // decodeAvMeta parses them back — the oracle recomputes every field
+      // analytically from length(text), so a parser bug breaks the hash
+      graft.llm.MultimodalOps.decodeAvMeta(
+        graft.llm.MultimodalOps.synthAv(t(s, dir, "documents"), "text", "doc_id"))
+    }),
     "llm_cosine_topk" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings")
@@ -2109,6 +2117,20 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
                 CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms
          FROM documents WHERE octet_length(encode(text)) > 0""",
+    "llm_media_av" ->
+      """SELECT doc_id AS media_id,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + octet_length(encode(text))
+                          ELSE 140 + octet_length(encode(text)) END AS INT) AS n_bytes,
+                CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS kind,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 END AS INT) AS channels,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + ((doc_id // 2) % 3) * 4000 END AS INT) AS sample_rate,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 16 END AS INT) AS bits_per_sample,
+                CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (octet_length(encode(text)) * 1000)
+                          // ((8000 + ((doc_id // 2) % 3) * 4000) * (1 + (doc_id // 2) % 2) * 2)
+                     ELSE (octet_length(encode(text)) * 25 * 1000) // (1000 + doc_id % 10)
+                     END AS BIGINT) AS duration_ms
+         FROM documents""",
     "llm_quality" ->
       """WITH b AS (
            SELECT doc_id, text, length(text) AS nc,

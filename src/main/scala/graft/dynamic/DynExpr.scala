@@ -161,8 +161,19 @@ object DynExpr {
       limit: Option[DOp] = None) extends DOp {
     def eval(ctx: DCtx): JsonNode = input.eval(ctx) match {
       case a: ArrayNode =>
-        val max = limit.map(_.eval(ctx)).filter(_.isNumber)
-          .map(_.intValue).getOrElse(Int.MaxValue)
+        // Mongo: null/missing limit = no limit; < 1 or non-numeric = error
+        // (matches mongo/MongoExpr's $filter — differential-pinned)
+        val max = limit.map(_.eval(ctx)) match {
+          case None                                          => Int.MaxValue
+          case Some(n) if n == null || n.isNull || isMissing(n) => Int.MaxValue
+          case Some(n) if n.isNumber =>
+            val v = n.intValue
+            if (v < 1) throw new IllegalArgumentException(
+              s"$$filter limit must be >= 1: $v")
+            v
+          case Some(other) => throw new IllegalArgumentException(
+            s"$$filter limit must be numeric: $other")
+        }
         val out = arr()
         val it = a.asScala.iterator
         while (it.hasNext && out.size < max) {
@@ -411,6 +422,11 @@ object DynExpr {
                 parseInstant(b0).get.toEpochMilli)
             case List(a0, b0) if isDateN(a0) && b0.isNumber =>
               text(parseInstant(a0).get.minusMillis(b0.longValue).toString)
+            case List(a0, b0) if a0.isNumber && isDateN(b0) =>
+              // Mongo errors; mirror mongo/MongoExpr's explicit rejection
+              throw new IllegalArgumentException(
+                "$subtract: cannot subtract a date from a number (swap the " +
+                  "operands or $toLong the date first)")
             case _ => numArith(name, args)(_ - _, _ - _)
           }
         case "$multiply" => numArith(name, args)(_ * _, _ * _)

@@ -759,17 +759,22 @@ object DynPipeline {
     val scheduled = typed.filter(col("__topic").isNotNull)
       .withColumn("__deliverAt", timestamp_millis(col("__deliverAtMs")))
       .drop("__deliverAtMs")
-    ctx.producer(scheduled)
-    // cardinality-guarded: one park job per topic (see SinkStages doc)
-    graft.SinkStages.collectTopicsGuarded(
-      scheduled.select("__topic"), spec, "$delay").foreach { t =>
-      val coll = s"__delay__$t"
-      val batch = scheduled.filter(col("__topic") === t).drop("__topic")
-      val merged =
-        try ctx.store.read(coll).unionByName(batch, allowMissingColumns = true)
-        catch { case _: Exception => batch }
-      ctx.store.overwrite(coll, merged)
-    }
+    // guard BEFORE producing (a trip after the produce would emit messages
+    // that are never parked, re-produced on retry), unpersist on any exit
+    try {
+      val topics = graft.SinkStages.collectTopicsGuarded(
+        scheduled.select("__topic"), spec, "$delay")
+      ctx.producer(scheduled)
+      // cardinality-guarded: one park job per topic (see SinkStages doc)
+      topics.foreach { t =>
+        val coll = s"__delay__$t"
+        val batch = scheduled.filter(col("__topic") === t).drop("__topic")
+        val merged =
+          try ctx.store.read(coll).unionByName(batch, allowMissingColumns = true)
+          catch { case _: Exception => batch }
+        ctx.store.overwrite(coll, merged)
+      }
+    } finally typed.unpersist()
     typed.filter(col("__topic").isNull).select(col("key"), col("doc"))
   }
 

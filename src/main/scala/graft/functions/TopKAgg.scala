@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * of a growing frame with an interpreted comparator: O(frame² log frame)
   * per partition, measured as a multi-minute stall on 100k rows at sf0.1.
   * Spark's growing-frame window processor feeds an ImperativeAggregate one
-  * `update` per row, so this runs in O(frame · log k) with at most `k`
-  * buffered rows.
+  * `update` per row, so this runs in O(frame · (log k + move)) with at most
+  * `k` buffered rows — binary-search position, single `System.arraycopy`
+  * shift on insert, and an O(1) reject for rows worse than the current
+  * k-th. Safe for both the window N-family (k in the single digits) and
+  * `capPerKey` corpus caps (k in the thousands).
   *
   * `mode`:
   *  - "sorted": keep the k BEST rows of the child struct by its first
@@ -35,7 +38,7 @@ import org.apache.spark.sql.types._
 case class BoundedTopK(child: Expression, keyDirs: Seq[Boolean], n: Int,
     mode: String,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.ArrayDeque[InternalRow]] {
+    extends TypedImperativeAggregate[java.util.ArrayList[InternalRow]] {
 
   require(n > 0, s"n must be positive: $n")
   require(Seq("sorted", "first", "last").contains(mode), s"mode: $mode")
@@ -83,81 +86,97 @@ case class BoundedTopK(child: Expression, keyDirs: Seq[Boolean], n: Int,
       }
     }
 
-  override def createAggregationBuffer(): java.util.ArrayDeque[InternalRow] =
-    new java.util.ArrayDeque[InternalRow]()
+  override def createAggregationBuffer(): java.util.ArrayList[InternalRow] =
+    new java.util.ArrayList[InternalRow]()
 
   @transient private lazy val proj = UnsafeProjection.create(structType)
 
-  override def update(buf: java.util.ArrayDeque[InternalRow],
-      input: InternalRow): java.util.ArrayDeque[InternalRow] = {
+  override def update(buf: java.util.ArrayList[InternalRow],
+      input: InternalRow): java.util.ArrayList[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val row = proj(v.asInstanceOf[InternalRow]).copy()
+    val raw = v.asInstanceOf[InternalRow]
     mode match {
       case "first" =>
-        if (buf.size < n) buf.addLast(row)
-      case "last" =>
-        buf.addLast(row)
-        if (buf.size > n) buf.removeFirst()
-      case _ => // sorted: insertion into a small sorted deque — k is the
-        // user's top-k, single digits in practice, so linear insert beats
-        // heap constant factors
-        insertSorted(buf, row)
-        if (buf.size > n) buf.removeLast()
-    }
-    buf
-  }
-
-  private def insertSorted(buf: java.util.ArrayDeque[InternalRow],
-      row: InternalRow): Unit = {
-    // common case: row is worse than everything kept — append
-    if (buf.isEmpty || rowCmp.compare(row, buf.peekLast()) >= 0) {
-      buf.addLast(row); return
-    }
-    val it = buf.iterator()
-    var idx = 0
-    var found = -1
-    while (it.hasNext && found < 0) {
-      if (rowCmp.compare(row, it.next()) < 0) found = idx
-      idx += 1
-    }
-    val tmp = new java.util.ArrayList[InternalRow](buf)
-    tmp.add(if (found < 0) tmp.size else found, row)
-    buf.clear()
-    tmp.forEach(r => buf.addLast(r))
-  }
-
-  override def merge(buf: java.util.ArrayDeque[InternalRow],
-      other: java.util.ArrayDeque[InternalRow]): java.util.ArrayDeque[InternalRow] =
-    mode match {
-      case "first" =>
-        other.forEach(r => if (buf.size < n) buf.addLast(r))
+        if (buf.size < n) buf.add(proj(raw).copy())
         buf
       case "last" =>
-        other.forEach { r =>
-          buf.addLast(r); if (buf.size > n) buf.removeFirst()
+        // amortized-O(1) ring: append always, and when the list reaches
+        // 2n compact to the last n with ONE arraycopy (vs an O(k) shift
+        // per row once full) — eval/serialize slice the live tail
+        buf.add(proj(raw).copy())
+        if (buf.size >= 2L * n)
+          new java.util.ArrayList(buf.subList(buf.size - n, buf.size))
+        else buf
+      case _ =>
+        // sorted: O(1) reject when worse than the current k-th, else
+        // binary-search upper bound (stable: after equals, so earlier
+        // arrivals win ties) + one arraycopy insert
+        if (buf.size == n && rowCmp.compare(raw, buf.get(n - 1)) >= 0) buf
+        else {
+          buf.add(upperBound(buf, raw), proj(raw).copy())
+          if (buf.size > n) buf.remove(buf.size - 1)
+          buf
         }
+    }
+  }
+
+  /** First index whose row is strictly greater than `row` (insert point
+    * AFTER any equal rows). */
+  private def upperBound(buf: java.util.ArrayList[InternalRow],
+      row: InternalRow): Int = {
+    var lo = 0
+    var hi = buf.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (rowCmp.compare(row, buf.get(mid)) < 0) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** Last `min(n, size)` elements in order (the live tail of a "last"
+    * ring; the identity for the other modes, whose size never exceeds n). */
+  private def tail(buf: java.util.ArrayList[InternalRow]): java.util.List[InternalRow] =
+    if (buf.size > n) buf.subList(buf.size - n, buf.size) else buf
+
+  override def merge(buf: java.util.ArrayList[InternalRow],
+      other: java.util.ArrayList[InternalRow]): java.util.ArrayList[InternalRow] =
+    mode match {
+      case "first" =>
+        val it = other.iterator()
+        while (buf.size < n && it.hasNext) buf.add(it.next())
         buf
+      case "last" =>
+        // arrival order: buf's partition first, then other's
+        val all = new java.util.ArrayList[InternalRow](tail(buf))
+        all.addAll(tail(other))
+        if (all.size > n)
+          new java.util.ArrayList(all.subList(all.size - n, all.size))
+        else all
       case _ =>
         other.forEach { r =>
-          insertSorted(buf, r); if (buf.size > n) buf.removeLast()
+          if (buf.size < n || rowCmp.compare(r, buf.get(n - 1)) < 0) {
+            buf.add(upperBound(buf, r), r)
+            if (buf.size > n) buf.remove(buf.size - 1)
+          }
         }
         buf
     }
 
-  override def eval(buf: java.util.ArrayDeque[InternalRow]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: java.util.ArrayList[InternalRow]): Any = {
+    val live = tail(buf)
+    val out = new Array[Any](live.size)
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    while (i < live.size) { out(i) = live.get(i); i += 1 }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.ArrayDeque[InternalRow]): Array[Byte] = {
+  override def serialize(buf: java.util.ArrayList[InternalRow]): Array[Byte] = {
+    val live = tail(buf)
     val bos = new java.io.ByteArrayOutputStream()
     val dos = new java.io.DataOutputStream(bos)
-    dos.writeInt(buf.size)
-    buf.forEach { r =>
+    dos.writeInt(live.size)
+    live.forEach { r =>
       val u = r.asInstanceOf[UnsafeRow]
       val bytes = u.getBytes
       dos.writeInt(bytes.length)
@@ -167,10 +186,10 @@ case class BoundedTopK(child: Expression, keyDirs: Seq[Boolean], n: Int,
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.ArrayDeque[InternalRow] = {
+  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[InternalRow] = {
     val dis = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val size = dis.readInt()
-    val buf = new java.util.ArrayDeque[InternalRow]()
+    val buf = new java.util.ArrayList[InternalRow](size)
     var i = 0
     while (i < size) {
       val len = dis.readInt()
@@ -178,7 +197,7 @@ case class BoundedTopK(child: Expression, keyDirs: Seq[Boolean], n: Int,
       dis.readFully(arr)
       val row = new UnsafeRow(structType.length)
       row.pointTo(arr, len)
-      buf.addLast(row)
+      buf.add(row)
       i += 1
     }
     buf

@@ -153,6 +153,169 @@ object MultimodalOps {
       }
     }(Encoders.row(frameSchema))
 
+  /** WAV audio metadata from the RIFF container — pure byte parsing, no
+    * codec. Layout: "RIFF" u32le(riffSize) "WAVE", then a chunk walk
+    * (4-byte id, u32le size, payload, odd sizes padded to even). The
+    * "fmt " chunk carries u16le audioFormat, u16le channels, u32le
+    * sampleRate, u32le byteRate, u16le blockAlign, u16le bitsPerSample;
+    * the "data" chunk's size over byteRate gives the duration.
+    * Returns (channels, sampleRate, bitsPerSample, durationMs). */
+  private[graft] def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+    var dataSize = -1L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22), le32(i + 16)))
+      else if (id == "data") dataSize = math.min(size, b.length - i - 8L)
+      // chunks pad to even; clamp so a corrupt size can't overflow the index
+      i = math.min(b.length.toLong, i + 8L + size + (size & 1L)).toInt
+    }
+    fmt.collect { case (ch, rate, bits, byteRate)
+        if dataSize >= 0 && byteRate > 0 =>
+      (ch, rate, bits, dataSize * 1000L / byteRate)
+    }
+  }
+
+  /** MP4/QuickTime movie metadata from the `moov/mvhd` box — a top-level
+    * box walk (u32be size, 4-byte type; size 1 = u64be largesize follows,
+    * size 0 = to end-of-file), then moov's children to `mvhd`, whose full
+    * box payload is version(1) flags(3) then v0: ctime(4) mtime(4)
+    * timescale(4) duration(4), or v1: ctime(8) mtime(8) timescale(4)
+    * duration(8). Returns (timescale, durationUnits, durationMs). */
+  private[graft] def mp4Meta(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    def be32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] { // (type, payloadStart, payloadEnd)
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size0 = be32(i)
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val (payload, end) =
+            if (size0 == 1 && i + 16 <= hi) (i + 16L, i + be64(i + 8))
+            else if (size0 == 0) (i + 8L, hi.toLong)
+            else (i + 8L, i + size0)
+          val clamped = math.min(end, hi.toLong).toInt
+          val out = (tpe, payload.toInt, clamped)
+          i = math.max(clamped, i + 8) // malformed size: still advance
+          out
+        }
+      }
+    if (b.length < 16) return None
+    // an MP4 leads with ftyp/styp (ISO 14496-12 §4.3); require it so
+    // arbitrary binaries don't parse accidentally
+    val first = boxes(0, b.length).take(1).toList
+    if (!first.exists { case (t, _, _) => t == "ftyp" || t == "styp" })
+      return None
+    boxes(0, b.length).collectFirst { case ("moov", s, e) =>
+      boxes(s, e).collectFirst { case ("mvhd", ms, me) if me - ms >= 20 =>
+        val version = b(ms) & 0xff
+        val (timescale, duration) =
+          if (version == 1 && me - ms >= 32) (be32(ms + 20), be64(ms + 24))
+          else (be32(ms + 12), be32(ms + 16))
+        (timescale, duration,
+          if (timescale > 0) duration * 1000L / timescale else 0L)
+      }
+    }.flatten
+  }
+
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32b(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+  private def be32b(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+
+  /** Minimal valid WAV file around `payload` PCM bytes (test/synthesis). */
+  private[graft] def wavBytes(payload: Array[Byte], channels: Int,
+      sampleRate: Int, bitsPerSample: Int): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    "RIFF".getBytes("US-ASCII") ++ le32b(36L + payload.length) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++ le32b(16) ++ le16b(1) ++
+      le16b(channels) ++ le32b(sampleRate) ++ le32b(byteRate) ++
+      le16b(blockAlign) ++ le16b(bitsPerSample) ++
+      "data".getBytes("US-ASCII") ++ le32b(payload.length) ++ payload
+  }
+
+  /** Minimal valid MP4: ftyp + moov(mvhd v0, zero matrix) + mdat(payload). */
+  private[graft] def mp4Bytes(payload: Array[Byte], timescale: Long,
+      durationUnits: Long): Array[Byte] = {
+    val mvhd = be32b(108) ++ "mvhd".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++ be32b(0) ++ be32b(0) ++
+      be32b(timescale) ++ be32b(durationUnits) ++ new Array[Byte](108 - 28)
+    be32b(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32b(0) ++
+      be32b(8L + mvhd.length) ++ "moov".getBytes("US-ASCII") ++ mvhd ++
+      be32b(8L + payload.length) ++ "mdat".getBytes("US-ASCII") ++ payload
+  }
+
+  /** Deterministic audio/video blob synthesis over a text column: even ids
+    * become WAV (PCM params derived from the id), odd ids MP4 (timescale/
+    * duration derived from the id and payload length) — so a DuckDB oracle
+    * can compute the expected [[decodeAvMeta]] output analytically from
+    * `length(text)` without parsing bytes. */
+  def synthAv(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media", BinaryType)))
+    df.select(col(idCol).cast(LongType), col(textCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+        val bytes =
+          if (id % 2 == 0)
+            wavBytes(payload, channels = (1 + (id / 2) % 2).toInt,
+              sampleRate = (8000 + ((id / 2) % 3) * 4000).toInt,
+              bitsPerSample = 16)
+          else mp4Bytes(payload, timescale = 1000 + id % 10,
+            durationUnits = payload.length * 25L)
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  private val avSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("kind", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Decode each media blob to audio/video metadata — REAL header parsing
+    * for WAV (RIFF/fmt/data walk) and MP4 (moov/mvhd walk), both
+    * dependency-free; anything else reports kind "unknown" with null
+    * fields (no fake here: a/v metadata is either parsed or absent). */
+  def decodeAvMeta(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("media")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = if (bytes == null) 0 else bytes.length
+        wavMeta(if (bytes == null) Array.empty else bytes) match {
+          case Some((ch, rate, bits, durMs)) =>
+            Row(id, n, "wav", ch, rate, bits, durMs)
+          case None => mp4Meta(if (bytes == null) Array.empty else bytes) match {
+            case Some((_, _, durMs)) =>
+              Row(id, n, "mp4", null, null, null, durMs)
+            case None => Row(id, n, "unknown", null, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(avSchema))
+
   /** Byte-level feature extraction: a deterministic 16-dim embedding from
     * rolling byte statistics. STUB for a real vision/audio encoder; the
     * Array[Float] output column matches the `embeddings` table shape. */

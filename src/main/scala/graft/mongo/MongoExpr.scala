@@ -96,6 +96,22 @@ object MongoExpr {
         case JArray(items) => items.exists(staticIsDate)
         case _             => false
       }
+      // conditionals produce a date when any VALUE branch does (the
+      // condition itself can't leak into the result)
+      case "$cond" => inner match {
+        case JArray(List(_, t, e)) => staticIsDate(t) || staticIsDate(e)
+        case o: JObject => staticIsDate(o \ "then") || staticIsDate(o \ "else")
+        case _ => false
+      }
+      case "$switch" => inner match {
+        case o: JObject =>
+          val branches = o \ "branches" match {
+            case JArray(bs) => bs.exists(b => staticIsDate(b \ "then"))
+            case _          => false
+          }
+          branches || staticIsDate(o \ "default")
+        case _ => false
+      }
       case _ => false
     }
     case _ => false
@@ -191,6 +207,9 @@ object MongoExpr {
           unix_millis(a.cast(TimestampType)) - unix_millis(b.cast(TimestampType))
         case (true, false) =>
           timestamp_millis(unix_millis(a.cast(TimestampType)) - b.cast(LongType))
+        case (false, true) => throw new IllegalArgumentException(
+          "$subtract: cannot subtract a date from a number (Mongo errors here;" +
+            " swap the operands or $toLong the date first)")
         case _ => a - b
       }
     case "$multiply" => args(spec).reduce(_ * _)
@@ -369,7 +388,14 @@ object MongoExpr {
       val filtered = filter(input, x => truthy(compile(cond)(ctx.bind(as, x))))
       field(spec, "limit") match { // Mongo 5.2: first `limit` matches only
         case JNothing => filtered
-        case l        => slice(filtered, lit(1), compile(l).cast(IntegerType))
+        case l        =>
+          // Mongo: a null limit means NO limit; a limit < 1 is an error
+          // (matches dynamic/DynExpr.DFilterArr — differential-pinned)
+          val lim = compile(l).cast(IntegerType)
+          slice(filtered, lit(1), when(lim.isNull, size(filtered))
+            .otherwise(when(lim >= 1, lim).otherwise(raise_error(
+              concat(lit("$filter limit must be >= 1: "), lim.cast(StringType)))
+              .cast(IntegerType))))
       }
     case "$map" =>
       val as = opt(field(spec, "as")).map(str).getOrElse("this")

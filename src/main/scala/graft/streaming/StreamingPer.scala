@@ -22,6 +22,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * trigger after the deadline (no mid-batch preemption), so an idle stream
   * needs a periodic trigger (e.g. `Trigger.ProcessingTime`) for the flush
   * to materialize — same behavior as any GroupStateTimeout user.
+  *
+  * The flush deadline is anchored to when buffering STARTED (the
+  * reference's `Per(amount, timeout)`, Per.java:40-48): state carries a
+  * first-buffered-at timestamp and every invocation re-arms the timer with
+  * the REMAINING time to that deadline (Spark clears a group's timeout on
+  * each invocation, so the duration must be re-set — but from the anchor,
+  * not from "now"). Without the anchor, a steady trickle slower than
+  * `amount` per window pushes the deadline forever and the partial batch
+  * never flushes.
   */
 object StreamingPer {
 
@@ -38,26 +47,44 @@ object StreamingPer {
       (java.util.UUID.randomUUID().toString,
         docs.mkString(s"""{"$as":[""", ",", "]}"))
     ds.groupByKey { case (k, _) => groupOf(k) }
-      .flatMapGroupsWithState[Seq[String], (String, String)](
+      .flatMapGroupsWithState[(Long, Seq[String]), (String, String)](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (_, rows, state: GroupState[Seq[String]]) =>
+        (_, rows, state: GroupState[(Long, Seq[String])]) =>
           if (state.hasTimedOut) {
             // timer fired with no new data: flush the partial batch
-            val buf = state.getOption.getOrElse(Nil)
+            val buf = state.getOption.map(_._2).getOrElse(Nil)
             state.remove()
             if (buf.nonEmpty) Iterator.single(emit(buf)) else Iterator.empty
           } else {
-            val buf = state.getOption.getOrElse(Nil) ++ rows.map(_._2)
+            val old = state.getOption
+            val buf = old.map(_._2).getOrElse(Nil) ++ rows.map(_._2)
             val chunks = buf.grouped(amount).toList
             val (complete, partial) =
               if (chunks.nonEmpty && chunks.last.size < amount)
                 (chunks.dropRight(1), chunks.last)
               else (chunks, Seq.empty[String])
-            if (partial.nonEmpty) {
-              state.update(partial)
-              state.setTimeoutDuration(timeoutMs)
-            } else state.remove()
-            complete.iterator.map(emit)
+            val now = state.getCurrentProcessingTimeMs()
+            // the anchor survives a trickle: only a buffer that started
+            // fresh this batch (none carried, or the carried rows all
+            // left in a complete chunk) re-bases the deadline
+            val firstAt =
+              if (old.isDefined && complete.isEmpty) old.get._1 else now
+            if (partial.nonEmpty && now - firstAt >= timeoutMs) {
+              // deadline already passed: flush the partial NOW. hasTimedOut
+              // alone can't be relied on — a trickle where every micro-batch
+              // delivers rows means the group always "has data", so the
+              // timed-out branch would never run and the partial would
+              // starve exactly as an always-re-armed timer does
+              state.remove()
+              (complete :+ partial).iterator.map(emit)
+            } else if (partial.nonEmpty) {
+              state.update((firstAt, partial))
+              state.setTimeoutDuration(math.max(1L, firstAt + timeoutMs - now))
+              complete.iterator.map(emit)
+            } else {
+              state.remove()
+              complete.iterator.map(emit)
+            }
           }
       }.toDF("key", "doc")
   }

@@ -546,8 +546,73 @@ class DifferentialSpec extends SparkSpec {
         {"$unwind": "$chain"},
         {"$project": {"ck": "$chain.k", "d": "$chain.d"}}]""")
 
+  // campaign batch 7 (round-7 verdict item 8): $setWindowFields range+unit
+  // on date axes, $convert corner codes, $redact inside $facet, all-null
+  // partitions, $filter limit edges
+  private val batch7 = Seq(
+    // $filter limit: null limit = NO limit (Mongo), field-driven limit
+    """[{"$addFields": {"f": {"$filter": {"input": "$arr", "as": "x",
+         "cond": {"$gte": ["$$x", 1]}, "limit": null}}}},
+        {"$project": {"f": 1}}]""",
+    """[{"$addFields": {"f": {"$filter": {"input": "$arr", "as": "x",
+         "cond": {"$gte": ["$$x", 1]}, "limit": "$missing"}}}},
+        {"$project": {"f": 1}}]""",
+    // $convert corner codes: double->int truncation, long->bool, onNull
+    """[{"$addFields": {"i": {"$convert": {"input": "$b", "to": "int",
+         "onNull": -1}}, "bl": {"$convert": {"input": "$a", "to": "bool",
+         "onNull": false}}, "st": {"$convert": {"input": "$a", "to": "string",
+         "onNull": "none"}}}},
+        {"$project": {"i": 1, "bl": 1, "st": 1}}]""",
+    """[{"$addFields": {"e": {"$convert": {"input": "$s", "to": "double",
+         "onError": -99}}}}, {"$project": {"e": 1}}]""",
+    // $redact inside $facet (sub-pipeline isolation)
+    """[{"$facet": {"kept": [{"$redact": {"$cond": [{"$gt": ["$a", 2]},
+         "$$KEEP", "$$PRUNE"]}}, {"$project": {"_id": 1}}],
+         "n": [{"$count": "n"}]}}]""",
+    // all-null partition: s is null/missing for _id 5 — the null partition
+    // must still rank and aggregate (sum of all-null b = 0 per Mongo)
+    """[{"$setWindowFields": {"partitionBy": "$s", "sortBy": {"_id": 1},
+         "output": {"r": {"$rank": {}}, "sb": {"$sum": "$b"}}}},
+        {"$project": {"r": 1, "sb": 1}}]""",
+    // date-axis range window with unit (30 trailing days)
+    """[{"$setWindowFields": {"partitionBy": null, "sortBy": {"d": 1},
+         "output": {"c": {"$count": {},
+           "window": {"range": [-30, 0], "unit": "day"}}}}},
+        {"$project": {"c": 1}}]""",
+    """[{"$setWindowFields": {"partitionBy": null, "sortBy": {"d": 1},
+         "output": {"mb": {"$min": "$b",
+           "window": {"range": [0, 45], "unit": "day"}}}}},
+        {"$project": {"mb": 1}}]""",
+    // number-ish axis: range window over a column WITH nulls in the axis
+    """[{"$match": {"a": {"$ne": null}}},
+        {"$setWindowFields": {"partitionBy": null, "sortBy": {"a": 1},
+         "output": {"c": {"$count": {}, "window": {"range": [-2, 2]}}}}},
+        {"$project": {"c": 1}}]""",
+    // group over the all-null field of an all-null-key partition
+    """[{"$group": {"_id": "$missingEverywhere",
+         "mx": {"$max": "$nothing"}, "n": {"$sum": 1}}}]""",
+    // $sortArray on documents nested under $facet (r6 campaign follow-on)
+    """[{"$facet": {"sorted": [{"$project": {"sa": {"$sortArray": {
+         "input": "$arr", "sortBy": -1}}}}]}}]""")
+
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)
+  }
+
+  test("campaign batch 7: window units, $convert corners, $redact in $facet, null partitions") {
+    batch7.foreach(agree)
+  }
+
+  test("both engines REJECT $filter limit < 1 and number-minus-date") {
+    def bothReject(p: String): Unit = {
+      val t = intercept[Exception](typedOut(p))
+      val d = intercept[Exception](dynOut(p))
+      assert((t.getMessage + d.getMessage).nonEmpty)
+    }
+    bothReject("""[{"$addFields": {"f": {"$filter": {"input": "$arr",
+      "as": "x", "cond": true, "limit": 0}}}}, {"$project": {"f": 1}}]""")
+    bothReject("""[{"$addFields": {"w": {"$subtract": [5, "$d"]}}},
+      {"$project": {"w": 1}}]""")
   }
 
   test("typed and dynamic engines agree on catalog stages (lookup/union/graph)") {

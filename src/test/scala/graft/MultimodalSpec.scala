@@ -63,6 +63,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._4 == "stub") // non-image bytes keep the stub fallback
   }
 
+  test("wavMeta parses a real RIFF/fmt/data header") {
+    val payload = Array.fill[Byte](32000)(7)
+    val wav = MultimodalOps.wavBytes(payload, channels = 2,
+      sampleRate = 16000, bitsPerSample = 16)
+    // 2 ch × 16 bit × 16 kHz = 64000 B/s → 32000 bytes = 500 ms
+    assert(MultimodalOps.wavMeta(wav).contains((2, 16000, 16, 500L)))
+    // extra chunk before fmt must be walked over, not tripped on
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val shuffled = wav.take(12) ++ listChunk ++ wav.drop(12)
+    assert(MultimodalOps.wavMeta(shuffled).contains((2, 16000, 16, 500L)))
+    assert(MultimodalOps.wavMeta("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(MultimodalOps.wavMeta("not audio at all".getBytes("US-ASCII")).isEmpty)
+    // corrupt chunk size must terminate, not throw
+    val corrupt = wav.clone()
+    corrupt(40) = -1; corrupt(41) = -1; corrupt(42) = -1; corrupt(43) = -1
+    MultimodalOps.wavMeta(corrupt) // no exception is the assertion
+  }
+
+  test("mp4Meta walks ftyp/moov to the mvhd timescale and duration") {
+    val mp4 = MultimodalOps.mp4Bytes(Array.fill[Byte](100)(1),
+      timescale = 600, durationUnits = 1500)
+    assert(MultimodalOps.mp4Meta(mp4).contains((600L, 1500L, 2500L)))
+    assert(MultimodalOps.mp4Meta("RIFF".getBytes("US-ASCII")).isEmpty)
+    // a WAV must not parse as MP4 and vice versa
+    val wav = MultimodalOps.wavBytes(Array.fill[Byte](64)(1), 1, 8000, 16)
+    assert(MultimodalOps.mp4Meta(wav).isEmpty)
+    assert(MultimodalOps.wavMeta(mp4).isEmpty)
+  }
+
+  test("decodeAvMeta round-trips synthAv and reports unknown for neither") {
+    import spark.implicits._
+    val df = Seq((0L, "x" * 64000), (1L, "y" * 100), (7L, "")).toDF("doc_id", "text")
+    val out = MultimodalOps.decodeAvMeta(MultimodalOps.synthAv(df, "text", "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r0 = out(0L) // even: wav, channels 1, rate 8000 → 16000 B/s
+    assert(r0.getString(2) == "wav" && r0.getInt(3) == 1 &&
+      r0.getInt(4) == 8000 && r0.getLong(6) == 4000L)
+    val r1 = out(1L) // odd: mp4, timescale 1001, duration 100·25
+    assert(r1.getString(2) == "mp4" && r1.isNullAt(3) &&
+      r1.getLong(6) == 2500L * 1000 / 1001)
+    assert(out(7L).getString(2) == "mp4") // empty payload still parses
+    val plain = Seq((9L, "just text".getBytes("UTF-8"))).toDF("media_id", "media")
+    val u = MultimodalOps.decodeAvMeta(plain).head()
+    assert(u.getString(2) == "unknown" && u.isNullAt(6))
+  }
+
   test("feature extraction emits fixed-dim float vectors") {
     val f = MultimodalOps.extractFeatures(media)
     val v = f.head().getSeq[Float](1)

@@ -252,7 +252,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning") &&
       !p.contains("Exchange SinglePartition"),
       s"per-key cap must not globally sort:\n$p")
-    val exchangeIdx = p.indexOf("Exchange hashpartitioning(__capkey")
+    // NOTE: Catalyst collapses the `col(keyCol).as("__capkey")` alias back
+    // to the source attribute in the physical plan, so the exchange prints
+    // `hashpartitioning(source#…)` — anchor on the generic exchange, not
+    // the alias name
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(")
     assert(exchangeIdx >= 0, s"expected one key exchange:\n$p")
     assert(p.substring(exchangeIdx).contains("partial_bounded_top_k_sorted"),
       s"expected a map-side partial bounded top-k below the exchange:\n$p")

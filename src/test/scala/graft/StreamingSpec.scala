@@ -449,6 +449,76 @@ class StreamingSpec extends SparkSpec {
     assert(rows(st.read("c")) == Set(List("seed", 0L), List("x", 7L)))
   }
 
+  test("streaming $per trickle: flush deadline anchors to buffering START, not last arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    // amount is never reached; a steady trickle FASTER than the timeout
+    // would starve a deadline that re-arms on every delivering batch
+    // (Per.java:40-48 anchors the flush to when buffering started)
+    val out = graft.streaming.StreamingPer.per(input.toDF().toDF("key", "doc"),
+      amount = 100, as = "batch", timeoutMs = 600L)
+    val q = out.writeStream.format("memory").queryName("pertrickle")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    def flushed(): Long =
+      spark.sql("select count(*) from pertrickle").head().getLong(0)
+    try {
+      var sawFlushMidTrickle = false
+      var i = 0
+      val end = System.currentTimeMillis + 8000
+      while (!sawFlushMidTrickle && System.currentTimeMillis < end) {
+        i += 1
+        input.addData((s"k$i", s"""{"_id":"d$i"}"""))
+        Thread.sleep(150)
+        sawFlushMidTrickle = flushed() > 0
+      }
+      assert(sawFlushMidTrickle,
+        "steady sub-amount trickle starved the $per timeout flush")
+    } finally q.stop()
+  }
+
+  test("composed streaming restart: $deduplicate -> $group -> $merge is effectively-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt2")
+    val srcDir = dir.resolve("src").toString
+    val ckpt = dir.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def write(n: Int, rows: Seq[(String, String, Long)]): Unit =
+      rows.toDF("_id", "g", "v").coalesce(1).write.mode("overwrite")
+        .parquet(s"$srcDir/batch$n")
+    val st = new InMemoryStore(spark)
+    st.overwrite("agg", Seq.empty[(String, Long)].toDF("_id", "s"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$srcDir/batch*")
+      val sp = new StreamingPipeline(new Pipeline(store = st))
+      val q = sp.start(stream,
+        """[{"$deduplicate": {"expression": "$_id"}},
+            {"$group": {"_id": "$g", "s": {"$sum": "$v"}}},
+            {"$merge": {"into": "agg"}}]""",
+        _ => (), checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // m2 is a duplicate within the batch: dedup state must drop it
+    write(1, Seq(("m1", "a", 1L), ("m2", "a", 10L), ("m2", "a", 10L),
+      ("m3", "b", 5L)))
+    runOnce()
+    assert(rows(st.read("agg")) == Set(List("a", 11L), List("b", 5L)))
+    // restart from checkpoint: m2 arriving AGAIN is dropped by the restored
+    // dedup state, and the group state carries the previous sums — the
+    // store ends effectively-once despite the kill-and-restart
+    write(2, Seq(("m2", "a", 10L), ("m4", "a", 2L)))
+    runOnce()
+    assert(rows(st.read("agg")) == Set(List("a", 13L), List("b", 5L)))
+  }
+
   test("streaming $per: full batches emit immediately, a PARTIAL batch flushes on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String)]
