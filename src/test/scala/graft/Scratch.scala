@@ -27,6 +27,16 @@ object Scratch {
         println(f"TIME ${args(1)} run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    else if (args(0) == "capbench") { // capbench <sfDir> <k> [reps]: BoundedTopK at corpus-scale k
+      val dir = args(1); val k = args(2).toInt
+      val reps = if (args.length > 3) args(3).toInt else 2
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      for (i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = graft.llm.CorpusOps.capPerKey(docs, "source", "doc_id", k).count()
+        println(f"CAPBENCH k=$k run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     else if (args(0) == "explain") {
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       SparkEntry.queries(args(1))(spark, dir).explain("formatted")
