@@ -291,7 +291,8 @@ object DynExpr {
     case "$dateTrunc" =>
       DFn(op, List(compile(arg \ "date"), compile(arg \ "unit")))
     case "$regexMatch" | "$regexFind" | "$regexFindAll" =>
-      DFn(op, List(compile(arg \ "input"), compile(arg \ "regex")))
+      DFn(op, List(compile(arg \ "input"), compile(arg \ "regex")) ++
+        (arg \ "options" match { case JNothing => Nil; case o => List(compile(o)) }))
     case "$replaceAll" | "$replaceOne" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "find"),
         compile(arg \ "replacement")))
@@ -348,6 +349,24 @@ object DynExpr {
     Ops.toInstant(n)
 
   private object Ops {
+
+    /** Mongo regex `options` (`i`/`m`/`s`/`x`) as Java Pattern flags;
+      * anything else rejects — mirrors the typed RegexFindAllExpr. */
+    private def regexPattern(re: JsonNode,
+        optsArg: Option[JsonNode]): java.util.regex.Pattern = {
+      val options = optsArg.filter(o => !o.isNull && !isMissing(o))
+        .map(_.textValue).getOrElse("")
+      require(options.forall("imsx".contains(_)),
+        s"unsupported regex options '$options' (allowed: i m s x)")
+      var flags = 0
+      if (options.contains('i'))
+        flags |= java.util.regex.Pattern.CASE_INSENSITIVE |
+          java.util.regex.Pattern.UNICODE_CASE
+      if (options.contains('m')) flags |= java.util.regex.Pattern.MULTILINE
+      if (options.contains('s')) flags |= java.util.regex.Pattern.DOTALL
+      if (options.contains('x')) flags |= java.util.regex.Pattern.COMMENTS
+      java.util.regex.Pattern.compile(re.textValue, flags)
+    }
 
     private def numArith(name: String, args: List[JsonNode])(
         fl: (Long, Long) => Long, fd: (Double, Double) => Double): JsonNode = {
@@ -528,7 +547,26 @@ object DynExpr {
           }
         case "$indexOfCP" =>
           if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
-          else long(a(0).textValue.indexOf(a(1).textValue).toLong)
+          else {
+            // Mongo searches the code-point WINDOW s[start, end): the
+            // occurrence must fit entirely inside it
+            val s = a(0).textValue
+            val sub = a(1).textValue
+            val total = s.codePointCount(0, s.length)
+            val start = if (argOps.length > 2) a(2).intValue else 0
+            val end =
+              if (argOps.length > 3) math.min(a(3).intValue, total) else total
+            require(start >= 0 && end >= 0,
+              "$indexOfCP start/end must be non-negative")
+            if (start > total || end < start) long(-1L)
+            else {
+              val from = s.offsetByCodePoints(0, start)
+              val to = s.offsetByCodePoints(0, end)
+              val idx = s.substring(from, to).indexOf(sub)
+              if (idx < 0) long(-1L)
+              else long((start + s.substring(from, to).codePointCount(0, idx)).toLong)
+            }
+          }
 
         case "$eq"  => bool(deepEq(a(0), a(1)))
         case "$ne"  => bool(!deepEq(a(0), a(1)))
@@ -870,17 +908,20 @@ object DynExpr {
         case "$regexMatch" =>
           val (in, re) = (a(0), a(1))
           if (in.isNull || isMissing(in)) bool(false)
-          else bool(java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue).find)
+          else bool(regexPattern(re, if (argOps.length > 2) Some(a(2)) else None).matcher(in.textValue).find)
         case "$regexFind" =>
           val (in, re) = (a(0), a(1))
           if (in.isNull || isMissing(in)) NULL
           else {
-            val m = java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue)
+            val m = regexPattern(re, if (argOps.length > 2) Some(a(2)) else None).matcher(in.textValue)
             if (!m.find) NULL
             else {
               val o = obj()
               o.set[JsonNode]("match", text(m.group))
-              o.set[JsonNode]("idx", long(m.start.toLong))
+              // code-point idx, like the typed expression (astral-plane
+              // text would drift under a raw char index)
+              o.set[JsonNode]("idx",
+                long(in.textValue.codePointCount(0, m.start).toLong))
               val caps = arr()
               (1 to m.groupCount).foreach(g =>
                 caps.add(if (m.group(g) == null) NULL else text(m.group(g))))
@@ -892,12 +933,13 @@ object DynExpr {
           val (in, re) = (a(0), a(1))
           if (in.isNull || isMissing(in)) arr()
           else {
-            val m = java.util.regex.Pattern.compile(re.textValue).matcher(in.textValue)
+            val m = regexPattern(re, if (argOps.length > 2) Some(a(2)) else None).matcher(in.textValue)
             val out = arr()
             while (m.find) {
               val o = obj()
               o.set[JsonNode]("match", text(m.group))
-              o.set[JsonNode]("idx", long(m.start.toLong))
+              o.set[JsonNode]("idx",
+                long(in.textValue.codePointCount(0, m.start).toLong))
               val caps = arr()
               (1 to m.groupCount).foreach(g =>
                 caps.add(if (m.group(g) == null) NULL else text(m.group(g))))
@@ -948,10 +990,15 @@ object DynExpr {
             kept.sorted(mongoOrder).foreach(out.add)
             out
           }
-        case "$setEquals" =>
+        case "$setEquals" => // Mongo ERRORS on non-array operands (unlike
+          // union/intersection/difference, which yield null)
+          if (!args.forall(_.isArray)) throw new IllegalArgumentException(
+            s"$$setEquals: all operands must be arrays, got ${args.map(typeName)}")
           val keys = args.map(_.asScala.map(canonical).toSet)
           bool(keys.forall(_ == keys.head))
         case "$setIsSubset" =>
+          if (!args.forall(_.isArray)) throw new IllegalArgumentException(
+            s"$$setIsSubset: both operands must be arrays, got ${args.map(typeName)}")
           val (x, y) = (a(0).asScala.map(canonical).toSet, a(1).asScala.map(canonical).toSet)
           bool(x.subsetOf(y))
         case "$allElementsTrue" => bool(a(0).asScala.forall(truthy))

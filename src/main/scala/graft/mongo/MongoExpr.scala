@@ -137,6 +137,20 @@ object MongoExpr {
     case other      => throw new IllegalArgumentException(s"expected string, got $other")
   }
 
+  /** Backtick-quote a field name so Spark's nested-field APIs treat it as
+    * ONE literal segment (Mongo `$setField`/`$unsetField` never nest). */
+  private def quoteField(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  /** Literal regex with Mongo `options` applied as Java inline flags —
+    * `i`/`m`/`s`/`x` are exactly `(?imsx)`; anything else rejects. */
+  private def regexWithOptions(spec: JValue): String = {
+    val pattern = str(field(spec, "regex"))
+    val options = opt(field(spec, "options")).map(str).getOrElse("")
+    require(options.forall("imsx".contains(_)),
+      s"unsupported regex options '$options' (allowed: i m s x)")
+    if (options.isEmpty) pattern else s"(?$options)" + pattern
+  }
+
   // Mongo %-style date format -> java.time pattern (used by $dateToString).
   private[graft] def mongoDateFormat(f: String): String = {
     val out = new StringBuilder
@@ -295,11 +309,14 @@ object MongoExpr {
           (truthy(compile(field(b, "case"))), compile(field(b, "then")))
         }
       }
-      val default = opt(field(spec, "default")).map(compile)
+      // Mongo ERRORS when no branch matches and there is no default
+      // (Spark's CaseWhen would yield null)
+      val default = opt(field(spec, "default")).map(compile).getOrElse(
+        raise_error(lit("$switch: no branch matched and no default given")))
       val chain = branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
         case (acc, (c, t)) => acc.when(c, t)
       }
-      default.map(chain.otherwise).getOrElse(chain)
+      chain.otherwise(default)
 
     // ---- string -----------------------------------------------------------
     case "$concat"   => concat(args(spec): _*)
@@ -325,34 +342,30 @@ object MongoExpr {
       args(spec) match {
         case List(s, sub)        => locate_dyn(sub, s, lit(1)) - 1
         case List(s, sub, start) => locate_dyn(sub, s, start + 1) - 1
+        case List(s, sub, start, end) =>
+          // Mongo searches the WINDOW s[start, end): the occurrence must
+          // fit entirely inside it (["abc","bc",0,2] -> -1)
+          val idx = locate_dyn(sub,
+            s.substr(start + 1, greatest(end - start, lit(0))), lit(1)) - 1
+          when(idx === -1, lit(-1)).otherwise(idx + start)
         case _ => throw new IllegalArgumentException("$indexOfCP arity")
       }
     case "$regexMatch" => // null/missing input -> false, like Mongo
       coalesce(compile(field(spec, "input"))
-        .rlike(str(field(spec, "regex"))), lit(false))
+        .rlike(regexWithOptions(spec)), lit(false))
     case "$regexFind" =>
-      // Mongo's full {match, idx, captures} document: idx = code-point
-      // index of the first match (regexp_instr is 1-based, character
-      // counted); captures = the regex's groups on that match, with the
-      // group count read from the literal pattern. Non-participating
-      // groups surface as "" (Spark's regexp_extract), a documented corner
-      // vs Mongo's null.
-      val input = compile(field(spec, "input"))
-      val pattern = str(field(spec, "regex"))
-      val groups = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
-      val captures =
-        if (groups == 0) array().cast(ArrayType(StringType))
-        else array((1 to groups).map(g =>
-          regexp_extract(input, pattern, g)): _*)
-      when(input.isNotNull && input.rlike(pattern),
-        struct(
-          regexp_extract(input, pattern, 0).as("match"),
-          (call_function("regexp_instr", input, lit(pattern)) - 1).as("idx"),
-          captures.as("captures")))
-    case "$regexFindAll" => // same deviation: array of matched strings
-      // (the dynamic engine returns Mongo's full {match, idx, captures})
-      regexp_extract_all(compile(field(spec, "input")),
-        lit(str(field(spec, "regex"))), lit(0))
+      // Mongo's full {match, idx, captures} document for the FIRST match
+      // (null when none): first element of the regex_find_all expression —
+      // code-point idx, null for non-participating capture groups.
+      val all = graft.functions.RegexFindAllExpr(
+        compile(field(spec, "input")), str(field(spec, "regex")),
+        opt(field(spec, "options")).map(str).getOrElse(""))
+      element_at(all, 1) // 1-based; empty array -> null = Mongo's no-match
+    case "$regexFindAll" => // Mongo's [{match, idx, captures}, …]; null
+      // input -> [] (the expression never returns null)
+      graft.functions.RegexFindAllExpr(
+        compile(field(spec, "input")), str(field(spec, "regex")),
+        opt(field(spec, "options")).map(str).getOrElse(""))
     case "$replaceOne" =>
       val in = compile(field(spec, "input"))
       val find = compile(field(spec, "find"))
@@ -412,7 +425,13 @@ object MongoExpr {
         case other    => compile(other)
       }
       val in = field(spec, "in")
-      aggregate(input, init,
+      // a missing input path compiles to a VOID literal, which `aggregate`
+      // rejects at analysis — type it as an array so it evaluates to null
+      // (Mongo: $reduce over null/missing input yields null)
+      val typedInput = // Pipeline.exprCtx compiles a missing path to
+        // exactly lit(null) (Column equality is structural)
+        if (input == lit(null)) input.cast(ArrayType(NullType)) else input
+      aggregate(typedInput, init,
         (acc, x) => compile(in)(ctx.bind("value", acc).bind("this", x)))
     case "$in" =>
       val List(elem, arr) = args(spec)
@@ -530,12 +549,18 @@ object MongoExpr {
     case "$setUnion"        => array_sort(args(spec).reduce(array_union))
     case "$setIntersection" => array_sort(args(spec).reduce(array_intersect))
     case "$setDifference"   => val List(a, b) = args(spec); array_sort(array_except(a, b))
-    case "$setEquals" =>
+    case "$setEquals" => // Mongo ERRORS on null operands (unlike
+      // union/intersection/difference, which yield null)
       val List(a, b) = args(spec)
-      size(array_except(a, b)) === 0 && size(array_except(b, a)) === 0
+      when(a.isNull || b.isNull, raise_error(
+        lit("$setEquals: all operands must be arrays, got null"))
+        .cast(BooleanType)).otherwise(
+        size(array_except(a, b)) === 0 && size(array_except(b, a)) === 0)
     case "$setIsSubset" =>
       val List(a, b) = args(spec)
-      size(array_except(a, b)) === 0
+      when(a.isNull || b.isNull, raise_error(
+        lit("$setIsSubset: both operands must be arrays, got null"))
+        .cast(BooleanType)).otherwise(size(array_except(a, b)) === 0)
     case "$allElementsTrue" =>
       forall(args(spec).head, e => truthy(e))
     case "$anyElementTrue" =>
@@ -600,10 +625,13 @@ object MongoExpr {
         case _          => throw new IllegalArgumentException("$getField spec")
       }
     case "$setField" =>
-      compile(field(spec, "input"))
-        .withField(str(field(spec, "field")), compile(field(spec, "value")))
+      // Mongo: `field` is ONE literal name — backtick-quote so Spark's
+      // withField doesn't read an embedded dot as struct nesting
+      compile(field(spec, "input")).withField(
+        quoteField(str(field(spec, "field"))), compile(field(spec, "value")))
     case "$unsetField" =>
-      compile(field(spec, "input")).dropFields(str(field(spec, "field")))
+      compile(field(spec, "input"))
+        .dropFields(quoteField(str(field(spec, "field"))))
 
     case "$rand" => rand() // uniform [0, 1) per document (nondeterministic)
 
@@ -694,17 +722,39 @@ object MongoExpr {
       date_trunc(str(field(spec, "unit")), compile(field(spec, "date")))
     case "$dateToParts" =>
       val d = compile(field(spec, "date"))
-      struct(year(d).as("year"), month(d).as("month"), dayofmonth(d).as("day"),
-        hour(d).as("hour"), minute(d).as("minute"), second(d).as("second"),
+      val iso = field(spec, "iso8601") match {
+        case JBool(b) => b
+        case _        => false
+      }
+      val timeParts = Seq(hour(d).as("hour"), minute(d).as("minute"),
+        second(d).as("second"),
         (unix_millis(d) % 1000).cast(IntegerType).as("millisecond"))
+      if (iso) // ISO-8601 week-date parts, like Mongo's iso8601: true
+        struct((Seq(
+          call_function("extract", lit("YEAROFWEEK"), d).cast(IntegerType)
+            .as("isoWeekYear"),
+          weekofyear(d).as("isoWeek"),
+          // Spark dayofweek: Sunday=1..Saturday=7; ISO: Monday=1..Sunday=7
+          when(dayofweek(d) === 1, 7).otherwise(dayofweek(d) - 1)
+            .cast(IntegerType).as("isoDayOfWeek")) ++ timeParts): _*)
+      else
+        struct((Seq(year(d).as("year"), month(d).as("month"),
+          dayofmonth(d).as("day")) ++ timeParts): _*)
     case "$dateFromParts" =>
-      make_timestamp(
-        compile(field(spec, "year")),
-        opt(field(spec, "month")).map(compile).getOrElse(lit(1)),
-        opt(field(spec, "day")).map(compile).getOrElse(lit(1)),
-        opt(field(spec, "hour")).map(compile).getOrElse(lit(0)),
-        opt(field(spec, "minute")).map(compile).getOrElse(lit(0)),
-        opt(field(spec, "second")).map(compile).getOrElse(lit(0)))
+      // Mongo CARRIES out-of-range parts (month 14 rolls the year, day 0
+      // backs into the prior month, hour 24 rolls the day) — compose from
+      // the year start instead of make_timestamp, which nulls on overflow
+      def part(n: String, dflt: Int): Column =
+        opt(field(spec, n)).map(compile(_).cast(IntegerType)).getOrElse(lit(dflt))
+      val base = make_date(compile(field(spec, "year")).cast(IntegerType),
+        lit(1), lit(1))
+      val day = date_add(add_months(base, part("month", 1) - 1),
+        part("day", 1) - 1)
+      timestamp_millis(unix_millis(to_timestamp(day)) +
+        part("hour", 0).cast(LongType) * 3600000L +
+        part("minute", 0).cast(LongType) * 60000L +
+        part("second", 0).cast(LongType) * 1000L +
+        part("millisecond", 0).cast(LongType))
     case "$dateAdd" =>
       compile(field(spec, "startDate")) +
         interval(str(field(spec, "unit")), compile(field(spec, "amount")))

@@ -261,7 +261,7 @@ class DifferentialSpec extends SparkSpec {
     // set family
     """[{"$addFields": {"si": {"$setIntersection": ["$arr", [2, 3, 4]]},
          "sd": {"$setDifference": ["$arr", [1]]},
-         "sub": {"$setIsSubset": [[1], "$arr"]},
+         "sub": {"$setIsSubset": [[1], {"$ifNull": ["$arr", []]}]},
          "any": {"$anyElementTrue": [[{"$gt": ["$a", 2]}, false]]}}},
         {"$project": {"si": {"$sortArray": {"input": "$si", "sortBy": 1}},
                       "sd": {"$sortArray": {"input": "$sd", "sortBy": 1}},
@@ -595,8 +595,67 @@ class DifferentialSpec extends SparkSpec {
     """[{"$facet": {"sorted": [{"$project": {"sa": {"$sortArray": {
          "input": "$arr", "sortBy": -1}}}}]}}]""")
 
+  // campaign batch 8: ops with zero prior corpus coverage — $regexFindAll,
+  // field-literal $setField/$unsetField, $setEquals, ISO week parts, bit
+  // ops, $dateToParts/$dateFromParts overflow, negative round/trunc place,
+  // CP string ops, negative $range step, $reduce over null
+  private val batch8 = Seq(
+    """[{"$project": {"m": {"$regexFindAll": {"input": "$s", "regex": "a",
+         "options": "i"}}}}]""",
+    """[{"$project": {"m": {"$regexFindAll": {"input": "$s",
+         "regex": "(a)(l?)", "options": "i"}}}}]""",
+    // field-LITERAL semantics: "x.y" is one field name, not a path
+    """[{"$project": {"o": {"$setField": {"field": "x.y",
+         "input": {"p": 1}, "value": "$a"}}}},
+        {"$project": {"v": {"$getField": {"field": "x.y", "input": "$o"}}}}]""",
+    """[{"$project": {"o": {"$unsetField": {"field": "p",
+         "input": {"p": 1, "q": "$a"}}}}}]""",
+    """[{"$project": {"eq": {"$setEquals": [{"$ifNull": ["$arr", []]},
+         {"$concatArrays": [{"$ifNull": ["$arr", []]},
+           {"$ifNull": ["$arr", []]}]}]}, "sub": {"$setIsSubset":
+         [{"$literal": [1, 1]}, {"$ifNull": ["$arr", []]}]}}}]""",
+    """[{"$project": {"w": {"$isoWeek": "$d"}, "wy": {"$isoWeekYear": "$d"},
+         "dw": {"$isoDayOfWeek": "$d"}}}]""",
+    """[{"$project": {"ba": {"$bitAnd": ["$a", 6]}, "bo": {"$bitOr":
+         ["$a", 9]}, "bx": {"$bitXor": ["$a", 3]}, "bn": {"$bitNot": "$a"}}}]""",
+    """[{"$project": {"p": {"$dateToParts": {"date": "$d"}}}}]""",
+    """[{"$project": {"p": {"$dateToParts": {"date": "$d",
+         "iso8601": true}}}}]""",
+    // carry-overflow: month 14 rolls the year, day 0 backs into prior month
+    """[{"$project": {"t1": {"$dateFromParts": {"year": 2023, "month": 14,
+         "day": 1}}, "t2": {"$dateFromParts": {"year": 2024, "month": 3,
+         "day": 0}}}}]""",
+    """[{"$project": {"r": {"$round": ["$b", -1]}, "t": {"$trunc":
+         [{"$multiply": ["$b", 10]}, -2]}}}]""",
+    """[{"$project": {"c": {"$substrCP": ["$s", 1, 3]}, "i": {"$indexOfCP":
+         ["$s", "a", 1, 4]}}}]""",
+    """[{"$project": {"g": {"$range": [5, 0, -2]}, "e": {"$range":
+         [0, 0, 1]}}}]""",
+    """[{"$project": {"r": {"$reduce": {"input": "$missing",
+         "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}}]""")
+
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)
+  }
+
+  test("campaign batch 8: regexFindAll, field literals, ISO parts, bit ops, date overflow") {
+    batch8.foreach(agree)
+  }
+
+  test("both engines REJECT $switch with no default and no matching branch") {
+    val p = """[{"$project": {"x": {"$switch": {"branches":
+      [{"case": {"$gt": ["$a", 100]}, "then": 1}]}}}}]"""
+    intercept[Exception](typedOut(p))
+    intercept[Exception](dynOut(p))
+  }
+
+  test("both engines REJECT $setEquals/$setIsSubset over null operands (Mongo errors)") {
+    val eq = """[{"$project": {"x": {"$setEquals": ["$arr", "$arr"]}}}]"""
+    val sub = """[{"$project": {"x": {"$setIsSubset": ["$arr", "$arr"]}}}]"""
+    intercept[Exception](typedOut(eq))
+    intercept[Exception](dynOut(eq))
+    intercept[Exception](typedOut(sub))
+    intercept[Exception](dynOut(sub))
   }
 
   test("campaign batch 7: window units, $convert corners, $redact in $facet, null partitions") {

@@ -201,9 +201,19 @@ class ExprSpec extends SparkSpec {
       .toString.startsWith("2021-03-01"))
   }
 
-  test("$regexFindAll returns all matched strings (typed deviation)") {
-    assert(eval("""{"$regexFindAll": {"input": "$s", "regex": "[A-Z]"}}""")
-      == Seq("H", "W"))
+  test("$regexFindAll returns Mongo's full {match, idx, captures} documents") {
+    val out = eval("""{"$regexFindAll": {"input": "$s", "regex": "[A-Z]"}}""")
+      .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(out.map(r => (r.getString(0), r.getInt(1))) == Seq(("H", 0), ("W", 6)))
+    assert(out.forall(_.getSeq[String](2).isEmpty))
+    // case-insensitive options flag reaches the matcher
+    val ci = eval("""{"$regexFindAll": {"input": "$s", "regex": "^h",
+      "options": "i"}}""").asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(ci.map(_.getString(0)) == Seq("H"))
+    // non-participating capture groups are null (not ""), like Mongo
+    val caps = eval("""{"$regexFind": {"input": "$s", "regex": "(H)|(Q)"}}""")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(caps.getSeq[String](2) == Seq("H", null))
   }
 
   test("inverse hyperbolics, bytes length, bitwise, maxN/minN") {
