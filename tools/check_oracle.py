@@ -6,8 +6,14 @@ import sys, json, glob, os
 import duckdb, pandas as pd, numpy as np
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None  # optional name filter
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 con = duckdb.connect()
+# big-SF runs: cap DuckDB and let it spill instead of tripping the OOM killer
+con.execute("SET memory_limit='64GB'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
@@ -48,6 +54,7 @@ for name, sql in sorted(oracle.items()):
             continue
     except Exception as e:
         fails.append((name, f"EXC {type(e).__name__}: {e}"))
-for name, msg in fails:
-    print(f"FAIL  {name}: {msg}")
+    if fails and fails[-1][0] == name:  # surface failures immediately — a
+        # crash mid-run (OOM) must not lose the earlier failure messages
+        print(f"FAIL  {name}: {fails[-1][1]}", flush=True)
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
