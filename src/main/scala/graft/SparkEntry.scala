@@ -657,7 +657,7 @@ object SparkEntry {
         col("ts"), col("value").as("v"))).as("doc"))
       val out = graft.dynamic.DynPipeline.run(docs,
         """[{"$setWindowFields": {
-              "partitionBy": "$et", "sortBy": {"ts": 1},
+              "partitionBy": "$et", "sortBy": {"ts": 1, "_id": 1},
               "output": {
                 "min3": {"$minN": {"input": "$v", "n": 3},
                          "window": {"documents": ["unbounded", "current"]}},
@@ -1069,8 +1069,14 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") % 100 === 0)
       val exact = VectorOps.bruteTopK(emb, "vec_id", "embedding",
         qs, "vec_id", "embedding", k = 5)
+      // the synthetic embeddings are STRUCTURELESS (same-label vs
+      // diff-label cosine both ~0), so IVF recall is coverage-bound:
+      // recall ~= nProbe/nLists, no quantizer can beat it (measured
+      // sweep: 16/2=0.42, 16/4=0.59, 16/8=0.81 at sf0.1). nProbe=8
+      // meets the 0.6 floor on this worst-case data; real clustered
+      // corpora meet it at far smaller scan fractions.
       val approx = VectorOps.ivfTopK(emb, "vec_id", "embedding",
-        qs, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 4)
+        qs, "vec_id", "embedding", k = 5, nLists = 16, nProbe = 8)
       VectorOps.recallAtK(approx, exact).select(lit("ivf").as("method"),
         lit(5).as("k"), col("n_queries"),
         (col("recall") >= 0.6).as("meets_floor"))
@@ -1166,8 +1172,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       val toks = filter(split(trim(lower(col("text"))), "\\s+"),
         x => length(x) > 0)
+      // synthetic bench ids live at +1e12: the ORACLE tells corpus from
+      // bench by that threshold after its UNION ALL, so corpus doc_ids must
+      // stay below it (the engine itself keeps the two frames separate and
+      // has no such precondition)
       val bench = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1),
             greatest(lit(1), ceil(size(toks) * 0.8).cast("int")))).as("text"))
       CorpusOps.decontaminateFuzzy(docs, bench,
@@ -1296,6 +1306,11 @@ object SparkEntry {
                                              {"$toString": "$$this"}]}}}}}]""")),
     // $setWindowFields calculus family: $derivative (slope across the
     // frame, per time unit) and $integral (cumulative trapezoid area)
+    // $derivative/$integral take EXACTLY ONE sortBy field (it is the
+    // x-axis, MongoDB contract) — so on data with TIED ts values the
+    // result is order-dependent in MongoDB and here alike; the compare
+    // is only meaningful where ts is unique per partition (true for the
+    // driver tables; a 10x replica must nudge ts per copy)
     "q_window_calc" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$setWindowFields": {
             "partitionBy": "$event_type",
@@ -1312,7 +1327,7 @@ object SparkEntry {
     // window operators, beyond the group accumulators)
     "q_window_nfamily" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$setWindowFields": {
-            "partitionBy": "$event_type", "sortBy": {"ts": 1},
+            "partitionBy": "$event_type", "sortBy": {"ts": 1, "event_id": 1},
             "output": {
               "min3": {"$minN": {"input": "$value", "n": 3},
                        "window": {"documents": ["unbounded", "current"]}},
@@ -2232,7 +2247,7 @@ object SparkEntry {
                               x -> length(x) > 0) AS toks
            FROM documents WHERE doc_id % 50 = 0),
          bench AS (
-           SELECT doc_id + 10000000 AS doc_id,
+           SELECT doc_id + 1000000000000 AS doc_id,
                   array_to_string(
                     toks[1:greatest(1, CAST(ceil(0.8 * len(toks)) AS INT))],
                     ' ') AS text
@@ -2263,7 +2278,7 @@ object SparkEntry {
          cand AS (SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
                   FROM bk c JOIN bk b
                     ON c.band = b.band AND c.bucket = b.bucket
-                  WHERE c.doc_id < 10000000 AND b.doc_id >= 10000000),
+                  WHERE c.doc_id < 1000000000000 AND b.doc_id >= 1000000000000),
          j AS (SELECT cand.doc_id, cand.bench_id,
                       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                             len(list_distinct(x.sh || y.sh)), 6) AS jaccard
@@ -2539,9 +2554,9 @@ object SparkEntry {
                   arg_min(event_id, rw) OVER wc AS topv
            FROM r0
            WINDOW
-             wc AS (PARTITION BY event_type ORDER BY ts
+             wc AS (PARTITION BY event_type ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING),
-             w3 AS (PARTITION BY event_type ORDER BY ts
+             w3 AS (PARTITION BY event_type ORDER BY ts, event_id
                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
          SELECT event_id, mins[1] AS m1, mins[2] AS m2, mins[3] AS m3,
                 l2[greatest(len(l2) - 1, 1)] AS la,
@@ -2561,9 +2576,9 @@ object SparkEntry {
                   arg_min(event_id, rw) OVER wc AS topv
            FROM r0
            WINDOW
-             wc AS (PARTITION BY event_type ORDER BY ts
+             wc AS (PARTITION BY event_type ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING),
-             w3 AS (PARTITION BY event_type ORDER BY ts
+             w3 AS (PARTITION BY event_type ORDER BY ts, event_id
                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
          SELECT event_id, mins[1] AS m1, mins[2] AS m2, mins[3] AS m3,
                 l2[greatest(len(l2) - 1, 1)] AS la,

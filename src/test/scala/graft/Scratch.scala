@@ -37,6 +37,23 @@ object Scratch {
         println(f"CAPBENCH k=$k run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    else if (args(0) == "ivfsweep") { // ivfsweep <sfDir>: recall across IVF configs
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val exact = graft.llm.VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
+      for (nLists <- Seq(16, 32, 45); nProbe <- Seq(2, 4, 8); iters <- Seq(2, 5)) {
+        val approx = graft.llm.VectorOps.ivfTopK(emb, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 5, nLists = nLists, nProbe = nProbe,
+          lloydIters = iters)
+        val r = graft.llm.VectorOps.recallAtK(approx, exact).collect()(0)
+        println(f"IVFSWEEP nLists=$nLists nProbe=$nProbe iters=$iters recall=${r.getAs[Double]("recall")}%.3f")
+      }
+    }
     else if (args(0) == "explain") {
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       SparkEntry.queries(args(1))(spark, dir).explain("formatted")

@@ -23,22 +23,27 @@ def canon(df):
     return df
 
 fails = []
+def fail(name, msg):
+    # surface failures immediately — a crash mid-run (OOM) must not lose
+    # the earlier failure messages
+    fails.append((name, msg))
+    print(f"FAIL  {name}: {msg}", flush=True)
 for name, sql in sorted(oracle.items()):
     try:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            fails.append((name, "no spark output")); continue
+            fail(name, "no spark output"); continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         want = con.execute(sql).fetchdf()
         if sorted(got.columns) != sorted(want.columns):
-            fails.append((name, f"cols: spark={sorted(got.columns)} duck={sorted(want.columns)}")); continue
+            fail(name, f"cols: spark={sorted(got.columns)} duck={sorted(want.columns)}"); continue
         if len(got) != len(want):
-            fails.append((name, f"rows: spark={len(got)} duck={len(want)}")); continue
+            fail(name, f"rows: spark={len(got)} duck={len(want)}"); continue
         g, w = canon(got), canon(want)
         for c in g.columns:
             gv, wv = g[c], w[c]
             if str(gv.dtype) != str(wv.dtype):
-                fails.append((name, f"dtype {c}: spark={gv.dtype} duck={wv.dtype}")); break
+                fail(name, f"dtype {c}: spark={gv.dtype} duck={wv.dtype}"); break
             if gv.dtype == object:
                 eq = (gv.fillna("\0") == wv.fillna("\0")).all()
             elif np.issubdtype(gv.dtype, np.floating):
@@ -48,13 +53,9 @@ for name, sql in sorted(oracle.items()):
             if not eq:
                 bad = (gv != wv) & ~(gv.isna() & wv.isna())
                 i = bad.idxmax()
-                fails.append((name, f"value {c} row{i}: spark={gv[i]!r} duck={wv[i]!r} ({int(bad.sum())} diffs)")); break
+                fail(name, f"value {c} row{i}: spark={gv[i]!r} duck={wv[i]!r} ({int(bad.sum())} diffs)"); break
         else:
             print(f"OK    {name} ({len(got)} rows)")
-            continue
     except Exception as e:
-        fails.append((name, f"EXC {type(e).__name__}: {e}"))
-    if fails and fails[-1][0] == name:  # surface failures immediately — a
-        # crash mid-run (OOM) must not lose the earlier failure messages
-        print(f"FAIL  {name}: {fails[-1][1]}", flush=True)
+        fail(name, f"EXC {type(e).__name__}: {e}")
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
