@@ -124,6 +124,42 @@ want_stats = s[["event_id", "sdp", "sds", "cvp", "cvs", "slots"]]
 # pre-round; allow 1e-4 (one rounding quantum) and report the max observed
 check("q_window_stats", rd("q_window_stats"), want_stats, ["event_id"], atol=1e-4)
 
+# ---- q_window_nfamily / q_dynamic_window_nfamily: $minN/$lastN/$top ----
+# running 3-smallest (ascending), lastN(2) over [-3,current], and running
+# $top by (value desc, id asc) — all O(n) per partition here vs the
+# quadratic list() OVER in the DuckDB oracle
+import bisect
+nf = ev[["event_id", "event_type", "ts", "value"]].copy()
+nf = nf.sort_values(["event_type", "ts", "event_id"], ignore_index=True)
+m1 = np.empty(len(nf)); m2 = np.full(len(nf), np.nan); m3 = np.full(len(nf), np.nan)
+la = np.empty(len(nf), dtype=np.int64); lb = np.full(len(nf), np.nan)
+topv = np.empty(len(nf), dtype=np.int64)
+for _, idx in nf.groupby("event_type", sort=False).indices.items():
+    vals = nf.value.values[idx]; ids = nf.event_id.values[idx]
+    small = []  # ascending, ≤3
+    bv, bi = -np.inf, None
+    for i in range(len(idx)):
+        v, d = vals[i], ids[i]
+        if len(small) < 3: bisect.insort(small, v)
+        elif v < small[-1]: bisect.insort(small, v); small.pop()
+        j = idx[i]
+        m1[j] = small[0]
+        if len(small) > 1: m2[j] = small[1]
+        if len(small) > 2: m3[j] = small[2]
+        la[j] = ids[i - 1] if i >= 1 else d
+        if i >= 1: lb[j] = d
+        if v > bv or (v == bv and d < bi): bv, bi = v, d
+        topv[j] = bi
+nf["m1"], nf["m2"], nf["m3"] = m1, m2, m3
+nf["la"] = la; nf["lb"] = lb; nf["topv"] = topv
+want_nf = nf[["event_id", "m1", "m2", "m3", "la", "lb", "topv"]]
+got_nf = rd("q_window_nfamily")
+got_nf["lb"] = got_nf["lb"].astype(float)  # null on partition-first rows
+check("q_window_nfamily", got_nf, want_nf, ["event_id"])
+got_dnf = rd("q_dynamic_window_nfamily")
+got_dnf["lb"] = got_dnf["lb"].astype(float)
+check("q_dynamic_window_nfamily", got_dnf, want_nf, ["event_id"])
+
 # ---- q_window_calc: $derivative [-3,current] + cumulative $integral ----
 # x-axis = unix_millis(ts)/1000.0 (unit: second, ms-truncated like the
 # engine and the DuckDB oracle); sortBy ts alone (Mongo's one-sortBy-field
@@ -147,4 +183,4 @@ want_calc2 = c[["event_id", "slope", "area"]]
 check("q_window_calc", rd("q_window_calc"), want_calc2, ["event_id"],
       atol={"slope": 0.00011, "area": 0.011})
 
-print(f"\n{4-len(set(fails))}/4 pass")
+print(f"\n{6-len(set(fails))}/6 pass")
