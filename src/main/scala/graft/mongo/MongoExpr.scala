@@ -332,6 +332,19 @@ object MongoExpr {
     case "$bitNot" => bitwise_not(args(spec).head)
     case "$substrCP" | "$substr" =>
       val List(s, i, n) = args(spec); s.substr(i + 1, n)
+    case "$substrBytes" =>
+      val List(s, i, n) = args(spec)
+      graft.functions.ByteStringExprs.substrBytes(s, i, n)
+    case "$indexOfBytes" =>
+      args(spec) match {
+        case List(s, sub) => graft.functions.ByteStringExprs
+          .indexOfBytes(s, sub, lit(0), lit(Long.MaxValue))
+        case List(s, sub, start) => graft.functions.ByteStringExprs
+          .indexOfBytes(s, sub, start, lit(Long.MaxValue))
+        case List(s, sub, start, end) =>
+          graft.functions.ByteStringExprs.indexOfBytes(s, sub, start, end)
+        case _ => throw new IllegalArgumentException("$indexOfBytes arity")
+      }
     case "$split" =>
       val JArray(List(s, d)) = (spec: @unchecked)
       split(compile(s), java.util.regex.Pattern.quote(str(d)))
