@@ -568,6 +568,60 @@ object DynExpr {
             }
           }
 
+        case "$substrBytes" =>
+          // byte-indexed slice; splitting a UTF-8 code point ERRORS like the
+          // server (and the typed SubstrBytesExpr — differential-pinned)
+          if (args.exists(x => x == null || x.isNull || isMissing(x))) NULL
+          else {
+            val bytes = a(0).textValue
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val start = a(1).intValue
+            val count = a(2).intValue
+            require(start >= 0 && count >= 0,
+              s"$$substrBytes: negative start/count ($start, $count)")
+            def isCont(b: Byte): Boolean = (b & 0xc0) == 0x80
+            if (start >= bytes.length) text("")
+            else {
+              val end = math.min(start.toLong + count, bytes.length).toInt
+              require(!isCont(bytes(start)),
+                s"$$substrBytes: byte index $start splits a UTF-8 character")
+              require(end == bytes.length || !isCont(bytes(end)),
+                s"$$substrBytes: byte index $end splits a UTF-8 character")
+              text(new String(bytes, start, end - start,
+                java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        case "$indexOfBytes" =>
+          // pure byte search inside the byte window [start, end) — the
+          // occurrence must FIT in the window; indices need not align to
+          // character boundaries (matches the typed IndexOfBytesExpr)
+          if (args.exists(x => x == null || x.isNull || isMissing(x))) NULL
+          else {
+            val h = a(0).textValue
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val n = a(1).textValue
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val start = if (argOps.length > 2) a(2).intValue else 0
+            val rawEnd =
+              if (argOps.length > 3) a(3).longValue else Long.MaxValue
+            require(start >= 0 && rawEnd >= 0,
+              "$indexOfBytes start/end must be non-negative")
+            val end = math.min(rawEnd, h.length.toLong).toInt
+            if (start > h.length || end < start) long(-1L)
+            else {
+              var res = -1L
+              var i = start
+              val last = end - n.length
+              while (res < 0 && i <= last) {
+                var j = 0
+                while (j < n.length && h(i + j) == n(j)) j += 1
+                if (j == n.length) res = i.toLong
+                i += 1
+              }
+              long(res)
+            }
+          }
+
         case "$eq"  => bool(deepEq(a(0), a(1)))
         case "$ne"  => bool(!deepEq(a(0), a(1)))
         case "$gt"  => bool(compare(a(0), a(1)) > 0)

@@ -25,7 +25,6 @@ case class SubstrBytesExpr(first: Expression, second: Expression,
 
   override def prettyName: String = "substr_bytes"
   override def dataType: DataType = StringType
-  override def children: Seq[Expression] = Seq(first, second, third)
 
   private def isCont(b: Byte): Boolean = (b & 0xc0) == 0x80
 
@@ -60,7 +59,6 @@ case class IndexOfBytesExpr(first: Expression, second: Expression,
 
   override def prettyName: String = "index_of_bytes"
   override def dataType: DataType = LongType
-  override def children: Seq[Expression] = Seq(first, second, third, fourth)
 
   override protected def nullSafeEval(s: Any, subA: Any, startA: Any,
       endA: Any): Any = {

@@ -634,8 +634,41 @@ class DifferentialSpec extends SparkSpec {
     """[{"$project": {"r": {"$reduce": {"input": "$missing",
          "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}}]""")
 
+  // batch 9: byte-indexed string ops — ASCII windows, multi-byte offsets,
+  // past-the-end clamps, 2/3/4-arg $indexOfBytes arities
+  private val batch9 = Seq(
+    """[{"$project": {"sb": {"$substrBytes": ["$s", 1, 3]}}}]""",
+    """[{"$project": {"sb": {"$substrBytes": ["$s", 100, 5]}}}]""",
+    """[{"$project": {"sb": {"$substrBytes": ["$s", 2, 100]}}}]""",
+    """[{"$project": {"sb": {"$substrBytes": [{"$concat": ["é", "x"]},
+         0, 2]}}}]""",
+    """[{"$project": {"ib": {"$indexOfBytes": ["$s", "a"]}}}]""",
+    """[{"$project": {"ib": {"$indexOfBytes": ["$s", "a", 1]}}}]""",
+    """[{"$project": {"ib": {"$indexOfBytes": ["$s", "a", 1, 4]}}}]""",
+    """[{"$project": {"ib": {"$indexOfBytes": ["$s", "a", 100]}}}]""",
+    // 'é' is two UTF-8 bytes: byte index = code-point index + 1 past it
+    """[{"$project": {"ib": {"$indexOfBytes": [{"$concat": ["é", "$s"]},
+         "a"]}, "ic": {"$indexOfCP": [{"$concat": ["é", "$s"]}, "a"]}}}]""",
+    """[{"$project": {"bl": {"$strLenBytes": {"$concat": ["é", "$s"]}},
+         "cl": {"$strLenCP": {"$concat": ["é", "$s"]}}}}]""")
+
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)
+  }
+
+  test("campaign batch 9: byte-indexed string ops agree across engines") {
+    batch9.foreach(agree)
+  }
+
+  test("both engines REJECT $substrBytes that splits a UTF-8 code point or negative bounds") {
+    def bothReject(p: String): Unit = {
+      intercept[Exception](typedOut(p))
+      intercept[Exception](dynOut(p))
+    }
+    bothReject("""[{"$project": {"x": {"$substrBytes":
+      [{"$concat": ["é", "x"]}, 1, 1]}}}]""")
+    bothReject("""[{"$project": {"x": {"$substrBytes": ["$s", -1, 2]}}}]""")
+    bothReject("""[{"$project": {"x": {"$indexOfBytes": ["$s", "a", -1]}}}]""")
   }
 
   test("campaign batch 8: regexFindAll, field literals, ISO parts, bit ops, date overflow") {
