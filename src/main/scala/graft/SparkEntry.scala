@@ -28,10 +28,18 @@ object SparkEntry {
     tune(s)
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      // `div` = exact integer division: epoch NANOS (~1.7e18) exceed double
-      // precision, so `/ 1000.0` would be off by up to ~256 ns — visible as
-      // off-by-one milliseconds after truncation
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // testdata generations differ: ts has shipped as TIMESTAMP(NANOS)
+      // (read as long via nanosAsLong) and as timestamp[us] (read as NTZ).
+      // Normalize both to TimestampType; session tz is UTC, so the NTZ cast
+      // preserves the instant. `div` = exact integer division: epoch NANOS
+      // (~1.7e18) exceed double precision, so `/ 1000.0` would be off by up
+      // to ~256 ns — visible as off-by-one milliseconds after truncation.
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     else df
   }
 
@@ -417,6 +425,23 @@ object SparkEntry {
           "repl": {"$replaceAll": {"input": "$p_brand", "find": "#",
                                    "replacement": "-"}},
           "cat": {"$concat": ["$p_brand", "/", "$p_type"]}}}
+      ]""")),
+    // byte-indexed string ops over `p_brand || 'é' || p_type`: the ASCII
+    // segments sit at known BYTE offsets around a 2-byte UTF-8 char, so
+    // every byte-op result is recomputable in ANSI SQL (DuckDB strlen =
+    // byte length). $substr is the deprecated byte-indexed alias
+    // (negative count = rest of string).
+    "q_expr_bytes" -> ((s, dir) => pipe(s, dir, "part",
+      """[
+        {"$addFields": {"cat": {"$concat": ["$p_brand", "é", "$p_type"]}}},
+        {"$project": {"p_partkey": 1,
+          "blen": {"$strLenBytes": "$cat"},
+          "sub_brand": {"$substrBytes": ["$cat", 0, {"$strLenBytes": "$p_brand"}]},
+          "sub_acc": {"$substrBytes": ["$cat", {"$strLenBytes": "$p_brand"}, 2]},
+          "sub_type": {"$substr": ["$cat",
+            {"$add": [{"$strLenBytes": "$p_brand"}, 2]}, -1]},
+          "idx_acc": {"$indexOfBytes": ["$cat", "é"]},
+          "idx_win": {"$indexOfBytes": ["$p_type", "A", 2, 4]}}}
       ]""")),
     "q_expr_cond" -> ((s, dir) => pipe(s, dir, "orders",
       """[
@@ -1984,6 +2009,19 @@ object SparkEntry {
                 CAST(strpos(p_type, 'BRASS') - 1 AS INT) AS idx,
                 replace(p_brand, '#', '-') AS repl,
                 p_brand || '/' || p_type AS cat
+         FROM part""",
+    "q_expr_bytes" ->
+      // strlen = BYTE length in DuckDB; 'é' is 2 bytes, the rest is ASCII
+      """SELECT p_partkey,
+                CAST(strlen(p_brand) + 2 + strlen(p_type) AS INT) AS blen,
+                p_brand AS sub_brand,
+                'é' AS sub_acc,
+                p_type AS sub_type,
+                CAST(strlen(p_brand) AS BIGINT) AS idx_acc,
+                CAST(CASE WHEN strpos(substring(p_type, 3, 2), 'A') = 0
+                          THEN -1
+                          ELSE strpos(substring(p_type, 3, 2), 'A') + 1
+                     END AS BIGINT) AS idx_win
          FROM part""",
     "q_expr_cond" ->
       """SELECT o_orderkey,

@@ -568,15 +568,19 @@ object DynExpr {
             }
           }
 
-        case "$substrBytes" =>
+        case "$substrBytes" | "$substr" =>
           // byte-indexed slice; splitting a UTF-8 code point ERRORS like the
-          // server (and the typed SubstrBytesExpr — differential-pinned)
+          // server (and the typed SubstrBytesExpr — differential-pinned).
+          // Deprecated `$substr` is the same op except a negative count
+          // means "rest of the string" (the legacy server rule).
           if (args.exists(x => x == null || x.isNull || isMissing(x))) NULL
           else {
             val bytes = a(0).textValue
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             val start = a(1).intValue
-            val count = a(2).intValue
+            val rawCount = a(2).intValue
+            val count =
+              if (name == "$substr" && rawCount < 0) Int.MaxValue else rawCount
             require(start >= 0 && count >= 0,
               s"$$substrBytes: negative start/count ($start, $count)")
             def isCont(b: Byte): Boolean = (b & 0xc0) == 0x80

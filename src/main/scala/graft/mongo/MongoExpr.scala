@@ -330,11 +330,17 @@ object MongoExpr {
     case "$bitOr"  => args(spec).reduce(_.bitwiseOR(_))
     case "$bitXor" => args(spec).reduce(_.bitwiseXOR(_))
     case "$bitNot" => bitwise_not(args(spec).head)
-    case "$substrCP" | "$substr" =>
+    case "$substrCP" =>
       val List(s, i, n) = args(spec); s.substr(i + 1, n)
     case "$substrBytes" =>
       val List(s, i, n) = args(spec)
       graft.functions.ByteStringExprs.substrBytes(s, i, n)
+    // deprecated server op: BYTE-indexed like $substrBytes, but a negative
+    // count means "rest of the string" (legacy rule $substrBytes rejects)
+    case "$substr" =>
+      val List(s, i, n) = args(spec)
+      graft.functions.ByteStringExprs.substrBytes(
+        s, i, when(n < 0, lit(Int.MaxValue)).otherwise(n))
     case "$indexOfBytes" =>
       args(spec) match {
         case List(s, sub) => graft.functions.ByteStringExprs

@@ -650,7 +650,11 @@ class DifferentialSpec extends SparkSpec {
     """[{"$project": {"ib": {"$indexOfBytes": [{"$concat": ["é", "$s"]},
          "a"]}, "ic": {"$indexOfCP": [{"$concat": ["é", "$s"]}, "a"]}}}]""",
     """[{"$project": {"bl": {"$strLenBytes": {"$concat": ["é", "$s"]}},
-         "cl": {"$strLenCP": {"$concat": ["é", "$s"]}}}}]""")
+         "cl": {"$strLenCP": {"$concat": ["é", "$s"]}}}}]""",
+    // deprecated $substr = byte-indexed $substrBytes, negative count = rest
+    """[{"$project": {"sb": {"$substr": ["$s", 1, 3]}}}]""",
+    """[{"$project": {"sb": {"$substr": ["$s", 1, -1]}}}]""",
+    """[{"$project": {"sb": {"$substr": [{"$concat": ["é", "x"]}, 0, 2]}}}]""")
 
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)
