@@ -443,6 +443,16 @@ object SparkEntry {
           "idx_acc": {"$indexOfBytes": ["$cat", "é"]},
           "idx_win": {"$indexOfBytes": ["$p_type", "A", 2, 4]}}}
       ]""")),
+    // $bsonSize/$binarySize: the BSON byte size of a nested document is
+    // linear arithmetic over the field-name lengths + string byte lengths
+    // (ints size as int64=8), so DuckDB recomputes it exactly from strlen
+    "q_expr_bsonsize" -> ((s, dir) => pipe(s, dir, "part",
+      """[
+        {"$project": {"p_partkey": 1,
+          "bsz": {"$bsonSize": {"k": "$p_partkey", "n": "$p_name",
+                                "sub": {"t": "$p_type"}}},
+          "bin": {"$binarySize": "$p_name"}}}
+      ]""")),
     "q_expr_cond" -> ((s, dir) => pipe(s, dir, "orders",
       """[
         {"$project": {"o_orderkey": 1,
@@ -2022,6 +2032,13 @@ object SparkEntry {
                           THEN -1
                           ELSE strpos(substring(p_type, 3, 2), 'A') + 1
                      END AS BIGINT) AS idx_win
+         FROM part""",
+    "q_expr_bsonsize" ->
+      // outer doc 4+..+1; k: 1+2+8; n: 1+2+(4+len+1); sub: 1+4+(4+(1+2+
+      // (4+len+1))+1) — collapses to 42 + strlen(p_name) + strlen(p_type)
+      """SELECT p_partkey,
+                CAST(42 + strlen(p_name) + strlen(p_type) AS INT) AS bsz,
+                CAST(strlen(p_name) AS INT) AS bin
          FROM part""",
     "q_expr_cond" ->
       """SELECT o_orderkey,

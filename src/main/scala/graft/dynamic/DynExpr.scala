@@ -515,10 +515,41 @@ object DynExpr {
         case "$strLenCP" => // null/missing -> null, like the typed Columns
           if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
           else long(a(0).textValue.codePointCount(0, a(0).textValue.length).toLong)
-        case "$strLenBytes" =>
+        case "$strLenBytes" | "$binarySize" =>
           if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
           else long(a(0).textValue
             .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+        case "$bsonSize" =>
+          // byte size of the BSON encoding (Mongo 4.4) — same sizing rules
+          // as the typed BsonSizeExpr: all integrals are int64 (8), textual
+          // instants are BSON dates (8, the engine's date convention);
+          // dynamic objects keep explicit null fields as real elements.
+          if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
+          else {
+            def keyBytes(k: String): Int =
+              k.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
+            def valueSize(n: JsonNode): Int = n match {
+              case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+                4 + o.fields.asScala
+                  .map(e => 1 + keyBytes(e.getKey) + valueSize(e.getValue))
+                  .sum + 1
+              case arr if arr.isArray =>
+                4 + arr.asScala.zipWithIndex
+                  .map { case (e, i) =>
+                    1 + keyBytes(i.toString) + valueSize(e) }.sum + 1
+              case t if t.isTextual =>
+                if (parseInstant(t).isDefined) 8
+                else 4 + t.textValue
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
+              case num if num.isNumber => 8
+              case b if b.isBoolean => 1
+              case x if x.isNull => 0
+              case other => throw new IllegalArgumentException(
+                s"$$bsonSize: unsupported node ${other.getNodeType}")
+            }
+            require(a(0).isObject, s"$$bsonSize requires a document")
+            long(valueSize(a(0)).toLong)
+          }
         case "$bitAnd" | "$bitOr" | "$bitXor" =>
           if (args.exists(x => x.isNull || isMissing(x))) NULL
           else long(args.map(_.longValue).reduce((x, y) => name match {

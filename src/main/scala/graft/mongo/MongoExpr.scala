@@ -325,6 +325,11 @@ object MongoExpr {
     case "$toUpper"  => coalesce(upper(args(spec).head), lit(""))
     case "$strLenCP" => length(args(spec).head)
     case "$strLenBytes" => octet_length(args(spec).head)
+    // byte size of a string's UTF-8 encoding / a binary value (Mongo 4.4)
+    case "$binarySize" => octet_length(args(spec).head)
+    // byte size of the BSON encoding of a document (Mongo 4.4)
+    case "$bsonSize" =>
+      graft.functions.BsonSizeExpr.bsonSize(args(spec).head)
     // variadic bitwise (Mongo 6.3+); integers only, like the server
     case "$bitAnd" => args(spec).reduce(_.bitwiseAND(_))
     case "$bitOr"  => args(spec).reduce(_.bitwiseOR(_))

@@ -654,7 +654,16 @@ class DifferentialSpec extends SparkSpec {
     // deprecated $substr = byte-indexed $substrBytes, negative count = rest
     """[{"$project": {"sb": {"$substr": ["$s", 1, 3]}}}]""",
     """[{"$project": {"sb": {"$substr": ["$s", 1, -1]}}}]""",
-    """[{"$project": {"sb": {"$substr": [{"$concat": ["é", "x"]}, 0, 2]}}}]""")
+    """[{"$project": {"sb": {"$substr": [{"$concat": ["é", "x"]}, 0, 2]}}}]""",
+    // $binarySize / $bsonSize: sizes agree across the schema/schemaless
+    // models (integrals = int64, instants = BSON dates, typed null fields
+    // == missing — rows with nulls are the interesting case for $$ROOT)
+    """[{"$project": {"n": {"$binarySize": {"$concat": ["é", "$s"]}}}}]""",
+    """[{"$match": {"_id": {"$lt": "5"}}},
+        {"$project": {"n": {"$bsonSize": {"k": "$a", "s2": "$s"}}}}]""",
+    """[{"$match": {"_id": {"$lt": "5"}}},
+        {"$project": {"n": {"$bsonSize": {"xs": "$arr", "w": {"$literal": true}}}}}]""",
+    """[{"$project": {"n": {"$bsonSize": "$$ROOT"}}}]""")
 
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)

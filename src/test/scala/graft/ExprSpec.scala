@@ -229,6 +229,17 @@ class ExprSpec extends SparkSpec {
     assert(eval("""{"$minN": {"input": "$arr", "n": 2}}""") == Seq(1L, 2L))
   }
 
+  test("$binarySize / $bsonSize (hand-computed BSON encodings)") {
+    assert(eval("""{"$binarySize": "$s"}""") == 11)
+    assert(eval("""{"$binarySize": {"$concat": ["é", "$s"]}}""") == 13)
+    // {k: int64}: 4 + (1 + 2 + 8) + 1
+    assert(eval("""{"$bsonSize": {"k": "$a"}}""") == 16)
+    // + {nm: "Hello World"}: element 1 + 3 + (4 + 11 + 1)
+    assert(eval("""{"$bsonSize": {"k": "$a", "nm": "$s"}}""") == 36)
+    // {xs: [1,2,3,4]}: array doc 4 + 4*(1+2+8) + 1 = 49; element 1+3+49
+    assert(eval("""{"$bsonSize": {"xs": "$arr"}}""") == 58)
+  }
+
   test("ISO date parts and millisecond") {
     def ev(json: String): Any = {
       // 2021-03-04 is a Thursday, ISO week 9 of ISO year 2021
