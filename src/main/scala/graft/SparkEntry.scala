@@ -412,6 +412,23 @@ object SparkEntry {
           {"$project": {"event_id": 1, "user_id": 1}}]""")),
     "q_trace" -> ((s, dir) => pipe(s, dir, "orders",
       """[{"$trace": {}}, {"$backTrace": {}}, {"$project": {"o_orderkey": 1}}]""")),
+    // LIVE $http round-trip against the in-JVM deterministic echo endpoint:
+    // every response field is a pure function of the request row, so DuckDB
+    // recomputes the whole exchange (EchoHttp's contract)
+    "q_http" -> ((s, dir) => {
+      val port = graft.operators.EchoHttp.port
+      pipe(s, dir, "nation",
+        s"""[
+          {"$$project": {"n_nationkey": 1, "n_name": 1}},
+          {"$$http": {"url": "http://127.0.0.1:$port/calc", "method": "POST",
+            "body": {"key": "$$n_nationkey", "name": "$$n_name"},
+            "as": "resp",
+            "responseSchema": "STRUCT<key: BIGINT, upper: STRING, rev: STRING, len: INT>",
+            "retries": 2}},
+          {"$$project": {"n_nationkey": 1, "key2": "$$resp.key",
+            "up": "$$resp.upper", "rv": "$$resp.rev", "ln": "$$resp.len"}}
+        ]""")
+    }),
 
     // ---- expression-language coverage -------------------------------------
     "q_expr_strings" -> ((s, dir) => pipe(s, dir, "part",
@@ -1843,6 +1860,12 @@ object SparkEntry {
                 o_orderpriority FROM orders WHERE o_totalprice <= 200000""",
     "q_send" ->
       """SELECT event_id, event_type, event_type AS __topic FROM events""",
+    "q_http" ->
+      // DuckDB replays the echo server's arithmetic from the request row
+      """SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS key2,
+                upper(n_name) AS up, reverse(n_name) AS rv,
+                CAST(strlen(n_name) AS INT) AS ln
+         FROM nation""",
     "q_delay" ->
       """SELECT event_id, user_id FROM events
          WHERE epoch_ms(ts::TIMESTAMP) + (event_id % 5 + 1) * 3600000

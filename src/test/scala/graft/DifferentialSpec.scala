@@ -665,8 +665,52 @@ class DifferentialSpec extends SparkSpec {
         {"$project": {"n": {"$bsonSize": {"xs": "$arr", "w": {"$literal": true}}}}}]""",
     """[{"$project": {"n": {"$bsonSize": "$$ROOT"}}}]""")
 
+  // batch 10: leaf ops the corpus never probed — trig/inverse-trig null
+  // propagation, date parts incl. leap day, $replaceOne rules, array
+  // $first/$last on empty/missing, $and/$or null-falsy, $toInt/$toLong
+  // truncation toward zero
+  private val batch10 = Seq(
+    """[{"$project": {"x": {"$round": [{"$sin": "$b"}, 6]},
+         "y": {"$round": [{"$cos": "$b"}, 6]},
+         "z": {"$round": [{"$tan": "$a"}, 6]}}}]""",
+    """[{"$project": {"x": {"$round": [{"$asin": {"$divide": ["$a", 10]}}, 6]},
+         "y": {"$round": [{"$atan": "$b"}, 6]},
+         "z": {"$round": [{"$atan2": ["$b", "$a"]}, 6]}}}]""",
+    """[{"$project": {"x": {"$round": [{"$sinh": {"$divide": ["$a", 10]}}, 6]},
+         "y": {"$round": [{"$cosh": {"$divide": ["$a", 10]}}, 6]},
+         "z": {"$round": [{"$tanh": "$b"}, 6]}}}]""",
+    """[{"$project": {"x": {"$round": [{"$ln": {"$abs": {"$add": ["$b", 10]}}}, 6]},
+         "y": {"$round": [{"$radiansToDegrees": "$b"}, 6]},
+         "z": {"$round": [{"$degreesToRadians": "$a"}, 6]}}}]""",
+    """[{"$project": {"doy": {"$dayOfYear": "$d"}, "w": {"$week": "$d"},
+         "mi": {"$minute": "$d"}, "se": {"$second": "$d"},
+         "ms": {"$millisecond": "$d"}}}]""",
+    """[{"$project": {"doy": {"$dayOfYear": "$missing"},
+         "w": {"$week": "$missing"}, "ms": {"$millisecond": "$missing"}}}]""",
+    """[{"$project": {"r1": {"$replaceOne": {"input": "$s", "find": "a",
+         "replacement": "_"}},
+         "r2": {"$replaceOne": {"input": "$s", "find": "zzz",
+         "replacement": "_"}},
+         "r3": {"$replaceOne": {"input": "$missing", "find": "a",
+         "replacement": "_"}}}}]""",
+    """[{"$project": {"r": {"$replaceOne": {"input": {"$concat": ["é", "$s"]},
+         "find": "é", "replacement": "aé"}}}}]""",
+    """[{"$project": {"f": {"$first": "$arr"}, "l": {"$last": "$arr"}}}]""",
+    """[{"$project": {"x": {"$and": ["$a", "$b"]}, "y": {"$or": ["$b", false]},
+         "z": {"$and": [1, "$missing"]}}}]""",
+    """[{"$project": {"i": {"$toInt": "$b"}, "lg": {"$toLong": "$b"},
+         "d2": {"$toDouble": "$a"}}}]""",
+    """[{"$project": {"i": {"$toInt": {"$multiply": ["$b", -1]}},
+         "lg": {"$toLong": {"$multiply": ["$b", -1]}}}}]""",
+    """[{"$project": {"x": {"$lte": ["$a", 3]}, "y": {"$gte": ["$b", 2.5]},
+         "z": {"$ne": ["$a", "$b"]}}}]""")
+
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)
+  }
+
+  test("campaign batch 10: trig, date parts, replaceOne, first/last, casts") {
+    batch10.foreach(agree)
   }
 
   test("campaign batch 9: byte-indexed string ops agree across engines") {
