@@ -45,7 +45,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // the driver tail-captures the END of stdout and the line above leads
+    // Per-query walls above are CONTENTION artifacts (the whole set shares
+    // the executor): re-time the slowest 8 SEQUENTIALLY (warm plans) so the
+    // artifact carries clean per-query numbers for exactly the queries
+    // someone would investigate.
+    val poleSeq = results.toSeq.sortBy(-_._2).take(8).map { case (name, _) =>
+      val q0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - q0) / 1e9
+    }
+    val ps = poleSeq.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"poles_seq","unit":"sec","queries":$ps,"sf":"$sfDir"}""")
+    // the driver tail-captures the END of stdout and the first line leads
     // with the total, so a long per-query map can push it off the capture —
     // repeat a short total-only line LAST so the total always survives
     println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sf":"$sfDir"}""")

@@ -558,6 +558,24 @@ object SparkEntry {
         get_json_object(col("doc"), "$.x").cast("long").as("x"),
         get_json_object(col("doc"), "$.sub").as("sub"))
     }),
+    // the dynamic engine's $http against the same in-JVM echo endpoint:
+    // full response parsing into the schemaless document
+    "q_dynamic_http" -> ((s, dir) => {
+      val port = graft.operators.EchoHttp.port
+      val docs = t(s, dir, "nation").select(to_json(struct(
+        col("n_nationkey").as("key"), col("n_name").as("name"))).as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        s"""[{"$$http": {"url": "http://127.0.0.1:$port/calc",
+              "method": "POST", "body": {"key": "$$key", "name": "$$name"},
+              "as": "resp", "retries": 2}},
+             {"$$project": {"_id": 0, "key": 1, "up": "$$resp.upper",
+               "rv": "$$resp.rev", "ln": "$$resp.len"}}]""")
+      out.select(
+        get_json_object(col("doc"), "$.key").cast("long").as("key"),
+        get_json_object(col("doc"), "$.up").as("up"),
+        get_json_object(col("doc"), "$.rv").as("rv"),
+        get_json_object(col("doc"), "$.ln").cast("int").as("ln"))
+    }),
     "q_dynamic_match" -> ((s, dir) => {
       // v is a number for 2/3 of parts, a string otherwise: the query
       // $gt only matches within the numeric type bracket
@@ -1257,6 +1275,32 @@ object SparkEntry {
       CorpusOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         query = "spark merge window", k = 20)
     }),
+    // real BPE (Sennrich et al.): distributed trainer over the weighted
+    // word vocabulary, one argmax job per merge round; DuckDB replays the
+    // ENTIRE training loop (argmax + merge fold per round) in generated SQL
+    "llm_bpe_merges" -> ((s, dir) => {
+      tune(s)
+      import s.implicits._
+      graft.llm.BpeOps.train(t(s, dir, "documents"), "text", bpeM)
+        .zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("rank", "l", "r")
+    }),
+    "llm_bpe_encode" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val merges = graft.llm.BpeOps.train(docs, "text", bpeM)
+      graft.llm.BpeOps.encode(docs, "text", merges)
+        .select(col("doc_id"), size(col("bpe")).as("n_tok"))
+    }),
+    // reproducible corpus shuffle: total order by seeded md5, global
+    // positions from range-partitioned sort + per-partition offsets (no
+    // global window) — DuckDB replays the order bit-exactly
+    "llm_shuffle_deterministic" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.deterministicShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id", "train1", 8)
+        .select("doc_id", "skey", "pos", "shard")
+    }),
     // hybrid retrieval: BM25 lexical + embedding cosine rankings fused by
     // reciprocal rank ($rankFusion's rule); ranks ride ROUNDED scores with
     // id tie-breaks so the fusion is cross-engine deterministic
@@ -1512,6 +1556,58 @@ object SparkEntry {
         round(percentile(col("value"), lit(0.99)), 5).as("p99"))
     }),
   )
+
+  /** Merge rounds for the BPE oracle pair. */
+  private val bpeM = 6
+
+  /** DuckDB replay of BPE TRAINING: round k = weighted-pair argmax (CTE
+    * b_k, same (weight desc, pair asc) tie-break as BpeOps.train) + merge
+    * application (CTE t_k) as the identical left-to-right fold — `reduce`
+    * with a list accumulator mirrors BpeOps.applyMerge, so a fresh merge
+    * can never chain into the pair that produced it. */
+  private def bpeRoundsSql(m: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                       q -> len(q) > 0)) AS w
+             FROM documents) GROUP BY w),
+         t0 AS (SELECT string_split(w, '') AS toks, cnt FROM w0)""")
+    for (k <- 1 to m) sb.append(s""",
+         b$k AS (SELECT pl AS l, pr AS r FROM (
+             SELECT p[1] AS pl, p[2] AS pr, sum(cnt) AS wt
+             FROM (SELECT unnest(list_zip(toks, toks[2:])) AS p, cnt
+                   FROM t${k - 1})
+             WHERE p[2] IS NOT NULL GROUP BY 1, 2)
+           ORDER BY wt DESC, pl, pr LIMIT 1),
+         t$k AS (SELECT reduce(list_transform(toks, x -> [x]),
+               (acc, x) -> CASE WHEN acc[-1] = b$k.l AND x[1] = b$k.r
+                           THEN acc[:len(acc)-1] || [b$k.l || b$k.r]
+                           ELSE acc || x END) AS toks, cnt
+           FROM t${k - 1}, b$k)""")
+    sb.toString
+  }
+
+  private def bpeMergesSql: String =
+    bpeRoundsSql(bpeM) + "\n" + (1 to bpeM).map(k =>
+      s"SELECT CAST($k AS INT) AS rank, l, r FROM b$k")
+      .mkString("\n UNION ALL ")
+
+  /** Encode oracle: re-derives the merges (same CTE prefix), then applies
+    * all m folds nested per word of each document. */
+  private def bpeEncodeSql: String = {
+    def fold(k: Int): String =
+      if (k == 0) "string_split(w, '')"
+      else s"""reduce(list_transform(${fold(k - 1)}, x$k -> [x$k]),
+          (a$k, y$k) -> CASE WHEN a$k[-1] = b$k.l AND y$k[1] = b$k.r
+                        THEN a$k[:len(a$k)-1] || [b$k.l || b$k.r]
+                        ELSE a$k || y$k END)"""
+    bpeRoundsSql(bpeM) + s"""
+       SELECT doc_id, CAST(list_sum(list_transform(
+           list_filter(string_split_regex(text, '\\s+'), q -> len(q) > 0),
+           w -> len(${fold(bpeM)}))) AS INT) AS n_tok
+       FROM documents, ${(1 to bpeM).map("b" + _).mkString(", ")}"""
+  }
 
   /** DuckDB-equivalent SQL per query (column names/types matched to the Spark
     * output; DuckDB BIGINT/DOUBLE defaults cast where Spark emits INT/LONG). */
@@ -1865,6 +1961,10 @@ object SparkEntry {
       """SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS key2,
                 upper(n_name) AS up, reverse(n_name) AS rv,
                 CAST(strlen(n_name) AS INT) AS ln
+         FROM nation""",
+    "q_dynamic_http" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS key, upper(n_name) AS up,
+                reverse(n_name) AS rv, CAST(strlen(n_name) AS INT) AS ln
          FROM nation""",
     "q_delay" ->
       """SELECT event_id, user_id FROM events
@@ -2429,6 +2529,17 @@ object SparkEntry {
                 FROM dd CROSS JOIN st)
          SELECT doc_id, round(s, 6) AS bm25
          FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 20""",
+    "llm_bpe_merges" -> bpeMergesSql,
+    "llm_bpe_encode" -> bpeEncodeSql,
+    "llm_shuffle_deterministic" ->
+      """WITH s AS (SELECT doc_id,
+                           md5('train1:' || CAST(doc_id AS VARCHAR)) AS skey
+                    FROM documents)
+         SELECT doc_id, skey,
+                CAST(row_number() OVER (ORDER BY skey) - 1 AS BIGINT) AS pos,
+                CAST((row_number() OVER (ORDER BY skey) - 1) % 8 AS BIGINT)
+                  AS shard
+         FROM s""",
     "llm_hybrid_rrf" ->
       """WITH d AS (
            SELECT doc_id,

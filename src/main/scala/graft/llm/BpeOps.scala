@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning + tokenization at corpus scale
+  * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units") — the real version of the "BPE-ish regex" token
+  * counting in [[TextOps.subwordCount]].
+  *
+  * 100 TB shape: pair statistics aggregate over the DISTINCT-WORD table
+  * weighted by word frequency — one corpus-wide shuffle up front, then
+  * every merge round runs on the vocabulary, which is orders of magnitude
+  * smaller than the text (`trainFraction` bounds the initial scan for
+  * open vocabularies). One Spark job per round: the weighted pair argmax
+  * (deterministic (weight desc, pair asc) tie-break) with the vocab
+  * localCheckpointed between rounds, the same loop discipline as
+  * [[DedupOps.clusters]].
+  */
+object BpeOps {
+
+  /** One merge applied left-to-right, non-overlapping — written as the
+    * exact fold the DuckDB oracle replays (`reduce` with a list
+    * accumulator): a fresh merge becomes the accumulator tail, so it can
+    * never chain into the pair that produced it. */
+  def applyMerge(toks: Seq[String], l: String, r: String): Seq[String] =
+    toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+      if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (l + r)
+      else acc :+ t
+    }
+
+  /** Learn `numMerges` merges from whitespace-pretokenized text. Words
+    * start as single characters (no end-of-word marker: merges cannot
+    * cross word boundaries by construction, and the marker-free form is
+    * what the oracle replays). Stops early when the best pair's weight
+    * falls under `minCount`. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, trainFraction: Double = 1.0): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base =
+      if (trainFraction < 1.0) df.sample(withReplacement = false, trainFraction, seed = 42)
+      else df
+    var words: Dataset[(Seq[String], Long)] = base
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (!done && round < numMerges) {
+      words = words.localCheckpoint()
+      val top = words.flatMap { case (toks, c) =>
+        toks.zip(toks.drop(1)).map { case (a, b) => (a, b, c) }
+      }.toDF("l", "r", "c").groupBy("l", "r").agg(sum("c").as("wt"))
+        .orderBy(col("wt").desc, col("l"), col("r")).limit(1)
+        .as[(String, String, Long)].collect()
+      top match {
+        case Array((l, r, wt)) if wt >= minCount =>
+          merges += ((l, r))
+          words = words.map { case (toks, c) => (applyMerge(toks, l, r), c) }
+        case _ => done = true
+      }
+      round += 1
+    }
+    merges.result()
+  }
+
+  /** Tokenize by replaying the learned merges in rank order per word.
+    * Equivalent to greedy lowest-rank merging: a pair involving a token
+    * built at rank k cannot have been learnable before round k, so every
+    * merge that touches it has a higher rank and sequential replay reaches
+    * the same fixpoint. The merge list is vocabulary-sized and rides the
+    * task closure (same posture as the broadcast-exempt single-row stats
+    * in CorpusOps). */
+  def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
+      as: String = "bpe"): DataFrame = {
+    val ms = merges.toIndexedSeq
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+        ms.foldLeft(w.map(_.toString): Seq[String]) {
+          case (t, (l, r)) => applyMerge(t, l, r)
+        }
+      }.toSeq
+    }
+    df.withColumn(as, enc(col(textCol)))
+  }
+}

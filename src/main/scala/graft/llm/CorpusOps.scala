@@ -248,4 +248,44 @@ object CorpusOps {
     scored.groupBy(idCol).agg(round(sum(col("__rrf")), 6).as("rrf"))
       .orderBy(col("rrf").desc, col(idCol)).limit(k)
   }
+
+  /** Deterministic corpus shuffle: training-data ordering must be
+    * reproducible across runs and engines, so the "random" order is a
+    * TOTAL ORDER by seeded md5 of the id (md5 replays bit-exactly in
+    * DuckDB — the same verification convention as the dedup md5 twins).
+    *
+    * 100 TB shape: the sort is Spark's range-partitioned `orderBy` (sampled
+    * range exchange, no single reducer). Global positions are computed
+    * WITHOUT a global window: partition-local indices come from
+    * `monotonically_increasing_id` (= partitionId<<33 | localRow on the
+    * SORTED frame), and each partition's base offset is one driver-side
+    * count per partition — metadata-scale, like the pack_windows rank
+    * offsets. `shard = pos % nShards` round-robins the shuffled order into
+    * equal output shards.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "deterministicShuffle: nShards must be positive")
+    val sorted = df
+      .withColumn("skey", md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .orderBy("skey")
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mono"), 33))
+      .withColumn("__local", col("__mono").bitwiseAND(lit((1L << 33) - 1)))
+      .localCheckpoint() // pin the partitioning: offsets below must see it
+    val counts = sorted.groupBy("__pid").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o
+    }.toSeq
+    import sorted.sparkSession.implicits._
+    // one row per partition: broadcast-joined, so the offset lookup is a
+    // narrow stage (a when-chain would blow up codegen at 10k partitions)
+    val offDf = offsets.toDF("__pid", "__off")
+    sorted.join(broadcast(offDf), "__pid")
+      .withColumn("pos", col("__off") + col("__local"))
+      .withColumn("shard", col("pos") % nShards)
+      .drop("__mono", "__pid", "__local", "__off")
+  }
 }

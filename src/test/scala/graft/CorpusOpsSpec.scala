@@ -214,4 +214,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bp.nonEmpty, "fixture should contain at least one pair at t=0.2")
     assert(ip == bp)
   }
+
+  test("deterministicShuffle: pos is a permutation in skey order, stable, sharded") {
+    import graft.llm.CorpusOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    def run() = CorpusOps.deterministicShuffle(docs, "doc_id", "seedX", 4)
+      .select("doc_id", "skey", "pos", "shard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val a = run()
+    val n = a.length
+    // pos is exactly 0..n-1 and follows the md5 order
+    assert(a.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    val bySkey = a.sortBy(_._2)
+    assert(bySkey.map(_._3).toSeq == (0L until n).toSeq,
+      "pos must rank the seeded-md5 total order")
+    assert(a.forall { case (_, _, pos, shard) => shard == pos % 4 })
+    // reproducible across runs (the whole point)
+    assert(run().sortBy(_._1).toSeq == a.sortBy(_._1).toSeq)
+  }
 }
