@@ -343,8 +343,14 @@ private[graft] object Stages {
       val keep = scala.collection.mutable.LinkedHashMap[String, Column]()
       if (df.columns.contains("_id") && !excludesId && !includes.contains("_id") &&
         !computed.exists(_._1 == "_id")) keep("_id") = col("_id")
+      // including a field the document does not have is legal in Mongo and
+      // yields nothing (found by the differential fuzzer: {"f0": 2} threw
+      // UNRESOLVED_COLUMN here while the dynamic engine emitted no field)
       val topIncludes = includes.filter(!_.contains('.'))
-      val nestedIncludes = includes.filter(_.contains('.')).groupBy(_.split('.').head)
+        .filter(df.columns.contains)
+      val nestedIncludes = includes.filter(_.contains('.'))
+        .filter(p => df.columns.contains(p.split('.').head))
+        .groupBy(_.split('.').head)
       topIncludes.foreach(f => keep(f) = col(f))
       nestedIncludes.foreach { case (top, paths) =>
         keep(top) = rebuildStruct(col(top), paths.map(_.split('.').toList.tail))
@@ -387,12 +393,15 @@ private[graft] object Stages {
       if (st.fieldNames.contains("_id") && !excludes.contains("_id") &&
         !includes.contains("_id") && !computed.exists(_._1 == "_id"))
         keep("_id") = base.getField("_id")
-      includes.filter(!_.contains('.')).foreach(f => keep(f) = base.getField(f))
-      includes.filter(_.contains('.')).groupBy(_.split('.').head).foreach {
-        case (top, paths) =>
-          keep(top) = rebuildStruct(base.getField(top),
-            paths.map(_.split('.').toList.tail))
-      }
+      includes.filter(f => !f.contains('.') && st.fieldNames.contains(f))
+        .foreach(f => keep(f) = base.getField(f))
+      includes.filter(p => p.contains('.') &&
+          st.fieldNames.contains(p.split('.').head))
+        .groupBy(_.split('.').head).foreach {
+          case (top, paths) =>
+            keep(top) = rebuildStruct(base.getField(top),
+              paths.map(_.split('.').toList.tail))
+        }
       computed.foreach {
         case (_, JString("$$REMOVE")) =>
         case (k, v)                   => keep(k) = cexpr(v)(inCtx)

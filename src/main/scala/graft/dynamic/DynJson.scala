@@ -49,11 +49,17 @@ object DynJson {
   def isIntegral(n: JsonNode): Boolean = n.isIntegralNumber
 
   /** Mongo BSON type-bracket rank for the JSON subset (BSON spec order:
-    * Missing < Null < Numbers < String < Object < Array < Boolean).
-    * Group.java:287-320 relies on this total order via pincette-mongo. */
+    * Null < Numbers < String < Object < Array < Boolean).
+    * Group.java:287-320 relies on this total order via pincette-mongo.
+    * MISSING ranks WITH null: aggregation comparisons ($cmp of an absent
+    * path against null is 0), sorts, and $group keys all treat a missing
+    * field as null — the differential fuzzer caught `$lte: [null,
+    * missing]` filtering differently across engines under the old
+    * missing-below-null rank. Query-language semantics that DO
+    * distinguish missing ($exists, $type, range-match misses) test
+    * isMissing before ranking. */
   def typeRank(n: JsonNode): Int =
-    if (isMissing(n)) 0
-    else if (n.isNull) 1
+    if (n == null || isMissing(n) || n.isNull) 1
     else if (n.isNumber) 2
     else if (n.isTextual) 3
     else if (n.isObject) 4

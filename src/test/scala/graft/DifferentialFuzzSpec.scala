@@ -1,0 +1,123 @@
+package graft
+
+import scala.util.Random
+
+/** Grammar fuzzer over the differential harness: SEEDED random pipelines
+  * from a closed grammar where both engines' semantics are specified to
+  * agree, run through typed and dynamic side by side. The hand-written
+  * corpus pins known edges; the fuzzer sweeps the combinatorial space
+  * between them (operator nesting, null/missing propagation through
+  * arbitrary expression trees, stage composition).
+  *
+  * Determinism: fixed seed, so a failure reproduces by seed + index; the
+  * failing pipeline prints in the assertion message ready to be pasted
+  * into the corpus as a regression pin.
+  *
+  * The grammar deliberately EXCLUDES documented cross-engine deviations
+  * (cross-type bracket ordering in typed $min/$max, $divide double
+  * rendering at non-terminating decimals, date arithmetic on the d
+  * column) — those are covered by targeted corpus pins instead.
+  */
+class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
+
+  private val rnd = new Random(20260813L)
+
+  private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+  // ---- expression grammar -------------------------------------------------
+  private def numExpr(depth: Int, arrOk: Boolean = true): String =
+    if (depth <= 0) pick(Seq("\"$a\"", "\"$b\"", "1", "2", "-3", "0.5", "4.25"))
+    else pick[() => String](Seq(
+      () => s"""{"$$add": [${numExpr(depth - 1, arrOk)}, ${numExpr(depth - 1, arrOk)}]}""",
+      () => s"""{"$$subtract": [${numExpr(depth - 1, arrOk)}, ${numExpr(depth - 1, arrOk)}]}""",
+      () => s"""{"$$multiply": [${numExpr(depth - 1, arrOk)}, ${numExpr(depth - 1, arrOk)}]}""",
+      () => s"""{"$$abs": ${numExpr(depth - 1, arrOk)}}""",
+      () => s"""{"$$cond": [${boolExpr(depth - 1)}, ${numExpr(depth - 1, arrOk)}, ${numExpr(depth - 1, arrOk)}]}""",
+      () => s"""{"$$ifNull": [${numExpr(depth - 1, arrOk)}, ${pick(Seq("0", "9"))}]}""",
+      () => if (arrOk) s"""{"$$size": {"$$ifNull": ["$$arr", []]}}"""
+            else numExpr(0),
+      () => s"""{"$$strLenCP": ${strExpr(depth - 1)}}""",
+      () => if (arrOk) s"""{"$$ifNull": [{"$$arrayElemAt": ["$$arr", ${rnd.nextInt(4) - 1}]}, ${pick(Seq("0", "9"))}]}"""
+            else numExpr(0),
+      () => numExpr(0)))()
+
+  private def strExpr(depth: Int): String =
+    if (depth <= 0) pick(Seq("\"$s\"", "\"$_id\"", "\"x\"", "\"Yz\""))
+    else pick[() => String](Seq(
+      () => s"""{"$$concat": [${strExpr(depth - 1)}, ${strExpr(depth - 1)}]}""",
+      () => s"""{"$$toUpper": ${strExpr(depth - 1)}}""",
+      () => s"""{"$$toLower": ${strExpr(depth - 1)}}""",
+      () => s"""{"$$cond": [${boolExpr(depth - 1)}, ${strExpr(depth - 1)}, ${strExpr(depth - 1)}]}""",
+      () => s"""{"$$ifNull": [${strExpr(depth - 1)}, "fb"]}""",
+      () => strExpr(0)))()
+
+  private def boolExpr(depth: Int): String = {
+    val cmp = pick(Seq("$gt", "$gte", "$lt", "$lte", "$eq", "$ne"))
+    if (depth <= 0) s"""{"$cmp": [${numExpr(0)}, ${pick(Seq("0", "2", "3.5"))}]}"""
+    else pick[() => String](Seq(
+      () => s"""{"$cmp": [${numExpr(depth - 1)}, ${numExpr(0)}]}""",
+      () => s"""{"$$and": [${boolExpr(depth - 1)}, ${boolExpr(depth - 1)}]}""",
+      () => s"""{"$$or": [${boolExpr(depth - 1)}, ${boolExpr(depth - 1)}]}""",
+      () => s"""{"$$not": [${boolExpr(depth - 1)}]}"""))()
+  }
+
+  // ---- stage grammar ------------------------------------------------------
+  private def projectStage(): String = {
+    val n = 1 + rnd.nextInt(3)
+    val fields = (0 until n).map { i =>
+      val nm = s"f$i"
+      val e = if (rnd.nextBoolean()) numExpr(1 + rnd.nextInt(2))
+      else strExpr(1 + rnd.nextInt(2))
+      s""""$nm": $e"""
+    }
+    s"""{"$$project": {"_id": 1, ${fields.mkString(", ")}}}"""
+  }
+
+  private def addFieldsStage(): String =
+    s"""{"$$addFields": {"g": ${numExpr(2)}}}"""
+
+  private def matchStage(): String = pick[() => String](Seq(
+    () => s"""{"$$match": {"a": {"${pick(Seq("$gt", "$gte", "$lt", "$lte"))}": ${rnd.nextInt(7) - 2}}}}""",
+    () => s"""{"$$match": {"s": {"$$ne": null}}}""",
+    () => s"""{"$$match": {"$$expr": ${boolExpr(2)}}}"""))()
+
+  private def unwindStage(): String = """{"$unwind": "$arr"}"""
+
+  private def groupStage(arrOk: Boolean): String = {
+    val id = pick(Seq("\"$s\"", "\"$_id\"", "null",
+      s"""{"$$cond": [${boolExpr(1)}, "hi", "lo"]}"""))
+    val acc = pick[() => String](Seq(
+      () => s"""{"$$sum": 1}""",
+      () => s"""{"$$sum": ${numExpr(1, arrOk)}}""",
+      () => s"""{"$$min": "$$a"}""",
+      () => s"""{"$$max": "$$b"}""",
+      () => s"""{"$$avg": ${numExpr(1, arrOk)}}"""))()
+    s"""{"$$group": {"_id": $id, "m": $acc}}"""
+  }
+
+  private def genPipeline(): String = {
+    val stages = scala.collection.mutable.ArrayBuffer[String]()
+    if (rnd.nextBoolean()) stages += matchStage()
+    rnd.nextInt(3) match {
+      case 0 => stages += projectStage()
+      case 1 =>
+        stages += addFieldsStage()
+        if (rnd.nextBoolean()) stages += projectStage()
+      case 2 =>
+        val unwound = rnd.nextBoolean()
+        if (unwound) stages += unwindStage()
+        // after $unwind, arr is a SCALAR: $size/$arrayElemAt on it is a
+        // genuine MQL error, so the grammar drops the array terminals
+        stages += groupStage(arrOk = !unwound)
+    }
+    if (stages.isEmpty) stages += projectStage()
+    stages.mkString("[", ", ", "]")
+  }
+
+  test("300 seeded random pipelines agree across engines") {
+    (0 until 300).foreach { i =>
+      val p = genPipeline()
+      withClue(s"fuzz #$i: ") { agree(p) }
+    }
+  }
+}

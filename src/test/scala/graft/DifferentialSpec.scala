@@ -16,78 +16,8 @@ import scala.jdk.CollectionConverters._
   * across partitions) are excluded by construction: group inputs
   * coalesce(1) where encounter order matters.
   */
-class DifferentialSpec extends SparkSpec {
+class DifferentialSpec extends SparkSpec with DifferentialHarness {
   import spark.implicits._
-
-  // null-bearing rows too: to_json drops nulls, so the dynamic engine sees
-  // MISSING where the typed engine sees SQL null — the intended equivalence
-  // (norm() below compares outputs under the same rule)
-  private val rows = Seq(
-    ("0", Some(1L), Some(1.5), Some("Alpha"), Some(Seq(1L, 2L, 3L)),
-      "2024-01-15T10:30:00Z"),
-    ("1", Some(-2L), Some(2.5), Some("beta"), Some(Seq(4L)),
-      "2024-02-29T23:59:59Z"),
-    ("2", Some(3L), Some(-0.5), Some("Gamma gamma"), Some(Seq.empty[Long]),
-      "2023-12-31T00:00:00Z"),
-    ("3", Some(4L), Some(0.0), Some("delta"), Some(Seq(7L, 8L)),
-      "2024-07-04T12:00:00Z"),
-    ("4", Some(5L), Some(12.25), Some("Alpha"), Some(Seq(9L)),
-      "2024-01-15T10:30:00Z"),
-    ("5", None, Some(3.5), None, Some(Seq(1L)), "2024-03-01T08:00:00Z"),
-    ("6", Some(7L), None, Some("eta"), None, "2024-03-02T08:00:00Z"))
-
-  private lazy val typedDf: DataFrame = rows
-    .toDF("_id", "a", "b", "s", "arr", "d0")
-    // the typed engine sees a real timestamp column; the dynamic engine
-    // sees the ISO string (JSON has no date type) — same instants
-    .withColumn("d", to_timestamp(col("d0"))).drop("d0")
-    .withColumnRenamed("d", "d").coalesce(1)
-  private lazy val dynDf: DataFrame = typedDf
-    .select(to_json(struct(typedDf.columns.map(col): _*)).as("doc")).coalesce(1)
-
-  /** Drop null fields recursively (typed JSON dumps cannot carry them
-    * distinctly) and canonicalize numbers via DynJson's comparator. */
-  private def norm(n: JsonNode): JsonNode = n match {
-    case o: ObjectNode =>
-      val out = DynJson.obj()
-      o.fields().asScala.foreach { e =>
-        if (!e.getValue.isNull) out.set[JsonNode](e.getKey, norm(e.getValue))
-      }
-      out
-    case a if a.isArray =>
-      val out = DynJson.arr()
-      a.asScala.foreach(e => out.add(norm(e)))
-      out
-    case v if v.isNumber => // 1 vs 1.0: canonical decimal form
-      if (v.isIntegralNumber) DynJson.parse(v.longValue.toString)
-      else if (v.doubleValue == math.rint(v.doubleValue) &&
-        math.abs(v.doubleValue) < 9.007199254740992e15)
-        DynJson.parse(v.doubleValue.toLong.toString)
-      else v
-    case v if v.isTextual && isoTs.matches(v.textValue) =>
-      // engines render instants differently (trailing .000 etc.)
-      DynJson.text(java.time.Instant.parse(
-        if (v.textValue.endsWith("Z")) v.textValue else v.textValue + "Z")
-        .toString)
-    case v => v
-  }
-
-  private val isoTs =
-    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z?""".r
-
-  private def typedOut(pipeline: String): Set[JsonNode] =
-    new Pipeline().run(typedDf, pipeline).toJSON.collect()
-      .map(s => norm(DynJson.parse(s))).toSet
-
-  private def dynOut(pipeline: String): Set[JsonNode] =
-    DynPipeline.run(dynDf, pipeline).select("doc").collect()
-      .map(r => norm(DynJson.parse(r.getString(0)))).toSet
-
-  private def agree(pipeline: String): Unit = {
-    val (t, d) = (typedOut(pipeline), dynOut(pipeline))
-    assert(t == d,
-      s"engines disagree on $pipeline\n typed: $t\n dynamic: $d")
-  }
 
   // a small dimension table served to both engines as catalog "dim"
   private lazy val dimTyped: DataFrame = Seq(
@@ -702,6 +632,17 @@ class DifferentialSpec extends SparkSpec {
          "d2": {"$toDouble": "$a"}}}]""",
     """[{"$project": {"i": {"$toInt": {"$multiply": ["$b", -1]}},
          "lg": {"$toLong": {"$multiply": ["$b", -1]}}}}]""",
+    // fuzzer regression: including a nonexistent field is legal and yields
+    // nothing (typed engine used to throw UNRESOLVED_COLUMN)
+    """[{"$project": {"nope": 1, "a": 1}}]""",
+    """[{"$project": {"nope.deep": 1, "s": 1, "other": true}}]""",
+    // fuzzer regression: missing evaluates as null in aggregation
+    // comparisons — $lte[null, missing] must be TRUE in both engines
+    // (dynamic ranked missing BELOW null and filtered differently)
+    """[{"$match": {"$expr": {"$lte": [{"$multiply": ["$b", "$b"]}, "$b"]}}},
+        {"$project": {"_id": 1}}]""",
+    """[{"$project": {"c0": {"$cmp": ["$b", null]},
+         "c1": {"$gte": ["$b", "$b"]}, "c2": {"$lt": ["$b", 0]}}}]""",
     """[{"$project": {"x": {"$lte": ["$a", 3]}, "y": {"$gte": ["$b", 2.5]},
          "z": {"$ne": ["$a", "$b"]}}}]""")
 
