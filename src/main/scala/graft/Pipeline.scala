@@ -227,6 +227,100 @@ final class Pipeline(
           .select(docCols.map(c => col("__doc").getField(c).as(c)) :+
             col("__score"): _*)
           .orderBy(col("__score").desc, col("_id"))
+      case "$score" =>
+        // Mongo 8.2: custom scoring — evaluates `score` per document into
+        // the hidden __score column ({"$meta": "score"} reads it), with
+        // optional per-stream normalization. minMaxScaler's stats are a
+        // single-row aggregate cross-joined back (broadcast by
+        // construction), never a window — scale-safe on an unbounded
+        // stream.
+        val e = MongoExpr.compile(spec \ "score").cast(DoubleType)
+        val scored = df.withColumn("__score", e)
+        (spec \ "normalization") match {
+          case JNothing | JString("none") => scored
+          case JString("sigmoid") => scored.withColumn("__score",
+            lit(1.0) / (lit(1.0) + exp(-col("__score"))))
+          case JString("minMaxScaler") =>
+            val stats = scored.agg(min(col("__score")).as("__mn"),
+              max(col("__score")).as("__mx"))
+            scored.crossJoin(broadcast(stats)).withColumn("__score",
+              when(col("__mx") === col("__mn"), lit(1.0))
+                .otherwise((col("__score") - col("__mn")) /
+                  (col("__mx") - col("__mn"))))
+              .drop("__mn", "__mx")
+          case other => throw new IllegalArgumentException(
+            s"$$score normalization: $other")
+        }
+      case "$scoreFusion" =>
+        // Mongo 8.1 hybrid search, score flavor: each input pipeline must
+        // PRODUCE a score ($score / $vectorSearch / $search); scores are
+        // normalized per pipeline (input.normalization), weighted, and
+        // combined as sum/nPipelines — a document absent from a pipeline
+        // contributes 0 from it (same absent rule as $rankFusion's RRF).
+        // No rank window is involved, so unlike $rankFusion the inputs
+        // need no boundedness: normalization stats are single-row
+        // broadcast aggregates.
+        val JObject(pipes) = ((spec \ "input" \ "pipelines"): @unchecked)
+        val norm = (spec \ "input" \ "normalization") match {
+          case JString(s) => s
+          case JNothing   => "none"
+          case other => throw new IllegalArgumentException(
+            s"$$scoreFusion normalization: $other")
+        }
+        val weights: Map[String, Double] = spec \ "combination" \ "weights" match {
+          case JObject(ws) => ws.map { case (nm, v) => nm -> (v match {
+            case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+            case JDouble(d) => d; case _ => 1.0 }) }.toMap
+          case _ => Map.empty
+        }
+        require(df.columns.contains("_id"), "$scoreFusion fuses on _id")
+        val docCols = df.columns.toSeq
+        val allowed = Set("$match", "$sort", "$limit", "$skip", "$sample",
+          "$vectorSearch", "$search", "$score")
+        val nPipes = pipes.size
+        val contribs = pipes.map { case (pname, pstages) =>
+          val JArray(stages) = (pstages: @unchecked)
+          val names = stages.collect { case JObject(fs) => fs.head._1 }
+          val bad = names.filterNot(allowed)
+          if (bad.nonEmpty) throw new IllegalArgumentException(
+            s"$$scoreFusion pipeline '$pname': only selection/scoring " +
+              s"stages (${allowed.mkString(" ")}) are allowed, got " +
+              bad.mkString(" "))
+          val out = run(df, pstages)
+          val scoreCol =
+            if (out.columns.contains("__score")) col("__score")
+            else if (out.columns.contains("__vsScore")) col("__vsScore")
+            else if (out.columns.contains("__searchScore")) col("__searchScore")
+            else throw new IllegalArgumentException(
+              s"$$scoreFusion pipeline '$pname' must produce a score: " +
+                "include $score, $vectorSearch or $search")
+          val scored0 = out.withColumn("__s", scoreCol.cast(DoubleType))
+          val normalized = norm match {
+            case "none" => scored0
+            case "sigmoid" => scored0.withColumn("__s",
+              lit(1.0) / (lit(1.0) + exp(-col("__s"))))
+            case "minMaxScaler" =>
+              val stats = scored0.agg(min(col("__s")).as("__mn"),
+                max(col("__s")).as("__mx"))
+              scored0.crossJoin(broadcast(stats)).withColumn("__s",
+                when(col("__mx") === col("__mn"), lit(1.0))
+                  .otherwise((col("__s") - col("__mn")) /
+                    (col("__mx") - col("__mn"))))
+                .drop("__mn", "__mx")
+            case other => throw new IllegalArgumentException(
+              s"$$scoreFusion normalization: $other")
+          }
+          val w = weights.getOrElse(pname, 1d)
+          normalized.select(struct(docCols.map(col).toIndexedSeq: _*).as("__doc"),
+            (lit(w) * col("__s")).as("__ws"))
+        }
+        contribs.reduce(_ unionByName _)
+          .groupBy(col("__doc").getField("_id").as("__fid"))
+          .agg(first(col("__doc")).as("__doc"),
+            (sum(col("__ws")) / lit(nPipes.toDouble)).as("__score"))
+          .select(docCols.map(c => col("__doc").getField(c).as(c)) :+
+            col("__score"): _*)
+          .orderBy(col("__score").desc, col("_id"))
       case "$facet" => // each sub-pipeline folds to ONE array column; the
         // single-row facet frames cross-join into one document
         val JObject(facets) = (spec: @unchecked)

@@ -1504,6 +1504,38 @@ object SparkEntry {
             "combination": {"weights": {"price": 2, "date": 1}}}},
           {"$project": {"_id": 1,
             "score": {"$round": [{"$meta": "score"}, 6]}}}]""")),
+    // $scoreFusion (Mongo 8.1 score flavor) + $score (8.2): per-pipeline
+    // minMax normalization, weighted sum / nPipelines, absent docs
+    // contribute 0 — every score is a pure function of the row, so DuckDB
+    // replays the whole fusion
+    "q_score_fusion" -> ((s, dir) => pipe(s, dir, "orders",
+      """[{"$addFields": {"_id": "$o_orderkey"}},
+          {"$scoreFusion": {"input": {"pipelines": {
+             "price": [{"$match": {"o_orderstatus": "F"}},
+                       {"$score": {"score": "$o_totalprice"}}],
+             "prio":  [{"$score": {"score": {"$strLenCP": "$o_orderpriority"}}}]},
+             "normalization": "minMaxScaler"},
+            "combination": {"weights": {"price": 2, "prio": 1}}}},
+          {"$project": {"_id": 1,
+            "score": {"$round": [{"$meta": "score"}, 6]}}}]""")),
+    "q_dynamic_scorefusion" -> ((s, dir) => {
+      val docs = t(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("_id"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("prio")))
+        .as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$scoreFusion": {"input": {"pipelines": {
+              "price": [{"$match": {"st": "F"}},
+                        {"$score": {"score": "$price"}}],
+              "prio":  [{"$score": {"score": {"$strLenCP": "$prio"}}}]},
+              "normalization": "minMaxScaler"},
+             "combination": {"weights": {"price": 2, "prio": 1}}}},
+            {"$project": {"_id": 1,
+              "score": {"$round": [{"$meta": "score"}, 6]}}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.score").cast("double").as("score"))
+    }),
     // $documents entry stage + collection-less $unionWith (Mongo 6)
     "q_documents" -> ((s, dir) => pipe(s, dir, "nation",
       """[{"$project": {"k": "$n_nationkey", "name": "$n_name", "_id": 0}},
@@ -2874,6 +2906,34 @@ object SparkEntry {
          u AS (SELECT _id, 2.0 / (60 + r) AS s FROM p
                UNION ALL SELECT _id, 1.0 / (60 + r) FROM d)
          SELECT _id, round(sum(s), 6) AS score FROM u GROUP BY 1""",
+    "q_score_fusion" ->
+      """WITH p1 AS (SELECT o_orderkey AS _id, o_totalprice AS s
+                     FROM orders WHERE o_orderstatus = 'F'),
+         n1 AS (SELECT _id, 2.0 * CASE WHEN mx = mn THEN 1.0
+                                       ELSE (s - mn) / (mx - mn) END AS ws
+                FROM p1, (SELECT min(s) AS mn, max(s) AS mx FROM p1)),
+         p2 AS (SELECT o_orderkey AS _id,
+                       CAST(strlen(o_orderpriority) AS DOUBLE) AS s
+                FROM orders),
+         n2 AS (SELECT _id, 1.0 * CASE WHEN mx = mn THEN 1.0
+                                       ELSE (s - mn) / (mx - mn) END AS ws
+                FROM p2, (SELECT min(s) AS mn, max(s) AS mx FROM p2)),
+         u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+         SELECT _id, round(sum(ws) / 2, 6) + 0 AS score FROM u GROUP BY 1""",
+    "q_dynamic_scorefusion" ->
+      """WITH p1 AS (SELECT o_orderkey AS _id, o_totalprice AS s
+                     FROM orders WHERE o_orderstatus = 'F'),
+         n1 AS (SELECT _id, 2.0 * CASE WHEN mx = mn THEN 1.0
+                                       ELSE (s - mn) / (mx - mn) END AS ws
+                FROM p1, (SELECT min(s) AS mn, max(s) AS mx FROM p1)),
+         p2 AS (SELECT o_orderkey AS _id,
+                       CAST(strlen(o_orderpriority) AS DOUBLE) AS s
+                FROM orders),
+         n2 AS (SELECT _id, 1.0 * CASE WHEN mx = mn THEN 1.0
+                                       ELSE (s - mn) / (mx - mn) END AS ws
+                FROM p2, (SELECT min(s) AS mn, max(s) AS mx FROM p2)),
+         u AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2)
+         SELECT _id, round(sum(ws) / 2, 6) + 0 AS score FROM u GROUP BY 1""",
     "q_documents" ->
       """SELECT k, name, k * 10 AS kk FROM (
            SELECT n_nationkey AS k, n_name AS name FROM nation

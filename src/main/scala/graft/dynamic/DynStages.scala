@@ -62,7 +62,7 @@ object DynPipeline {
     "$delete", "$lookup", "$setWindowFields", "$fill", "$densify", "$sort",
     "$limit", "$skip", "$sample", "$sortByCount", "$unionWith", "$facet",
     "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents",
-    "$rankFusion", "$search")
+    "$rankFusion", "$search", "$score", "$scoreFusion")
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
     run(df, org.json4s.jackson.JsonMethods.parse(pipelineJson), DynCtx())
@@ -73,7 +73,7 @@ object DynPipeline {
   def run(df: DataFrame, pipeline: JValue): DataFrame = run(df, pipeline, DynCtx())
 
   // stages that plant hidden score fields read back by {"$meta": ...}
-  private val scoreStages = Set("$vectorSearch", "$search", "$rankFusion")
+  private val scoreStages = Set("$vectorSearch", "$search", "$rankFusion", "$score", "$scoreFusion")
   // stages that materialize documents outside the pipeline — hidden score
   // fields must not leak into their payloads
   private val sinkStages =
@@ -93,7 +93,16 @@ object DynPipeline {
     Iterator.single((k, stripped))
   }
 
-  def run(df: DataFrame, pipeline: JValue, ctx: DynCtx): DataFrame = pipeline match {
+  def run(df: DataFrame, pipeline: JValue, ctx: DynCtx): DataFrame =
+    run(df, pipeline, ctx, keepScores = false)
+
+  /** `keepScores = true` preserves the hidden score fields past pipeline
+    * end — the fusion stages run their INPUT pipelines through here and
+    * read `__score`/`__vsScore`/`__searchScore` from the results (the
+    * default end-of-run strip would blank them; found when `$scoreFusion`
+    * read null scores from its freshly-`$score`d inputs). */
+  private def run(df: DataFrame, pipeline: JValue, ctx: DynCtx,
+      keepScores: Boolean): DataFrame = pipeline match {
     case JArray(stages) =>
       var cur = normalize(df)
       var pending = List.newBuilder[DocFn]
@@ -118,7 +127,7 @@ object DynPipeline {
           }
         case other => throw new IllegalArgumentException(s"bad stage: $other")
       }
-      if (scored) pending += stripScores
+      if (scored && !keepScores) pending += stripScores
       flush()
       cur
     case other => throw new IllegalArgumentException(s"pipeline must be an array: $other")
@@ -173,7 +182,8 @@ object DynPipeline {
          "$setWindowFields" | "$fill" | "$densify" | "$sort" | "$limit" |
          "$skip" | "$sample" | "$sortByCount" | "$unionWith" |
          "$facet" | "$graphLookup" | "$bucketAuto" | "$vectorSearch" |
-         "$documents" | "$rankFusion" | "$search" =>
+         "$documents" | "$rankFusion" | "$search" | "$score" |
+         "$scoreFusion" =>
       None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
@@ -682,6 +692,8 @@ object DynPipeline {
     case "$bucketAuto"  => bucketAuto(df, spec)
     case "$vectorSearch" => vectorSearch(df, spec)
     case "$rankFusion"  => rankFusion(df, spec, ctx)
+    case "$score"       => score(df, spec)
+    case "$scoreFusion" => scoreFusion(df, spec, ctx)
     case "$search"      => search(df, spec)
     case other => throw new IllegalArgumentException(s"dynamic mode: unsupported stage $other")
   }
@@ -1398,7 +1410,7 @@ object DynPipeline {
       if (!names.contains("$limit") && !names.contains("$vectorSearch"))
         throw new IllegalArgumentException(
           s"$$rankFusion pipeline '$pname' must be bounded: add a $$limit")
-      val out = run(df, pstages, ctx)
+      val out = run(df, pstages, ctx, keepScores = true)
       // rank order: trailing $sort keys (binary BSON order), else the score
       val sortOps: List[(DynExpr.DOp, Boolean)] =
         stages.reverse.collectFirst {
@@ -1452,6 +1464,115 @@ object DynPipeline {
           (k, render(d))
         }
       }(tuple2Enc).toDF("key", "doc")
+  }
+
+  /** Normalize the `__s` score column: none / sigmoid / minMaxScaler.
+    * minMax stats are a single-row broadcast aggregate — never a window. */
+  private def normScore(df: DataFrame, norm: String): DataFrame = norm match {
+    case "none" => df
+    case "sigmoid" => df.withColumn("__s",
+      lit(1.0) / (lit(1.0) + exp(-col("__s"))))
+    case "minMaxScaler" =>
+      val stats = df.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+      df.crossJoin(broadcast(stats)).withColumn("__s",
+        when(col("__mx") === col("__mn"), lit(1.0))
+          .otherwise((col("__s") - col("__mn")) / (col("__mx") - col("__mn"))))
+        .drop("__mn", "__mx")
+    case other =>
+      throw new IllegalArgumentException(s"score normalization: $other")
+  }
+
+  /** Fold the `__s` column into each doc's hidden `__score` field. */
+  private def embedScore(df: DataFrame): DataFrame = df
+    .select(col("key"), col("doc"), col("__s"))
+    .as(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaDouble))
+    .mapPartitions { it =>
+      it.map { case (k, s, sc) =>
+        val d = parse(s).asInstanceOf[ObjectNode]
+        d.put("__score", sc)
+        (k, render(d))
+      }
+    }(tuple2Enc).toDF("key", "doc")
+
+  /** `$score` in dynamic mode (Mongo 8.2): evaluates `score` per document
+    * into the hidden `__score` field ({"$meta": "score"} reads it), with
+    * optional sigmoid / minMaxScaler normalization. */
+  private def score(df: DataFrame, spec: JValue): DataFrame = {
+    val op = DynExpr.compile(spec \ "score")
+    val norm = spec \ "normalization" match {
+      case JString(s) => s
+      case JNothing   => "none"
+      case other => throw new IllegalArgumentException(
+        s"$$score normalization: $other")
+    }
+    val withS = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.map { case (k, s) =>
+        val v = op.eval(DynExpr.DCtx(parse(s), Map.empty))
+        (k, s, v.doubleValue)
+      }
+    }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaDouble))
+      .toDF("key", "doc", "__s")
+    embedScore(normScore(withS, norm))
+  }
+
+  /** `$scoreFusion` in dynamic mode (Mongo 8.1, score flavor): each input
+    * pipeline must PRODUCE a score ($score / $vectorSearch / $search);
+    * scores normalize per pipeline (input.normalization), weight, and
+    * combine as sum/nPipelines per distinct `_id` — a document absent from
+    * a pipeline contributes 0 from it, the same absent rule as
+    * $rankFusion's RRF. No rank window, so inputs need no boundedness. */
+  private def scoreFusion(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
+    val JObject(pipes) = ((spec \ "input" \ "pipelines"): @unchecked)
+    val norm = spec \ "input" \ "normalization" match {
+      case JString(s) => s
+      case JNothing   => "none"
+      case other => throw new IllegalArgumentException(
+        s"$$scoreFusion normalization: $other")
+    }
+    val weights: Map[String, Double] = spec \ "combination" \ "weights" match {
+      case JObject(ws) => ws.map { case (n, v) => n -> (v match {
+        case JInt(i) => i.toDouble; case JLong(l) => l.toDouble
+        case JDouble(d) => d; case _ => 1.0 }) }.toMap
+      case _ => Map.empty
+    }
+    val allowed = Set("$match", "$sort", "$limit", "$skip", "$sample",
+      "$vectorSearch", "$search", "$score")
+    val idOp = DynExpr.compile(JString("$_id"))
+    val nPipes = pipes.size
+    val contribs = pipes.map { case (pname, pstages) =>
+      val JArray(stages) = (pstages: @unchecked)
+      val names = stages.collect { case JObject(fs) =>
+        fs.collectFirst { case (n, _) if n != "_trace" => n }.getOrElse("") }
+      val bad = names.filterNot(allowed)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$$scoreFusion pipeline '$pname': only selection/scoring stages " +
+          s"(${allowed.mkString(" ")}) are allowed, got ${bad.mkString(" ")}")
+      val scoreField =
+        if (names.contains("$score")) "$__score"
+        else if (names.contains("$vectorSearch")) "$__vsScore"
+        else if (names.contains("$search")) "$__searchScore"
+        else throw new IllegalArgumentException(
+          s"$$scoreFusion pipeline '$pname' must produce a score: " +
+            "include $score, $vectorSearch or $search")
+      val sOp = DynExpr.compile(JString(scoreField))
+      val out = run(df, pstages, ctx, keepScores = true)
+      val extracted = normalize(out).as(tuple2Enc).mapPartitions { it =>
+        it.map { case (k, s) =>
+          val dctx = DynExpr.DCtx(parse(s), Map.empty)
+          (k, s, canonical(idOp.eval(dctx)), sOp.eval(dctx).doubleValue)
+        }
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
+        Encoders.scalaDouble)).toDF("key", "doc", "__fid", "__s")
+      val w = weights.getOrElse(pname, 1d)
+      normScore(extracted, norm)
+        .select(col("key"), col("doc"), col("__fid"),
+          (lit(w) * col("__s")).as("__ws"))
+    }
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("__fid"))
+      .agg(first(col("key")).as("key"), first(col("doc")).as("doc"),
+        (sum(col("__ws")) / lit(nPipes.toDouble)).as("__s"))
+    embedScore(fused.orderBy(col("__s").desc, col("__fid")))
   }
 
   /** `$bucketAuto` in dynamic mode: the groupBy value's cross-type BSON

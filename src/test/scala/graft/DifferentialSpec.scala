@@ -643,6 +643,18 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
         {"$project": {"_id": 1}}]""",
     """[{"$project": {"c0": {"$cmp": ["$b", null]},
          "c1": {"$gte": ["$b", "$b"]}, "c2": {"$lt": ["$b", 0]}}}]""",
+    // $score / $scoreFusion (Mongo 8.2/8.1): per-pipeline minMax and
+    // sigmoid normalization, weighted sum / nPipelines, absent docs = 0
+    """[{"$score": {"score": {"$ifNull": ["$a", 0]},
+         "normalization": "sigmoid"}},
+        {"$project": {"_id": 1, "sc": {"$round": [{"$meta": "score"}, 6]}}}]""",
+    """[{"$scoreFusion": {"input": {"pipelines": {
+          "pa": [{"$match": {"a": {"$gte": 0}}},
+                 {"$score": {"score": {"$ifNull": ["$a", 0]}}}],
+          "pb": [{"$score": {"score": {"$strLenCP": {"$ifNull": ["$s", ""]}}}}]},
+          "normalization": "minMaxScaler"},
+         "combination": {"weights": {"pa": 3}}}},
+        {"$project": {"_id": 1, "sc": {"$round": [{"$meta": "score"}, 6]}}}]""",
     """[{"$project": {"x": {"$lte": ["$a", 3]}, "y": {"$gte": ["$b", 2.5]},
          "z": {"$ne": ["$a", "$b"]}}}]""")
 
