@@ -370,7 +370,7 @@ private[graft] object Stages {
     ExprCtx(
       field = p =>
         if (resolveType(docSchema, p).isDefined) MongoExpr.defaultFieldRef(p)
-        else lit(null),
+        else MongoExpr.MissingRef, // the recognizable missing marker
       vars = Map(
         "ROOT" -> struct(docCols.map(col).toIndexedSeq: _*),
         "KEEP" -> lit("__KEEP__"), "PRUNE" -> lit("__PRUNE__"),

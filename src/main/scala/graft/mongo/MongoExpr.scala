@@ -76,6 +76,15 @@ object MongoExpr {
     case other      => literal(other)
   }
 
+  /** THE Column a MISSING field path compiles to (`ctxFor` returns this
+    * very instance, so a reference comparison identifies it — Spark 4's
+    * lazy ColumnNode wrapping defeats a structural Literal match). Array
+    * ops that Spark typechecks eagerly (element_at, size) short-circuit
+    * on it to Mongo's null result instead of an AnalysisException. */
+  val MissingRef: Column = lit(null)
+
+  private def isVoidNull(c: Column): Boolean = c eq MissingRef
+
   private def variable(ref: String)(implicit ctx: ExprCtx): Column = {
     val parts = ref.split('.')
     val base = ctx.vars.getOrElse(parts.head,
@@ -406,10 +415,15 @@ object MongoExpr {
     // ---- arrays -----------------------------------------------------------
     case "$arrayElemAt" =>
       val List(arr, idx) = args(spec)
-      element_at(arr, when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
+      // a MISSING path compiles to the VOID lit(null) (ctxFor): Spark's
+      // element_at rejects VOID at analysis where Mongo yields null
+      if (isVoidNull(arr)) lit(null)
+      else element_at(arr,
+        when(idx >= 0, idx + 1).otherwise(idx).cast(IntegerType))
     case "$size" => // null -> null (Spark's legacy size(null) is -1)
       val c = args(spec).head
-      when(c.isNotNull, size(c))
+      if (isVoidNull(c)) lit(null)
+      else when(c.isNotNull, size(c))
     case "$slice" =>
       args(spec) match {
         case List(arr, n) =>

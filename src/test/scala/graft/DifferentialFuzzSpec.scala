@@ -95,10 +95,27 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
     s"""{"$$group": {"_id": $id, "m": $acc}}"""
   }
 
+  // $sort alone is invisible to the Set compare; with $limit over the
+  // UNIQUE _id tie-broken order it selects a deterministic subset both
+  // engines must agree on
+  private def sortLimitStage(): String = {
+    val key = pick(Seq("a", "b", "s"))
+    val dir = if (rnd.nextBoolean()) 1 else -1
+    s"""{"$$sort": {"$key": $dir, "_id": 1}}, {"$$limit": ${2 + rnd.nextInt(4)}}"""
+  }
+
+  private def unsetStage(): String =
+    s"""{"$$unset": "${pick(Seq("arr", "d", "b"))}"}"""
+
+  private def replaceWithStage(): String =
+    s"""{"$$replaceWith": {"_id": "$$_id", "v": ${numExpr(2)},
+         "t": ${strExpr(1)}}}"""
+
   private def genPipeline(): String = {
     val stages = scala.collection.mutable.ArrayBuffer[String]()
     if (rnd.nextBoolean()) stages += matchStage()
-    rnd.nextInt(3) match {
+    if (rnd.nextInt(4) == 0) stages += unsetStage()
+    rnd.nextInt(5) match {
       case 0 => stages += projectStage()
       case 1 =>
         stages += addFieldsStage()
@@ -109,6 +126,11 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
         // after $unwind, arr is a SCALAR: $size/$arrayElemAt on it is a
         // genuine MQL error, so the grammar drops the array terminals
         stages += groupStage(arrOk = !unwound)
+      case 3 =>
+        stages += sortLimitStage()
+        stages += projectStage()
+      case 4 =>
+        stages += replaceWithStage()
     }
     if (stages.isEmpty) stages += projectStage()
     stages.mkString("[", ", ", "]")

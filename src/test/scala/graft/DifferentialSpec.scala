@@ -643,6 +643,13 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
         {"$project": {"_id": 1}}]""",
     """[{"$project": {"c0": {"$cmp": ["$b", null]},
          "c1": {"$gte": ["$b", "$b"]}, "c2": {"$lt": ["$b", 0]}}}]""",
+    // fuzzer regression: array ops over a path REMOVED by $unset — Mongo
+    // yields null; the typed engine used to fail analysis (element_at on
+    // the VOID missing literal)
+    """[{"$unset": "arr"},
+        {"$project": {"x": {"$arrayElemAt": ["$arr", 0]},
+          "y": {"$size": "$arr"},
+          "z": {"$ifNull": [{"$arrayElemAt": ["$arr", 1]}, 9]}}}]""",
     // $score / $scoreFusion (Mongo 8.2/8.1): per-pipeline minMax and
     // sigmoid normalization, weighted sum / nPipelines, absent docs = 0
     """[{"$score": {"score": {"$ifNull": ["$a", 0]},
