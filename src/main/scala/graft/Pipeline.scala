@@ -620,6 +620,14 @@ private[graft] object Stages {
       case other => throw new IllegalArgumentException(s"$$unwind: $other")
     }
     val parts = path.split('.').toList
+    // $unwind of a path the schema does not have (e.g. after $unset):
+    // Mongo emits nothing per doc — preserve keeps the docs unchanged,
+    // default drops them all (found by the differential fuzzer; posexplode
+    // of the absent column was an analysis error)
+    if (resolveType(StructType(df.schema.filter(_.name != "key")), path).isEmpty)
+      return if (preserve) includeIndex.fold(df)(f =>
+        df.withColumn(f, lit(null).cast(LongType)))
+      else df.filter(lit(false))
     val arrCol = parts.tail.foldLeft(col(parts.head))(_ getField _)
     val gen = if (preserve) posexplode_outer(arrCol) else posexplode(arrCol)
     val withElem = df.select(col("*"), gen.as(Seq("__pos", "__elem")))

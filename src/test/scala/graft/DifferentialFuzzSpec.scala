@@ -86,14 +86,29 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
   private def groupStage(arrOk: Boolean): String = {
     val id = pick(Seq("\"$s\"", "\"$_id\"", "null",
       s"""{"$$cond": [${boolExpr(1)}, "hi", "lo"]}"""))
-    val acc = pick[() => String](Seq(
+    def acc() = pick[() => String](Seq(
       () => s"""{"$$sum": 1}""",
       () => s"""{"$$sum": ${numExpr(1, arrOk)}}""",
       () => s"""{"$$min": "$$a"}""",
       () => s"""{"$$max": "$$b"}""",
       () => s"""{"$$avg": ${numExpr(1, arrOk)}}"""))()
-    s"""{"$$group": {"_id": $id, "m": $acc}}"""
+    if (rnd.nextBoolean())
+      s"""{"$$group": {"_id": $id, "m": ${acc()}}}"""
+    else
+      s"""{"$$group": {"_id": $id, "m": ${acc()}, "m2": ${acc()},
+           "m3": ${acc()}}}"""
   }
+
+  // default stays NUMERIC like the boundaries: a string default makes the
+  // bucket _id heterogeneous, which the schema-typed engine coerces to
+  // string (documented cross-type deviation, SURVEY §7) — out of grammar
+  private def bucketStage(): String =
+    s"""{"$$bucket": {"groupBy": {"$$ifNull": ["$$a", 0]},
+         "boundaries": [-5, 0, 2, 4, 10], "default": 999,
+         "output": {"n": {"$$sum": 1}, "t": {"$$sum": ${numExpr(1)}}}}}"""
+
+  private def sortByCountStage(): String =
+    s"""{"$$sortByCount": {"$$cond": [${boolExpr(1)}, "hi", "lo"]}}"""
 
   // $sort alone is invisible to the Set compare; with $limit over the
   // UNIQUE _id tie-broken order it selects a deterministic subset both
@@ -130,7 +145,11 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
         stages += sortLimitStage()
         stages += projectStage()
       case 4 =>
-        stages += replaceWithStage()
+        rnd.nextInt(3) match {
+          case 0 => stages += replaceWithStage()
+          case 1 => stages += bucketStage()
+          case 2 => stages += sortByCountStage()
+        }
     }
     if (stages.isEmpty) stages += projectStage()
     stages.mkString("[", ", ", "]")

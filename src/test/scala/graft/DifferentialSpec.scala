@@ -650,6 +650,14 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
         {"$project": {"x": {"$arrayElemAt": ["$arr", 0]},
           "y": {"$size": "$arr"},
           "z": {"$ifNull": [{"$arrayElemAt": ["$arr", 1]}, 9]}}}]""",
+    // fuzzer regression: $unwind of a path removed by $unset — default
+    // drops every doc, preserve keeps them unchanged (typed engine used
+    // to fail analysis on posexplode of the absent column)
+    """[{"$unset": "arr"}, {"$unwind": "$arr"},
+        {"$project": {"_id": 1}}]""",
+    """[{"$unset": "arr"},
+        {"$unwind": {"path": "$arr", "preserveNullAndEmptyArrays": true}},
+        {"$project": {"_id": 1, "a": 1}}]""",
     // $score / $scoreFusion (Mongo 8.2/8.1): per-pipeline minMax and
     // sigmoid normalization, weighted sum / nPipelines, absent docs = 0
     """[{"$score": {"score": {"$ifNull": ["$a", 0]},
