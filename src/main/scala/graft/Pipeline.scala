@@ -1708,6 +1708,7 @@ private[graft] object Stages {
     * input — fine for bounded pipelines, deliberate cost at 100 TB. */
   def sortStage(df: DataFrame, spec: JValue): DataFrame = {
     val JObject(keys) = (spec: @unchecked)
+    val docSchema = StructType(df.schema.filter(_.name != "key"))
     df.orderBy(keys.map { case (f, dir) =>
       val asc = dir match {
         case JInt(i)    => i >= 0
@@ -1715,7 +1716,12 @@ private[graft] object Stages {
         case JDouble(d) => d >= 0
         case _          => true
       }
-      if (asc) col(f).asc else col(f).desc
+      // a path the document does not have sorts as a constant (all tie,
+      // Mongo's missing==null rule). col(f) would let Spark's
+      // ResolveMissingReferences RESURRECT a column dropped by $unset and
+      // sort by its ghost values (found by the differential fuzzer).
+      val c = if (resolveType(docSchema, f).isDefined) col(f) else lit(null)
+      if (asc) c.asc else c.desc
     }: _*)
   }
 

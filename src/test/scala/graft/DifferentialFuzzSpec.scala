@@ -20,7 +20,10 @@ import scala.util.Random
   */
 class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
 
-  private val rnd = new Random(20260813L)
+  // fixed seed for CI determinism; override for exploratory mining with
+  // sbt -J-Dgraft.fuzz.seed=N (finds get pasted into the corpus as pins)
+  private val rnd = new Random(
+    sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(20260813L))
 
   private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
 

@@ -650,6 +650,13 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
         {"$project": {"x": {"$arrayElemAt": ["$arr", 0]},
           "y": {"$size": "$arr"},
           "z": {"$ifNull": [{"$arrayElemAt": ["$arr", 1]}, 9]}}}]""",
+    // fuzzer regression (seeds 7/99/1234): $sort on a path removed by
+    // $unset must tie (missing==null) — Spark's ResolveMissingReferences
+    // used to resurrect the dropped column and sort by its ghost values
+    """[{"$unset": "b"}, {"$sort": {"b": 1, "_id": 1}}, {"$limit": 5},
+        {"$project": {"_id": 1}}]""",
+    """[{"$unset": "b"}, {"$sort": {"b": -1, "_id": -1}}, {"$limit": 3},
+        {"$project": {"_id": 1}}]""",
     // fuzzer regression: $unwind of a path removed by $unset — default
     // drops every doc, preserve keeps them unchanged (typed engine used
     // to fail analysis on posexplode of the absent column)
