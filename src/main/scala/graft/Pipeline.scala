@@ -205,7 +205,8 @@ final class Pipeline(
                     case JDouble(x) => x >= 0
                     case _          => true
                   }
-                  if (asc) col(f).asc else col(f).desc
+                  if (asc) Stages.sortKeyCol(out, f).asc
+                  else Stages.sortKeyCol(out, f).desc
                 }
             }.getOrElse {
               if (names.contains("$vectorSearch")) Seq(col("__vsScore").desc)
@@ -1391,7 +1392,7 @@ private[graft] object Stages {
       val base = Window.partitionBy(partCols: _*)
       if (sortKeys.isEmpty) base
       else base.orderBy(sortKeys.map { case (f, asc) =>
-        if (asc) col(f).asc else col(f).desc }: _*)
+        if (asc) sortKeyCol(df, f).asc else sortKeyCol(df, f).desc }: _*)
     }
     // the same partitioning over the REVERSED sort: frames that end at
     // unboundedFollowing ("shrinking" frames) force Spark's window executor
@@ -1404,7 +1405,7 @@ private[graft] object Stages {
       val base = Window.partitionBy(partCols: _*)
       if (sortKeys.isEmpty) base
       else base.orderBy(sortKeys.map { case (f, asc) =>
-        if (asc) col(f).desc else col(f).asc }: _*)
+        if (asc) sortKeyCol(df, f).desc else sortKeyCol(df, f).asc }: _*)
     }
     // Mongo time-unit factor in milliseconds (derivative/integral/range)
     def unitMillis(u: String): Long = u match {
@@ -1706,9 +1707,18 @@ private[graft] object Stages {
     * Mongo null placement matches Spark defaults: nulls first ascending,
     * last descending. A global sort is a range-exchange over the whole
     * input — fine for bounded pipelines, deliberate cost at 100 TB. */
+  /** A sort/rank key: a path the document does not have sorts as a
+    * constant (all tie, Mongo's missing==null rule). A bare col(f) would
+    * let Spark's ResolveMissingReferences RESURRECT a column dropped by
+    * $unset and sort by its ghost values (found by the differential
+    * fuzzer) — shared by $sort, $setWindowFields and $rankFusion. */
+  def sortKeyCol(df: DataFrame, f: String): Column =
+    if (resolveType(StructType(df.schema.filter(_.name != "key")), f).isDefined)
+      col(f)
+    else lit(null)
+
   def sortStage(df: DataFrame, spec: JValue): DataFrame = {
     val JObject(keys) = (spec: @unchecked)
-    val docSchema = StructType(df.schema.filter(_.name != "key"))
     df.orderBy(keys.map { case (f, dir) =>
       val asc = dir match {
         case JInt(i)    => i >= 0
@@ -1716,11 +1726,7 @@ private[graft] object Stages {
         case JDouble(d) => d >= 0
         case _          => true
       }
-      // a path the document does not have sorts as a constant (all tie,
-      // Mongo's missing==null rule). col(f) would let Spark's
-      // ResolveMissingReferences RESURRECT a column dropped by $unset and
-      // sort by its ghost values (found by the differential fuzzer).
-      val c = if (resolveType(docSchema, f).isDefined) col(f) else lit(null)
+      val c = sortKeyCol(df, f)
       if (asc) c.asc else c.desc
     }: _*)
   }
