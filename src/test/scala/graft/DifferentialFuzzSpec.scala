@@ -69,12 +69,19 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
     val n = 1 + rnd.nextInt(3)
     val fields = (0 until n).map { i =>
       val nm = s"f$i"
-      val e = if (rnd.nextBoolean()) numExpr(1 + rnd.nextInt(2))
-      else strExpr(1 + rnd.nextInt(2))
+      val e = rnd.nextInt(4) match {
+        case 0 => strExpr(1 + rnd.nextInt(2))
+        case 3 => // nested computed document
+          s"""{"x": ${numExpr(1)}, "y": ${strExpr(1)}}"""
+        case _ => numExpr(1 + rnd.nextInt(2))
+      }
       s""""$nm": $e"""
     }
     s"""{"$$project": {"_id": 1, ${fields.mkString(", ")}}}"""
   }
+
+  private def redactStage(): String =
+    s"""{"$$redact": {"$$cond": [${boolExpr(2)}, "$$$$KEEP", "$$$$PRUNE"]}}"""
 
   private def addFieldsStage(): String =
     s"""{"$$addFields": {"g": ${numExpr(2)}}}"""
@@ -148,10 +155,13 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
         stages += sortLimitStage()
         stages += projectStage()
       case 4 =>
-        rnd.nextInt(3) match {
+        rnd.nextInt(4) match {
           case 0 => stages += replaceWithStage()
           case 1 => stages += bucketStage()
           case 2 => stages += sortByCountStage()
+          case 3 =>
+            stages += redactStage()
+            stages += projectStage()
         }
     }
     if (stages.isEmpty) stages += projectStage()
