@@ -309,4 +309,55 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(g#") || p.contains("SortMergeJoin") ||
       p.contains("BroadcastHashJoin"), s"expected an equi-join on the shingle:\n$p")
   }
+
+  test("$scoreFusion: minMax stats broadcast; no rank window in the plan") {
+    val out = pipeline.run(orders,
+      """[{"$addFields": {"_id": "$o_orderkey"}},
+          {"$scoreFusion": {"input": {"pipelines": {
+             "price": [{"$score": {"score": "$o_totalprice"}}],
+             "prio":  [{"$score": {"score": {"$strLenCP": "$o_orderpriority"}}}]},
+             "normalization": "minMaxScaler"},
+            "combination": {"weights": {"price": 2}}}}]""")
+    val p = plan(out)
+    // each pipeline's min/max is ONE broadcast row — never a Window over
+    // the stream (the $rankFusion rank window is what forces boundedness
+    // there; score fusion must not inherit it)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"minMax stats should broadcast:\n$p")
+    assert(!p.contains("Window"), s"score fusion must not plan a window:\n$p")
+  }
+
+  test("deterministicShuffle: range-partitioned sort, broadcast offsets, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val out = graft.llm.CorpusOps.deterministicShuffle(docs, "doc_id", "s", 4)
+    val p = plan(out)
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-partition offsets should broadcast-join:\n$p")
+    assert(!p.contains("Window"),
+      s"global positions must come from offsets, not a window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition stage in the shuffle path:\n$p")
+  }
+
+  test("BPE pair counting: map-side partial aggregate before the exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import spark.implicits._
+    // the per-round argmax frame: pairs exploded from the word vocab,
+    // weighted count, top-1 — partial_sum must run before the shuffle
+    val words = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+    val top = words.flatMap { case (toks, c) =>
+      toks.zip(toks.drop(1)).map { case (a, b) => (a, b, c) }
+    }.toDF("l", "r", "c").groupBy("l", "r").agg(sum("c").as("wt"))
+      .orderBy(col("wt").desc, col("l"), col("r")).limit(1)
+    val p = plan(top)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"pair counts need a map-side partial phase:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"argmax should be a TakeOrdered, not a global sort:\n$p")
+  }
 }
