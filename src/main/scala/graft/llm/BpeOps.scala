@@ -50,8 +50,12 @@ object BpeOps {
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false
+    var prevCkpt: Dataset[(Seq[String], Long)] = null
     while (!done && round < numMerges) {
-      words = words.localCheckpoint()
+      val ckpt = words.localCheckpoint() // eager: materialized before prev is dropped
+      if (prevCkpt ne null) prevCkpt.unpersist()
+      prevCkpt = ckpt
+      words = ckpt
       val top = words.flatMap { case (toks, c) =>
         toks.zip(toks.drop(1)).map { case (a, b) => (a, b, c) }
       }.toDF("l", "r", "c").groupBy("l", "r").agg(sum("c").as("wt"))
@@ -65,27 +69,64 @@ object BpeOps {
       }
       round += 1
     }
+    if (prevCkpt ne null) prevCkpt.unpersist()
     merges.result()
   }
 
-  /** Tokenize by replaying the learned merges in rank order per word.
-    * Equivalent to greedy lowest-rank merging: a pair involving a token
-    * built at rank k cannot have been learnable before round k, so every
-    * merge that touches it has a higher rank and sequential replay reaches
-    * the same fixpoint. The merge list is vocabulary-sized and rides the
-    * task closure (same posture as the broadcast-exempt single-row stats
-    * in CorpusOps). */
+  /** Tokenize by greedy lowest-rank merging against a broadcast
+    * `(l, r) -> rank` map. Equivalent to sequential rank-order replay
+    * ([[replayEncodeWord]]) PROVIDED the merge list came from [[train]]:
+    * a pair involving a token built at training round k cannot have been
+    * learnable before round k, so every rule touching that token has a
+    * higher rank — merging the lowest rank present never creates a
+    * lower-rank pair, and greedy is exactly the replay with absent ranks
+    * skipped (BpeSpec pins the equivalence on trained merges). Cost is
+    * O(|word|²) worst-case per word and INDEPENDENT of |merges| — the
+    * fold-replay form is O(|merges|·|word|), which at a production 32k
+    * vocab multiplies tokenization ~1000×. The rank map is a real
+    * `sparkContext.broadcast` (32k entries ride to each executor once,
+    * not per task). */
   def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
       as: String = "bpe"): DataFrame = {
-    val ms = merges.toIndexedSeq
+    val bRank = df.sparkSession.sparkContext.broadcast(merges.zipWithIndex.toMap)
     val enc = udf { (text: String) =>
       if (text == null) null
-      else text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-        ms.foldLeft(w.map(_.toString): Seq[String]) {
-          case (t, (l, r)) => applyMerge(t, l, r)
-        }
-      }.toSeq
+      else {
+        val rank = bRank.value
+        text.split("\\s+").iterator.filter(_.nonEmpty)
+          .flatMap(greedyEncodeWord(_, rank)).toSeq
+      }
     }
     df.withColumn(as, enc(col(textCol)))
   }
+
+  /** Greedy lowest-rank encoder for one pretokenized word. */
+  def greedyEncodeWord(w: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var toks: Vector[String] = w.map(_.toString).toVector
+    var go = toks.length > 1
+    while (go) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val rk = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (rk < best) { best = rk; bi = i }
+        i += 1
+      }
+      if (bi < 0) go = false
+      else {
+        toks = applyMerge(toks, toks(bi), toks(bi + 1)).toVector
+        go = toks.length > 1
+      }
+    }
+    toks
+  }
+
+  /** Sequential rank-order replay — the form the DuckDB oracle mirrors and
+    * the spec's equivalence reference; NOT the production path (cost scales
+    * with |merges|). */
+  def replayEncodeWord(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(w.map(_.toString): Seq[String]) {
+      case (t, (l, r)) => applyMerge(t, l, r)
+    }
 }

@@ -42,23 +42,6 @@ class BpeSpec extends SparkSpec {
     out.result()
   }
 
-  /** Greedy lowest-rank encoder (the classic formulation) — must agree
-    * with BpeOps.encode's sequential replay. */
-  private def greedyEncode(w: String, merges: Seq[(String, String)]): Seq[String] = {
-    val rank = merges.zipWithIndex.toMap
-    var toks: Seq[String] = w.map(_.toString)
-    var go = true
-    while (go && toks.length > 1) {
-      val best = toks.zip(toks.drop(1)).flatMap(p => rank.get(p).map(p -> _))
-        .sortBy(_._2).headOption
-      best match {
-        case Some(((l, r), _)) => toks = BpeOps.applyMerge(toks, l, r)
-        case None => go = true; return toks
-      }
-    }
-    toks
-  }
-
   private lazy val docs =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
@@ -70,16 +53,44 @@ class BpeSpec extends SparkSpec {
     assert(got.size == 12, "fixture vocabulary should support 12 merges")
   }
 
-  test("sequential-replay encode equals greedy lowest-rank encode") {
+  test("production greedy encode equals sequential rank-order replay on trained merges") {
     val merges = BpeOps.train(docs, "text", numMerges = 10)
+    val rank = merges.zipWithIndex.toMap
     val words = docs.select("text").collect().flatMap(_.getString(0).split("\\s+"))
       .filter(_.nonEmpty).distinct.toSeq
     words.foreach { w =>
-      val replay = merges.foldLeft(w.map(_.toString): Seq[String]) {
-        case (t, (l, r)) => BpeOps.applyMerge(t, l, r)
-      }
-      assert(replay == greedyEncode(w, merges), s"word $w")
+      assert(BpeOps.replayEncodeWord(w, merges) == BpeOps.greedyEncodeWord(w, rank),
+        s"word $w")
     }
+  }
+
+  test("greedy encode cost is flat in |merges| (replay is not)") {
+    // Pad the trained vocabulary to 1k entries with pairs that can never
+    // occur (tokens outside the corpus alphabet): the rank MAP grows 100x
+    // but the greedy scan never touches it beyond O(1) lookups, while the
+    // fold replay walks every rule per word. Equivalence is preserved —
+    // absent rules are no-ops in both forms.
+    val merges10 = BpeOps.train(docs, "text", numMerges = 10)
+    val merges1k = merges10 ++ (0 until 990).map(i => (s"$i", s"$i"))
+    val rank10 = merges10.zipWithIndex.toMap
+    val rank1k = merges1k.zipWithIndex.toMap
+    val words = docs.select("text").collect().flatMap(_.getString(0).split("\\s+"))
+      .filter(_.nonEmpty).toSeq
+    def time(f: => Unit): Long = { val t0 = System.nanoTime(); f; System.nanoTime() - t0 }
+    // warm up JIT on both paths
+    words.take(500).foreach { w =>
+      BpeOps.greedyEncodeWord(w, rank1k); BpeOps.replayEncodeWord(w, merges1k)
+    }
+    val tGreedy10 = time(words.foreach(BpeOps.greedyEncodeWord(_, rank10)))
+    val tGreedy1k = time(words.foreach(BpeOps.greedyEncodeWord(_, rank1k)))
+    val tReplay1k = time(words.foreach(BpeOps.replayEncodeWord(_, merges1k)))
+    words.take(50).foreach { w =>
+      assert(BpeOps.greedyEncodeWord(w, rank1k) == BpeOps.replayEncodeWord(w, merges1k))
+    }
+    info(f"greedy@10=${tGreedy10 / 1e6}%.1fms greedy@1k=${tGreedy1k / 1e6}%.1fms " +
+      f"replay@1k=${tReplay1k / 1e6}%.1fms over ${words.size} words")
+    assert(tGreedy1k < tReplay1k,
+      "greedy at a 1k vocab must beat the fold replay at the same vocab")
   }
 
   test("encode reconstructs the text: concatenated tokens == words in order") {
