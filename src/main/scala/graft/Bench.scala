@@ -33,11 +33,13 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         val q0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        // a crashed query must NOT read as a fast success: -1 in the
+        // artifact, never the time-to-exception
+        try { fn(spark, sfDir).count(); name -> (System.nanoTime() - q0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1d
         }
-        name -> (System.nanoTime() - q0) / 1e9
       }
     }
     val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
@@ -51,9 +53,12 @@ object Bench {
     // someone would investigate.
     val poleSeq = results.toSeq.sortBy(-_._2).take(8).map { case (name, _) =>
       val q0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - q0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count()
+        name -> (System.nanoTime() - q0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] poles_seq $name failed: ${e.getMessage}")
+        name -> -1d
+      }
     }
     val ps = poleSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

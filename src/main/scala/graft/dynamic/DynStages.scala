@@ -1485,14 +1485,31 @@ object DynPipeline {
   /** Fold the `__s` column into each doc's hidden `__score` field. */
   private def embedScore(df: DataFrame): DataFrame = df
     .select(col("key"), col("doc"), col("__s"))
-    .as(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaDouble))
+    .as(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.DOUBLE))
     .mapPartitions { it =>
       it.map { case (k, s, sc) =>
         val d = parse(s).asInstanceOf[ObjectNode]
-        d.put("__score", sc)
+        // null score stays MISSING, matching the typed engine's JSON dump
+        // (toJSON drops the null __score column)
+        if (sc ne null) d.put("__score", sc.doubleValue)
         (k, render(d))
       }
     }(tuple2Enc).toDF("key", "doc")
+
+  /** Mirrors Spark's cast-to-double, so dynamic `$score`/`$scoreFusion`
+    * agree with the typed engine's `cast(DoubleType)` on the score
+    * expression: numbers pass through, numeric strings parse (trimmed),
+    * booleans become 1/0, and null/missing/object/array/non-numeric
+    * strings yield SQL NULL — previously NullNode.doubleValue silently
+    * coerced all of those to 0.0, a cross-engine divergence. */
+  private def castDouble(v: JsonNode): java.lang.Double =
+    if (v == null || v.isNull || v.isMissingNode) null
+    else if (v.isNumber) v.doubleValue
+    else if (v.isBoolean) { if (v.booleanValue) 1d else 0d }
+    else if (v.isTextual) {
+      try java.lang.Double.valueOf(v.textValue.trim)
+      catch { case _: NumberFormatException => null }
+    } else null
 
   /** `$score` in dynamic mode (Mongo 8.2): evaluates `score` per document
     * into the hidden `__score` field ({"$meta": "score"} reads it), with
@@ -1508,9 +1525,9 @@ object DynPipeline {
     val withS = normalize(df).as(tuple2Enc).mapPartitions { it =>
       it.map { case (k, s) =>
         val v = op.eval(DynExpr.DCtx(parse(s), Map.empty))
-        (k, s, v.doubleValue)
+        (k, s, castDouble(v))
       }
-    }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaDouble))
+    }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.DOUBLE))
       .toDF("key", "doc", "__s")
     embedScore(normScore(withS, norm))
   }
@@ -1559,10 +1576,10 @@ object DynPipeline {
       val extracted = normalize(out).as(tuple2Enc).mapPartitions { it =>
         it.map { case (k, s) =>
           val dctx = DynExpr.DCtx(parse(s), Map.empty)
-          (k, s, canonical(idOp.eval(dctx)), sOp.eval(dctx).doubleValue)
+          (k, s, canonical(idOp.eval(dctx)), castDouble(sOp.eval(dctx)))
         }
       }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
-        Encoders.scalaDouble)).toDF("key", "doc", "__fid", "__s")
+        Encoders.DOUBLE)).toDF("key", "doc", "__fid", "__s")
       val w = weights.getOrElse(pname, 1d)
       normScore(extracted, norm)
         .select(col("key"), col("doc"), col("__fid"),

@@ -29,6 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - A null struct field sizes as MISSING (no element): the typed engine
   *    cannot distinguish null from missing (SURVEY §7's null==missing
   *    rule). Array elements DO size as BSON null — arrays keep holes.
+  *  - Decimals size as double (8), not decimal128 (16): parquet decimals
+  *    carry no driver intent, and the dynamic JSON tree has no decimal
+  *    type at all — one rule, both engines.
+  *  - The DYNAMIC twin sizes instant-parseable STRINGS as BSON dates (8),
+  *    because JSON has no date type and the engine's date convention is
+  *    ISO strings; here a StringType column is always a string (4+len+1).
+  *    An ordinary string that happens to hold an ISO timestamp therefore
+  *    sizes differently across engines — documented deviation (SURVEY §7
+  *    deviations), permanently excluded from the fuzzer string pool.
   */
 case class BsonSizeExpr(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -36,11 +45,35 @@ case class BsonSizeExpr(child: Expression)
   override def prettyName: String = "bson_size"
   override def dataType: DataType = IntegerType
 
+  /** First unsupported type inside `dt`, if any — recursive, so a map
+    * with non-string keys or an unsized leaf (e.g. CalendarInterval)
+    * nested anywhere fails at ANALYSIS time, not per-row in eval. */
+  private def firstUnsupported(dt: DataType): Option[String] = dt match {
+    case st: StructType =>
+      st.fields.iterator.map(f => firstUnsupported(f.dataType))
+        .collectFirst { case Some(s) => s }
+    case MapType(StringType, vt, _) => firstUnsupported(vt)
+    case m: MapType =>
+      Some(s"map with ${m.keyType.simpleString} keys (keys must be strings)")
+    case ArrayType(et, _) => firstUnsupported(et)
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType | TimestampType |
+         TimestampNTZType | DateType | BooleanType | BinaryType | NullType =>
+      None
+    case other => Some(other.simpleString)
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case _: StructType | _: MapType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt @ (_: StructType | _: MapType) =>
+        firstUnsupported(dt) match {
+          case None =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case Some(bad) =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"$$bsonSize: unsupported type $bad")
+        }
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$$bsonSize requires a document, got ${other.simpleString}")

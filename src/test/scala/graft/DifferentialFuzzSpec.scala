@@ -16,7 +16,10 @@ import scala.util.Random
   * The grammar deliberately EXCLUDES documented cross-engine deviations
   * (cross-type bracket ordering in typed $min/$max, $divide double
   * rendering at non-terminating decimals, date arithmetic on the d
-  * column) — those are covered by targeted corpus pins instead.
+  * column, and — permanently — ISO-timestamp-shaped strings in the string
+  * pool: dynamic $bsonSize sizes instant-parseable strings as BSON dates
+  * while typed sizes StringType as string) — those are covered by
+  * targeted corpus pins instead.
   */
 class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
 

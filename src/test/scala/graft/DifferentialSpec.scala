@@ -670,6 +670,15 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
     """[{"$score": {"score": {"$ifNull": ["$a", 0]},
          "normalization": "sigmoid"}},
         {"$project": {"_id": 1, "sc": {"$round": [{"$meta": "score"}, 6]}}}]""",
+    // ADVICE r8: null/missing/non-numeric score — the typed engine's
+    // cast(DoubleType) yields SQL null; dynamic must NOT coerce to 0.0
+    // via JsonNode.doubleValue (NullNode/MissingNode/TextNode all 0.0)
+    """[{"$score": {"score": "$nope"}},
+        {"$project": {"_id": 1, "sc": {"$meta": "score"}}}]""",
+    """[{"$score": {"score": "$a", "normalization": "sigmoid"}},
+        {"$project": {"_id": 1, "sc": {"$round": [{"$meta": "score"}, 6]}}}]""",
+    """[{"$score": {"score": "$s", "normalization": "minMaxScaler"}},
+        {"$project": {"_id": 1, "sc": {"$meta": "score"}}}]""",
     """[{"$scoreFusion": {"input": {"pipelines": {
           "pa": [{"$match": {"a": {"$gte": 0}}},
                  {"$score": {"score": {"$ifNull": ["$a", 0]}}}],

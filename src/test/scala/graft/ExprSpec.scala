@@ -240,6 +240,22 @@ class ExprSpec extends SparkSpec {
     assert(eval("""{"$bsonSize": {"xs": "$arr"}}""") == 58)
   }
 
+  test("$bsonSize rejects non-string map keys at ANALYSIS time, not per-row") {
+    val df = Seq(Tuple1(Map(1 -> 2L))).toDF("m")
+    val err = intercept[Exception] {
+      df.select(graft.functions.BsonSizeExpr.bsonSize(col("m")).as("n")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("keys must be strings")
+      || err.getMessage.contains("unsupported type"), err.getMessage)
+    // nested non-string-key map inside a struct also fails analysis
+    val df2 = Seq(Tuple1(Tuple1(Map(1 -> 2L)))).toDF("doc")
+    val err2 = intercept[Exception] {
+      df2.select(graft.functions.BsonSizeExpr.bsonSize(col("doc")).as("n")).collect()
+    }
+    assert(err2.getMessage.toLowerCase.contains("keys must be strings")
+      || err2.getMessage.contains("unsupported type"), err2.getMessage)
+  }
+
   test("ISO date parts and millisecond") {
     def ev(json: String): Any = {
       // 2021-03-04 is a Thursday, ISO week 9 of ISO year 2021
