@@ -69,7 +69,18 @@ final class Pipeline(
       case "$unset"       => Stages.unset(df, spec)
       case "$replaceWith" => Stages.replaceWith(df, spec)
       case "$replaceRoot" => Stages.replaceWith(df, spec \ "newRoot")
-      case "$setKey"      => df.withColumn("key", MongoExpr.compile(spec).cast(StringType))
+      case "$setKey"      =>
+        // Scalars stringify via the SQL cast; NON-scalars (object/array/map
+        // keys) render as compact JSON to agree with the dynamic engine's
+        // Jackson render — Spark's struct cast ("{1, x}") is neither the
+        // reference's Util.java:86-88 format nor parseable (the canonical
+        // JSON form is the engines' documented shared convention).
+        val keyExpr = MongoExpr.compile(spec)
+        val keyCol = df.select(keyExpr.as("__k")).schema.head.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => to_json(keyExpr)
+          case _ => keyExpr.cast(StringType)
+        }
+        df.withColumn("key", keyCol)
       case "$unwind"      => Stages.unwind(df, spec)
       case "$group" => // _continuous: exact per-message emission (streaming)
         if ((spec \ "_continuous") == JBool(true))

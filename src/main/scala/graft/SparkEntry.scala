@@ -142,6 +142,13 @@ object SparkEntry {
         {"$project": {"event_id": 1, "user_id": 1}},
         {"$setKey": "$user_id"}
       ]""")),
+    // object-valued key: both engines render compact JSON (r8 verdict —
+    // Spark's struct cast "{13, error}" must not leak into the key)
+    "q_setkey_obj" -> ((s, dir) => pipe(s, dir, "events",
+      """[
+        {"$project": {"event_id": 1, "user_id": 1, "event_type": 1}},
+        {"$setKey": {"u": "$user_id", "e": "$event_type"}}
+      ]""")),
 
     // ---- $unwind ----------------------------------------------------------
     "q_unwind" -> ((s, dir) => pipe(s, dir, "documents",
@@ -1680,6 +1687,9 @@ object SparkEntry {
       """SELECT c_custkey AS ck, lower(c_mktsegment) AS seg FROM customer""",
     "q_setkey" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, event_id, user_id FROM events""",
+    "q_setkey_obj" ->
+      """SELECT '{"u":' || user_id || ',"e":"' || event_type || '"}' AS key,
+                event_id, user_id, event_type FROM events""",
     "q_unwind" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS toks,
                 unnest(range(len(string_split(text, ' ')))) AS idx

@@ -188,8 +188,18 @@ object DynPipeline {
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
 
+  /** $setKey stringification: raw text for strings (reference
+    * Util.java:86-88 — toNative().toString() never quotes), null for
+    * null/missing (typed null==missing convention), compact JSON render
+    * for everything else — the typed engine's cast/to_json produces the
+    * SAME strings (SetKeyParity pin), so re-keyed streams partition
+    * identically across engines. No canonical() integral-collapse here:
+    * the typed cast renders 2.0 as "2.0", and key strings are identity,
+    * not group identity. */
   private def keyString(v: JsonNode): String =
-    if (v.isTextual) v.textValue else if (isMissing(v)) null else canonical(v)
+    if (v.isTextual) v.textValue
+    else if (isMissing(v) || v.isNull) null
+    else render(v)
 
   /** $addFields deep-merge, reference AddFields.java:37-57 semantics:
     * dotted spec paths create/descend nested objects; an existing value is

@@ -693,6 +693,33 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
     pipelines.foreach(agree)
   }
 
+  test("$setKey stringification parity: scalars via cast, objects/arrays as compact JSON") {
+    import graft.Pipeline
+    import graft.dynamic.DynPipeline
+    def typedKeys(p: String): Set[Option[String]] =
+      new Pipeline().run(typedDf, p).select("key").collect()
+        .map(r => Option(r.getString(0))).toSet
+    def dynKeys(p: String): Set[Option[String]] =
+      DynPipeline.run(dynDf, p).select("key").collect()
+        .map(r => Option(r.getString(0))).toSet
+    Seq(
+      """[{"$setKey": "$s"}]""",                       // string: raw, unquoted
+      """[{"$setKey": "$a"}]""",                       // long + null/missing
+      """[{"$setKey": "$b"}]""",                       // double incl. 0.0
+      """[{"$setKey": "$arr"}]""",                     // array -> compact JSON
+      """[{"$setKey": "$nope"}]""",                    // missing -> null key
+      // object-valued key: the r8 verdict's flagged shape — Spark's struct
+      // cast ("{1, x}") must NOT leak; both engines render {"i":...,"n":...}
+      """[{"$setKey": {"i": "$_id", "n": {"$ifNull": ["$a", 0]}}}]""",
+      // heterogeneous cond branches (object vs string) stay out: the typed
+      // schema cannot union them — documented typed-engine constraint
+      """[{"$setKey": {"$cond": [{"$gt": ["$a", 2]}, {"hi": "$_id"}, {"hi": "lo"}]}}]"""
+    ).foreach { p =>
+      val (t, d) = (typedKeys(p), dynKeys(p))
+      assert(t == d, s"$p\n typed: $t\n dynamic: $d")
+    }
+  }
+
   test("campaign batch 10: trig, date parts, replaceOne, first/last, casts") {
     batch10.foreach(agree)
   }
