@@ -1267,8 +1267,16 @@ private[graft] object Stages {
                   JsonMethods.compact(JsonMethods.render(other)))
             }
           }
-        // unwind mode emits rows, not arrays: only a per-row $project can
-        // apply without re-grouping
+        // unwind mode emits rows, not arrays: a per-row $project applies
+        // directly; trailing $sort/$limit need the ARRAY form first — build
+        // the grouped array, apply trailing, then explode (explode drops
+        // empty arrays, which is exactly unwind's inner-join semantics)
+        val unwindViaArray = unwindFlag && (trailing match {
+          case Nil                                  => false
+          case List(JObject(List(("$project", _)))) => false
+          case _                                    => true
+        })
+        val unwindRows = unwindFlag && !unwindViaArray
         def resDoc(doc: Column): Column = trailing match {
           case Nil => doc
           case List(JObject(List(("$project", p)))) => projectDoc(doc, fromStruct2, p)
@@ -1296,7 +1304,7 @@ private[graft] object Stages {
             val right = fromDoc2.withColumn("__bucket",
               floor(col("__as").getField(bField) / width))
             val probes = sequence(floor(lo / width), floor(hi / width))
-            if (unwindFlag) {
+            if (unwindRows) {
               val left = df.withColumn("__bucket", explode_outer(probes))
               left.join(right, Seq("__bucket")).filter(cond)
                 .drop("__bucket").withColumn(as, resDoc(col("__as"))).drop("__as")
@@ -1315,7 +1323,9 @@ private[graft] object Stages {
                     collect_list(col("__as")).as(as)): _*)
                 .drop("__rid")
                 .withColumn(as, applyTrailing(col(as)))
-              if (inner) j.filter(size(col(as)) > 0) else j
+              val kept = if (inner) j.filter(size(col(as)) > 0) else j
+              if (unwindViaArray) kept.withColumn(as, explode(col(as)))
+              else kept
             }
           case _ =>
             // Refuse a silent O(n·m) plan: a non-equality condition over a
@@ -1345,14 +1355,16 @@ private[graft] object Stages {
               }
               joined
             }
-            if (unwindFlag)
+            if (unwindRows)
               guarded(df.join(fromDoc2, cond, "inner"))
                 .withColumn(as, resDoc(col("__as"))).drop("__as")
             else {
               guarded(df.join(fromDoc2, cond, "left")) // plan probe only
               val j = regroupJoin(cond, col("__as"), fromDoc2)
                 .withColumn(as, applyTrailing(col(as)))
-              if (inner) j.filter(size(col(as)) > 0) else j
+              val kept = if (inner) j.filter(size(col(as)) > 0) else j
+              if (unwindViaArray) kept.withColumn(as, explode(col(as)))
+              else kept
             }
         }
     }
@@ -1378,8 +1390,9 @@ private[graft] object Stages {
     * "unbounded"]) even when sortBy is given; rank-family ops use the bare
     * ordered window; $locf/$linearFill/$expMovingAvg take no window and
     * carry their own frames.
-    * Deviation: $shift's `default` also fills data nulls (coalesce), not
-    * only out-of-frame positions. Frames ending at unboundedFollowing are
+    * $shift's `default` fills ONLY out-of-partition positions (Lead/Lag's
+    * native default); an in-partition data null stays null, per Mongo.
+    * Frames ending at unboundedFollowing are
     * rewritten onto the reversed sort order (growing frames, incremental)
     * so no window here is O(partition²). */
   def setWindowFields(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
@@ -1702,10 +1715,21 @@ private[graft] object Stages {
             case JNothing => 1
             case other => throw new IllegalArgumentException(s"$$shift by: $other")
           }
-          val shifted = (if (by >= 0) lead(outC, by) else lag(outC, -by)).over(ordered)
+          // default applies ONLY when the shifted-to position falls outside
+          // the partition (Mongo) — Lead/Lag's native default argument has
+          // exactly that semantics; a data null at an in-partition position
+          // stays null (was: coalesce, which also filled data nulls)
           opSpec \ "default" match {
-            case JNothing => shifted
-            case d        => coalesce(shifted, cexpr(d))
+            case JNothing =>
+              (if (by >= 0) lead(outC, by) else lag(outC, -by)).over(ordered)
+            case d =>
+              import org.apache.spark.sql.catalyst.expressions.{Lag, Lead, Literal}
+              import org.apache.spark.sql.graftops.ColumnBridge
+              val in = ColumnBridge.expression(outC)
+              val dflt = ColumnBridge.expression(cexpr(d))
+              ColumnBridge.column(
+                if (by >= 0) Lead(in, Literal(by), dflt, false)
+                else Lag(in, Literal(-by), dflt, false)).over(ordered)
           }
         case other =>
           throw new IllegalArgumentException(s"$$setWindowFields operator $other")

@@ -1125,34 +1125,44 @@ object DynPipeline {
         "$lookup pipeline: a $sort before the correlated $match cannot be " +
           "preserved in the `as` array; add a trailing $sort after it")
 
-    // equality pairs out of the correlated $match
-    val eqPairs: List[(DynExpr.DOp, DynExpr.DOp)] = matchSpec.map { m =>
-      def eqs(e: JValue): List[(JValue, JValue)] = e match {
-        case JObject(List(("$eq", JArray(List(x, y))))) => List((x, y))
-        case JObject(List(("$and", JArray(cs))))        => cs.flatMap(eqs)
-        case other => throw new IllegalArgumentException(
-          "dynamic $lookup pipeline: the correlated $match must be a $expr " +
-            "$eq (or $and of $eq) between a let-variable expression and a " +
-            s"foreign-field expression; got ${JsonMethods.compact(JsonMethods.render(other))}" +
-            " — theta conditions need the typed engine (_rangeJoin)")
-      }
-      val expr = m \ "$expr" match {
+    // correlated $match: all-$eq conditions hash-join (the scale path);
+    // anything else (theta: $gt/$lte/$or/...) falls back to a SIZE-GUARDED
+    // broadcast of the prefixed `from` side with per-message predicate
+    // evaluation — the same posture as the typed engine's guarded
+    // BroadcastNestedLoopJoin (Pipeline.scala `guarded`): exact semantics,
+    // refused loudly when the dim side outgrows the broadcast threshold
+    val corrExpr: Option[JValue] = matchSpec.map { m =>
+      m \ "$expr" match {
         case JNothing => throw new IllegalArgumentException(
           "dynamic $lookup pipeline: correlated $match must use $expr")
         case e => e
       }
-      eqs(expr).map { case (x, y) =>
-        (refsVars(x), refsVars(y)) match {
-          case (true, false) => (DynExpr.compile(x), DynExpr.compile(y))
-          case (false, true) => (DynExpr.compile(y), DynExpr.compile(x))
-          case _ => throw new IllegalArgumentException(
-            "dynamic $lookup pipeline: each $eq must compare a let-variable " +
-              "expression with a foreign-document expression")
+    }
+    def eqsOpt(e: JValue): Option[List[(JValue, JValue)]] = e match {
+      case JObject(List(("$eq", JArray(List(x, y))))) => Some(List((x, y)))
+      case JObject(List(("$and", JArray(cs)))) =>
+        val parts = cs.map(eqsOpt)
+        if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get))
+        else None
+      case _ => None
+    }
+    val eqPairs: Option[List[(DynExpr.DOp, DynExpr.DOp)]] =
+      corrExpr.flatMap(eqsOpt).flatMap { raw =>
+        val classified = raw.map { case (x, y) =>
+          (refsVars(x), refsVars(y)) match {
+            case (true, false) => Some((DynExpr.compile(x), DynExpr.compile(y)))
+            case (false, true) => Some((DynExpr.compile(y), DynExpr.compile(x)))
+            case _             => None // e.g. both sides foreign -> theta path
+          }
         }
+        if (classified.forall(_.isDefined)) Some(classified.flatten)
+        else None
       }
-    }.getOrElse(Nil)
-    val localSides = eqPairs.map(_._1)
-    val foreignSides = eqPairs.map(_._2)
+    val thetaOp: Option[DynExpr.DOp] =
+      if (corrExpr.isDefined && eqPairs.isEmpty) corrExpr.map(DynExpr.compile)
+      else None
+    val localSides = eqPairs.getOrElse(Nil).map(_._1)
+    val foreignSides = eqPairs.getOrElse(Nil).map(_._2)
 
     val effFrom = normalize(
       if (prefixStages.isEmpty) ctx.catalog(from)
@@ -1216,30 +1226,82 @@ object DynPipeline {
             JsonMethods.compact(JsonMethods.render(other)))
       }
 
-    left.join(right, col("__lk") <=> col("__fk"), "left")
-      .select(col("key"), col("doc"),
-        coalesce(col("__matches"), lit("")).as("__m")).as(tuple3Enc)
-      .mapPartitions { it =>
-        it.flatMap { case (k, s, m) =>
-          val matched0 = if (m == null || m.isEmpty) List.empty[JsonNode]
-            else m.split('\u0000').toList.map(parse)
-          val matched = applyTrailing(matched0)
-          val doc = parse(s).deepCopy[ObjectNode]()
-          if (unwindFlag) {
-            matched.iterator.map { md =>
-              val d = doc.deepCopy[ObjectNode]()
-              d.set[JsonNode](as, md)
-              (k, render(d))
+    thetaOp match {
+      case Some(op) =>
+        // theta path: broadcast the prefixed `from` docs and evaluate the
+        // FULL correlated predicate per (message, foreign doc) — exact but
+        // O(n*m), so it is size-guarded exactly like the typed engine's
+        // BroadcastNestedLoopJoin refusal (Pipeline.scala `guarded`): the
+        // scale answer for band predicates stays _rangeJoin bucketing.
+        val sess = df.sparkSession
+        val foreignDocs = effFrom.select(col("doc")).collect().map(_.getString(0))
+        val approxBytes = foreignDocs.iterator.map(_.length.toLong).sum
+        val thresh = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          sess.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        if (thresh > 0 && approxBytes > thresh) throw new IllegalArgumentException(
+          s"dynamic $$lookup pipeline: theta correlation with a `from` side " +
+            s"of ~$approxBytes bytes (> spark.sql.autoBroadcastJoinThreshold=" +
+            s"$thresh) would evaluate O(n*m) — rewrite as $$eq correlation, " +
+            "use the typed engine's _rangeJoin bucketing, or raise the " +
+            "threshold if the `from` side truly fits in executor memory.")
+        val bcast = sess.sparkContext.broadcast(foreignDocs)
+        df.as(tuple2Enc).mapPartitions { it =>
+          val fdocs = bcast.value.map(parse) // parsed once per partition
+          it.flatMap { case (k, s) =>
+            val doc0 = parse(s)
+            val vars = letSpecs.map { case (n, lop) =>
+              n -> missingToNull(lop.eval(DynExpr.DCtx(doc0, Map.empty)))
+            }.toMap
+            // deep-copy matches: trailing $project mutates in place and the
+            // parsed foreign docs are shared across messages
+            val matched0 = fdocs.iterator
+              .filter(fd => truthy(op.eval(DynExpr.DCtx(fd, vars))))
+              .map(copy).toList
+            val matched = applyTrailing(matched0)
+            val doc = doc0.deepCopy[ObjectNode]()
+            if (unwindFlag) {
+              matched.iterator.map { md =>
+                val d = doc.deepCopy[ObjectNode]()
+                d.set[JsonNode](as, md)
+                (k, render(d))
+              }
+            } else {
+              val a = arr()
+              matched.foreach(a.add)
+              doc.set[JsonNode](as, a)
+              if (inner && a.isEmpty) Iterator.empty
+              else Iterator.single((k, render(doc)))
             }
-          } else {
-            val a = arr()
-            matched.foreach(a.add)
-            doc.set[JsonNode](as, a)
-            if (inner && a.isEmpty) Iterator.empty
-            else Iterator.single((k, render(doc)))
           }
-        }
-      }(tuple2Enc).toDF("key", "doc")
+        }(tuple2Enc).toDF("key", "doc")
+
+      case None =>
+
+        left.join(right, col("__lk") <=> col("__fk"), "left")
+          .select(col("key"), col("doc"),
+            coalesce(col("__matches"), lit("")).as("__m")).as(tuple3Enc)
+          .mapPartitions { it =>
+            it.flatMap { case (k, s, m) =>
+              val matched0 = if (m == null || m.isEmpty) List.empty[JsonNode]
+                else m.split('\u0000').toList.map(parse)
+              val matched = applyTrailing(matched0)
+              val doc = parse(s).deepCopy[ObjectNode]()
+              if (unwindFlag) {
+                matched.iterator.map { md =>
+                  val d = doc.deepCopy[ObjectNode]()
+                  d.set[JsonNode](as, md)
+                  (k, render(d))
+                }
+              } else {
+                val a = arr()
+                matched.foreach(a.add)
+                doc.set[JsonNode](as, a)
+                if (inner && a.isEmpty) Iterator.empty
+                else Iterator.single((k, render(doc)))
+              }
+            }
+          }(tuple2Enc).toDF("key", "doc")
+    }
   }
 
   /** The values of `op` as canonical strings: arrays fan out to their
@@ -2282,6 +2344,10 @@ object DynPipeline {
         case "$denseRank"      => dense_rank().over(ordered)
         case "$documentNumber" => row_number().over(ordered)
         case "$shift" =>
+          // __c is the rendered value: an IN-partition missing/null value is
+          // the non-null string "null", so the coalesce fires ONLY when the
+          // shifted-to position is outside the partition (SQL null from
+          // lead/lag) — exactly Mongo's default rule, same as typed Lead/Lag
           val s0 = (if (o.by >= 0) lead(col(s"__c$i"), o.by)
                     else lag(col(s"__c$i"), -o.by)).over(ordered)
           o.default.map(d => coalesce(s0, lit(d))).getOrElse(s0)

@@ -139,6 +139,88 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
     s"""{"$$replaceWith": {"_id": "$$_id", "v": ${numExpr(2)},
          "t": ${strExpr(1)}}}"""
 
+  // ---- stateful/join stage grammar (round-9: the r8 finds were all in
+  // stateless reach; joins/windows are where remaining divergences hide) ----
+
+  /** $lookup field form. Unique dim key k -> matched arrays have <=1
+    * element, so array order can't diverge; unwind:true additionally
+    * exercises the inner-join form. */
+  private def lookupFieldStage(): String = {
+    val local = pick(Seq("a", "b", "nope"))
+    if (rnd.nextBoolean())
+      s"""{"$$lookup": {"from": "dim", "localField": "$local",
+           "foreignField": "k", "as": "m", "unwind": true}},
+          {"$$project": {"_id": 1, "nm": "$$m.name", "x": ${numExpr(1)}}}"""
+    else
+      s"""{"$$lookup": {"from": "dim", "localField": "$local",
+           "foreignField": "k", "as": "m"}},
+          {"$$project": {"_id": 1, "n": {"$$size": "$$m"}, "m": 1}}"""
+  }
+
+  /** $lookup pipeline form with let; the sub-pipeline always ends sorted
+    * so the matched array's order is engine-independent. */
+  private def lookupPipeStage(): String = {
+    val cmp = pick(Seq("$eq", "$lte", "$gte", "$lt", "$gt"))
+    val dir = if (rnd.nextBoolean()) 1 else -1
+    val tail = if (rnd.nextBoolean()) s""", {"$$limit": ${1 + rnd.nextInt(3)}}""" else ""
+    s"""{"$$lookup": {"from": "dim", "let": {"la": {"$$ifNull": ["$$a", 0]}},
+         "pipeline": [
+           {"$$match": {"$$expr": {"$cmp": ["$$k", "$$$$la"]}}},
+           {"$$project": {"k": 1, "nxt": 1}},
+           {"$$sort": {"k": $dir}}$tail],
+         "as": "m"}},
+        {"$$project": {"_id": 1, "m": 1, "n": {"$$size": "$$m"}}}"""
+  }
+
+  /** $graphLookup over the cyclic "g" table (1->3->4->7->1, 5->5):
+    * first-visit depths + cycle termination; the chain array unwinds so
+    * the Set compare is order-free. */
+  private def graphLookupStage(): String = {
+    val depth = rnd.nextInt(4)
+    val depthField = if (rnd.nextBoolean()) s""", "depthField": "dd"""" else ""
+    val restrict = if (rnd.nextBoolean()) s""", "restrictSearchWithMatch": {"tag": {"$$ne": "c"}}""" else ""
+    s"""{"$$graphLookup": {"from": "g", "startWith": "$$a",
+         "connectFromField": "nxt", "connectToField": "k",
+         "as": "ch", "maxDepth": $depth$depthField$restrict}},
+        {"$$unwind": {"path": "$$ch", "preserveNullAndEmptyArrays": ${rnd.nextBoolean()}}},
+        {"$$project": {"_id": 1, "ck": "$$ch.k"${if (depthField.nonEmpty) s""", "d": "$$ch.dd"""" else ""}}}"""
+  }
+
+  /** $setWindowFields: deterministic total order via the unique _id
+    * tie-break; documents frames only (range frames need a numeric axis —
+    * covered by corpus pins). */
+  private def setWindowFieldsStage(): String = {
+    val part = pick(Seq("null", "\"$s\"", s"""{"$$cond": [${boolExpr(1)}, "p1", "p2"]}"""))
+    val sortKey = pick(Seq(s""""a": ${if (rnd.nextBoolean()) 1 else -1}, "_id": 1""", s""""_id": ${if (rnd.nextBoolean()) 1 else -1}"""))
+    val win = pick(Seq("",
+      s""", "window": {"documents": [-${1 + rnd.nextInt(2)}, 0]}""",
+      s""", "window": {"documents": [0, ${1 + rnd.nextInt(2)}]}""",
+      s""", "window": {"documents": ["unbounded", "current"]}"""))
+    val (names, out) = pick[(Seq[String], String)](Seq(
+      (Seq("r", "dr"), s""""r": {"$$rank": {}}, "dr": {"$$denseRank": {}}"""),
+      (Seq("dn", "sm"), s""""dn": {"$$documentNumber": {}}, "sm": {"$$sum": ${numExpr(1)}$win}"""),
+      (Seq("mn", "mx"), s""""mn": {"$$min": "$$b"$win}, "mx": {"$$max": "$$a"$win}"""),
+      (Seq("c", "av"), s""""c": {"$$count": {}$win}, "av": {"$$avg": "$$b"$win}"""),
+      (Seq("sh"), s""""sh": {"$$shift": {"output": "$$a", "by": ${rnd.nextInt(3) - 1}, "default": -1}}""")))
+    val proj = names.map(n => s""""$n": 1""").mkString(", ")
+    s"""{"$$setWindowFields": {"partitionBy": $part,
+         "sortBy": {$sortKey}, "output": {$out}}},
+        {"$$project": {"_id": 1, $proj}}"""
+  }
+
+  /** $facet with order-deterministic sub-pipelines (sorted or
+    * input-order-preserving over the coalesce(1) input). */
+  private def facetStage(): String = {
+    val f1 = pick[() => String](Seq(
+      () => s"""[${sortLimitStage()}, {"$$project": {"_id": 1}}]""",
+      () => s"""[${projectStage()}]""",
+      () => s"""[{"$$match": {"a": {"$$gte": 0}}}, {"$$count": "n"}]"""))()
+    val f2 = pick(Seq(
+      s"""[{"$$count": "n"}]""",
+      s"""[${addFieldsStage()}, {"$$project": {"_id": 1, "g": 1}}]"""))
+    s"""{"$$facet": {"fa": $f1, "fb": $f2}}"""
+  }
+
   private def genPipeline(): String = {
     val stages = scala.collection.mutable.ArrayBuffer[String]()
     if (rnd.nextBoolean()) stages += matchStage()
@@ -175,6 +257,29 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
     (0 until 300).foreach { i =>
       val p = genPipeline()
       withClue(s"fuzz #$i: ") { agree(p) }
+    }
+  }
+
+  // round-9 widening: stateful/join surface. Runs AFTER the stateless test
+  // (same rnd — the sequences stay reproducible as long as test order and
+  // counts are fixed; a find reproduces by seed + index).
+  private def genCatPipeline(): String = {
+    val stages = scala.collection.mutable.ArrayBuffer[String]()
+    if (rnd.nextBoolean()) stages += matchStage()
+    rnd.nextInt(5) match {
+      case 0 => stages += lookupFieldStage()
+      case 1 => stages += lookupPipeStage()
+      case 2 => stages += graphLookupStage()
+      case 3 => stages += setWindowFieldsStage()
+      case 4 => stages += facetStage()
+    }
+    stages.mkString("[", ", ", "]")
+  }
+
+  test("150 seeded random join/window/facet pipelines agree across engines") {
+    (0 until 150).foreach { i =>
+      val p = genCatPipeline()
+      withClue(s"catfuzz #$i: ") { agreeCat(p) }
     }
   }
 }

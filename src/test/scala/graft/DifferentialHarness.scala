@@ -87,4 +87,31 @@ trait DifferentialHarness { this: SparkSpec =>
     assert(t == d,
       s"engines disagree on $pipeline\n typed: $t\n dynamic: $d")
   }
+
+  // ---- catalog tables for $lookup/$unionWith/$graphLookup -----------------
+  // "dim": unique join key k, no chains; "g": a 1->3->4->7->1 CYCLE plus a
+  // self-loop, so graphLookup fuzzing exercises cycle-safety and first-visit
+  // depths, not just one-hop walks
+  protected lazy val dimTyped: DataFrame = Seq(
+    (1L, "one", 10L), (3L, "three", 30L), (4L, "four", 40L), (7L, "seven", 70L))
+    .toDF("k", "name", "nxt").coalesce(1)
+  protected lazy val dimDyn: DataFrame = dimTyped
+    .select(to_json(struct(dimTyped.columns.map(col): _*)).as("doc")).coalesce(1)
+  protected lazy val gTyped: DataFrame = Seq(
+    (1L, 3L, "a"), (3L, 4L, "b"), (4L, 7L, "c"), (7L, 1L, "d"), (5L, 5L, "e"))
+    .toDF("k", "nxt", "tag").coalesce(1)
+  protected lazy val gDyn: DataFrame = gTyped
+    .select(to_json(struct(gTyped.columns.map(col): _*)).as("doc")).coalesce(1)
+
+  protected def agreeCat(pipeline: String): Unit = {
+    val t = new Pipeline(catalog = { case "dim" => dimTyped; case "g" => gTyped })
+      .run(typedDf, pipeline).toJSON.collect()
+      .map(s => norm(DynJson.parse(s))).toSet
+    val d = DynPipeline.run(dynDf, pipeline,
+      DynPipeline.DynCtx(catalog = { case "dim" => dimDyn; case "g" => gDyn }))
+      .select("doc").collect()
+      .map(r => norm(DynJson.parse(r.getString(0)))).toSet
+    assert(t == d,
+      s"engines disagree on $pipeline\n typed: $t\n dynamic: $d")
+  }
 }

@@ -19,24 +19,8 @@ import scala.jdk.CollectionConverters._
 class DifferentialSpec extends SparkSpec with DifferentialHarness {
   import spark.implicits._
 
-  // a small dimension table served to both engines as catalog "dim"
-  private lazy val dimTyped: DataFrame = Seq(
-    (1L, "one", 10L), (3L, "three", 30L), (4L, "four", 40L), (7L, "seven", 70L))
-    .toDF("k", "name", "nxt").coalesce(1)
-  private lazy val dimDyn: DataFrame = dimTyped
-    .select(to_json(struct(dimTyped.columns.map(col): _*)).as("doc")).coalesce(1)
-
-  private def agreeCat(pipeline: String): Unit = {
-    val t = new Pipeline(catalog = { case "dim" => dimTyped })
-      .run(typedDf, pipeline).toJSON.collect()
-      .map(s => norm(DynJson.parse(s))).toSet
-    val d = DynPipeline.run(dynDf, pipeline,
-      DynPipeline.DynCtx(catalog = { case "dim" => dimDyn }))
-      .select("doc").collect()
-      .map(r => norm(DynJson.parse(r.getString(0)))).toSet
-    assert(t == d,
-      s"engines disagree on $pipeline\n typed: $t\n dynamic: $d")
-  }
+  // catalog tables ("dim", "g") + agreeCat live in DifferentialHarness,
+  // shared with the grammar fuzzer
 
   private val pipelines = Seq(
     // projections / transforms
@@ -474,7 +458,33 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
           "connectFromField": "nxt", "connectToField": "k",
           "as": "chain", "maxDepth": 2, "depthField": "d"}},
         {"$unwind": "$chain"},
-        {"$project": {"ck": "$chain.k", "d": "$chain.d"}}]""")
+        {"$project": {"ck": "$chain.k", "d": "$chain.d"}}]""",
+    // round 9: THETA-correlated pipeline $lookup — the dynamic engine used
+    // to refuse non-$eq correlation outright; now it broadcasts the dim
+    // side (size-guarded) and agrees with the typed guarded-BNLJ plan
+    """[{"$lookup": {"from": "dim", "let": {"la": {"$ifNull": ["$a", 0]}},
+          "pipeline": [{"$match": {"$expr": {"$lt": ["$k", "$$la"]}}},
+                       {"$project": {"k": 1, "nxt": 1}}, {"$sort": {"k": -1}}],
+          "as": "m"}},
+        {"$project": {"_id": 1, "m": 1, "n": {"$size": "$m"}}}]""",
+    """[{"$lookup": {"from": "dim", "let": {"la": {"$ifNull": ["$a", 0]}},
+          "pipeline": [{"$match": {"$expr": {"$gte": ["$k", "$$la"]}}},
+                       {"$project": {"k": 1}}, {"$sort": {"k": 1}}, {"$limit": 2}],
+          "as": "m", "unwind": true}},
+        {"$project": {"_id": 1, "mk": "$m.k"}}]""",
+    // cycle-safe graphLookup over "g" (1->3->4->7->1, 5->5): first-visit
+    // depths, restrictSearchWithMatch
+    """[{"$graphLookup": {"from": "g", "startWith": "$a",
+          "connectFromField": "nxt", "connectToField": "k",
+          "as": "ch", "maxDepth": 3, "depthField": "dd"}},
+        {"$unwind": "$ch"},
+        {"$project": {"_id": 1, "ck": "$ch.k", "d": "$ch.dd"}}]""",
+    """[{"$graphLookup": {"from": "g", "startWith": "$a",
+          "connectFromField": "nxt", "connectToField": "k",
+          "as": "ch", "maxDepth": 2,
+          "restrictSearchWithMatch": {"tag": {"$ne": "c"}}}},
+        {"$unwind": {"path": "$ch", "preserveNullAndEmptyArrays": true}},
+        {"$project": {"_id": 1, "ck": "$ch.k"}}]""")
 
   // campaign batch 7 (round-7 verdict item 8): $setWindowFields range+unit
   // on date axes, $convert corner codes, $redact inside $facet, all-null
@@ -687,7 +697,15 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
          "combination": {"weights": {"pa": 3}}}},
         {"$project": {"_id": 1, "sc": {"$round": [{"$meta": "score"}, 6]}}}]""",
     """[{"$project": {"x": {"$lte": ["$a", 3]}, "y": {"$gte": ["$b", 2.5]},
-         "z": {"$ne": ["$a", "$b"]}}}]""")
+         "z": {"$ne": ["$a", "$b"]}}}]""",
+    // catfuzz #4 (round 9): $shift default must fill ONLY out-of-partition
+    // positions — an in-partition data null (a of _id 5) stays null; the
+    // typed engine used to coalesce data nulls into the default
+    """[{"$setWindowFields": {"partitionBy": null, "sortBy": {"_id": 1},
+         "output": {"sh0": {"$shift": {"output": "$a", "by": 0, "default": -1}},
+                    "shp": {"$shift": {"output": "$a", "by": 1, "default": -1}},
+                    "shm": {"$shift": {"output": "$a", "by": -2, "default": -99}}}}},
+        {"$project": {"sh0": 1, "shp": 1, "shm": 1}}]""")
 
   test("typed and dynamic engines agree on the differential pipeline corpus") {
     pipelines.foreach(agree)
