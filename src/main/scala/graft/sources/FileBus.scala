@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** File-backed message bus with the SAME producer/consumer contract as
+  * [[KafkaBus]] — the reference's transport is a Kafka topic loop
+  * (Pipeline.java:273-299 consumes a topic; Context.java:32 carries the
+  * producer for `$send`/`$delay`/`$probe` fan-out), and this binding lets the
+  * full topic-to-topic pipeline, restart included, run END TO END in
+  * environments without a broker (CI, this sandbox, air-gapped clusters).
+  *
+  * Mapping of Kafka concepts onto a filesystem the cluster shares
+  * (HDFS/S3/local — resolved through the Hadoop FileSystem of the session):
+  *
+  *  - **topic** → directory `<root>/topic=<name>/` of JSON-line files with
+  *    the record schema `(key string, value string)` — the exact
+  *    net.pincette.rs.streams.Message shape (Stage.java:16-17);
+  *  - **produce** → `df.write.partitionBy("topic").mode("append")` of the
+  *    shared [[Messages.routed]] frame: one DISTRIBUTED job appends files
+  *    under each routed topic directory, the per-record `topic` column
+  *    fanning out exactly like `ProducerRecord(topic, …)`. The
+  *    FileOutputCommitter's task-commit rename makes files appear
+  *    atomically, so a concurrently-tailing consumer never reads a
+  *    half-written record — the append is the "ack";
+  *  - **consume** → Spark's file streaming source tails each topic
+  *    directory; processed-file tracking lives in the CHECKPOINT, which is
+  *    this binding's consumer-group offset store: restarting with the same
+  *    checkpoint resumes exactly where the killed run left off (the
+  *    reference resumes committed group offsets, Util.java:47);
+  *  - **retention** → files are never deleted here; a janitor (or
+  *    `cleanSource=delete` on the reader) plays the log-cleaner role.
+  *
+  * Scale note: a produce is one Spark write job (no driver-side row
+  * handling); a consume is an ordinary file-source scan, so a 1000-executor
+  * cluster reads a backlog in parallel. The only metadata-scale state is
+  * the file listing per trigger — bound it with `maxFilesPerTrigger` the
+  * way `maxOffsetsPerTrigger` bounds the Kafka reader.
+  */
+final class FileBus(root: String) {
+
+  require(root.nonEmpty, "bus root must be non-empty")
+
+  /** The on-disk record shape: one JSON line per message. */
+  private[graft] val recordSchema = StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType)))
+
+  def topicDir(topic: String): String = {
+    require(topic.nonEmpty && !topic.contains("/") && !topic.contains(","),
+      s"topic names must be non-empty path segments: $topic")
+    s"$root/topic=$topic"
+  }
+
+  /** The file source refuses a nonexistent path, so subscribing creates the
+    * topic — Kafka's auto.create.topics.enable analog. */
+  private def ensure(spark: SparkSession, topic: String): Unit = {
+    val p = new Path(topicDir(topic))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+
+  /** Unbounded (key, <fields…>) rows from a topic subscription — feed
+    * straight into `StreamingPipeline.start`. Each topic is its own file
+    * source (its own offset log in the checkpoint), unioned like Kafka's
+    * multi-topic `subscribe`. */
+  def readStream(spark: SparkSession, topics: Seq[String],
+      schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(topics.nonEmpty, "at least one topic to subscribe")
+    val frames = topics.map { t =>
+      ensure(spark, t)
+      val r = spark.readStream.schema(recordSchema)
+      maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+        .json(topicDir(t))
+    }
+    Messages.parse(frames.reduce(_ unionByName _), schema)
+  }
+
+  /** Bounded read of a topic's current contents (batch replays/backfills,
+    * and the assertion side of conformance tests). */
+  def read(spark: SparkSession, topics: Seq[String],
+      schema: StructType): DataFrame = {
+    require(topics.nonEmpty, "at least one topic")
+    val frames = topics.map { t =>
+      ensure(spark, t)
+      spark.read.schema(recordSchema).json(topicDir(t))
+    }
+    Messages.parse(frames.reduce(_ unionByName _), schema)
+  }
+
+  /** Raw (key, value) records of a topic, in no particular order. */
+  def readRaw(spark: SparkSession, topic: String): DataFrame = {
+    ensure(spark, topic)
+    spark.read.schema(recordSchema).json(topicDir(topic))
+  }
+
+  /** Producer callback for `Pipeline(producer = …)` — the `$send`/`$delay`/
+    * `$probe` transport. One distributed append per produce call; the
+    * `__topic` routing column fans records out across topic directories. */
+  def producer(defaultTopic: String): DataFrame => Unit = { batch =>
+    Messages.routed(batch, defaultTopic)
+      .write.partitionBy("topic").mode("append").json(root)
+  }
+
+  /** Per-micro-batch collect sink for `StreamingPipeline.start(collect = …)`:
+    * the batch→topic leg of the topic-to-topic loop. */
+  def collect(topic: String): DataFrame => Unit = { batch =>
+    ensure(batch.sparkSession, topic)
+    Messages.toJson(batch).write.mode("append").json(topicDir(topic))
+  }
+}

@@ -87,22 +87,11 @@ final class KafkaBus(bootstrapServers: String,
   }
 
   /** (key, value, topic) records for `batch`, with the `__topic` routing
-    * column (when present) mapped to Kafka's per-record topic — split out
-    * of [[producer]] so the routing is unit-testable without the jar. */
-  private[graft] def routed(batch: DataFrame, defaultTopic: String): DataFrame = {
-    val route =
-      if (batch.columns.contains("__topic"))
-        coalesce(col("__topic").cast("string"), lit(defaultTopic))
-      else lit(defaultTopic)
-    val docCols = batch.columns.filterNot(c => c == "key" || c == "__topic")
-    val keyCol =
-      if (batch.columns.contains("key")) col("key").cast("string")
-      else if (docCols.contains("_id")) col("_id").cast("string")
-      else expr("uuid()")
-    batch.select(keyCol.as("key"),
-      to_json(struct(docCols.map(col).toIndexedSeq: _*)).as("value"),
-      route.as("topic"))
-  }
+    * column (when present) mapped to Kafka's per-record topic — the shared
+    * [[Messages.routed]] contract, so it stays unit-testable without the
+    * jar and bit-identical to the [[FileBus]] conformance transport. */
+  private[graft] def routed(batch: DataFrame, defaultTopic: String): DataFrame =
+    Messages.routed(batch, defaultTopic)
 
   /** Per-micro-batch collect sink for `StreamingPipeline.start(collect = …)`:
     * the batch→Kafka leg of the reference's topic-to-topic loop. */

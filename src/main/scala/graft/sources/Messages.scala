@@ -50,4 +50,27 @@ object Messages {
     df.select(keyCol.as("key"),
       to_json(struct(docCols.map(col).toIndexedSeq: _*)).as("value"))
   }
+
+  /** (key, value, topic) producible records for a `$send`/`$delay`-shaped
+    * batch: the `__topic` routing column SinkStages emits (when present)
+    * becomes the per-record target topic, null routes fall back to
+    * `defaultTopic`, and the remaining doc columns serialize into `value`.
+    * Shared by every transport binding ([[graft.sources.KafkaBus]],
+    * [[graft.sources.FileBus]]) so one produce call fans out across target
+    * topics exactly like the reference's
+    * `producer.send(new ProducerRecord(topic, …))` (Context.java:32). */
+  def routed(batch: DataFrame, defaultTopic: String): DataFrame = {
+    val route =
+      if (batch.columns.contains("__topic"))
+        coalesce(col("__topic").cast("string"), lit(defaultTopic))
+      else lit(defaultTopic)
+    val docCols = batch.columns.filterNot(c => c == "key" || c == "__topic")
+    val keyCol =
+      if (batch.columns.contains("key")) col("key").cast("string")
+      else if (docCols.contains("_id")) col("_id").cast("string")
+      else expr("uuid()")
+    batch.select(keyCol.as("key"),
+      to_json(struct(docCols.map(col).toIndexedSeq: _*)).as("value"),
+      route.as("topic"))
+  }
 }
