@@ -1643,15 +1643,62 @@ object DynPipeline {
         else throw new IllegalArgumentException(
           s"$$scoreFusion pipeline '$pname' must produce a score: " +
             "include $score, $vectorSearch or $search")
-      val sOp = DynExpr.compile(JString(scoreField))
-      val out = run(df, pstages, ctx, keepScores = true)
-      val extracted = normalize(out).as(tuple2Enc).mapPartitions { it =>
-        it.map { case (k, s) =>
-          val dctx = DynExpr.DCtx(parse(s), Map.empty)
-          (k, s, canonical(idOp.eval(dctx)), castDouble(sOp.eval(dctx)))
+      // Fused bridge: when the pipeline is doc-local stages ending in
+      // `$score` (the common shape), evaluate the whole pipeline + the
+      // _id/score extraction in ONE mapPartitions pass — the generic path
+      // below costs 3 extra parse/render round trips of every doc (score
+      // barrier, embedScore, re-extract), which made this the slowest
+      // dynamic pole.
+      val lastScoreSpec = stages.lastOption.collect {
+        case JObject(List(("$score", sp))) => sp }
+      val prefixFns = lastScoreSpec.flatMap { _ =>
+        stages.init.foldLeft(Option(List.empty[DocFn])) {
+          case (Some(acc), JObject(List((n, sp))))
+              if builtinStages(n) || !ctx.extensions.contains(n) =>
+            compileDocStage(n, sp).map(acc :+ _)
+          case _ => None
         }
-      }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
-        Encoders.DOUBLE)).toDF("key", "doc", "__fid", "__s")
+      }
+      val extracted = (lastScoreSpec, prefixFns) match {
+        case (Some(scoreSpec), Some(fns)) =>
+          val sOp = DynExpr.compile(scoreSpec \ "score")
+          val snorm = scoreSpec \ "normalization" match {
+            case JString(s) => s
+            case JNothing   => "none"
+            case other => throw new IllegalArgumentException(
+              s"$$score normalization: $other")
+          }
+          val composed: DocFn = fns match {
+            case Nil           => (m: Msg) => Iterator.single(m)
+            case single :: Nil => single
+            case many =>
+              msg => many.foldLeft(Iterator.single(msg))((it, f) => it.flatMap(f))
+          }
+          val raw = normalize(df).as(tuple2Enc).mapPartitions { it =>
+            it.flatMap { case (k, s) =>
+              val d0 = parse(s)
+              composed((k, d0)).map { case (k2, d2) =>
+                val dctx = DynExpr.DCtx(d2, Map.empty)
+                // a non-mutating prefix ($match) keeps the original string:
+                // no re-render of an identical doc
+                (k2, if (d2 eq d0) s else render(d2),
+                  canonical(idOp.eval(dctx)), castDouble(sOp.eval(dctx)))
+              }
+            }
+          }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
+            Encoders.DOUBLE)).toDF("key", "doc", "__fid", "__s")
+          normScore(raw, snorm)
+        case _ =>
+          val sOp = DynExpr.compile(JString(scoreField))
+          val out = run(df, pstages, ctx, keepScores = true)
+          normalize(out).as(tuple2Enc).mapPartitions { it =>
+            it.map { case (k, s) =>
+              val dctx = DynExpr.DCtx(parse(s), Map.empty)
+              (k, s, canonical(idOp.eval(dctx)), castDouble(sOp.eval(dctx)))
+            }
+          }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
+            Encoders.DOUBLE)).toDF("key", "doc", "__fid", "__s")
+      }
       val w = weights.getOrElse(pname, 1d)
       normScore(extracted, norm)
         .select(col("key"), col("doc"), col("__fid"),

@@ -1161,15 +1161,34 @@ class DynamicSpec extends SparkSpec {
     assert(out.head.path("m").size == 1)
   }
 
-  test("dynamic $lookup pipeline form: theta condition is rejected with a typed pointer") {
-    val e = intercept[IllegalArgumentException] {
-      DynPipeline.run(docs("""{"_id":"a","fk":1}"""),
-        """[{"$lookup": {"from": "d", "let": {"lk": "$fk"},
-              "pipeline": [{"$match": {"$expr": {"$gte": ["$$lk", "$k"]}}}],
-              "as": "m"}}]""", dynCtx(catalog = _ => docs("""{"k":1}""")))
-        .count()
-    }
-    assert(e.getMessage.contains("typed engine"))
+  test("dynamic $lookup pipeline form: theta correlation broadcasts and matches") {
+    val dims = docs("""{"k":1,"v":"lo"}""", """{"k":5,"v":"hi"}""")
+    val out = outDocs(DynPipeline.run(
+      docs("""{"_id":"a","fk":1}""", """{"_id":"b","fk":9}"""),
+      """[{"$lookup": {"from": "d", "let": {"lk": "$fk"},
+            "pipeline": [{"$match": {"$expr": {"$gte": ["$$lk", "$k"]}}}],
+            "as": "m"}}]""", dynCtx(catalog = _ => dims)))
+    val byId = out.map(d => d.path("_id").textValue ->
+      d.path("m").elements().asScala.map(_.path("v").textValue).toList).toMap
+    // fk=1 matches only k=1; fk=9 matches both (k <= lk)
+    assert(byId == Map("a" -> List("lo"), "b" -> List("lo", "hi")))
+  }
+
+  test("dynamic $lookup theta correlation refuses an over-threshold `from` side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16b")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DynPipeline.run(docs("""{"_id":"a","fk":1}"""),
+          """[{"$lookup": {"from": "d", "let": {"lk": "$fk"},
+                "pipeline": [{"$match": {"$expr": {"$gte": ["$$lk", "$k"]}}}],
+                "as": "m"}}]""",
+          dynCtx(catalog = _ => docs(
+            """{"k":1,"pad":"xxxxxxxxxxxxxxxxxxxxxxxx"}""")))
+          .count()
+      }
+      assert(e.getMessage.contains("_rangeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("dynamic $group modern accumulators: median/percentile/maxN/minN/top/bottom/firstN") {
