@@ -1082,6 +1082,12 @@ object SparkEntry {
     }),
     "llm_ngram_jaccard" -> ((s, dir) => {
       tune(s)
+      // BOUNDED DEMO of the metric: an all-pairs crossJoin, deliberately
+      // capped by the doc_id % 17 subsample + broadcast. The production
+      // path at corpus scale is DedupOps.jaccardPairsExact (inverted
+      // shingle index, joins only pairs sharing a shingle — the ground
+      // truth inside llm_minhash_recall, plan-pinned in PlanSpec); this
+      // entry exists to oracle the exact Jaccard arithmetic itself.
       // shingle ONCE per doc before the pair join — inlining the shingling
       // into the pair expression re-tokenizes per pair (O(pairs × doc_len))
       val d = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
