@@ -173,6 +173,7 @@ final class Pipeline(
       case "$bucketAuto"   => Stages.bucketAuto(df, spec)
       case "$vectorSearch" => Stages.vectorSearch(df, spec)
       case "$search"       => Stages.search(df, spec)
+      case "$geoNear"      => Stages.geoNear(df, spec)
       case "$rankFusion" =>
         // Mongo 8.1 hybrid search: each input pipeline is a SELECTION
         // pipeline over the same stream; its bounded output is ranked and
@@ -988,6 +989,108 @@ private[graft] object Stages {
       graft.llm.VectorOps.cosine(
         col(path).cast(ArrayType(DoubleType)), q))
     scored.orderBy(col("__vsScore").desc).limit(limit)
+  }
+
+  /** `$geoNear` (MQL, beyond the reference's stage set): distance from the
+    * fixed `near` point to each document's `key` location, `query`-filtered,
+    * distance-bounded, nearest first. Mongo's unit rules: a GeoJSON `near`
+    * point computes SPHERICAL meters (haversine on Mongo's earth radius
+    * 6378100 m); a legacy `[x, y]` pair computes radians when
+    * `spherical: true`, planar Euclidean in coordinate units otherwise.
+    * `minDistance`/`maxDistance` bound the RAW distance (pre-multiplier);
+    * `distanceMultiplier` scales only the reported `distanceField`.
+    * Documents with a null/malformed location drop, like documents absent
+    * from a geo index. `key` is REQUIRED here (no index metadata to infer
+    * the location field from — documented deviation).
+    *
+    * Distributed shape: the distance is a pure codegen'd column expression
+    * (sin/cos/asin — no UDF), bounds push into the scan as ordinary
+    * filters, and the nearest-first order is a range-partitioned sort
+    * (Mongo's own contract IS a global order). At 100 TB feed the output
+    * into `.limit(k)` — Catalyst collapses sort+limit into TakeOrdered —
+    * or pre-filter with `maxDistance`, which prunes before the exchange. */
+  def geoNear(df: DataFrame, spec: JValue)(implicit ctx: ExprCtx): DataFrame = {
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble; case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"$$geoNear $what: $other")
+    }
+    val (nearX, nearY, geoJson) = spec \ "near" match {
+      case JArray(List(x, y)) => (num(x, "near"), num(y, "near"), false)
+      case o: JObject =>
+        o \ "type" match {
+          case JString("Point") => ()
+          case other => throw new IllegalArgumentException(
+            s"$$geoNear near.type: only Point is supported, got $other")
+        }
+        val JArray(List(x, y)) = ((o \ "coordinates"): @unchecked)
+        (num(x, "near"), num(y, "near"), true)
+      case other => throw new IllegalArgumentException(s"$$geoNear near: $other")
+    }
+    val JString(distanceField) = ((spec \ "distanceField"): @unchecked)
+    val keyField = spec \ "key" match {
+      case JString(k) => k
+      case _ => throw new IllegalArgumentException(
+        "$geoNear: `key` (the location field) is required — there is no " +
+          "geo index to infer it from")
+    }
+    val spherical = spec \ "spherical" match {
+      case JBool(b) => b; case JNothing => geoJson
+      case other => throw new IllegalArgumentException(s"$$geoNear spherical: $other")
+    }
+    if (geoJson && !spherical) throw new IllegalArgumentException(
+      "$geoNear: a GeoJSON near point is always spherical")
+    val multiplier = spec \ "distanceMultiplier" match {
+      case JNothing => 1d; case v => num(v, "distanceMultiplier")
+    }
+    val minD = spec \ "minDistance" match {
+      case JNothing => None; case v => Some(num(v, "minDistance")) }
+    val maxD = spec \ "maxDistance" match {
+      case JNothing => None; case v => Some(num(v, "maxDistance")) }
+    val queried = spec \ "query" match {
+      case JNothing | JNull => df
+      case m                => df.filter(MongoMatch.compile(m))
+    }
+    // location: [x, y] array column or a GeoJSON struct with `coordinates`
+    val locBase = queried.schema.find(_.name == keyField).map(_.dataType) match {
+      case Some(StructType(fields)) if fields.exists(_.name == "coordinates") =>
+        col(keyField).getField("coordinates")
+      case _ => col(keyField)
+    }
+    val locArr = locBase.cast(ArrayType(DoubleType))
+    val x = element_at(locArr, 1)
+    val y = element_at(locArr, 2)
+    // Mongo's earth radius for spherical distance: 6378.1 km
+    val earthR = 6378100d
+    val rawDist =
+      if (spherical) {
+        val phi1 = radians(lit(nearY)); val phi2 = radians(y)
+        val dPhi = radians(y - lit(nearY)); val dLam = radians(x - lit(nearX))
+        val h = pow(sin(dPhi / 2), 2) + cos(phi1) * cos(phi2) * pow(sin(dLam / 2), 2)
+        val rad = lit(2) * asin(sqrt(h))
+        if (geoJson) rad * lit(earthR) else rad // legacy spherical = radians
+      } else
+        sqrt(pow(x - lit(nearX), 2) + pow(y - lit(nearY), 2))
+    val located = queried
+      .filter(locArr.isNotNull && size(locArr) === 2 &&
+        x.isNotNull && y.isNotNull)
+      .withColumn("__geoDist", rawDist)
+    val bounded = (minD, maxD) match {
+      case (Some(lo), Some(hi)) =>
+        located.filter(col("__geoDist") >= lo && col("__geoDist") <= hi)
+      case (Some(lo), None) => located.filter(col("__geoDist") >= lo)
+      case (None, Some(hi)) => located.filter(col("__geoDist") <= hi)
+      case _                => located
+    }
+    val withLocs = spec \ "includeLocs" match {
+      case JString(f) => bounded.withColumn(f, col(keyField))
+      case JNothing   => bounded
+      case other => throw new IllegalArgumentException(s"$$geoNear includeLocs: $other")
+    }
+    withLocs
+      .withColumn(distanceField, col("__geoDist") * lit(multiplier))
+      .drop("__geoDist")
+      .orderBy(col(distanceField).asc)
   }
 
   /** `$graphLookup` (MQL, beyond the reference's stage set): recursive

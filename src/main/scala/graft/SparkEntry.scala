@@ -704,6 +704,41 @@ object SparkEntry {
              {"$$project": {"vec_id": 1,
                "score": {"$$round": [{"$$meta": "vectorSearchScore"}, 6]}}}]""")
     }),
+    // $geoNear: spherical (haversine) distance from a fixed GeoJSON point
+    // to per-customer synthesized [lon,lat], query-prefiltered, bounded,
+    // km-multiplied — the oracle recomputes the same haversine in DuckDB
+    "q_geonear" -> ((s, dir) => {
+      tune(s)
+      val c = t(s, dir, "customer").withColumn("loc", array(
+        (col("c_custkey") % 360 - 180 + 0.25).cast("double"),
+        ((col("c_custkey") * 7) % 120 - 60 + 0.5).cast("double")))
+      val out = new Pipeline().run(c,
+        """[{"$geoNear": {"near": {"type": "Point", "coordinates": [12.5, 41.9]},
+              "distanceField": "dist", "key": "loc", "spherical": true,
+              "query": {"c_mktsegment": "BUILDING"},
+              "minDistance": 100000, "maxDistance": 8000000,
+              "distanceMultiplier": 0.001}}]""")
+      out.select(col("c_custkey"),
+        round(col("dist"), 2).as("dist_km"))
+    }),
+    "q_dynamic_geonear" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "customer").select(to_json(struct(
+        col("c_custkey").as("_id"), col("c_mktsegment").as("seg"),
+        array((col("c_custkey") % 360 - 180 + 0.25).cast("double"),
+          ((col("c_custkey") * 7) % 120 - 60 + 0.5).cast("double")).as("loc")))
+        .as("doc"))
+      val out = graft.dynamic.DynPipeline.run(docs,
+        """[{"$geoNear": {"near": {"type": "Point", "coordinates": [12.5, 41.9]},
+              "distanceField": "dist", "key": "loc", "spherical": true,
+              "query": {"seg": "BUILDING"},
+              "minDistance": 100000, "maxDistance": 8000000,
+              "distanceMultiplier": 0.001}}]""")
+      out.select(
+        get_json_object(col("doc"), "$._id").cast("long").as("c_custkey"),
+        round(get_json_object(col("doc"), "$.dist").cast("double"), 2)
+          .as("dist_km"))
+    }),
     // dynamic window calculus: derivative/linearFill/expMovingAvg over
     // schemaless docs (tie-safe: only bit-identical arithmetic, no rounding)
     "q_dynamic_window_calc" -> ((s, dir) => {
@@ -2702,6 +2737,30 @@ object SparkEntry {
                FROM c, q)
          SELECT vec_id, round(sc, 6) AS score
          FROM s ORDER BY sc DESC LIMIT 10""",
+    "q_geonear" ->
+      """WITH c AS (SELECT c_custkey,
+                CAST(c_custkey % 360 - 180 + 0.25 AS DOUBLE) AS x,
+                CAST((c_custkey * 7) % 120 - 60 + 0.5 AS DOUBLE) AS y
+              FROM customer WHERE c_mktsegment = 'BUILDING'),
+         d AS (SELECT c_custkey,
+                2 * asin(sqrt(pow(sin(radians(y - 41.9) / 2), 2) +
+                  cos(radians(41.9)) * cos(radians(y)) *
+                  pow(sin(radians(x - 12.5) / 2), 2))) * 6378100.0 AS raw
+              FROM c)
+         SELECT c_custkey, round(raw * 0.001, 2) + 0 AS dist_km
+         FROM d WHERE raw >= 100000 AND raw <= 8000000""",
+    "q_dynamic_geonear" ->
+      """WITH c AS (SELECT c_custkey,
+                CAST(c_custkey % 360 - 180 + 0.25 AS DOUBLE) AS x,
+                CAST((c_custkey * 7) % 120 - 60 + 0.5 AS DOUBLE) AS y
+              FROM customer WHERE c_mktsegment = 'BUILDING'),
+         d AS (SELECT c_custkey,
+                2 * asin(sqrt(pow(sin(radians(y - 41.9) / 2), 2) +
+                  cos(radians(41.9)) * cos(radians(y)) *
+                  pow(sin(radians(x - 12.5) / 2), 2))) * 6378100.0 AS raw
+              FROM c)
+         SELECT c_custkey, round(raw * 0.001, 2) + 0 AS dist_km
+         FROM d WHERE raw >= 100000 AND raw <= 8000000""",
     "q_dynamic_window_calc" ->
       """WITH e AS (SELECT event_id, event_type,
                            CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v,

@@ -183,7 +183,7 @@ object DynPipeline {
          "$skip" | "$sample" | "$sortByCount" | "$unionWith" |
          "$facet" | "$graphLookup" | "$bucketAuto" | "$vectorSearch" |
          "$documents" | "$rankFusion" | "$search" | "$score" |
-         "$scoreFusion" =>
+         "$scoreFusion" | "$geoNear" =>
       None // barrier stages
     case _ => Some(Iterator.single(_)) // unrecognized stages pass through (Pipeline.java:265)
   }
@@ -701,6 +701,7 @@ object DynPipeline {
     case "$graphLookup" => graphLookup(df, spec, ctx)
     case "$bucketAuto"  => bucketAuto(df, spec)
     case "$vectorSearch" => vectorSearch(df, spec)
+    case "$geoNear"     => geoNear(df, spec)
     case "$rankFusion"  => rankFusion(df, spec, ctx)
     case "$score"       => score(df, spec)
     case "$scoreFusion" => scoreFusion(df, spec, ctx)
@@ -1377,6 +1378,106 @@ object DynPipeline {
       }
     }(Encoders.row(schema))
     scored.orderBy(col("__score").desc).limit(limit).select("key", "doc")
+  }
+
+  /** `$geoNear` in dynamic mode: one extraction pass computes the
+    * spherical (haversine, Mongo's 6378100 m radius for GeoJSON meters;
+    * radians for legacy+spherical) or planar distance from the fixed
+    * `near` point to each doc's `key` location, applies the `query`
+    * pre-filter and the raw-distance bounds, embeds
+    * `distanceField = raw * distanceMultiplier`, and orders nearest first
+    * on a side column (range-partitioned sort, same as the typed engine).
+    * Docs with a missing/malformed location drop, like docs absent from a
+    * geo index. */
+  private def geoNear(df: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble; case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"$$geoNear $what: $other")
+    }
+    val (nearX, nearY, geoJson) = spec \ "near" match {
+      case JArray(List(x, y)) => (num(x, "near"), num(y, "near"), false)
+      case o: JObject =>
+        o \ "type" match {
+          case JString("Point") => ()
+          case other => throw new IllegalArgumentException(
+            s"$$geoNear near.type: only Point is supported, got $other")
+        }
+        val JArray(List(x, y)) = ((o \ "coordinates"): @unchecked)
+        (num(x, "near"), num(y, "near"), true)
+      case other => throw new IllegalArgumentException(s"$$geoNear near: $other")
+    }
+    val JString(distanceField) = ((spec \ "distanceField"): @unchecked)
+    val keyField = spec \ "key" match {
+      case JString(k) => k
+      case _ => throw new IllegalArgumentException(
+        "$geoNear: `key` (the location field) is required — there is no " +
+          "geo index to infer it from")
+    }
+    val spherical = spec \ "spherical" match {
+      case JBool(b) => b; case JNothing => geoJson
+      case other => throw new IllegalArgumentException(s"$$geoNear spherical: $other")
+    }
+    if (geoJson && !spherical) throw new IllegalArgumentException(
+      "$geoNear: a GeoJSON near point is always spherical")
+    val multiplier = spec \ "distanceMultiplier" match {
+      case JNothing => 1d; case v => num(v, "distanceMultiplier")
+    }
+    val minD = spec \ "minDistance" match {
+      case JNothing => Double.NegativeInfinity; case v => num(v, "minDistance") }
+    val maxD = spec \ "maxDistance" match {
+      case JNothing => Double.PositiveInfinity; case v => num(v, "maxDistance") }
+    val pred = spec \ "query" match {
+      case JNothing | JNull => None
+      case m                => Some(DynMatch.compile(m))
+    }
+    val includeLocs = spec \ "includeLocs" match {
+      case JString(f) => Some(f); case JNothing => None
+      case other => throw new IllegalArgumentException(s"$$geoNear includeLocs: $other")
+    }
+    val earthR = 6378100d
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("doc", StringType), StructField("__gd", DoubleType)))
+    val scored = normalize(df).as(tuple2Enc).mapPartitions { it =>
+      it.flatMap { case (k, s) =>
+        val d = parse(s)
+        if (pred.exists(p => !p.test(DynExpr.DCtx(d, Map.empty)))) Iterator.empty
+        else {
+          val loc0 = keyField.split('.').foldLeft(d)((n, seg) =>
+            if (n != null && n.isObject) n.path(seg) else MISSING)
+          val coords =
+            if (loc0 != null && loc0.isObject && loc0.has("coordinates"))
+              loc0.get("coordinates")
+            else loc0
+          if (coords == null || !coords.isArray || coords.size != 2 ||
+              !coords.get(0).isNumber || !coords.get(1).isNumber) Iterator.empty
+          else {
+            val x = coords.get(0).doubleValue; val y = coords.get(1).doubleValue
+            val raw =
+              if (spherical) {
+                val phi1 = math.toRadians(nearY); val phi2 = math.toRadians(y)
+                val dPhi = math.toRadians(y - nearY)
+                val dLam = math.toRadians(x - nearX)
+                val h = math.pow(math.sin(dPhi / 2), 2) +
+                  math.cos(phi1) * math.cos(phi2) * math.pow(math.sin(dLam / 2), 2)
+                val rad = 2 * math.asin(math.sqrt(h))
+                if (geoJson) rad * earthR else rad
+              } else
+                math.sqrt(math.pow(x - nearX, 2) + math.pow(y - nearY, 2))
+            if (raw < minD || raw > maxD) Iterator.empty
+            else {
+              val od = d.asInstanceOf[ObjectNode]
+              includeLocs.foreach(f => od.set[JsonNode](f, loc0.deepCopy()))
+              od.put(distanceField, raw * multiplier)
+              Iterator.single(Row(k, render(od), raw * multiplier))
+            }
+          }
+        }
+      }
+    }(Encoders.row(schema))
+    scored.orderBy(col("__gd").asc).select("key", "doc")
   }
 
   /** `$search` in dynamic mode (Atlas `text` operator subset): BM25

@@ -105,7 +105,7 @@ private[streaming] object StreamSplit {
   private val batchOnlyStages = Set("$setWindowFields", "$fill", "$densify",
     "$sort", "$limit", "$skip", "$sample", "$sortByCount", "$unionWith",
     "$facet", "$graphLookup", "$bucketAuto", "$vectorSearch", "$documents",
-    "$rankFusion", "$search")
+    "$rankFusion", "$search", "$geoNear")
 
   private def stageName(stage: JValue): String = stage match {
     case JObject(fields) => fields.collectFirst {

@@ -796,4 +796,14 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
   test("typed and dynamic engines agree on catalog stages (lookup/union/graph)") {
     catalogPipelines.foreach(agreeCat)
   }
+
+  test("$geoNear agrees across engines: planar + spherical over the arr locations") {
+    // only row 3's arr ([7,8]) is a valid 2-element location; the size-1,
+    // size-3, empty and missing arrs must drop identically in both engines
+    agree("""[{"$geoNear": {"near": [0, 0], "distanceField": "gd",
+               "key": "arr", "query": {"a": {"$gte": 0}},
+               "distanceMultiplier": 2}}]""")
+    agree("""[{"$geoNear": {"near": [1, 1], "distanceField": "gd",
+               "key": "arr", "spherical": true, "maxDistance": 1}}]""")
+  }
 }

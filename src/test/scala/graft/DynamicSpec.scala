@@ -1289,4 +1289,28 @@ class DynamicSpec extends SparkSpec {
       """[{"$throttle": {"maxPerSecond": 1000000}}]"""))
     assert(out == Set(node("""{"a":1}"""), node("""{"a":2}""")))
   }
+
+  test("dynamic $geoNear: spherical meters, query/bounds, GeoJSON locations, order") {
+    val input = docs(
+      """{"_id":"rome","seg":"y","loc":[12.5,41.9]}""",
+      """{"_id":"milan","seg":"y","loc":{"type":"Point","coordinates":[9.19,45.46]}}""",
+      """{"_id":"london","seg":"y","loc":[-0.13,51.5]}""",
+      """{"_id":"sydney","seg":"y","loc":[151.2,-33.87]}""",
+      """{"_id":"skip","seg":"n","loc":[12.5,41.9]}""",
+      """{"_id":"bad","seg":"y","loc":[12.5]}""")
+    val out = DynPipeline.run(input,
+      """[{"$geoNear": {"near": {"type": "Point", "coordinates": [12.5, 41.9]},
+            "distanceField": "d", "key": "loc", "spherical": true,
+            "query": {"seg": "y"}, "maxDistance": 2000000,
+            "distanceMultiplier": 0.001}}]""")
+      .select("doc").collect().map(r => DynJson.parse(r.getString(0)))
+    // sydney out of range, skip query-filtered, bad location dropped;
+    // survivors ascend by distance (GeoJSON loc object accepted)
+    assert(out.map(_.path("_id").textValue).toList ==
+      List("rome", "milan", "london"))
+    val d = out.map(n => n.path("_id").textValue -> n.path("d").doubleValue).toMap
+    assert(d("rome") == 0.0)
+    assert(math.abs(d("milan") - 477) < 10)
+    assert(math.abs(d("london") - 1435) < 15)
+  }
 }

@@ -964,4 +964,62 @@ class StagesSpec extends SparkSpec {
       "$wait" -> ((df, _) => df.limit(2)))) // Base.java:78-82 style extension
     assert(ext.run(flat, """[{"$wait": {}}]""").count() == 2)
   }
+
+  // ---- $geoNear (MQL, beyond the reference's stage set) ------------------
+  test("$geoNear GeoJSON: spherical meters, raw-distance bounds, nearest first") {
+    val df = Seq(("rome", 12.5, 41.9), ("milan", 9.19, 45.46),
+      ("london", -0.13, 51.5), ("sydney", 151.2, -33.87))
+      .toDF("_id", "lon", "lat")
+      .withColumn("loc", array($"lon", $"lat")).drop("lon", "lat")
+    val out = pipeline.run(df,
+      """[{"$geoNear": {"near": {"type": "Point", "coordinates": [12.5, 41.9]},
+            "distanceField": "d", "key": "loc",
+            "distanceMultiplier": 0.001, "maxDistance": 2000000}}]""")
+      .select("_id", "d").collect()
+    // sydney (~16,300 km) exceeds maxDistance; rest ascend by distance
+    assert(out.map(_.getString(0)).toList == List("rome", "milan", "london"))
+    val d = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d("rome") == 0.0)
+    assert(math.abs(d("milan") - 477) < 10, s"milan ${d("milan")}")
+    assert(math.abs(d("london") - 1435) < 15, s"london ${d("london")}")
+  }
+
+  test("$geoNear legacy pairs: planar units, query prefilter, includeLocs; spherical radians") {
+    val df = Seq(("a", 3.0, 4.0, true), ("b", 6.0, 8.0, true),
+      ("c", 1.0, 1.0, false))
+      .toDF("_id", "x", "y", "keep")
+      .withColumn("loc", array($"x", $"y"))
+    val out = pipeline.run(df,
+      """[{"$geoNear": {"near": [0, 0], "distanceField": "d", "key": "loc",
+            "query": {"keep": true}, "includeLocs": "at"}}]""")
+      .select("_id", "d", "at").collect()
+    assert(out.map(_.getString(0)).toList == List("a", "b")) // c query-filtered
+    assert(out.map(_.getDouble(1)).toList == List(5.0, 10.0)) // Euclidean
+    assert(out.head.getSeq[Double](2) == Seq(3.0, 4.0)) // includeLocs echoes
+    // legacy + spherical -> radians (antipode = pi, quarter = pi/2)
+    val sph = Seq(("anti", 180.0, 0.0), ("quarter", 90.0, 0.0))
+      .toDF("_id", "x", "y").withColumn("loc", array($"x", $"y"))
+    val rads = pipeline.run(sph,
+      """[{"$geoNear": {"near": [0, 0], "distanceField": "d", "key": "loc",
+            "spherical": true}}]""")
+      .select("_id", "d").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rads("anti") - math.Pi) < 1e-9)
+    assert(math.abs(rads("quarter") - math.Pi / 2) < 1e-9)
+  }
+
+  test("$geoNear drops malformed locations; rejects bad specs") {
+    val df = Seq(("ok", Seq(1.0, 2.0)), ("short", Seq(1.0)), ("none", null))
+      .toDF("_id", "loc")
+    val out = pipeline.run(df,
+      """[{"$geoNear": {"near": [0, 0], "distanceField": "d", "key": "loc"}}]""")
+    assert(sorted1[String](out, "_id") == List("ok"))
+    intercept[IllegalArgumentException] { // key is required (no geo index)
+      pipeline.run(df, """[{"$geoNear": {"near": [0, 0], "distanceField": "d"}}]""")
+    }
+    intercept[IllegalArgumentException] { // GeoJSON near is always spherical
+      pipeline.run(df,
+        """[{"$geoNear": {"near": {"type": "Point", "coordinates": [0, 0]},
+              "distanceField": "d", "key": "loc", "spherical": false}}]""")
+    }
+  }
 }
