@@ -1138,6 +1138,31 @@ object SparkEntry {
       graft.llm.MultimodalOps.decodeImageMeta(
         graft.llm.MultimodalOps.asMedia(t(s, dir, "documents"), "text", "doc_id"))
     }),
+    // REAL image decode loop: synthesize a lossless PNG per doc whose
+    // pixels are a closed form of (doc_id, x, y), encode with ImageIO's
+    // actual PNG writer, decode the BYTES back with ImageIO, and reduce to
+    // integer pixel statistics — the oracle recomputes the statistics from
+    // the formula without ever touching a PNG, so a hash match proves the
+    // whole encode→decode→aggregate loop
+    "llm_image_decode" -> ((s, dir) => {
+      tune(s)
+      val media = graft.llm.MultimodalOps.synthPng(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0), "doc_id", 24, 16)
+      graft.llm.MultimodalOps.decodeImagePixels(media)
+        .select("media_id", "width", "height", "channels",
+          "sum_r", "sum_g", "sum_b", "px_checksum")
+    }),
+    // perceptual-hash image dedup from REAL decoded pixels: 64-bit aHash
+    // (8x8 integer block pooling), banded LSH candidates, exact popcount
+    // verify — complete for hamming<=3 by pigeonhole; the oracle replays
+    // hash bits, banding and hamming in pure SQL
+    "llm_image_neardup" -> ((s, dir) => {
+      tune(s)
+      val media = graft.llm.MultimodalOps.synthPng(
+        t(s, dir, "documents"), "doc_id", 24, 16, groups = 64)
+      graft.llm.MultimodalOps.imageNearDupPairs(
+        graft.llm.MultimodalOps.aHash64(media), maxHamming = 2)
+    }),
     "llm_media_frames" -> ((s, dir) => {
       tune(s)
       graft.llm.MultimodalOps.sampleFrames(
@@ -2389,6 +2414,52 @@ object SparkEntry {
                 CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
                 3 AS channels, 'stub' AS format
          FROM documents""",
+    "llm_image_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         px AS (SELECT doc_id, t1.range AS x, t2.range AS y
+                FROM ids, range(0, 24) t1, range(0, 16) t2),
+         v AS (SELECT doc_id, x, y,
+                 (doc_id*31 + x*7 + y*13) % 256 AS r,
+                 (doc_id*17 + x*11 + y*5) % 256 AS g,
+                 (doc_id*23 + x*3 + y*19) % 256 AS b
+               FROM px)
+         SELECT doc_id AS media_id, 24 AS width, 16 AS height, 3 AS channels,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum
+         FROM v GROUP BY 1""",
+    "llm_image_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS base, doc_id // 64 AS v
+                    FROM documents),
+         px AS (SELECT doc_id, base, v, t1.range AS x, t2.range AS y
+                FROM d, range(0, 24) t1, range(0, 16) t2),
+         g AS (SELECT doc_id, x, y,
+                 (CASE WHEN v > 0 AND x = v % 24 AND y = (v // 24) % 16
+                       THEN ((base*31 + x*7 + y*13) % 256 + 128) % 256
+                       ELSE (base*31 + x*7 + y*13) % 256 END)
+                 + (base*17 + x*11 + y*5) % 256
+                 + (base*23 + x*3 + y*19) % 256 AS gray
+               FROM px),
+         blk AS (SELECT doc_id, (y // 2) * 8 + (x // 3) AS k, sum(gray) AS bs
+                 FROM g GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY 1),
+         bits AS (SELECT b.doc_id, k,
+                    CASE WHEN 64*bs > ts THEN 1 ELSE 0 END AS bit
+                  FROM blk b JOIN tot USING (doc_id)),
+         bands AS (SELECT doc_id, k // 16 AS band,
+                     sum(bit * (1::BIGINT << (k % 16)))::BIGINT AS bv
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bv = b.bv
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         ham AS (SELECT c.id_a, c.id_b,
+                   sum(bit_count(xor(x.bv, y.bv)))::INT AS hamming
+                 FROM cand c
+                 JOIN bands x ON x.doc_id = c.id_a
+                 JOIN bands y ON y.doc_id = c.id_b AND y.band = x.band
+                 GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2""",
     "llm_media_frames" ->
       """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
                 CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * in batches (the Scala analogue of `mapInPandas`: one iterator of rows per
   * partition, shared decoder state per partition, explicit output schema).
   *
-  * The actual codecs are STUBBED — this container ships no image/audio
-  * libraries — with deterministic byte-derived fakes, clearly marked below.
-  * Schema, partitioning, batch shape, and the operator signatures are real
-  * and tested; swapping in a real decoder changes only the marked function
-  * bodies.
+  * IMAGE pixel decode is REAL: `javax.imageio` ships with the JDK (and
+  * runs headless), so [[decodeImagePixels]]/[[aHash64]] decode actual
+  * PNG/JPEG/GIF/BMP bytes with no external dependency. Container METADATA
+  * decode (PNG/JPEG/GIF headers, WAV RIFF, MP4 boxes) is dependency-free
+  * byte parsing. Only VIDEO/AUDIO SAMPLE decode remains stubbed (H.264 &
+  * co. don't ship in the JDK) with deterministic byte-derived fakes,
+  * clearly marked below — swapping in a real codec changes only the
+  * marked function bodies.
   */
 object MultimodalOps {
 
@@ -129,6 +132,177 @@ object MultimodalOps {
         }
       }
     }(Encoders.row(metaSchema))
+
+  // ---- REAL pixel decode (JDK ImageIO — javax.imageio ships with the
+  // JDK and runs headless, so PNG/JPEG/GIF/BMP pixel decode needs no
+  // external codec at all; only VIDEO codecs remain stubbed) ------------
+
+  /** Deterministic synthetic PNG per row — a REAL, losslessly-decodable
+    * image whose pixels are a closed-form function of (id, x, y), so a
+    * SQL oracle can recompute any pixel statistic WITHOUT decoding:
+    * base = id % groups (groups=0 → base=id, no variants),
+    * r = (base*31 + x*7 + y*13) % 256, g = (base*17 + x*11 + y*5) % 256,
+    * b = (base*23 + x*3 + y*19) % 256, and a variant v = id / groups
+    * perturbs the single pixel (v % w, (v/w) % h) by +128 on r — images
+    * of one base differ in ≤ 1 px (near-dups for perceptual hashing).
+    * Encoding goes through ImageIO's real PNG writer; the BYTES may vary
+    * by JVM, the PIXELS cannot (PNG is lossless). */
+  def synthPng(df: DataFrame, idCol: String, w: Int, h: Int,
+      groups: Int = 0): DataFrame =
+    df.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val base = if (groups > 0) id % groups else id
+          val v = if (groups > 0) id / groups else 0L
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var rr = ((base * 31 + x * 7 + y * 13) % 256).toInt
+              val gg = ((base * 17 + x * 11 + y * 5) % 256).toInt
+              val bb = ((base * 23 + x * 3 + y * 19) % 256).toInt
+              if (v > 0 && x == (v % w).toInt && y == ((v / w) % h).toInt)
+                rr = (rr + 128) % 256
+              img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray, "image/png")
+        }
+      }(Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("media", BinaryType),
+        StructField("media_type", StringType)))))
+
+  private val pixelSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("px_checksum", LongType),
+    StructField("decoder", StringType)))
+
+  /** REAL pixel decode: ImageIO reads the blob (PNG/JPEG/GIF/BMP — every
+    * JDK-bundled reader), and integer pixel statistics come off the raw
+    * RGB values: channel sums plus a position-weighted checksum
+    * Σ (3r+5g+7b)·((x + y·w) % 1000 + 1) — all exact integer math, so a
+    * lossless source makes the whole encode→decode→aggregate loop
+    * hash-checkable by an oracle that recomputes the formula. Undecodable
+    * blobs yield a `decoder = "none"` row with null stats (the posture of
+    * decodeImageMeta's stub fallback, made explicit). One decoder per
+    * partition, iterator-in/iterator-out — the mapInPandas shape. */
+  def decodeImagePixels(media: DataFrame): DataFrame =
+    media.select(col("media_id").cast(LongType), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null || bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+          if (img == null) Row(id, null, null, null, null, null, null, null, "none")
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val rr = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff; val bb = p & 0xff
+                sr += rr; sg += gg; sb += bb
+                ck += (3L * rr + 5L * gg + 7L * bb) * ((x + y.toLong * w) % 1000 + 1)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, w, h, img.getColorModel.getNumComponents, sr, sg, sb, ck,
+              "imageio")
+          }
+        }
+      }(Encoders.row(pixelSchema))
+
+  /** 64-bit average-hash (aHash) from REAL decoded pixels: the image pools
+    * into an 8×8 grid of integer gray sums (gray = r+g+b — monotone, no
+    * division, so the oracle replays it exactly); bit k is set iff
+    * 64·blockSum(k) > totalSum (strict — the all-equal image hashes to 0).
+    * Width and height must be multiples of 8 so block pooling is exact
+    * integer arithmetic. Per-row map, shuffle-free. */
+  def aHash64(media: DataFrame): DataFrame =
+    media.select(col("media_id").cast(LongType), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            require(w % 8 == 0 && h % 8 == 0,
+              s"aHash64 needs dimensions divisible by 8, got ${w}x$h")
+            val bw = w / 8; val bh = h / 8
+            val blocks = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                blocks((y / bh) * 8 + x / bw) += gray
+                total += gray
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L; var k = 0
+            while (k < 64) {
+              if (64L * blocks(k) > total) hash |= 1L << k
+              k += 1
+            }
+            Iterator.single(Row(id, hash))
+          }
+        }
+      }(Encoders.row(StructType(Seq(
+        StructField("media_id", LongType), StructField("ahash", LongType)))))
+
+  /** Perceptual near-dup image pairs: banded LSH over the 64-bit aHash —
+    * 4 bands of 16 bits bucket the corpus; candidate pairs verify with an
+    * exact popcount on the XOR. COMPLETE (recall 1.0) for
+    * `maxHamming` ≤ 3: 3 differing bits cannot touch all 4 bands, so some
+    * band collides (pigeonhole); beyond 3 the banding is probabilistic,
+    * like every LSH. Never all-pairs: the join is a hash equi-join on
+    * (band, bucket). */
+  def imageNearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = (0 until 4).map(b => ((b * 16), b)).map { case (shift, b) =>
+      hashed.select(col("media_id"), col("ahash"),
+        lit(b).as("band"),
+        shiftrightunsigned(col("ahash"), shift).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("media_id").as("id_a"), col("ahash").as("h_a"),
+      col("band"), col("bucket"))
+    val b = bands.select(col("media_id").as("id_b"), col("ahash").as("h_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast(IntegerType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   private val frameSchema = StructType(Seq(
     StructField("media_id", LongType),

@@ -116,4 +116,77 @@ class MultimodalSpec extends SparkSpec {
     assert(v.length == 16)
     assert(MultimodalOps.extractFeatures(media).head().getSeq[Float](1) == v) // deterministic
   }
+
+  // ---- REAL pixel decode (JDK ImageIO) -----------------------------------
+
+  test("synthPng -> decodeImagePixels round-trips the pixel formula losslessly") {
+    val ids = Seq(0L, 3L, 64L, 131L).toDF("doc_id")
+    val got = MultimodalOps.decodeImagePixels(
+      MultimodalOps.synthPng(ids, "doc_id", 24, 16, groups = 64))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // independent Scala replay of the documented closed form
+    for (id <- Seq(0L, 3L, 64L, 131L)) {
+      val base = id % 64; val v = id / 64
+      var sr = 0L; var ck = 0L
+      for (y <- 0 until 16; x <- 0 until 24) {
+        var rr = (base * 31 + x * 7 + y * 13) % 256
+        if (v > 0 && x == v % 24 && y == (v / 24) % 16) rr = (rr + 128) % 256
+        val gg = (base * 17 + x * 11 + y * 5) % 256
+        val bb = (base * 23 + x * 3 + y * 19) % 256
+        sr += rr
+        ck += (3 * rr + 5 * gg + 7 * bb) * ((x + y.toLong * 24) % 1000 + 1)
+      }
+      val r = got(id)
+      assert(r.getAs[String]("decoder") == "imageio")
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height")) == ((24, 16)))
+      assert(r.getAs[Long]("sum_r") == sr, s"sum_r for $id")
+      assert(r.getAs[Long]("px_checksum") == ck, s"checksum for $id")
+    }
+  }
+
+  test("decodeImagePixels decodes a REAL JPEG (lossy: dims exact, stats close)") {
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 10) << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    assert(jpeg(0) == 0xff.toByte && jpeg(1) == 0xd8.toByte) // real JFIF bytes
+    val df = Seq((7L, jpeg)).toDF("media_id", "media")
+    val r = MultimodalOps.decodeImagePixels(df).head()
+    assert(r.getAs[String]("decoder") == "imageio")
+    assert((r.getAs[Int]("width"), r.getAs[Int]("height")) == ((32, 24)))
+    // lossy codec: channel means within a few units of the source means
+    val nPx = 32 * 24
+    val srcMeanR = (0 until 32).map(_ * 8).sum * 24.0 / nPx
+    assert(math.abs(r.getAs[Long]("sum_r").toDouble / nPx - srcMeanR) < 6.0)
+    assert(math.abs(r.getAs[Long]("sum_b").toDouble / nPx - 128.0) < 6.0)
+  }
+
+  test("undecodable bytes yield decoder=none with null stats") {
+    val df = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("media_id", "media")
+    val r = MultimodalOps.decodeImagePixels(df).head()
+    assert(r.getAs[String]("decoder") == "none")
+    assert(r.isNullAt(r.fieldIndex("sum_r")))
+  }
+
+  test("aHash64: identical images collide, one-pixel variants stay near, banding is complete <= 3") {
+    // 20 docs over 4 bases: ids sharing id % 4 are <= 1 perturbed pixel apart
+    val ids = (0L until 20L).toDF("doc_id")
+    val media = MultimodalOps.synthPng(ids, "doc_id", 24, 16, groups = 4)
+    val hashed = MultimodalOps.aHash64(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.size == 20)
+    // brute-force ground truth at maxHamming=3
+    val brute = (for {
+      a <- hashed.keys; b <- hashed.keys if a < b
+      d = java.lang.Long.bitCount(hashed(a) ^ hashed(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = MultimodalOps.imageNearDupPairs(
+      MultimodalOps.aHash64(media), maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute) // pigeonhole completeness at <= 3
+    assert(brute.exists(_._3 == 0), "same-base variants should collide exactly")
+  }
 }
