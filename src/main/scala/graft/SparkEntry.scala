@@ -1163,6 +1163,17 @@ object SparkEntry {
       graft.llm.MultimodalOps.imageNearDupPairs(
         graft.llm.MultimodalOps.aHash64(media), maxHamming = 2)
     }),
+    // the SCALE composition: identical-hash pre-collapse (kills the
+    // quadratic within-group pair blowup) -> banded rep pairs -> O(log d)
+    // connected components; the oracle replays collapse + banding +
+    // hamming + a recursive-CTE closure
+    "llm_image_clusters" -> ((s, dir) => {
+      tune(s)
+      val media = graft.llm.MultimodalOps.synthPng(
+        t(s, dir, "documents"), "doc_id", 24, 16, groups = 64)
+      graft.llm.MultimodalOps.imageDupClusters(
+        graft.llm.MultimodalOps.aHash64(media), maxHamming = 2)
+    }),
     "llm_media_frames" -> ((s, dir) => {
       tune(s)
       graft.llm.MultimodalOps.sampleFrames(
@@ -2460,6 +2471,49 @@ object SparkEntry {
                  JOIN bands y ON y.doc_id = c.id_b AND y.band = x.band
                  GROUP BY 1, 2)
          SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2""",
+    "llm_image_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS base,
+                                     doc_id // 64 AS v FROM documents),
+         px AS (SELECT doc_id, base, v, t1.range AS x, t2.range AS y
+                FROM d, range(0, 24) t1, range(0, 16) t2),
+         g AS (SELECT doc_id, x, y,
+                 (CASE WHEN v > 0 AND x = v % 24 AND y = (v // 24) % 16
+                       THEN ((base*31 + x*7 + y*13) % 256 + 128) % 256
+                       ELSE (base*31 + x*7 + y*13) % 256 END)
+                 + (base*17 + x*11 + y*5) % 256
+                 + (base*23 + x*3 + y*19) % 256 AS gray
+               FROM px),
+         blk AS (SELECT doc_id, (y // 2) * 8 + (x // 3) AS k, sum(gray) AS bs
+                 FROM g GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY 1),
+         bits AS (SELECT b.doc_id, k,
+                    CASE WHEN 64*bs > ts THEN 1 ELSE 0 END AS bit
+                  FROM blk b JOIN tot USING (doc_id)),
+         bands AS (SELECT doc_id, k // 16 AS band,
+                     sum(bit * (1::BIGINT << (k % 16)))::BIGINT AS bv
+                   FROM bits GROUP BY 1, 2),
+         hk AS (SELECT doc_id, string_agg(bv, ',' ORDER BY band) AS hkey
+                FROM bands GROUP BY 1),
+         reps AS (SELECT hkey, min(doc_id) AS rep FROM hk GROUP BY 1),
+         member AS (SELECT r.rep AS id_a, h.doc_id AS id_b
+                    FROM hk h JOIN reps r USING (hkey) WHERE h.doc_id <> r.rep),
+         rb AS (SELECT b.* FROM bands b JOIN reps r ON b.doc_id = r.rep),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM rb a JOIN rb b ON a.band = b.band AND a.bv = b.bv
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         nearp AS (SELECT c.id_a, c.id_b
+                   FROM cand c JOIN rb x ON x.doc_id = c.id_a
+                   JOIN rb y ON y.doc_id = c.id_b AND y.band = x.band
+                   GROUP BY 1, 2
+                   HAVING sum(bit_count(xor(x.bv, y.bv))) <= 2),
+         edges AS (SELECT id_a AS a, id_b AS b FROM member
+                   UNION SELECT id_b, id_a FROM member
+                   UNION SELECT id_a, id_b FROM nearp
+                   UNION SELECT id_b, id_a FROM nearp),
+         lbl AS (SELECT a AS id, a AS c FROM edges
+                 UNION
+                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b)
+         SELECT id, min(c)::BIGINT AS cluster FROM lbl GROUP BY id""",
     "llm_media_frames" ->
       """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
                 CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms

@@ -304,6 +304,26 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SCALE path for image dedup — the composed pipeline a training corpus
+    * actually runs (the [[graft.llm.DedupOps.dedupNear]] shape, on
+    * perceptual hashes): collapse IDENTICAL aHashes to one representative
+    * first, so the quadratic within-group pair blowup of
+    * [[imageNearDupPairs]] never materializes (a 10× replicated corpus
+    * multiplies that op's output 100×; this one's edges grow linearly),
+    * band only the representatives, and fold member edges + rep-level near
+    * pairs through connected components. Returns (media_id, cluster) with
+    * cluster = min member id; keep `media_id == cluster` to dedup. */
+  def imageDupClusters(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val reps = hashed.groupBy("ahash").agg(min("media_id").as("rep"))
+    val memberEdges = hashed.join(reps, "ahash")
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("media_id").as("id_b"))
+    val nearPairs = imageNearDupPairs(
+      reps.select(col("rep").as("media_id"), col("ahash")), maxHamming)
+      .select("id_a", "id_b")
+    DedupOps.clustersLogD(memberEdges.unionByName(nearPairs))
+  }
+
   private val frameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_idx", IntegerType),

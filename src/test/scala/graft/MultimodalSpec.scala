@@ -189,4 +189,26 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute) // pigeonhole completeness at <= 3
     assert(brute.exists(_._3 == 0), "same-base variants should collide exactly")
   }
+
+  test("imageDupClusters: identical-hash pre-collapse yields the same components as raw pairs") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val media = MultimodalOps.synthPng(ids, "doc_id", 24, 16, groups = 8)
+    val hashed = MultimodalOps.aHash64(media)
+    val got = MultimodalOps.imageDupClusters(hashed, maxHamming = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: union-find over the RAW (uncollapsed) pair set — the
+    // collapse is an optimization, never a semantic change
+    val pairs = MultimodalOps.imageNearDupPairs(hashed, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(got == nodes.map(n => n -> find(n)).toMap)
+  }
 }
