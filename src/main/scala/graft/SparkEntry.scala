@@ -1133,6 +1133,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           DedupOps.jaccardOfSets(col("sh_a"), col("sh_b")).as("jaccard"))
     }),
+    // ftfy-style cleanup: NFC composition (codegen'd expression) + control
+    // strip + whitespace collapse; the appended literal carries a
+    // DECOMPOSED e+COMBINING-ACUTE, a BEL and a tab so the oracle watches
+    // all three transformations happen
+    "llm_text_normalize" -> ((s, dir) => {
+      tune(s)
+      val raw = concat(col("text"), lit("  e\u0301\u0007\tend"))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(raw).as("n_raw"),
+        graft.llm.TextOps.normalizeText(raw).as("norm"))
+        .withColumn("n_norm", length(col("norm")))
+    }),
     "llm_media_meta" -> ((s, dir) => {
       tune(s)
       graft.llm.MultimodalOps.decodeImageMeta(
@@ -2419,6 +2431,16 @@ object SparkEntry {
                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
                       / 4096) AS BIGINT) AS window_id
          FROM t""",
+    "llm_text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+                text || '  e' || chr(769) || chr(7) || chr(9) || 'end' AS raw
+              FROM documents),
+         n AS (SELECT doc_id, length(raw)::INT AS n_raw,
+                 trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                      '[ \t\n\r]+', ' ', 'g')) AS norm
+               FROM r)
+         SELECT doc_id, n_raw, norm, length(norm)::INT AS n_norm FROM n""",
     "llm_media_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 CAST(16 + octet_length(encode(text)) % 240 AS INT) AS width,

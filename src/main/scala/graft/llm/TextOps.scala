@@ -12,6 +12,19 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
+  /** ftfy-style corpus cleanup, fully columnar: Unicode NFC composition
+    * (via the codegen'd [[graft.functions.NfcNormalize]] — decomposed
+    * `e`+COMBINING ACUTE must shingle/hash/dedup like composed `é`), strip
+    * C0/C1-ish control characters (tab and newline get collapsed instead
+    * of dropped), collapse whitespace runs to single spaces, trim. The
+    * character classes are spelled explicitly so a DuckDB oracle's RE2
+    * matches Java regex byte-for-byte. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
   /** Whitespace tokens (empty-string safe: 0 tokens). */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)

@@ -168,4 +168,22 @@ class FunctionsSpec extends SparkSpec {
     assert(ids(BoundedTopK.firstN(packed, 3)) == List(1L, 2L, 3L))
     assert(ids(BoundedTopK.lastN(packed, 3)) == List(48L, 49L, 50L))
   }
+
+  test("NfcNormalize composes decomposed codepoints; normalizeText cleans controls/whitespace") {
+    import graft.functions.NfcNormalize
+    val decomposed = "cafe\u0301"  // e + COMBINING ACUTE (5 code points)
+    val composed = "caf\u00e9"     // precomposed e-acute (4 code points)
+    val df = Seq(("d", decomposed), ("c", composed), ("a", "plain"),
+      ("n", null)).toDF("k", "s")
+    val out = df.select(col("k"), NfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("d") == Some(composed))
+    assert(out("d") == out("c"))
+    assert(out("a") == Some("plain"))
+    assert(out("n").isEmpty) // null propagates
+    // full cleanup: NFC + control strip + whitespace collapse + trim
+    val norm = Seq(("  a\t be\u0301 \u0007  c\r\n ")).toDF("s")
+      .select(graft.llm.TextOps.normalizeText(col("s"))).head().getString(0)
+    assert(norm == "a b\u00e9 c") // BEL gone, runs collapsed, NFC composed, trimmed
+  }
 }
