@@ -83,6 +83,19 @@ private[graft] object SinkStages {
       (implicit ctx: ExprCtx): DataFrame = {
     val into = str(spec \ "into")
     val on = onFields(spec)
+    // Mongo 4.4 form (beyond the reference's Merge.java surface): an UPDATE
+    // PIPELINE as whenMatched — $set/$addFields/$unset/$project/
+    // $replaceRoot/$replaceWith over the EXISTING doc with $$new bound to
+    // the incoming doc
+    val matchPipeline: Option[List[(String, JValue)]] =
+      spec \ "whenMatched" match {
+        case JArray(stages) => Some(stages.map {
+          case JObject(List((n, sp))) => (n, sp)
+          case other => throw new IllegalArgumentException(
+            s"$$merge whenMatched pipeline stage: $other")
+        })
+        case _ => None
+      }
     val whenMatched = strOr(spec \ "whenMatched", "merge")
     val whenNotMatched = strOr(spec \ "whenNotMatched", "insert")
     val hasKey = df.columns.contains("key")
@@ -175,8 +188,99 @@ private[graft] object SinkStages {
     val matched = col("__t").isNotNull && col("__i").isNotNull
     val insertOnly = col("__t").isNull && col("__i").isNotNull
 
+    // whenMatched UPDATE PIPELINE: fold the stages over an ordered
+    // field → Column environment seeded with the target doc; every stage's
+    // expressions evaluate against the PRE-stage env (Mongo's rule), with
+    // $$new bound to the incoming doc and $$ROOT to the current env. The
+    // env's schema is tracked alongside so date-typed arithmetic keeps
+    // resolving until a field is overwritten by a computed value.
+    val pipelineEnv: Option[Seq[(String, Column)]] = matchPipeline.map { stages =>
+      val newStruct = struct(
+        iCols.map(f => col("__i").getField(f).as(f)).toIndexedSeq: _*)
+      var env = scala.collection.immutable.ListMap[String, Column](
+        tCols.map(f => f -> tf(f)): _*)
+      var envSchema = StructType(target.schema.fields)
+      def dropType(f: String): Unit =
+        envSchema = StructType(envSchema.fields.filterNot(_.name == f))
+      def stageCtx: ExprCtx = ExprCtx(
+        field = p => {
+          val segs = p.split('.')
+          env.get(segs.head) match {
+            case Some(c) => segs.tail.foldLeft(c)(_.getField(_))
+            case None    => MongoExpr.MissingRef
+          }
+        },
+        vars = Map(
+          "ROOT" -> struct(env.toSeq.map { case (f, c) => c.as(f) }: _*),
+          "new"  -> newStruct),
+        typeOf = p => Stages.resolveType(envSchema, p))
+      def replace(v: JValue): Unit = v match {
+        case JString("$$new") =>
+          env = scala.collection.immutable.ListMap(
+            iCols.map(f => f -> col("__i").getField(f)): _*)
+          envSchema = StructType(incoming.schema.filter(f => iCols.contains(f.name)))
+        case JObject(fields) =>
+          val ctx0 = stageCtx
+          env = scala.collection.immutable.ListMap(
+            fields.map { case (f, x) => f -> cexpr(x)(ctx0) }: _*)
+          envSchema = StructType(Nil)
+        case other => throw new IllegalArgumentException(
+          s"$$merge whenMatched $$replaceRoot/$$replaceWith: $other")
+      }
+      stages.foreach {
+        case ("$set" | "$addFields", JObject(fields)) =>
+          val ctx0 = stageCtx
+          fields.foreach { case (f, v) =>
+            env = env + (f -> cexpr(v)(ctx0)); dropType(f)
+          }
+        case ("$unset", uspec) =>
+          val fs = uspec match {
+            case JString(f) => Seq(f)
+            case JArray(xs) => xs.map(str)
+            case other => throw new IllegalArgumentException(s"$$unset: $other")
+          }
+          fs.foreach { f => env = env - f; dropType(f) }
+        case ("$project", JObject(fields)) =>
+          val ctx0 = stageCtx
+          def falsy(v: JValue) = v == JInt(0) || v == JBool(false)
+          val nonId = fields.filterNot(_._1 == "_id")
+          if (nonId.nonEmpty && nonId.forall(e => falsy(e._2))) {
+            // exclusion mode: drop the listed fields (incl. an explicit _id: 0)
+            fields.filter(e => falsy(e._2)).foreach { case (f, _) =>
+              env = env - f; dropType(f)
+            }
+          } else {
+            // inclusion mode: _id rides along unless excluded
+            val kept = scala.collection.mutable.LinkedHashMap[String, Column]()
+            if (!fields.exists(e => e._1 == "_id" && falsy(e._2)))
+              env.get("_id").foreach(kept("_id") = _)
+            fields.foreach {
+              case (f, v) if falsy(v)                => ()
+              case (f, JInt(n)) if n == 1            => env.get(f).foreach(kept(f) = _)
+              case (f, JBool(true))                  => env.get(f).foreach(kept(f) = _)
+              case (f, v)                            => kept(f) = cexpr(v)(ctx0); dropType(f)
+            }
+            val keptSet = kept.keySet
+            envSchema = StructType(envSchema.fields.filter(x => keptSet(x.name)))
+            env = scala.collection.immutable.ListMap(kept.toSeq: _*)
+          }
+        case ("$replaceRoot", rspec) => replace(rspec \ "newRoot")
+        case ("$replaceWith", rspec) => replace(rspec)
+        case (other, _) => throw new IllegalArgumentException(
+          s"$$merge whenMatched pipeline: unsupported stage $other " +
+            "(Mongo allows $set/$addFields/$unset/$project/$replaceRoot/$replaceWith)")
+      }
+      env.toSeq
+    }
+    val pipelineFields: Seq[String] = pipelineEnv.fold(Seq.empty[String])(_.map(_._1))
+    val pipelineMap: Map[String, Column] = pipelineEnv.fold(Map.empty[String, Column])(_.toMap)
+
     def resultFor(f: String): Column = {
-      val onMatch = whenMatched match {
+      val onMatch =
+        if (matchPipeline.isDefined)
+          // pipeline output: absent fields are MISSING -> null in typed rows
+          pipelineMap.getOrElse(f, lit(null))
+        else whenMatched match {
         case "merge"        => if (iCols.contains(f)) inf(f) else tf(f)
         case "replace"      => inf(f)
         case "keepExisting" => tf(f)
@@ -208,8 +312,9 @@ private[graft] object SinkStages {
     // persisted: the join feeds BOTH the new collection write (eager, below)
     // and the downstream echo (lazy) — without this the full-outer join and
     // the arrival-order window run twice
+    val outCols = allCols ++ pipelineFields.filterNot(allCols.contains)
     val resolved = translating(j.select((Seq(col("__t"), col("__i")) ++
-      allCols.map(resultFor)): _*)
+      outCols.map(resultFor)): _*)
       .withColumn("__written",
         matched || (insertOnly && lit(!discardInsert)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -218,7 +323,7 @@ private[graft] object SinkStages {
     val newTarget = resolved
       .filter(col("__t").isNotNull || !lit(discardInsert))
       .filter(col("__t").isNotNull || col("__written"))
-      .select(allCols.map(col): _*)
+      .select(outCols.map(col): _*)
     bucketedN match {
       case Some(n) =>
         // bucket from the RESOLVED key values (covers generated insert _ids;
@@ -232,7 +337,7 @@ private[graft] object SinkStages {
 
     // downstream echo: written/kept docs for each incoming message, with the
     // incoming _id restored, re-keyed by _id (Merge.java:142-179)
-    val echoCols = allCols.map {
+    val echoCols = outCols.map {
       case "_id" if iCols.contains("_id") =>
         coalesce(inf("_id"), col("_id")).as("_id")
       case f => col(f)

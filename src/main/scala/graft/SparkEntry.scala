@@ -327,6 +327,28 @@ object SparkEntry {
         .count() // drive the upsert
       store.read("tgt")
     }),
+    // Mongo 4.4 whenMatched UPDATE PIPELINE: matched rows accumulate the
+    // incoming price into the stored total via $$new and stamp an update
+    // counter; unmatched rows insert untouched
+    "q_merge_pipeline" -> ((s, dir) => {
+      tune(s)
+      val store = new graft.sources.BucketedParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_merge_pipe").toString)
+      val ordersNoDate = t(s, dir, "orders").drop("o_orderdate")
+      store.seed("tgt", ordersNoDate.filter(col("o_orderkey") % 3 === 0),
+        on = List("o_orderkey"))
+      new Pipeline(store = store).run(ordersNoDate,
+        """[{"$merge": {"into": "tgt", "on": "o_orderkey",
+              "whenMatched": [
+                {"$set": {"o_totalprice":
+                    {"$round": [{"$add": ["$o_totalprice",
+                                          "$$new.o_totalprice"]}, 2]},
+                  "n_updates": {"$add": [{"$ifNull": ["$n_updates", 0]}, 1]}}},
+                {"$unset": "o_orderpriority"}],
+              "whenNotMatched": "insert"}}]""")
+        .count() // drive the upsert
+      store.read("tgt")
+    }),
     // the 100 TB shape: a SMALL batch against a LARGE collection rewrites
     // only the buckets it touches (BucketedParquetStore manifest)
     "q_merge_incr" -> ((s, dir) => {
@@ -908,6 +930,34 @@ object SparkEntry {
         get_json_object(col("doc"), "$._id").cast("long").as("_id"),
         get_json_object(col("doc"), "$.p").cast("double").as("p"),
         get_json_object(col("doc"), "$.st").as("st"))
+    }),
+    // dynamic whenMatched UPDATE PIPELINE: price accumulates via $$new and
+    // an update counter stamps; priority drops on matched docs only
+    "q_dynamic_merge_pipe" -> ((s, dir) => {
+      val store = new graft.sources.BucketedParquetStore(s,
+        java.nio.file.Files.createTempDirectory("graft_dynmp").toString)
+      val base = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(to_json(struct(
+          col("o_orderkey").as("_id"), col("o_totalprice").as("p"),
+          col("o_orderpriority").as("prio"))).as("doc"))
+      val ctx = graft.dynamic.DynPipeline.DynCtx(store = store)
+      graft.dynamic.DynPipeline.run(base,
+        """[{"$out": {"into": "t"}}]""", ctx).count()
+      val batch = t(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("_id"), col("o_totalprice").as("p"),
+        col("o_orderpriority").as("prio"))).as("doc"))
+      graft.dynamic.DynPipeline.run(batch,
+        """[{"$merge": {"into": "t", "on": "_id",
+              "whenMatched": [
+                {"$set": {"p": {"$round": [{"$add": ["$p", "$$new.p"]}, 2]},
+                          "n": {"$add": [{"$ifNull": ["$n", 0]}, 1]}}},
+                {"$unset": "prio"}],
+              "whenNotMatched": "insert"}}]""", ctx).count()
+      store.read("t").select(
+        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        get_json_object(col("doc"), "$.p").cast("double").as("p"),
+        get_json_object(col("doc"), "$.prio").as("prio"),
+        get_json_object(col("doc"), "$.n").cast("long").as("n"))
     }),
     // dynamic modern group accumulators: exact-interp median/percentile,
     // maxN, sortBy-comparator $top — all inside ONE fused DynGroupAgg
@@ -2077,6 +2127,26 @@ object SparkEntry {
                 CASE WHEN o_orderkey % 1000 = 0 THEN round(o_totalprice * 3, 2)
                      ELSE o_totalprice END AS o_totalprice,
                 o_orderpriority
+         FROM orders""",
+    "q_merge_pipeline" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN round(o_totalprice + o_totalprice, 2)
+                     ELSE o_totalprice END AS o_totalprice,
+                CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                     ELSE o_orderpriority END AS o_orderpriority,
+                CASE WHEN o_orderkey % 3 = 0 THEN CAST(1 AS BIGINT)
+                     ELSE NULL END AS n_updates
+         FROM orders""",
+    "q_dynamic_merge_pipe" ->
+      """SELECT o_orderkey AS _id,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN round(o_totalprice + o_totalprice, 2)
+                     ELSE o_totalprice END AS p,
+                CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                     ELSE o_orderpriority END AS prio,
+                CASE WHEN o_orderkey % 3 = 0 THEN CAST(1 AS BIGINT)
+                     ELSE NULL END AS n
          FROM orders""",
     "q_out" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

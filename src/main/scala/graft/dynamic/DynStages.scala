@@ -868,6 +868,91 @@ object DynPipeline {
     * (incoming wins per field), `replace`, `keepExisting`, `fail`;
     * whenNotMatched `insert` (fresh UUID `_id` if absent), `discard`,
     * `fail`. The echo re-keys on the result `_id` (Merge.java:142-179). */
+  /** One compiled `whenMatched` update-pipeline stage: existing doc (+ the
+    * bound vars, i.e. `new`) → updated doc. */
+  private type UpdFn = (JsonNode, Map[String, JsonNode]) => JsonNode
+
+  /** Mongo 4.4 `whenMatched` UPDATE PIPELINE stages (the typed engine's
+    * Sinks.merge twin): $set/$addFields/$unset/$project/$replaceRoot/
+    * $replaceWith over the EXISTING doc with `$$new` bound to the incoming
+    * doc. Field names are top-level (both engines treat a dotted name as a
+    * flat key here). Expressions evaluate against the PRE-stage doc. */
+  private def compileUpdateStage(name: String, sp: JValue): UpdFn = name match {
+    case "$set" | "$addFields" =>
+      val fs = sp match {
+        case JObject(fields) => fields.map { case (f, v) => (f, DynExpr.compile(v)) }
+        case other => throw new IllegalArgumentException(s"$name: $other")
+      }
+      (doc, vars) => {
+        val pre = DynExpr.DCtx(doc, vars)
+        val vals = fs.map { case (f, op) => (f, missingToNull(op.eval(pre))) }
+        val d = doc.deepCopy[ObjectNode]()
+        vals.foreach { case (f, v) => d.set[JsonNode](f, v) }
+        d
+      }
+    case "$unset" =>
+      val names = sp match {
+        case JString(f) => Seq(f)
+        case JArray(xs) => xs.map { case JString(f) => f
+          case other => throw new IllegalArgumentException(s"$$unset: $other") }
+        case other => throw new IllegalArgumentException(s"$$unset: $other")
+      }
+      (doc, _) => {
+        val d = doc.deepCopy[ObjectNode]()
+        names.foreach(d.remove)
+        d
+      }
+    case "$project" =>
+      val fields = sp match {
+        case JObject(fs) => fs
+        case other => throw new IllegalArgumentException(s"$$project: $other")
+      }
+      def falsy(v: JValue) = v == JInt(0) || v == JBool(false)
+      val nonId = fields.filterNot(_._1 == "_id")
+      if (nonId.nonEmpty && nonId.forall(e => falsy(e._2))) {
+        val drop = fields.collect { case (f, v) if falsy(v) => f }
+        (doc, _) => {
+          val d = doc.deepCopy[ObjectNode]()
+          drop.foreach(d.remove)
+          d
+        }
+      } else {
+        val keepId = !fields.exists(e => e._1 == "_id" && falsy(e._2))
+        val items: List[(String, Option[DynExpr.DOp])] = fields.flatMap {
+          case (_, v) if falsy(v)     => None
+          case (f, JInt(n)) if n == 1 => Some((f, None))
+          case (f, JBool(true))       => Some((f, None))
+          case (f, v)                 => Some((f, Some(DynExpr.compile(v))))
+        }
+        (doc, vars) => {
+          val pre = DynExpr.DCtx(doc, vars)
+          val out = obj()
+          if (keepId && doc.isObject && doc.has("_id"))
+            out.set[JsonNode]("_id", doc.get("_id").deepCopy[JsonNode]())
+          items.foreach {
+            case (f, None) =>
+              if (doc.isObject && doc.has(f))
+                out.set[JsonNode](f, doc.get(f).deepCopy[JsonNode]())
+            case (f, Some(op)) =>
+              out.set[JsonNode](f, missingToNull(op.eval(pre)))
+          }
+          out
+        }
+      }
+    case "$replaceRoot" | "$replaceWith" =>
+      val op = DynExpr.compile(
+        if (name == "$replaceRoot") sp \ "newRoot" else sp)
+      (doc, vars) => {
+        val v = op.eval(DynExpr.DCtx(doc, vars))
+        if (v == null || !v.isObject) throw new IllegalArgumentException(
+          s"$$merge whenMatched $name must produce a document, got $v")
+        v.deepCopy[JsonNode]()
+      }
+    case other => throw new IllegalArgumentException(
+      s"$$merge whenMatched pipeline: unsupported stage $other " +
+        "(Mongo allows $set/$addFields/$unset/$project/$replaceRoot/$replaceWith)")
+  }
+
   private def mergeStage(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
     require(ctx.store != null, "$merge needs a DocumentStore in dynamic mode")
     val into = spec \ "into" match {
@@ -875,6 +960,14 @@ object DynPipeline {
       case other      => throw new IllegalArgumentException(s"$$merge into: $other")
     }
     val on = onFields(spec)
+    val matchPipe: Option[List[UpdFn]] = spec \ "whenMatched" match {
+      case JArray(stages) => Some(stages.map {
+        case JObject(List((n, sp))) => compileUpdateStage(n, sp)
+        case other => throw new IllegalArgumentException(
+          s"$$merge whenMatched pipeline stage: $other")
+      })
+      case _ => None
+    }
     val whenMatched = spec \ "whenMatched" match { case JString(s) => s; case _ => "merge" }
     val whenNotMatched = spec \ "whenNotMatched" match { case JString(s) => s; case _ => "insert" }
     val keyOp = spec \ "key" match { case JNothing => None; case k => Some(DynExpr.compile(k)) }
@@ -925,16 +1018,21 @@ object DynPipeline {
         it.flatMap { case (tdoc, idoc, onk) =>
           (Option(tdoc), Option(idoc)) match {
             case (Some(ts), Some(is)) =>
-              val merged: JsonNode = whenMatched match {
-                case "replace"      => parse(is)
-                case "keepExisting" => parse(ts)
-                case "merge" =>
-                  val o = parse(ts).deepCopy[ObjectNode]()
-                  o.setAll[ObjectNode](parse(is).asInstanceOf[ObjectNode])
-                  o
-                case "fail" => throw new IllegalStateException(
-                  "$merge: whenMatched=fail and a match occurred")
-                case other => throw new IllegalArgumentException(s"whenMatched $other")
+              val merged: JsonNode = matchPipe match {
+                case Some(stages) =>
+                  val vars = Map[String, JsonNode]("new" -> parse(is))
+                  stages.foldLeft(parse(ts))((cur, st) => st(cur, vars))
+                case None => whenMatched match {
+                  case "replace"      => parse(is)
+                  case "keepExisting" => parse(ts)
+                  case "merge" =>
+                    val o = parse(ts).deepCopy[ObjectNode]()
+                    o.setAll[ObjectNode](parse(is).asInstanceOf[ObjectNode])
+                    o
+                  case "fail" => throw new IllegalStateException(
+                    "$merge: whenMatched=fail and a match occurred")
+                  case other => throw new IllegalArgumentException(s"whenMatched $other")
+                }
               }
               Iterator.single((render(merged), onk, "w"))
             case (None, Some(is)) =>

@@ -1290,6 +1290,32 @@ class DynamicSpec extends SparkSpec {
     assert(out == Set(node("""{"a":1}"""), node("""{"a":2}""")))
   }
 
+  test("dynamic $merge whenMatched UPDATE PIPELINE: $set with $$new, $unset, $replaceWith") {
+    val st = new graft.sources.InMemoryStore(spark)
+    val ctx = dynCtx(store = st)
+    DynPipeline.run(docs(
+      """{"_id":"a","v":10,"tag":"keep"}""", """{"_id":"b","v":20,"tag":"t"}"""),
+      """[{"$out": {"into": "c"}}]""", ctx).count()
+    DynPipeline.run(docs("""{"_id":"a","v":5}""", """{"_id":"z","v":7}"""),
+      """[{"$merge": {"into": "c", "whenMatched": [
+            {"$set": {"v": {"$add": ["$v", "$$new.v"]},
+                      "n": {"$add": [{"$ifNull": ["$n", 0]}, 1]}}},
+            {"$unset": "tag"}]}}]""", ctx).count()
+    val out = st.read("c").select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0))).toSet
+    assert(out == Set(
+      node("""{"_id":"a","v":15,"n":1}"""),      // matched: summed + counted, tag unset
+      node("""{"_id":"b","v":20,"tag":"t"}"""),  // untouched
+      node("""{"_id":"z","v":7}""")))            // plain insert
+    // $replaceWith $$new behaves like whenMatched replace
+    DynPipeline.run(docs("""{"_id":"b","fresh":true}"""),
+      """[{"$merge": {"into": "c",
+            "whenMatched": [{"$replaceWith": "$$new"}]}}]""", ctx).count()
+    val out2 = st.read("c").select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0))).toSet
+    assert(out2.contains(node("""{"_id":"b","fresh":true}""")))
+  }
+
   test("dynamic $geoNear: spherical meters, query/bounds, GeoJSON locations, order") {
     val input = docs(
       """{"_id":"rome","seg":"y","loc":[12.5,41.9]}""",

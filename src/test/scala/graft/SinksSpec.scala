@@ -35,6 +35,48 @@ class SinksSpec extends SparkSpec {
     assert(rows(echo) == Set(List("1", 10L))) // echo = what was kept
   }
 
+  test("$merge whenMatched UPDATE PIPELINE: $set with $$new, pre-stage env, unmatched inserts untouched") {
+    val st = store
+    st.overwrite("c", Seq(("1", 10L, "keep"), ("2", 20L, "also"))
+      .toDF("_id", "v", "tag"))
+    val in = Seq(("1", 5L), ("3", 7L)).toDF("_id", "v")
+    // matched doc 1: v := existing v + incoming v; n := count of updates
+    val echo = mkPipe(st).run(in,
+      """[{"$merge": {"into": "c", "whenMatched": [
+            {"$set": {"v": {"$add": ["$v", "$$new.v"]},
+                      "n": {"$add": [{"$ifNull": ["$n", 0]}, 1]}}}]}}]""")
+    // matched: v=10+5=15, n=1, tag kept; unmatched insert: plain doc 3
+    assert(rows(st.read("c")) == Set(
+      List("1", 15L, "keep", 1L), List("2", 20L, "also", null),
+      List("3", 7L, null, null)))
+    assert(rows(echo) == Set(
+      List("1", 15L, "keep", 1L), List("3", 7L, null, null)))
+  }
+
+  test("$merge whenMatched pipeline: $unset, $project and $replaceWith $$new forms") {
+    val st = store
+    st.overwrite("c", Seq(("1", 10L, "x"), ("2", 20L, "y"), ("3", 30L, "z"))
+      .toDF("_id", "v", "tag"))
+    // $unset drops the existing tag on match
+    mkPipe(st).run(Seq(("1", 0L)).toDF("_id", "v"),
+      """[{"$merge": {"into": "c", "whenMatched": [{"$unset": "tag"}]}}]""")
+    assert(rows(st.read("c")).contains(List("1", 10L, null)))
+    // $replaceWith $$new = whenMatched replace
+    mkPipe(st).run(Seq(("2", 99L)).toDF("_id", "v"),
+      """[{"$merge": {"into": "c", "whenMatched": [{"$replaceWith": "$$new"}]}}]""")
+    assert(rows(st.read("c")).contains(List("2", 99L, null)))
+    // $project inclusion keeps _id + listed fields only
+    mkPipe(st).run(Seq(("3", 0L)).toDF("_id", "v"),
+      """[{"$merge": {"into": "c", "whenMatched": [{"$project": {"v": 1}}]}}]""")
+    assert(rows(st.read("c")).contains(List("3", 30L, null)))
+    // unsupported stage refused loudly
+    val e = intercept[IllegalArgumentException] {
+      mkPipe(st).run(Seq(("1", 0L)).toDF("_id", "v"),
+        """[{"$merge": {"into": "c", "whenMatched": [{"$group": {"_id": null}}]}}]""")
+    }
+    assert(e.getMessage.contains("unsupported stage"))
+  }
+
   test("$merge whenNotMatched=discard drops unmatched inserts") {
     val st = store
     st.overwrite("c", Seq(("1", 10L)).toDF("_id", "v"))

@@ -166,7 +166,10 @@ check("q_dynamic_window_nfamily", got_dnf, want_nf, ["event_id"])
 # contract for calculus ops) — requires unique ts per partition, true for
 # the driver tables and the nudged sf1 replica
 c = ev[["event_id", "event_type", "ts", "value"]].copy()
-c["x"] = (c.ts.astype("int64") // 10**6) / 1000.0
+# resolution-independent ms truncation: pandas hands back datetime64[ns]
+# for ns-typed parquet but datetime64[us] for the regenerated us-typed
+# testdata — astype int64 alone would be off 1000x on the latter
+c["x"] = c.ts.astype("datetime64[ms]").astype("int64") / 1000.0
 c = c.sort_values(["event_type", "ts"], ignore_index=True)
 gc = c.groupby("event_type", sort=False)
 x0, v0 = gc.x.shift(3), gc.value.shift(3)
