@@ -1400,6 +1400,48 @@ object SparkEntry {
         "text", "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4,
         threshold = 0.5, md5Mode = true)
     }),
+    // Bloom-filter decontamination, the zero-shuffle scale path: the
+    // oracled surface is the one-row superset contract (no false
+    // negatives vs the exact n-gram probe, FP overshoot bounded) —
+    // Bloom bits are Murmur3-deterministic but not SQL-replayable.
+    "llm_decontaminate_bloom" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      // fpp compounds PER GRAM: a doc with g grams false-positives with
+      // probability ~g·fpp, so the filter is sized at 1e-6 (still tiny)
+      // to keep expected FP docs ≪ the 50-doc bound
+      CorpusOps.bloomSupersetCheck(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 8, fpp = 1e-6)
+    }),
+    // Lee et al. 2021 span-level dedup: 4-token windows hashed corpus-wide,
+    // windows in >= 2 distinct docs erased from every doc that carries them
+    "llm_span_dedup" -> ((s, dir) => {
+      tune(s)
+      DedupOps.dropDuplicateSpans(t(s, dir, "documents"),
+        "doc_id", "text", w = 4)
+    }),
+    // SemDeDup over the embeddings table: md5-seeded centroids (lloydIters
+    // = 0 keeps the whole pipeline SQL-replayable — the oracle re-runs
+    // seed pick, argmax assignment, and the within-cluster threshold)
+    "llm_semdedup" -> ((s, dir) => {
+      tune(s)
+      VectorOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, tau = 0.4)
+    }),
+    // REAL PCM sample decode: synthAv's WAV payload is the doc text's
+    // UTF-8 bytes, so the oracle recomputes every integer-exact stat
+    // (amplitudes, DC-removed crossings, per-frame energies) analytically
+    // from ascii() — a decoder bug anywhere in the RIFF walk or the
+    // little-endian sample math breaks the hash
+    "llm_audio_pcm" -> ((s, dir) => {
+      tune(s)
+      graft.llm.MultimodalOps.decodeAudioPcm(
+        graft.llm.MultimodalOps.synthAv(t(s, dir, "documents"),
+          "text", "doc_id"))
+        .filter(col("kind") === "pcm16")
+    }),
     // C4/RefinedWeb-style per-domain cap: deterministic md5-priority keep
     "llm_domain_cap" -> ((s, dir) => {
       tune(s)
@@ -2717,6 +2759,91 @@ object SparkEntry {
                 CAST(coalesce(h.n, 0) > 0 AS INT) AS contaminated
          FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          LEFT JOIN h USING (doc_id)""",
+    // the booleans are the contract: DuckDB recomputes n_docs/n_exact
+    // exactly; a Bloom false negative or an fpp blow-up flips a bit and
+    // fails the hash compare (same pattern as the ANN recall floors)
+    "llm_decontaminate_bloom" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                      t -> length(t) > 0) AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, greatest(len(ws) - 7, 0)),
+                                        i -> array_to_string(ws[i:i+7], ' '))) AS gram
+           FROM w),
+         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+         h AS (SELECT doc_id FROM dg JOIN bg USING (gram) GROUP BY 1)
+         SELECT (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) AS n_docs,
+                CAST((SELECT count(*) FROM h) AS BIGINT) AS n_exact,
+                true AS no_false_negatives,
+                true AS fp_within_bound""",
+    "llm_span_dedup" ->
+      """WITH b AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      t -> length(t) > 0) AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i1,
+                  unnest(list_transform(generate_series(1, greatest(len(toks) - 3, 0)),
+                    i -> CAST(md5_number_lower(array_to_string(toks[i:i+3], ' '))
+                         & 9223372036854775807 AS BIGINT))) AS hv
+           FROM b),
+         d AS (SELECT hv FROM w GROUP BY hv HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM (
+           SELECT doc_id, unnest(generate_series(i1 - 1, i1 + 2)) AS p
+           FROM w WHERE hv IN (SELECT hv FROM d))),
+         cv AS (SELECT doc_id, list(p) AS cover, count(*) AS nrem
+                FROM cov GROUP BY doc_id)
+         SELECT b.doc_id,
+                coalesce(array_to_string(list_filter(b.toks,
+                  (t, i) -> NOT list_contains(coalesce(cv.cover, CAST([] AS BIGINT[])), i - 1)),
+                  ' '), '') AS clean_text,
+                CAST(len(b.toks) AS INT) AS n_tokens,
+                CAST(coalesce(cv.nrem, 0) AS INT) AS n_removed
+         FROM b LEFT JOIN cv USING (doc_id)""",
+    "llm_semdedup" ->
+      """WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+                    FROM embeddings),
+         n AS (SELECT vec_id, CASE WHEN sqrt(list_inner_product(v0, v0)) > 0
+                 THEN list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                 ELSE v0 END AS v FROM u),
+         cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx, v FROM (
+           SELECT vec_id, v,
+                  CAST(md5_number_lower('semdedup:' || vec_id)
+                       & 9223372036854775807 AS BIGINT) AS h
+           FROM n ORDER BY h LIMIT 8)),
+         asg AS (SELECT vec_id, v, cidx AS cluster FROM (
+           SELECT n.vec_id, n.v, c.cidx,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY round(list_inner_product(n.v, c.v), 6) DESC, c.cidx) AS rn
+           FROM n CROSS JOIN cent c) WHERE rn = 1),
+         ml AS (SELECT b.vec_id, max(round(list_inner_product(a.v, b.v), 6)) AS max_cos_lower
+                FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                GROUP BY b.vec_id)
+         SELECT asg.vec_id, CAST(asg.cluster AS INT) AS cluster, ml.max_cos_lower,
+                coalesce(ml.max_cos_lower, -2.0) < 0.4 AS keep
+         FROM asg LEFT JOIN ml USING (vec_id)""",
+    "llm_audio_pcm" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         s AS (SELECT doc_id, list_transform(range(length(text) // 2),
+                 j -> ascii(text[2*j+1]) + 256 * ascii(text[2*j+2])) AS sm FROM d),
+         f AS (SELECT doc_id, sm, len(sm) AS n, list_sum(sm) AS stot FROM s)
+         SELECT doc_id AS media_id, 'pcm16' AS kind,
+                CAST(n AS INT) AS n_samples,
+                CAST(list_max(sm) AS INT) AS peak_abs,
+                CAST(list_sum(sm) AS BIGINT) AS sum_abs,
+                CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS sum_sq,
+                CAST(len(list_filter(range(n - 1),
+                  j -> sign(n * sm[j + 1] - stot) * sign(n * sm[j + 2] - stot) < 0))
+                  AS INT) AS dc_crossings,
+                CAST(n // 64 AS INT) AS n_frames,
+                CAST(list_max(list_transform(range(n // 64),
+                  k -> list_sum(list_transform(sm[64*k+1:64*k+64], x -> x * x))))
+                  AS BIGINT) AS max_frame_energy
+         FROM f""",
     "llm_decontaminate_fuzzy" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
          benchsrc AS (

@@ -57,6 +57,66 @@ object CorpusOps {
       (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the ZERO-SHUFFLE scale path for
+    * [[decontaminate]]: build a Bloom filter over the benchmark's n-grams
+    * (driver-side aggregate of the MB-scale eval suite), broadcast the
+    * bits, and probe every corpus doc's grams map-side with an `exists`
+    * over the per-row gram array. No corpus-side explode, no distinct, no
+    * join — at 100 TB the corpus is touched by exactly one codegen'd scan,
+    * which is why production pipelines run the Bloom probe first and feed
+    * only the (rare) positives to the exact join for confirmation.
+    *
+    * Bloom semantics: NO false negatives — every truly contaminated doc is
+    * flagged (the guarantee [[bloomSupersetCheck]] pins against the exact
+    * probe) — and false positives COMPOUND per probe: a doc with g grams
+    * false-flags with probability ~g·fpp, so size `fpp` well below
+    * 1/gramsPerDoc (1e-6 here costs ~29 bits/gram — still KBs for an eval
+    * suite). `contaminated` means "needs the exact check", not "drop
+    * unseen". Spark's
+    * `BloomFilter.put/mightContain` hashes with fixed-seed Murmur3 — the
+    * filter is deterministic for a given (items, n, fpp), but NOT
+    * replayable in SQL engines, hence the superset-check twin rather than
+    * a hash-matched oracle. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val benchGrams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+    val expected = math.max(1L, benchGrams.count())
+    val bf = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((g: String) => g != null && bfB.value.mightContainString(g))
+    corpus.select(col(idCol),
+      when(exists(wordNgrams(col(textCol), n), g => hit(g)), lit(1))
+        .otherwise(lit(0)).as("contaminated"))
+  }
+
+  /** One-row contract for [[decontaminateBloom]]: the Bloom flag set must
+    * be a SUPERSET of the exact flag set (no false negatives) and the
+    * false-positive overshoot must stay within `maxFpDocs`. The booleans
+    * are the oracle-checkable surface — DuckDB recomputes `n_docs` and
+    * `n_exact` exactly and asserts both flags true; a Bloom regression
+    * (missed contamination, or fpp blow-up) flips a bit and fails the
+    * hash compare. */
+  def bloomSupersetCheck(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8, fpp: Double = 0.01,
+      maxFpDocs: Long = 50L): DataFrame = {
+    val exact = decontaminate(corpus, bench, textCol, idCol, n)
+      .select(col(idCol), col("contaminated").as("__exact"))
+    val bloom = decontaminateBloom(corpus, bench, textCol, idCol, n, fpp)
+      .select(col(idCol), col("contaminated").as("__bloom"))
+    exact.join(bloom, Seq(idCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__exact")).as("n_exact"),
+        max(when(col("__exact") === 1 && col("__bloom") === 0, 1)
+          .otherwise(0)).as("__fn"),
+        sum(when(col("__bloom") === 1 && col("__exact") === 0, 1)
+          .otherwise(0)).as("__fp"))
+      .select(col("n_docs"), col("n_exact"),
+        (coalesce(col("__fn"), lit(0)) === 0).as("no_false_negatives"),
+        (coalesce(col("__fp"), lit(0L)) <= maxFpDocs).as("fp_within_bound"))
+  }
+
   /** Per-key document cap (the C4/RefinedWeb "at most N pages per domain"
     * downsampling step): keep at most `maxPerKey` docs per key, chosen
     * DETERMINISTICALLY by md5(id) priority so every engine, run, and retry

@@ -501,4 +501,60 @@ object DedupOps {
     allNodes.join(labeled, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
+
+  /** Span-level exact-substring dedup (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" operation,
+    * re-expressed for Spark): a rolling window of `w` tokens is a
+    * *duplicate span* when its hash occurs in at least `minDocs` DISTINCT
+    * documents; every token covered by any duplicate window is removed and
+    * the document re-assembled from the survivors. Unlike document-level
+    * dedup this erases boilerplate *passages* (licence blocks, nav bars,
+    * quoted chain mail) that hide inside otherwise-unique documents.
+    * Within-doc repetition is deliberately NOT a trigger (that is
+    * [[graft.llm.TextOps.repetitionFeatures]]'s job) — `minDocs >= 2`
+    * counts documents, not occurrences.
+    *
+    * Output: `(idCol, clean_text, n_tokens, n_removed)` for EVERY input
+    * doc (docs shorter than `w` tokens pass through untouched).
+    *
+    * Distributed shape, sized for 100 TB: window hashes are 63-bit md5
+    * BIGINTs ([[md5Lower63]] — 8 bytes crosses the shuffle, not the span
+    * text, and DuckDB replays them via `md5_number_lower`), one row per
+    * (doc, window) — O(total tokens), the same blowup the suffix-array
+    * formulation pays in its sort. The dup-hash set aggregates with
+    * map-side partial `count(distinct doc)` collapse; cover positions
+    * re-join on the hash (AQE broadcasts when the dup set is small, the
+    * common case) and fold to one `collect_set` per doc, bounded by doc
+    * length. Reassembly is the indexed-lambda `filter` — columnar, no
+    * second explode. */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int, minDocs: Int = 2): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token: $w")
+    val base = df.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val wins = base
+      .filter(size(col("__toks")) >= w)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - w),
+        i => md5Lower63(concat_ws(" ", slice(col("__toks"), i + 1, lit(w))))))
+        .as(Seq("__pos", "__hv")))
+    val dup = wins.groupBy("__hv")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__hv")
+    val cov = wins.join(dup, "__hv")
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__p"))
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+    base.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__toks"),
+          (t, i) => !array_contains(
+            coalesce(col("__cov"), array().cast(ArrayType(IntegerType))), i)))
+          .as("clean_text"),
+        size(col("__toks")).as("n_tokens"),
+        // size(null) is -1 under non-ANSI legacy semantics, so branch
+        // explicitly instead of coalescing
+        when(col("__cov").isNull, lit(0)).otherwise(size(col("__cov")))
+          .as("n_removed"))
+  }
 }

@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE pixel decode is REAL: `javax.imageio` ships with the JDK (and
   * runs headless), so [[decodeImagePixels]]/[[aHash64]] decode actual
-  * PNG/JPEG/GIF/BMP bytes with no external dependency. Container METADATA
-  * decode (PNG/JPEG/GIF headers, WAV RIFF, MP4 boxes) is dependency-free
-  * byte parsing. Only VIDEO/AUDIO SAMPLE decode remains stubbed (H.264 &
-  * co. don't ship in the JDK) with deterministic byte-derived fakes,
-  * clearly marked below — swapping in a real codec changes only the
-  * marked function bodies.
+  * PNG/JPEG/GIF/BMP bytes with no external dependency. AUDIO sample decode
+  * is REAL for 16-bit PCM WAV ([[decodeAudioPcm]] — PCM needs no codec).
+  * Container METADATA decode (PNG/JPEG/GIF headers, WAV RIFF, MP4 boxes)
+  * is dependency-free byte parsing. Only VIDEO sample decode remains
+  * stubbed (H.264 & co. don't ship in the JDK) with deterministic
+  * byte-derived fakes, clearly marked below — swapping in a real codec
+  * changes only the marked function bodies.
   */
 object MultimodalOps {
 
@@ -378,6 +379,106 @@ object MultimodalOps {
       (ch, rate, bits, dataSize * 1000L / byteRate)
     }
   }
+
+  /** Locate the PCM "data" chunk: returns (dataOffset, dataLen) when the
+    * blob is a RIFF/WAVE whose fmt chunk says audioFormat=1 (uncompressed
+    * PCM) at 16 bits — the one WAV layout that needs NO codec: samples are
+    * the chunk's bytes, two at a time, little-endian signed. */
+  private[graft] def wavPcm16Data(b: Array[Byte]): Option[(Int, Int)] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var i = 12
+    var pcm16 = false
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= b.length && (!pcm16 || data.isEmpty)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+        pcm16 = le16(i + 8) == 1 && le16(i + 22) == 16
+      else if (id == "data")
+        data = Some((i + 8, math.min(size, b.length - i - 8L).toInt))
+      i = math.min(b.length.toLong, i + 8L + size + (size & 1L)).toInt
+    }
+    if (pcm16) data else None
+  }
+
+  private val pcmSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_samples", IntegerType),
+    StructField("peak_abs", IntegerType),
+    StructField("sum_abs", LongType),
+    StructField("sum_sq", LongType),
+    StructField("dc_crossings", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("max_frame_energy", LongType)))
+
+  /** REAL audio sample decode — PCM needs no codec, so this closes the
+    * "audio samples are stubbed" gap the same way ImageIO closed images:
+    * the RIFF walk finds the 16-bit PCM data chunk and the samples ARE the
+    * bytes (little-endian signed pairs, channels interleaved; stats pool
+    * all channels). Integer-exact per-blob features, every one replayable
+    * analytically by a SQL oracle when the payload is known:
+    *  - `n_samples`, `peak_abs`, `sum_abs`, `sum_sq` — amplitude stats;
+    *  - `dc_crossings` — zero crossings AFTER DC-offset removal, computed
+    *    in exact integer math as sign changes of `n·s[j] − Σs` (comparing
+    *    signs, never the product — the product overflows a long on
+    *    minutes-long audio);
+    *  - `n_frames` / `max_frame_energy` — Σs² per non-overlapping
+    *    64-sample frame (full frames only), the loudest frame's energy.
+    * Non-PCM blobs (MP4, compressed WAV) report kind "unknown" with null
+    * stats — same posture as [[decodeAvMeta]]: parsed or absent, no fakes.
+    * mapPartitions keeps decode zero-copy per partition; nothing shuffles
+    * until the caller aggregates. */
+  def decodeAudioPcm(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("media")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+        wavPcm16Data(bytes) match {
+          case Some((off, len)) =>
+            val n = len / 2
+            def sample(j: Int): Int =
+              ((bytes(off + 2 * j + 1) << 8) | (bytes(off + 2 * j) & 0xff))
+                .toShort.toInt
+            var sum = 0L; var sumAbs = 0L; var sumSq = 0L; var peak = 0
+            var j = 0
+            while (j < n) {
+              val s = sample(j)
+              sum += s; sumAbs += math.abs(s).toLong
+              sumSq += s.toLong * s; peak = math.max(peak, math.abs(s))
+              j += 1
+            }
+            var cross = 0
+            j = 0
+            while (j + 1 < n) {
+              val a = java.lang.Long.signum(n.toLong * sample(j) - sum)
+              val b2 = java.lang.Long.signum(n.toLong * sample(j + 1) - sum)
+              if (a * b2 < 0) cross += 1
+              j += 1
+            }
+            val nFrames = n / 64
+            var maxE: Option[Long] = None
+            var k = 0
+            while (k < nFrames) {
+              var e = 0L; var m = 0
+              while (m < 64) {
+                val s = sample(64 * k + m).toLong; e += s * s; m += 1
+              }
+              maxE = Some(math.max(maxE.getOrElse(Long.MinValue), e))
+              k += 1
+            }
+            Row(id, "pcm16", n, peak, sumAbs, sumSq, cross, nFrames,
+              maxE.orNull)
+          case None =>
+            Row(id, "unknown", null, null, null, null, null, null, null)
+        }
+      }
+    }(Encoders.row(pcmSchema))
 
   /** MP4/QuickTime movie metadata from the `moov/mvhd` box — a top-level
     * box walk (u32be size, 4-byte type; size 1 = u64be largesize follows,

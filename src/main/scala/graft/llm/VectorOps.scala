@@ -264,6 +264,85 @@ object VectorOps {
       .agg(count(lit(1)).as("n_queries"), avg(col("__r")).as("recall"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding space, then inside each cluster
+    * drop documents whose cosine similarity to a LOWER-ID cluster-mate
+    * reaches `tau`. Returns every input doc as
+    * `(vec_id, cluster, max_cos_lower, keep)` where `max_cos_lower` is the
+    * highest rounded cosine against any lower-id doc of the same cluster
+    * (null when the doc is its cluster's lowest id) and
+    * `keep = max_cos_lower < tau`.
+    *
+    * Determinism/replay: centroids are the `nClusters` docs with the
+    * lowest `md5(seed:id)` ([[graft.llm.DedupOps.md5Lower63]] family — an
+    * external engine picks the identical set), refined by `lloydIters`
+    * spherical Lloyd steps (0 = pure seed pick, fully SQL-replayable;
+    * DuckDB replays seed-pick → argmax assignment → pair threshold
+    * end-to-end). Assignment argmax compares `round(dot, 6)` with a
+    * lowest-index tiebreak so float summation-order differences across
+    * engines cannot flip a cluster choice.
+    *
+    * The drop rule is greedy-by-id and NON-recursive: doc b dies when ANY
+    * lower-id a (kept or not) sits within tau. The recursive variant
+    * ("only KEPT docs kill") needs a sequential scan per cluster; the
+    * non-recursive form over-drops only inside chains that are all mutual
+    * near-dups anyway (SemDeDup's published epsilon-ball greedy has the
+    * same property) and stays one join + one aggregation.
+    *
+    * 100 TB shape: centroid pick is a TakeOrderedAndProject (per-partition
+    * top-k, k rows to the driver — metadata scale); assignment is
+    * map-side against literal centroid arrays (no shuffle, codegen-friendly
+    * up to a few hundred centroids — beyond that, switch to a broadcast
+    * join); the only data shuffle is the self-join keyed on `cluster`,
+    * whose cost is Σ|cluster|² — `nClusters` scales ~√N to bound it, and a
+    * mega-cluster (the skew case) wants the same exact-dup pre-collapse
+    * [[graft.llm.DedupOps.simhashNearDup]] uses before pairing. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, tau: Double, seed: String = "semdedup",
+      lloydIters: Int = 0): DataFrame = {
+    val n = df.select(col(idCol).as("vec_id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    def normed(a: Array[Double]): Array[Double] = {
+      val m = math.sqrt(a.map(x => x * x).sum)
+      if (m > 0) a.map(_ / m) else a
+    }
+    var cents: Array[Array[Double]] = n
+      .orderBy(DedupOps.md5Lower63(
+        concat(lit(seed + ":"), col("vec_id").cast(StringType))))
+      .limit(nClusters).select("__v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    // cluster = argmax over rounded centroid cosines, ties to lowest index
+    def assign(v: Column): Column = {
+      val scored = array(cents.zipWithIndex.map { case (ct, i) =>
+        struct(round(-dot(v, lit(ct)), 6).as("d"), lit(i).as("cluster"))
+      }.toIndexedSeq: _*)
+      element_at(array_sort(scored), 1).getField("cluster")
+    }
+    for (_ <- 0 until lloydIters) {
+      val means = n.withColumn("cluster", assign(col("__v")))
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) =
+        r.getAs[Double]("m"))
+      cents = next.map(normed)
+    }
+    val asg = n.withColumn("cluster", assign(col("__v")))
+    val a = asg.select(col("cluster"), col("vec_id").as("__ida"),
+      col("__v").as("__va"))
+    val b = asg.select(col("cluster"), col("vec_id").as("__idb"),
+      col("__v").as("__vb"))
+    val maxLower = a.join(b, a("cluster") === b("cluster") &&
+        col("__ida") < col("__idb"))
+      .groupBy(col("__idb").as("vec_id"))
+      .agg(max(round(dot(col("__va"), col("__vb")), 6)).as("max_cos_lower"))
+    asg.select(col("vec_id"), col("cluster"))
+      .join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("max_cos_lower"),
+        (coalesce(col("max_cos_lower"), lit(-2.0)) < tau).as("keep"))
+  }
+
   /** Per-vector symmetric int8 quantization: `scale = 127 / max|v|`,
     * `qvec[i] = floor(v[i]·scale + 0.5)` as a tinyint — 4× (vs float32) /
     * 8× (vs float64) less embedding storage and shuffle volume, the

@@ -104,4 +104,42 @@ class AnnSpec extends SparkSpec {
     assert(pairs(graft.llm.DedupOps.simhashNearDup(docs, "text", "doc_id", 3)) ==
       pairs(graft.llm.DedupOps.simhashNearDupExact(docs, "text", "doc_id", 3)))
   }
+
+  test("semDedup drops within-cluster near-dups greedily by id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),        // dup of 1 -> dropped
+      (3L, Array(0.99f, 0.14f, 0f, 0f)),  // cos ~0.99 to 1 -> dropped
+      (10L, Array(0f, 1f, 0f, 0f)),
+      (11L, Array(0f, 0.99f, 0.14f, 0f)), // near 10 -> dropped
+      (20L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    // nClusters=1 makes the verdicts centroid-pick-invariant: one cluster,
+    // pure greedy-by-id within tau
+    val one = VectorOps.semDedup(df, "vec_id", "embedding",
+      nClusters = 1, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+    assert(one.forall(_._2 == 0))
+    assert(one.map(t => t._1 -> t._3).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false,
+        10L -> true, 11L -> false, 20L -> true))
+    // the cluster's lowest id (and only it) has a null max_cos_lower
+    val nulls = VectorOps.semDedup(df, "vec_id", "embedding",
+      nClusters = 1, tau = 0.9)
+      .filter(org.apache.spark.sql.functions.col("max_cos_lower").isNull)
+      .collect().map(_.getLong(0)).toSet
+    assert(nulls == Set(1L))
+    // multi-cluster + lloyd: runs, covers every doc once, and identical
+    // vectors always co-cluster (identical argmax input) so the exact dup
+    // is dropped whatever the seeded pick
+    val multi = VectorOps.semDedup(df, "vec_id", "embedding",
+      nClusters = 3, tau = 0.9, lloydIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(3)))
+    assert(multi.map(_._1).toSet ==
+      Set(1L, 2L, 3L, 10L, 11L, 20L) && multi.forall(t => t._2 >= 0 && t._2 < 3))
+    val byId = multi.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == byId(2L))
+    assert(!multi.find(_._1 == 2L).get._3, "exact dup must be dropped")
+  }
 }

@@ -233,4 +233,61 @@ class CorpusOpsSpec extends SparkSpec {
     // reproducible across runs (the whole point)
     assert(run().sortBy(_._1).toSeq == a.sortBy(_._1).toSeq)
   }
+
+  test("decontaminateBloom is a superset of the exact probe; check row pins it") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five"),  // shares bench 3-gram
+      (2L, "six seven eight nine ten"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = Seq((99L, "zero two three four")).toDF("doc_id", "text")
+    val exact = CorpusOps.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val bloom = CorpusOps.decontaminateBloom(corpus, bench, "text", "doc_id",
+      n = 3, fpp = 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // no false negatives: every exact flag survives the bloom probe
+    assert(exact.forall { case (id, e) => e == 0 || bloom(id) == 1 })
+    assert(bloom(1L) == 1)
+    val chk = CorpusOps.bloomSupersetCheck(corpus, bench, "text", "doc_id",
+      n = 3, fpp = 1e-6).head()
+    assert(chk.getLong(0) == 3L && chk.getLong(1) == 1L)
+    assert(chk.getBoolean(2) && chk.getBoolean(3))
+  }
+
+  test("dropDuplicateSpans erases cross-doc spans, keeps within-doc repeats") {
+    import spark.implicits._
+    val df = Seq(
+      // docs 1 and 2 share the 4-token span "p q r s" at different offsets
+      (1L, "a b p q r s c d"),
+      (2L, "p q r s x y z w"),
+      // within-doc repetition only: never erased (minDocs counts docs)
+      (3L, "m n o t m n o t m n o t"),
+      // shorter than the window: untouched
+      (4L, "u v w")).toDF("doc_id", "text")
+    val got = graft.llm.DedupOps
+      .dropDuplicateSpans(df, "doc_id", "text", w = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == (("a b c d", 8, 4)))
+    assert(got(2L) == (("x y z w", 8, 4)))
+    assert(got(3L) == (("m n o t m n o t m n o t", 12, 0)))
+    assert(got(4L) == (("u v w", 3, 0)))
+  }
+
+  test("dropDuplicateSpans removes the union of overlapping dup windows") {
+    import spark.implicits._
+    // shared span of 5 tokens -> two overlapping 4-windows in each doc;
+    // covered positions are the union, not double-counted
+    val df = Seq(
+      (1L, "p q r s t a b"),
+      (2L, "z p q r s t y")).toDF("doc_id", "text")
+    val got = graft.llm.DedupOps
+      .dropDuplicateSpans(df, "doc_id", "text", w = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(3)))).toMap
+    assert(got(1L) == (("a b", 5)))
+    assert(got(2L) == (("z y", 5)))
+  }
 }

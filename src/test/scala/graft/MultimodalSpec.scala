@@ -211,4 +211,46 @@ class MultimodalSpec extends SparkSpec {
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     assert(got == nodes.map(n => n -> find(n)).toMap)
   }
+
+  test("decodeAudioPcm: hand-computed stats incl. negative samples") {
+    // samples 1000, -2000, 3000, -4000 as 16-bit LE PCM — the negative
+    // values exercise the sign extension the ASCII-payload oracle can't
+    val samples = Array(1000, -2000, 3000, -4000)
+    val payload = samples.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val wav = MultimodalOps.wavBytes(payload, channels = 1,
+      sampleRate = 8000, bitsPerSample = 16)
+    val media = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val got = MultimodalOps.decodeAudioPcm(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val w = got(1L)
+    assert(w.getString(1) == "pcm16")
+    assert(w.getInt(2) == 4)           // n_samples
+    assert(w.getInt(3) == 4000)        // peak_abs
+    assert(w.getLong(4) == 10000L)     // sum_abs
+    // 1e6 + 4e6 + 9e6 + 16e6
+    assert(w.getLong(5) == 30000000L)  // sum_sq
+    // mean = -500; centered signs +,-,+,- -> 3 crossings
+    assert(w.getInt(6) == 3)           // dc_crossings
+    assert(w.getInt(7) == 0)           // n_frames (< 64 samples)
+    assert(w.isNullAt(8))              // max_frame_energy: no full frame
+    assert(got(2L).getString(1) == "unknown" && got(2L).isNullAt(2))
+  }
+
+  test("decodeAudioPcm frame energies: loudest 64-sample frame wins") {
+    // 128 samples: quiet frame (all 10) then loud frame (all 100)
+    val samples = Array.fill(64)(10) ++ Array.fill(64)(100)
+    val payload = samples.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val wav = MultimodalOps.wavBytes(payload, channels = 2,
+      sampleRate = 16000, bitsPerSample = 16)
+    val r = MultimodalOps.decodeAudioPcm(
+      Seq((7L, wav)).toDF("media_id", "media")).head()
+    assert(r.getInt(2) == 128 && r.getInt(7) == 2)
+    assert(r.getLong(8) == 64L * 100 * 100)
+    // all-positive signal: no DC crossings only if constant — here the
+    // mean sits between the frames, so exactly one crossing
+    assert(r.getInt(6) == 1)
+  }
 }
