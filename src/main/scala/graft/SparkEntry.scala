@@ -1456,6 +1456,22 @@ object SparkEntry {
       tune(s)
       CorpusOps.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // pretraining mixture reweighting: per-source token budgets via
+    // deterministic md5 hash sampling; weights 1+i%4 and wSum=50 are
+    // integer-exact doubles so the oracle's arithmetic is bit-identical
+    "llm_mixture_sample" -> ((s, dir) => {
+      tune(s)
+      val weights = (0 until 20).map(i => s"src$i" -> (1.0 + i % 4)).toMap
+      CorpusOps.mixtureSample(t(s, dir, "documents"), "doc_id", "text",
+        "source", weights, budgetTokens = 30000L)
+    }),
+    // CCNet-style head/middle/tail quality bands by unigram perplexity;
+    // the distributed GlobalRank replays as one rank() window in DuckDB
+    "llm_ppl_buckets" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.perplexityBuckets(t(s, dir, "documents"), "text", "doc_id",
+        nBuckets = 3)
+    }),
     // BM25 lexical retrieval: one stats row broadcast back, map-side
     // scoring, TakeOrdered cutoff
     "llm_bm25_topk" -> ((s, dir) => {
@@ -2925,6 +2941,46 @@ object SparkEntry {
                 round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp,
                 CAST(sum(tf.tf) AS BIGINT) AS n_tokens
          FROM tf JOIN p USING (word) GROUP BY 1""",
+    "llm_mixture_sample" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       t -> length(t) > 0)) AS INT) AS n_tokens
+           FROM documents),
+         ts AS (SELECT source, sum(n_tokens) AS t_s FROM b GROUP BY 1),
+         p AS (SELECT source,
+                      least(1.0, 30000.0 * (1.0 + CAST(substr(source, 4) AS INT) % 4)
+                                 / 50.0 / t_s) AS pp
+               FROM ts)
+         SELECT b.doc_id, b.source, b.n_tokens, round(p.pp, 6) AS p_keep,
+                (CAST(md5_number_lower('mix:' || b.doc_id)
+                      & 9223372036854775807 AS BIGINT) % 1000000)
+                  < CAST(floor(p.pp * 1000000) AS BIGINT) AS kept
+         FROM b JOIN p USING (source)""",
+    // rank on avg_logp DESC (monotone in ppl) — both engines rank the
+    // identical rounded quantity; GlobalRank's tie rule IS SQL rank()
+    "llm_ppl_buckets" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                             t -> length(t) > 0)) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         uni AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM uni),
+         p AS (SELECT word, ln(CAST(cnt AS DOUBLE) / total) AS logp
+               FROM uni CROSS JOIN tot),
+         lp AS (SELECT tf.doc_id,
+                       round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp,
+                       CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+                FROM tf JOIN p USING (word) GROUP BY 1),
+         rk AS (SELECT doc_id, avg_logp, n_tokens,
+                       rank() OVER (ORDER BY -avg_logp ASC) AS r,
+                       count(*) OVER () AS n
+                FROM lp)
+         SELECT doc_id, round(exp(-avg_logp), 4) AS ppl, n_tokens,
+                CAST(least(2, CAST(floor((r - 1) * 3.0 / n) AS BIGINT)) AS INT)
+                  AS bucket
+         FROM rk""",
     "llm_bm25_topk" ->
       """WITH d AS (
            SELECT doc_id,

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Corpus-wide (two-pass) training-data operators: benchmark decontamination,
   * TF-IDF keyword extraction, and unigram language-model scoring.
@@ -249,6 +250,85 @@ object CorpusOps {
       .groupBy(idCol)
       .agg(round(sum(col("tf") * col("logp")) / sum(col("tf")), 4).as("avg_logp"),
         sum("tf").cast("long").as("n_tokens"))
+  }
+
+  /** Data-mixture sampling: hit a per-source token budget by keeping each
+    * doc with probability `p_s = min(1, budget·w_s/Σw / tokens_s)` — the
+    * "mix web at 3×, code at 1×" reweighting step every pretraining corpus
+    * goes through. Selection is DETERMINISTIC hash sampling
+    * (`md5(seed:id) mod 1e6 < p_s·1e6` — the [[graft.llm.DedupOps
+    * .md5Lower63]] family), so every engine, run, retry, and the SQL
+    * oracle keep the identical doc set; expected kept tokens per source =
+    * its budget share (saturated sources keep everything).
+    *
+    * Returns every doc as `(idCol, sourceCol, n_tokens, p_keep, kept)` —
+    * callers filter on `kept`; emitting the verdict instead of dropping
+    * keeps the op auditable (per-source realized rates are one groupBy
+    * away).
+    *
+    * Scale: one token-count scan (columnar), one source-keyed aggregate
+    * (map-side partial sums — #sources rows survive), the per-source rate
+    * re-joined (broadcast at typical source/domain cardinalities; at
+    * millions of domains drop the hint and let AQE choose). Sources
+    * missing from `weights` rate as 0 and are dropped. */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Double], budgetTokens: Long,
+      seed: String = "mix"): DataFrame = {
+    val wSum = weights.values.sum
+    require(wSum > 0, "mixtureSample: weights must sum positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF(sourceCol, "__w")
+    val base = df.select(col(idCol), col(sourceCol),
+      TextOps.tokenCount(col(textCol)).as("n_tokens"))
+    val rates = base.groupBy(sourceCol).agg(sum("n_tokens").as("__ts"))
+      .join(broadcast(wDf), Seq(sourceCol), "left")
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(budgetTokens.toDouble) * coalesce(col("__w"), lit(0.0)) /
+            lit(wSum) / col("__ts")).as("__p"))
+    base.join(broadcast(rates), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        round(col("__p"), 6).as("p_keep"),
+        (pmod(DedupOps.md5Lower63(
+          concat(lit(seed + ":"), col(idCol).cast(StringType))),
+          lit(1000000L)) <
+          floor(col("__p") * 1000000).cast(LongType)).as("kept"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019): score every
+    * doc by its perplexity under the corpus unigram LM
+    * ([[unigramLogProb]]), rank corpus-wide, and cut into `nBuckets`
+    * equal-population quality bands (bucket 0 = lowest perplexity =
+    * "head"). The real CCNet uses a 5-gram KenLM; the unigram model keeps
+    * the operator dependency-free while exercising the identical
+    * distributed shape (LM scoring pass + global rank + banding).
+    *
+    * Ranking is on `avg_logp` (descending — monotone in perplexity), NOT
+    * on the derived `ppl` column: both engines rank the identical rounded
+    * quantity, so a tie can never straddle engines differently via the
+    * extra exp/round step. The global rank is [[graft.operators
+    * .GlobalRank]] — range-repartition + per-partition offsets, never an
+    * `Exchange SinglePartition`; ties share the min rank exactly like SQL
+    * `rank()`, so the whole operator replays as one window function in
+    * the oracle. Docs with zero tokens carry no LM evidence and are
+    * absent (inherited from [[unigramLogProb]]'s inner join).
+    *
+    * `bucket = least(nBuckets-1, (rank-1)·nBuckets / n)` — rank ties land
+    * in one bucket, the last bucket absorbs the remainder. */
+  def perplexityBuckets(corpus: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val lp = unigramLogProb(corpus, textCol, idCol)
+      .withColumn("__neglp", -col("avg_logp"))
+    val ranked = graft.operators.GlobalRank.withRank(
+      lp, "__neglp", "__rk", "__n")
+    ranked.select(col(idCol),
+      round(exp(-col("avg_logp")), 4).as("ppl"),
+      col("n_tokens"),
+      least(lit(nBuckets - 1),
+        floor((col("__rk") - 1) * nBuckets / col("__n")).cast(IntegerType))
+        .as("bucket"))
   }
 
   /** BM25 top-k retrieval for a literal query (Robertson/Sparck Jones,

@@ -234,6 +234,62 @@ class CorpusOpsSpec extends SparkSpec {
     assert(run().sortBy(_._1).toSeq == a.sortBy(_._1).toSeq)
   }
 
+  test("mixtureSample: per-source rates hit the token budget, hash-deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4", "web"),  // web: 8 tokens total
+      (2L, "w5 w6 w7 w8", "web"),
+      (3L, "c1 c2", "code"),       // code: 4 tokens total
+      (4L, "c3 c4", "code"),
+      (5L, "junk junk", "spam")    // not in weights -> p 0, dropped
+    ).toDF("doc_id", "text", "source")
+    // budget 6 of 12 weighted tokens: web target 6*3/4=4.5 of 8 -> p .5625;
+    // code target 6*1/4=1.5 of 4 -> p .375
+    val got = CorpusOps.mixtureSample(df, "doc_id", "text", "source",
+      Map("web" -> 3.0, "code" -> 1.0), budgetTokens = 6L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == 5)
+    assert(got(1L)._3 == 0.5625 && got(3L)._3 == 0.375)
+    assert(got(5L)._3 == 0.0 && !got(5L)._4)
+    // saturation: budget >= all weighted tokens -> every doc kept at p 1
+    val all = CorpusOps.mixtureSample(df, "doc_id", "text", "source",
+      Map("web" -> 1.0, "code" -> 1.0), budgetTokens = 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(all(1L) && all(2L) && all(3L) && all(4L) && !all(5L))
+    // deterministic: identical verdicts on a re-run
+    val again = CorpusOps.mixtureSample(df, "doc_id", "text", "source",
+      Map("web" -> 3.0, "code" -> 1.0), budgetTokens = 6L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(again == got.view.mapValues(_._4).toMap)
+  }
+
+  test("perplexityBuckets: common-word docs land in the head band") {
+    import spark.implicits._
+    // 'a' dominates the corpus -> the all-'a' doc has the lowest
+    // perplexity; the rare-word doc the highest
+    val df = Seq(
+      (1L, "a a a a a a"),
+      (2L, "a a a b"),
+      (3L, "a b c"),
+      (4L, "x y z"), // every token rare
+      (5L, "a a b b"),
+      (6L, "a a a a b b")).toDF("doc_id", "text")
+    val got = CorpusOps.perplexityBuckets(df, "text", "doc_id", nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(3)))
+    val byId = got.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) == 0, "lowest-ppl doc is head")
+    assert(byId(4L) == 2, "rare-word doc is tail")
+    // buckets are monotone in ppl: sorting by ppl never decreases bucket
+    val sorted = got.sortBy(_._2).map(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // 6 docs / 3 buckets -> balanced 2/2/2 (no rank ties here)
+    assert(got.groupBy(_._3).view.mapValues(_.length).toMap ==
+      Map(0 -> 2, 1 -> 2, 2 -> 2))
+  }
+
   test("decontaminateBloom is a superset of the exact probe; check row pins it") {
     import spark.implicits._
     val corpus = Seq(
