@@ -1250,6 +1250,21 @@ object SparkEntry {
       graft.llm.MultimodalOps.decodeAvMeta(
         graft.llm.MultimodalOps.synthAv(t(s, dir, "documents"), "text", "doc_id"))
     }),
+    // REAL video decode loop: synthAvi writes actual AVI containers (RIFF
+    // hdrl/movi) whose frame pixels are a closed form of (id, frame, x, y)
+    // — even ids raw-DIB frames (pure byte-math decode), odd ids
+    // PNG-compressed "00dc" frames (ImageIO decode) — and
+    // decodeVideoFrames walks the container back to per-frame integer
+    // pixel statistics; the oracle recomputes every stat from the formula
+    // without touching a byte, so a hash match proves BOTH codec paths of
+    // the container-write -> chunk-walk -> decode -> aggregate loop
+    "llm_video_frames" -> ((s, dir) => {
+      tune(s)
+      val media = graft.llm.MultimodalOps.synthAvi(
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+        "doc_id", 24, 16, nFrames = 3)
+      graft.llm.MultimodalOps.decodeVideoFrames(media)
+    }),
     "llm_cosine_topk" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings")
@@ -2682,6 +2697,24 @@ object SparkEntry {
                      ELSE (octet_length(encode(text)) * 25 * 1000) // (1000 + doc_id % 10)
                      END AS BIGINT) AS duration_ms
          FROM documents""",
+    "llm_video_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+         fr AS (SELECT doc_id, t0.range AS f FROM ids, range(0, 3) t0),
+         px AS (SELECT doc_id, f, t1.range AS x, t2.range AS y
+                FROM fr, range(0, 24) t1, range(0, 16) t2),
+         v AS (SELECT doc_id, f, x, y,
+                 (doc_id*31 + f*29 + x*7 + y*13) % 256 AS r,
+                 (doc_id*17 + f*23 + x*11 + y*5) % 256 AS g,
+                 (doc_id*23 + f*41 + x*3 + y*19) % 256 AS b
+               FROM px)
+         SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           CAST(f * 40 AS BIGINT) AS frame_ts_ms,
+           24 AS width, 16 AS height,
+           sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum,
+           CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'imageio' END AS codec
+         FROM v GROUP BY 1, 2, 3""",
     "llm_quality" ->
       """WITH b AS (
            SELECT doc_id, text, length(text) AS nc,

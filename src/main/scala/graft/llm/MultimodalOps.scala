@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/GIF/BMP bytes with no external dependency. AUDIO sample decode
   * is REAL for 16-bit PCM WAV ([[decodeAudioPcm]] — PCM needs no codec).
   * Container METADATA decode (PNG/JPEG/GIF headers, WAV RIFF, MP4 boxes)
-  * is dependency-free byte parsing. Only VIDEO sample decode remains
-  * stubbed (H.264 & co. don't ship in the JDK) with deterministic
-  * byte-derived fakes, clearly marked below — swapping in a real codec
-  * changes only the marked function bodies.
+  * is dependency-free byte parsing. VIDEO frame decode is REAL for AVI
+  * with raw-DIB or image-per-frame (PNG/MJPG) codecs
+  * ([[decodeVideoFrames]] — RIFF chunk walk + byte-math/ImageIO, no codec
+  * jar). Only inter-frame-compressed codecs (H.264 & co., which don't
+  * ship in the JDK) stay out of scope; blobs in those codecs report
+  * metadata only.
   */
 object MultimodalOps {
 
@@ -331,19 +333,34 @@ object MultimodalOps {
     StructField("frame_ts_ms", LongType),
     StructField("frame", BinaryType)))
 
-  /** Sample `n` frames per media blob (video frame-sampling plumbing).
-    * STUB: frames are byte slices; a real impl would seek+decode. 1→N row
-    * explosion, schema, and ordering are real. */
+  /** Sample `n` frames per media blob. For an AVI blob the frames are
+    * REAL: `n` evenly-spaced "##db"/"##dc" chunk payloads located by the
+    * movi chunk walk (undecoded frames are seeked past, never read) with
+    * timestamps from the container's frame period. For any other blob the
+    * frames are byte slices — plumbing-only fallback, same 1→N explosion,
+    * schema, and ordering. */
   def sampleFrames(media: DataFrame, n: Int, frameMs: Long = 40L): DataFrame =
     media.select(col("media_id"), col("media")).mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         if (bytes == null || bytes.isEmpty) Iterator.empty
-        else (0 until n).iterator.map { i =>
-          val start = (bytes.length.toLong * i / n).toInt
-          val end = math.min(bytes.length, start + 16)
-          Row(id, i, i * frameMs, java.util.Arrays.copyOfRange(bytes, start, end))
+        else aviMeta(bytes) match {
+          case Some((_, _, total, usPerFrame, _)) if total > 0 =>
+            val want = (0 until math.min(n, total))
+              .map(i => i.toLong * total / math.min(n, total)).toSet
+            aviFrameChunks(bytes)
+              .filter { case (idx, _, _, _) => want(idx.toLong) }
+              .zipWithIndex
+              .map { case ((idx, _, off, len), outIdx) =>
+                Row(id, outIdx, idx.toLong * usPerFrame / 1000L,
+                  java.util.Arrays.copyOfRange(bytes, off, off + len))
+              }
+          case _ => (0 until n).iterator.map { i =>
+            val start = (bytes.length.toLong * i / n).toInt
+            val end = math.min(bytes.length, start + 16)
+            Row(id, i, i * frameMs, java.util.Arrays.copyOfRange(bytes, start, end))
+          }
         }
       }
     }(Encoders.row(frameSchema))
@@ -599,17 +616,325 @@ object MultimodalOps {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val n = if (bytes == null) 0 else bytes.length
-        wavMeta(if (bytes == null) Array.empty else bytes) match {
+        val safe = if (bytes == null) Array.empty[Byte] else bytes
+        wavMeta(safe) match {
           case Some((ch, rate, bits, durMs)) =>
             Row(id, n, "wav", ch, rate, bits, durMs)
-          case None => mp4Meta(if (bytes == null) Array.empty else bytes) match {
+          case None => mp4Meta(safe) match {
             case Some((_, _, durMs)) =>
               Row(id, n, "mp4", null, null, null, durMs)
-            case None => Row(id, n, "unknown", null, null, null, null)
+            case None => aviMeta(safe) match {
+              case Some((_, _, total, usPerFrame, _)) =>
+                Row(id, n, "avi", null, null, null,
+                  total.toLong * usPerFrame / 1000L)
+              case None => Row(id, n, "unknown", null, null, null, null)
+            }
           }
         }
       }
     }(Encoders.row(avSchema))
+
+  // ---- VIDEO: real AVI container + real frame pixel decode -------------
+  //
+  // AVI is RIFF (the same little-endian chunk walk as WAV): RIFF/"AVI "
+  // holds LIST/hdrl (avih main header + LIST/strl stream headers) and
+  // LIST/movi whose subchunks "##db" (uncompressed DIB) / "##dc"
+  // (compressed) are the frames. Two codecs need NO external library:
+  //  - raw 24-bit DIB (BI_RGB, bottom-up BGR rows, 4-byte row stride) —
+  //    pure byte math, pixel-exact, so a SQL oracle can replay the decode;
+  //  - image-per-frame codecs whose payload ImageIO reads (PNG pixel-exact,
+  //    MJPG = real lossy JPEG frames).
+  // This closes the former "video pixels are stubbed" gap the same way
+  // ImageIO closed images: real container, real pixels, no codec jar.
+
+  private def dibStride(w: Int) = ((3 * w + 3) / 4) * 4
+
+  /** AVI main-header fields from LIST/hdrl/avih plus the stream fourcc from
+    * strh: (width, height, totalFrames, usPerFrame, handler). */
+  private[graft] def aviMeta(b: Array[Byte]): Option[(Int, Int, Int, Int, String)] = {
+    def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'A' || b(9) != 'V' || b(10) != 'I' ||
+        b(11) != ' ') return None
+    def walk(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] { // (id or "LIST:type", payloadStart, payloadEnd)
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val id = new String(b, i, 4, "US-ASCII")
+          val size = le32(i + 4)
+          val end = math.min(hi.toLong, i + 8L + size).toInt
+          val out =
+            if (id == "LIST" && end - i >= 12)
+              ("LIST:" + new String(b, i + 8, 4, "US-ASCII"), i + 12, end)
+            else (id, i + 8, end)
+          i = math.min(hi.toLong, i + 8L + size + (size & 1L)).toInt
+          out
+        }
+      }
+    walk(12, b.length).collectFirst { case ("LIST:hdrl", s, e) =>
+      val inner = walk(s, e).toList
+      for {
+        (_, as, ae) <- inner.collectFirst { case t @ ("avih", _, _) => t }
+        if ae - as >= 40
+        handler = inner.collectFirst { case ("LIST:strl", ss, se) =>
+          walk(ss, se).collectFirst { case ("strh", hs, he) if he - hs >= 8 =>
+            new String(b, hs + 4, 4, "US-ASCII")
+          }
+        }.flatten.getOrElse("    ")
+      } yield (le32(as + 32).toInt, le32(as + 36).toInt, le32(as + 16).toInt,
+        le32(as).toInt, handler)
+    }.flatten
+  }
+
+  /** Frame chunks from LIST/movi without decoding anything: (frameIdx,
+    * "db"|"dc", payloadOffset, payloadLen) in file order — the seek path
+    * that lets stride sampling SKIP undecoded frames entirely. */
+  private[graft] def aviFrameChunks(b: Array[Byte]): Iterator[(Int, String, Int, Int)] = {
+    def le32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 12 || b(0) != 'R' || b(8) != 'A' || b(9) != 'V' ||
+        b(10) != 'I') return Iterator.empty
+    var moviLo = -1; var moviHi = -1
+    var i = 12
+    while (i + 8 <= b.length && moviLo < 0) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4)
+      val end = math.min(b.length.toLong, i + 8L + size).toInt
+      if (id == "LIST" && end - i >= 12 &&
+          new String(b, i + 8, 4, "US-ASCII") == "movi") {
+        moviLo = i + 12; moviHi = end
+      }
+      i = math.min(b.length.toLong, i + 8L + size + (size & 1L)).toInt
+    }
+    if (moviLo < 0) return Iterator.empty
+    var j = moviLo
+    var idx = 0
+    new Iterator[(Int, String, Int, Int)] {
+      private var nextChunk: (Int, String, Int, Int) = advance()
+      private def advance(): (Int, String, Int, Int) = {
+        while (j + 8 <= moviHi) {
+          val id = new String(b, j, 4, "US-ASCII")
+          val size = le32(j + 4)
+          val off = j + 8
+          val len = math.min(size, moviHi - off.toLong).toInt
+          j = math.min(moviHi.toLong, j + 8L + size + (size & 1L)).toInt
+          val suffix = id.substring(2)
+          if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (suffix == "db" || suffix == "dc")) {
+            val out = (idx, suffix, off, len)
+            idx += 1
+            return out
+          }
+        }
+        null
+      }
+      def hasNext: Boolean = nextChunk != null
+      def next(): (Int, String, Int, Int) = {
+        val out = nextChunk; nextChunk = advance(); out
+      }
+    }
+  }
+
+  private val videoFrameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_ts_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("px_checksum", LongType),
+    StructField("codec", StringType)))
+
+  /** REAL video frame pixel decode over AVI blobs. Every `stride`-th frame
+    * decodes; skipped frames are never touched (the chunk walk seeks past
+    * them — at 100 TB the sampled-decode cost is frames/stride, not
+    * frames). "##db" chunks are raw 24-bit bottom-up BGR DIBs (pure byte
+    * math); "##dc" payloads go through ImageIO (PNG frames decode
+    * pixel-exact; MJPG frames are real lossy JPEG). Per-frame integer
+    * statistics match [[decodeImagePixels]] exactly, so the same SQL
+    * oracle formula covers stills and motion. Undecodable frames are
+    * dropped (parsed or absent, no fakes). */
+  def decodeVideoFrames(media: DataFrame, stride: Int = 1): DataFrame =
+    media.select(col("media_id").cast(LongType), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
+          aviMeta(bytes) match {
+            case None => Iterator.empty
+            case Some((w, h, _, usPerFrame, _)) =>
+              aviFrameChunks(bytes)
+                .filter { case (idx, _, _, _) => idx % stride == 0 }
+                .flatMap { case (idx, kind, off, len) =>
+                  val ts = idx.toLong * usPerFrame / 1000L
+                  if (kind == "db" && len >= dibStride(w) * h) {
+                    val stride0 = dibStride(w)
+                    var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+                    var y = 0
+                    while (y < h) {
+                      val rowOff = off + (h - 1 - y) * stride0 // bottom-up
+                      var x = 0
+                      while (x < w) {
+                        val bb = bytes(rowOff + 3 * x) & 0xff
+                        val gg = bytes(rowOff + 3 * x + 1) & 0xff
+                        val rr = bytes(rowOff + 3 * x + 2) & 0xff
+                        sr += rr; sg += gg; sb += bb
+                        ck += (3L * rr + 5L * gg + 7L * bb) *
+                          ((x + y.toLong * w) % 1000 + 1)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    Iterator.single(Row(id, idx, ts, w, h, sr, sg, sb, ck, "dib"))
+                  } else if (kind == "dc") {
+                    val img =
+                      try javax.imageio.ImageIO.read(
+                        new java.io.ByteArrayInputStream(
+                          java.util.Arrays.copyOfRange(bytes, off, off + len)))
+                      catch { case _: Exception => null }
+                    if (img == null) Iterator.empty
+                    else {
+                      val iw = img.getWidth; val ih = img.getHeight
+                      var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+                      var y = 0
+                      while (y < ih) {
+                        var x = 0
+                        while (x < iw) {
+                          val p = img.getRGB(x, y)
+                          val rr = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff
+                          val bb = p & 0xff
+                          sr += rr; sg += gg; sb += bb
+                          ck += (3L * rr + 5L * gg + 7L * bb) *
+                            ((x + y.toLong * iw) % 1000 + 1)
+                          x += 1
+                        }
+                        y += 1
+                      }
+                      Iterator.single(Row(id, idx, ts, iw, ih, sr, sg, sb, ck,
+                        "imageio"))
+                    }
+                  } else Iterator.empty
+                }
+          }
+        }
+      }(Encoders.row(videoFrameSchema))
+
+  /** The closed-form frame pixel: the [[synthPng]] formula with the frame
+    * index folded in, so oracles recompute any frame of any video from
+    * (id, f, x, y) alone. */
+  private def framePixel(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt,
+    ((id * 17 + f * 23 + x * 11 + y * 5) % 256).toInt,
+    ((id * 23 + f * 41 + x * 3 + y * 19) % 256).toInt)
+
+  private def frameImage(id: Long, f: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (rr, gg, bb) = framePixel(id, f, x, y)
+        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Build one REAL AVI file: RIFF("AVI ") { LIST(hdrl){avih,
+    * LIST(strl){strh,strf}}, LIST(movi){frames} }. `codec` "dib" writes
+    * raw bottom-up BGR "00db" chunks; "png"/"jpeg" write "00dc" chunks
+    * whose payload is the ImageIO encoding of each frame (fccHandler
+    * "MPNG"/"MJPG"). */
+  private[graft] def aviBytes(id: Long, w: Int, h: Int, nFrames: Int,
+      usPerFrame: Int, codec: String): Array[Byte] = {
+    val frames: Array[Array[Byte]] = (0 until nFrames).map { f =>
+      if (codec == "dib") {
+        val stride = dibStride(w)
+        val out = new Array[Byte](stride * h)
+        var y = 0
+        while (y < h) {
+          val rowOff = (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val (rr, gg, bb) = framePixel(id, f, x, y)
+            out(rowOff + 3 * x) = bb.toByte
+            out(rowOff + 3 * x + 1) = gg.toByte
+            out(rowOff + 3 * x + 2) = rr.toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      } else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(frameImage(id, f, w, h),
+          if (codec == "jpeg") "jpg" else "png", bos)
+        bos.toByteArray
+      }
+    }.toArray
+    val (chunkId, handler, compression) = codec match {
+      case "dib"  => ("00db", "DIB ", 0L)
+      case "jpeg" => ("00dc", "MJPG", 0x47504a4dL) // 'MJPG' le
+      case _      => ("00dc", "MPNG", 0x474e504dL) // 'MPNG' le
+    }
+    val maxFrame = frames.map(_.length).max
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    val avih = fcc("avih") ++ le32b(56) ++ le32b(usPerFrame) ++ le32b(0) ++
+      le32b(0) ++ le32b(0) ++ le32b(nFrames) ++ le32b(0) ++ le32b(1) ++
+      le32b(maxFrame) ++ le32b(w) ++ le32b(h) ++ new Array[Byte](16)
+    val strh = fcc("strh") ++ le32b(56) ++ fcc("vids") ++ fcc(handler) ++
+      le32b(0) ++ le16b(0) ++ le16b(0) ++ le32b(0) ++ le32b(usPerFrame) ++
+      le32b(1000000) ++ le32b(0) ++ le32b(nFrames) ++ le32b(maxFrame) ++
+      le32b(0) ++ le32b(0) ++ le16b(0) ++ le16b(0) ++ le16b(w) ++ le16b(h)
+    val strf = fcc("strf") ++ le32b(40) ++ le32b(40) ++ le32b(w) ++ le32b(h) ++
+      le16b(1) ++ le16b(24) ++ le32b(compression) ++
+      le32b(dibStride(w).toLong * h) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(0)
+    val strl = fcc("LIST") ++ le32b(4L + strh.length + strf.length) ++
+      fcc("strl") ++ strh ++ strf
+    val hdrl = fcc("LIST") ++ le32b(4L + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+    val movi = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(fcc("LIST"))
+      val frameBytes = frames.map { fb =>
+        fcc(chunkId) ++ le32b(fb.length) ++ fb ++
+          (if (fb.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      }
+      bos.write(le32b(4L + frameBytes.map(_.length).sum))
+      bos.write(fcc("movi"))
+      frameBytes.foreach(bos.write)
+      bos.toByteArray
+    }
+    fcc("RIFF") ++ le32b(4L + hdrl.length + movi.length) ++ fcc("AVI ") ++
+      hdrl ++ movi
+  }
+
+  /** Deterministic AVI synthesis per row — REAL video files whose frame
+    * pixels are the closed form [[framePixel]], so SQL oracles verify the
+    * ENTIRE container-write → chunk-walk → codec-decode → aggregate loop.
+    * Even ids carry raw-DIB frames, odd ids PNG-compressed "00dc" frames —
+    * one query exercises both decode paths, both pixel-exact. */
+  def synthAvi(df: DataFrame, idCol: String, w: Int, h: Int, nFrames: Int,
+      usPerFrame: Int = 40000): DataFrame =
+    df.select(col(idCol).cast(LongType).as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val codec = if (id % 2 == 0) "dib" else "png"
+          Row(id, aviBytes(id, w, h, nFrames, usPerFrame, codec), "video/avi")
+        }
+      }(Encoders.row(StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("media", BinaryType),
+        StructField("media_type", StringType)))))
 
   /** Byte-level feature extraction: a deterministic 16-dim embedding from
     * rolling byte statistics. STUB for a real vision/audio encoder; the

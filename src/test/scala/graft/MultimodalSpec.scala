@@ -253,4 +253,76 @@ class MultimodalSpec extends SparkSpec {
     // mean sits between the frames, so exactly one crossing
     assert(r.getInt(6) == 1)
   }
+
+  private def expectedFrameStats(id: Long, f: Int, w: Int, h: Int) = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (id * 31 + f * 29 + x * 7 + y * 13) % 256
+      val g = (id * 17 + f * 23 + x * 11 + y * 5) % 256
+      val b = (id * 23 + f * 41 + x * 3 + y * 19) % 256
+      sr += r; sg += g; sb += b
+      ck += (3 * r + 5 * g + 7 * b) * ((x + y.toLong * w) % 1000 + 1)
+    }
+    (sr, sg, sb, ck)
+  }
+
+  test("synthAvi -> decodeVideoFrames round-trips both codecs losslessly") {
+    val ids = Seq(0L, 3L, 10L, 41L).toDF("doc_id") // even=dib, odd=png
+    val out = MultimodalOps.decodeVideoFrames(
+        MultimodalOps.synthAvi(ids, "doc_id", 24, 16, nFrames = 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(out.size == 12)
+    for (id <- Seq(0L, 3L, 10L, 41L); f <- 0 until 3) {
+      val r = out((id, f))
+      val (sr, sg, sb, ck) = expectedFrameStats(id, f, 24, 16)
+      assert(r.getLong(2) == f * 40L) // 40000 us/frame
+      assert(r.getInt(3) == 24 && r.getInt(4) == 16)
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+        ((sr, sg, sb, ck)), s"id=$id f=$f")
+      assert(r.getString(9) == (if (id % 2 == 0) "dib" else "imageio"))
+    }
+  }
+
+  test("decodeVideoFrames stride decodes only every k-th frame") {
+    val ids = Seq(2L).toDF("doc_id")
+    val out = MultimodalOps.decodeVideoFrames(
+        MultimodalOps.synthAvi(ids, "doc_id", 24, 16, nFrames = 10),
+        stride = 4)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(out == Seq(0, 4, 8))
+  }
+
+  test("MJPG frames (real lossy JPEG) decode through the same walk") {
+    val avi = MultimodalOps.aviBytes(5L, 24, 16, nFrames = 2,
+      usPerFrame = 33333, codec = "jpeg")
+    // container parses with the MJPG handler
+    val Some((w, h, total, us, handler)) = MultimodalOps.aviMeta(avi)
+    assert((w, h, total, us, handler) == ((24, 16, 2, 33333, "MJPG")))
+    val rows = MultimodalOps.decodeVideoFrames(
+      Seq((5L, avi)).toDF("media_id", "media")).collect()
+    assert(rows.length == 2 && rows.forall(_.getString(9) == "imageio"))
+    // lossy codec: stats are near, not equal — channel means within 16/255
+    for (r <- rows) {
+      val (sr, sg, sb, _) = expectedFrameStats(5L, r.getInt(1), 24, 16)
+      val n = 24 * 16
+      assert(math.abs(r.getLong(5) - sr) <= 16L * n, "r channel drifted")
+      assert(math.abs(r.getLong(6) - sg) <= 16L * n, "g channel drifted")
+      assert(math.abs(r.getLong(7) - sb) <= 16L * n, "b channel drifted")
+    }
+  }
+
+  test("sampleFrames returns REAL evenly-spaced chunk payloads for AVI") {
+    val ids = Seq(4L).toDF("doc_id")
+    val media = MultimodalOps.synthAvi(ids, "doc_id", 24, 16, nFrames = 8)
+    val frames = MultimodalOps.sampleFrames(media, n = 4).collect()
+      .sortBy(_.getInt(1))
+    assert(frames.length == 4)
+    // evenly spaced over 8 frames: source indexes 0,2,4,6 -> ts 0,80,160,240
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 80L, 160L, 240L))
+    // payload IS the raw DIB frame (stride 72 * 16 rows), not a 16-byte slice
+    assert(frames.forall(_.getAs[Array[Byte]](3).length == 72 * 16))
+    // decodeAvMeta reports the avi kind + duration from the frame period
+    val meta = MultimodalOps.decodeAvMeta(media).head()
+    assert(meta.getString(2) == "avi" && meta.getLong(6) == 8L * 40)
+  }
 }
