@@ -1081,6 +1081,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     }),
+    // the published C4 + Gopher rule filters as one shuffle-free codegen
+    // scan; the oracle recomputes every named rule in SQL
+    "llm_gopher_c4" -> ((s, dir) => {
+      tune(s)
+      TextOps.gopherC4Rules(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "n_lines", "n_sentences",
+          "mean_word_len", "c4_short_line_frac", "c4_sentences_ok",
+          "c4_no_lorem", "c4_no_brace", "g_wordcount_ok", "g_mwl_ok",
+          "g_symbol_ok", "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok",
+          "g_stopwords_ok", "keep")
+    }),
     "llm_fingerprint" -> ((s, dir) => {
       tune(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -2715,6 +2726,66 @@ object SparkEntry {
            sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum,
            CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'imageio' END AS codec
          FROM v GROUP BY 1, 2, 3""",
+    "llm_gopher_c4" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         t -> length(t) > 0) AS toks,
+             list_filter(regexp_split_to_array(text, '\n'),
+                         l -> length(trim(l)) > 0) AS lines
+           FROM documents),
+         f AS (
+           SELECT doc_id, text, len(toks) AS nw, len(lines) AS nl,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / len(toks) ELSE 0 END AS mwl,
+             len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                 s2 -> length(trim(s2)) > 0)) AS ns,
+             len(list_filter(lines, l ->
+               len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                   t -> length(t) > 0)) < 5)) AS short_lines,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*[-*•]'))) AS bullet_lines,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS ell_lines,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ells,
+             len(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words,
+             (SELECT sum(CASE WHEN list_contains(
+                 list_transform(toks, t -> lower(t)), w) THEN 1 ELSE 0 END)
+              FROM (VALUES ('the'), ('be'), ('to'), ('of'), ('and'),
+                           ('that'), ('have'), ('with')) req(w)) AS req_hits
+           FROM b),
+         r AS (
+           SELECT doc_id, nw, nl, ns, mwl,
+             CASE WHEN nl > 0 THEN CAST(short_lines AS DOUBLE) / nl
+                  ELSE 0 END AS slf,
+             ns >= 3 AS c4_sentences_ok,
+             NOT contains(lower(text), 'lorem ipsum') AS c4_no_lorem,
+             NOT contains(text, '{') AS c4_no_brace,
+             nw >= 50 AND nw <= 100000 AS g_wordcount_ok,
+             mwl >= 3 AND mwl <= 10 AS g_mwl_ok,
+             (CASE WHEN nw > 0 THEN CAST(hashes + ells AS DOUBLE) / nw
+                   ELSE 0 END) <= 0.1 AS g_symbol_ok,
+             (CASE WHEN nl > 0 THEN CAST(bullet_lines AS DOUBLE) / nl
+                   ELSE 0 END) <= 0.9 AS g_bullet_ok,
+             (CASE WHEN nl > 0 THEN CAST(ell_lines AS DOUBLE) / nl
+                   ELSE 0 END) <= 0.3 AS g_ellipsis_ok,
+             CASE WHEN nw > 0 THEN CAST(alpha_words AS DOUBLE) / nw >= 0.8
+                  ELSE FALSE END AS g_alpha_ok,
+             req_hits >= 2 AS g_stopwords_ok
+           FROM f)
+         SELECT doc_id, CAST(nw AS INT) AS n_words, CAST(nl AS INT) AS n_lines,
+           CAST(ns AS INT) AS n_sentences, round(mwl, 6) AS mean_word_len,
+           round(slf, 6) AS c4_short_line_frac,
+           c4_sentences_ok, c4_no_lorem, c4_no_brace, g_wordcount_ok,
+           g_mwl_ok, g_symbol_ok, g_bullet_ok, g_ellipsis_ok, g_alpha_ok,
+           g_stopwords_ok,
+           (c4_sentences_ok AND c4_no_lorem AND c4_no_brace AND
+            g_wordcount_ok AND g_mwl_ok AND g_symbol_ok AND g_bullet_ok AND
+            g_ellipsis_ok AND g_alpha_ok AND g_stopwords_ok) AS keep
+         FROM r""",
     "llm_quality" ->
       """WITH b AS (
            SELECT doc_id, text, length(text) AS nc,

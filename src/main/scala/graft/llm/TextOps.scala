@@ -159,6 +159,79 @@ object TextOps {
         top.as("top_bigram_count"))
     }), 1)
 
+  // --- published rule-based corpus filters (C4 + Gopher) -------------------
+
+  /** Gopher's required-word list (Rae et al. 2021, appendix A1: a document
+    * must contain at least two of these). */
+  val gopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published C4 (Raffel et al. 2020 §2.2) and Gopher (Rae et al.
+    * 2021, appendix A1) rule filters as ONE columnar pass — per-document
+    * named rule verdicts plus the conjunction, entirely
+    * `org.apache.spark.sql.functions` (no UDFs, whole-stage codegen, zero
+    * shuffle; at 100 TB this is a map-only scan):
+    *
+    *  - C4: ≥3 sentences; no "lorem ipsum"; no curly brace; fraction of
+    *    lines under 5 words (C4 drops such lines — reported as a fraction
+    *    so the caller picks the drop/keep policy);
+    *  - Gopher: word count in [50, 100k]; mean word length in [3, 10];
+    *    symbol-to-word ratio (# or ...) ≤ 0.1; ≤90% of lines starting
+    *    with a bullet; ≤30% of lines ending in an ellipsis; ≥80% of words
+    *    with an alphabetic character; ≥2 distinct required words.
+    *
+    * Regex classes are spelled ASCII ([A-Za-z], explicit bullet chars) so
+    * a DuckDB/RE2 oracle matches Java byte-for-byte. */
+  def gopherC4Rules(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val mwl = when(nWords > 0, sumLen.cast(DoubleType) / nWords).otherwise(0d)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val shortLines = size(filter(lines, l => size(tokens(l)) < 5))
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    val nSentences =
+      size(filter(split(text, "[.!?]"), s => length(trim(s)) > 0))
+    val hashCount = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipsisCount =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(nWords > 0,
+      (hashCount + ellipsisCount).cast(DoubleType) / nWords).otherwise(0d)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val lowToks = transform(toks, lower _)
+    val requiredHits = gopherRequiredWords
+      .map(w => array_contains(lowToks, w).cast(IntegerType))
+      .reduce(_ + _)
+    val lineFrac = (c: Column) =>
+      when(nLines > 0, c.cast(DoubleType) / nLines).otherwise(0d)
+    val out = df
+      .withColumn("n_words", nWords)
+      .withColumn("n_lines", nLines)
+      .withColumn("n_sentences", nSentences)
+      .withColumn("mean_word_len", round(mwl, 6))
+      .withColumn("c4_short_line_frac", round(lineFrac(shortLines), 6))
+      .withColumn("c4_sentences_ok", nSentences >= 3)
+      .withColumn("c4_no_lorem", !lower(text).contains("lorem ipsum"))
+      .withColumn("c4_no_brace", !text.contains("{"))
+      .withColumn("g_wordcount_ok", nWords >= 50 && nWords <= 100000)
+      .withColumn("g_mwl_ok", mwl >= 3d && mwl <= 10d)
+      .withColumn("g_symbol_ok", symbolRatio <= 0.1)
+      .withColumn("g_bullet_ok", lineFrac(bulletLines) <= 0.9)
+      .withColumn("g_ellipsis_ok", lineFrac(ellipsisLines) <= 0.3)
+      .withColumn("g_alpha_ok",
+        when(nWords > 0, alphaWords.cast(DoubleType) / nWords >= 0.8)
+          .otherwise(lit(false)))
+      .withColumn("g_stopwords_ok", requiredHits >= 2)
+    out.withColumn("keep",
+      Seq("c4_sentences_ok", "c4_no_lorem", "c4_no_brace", "g_wordcount_ok",
+        "g_mwl_ok", "g_symbol_ok", "g_bullet_ok", "g_ellipsis_ok",
+        "g_alpha_ok", "g_stopwords_ok").map(col).reduce(_ && _))
+  }
+
   // --- PII scrubbing -------------------------------------------------------
 
   /** Replace common PII shapes with typed placeholders (training-data

@@ -346,4 +346,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L) == (("a b", 5)))
     assert(got(2L) == (("z y", 5)))
   }
+
+  test("gopherC4Rules: each published rule fires on its crafted violator") {
+    val good = (Seq.fill(20)("the cat and the dog ran to that big house with hats.").mkString(" "))
+    val docs = Seq(
+      1L -> good,                                   // passes everything
+      2L -> "Short. Yes. Ok.",                      // fails g_wordcount (3 sentences though)
+      3L -> (good + " lorem ipsum dolor"),          // fails c4_no_lorem
+      4L -> (good + " { code }"),                   // fails c4_no_brace
+      5L -> Seq.fill(60)("### # ## #").mkString(" ") ,   // symbol ratio >> 0.1
+      6L -> (1 to 60).map(i => s"- bullet item number $i ok").mkString("\n"), // all lines bullets
+      7L -> (Seq.fill(30)("the of and to be have that with word more...") .mkString("\n")), // >30% ellipsis lines
+      8L -> Seq.fill(60)("12345 67890").mkString(" "),  // alpha ratio 0
+      9L -> Seq.fill(60)("zebra quokka xylophone marble").mkString(" ")  // <2 required words
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherC4Rules(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), "good doc must pass all rules")
+    assert(!got(2L).getAs[Boolean]("g_wordcount_ok"))
+    assert(got(2L).getAs[Boolean]("c4_sentences_ok"))
+    assert(!got(3L).getAs[Boolean]("c4_no_lorem"))
+    assert(!got(4L).getAs[Boolean]("c4_no_brace"))
+    assert(!got(5L).getAs[Boolean]("g_symbol_ok"))
+    assert(!got(6L).getAs[Boolean]("g_bullet_ok"))
+    assert(!got(7L).getAs[Boolean]("g_ellipsis_ok"))
+    assert(!got(8L).getAs[Boolean]("g_alpha_ok"))
+    assert(!got(9L).getAs[Boolean]("g_stopwords_ok"))
+    assert(Seq(2L,3L,4L,5L,6L,7L,8L,9L).forall(i => !got(i).getAs[Boolean]("keep")))
+  }
 }
