@@ -1081,6 +1081,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     }),
+    // DSIR importance resampling (Xie et al. 2023): target = the English
+    // slice, raw = the whole corpus; hashed unigram+bigram bucket
+    // histograms -> per-doc log importance weight -> Gumbel-top-k with
+    // md5-derived noise; the oracle replays histograms, log-ratios, keys
+    // and the rank cutoff end to end
+    "llm_dsir" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      CorpusOps.dsirSelect(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 64, keepFraction = 0.25)
+    }),
     // the published C4 + Gopher rule filters as one shuffle-free codegen
     // scan; the oracle recomputes every named rule in SQL
     "llm_gopher_c4" -> ((s, dir) => {
@@ -2726,6 +2737,55 @@ object SparkEntry {
            sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum,
            CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'imageio' END AS codec
          FROM v GROUP BY 1, 2, 3""",
+    "llm_dsir" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> length(t) > 0) AS toks
+           FROM documents),
+         ng AS (
+           SELECT doc_id, lang,
+             flatten([toks, list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])]) AS ngs
+           FROM d),
+         ex AS (
+           SELECT doc_id, lang,
+             CAST((md5_number_lower(gg.u) & 9223372036854775807) % 64 AS INT) AS b
+           FROM ng, unnest(ngs) AS gg(u)),
+         ht AS (SELECT b, count(*) AS ct FROM ex WHERE lang = 'en' GROUP BY 1),
+         hr AS (SELECT b, count(*) AS cr FROM ex GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM ex WHERE lang = 'en') + 64 AS tt,
+                        (SELECT count(*) FROM ex) + 64 AS rt),
+         ratio AS (
+           SELECT r.range AS b,
+             ln((COALESCE(ht.ct, 0) + 1.0) / tot.tt)
+               - ln((COALESCE(hr.cr, 0) + 1.0) / tot.rt) AS lr
+           FROM range(0, 64) r
+           LEFT JOIN ht ON ht.b = r.range
+           LEFT JOIN hr ON hr.b = r.range, tot),
+         w AS (
+           SELECT n.doc_id, CAST(len(n.ngs) AS INT) AS n_features,
+             COALESCE((SELECT sum(ratio.lr) FROM unnest(n.ngs) AS g(u)
+               JOIN ratio ON ratio.b =
+                 CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT)),
+               0.0) AS logw
+           FROM ng n),
+         k AS (
+           SELECT doc_id, n_features, logw,
+             logw - ln(-ln(
+               ((md5_number_lower(CAST(doc_id AS VARCHAR) || ':dsir')
+                 & 9223372036854775807) % 281474976710656 + 0.5)
+               / 281474976710656.0)) AS key
+           FROM w),
+         r AS (
+           SELECT doc_id, n_features, logw, key,
+             rank() OVER (ORDER BY -key) AS rk,
+             count(*) OVER () AS n
+           FROM k)
+         SELECT doc_id, n_features, round(logw, 4) AS log_weight,
+           round(key, 4) AS gumbel_key,
+           rk <= greatest(ceil(n * 0.25), 1) AS selected
+         FROM r""",
     "llm_gopher_c4" ->
       """WITH b AS (
            SELECT doc_id, text,

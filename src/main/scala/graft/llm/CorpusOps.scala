@@ -428,4 +428,74 @@ object CorpusOps {
       .withColumn("shard", col("pos") % nShards)
       .drop("__mono", "__pid", "__local", "__off")
   }
+
+  /** DSIR features: hashed unigrams + bigrams of the lowercased whitespace
+    * tokens (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" — the paper's hashed n-gram feature space). */
+  private[llm] def dsirNgrams(text: Column): Column = {
+    val toks = transform(TextOps.tokens(text), lower _)
+    val len = greatest(size(toks) - 1, lit(0))
+    concat(toks, zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** DSIR importance resampling: score every raw document by how much more
+    * likely its hashed n-gram features are under the TARGET distribution
+    * than under the RAW distribution, then Gumbel-top-k sample by the
+    * importance weights — the published recipe, made deterministic:
+    *
+    *  1. bucket(ngram) = md5-low-63 % `buckets` (the hash the DuckDB
+    *     oracle replays bit-for-bit);
+    *  2. p̂/q̂ = add-one-smoothed bucket histograms of target/raw;
+    *  3. log w(d) = Σ_features [log p̂(b) − log q̂(b)];
+    *  4. key(d) = log w(d) + Gumbel(md5-derived uniform) — sampling
+    *     ∝ w without replacement via Gumbel-max, reproducible because the
+    *     "noise" is a hash of the id;
+    *  5. keep the top ⌈keepFraction·n⌉ keys ([[graft.operators.GlobalRank]]
+    *     — never an `Exchange SinglePartition`).
+    *
+    * 100 TB shape: two histogram passes (map-side combine onto `buckets`
+    * cells; the collect is `buckets` longs — metadata, like [[VectorOps]]'
+    * centroids), then scoring is a shuffle-free codegen scan against an
+    * array LITERAL of per-bucket log-ratios (no join at all), and the only
+    * shuffle is GlobalRank's range partition on the key. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64,
+      keepFraction: Double = 0.25): DataFrame = {
+    require(buckets > 0 && keepFraction > 0 && keepFraction <= 1)
+    val bucketOf = (c: Column) =>
+      pmod(DedupOps.md5Lower63(c), lit(buckets.toLong)).cast(IntegerType)
+    def histogram(df: DataFrame): Array[Long] = {
+      val arr = Array.fill(buckets)(0L)
+      df.select(explode(dsirNgrams(col(textCol))).as("__ng"))
+        .groupBy(bucketOf(col("__ng")).as("__b")).count()
+        .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val tCnt = histogram(target)
+    val rCnt = histogram(raw)
+    val tTot = (tCnt.sum + buckets).toDouble
+    val rTot = (rCnt.sum + buckets).toDouble
+    val ratio = (0 until buckets).map(b =>
+      math.log((tCnt(b) + 1.0) / tTot) - math.log((rCnt(b) + 1.0) / rTot))
+    val ratioLit = array(ratio.map(lit): _*)
+    val ngs = dsirNgrams(col(textCol))
+    val logw = aggregate(
+      transform(ngs, x => element_at(ratioLit, bucketOf(x) + 1)),
+      lit(0.0d), (acc, v) => acc + v)
+    val twoPow48 = (1L << 48).toDouble
+    val u = (pmod(DedupOps.md5Lower63(
+        concat(col(idCol).cast(StringType), lit(":dsir"))),
+      lit(1L << 48)).cast("double") + 0.5) / twoPow48
+    val key = logw - log(-log(u)) // log w + Gumbel(u)
+    val scored = raw.select(col(idCol), size(ngs).as("n_features"),
+      logw.as("__logw"), key.as("__key"), (-key).as("__negk"))
+    val ranked = graft.operators.GlobalRank.withRank(
+      scored, "__negk", "__rk", "__n")
+    ranked.select(col(idCol), col("n_features"),
+      round(col("__logw"), 4).as("log_weight"),
+      round(col("__key"), 4).as("gumbel_key"),
+      (col("__rk") <= greatest(ceil(col("__n") * keepFraction), lit(1L)))
+        .as("selected"))
+  }
 }

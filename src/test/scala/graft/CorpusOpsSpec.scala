@@ -374,4 +374,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!got(9L).getAs[Boolean]("g_stopwords_ok"))
     assert(Seq(2L,3L,4L,5L,6L,7L,8L,9L).forall(i => !got(i).getAs[Boolean]("keep")))
   }
+
+  test("dsirSelect: target-like docs get higher importance weights; cutoff = ceil(n/4)") {
+    // raw corpus: 8 docs in the target's vocabulary, 8 in a disjoint one
+    val targetish = (0 until 8).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog " + i))
+    val junk = (8 until 16).map(i => (i.toLong, "zzz qqq www eee rrr ttt yyy uuu iii " + i))
+    val raw = (targetish ++ junk).toDF("doc_id", "text")
+    val target = targetish.toDF("doc_id", "text")
+    val got = CorpusOps.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 32, keepFraction = 0.25).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 16)
+    val avgT = (0 until 8).map(i => got(i.toLong).getAs[Double]("log_weight")).sum / 8
+    val avgJ = (8 until 16).map(i => got(i.toLong).getAs[Double]("log_weight")).sum / 8
+    assert(avgT > avgJ, s"target-like docs must score higher: $avgT vs $avgJ")
+    assert(got.values.count(_.getAs[Boolean]("selected")) == 4) // ceil(16*0.25)
+    // deterministic: same inputs, same verdicts
+    val again = CorpusOps.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 32, keepFraction = 0.25).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("selected")).toMap
+    assert(got.forall { case (id, r) => again(id) == r.getAs[Boolean]("selected") })
+  }
 }
