@@ -521,6 +521,20 @@ object SparkEntry {
           "range_avg": {"$avg": {"$range": [0, "$l_linenumber"]}},
           "range_max": {"$max": {"$range": [0, "$l_linenumber"]}}}}
       ]""")),
+    // Mongo 7.0 $median/$percentile EXPRESSION forms (over an array input,
+    // distinct from the accumulator forms of q_group_median): exact linear
+    // interpolation, replayed by DuckDB's quantile_cont
+    "q_expr_percentile" -> ((s, dir) => pipe(s, dir, "lineitem",
+      """[
+        {"$group": {"_id": "$l_orderkey", "qs": {"$push": "$l_quantity"}}},
+        {"$set": {
+          "med": {"$round": [{"$median": {"input": "$qs", "method": "approximate"}}, 6]},
+          "p25": {"$round": [{"$arrayElemAt": [{"$percentile":
+            {"input": "$qs", "p": [0.25, 0.9], "method": "approximate"}}, 0]}, 6]},
+          "p90": {"$round": [{"$arrayElemAt": [{"$percentile":
+            {"input": "$qs", "p": [0.25, 0.9], "method": "approximate"}}, 1]}, 6]}}},
+        {"$unset": "qs"}
+      ]""")),
     "q_expr_arith" -> ((s, dir) => pipe(s, dir, "lineitem",
       """[
         {"$project": {"l_orderkey": 1, "l_linenumber": 1,
@@ -2401,6 +2415,12 @@ object SparkEntry {
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice <= 150000 THEN o_totalprice END AS s_total
          FROM orders""",
+    "q_expr_percentile" ->
+      """SELECT l_orderkey AS _id,
+                round(quantile_cont(l_quantity, 0.5), 6) AS med,
+                round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         FROM lineitem GROUP BY 1""",
     "q_expr_mathext" ->
       """SELECT l_orderkey, l_linenumber,
                 round(sin(l_quantity), 6) AS rs,

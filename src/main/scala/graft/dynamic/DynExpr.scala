@@ -307,6 +307,10 @@ object DynExpr {
             case JNothing => JInt(1); case sb => sb })))))
     case "$firstN" | "$lastN" | "$maxN" | "$minN" =>
       DFn(op, List(compile(arg \ "input"), compile(arg \ "n")))
+    case "$median" => // Mongo 7.0 expression form over an array input
+      DFn(op, List(compile(arg \ "input")))
+    case "$percentile" =>
+      DFn(op, List(compile(arg \ "input"), compile(arg \ "p")))
     case "$convert" =>
       DConvert(compile(arg \ "input"), compile(arg \ "to"),
         arg \ "onError" match { case JNothing => None; case e => Some(compile(e)) },
@@ -1131,6 +1135,30 @@ object DynExpr {
               val xs = ar.asScala.toList
               (if (name == "$firstN") xs.take(n) else xs.takeRight(n)).foreach(out.add)
               out
+            case _ => NULL
+          }
+        case "$median" | "$percentile" => // Mongo 7.0 expression forms:
+          // exact linear interpolation over the sorted numeric values —
+          // the same definition as the typed engine and the accumulators
+          def interp(nums: IndexedSeq[Double], p: Double): Double = {
+            val rank = p * (nums.size - 1)
+            val lo = math.floor(rank).toInt
+            val hi = math.ceil(rank).toInt
+            nums(lo) + (nums(hi) - nums(lo)) * (rank - lo)
+          }
+          a(0) match {
+            case ar: ArrayNode =>
+              val nums = ar.asScala.toList.filter(_.isNumber)
+                .map(_.doubleValue).sorted.toIndexedSeq
+              if (nums.isEmpty) NULL
+              else if (name == "$median") double(interp(nums, 0.5))
+              else a(1) match {
+                case ps: ArrayNode =>
+                  val out = arr()
+                  ps.asScala.foreach(p => out.add(double(interp(nums, p.doubleValue))))
+                  out
+                case _ => NULL
+              }
             case _ => NULL
           }
         case "$maxN" | "$minN" => // nulls ignored; $maxN descending

@@ -131,6 +131,16 @@ object MongoExpr {
     case single     => List(compile(single))
   }
 
+  /** Exact linear-interpolated percentile of an ASC-sorted non-null array:
+    * rank = p·(n−1); value = s[⌊rank⌋] + frac·(s[⌈rank⌉] − s[⌊rank⌋]). */
+  private def sortedArrayPercentile(s: Column, p: Column): Column = {
+    val rank = p * (size(s) - 1).cast(DoubleType)
+    val lo = floor(rank).cast(IntegerType)
+    val vlo = element_at(s, lo + 1).cast(DoubleType)
+    val vhi = element_at(s, ceil(rank).cast(IntegerType) + 1).cast(DoubleType)
+    vlo + (vhi - vlo) * (rank - lo.cast(DoubleType))
+  }
+
   private def field(spec: JValue, name: String): JValue = spec match {
     case o: JObject => o \ name
     case _          => JNothing
@@ -493,6 +503,32 @@ object MongoExpr {
       when(size(nn) > 0,
         aggregate(slice(nn, lit(2), greatest(size(nn) - 1, lit(0))),
           element_at(nn, 1), (acc, x) => acc + x).cast(DoubleType) / size(nn))
+    // Mongo 7.0: $median/$percentile as EXPRESSIONS over an array input —
+    // exact linear interpolation over the sorted non-null values, the same
+    // definition as the accumulator forms (Stages reuse Spark `percentile`,
+    // which interpolates identically)
+    case "$median" =>
+      val in = compile(field(spec, "input"))
+      if (isVoidNull(in)) lit(null)
+      else {
+        val s = array_sort(filter(in, _.isNotNull))
+        when(size(s) > 0, sortedArrayPercentile(s, lit(0.5)))
+      }
+    case "$percentile" =>
+      val in = compile(field(spec, "input"))
+      val s = array_sort(filter(
+        if (isVoidNull(in)) lit(null).cast(ArrayType(DoubleType)) else in,
+        _.isNotNull))
+      val ps = field(spec, "p") match {
+        case JArray(l) => l.map {
+          case JDouble(d) => d
+          case JInt(i)    => i.toDouble
+          case other =>
+            throw new IllegalArgumentException(s"$$percentile p: $other")
+        }
+        case other => throw new IllegalArgumentException(s"$$percentile p: $other")
+      }
+      when(size(s) > 0, array(ps.map(p => sortedArrayPercentile(s, lit(p))): _*))
     case "$max" => args(spec) match {
       case List(one) => array_max(one) // array-context single arg flattens
       case many      => greatest(many: _*) // n-ary scalar form, nulls ignored

@@ -742,6 +742,27 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
     batch10.foreach(agree)
   }
 
+  private val batch11 = Seq(
+    // Mongo 7.0 $median/$percentile EXPRESSION forms over the arr field:
+    // exact linear interpolation in both engines
+    """[{"$project": {"m": {"$round": [{"$median":
+         {"input": "$arr", "method": "approximate"}}, 6]},
+         "p": {"$round": [{"$arrayElemAt": [{"$percentile":
+         {"input": "$arr", "p": [0.25, 0.75], "method": "approximate"}}, 1]}, 6]}}}]""",
+    // empty-array and missing inputs -> null in both engines
+    """[{"$project": {"m": {"$median": {"input": [], "method": "approximate"}},
+         "m2": {"$median": {"input": "$missing", "method": "approximate"}}}}]""",
+    // interpolation between elements (p that lands mid-gap)
+    """[{"$project": {"p": {"$percentile":
+         {"input": "$arr", "p": [0.1, 0.5, 0.9], "method": "approximate"}}}}]""",
+    // $sampleRate at its deterministic bounds
+    """[{"$match": {"$sampleRate": 0}}, {"$project": {"_id": 1}}]""",
+    """[{"$match": {"$sampleRate": 1}}, {"$project": {"_id": 1}}]""")
+
+  test("campaign batch 11: $median/$percentile expression forms, $sampleRate bounds") {
+    batch11.foreach(agree)
+  }
+
   test("campaign batch 9: byte-indexed string ops agree across engines") {
     batch9.foreach(agree)
   }
