@@ -1095,6 +1095,18 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     }),
+    // Naive-Bayes quality classifier (the GPT-3/LLaMA "classifier-based
+    // filtering" step, fastText-shaped): trained on the doc_id%3 labeled
+    // slice (label: lang='en'), applied to the whole corpus; closed-form
+    // count-based fit means the oracle replays TRAINING AND INFERENCE
+    "llm_nb_classify" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("__lab", col("lang") === "en")
+      CorpusOps.nbTrainScore(docs, labeled, "doc_id", "text", "__lab",
+        buckets = 64)
+    }),
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // slice, raw = the whole corpus; hashed unigram+bigram bucket
     // histograms -> per-doc log importance weight -> Gumbel-top-k with
@@ -2757,6 +2769,42 @@ object SparkEntry {
            sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum,
            CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'imageio' END AS codec
          FROM v GROUP BY 1, 2, 3""",
+    "llm_nb_classify" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> length(t) > 0) AS toks
+           FROM documents),
+         lab AS (SELECT doc_id, (lang = 'en') AS y, toks FROM d
+                 WHERE doc_id % 3 = 0),
+         ex AS (
+           SELECT y,
+             CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT) AS b
+           FROM lab, unnest(toks) AS g(u)),
+         hp AS (SELECT b, count(*) AS c FROM ex WHERE y GROUP BY 1),
+         hn AS (SELECT b, count(*) AS c FROM ex WHERE NOT y GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM ex WHERE y) + 64 AS tp,
+                        (SELECT count(*) FROM ex WHERE NOT y) + 64 AS tn,
+                        (SELECT count(*) FROM lab WHERE y) AS np,
+                        (SELECT count(*) FROM lab WHERE NOT y) AS nn),
+         llr AS (
+           SELECT r.range AS b,
+             ln((COALESCE(hp.c, 0) + 1.0) / tot.tp)
+               - ln((COALESCE(hn.c, 0) + 1.0) / tot.tn) AS lr
+           FROM range(0, 64) r
+           LEFT JOIN hp ON hp.b = r.range
+           LEFT JOIN hn ON hn.b = r.range, tot),
+         sc AS (
+           SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
+             ln(CAST(tot.np AS DOUBLE) / tot.nn)
+               + COALESCE((SELECT sum(llr.lr) FROM unnest(d.toks) AS g(u)
+                 JOIN llr ON llr.b =
+                   CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT)),
+                 0.0) AS logit
+           FROM d, tot)
+         SELECT doc_id, n_tokens, round(logit, 4) AS logit,
+                logit > 0 AS predicted
+         FROM sc""",
     "llm_dsir" ->
       """WITH d AS (
            SELECT doc_id, lang,

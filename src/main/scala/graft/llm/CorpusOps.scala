@@ -429,6 +429,55 @@ object CorpusOps {
       .drop("__mono", "__pid", "__local", "__off")
   }
 
+  /** Multinomial Naive-Bayes text classifier over hashed token buckets —
+    * the "quality classifier" step of GPT-3/LLaMA-style pipelines
+    * (fastText-shaped: hashed bag-of-words, linear decision), chosen over
+    * gradient-trained models because the count-based fit is CLOSED-FORM:
+    * training and inference both replay exactly in a SQL oracle.
+    *
+    * Train: per-class add-one-smoothed bucket likelihoods from the rows of
+    * `labeled` (boolean `labelCol`), plus the class-prior log-odds.
+    * Apply: for every row of `corpus`,
+    * `logit = log P(+)/P(−) + Σ_tokens [log p₊(b) − log p₋(b)]`, predict
+    * positive iff logit > 0.
+    *
+    * 100 TB shape: ONE aggregation pass over the labeled set producing
+    * 2·`buckets` counts (collected — metadata, like [[dsirSelect]]'s
+    * histograms), then scoring is a shuffle-free whole-stage-codegen scan
+    * against an array literal of per-bucket log-likelihood ratios. No
+    * join, no shuffle, no iteration. */
+  def nbTrainScore(corpus: DataFrame, labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets > 0)
+    val bucketOf = (c: Column) =>
+      pmod(DedupOps.md5Lower63(c), lit(buckets.toLong)).cast(IntegerType)
+    val toks = (t: Column) => transform(TextOps.tokens(t), lower _)
+    // one pass: (bucket, label) -> count, plus per-class doc counts
+    val counts = labeled
+      .select(col(labelCol).as("__y"), explode(toks(col(textCol))).as("__t"))
+      .groupBy(col("__y"), bucketOf(col("__t")).as("__b")).count()
+      .collect()
+    val pos = Array.fill(buckets)(0L); val neg = Array.fill(buckets)(0L)
+    counts.foreach { r =>
+      (if (r.getBoolean(0)) pos else neg)(r.getInt(1)) = r.getLong(2)
+    }
+    val docCls = labeled.groupBy(col(labelCol)).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val (nPos, nNeg) = (docCls.getOrElse(true, 0L), docCls.getOrElse(false, 0L))
+    require(nPos > 0 && nNeg > 0, "nbTrainScore needs both classes labeled")
+    val (tPos, tNeg) = (pos.sum + buckets, neg.sum + buckets)
+    val llr = (0 until buckets).map(b =>
+      math.log((pos(b) + 1.0) / tPos) - math.log((neg(b) + 1.0) / tNeg))
+    val llrLit = array(llr.map(lit): _*)
+    val priorLogOdds = math.log(nPos.toDouble / nNeg.toDouble)
+    val ts = toks(col(textCol))
+    val logit = lit(priorLogOdds) + aggregate(
+      transform(ts, x => element_at(llrLit, bucketOf(x) + 1)),
+      lit(0.0d), (acc, v) => acc + v)
+    corpus.select(col(idCol), size(ts).as("n_tokens"),
+      round(logit, 4).as("logit"), (logit > 0d).as("predicted"))
+  }
+
   /** DSIR features: hashed unigrams + bigrams of the lowercased whitespace
     * tokens (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling" — the paper's hashed n-gram feature space). */

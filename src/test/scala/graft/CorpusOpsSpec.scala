@@ -395,4 +395,24 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("selected")).toMap
     assert(got.forall { case (id, r) => again(id) == r.getAs[Boolean]("selected") })
   }
+
+  test("nbTrainScore: clean vocab separation classifies held-out docs correctly") {
+    // labeled training rows: positives share vocab A, negatives vocab B
+    val labeled = ((0 until 10).map(i => (100L + i, "good clean prose text sample " + (i % 3), true)) ++
+      (0 until 10).map(i => (200L + i, "spam junk noise garbage click " + (i % 3), false)))
+      .toDF("doc_id", "text", "lab")
+    // corpus includes unseen docs from each vocabulary
+    val corpus = Seq(
+      (1L, "clean prose text"), (2L, "good sample prose"),
+      (3L, "junk noise click"), (4L, "spam garbage junk")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.nbTrainScore(corpus, labeled, "doc_id", "text", "lab")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("predicted")).toMap
+    assert(got(1L) && got(2L), "target-vocab docs must classify positive")
+    assert(!got(3L) && !got(4L), "junk-vocab docs must classify negative")
+    // prior dominates for an empty doc: balanced classes -> logit ~ 0 -> negative
+    val empty = CorpusOps.nbTrainScore(Seq((9L, "")).toDF("doc_id", "text"),
+      labeled, "doc_id", "text", "lab").head()
+    assert(math.abs(empty.getAs[Double]("logit")) < 1e-9)
+  }
 }
