@@ -586,7 +586,9 @@ object DynPipeline {
     case "$bucket"      => group(df, graft.Stages.bucketToGroup(spec))
     case "$count"       =>
       val JString(field) = spec: @unchecked
-      df.agg(count(lit(1)).as("__n")).select(
+      // Mongo's $count ($group{_id:null}+$project sugar) emits NOTHING on
+      // empty input; a bare .agg() would fabricate a 0 row (fuzzer find)
+      df.agg(count(lit(1)).as("__n")).filter(col("__n") > 0).select(
         lit(null).cast(StringType).as("key"),
         concat(lit(s"""{"$field":"""), col("__n").cast(StringType), lit("}")).as("doc"))
     case "$deduplicate" => deduplicate(df, spec)

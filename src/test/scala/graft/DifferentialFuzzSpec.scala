@@ -45,6 +45,12 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
       () => s"""{"$$strLenCP": ${strExpr(depth - 1)}}""",
       () => if (arrOk) s"""{"$$ifNull": [{"$$arrayElemAt": ["$$arr", ${rnd.nextInt(4) - 1}]}, ${pick(Seq("0", "9"))}]}"""
             else numExpr(0),
+      // Mongo 7.0 expression forms; arr holds small longs, so quarter-rank
+      // linear interpolation stays exact in binary (no float drift)
+      () => if (arrOk) s"""{"$$ifNull": [{"$$median": {"input": {"$$ifNull": ["$$arr", []]}, "method": "approximate"}}, ${pick(Seq("0", "7"))}]}"""
+            else numExpr(0),
+      () => if (arrOk) s"""{"$$ifNull": [{"$$arrayElemAt": [{"$$percentile": {"input": {"$$ifNull": ["$$arr", []]}, "p": [0.25, 0.75], "method": "approximate"}}, ${rnd.nextInt(2)}]}, ${pick(Seq("0", "5"))}]}"""
+            else numExpr(0),
       () => numExpr(0)))()
 
   private def strExpr(depth: Int): String =

@@ -757,7 +757,14 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
          {"input": "$arr", "p": [0.1, 0.5, 0.9], "method": "approximate"}}}}]""",
     // $sampleRate at its deterministic bounds
     """[{"$match": {"$sampleRate": 0}}, {"$project": {"_id": 1}}]""",
-    """[{"$match": {"$sampleRate": 1}}, {"$project": {"_id": 1}}]""")
+    """[{"$match": {"$sampleRate": 1}}, {"$project": {"_id": 1}}]""",
+    // fuzzer regression (catfuzz r9): $count over EMPTY input emits NO
+    // document (it's $group{_id:null} sugar, and a group over nothing has
+    // no groups) — the dynamic engine fabricated {"n": 0}
+    """[{"$match": {"a": {"$gt": 999}}}, {"$count": "n"}]""",
+    """[{"$match": {"$expr": {"$lt": ["$b", -99]}}},
+        {"$facet": {"fa": [{"$project": {"_id": 1}}],
+                    "fb": [{"$count": "n"}]}}]""")
 
   test("campaign batch 11: $median/$percentile expression forms, $sampleRate bounds") {
     batch11.foreach(agree)
