@@ -23,6 +23,85 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache is FILE-backed: every encode/decode of
+  // an in-memory blob round-trips a temp file. In-memory caching turns the
+  // per-image cost from ~1 ms to ~50 µs on the bench's 24x16 tiles.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** ImageIO read with the in-memory cache posture pinned per executor
+    * (the object initializer runs once per JVM classloader). */
+  private def imageRead(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G'
+
+  /** Per-partition decode state: `ImageIO.read` pays a provider lookup and
+    * reader construction PER CALL — on 24x16 tiles that overhead dwarfs the
+    * actual inflate. One PNG reader per partition, reset via setInput, is
+    * the "shared decoder state per partition" shape from the header
+    * scaladoc made concrete; non-PNG blobs take the generic path. */
+  private final class PartitionImageReader {
+    private val pngReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      if (bytes == null || bytes.isEmpty) null
+      else if (isPng(bytes)) {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try { pngReader.setInput(iis, true, true); pngReader.read(0) }
+        catch { case _: Exception => null }
+        finally iis.close()
+      } else imageRead(bytes)
+  }
+
+  /** Minimal REAL PNG encoder: signature, IHDR (8-bit RGB), one IDAT of
+    * filter-0 scanlines deflated at BEST_SPEED, IEND — a valid PNG any
+    * decoder reads (the specs assert ImageIO round-trips it pixel-exact).
+    * Exists because ImageIO's PNG writer costs ~1 ms per call in metadata
+    * and param plumbing, turning the synthetic-corpus bench into an
+    * encoder benchmark. */
+  private[llm] def pngEncode(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var y = 0
+    while (y < h) {
+      val ro = y * (1 + 3 * w)
+      raw(ro) = 0 // filter type None
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        raw(ro + 1 + 3 * x) = ((p >> 16) & 0xff).toByte
+        raw(ro + 2 + 3 * x) = ((p >> 8) & 0xff).toByte
+        raw(ro + 3 + 3 * x) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    deflater.setInput(raw)
+    deflater.finish()
+    val idat = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val bos = new java.io.ByteArrayOutputStream(idat.size + 64)
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      bos.write(be32b(data.length.toLong))
+      val tb = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      bos.write(tb); bos.write(data); bos.write(be32b(crc.getValue))
+    }
+    chunk("IHDR", be32b(w.toLong) ++ be32b(h.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0)) // bit depth 8, color type 2 (truecolor RGB)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    bos.toByteArray
+  }
+
   /** Make an opaque media column from any string column (test stand-in for
     * reading real image/audio bytes). */
   def asMedia(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -158,8 +237,7 @@ object MultimodalOps {
           val id = r.getLong(0)
           val base = if (groups > 0) id % groups else id
           val v = if (groups > 0) id / groups else 0L
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
@@ -169,14 +247,12 @@ object MultimodalOps {
               val bb = ((base * 23 + x * 3 + y * 19) % 256).toInt
               if (v > 0 && x == (v % w).toInt && y == ((v / w) % h).toInt)
                 rr = (rr + 128) % 256
-              img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+              px(y * w + x) = (rr << 16) | (gg << 8) | bb
               x += 1
             }
             y += 1
           }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Row(id, bos.toByteArray, "image/png")
+          Row(id, pngEncode(px, w, h), "image/png")
         }
       }(Encoders.row(StructType(Seq(
         StructField("media_id", LongType),
@@ -206,29 +282,23 @@ object MultimodalOps {
   def decodeImagePixels(media: DataFrame): DataFrame =
     media.select(col("media_id").cast(LongType), col("media"))
       .mapPartitions { rows =>
+        val decoder = new PartitionImageReader
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            if (bytes == null || bytes.isEmpty) null
-            else
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: Exception => null }
+          val img = decoder.read(bytes)
           if (img == null) Row(id, null, null, null, null, null, null, null, "none")
           else {
             val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w) // ONE bulk convert
             var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                val rr = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff; val bb = p & 0xff
-                sr += rr; sg += gg; sb += bb
-                ck += (3L * rr + 5L * gg + 7L * bb) * ((x + y.toLong * w) % 1000 + 1)
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              val rr = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff; val bb = p & 0xff
+              sr += rr; sg += gg; sb += bb
+              ck += (3L * rr + 5L * gg + 7L * bb) * (i % 1000 + 1)
+              i += 1
             }
             Row(id, w, h, img.getColorModel.getNumComponents, sr, sg, sb, ck,
               "imageio")
@@ -245,27 +315,28 @@ object MultimodalOps {
   def aHash64(media: DataFrame): DataFrame =
     media.select(col("media_id").cast(LongType), col("media"))
       .mapPartitions { rows =>
+        val decoder = new PartitionImageReader
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = decoder.read(bytes)
           if (img == null) Iterator.empty
           else {
             val w = img.getWidth; val h = img.getHeight
             require(w % 8 == 0 && h % 8 == 0,
               s"aHash64 needs dimensions divisible by 8, got ${w}x$h")
             val bw = w / 8; val bh = h / 8
+            val px = img.getRGB(0, 0, w, h, null, 0, w) // ONE bulk convert
             val blocks = new Array[Long](64)
             var total = 0L
             var y = 0
             while (y < h) {
+              val rowBase = (y / bh) * 8
               var x = 0
               while (x < w) {
-                val p = img.getRGB(x, y)
+                val p = px(y * w + x)
                 val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                blocks((y / bh) * 8 + x / bw) += gray
+                blocks(rowBase + x / bw) += gray
                 total += gray
                 x += 1
               }
@@ -761,6 +832,7 @@ object MultimodalOps {
   def decodeVideoFrames(media: DataFrame, stride: Int = 1): DataFrame =
     media.select(col("media_id").cast(LongType), col("media"))
       .mapPartitions { rows =>
+        val decoder = new PartitionImageReader
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.empty[Byte])
@@ -791,28 +863,21 @@ object MultimodalOps {
                     }
                     Iterator.single(Row(id, idx, ts, w, h, sr, sg, sb, ck, "dib"))
                   } else if (kind == "dc") {
-                    val img =
-                      try javax.imageio.ImageIO.read(
-                        new java.io.ByteArrayInputStream(
-                          java.util.Arrays.copyOfRange(bytes, off, off + len)))
-                      catch { case _: Exception => null }
+                    val img = decoder.read(
+                      java.util.Arrays.copyOfRange(bytes, off, off + len))
                     if (img == null) Iterator.empty
                     else {
                       val iw = img.getWidth; val ih = img.getHeight
+                      val px = img.getRGB(0, 0, iw, ih, null, 0, iw)
                       var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
-                      var y = 0
-                      while (y < ih) {
-                        var x = 0
-                        while (x < iw) {
-                          val p = img.getRGB(x, y)
-                          val rr = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff
-                          val bb = p & 0xff
-                          sr += rr; sg += gg; sb += bb
-                          ck += (3L * rr + 5L * gg + 7L * bb) *
-                            ((x + y.toLong * iw) % 1000 + 1)
-                          x += 1
-                        }
-                        y += 1
+                      var i = 0
+                      while (i < px.length) {
+                        val p = px(i)
+                        val rr = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff
+                        val bb = p & 0xff
+                        sr += rr; sg += gg; sb += bb
+                        ck += (3L * rr + 5L * gg + 7L * bb) * (i % 1000 + 1)
+                        i += 1
                       }
                       Iterator.single(Row(id, idx, ts, iw, ih, sr, sg, sb, ck,
                         "imageio"))
@@ -834,16 +899,18 @@ object MultimodalOps {
   private def frameImage(id: Long, f: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val (rr, gg, bb) = framePixel(id, f, x, y)
-        img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+        px(y * w + x) = (rr << 16) | (gg << 8) | bb
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 
@@ -872,11 +939,23 @@ object MultimodalOps {
           y += 1
         }
         out
-      } else {
+      } else if (codec == "jpeg") {
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(frameImage(id, f, w, h),
-          if (codec == "jpeg") "jpg" else "png", bos)
+        javax.imageio.ImageIO.write(frameImage(id, f, w, h), "jpg", bos)
         bos.toByteArray
+      } else {
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (rr, gg, bb) = framePixel(id, f, x, y)
+            px(y * w + x) = (rr << 16) | (gg << 8) | bb
+            x += 1
+          }
+          y += 1
+        }
+        pngEncode(px, w, h)
       }
     }.toArray
     val (chunkId, handler, compression) = codec match {
