@@ -1,9 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType,
+  LongType, StringType, StructField, StructType}
 
 /** Corpus-wide (two-pass) training-data operators: benchmark decontamination,
   * TF-IDF keyword extraction, and unigram language-model scoring.
@@ -449,33 +449,68 @@ object CorpusOps {
   def nbTrainScore(corpus: DataFrame, labeled: DataFrame, idCol: String,
       textCol: String, labelCol: String, buckets: Int = 64): DataFrame = {
     require(buckets > 0)
-    val bucketOf = (c: Column) =>
-      pmod(DedupOps.md5Lower63(c), lit(buckets.toLong)).cast(IntegerType)
-    val toks = (t: Column) => transform(TextOps.tokens(t), lower _)
-    // one pass: (bucket, label) -> count, plus per-class doc counts
-    val counts = labeled
-      .select(col(labelCol).as("__y"), explode(toks(col(textCol))).as("__t"))
-      .groupBy(col("__y"), bucketOf(col("__t")).as("__b")).count()
-      .collect()
+    // one training pass: per-partition (class, bucket) count arrays plus
+    // per-class doc counts, merged driver-side — 2·buckets+2 longs per
+    // partition, no shuffle
+    val trainSchema = StructType(Seq(
+      StructField("y", BooleanType, nullable = false),
+      StructField("b", IntegerType, nullable = false), // -1 = doc counter
+      StructField("c", LongType, nullable = false)))
+    val partials = labeled.select(col(labelCol), col(textCol))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val pos = Array.fill(buckets)(0L); val neg = Array.fill(buckets)(0L)
+        var nPos = 0L; var nNeg = 0L
+        it.foreach { r =>
+          val y = r.getBoolean(0)
+          if (y) nPos += 1 else nNeg += 1
+          val acc = if (y) pos else neg
+          val toks = tokensJvm(r.getString(1))
+          var i = 0
+          while (i < toks.length) {
+            acc((DedupOps.md5Lower63Jvm(md, toks(i)) % buckets).toInt) += 1
+            i += 1
+          }
+        }
+        (Iterator(Row(true, -1, nPos), Row(false, -1, nNeg)) ++
+          pos.iterator.zipWithIndex.collect { case (c, b) if c > 0 => Row(true, b, c) } ++
+          neg.iterator.zipWithIndex.collect { case (c, b) if c > 0 => Row(false, b, c) })
+      }(Encoders.row(trainSchema)).collect()
     val pos = Array.fill(buckets)(0L); val neg = Array.fill(buckets)(0L)
-    counts.foreach { r =>
-      (if (r.getBoolean(0)) pos else neg)(r.getInt(1)) = r.getLong(2)
+    var nPos = 0L; var nNeg = 0L
+    partials.foreach { r =>
+      val b = r.getInt(1); val c = r.getLong(2)
+      if (b < 0) { if (r.getBoolean(0)) nPos += c else nNeg += c }
+      else (if (r.getBoolean(0)) pos else neg)(b) += c
     }
-    val docCls = labeled.groupBy(col(labelCol)).count().collect()
-      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val (nPos, nNeg) = (docCls.getOrElse(true, 0L), docCls.getOrElse(false, 0L))
     require(nPos > 0 && nNeg > 0, "nbTrainScore needs both classes labeled")
     val (tPos, tNeg) = (pos.sum + buckets, neg.sum + buckets)
-    val llr = (0 until buckets).map(b =>
+    val llr = Array.tabulate(buckets)(b =>
       math.log((pos(b) + 1.0) / tPos) - math.log((neg(b) + 1.0) / tNeg))
-    val llrLit = array(llr.map(lit): _*)
     val priorLogOdds = math.log(nPos.toDouble / nNeg.toDouble)
-    val ts = toks(col(textCol))
-    val logit = lit(priorLogOdds) + aggregate(
-      transform(ts, x => element_at(llrLit, bucketOf(x) + 1)),
-      lit(0.0d), (acc, v) => acc + v)
-    corpus.select(col(idCol), size(ts).as("n_tokens"),
-      round(logit, 4).as("logit"), (logit > 0d).as("predicted"))
+    val llrBc = corpus.sparkSession.sparkContext.broadcast(llr)
+    val idField = corpus.schema(idCol)
+    val rawSchema = StructType(Seq(idField,
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("__logit", DoubleType, nullable = false)))
+    corpus.select(col(idCol), col(textCol)).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val lr = llrBc.value
+      it.map { r =>
+        val toks = tokensJvm(r.getString(1))
+        var logit = priorLogOdds
+        var i = 0
+        while (i < toks.length) {
+          logit += lr((DedupOps.md5Lower63Jvm(md, toks(i)) % buckets).toInt)
+          i += 1
+        }
+        Row(r.get(0), toks.length, logit)
+      }
+    }(Encoders.row(rawSchema))
+      // round via Spark's own Round so the value is bit-identical to the
+      // previous Column formulation (and the DuckDB oracle's round)
+      .select(col(idCol), col("n_tokens"),
+        round(col("__logit"), 4).as("logit"), (col("__logit") > 0d).as("predicted"))
   }
 
   /** DSIR features: hashed unigrams + bigrams of the lowercased whitespace
@@ -508,37 +543,73 @@ object CorpusOps {
     * centroids), then scoring is a shuffle-free codegen scan against an
     * array LITERAL of per-bucket log-ratios (no join at all), and the only
     * shuffle is GlobalRank's range partition on the key. */
+  /** Tokenize + hashed-ngram feature extraction in plain JVM code —
+    * bit-identical to the Column form (`tokens` + [[dsirNgrams]] +
+    * md5Lower63 % buckets; same Java regex engine, ROOT-locale lowercase
+    * like Spark's UTF8String): the Column higher-order lambdas evaluate
+    * INTERPRETED per element, which made scoring the bench pole. */
+  private def ngramBuckets(md: java.security.MessageDigest, text: String,
+      buckets: Int): Array[Int] = {
+    val toks = tokensJvm(text)
+    val out = new Array[Int](math.max(2 * toks.length - 1, 0))
+    var i = 0
+    while (i < toks.length) {
+      out(i) = (DedupOps.md5Lower63Jvm(md, toks(i)) % buckets).toInt
+      if (i + 1 < toks.length)
+        out(toks.length + i) =
+          (DedupOps.md5Lower63Jvm(md, toks(i) + " " + toks(i + 1)) % buckets).toInt
+      i += 1
+    }
+    out
+  }
+
+  private[llm] def tokensJvm(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    text.split("\\s+").iterator.filter(_.nonEmpty)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+  }
+
+  /** md5-derived uniform + Gumbel key, matching the Column replay:
+    * u = (md5low63(id || suffix) % 2^48 + 0.5) / 2^48. */
+  private def gumbelKey(md: java.security.MessageDigest, idStr: String,
+      suffix: String, logw: Double): Double = {
+    val u = ((DedupOps.md5Lower63Jvm(md, idStr + suffix) % (1L << 48)) + 0.5) /
+      (1L << 48).toDouble
+    logw - math.log(-math.log(u))
+  }
+
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 64,
       keepFraction: Double = 0.25): DataFrame = {
     require(buckets > 0 && keepFraction > 0 && keepFraction <= 1)
-    val bucketOf = (c: Column) =>
-      pmod(DedupOps.md5Lower63(c), lit(buckets.toLong)).cast(IntegerType)
-    def histogram(df: DataFrame): Array[Long] = {
-      val arr = Array.fill(buckets)(0L)
-      df.select(explode(dsirNgrams(col(textCol))).as("__ng"))
-        .groupBy(bucketOf(col("__ng")).as("__b")).count()
-        .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
-      arr
-    }
-    val tCnt = histogram(target)
-    val rCnt = histogram(raw)
+    val tCnt = bucketHistogram(target, textCol, buckets)
+    val rCnt = bucketHistogram(raw, textCol, buckets)
     val tTot = (tCnt.sum + buckets).toDouble
     val rTot = (rCnt.sum + buckets).toDouble
-    val ratio = (0 until buckets).map(b =>
+    val ratio = Array.tabulate(buckets)(b =>
       math.log((tCnt(b) + 1.0) / tTot) - math.log((rCnt(b) + 1.0) / rTot))
-    val ratioLit = array(ratio.map(lit): _*)
-    val ngs = dsirNgrams(col(textCol))
-    val logw = aggregate(
-      transform(ngs, x => element_at(ratioLit, bucketOf(x) + 1)),
-      lit(0.0d), (acc, v) => acc + v)
-    val twoPow48 = (1L << 48).toDouble
-    val u = (pmod(DedupOps.md5Lower63(
-        concat(col(idCol).cast(StringType), lit(":dsir"))),
-      lit(1L << 48)).cast("double") + 0.5) / twoPow48
-    val key = logw - log(-log(u)) // log w + Gumbel(u)
-    val scored = raw.select(col(idCol), size(ngs).as("n_features"),
-      logw.as("__logw"), key.as("__key"), (-key).as("__negk"))
+    val spark = raw.sparkSession
+    val ratioBc = spark.sparkContext.broadcast(ratio)
+    val idField = raw.schema(idCol)
+    val scoredSchema = StructType(Seq(idField,
+      StructField("n_features", IntegerType, nullable = false),
+      StructField("__logw", DoubleType, nullable = false),
+      StructField("__key", DoubleType, nullable = false),
+      StructField("__negk", DoubleType, nullable = false)))
+    val scored = raw.select(col(idCol), col(idCol).cast(StringType),
+        col(textCol))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val lr = ratioBc.value
+        it.map { r =>
+          val bs = ngramBuckets(md, r.getString(2), lr.length)
+          var lw = 0.0
+          var i = 0
+          while (i < bs.length) { lw += lr(bs(i)); i += 1 }
+          val key = gumbelKey(md, r.getString(1), ":dsir", lw)
+          Row(r.get(0), bs.length, lw, key, -key)
+        }
+      }(Encoders.row(scoredSchema))
     val ranked = graft.operators.GlobalRank.withRank(
       scored, "__negk", "__rk", "__n")
     ranked.select(col(idCol), col("n_features"),
@@ -546,5 +617,28 @@ object CorpusOps {
       round(col("__key"), 4).as("gumbel_key"),
       (col("__rk") <= greatest(ceil(col("__n") * keepFraction), lit(1L)))
         .as("selected"))
+  }
+
+  /** One histogram pass: per-partition local bucket counts (an
+    * Array[Long](buckets) per partition), merged on the driver —
+    * #partitions × buckets longs of traffic, no shuffle at all. */
+  private def bucketHistogram(df: DataFrame, textCol: String,
+      buckets: Int): Array[Long] = {
+    val schema = StructType(Seq(
+      StructField("b", IntegerType, nullable = false),
+      StructField("c", LongType, nullable = false)))
+    val partials = df.select(col(textCol)).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val acc = Array.fill(buckets)(0L)
+      it.foreach { r =>
+        val bs = ngramBuckets(md, r.getString(0), buckets)
+        var i = 0
+        while (i < bs.length) { acc(bs(i)) += 1; i += 1 }
+      }
+      acc.iterator.zipWithIndex.collect { case (c, b) if c > 0 => Row(b, c) }
+    }(Encoders.row(schema)).collect()
+    val out = Array.fill(buckets)(0L)
+    partials.foreach(r => out(r.getInt(0)) += r.getLong(1))
+    out
   }
 }

@@ -238,6 +238,18 @@ object DedupOps {
     shiftleft(hi, 32).bitwiseOR(lo).bitwiseAND(lit(0x7fffffffffffffffL))
   }
 
+  /** JVM twin of [[md5Lower63]] for tight per-partition loops (the Column
+    * form costs hex-string reverses per value; interpreted higher-order
+    * lambdas made it a bench pole). Md5HashParitySpec pins equality. */
+  def md5Lower63Jvm(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h & Long.MaxValue
+  }
+
   /** MinHash-LSH in cross-engine-reproducible mode: hash family
     * `md5Lower63(seed || ':' || shingle)`, band bucket = the ordered minhash
     * values joined as a string — every intermediate is replayable in any

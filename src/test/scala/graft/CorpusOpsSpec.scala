@@ -415,4 +415,14 @@ class CorpusOpsSpec extends SparkSpec {
       labeled, "doc_id", "text", "lab").head()
     assert(math.abs(empty.getAs[Double]("logit")) < 1e-9)
   }
+
+  test("md5Lower63Jvm is bit-identical to the Column md5Lower63") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val samples = Seq("", "a", "hello world", "caf\u00e9 \u00e5 \u6f22",
+      "the quick:brown", "123", "a b")
+    val dfv = samples.toDF("s")
+      .select(graft.llm.DedupOps.md5Lower63($"s")).collect().map(_.getLong(0))
+    val jvm = samples.map(x => graft.llm.DedupOps.md5Lower63Jvm(md, x))
+    assert(dfv.toSeq == jvm)
+  }
 }
