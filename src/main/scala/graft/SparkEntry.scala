@@ -1095,6 +1095,13 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     }),
+    // CCNet-style interpolated bigram LM scoring (order-1 upgrade of
+    // llm_unigram_logprob); the oracle replays bigram/unigram MLE tables
+    // and the interpolation with identical double literals
+    "llm_bigram_lm" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+    }),
     // Naive-Bayes quality classifier (the GPT-3/LLaMA "classifier-based
     // filtering" step, fastText-shaped): trained on the doc_id%3 labeled
     // slice (label: lang='en'), applied to the whole corpus; closed-form
@@ -2769,6 +2776,34 @@ object SparkEntry {
            sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum,
            CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'imageio' END AS codec
          FROM v GROUP BY 1, 2, 3""",
+    "llm_bigram_lm" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> length(t) > 0) AS toks
+           FROM documents),
+         bge AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+           FROM d),
+         bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bge),
+         docbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg
+                   GROUP BY 1, 2, 3),
+         bgcnt AS (SELECT w1, w2, sum(tf) AS cb FROM docbg GROUP BY 1, 2),
+         uni AS (SELECT unnest(toks) AS w FROM d),
+         unic AS (SELECT w, count(*) AS cu FROM uni GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM uni),
+         terms AS (
+           SELECT db.doc_id, db.tf,
+             ln(0.7::DOUBLE * CAST(bc.cb AS DOUBLE) / u1.cu
+                + 0.3::DOUBLE * CAST(u2.cu AS DOUBLE) / tot.total) AS term
+           FROM docbg db
+           JOIN bgcnt bc USING (w1, w2)
+           JOIN unic u1 ON u1.w = db.w1
+           JOIN unic u2 ON u2.w = db.w2, tot)
+         SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp2,
+                CAST(sum(tf) AS BIGINT) AS n_bigrams
+         FROM terms GROUP BY 1""",
     "llm_nb_classify" ->
       """WITH d AS (
            SELECT doc_id, lang,

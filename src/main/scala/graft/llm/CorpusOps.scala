@@ -252,6 +252,50 @@ object CorpusOps {
         sum("tf").cast("long").as("n_tokens"))
   }
 
+  /** Interpolated bigram language-model scoring — the CCNet recipe's
+    * "small LM perplexity" step upgraded from [[unigramLogProb]]'s
+    * order-0 model: per-bigram term
+    * `ln(λ·P(w₂|w₁) + μ·P(w₂))` with MLE estimates from the corpus
+    * itself (the LM trains on what it scores, so every doc bigram exists
+    * in the table — interpolation, not smoothing, handles rare events).
+    * `λ`/`μ` are passed separately (not `1−λ`) so the SQL oracle can use
+    * the identical double literals.
+    *
+    * Scale shape mirrors [[unigramLogProb]]: the bigram/unigram tables
+    * are corpus-derived (tens of GB of distinct n-grams at web scale), so
+    * their joins carry NO broadcast hint — AQE decides; only the
+    * single-row total keeps one. Docs with < 2 tokens have no bigrams and
+    * drop out (inner-join semantics, mirrored by the oracle). */
+  def bigramLogProb(corpus: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    require(math.abs(lambda + mu - 1.0) < 1e-9, "lambda + mu must be 1")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val base = corpus.select(col(idCol), toks.as("__toks"))
+    val len = greatest(size(col("__toks")) - 1, lit(0))
+    val bg = base.select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), len), slice(col("__toks"), lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val docBg = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bgCnt = docBg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    val uni = base.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("total"))
+    val terms = docBg
+      .join(bgCnt, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("tf"),
+        log(lit(lambda) * col("cb").cast("double") / col("cu1") +
+            lit(mu) * col("cu2").cast("double") / col("total")).as("__term"))
+    terms.groupBy(col(idCol))
+      .agg(round(sum(col("tf") * col("__term")) / sum(col("tf")), 4)
+          .as("avg_logp2"),
+        sum("tf").cast("long").as("n_bigrams"))
+  }
+
   /** Data-mixture sampling: hit a per-source token budget by keeping each
     * doc with probability `p_s = min(1, budget·w_s/Σw / tokens_s)` — the
     * "mix web at 3×, code at 1×" reweighting step every pretraining corpus

@@ -425,4 +425,21 @@ class CorpusOpsSpec extends SparkSpec {
     val jvm = samples.map(x => graft.llm.DedupOps.md5Lower63Jvm(md, x))
     assert(dfv.toSeq == jvm)
   }
+
+  test("bigramLogProb: repeated-bigram docs score higher than novel-bigram docs") {
+    // "a b" appears 3x in doc 1's corpus presence; doc 3 pairs words never
+    // seen adjacent elsewhere
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, "a b c d"), (3L, "d a c b"), (4L, "x")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.bigramLogProb(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 4 has one token -> no bigrams -> absent
+    assert(!got.contains(4L) && got.size == 3)
+    val s1 = got(1L).getAs[Double]("avg_logp2")
+    val s3 = got(3L).getAs[Double]("avg_logp2")
+    assert(s1 > s3, s"frequent bigrams must outscore novel ones: $s1 vs $s3")
+    assert(got(1L).getAs[Long]("n_bigrams") == 5)
+    assert(got(3L).getAs[Long]("n_bigrams") == 3)
+  }
 }
