@@ -1095,6 +1095,14 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     }),
+    // sentence-aligned RAG chunking: prefix-sum assignment (sentence i ->
+    // chunk floor(tokensBefore/40)), no sentence ever split; the oracle
+    // replays sentences, token prefix sums, assignment and reassembly
+    "llm_chunk_sentences" -> ((s, dir) => {
+      tune(s)
+      TextOps.chunkSentences(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 40)
+    }),
     // CCNet-style interpolated bigram LM scoring (order-1 upgrade of
     // llm_unigram_logprob); the oracle replays bigram/unigram MLE tables
     // and the interpolation with identical double literals
@@ -2776,6 +2784,39 @@ object SparkEntry {
            sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum,
            CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'imageio' END AS codec
          FROM v GROUP BY 1, 2, 3""",
+    "llm_chunk_sentences" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+               x -> trim(x)), x -> length(x) > 0) AS sents
+           FROM documents),
+         t AS (
+           SELECT doc_id, sents,
+             list_transform(sents, x -> len(list_filter(
+               regexp_split_to_array(x, '\s+'), w -> length(w) > 0))) AS stoks
+           FROM d),
+         c AS (
+           SELECT doc_id, sents, stoks,
+             list_transform(range(1, len(stoks) + 1),
+               i -> CAST(COALESCE(list_sum(stoks[1:CAST(i-1 AS INT)]), 0)
+                         // 40 AS INT)) AS assign
+           FROM t WHERE len(sents) > 0),
+         k AS (
+           SELECT doc_id, sents, stoks, assign,
+             CAST(unnest(range(0, assign[-1] + 1)) AS INT) AS chunk_id
+           FROM c)
+         SELECT doc_id, chunk_id,
+           array_to_string(list_transform(
+             list_filter(range(1, len(sents) + 1),
+               i -> assign[CAST(i AS INT)] = chunk_id),
+             i -> sents[CAST(i AS INT)]), ' ') AS chunk,
+           CAST(len(list_filter(assign, a -> a = chunk_id)) AS INT)
+             AS n_sentences,
+           CAST(COALESCE(list_sum(list_transform(
+             list_filter(range(1, len(stoks) + 1),
+               i -> assign[CAST(i AS INT)] = chunk_id),
+             i -> stoks[CAST(i AS INT)])), 0) AS INT) AS n_chunk_tokens
+         FROM k""",
     "llm_bigram_lm" ->
       """WITH d AS (
            SELECT doc_id,

@@ -305,6 +305,52 @@ object TextOps {
       .drop("__toks")
   }
 
+  /** Sentence-aligned chunking for retrieval corpora: sentences (maximal
+    * runs between terminal punctuation, trimmed) pack into chunks of
+    * ≈ `maxTokens` whitespace tokens — sentence i joins chunk
+    * ⌊tokensBefore(i)/maxTokens⌋, so no sentence is ever split and each
+    * chunk overflows by at most one sentence. The assignment rule is a
+    * pure prefix-sum (no greedy state), which keeps the whole op one
+    * doc-local column expression — shuffle-free, embarrassingly parallel,
+    * and exactly replayable in SQL. Token-budget chunking with overlap is
+    * [[chunkWindows]]; this is the boundary-respecting variant. */
+  def chunkSentences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0)
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    // let-bind via single-element array + transform (the DedupOps.shingles
+    // trick) so sentences/counts evaluate once per row
+    val packed = element_at(transform(array(sents), { ss =>
+      val stoks = transform(ss, s => size(tokens(s)))
+      val cumB = aggregate(stoks,
+        struct(array().cast(ArrayType(IntegerType)).as("c"), lit(0).as("t")),
+        (st, x) => struct(
+          concat(st.getField("c"), array(st.getField("t"))).as("c"),
+          (st.getField("t") + x).as("t")),
+        st => st.getField("c"))
+      val assign = transform(cumB, cb => floor(cb / maxTokens).cast(IntegerType))
+      struct(ss.as("sents"), stoks.as("stoks"), assign.as("assign"))
+    }), 1)
+    df.withColumn("__p", packed)
+      .withColumn("chunk_id", explode(
+        when(size(col("__p.sents")) > 0,
+          sequence(lit(0), element_at(col("__p.assign"), -1)))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
+      .withColumn("chunk", array_join(
+        zip_with(col("__p.sents"), col("__p.assign"),
+          (s, a) => when(a === col("chunk_id"), s)), " "))
+      .withColumn("n_sentences",
+        size(filter(col("__p.assign"), a => a === col("chunk_id"))))
+      .withColumn("n_chunk_tokens",
+        aggregate(zip_with(col("__p.stoks"), col("__p.assign"),
+          (t, a) => when(a === col("chunk_id"), t).otherwise(lit(0))),
+          lit(0), (acc, x) => acc + x))
+      .select(col(idCol), col("chunk_id"), col("chunk"),
+        col("n_sentences"), col("n_chunk_tokens"))
+  }
+
   def packIntoWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, windowTokens: Int,
       shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {

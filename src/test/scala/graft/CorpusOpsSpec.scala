@@ -442,4 +442,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1L).getAs[Long]("n_bigrams") == 5)
     assert(got(3L).getAs[Long]("n_bigrams") == 3)
   }
+
+  test("chunkSentences: boundary-respecting prefix-sum packing") {
+    // sentences of 4 tokens each; maxTokens=10 -> cumBefore 0,4,8,12,16
+    // -> chunks 0,0,0,1,1 (chunk 0 overflows to 12 tokens, sentence whole)
+    val text = "a b c d. e f g h! i j k l? m n o p. q r s t."
+    val got = TextOps.chunkSentences(
+      Seq((1L, text), (2L, ""), (3L, "x y")).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(!got.keys.exists(_._1 == 2L), "empty doc yields no chunks")
+    assert(got((3L, 0)).getAs[String]("chunk") == "x y")
+    assert(got.keys.count(_._1 == 1L) == 2)
+    val c0 = got((1L, 0)); val c1 = got((1L, 1))
+    assert(c0.getAs[String]("chunk") == "a b c d e f g h i j k l")
+    assert(c0.getAs[Int]("n_sentences") == 3 && c0.getAs[Int]("n_chunk_tokens") == 12)
+    assert(c1.getAs[String]("chunk") == "m n o p q r s t")
+    assert(c1.getAs[Int]("n_sentences") == 2 && c1.getAs[Int]("n_chunk_tokens") == 8)
+  }
 }
