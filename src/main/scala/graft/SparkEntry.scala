@@ -1335,6 +1335,16 @@ object SparkEntry {
       VectorOps.bruteTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 5)
     }),
+    // hard-negative mining for contrastive training: nearest non-dup
+    // neighbors per query (sim < 0.35 dup band); the oracle replays
+    // normalize -> dot -> band filter -> rank
+    "llm_hard_negatives" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      VectorOps.hardNegatives(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, dupThreshold = 0.35)
+    }),
     "llm_embed_neardup" -> ((s, dir) => {
       tune(s)
       VectorOps.embedNearDupExact(t(s, dir, "embeddings"),
@@ -2210,6 +2220,29 @@ object SparkEntry {
                                      ORDER BY sim0 DESC, nn_id) AS rk
            FROM s)
          SELECT query_id, nn_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
+         FROM r WHERE rk <= 5""",
+    "llm_hard_negatives" ->
+      """WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0),
+         s AS (
+           SELECT q.query_id, c.vec_id AS neg_id,
+                  list_inner_product(c.v, q.qv) AS sim0
+           FROM n c, q WHERE c.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, neg_id, sim0,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim0 DESC, neg_id) AS rk
+           FROM s WHERE sim0 < 0.35)
+         SELECT query_id, neg_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
          FROM r WHERE rk <= 5""",
     "q_group_addtoset" ->
       """SELECT n_regionkey AS _id,

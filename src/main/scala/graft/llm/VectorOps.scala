@@ -54,6 +54,33 @@ object VectorOps {
       .select(col("query_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query, the `k` MOST-similar corpus vectors whose cosine stays BELOW
+    * `dupThreshold` — close enough to be hard, far enough to not be the
+    * positive/near-duplicate band (which would poison the contrastive
+    * loss). Same candidate shape as [[bruteTopK]] (broadcast query side,
+    * per-query top-k); the dup-band filter runs BEFORE the ranking window
+    * so near-dups never occupy top-k slots. The threshold compare is
+    * cross-engine exact: both engines fold the dot product in index order
+    * over the same doubles. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      dupThreshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("neg_id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    val q = queries.select(col(qIdCol).as("query_id"),
+      normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("neg_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("__v"), col("__q")))
+      .filter(col("sim") < dupThreshold)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neg_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neg_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus vector
     * to its nearest centroid (= its inverted list); queries probe the
     * `nProbe` nearest centroids only. On clustered embeddings this beats

@@ -142,4 +142,21 @@ class AnnSpec extends SparkSpec {
     assert(byId(1L) == byId(2L))
     assert(!multi.find(_._1 == 2L).get._3, "exact dup must be dropped")
   }
+
+  test("hardNegatives: near-dup band is excluded, hardest remaining ranks first") {
+    import spark.implicits._
+    // query q; dup is an identical vector (cos 1), hard is close (cos ~0.9),
+    // easy is orthogonal-ish
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),          // dup of the query
+      (2L, Seq(0.9f, 0.435890f)), // hard negative, cos ~0.9
+      (3L, Seq(0f, 1f))           // easy negative, cos 0
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val got = VectorOps.hardNegatives(corpus, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 2, dupThreshold = 0.95)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L), "dup (cos 1) excluded")
+    assert(got.head.getAs[Double]("sim") > 0.85)
+  }
 }
