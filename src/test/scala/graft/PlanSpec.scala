@@ -360,4 +360,61 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"argmax should be a TakeOrdered, not a global sort:\n$p")
   }
+
+  test("gopherC4Rules is one shuffle-free codegen scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.TextOps.gopherC4Rules(docs, "text"))
+    assert(!p.contains("Exchange"), s"rule filters must not shuffle:\n$p")
+    // executedPlan.toString renders whole-stage codegen as "*(n)" prefixes
+    assert(p.contains("*("), s"rules must codegen:\n$p")
+  }
+
+  test("dsirSelect: the only exchange is GlobalRank's range partition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.CorpusOps.dsirSelect(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 16)
+    val p = plan(out)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // scoring itself joins nothing; GlobalRank contributes the single
+    // rangepartitioning exchange (its localCheckpoint hides it from this
+    // plan — accept 0 or 1, but NEVER a SinglePartition funnel or a join)
+    assert(exchanges <= 1, s"DSIR must not add exchanges beyond the rank:\n$p")
+    assert(!p.contains("SinglePartition"), s"no global funnel:\n$p")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+  }
+
+  test("nbTrainScore inference: no join, no exchange, broadcast weights") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val labeled = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("lab", col("lang") === "en")
+    val out = graft.llm.CorpusOps.nbTrainScore(docs, labeled,
+      "doc_id", "text", "lab", buckets = 16)
+    val p = plan(out)
+    assert(!p.contains("Exchange"), s"NB inference is a pure scan:\n$p")
+    assert(!p.contains("Join"), s"NB inference must not join:\n$p")
+  }
+
+  test("bigramLogProb: n-gram tables join WITHOUT a mandatory broadcast hint") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.CorpusOps.bigramLogProb(docs, "text", "doc_id")
+    val op = out.queryExecution.optimizedPlan.toString
+    // corpus-derived vocab tables must leave the join strategy to AQE; only
+    // the single-row total may carry a hint (exactly one broadcast of it)
+    val hints = "ResolvedHint".r.findAllIn(op).length
+    assert(hints <= 1, s"only the single-row total may be hinted:\n$op")
+  }
+
+  test("chunkSentences is doc-local: no exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.TextOps.chunkSentences(docs, "doc_id", "text", 40))
+    assert(!p.contains("Exchange"), s"chunking must stay per-doc:\n$p")
+  }
+
+  test("decodeVideoFrames/synthAvi plan has no exchange before aggregation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val media = graft.llm.MultimodalOps.synthAvi(
+      docs.filter(col("doc_id") < 4), "doc_id", 24, 16, nFrames = 2)
+    val p = plan(graft.llm.MultimodalOps.decodeVideoFrames(media))
+    assert(!p.contains("Exchange"), s"decode is map-only:\n$p")
+  }
 }
