@@ -519,6 +519,17 @@ object DynExpr {
         case "$strLenCP" => // null/missing -> null, like the typed Columns
           if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
           else long(a(0).textValue.codePointCount(0, a(0).textValue.length).toLong)
+        case "$toUUID" => // Mongo 8.0; same canonical-lowercase-string
+          // convention as the typed engine (no BinData in either model)
+          if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
+          else {
+            val v = a(0).textValue
+            if (v != null && v.matches("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-" +
+                "[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"))
+              text(v.toLowerCase(java.util.Locale.ROOT))
+            else throw new IllegalArgumentException(
+              s"$$toUUID: invalid UUID string: $v")
+          }
         case "$strLenBytes" | "$binarySize" =>
           if (a(0) == null || a(0).isNull || isMissing(a(0))) NULL
           else long(a(0).textValue

@@ -342,6 +342,17 @@ object MongoExpr {
     // null resolves to "" in Mongo's case ops (not SQL null)
     case "$toLower"  => coalesce(lower(args(spec).head), lit(""))
     case "$toUpper"  => coalesce(upper(args(spec).head), lit(""))
+    // Mongo 8.0 $toUUID. Neither engine models BinData, so the UUID
+    // CONVENTION here is the canonical lowercase string (validated like
+    // the server: 8-4-4-4-12 hex); malformed input errors, like Mongo.
+    case "$toUUID" =>
+      val s0 = args(spec).head
+      val re = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+      when(s0.isNull, lit(null).cast(StringType))
+        .when(s0.rlike(re), lower(s0))
+        .otherwise(raise_error(concat(
+          lit("$toUUID: invalid UUID string: "), s0.cast(StringType))))
     case "$strLenCP" => length(args(spec).head)
     case "$strLenBytes" => octet_length(args(spec).head)
     // byte size of a string's UTF-8 encoding / a binary value (Mongo 4.4)

@@ -770,6 +770,21 @@ class DifferentialSpec extends SparkSpec with DifferentialHarness {
     batch11.foreach(agree)
   }
 
+  test("$toUUID (8.0): canonical lowercase on valid input, null propagation") {
+    agree("""[{"$project": {
+      "u": {"$toUUID": "550E8400-E29B-41D4-A716-446655440000"},
+      "n": {"$toUUID": "$missing"}}}]""")
+  }
+
+  test("both engines REJECT $toUUID over malformed strings and non-strings") {
+    for (bad <- Seq(""""not-a-uuid"""", """"550e8400e29b41d4a716446655440000"""", "5"))
+      {
+        val p = s"""[{"$$project": {"x": {"$$toUUID": $bad}}}]"""
+        intercept[Exception](typedOut(p))
+        intercept[Exception](dynOut(p))
+      }
+  }
+
   test("campaign batch 9: byte-indexed string ops agree across engines") {
     batch9.foreach(agree)
   }
