@@ -1385,6 +1385,16 @@ object SparkEntry {
         lit(5).as("k"), col("n_queries"),
         (col("recall") >= 0.6).as("meets_floor"))
     }),
+    // product-quantization ANN with a FULL oracle: at lloydIters=0 the
+    // md5-seeded codebook, L2-argmin codes and the j-ordered ADC fold all
+    // replay exactly in SQL — training included, like llm_bpe_merges
+    "llm_ann_pq" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      VectorOps.pqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, m = 4, ks = 8)
+    }),
     "llm_ann_lsh_recall" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings")
@@ -2221,6 +2231,70 @@ object SparkEntry {
            FROM s)
          SELECT query_id, nn_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
          FROM r WHERE rk <= 5""",
+    "llm_ann_pq" -> {
+      // generated: per-subspace L2/dot chains over sub=16 dims (64-dim
+      // embeddings / m=4), parenthesized as the JVM's left fold so the
+      // doubles match bit-for-bit
+      def chain(term: Int => String): String =
+        (1 to 16).map(term).reduce((a, b) => s"($a + $b)")
+      val dChains = (0 until 4).map { j =>
+        val c = chain(i =>
+          s"((nv.v[${j * 16 + i}] - ct.v[${j * 16 + i}])^2)")
+        s"WHEN j.range = $j THEN $c"
+      }.mkString(" ")
+      val tChains = (0 until 4).map { j =>
+        val c = chain(i => s"(q.v[${j * 16 + i}] * ct.v[${j * 16 + i}])")
+        s"WHEN j.range = $j THEN $c"
+      }.mkString(" ")
+      s"""WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         sr AS (
+           SELECT vec_id, v, row_number() OVER (ORDER BY
+             (md5_number_lower('pq:' || CAST(vec_id AS VARCHAR))
+              & 9223372036854775807), vec_id) AS rnk
+           FROM n),
+         cent AS (SELECT CAST(rnk - 1 AS INT) AS cidx, v FROM sr WHERE rnk <= 8),
+         dists AS (
+           SELECT nv.vec_id, CAST(j.range AS INT) AS j, ct.cidx,
+             (CASE $dChains END) AS d
+           FROM n nv, range(0, 4) j, cent ct),
+         codes AS (
+           SELECT vec_id, j, cidx FROM (
+             SELECT vec_id, j, cidx,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d, cidx) AS rk
+             FROM dists) WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 100 = 0),
+         tab AS (
+           SELECT q.query_id, CAST(j.range AS INT) AS j, ct.cidx,
+             (CASE $tChains END) AS t
+           FROM q, range(0, 4) j, cent ct),
+         sims AS (
+           SELECT query_id, nn_id, (((t0 + t1) + t2) + t3) AS sim0 FROM (
+             SELECT t.query_id, co.vec_id AS nn_id,
+               MAX(CASE WHEN t.j = 0 THEN t.t END) AS t0,
+               MAX(CASE WHEN t.j = 1 THEN t.t END) AS t1,
+               MAX(CASE WHEN t.j = 2 THEN t.t END) AS t2,
+               MAX(CASE WHEN t.j = 3 THEN t.t END) AS t3
+             FROM codes co JOIN tab t ON t.j = co.j AND t.cidx = co.cidx
+             GROUP BY 1, 2)
+           WHERE nn_id <> query_id),
+         r AS (
+           SELECT query_id, nn_id, sim0,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim0 DESC, nn_id) AS rk
+           FROM sims)
+         SELECT query_id, nn_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
+         FROM r WHERE rk <= 5"""
+    },
     "llm_hard_negatives" ->
       """WITH u AS (
            SELECT vec_id,

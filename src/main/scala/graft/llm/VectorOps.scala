@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -169,6 +169,146 @@ object VectorOps {
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Product-quantization ANN (the IVF-PQ family's compression half,
+    * Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): vectors compress to `m` one-byte codes (one per subspace),
+    * and each query scores a candidate with `m` table lookups instead of a
+    * `dim`-wide dot product — the classic memory/bandwidth lever when
+    * 100 TB of embeddings can't hold float vectors in RAM.
+    *
+    * Deterministic by construction so the ENTIRE path replays in SQL when
+    * `lloydIters = 0`: codebook seeds are the `ks` corpus rows with the
+    * smallest `md5Lower63(seed:id)` (subspace j's centroids are their j-th
+    * segments); assignment is L2-argmin with index tie-break; ADC
+    * similarity is the j-ordered left fold `((t₀+t₁)+t₂)+…` the oracle
+    * reproduces with explicit parentheses.
+    *
+    * Scale shape: one TakeOrdered for seeds (ks rows to the driver —
+    * metadata), optional Lloyd rounds as one aggregation job each, encode
+    * as a map-only JVM pass against broadcast centroids, scoring as a
+    * broadcast of the (small) query side with its precomputed ADC tables
+    * — the corpus never shuffles; only per-query top-k ranks. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int = 4, ks: Int = 8, lloydIters: Int = 0,
+      seed: String = "pq"): DataFrame = {
+    require(m > 0 && ks > 0)
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col(idCol).as("nn_id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    val seedRows = c0
+      .orderBy(DedupOps.md5Lower63(
+        concat(lit(seed + ":"), col("nn_id").cast(StringType))), col("nn_id"))
+      .limit(ks).select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == ks, s"need >= $ks corpus rows to seed PQ")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    var cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ks)((j, c) => seedRows(c).slice(j * sub, (j + 1) * sub))
+
+    def argminCode(cs: Array[Array[Array[Double]]], v: Array[Double], j: Int): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val diff = v(j * sub + i) - cs(j)(c)(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict: ties keep lowest c
+        c += 1
+      }
+      best
+    }
+
+    for (_ <- 0 until lloydIters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partSchema = StructType(Seq(
+        StructField("j", IntegerType, nullable = false),
+        StructField("c", IntegerType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("s", DoubleType, nullable = false),
+        StructField("n", LongType, nullable = false)))
+      val partials = c0.select(col("__v")).mapPartitions { it =>
+        val cs = bc.value
+        val acc = Array.fill(m, ks, sub)(0.0)
+        val cnt = Array.fill(m, ks)(0L)
+        it.foreach { r =>
+          val v = r.getSeq[Double](0).toArray
+          var j = 0
+          while (j < m) {
+            val code = argminCode(cs, v, j)
+            cnt(j)(code) += 1
+            var i = 0
+            while (i < sub) { acc(j)(code)(i) += v(j * sub + i); i += 1 }
+            j += 1
+          }
+        }
+        for { j <- (0 until m).iterator; c <- 0 until ks if cnt(j)(c) > 0
+              i <- 0 until sub }
+          yield Row(j, c, i, acc(j)(c)(i), if (i == 0) cnt(j)(c) else 0L)
+      }(org.apache.spark.sql.Encoders.row(partSchema)).collect()
+      val sums = Array.fill(m, ks, sub)(0.0); val cnts = Array.fill(m, ks)(0L)
+      partials.foreach { r =>
+        sums(r.getInt(0))(r.getInt(1))(r.getInt(2)) += r.getDouble(3)
+        cnts(r.getInt(0))(r.getInt(1)) += r.getLong(4)
+      }
+      cents = Array.tabulate(m, ks) { (j, c) =>
+        if (cnts(j)(c) == 0) cents(j)(c)
+        else Array.tabulate(sub)(i => sums(j)(c)(i) / cnts(j)(c))
+      }
+    }
+
+    // encode: map-only JVM pass, m bytes per vector
+    val bcFinal = spark.sparkContext.broadcast(cents)
+    val codeSchema = StructType(Seq(
+      StructField("nn_id", c0.schema("nn_id").dataType),
+      StructField("__codes", ArrayType(IntegerType, containsNull = false))))
+    val codes = c0.mapPartitions { it =>
+      val cs = bcFinal.value
+      it.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        Row(r.get(0), (0 until m).map(j => argminCode(cs, v, j)): Seq[Int])
+      }
+    }(org.apache.spark.sql.Encoders.row(codeSchema))
+
+    // query side: ADC table (m × ks partial dot products) built in the
+    // same JVM pass style as encode — the j-ordered left-fold accumulation
+    // the oracle reproduces with explicit parentheses
+    val qSchema = StructType(Seq(
+      StructField("query_id", queries.schema(qIdCol).dataType),
+      StructField("__tab", ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false))))
+    val q = queries.select(col(qIdCol).as("query_id"),
+        normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+      .mapPartitions { it =>
+        val cs = bcFinal.value
+        it.map { r =>
+          val qv = r.getSeq[Double](1).toArray
+          val tab: Seq[Seq[Double]] = (0 until m).map { j =>
+            (0 until ks).map { c =>
+              var d = 0.0; var i = 0
+              while (i < sub) { d += qv(j * sub + i) * cs(j)(c)(i); i += 1 }
+              d
+            }
+          }
+          Row(r.get(0), tab)
+        }
+      }(org.apache.spark.sql.Encoders.row(qSchema))
+    val sim = (0 until m).map(j =>
+      element_at(element_at(col("__tab"), j + 1),
+        element_at(col("__codes"), j + 1) + 1)).reduce(_ + _)
+    val joined = codes.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", sim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
   }
 
   /** Deterministic random hyperplanes, generated driver-side with a fixed

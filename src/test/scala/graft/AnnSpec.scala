@@ -159,4 +159,45 @@ class AnnSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == Seq(2L, 3L), "dup (cos 1) excluded")
     assert(got.head.getAs[Double]("sim") > 0.85)
   }
+
+  test("pqTopK: clustered data retrieves same-cluster neighbors; Lloyd helps") {
+    import spark.implicits._
+    // 3 prototypes in 8-dim, members = prototype with one coordinate nudged;
+    // PQ (m=2, ks=4) must rank same-cluster members above other clusters
+    val protos = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val rows = for {
+      c <- 0 until 3; i <- 0 until 6
+    } yield ((c * 10 + i).toLong, protos(c).zipWithIndex.map { case (x, d) =>
+      if (d == 3 || d == 7) x + 0.05f * (i + 1) else x }.toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" % 10 === 0) // one query per cluster
+    val got = VectorOps.pqTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3, m = 2, ks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+    // at ks=4 the codebook quantizes coarsely: require the TOP-1 neighbor
+    // in-cluster and a same-cluster majority in the top-3
+    for ((q, nns) <- got) {
+      val top1 = nns.minBy(_._3)._2
+      assert(top1 / 10 == q / 10, s"query $q top-1 crossed clusters: $top1")
+      assert(nns.count(_._2 / 10 == q / 10) >= 2,
+        s"query $q lacks same-cluster majority: ${nns.map(_._2).toSeq}")
+    }
+    // determinism: identical run, identical result
+    val again = VectorOps.pqTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3, m = 2, ks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val first = VectorOps.pqTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3, m = 2, ks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(again == first)
+    // lloyd iterations keep the pipeline green (codebook refits)
+    val refit = VectorOps.pqTopK(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 3, m = 2, ks = 4, lloydIters = 2)
+      .collect()
+    assert(refit.length == got.size * 3)
+  }
 }
