@@ -1095,6 +1095,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     }),
+    // surgical span-level decontamination (PaLM-style): erase exactly the
+    // benchmark-overlapping 8-gram windows, keep the rest of the doc; the
+    // pseudo-eval-suite is the doc_id%41 slice, so its members strip to
+    // empty and partial overlaps strip surgically — full SQL replay
+    "llm_decontaminate_spans" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminateSpans(docs,
+        docs.filter(col("doc_id") % 41 === 0), "text", "doc_id", n = 8)
+    }),
     // sentence-aligned RAG chunking: prefix-sum assignment (sentence i ->
     // chunk floor(tokensBefore/40)), no sentence ever split; the oracle
     // replays sentences, token prefix sums, assignment and reassembly
@@ -2891,6 +2901,35 @@ object SparkEntry {
            sum((3*r + 5*g + 7*b) * ((x + y*24) % 1000 + 1))::BIGINT AS px_checksum,
            CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'imageio' END AS codec
          FROM v GROUP BY 1, 2, 3""",
+    "llm_decontaminate_spans" ->
+      """WITH b AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         t -> length(t) > 0) AS toks,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> length(t) > 0) AS lt
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest(generate_series(1, greatest(len(lt) - 7, 0))) AS i1,
+             unnest(list_transform(generate_series(1, greatest(len(lt) - 7, 0)),
+               i -> CAST(md5_number_lower(array_to_string(lt[i:i+7], ' '))
+                    & 9223372036854775807 AS BIGINT))) AS hv
+           FROM b),
+         bg AS (SELECT DISTINCT hv FROM w WHERE doc_id % 41 = 0),
+         cov AS (SELECT DISTINCT doc_id, p FROM (
+           SELECT doc_id, unnest(generate_series(i1 - 1, i1 + 6)) AS p
+           FROM w WHERE hv IN (SELECT hv FROM bg))),
+         cv AS (SELECT doc_id, list(p) AS cover, count(*) AS nrem
+                FROM cov GROUP BY doc_id)
+         SELECT b.doc_id,
+                coalesce(array_to_string(list_filter(b.toks,
+                  (t, i) -> NOT list_contains(
+                    coalesce(cv.cover, CAST([] AS BIGINT[])), i - 1)), ' '),
+                  '') AS clean_text,
+                CAST(len(b.toks) AS INT) AS n_tokens,
+                CAST(coalesce(cv.nrem, 0) AS INT) AS n_removed
+         FROM b LEFT JOIN cv USING (doc_id)""",
     "llm_chunk_sentences" ->
       """WITH d AS (
            SELECT doc_id,

@@ -2,8 +2,8 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType,
-  LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType,
+  IntegerType, LongType, StringType, StructField, StructType}
 
 /** Corpus-wide (two-pass) training-data operators: benchmark decontamination,
   * TF-IDF keyword extraction, and unigram language-model scoring.
@@ -250,6 +250,50 @@ object CorpusOps {
       .groupBy(idCol)
       .agg(round(sum(col("tf") * col("logp")) / sum(col("tf")), 4).as("avg_logp"),
         sum("tf").cast("long").as("n_tokens"))
+  }
+
+  /** Span-level SURGICAL decontamination: instead of dropping a whole
+    * document on benchmark overlap ([[decontaminate]]), erase exactly the
+    * overlapping n-gram windows (union of covers) and keep the rest — the
+    * PaLM-style "remove the contaminated section" policy that saves the
+    * 99% of a long doc that never touched the eval suite. Matching uses
+    * the same lowercased-token n-grams as the doc-level probe;
+    * reassembly keeps the ORIGINAL token casing (positions align — the
+    * [[DedupOps.dropDuplicateSpans]] machinery pointed at a benchmark
+    * gram set rather than cross-doc duplicates).
+    *
+    * Scale: bench grams broadcast (MBs vs the corpus); the corpus-side
+    * window explode is O(total tokens) rows of (id, pos, 8-byte hash);
+    * cover reassembly is one per-doc collect_set bounded by doc length. */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1)
+    val base = corpus.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"),
+      TextOps.tokens(lower(col(textCol))).as("__lt"))
+    val wins = base
+      .filter(size(col("__lt")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__lt")) - n),
+        i => DedupOps.md5Lower63(
+          concat_ws(" ", slice(col("__lt"), i + 1, lit(n))))))
+        .as(Seq("__pos", "__hv")))
+    val benchGrams = bench
+      .select(explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(DedupOps.md5Lower63(col("__g")).as("__hv")).distinct()
+    val cov = wins.join(broadcast(benchGrams), Seq("__hv"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .groupBy(idCol).agg(collect_set(col("__p")).as("__cov"))
+    base.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(" ", filter(col("__toks"),
+          (t, i) => !array_contains(
+            coalesce(col("__cov"), array().cast(ArrayType(IntegerType))), i)))
+          .as("clean_text"),
+        size(col("__toks")).as("n_tokens"),
+        when(col("__cov").isNull, lit(0)).otherwise(size(col("__cov")))
+          .as("n_removed"))
   }
 
   /** Interpolated bigram language-model scoring — the CCNet recipe's

@@ -460,4 +460,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(c1.getAs[String]("chunk") == "m n o p q r s t")
     assert(c1.getAs[Int]("n_sentences") == 2 && c1.getAs[Int]("n_chunk_tokens") == 8)
   }
+
+  test("decontaminateSpans: strips exactly the benchmark-overlapping windows") {
+    val benchText = "alpha beta gamma delta"
+    val corpus = Seq(
+      // doc 1 embeds the bench 4-gram mid-sentence (positions 2..5)
+      (1L, "intro words alpha beta gamma delta trailing tail here"),
+      (2L, "totally unrelated text with no overlap at all"),
+      (3L, "Alpha Beta Gamma Delta")  // case-insensitive full match
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminateSpans(corpus, bench, "text", "doc_id",
+      n = 4).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("clean_text") == "intro words trailing tail here")
+    assert(got(1L).getAs[Int]("n_removed") == 4)
+    assert(got(2L).getAs[String]("clean_text") ==
+      "totally unrelated text with no overlap at all")
+    assert(got(2L).getAs[Int]("n_removed") == 0)
+    // matching is lowercased, reassembly keeps original casing (all gone)
+    assert(got(3L).getAs[String]("clean_text") == "")
+    assert(got(3L).getAs[Int]("n_removed") == 4)
+  }
 }
