@@ -1405,6 +1405,15 @@ object SparkEntry {
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, m = 4, ks = 8)
     }),
+    // IVF-PQ: coarse-list pruning + PQ code scoring, BOTH md5-seeded so
+    // the complete index build + probe + ADC search replays in SQL
+    "llm_ann_ivfpq" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      VectorOps.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 3, m = 4, ks = 8)
+    }),
     "llm_ann_lsh_recall" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings")
@@ -2241,6 +2250,98 @@ object SparkEntry {
            FROM s)
          SELECT query_id, nn_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
          FROM r WHERE rk <= 5""",
+    "llm_ann_ivfpq" -> {
+      // generated: 64-term full-vector dot chains (coarse assignment and
+      // query probes) + per-subspace 16-term chains, all parenthesized as
+      // the JVM's left folds
+      def chainN(n: Int)(term: Int => String): String =
+        (1 to n).map(term).reduce((a, b) => s"($a + $b)")
+      val assignDot = chainN(64)(i => s"(nv.v[$i] * co.v[$i])")
+      val probeDot = chainN(64)(i => s"(qq.v[$i] * co.v[$i])")
+      val dChains = (0 until 4).map { j =>
+        val c = chainN(16)(i =>
+          s"((nv.v[${j * 16 + i}] - ct.v[${j * 16 + i}])^2)")
+        s"WHEN j.range = $j THEN $c"
+      }.mkString(" ")
+      val tChains = (0 until 4).map { j =>
+        val c = chainN(16)(i => s"(q.v[${j * 16 + i}] * ct.v[${j * 16 + i}])")
+        s"WHEN j.range = $j THEN $c"
+      }.mkString(" ")
+      s"""WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         csr AS (
+           SELECT vec_id, v, row_number() OVER (ORDER BY
+             (md5_number_lower('ivfpq:coarse:' || CAST(vec_id AS VARCHAR))
+              & 9223372036854775807), vec_id) AS rnk
+           FROM n),
+         coarse AS (SELECT CAST(rnk - 1 AS INT) AS lidx, v FROM csr
+                    WHERE rnk <= 8),
+         psr AS (
+           SELECT vec_id, v, row_number() OVER (ORDER BY
+             (md5_number_lower('ivfpq:pq:' || CAST(vec_id AS VARCHAR))
+              & 9223372036854775807), vec_id) AS rnk
+           FROM n),
+         cent AS (SELECT CAST(rnk - 1 AS INT) AS cidx, v FROM psr
+                  WHERE rnk <= 8),
+         asg AS (
+           SELECT vec_id, lidx FROM (
+             SELECT nv.vec_id, co.lidx,
+               row_number() OVER (PARTITION BY nv.vec_id
+                 ORDER BY ($assignDot) DESC, co.lidx) AS rk
+             FROM n nv, coarse co) WHERE rk = 1),
+         dists AS (
+           SELECT nv.vec_id, CAST(j.range AS INT) AS j, ct.cidx,
+             (CASE $dChains END) AS d
+           FROM n nv, range(0, 4) j, cent ct),
+         codes AS (
+           SELECT vec_id, j, cidx FROM (
+             SELECT vec_id, j, cidx,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d, cidx) AS rk
+             FROM dists) WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 100 = 0),
+         probes AS (
+           SELECT query_id, lidx FROM (
+             SELECT qq.query_id, co.lidx,
+               row_number() OVER (PARTITION BY qq.query_id
+                 ORDER BY ($probeDot) DESC, co.lidx) AS rk
+             FROM (SELECT query_id, v FROM q) qq, coarse co) WHERE rk <= 3),
+         tab AS (
+           SELECT q.query_id, CAST(j.range AS INT) AS j, ct.cidx,
+             (CASE $tChains END) AS t
+           FROM q, range(0, 4) j, cent ct),
+         cand AS (
+           SELECT p.query_id, a.vec_id AS nn_id
+           FROM probes p JOIN asg a ON a.lidx = p.lidx
+           WHERE a.vec_id <> p.query_id),
+         sims AS (
+           SELECT query_id, nn_id, (((t0 + t1) + t2) + t3) AS sim0 FROM (
+             SELECT ca.query_id, ca.nn_id,
+               MAX(CASE WHEN t.j = 0 THEN t.t END) AS t0,
+               MAX(CASE WHEN t.j = 1 THEN t.t END) AS t1,
+               MAX(CASE WHEN t.j = 2 THEN t.t END) AS t2,
+               MAX(CASE WHEN t.j = 3 THEN t.t END) AS t3
+             FROM cand ca
+             JOIN codes co ON co.vec_id = ca.nn_id
+             JOIN tab t ON t.query_id = ca.query_id AND t.j = co.j
+                       AND t.cidx = co.cidx
+             GROUP BY 1, 2)),
+         r AS (
+           SELECT query_id, nn_id, sim0,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim0 DESC, nn_id) AS rk
+           FROM sims)
+         SELECT query_id, nn_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
+         FROM r WHERE rk <= 5"""
+    },
     "llm_ann_pq" -> {
       // generated: per-subspace L2/dot chains over sub=16 dims (64-dim
       // embeddings / m=4), parenthesized as the JVM's left fold so the

@@ -190,6 +190,17 @@ object VectorOps {
     * as a map-only JVM pass against broadcast centroids, scoring as a
     * broadcast of the (small) query side with its precomputed ADC tables
     * — the corpus never shuffles; only per-query top-k ranks. */
+  /** The `n` corpus rows with the smallest `md5Lower63(prefix || id)` —
+    * the deterministic, SQL-replayable seed pick shared by PQ and IVF-PQ
+    * (TakeOrdered: n rows to the driver, metadata-scale). */
+  private def md5Seeds(c0: DataFrame, prefix: String, n: Int): Array[Array[Double]] = {
+    val rows = c0.orderBy(DedupOps.md5Lower63(
+        concat(lit(prefix), col("nn_id").cast(StringType))), col("nn_id"))
+      .limit(n).select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(rows.length == n, s"need >= $n corpus rows to seed (got ${rows.length})")
+    rows
+  }
+
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, m: Int = 4, ks: Int = 8, lloydIters: Int = 0,
@@ -198,11 +209,7 @@ object VectorOps {
     val spark = corpus.sparkSession
     val c0 = corpus.select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
-    val seedRows = c0
-      .orderBy(DedupOps.md5Lower63(
-        concat(lit(seed + ":"), col("nn_id").cast(StringType))), col("nn_id"))
-      .limit(ks).select("__v").collect().map(_.getSeq[Double](0).toArray)
-    require(seedRows.length == ks, s"need >= $ks corpus rows to seed PQ")
+    val seedRows = md5Seeds(c0, seed + ":", ks)
     val dim = seedRows.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
@@ -301,6 +308,117 @@ object VectorOps {
       element_at(element_at(col("__tab"), j + 1),
         element_at(col("__codes"), j + 1) + 1)).reduce(_ + _)
     val joined = codes.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", sim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** IVF-PQ — the production ANN shape (FAISS's default index family):
+    * a coarse quantizer prunes the corpus to `nProbe` of `nLists` inverted
+    * lists, and PQ codes score the survivors with `m` table lookups each.
+    * Pruning bounds IO (only probed lists are touched), PQ bounds memory
+    * (m bytes per vector) — together they are why a 100 TB embedding
+    * corpus is searchable at all.
+    *
+    * Deterministic like [[pqTopK]]: coarse centroids = the `nLists`
+    * lowest-`md5(seed:coarse:id)` rows, codebook = the `ks`
+    * lowest-`md5(seed:pq:id)` rows; both assignments argmax/argmin with
+    * index tie-breaks, so the WHOLE index build + search replays in SQL.
+    * Corpus never shuffles: assignment+encode is one map-only JVM pass,
+    * the probe join broadcasts the query side keyed by list. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nLists: Int = 8, nProbe: Int = 2, m: Int = 4, ks: Int = 8,
+      seed: String = "ivfpq"): DataFrame = {
+    require(nLists > 0 && nProbe > 0 && nProbe <= nLists && m > 0 && ks > 0)
+    val spark = corpus.sparkSession
+    val c0 = corpus.select(col(idCol).as("nn_id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    val coarse = md5Seeds(c0, seed + ":coarse:", nLists)
+    val seedRows = md5Seeds(c0, seed + ":pq:", ks)
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val cents: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ks)((j, c) => seedRows(c).slice(j * sub, (j + 1) * sub))
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcCents = spark.sparkContext.broadcast(cents)
+
+    def dotFull(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    def bestList(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bd = Double.MinValue
+      var l = 0
+      while (l < cs.length) { // unit sphere: max dot = min L2
+        val d = dotFull(v, cs(l))
+        if (d > bd) { bd = d; best = l } // strict: ties keep lowest l
+        l += 1
+      }
+      best
+    }
+    def pqCode(cs: Array[Array[Array[Double]]], v: Array[Double], j: Int): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        var d = 0.0; var i = 0
+        while (i < sub) { val x = v(j * sub + i) - cs(j)(c)(i); d += x * x; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // assignment + encode in ONE map-only pass
+    val codeSchema = StructType(Seq(
+      StructField("nn_id", c0.schema("nn_id").dataType),
+      StructField("__list", IntegerType, nullable = false),
+      StructField("__codes", ArrayType(IntegerType, containsNull = false))))
+    val codes = c0.mapPartitions { it =>
+      val co = bcCoarse.value; val cs = bcCents.value
+      it.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        Row(r.get(0), bestList(co, v),
+          (0 until m).map(j => pqCode(cs, v, j)): Seq[Int])
+      }
+    }(org.apache.spark.sql.Encoders.row(codeSchema))
+
+    // query side: nProbe coarse lists (by dot desc, index tie) + ADC table
+    val qSchema = StructType(Seq(
+      StructField("query_id", queries.schema(qIdCol).dataType),
+      StructField("__list", IntegerType, nullable = false),
+      StructField("__tab", ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false))))
+    val q = queries.select(col(qIdCol).as("query_id"),
+        normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+      .mapPartitions { it =>
+        val co = bcCoarse.value; val cs = bcCents.value
+        it.flatMap { r =>
+          val qv = r.getSeq[Double](1).toArray
+          val probes = (0 until nLists)
+            .map(l => (l, dotFull(qv, co(l))))
+            .sortBy { case (l, d) => (-d, l) }.take(nProbe).map(_._1)
+          val tab: Seq[Seq[Double]] = (0 until m).map { j =>
+            (0 until ks).map { c =>
+              var d = 0.0; var i = 0
+              while (i < sub) { d += qv(j * sub + i) * cs(j)(c)(i); i += 1 }
+              d
+            }
+          }
+          probes.map(l => Row(r.get(0), l, tab))
+        }
+      }(org.apache.spark.sql.Encoders.row(qSchema))
+    val sim = (0 until m).map(j =>
+      element_at(element_at(col("__tab"), j + 1),
+        element_at(col("__codes"), j + 1) + 1)).reduce(_ + _)
+    val joined = codes.join(broadcast(q), Seq("__list"))
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("sim", sim)
     val w = Window.partitionBy(col("query_id"))

@@ -200,4 +200,22 @@ class AnnSpec extends SparkSpec {
       .collect()
     assert(refit.length == got.size * 3)
   }
+
+  test("ivfPqTopK: probing more lists never lowers the best-candidate sim") {
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    def top1(nProbe: Int): Map[Long, Double] =
+      VectorOps.ivfPqTopK(emb, "vec_id", "embedding", qs, "vec_id",
+        "embedding", k = 1, nLists = 8, nProbe = nProbe)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val p1 = top1(1); val p4 = top1(4); val p8 = top1(8)
+    // candidate sets grow monotonically with nProbe, so the best ADC sim
+    // can only improve (ties allowed); every query must appear at full probe
+    assert(p8.keySet == qs.collect().map(_.getLong(0)).toSet)
+    for ((q, s1) <- p1) assert(p4.getOrElse(q, Double.MinValue) >= s1 - 1e-9,
+      s"query $q: nProbe=4 sim regressed")
+    for ((q, s4) <- p4) assert(p8.getOrElse(q, Double.MinValue) >= s4 - 1e-9,
+      s"query $q: nProbe=8 sim regressed")
+    // deterministic across runs
+    assert(top1(4) == p4)
+  }
 }
