@@ -1,0 +1,239 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PCA / whitening / all-but-the-top post-processing over an embedding
+  * column — the standard retrieval-quality step before indexing or
+  * training on embeddings (ABTT: Mu & Viswanath, ICLR 2018 "All-but-the-
+  * Top"; PCA whitening: x' = Λ^{-1/2} V^T (x - μ), the OPQ/faiss
+  * preprocessing convention).
+  *
+  * Scale design: the ONLY pass over the data is a per-partition moment
+  * accumulation — count, sum[d], and the upper triangle of Σ x xᵀ
+  * (d(d+1)/2 doubles) per partition, merged on the driver. That is
+  * #partitions × ~d²/2 doubles of traffic and NO shuffle at all (the same
+  * shape as the DSIR histograms, `CorpusOps.bucketHistogram`). The d×d
+  * eigenproblem is driver-side cyclic Jacobi — deterministic: fixed sweep
+  * order, fixed threshold, eigenpairs sorted by (eigenvalue desc, index),
+  * sign convention = first component of largest magnitude made positive —
+  * so the basis is a pure function of the data. d is the embedding width
+  * (64 here; even 4096² doubles is a trivial driver matrix). Projection,
+  * whitening and ABTT are then map-side passes against the broadcast
+  * basis: zero shuffles end-to-end at any corpus size.
+  */
+object PcaOps {
+
+  final case class Moments(n: Long, mean: Array[Double],
+      cov: Array[Array[Double]])
+
+  /** One pass: per-partition (count, sum, upper-tri sum of outer
+    * products), merged driver-side. Population covariance
+    * C = Σxxᵀ/n − μμᵀ. */
+  def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
+    val tri = dim * (dim + 1) / 2
+    val schema = StructType(Seq(
+      StructField("c", LongType, nullable = false),
+      StructField("s", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("q", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val partials = df.select(col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .mapPartitions { it =>
+        var n = 0L
+        val s = Array.fill(dim)(0.0)
+        val q = Array.fill(tri)(0.0)
+        it.foreach { r =>
+          val v = r.getSeq[Double](0)
+          require(v.length == dim, s"expected dim $dim, got ${v.length}")
+          n += 1
+          var i = 0
+          var t = 0
+          while (i < dim) {
+            val vi = v(i)
+            s(i) += vi
+            var j = i
+            while (j < dim) { q(t) += vi * v(j); t += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single(Row(n, s.toSeq, q.toSeq))
+      }(Encoders.row(schema)).collect()
+    val n = partials.map(_.getLong(0)).sum
+    require(n > 0, "PCA over an empty table")
+    val s = Array.fill(dim)(0.0)
+    val q = Array.fill(dim * (dim + 1) / 2)(0.0)
+    partials.foreach { r =>
+      val ps = r.getSeq[Double](1); val pq = r.getSeq[Double](2)
+      var i = 0
+      while (i < dim) { s(i) += ps(i); i += 1 }
+      var t = 0
+      while (t < q.length) { q(t) += pq(t); t += 1 }
+    }
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = q(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    Moments(n, mean, cov)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix.
+    * Deterministic: row-cyclic sweep order, rotations applied while the
+    * off-diagonal Frobenius norm exceeds 1e-12·scale, max 64 sweeps.
+    * Returns (eigenvalues, eigenvectors-as-columns) sorted by
+    * (eigenvalue desc, original index), each column sign-fixed so its
+    * largest-|.| component is positive. */
+  def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += 2 * a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    val scale = math.max(1e-300, math.sqrt(
+      (0 until d).map(i => (0 until d).map(j => a(i)(j) * a(i)(j)).sum).sum))
+    var sweep = 0
+    while (offNorm() > 1e-12 * scale && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val tt = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1))
+              case s0  => s0 / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            }
+            val c = 1.0 / math.sqrt(tt * tt + 1)
+            val s = tt * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val eig = order.map(i => a(i)(i)).toArray
+    val vecs = Array.ofDim[Double](d, d)
+    var oc = 0
+    while (oc < d) {
+      val src = order(oc)
+      var mi = 0
+      var mv = 0.0
+      var i = 0
+      while (i < d) {
+        if (math.abs(v(i)(src)) > mv) { mv = math.abs(v(i)(src)); mi = i }
+        i += 1
+      }
+      val sgn = if (v(mi)(src) < 0) -1.0 else 1.0
+      i = 0
+      while (i < d) { vecs(i)(oc) = sgn * v(i)(src); i += 1 }
+      oc += 1
+    }
+    (eig, vecs)
+  }
+
+  /** The population covariance matrix of the embedding column as rows
+    * (i, j, cov) for i ≤ j — the SQL-oracle-friendly surface of the
+    * moment pass: DuckDB recomputes every entry as
+    * avg(v[i]·v[j]) − avg(v[i])·avg(v[j]). */
+  def covarianceEntries(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val spark = df.sparkSession
+    val rows = for (i <- 0 until dim; j <- i until dim)
+      yield Row(i, j, BigDecimal(m.cov(i)(j)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("cov", DoubleType, nullable = false))))
+  }
+
+  /** Project onto the top `r` principal components; `whiten` divides each
+    * component by √λ so the projected covariance is the identity. Pure
+    * map-side against the broadcast basis. Output: (id, comps[r]). */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      r: Int, whiten: Boolean): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val (eig, vecs) = jacobiEigen(m.cov)
+    val basis = Array.tabulate(r, dim) { (c, i) =>
+      if (whiten) vecs(i)(c) / math.sqrt(math.max(eig(c), 1e-12))
+      else vecs(i)(c)
+    }
+    val meanLit = lit(m.mean)
+    val comps = (0 until r).map { c =>
+      VectorOps.dot(zip_with(col("__v"), meanLit, (a, b) => a - b),
+        lit(basis(c)))
+    }
+    df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .select(col(idCol), array(comps: _*).as("comps"))
+  }
+
+  /** All-but-the-top (Mu & Viswanath 2018): subtract the mean, then
+    * remove the projections onto the top `r` components — kills the
+    * common-direction energy that dominates embedding similarity. Pure
+    * map-side. Output: (id, vec[d]). */
+  def removeTop(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      r: Int): DataFrame = {
+    val m = moments(df, vecCol, dim)
+    val (_, vecs) = jacobiEigen(m.cov)
+    val meanLit = lit(m.mean)
+    // dot products first as plain columns (one pass each), THEN a single
+    // per-element correction — never a dot recomputed inside the element
+    // lambda, which would make this O(d²·r) per row
+    val base = df.select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .withColumn("__c", zip_with(col("__v"), meanLit, (a, b) => a - b))
+    val withDots = (0 until r).foldLeft(base) { (acc, c) =>
+      acc.withColumn(s"__d$c", VectorOps.dot(col("__c"),
+        lit(Array.tabulate(dim)(i => vecs(i)(c)))))
+    }
+    val corrected = transform(col("__c"), (x, i) =>
+      (0 until r).foldLeft(x) { (e, c) =>
+        e - col(s"__d$c") * element_at(
+          lit(Array.tabulate(dim)(j => vecs(j)(c))), i + 1)
+      })
+    withDots.select(col(idCol), corrected.as("vec"))
+  }
+}

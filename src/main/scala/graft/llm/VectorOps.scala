@@ -647,4 +647,98 @@ object VectorOps {
         transform(col("__v"),
           x => floor(x * (lit(127.0) / col("__mx")) + lit(0.5)).cast(ByteType))
           .as("qvec"))
+
+  /** k-NN graph construction via NN-Descent (Dong, Moses & Li, WWW 2011)
+    * — the graph-ANN index family (the build step behind HNSW/NSG-style
+    * search and the kNN graphs UMAP consumes), complementing the
+    * IVF/LSH/PQ families above. The principle: a node's neighbors'
+    * neighbors are likely neighbors — start from an arbitrary graph and
+    * iterate local joins, keeping each node's best k so far.
+    *
+    * Determinism (and hence SQL replayability, like the BPE trainer):
+    *  - init is a deterministic random k-out digraph: positions 1..n by
+    *    `md5Lower63("knng:" || id)` (via [[graft.operators.GlobalRank]],
+    *    never an `Exchange SinglePartition`), then node at position p
+    *    points at position p + 1 + md5Lower63("knns:"||p||":"||j) mod
+    *    (n−1) for j = 1..k. O(n·k), and — unlike a ring, whose 2-hop
+    *    neighborhoods are just more ring — the md5 offsets make each
+    *    round's local join multiply candidate diversity by ~k (measured:
+    *    ring init recall 0.08 after 3 rounds on the structureless test
+    *    embeddings, random k-out 10× that).
+    *  - reverse-neighbor sampling (the paper's ρ) keeps the `maxRev`
+    *    reverse edges with the smallest `md5Lower63("knnr:"||src||":"||nbr)`
+    *    per node, which bounds the local join at (k+maxRev)² candidates
+    *    per node even under hub skew.
+    *  - ties rank by id.
+    *
+    * Scale shape per round: one per-node window (reverse cap), one
+    * self-equi-join on the shared endpoint (the local join), a distinct,
+    * two hash joins against the (localCheckpointed) vector table, one
+    * per-node top-k window — all key-partitioned shuffles, nothing
+    * global, nothing quadratic in n. `iters` rounds; the paper converges
+    * in a handful. Each round's frontier is localCheckpointed and the
+    * previous round's checkpoint unpersisted.
+    *
+    * On STRUCTURELESS (uniform) vectors the descent has no gradient to
+    * climb — recall is bounded by candidate coverage, like IVF/LSH above;
+    * on clustered data it converges to near-exact graphs (AnnSpec pins
+    * both). Returns (src, nn_id, sim, rank). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2, maxRev: Int = 0): DataFrame = {
+    require(iters >= 1, "knnGraph needs at least one NN-Descent round")
+    val spark = df.sparkSession
+    val mrev = if (maxRev > 0) maxRev else 2 * k
+    val vecs = df.select(col(idCol).cast(LongType).as("id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+      .localCheckpoint()
+    val ranked = graft.operators.GlobalRank.withRank(
+      vecs.select(col("id"), DedupOps.md5Lower63(
+        concat(lit("knng:"), col("id").cast(StringType))).as("__key")),
+      "__key", "__pos", "__n").select(col("id"), col("__pos"), col("__n"))
+    val offs = spark.range(1, k + 1L).select(col("id").as("__j"))
+    var edges = ranked.crossJoin(broadcast(offs))
+      .withColumn("__off", lit(1L) + pmod(DedupOps.md5Lower63(
+        concat(lit("knns:"), col("__pos").cast(StringType), lit(":"),
+          col("__j").cast(StringType))), col("__n") - 1))
+      .withColumn("__tpos", ((col("__pos") - 1 + col("__off")) % col("__n")) + 1)
+      .join(ranked.select(col("id").as("nbr"), col("__pos").as("__tp")),
+        col("__tpos") === col("__tp"))
+      .select(col("id").as("src"), col("nbr"))
+      .filter(col("src") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint()
+    var result: DataFrame = null
+    for (_ <- 1 to iters) {
+      val rev = edges.select(col("nbr").as("src"), col("src").as("nbr"))
+      val wRev = Window.partitionBy(col("src")).orderBy(
+        DedupOps.md5Lower63(concat(lit("knnr:"), col("src").cast(StringType),
+          lit(":"), col("nbr").cast(StringType))), col("nbr"))
+      val revCapped = rev.withColumn("__rrk", row_number().over(wRev))
+        .filter(col("__rrk") <= mrev).drop("__rrk")
+      val u = edges.union(revCapped).distinct()
+      val u2 = u.toDF("__src2", "__nbr2")
+      val cand = u.join(u2, col("nbr") === col("__src2"))
+        .select(col("src"), col("__nbr2").as("cand"))
+        .filter(col("src") =!= col("cand"))
+        .union(edges.select(col("src"), col("nbr").as("cand")))
+        .distinct()
+      val scored = cand
+        .join(vecs.select(col("id"), col("__v").as("__vs")),
+          col("src") === col("id")).drop("id")
+        .join(vecs.select(col("id"), col("__v").as("__vc")),
+          col("cand") === col("id")).drop("id")
+        .withColumn("sim", dot(col("__vs"), col("__vc")))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("cand"))
+      val prev = edges
+      val full = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("src"), col("cand").as("nbr"), col("sim"), col("rank"))
+        .localCheckpoint()
+      prev.unpersist()
+      result = full
+      edges = full.select(col("src"), col("nbr"))
+    }
+    result.select(col("src"), col("nbr").as("nn_id"),
+      round(col("sim"), 6).as("sim"), col("rank"))
+  }
 }

@@ -417,4 +417,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.llm.MultimodalOps.decodeVideoFrames(media))
     assert(!p.contains("Exchange"), s"decode is map-only:\n$p")
   }
+
+  test("pcaProject/removeTop are map-side against the broadcast basis: no exchange") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pProj = plan(graft.llm.PcaOps.pcaProject(
+      emb, "vec_id", "embedding", 64, r = 4, whiten = true))
+    assert(!pProj.contains("Exchange"), s"projection must not shuffle:\n$pProj")
+    val pAbtt = plan(graft.llm.PcaOps.removeTop(
+      emb, "vec_id", "embedding", 64, r = 2))
+    assert(!pAbtt.contains("Exchange"), s"ABTT must not shuffle:\n$pAbtt")
+  }
+
 }

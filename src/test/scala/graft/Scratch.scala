@@ -54,6 +54,22 @@ object Scratch {
         println(f"IVFSWEEP nLists=$nLists nProbe=$nProbe iters=$iters recall=${r.getAs[Double]("recall")}%.3f")
       }
     }
+    else if (args(0) == "knnsweep") { // knnsweep <sfDir>: NN-Descent graph recall by iters
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val exact = graft.llm.VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
+      for (iters <- Seq(3, 4, 5); mrev <- Seq(10)) {
+        val g = graft.llm.VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = iters, maxRev = mrev)
+          .select(col("src").as("query_id"), col("nn_id"), col("sim"), col("rank"))
+        val r = graft.llm.VectorOps.recallAtK(g, exact).collect()(0)
+        println(f"KNNSWEEP iters=$iters maxRev=$mrev recall=${r.getAs[Double]("recall")}%.3f")
+      }
+    }
     else if (args(0) == "explain") {
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       SparkEntry.queries(args(1))(spark, dir).explain("formatted")
