@@ -1154,6 +1154,25 @@ object SparkEntry {
           "g_symbol_ok", "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok",
           "g_stopwords_ok", "keep")
     }),
+    // URL canonicalization (CommonCrawl/C4-style dedup key): synthUrl
+    // fabricates four messy variants per page (case, www, default port,
+    // tracking params, fragments, param order) so the canonical form is
+    // verifiable AND produces real dup groups; the oracle recomputes the
+    // entire normalization in SQL. Shuffle-free scan.
+    "llm_url_canon" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.synthUrl(col("doc_id")).as("url"))
+        .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+    }),
+    // URL-level dedup: group on md5(canon) — 16-byte digests cross the
+    // exchange, never the url strings (the exact-dedup digest shape)
+    "llm_url_dedup" -> ((s, dir) => {
+      tune(s)
+      TextOps.urlDedup(t(s, dir, "documents").select(col("doc_id"),
+        TextOps.synthUrl(col("doc_id")).as("url")),
+        "doc_id", "url")
+    }),
     "llm_fingerprint" -> ((s, dir) => {
       tune(s)
       t(s, dir, "documents").select(col("doc_id"),
@@ -2005,6 +2024,54 @@ object SparkEntry {
 
   /** Merge rounds for the BPE oracle pair. */
   private val bpeM = 6
+
+  /** Shared CTE prefix for the URL-canonicalization oracles: synthUrl's
+    * four messy variants (u) → fragment strip (c) → parse (p) → canonical
+    * reassembly (k, columns doc_id/url/canon_url), mirroring
+    * TextOps.synthUrl/canonicalizeUrl step for step. */
+  private def urlCanonSql(select: String): String =
+    s"""WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'https://WWW.' || upper(host)
+                || '/articles/' || pg || '?id=' || pg
+                || '&utm_source=feed&utm_medium=rss'
+              WHEN 1 THEN 'https://www.' || host || ':443/articles/'
+                || pg || '?ref=hp&id=' || pg
+              WHEN 2 THEN 'HTTPS://' || host || '/articles/' || pg
+                || '?utm_campaign=x&id=' || pg || '#section-2'
+              ELSE 'https://' || host || '/articles/' || pg
+                || '?id=' || pg || '&gclid=abc123'
+            END AS url
+          FROM (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS pg,
+                       'site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                         || '.example.com' AS host FROM documents)),
+        c AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+        p AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(nf,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+            regexp_extract(nf,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+            regexp_extract(nf, '\\?([^#]*)', 1) AS q0
+          FROM c),
+        k AS (
+          SELECT doc_id, url,
+            scheme || '://' ||
+            regexp_replace(
+              CASE WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+                   ELSE auth END, '^www\\.', '') ||
+            CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+            CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END AS canon_url
+          FROM (SELECT *,
+                  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+                    x -> length(x) > 0 AND NOT regexp_matches(x,
+                      '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$$)'))),
+                    '&') AS q
+                FROM p))
+        $select"""
 
   /** DuckDB replay of BPE TRAINING: round k = weighted-pair argmax (CTE
     * b_k, same (weight desc, pair asc) tie-break as BpeOps.train) + merge
@@ -2984,6 +3051,12 @@ object SparkEntry {
                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                                      t -> length(t) > 0)) AS INT) AS n_tokens
          FROM documents""",
+    "llm_url_canon" -> urlCanonSql(
+      "SELECT doc_id, url, canon_url FROM k"),
+    "llm_url_dedup" -> urlCanonSql(
+      """SELECT md5(canon_url) AS url_md5, min(canon_url) AS canon_url,
+                min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM k GROUP BY md5(canon_url)"""),
     "llm_fingerprint" ->
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

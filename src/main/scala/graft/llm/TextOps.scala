@@ -351,6 +351,76 @@ object TextOps {
         col("n_sentences"), col("n_chunk_tokens"))
   }
 
+  /** Deterministic synthetic URL for a doc — four messiness variants
+    * (chosen by `id % 4`, with `id / 4` as the shared page id) that all
+    * canonicalize to the SAME url, so [[canonicalizeUrl]] oracles get
+    * real dup groups out of the `documents` table without new testdata
+    * (the [[graft.llm.MultimodalOps.synthPng]] pattern applied to URLs;
+    * host derives from the PAGE id so the four variant docs share it):
+    * upper-cased scheme/host, `www.` prefix, explicit default port,
+    * shuffled query params, tracking params (`utm_*`/`gclid`/`ref`),
+    * and a `#fragment`. */
+  def synthUrl(id: Column): Column = {
+    val page = (id / 4).cast(LongType).cast(StringType)
+    val host = concat(lit("site"),
+      pmod((id / 4).cast(LongType), lit(50)).cast(StringType),
+      lit(".example.com"))
+    val v = pmod(id, lit(4))
+    when(v === 0, concat(lit("https://WWW."), upper(host),
+        lit("/articles/"), page, lit("?id="), page,
+        lit("&utm_source=feed&utm_medium=rss")))
+      .when(v === 1, concat(lit("https://www."), host, lit(":443/articles/"),
+        page, lit("?ref=hp&id="), page))
+      .when(v === 2, concat(lit("HTTPS://"), host, lit("/articles/"), page,
+        lit("?utm_campaign=x&id="), page, lit("#section-2")))
+      .otherwise(concat(lit("https://"), host, lit("/articles/"), page,
+        lit("?id="), page, lit("&gclid=abc123")))
+  }
+
+  /** URL canonicalization — the CommonCrawl/C4-style URL dedup key.
+    * Conventions (each spelled so a DuckDB RE2 oracle matches Java regex
+    * exactly; no percent-decoding — that can CHANGE the resource):
+    *  1. drop the `#fragment`;
+    *  2. lower-case scheme and authority;
+    *  3. strip the scheme's default port (`:80` http, `:443` https) and a
+    *     leading `www.`;
+    *  4. empty path becomes `/`;
+    *  5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`), sort
+    *     the survivors byte-wise, rejoin with `&` (param ORDER never
+    *     distinguishes resources; tracking params never should).
+    * Pure codegen-able column expressions — a shuffle-free scan at any
+    * corpus size; dedup then groups the md5 of the canonical form
+    * ([[urlDedup]]) so only 16-byte digests cross the exchange. */
+  def canonicalizeUrl(url: Column): Column = {
+    val nf = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(nf, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(nf,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val path0 = regexp_extract(nf,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q0 = regexp_extract(nf, "\\?([^#]*)", 1)
+    val kept = filter(split(q0, "&"), p => length(p) > 0 &&
+      !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)(=|$)"))
+    val q = array_join(sort_array(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup over canonical forms: one row per distinct canonical
+    * url with the lowest carrying doc id and the dup count. The group key
+    * crossing the shuffle is `md5(canon)` (16 bytes), not the url string —
+    * the [[graft.llm.DedupOps.exact]] digest-shuffle shape. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("__c"))
+      .groupBy(md5(col("__c")).as("url_md5"))
+      .agg(min(col("__c")).as("canon_url"), min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
   def packIntoWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, windowTokens: Int,
       shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {

@@ -481,4 +481,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L).getAs[String]("clean_text") == "")
     assert(got(3L).getAs[Int]("n_removed") == 4)
   }
+
+  test("canonicalizeUrl: case, ports, www, tracking params, fragment, order") {
+    val cases = Seq(
+      // scheme+host lowercase, fragment dropped, params sorted
+      "HTTPS://Example.COM/A/b?z=1&a=2#frag" -> "https://example.com/A/b?a=2&z=1",
+      // default port per scheme stripped; non-default kept
+      "https://example.com:443/x" -> "https://example.com/x",
+      "http://example.com:80/x" -> "http://example.com/x",
+      "http://example.com:8080/x" -> "http://example.com:8080/x",
+      "https://example.com:80/x" -> "https://example.com:80/x",
+      // www. stripped, tracking params dropped (ref exact, not prefix)
+      "https://www.example.com/p?utm_source=a&utm_medium=b&id=3" ->
+        "https://example.com/p?id=3",
+      "https://example.com/p?gclid=g&fbclid=f&ref=hp&refresh=1" ->
+        "https://example.com/p?refresh=1",
+      // empty path -> '/', all-tracking query -> no '?'
+      "https://example.com?utm_campaign=x" -> "https://example.com/",
+      "https://example.com/only#f" -> "https://example.com/only")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select($"id", TextOps.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) == want, s"for $u") }
+  }
+
+  test("urlDedup: synthUrl's four variants collapse to one canonical url") {
+    val docs = (0L until 40L).toDF("doc_id")
+      .select($"doc_id", TextOps.synthUrl($"doc_id").as("url"))
+    val d = TextOps.urlDedup(docs, "doc_id", "url").collect()
+    assert(d.length == 10)
+    assert(d.forall(_.getAs[Long]("dup_count") == 4L))
+    // keep_id is the page's lowest doc and canon carries the page id
+    d.foreach { r =>
+      val keep = r.getAs[Long]("keep_id")
+      assert(keep % 4 == 0)
+      assert(r.getAs[String]("canon_url") ==
+        s"https://site${keep / 4 % 50}.example.com/articles/${keep / 4}?id=${keep / 4}")
+    }
+  }
 }
