@@ -2394,14 +2394,20 @@ object SparkEntry {
                id) AS pos,
              count(*) OVER () AS cnt
            FROM nn),
-         e0 AS (
-           SELECT DISTINCT a.id AS src, b.id AS nbr
-           FROM rk a, range(1, 6) j, rk b
-           WHERE b.pos = ((a.pos - 1 + 1 +
+         tp AS (
+           -- materialize the target position BEFORE the rk probe: phrased
+           -- as a 3-way comma join with the position inside the WHERE,
+           -- DuckDB nested-loops rk x rk (quadratic — ~50B compares at
+           -- sf1); as a derived column it is a clean hash equi-join
+           SELECT a.id, ((a.pos - 1 + 1 +
                ((md5_number_lower('knns:' || CAST(a.pos AS VARCHAR) || ':' ||
                    CAST(j.range AS VARCHAR)) & $mask) % (a.cnt - 1)))
-               % a.cnt) + 1
-             AND a.id <> b.id),
+               % a.cnt) + 1 AS tpos
+           FROM rk a, range(1, 6) j),
+         e0 AS (
+           SELECT DISTINCT t.id AS src, b.id AS nbr
+           FROM tp t JOIN rk b ON b.pos = t.tpos
+           WHERE t.id <> b.id),
          ${round(1, "e0")},
          ${round(2, "e1")}
          SELECT src, nbr AS nn_id, round(sim, 6) AS sim, CAST(rnk AS INT) AS rank
