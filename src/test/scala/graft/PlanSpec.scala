@@ -428,4 +428,21 @@ class PlanSpec extends SparkSpec {
     assert(!pAbtt.contains("Exchange"), s"ABTT must not shuffle:\n$pAbtt")
   }
 
+  test("canonicalizeUrl is a shuffle-free scan; urlDedup ships only digests") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val urls = docs.select(col("doc_id"),
+      graft.llm.TextOps.synthUrl(col("doc_id")).as("url"))
+    val pCanon = plan(urls.withColumn("canon",
+      graft.llm.TextOps.canonicalizeUrl(col("url"))))
+    assert(!pCanon.contains("Exchange"),
+      s"canonicalization must not shuffle:\n$pCanon")
+    val pDedup = plan(graft.llm.TextOps.urlDedup(urls, "doc_id", "url"))
+    assert(pDedup.contains("Exchange hashpartitioning(_groupingexpression"),
+      s"dedup partitions on the computed md5 grouping key:\n$pDedup")
+    assert(pDedup.contains("partial_count"),
+      s"map-side combine must run before the exchange:\n$pDedup")
+    assert(!pDedup.contains("Exchange SinglePartition"),
+      s"no single-partition collapse:\n$pDedup")
+  }
+
 }
