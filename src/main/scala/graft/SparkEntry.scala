@@ -1207,6 +1207,14 @@ object SparkEntry {
           shardCol = Some("source"))
         .select("doc_id", "source", "n_tokens", "window_id")
     }),
+    // packing segment boundaries: per-doc [seg_start, seg_end) token
+    // spans in the packed stream — what block-diagonal attention masks
+    // are built from; sharded running count (no global window)
+    "llm_pack_segments" -> ((s, dir) => {
+      tune(s)
+      TextOps.packSegments(t(s, dir, "documents"), "doc_id", "text", 4096,
+        shardCol = Some("source"))
+    }),
     // int8 embedding quantization: 4-8x storage/shuffle cut before ANN
     "llm_quantize_int8" -> ((s, dir) => {
       tune(s)
@@ -3124,6 +3132,22 @@ object SparkEntry {
                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
                       / 4096) AS BIGINT) AS window_id
          FROM t""",
+    "llm_pack_segments" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source
+                      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, source,
+                CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS window_id,
+                CAST(cum - n_tokens AS BIGINT) AS seg_start,
+                CAST(cum AS BIGINT) AS seg_end, n_tokens
+         FROM c""",
     "llm_text_normalize" ->
       """WITH r AS (SELECT doc_id,
                 text || '  e' || chr(769) || chr(7) || chr(9) || 'end' AS raw

@@ -421,6 +421,30 @@ object TextOps {
       .agg(min(col("__c")).as("canon_url"), min(col(idCol)).as("keep_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Sequence-packing SEGMENT BOUNDARIES: the per-doc token spans that
+    * packed pretraining needs to build block-diagonal attention masks
+    * (each doc must not attend across its neighbors in the packed
+    * window). Same assignment rule as [[packIntoWindows]] (`window_id =
+    * floor(cum_start / windowTokens)` over an id-ordered running token
+    * count); emits GLOBAL token offsets `[seg_start, seg_end)` per doc —
+    * consumers slice `seg - window_id*windowTokens` for within-window
+    * positions. With `shardCol` the running count is per-shard (the
+    * scale path — one exchange on the shard key, no global window). */
+  def packSegments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, windowTokens: Int,
+      shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = shardCol.fold(W.orderBy(col(idCol)))(s =>
+        W.partitionBy(col(s)).orderBy(col(idCol)))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__n", tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .select(col(idCol) +: shardCol.map(col).toSeq :+
+        floor((col("__cum") - col("__n")) / windowTokens).as("window_id") :+
+        (col("__cum") - col("__n")).as("seg_start") :+
+        col("__cum").as("seg_end") :+ col("__n").as("n_tokens"): _*)
+  }
+
   def packIntoWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, windowTokens: Int,
       shardCol: Option[String] = None): org.apache.spark.sql.DataFrame = {

@@ -507,6 +507,25 @@ class CorpusOpsSpec extends SparkSpec {
       assert(got(i.toLong) == want, s"for $u") }
   }
 
+  test("packSegments: contiguous spans, window alignment, packIntoWindows agreement") {
+    val docs = Seq((0L, "s", "a b c"), (1L, "s", "d e"), (2L, "s", "f g h i"),
+      (3L, "t", "j"), (4L, "t", "k l m n o p")).toDF("doc_id", "src", "text")
+    val seg = TextOps.packSegments(docs, "doc_id", "text", 4, Some("src"))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"),
+        r.getAs[Long]("window_id"))).sortBy(t => (t._1, t._2))
+    // per-shard token stream is gapless and ordered
+    for (Seq(a, b) <- seg.toSeq.sliding(2) if a._1 == b._1)
+      assert(a._4 == b._3, s"gap between $a and $b")
+    // a doc's window is the window containing its FIRST token
+    seg.foreach { case (_, _, st, _, w) => assert(w == st / 4) }
+    // same assignment as packIntoWindows
+    val piw = TextOps.packIntoWindows(docs, "doc_id", "text", 4, Some("src"))
+      .select("doc_id", "window_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    seg.foreach { case (_, id, _, _, w) => assert(piw(id) == w) }
+  }
+
   test("urlDedup: synthUrl's four variants collapse to one canonical url") {
     val docs = (0L until 40L).toDF("doc_id")
       .select($"doc_id", TextOps.synthUrl($"doc_id").as("url"))
