@@ -1132,6 +1132,22 @@ object SparkEntry {
       CorpusOps.nbTrainScore(docs, labeled, "doc_id", "text", "__lab",
         buckets = 64)
     }),
+    // classifier calibration: the full PR threshold sweep of the NB
+    // quality classifier on the HELD-OUT slice (doc_id % 3 == 1) —
+    // distributed prefix sum (range partition + broadcast offsets),
+    // never a single-partition window
+    "llm_nb_pr" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("__lab", col("lang") === "en")
+      val scored = CorpusOps
+        .nbTrainScore(docs, labeled, "doc_id", "text", "__lab", buckets = 64)
+        .filter(col("doc_id") % 3 === 1)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("__y")),
+          "doc_id")
+      CorpusOps.prCurve(scored, "doc_id", "logit", "__y")
+    }),
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // slice, raw = the whole corpus; hashed unigram+bigram bucket
     // histograms -> per-doc log importance weight -> Gumbel-top-k with
@@ -2032,6 +2048,45 @@ object SparkEntry {
 
   /** Merge rounds for the BPE oracle pair. */
   private val bpeM = 6
+
+  /** Shared CTE prefix for the Naive-Bayes oracles: tokenized docs (d),
+    * labeled slice (lab), hashed-bucket class histograms, Laplace
+    * log-likelihood ratios (llr) and per-doc logits (sc). The `select`
+    * either reads FROM sc or continues the WITH chain (leading comma). */
+  private def nbScoreSql(select: String): String =
+    """WITH d AS (
+           SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> length(t) > 0) AS toks
+           FROM documents),
+         lab AS (SELECT doc_id, (lang = 'en') AS y, toks FROM d
+                 WHERE doc_id % 3 = 0),
+         ex AS (
+           SELECT y,
+             CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT) AS b
+           FROM lab, unnest(toks) AS g(u)),
+         hp AS (SELECT b, count(*) AS c FROM ex WHERE y GROUP BY 1),
+         hn AS (SELECT b, count(*) AS c FROM ex WHERE NOT y GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM ex WHERE y) + 64 AS tp,
+                        (SELECT count(*) FROM ex WHERE NOT y) + 64 AS tn,
+                        (SELECT count(*) FROM lab WHERE y) AS np,
+                        (SELECT count(*) FROM lab WHERE NOT y) AS nn),
+         llr AS (
+           SELECT r.range AS b,
+             ln((COALESCE(hp.c, 0) + 1.0) / tot.tp)
+               - ln((COALESCE(hn.c, 0) + 1.0) / tot.tn) AS lr
+           FROM range(0, 64) r
+           LEFT JOIN hp ON hp.b = r.range
+           LEFT JOIN hn ON hn.b = r.range, tot),
+         sc AS (
+           SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
+             ln(CAST(tot.np AS DOUBLE) / tot.nn)
+               + COALESCE((SELECT sum(llr.lr) FROM unnest(d.toks) AS g(u)
+                 JOIN llr ON llr.b =
+                   CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT)),
+                 0.0) AS logit
+           FROM d, tot)
+         """ + select
 
   /** Shared CTE prefix for the URL-canonicalization oracles: synthUrl's
     * four messy variants (u) → fragment strip (c) → parse (p) → canonical
@@ -3379,42 +3434,26 @@ object SparkEntry {
          SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp2,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
-    "llm_nb_classify" ->
-      """WITH d AS (
-           SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-                         t -> length(t) > 0) AS toks
-           FROM documents),
-         lab AS (SELECT doc_id, (lang = 'en') AS y, toks FROM d
-                 WHERE doc_id % 3 = 0),
-         ex AS (
-           SELECT y,
-             CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT) AS b
-           FROM lab, unnest(toks) AS g(u)),
-         hp AS (SELECT b, count(*) AS c FROM ex WHERE y GROUP BY 1),
-         hn AS (SELECT b, count(*) AS c FROM ex WHERE NOT y GROUP BY 1),
-         tot AS (SELECT (SELECT count(*) FROM ex WHERE y) + 64 AS tp,
-                        (SELECT count(*) FROM ex WHERE NOT y) + 64 AS tn,
-                        (SELECT count(*) FROM lab WHERE y) AS np,
-                        (SELECT count(*) FROM lab WHERE NOT y) AS nn),
-         llr AS (
-           SELECT r.range AS b,
-             ln((COALESCE(hp.c, 0) + 1.0) / tot.tp)
-               - ln((COALESCE(hn.c, 0) + 1.0) / tot.tn) AS lr
-           FROM range(0, 64) r
-           LEFT JOIN hp ON hp.b = r.range
-           LEFT JOIN hn ON hn.b = r.range, tot),
-         sc AS (
-           SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
-             ln(CAST(tot.np AS DOUBLE) / tot.nn)
-               + COALESCE((SELECT sum(llr.lr) FROM unnest(d.toks) AS g(u)
-                 JOIN llr ON llr.b =
-                   CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT)),
-                 0.0) AS logit
-           FROM d, tot)
-         SELECT doc_id, n_tokens, round(logit, 4) AS logit,
+    "llm_nb_classify" -> nbScoreSql(
+      """SELECT doc_id, n_tokens, round(logit, 4) AS logit,
                 logit > 0 AS predicted
-         FROM sc""",
+         FROM sc"""),
+    "llm_nb_pr" -> nbScoreSql(
+      """, ev AS (SELECT sc.doc_id, round(sc.logit, 4) AS s,
+                  (dd.lang = 'en') AS y
+           FROM sc JOIN d dd ON dd.doc_id = sc.doc_id
+           WHERE sc.doc_id % 3 = 1),
+         evt AS (SELECT count(*) FILTER (WHERE y) AS p FROM ev),
+         rr AS (SELECT doc_id, s, y,
+                  row_number() OVER (ORDER BY s DESC, doc_id) AS rnk,
+                  count(*) FILTER (WHERE y) OVER (ORDER BY s DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS tp
+                FROM ev)
+         SELECT CAST(rnk AS BIGINT) AS rank, s AS threshold,
+                CAST(tp AS BIGINT) AS tp, CAST(rnk - tp AS BIGINT) AS fp,
+                round(CAST(tp AS DOUBLE) / rnk, 6) AS prec,
+                round(CAST(tp AS DOUBLE) / evt.p, 6) AS rec
+         FROM rr, evt"""),
     "llm_dsir" ->
       """WITH d AS (
            SELECT doc_id, lang,

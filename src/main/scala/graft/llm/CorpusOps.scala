@@ -729,4 +729,69 @@ object CorpusOps {
     partials.foreach(r => out(r.getInt(0)) += r.getLong(1))
     out
   }
+
+  /** Classifier-calibration precision/recall sweep: one row per rank in
+    * the (score desc, id asc) order — `rank, threshold, tp, fp, prec,
+    * rec` — i.e. the full PR curve of thresholding at every scored doc,
+    * the step that picks the keep-cutoff for classifier-based filtering
+    * (GPT-3 appendix A / LLaMA's quality-classifier stage).
+    *
+    * 100 TB shape: a quality-score threshold sweep over a full corpus is
+    * a GLOBAL running sum, which the naive window
+    * (`sum(y) over (order by score)`) plans as an
+    * `Exchange SinglePartition`. Here: range-repartition on (score desc,
+    * id asc) + in-partition sort (the [[graft.operators.GlobalRank]]
+    * recipe), ONE metadata-scale job for per-partition (rows, positives),
+    * broadcast prefix offsets, then a single stamping pass — no
+    * single-partition exchange at any corpus size. Ties on `score` are
+    * broken by `id`, so ranks are unique and both engines agree row for
+    * row. */
+  def prCurve(scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = scored
+      .select(col(idCol), col(scoreCol).cast(DoubleType).as("__s"),
+        col(labelCol).cast(BooleanType).as("__y"))
+      .repartitionByRange(parts, col("__s").desc, col(idCol).asc)
+      .sortWithinPartitions(col("__s").desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val stats: Map[Int, (Long, Long)] = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("p"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val totalP = stats.values.map(_._2).sum
+    require(totalP > 0, "prCurve needs at least one positive label")
+    var accN = 0L; var accP = 0L
+    val offs: Map[Int, (Long, Long)] = (0 until parts).map { pid =>
+      val o = pid -> ((accN, accP))
+      val (n, p) = stats.getOrElse(pid, (0L, 0L)); accN += n; accP += p
+      o
+    }.toMap
+    val bc = spark.sparkContext.broadcast(offs)
+    val pidIdx = sorted.schema.fieldIndex("__pid")
+    val sIdx = sorted.schema.fieldIndex("__s")
+    val yIdx = sorted.schema.fieldIndex("__y")
+    val outSchema = StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("threshold", DoubleType, nullable = true),
+      StructField("tp", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    sorted.mapPartitions { it =>
+      var first = true; var rk = 0L; var tp = 0L
+      it.map { r =>
+        if (first) {
+          val (n0, p0) = bc.value(r.getInt(pidIdx)); rk = n0; tp = p0
+          first = false
+        }
+        rk += 1
+        if (r.getBoolean(yIdx)) tp += 1
+        Row(rk, if (r.isNullAt(sIdx)) null else r.getDouble(sIdx), tp, rk - tp)
+      }
+    }(Encoders.row(outSchema))
+      .select(col("rank"), col("threshold"), col("tp"), col("fp"),
+        round(col("tp").cast(DoubleType) / col("rank"), 6).as("prec"),
+        round(col("tp").cast(DoubleType) / lit(totalP.toDouble), 6).as("rec"))
+  }
 }

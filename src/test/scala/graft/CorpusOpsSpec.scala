@@ -507,6 +507,20 @@ class CorpusOpsSpec extends SparkSpec {
       assert(got(i.toLong) == want, s"for $u") }
   }
 
+  test("prCurve: exact sweep on a hand-checked set, id tiebreak on score ties") {
+    val df = Seq((1L, 0.9, true), (2L, 0.8, false), (3L, 0.7, true),
+      (4L, 0.7, false), (5L, 0.5, true)).toDF("id", "score", "y")
+    val got = CorpusOps.prCurve(df, "id", "score", "y").orderBy("rank").collect()
+    // order: (.9,T) (.8,F) (.7 id3,T) (.7 id4,F) (.5,T)
+    assert(got.map(_.getAs[Long]("tp")).toSeq == Seq(1L, 1L, 2L, 2L, 3L))
+    assert(got.map(_.getAs[Long]("fp")).toSeq == Seq(0L, 1L, 1L, 2L, 2L))
+    assert(got.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(0.9, 0.8, 0.7, 0.7, 0.5))
+    assert(got(2).getAs[Double]("prec") == 0.666667) // round(2/3, 6)
+    assert(got(3).getAs[Double]("rec") == 0.666667)
+    assert(got(4).getAs[Double]("rec") == 1.0)
+  }
+
   test("packSegments: contiguous spans, window alignment, packIntoWindows agreement") {
     val docs = Seq((0L, "s", "a b c"), (1L, "s", "d e"), (2L, "s", "f g h i"),
       (3L, "t", "j"), (4L, "t", "k l m n o p")).toDF("doc_id", "src", "text")
