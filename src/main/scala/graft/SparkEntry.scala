@@ -43,6 +43,21 @@ object SparkEntry {
     else df
   }
 
+  /** Shared setup of the NB-classifier eval queries (llm_nb_pr/_auc/
+    * _calibration): train on doc_id%3==0 (label = lang=='en'), score the
+    * whole corpus, keep the HELD-OUT doc_id%3==1 slice with its true
+    * label joined back on. */
+  private def nbHeldOutScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labeled = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("__lab", col("lang") === "en")
+    graft.llm.CorpusOps
+      .nbTrainScore(docs, labeled, "doc_id", "text", "__lab", buckets = 64)
+      .filter(col("doc_id") % 3 === 1)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("__y")),
+        "doc_id")
+  }
+
   /** Run a Mongo pipeline against a table, with all sf tables as $lookup catalog. */
   private def pipe(s: SparkSession, dir: String, table: String, json: String): DataFrame = {
     tune(s)
@@ -1138,15 +1153,20 @@ object SparkEntry {
     // never a single-partition window
     "llm_nb_pr" -> ((s, dir) => {
       tune(s)
-      val docs = t(s, dir, "documents")
-      val labeled = docs.filter(col("doc_id") % 3 === 0)
-        .withColumn("__lab", col("lang") === "en")
-      val scored = CorpusOps
-        .nbTrainScore(docs, labeled, "doc_id", "text", "__lab", buckets = 64)
-        .filter(col("doc_id") % 3 === 1)
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("__y")),
-          "doc_id")
-      CorpusOps.prCurve(scored, "doc_id", "logit", "__y")
+      CorpusOps.prCurve(nbHeldOutScored(s, dir), "doc_id", "logit", "__y")
+    }),
+    // tie-correct ROC-AUC (Mann-Whitney midrank identity) of the same
+    // held-out sweep: GlobalRank ranks + groupBy-on-score tie sizes,
+    // one verdict row — no single-partition window
+    "llm_nb_auc" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.rocAuc(nbHeldOutScored(s, dir), "logit", "__y")
+    }),
+    // reliability diagram: sigmoid probability deciles, mean predicted
+    // vs observed positive rate — one tiny-key groupBy
+    "llm_nb_calibration" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.calibration(nbHeldOutScored(s, dir), "logit", "__y", 10)
     }),
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // slice, raw = the whole corpus; hashed unigram+bigram bucket
@@ -3438,6 +3458,32 @@ object SparkEntry {
       """SELECT doc_id, n_tokens, round(logit, 4) AS logit,
                 logit > 0 AS predicted
          FROM sc"""),
+    "llm_nb_auc" -> nbScoreSql(
+      """, ev AS (SELECT sc.doc_id, round(sc.logit, 4) AS s,
+                  (dd.lang = 'en') AS y
+           FROM sc JOIN d dd ON dd.doc_id = sc.doc_id
+           WHERE sc.doc_id % 3 = 1),
+         rk AS (SELECT y, rank() OVER (ORDER BY s) AS r,
+                  count(*) OVER (PARTITION BY s) AS g
+                FROM ev)
+         SELECT p, n,
+                round((rsum - CAST(p AS DOUBLE) * (p + 1) / 2)
+                      / (CAST(p AS DOUBLE) * n), 6) AS auc
+         FROM (SELECT sum(CASE WHEN y THEN r + (g - 1) / 2.0 ELSE 0 END) AS rsum,
+                      CAST(count(*) FILTER (WHERE y) AS BIGINT) AS p,
+                      CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS n
+               FROM rk)"""),
+    "llm_nb_calibration" -> nbScoreSql(
+      """, ev AS (SELECT sc.doc_id, round(sc.logit, 4) AS s,
+                  (dd.lang = 'en') AS y
+           FROM sc JOIN d dd ON dd.doc_id = sc.doc_id
+           WHERE sc.doc_id % 3 = 1),
+         pb AS (SELECT 1.0 / (1.0 + exp(-s)) AS p, y FROM ev)
+         SELECT CAST(LEAST(floor(p * 10), 9) AS INT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                round(avg(p), 6) AS mean_predicted,
+                round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS observed_rate
+         FROM pb GROUP BY 1"""),
     "llm_nb_pr" -> nbScoreSql(
       """, ev AS (SELECT sc.doc_id, round(sc.logit, 4) AS s,
                   (dd.lang = 'en') AS y

@@ -730,6 +730,51 @@ object CorpusOps {
     out
   }
 
+  /** ROC-AUC by the Mann-Whitney rank-sum identity with MIDRANKS (the
+    * tie-correct estimator):
+    * `AUC = (Σ midrank(positives) − P(P+1)/2) / (P·N)` where
+    * `midrank = rank() + (tieGroupSize − 1)/2`. One verdict row.
+    *
+    * 100 TB shape: ranks via [[graft.operators.GlobalRank]] (range
+    * partition, min-rank ties — never a single-partition window); tie
+    * group sizes via a groupBy on the score joined back (both sides
+    * shuffle on the same key, co-partitioned); then one metadata-scale
+    * final aggregate. */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val base = scored.select(col(scoreCol).cast(DoubleType).as("__s"),
+      col(labelCol).cast(BooleanType).as("__y"))
+    val ranked = graft.operators.GlobalRank.withRank(base, "__s", "__rk", "__n")
+    val sizes = ranked.groupBy(col("__s")).agg(count(lit(1)).as("__g"))
+    val row = ranked.join(sizes, "__s")
+      .agg(
+        sum(when(col("__y"),
+          col("__rk") + (col("__g") - 1) / 2.0).otherwise(0d)).as("rsum"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("n_docs"))
+    row.select(col("p"), (col("n_docs") - col("p")).as("n"),
+      round((col("rsum") - col("p") * (col("p") + 1) / 2.0) /
+        (col("p") * (col("n_docs") - col("p"))), 6).as("auc"))
+  }
+
+  /** Reliability diagram (calibration table): sigmoid the logit into a
+    * probability, bucket into `buckets` equal-width probability bins,
+    * and compare mean predicted probability against the observed
+    * positive rate per bin. Shuffle shape: ONE groupBy on a ≤`buckets`-
+    * cardinality key with map-side partial aggregation. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0)
+    val prob = lit(1.0) / (lit(1.0) + exp(-col(scoreCol).cast(DoubleType)))
+    scored
+      .select(least(floor(prob * buckets).cast(IntegerType),
+        lit(buckets - 1)).as("bin"),
+        prob.as("__p"), col(labelCol).cast(BooleanType).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__p")), 6).as("mean_predicted"),
+        round(avg(when(col("__y"), 1.0).otherwise(0.0)), 6).as("observed_rate"))
+  }
+
   /** Classifier-calibration precision/recall sweep: one row per rank in
     * the (score desc, id asc) order — `rank, threshold, tp, fp, prec,
     * rec` — i.e. the full PR curve of thresholding at every scored doc,

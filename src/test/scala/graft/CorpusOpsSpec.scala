@@ -521,6 +521,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(4).getAs[Double]("rec") == 1.0)
   }
 
+  test("rocAuc: midrank Mann-Whitney matches the hand-counted pair AUC") {
+    // pairs: pos .9 beats both negs (2); pos .7 ties neg .7 (0.5); pos .5
+    // beats none -> AUC = 2.5 / (3*2)
+    val df = Seq((0.9, true), (0.8, false), (0.7, true), (0.7, false),
+      (0.5, true)).toDF("score", "y")
+    val r = CorpusOps.rocAuc(df, "score", "y").collect()(0)
+    assert(r.getAs[Long]("p") == 3L && r.getAs[Long]("n") == 2L)
+    assert(r.getAs[Double]("auc") == 0.416667)
+  }
+
+  test("calibration: sigmoid deciles, clamped top bin, observed rates") {
+    val df = Seq((0.0, true), (0.0, false), (10.0, true), (12.0, true),
+      (-10.0, false)).toDF("logit", "y")
+    val got = CorpusOps.calibration(df, "logit", "y", 10).collect()
+      .map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("observed_rate")))).toMap
+    // sigmoid(0)=0.5 -> bin 5; sigmoid(±10,12)≈1/0 -> bins 9 and 0 (clamped)
+    assert(got(5) == ((2L, 0.5)))
+    assert(got(9) == ((2L, 1.0)))
+    assert(got(0) == ((1L, 0.0)))
+  }
+
   test("packSegments: contiguous spans, window alignment, packIntoWindows agreement") {
     val docs = Seq((0L, "s", "a b c"), (1L, "s", "d e"), (2L, "s", "f g h i"),
       (3L, "t", "j"), (4L, "t", "k l m n o p")).toDF("doc_id", "src", "text")
