@@ -1769,6 +1769,34 @@ object SparkEntry {
       graft.llm.BpeOps.encode(docs, "text", merges)
         .select(col("doc_id"), size(col("bpe")).as("n_tok"))
     }),
+    // corpus diversity: distinct trigrams / total trigrams per source
+    // (template-spam sources score low); digests cross the shuffle,
+    // never gram text
+    "llm_ngram_diversity" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.ngramDiversity(t(s, dir, "documents"), "text", "source", 3)
+    }),
+    // tokenizer-eval fertility: per language, BPE tokens per word and
+    // chars per token (the standard tokenizer-quality stats); encode is
+    // the broadcast-rank greedy scan, the rollup one tiny-key groupBy
+    "llm_bpe_fertility" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val merges = graft.llm.BpeOps.train(docs, "text", bpeM)
+      graft.llm.BpeOps.encode(docs, "text", merges)
+        .select(col("lang"), size(col("bpe")).cast("long").as("__t"),
+          TextOps.tokenCount(col("text")).cast("long").as("__w"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+            .as("__c"))
+        .groupBy("lang")
+        .agg(sum(col("__t")).as("n_tokens"), sum(col("__w")).as("n_words"),
+          sum(col("__c")).as("n_chars"))
+        .select(col("lang"), col("n_tokens"), col("n_words"), col("n_chars"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"))
+    }),
     // reproducible corpus shuffle: total order by seeded md5, global
     // positions from range-partitioned sort + per-partition offsets (no
     // global window) — DuckDB replays the order bit-exactly
@@ -2203,6 +2231,33 @@ object SparkEntry {
            list_filter(string_split_regex(text, '\\s+'), q -> len(q) > 0),
            w -> len(${fold(bpeM)}))) AS INT) AS n_tok
        FROM documents, ${(1 to bpeM).map("b" + _).mkString(", ")}"""
+  }
+
+  /** DuckDB replay of the per-language fertility rollup: the
+    * [[bpeEncodeSql]] fold per doc, plus word/char counts, grouped. */
+  private def bpeFertilitySql: String = {
+    def fold(k: Int): String =
+      if (k == 0) "string_split(w, '')"
+      else s"""reduce(list_transform(${fold(k - 1)}, x$k -> [x$k]),
+          (a$k, y$k) -> CASE WHEN a$k[-1] = b$k.l AND y$k[1] = b$k.r
+                        THEN a$k[:len(a$k)-1] || [b$k.l || b$k.r]
+                        ELSE a$k || y$k END)"""
+    bpeRoundsSql(bpeM) + s"""
+       SELECT lang, CAST(sum(__t) AS BIGINT) AS n_tokens,
+              CAST(sum(__w) AS BIGINT) AS n_words,
+              CAST(sum(__c) AS BIGINT) AS n_chars,
+              round(CAST(sum(__t) AS DOUBLE) / sum(__w), 6) AS fertility,
+              round(CAST(sum(__c) AS DOUBLE) / sum(__t), 6) AS chars_per_token
+       FROM (
+         SELECT lang,
+           CAST(list_sum(list_transform(
+             list_filter(string_split_regex(text, '\\s+'), q -> len(q) > 0),
+             w -> len(${fold(bpeM)}))) AS BIGINT) AS __t,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             q -> length(q) > 0)) AS BIGINT) AS __w,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS __c
+         FROM documents, ${(1 to bpeM).map("b" + _).mkString(", ")})
+       GROUP BY lang"""
   }
 
   /** DuckDB-equivalent SQL per query (column names/types matched to the Spark
@@ -3941,6 +3996,23 @@ object SparkEntry {
          FROM sc ORDER BY round(s, 6) DESC, doc_id LIMIT 20""",
     "llm_bpe_merges" -> bpeMergesSql,
     "llm_bpe_encode" -> bpeEncodeSql,
+    "llm_bpe_fertility" -> bpeFertilitySql,
+    "llm_ngram_diversity" ->
+      """WITH d AS (
+           SELECT source,
+             list_transform(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), t -> length(t) > 0),
+               t -> lower(t)) AS toks
+           FROM documents),
+         g AS (
+           SELECT source, gg.g
+           FROM d, unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gg(g))
+         SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
+                CAST(count(DISTINCT md5(g)) AS BIGINT) AS n_distinct,
+                round(CAST(count(DISTINCT md5(g)) AS DOUBLE) / count(*), 6)
+                  AS diversity
+         FROM g GROUP BY source""",
     "llm_shuffle_deterministic" ->
       """WITH s AS (SELECT doc_id,
                            md5('train1:' || CAST(doc_id AS VARCHAR)) AS skey

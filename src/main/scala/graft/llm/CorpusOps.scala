@@ -730,6 +730,33 @@ object CorpusOps {
     out
   }
 
+  /** Corpus n-gram diversity per group: distinct n-grams / total n-grams
+    * over the lowercased whitespace tokens — the MassiveText-style
+    * repetitiveness/diversity stat (a template-spam source scores low).
+    *
+    * 100 TB shape: the distinct count shuffles `md5(gram)` digests
+    * (16 bytes), never gram text, keyed by group — fully parallel. The
+    * count is EXACT; swap `countDistinct` for `approx_count_distinct`
+    * (HLL) when a ±2% answer is worth skipping the dedup shuffle. */
+  def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1)
+    val toks = transform(TextOps.tokens(col(textCol)), lower _)
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(d => element_at(toks, i + d)): _*)))
+        .otherwise(array().cast(ArrayType(StringType)))
+    df.select(col(groupCol), explode(grams).as("__g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(md5(col("__g"))).as("n_distinct"))
+      .select(col(groupCol), col("n_ngrams"), col("n_distinct"),
+        round(col("n_distinct").cast(DoubleType) / col("n_ngrams"), 6)
+          .as("diversity"))
+  }
+
   /** ROC-AUC by the Mann-Whitney rank-sum identity with MIDRANKS (the
     * tie-correct estimator):
     * `AUC = (Σ midrank(positives) − P(P+1)/2) / (P·N)` where

@@ -521,6 +521,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(4).getAs[Double]("rec") == 1.0)
   }
 
+  test("ngramDiversity: hand-counted trigram ratio, short docs contribute 0") {
+    val df = Seq((1L, "a", "a b c a b c"), // grams: abc bca cab abc -> 3/4
+      (2L, "a", "x y"), // too short for trigrams
+      (3L, "b", "p q r")).toDF("id", "source", "text")
+    val got = CorpusOps.ngramDiversity(df, "text", "source", 3).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_ngrams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("diversity")))).toMap
+    assert(got("a") == ((4L, 3L, 0.75)))
+    assert(got("b") == ((1L, 1L, 1.0)))
+    assert(!got.contains(null))
+  }
+
   test("rocAuc: midrank Mann-Whitney matches the hand-counted pair AUC") {
     // pairs: pos .9 beats both negs (2); pos .7 ties neg .7 (0.5); pos .5
     // beats none -> AUC = 2.5 / (3*2)
