@@ -1155,6 +1155,13 @@ object SparkEntry {
       tune(s)
       CorpusOps.prCurve(nbHeldOutScored(s, dir), "doc_id", "logit", "__y")
     }),
+    // average precision (AUPRC, sklearn step definition): mean precision
+    // at each positive's rank, one verdict row off the same sweep
+    "llm_nb_ap" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.averagePrecision(nbHeldOutScored(s, dir), "doc_id", "logit",
+        "__y")
+    }),
     // tie-correct ROC-AUC (Mann-Whitney midrank identity) of the same
     // held-out sweep: GlobalRank ranks + groupBy-on-score tie sizes,
     // one verdict row — no single-partition window
@@ -3550,11 +3557,24 @@ object SparkEntry {
                   count(*) FILTER (WHERE y) OVER (ORDER BY s DESC, doc_id
                       ROWS UNBOUNDED PRECEDING) AS tp
                 FROM ev)
-         SELECT CAST(rnk AS BIGINT) AS rank, s AS threshold,
+         SELECT CAST(rnk AS BIGINT) AS rank, s AS threshold, y AS is_pos,
                 CAST(tp AS BIGINT) AS tp, CAST(rnk - tp AS BIGINT) AS fp,
                 round(CAST(tp AS DOUBLE) / rnk, 6) AS prec,
                 round(CAST(tp AS DOUBLE) / evt.p, 6) AS rec
          FROM rr, evt"""),
+    "llm_nb_ap" -> nbScoreSql(
+      """, ev AS (SELECT sc.doc_id, round(sc.logit, 4) AS s,
+                  (dd.lang = 'en') AS y
+           FROM sc JOIN d dd ON dd.doc_id = sc.doc_id
+           WHERE sc.doc_id % 3 = 1),
+         rr AS (SELECT y,
+                  row_number() OVER (ORDER BY s DESC, doc_id) AS rnk,
+                  count(*) FILTER (WHERE y) OVER (ORDER BY s DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS tp
+                FROM ev)
+         SELECT CAST(count(*) AS BIGINT) AS p,
+                round(avg(CAST(tp AS DOUBLE) / rnk), 6) AS ap
+         FROM rr WHERE y"""),
     "llm_dsir" ->
       """WITH d AS (
            SELECT doc_id, lang,

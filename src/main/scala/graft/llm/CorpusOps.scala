@@ -848,6 +848,7 @@ object CorpusOps {
     val outSchema = StructType(Seq(
       StructField("rank", LongType, nullable = false),
       StructField("threshold", DoubleType, nullable = true),
+      StructField("is_pos", BooleanType, nullable = false),
       StructField("tp", LongType, nullable = false),
       StructField("fp", LongType, nullable = false)))
     sorted.mapPartitions { it =>
@@ -858,12 +859,28 @@ object CorpusOps {
           first = false
         }
         rk += 1
-        if (r.getBoolean(yIdx)) tp += 1
-        Row(rk, if (r.isNullAt(sIdx)) null else r.getDouble(sIdx), tp, rk - tp)
+        val y = r.getBoolean(yIdx)
+        if (y) tp += 1
+        Row(rk, if (r.isNullAt(sIdx)) null else r.getDouble(sIdx), y, tp,
+          rk - tp)
       }
     }(Encoders.row(outSchema))
-      .select(col("rank"), col("threshold"), col("tp"), col("fp"),
+      .select(col("rank"), col("threshold"), col("is_pos"), col("tp"),
+        col("fp"),
         round(col("tp").cast(DoubleType) / col("rank"), 6).as("prec"),
         round(col("tp").cast(DoubleType) / lit(totalP.toDouble), 6).as("rec"))
   }
+
+  /** Average precision (area under the PR curve, the step-function
+    * definition used by scikit-learn / TREC): the mean over POSITIVES of
+    * the precision at each positive's rank — one verdict row derived
+    * from [[prCurve]]'s sweep with a filter + tiny aggregate. The
+    * average uses the UNROUNDED tp/rank ratio so the result is not a
+    * mean of pre-rounded values. */
+  def averagePrecision(scored: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String): DataFrame =
+    prCurve(scored, idCol, scoreCol, labelCol)
+      .filter(col("is_pos"))
+      .agg(count(lit(1)).as("p"),
+        round(avg(col("tp").cast(DoubleType) / col("rank")), 6).as("ap"))
 }

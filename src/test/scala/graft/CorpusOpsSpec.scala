@@ -543,6 +543,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 0.416667)
   }
 
+  test("averagePrecision: mean precision at the positives' ranks") {
+    // order (.9,T)(.8,F)(.7T id3)(.7F)(.5T): precisions at positives =
+    // 1/1, 2/3, 3/5 -> AP = (1 + 0.666.. + 0.6)/3
+    val df = Seq((1L, 0.9, true), (2L, 0.8, false), (3L, 0.7, true),
+      (4L, 0.7, false), (5L, 0.5, true)).toDF("id", "score", "y")
+    val r = CorpusOps.averagePrecision(df, "id", "score", "y").collect()(0)
+    assert(r.getAs[Long]("p") == 3L)
+    assert(r.getAs[Double]("ap") == 0.755556) // round((1+2.0/3+0.6)/3, 6)
+  }
+
   test("calibration: sigmoid deciles, clamped top bin, observed rates") {
     val df = Seq((0.0, true), (0.0, false), (10.0, true), (12.0, true),
       (-10.0, false)).toDF("logit", "y")
