@@ -1506,6 +1506,39 @@ object SparkEntry {
       VectorOps.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5, iters = 2, maxRev = 10)
     }),
+    // graph-ANN SEARCH over the NN-Descent build (the HNSW-family search
+    // step, flattened to synchronous beam rounds): md5-lowest entry
+    // points, 2 expansion rounds, beam 10 — the ENTIRE build+search
+    // replays in generated DuckDB CTEs
+    "llm_ann_graph" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      val g = VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = 2, maxRev = 10)
+        .select(col("src"), col("nn_id").as("nbr"))
+      VectorOps.graphSearchTopK(emb, "vec_id", "embedding", g,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, beam = 10, rounds = 2, entries = 8)
+    }),
+    // graph-search recall twin on the same FIXED slice (coverage-bound on
+    // structureless vectors like the IVF/LSH twins — ~(entries +
+    // beam·k·rounds)/n distinct candidates tried); self-match excluded to
+    // compare against bruteTopK's non-self ground truth
+    "llm_ann_graph_recall" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val exact = VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      val g = VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = 2, maxRev = 10)
+        .select(col("src"), col("nn_id").as("nbr"))
+      val approx = VectorOps.graphSearchTopK(emb, "vec_id", "embedding", g,
+        emb, "vec_id", "embedding", k = 6, beam = 12, rounds = 3,
+        entries = 8).filter(col("query_id") =!= col("nn_id"))
+      VectorOps.recallAtK(approx, exact).select(lit("graph").as("method"),
+        lit(5).as("k"), col("n_queries"),
+        (col("recall") >= 0.3).as("meets_floor")) // measured 0.4132
+    }),
     // recall twin on a FIXED slice (vec_id < 500) so the pinned floor is
     // scale-independent: on STRUCTURELESS vectors NN-Descent is coverage-
     // bound like IVF/LSH (recall ~ unique candidates tried / n; measured
@@ -2104,6 +2137,72 @@ object SparkEntry {
   /** Merge rounds for the BPE oracle pair. */
   private val bpeM = 6
 
+  /** Shared generated CTE chain for the NN-Descent graph oracles: md5
+    * random k-out init (tp/e0) and both build rounds (e1/e2, k=5,
+    * maxRev=10) — `select` reads FROM e2 (the final graph) or continues
+    * the WITH chain (leading comma). */
+  private def knnGraphSql(select: String): String = {
+      // generated: both NN-Descent rounds unrolled as CTEs — md5 random
+      // k-out init, capped reverse edges, local join, per-node top-k —
+      // the same full-training-loop replay style as llm_bpe_merges
+      val mask = "9223372036854775807"
+      def round(r: Int, prev: String): String = {
+        s"""rev$r AS (
+           SELECT e.nbr AS src, e.src AS nbr,
+             row_number() OVER (PARTITION BY e.nbr ORDER BY
+               (md5_number_lower('knnr:' || CAST(e.nbr AS VARCHAR) || ':' ||
+                  CAST(e.src AS VARCHAR)) & $mask), e.src) AS rrk
+           FROM $prev e),
+         u$r AS (SELECT src, nbr FROM $prev
+                 UNION SELECT src, nbr FROM rev$r WHERE rrk <= 10),
+         c$r AS (SELECT DISTINCT src, cand FROM (
+                   SELECT a.src AS src, b.nbr AS cand
+                   FROM u$r a JOIN u$r b ON a.nbr = b.src
+                   UNION ALL SELECT src, nbr FROM $prev)
+                 WHERE src <> cand),
+         s$r AS (SELECT c.src, c.cand, list_inner_product(ns.v, nc.v) AS sim
+                 FROM c$r c JOIN nn ns ON ns.id = c.src
+                            JOIN nn nc ON nc.id = c.cand),
+         e$r AS (SELECT src, cand AS nbr, sim, rnk FROM (
+                   SELECT src, cand, sim,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY sim DESC, cand) AS rnk
+                   FROM s$r) WHERE rnk <= 5)"""
+      }
+      s"""WITH u0 AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         nn AS (
+           SELECT id, CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u0),
+         rk AS (
+           SELECT id, row_number() OVER (ORDER BY
+               (md5_number_lower('knng:' || CAST(id AS VARCHAR)) & $mask),
+               id) AS pos,
+             count(*) OVER () AS cnt
+           FROM nn),
+         tp AS (
+           -- materialize the target position BEFORE the rk probe: phrased
+           -- as a 3-way comma join with the position inside the WHERE,
+           -- DuckDB nested-loops rk x rk (quadratic — ~50B compares at
+           -- sf1); as a derived column it is a clean hash equi-join
+           SELECT a.id, ((a.pos - 1 + 1 +
+               ((md5_number_lower('knns:' || CAST(a.pos AS VARCHAR) || ':' ||
+                   CAST(j.range AS VARCHAR)) & $mask) % (a.cnt - 1)))
+               % a.cnt) + 1 AS tpos
+           FROM rk a, range(1, 6) j),
+         e0 AS (
+           SELECT DISTINCT t.id AS src, b.id AS nbr
+           FROM tp t JOIN rk b ON b.pos = t.tpos
+           WHERE t.id <> b.id),
+         ${round(1, "e0")},
+         ${round(2, "e1")}
+         """ + select
+    }
+
   /** Shared CTE prefix for the Naive-Bayes oracles: tokenized docs (d),
     * labeled slice (lab), hashed-bucket class histograms, Laplace
     * log-likelihood ratios (llr) and per-doc logits (sc). The `select`
@@ -2496,70 +2595,49 @@ object SparkEntry {
                 (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
                   AS n_queries,
                 true AS meets_floor""",
-    "llm_knn_graph" -> {
-      // generated: both NN-Descent rounds unrolled as CTEs — md5 random
-      // k-out init, capped reverse edges, local join, per-node top-k —
-      // the same full-training-loop replay style as llm_bpe_merges
+    "llm_knn_graph" -> knnGraphSql(
+      """SELECT src, nbr AS nn_id, round(sim, 6) AS sim, CAST(rnk AS INT) AS rank
+         FROM e2"""),
+    "llm_ann_graph" -> knnGraphSql({
+      // generated: beam-search rounds over the e2 graph — expand every
+      // beam member's neighbors, score, keep top-beam per query
       val mask = "9223372036854775807"
-      def round(r: Int, prev: String): String = {
-        s"""rev$r AS (
-           SELECT e.nbr AS src, e.src AS nbr,
-             row_number() OVER (PARTITION BY e.nbr ORDER BY
-               (md5_number_lower('knnr:' || CAST(e.nbr AS VARCHAR) || ':' ||
-                  CAST(e.src AS VARCHAR)) & $mask), e.src) AS rrk
-           FROM $prev e),
-         u$r AS (SELECT src, nbr FROM $prev
-                 UNION SELECT src, nbr FROM rev$r WHERE rrk <= 10),
-         c$r AS (SELECT DISTINCT src, cand FROM (
-                   SELECT a.src AS src, b.nbr AS cand
-                   FROM u$r a JOIN u$r b ON a.nbr = b.src
-                   UNION ALL SELECT src, nbr FROM $prev)
-                 WHERE src <> cand),
-         s$r AS (SELECT c.src, c.cand, list_inner_product(ns.v, nc.v) AS sim
-                 FROM c$r c JOIN nn ns ON ns.id = c.src
-                            JOIN nn nc ON nc.id = c.cand),
-         e$r AS (SELECT src, cand AS nbr, sim, rnk FROM (
-                   SELECT src, cand, sim,
-                     row_number() OVER (PARTITION BY src
-                                        ORDER BY sim DESC, cand) AS rnk
-                   FROM s$r) WHERE rnk <= 5)"""
-      }
-      s"""WITH u0 AS (
-           SELECT vec_id AS id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
-           FROM embeddings),
-         nn AS (
-           SELECT id, CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
-                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
-                  ELSE v0 END AS v
-           FROM u0),
-         rk AS (
-           SELECT id, row_number() OVER (ORDER BY
-               (md5_number_lower('knng:' || CAST(id AS VARCHAR)) & $mask),
-               id) AS pos,
-             count(*) OVER () AS cnt
-           FROM nn),
-         tp AS (
-           -- materialize the target position BEFORE the rk probe: phrased
-           -- as a 3-way comma join with the position inside the WHERE,
-           -- DuckDB nested-loops rk x rk (quadratic — ~50B compares at
-           -- sf1); as a derived column it is a clean hash equi-join
-           SELECT a.id, ((a.pos - 1 + 1 +
-               ((md5_number_lower('knns:' || CAST(a.pos AS VARCHAR) || ':' ||
-                   CAST(j.range AS VARCHAR)) & $mask) % (a.cnt - 1)))
-               % a.cnt) + 1 AS tpos
-           FROM rk a, range(1, 6) j),
-         e0 AS (
-           SELECT DISTINCT t.id AS src, b.id AS nbr
-           FROM tp t JOIN rk b ON b.pos = t.tpos
-           WHERE t.id <> b.id),
-         ${round(1, "e0")},
-         ${round(2, "e1")}
-         SELECT src, nbr AS nn_id, round(sim, 6) AS sim, CAST(rnk AS INT) AS rank
-         FROM e2"""
-    },
+      def sround(r: Int, prev: String): String =
+        s"""gc$r AS (SELECT DISTINCT b.qid, g.nbr AS id
+             FROM $prev b JOIN e2 g ON g.src = b.id),
+           gs$r AS (SELECT c.qid, c.id, list_inner_product(q.q, n2.v) AS sim
+             FROM gc$r c JOIN qv q ON q.qid = c.qid JOIN nn n2 ON n2.id = c.id),
+           gm$r AS (SELECT qid, id, sim FROM $prev
+                    UNION SELECT qid, id, sim FROM gs$r),
+           gb$r AS (SELECT qid, id, sim FROM (
+             SELECT qid, id, sim, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, id) AS rr FROM gm$r) WHERE rr <= 10)"""
+      s""", qv AS (SELECT id AS qid, v AS q FROM nn WHERE id % 100 = 0),
+         ent AS (SELECT id FROM nn
+           ORDER BY (md5_number_lower('gse:' || CAST(id AS VARCHAR)) & $mask),
+             id
+           LIMIT 8),
+         gs0 AS (SELECT qv.qid, n2.id, list_inner_product(qv.q, n2.v) AS sim
+           FROM qv CROSS JOIN ent JOIN nn n2 ON n2.id = ent.id),
+         gb0 AS (SELECT qid, id, sim FROM (
+           SELECT qid, id, sim, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, id) AS rr FROM gs0) WHERE rr <= 10),
+         ${sround(1, "gb0")},
+         ${sround(2, "gb1")}
+         SELECT qid AS query_id, id AS nn_id, round(sim, 6) AS sim,
+                CAST(rr AS INT) AS rank
+         FROM (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, id) AS rr FROM gb2)
+         WHERE rr <= 5"""
+    }),
+
     "llm_knn_graph_recall" ->
       """SELECT 'nndescent' AS method, 5 AS k,
+                (SELECT count(*) FROM embeddings WHERE vec_id < 500)
+                  AS n_queries,
+                true AS meets_floor""",
+    "llm_ann_graph_recall" ->
+      """SELECT 'graph' AS method, 5 AS k,
                 (SELECT count(*) FROM embeddings WHERE vec_id < 500)
                   AS n_queries,
                 true AS meets_floor""",

@@ -741,4 +741,62 @@ object VectorOps {
     result.select(col("src"), col("nbr").as("nn_id"),
       round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** Graph-based ANN SEARCH over a [[knnGraph]] build — the search step
+    * of the HNSW/NSG family (Malkov & Yashunin 2018), flattened for a
+    * data-parallel engine: a fixed number of synchronous beam-expansion
+    * rounds instead of a per-query priority queue. Start from the
+    * `entries` nodes with the lowest md5 (deterministic, engine-
+    * replayable), then each round expands EVERY current beam member's
+    * graph neighbors, scores them against the query, and keeps the
+    * top-`beam` per query; after `rounds` rounds the top-`k` of the beam
+    * is the answer.
+    *
+    * Determinism/replay: entry pick, candidate dedup and (sim desc, id)
+    * tie-breaks are all engine-exact (the dot products fold in index
+    * order on both sides, the [[knnGraph]]-proven pattern), so the WHOLE
+    * search replays in SQL round by round.
+    *
+    * 100 TB shape: per-round cost is |beam|·degree candidate rows keyed
+    * by query — hash joins against the (bucketable) graph and vector
+    * tables, never a scan of the full corpus per query; recall is
+    * coverage-bound like IVF/LSH (see the recall twin's floor), rising
+    * with `rounds`/`beam` on clustered corpora where graph search
+    * shines. */
+  def graphSearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8): DataFrame = {
+    require(k <= beam, "k must not exceed the beam width")
+    val vecs = corpus.select(col(idCol).cast(LongType).as("id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+      .localCheckpoint()
+    val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
+      normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+    val entry = vecs.select(col("id"), DedupOps.md5Lower63(
+        concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
+      .orderBy(col("__e"), col("id")).limit(entries).select("id")
+    val edges = graph.select(col("src"), col("nbr"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    def keepBeam(df: DataFrame): DataFrame =
+      df.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= beam).drop("__r").localCheckpoint()
+    var cur = keepBeam(q.crossJoin(broadcast(entry)).join(vecs, "id")
+      .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v"))
+    for (_ <- 1 to rounds) {
+      val cand = cur.select(col("query_id"), col("id"))
+        .join(edges, col("id") === col("src"))
+        .select(col("query_id"), col("nbr").as("id")).distinct()
+        .join(q, "query_id").join(vecs, "id")
+        .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v")
+      val prev = cur
+      cur = keepBeam(cur.unionByName(cand)
+        .dropDuplicates("query_id", "id"))
+      prev.unpersist()
+    }
+    cur.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("nn_id"),
+        round(col("sim"), 6).as("sim"), col("rank").cast(IntegerType)
+          .as("rank"))
+  }
 }

@@ -123,4 +123,32 @@ class PcaKnnSpec extends SparkSpec {
       math.abs(centered.map(_(i)).sum / centered.length)).max
     assert(meanResid < 1e-9)
   }
+
+  test("graphSearchTopK on clustered data retrieves same-cluster neighbors") {
+    import spark.implicits._
+    val protos = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val rows = for {
+      c <- 0 until 3; i <- 0 until 8
+    } yield ((c * 10 + i).toLong, protos(c).zipWithIndex.map { case (x, d) =>
+      if (d == 3 || d == 7) x + 0.05f * (i + 1) else x }.toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val g = VectorOps.knnGraph(df, "vec_id", "embedding", k = 3, iters = 3)
+      .select(col("src"), col("nn_id").as("nbr"))
+    val got = VectorOps.graphSearchTopK(df, "vec_id", "embedding", g,
+      df, "vec_id", "embedding", k = 3, beam = 8, rounds = 3, entries = 4)
+      .collect()
+    // every query answered with a full k and a high-cosine best hit (the
+    // query node itself only shows up when the walk reaches it — correct
+    // graph-search behavior, so pin the similarity, not self-identity)
+    assert(got.length == 24 * 3)
+    got.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Double]("sim") > 0.95, r.toString) }
+    val same = got.count(r =>
+      r.getAs[Long]("query_id") / 10 == r.getAs[Long]("nn_id") / 10)
+    assert(same.toDouble / got.length > 0.9,
+      s"only $same/${got.length} same-cluster results")
+  }
 }
