@@ -1809,6 +1809,13 @@ object SparkEntry {
       graft.llm.BpeOps.encode(docs, "text", merges)
         .select(col("doc_id"), size(col("bpe")).as("n_tok"))
     }),
+    // Zipf-slope health check: ln(freq)~ln(rank) least-squares fit over
+    // each source's top-100 terms (natural text ~ -1); top-K via the
+    // skew-safe BoundedTopK aggregate, fit is a closed-form aggregate
+    "llm_zipf_slope" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.zipfSlope(t(s, dir, "documents"), "text", "source", 100)
+    }),
     // corpus diversity: distinct trigrams / total trigrams per source
     // (template-spam sources score low); digests cross the shuffle,
     // never gram text
@@ -4095,6 +4102,24 @@ object SparkEntry {
     "llm_bpe_merges" -> bpeMergesSql,
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_fertility" -> bpeFertilitySql,
+    "llm_zipf_slope" ->
+      """WITH tk AS (
+           SELECT source, lower(t.tok) AS term
+           FROM documents, unnest(list_filter(
+             regexp_split_to_array(trim(text), '\s+'),
+             x -> length(x) > 0)) AS t(tok)),
+         c AS (SELECT source, term, count(*) AS c FROM tk GROUP BY 1, 2),
+         r AS (SELECT source, c, row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, term) AS rk
+               FROM c),
+         pt AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x,
+                       ln(CAST(c AS DOUBLE)) AS y
+                FROM r WHERE rk <= 100)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                round((count(*) * sum(x*y) - sum(x) * sum(y))
+                      / (count(*) * sum(x*x) - sum(x) * sum(x)), 6)
+                  AS zipf_slope
+         FROM pt GROUP BY source""",
     "llm_ngram_diversity" ->
       """WITH d AS (
            SELECT source,

@@ -730,6 +730,40 @@ object CorpusOps {
     out
   }
 
+  /** Zipf-slope corpus diagnostic: least-squares slope of ln(freq) vs
+    * ln(rank) over each group's `topK` most frequent terms. Natural text
+    * sits near −1 (Zipf's law); template spam and OCR noise bend the
+    * curve, so the slope is a cheap per-source health check.
+    *
+    * 100 TB shape: one term-count shuffle keyed by (group, term) with
+    * map-side combine, then the per-group top-K via [[graft.functions
+    * .BoundedTopK]] — the skew-safe aggregate ([[capPerKey]]'s shape: a
+    * window would sort EVERY term of a hot source on one task; the
+    * bounded aggregate ships ≤ topK·partitions rows per group). The fit
+    * is a closed-form aggregate over ≤ topK points per group. */
+  def zipfSlope(df: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2)
+    val counts = df.select(col(groupCol),
+        explode(transform(TextOps.tokens(col(textCol)), lower _)).as("__t"))
+      .groupBy(col(groupCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val packed = struct(col("__c").as("__cnt"), col("__t").as("__term"))
+    val pts = counts.groupBy(col(groupCol))
+      .agg(graft.functions.BoundedTopK.sortedTopK(
+        packed, Seq(false, true), topK).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__i", "__k")))
+      .select(col(groupCol), log(col("__i") + lit(1.0)).as("__x"),
+        log(col("__k.__cnt").cast(DoubleType)).as("__y"))
+    pts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col(groupCol), col("n_terms"),
+        round((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("zipf_slope"))
+  }
+
   /** Corpus n-gram diversity per group: distinct n-grams / total n-grams
     * over the lowercased whitespace tokens — the MassiveText-style
     * repetitiveness/diversity stat (a template-spam source scores low).

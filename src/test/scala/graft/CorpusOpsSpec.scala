@@ -521,6 +521,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(4).getAs[Double]("rec") == 1.0)
   }
 
+  test("zipfSlope: closed-form fit over ranked counts, alphabetical tie order") {
+    // counts: a=8 b=4 c=2 d=2 -> ranks a1 b2 c3 d4 (c/d tie alphabetical)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq.fill(2)("d")).mkString(" ")
+    val df = Seq((1L, "s", text)).toDF("id", "source", "text")
+    val r = CorpusOps.zipfSlope(df, "text", "source", 100).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    val x = Seq(1, 2, 3, 4).map(i => math.log(i.toDouble))
+    val y = Seq(8, 4, 2, 2).map(c => math.log(c.toDouble))
+    val (n, sx, sy) = (4.0, x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val want = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("zipf_slope") == want)
+    // topK truncation changes the fit: with topK=2 only a,b remain
+    val r2 = CorpusOps.zipfSlope(df, "text", "source", 2).collect()(0)
+    assert(r2.getAs[Long]("n_terms") == 2L)
+    val want2 = BigDecimal((math.log(4.0) - math.log(8.0)) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getAs[Double]("zipf_slope") == want2) // exactly -1
+  }
+
   test("ngramDiversity: hand-counted trigram ratio, short docs contribute 0") {
     val df = Seq((1L, "a", "a b c a b c"), // grams: abc bca cab abc -> 3/4
       (2L, "a", "x y"), // too short for trigrams
