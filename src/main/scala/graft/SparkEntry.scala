@@ -1809,6 +1809,15 @@ object SparkEntry {
       graft.llm.BpeOps.encode(docs, "text", merges)
         .select(col("doc_id"), size(col("bpe")).as("n_tok"))
     }),
+    // contrastive triplets: best near-dup positive + best hard negative
+    // per anchor (inner semantics — anchors missing either side drop)
+    "llm_triplets" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      VectorOps.tripletMine(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        posThreshold = 0.3, negThreshold = 0.2)
+    }),
     // Zipf-slope health check: ln(freq)~ln(rank) least-squares fit over
     // each source's top-100 terms (natural text ~ -1); top-K via the
     // skew-safe BoundedTopK aggregate, fit is a closed-form aggregate
@@ -4102,6 +4111,33 @@ object SparkEntry {
     "llm_bpe_merges" -> bpeMergesSql,
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_fertility" -> bpeFertilitySql,
+    "llm_triplets" ->
+      """WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         q AS (SELECT vec_id AS anchor_id, v AS qv FROM n
+               WHERE vec_id % 20 = 0),
+         s AS (SELECT q.anchor_id, c.vec_id AS cand_id,
+                      list_inner_product(c.v, q.qv) AS sim
+               FROM n c, q WHERE c.vec_id <> q.anchor_id),
+         p AS (SELECT anchor_id, cand_id AS pos_id, round(sim, 6) AS pos_cos,
+                      row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY sim DESC, cand_id) AS rk
+               FROM s WHERE round(sim, 6) >= 0.3),
+         g AS (SELECT anchor_id, cand_id AS neg_id, round(sim, 6) AS neg_cos,
+                      row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY sim DESC, cand_id) AS rk
+               FROM s WHERE sim < 0.2)
+         SELECT p.anchor_id, p.pos_id, p.pos_cos, g.neg_id, g.neg_cos
+         FROM p JOIN g ON g.anchor_id = p.anchor_id AND g.rk = 1
+         WHERE p.rk = 1""",
     "llm_zipf_slope" ->
       """WITH tk AS (
            SELECT source, lower(t.tok) AS term

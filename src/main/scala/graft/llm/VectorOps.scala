@@ -742,6 +742,44 @@ object VectorOps {
       round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Contrastive-training triplet mining: for each anchor, the best
+    * POSITIVE (highest cosine at/above `posThreshold` after the
+    * engine-exact 6-dp round — the near-dup band, [[embedNearDupExact]]'
+    * compare) and the best HARD NEGATIVE (highest cosine strictly below
+    * `negThreshold`, [[hardNegatives]]' rule). Anchors missing either
+    * side yield no triplet (an anchor with no near-dup has no positive;
+    * one whole band of dups has no negative) — inner-join semantics, the
+    * shape a triplet-loss dataloader wants.
+    *
+    * Scale shape: one scored pass (anchors broadcast against the corpus,
+    * like [[bruteTopK]]), then two rank-1 windows keyed by anchor. The
+    * corpus is never self-joined; candidate volume is |corpus|·|anchors|
+    * map-side with only per-anchor winners crossing the shuffle. */
+  def tripletMine(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      posThreshold: Double, negThreshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    val q = queries.select(col(qIdCol).as("anchor_id"),
+      normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .withColumn("sim", dot(col("__v"), col("__q")))
+      .select(col("anchor_id"), col("cand_id"), col("sim"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    def best(df: DataFrame): DataFrame =
+      df.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .drop("__r")
+    val pos = best(scored.filter(round(col("sim"), 6) >= posThreshold))
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        round(col("sim"), 6).as("pos_cos"))
+    val neg = best(scored.filter(col("sim") < negThreshold))
+      .select(col("anchor_id"), col("cand_id").as("neg_id"),
+        round(col("sim"), 6).as("neg_cos"))
+    pos.join(neg, "anchor_id")
+  }
+
   /** Graph-based ANN SEARCH over a [[knnGraph]] build — the search step
     * of the HNSW/NSG family (Malkov & Yashunin 2018), flattened for a
     * data-parallel engine: a fixed number of synchronous beam-expansion

@@ -124,6 +124,29 @@ class PcaKnnSpec extends SparkSpec {
     assert(meanResid < 1e-9)
   }
 
+  test("tripletMine: best positive in band, best negative below, inner drop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f)), // anchor
+      (1L, Seq(0.99f, 0.1f, 0f)), // cos ~0.995 -> positive
+      (2L, Seq(0.5f, 0.866f, 0f)), // cos 0.5 -> neither band
+      (3L, Seq(0.1f, 0.995f, 0f)), // cos ~0.1 -> best negative
+      (4L, Seq(0f, 1f, 0f)), // cos 0 -> weaker negative
+      (9L, Seq(0f, 0f, 1f))) // 2nd anchor: NO positive -> no triplet
+      .toDF("vec_id", "embedding")
+    val anchors = corpus.filter(col("vec_id") === 0L || col("vec_id") === 9L)
+    val got = VectorOps.tripletMine(corpus, "vec_id", "embedding",
+      anchors, "vec_id", "embedding", posThreshold = 0.9, negThreshold = 0.3)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("anchor_id") == 0L)
+    assert(r.getAs[Long]("pos_id") == 1L)
+    assert(r.getAs[Long]("neg_id") == 3L) // highest cosine under the bar
+    assert(r.getAs[Double]("pos_cos") > 0.99 &&
+      r.getAs[Double]("neg_cos") < 0.3)
+  }
+
   test("graphSearchTopK on clustered data retrieves same-cluster neighbors") {
     import spark.implicits._
     val protos = Seq(
