@@ -4168,9 +4168,12 @@ object SparkEntry {
            FROM d, unnest(list_transform(range(1, len(toks) - 1),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gg(g))
          SELECT source, CAST(count(*) AS BIGINT) AS n_ngrams,
-                CAST(count(DISTINCT md5(g)) AS BIGINT) AS n_distinct,
-                round(CAST(count(DISTINCT md5(g)) AS DOUBLE) / count(*), 6)
-                  AS diversity
+                CAST(count(DISTINCT
+                  md5_number_lower(g) & 9223372036854775807) AS BIGINT)
+                  AS n_distinct,
+                round(CAST(count(DISTINCT
+                  md5_number_lower(g) & 9223372036854775807) AS DOUBLE)
+                  / count(*), 6) AS diversity
          FROM g GROUP BY source""",
     "llm_shuffle_deterministic" ->
       """WITH s AS (SELECT doc_id,

@@ -775,17 +775,40 @@ object CorpusOps {
   def ngramDiversity(df: DataFrame, textCol: String, groupCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1)
-    val toks = transform(TextOps.tokens(col(textCol)), lower _)
-    val grams =
-      if (n == 1) toks
-      else when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(d => element_at(toks, i + d)): _*)))
-        .otherwise(array().cast(ArrayType(StringType)))
-    df.select(col(groupCol), explode(grams).as("__g"))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_ngrams"),
-        countDistinct(md5(col("__g"))).as("n_distinct"))
+    // per-partition JVM pass for tokenize→gram→md5 (the DSIR/NB 10×
+    // lesson: 10M+ grams through interpreted HOF lambdas + the
+    // expression-tree md5Lower63 cost ~15 s at sf0.1; this pass runs the
+    // identical bytes through MessageDigest directly, parity-pinned by
+    // the oracle). Then two-phase instead of count+countDistinct in one
+    // agg: the mixed form plans an Expand and the distinct side gets no
+    // map-side combine — phase 1 collapses to one row per (group,
+    // digest) with partial counts, so the shuffle carries (group, long),
+    // never gram text. 63-bit caveat: a collision flips n_distinct by 1
+    // with p ~ n²/2⁶⁴ — negligible to ~1e8 grams per group and
+    // deterministic (not a flake); at trillion-gram scale use full md5
+    // or accept HLL.
+    val gramSchema = StructType(Seq(
+      StructField("__grp", StringType, nullable = true),
+      StructField("__d", LongType, nullable = false)))
+    val perGram = df.select(col(groupCol).cast(StringType), col(textCol))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val grp = r.getString(0)
+          val toks = tokensJvm(r.getString(1))
+          if (toks.length < n) Iterator.empty
+          else (0 to toks.length - n).iterator.map { i =>
+            val sb = new StringBuilder(toks(i))
+            var d = 1
+            while (d < n) { sb.append(' ').append(toks(i + d)); d += 1 }
+            Row(grp, DedupOps.md5Lower63Jvm(md, sb.toString))
+          }
+        }
+      }(Encoders.row(gramSchema))
+      .groupBy(col("__grp").as(groupCol), col("__d"))
+      .agg(count(lit(1)).as("__c"))
+    perGram.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_ngrams"), count(lit(1)).as("n_distinct"))
       .select(col(groupCol), col("n_ngrams"), col("n_distinct"),
         round(col("n_distinct").cast(DoubleType) / col("n_ngrams"), 6)
           .as("diversity"))
