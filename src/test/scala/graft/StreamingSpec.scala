@@ -558,4 +558,36 @@ class StreamingSpec extends SparkSpec {
       assert(all.flatten.toSet == (1 to 7).map(i => s"d$i").toSet)
     } finally q.stop()
   }
+
+  test("streaming training-data ingest: normalize -> quality gate -> exact dedup") {
+    // The LLM-layer ops are Column expressions, so the whole C4-style
+    // ingest prefix (ftfy cleanup, quality floor, md5 exact dedup) runs
+    // NATIVELY on an unbounded stream — dedup state in the state store,
+    // first arrival wins across micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("clean", graft.llm.TextOps.normalizeText(col("text")))
+      .withColumn("q", graft.llm.TextOps.qualityFeatures(col("clean")).quality)
+      .filter(col("q") > 0.4 && graft.llm.TextOps.tokenCount(col("clean")) >= 3)
+      .withColumn("text_md5", md5(col("clean")))
+      .dropDuplicates("text_md5")
+    val q = docs.writeStream.format("memory").queryName("t_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "the  quick\tbrown fox jumps over the lazy dog today"), // ws-dup of 1
+        (3L, "!!! ### $$$ %%% ^^^")) // fails the quality gate
+      q.processAllAvailable()
+      input.addData(
+        (4L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+        (5L, "a genuinely different sentence with enough words here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("t_ingest").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // 2 collapses into 1 (normalization), 3 gated, 4 deduped across batches
+    assert(kept == Seq(1L, 5L), s"kept=$kept")
+  }
 }
