@@ -1818,6 +1818,30 @@ object SparkEntry {
         emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
         posThreshold = 0.3, negThreshold = 0.2)
     }),
+    // dataset card: the per-source stats bundle a data release ships —
+    // volume, tokens, quality, language mix, exact-dup rate; one
+    // columnar scan + a digest-grouped distinct, everything per-source
+    "llm_dataset_card" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val f = TextOps.qualityFeatures(col("text"))
+      val base = docs.select(col("source"), col("lang"),
+        f.nTokens.cast("long").as("__nt"),
+        length(col("text")).cast("long").as("__nc"),
+        round(f.quality, 6).as("__q"), md5(col("text")).as("__d"))
+      val dd = base.groupBy(col("source"), col("__d"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("source").agg(count(lit(1)).as("distinct_docs"))
+      base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
+          sum("__nc").as("n_chars"), round(avg("__q"), 6).as("mean_quality"),
+          round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
+            .as("pct_en"),
+          round(avg(col("__nt").cast("double")), 6).as("mean_doc_tokens"))
+        .join(dd, "source")
+        .withColumn("exact_dup_rate", round(lit(1.0) -
+          col("distinct_docs").cast("double") / col("n_docs"), 6))
+    }),
     // Zipf-slope health check: ln(freq)~ln(rank) least-squares fit over
     // each source's top-100 terms (natural text ~ -1); top-K via the
     // skew-safe BoundedTopK aggregate, fit is a closed-form aggregate
@@ -2152,6 +2176,41 @@ object SparkEntry {
 
   /** Merge rounds for the BPE oracle pair. */
   private val bpeM = 6
+
+  /** Shared CTE prefix for the quality oracles: per-doc features (f1)
+    * and the composite score q (f, UNROUNDED — callers round). Carries
+    * source/lang for per-source rollups. */
+  private def qualitySql(select: String): String =
+    """WITH b AS (
+           SELECT doc_id, source, lang, text, length(text) AS nc,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> length(t) > 0) AS toks
+           FROM documents),
+         f1 AS (
+           SELECT doc_id, source, lang, nc, len(toks) AS nt,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+               ELSE 0 END AS mwl,
+             CASE WHEN nc > 0 THEN
+               CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / nc
+               ELSE 0 END AS pr,
+             CASE WHEN nc > 0 THEN
+               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / nc
+               ELSE 0 END AS ur,
+             CASE WHEN nc > 0 THEN
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc
+               ELSE 0 END AS dr,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(list_transform(toks, t -> lower(t)),
+                 t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS DOUBLE) / len(toks)
+               ELSE 0 END AS sr
+           FROM b),
+         f AS (
+           SELECT *, least(CAST(nt AS DOUBLE) / 100, 1) * 0.3 +
+                     greatest(0, 1 - (pr + dr + ur)) * 0.4 +
+                     least(sr * 4, 1) * 0.3 AS q
+           FROM f1)
+         """ + select
 
   /** Shared generated CTE chain for the NN-Descent graph oracles: md5
     * random k-out init (tp/e0) and both build rounds (e1/e2, k=5,
@@ -3778,39 +3837,12 @@ object SparkEntry {
             g_wordcount_ok AND g_mwl_ok AND g_symbol_ok AND g_bullet_ok AND
             g_ellipsis_ok AND g_alpha_ok AND g_stopwords_ok) AS keep
          FROM r""",
-    "llm_quality" ->
-      """WITH b AS (
-           SELECT doc_id, text, length(text) AS nc,
-                  list_filter(regexp_split_to_array(trim(text), '\s+'),
-                              t -> length(t) > 0) AS toks
-           FROM documents),
-         f AS (
-           SELECT doc_id, nc, len(toks) AS nt,
-             CASE WHEN len(toks) > 0 THEN
-               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-               ELSE 0 END AS mwl,
-             CASE WHEN nc > 0 THEN
-               CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / nc
-               ELSE 0 END AS pr,
-             CASE WHEN nc > 0 THEN
-               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / nc
-               ELSE 0 END AS ur,
-             CASE WHEN nc > 0 THEN
-               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc
-               ELSE 0 END AS dr,
-             CASE WHEN len(toks) > 0 THEN
-               CAST(len(list_filter(list_transform(toks, t -> lower(t)),
-                 t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS DOUBLE) / len(toks)
-               ELSE 0 END AS sr
-           FROM b)
-         SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+    "llm_quality" -> qualitySql(
+      """SELECT doc_id, CAST(nt AS INT) AS n_tokens,
                 round(mwl, 6) AS mean_word_len, round(pr, 6) AS punct_ratio,
                 round(ur, 6) AS upper_ratio, round(dr, 6) AS digit_ratio,
-                round(sr, 6) AS stopword_ratio,
-                round(least(CAST(nt AS DOUBLE) / 100, 1) * 0.3 +
-                      greatest(0, 1 - (pr + dr + ur)) * 0.4 +
-                      least(sr * 4, 1) * 0.3, 6) AS quality
-         FROM f""",
+                round(sr, 6) AS stopword_ratio, round(q, 6) AS quality
+         FROM f"""),
     "llm_langid" ->
       """WITH scored AS (
            SELECT doc_id,
@@ -4111,6 +4143,21 @@ object SparkEntry {
     "llm_bpe_merges" -> bpeMergesSql,
     "llm_bpe_encode" -> bpeEncodeSql,
     "llm_bpe_fertility" -> bpeFertilitySql,
+    "llm_dataset_card" -> qualitySql(
+      """, dd AS (SELECT source, count(DISTINCT md5(text)) AS d
+           FROM b GROUP BY 1),
+         ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens,
+                  CAST(sum(nc) AS BIGINT) AS n_chars,
+                  round(avg(round(q, 6)), 6) AS mean_quality,
+                  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+                    AS pct_en,
+                  round(avg(CAST(nt AS DOUBLE)), 6) AS mean_doc_tokens
+                FROM f GROUP BY 1)
+         SELECT ag.*, CAST(dd.d AS BIGINT) AS distinct_docs,
+                round(1.0 - CAST(dd.d AS DOUBLE) / ag.n_docs, 6)
+                  AS exact_dup_rate
+         FROM ag JOIN dd USING (source)"""),
     "llm_triplets" ->
       """WITH u AS (
            SELECT vec_id,
