@@ -1842,6 +1842,28 @@ object SparkEntry {
         .withColumn("exact_dup_rate", round(lit(1.0) -
           col("distinct_docs").cast("double") / col("n_docs"), 6))
     }),
+    // WordPiece greedy longest-match tokenizer (Wu et al. 2016 / BERT),
+    // the lookup-table counterpart of the BPE merge replay: vocab = top
+    // 200 words + alphabetic chars in initial and "##" continuation
+    // form; a word containing any non-vocab char becomes one [UNK]
+    // (whole-word failure rule). The oracle replays vocab selection,
+    // per-position longest match, and the greedy walk (recursive CTE)
+    "llm_wordpiece" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val vocab = graft.llm.BpeOps.wordpieceVocab(docs, "text", 200)
+      graft.llm.BpeOps.wordpieceEncode(docs, "text", vocab)
+        .select(col("doc_id"), size(col("wp")).as("n_wp"),
+          size(filter(col("wp"), x => x === "[UNK]")).as("n_unk"))
+    }),
+    // cross-source contamination matrix: distinct shared word 5-grams
+    // and gram-set Jaccard for every source pair — the "which dumps
+    // duplicate each other" table behind mixture-weight decisions;
+    // digests cross the shuffle, pair fan-out bounded by |sources|²
+    "llm_source_overlap" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.sourceOverlap(t(s, dir, "documents"), "text", "source", 5)
+    }),
     // Zipf-slope health check: ln(freq)~ln(rank) least-squares fit over
     // each source's top-100 terms (natural text ~ -1); top-K via the
     // skew-safe BoundedTopK aggregate, fit is a closed-form aggregate
@@ -4185,6 +4207,83 @@ object SparkEntry {
          SELECT p.anchor_id, p.pos_id, p.pos_cos, g.neg_id, g.neg_cos
          FROM p JOIN g ON g.anchor_id = p.anchor_id AND g.rk = 1
          WHERE p.rk = 1""",
+    // replays the FULL WordPiece pipeline: vocab (top-200 words + alpha
+    // chars, initial + '##' continuation), the per-(word,pos) longest
+    // match table, and the greedy walk as a recursive CTE (one step per
+    // emitted piece; a missing match collapses the word to one [UNK])
+    "llm_wordpiece" ->
+      """WITH RECURSIVE w0 AS (
+           SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                       q -> length(q) > 0)) AS w
+             FROM documents) GROUP BY w),
+         topw AS (SELECT w AS piece FROM w0 WHERE NOT starts_with(w, '##')
+                  ORDER BY cnt DESC, w LIMIT 200),
+         ch AS (SELECT DISTINCT c AS piece FROM (
+                  SELECT unnest(string_split(w, '')) AS c FROM w0)
+                WHERE regexp_matches(c, '^[A-Za-z]$')),
+         vocab AS (SELECT piece FROM topw UNION
+                   SELECT piece FROM ch UNION
+                   SELECT '##' || piece FROM ch),
+         words AS (SELECT w FROM w0),
+         poss AS (SELECT w, unnest(generate_series(1, length(w))) AS pos
+                  FROM words),
+         cand AS (SELECT w, pos,
+                    unnest(generate_series(1, length(w) - pos + 1)) AS l
+                  FROM poss),
+         hit AS (SELECT c.w, c.pos, max(c.l) AS ml
+                 FROM cand c JOIN vocab v
+                   ON v.piece = CASE WHEN c.pos = 1
+                                     THEN substr(c.w, c.pos, c.l)
+                                     ELSE '##' || substr(c.w, c.pos, c.l) END
+                 GROUP BY c.w, c.pos),
+         seg AS (
+           SELECT w, 1 AS pos, 0 AS n, FALSE AS unk FROM words
+           UNION ALL
+           SELECT s.w,
+                  CASE WHEN h.ml IS NULL THEN length(s.w) + 1
+                       ELSE s.pos + h.ml END,
+                  CASE WHEN h.ml IS NULL THEN 1 ELSE s.n + 1 END,
+                  h.ml IS NULL
+           FROM seg s LEFT JOIN hit h ON h.w = s.w AND h.pos = s.pos
+           WHERE s.pos <= length(s.w) AND NOT s.unk),
+         wp AS (SELECT w, n, unk FROM seg WHERE pos > length(w)),
+         dw AS (SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                     q -> length(q) > 0)) AS w
+                FROM documents),
+         res AS (SELECT dw.doc_id, sum(wp.n) AS nw,
+                        sum(CASE WHEN wp.unk THEN 1 ELSE 0 END) AS nu
+                 FROM dw JOIN wp USING (w) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(r.nw, 0) AS INT) AS n_wp,
+                CAST(coalesce(r.nu, 0) AS INT) AS n_unk
+         FROM documents d LEFT JOIN res r USING (doc_id)""",
+    // same distinct-gram sets per source; the md5 digesting matches the
+    // Spark plan so counts agree digest-for-digest
+    "llm_source_overlap" ->
+      """WITH w AS (
+           SELECT source, list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\s+'),
+                    t -> length(t) > 0) AS ws
+           FROM documents),
+         g0 AS (SELECT source,
+                  unnest(list_transform(
+                    generate_series(1, greatest(len(ws) - 4, 0)),
+                    i -> array_to_string(ws[i:i+4], ' '))) AS gram
+                FROM w),
+         g AS (SELECT DISTINCT source, md5(gram) AS d FROM g0),
+         sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+         sh AS (SELECT a.source AS src_a, b.source AS src_b,
+                       count(*) AS shared
+                FROM g a JOIN g b ON a.d = b.d AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT pa.source AS src_a, pb.source AS src_b,
+                pa.n AS grams_a, pb.n AS grams_b,
+                CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_grams,
+                round(CAST(coalesce(sh.shared, 0) AS DOUBLE) /
+                      (pa.n + pb.n - coalesce(sh.shared, 0)), 6) AS jaccard
+         FROM sz pa JOIN sz pb ON pa.source < pb.source
+         LEFT JOIN sh ON sh.src_a = pa.source AND sh.src_b = pb.source""",
     "llm_zipf_slope" ->
       """WITH tk AS (
            SELECT source, lower(t.tok) AS term

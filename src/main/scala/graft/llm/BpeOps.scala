@@ -129,4 +129,77 @@ object BpeOps {
     merges.foldLeft(w.map(_.toString): Seq[String]) {
       case (t, (l, r)) => applyMerge(t, l, r)
     }
+
+  /** WordPiece vocabulary (Wu et al. 2016 / BERT's tokenizer family —
+    * the greedy longest-match counterpart of BPE's merge replay): the
+    * `topWords` most frequent whitespace words as word-initial pieces
+    * (ties broken by word asc, words already carrying the "##"
+    * continuation marker excluded to keep the piece space unambiguous),
+    * plus every ALPHABETIC character as both an initial piece and a
+    * "##"-prefixed continuation piece. Non-alphabetic characters are
+    * deliberately absent, so any word containing one falls through to
+    * `[UNK]` — the whole-word-UNK semantics BERT uses.
+    *
+    * Scale: the distinct-word table is corpus-derived (GBs at web
+    * scale) but the top-k is a `TakeOrdered` (no full sort) and the
+    * character set is alphabet-sized; the vocab that leaves the driver
+    * is `topWords + 2·|alphabet|` strings. */
+  def wordpieceVocab(df: DataFrame, textCol: String,
+      topWords: Int): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val top = words.filter(!col("w").startsWith("##"))
+      .orderBy(col("cnt").desc, col("w")).limit(topWords)
+      .select("w").as[String].collect().toSeq
+    val chars = words.select(explode(split(col("w"), "")).as("c"))
+      .filter(col("c").rlike("^[A-Za-z]$"))
+      .distinct().as[String].collect().toSeq
+    (top ++ chars ++ chars.map("##" + _)).distinct
+  }
+
+  /** Tokenize with greedy longest-match-first against a broadcast piece
+    * set: at each position take the LONGEST vocab piece (continuation
+    * positions match with the "##" prefix); if no piece matches, the
+    * ENTIRE word becomes `unk` (BERT's whole-word failure rule, not a
+    * per-char fallback). Cost per word is O(|word|·maxPieceLen) hash
+    * probes — flat in vocab size, the same scale property as [[encode]];
+    * the vocab rides to executors once via a real broadcast. */
+  def wordpieceEncode(df: DataFrame, textCol: String, vocab: Seq[String],
+      as: String = "wp", unk: String = "[UNK]"): DataFrame = {
+    val maxLen = vocab.map(p =>
+      if (p.startsWith("##")) p.length - 2 else p.length).max
+    val bV = df.sparkSession.sparkContext.broadcast(vocab.toSet)
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else text.split("\\s+").iterator.filter(_.nonEmpty)
+        .flatMap(wordpieceWord(_, bV.value, maxLen, unk)).toSeq
+    }
+    df.withColumn(as, enc(col(textCol)))
+  }
+
+  /** Greedy longest-match segmentation of one word; `Seq(unk)` when any
+    * position has no matching piece. */
+  def wordpieceWord(w: String, vocab: Set[String], maxPieceLen: Int,
+      unk: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      var len = math.min(maxPieceLen, w.length - pos)
+      var found: String = null
+      while (len >= 1 && (found eq null)) {
+        val cand =
+          (if (pos == 0) "" else "##") + w.substring(pos, pos + len)
+        if (vocab(cand)) found = cand else len -= 1
+      }
+      if (found eq null) return Seq(unk)
+      out += found
+      pos += (if (found.startsWith("##")) found.length - 2
+              else found.length)
+    }
+    out.result()
+  }
 }

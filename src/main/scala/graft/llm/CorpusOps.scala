@@ -940,4 +940,47 @@ object CorpusOps {
       .filter(col("is_pos"))
       .agg(count(lit(1)).as("p"),
         round(avg(col("tp").cast(DoubleType) / col("rank")), 6).as("ap"))
+
+  /** Cross-source contamination matrix (a dataset-card diagnostic): for
+    * every unordered source pair, the number of distinct word `n`-grams
+    * the two sources share and the resulting gram-set Jaccard — the
+    * "which crawls/dumps duplicate each other" table computed before
+    * deciding mixture weights. Emits every pair (zero-overlap pairs
+    * included) as `(src_a, src_b, grams_a, grams_b, shared_grams,
+    * jaccard)` with `src_a < src_b`.
+    *
+    * 100 TB shape: grams are reduced to 16-byte md5 digests BEFORE the
+    * distinct, so the only corpus-sized shuffle carries digests, never
+    * gram text (the [[DedupOps]] discipline). Shared counts come from
+    * `groupBy(digest).collect_set(source)` — per-key state is bounded by
+    * the SOURCE COUNT (dozens), not the corpus, and the pair fan-out per
+    * digest is at most |sources|²; never an all-pairs join on grams. The
+    * final matrix is |sources|² rows — driver-scale by construction. */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = df
+      .select(col(srcCol).as("__src"),
+        explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(col("__src"), md5(col("__g")).as("__d"))
+      .distinct()
+    val sizes = grams.groupBy("__src")
+      .agg(count(lit(1)).as("__n"))
+    // all unordered pairs of the per-digest source set, a < b
+    val shared = grams.groupBy("__d")
+      .agg(sort_array(collect_set(col("__src"))).as("__ss"))
+      .select(explode(flatten(transform(col("__ss"), (a, i) =>
+        transform(slice(col("__ss"), i + 2, size(col("__ss"))), b =>
+          struct(a.as("a"), b.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("src_a"), col("__p.b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val allPairs = sizes.select(col("__src").as("src_a"), col("__n").as("grams_a"))
+      .crossJoin(sizes.select(col("__src").as("src_b"), col("__n").as("grams_b")))
+      .filter(col("src_a") < col("src_b"))
+    allPairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+        round(coalesce(col("shared_grams"), lit(0L)).cast(DoubleType) /
+          (col("grams_a") + col("grams_b") -
+            coalesce(col("shared_grams"), lit(0L))), 6).as("jaccard"))
+  }
 }

@@ -621,4 +621,30 @@ class CorpusOpsSpec extends SparkSpec {
         s"https://site${keep / 4 % 50}.example.com/articles/${keep / 4}?id=${keep / 4}")
     }
   }
+
+  test("sourceOverlap: hand-counted shared grams, zero pairs kept, jaccard") {
+    // bigrams — A: {a b, b c, c d}; B: {a b, b c, x y}; C: {p q}
+    val df = Seq(
+      ("A", "a b c d"), ("B", "a b c"), ("B", "x y"), ("C", "p q"))
+      .toDF("src", "text")
+    val got = CorpusOps.sourceOverlap(df, "text", "src", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 3, "all pairs present, including zero-overlap ones")
+    // A∩B = {a b, b c} → 2 shared of 3+3-2=4 union
+    assert(got(("A", "B")) == ((3L, 3L, 2L, 0.5)))
+    assert(got(("A", "C")) == ((3L, 1L, 0L, 0.0)))
+    assert(got(("B", "C")) == ((3L, 1L, 0L, 0.0)))
+  }
+
+  test("sourceOverlap: dedup within a source; grams are lowercased") {
+    // same doc twice in A, case-flipped in B: distinct digest sets equal
+    val df = Seq(("A", "Foo Bar Baz"), ("A", "foo bar baz"),
+      ("B", "FOO BAR BAZ")).toDF("src", "text")
+    val got = CorpusOps.sourceOverlap(df, "text", "src", n = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 1.0)
+  }
 }

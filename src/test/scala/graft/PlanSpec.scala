@@ -445,4 +445,16 @@ class PlanSpec extends SparkSpec {
       s"no single-partition collapse:\n$pDedup")
   }
 
+  test("sourceOverlap shuffles md5 digests, never gram text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.CorpusOps.sourceOverlap(docs, "text", "source", 5))
+    // the corpus-sized exchange is the distinct on (source, digest) —
+    // the md5 is computed below it, so only 16-byte digests cross
+    assert(p.contains("Exchange hashpartitioning(__src") &&
+      p.contains("__d"), s"distinct must partition on (src, digest):\n$p")
+    assert(p.contains("md5"), s"digesting must happen in the scan stage:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition collapse:\n$p")
+  }
+
 }
