@@ -1843,18 +1843,37 @@ object SparkEntry {
           col("distinct_docs").cast("double") / col("n_docs"), 6))
     }),
     // WordPiece greedy longest-match tokenizer (Wu et al. 2016 / BERT),
-    // the lookup-table counterpart of the BPE merge replay: vocab = top
-    // 200 words + alphabetic chars in initial and "##" continuation
-    // form; a word containing any non-vocab char becomes one [UNK]
-    // (whole-word failure rule). The oracle replays vocab selection,
+    // the INFERENCE side of a trained vocab — like BERT's shipped vocab,
+    // the pieces here are BPE-learned merge tokens plus the top-12 whole
+    // words, with character coverage CLOSED over the top words so rare
+    // words with unseen characters hit the whole-word [UNK] rule. The
+    // oracle replays BPE training (shared CTE prefix), vocab assembly,
     // per-position longest match, and the greedy walk (recursive CTE)
     "llm_wordpiece" -> ((s, dir) => {
       tune(s)
       val docs = t(s, dir, "documents")
-      val vocab = graft.llm.BpeOps.wordpieceVocab(docs, "text", 200)
+      val merges = graft.llm.BpeOps.train(docs, "text", bpeM)
+      val vocab = graft.llm.BpeOps.wordpieceVocab(docs, "text", 12,
+        extraPieces = merges.map(m => m._1 + m._2), fullCharCoverage = false)
       graft.llm.BpeOps.wordpieceEncode(docs, "text", vocab)
         .select(col("doc_id"), size(col("wp")).as("n_wp"),
           size(filter(col("wp"), x => x === "[UNK]")).as("n_unk"))
+    }),
+    // unigram-LM tokenization (Kudo 2018 / SentencePiece): piece table
+    // from substring-occurrence counts (closed-form first M-step, pruned
+    // at umMinCount with single chars always kept), Viterbi per word
+    // with (score, last-piece-length) tie-break; the oracle replays the
+    // piece table AND the DP as an unrolled per-position chain
+    "llm_unigram_tok" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val pieces = graft.llm.UnigramOps.train(docs, "text", umL,
+        umMinFrac.toDouble)
+        .select("piece", "logp").as[(String, Double)].collect().toMap
+      graft.llm.UnigramOps.encode(docs, "text", pieces, umL)
+        .select(col("doc_id"), col("um_n").as("n_pieces"),
+          round(col("um_logp"), 4).as("logp"), col("um_unk").as("n_unk"))
     }),
     // cross-source contamination matrix: distinct shared word 5-grams
     // and gram-set Jaccard for every source pair — the "which dumps
@@ -2434,6 +2453,77 @@ object SparkEntry {
            list_filter(string_split_regex(text, '\\s+'), q -> len(q) > 0),
            w -> len(${fold(bpeM)}))) AS INT) AS n_tok
        FROM documents, ${(1 to bpeM).map("b" + _).mkString(", ")}"""
+  }
+
+  private val umL = 4        // unigram-LM max piece length
+  private val umMinFrac = "0.05" // relative pruning threshold (chars exempt)
+  private val umMaxW = 12    // DP unroll depth ≥ max corpus word length
+
+  /** DuckDB replay of unigram-LM tokenization: the piece table (substring
+    * occurrence weights, pruned, ln-normalized over the kept mass) and the
+    * per-word Viterbi as an UNROLLED position chain a1..a{umMaxW} —
+    * position j's candidates come from the ≤umL predecessor tables, the
+    * winner by (score desc, last-piece length desc), exactly
+    * [[graft.llm.UnigramOps.viterbiWord]]'s tie rule. Words the inventory
+    * cannot segment (none here: single chars are exempt from pruning)
+    * would fall out of `wbest` and count as one UNK. */
+  private def unigramTokSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH w0 AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       q -> len(q) > 0)) AS w
+             FROM documents) GROUP BY w),
+         p0 AS (SELECT w, cnt, unnest(generate_series(1, length(w))) AS i
+                FROM w0),
+         p1 AS (SELECT w, cnt, i,
+                  unnest(generate_series(1,
+                    least($umL, length(w) - i + 1))) AS l
+                FROM p0),
+         pcw AS (SELECT substr(w, i, l) AS piece,
+                        CAST(sum(cnt) AS BIGINT) AS weight
+                 FROM p1 GROUP BY 1),
+         pc AS (SELECT * FROM pcw
+                WHERE weight >= $umMinFrac * (SELECT sum(cnt) FROM w0)
+                   OR length(piece) = 1),
+         tot AS (SELECT sum(weight) AS t FROM pc),
+         pieces AS MATERIALIZED (
+                    SELECT piece, ln(CAST(weight AS DOUBLE) / t) AS lp
+                    FROM pc CROSS JOIN tot),
+         a0 AS MATERIALIZED (
+                SELECT w, CAST(0 AS DOUBLE) AS best, 0 AS cnt FROM w0)""")
+    for (j <- 1 to umMaxW) {
+      val branches = (1 to math.min(umL, j)).map { l =>
+        s"""SELECT a.w, a.best + pc.lp AS s, a.cnt + 1 AS c, $l AS l
+            FROM a${j - l} a JOIN pieces pc
+              ON pc.piece = substr(a.w, ${j - l + 1}, $l)
+            WHERE length(a.w) >= $j"""
+      }.mkString(" UNION ALL ")
+      sb.append(s""",
+         c$j AS ($branches),
+         a$j AS MATERIALIZED (SELECT w, s AS best, c AS cnt FROM (
+             SELECT w, s, c, row_number() OVER (
+               PARTITION BY w ORDER BY s DESC, l DESC) AS rn FROM c$j)
+           WHERE rn = 1)""")
+    }
+    sb.append(s""",
+         wbest AS (${(1 to umMaxW).map(j =>
+           s"SELECT w, best, cnt FROM a$j WHERE length(w) = $j")
+           .mkString(" UNION ALL ")}),
+         dw AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\\s+'),
+                                     q -> len(q) > 0)) AS w
+                FROM documents),
+         per AS (SELECT dw.doc_id,
+                   sum(CASE WHEN b.w IS NULL THEN 1 ELSE b.cnt END) AS np,
+                   sum(CASE WHEN b.w IS NULL THEN 1 ELSE 0 END) AS nu,
+                   sum(CASE WHEN b.w IS NULL THEN 0.0 ELSE b.best END) AS lp
+                 FROM dw LEFT JOIN wbest b USING (w) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(p.np, 0) AS INT) AS n_pieces,
+                round(coalesce(p.lp, 0.0), 4) AS logp,
+                CAST(coalesce(p.nu, 0) AS INT) AS n_unk
+         FROM documents d LEFT JOIN per p USING (doc_id)""")
+    sb.toString
   }
 
   /** DuckDB replay of the per-language fertility rollup: the
@@ -4207,25 +4297,27 @@ object SparkEntry {
          SELECT p.anchor_id, p.pos_id, p.pos_cos, g.neg_id, g.neg_cos
          FROM p JOIN g ON g.anchor_id = p.anchor_id AND g.rk = 1
          WHERE p.rk = 1""",
-    // replays the FULL WordPiece pipeline: vocab (top-200 words + alpha
-    // chars, initial + '##' continuation), the per-(word,pos) longest
-    // match table, and the greedy walk as a recursive CTE (one step per
-    // emitted piece; a missing match collapses the word to one [UNK])
-    "llm_wordpiece" ->
-      """WITH RECURSIVE w0 AS (
-           SELECT w, count(*) AS cnt FROM (
-             SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
-                                       q -> length(q) > 0)) AS w
-             FROM documents) GROUP BY w),
+    // replays the FULL WordPiece pipeline: BPE training (shared unrolled
+    // CTE prefix) for the learned pieces, vocab assembly (top-12 words +
+    // merge tokens + top-word chars, initial and '##' forms), the
+    // per-(word,pos) longest match table, and the greedy walk as a
+    // recursive CTE (one step per emitted piece; a missing match
+    // collapses the word to one [UNK])
+    "llm_wordpiece" -> ("WITH RECURSIVE " +
+      bpeRoundsSql(bpeM).stripPrefix("WITH ") + s""",
          topw AS (SELECT w AS piece FROM w0 WHERE NOT starts_with(w, '##')
-                  ORDER BY cnt DESC, w LIMIT 200),
+                  ORDER BY cnt DESC, w LIMIT 12),
+         mp AS (${(1 to bpeM).map(k =>
+             s"SELECT l || r AS piece FROM b$k").mkString(" UNION ")}),
          ch AS (SELECT DISTINCT c AS piece FROM (
-                  SELECT unnest(string_split(w, '')) AS c FROM w0)
-                WHERE regexp_matches(c, '^[A-Za-z]$')),
+                  SELECT unnest(string_split(piece, '')) AS c FROM topw)
+                WHERE regexp_matches(c, '^[A-Za-z]$$')),
          vocab AS (SELECT piece FROM topw UNION
+                   SELECT piece FROM mp UNION
+                   SELECT '##' || piece FROM mp UNION
                    SELECT piece FROM ch UNION
                    SELECT '##' || piece FROM ch),
-         words AS (SELECT w FROM w0),
+         words AS (SELECT w FROM w0),""" + """
          poss AS (SELECT w, unnest(generate_series(1, length(w))) AS pos
                   FROM words),
          cand AS (SELECT w, pos,
@@ -4257,7 +4349,8 @@ object SparkEntry {
                  FROM dw JOIN wp USING (w) GROUP BY 1)
          SELECT d.doc_id, CAST(coalesce(r.nw, 0) AS INT) AS n_wp,
                 CAST(coalesce(r.nu, 0) AS INT) AS n_unk
-         FROM documents d LEFT JOIN res r USING (doc_id)""",
+         FROM documents d LEFT JOIN res r USING (doc_id)"""),
+    "llm_unigram_tok" -> unigramTokSql,
     // same distinct-gram sets per source; the md5 digesting matches the
     // Spark plan so counts agree digest-for-digest
     "llm_source_overlap" ->

@@ -135,17 +135,22 @@ object BpeOps {
     * `topWords` most frequent whitespace words as word-initial pieces
     * (ties broken by word asc, words already carrying the "##"
     * continuation marker excluded to keep the piece space unambiguous),
-    * plus every ALPHABETIC character as both an initial piece and a
-    * "##"-prefixed continuation piece. Non-alphabetic characters are
-    * deliberately absent, so any word containing one falls through to
-    * `[UNK]` — the whole-word-UNK semantics BERT uses.
+    * plus `extraPieces` (e.g. BPE-learned merge tokens — the vocab BERT
+    * actually ships was learned by a trainer and then greedy-matched) in
+    * both initial and "##" continuation form, plus single ALPHABETIC
+    * characters in both forms. With `fullCharCoverage` the characters
+    * come from the whole corpus (only non-alphabetic characters can
+    * `[UNK]`); without it they come from the top words alone — a CLOSED
+    * vocabulary where any word using an unseen character falls through
+    * to `[UNK]`, BERT's whole-word failure rule.
     *
     * Scale: the distinct-word table is corpus-derived (GBs at web
     * scale) but the top-k is a `TakeOrdered` (no full sort) and the
     * character set is alphabet-sized; the vocab that leaves the driver
-    * is `topWords + 2·|alphabet|` strings. */
-  def wordpieceVocab(df: DataFrame, textCol: String,
-      topWords: Int): Seq[String] = {
+    * is `topWords + |extraPieces| + 2·|alphabet|` strings. */
+  def wordpieceVocab(df: DataFrame, textCol: String, topWords: Int,
+      extraPieces: Seq[String] = Nil,
+      fullCharCoverage: Boolean = true): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     val words = df
@@ -155,10 +160,16 @@ object BpeOps {
     val top = words.filter(!col("w").startsWith("##"))
       .orderBy(col("cnt").desc, col("w")).limit(topWords)
       .select("w").as[String].collect().toSeq
-    val chars = words.select(explode(split(col("w"), "")).as("c"))
-      .filter(col("c").rlike("^[A-Za-z]$"))
-      .distinct().as[String].collect().toSeq
-    (top ++ chars ++ chars.map("##" + _)).distinct
+    val chars =
+      if (fullCharCoverage)
+        words.select(explode(split(col("w"), "")).as("c"))
+          .filter(col("c").rlike("^[A-Za-z]$"))
+          .distinct().orderBy("c").as[String].collect().toSeq
+      else top.flatMap(_.toSeq)
+        .filter(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+        .distinct.sorted.map(_.toString)
+    (top ++ extraPieces.flatMap(p => Seq(p, "##" + p)) ++
+      chars ++ chars.map("##" + _)).distinct
   }
 
   /** Tokenize with greedy longest-match-first against a broadcast piece

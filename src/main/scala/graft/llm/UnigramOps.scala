@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-language-model tokenization (Kudo 2018, the SentencePiece
+  * `unigram` algorithm family) — the third tokenizer next to
+  * [[BpeOps.train BPE]] and [[BpeOps.wordpieceEncode WordPiece]]. A piece
+  * inventory carries log-probabilities and a word is segmented by VITERBI:
+  * the piece sequence maximizing the sum of piece log-probs. Training here
+  * is the closed-form first M-step of Kudo's EM — substring-occurrence
+  * counts as the expected counts — which keeps the entire pipeline (piece
+  * table, normalization, and the per-word DP) exactly replayable in SQL;
+  * full EM iterations refine probabilities but do not change the
+  * machinery.
+  *
+  * 100 TB shape: the piece table derives from the DISTINCT-WORD table
+  * weighted by word frequency (one corpus shuffle, the [[BpeOps.train]]
+  * discipline); candidate generation is O(len·maxPieceLen) per distinct
+  * word. Inference broadcasts the pruned piece map and runs one codegen'd
+  * scan — per-word cost O(len·maxPieceLen) hash probes, flat in both
+  * corpus and vocabulary size.
+  */
+object UnigramOps {
+
+  /** Piece inventory: every substring of length 1..`maxPieceLen` of the
+    * corpus words, weighted by total occurrence count (each position of
+    * each word occurrence counts once), pruned to weight >= `minFrac` ×
+    * total word occurrences — a RELATIVE threshold, so the inventory is
+    * scale-invariant (the same corpus at 10× volume keeps the same
+    * pieces) — EXCEPT single characters, which are always kept so every
+    * training word stays segmentable. Log-probs normalize over the
+    * PRUNED table (the inventory is the model; pruned mass is simply not
+    * in it). Returns `(piece, weight, logp)` sorted by (weight desc,
+    * piece). */
+  def train(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      minFrac: Double = 0.0): DataFrame = {
+    val words = df
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val totWords = words.agg(sum("cnt")).head.getLong(0)
+    val pieces = words
+      .select(explode(piecesOf(col("w"), maxPieceLen)).as("piece"),
+        col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("weight"))
+      .filter(col("weight") >= lit(minFrac) * lit(totWords) ||
+        length(col("piece")) === 1)
+    val total = pieces.agg(sum("weight").as("t"))
+    pieces.crossJoin(broadcast(total))
+      .select(col("piece"), col("weight"),
+        log(col("weight").cast("double") / col("t")).as("logp"))
+      .orderBy(col("weight").desc, col("piece"))
+  }
+
+  /** All substrings of `w` with length 1..`maxPieceLen`, one entry per
+    * occurrence position (weights are occurrence counts, not distinct
+    * flags). */
+  private def piecesOf(w: org.apache.spark.sql.Column, maxPieceLen: Int) =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(sequence(lit(1),
+        least(lit(maxPieceLen), length(w) - i + lit(1))), l =>
+        w.substr(i, l))))
+
+  /** Viterbi-tokenize: per word the DP `best[j] = max_l best[j-l] +
+    * logp(w[j-l+1..j])`, ties on the score broken toward the LONGER last
+    * piece (deterministic, mirrored by the SQL replay's `ORDER BY s DESC,
+    * l DESC`). A word with a character absent from the piece map cannot
+    * be segmented and becomes one `[UNK]` with no score contribution.
+    * Adds `<as>_n` (piece count) and `<as>_logp` (summed log-prob, word
+    * folds left-to-right so the float addition order is deterministic). */
+  def encode(df: DataFrame, textCol: String,
+      pieces: Map[String, Double], maxPieceLen: Int,
+      as: String = "um"): DataFrame = {
+    val bP = df.sparkSession.sparkContext.broadcast(pieces)
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val p = bP.value
+        var n = 0
+        var lp = 0.0
+        var unk = 0
+        text.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+          viterbiWord(w, p, maxPieceLen) match {
+            case Some((cnt, score)) => n += cnt; lp += score
+            case None => n += 1; unk += 1
+          }
+        }
+        (n, lp, unk)
+      }
+    }
+    df.withColumn("__e", enc(col(textCol)))
+      .withColumn(s"${as}_n", col("__e._1"))
+      .withColumn(s"${as}_logp", col("__e._2"))
+      .withColumn(s"${as}_unk", col("__e._3"))
+      .drop("__e")
+  }
+
+  /** The per-word DP; `None` when no segmentation exists. Score
+    * comparisons use (score, lastPieceLen) lexicographic max so exact
+    * ties resolve identically to the SQL replay. */
+  def viterbiWord(w: String, pieces: Map[String, Double],
+      maxPieceLen: Int): Option[(Int, Double)] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bl = Array.fill(n + 1)(0) // winning last-piece length at j
+    val cnt = Array.fill(n + 1)(0)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        if (best(j - l) != Double.NegativeInfinity) {
+          pieces.get(w.substring(j - l, j)) match {
+            case Some(lp) =>
+              val s = best(j - l) + lp
+              if (s > best(j) || (s == best(j) && l > bl(j))) {
+                best(j) = s; bl(j) = l; cnt(j) = cnt(j - l) + 1
+              }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    if (best(n) == Double.NegativeInfinity) None
+    else Some((cnt(n), best(n)))
+  }
+}

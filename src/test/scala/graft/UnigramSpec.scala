@@ -1,0 +1,84 @@
+package graft
+
+import graft.llm.UnigramOps
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer vs brute-force segmentation enumeration and
+  * hand-checked piece tables. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  /** All segmentations of `w` into pieces from the map; returns each
+    * segmentation's (count, score). */
+  private def enumerate(w: String, p: Map[String, Double],
+      maxL: Int): Seq[(Int, Double)] = {
+    if (w.isEmpty) Seq((0, 0.0))
+    else (1 to math.min(maxL, w.length)).flatMap { l =>
+      p.get(w.take(l)).toSeq.flatMap { lp =>
+        enumerate(w.drop(l), p, maxL).map { case (c, s) => (c + 1, lp + s) }
+      }
+    }
+  }
+
+  test("viterbiWord matches the brute-force optimum on every corpus word") {
+    val pieces = UnigramOps.train(docs, "text", maxPieceLen = 4)
+      .select("piece", "logp").as[(String, Double)].collect().toMap
+    val words = docs.select("text").as[String].collect()
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val all = enumerate(w, pieces, 4)
+      val got = UnigramOps.viterbiWord(w, pieces, 4)
+      assert(all.nonEmpty == got.isDefined, s"word $w segmentability")
+      got.foreach { case (cnt, score) =>
+        val bestScore = all.map(_._2).max
+        assert(math.abs(score - bestScore) < 1e-12, s"word $w score")
+        val optCnts = all.filter(_._2 >= bestScore - 1e-12).map(_._1).toSet
+        assert(optCnts.contains(cnt), s"word $w count $cnt not optimal")
+      }
+    }
+  }
+
+  test("train: hand-checked weights and normalization") {
+    val df = Seq("ab ab b").toDF("text")
+    val got = UnigramOps.train(df, "text", maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // ab×2 contributes a:2 ab:2 b:2; b×1 contributes b:1 → total 7
+    assert(got.keySet == Set("a", "ab", "b"))
+    assert(got("a")._1 == 2L && got("ab")._1 == 2L && got("b")._1 == 3L)
+    assert(math.abs(got("ab")._2 - math.log(2.0 / 7)) < 1e-15)
+    // single-piece segmentation beats per-char (one ln factor vs two)
+    val p = got.map { case (k, (_, lp)) => k -> lp }
+    assert(UnigramOps.viterbiWord("ab", p, 4).get._1 == 1)
+  }
+
+  test("relative pruning makes the inventory scale-invariant") {
+    val small = docs
+    val big = small.union(small).union(small) // 3x volume
+    def inv(df: org.apache.spark.sql.DataFrame) =
+      UnigramOps.train(df, "text", maxPieceLen = 4, minFrac = 0.05)
+        .select("piece", "logp").as[(String, Double)].collect().toMap
+    val a = inv(small); val b = inv(big)
+    assert(a.keySet == b.keySet, "same pieces at 3x the data")
+    a.foreach { case (k, lp) =>
+      assert(math.abs(lp - b(k)) < 1e-12, s"piece $k logp drifts")
+    }
+    assert(a.nonEmpty)
+  }
+
+  test("encode: unsegmentable word becomes one UNK with no score") {
+    val df = Seq((1L, "ab xq"), (2L, "")).toDF("id", "text")
+    val p = Map("a" -> -1.0, "b" -> -2.0, "ab" -> -2.5)
+    val got = UnigramOps.encode(df, "text", p, 4)
+      .select("id", "um_n", "um_logp", "um_unk")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getInt(3)))).toMap
+    // "ab" → [ab] (-2.5 beats -3.0); "xq" → UNK
+    assert(got(1L) == ((2, -2.5, 1)))
+    assert(got(2L) == ((0, 0.0, 0)))
+  }
+}
