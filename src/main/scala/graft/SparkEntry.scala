@@ -1875,6 +1875,18 @@ object SparkEntry {
         .select(col("doc_id"), col("um_n").as("n_pieces"),
           round(col("um_logp"), 4).as("logp"), col("um_unk").as("n_unk"))
     }),
+    // sketch-quantile contract: the mergeable GK sketch is the 100 TB
+    // path for distribution stats (no global sort); the oracle
+    // recomputes the exact interpolated percentiles and expects every
+    // rank-bound flag true, so a sketch regression fails the hash
+    // compare (the Bloom-superset pattern)
+    "llm_len_quantiles" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents").select(
+        TextOps.tokenCount(col("text")).cast("double").as("n_tok"))
+      CorpusOps.quantileSketchCheck(docs, "n_tok",
+        Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99), 1000)
+    }),
     // cross-source contamination matrix: distinct shared word 5-grams
     // and gram-set Jaccard for every source pair — the "which dumps
     // duplicate each other" table behind mixture-weight decisions;
@@ -4351,6 +4363,21 @@ object SparkEntry {
                 CAST(coalesce(r.nu, 0) AS INT) AS n_unk
          FROM documents d LEFT JOIN res r USING (doc_id)"""),
     "llm_unigram_tok" -> unigramTokSql,
+    // exact side recomputed; within_bound is the Spark-side contract —
+    // the oracle hard-codes TRUE, so a GK-sketch rank-bound violation
+    // flips the bit and fails the compare
+    "llm_len_quantiles" -> {
+      val qs = Seq("0.01", "0.1", "0.25", "0.5", "0.75", "0.9", "0.99")
+      """WITH t AS (
+           SELECT CAST(len(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    q -> length(q) > 0)) AS DOUBLE) AS n_tok
+           FROM documents)
+         """ + qs.map(q =>
+        s"""SELECT CAST($q AS DOUBLE) AS q,
+               round(quantile_cont(n_tok, $q), 6) AS exact,
+               TRUE AS within_bound FROM t""").mkString(" UNION ALL ")
+    },
     // same distinct-gram sets per source; the md5 digesting matches the
     // Spark plan so counts agree digest-for-digest
     "llm_source_overlap" ->

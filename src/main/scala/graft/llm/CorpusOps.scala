@@ -941,6 +941,54 @@ object CorpusOps {
       .agg(count(lit(1)).as("p"),
         round(avg(col("tp").cast(DoubleType) / col("rank")), 6).as("ap"))
 
+  /** Sketch-quantile contract (dataset-card scale path): corpus
+    * distribution stats at 100 TB cannot afford the exact percentile's
+    * global sort, so the production path is the one-pass MERGEABLE
+    * Greenwald-Khanna sketch (`percentile_approx`, map-side partial +
+    * driver merge, rank error ≤ n/`accuracy`). This emits one row per
+    * requested quantile: `(q, exact, within_bound)` — `exact` from the
+    * interpolated percentile (affordable only at test scale, which is
+    * exactly why it is the ORACLE side), `within_bound` = the sketch
+    * value's true rank distance to q·n stays inside the GK guarantee.
+    * The sketch value itself is engine-internal and deliberately NOT a
+    * column: the oracle recomputes `exact` and expects every bound flag
+    * true, so a sketch regression flips a bit and fails the hash compare
+    * (the [[bloomSupersetCheck]] pattern). Two passes over the column:
+    * the sketch+exact aggregate, then one rank-count pass for the
+    * flags — both shuffle a single aggregation row. */
+  def quantileSketchCheck(df: DataFrame, valueCol: String,
+      qs: Seq[Double], accuracy: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    val v = col(valueCol).cast(DoubleType)
+    val row = df.agg(
+      percentile_approx(v, array(qs.map(lit): _*), lit(accuracy))
+        .as("approx"),
+      expr(s"percentile($valueCol, array(${qs.mkString(",")}))")
+        .as("exact"),
+      count(v).as("n")).head()
+    val approx = row.getSeq[Double](0)
+    val exact = row.getSeq[Double](1)
+    val n = row.getLong(2)
+    // one pass: each sketch value's rank interval [count(<v)+1, count(<=v)]
+    val rankCols = approx.indices.flatMap { i =>
+      Seq(sum(when(v <= approx(i), 1L).otherwise(0L)).as(s"le$i"),
+        sum(when(v < approx(i), 1L).otherwise(0L)).as(s"lt$i"))
+    }
+    val ranks = df.agg(rankCols.head, rankCols.tail: _*).head()
+    val eps = n.toDouble / accuracy
+    import spark.implicits._
+    qs.indices.map { i =>
+      // GK guarantee: the returned element occupies SOME rank within
+      // eps·n of q·n — i.e. its rank interval intersects
+      // [q·n − eps, q·n + eps]
+      val le = ranks.getLong(2 * i)
+      val lt = ranks.getLong(2 * i + 1)
+      val target = qs(i) * n
+      (qs(i), math.round(exact(i) * 1e6) / 1e6,
+        lt + 1 <= target + eps + 1e-9 && le >= target - eps - 1e-9)
+    }.toDF("q", "exact", "within_bound")
+  }
+
   /** Cross-source contamination matrix (a dataset-card diagnostic): for
     * every unordered source pair, the number of distinct word `n`-grams
     * the two sources share and the resulting gram-set Jaccard — the

@@ -622,6 +622,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketchCheck: exact percentiles hand-checked, bounds hold") {
+    val df = (1L to 100L).toDF("v").select($"v".cast("double").as("v"))
+    val got = CorpusOps.quantileSketchCheck(df, "v", Seq(0.25, 0.5, 0.9), 100)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // type-7 interpolation on 1..100: (n-1)*q + 1
+    assert(got(0.25) == ((25.75, true)))
+    assert(got(0.5) == ((50.5, true)))
+    assert(got(0.9) == ((90.1, true)))
+  }
+
+  test("quantileSketchCheck: loose accuracy still inside the GK bound") {
+    val df = (1L to 1000L).toDF("v").select($"v".cast("double").as("v"))
+    val got = CorpusOps.quantileSketchCheck(df, "v",
+      Seq(0.01, 0.5, 0.99), 20) // eps = n/20 = 50 ranks
+    assert(got.collect().forall(_.getBoolean(2)),
+      "sketch must honor its own accuracy guarantee")
+  }
+
   test("sourceOverlap: hand-counted shared grams, zero pairs kept, jaccard") {
     // bigrams — A: {a b, b c, c d}; B: {a b, b c, x y}; C: {p q}
     val df = Seq(
