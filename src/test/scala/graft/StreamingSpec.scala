@@ -590,4 +590,33 @@ class StreamingSpec extends SparkSpec {
     // 2 collapses into 1 (normalization), 3 gated, 4 deduped across batches
     assert(kept == Seq(1L, 5L), s"kept=$kept")
   }
+
+  test("tokenizers run natively on a stream: broadcast vocab, no state") {
+    // wordpiece + unigram encode are broadcast-map scans — attaching
+    // them to an unbounded DataFrame needs no state store and no
+    // output-mode change; per-batch results match the batch encoders.
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Seq("the", "fox", "dog", "##o", "##x", "##g", "f", "d",
+      "t", "##h", "##e", "o")
+    val pieces = Map("t" -> -1.0, "th" -> -0.5, "he" -> -0.7, "e" -> -1.2,
+      "h" -> -1.5, "fox" -> -0.3, "f" -> -2.0, "o" -> -1.0, "x" -> -2.0)
+    val input = MemoryStream[(Long, String)]
+    val enc = graft.llm.UnigramOps.encode(
+      graft.llm.BpeOps.wordpieceEncode(input.toDF().toDF("doc_id", "text"),
+        "text", vocab), "text", pieces, 3)
+      .select(col("doc_id"), col("wp"), col("um_n"), col("um_unk"))
+    val q = enc.writeStream.format("memory").queryName("t_tok")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the fox"), (2L, "zzz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_tok").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getInt(2),
+        r.getInt(3)))).toMap
+    assert(got(1L)._1 == Seq("the", "fox"))
+    assert(got(1L)._2 == 3 && got(1L)._3 == 0) // [th][e] (2) + [fox] (1)
+    assert(got(2L)._1 == Seq("[UNK]"))
+    assert(got(2L)._3 == 1, "unigram UNKs the un-covered word")
+  }
 }

@@ -70,6 +70,32 @@ class UnigramSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("viterbiWord matches brute force on random words over a random inventory") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abcd"
+    (0 until 300).foreach { i =>
+      // random piece inventory: some chars missing on purpose so the
+      // None path is exercised; random (distinct) log-weights
+      val pieces = (for {
+        l <- 1 to 3
+        _ <- 1 to 4
+      } yield (1 to l).map(_ => alphabet(rnd.nextInt(4))).mkString)
+        .distinct.filter(_ => rnd.nextInt(3) > 0)
+        .map(p => p -> -(1.0 + rnd.nextDouble() * 4)).toMap
+      val w = (1 to (1 + rnd.nextInt(7)))
+        .map(_ => alphabet(rnd.nextInt(4))).mkString
+      val all = enumerate(w, pieces, 3)
+      val got = UnigramOps.viterbiWord(w, pieces, 3)
+      assert(all.nonEmpty == got.isDefined, s"#$i word $w segmentability")
+      got.foreach { case (cnt, score) =>
+        val bestScore = all.map(_._2).max
+        assert(math.abs(score - bestScore) < 1e-12, s"#$i word $w score")
+        assert(all.filter(_._2 >= bestScore - 1e-12).map(_._1)
+          .contains(cnt), s"#$i word $w count")
+      }
+    }
+  }
+
   test("encode: unsegmentable word becomes one UNK with no score") {
     val df = Seq((1L, "ab xq"), (2L, "")).toDF("id", "text")
     val p = Map("a" -> -1.0, "b" -> -2.0, "ab" -> -2.5)
