@@ -214,6 +214,28 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
         {"$$project": {"_id": 1, $proj}}"""
   }
 
+  /** $fill: locf (b/a carry genuine nulls) or value fill, over the
+    * deterministic _id order; optional partitionBy "$s" exercises the
+    * null/missing partition-key parity. */
+  private def fillStage(): String = {
+    val part = pick(Seq("", s""""partitionBy": "$$s", """))
+    val out = pick(Seq(
+      """"b": {"method": "locf"}""",
+      """"b": {"method": "locf"}, "a": {"method": "locf"}""",
+      s""""a": {"value": ${numExpr(1, arrOk = false)}}"""))
+    s"""{"$$fill": {$part"sortBy": {"_id": 1}, "output": {$out}}},
+        {"$$project": {"_id": 1, "a": 1, "b": 1}}"""
+  }
+
+  /** $densify on the integer field, full-range bounds; generated docs
+    * contain ONLY the densified field, originals pass through. */
+  private def densifyStage(): String = {
+    val step = 1 + rnd.nextInt(2)
+    s"""{"$$densify": {"field": "a",
+          "range": {"step": $step, "bounds": "full"}}},
+        {"$$project": {"_id": 1, "a": 1}}"""
+  }
+
   /** $facet with order-deterministic sub-pipelines (sorted or
     * input-order-preserving over the coalesce(1) input). */
   private def facetStage(): String = {
@@ -272,12 +294,14 @@ class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
   private def genCatPipeline(): String = {
     val stages = scala.collection.mutable.ArrayBuffer[String]()
     if (rnd.nextBoolean()) stages += matchStage()
-    rnd.nextInt(5) match {
+    rnd.nextInt(7) match {
       case 0 => stages += lookupFieldStage()
       case 1 => stages += lookupPipeStage()
       case 2 => stages += graphLookupStage()
       case 3 => stages += setWindowFieldsStage()
       case 4 => stages += facetStage()
+      case 5 => stages += fillStage()
+      case 6 => stages += densifyStage()
     }
     stages.mkString("[", ", ", "]")
   }
