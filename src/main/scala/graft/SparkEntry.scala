@@ -1875,6 +1875,22 @@ object SparkEntry {
         .select(col("doc_id"), col("um_n").as("n_pieces"),
           round(col("um_logp"), 4).as("logp"), col("um_unk").as("n_unk"))
     }),
+    // one REAL EM round for the unigram LM (Kudo 2018 E+M steps):
+    // forward-backward expected piece counts over every word's
+    // segmentation lattice, renormalized — the oracle replays both
+    // lattices as unrolled sum-product CTE chains with the identical
+    // term order
+    "llm_unigram_em" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val pw = graft.llm.UnigramOps.train(docs, "text", umL,
+        umMinFrac.toDouble)
+        .select("piece", "weight").as[(String, Long)].collect()
+      val tw = pw.map(_._2).sum
+      val probs = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
+      graft.llm.UnigramOps.emRound(docs, "text", probs, umL)
+    }),
     // sketch-quantile contract: the mergeable GK sketch is the 100 TB
     // path for distribution stats (no global sort); the oracle
     // recomputes the exact interpolated percentiles and expects every
@@ -2479,9 +2495,10 @@ object SparkEntry {
     * [[graft.llm.UnigramOps.viterbiWord]]'s tie rule. Words the inventory
     * cannot segment (none here: single chars are exempt from pruning)
     * would fall out of `wbest` and count as one UNK. */
-  private def unigramTokSql: String = {
-    val sb = new StringBuilder(
-      s"""WITH w0 AS MATERIALIZED (
+  /** Shared CTE prefix for the unigram-LM oracles: distinct words,
+    * substring enumeration, the pruned piece table and its total mass. */
+  private def unigramBaseSql: String =
+    s"""w0 AS MATERIALIZED (
            SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
              SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
                                        q -> len(q) > 0)) AS w
@@ -2498,7 +2515,11 @@ object SparkEntry {
          pc AS (SELECT * FROM pcw
                 WHERE weight >= $umMinFrac * (SELECT sum(cnt) FROM w0)
                    OR length(piece) = 1),
-         tot AS (SELECT sum(weight) AS t FROM pc),
+         tot AS (SELECT sum(weight) AS t FROM pc)"""
+
+  private def unigramTokSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH $unigramBaseSql,
          pieces AS MATERIALIZED (
                     SELECT piece, ln(CAST(weight AS DOUBLE) / t) AS lp
                     FROM pc CROSS JOIN tot),
@@ -2535,6 +2556,68 @@ object SparkEntry {
                 round(coalesce(p.lp, 0.0), 4) AS logp,
                 CAST(coalesce(p.nu, 0) AS INT) AS n_unk
          FROM documents d LEFT JOIN per p USING (doc_id)""")
+    sb.toString
+  }
+
+  /** DuckDB replay of one unigram-LM EM round: forward (al*) and
+    * backward (g*, indexed by chars-remaining) sum-product lattices as
+    * unrolled CTE chains whose per-position sums add candidate terms in
+    * ascending piece-length order with left-assoc float addition —
+    * exactly [[graft.llm.UnigramOps.wordExpectedCounts]] — then the
+    * per-occurrence expected counts ((α·p)·β)/Z aggregated per piece and
+    * renormalized. */
+  private def unigramEmSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH $unigramBaseSql,
+         pieces AS MATERIALIZED (
+                    SELECT piece, CAST(weight AS DOUBLE) / t AS pr
+                    FROM pc CROSS JOIN tot),
+         al0 AS MATERIALIZED (SELECT w, CAST(1 AS DOUBLE) AS v FROM w0),
+         g0 AS MATERIALIZED (SELECT w, CAST(1 AS DOUBLE) AS v FROM w0)""")
+    for (j <- 1 to umMaxW) {
+      val ls = 1 to math.min(umL, j)
+      val alX = ls.map { l =>
+        s"""LEFT JOIN (SELECT a.w, a.v * pc.pr AS v FROM al${j - l} a
+              JOIN pieces pc ON pc.piece = substr(a.w, ${j - l + 1}, $l)
+              WHERE length(a.w) >= $j) x$l USING (w)"""
+      }.mkString("\n            ")
+      val alSum = ls.map(l => s"COALESCE(x$l.v, 0)").mkString(" + ")
+      val gY = ls.map { l =>
+        s"""LEFT JOIN (SELECT g.w, pc.pr * g.v AS v FROM g${j - l} g
+              JOIN pieces pc
+                ON pc.piece = substr(g.w, length(g.w) - $j + 1, $l)
+              WHERE length(g.w) >= $j) y$l USING (w)"""
+      }.mkString("\n            ")
+      val gSum = ls.map(l => s"COALESCE(y$l.v, 0)").mkString(" + ")
+      sb.append(s""",
+         al$j AS MATERIALIZED (
+            SELECT b.w, $alSum AS v
+            FROM (SELECT w FROM w0 WHERE length(w) >= $j) b
+            $alX),
+         g$j AS MATERIALIZED (
+            SELECT b.w, $gSum AS v
+            FROM (SELECT w FROM w0 WHERE length(w) >= $j) b
+            $gY)""")
+    }
+    sb.append(s""",
+         alphaT AS (${(0 to umMaxW).map(j =>
+           s"SELECT w, $j AS pos, v FROM al$j").mkString(" UNION ALL ")}),
+         gammaT AS (${(0 to umMaxW).map(j =>
+           s"SELECT w, $j AS pos, v FROM g$j").mkString(" UNION ALL ")}),
+         zT AS (SELECT w, v FROM alphaT WHERE pos = length(w)),
+         ec AS (SELECT pc.piece,
+                  sum(p1.cnt * (((aT.v * pc.pr) * gT.v) / z.v)) AS ec
+                FROM p1
+                JOIN pieces pc ON pc.piece = substr(p1.w, p1.i, p1.l)
+                JOIN alphaT aT ON aT.w = p1.w AND aT.pos = p1.i - 1
+                JOIN gammaT gT ON gT.w = p1.w
+                  AND gT.pos = length(p1.w) - p1.i - p1.l + 1
+                JOIN zT z ON z.w = p1.w AND z.v > 0
+                GROUP BY 1),
+         tote AS (SELECT sum(ec) AS t FROM ec)
+         SELECT piece, round(ec, 6) AS e_count,
+                round(ln(ec / t), 6) AS logp_new
+         FROM ec CROSS JOIN tote""")
     sb.toString
   }
 
@@ -4363,6 +4446,7 @@ object SparkEntry {
                 CAST(coalesce(r.nu, 0) AS INT) AS n_unk
          FROM documents d LEFT JOIN res r USING (doc_id)"""),
     "llm_unigram_tok" -> unigramTokSql,
+    "llm_unigram_em" -> unigramEmSql,
     // exact side recomputed; within_bound is the Spark-side contract —
     // the oracle hard-codes TRUE, so a GK-sketch rank-bound violation
     // flips the bit and fails the compare

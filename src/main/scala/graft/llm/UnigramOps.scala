@@ -96,6 +96,100 @@ object UnigramOps {
       .drop("__e")
   }
 
+  /** One full EM round (Kudo 2018 §3.2): E-step = forward-backward over
+    * every word's segmentation lattice (expected count of each piece
+    * occurrence = α(before)·p·β(after)/Z, words weighted by corpus
+    * frequency), M-step = renormalize expected counts into new piece
+    * probabilities. `probs` must be the probability map the piece table
+    * defines (weight/total — pass the exact rationals, not exp(logp),
+    * so the SQL replay computes bit-identical terms). Returns
+    * `(piece, e_count, logp_new)` with both doubles rounded to 6.
+    *
+    * 100 TB shape: the lattice runs per DISTINCT word (the one corpus
+    * shuffle already paid by [[train]]); each word costs
+    * O(len·maxPieceLen) multiply-adds, and the only further shuffle is
+    * the piece-keyed expected-count aggregation. The α/β recursions add
+    * candidate terms in ascending piece-length order with left-assoc
+    * float addition — the exact order the oracle's unrolled CTE chain
+    * replays. */
+  def emRound(df: DataFrame, textCol: String,
+      probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bP = spark.sparkContext.broadcast(probs)
+    val words = df
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    val contrib = words.flatMap { case (w, cnt) =>
+      wordExpectedCounts(w, bP.value, maxPieceLen)
+        .map { case (piece, e) => (piece, cnt * e) }
+    }.toDF("piece", "e")
+    val ec = contrib.groupBy("piece").agg(sum("e").as("ec"))
+    val tot = ec.agg(sum("ec").as("t"))
+    ec.crossJoin(broadcast(tot))
+      .select(col("piece"), round(col("ec"), 6).as("e_count"),
+        round(log(col("ec") / col("t")), 6).as("logp_new"))
+  }
+
+  /** Forward-backward expected piece counts for one word; empty when the
+    * word has no segmentation. α/β sums add candidates in ascending
+    * piece-length order (absent pieces contribute exact 0.0, matching
+    * the SQL COALESCE). */
+  def wordExpectedCounts(w: String, probs: Map[String, Double],
+      maxPieceLen: Int): Seq[(String, Double)] = {
+    val n = w.length
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var acc = 0.0
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        probs.get(w.substring(j - l, j)) match {
+          case Some(p) => acc += alpha(j - l) * p
+          case None =>
+        }
+        l += 1
+      }
+      alpha(j) = acc
+      j += 1
+    }
+    val z = alpha(n)
+    if (z <= 0.0) return Seq.empty
+    beta(n) = 1.0
+    var k = n - 1
+    while (k >= 0) {
+      var acc = 0.0
+      var l = 1
+      while (l <= math.min(maxPieceLen, n - k)) {
+        probs.get(w.substring(k, k + l)) match {
+          case Some(p) => acc += p * beta(k + l)
+          case None =>
+        }
+        l += 1
+      }
+      beta(k) = acc
+      k -= 1
+    }
+    val out = Seq.newBuilder[(String, Double)]
+    var i = 0
+    while (i < n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, n - i)) {
+        val piece = w.substring(i, i + l)
+        probs.get(piece).foreach { p =>
+          out += piece -> (alpha(i) * p * beta(i + l) / z)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** The per-word DP; `None` when no segmentation exists. Score
     * comparisons use (score, lastPieceLen) lexicographic max so exact
     * ties resolve identically to the SQL replay. */

@@ -96,6 +96,45 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("emRound: hand-computed forward-backward expected counts") {
+    // corpus "ab ab b": pieces a(2/7) ab(2/7) b(3/7)
+    // word "ab": Z = p(ab) + p(a)p(b) = 2/7 + 6/49 = 20/49
+    //   E[ab] = p(ab)/Z = 0.7; E[a] = E[b] = p(a)p(b)/Z = 0.3
+    // word "b": E[b] = 1
+    // weighted: ab: 2·0.7 = 1.4; a: 2·0.3 = 0.6; b: 2·0.3 + 1 = 1.6
+    val df = Seq("ab ab b").toDF("text")
+    val probs = Map("a" -> 2.0 / 7, "ab" -> 2.0 / 7, "b" -> 3.0 / 7)
+    val got = UnigramOps.emRound(df, "text", probs, 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("a", "ab", "b"))
+    assert(math.abs(got("ab")._1 - 1.4) < 1e-9)
+    assert(math.abs(got("a")._1 - 0.6) < 1e-9)
+    assert(math.abs(got("b")._1 - 1.6) < 1e-9)
+    // M-step renormalizes over 3.6 total expected mass
+    assert(math.abs(got("b")._2 -
+      math.floor(math.log(1.6 / 3.6) * 1e6) / 1e6) < 2e-6)
+  }
+
+  test("emRound: expected piece mass per word sums to expected piece count") {
+    // invariant: for each word, sum over occurrences of E equals the
+    // posterior-expected segmentation length (between 1 and len)
+    val pieces = UnigramOps.train(docs, "text", maxPieceLen = 4)
+      .select("piece", "weight").as[(String, Long)].collect()
+    val tw = pieces.map(_._2).sum
+    val probs = pieces.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
+    val words = docs.select("text").as[String].collect()
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+    words.foreach { w =>
+      val e = UnigramOps.wordExpectedCounts(w, probs, 4)
+      val mass = e.map(_._2).sum
+      assert(mass >= 1.0 - 1e-9 && mass <= w.length + 1e-9, s"word $w: $mass")
+      e.foreach { case (p, v) =>
+        assert(v >= -1e-15 && v <= w.length + 1e-9, s"$w/$p")
+      }
+    }
+  }
+
   test("encode: unsegmentable word becomes one UNK with no score") {
     val df = Seq((1L, "ab xq"), (2L, "")).toDF("id", "text")
     val p = Map("a" -> -1.0, "b" -> -2.0, "ab" -> -2.5)
