@@ -1110,6 +1110,28 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     }),
+    // langid confusion matrix vs the labeled lang column: counts + the
+    // per-true-lang fraction — two tiny-key aggregates after the
+    // shuffle-free prediction scan
+    "llm_langid_confusion" -> ((s, dir) => {
+      tune(s)
+      val pred = t(s, dir, "documents").select(col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      val m = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      val tot = m.groupBy("lang").agg(sum("n").as("__t"))
+      m.join(broadcast(tot), "lang").select(col("lang"), col("lang_pred"),
+        col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("frac"))
+    }),
+    // MinHash LSH band planner: for every (bands, rows) factorization of
+    // the signature size, the false-positive/false-negative areas of the
+    // S-curve 1-(1-s^r)^b around the target threshold (midpoint Riemann
+    // sum, fixed grid) — pure driver-side math (it PLANS the dedup job);
+    // the oracle recomputes the whole sweep
+    "llm_lsh_band_plan" -> ((s, dir) => {
+      tune(s)
+      graft.llm.DedupOps.lshBandPlan(s, nPerms = 128, threshold = 0.7)
+    }),
     // surgical span-level decontamination (PaLM-style): erase exactly the
     // benchmark-overlapping 8-gram windows, keep the rest of the doc; the
     // pseudo-eval-suite is the doc_id%41 slice, so its members strip to
@@ -2495,6 +2517,32 @@ object SparkEntry {
     * [[graft.llm.UnigramOps.viterbiWord]]'s tie rule. Words the inventory
     * cannot segment (none here: single chars are exempt from pruning)
     * would fall out of `wbest` and count as one UNK. */
+  /** Shared langid replay: stopword votes per language, argmax with the
+    * fixed de/en/es/fr/it precedence, 'und' when no list hits. */
+  private def langidPredSql: String =
+    """WITH scored AS (
+         SELECT doc_id,
+           list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          t -> length(t) > 0), t -> lower(t)) AS toks
+         FROM documents),
+       s2 AS (
+         SELECT doc_id,
+           CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','zu','den'], t))) AS INT) AS s_de,
+           CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS INT) AS s_en,
+           CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','y','de','que','es','un','para'], t))) AS INT) AS s_es,
+           CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','de','un','une','est','que','pour'], t))) AS INT) AS s_fr,
+           CAST(len(list_filter(toks, t -> list_contains(['il','la','che','di','e','un','una','per','non','sono'], t))) AS INT) AS s_it
+         FROM scored),
+       pred AS (
+         SELECT doc_id,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'de'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'en'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'es'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'fr'
+                ELSE 'it' END AS lang_pred
+         FROM s2)"""
+
   /** Shared CTE prefix for the unigram-LM oracles: distinct words,
     * substring enumeration, the pruned piece table and its total mass. */
   private def unigramBaseSql: String =
@@ -4050,28 +4098,17 @@ object SparkEntry {
                 round(ur, 6) AS upper_ratio, round(dr, 6) AS digit_ratio,
                 round(sr, 6) AS stopword_ratio, round(q, 6) AS quality
          FROM f"""),
-    "llm_langid" ->
-      """WITH scored AS (
-           SELECT doc_id,
-             list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
-                            t -> length(t) > 0), t -> lower(t)) AS toks
-           FROM documents),
-         s2 AS (
-           SELECT doc_id,
-             CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','zu','den'], t))) AS INT) AS s_de,
-             CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS INT) AS s_en,
-             CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','y','de','que','es','un','para'], t))) AS INT) AS s_es,
-             CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','de','un','une','est','que','pour'], t))) AS INT) AS s_fr,
-             CAST(len(list_filter(toks, t -> list_contains(['il','la','che','di','e','un','una','per','non','sono'], t))) AS INT) AS s_it
-           FROM scored)
-         SELECT doc_id,
-           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_it) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'de'
-                WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'en'
-                WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'es'
-                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_it) THEN 'fr'
-                ELSE 'it' END AS lang_pred
-         FROM s2""",
+    "llm_langid" -> (langidPredSql + " SELECT doc_id, lang_pred FROM pred"),
+    // confusion matrix of the n-gram langid vs the labeled lang column —
+    // the per-dataset-card classifier-eval table; prediction CTEs shared
+    // with llm_langid
+    "llm_langid_confusion" -> (langidPredSql + """,
+         m AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+               FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+         tt AS (SELECT lang, sum(n) AS t FROM m GROUP BY 1)
+         SELECT m.lang, m.lang_pred, m.n,
+                round(CAST(m.n AS DOUBLE) / tt.t, 6) AS frac
+         FROM m JOIN tt USING (lang)"""),
     "llm_repetition" ->
       """WITH w AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -4447,6 +4484,30 @@ object SparkEntry {
          FROM documents d LEFT JOIN res r USING (doc_id)"""),
     "llm_unigram_tok" -> unigramTokSql,
     "llm_unigram_em" -> unigramEmSql,
+    // recomputes the whole S-curve sweep: same grid, same term order
+    // inside each factorization, argmin re-derived from unrounded sums
+    "llm_lsh_band_plan" ->
+      """WITH params AS (
+           SELECT CAST(b AS INT) AS b, CAST(128 // b AS INT) AS r
+           FROM (SELECT unnest(generate_series(1, 128)) AS b)
+           WHERE 128 % b = 0),
+         grid AS (SELECT b, r, (k + 0.5) / 1000.0 AS s
+                  FROM params,
+                       (SELECT unnest(generate_series(0, 999)) AS k)),
+         m AS (SELECT b, r,
+                 sum(CASE WHEN s < 0.7
+                     THEN (1 - power(1 - power(s, r), b)) / 1000.0
+                     ELSE 0 END) AS fp,
+                 sum(CASE WHEN s >= 0.7
+                     THEN power(1 - power(s, r), b) / 1000.0
+                     ELSE 0 END) AS fn
+               FROM grid GROUP BY 1, 2),
+         best AS (SELECT b FROM m ORDER BY fp + fn, b LIMIT 1)
+         SELECT m.b, m.r, round(m.fp, 6) AS fp_area,
+                round(m.fn, 6) AS fn_area,
+                round(m.fp + m.fn, 6) AS total_err,
+                m.b = best.b AS chosen
+         FROM m, best""",
     // exact side recomputed; within_bound is the Spark-side contract —
     // the oracle hard-codes TRUE, so a GK-sketch rank-bound violation
     // flips the bit and fails the compare

@@ -569,4 +569,35 @@ object DedupOps {
         when(col("__cov").isNull, lit(0)).otherwise(size(col("__cov")))
           .as("n_removed"))
   }
+
+  /** MinHash LSH band planner (Leskovec/Rajaraman/Ullman §3.4.3): for
+    * every `(b, r)` with `b·r = nPerms`, the S-curve `1-(1-s^r)^b` gives
+    * the candidate-pair probability at Jaccard `s`; the planner scores
+    * each factorization by the false-positive area below `threshold` and
+    * the false-negative area above it (midpoint Riemann sum on a fixed
+    * `steps` grid — the arithmetic both engines replay literally) and
+    * flags the minimum-total-error row. Pure driver-side math: this
+    * PLANS the banding for [[minHashNearDups]], it never touches data. */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession, nPerms: Int,
+      threshold: Double, steps: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val rows = (1 to nPerms).filter(nPerms % _ == 0).map { b =>
+      val r = nPerms / b
+      var fp = 0.0
+      var fn = 0.0
+      var k = 0
+      while (k < steps) {
+        val s = (k + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p / steps else fn += (1.0 - p) / steps
+        k += 1
+      }
+      (b, r, fp, fn)
+    }
+    val bestB = rows.minBy { case (b, _, fp, fn) => (fp + fn, b) }._1
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    rows.map { case (b, r, fp, fn) =>
+      (b, r, r6(fp), r6(fn), r6(fp + fn), b == bestB)
+    }.toDF("b", "r", "fp_area", "fn_area", "total_err", "chosen")
+  }
 }

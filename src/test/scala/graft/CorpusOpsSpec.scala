@@ -622,6 +622,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("lshBandPlan: factorizations, S-curve monotonicity, one chosen row") {
+    val plan = graft.llm.DedupOps.lshBandPlan(spark, 16, 0.5)
+      .orderBy("b").collect()
+    assert(plan.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
+    plan.foreach(r => assert(r.getInt(0) * r.getInt(1) == 16))
+    assert(plan.count(_.getBoolean(5)) == 1, "exactly one chosen")
+    // more bands shifts the S-curve left: fp grows, fn shrinks, in b
+    val fps = plan.map(_.getDouble(2)).toSeq
+    val fns = plan.map(_.getDouble(3)).toSeq
+    assert(fps == fps.sorted, s"fp not monotone: $fps")
+    assert(fns == fns.sorted.reverse, s"fn not monotone: $fns")
+    // degenerate b=1 (AND of all perms): nearly no false positives
+    assert(fps.head < 0.01 && fns.head > 0.2)
+    val chosen = plan.find(_.getBoolean(5)).get
+    assert(chosen.getDouble(4) == plan.map(_.getDouble(4)).min)
+  }
+
   test("quantileSketchCheck: exact percentiles hand-checked, bounds hold") {
     val df = (1L to 100L).toDF("v").select($"v".cast("double").as("v"))
     val got = CorpusOps.quantileSketchCheck(df, "v", Seq(0.25, 0.5, 0.9), 100)
