@@ -1913,6 +1913,24 @@ object SparkEntry {
       val probs = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
       graft.llm.UnigramOps.emRound(docs, "text", probs, umL)
     }),
+    // two CHAINED EM rounds — round 2's model is round 1's renormalized
+    // (unrounded) expected counts; EmSpec pins that each round is
+    // likelihood-non-decreasing, the defining EM property
+    "llm_unigram_em2" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val pw = graft.llm.UnigramOps.train(docs, "text", umL,
+        umMinFrac.toDouble)
+        .select("piece", "weight").as[(String, Long)].collect()
+      val tw = pw.map(_._2).sum
+      val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
+      val ec1 = graft.llm.UnigramOps.expectedCounts(docs, "text", probs0, umL)
+        .as[(String, Double)].collect()
+      val t1 = ec1.map(_._2).sum
+      val probs1 = ec1.map { case (p, e) => p -> (e / t1) }.toMap
+      graft.llm.UnigramOps.emRound(docs, "text", probs1, umL)
+    }),
     // sketch-quantile contract: the mergeable GK sketch is the 100 TB
     // path for distribution stats (no global sort); the oracle
     // recomputes the exact interpolated percentiles and expects every
@@ -2614,60 +2632,87 @@ object SparkEntry {
     * exactly [[graft.llm.UnigramOps.wordExpectedCounts]] — then the
     * per-occurrence expected counts ((α·p)·β)/Z aggregated per piece and
     * renormalized. */
-  private def unigramEmSql: String = {
+  /** One E-step's CTE block: α (al{sfx}*) and β (g{sfx}*, indexed by
+    * chars-remaining) lattices against the piece table `pieces{sfx}`,
+    * ending in `ec{sfx}` (per-piece expected counts) and `tote{sfx}`.
+    * Suffixing makes the block chainable for iterated EM. */
+  private def emLatticeSql(sfx: String): String = {
+    val p = s"pieces$sfx"
     val sb = new StringBuilder(
-      s"""WITH $unigramBaseSql,
-         pieces AS MATERIALIZED (
-                    SELECT piece, CAST(weight AS DOUBLE) / t AS pr
-                    FROM pc CROSS JOIN tot),
-         al0 AS MATERIALIZED (SELECT w, CAST(1 AS DOUBLE) AS v FROM w0),
-         g0 AS MATERIALIZED (SELECT w, CAST(1 AS DOUBLE) AS v FROM w0)""")
+      s""",
+         al${sfx}0 AS MATERIALIZED (
+            SELECT w, CAST(1 AS DOUBLE) AS v FROM w0),
+         g${sfx}0 AS MATERIALIZED (
+            SELECT w, CAST(1 AS DOUBLE) AS v FROM w0)""")
     for (j <- 1 to umMaxW) {
       val ls = 1 to math.min(umL, j)
       val alX = ls.map { l =>
-        s"""LEFT JOIN (SELECT a.w, a.v * pc.pr AS v FROM al${j - l} a
-              JOIN pieces pc ON pc.piece = substr(a.w, ${j - l + 1}, $l)
+        s"""LEFT JOIN (SELECT a.w, a.v * pc.pr AS v FROM al$sfx${j - l} a
+              JOIN $p pc ON pc.piece = substr(a.w, ${j - l + 1}, $l)
               WHERE length(a.w) >= $j) x$l USING (w)"""
       }.mkString("\n            ")
       val alSum = ls.map(l => s"COALESCE(x$l.v, 0)").mkString(" + ")
       val gY = ls.map { l =>
-        s"""LEFT JOIN (SELECT g.w, pc.pr * g.v AS v FROM g${j - l} g
-              JOIN pieces pc
+        s"""LEFT JOIN (SELECT g.w, pc.pr * g.v AS v FROM g$sfx${j - l} g
+              JOIN $p pc
                 ON pc.piece = substr(g.w, length(g.w) - $j + 1, $l)
               WHERE length(g.w) >= $j) y$l USING (w)"""
       }.mkString("\n            ")
       val gSum = ls.map(l => s"COALESCE(y$l.v, 0)").mkString(" + ")
       sb.append(s""",
-         al$j AS MATERIALIZED (
+         al$sfx$j AS MATERIALIZED (
             SELECT b.w, $alSum AS v
             FROM (SELECT w FROM w0 WHERE length(w) >= $j) b
             $alX),
-         g$j AS MATERIALIZED (
+         g$sfx$j AS MATERIALIZED (
             SELECT b.w, $gSum AS v
             FROM (SELECT w FROM w0 WHERE length(w) >= $j) b
             $gY)""")
     }
     sb.append(s""",
-         alphaT AS (${(0 to umMaxW).map(j =>
-           s"SELECT w, $j AS pos, v FROM al$j").mkString(" UNION ALL ")}),
-         gammaT AS (${(0 to umMaxW).map(j =>
-           s"SELECT w, $j AS pos, v FROM g$j").mkString(" UNION ALL ")}),
-         zT AS (SELECT w, v FROM alphaT WHERE pos = length(w)),
-         ec AS (SELECT pc.piece,
+         alphaT$sfx AS (${(0 to umMaxW).map(j =>
+           s"SELECT w, $j AS pos, v FROM al$sfx$j").mkString(" UNION ALL ")}),
+         gammaT$sfx AS (${(0 to umMaxW).map(j =>
+           s"SELECT w, $j AS pos, v FROM g$sfx$j").mkString(" UNION ALL ")}),
+         zT$sfx AS (SELECT w, v FROM alphaT$sfx WHERE pos = length(w)),
+         ec$sfx AS (SELECT pc.piece,
                   sum(p1.cnt * (((aT.v * pc.pr) * gT.v) / z.v)) AS ec
                 FROM p1
-                JOIN pieces pc ON pc.piece = substr(p1.w, p1.i, p1.l)
-                JOIN alphaT aT ON aT.w = p1.w AND aT.pos = p1.i - 1
-                JOIN gammaT gT ON gT.w = p1.w
+                JOIN $p pc ON pc.piece = substr(p1.w, p1.i, p1.l)
+                JOIN alphaT$sfx aT ON aT.w = p1.w AND aT.pos = p1.i - 1
+                JOIN gammaT$sfx gT ON gT.w = p1.w
                   AND gT.pos = length(p1.w) - p1.i - p1.l + 1
-                JOIN zT z ON z.w = p1.w AND z.v > 0
+                JOIN zT$sfx z ON z.w = p1.w AND z.v > 0
                 GROUP BY 1),
-         tote AS (SELECT sum(ec) AS t FROM ec)
-         SELECT piece, round(ec, 6) AS e_count,
-                round(ln(ec / t), 6) AS logp_new
-         FROM ec CROSS JOIN tote""")
+         tote$sfx AS (SELECT sum(ec) AS t FROM ec$sfx)""")
     sb.toString
   }
+
+  private def unigramEmSql: String =
+    s"""WITH $unigramBaseSql,
+         pieces AS MATERIALIZED (
+                    SELECT piece, CAST(weight AS DOUBLE) / t AS pr
+                    FROM pc CROSS JOIN tot)""" +
+      emLatticeSql("") + """
+         SELECT piece, round(ec, 6) AS e_count,
+                round(ln(ec / t), 6) AS logp_new
+         FROM ec CROSS JOIN tote"""
+
+  /** Two chained EM rounds: round 2's piece table is round 1's
+    * renormalized expected counts (unrounded, exactly what the Spark
+    * side feeds back). */
+  private def unigramEm2Sql: String =
+    s"""WITH $unigramBaseSql,
+         pieces AS MATERIALIZED (
+                    SELECT piece, CAST(weight AS DOUBLE) / t AS pr
+                    FROM pc CROSS JOIN tot)""" +
+      emLatticeSql("") + """,
+         piecesb AS MATERIALIZED (
+                    SELECT piece, ec / t AS pr FROM ec CROSS JOIN tote)""" +
+      emLatticeSql("b") + """
+         SELECT piece, round(ec, 6) AS e_count,
+                round(ln(ec / t), 6) AS logp_new
+         FROM ecb CROSS JOIN toteb"""
 
   /** DuckDB replay of the per-language fertility rollup: the
     * [[bpeEncodeSql]] fold per doc, plus word/char counts, grouped. */
@@ -4484,6 +4529,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN res r USING (doc_id)"""),
     "llm_unigram_tok" -> unigramTokSql,
     "llm_unigram_em" -> unigramEmSql,
+    "llm_unigram_em2" -> unigramEm2Sql,
     // recomputes the whole S-curve sweep: same grid, same term order
     // inside each factorization, argmin re-derived from unrounded sums
     "llm_lsh_band_plan" ->

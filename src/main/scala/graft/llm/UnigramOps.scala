@@ -114,6 +114,18 @@ object UnigramOps {
     * replays. */
   def emRound(df: DataFrame, textCol: String,
       probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
+    val ec = expectedCounts(df, textCol, probs, maxPieceLen)
+    val tot = ec.agg(sum("ec").as("t"))
+    ec.crossJoin(broadcast(tot))
+      .select(col("piece"), round(col("ec"), 6).as("e_count"),
+        round(log(col("ec") / col("t")), 6).as("logp_new"))
+  }
+
+  /** E-step only: unrounded expected counts `(piece, ec)` — feed
+    * `ec / sum(ec)` back in as the next round's probabilities to
+    * iterate EM. */
+  def expectedCounts(df: DataFrame, textCol: String,
+      probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bP = spark.sparkContext.broadcast(probs)
@@ -122,15 +134,49 @@ object UnigramOps {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-    val contrib = words.flatMap { case (w, cnt) =>
+    words.flatMap { case (w, cnt) =>
       wordExpectedCounts(w, bP.value, maxPieceLen)
         .map { case (piece, e) => (piece, cnt * e) }
     }.toDF("piece", "e")
-    val ec = contrib.groupBy("piece").agg(sum("e").as("ec"))
-    val tot = ec.agg(sum("ec").as("t"))
-    ec.crossJoin(broadcast(tot))
-      .select(col("piece"), round(col("ec"), 6).as("e_count"),
-        round(log(col("ec") / col("t")), 6).as("logp_new"))
+      .groupBy("piece").agg(sum("e").as("ec"))
+  }
+
+  /** Corpus log-likelihood under the piece model: Σ_w cnt·ln(Z_w) over
+    * segmentable words (EM's objective — [[emRound]] must never
+    * decrease it). Driver-side over the collected distinct-word table;
+    * a diagnostic, not a data-path operator. */
+  def corpusLogLikelihood(df: DataFrame, textCol: String,
+      probs: Map[String, Double], maxPieceLen: Int): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+      .map { case (w, c) =>
+        val z = wordZ(w, probs, maxPieceLen)
+        if (z > 0) c * math.log(z) else 0.0
+      }.sum
+  }
+
+  /** Forward lattice total probability of one word. */
+  def wordZ(w: String, probs: Map[String, Double],
+      maxPieceLen: Int): Double = {
+    val n = w.length
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var acc = 0.0
+      var l = 1
+      while (l <= math.min(maxPieceLen, j)) {
+        probs.get(w.substring(j - l, j)).foreach(p => acc += alpha(j - l) * p)
+        l += 1
+      }
+      alpha(j) = acc
+      j += 1
+    }
+    alpha(n)
   }
 
   /** Forward-backward expected piece counts for one word; empty when the

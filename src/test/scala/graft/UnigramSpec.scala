@@ -135,6 +135,24 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("EM is likelihood-non-decreasing over three chained rounds") {
+    val pw = UnigramOps.train(docs, "text", maxPieceLen = 4, minFrac = 0.05)
+      .select("piece", "weight").as[(String, Long)].collect()
+    val tw = pw.map(_._2).sum
+    var probs = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
+    var ll = UnigramOps.corpusLogLikelihood(docs, "text", probs, 4)
+    (1 to 3).foreach { round =>
+      val ec = UnigramOps.expectedCounts(docs, "text", probs, 4)
+        .as[(String, Double)].collect()
+      val t = ec.map(_._2).sum
+      probs = ec.map { case (p, e) => p -> (e / t) }.toMap
+      val ll2 = UnigramOps.corpusLogLikelihood(docs, "text", probs, 4)
+      assert(ll2 >= ll - 1e-9, s"round $round: $ll -> $ll2 decreased")
+      assert(ll2 < 0.0, "log-likelihood of a proper model is negative")
+      ll = ll2
+    }
+  }
+
   test("encode: unsegmentable word becomes one UNK with no score") {
     val df = Seq((1L, "ab xq"), (2L, "")).toDF("id", "text")
     val p = Map("a" -> -1.0, "b" -> -2.0, "ab" -> -2.5)
