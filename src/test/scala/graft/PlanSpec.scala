@@ -445,6 +445,18 @@ class PlanSpec extends SparkSpec {
       s"no single-partition collapse:\n$pDedup")
   }
 
+  test("tokenizer encodes are shuffle-free broadcast-vocab scans") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pWp = plan(graft.llm.BpeOps.wordpieceEncode(docs, "text",
+      Seq("a", "b", "##a", "##b")))
+    assert(!pWp.contains("Exchange"),
+      s"wordpiece encode must not shuffle:\n$pWp")
+    val pUm = plan(graft.llm.UnigramOps.encode(docs, "text",
+      Map("a" -> -1.0, "b" -> -2.0), 4))
+    assert(!pUm.contains("Exchange"),
+      s"unigram encode must not shuffle:\n$pUm")
+  }
+
   test("sourceOverlap shuffles md5 digests, never gram text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.llm.CorpusOps.sourceOverlap(docs, "text", "source", 5))
