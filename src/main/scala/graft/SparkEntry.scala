@@ -1931,6 +1931,20 @@ object SparkEntry {
       val probs1 = ec1.map { case (p, e) => p -> (e / t1) }.toMap
       graft.llm.UnigramOps.emRound(docs, "text", probs1, umL)
     }),
+    // token-budgeted per-source selection: keep highest-quality docs
+    // (rounded-quality order, id tie-break) until each source's token
+    // budget is crossed — one source-key exchange, per-source running
+    // sum, never a global window
+    "llm_token_budget" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      val f = TextOps.qualityFeatures(col("text"))
+      val base = docs.select(col("source"), col("doc_id"),
+        round(f.quality, 6).as("quality"),
+        f.nTokens.cast("long").as("n_tok"))
+      CorpusOps.tokenBudgetSelect(base, "source", "doc_id", "quality",
+        "n_tok", budgetTokens = 600L)
+    }),
     // sketch-quantile contract: the mergeable GK sketch is the 100 TB
     // path for distribution stats (no global sort); the oracle
     // recomputes the exact interpolated percentiles and expects every
@@ -4530,6 +4544,23 @@ object SparkEntry {
     "llm_unigram_tok" -> unigramTokSql,
     "llm_unigram_em" -> unigramEmSql,
     "llm_unigram_em2" -> unigramEm2Sql,
+    // same quality CTEs as llm_quality; the running sum replays the
+    // (quality desc, doc_id) window and the crossing-doc-kept rule
+    "llm_token_budget" -> qualitySql(
+      """, r AS (
+           SELECT source, doc_id, round(q, 6) AS quality,
+                  CAST(nt AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY round(q, 6) DESC, doc_id) AS rank,
+                  sum(CAST(nt AS BIGINT)) OVER (PARTITION BY source
+                    ORDER BY round(q, 6) DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_tokens
+           FROM f)
+         SELECT source, doc_id, quality, n_tokens,
+                CAST(rank AS INT) AS rank,
+                CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM r WHERE cum_tokens - n_tokens < 600"""),
     // recomputes the whole S-curve sweep: same grid, same term order
     // inside each factorization, argmin re-derived from unrounded sums
     "llm_lsh_band_plan" ->

@@ -146,6 +146,40 @@ object CorpusOps {
       .select(col("__k.__row.*"))
   }
 
+  /** Token-budgeted per-source selection (the mixture-building step that
+    * follows [[sourceOverlap]]/mixture weighting): within each source,
+    * keep documents in (quality desc, id asc) order while the RUNNING
+    * token total stays within `budgetTokens` — the document that crosses
+    * the budget is the last one kept, so every source with data
+    * contributes at least one document. Emits the kept rows with their
+    * in-source rank and cumulative token count.
+    *
+    * 100 TB shape: one exchange on the source key and one in-partition
+    * sort (the window's ORDER BY) — the cumulative sum is per-source
+    * state, never global. When a single source is too large to sort,
+    * pre-prune with a sampled quality-quantile threshold (keep only docs
+    * above the approximate cut that the budget implies — the
+    * [[quantileSketchCheck]] sketch gives it in one pass) and run the
+    * exact window on the survivors; the semantics below are the exact
+    * reference. */
+  def tokenBudgetSelect(df: DataFrame, srcCol: String, idCol: String,
+      qualityCol: String, tokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.select(col(srcCol), col(idCol), col(qualityCol),
+        col(tokensCol).cast(LongType).as("__tk"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("__tk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // keep while the PREVIOUS cumulative total was under budget: the
+      // crossing document is included, everything after it dropped
+      .filter(col("cum_tokens") - col("__tk") < budgetTokens)
+      .select(col(srcCol), col(idCol), col(qualityCol),
+        col("__tk").as("n_tokens"), col("rank"), col("cum_tokens"))
+  }
+
   /** FUZZY benchmark decontamination — the near-duplicate complement of
     * [[decontaminate]]'s exact n-gram probe: a corpus doc is flagged when
     * it is MinHash-near-duplicate to any benchmark doc (banded-bucket

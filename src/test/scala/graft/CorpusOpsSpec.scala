@@ -622,6 +622,22 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSelect: crossing doc kept, min one doc per source") {
+    val df = Seq(
+      ("A", 1L, 0.9, 50L), ("A", 2L, 0.8, 60L), ("A", 3L, 0.7, 40L),
+      ("B", 4L, 0.5, 200L), ("B", 5L, 0.4, 10L))
+      .toDF("src", "id", "q", "tk")
+    val got = CorpusOps.tokenBudgetSelect(df, "src", "id", "q", "tk", 100L)
+      .collect().map(r => r.getLong(1) -> ((r.getInt(4), r.getLong(5))))
+      .toMap
+    // A: doc1 (cum 50), doc2 crosses at 110 and is KEPT, doc3 dropped;
+    // B: doc4 alone blows the budget but every source contributes one
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((1, 50L)))
+    assert(got(2L) == ((2, 110L)))
+    assert(got(4L) == ((1, 200L)))
+  }
+
   test("lshBandPlan: factorizations, S-curve monotonicity, one chosen row") {
     val plan = graft.llm.DedupOps.lshBandPlan(spark, 16, 0.5)
       .orderBy("b").collect()
