@@ -208,8 +208,12 @@ object BpeOps {
       }
       if (found eq null) return Seq(unk)
       out += found
-      pos += (if (found.startsWith("##")) found.length - 2
-              else found.length)
+      // consumed chars: at a continuation position the piece carries the
+      // synthetic "##" prefix, at position 0 it is the raw substring —
+      // key off the POSITION, not a "##" prefix test, so a word that
+      // literally starts with "##" advances by its full matched length
+      // (the SQL oracle's position walk does the same)
+      pos += (if (pos == 0) found.length else found.length - 2)
     }
     out.result()
   }
