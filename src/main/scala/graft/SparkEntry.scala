@@ -4600,8 +4600,9 @@ object SparkEntry {
                round(quantile_cont(n_tok, $q), 6) AS exact,
                TRUE AS within_bound FROM t""").mkString(" UNION ALL ")
     },
-    // same distinct-gram sets per source; the md5 digesting matches the
-    // Spark plan so counts agree digest-for-digest
+    // same distinct-gram sets per source; md5_number_lower & 2^63-1 is
+    // the proven DuckDB twin of DedupOps.md5Lower63 (FunctionsSpec), so
+    // counts agree digest-for-digest
     "llm_source_overlap" ->
       """WITH w AS (
            SELECT source, list_filter(
@@ -4613,7 +4614,9 @@ object SparkEntry {
                     generate_series(1, greatest(len(ws) - 4, 0)),
                     i -> array_to_string(ws[i:i+4], ' '))) AS gram
                 FROM w),
-         g AS (SELECT DISTINCT source, md5(gram) AS d FROM g0),
+         g AS (SELECT DISTINCT source,
+                 (md5_number_lower(gram) & 9223372036854775807) AS d
+               FROM g0),
          sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
          sh AS (SELECT a.source AS src_a, b.source AS src_b,
                        count(*) AS shared

@@ -181,8 +181,12 @@ object BpeOps {
     * the vocab rides to executors once via a real broadcast. */
   def wordpieceEncode(df: DataFrame, textCol: String, vocab: Seq[String],
       as: String = "wp", unk: String = "[UNK]"): DataFrame = {
-    val maxLen = vocab.map(p =>
-      if (p.startsWith("##")) p.length - 2 else p.length).max
+    require(vocab.nonEmpty, "wordpiece vocab must not be empty")
+    // cap candidate lengths at the RAW max piece length: a position-0
+    // candidate is the raw substring, so a literal "##"-initial word can
+    // match a continuation-form string at its full length (the SQL walk
+    // enumerates every length; a too-short cap would silently UNK it)
+    val maxLen = vocab.map(_.length).max
     val bV = df.sparkSession.sparkContext.broadcast(vocab.toSet)
     val enc = udf { (text: String) =>
       if (text == null) null

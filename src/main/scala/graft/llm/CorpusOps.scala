@@ -165,6 +165,8 @@ object CorpusOps {
   def tokenBudgetSelect(df: DataFrame, srcCol: String, idCol: String,
       qualityCol: String, tokensCol: String,
       budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive: $budgetTokens")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(srcCol))
       .orderBy(col(qualityCol).desc, col(idCol).asc)
@@ -859,8 +861,12 @@ object CorpusOps {
     * shuffle on the same key, co-partitioned); then one metadata-scale
     * final aggregate. */
   def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // null scores are unrankable: they would take ranks in GlobalRank
+    // (nulls-first) and then drop at the tie-size equi-join, inflating
+    // every real rank — exclude them up front (AUC over scored docs)
     val base = scored.select(col(scoreCol).cast(DoubleType).as("__s"),
       col(labelCol).cast(BooleanType).as("__y"))
+      .filter(col("__s").isNotNull)
     val ranked = graft.operators.GlobalRank.withRank(base, "__s", "__rk", "__n")
     val sizes = ranked.groupBy(col("__s")).agg(count(lit(1)).as("__g"))
     val row = ranked.join(sizes, "__s")
@@ -1031,9 +1037,10 @@ object CorpusOps {
     * included) as `(src_a, src_b, grams_a, grams_b, shared_grams,
     * jaccard)` with `src_a < src_b`.
     *
-    * 100 TB shape: grams are reduced to 16-byte md5 digests BEFORE the
-    * distinct, so the only corpus-sized shuffle carries digests, never
-    * gram text (the [[DedupOps]] discipline). Shared counts come from
+    * 100 TB shape: grams are reduced to 8-byte [[DedupOps.md5Lower63]]
+    * digests BEFORE the distinct, so the only corpus-sized shuffle
+    * carries longs, never gram text (the [[DedupOps]] discipline — and
+    * 4× lighter than shipping md5 hex strings). Shared counts come from
     * `groupBy(digest).collect_set(source)` — per-key state is bounded by
     * the SOURCE COUNT (dozens), not the corpus, and the pair fan-out per
     * digest is at most |sources|²; never an all-pairs join on grams. The
@@ -1043,7 +1050,7 @@ object CorpusOps {
     val grams = df
       .select(col(srcCol).as("__src"),
         explode(wordNgrams(col(textCol), n)).as("__g"))
-      .select(col("__src"), md5(col("__g")).as("__d"))
+      .select(col("__src"), DedupOps.md5Lower63(col("__g")).as("__d"))
       .distinct()
     val sizes = grams.groupBy("__src")
       .agg(count(lit(1)).as("__n"))

@@ -39,13 +39,20 @@ object UnigramOps {
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val totWords = words.agg(sum("cnt")).head.getLong(0)
-    val pieces = words
+    val unpruned = words
       .select(explode(piecesOf(col("w"), maxPieceLen)).as("piece"),
         col("cnt"))
       .groupBy("piece").agg(sum("cnt").as("weight"))
-      .filter(col("weight") >= lit(minFrac) * lit(totWords) ||
-        length(col("piece")) === 1)
+    // the threshold needs total word occurrences — one extra tiny
+    // aggregate job; skip it entirely when pruning is off (minFrac 0)
+    val pieces =
+      if (minFrac <= 0.0) unpruned
+      else {
+        val totWords = Option(words.agg(sum("cnt")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        unpruned.filter(col("weight") >= lit(minFrac) * lit(totWords) ||
+          length(col("piece")) === 1)
+      }
     val total = pieces.agg(sum("weight").as("t"))
     pieces.crossJoin(broadcast(total))
       .select(col("piece"), col("weight"),
