@@ -566,6 +566,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 0.416667)
   }
 
+  test("rocAuc: null scores are excluded, not rank-inflated") {
+    // a null-scored neg once took rank 1 (nulls-first) and then dropped
+    // at the tie-size join, shifting every real rank up by one
+    val df = Seq((Some(0.1), false), (None, false), (Some(0.9), true))
+      .toDF("score", "y")
+    val r = CorpusOps.rocAuc(df, "score", "y").collect()(0)
+    assert(r.getAs[Long]("p") == 1L && r.getAs[Long]("n") == 1L)
+    assert(r.getAs[Double]("auc") == 1.0, "perfect separation, not 2.0")
+  }
+
   test("averagePrecision: mean precision at the positives' ranks") {
     // order (.9,T)(.8,F)(.7T id3)(.7F)(.5T): precisions at positives =
     // 1/1, 2/3, 3/5 -> AP = (1 + 0.666.. + 0.6)/3
