@@ -1931,6 +1931,35 @@ object SparkEntry {
       val probs1 = ec1.map { case (p, e) => p -> (e / t1) }.toMap
       graft.llm.UnigramOps.emRound(docs, "text", probs1, umL)
     }),
+    // EM convergence verdict: corpus log-likelihood before and after
+    // each of two EM rounds plus the monotonicity flag — EM's defining
+    // guarantee pinned in the ORACLE ARTIFACT, not just a spec; the
+    // distributed LL aggregates in the engine (no word list on the
+    // driver)
+    "llm_unigram_em_ll" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val U = graft.llm.UnigramOps
+      val pw = U.train(docs, "text", umL, umMinFrac.toDouble)
+        .select("piece", "weight").as[(String, Long)].collect()
+      val tw = pw.map(_._2).sum
+      val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
+      def next(pr: Map[String, Double]) = {
+        val ec = U.expectedCounts(docs, "text", pr, umL)
+          .as[(String, Double)].collect()
+        val te = ec.map(_._2).sum
+        ec.map { case (p, e) => p -> (e / te) }.toMap
+      }
+      val probs1 = next(probs0)
+      val probs2 = next(probs1)
+      def ll(pr: Map[String, Double]): Double =
+        U.corpusLogLikelihoodDF(docs, "text", pr, umL).head.getDouble(0)
+      val (l0, l1, l2) = (ll(probs0), ll(probs1), ll(probs2))
+      Seq((l0, l1, l2, l1 >= l0 && l2 >= l1)).toDF("a", "b", "c", "m")
+        .select(round(col("a"), 4).as("ll0"), round(col("b"), 4).as("ll1"),
+          round(col("c"), 4).as("ll2"), col("m").as("monotone"))
+    }),
     // token-budgeted per-source selection: keep highest-quality docs
     // (rounded-quality order, id tie-break) until each source's token
     // budget is crossed — one source-key exchange, per-source running
@@ -2727,6 +2756,33 @@ object SparkEntry {
          SELECT piece, round(ec, 6) AS e_count,
                 round(ln(ec / t), 6) AS logp_new
          FROM ecb CROSS JOIN toteb"""
+
+  /** Three piece models (MLE, after EM round 1, after round 2) and the
+    * corpus log-likelihood of each from the forward lattices' Z values —
+    * the monotone flag compares the UNROUNDED sums, as the Spark side
+    * does. */
+  private def unigramEmLlSql: String =
+    s"""WITH $unigramBaseSql,
+         pieces AS MATERIALIZED (
+                    SELECT piece, CAST(weight AS DOUBLE) / t AS pr
+                    FROM pc CROSS JOIN tot)""" +
+      emLatticeSql("") + """,
+         piecesb AS MATERIALIZED (
+                    SELECT piece, ec / t AS pr FROM ec CROSS JOIN tote)""" +
+      emLatticeSql("b") + """,
+         piecesc AS MATERIALIZED (
+                    SELECT piece, ec / t AS pr FROM ecb CROSS JOIN toteb)""" +
+      emLatticeSql("c") + """,
+         l0 AS (SELECT sum(w0.cnt * ln(z.v)) AS v
+                FROM w0 JOIN zT z USING (w) WHERE z.v > 0),
+         l1 AS (SELECT sum(w0.cnt * ln(z.v)) AS v
+                FROM w0 JOIN zTb z USING (w) WHERE z.v > 0),
+         l2 AS (SELECT sum(w0.cnt * ln(z.v)) AS v
+                FROM w0 JOIN zTc z USING (w) WHERE z.v > 0)
+         SELECT round(l0.v, 4) AS ll0, round(l1.v, 4) AS ll1,
+                round(l2.v, 4) AS ll2,
+                (l1.v >= l0.v AND l2.v >= l1.v) AS monotone
+         FROM l0, l1, l2"""
 
   /** DuckDB replay of the per-language fertility rollup: the
     * [[bpeEncodeSql]] fold per doc, plus word/char counts, grouped. */
@@ -4544,6 +4600,7 @@ object SparkEntry {
     "llm_unigram_tok" -> unigramTokSql,
     "llm_unigram_em" -> unigramEmSql,
     "llm_unigram_em2" -> unigramEm2Sql,
+    "llm_unigram_em_ll" -> unigramEmLlSql,
     // same quality CTEs as llm_quality; the running sum replays the
     // (quality desc, doc_id) window and the crossing-doc-kept rule
     "llm_token_budget" -> qualitySql(

@@ -151,7 +151,8 @@ object UnigramOps {
   /** Corpus log-likelihood under the piece model: Σ_w cnt·ln(Z_w) over
     * segmentable words (EM's objective — [[emRound]] must never
     * decrease it). Driver-side over the collected distinct-word table;
-    * a diagnostic, not a data-path operator. */
+    * a diagnostic, not a data-path operator — use
+    * [[corpusLogLikelihoodDF]] for the distributed form. */
   def corpusLogLikelihood(df: DataFrame, textCol: String,
       probs: Map[String, Double], maxPieceLen: Int): Double = {
     val spark = df.sparkSession
@@ -164,6 +165,21 @@ object UnigramOps {
         val z = wordZ(w, probs, maxPieceLen)
         if (z > 0) c * math.log(z) else 0.0
       }.sum
+  }
+
+  /** Distributed corpus log-likelihood: the forward lattice runs as a
+    * broadcast-map UDF over the distinct-word table and the weighted sum
+    * aggregates in the engine — no word list ever reaches the driver. */
+  def corpusLogLikelihoodDF(df: DataFrame, textCol: String,
+      probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
+    val bP = df.sparkSession.sparkContext.broadcast(probs)
+    val z = udf((w: String) => wordZ(w, bP.value, maxPieceLen))
+    df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), z(col("w")).as("__z"))
+      .agg(sum(when(col("__z") > 0.0,
+        col("cnt") * log(col("__z"))).otherwise(0.0)).as("ll"))
   }
 
   /** Forward lattice total probability of one word. */
