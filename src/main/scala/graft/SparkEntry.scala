@@ -58,6 +58,21 @@ object SparkEntry {
         "doc_id")
   }
 
+  /** Shared bits of the logistic-regression queries: quality feature
+    * vector over documents, (lang='en') label, doc_id%3 train slice, and
+    * the 3-round lr=1.0 full-batch GD fit. */
+  private val logRegX =
+    Seq("x_bias", "x_len", "x_punct", "x_upper", "x_digit", "x_sw")
+  private def logRegBits(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Double]) = {
+    val docs = graft.llm.CorpusOps.logRegFeatures(t(s, dir, "documents"), "text")
+      .withColumn("__y", col("lang") === "en")
+    val (roundsDf, w) = graft.llm.CorpusOps.logRegFit(
+      docs.filter(col("doc_id") % 3 === 0), logRegX, "__y",
+      rounds = 3, lr = 1.0)
+    (docs, roundsDf, w)
+  }
+
   /** Run a Mongo pipeline against a table, with all sf tables as $lookup catalog. */
   private def pipe(s: SparkSession, dir: String, table: String, json: String): DataFrame = {
     tune(s)
@@ -1197,6 +1212,25 @@ object SparkEntry {
       tune(s)
       CorpusOps.calibration(nbHeldOutScored(s, dir), "logit", "__y", 10)
     }),
+    // trainable quality classifier: 3 rounds of full-batch GD logistic
+    // regression on the rounded quality-feature vector — per-round
+    // weights + pre-update log-loss; the oracle replays the ENTIRE
+    // descent (the BPE/EM training-loop-replay pattern)
+    "llm_logreg" -> ((s, dir) => {
+      tune(s)
+      logRegBits(s, dir)._2
+    }),
+    // tie-correct ROC-AUC of the fitted logistic scorer on the held-out
+    // doc_id%3==1 slice — the oracle refits the 3 GD rounds in SQL, then
+    // recomputes the midrank identity
+    "llm_logreg_auc" -> ((s, dir) => {
+      tune(s)
+      val (docs, _, w) = logRegBits(s, dir)
+      val scored = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"),
+          CorpusOps.logRegScore(logRegX, w).as("z"), col("__y"))
+      CorpusOps.rocAuc(scored, "z", "__y")
+    }),
     // DSIR importance resampling (Xie et al. 2023): target = the English
     // slice, raw = the whole corpus; hashed unigram+bigram bucket
     // histograms -> per-doc log importance weight -> Gumbel-top-k with
@@ -1315,6 +1349,16 @@ object SparkEntry {
       DedupOps.dedupNear(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4,
         md5Mode = true).select("doc_id")
+    }),
+    // leakage-safe split audit: hash the dup-CLUSTER label (not the doc
+    // id) into train/val/test and COUNT the near-dup pairs the naive
+    // per-doc split would leak across splits (leaked_safe ≡ 0 is the
+    // verdict column); the oracle replays pairs, components, hashes and
+    // both assignments end to end
+    "llm_leakage_split" -> ((s, dir) => {
+      tune(s)
+      DedupOps.leakageSplit(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
     }),
     // cross-engine-reproducible MinHash: the DuckDB oracle replays the WHOLE
     // LSH pipeline (md5 hash family, banding, candidates, jaccard verify)
@@ -2008,6 +2052,14 @@ object SparkEntry {
       tune(s)
       CorpusOps.ngramDiversity(t(s, dir, "documents"), "text", "source", 3)
     }),
+    // KMV bottom-k distinct sketch per source (vocabulary-size estimate)
+    // checked against the exact count — the mergeable path for distinct
+    // stats when the key set outgrows a count-distinct shuffle; bottom-k
+    // survives partial agg, so ≤ k hashes/group cross per partition
+    "llm_kmv_distinct" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.kmvDistinct(t(s, dir, "documents"), "text", "source", 128)
+    }),
     // tokenizer-eval fertility: per language, BPE tokens per word and
     // chars per token (the standard tokenizer-quality stats); encode is
     // the broadcast-rank greedy scan, the rollup one tiny-key groupBy
@@ -2363,6 +2415,46 @@ object SparkEntry {
                      least(sr * 4, 1) * 0.3 AS q
            FROM f1)
          """ + select
+
+  /** Generated CTE chain replaying the FULL logistic-GD fit on top of
+    * [[qualitySql]]'s feature CTEs: rounded feature vector `fx`, train
+    * slice `tr`, then per round r a sigmoid pass `p_r`, gradient sums
+    * `g_r` and the quantized weight update `w_r` (the BPE/EM
+    * training-loop-replay style). `select` continues the chain with a
+    * leading comma or a SELECT reading the `w_r` / `fx` CTEs. */
+  private def logRegSql(rounds: Int, select: String): String = {
+    val z = (0 to 5).map(j => s"w.w$j * x$j").mkString(" + ")
+    val sb = new StringBuilder
+    sb.append(
+      """, fx AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                  1.0 AS x0,
+                  round(least(CAST(nt AS DOUBLE) / 100, 1), 6) AS x1,
+                  round(pr, 6) AS x2, round(ur, 6) AS x3,
+                  round(dr, 6) AS x4, round(sr, 6) AS x5
+           FROM f),
+         tr AS (SELECT * FROM fx WHERE doc_id % 3 = 0),
+         w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+                       0.0 AS w3, 0.0 AS w4, 0.0 AS w5)""")
+    for (r <- 1 to rounds) {
+      val gs = (0 to 5).map(j => s"sum((p - y) * x$j) AS g$j").mkString(", ")
+      val ws = (0 to 5)
+        .map(j => s"round(w.w$j - 1.0 * g.g$j / g.n, 9) AS w$j").mkString(", ")
+      sb.append(s""",
+         p$r AS MATERIALIZED (
+           SELECT t.y, t.x0, t.x1, t.x2, t.x3, t.x4, t.x5,
+                  1.0 / (1.0 + exp(-($z))) AS p
+           FROM tr t, w${r - 1} w),
+         g$r AS MATERIALIZED (
+           SELECT $gs,
+                  sum(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS lsum,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM p$r),
+         w$r AS (SELECT $ws, round(g.lsum / g.n, 4) AS loss
+                 FROM w${r - 1} w, g$r g)""")
+    }
+    qualitySql(sb.result() + select)
+  }
 
   /** Shared generated CTE chain for the NN-Descent graph oracles: md5
     * random k-out init (tp/e0) and both build rounds (e1/e2, k=5,
@@ -2952,6 +3044,87 @@ object SparkEntry {
          drops AS (SELECT id FROM labels WHERE cluster <> id)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT id FROM drops)""",
+    // same pair + component chain as llm_dedup_near, then both split
+    // assignments (cluster-hash vs doc-hash) and the cross-split pair
+    // leak counts
+    "llm_leakage_split" ->
+      """WITH RECURSIVE
+         dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
+         d AS (SELECT doc,
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> length(x) > 0) AS toks
+               FROM dt),
+         s AS (SELECT doc,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+               FROM d),
+         sn AS (SELECT doc, sh FROM s WHERE len(sh) > 0),
+         e AS (SELECT doc, unnest(sh) AS shingle FROM sn),
+         h AS (SELECT e.doc, sd.seed,
+                      CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                           & 9223372036854775807 AS BIGINT) AS hv
+               FROM e CROSS JOIN (SELECT unnest(range(32)) AS seed) sd),
+         m AS (SELECT doc, seed, min(hv) AS minh FROM h GROUP BY doc, seed),
+         bk AS (SELECT doc, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM m GROUP BY doc, seed // 4),
+         p AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+               FROM bk a JOIN bk b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+         nearp AS (SELECT p.id_a, p.id_b
+                   FROM p JOIN sn x ON x.doc = p.id_a JOIN sn y ON y.doc = p.id_b
+                   WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                               len(list_distinct(x.sh || y.sh)), 6) >= 0.4),
+         exactp AS (SELECT r.id_a, g.doc_id AS id_b
+                    FROM (SELECT md5(text) AS hh, min(doc_id) AS id_a
+                          FROM documents GROUP BY 1) r
+                    JOIN (SELECT doc_id, md5(text) AS hh FROM documents) g
+                      USING (hh)
+                    WHERE g.doc_id <> r.id_a),
+         pairs AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                   FROM (SELECT id_a, id_b FROM nearp
+                         UNION ALL SELECT id_a, id_b FROM exactp)
+                   GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         lbl AS (SELECT a AS id, a AS c FROM edges
+                 UNION
+                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b),
+         labels AS (SELECT id, min(c) AS cluster FROM lbl GROUP BY id),
+         docs AS (SELECT dd.doc_id AS id,
+                         coalesce(l.cluster, dd.doc_id) AS cluster
+                  FROM documents dd LEFT JOIN labels l ON l.id = dd.doc_id),
+         sp AS (SELECT id,
+                  (md5_number_lower('split:' || CAST(cluster AS VARCHAR))
+                   & 9223372036854775807) % 10 AS bs,
+                  (md5_number_lower('split:' || CAST(id AS VARCHAR))
+                   & 9223372036854775807) % 10 AS bn
+                FROM docs),
+         spl AS (SELECT id,
+                   CASE WHEN bs < 8 THEN 'train' WHEN bs = 8 THEN 'val'
+                        ELSE 'test' END AS safe_split,
+                   CASE WHEN bn < 8 THEN 'train' WHEN bn = 8 THEN 'val'
+                        ELSE 'test' END AS naive_split
+                 FROM sp),
+         psafe AS (SELECT safe_split AS split, count(*) AS ns FROM spl GROUP BY 1),
+         pnaive AS (SELECT naive_split AS split, count(*) AS nn FROM spl GROUP BY 1),
+         ps AS (SELECT coalesce(a.split, b.split) AS split,
+                       coalesce(a.ns, 0) AS n_docs_safe,
+                       coalesce(b.nn, 0) AS n_docs_naive
+                FROM psafe a FULL JOIN pnaive b ON a.split = b.split),
+         lk AS (SELECT
+                  CAST(coalesce(sum(CASE WHEN x.naive_split <> y.naive_split
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_naive,
+                  CAST(coalesce(sum(CASE WHEN x.safe_split <> y.safe_split
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_safe
+                FROM pairs pp JOIN spl x ON x.id = pp.a
+                              JOIN spl y ON y.id = pp.b)
+         SELECT ps.split, CAST(ps.n_docs_safe AS BIGINT) AS n_docs_safe,
+                CAST(ps.n_docs_naive AS BIGINT) AS n_docs_naive,
+                lk.leaked_naive, lk.leaked_safe
+         FROM ps CROSS JOIN lk""",
     "llm_minhash_md5" ->
       """WITH dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
          d AS (SELECT doc,
@@ -4069,6 +4242,31 @@ object SparkEntry {
                 round(avg(p), 6) AS mean_predicted,
                 round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS observed_rate
          FROM pb GROUP BY 1"""),
+    // the ENTIRE 3-round gradient descent replayed: per-round sigmoid
+    // pass, gradient sums, quantized update — then the weight/loss rows
+    "llm_logreg" -> logRegSql(3, (1 to 3).map(r =>
+      s"""SELECT $r AS round, round(w0, 6) AS w_bias, round(w1, 6) AS w_len,
+                 round(w2, 6) AS w_punct, round(w3, 6) AS w_upper,
+                 round(w4, 6) AS w_digit, round(w5, 6) AS w_sw, loss
+          FROM w$r""").mkString("\n          UNION ALL\n          ")),
+    // refit in SQL, score the held-out slice with the final weights, then
+    // the same midrank-AUC identity as llm_nb_auc
+    "llm_logreg_auc" -> logRegSql(3,
+      """, ev AS (SELECT t.doc_id,
+                  round(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 +
+                        w.w4 * x4 + w.w5 * x5, 6) AS s,
+                  (t.y = 1.0) AS y
+           FROM fx t, w3 w WHERE t.doc_id % 3 = 1),
+         rk AS (SELECT y, rank() OVER (ORDER BY s) AS r,
+                  count(*) OVER (PARTITION BY s) AS g
+                FROM ev)
+         SELECT p, n,
+                round((rsum - CAST(p AS DOUBLE) * (p + 1) / 2)
+                      / (CAST(p AS DOUBLE) * n), 6) AS auc
+         FROM (SELECT sum(CASE WHEN y THEN r + (g - 1) / 2.0 ELSE 0 END) AS rsum,
+                      CAST(count(*) FILTER (WHERE y) AS BIGINT) AS p,
+                      CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS n
+               FROM rk)"""),
     "llm_nb_pr" -> nbScoreSql(
       """, ev AS (SELECT sc.doc_id, round(sc.logit, 4) AS s,
                   (dd.lang = 'en') AS y
@@ -4723,6 +4921,36 @@ object SparkEntry {
                   md5_number_lower(g) & 9223372036854775807) AS DOUBLE)
                   / count(*), 6) AS diversity
          FROM g GROUP BY source""",
+    // replays the sketch itself: distinct md5 hashes, row_number bottom-k,
+    // the same (k-1)·2^63/h_k double arithmetic, plus the exact count the
+    // verdict column compares against
+    "llm_kmv_distinct" ->
+      """WITH w AS (
+           SELECT DISTINCT source,
+                  CAST(md5_number_lower(lower(word)) & 9223372036854775807
+                       AS BIGINT) AS h
+           FROM (SELECT source,
+                   unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                          q -> length(q) > 0)) AS word
+                 FROM documents)),
+         s AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM w),
+         kth AS (SELECT source,
+                   max(CASE WHEN rk <= least(128, cnt) THEN h END) AS kth_hash,
+                   max(cnt) AS distinct_exact
+                 FROM s GROUP BY 1),
+         est AS (SELECT source, CAST(distinct_exact AS BIGINT) AS distinct_exact,
+                   kth_hash,
+                   round(CASE WHEN distinct_exact >= 128
+                     THEN (127.0 * 9.223372036854776e18) / CAST(kth_hash AS DOUBLE)
+                     ELSE CAST(distinct_exact AS DOUBLE) END, 4) AS kmv_est
+                 FROM kth)
+         SELECT source, distinct_exact, kth_hash, kmv_est,
+                abs(kmv_est - CAST(distinct_exact AS DOUBLE))
+                  <= 0.25 * CAST(distinct_exact AS DOUBLE) AS ok
+         FROM est""",
     "llm_shuffle_deterministic" ->
       """WITH s AS (SELECT doc_id,
                            md5('train1:' || CAST(doc_id AS VARCHAR)) AS skey

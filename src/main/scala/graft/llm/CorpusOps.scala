@@ -850,6 +850,131 @@ object CorpusOps {
           .as("diversity"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group, checked
+    * against the exact count — the mergeable estimator for "how many
+    * distinct tokens/URLs does each source contribute" when the key set
+    * no longer fits a count-distinct shuffle (Bar-Yossef et al. 2002).
+    * Keeps the k smallest 63-bit md5 hashes of the group's distinct
+    * lowercased tokens; with the k-th smallest at `h_k` over the hash
+    * space `[0, 2^63)`, the estimate is `(k-1) · 2^63 / h_k` (exact
+    * count when fewer than k distinct values exist).
+    *
+    * Emits both the sketch estimate AND the exact distinct count plus an
+    * `ok` relative-error verdict (the [[quantileSketchCheck]] pattern:
+    * the oracle recomputes the exact side, so a sketch regression fails
+    * the hash compare). The 100 TB path keeps ONLY the sketch columns:
+    * the bottom-k survives partial aggregation ([[graft.functions
+    * .BoundedTopK]]), so each partition ships ≤ k hashes per group and
+    * sketches of shards union by re-taking the bottom-k — no full
+    * distinct-key shuffle. Hash family is [[DedupOps.md5Lower63]], so
+    * any md5-capable engine replays the estimate bit-for-bit. */
+  def kmvDistinct(df: DataFrame, textCol: String, groupCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"kmvDistinct needs k >= 2, got $k")
+    val hashSchema = StructType(Seq(
+      StructField("__grp", StringType, nullable = true),
+      StructField("__h", LongType, nullable = false)))
+    val perHash = df.select(col(groupCol).cast(StringType), col(textCol))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val grp = r.getString(0)
+          tokensJvm(r.getString(1)).iterator
+            .map(w => Row(grp, DedupOps.md5Lower63Jvm(md, w)))
+        }
+      }(Encoders.row(hashSchema))
+      .groupBy(col("__grp").as(groupCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val packed = struct(col("__h"))
+    val twoPow63 = 9.223372036854776e18 // 2^63 as the nearest double
+    perHash.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("distinct_exact"),
+        graft.functions.BoundedTopK.sortedTopK(packed, Seq(true), k)
+          .as("__bot"))
+      .select(col(groupCol), col("distinct_exact"),
+        element_at(col("__bot"), size(col("__bot"))).getField("__h")
+          .as("kth_hash"))
+      .select(col(groupCol), col("distinct_exact"), col("kth_hash"),
+        round(when(col("distinct_exact") >= k,
+            lit((k - 1).toDouble * twoPow63) / col("kth_hash").cast(DoubleType))
+          .otherwise(col("distinct_exact").cast(DoubleType)), 4).as("kmv_est"))
+      .withColumn("ok",
+        abs(col("kmv_est") - col("distinct_exact").cast(DoubleType)) <=
+          lit(0.25) * col("distinct_exact").cast(DoubleType))
+  }
+
+  /** The quality feature VECTOR the logistic classifier consumes: bias,
+    * capped length score, punctuation/uppercase/digit/stopword ratios —
+    * [[TextOps.qualityFeatures]]'s raw signals, each rounded at 6 so both
+    * engines run gradient descent on bit-identical inputs. Column order is
+    * the weight order: (bias, len, punct, upper, digit, sw). */
+  def logRegFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val f = TextOps.qualityFeatures(col(textCol))
+    df.withColumn("x_bias", lit(1.0))
+      .withColumn("x_len",
+        round(least(f.nTokens.cast(DoubleType) / 100d, lit(1d)), 6))
+      .withColumn("x_punct", round(f.punctRatio, 6))
+      .withColumn("x_upper", round(f.upperRatio, 6))
+      .withColumn("x_digit", round(f.digitRatio, 6))
+      .withColumn("x_sw", round(f.stopwordRatio, 6))
+  }
+
+  /** Full-batch gradient-descent logistic regression — the trainable twin
+    * of [[nbTrainScore]]'s closed-form classifier (the fastText-style
+    * "quality classifier filtering" step, but with a real optimizer whose
+    * whole trajectory the oracle replays). Per round: one aggregation pass
+    * computes `Σ (σ(w·x) − y)·x_j` and the pre-update log-loss; the driver
+    * applies `w ← w − η·grad/n` and re-broadcasts the weights as literals.
+    *
+    * Determinism contract (the EM-round pattern): features arrive rounded
+    * at 6, weights are re-quantized at 9 after every update, loss reported
+    * at 4 — so the ~1-ulp `exp` differences between engines never survive
+    * a round. `w·x` is built left-associated in `xCols` order; the oracle
+    * must sum in the same order.
+    *
+    * Returns (one row per round: weights after the update + pre-update
+    * mean log-loss, final weight array). 100 TB shape: `rounds` passes
+    * over the train slice, each a map-side-combined aggregate collecting
+    * `|x|+2` doubles to the driver — no shuffle of rows, no feature
+    * matrix materialization. */
+  def logRegFit(train: DataFrame, xCols: Seq[String], yCol: String,
+      rounds: Int = 3, lr: Double = 1.0): (DataFrame, Array[Double]) = {
+    require(rounds >= 1 && xCols.nonEmpty)
+    val spark = train.sparkSession
+    val k = xCols.length
+    def q(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = Array.fill(k)(0.0)
+    val out = Array.newBuilder[org.apache.spark.sql.Row]
+    val y = col(yCol).cast(DoubleType)
+    for (r <- 1 to rounds) {
+      val z = xCols.zipWithIndex
+        .map { case (c, j) => lit(w(j)) * col(c) }.reduceLeft(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val aggs = xCols.map(c => sum((p - y) * col(c))) ++ Seq(
+        sum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))),
+        count(lit(1)).cast(DoubleType))
+      val row = train.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getDouble(k + 1)
+      require(n > 0, "logRegFit needs a non-empty train slice")
+      val loss = q(row.getDouble(k) / n, 4)
+      for (j <- 0 until k) w(j) = q(w(j) - lr * row.getDouble(j) / n, 9)
+      out += org.apache.spark.sql.Row.fromSeq(
+        r +: w.map(q(_, 6)).toSeq :+ loss)
+    }
+    val schema = StructType(StructField("round", IntegerType, false) +:
+      xCols.map(c => StructField("w_" + c.stripPrefix("x_"), DoubleType, false))
+        :+ StructField("loss", DoubleType, false))
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result().toIndexedSeq, 1), schema), w)
+  }
+
+  /** Score `df` with fitted logistic weights: `z = w·x` (left-assoc, same
+    * order as the fit), rounded at 6 — the input to accuracy/AUC evals. */
+  def logRegScore(xCols: Seq[String], w: Array[Double]): Column =
+    round(xCols.zipWithIndex.map { case (c, j) => lit(w(j)) * col(c) }
+      .reduceLeft(_ + _), 6)
+
   /** ROC-AUC by the Mann-Whitney rank-sum identity with MIDRANKS (the
     * tie-correct estimator):
     * `AUC = (Σ midrank(positives) − P(P+1)/2) / (P·N)` where

@@ -433,6 +433,71 @@ object DedupOps {
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split, with the leakage AUDIT that
+    * motivates it: hashing each document's dup-CLUSTER label (exact-dup ∪
+    * MinHash-LSH near-dup connected components, [[dedupNear]]'s pair
+    * machinery) into a split keeps every duplicate family inside one
+    * split, while the naive per-document hash split leaks near-duplicates
+    * of training docs into val/test — the benchmark-contamination failure
+    * mode a corpus release must measure, not assume away.
+    *
+    * Returns one row per split (`train`/`val`/`test`: buckets `0..7`/`8`/
+    * `9` of `md5Lower63("split:" || key) % 10`) with document counts under
+    * the cluster-keyed and the naive doc-keyed assignment, plus the
+    * corpus-wide count of duplicate pairs whose endpoints straddle splits
+    * under each scheme (`leaked_safe` is 0 by construction — the verdict
+    * column).
+    *
+    * 100 TB shape: everything rides [[dedupNear]]'s shuffles (digest-keyed
+    * exact pairs, banded LSH, O(log d) components); the split assignment
+    * is a pure column hash, the audit one join of the pair list against
+    * the per-doc split map, and the output is |splits| rows. */
+  def leakageSplit(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val g = df.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+    val reps = g.groupBy("h").agg(min("id").as("id_a"))
+    val exactPairs = g.join(reps, "h")
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+    val nearPairs = minhashLshMd5(df, textCol, idCol, shingleK, bands,
+        rowsPerBand, threshold)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+    val pairs = exactPairs.union(nearPairs)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct().localCheckpoint(true)
+    val labels = clustersLogD(pairs, "id_a", "id_b")
+    def splitOf(key: Column): Column = {
+      val b = pmod(md5Lower63(concat(lit("split:"), key.cast(StringType))),
+        lit(10L))
+      when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
+    }
+    val docs = df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .select(col("id"), splitOf(col("cluster")).as("safe_split"),
+        splitOf(col("id")).as("naive_split"))
+      .localCheckpoint(true)
+    val perSplit = docs.groupBy(col("safe_split").as("split"))
+      .agg(count(lit(1)).as("n_docs_safe"))
+      .join(docs.groupBy(col("naive_split").as("split"))
+        .agg(count(lit(1)).as("n_docs_naive")), Seq("split"), "full")
+      .select(col("split"), coalesce(col("n_docs_safe"), lit(0L)).as("n_docs_safe"),
+        coalesce(col("n_docs_naive"), lit(0L)).as("n_docs_naive"))
+    val a = docs.select(col("id").as("id_a"), col("safe_split").as("sa"),
+      col("naive_split").as("na"))
+    val b = docs.select(col("id").as("id_b"), col("safe_split").as("sb"),
+      col("naive_split").as("nb"))
+    val leaks = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .agg(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).as("leaked_naive"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("leaked_safe"))
+      .select(coalesce(col("leaked_naive"), lit(0L)).as("leaked_naive"),
+        coalesce(col("leaked_safe"), lit(0L)).as("leaked_safe"))
+    perSplit.crossJoin(broadcast(leaks))
+  }
+
   /** Connected components in O(log diameter) rounds: alternating
     * LARGE-STAR / SMALL-STAR edge rewrites (the MapReduce CC algorithm of
     * Kiveris et al., "Connected Components in MapReduce and Beyond") —

@@ -709,4 +709,73 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
     assert(r.getDouble(5) == 1.0)
   }
+
+  test("kmvDistinct: exact count below k, sketch estimate within bound above") {
+    // group "small": 3 distinct tokens (< k) -> estimate == exact
+    // group "big": 500 distinct tokens (> k=64) -> KMV estimate, ok bound
+    val small = Seq(("small", "a b c a b"))
+    val big = (0 until 10).map(i =>
+      ("big", (0 until 50).map(j => s"tok${i * 50 + j}").mkString(" ")))
+    val df = (small ++ big).toDF("source", "text")
+    val got = CorpusOps.kmvDistinct(df, "text", "source", k = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got("small")._1 == 3L)
+    assert(got("small")._2 == 3.0) // below k: estimate IS the exact count
+    assert(got("big")._1 == 500L)
+    assert(got("big")._3, s"KMV estimate ${got("big")._2} outside 25% of 500")
+    // the estimate is the (k-1)*2^63/h_k formula, not the exact count
+    assert(got("big")._2 != 500.0)
+  }
+
+  test("kmvDistinct: kth_hash is the k-th smallest distinct token hash") {
+    val df = Seq(("s", (0 until 100).map(i => s"w$i").mkString(" ")))
+      .toDF("source", "text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0 until 100)
+      .map(i => graft.llm.DedupOps.md5Lower63Jvm(md, s"w$i"))
+      .distinct.sorted.apply(15)
+    val r = CorpusOps.kmvDistinct(df, "text", "source", k = 16).head()
+    assert(r.getLong(2) == expected)
+  }
+
+  test("logRegFit: loss decreases and the fit separates a separable slice") {
+    // y = (x1 > 0.5), feature x1 informative, x2 noise-free constant
+    val rows = (0 until 200).map { i =>
+      val x1 = (i % 100) / 100.0
+      (1.0, math.rint(x1 * 1e6) / 1e6, x1 > 0.5)
+    }
+    val df = rows.toDF("x_bias", "x_one", "y")
+    val (roundsDf, w) = CorpusOps.logRegFit(df, Seq("x_bias", "x_one"), "y",
+      rounds = 4, lr = 2.0)
+    val out = roundsDf.collect()
+    assert(out.length == 4)
+    val losses = out.map(_.getDouble(3))
+    assert(losses.zip(losses.tail).forall { case (a, b) => b <= a },
+      s"loss not monotone: ${losses.mkString(",")}")
+    // the informative weight moved positive, and the score ranks
+    // positives above negatives on average
+    assert(w(1) > 0)
+    val scored = df.select(col("y"),
+      CorpusOps.logRegScore(Seq("x_bias", "x_one"), w).as("z"))
+      .groupBy("y").agg(avg("z").as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored(true) > scored(false))
+  }
+
+  test("logRegFit: weights are quantized at 9, output at 6") {
+    val df = Seq((1.0, 0.3, true), (1.0, 0.7, false)).toDF("b", "x", "y")
+    val (roundsDf, w) = CorpusOps.logRegFit(df, Seq("b", "x"), "y", rounds = 2)
+    w.foreach { v =>
+      assert(BigDecimal(v).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble == v)
+    }
+    roundsDf.collect().foreach { r =>
+      Seq(1, 2).foreach { j =>
+        val v = r.getDouble(j)
+        assert(BigDecimal(v).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble == v)
+      }
+    }
+  }
 }

@@ -186,4 +186,29 @@ class FunctionsSpec extends SparkSpec {
       .select(graft.llm.TextOps.normalizeText(col("s"))).head().getString(0)
     assert(norm == "a b\u00e9 c") // BEL gone, runs collapsed, NFC composed, trimmed
   }
+
+  test("leakageSplit: clusters never straddle splits; counts partition the corpus") {
+    // 20 unique docs + 3 exact-dup families + near-dup pair (shared text
+    // prefix) \u2014 enough dup pairs that SOME naive assignment differs
+    val uniq = (0L until 20L).map(i =>
+      (i, s"unique document number $i with filler words alpha beta $i"))
+    val dups = Seq(
+      (100L, "the same exact text family one"),
+      (101L, "the same exact text family one"),
+      (102L, "the same exact text family one"),
+      (200L, "another duplicated body of text two"),
+      (201L, "another duplicated body of text two"),
+      (300L, "third family shares every token here"),
+      (301L, "third family shares every token here"))
+    val df = (uniq ++ dups).toDF("doc_id", "text")
+    val got = graft.llm.DedupOps.leakageSplit(df, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4).collect()
+    val total = df.count()
+    assert(got.map(_.getLong(1)).sum == total) // safe counts partition
+    assert(got.map(_.getLong(2)).sum == total) // naive counts partition
+    // the verdict: cluster-keyed split leaks ZERO dup pairs
+    assert(got.forall(_.getLong(4) == 0L))
+    // all rows carry the same corpus-wide leak counters
+    assert(got.map(r => (r.getLong(3), r.getLong(4))).distinct.length == 1)
+  }
 }
