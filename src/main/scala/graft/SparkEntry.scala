@@ -2060,6 +2060,23 @@ object SparkEntry {
       tune(s)
       CorpusOps.kmvDistinct(t(s, dir, "documents"), "text", "source", 128)
     }),
+    // Count-Min sketch heavy hitters: per-partition local counter grids
+    // merged by elementwise sum (≤ depth·width longs cross per partition);
+    // the oracle rebuilds the identical md5 grid and re-answers every
+    // point query, plus the never-underestimates verdict column
+    "llm_cms_heavy" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.cmsHeavyHitters(t(s, dir, "documents"), "text",
+        depth = 4, width = 256, k = 20)
+    }),
+    // Efraimidis-Spirakis weighted sampling: ln(u)/w exponential keys with
+    // md5-derived u, top-k largest = an exact weighted sample; one
+    // shuffle-free scoring scan + the BoundedTopK partial agg
+    "llm_weighted_sample" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.weightedSample(t(s, dir, "documents"), "doc_id",
+        TextOps.tokenCount(col("text")), k = 25)
+    }),
     // tokenizer-eval fertility: per language, BPE tokens per word and
     // chars per token (the standard tokenizer-quality stats); encode is
     // the broadcast-rank greedy scan, the rollup one tiny-key groupBy
@@ -4951,6 +4968,51 @@ object SparkEntry {
                 abs(kmv_est - CAST(distinct_exact AS DOUBLE))
                   <= 0.25 * CAST(distinct_exact AS DOUBLE) AS ok
          FROM est""",
+    // rebuilds the identical depth×width md5 counter grid from exact token
+    // counts (sum is associative, so grid-from-counts == grid-from-stream),
+    // re-answers each top-k point query as min-over-seeds, and recomputes
+    // the one-sided guarantee verdict
+    "llm_cms_heavy" ->
+      """WITH tk AS (
+           SELECT lower(t.tok) AS token
+           FROM documents, unnest(list_filter(
+             regexp_split_to_array(trim(text), '\s+'),
+             x -> length(x) > 0)) AS t(tok)),
+         c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+         sk AS (SELECT s.seed,
+                  CAST(CAST(md5_number_lower(s.seed || ':' || c.token)
+                       & 9223372036854775807 AS BIGINT) % 256 AS INT)
+                    AS bucket,
+                  sum(cnt) AS counter
+                FROM c CROSS JOIN (SELECT unnest(range(4)) AS seed) s
+                GROUP BY 1, 2),
+         top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20),
+         est AS (SELECT top.token, top.cnt, min(sk.counter) AS cms_est
+                 FROM top CROSS JOIN (SELECT unnest(range(4)) AS seed) s
+                 JOIN sk ON sk.seed = s.seed AND sk.bucket =
+                   CAST(CAST(md5_number_lower(s.seed || ':' || top.token)
+                        & 9223372036854775807 AS BIGINT) % 256 AS INT)
+                 GROUP BY 1, 2)
+         SELECT token, CAST(cnt AS BIGINT) AS cnt,
+                CAST(cms_est AS BIGINT) AS cms_est, cms_est >= cnt AS ok
+         FROM est ORDER BY cnt DESC, token""",
+    // replays u = (md5low63('ws:'||id) mod 2^48 + 0.5)/2^48, the ln(u)/w
+    // exponential key rounded at 9, and the top-k-largest cutoff
+    "llm_weighted_sample" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text),
+                    '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (SELECT doc_id, n_tokens,
+                 round(ln((CAST(md5_number_lower('ws:' ||
+                       CAST(doc_id AS VARCHAR)) & 9223372036854775807
+                       AS BIGINT) % 281474976710656 + 0.5)
+                     / 281474976710656.0)
+                   / CAST(n_tokens AS DOUBLE), 9) AS key
+               FROM w WHERE n_tokens > 0)
+         SELECT doc_id, n_tokens, key
+         FROM s ORDER BY key DESC, doc_id LIMIT 25""",
     "llm_shuffle_deterministic" ->
       """WITH s AS (SELECT doc_id,
                            md5('train1:' || CAST(doc_id AS VARCHAR)) AS skey

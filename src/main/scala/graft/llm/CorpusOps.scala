@@ -903,6 +903,107 @@ object CorpusOps {
           lit(0.25) * col("distinct_exact").cast(DoubleType))
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) with the heavy-hitter
+    * point-query check: the mergeable frequency estimator for "how often
+    * does this token occur corpus-wide" when exact counts would shuffle the
+    * whole vocabulary. Each partition fills a LOCAL `depth × width` counter
+    * grid in one pass (no per-token rows leave the scan — ≤ depth·width
+    * longs per partition cross the exchange) and grids merge by elementwise
+    * sum, the sketch's defining property. Hash family is
+    * [[DedupOps.md5Lower63]] of `"<seed>:<token>"`, so any md5-capable
+    * engine rebuilds the identical grid.
+    *
+    * Output: the exact top-`k` tokens (count desc, token asc — skew-safe
+    * [[graft.functions.BoundedTopK]] candidates) with the exact count, the
+    * sketch's point estimate `min over seeds of grid[seed][bucket]`, and the
+    * `ok` verdict pinning CMS's one-sided guarantee (never underestimates).
+    * The exact side exists to VERIFY the sketch; the production path at
+    * 100 TB keeps only the grid + a candidate stream. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 256, k: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && k >= 1)
+    val gridSchema = StructType(Seq(
+      StructField("__seed", IntegerType, nullable = false),
+      StructField("__bucket", IntegerType, nullable = false),
+      StructField("__counter", LongType, nullable = false)))
+    val sketch = df.select(col(textCol)).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val acc = Array.fill(depth * width)(0L)
+      it.foreach { r =>
+        val toks = tokensJvm(r.getString(0))
+        var i = 0
+        while (i < toks.length) {
+          var s = 0
+          while (s < depth) {
+            acc(s * width +
+              (DedupOps.md5Lower63Jvm(md, s + ":" + toks(i)) % width).toInt) += 1
+            s += 1
+          }
+          i += 1
+        }
+      }
+      acc.iterator.zipWithIndex
+        .collect { case (c, i) if c > 0 => Row(i / width, i % width, c) }
+    }(Encoders.row(gridSchema))
+      .groupBy(col("__seed"), col("__bucket"))
+      .agg(sum(col("__counter")).as("__counter"))
+    val counts = df
+      .select(explode(transform(TextOps.tokens(col(textCol)), lower _))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = counts
+      .agg(graft.functions.BoundedTopK.sortedTopK(
+        struct(col("cnt"), col("token")), Seq(false, true), k).as("__top"))
+      .select(explode(col("__top")).as("__k"))
+      .select(col("__k.token").as("token"), col("__k.cnt").as("cnt"))
+    val seeds = df.sparkSession.range(depth)
+      .select(col("id").cast(IntegerType).as("__seed"))
+    top.crossJoin(broadcast(seeds))
+      .withColumn("__bucket",
+        pmod(DedupOps.md5Lower63(concat(col("__seed").cast(StringType),
+          lit(":"), col("token"))), lit(width.toLong)).cast(IntegerType))
+      .join(broadcast(sketch), Seq("__seed", "__bucket"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("__counter")).as("cms_est"))
+      .withColumn("ok", col("cms_est") >= col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * the exponential-keys "A-ES" scheme): every row gets the key
+    * `ln(u) / w` with `u ~ U(0,1)` and the `k` LARGEST keys form an exact
+    * weighted sample — the distributed primitive for "sample documents
+    * proportional to token count / quality weight" with no sequential
+    * reservoir. `u` derives from `md5Lower63("ws:" || id)` exactly like
+    * the DSIR Gumbel keys (`(h mod 2^48 + 0.5) / 2^48`), so the sample is
+    * deterministic and any md5 engine replays it; keys are rounded at 9 so
+    * 1-ulp `ln` differences between engines cannot reorder.
+    *
+    * 100 TB shape: one shuffle-free scoring scan, then the skew-safe
+    * [[graft.functions.BoundedTopK]] partial aggregate — ≤ k rows per
+    * partition cross, never a global sort. Rows with weight ≤ 0 are
+    * excluded (they cannot be sampled). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val twoPow48 = (1L << 48).toDouble
+    val u = (pmod(DedupOps.md5Lower63(
+        concat(lit("ws:"), col(idCol).cast(StringType))), lit(1L << 48))
+      .cast(DoubleType) + lit(0.5)) / lit(twoPow48)
+    val scored = df
+      .select(col(idCol), weight.cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("key",
+        round(log(u) / col("n_tokens").cast(DoubleType), 9))
+    scored
+      .agg(graft.functions.BoundedTopK.sortedTopK(
+        struct(col("key"), col(idCol), col("n_tokens")), Seq(false, true), k)
+        .as("__top"))
+      .select(explode(col("__top")).as("__k"))
+      .select(col(s"__k.$idCol").as(idCol),
+        col("__k.n_tokens").as("n_tokens"), col("__k.key").as("key"))
+  }
+
   /** The quality feature VECTOR the logistic classifier consumes: bias,
     * capped length score, punctuation/uppercase/digit/stopword ratios —
     * [[TextOps.qualityFeatures]]'s raw signals, each rounded at 6 so both

@@ -763,6 +763,70 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scored(true) > scored(false))
   }
 
+  test("cmsHeavyHitters: exact top-k, never underestimates, collisions overestimate") {
+    // "the" appears 30x, "cat" 10x, each fillerN once
+    val docs = (0 until 10).map(i =>
+      (s"the the the cat filler$i", i)) :+ (("unique tail words", 99))
+    val df = docs.toDF("text", "id").repartition(4)
+    val wide = CorpusOps.cmsHeavyHitters(df, "text", depth = 4,
+      width = 4096, k = 3).collect()
+    assert(wide.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("the", 30L), ("cat", 10L), ("filler0", 1L)))
+    // huge grid, 14 distinct tokens: no collisions -> estimates exact
+    assert(wide.forall(r => r.getLong(2) == r.getLong(1) && r.getBoolean(3)))
+    // width 2 forces collisions: still never underestimates, and the
+    // total mass argument makes at least one estimate strictly high
+    val tight = CorpusOps.cmsHeavyHitters(df, "text", depth = 2,
+      width = 2, k = 3).collect()
+    assert(tight.forall(r => r.getLong(2) >= r.getLong(1) && r.getBoolean(3)))
+    assert(tight.exists(r => r.getLong(2) > r.getLong(1)))
+  }
+
+  test("cmsHeavyHitters: grid merge across partitions matches single-partition build") {
+    val docs = (0 until 40).map(i => (s"alpha beta tok${i % 7}", i))
+    val df = docs.toDF("text", "id")
+    val a = CorpusOps.cmsHeavyHitters(df.repartition(8), "text", 4, 64, 5)
+      .collect().map(_.toSeq)
+    val b = CorpusOps.cmsHeavyHitters(df.coalesce(1), "text", 4, 64, 5)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("weightedSample: matches the brute-force exponential-key top-k") {
+    val rows = (1L to 100L).map(i => (i, ("w " * (i % 13 + 1).toInt).trim))
+    val df = rows.toDF("doc_id", "text")
+    val got = CorpusOps.weightedSample(df, "doc_id",
+      graft.llm.TextOps.tokenCount(col("text")), k = 10).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def q9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = rows.map { case (i, t) =>
+      val w = t.split(" ").length
+      val u = (graft.llm.DedupOps.md5Lower63Jvm(md, s"ws:$i") % (1L << 48) +
+        0.5) / (1L << 48).toDouble
+      (i, w.toLong, q9(math.log(u) / w))
+    }.sortBy { case (i, _, key) => (-key, i) }.take(10)
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      brute)
+    // keys descend and ARE the sample order
+    val keys = got.map(_.getDouble(2))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("weightedSample: weight-proportional inclusion and zero-weight exclusion") {
+    // one heavy doc (10000 tokens) among 50 single-token docs: the heavy
+    // doc's key ln(u)/10000 is ~10000x closer to 0 -> always sampled
+    val heavy = (1L, ("h " * 10000).trim)
+    val light = (2L to 51L).map(i => (i, "x"))
+    val empty = (100L, "   ")
+    val df = (heavy +: light :+ empty).toDF("doc_id", "text")
+    val got = CorpusOps.weightedSample(df, "doc_id",
+      graft.llm.TextOps.tokenCount(col("text")), k = 5).collect()
+    assert(got.map(_.getLong(0)).contains(1L))
+    assert(!got.map(_.getLong(0)).contains(100L)) // weight 0 excluded
+    assert(got.length == 5)
+  }
+
   test("logRegFit: weights are quantized at 9, output at 6") {
     val df = Seq((1.0, 0.3, true), (1.0, 0.7, false)).toDF("b", "x", "y")
     val (roundsDf, w) = CorpusOps.logRegFit(df, Seq("b", "x"), "y", rounds = 2)

@@ -457,6 +457,33 @@ class PlanSpec extends SparkSpec {
       s"unigram encode must not shuffle:\n$pUm")
   }
 
+  test("weightedSample: partial top-k before one exchange, no global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.CorpusOps.weightedSample(docs, "doc_id",
+      graft.llm.TextOps.tokenCount(org.apache.spark.sql.functions.col("text")),
+      10))
+    // scoring is scan-local; only BoundedTopK partials (≤ k rows per
+    // partition) reach the single final-agg exchange
+    assert(!p.contains("Sort "), s"no global sort:\n$p")
+    // tree prints top-down: final agg, ONE exchange, partial agg below it
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exchange = p.indexOf("Exchange")
+    val partial = p.indexOf("ObjectHashAggregate", exchange)
+    assert(firstAgg >= 0 && exchange > firstAgg && partial > exchange,
+      s"partial top-k must run below the exchange:\n$p")
+  }
+
+  test("cmsHeavyHitters: sketch and candidates join as broadcasts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.llm.CorpusOps.cmsHeavyHitters(docs, "text", 4, 64, 5))
+    // the depth×width grid and the seed spine are both tiny by
+    // construction — the point-query join must never shuffle them
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"sketch point queries must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join in the point-query path:\n$p")
+  }
+
   test("sourceOverlap shuffles md5 digests, never gram text") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.llm.CorpusOps.sourceOverlap(docs, "text", "source", 5))
