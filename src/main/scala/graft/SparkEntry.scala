@@ -1360,6 +1360,20 @@ object SparkEntry {
       DedupOps.leakageSplit(t(s, dir, "documents"), "text", "doc_id",
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
     }),
+    // incremental dedup: the doc_id%3==2 slice arrives as a NEW shard
+    // against the rest as the cleaned reference index — per new doc the
+    // exact-digest verdict, the banded-LSH + exact-Jaccard near verdict,
+    // and keep; the oracle replays both corpora's digests, signatures,
+    // buckets and verifications end to end
+    "llm_dedup_incremental" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      DedupOps.dedupIncremental(
+        docs.filter(col("doc_id") % 3 === 2),
+        docs.filter(col("doc_id") % 3 =!= 2),
+        "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
+    }),
     // cross-engine-reproducible MinHash: the DuckDB oracle replays the WHOLE
     // LSH pipeline (md5 hash family, banding, candidates, jaccard verify)
     "llm_minhash_md5" -> ((s, dir) => {
@@ -3142,6 +3156,73 @@ object SparkEntry {
                 CAST(ps.n_docs_naive AS BIGINT) AS n_docs_naive,
                 lk.leaked_naive, lk.leaked_safe
          FROM ps CROSS JOIN lk""",
+    // replays the new shard vs reference-index verdicts: digests, per-side
+    // distinct-text shingles, 32-seed md5 minhash signatures, band buckets,
+    // the cross-corpus candidate join and the exact-Jaccard verification
+    "llm_dedup_incremental" ->
+      """WITH nd AS (SELECT doc_id, text, md5(text) AS h
+                     FROM documents WHERE doc_id % 3 = 2),
+         rd AS (SELECT text, md5(text) AS h
+                FROM documents WHERE doc_id % 3 <> 2),
+         nt AS (SELECT h, min(text) AS text FROM nd GROUP BY h),
+         rt AS (SELECT h, min(text) AS text FROM rd GROUP BY h),
+         ns AS MATERIALIZED (
+           SELECT h, sh FROM (
+             SELECT h, CASE WHEN len(toks) >= 3 THEN
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+               WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+               ELSE [] END AS sh
+             FROM (SELECT h,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                 '\s+'), x -> length(x) > 0) AS toks
+                   FROM nt))
+           WHERE len(sh) > 0),
+         rs AS MATERIALIZED (
+           SELECT h, sh FROM (
+             SELECT h, CASE WHEN len(toks) >= 3 THEN
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+               WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+               ELSE [] END AS sh
+             FROM (SELECT h,
+                     list_filter(regexp_split_to_array(trim(lower(text)),
+                                 '\s+'), x -> length(x) > 0) AS toks
+                   FROM rt))
+           WHERE len(sh) > 0),
+         nm AS (SELECT e.h, sd.seed,
+                  min(CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                       & 9223372036854775807 AS BIGINT)) AS minh
+                FROM (SELECT h, unnest(sh) AS shingle FROM ns) e
+                CROSS JOIN (SELECT unnest(range(32)) AS seed) sd
+                GROUP BY 1, 2),
+         rm AS (SELECT e.h, sd.seed,
+                  min(CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                       & 9223372036854775807 AS BIGINT)) AS minh
+                FROM (SELECT h, unnest(sh) AS shingle FROM rs) e
+                CROSS JOIN (SELECT unnest(range(32)) AS seed) sd
+                GROUP BY 1, 2),
+         nb AS (SELECT h, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM nm GROUP BY h, seed // 4),
+         rb AS (SELECT h, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM rm GROUP BY h, seed // 4),
+         cand AS (SELECT DISTINCT nb.h AS ha, rb.h AS hb
+                  FROM nb JOIN rb
+                    ON nb.band = rb.band AND nb.bucket = rb.bucket),
+         ver AS (SELECT DISTINCT c.ha AS h
+                 FROM cand c JOIN ns x ON x.h = c.ha JOIN rs y ON y.h = c.hb
+                 WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                             / len(list_distinct(x.sh || y.sh)), 6) >= 0.4),
+         ex AS (SELECT DISTINCT h FROM rd)
+         SELECT n.doc_id, e.h IS NOT NULL AS exact_dup,
+                v.h IS NOT NULL AS near_dup,
+                (e.h IS NULL AND v.h IS NULL) AS keep
+         FROM nd n
+         LEFT JOIN ex e ON e.h = n.h
+         LEFT JOIN ver v ON v.h = n.h
+         ORDER BY n.doc_id""",
     "llm_minhash_md5" ->
       """WITH dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
          d AS (SELECT doc,

@@ -433,6 +433,70 @@ object DedupOps {
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
+  /** Incremental (cross-corpus) dedup: the verdict a NEW shard gets against
+    * an already-cleaned reference corpus — the arrival-time form of dedup a
+    * continuously-ingesting pipeline runs, where the reference's digests and
+    * LSH band buckets are a precomputed INDEX and only the new shard is
+    * hashed fresh. Per new document: `exact_dup` (its md5 digest exists in
+    * the reference), `near_dup` (a shared MinHash band bucket with a
+    * reference doc verified at exact shingle-Jaccard ≥ `threshold` — an
+    * exact duplicate therefore also flags near), and `keep` (neither).
+    *
+    * Hash family is the cross-engine-reproducible md5 one
+    * ([[minhashLshMd5]]), so an external auditor replays every verdict.
+    * Scale shape: digests and band buckets join keyed on 16-byte md5s /
+    * band strings, never text; both sides collapse exact-duplicate texts
+    * before shingling (verdicts fan back out over the digest); the
+    * reference side is corpus-sized so no broadcast hint — AQE decides. */
+  def dedupIncremental(newDf: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String, shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def reps(df: DataFrame): DataFrame = df
+      .select(md5(col(textCol)).as("__dig"), col(textCol).as("__text"))
+      .dropDuplicates("__dig")
+      .select(col("__dig"), shingles(col("__text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def banded(repsDf: DataFrame): DataFrame = repsDf
+      .select(col("__dig"), explode(col("sh")).as("shingle"))
+      .groupBy("__dig")
+      .agg(graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes)
+        .as("sig"))
+      .select(col("__dig"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws(",", transform(
+            slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
+            x => x.cast(StringType)))): _*))
+          .as(Seq("band", "bucket")))
+    val newReps = reps(newDf)
+    val refReps = reps(refDf)
+    val cands = banded(newReps)
+      .join(banded(refReps)
+        .withColumnRenamed("__dig", "__rdig"), Seq("band", "bucket"))
+      .select("__dig", "__rdig").dropDuplicates("__dig", "__rdig")
+    val nearDigs = cands
+      .join(newReps.select(col("__dig"), col("sh").as("sh_a")), "__dig")
+      .join(refReps.select(col("__dig").as("__rdig"), col("sh").as("sh_b")),
+        "__rdig")
+      .filter(round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6) >= threshold)
+      .select(col("__dig")).distinct()
+      .withColumn("__near", lit(true))
+    val refDigs = refDf.select(md5(col(textCol)).as("__dig")).distinct()
+      .withColumn("__exact", lit(true))
+    newDf.select(col(idCol).cast("long").as(idCol),
+        md5(col(textCol)).as("__dig"))
+      .join(refDigs, Seq("__dig"), "left")
+      .join(nearDigs, Seq("__dig"), "left")
+      .select(col(idCol),
+        coalesce(col("__exact"), lit(false)).as("exact_dup"),
+        coalesce(col("__near"), lit(false)).as("near_dup"))
+      .withColumn("keep", !(col("exact_dup") || col("near_dup")))
+      .orderBy(idCol)
+  }
+
   /** Leakage-safe train/val/test split, with the leakage AUDIT that
     * motivates it: hashing each document's dup-CLUSTER label (exact-dup ∪
     * MinHash-LSH near-dup connected components, [[dedupNear]]'s pair

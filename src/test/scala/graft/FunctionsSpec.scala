@@ -187,6 +187,34 @@ class FunctionsSpec extends SparkSpec {
     assert(norm == "a b\u00e9 c") // BEL gone, runs collapsed, NFC composed, trimmed
   }
 
+  test("dedupIncremental: exact, near, and keep verdicts against a reference index") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different reference content about databases here"),
+      (3L, "another unrelated reference doc with its own words")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // exact copy of ref 1 -> exact_dup AND near_dup (identical buckets)
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      // near copy of ref 1 (one word changed) -> near only
+      (11L, "the quick brown fox jumps over the lazy cat today"),
+      // novel text -> keep
+      (12L, "entirely novel text that matches nothing in the index"),
+      // exact dup WITHIN the new shard only -> both keep (ref unseen)
+      (13L, "twin text inside the new shard"),
+      (14L, "twin text inside the new shard")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.DedupOps.dedupIncremental(fresh, ref, "text",
+        "doc_id", shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(10L) == ((true, true, false)))
+    assert(got(11L) == ((false, true, false)))
+    assert(got(12L) == ((false, false, true)))
+    assert(got(13L) == ((false, false, true)))
+    assert(got(14L) == ((false, false, true)))
+  }
+
   test("leakageSplit: clusters never straddle splits; counts partition the corpus") {
     // 20 unique docs + 3 exact-dup families + near-dup pair (shared text
     // prefix) \u2014 enough dup pairs that SOME naive assignment differs
