@@ -1823,6 +1823,15 @@ object SparkEntry {
       VectorOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         nClusters = 8, tau = 0.4)
     }),
+    // k-center greedy coreset selection (farthest-point sampling): 6
+    // rounds, incremental min-distance column, TakeOrdered argmax; the
+    // oracle replays seed pick + every argmax + every distance update as
+    // unrolled MATERIALIZED CTEs
+    "llm_kcenter" -> ((s, dir) => {
+      tune(s)
+      VectorOps.kCenterGreedy(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 6)
+    }),
     // REAL PCM sample decode: synthAv's WAV payload is the doc text's
     // UTF-8 bytes, so the oracle recomputes every integer-exact stat
     // (amplitudes, DC-removed crossings, per-frame energies) analytically
@@ -4603,6 +4612,45 @@ object SparkEntry {
                 CAST(len(b.toks) AS INT) AS n_tokens,
                 CAST(coalesce(cv.nrem, 0) AS INT) AS n_removed
          FROM b LEFT JOIN cv USING (doc_id)""",
+    // replays the full greedy trajectory: md5 seed pick, then per round
+    // the incremental min-distance update (inner-product identity,
+    // quantized at 6) and the (mind DESC, vec_id) argmax
+    "llm_kcenter" ->
+      ("""WITH u AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+              FROM embeddings),
+         v AS MATERIALIZED (SELECT vec_id, vv,
+                list_inner_product(vv, vv) AS sq FROM u),
+         c1 AS MATERIALIZED (
+           SELECT vec_id, vv, sq FROM (
+             SELECT vec_id, vv, sq,
+                    CAST(md5_number_lower('kc:' || CAST(vec_id AS VARCHAR))
+                         & 9223372036854775807 AS BIGINT) AS h
+             FROM v) ORDER BY h, vec_id LIMIT 1),
+         d1 AS MATERIALIZED (
+           SELECT p.vec_id, p.vv, p.sq,
+                  round(p.sq + c.sq - 2 * list_inner_product(p.vv, c.vv), 6)
+                    AS mind
+           FROM v p, c1 c)""" +
+        (2 to 6).map { r =>
+          s""",
+         c$r AS MATERIALIZED (SELECT vec_id, vv, sq, mind FROM d${r - 1}
+                 ORDER BY mind DESC, vec_id LIMIT 1),
+         d$r AS MATERIALIZED (
+           SELECT p.vec_id, p.vv, p.sq,
+                  least(p.mind, round(p.sq + c.sq
+                    - 2 * list_inner_product(p.vv, c.vv), 6)) AS mind
+           FROM d${r - 1} p, c$r c)"""
+        }.mkString +
+        """
+         SELECT * FROM (
+           SELECT 1 AS round, vec_id, 0.0 AS dist FROM c1""" +
+        (2 to 6).map { r =>
+          s"""
+           UNION ALL SELECT $r AS round, vec_id, mind AS dist FROM c$r"""
+        }.mkString +
+        """
+         ) ORDER BY round"""),
     "llm_semdedup" ->
       """WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
                     FROM embeddings),

@@ -582,6 +582,66 @@ object VectorOps {
     * whose cost is Σ|cluster|² — `nClusters` scales ~√N to bound it, and a
     * mega-cluster (the skew case) wants the same exact-dup pre-collapse
     * [[graft.llm.DedupOps.simhashNearDup]] uses before pairing. */
+  /** k-center greedy / farthest-point sampling (Gonzalez 1985) — the
+    * coreset SELECTION step of diversity-driven data curation: pick the
+    * vector farthest from everything picked so far, `k` times, so the
+    * selection 2-approximates the optimal covering radius. Distance is
+    * squared L2 via the inner-product identity `|p|² + |c|² − 2·p·c`
+    * (each term a [[dot]] — index-ordered double sums any engine
+    * replays), quantized at 6 before comparisons; ties break to the
+    * lowest id. The seed pick is the md5-lowest `"kc:" || id` (the
+    * [[semDedup]] convention).
+    *
+    * Returns `(round, vec_id, dist)` — `dist` is the point's min distance
+    * to the previously-selected set at the moment of selection (the
+    * covering radius trajectory; 0 for the seed).
+    *
+    * 100 TB shape: the min-distance column updates INCREMENTALLY (one new
+    * `least` term per round — O(k) dots per point total, not O(k²)),
+    * localCheckpointed per round like the connected-components loop;
+    * argmax is a TakeOrdered (never a global sort); selected vectors
+    * travel as broadcast literals (k·dim doubles). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast(LongType).as("vec_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .withColumn("__sq", dot(col("__v"), col("__v")))
+    def sqOf(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    val seedRow = base
+      .withColumn("__h", DedupOps.md5Lower63(
+        concat(lit("kc:"), col("vec_id").cast(StringType))))
+      .orderBy(col("__h"), col("vec_id")).limit(1).head()
+    var cVec = seedRow.getSeq[Double](1).toArray
+    val out = Array.newBuilder[Row]
+    out += Row(1, seedRow.getLong(0), 0.0)
+    def dist6(c: Array[Double]): Column =
+      round(col("__sq") + lit(sqOf(c)) - lit(2.0) * dot(col("__v"), lit(c)), 6)
+    var cur = base.withColumn("__mind", dist6(cVec)).localCheckpoint(true)
+    for (r <- 2 to k) {
+      val pick = cur.orderBy(col("__mind").desc, col("vec_id")).limit(1).head()
+      cVec = pick.getSeq[Double](1).toArray
+      out += Row(r, pick.getLong(0), pick.getDouble(3))
+      if (r < k) {
+        val prev = cur
+        cur = cur.withColumn("__mind", least(col("__mind"), dist6(cVec)))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("round", IntegerType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result().toIndexedSeq, 1), schema)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, tau: Double, seed: String = "semdedup",
       lloydIters: Int = 0): DataFrame = {

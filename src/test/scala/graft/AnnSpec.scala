@@ -218,4 +218,42 @@ class AnnSpec extends SparkSpec {
     // deterministic across runs
     assert(top1(4) == p4)
   }
+
+  test("kCenterGreedy: matches the brute-force farthest-point trajectory") {
+    import spark.implicits._
+    val pts = Seq(0.0, 1.0, 2.0, 100.0, 101.0, 50.0)
+    val df = pts.zipWithIndex
+      .map { case (x, i) => (i.toLong, Array(x.toFloat, 1f)) }
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.kCenterGreedy(df, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // brute-force replay with the same md5 seed, distance quantization,
+    // incremental min, and (mind desc, id asc) argmax
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vs = pts.map(x => Array(x.toFloat.toDouble, 1.0)).toArray
+    def sq(a: Array[Double]) = a.map(x => x * x).sum
+    def d6(a: Array[Double], b: Array[Double]) =
+      q6(sq(a) + sq(b) - 2.0 * a.zip(b).map { case (x, y) => x * y }.sum)
+    val seed = vs.indices
+      .minBy(i => (graft.llm.DedupOps.md5Lower63Jvm(md, s"kc:$i"), i))
+    var mind = vs.indices.map(i => d6(vs(i), vs(seed))).toArray
+    val expect = scala.collection.mutable.ArrayBuffer(
+      (1, seed.toLong, 0.0))
+    for (r <- 2 to 4) {
+      val pick = vs.indices.minBy(i => (-mind(i), i))
+      expect += ((r, pick.toLong, mind(pick)))
+      mind = vs.indices.map(i => math.min(mind(i), d6(vs(i), vs(pick))))
+        .toArray
+    }
+    assert(got.toSeq == expect.toSeq)
+    // covering-radius trajectory is non-increasing after the seed
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a })
+    // the two far clusters are covered within the first three picks
+    val first3 = got.take(3).map(_._2).toSet
+    assert(first3.exists(i => pts(i.toInt) <= 2.0) &&
+      first3.exists(i => pts(i.toInt) >= 100.0))
+  }
 }
