@@ -1172,6 +1172,13 @@ object SparkEntry {
       tune(s)
       CorpusOps.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // interpolated Kneser-Ney bigram scoring (absolute discount 0.75 +
+    // continuation-count backoff) — the oracle recomputes the discounted
+    // term, both N1+ tables, the type total and every per-doc mean
+    "llm_kn_lm" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.kneserNeyLogProb(t(s, dir, "documents"), "text", "doc_id")
+    }),
     // Naive-Bayes quality classifier (the GPT-3/LLaMA "classifier-based
     // filtering" step, fastText-shaped): trained on the doc_id%3 labeled
     // slice (label: lang='en'), applied to the whole corpus; closed-form
@@ -4317,6 +4324,36 @@ object SparkEntry {
            JOIN unic u1 ON u1.w = db.w1
            JOIN unic u2 ON u2.w = db.w2, tot)
          SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp2,
+                CAST(sum(tf) AS BIGINT) AS n_bigrams
+         FROM terms GROUP BY 1""",
+    "llm_kn_lm" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> length(t) > 0) AS toks
+           FROM documents),
+         bge AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+           FROM d),
+         bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bge),
+         docbg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg
+                   GROUP BY 1, 2, 3),
+         bgcnt AS (SELECT w1, w2, sum(tf) AS cb FROM docbg GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(cb) AS c1, count(*) AS n1fwd
+                 FROM bgcnt GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS n1back FROM bgcnt GROUP BY 1),
+         types AS (SELECT count(*) AS btypes FROM bgcnt),
+         terms AS (
+           SELECT db.doc_id, db.tf,
+             ln(greatest(CAST(bc.cb AS DOUBLE) - 0.75, 0.0) / cx.c1
+                + 0.75 * cx.n1fwd / cx.c1
+                  * (co.n1back / CAST(ty.btypes AS DOUBLE))) AS term
+           FROM docbg db
+           JOIN bgcnt bc USING (w1, w2)
+           JOIN ctx cx ON cx.w1 = db.w1
+           JOIN cont co ON co.w2 = db.w2, types ty)
+         SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp_kn,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
     "llm_nb_classify" -> nbScoreSql(

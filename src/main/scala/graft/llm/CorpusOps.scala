@@ -903,6 +903,55 @@ object CorpusOps {
           lit(0.25) * col("distinct_exact").cast(DoubleType))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, the
+    * Chen-Goodman formulation) — the standard n-gram LM the data-selection
+    * literature scores corpora with (e.g. Moore-Lewis filtering uses exactly
+    * this model class). Per bigram:
+    * `P(w|v) = max(c(v,w) − d, 0)/c(v) + d·N1+(v,·)/c(v) · N1+(·,w)/B`
+    * where `N1+(v,·)` counts distinct continuations of `v`, `N1+(·,w)`
+    * distinct contexts of `w`, and `B` the total bigram-type count — the
+    * continuation distribution that makes KN beat raw interpolation on
+    * "frequent only in one context" tokens. Self-scoring (train = score
+    * corpus), so every scored bigram has `c(v,w) ≥ 1` and no OOV branch is
+    * needed; returns per-doc mean KN log-prob (round 4) + bigram count.
+    *
+    * Scale: same shape as [[bigramLogProb]] — one bigram shuffle for the
+    * count tables, then score joins keyed on the bigram/unigram; the model
+    * tables are corpus-derived so no broadcast hints (AQE decides); the
+    * three global scalars (`B`) travel as a single-row broadcast. */
+  def kneserNeyLogProb(corpus: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val base = corpus.select(col(idCol), toks.as("__toks"))
+    val len = greatest(size(col("__toks")) - 1, lit(0))
+    val bg = base.select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), len), slice(col("__toks"), lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val docBg = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bgCnt = docBg.groupBy("w1", "w2").agg(sum("tf").as("cb"))
+    val ctx = bgCnt.groupBy("w1")
+      .agg(sum("cb").as("c1"), count(lit(1)).as("n1fwd"))
+    val cont = bgCnt.groupBy(col("w2")).agg(count(lit(1)).as("n1back"))
+    val types = bgCnt.agg(count(lit(1)).as("btypes"))
+    val d = lit(discount)
+    docBg
+      .join(bgCnt, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol), col("tf"),
+        log(greatest(col("cb").cast(DoubleType) - d, lit(0.0)) / col("c1") +
+          d * col("n1fwd") / col("c1") *
+            (col("n1back") / col("btypes").cast(DoubleType))).as("__term"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") * col("__term")) / sum(col("tf")), 4)
+          .as("avg_logp_kn"),
+        sum("tf").cast("long").as("n_bigrams"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) with the heavy-hitter
     * point-query check: the mergeable frequency estimator for "how often
     * does this token occur corpus-wide" when exact counts would shuffle the

@@ -710,6 +710,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("kneserNeyLogProb: hand-computed bigram model; full-vocab normalization") {
+    // corpus: "a b a b" and "a c"
+    // bgCnt (a,b)=2 (b,a)=1 (a,c)=1; ctx a:(c1=3,n1fwd=2) b:(1,1);
+    // cont a=1 b=1 c=1; B=3
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = CorpusOps.kneserNeyLogProb(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    // P(b|a) = 1.25/3 + .75*2/3*(1/3) = 0.5833; P(a|b) = .25 + .25 = 0.5
+    // doc1 = (2 ln 0.58333 + ln 0.5)/3 = -0.5904
+    assert(got(1L) == ((-0.5904, 3L)))
+    // P(c|a) = 0.25/3 + .75*2/3*(1/3) = 0.25 -> ln = -1.3863
+    assert(got(2L) == ((-1.3863, 1L)))
+    // KN is a proper distribution: sum over the FULL vocab of P(w|v) == 1
+    val vocab = Seq("a", "b", "c")
+    val cb = Map(("a", "b") -> 2.0, ("b", "a") -> 1.0, ("a", "c") -> 1.0)
+    val c1 = Map("a" -> 3.0, "b" -> 1.0)
+    val n1fwd = Map("a" -> 2.0, "b" -> 1.0)
+    val n1back = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    for (v <- Seq("a", "b")) {
+      val total = vocab.map { w =>
+        math.max(cb.getOrElse((v, w), 0.0) - 0.75, 0.0) / c1(v) +
+          0.75 * n1fwd(v) / c1(v) * (n1back(w) / 3.0)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context $v sums to $total")
+    }
+  }
+
   test("kmvDistinct: exact count below k, sketch estimate within bound above") {
     // group "small": 3 distinct tokens (< k) -> estimate == exact
     // group "big": 500 distinct tokens (> k=64) -> KMV estimate, ok bound
