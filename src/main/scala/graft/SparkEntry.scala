@@ -1179,6 +1179,17 @@ object SparkEntry {
       tune(s)
       CorpusOps.kneserNeyLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // the composed C4-style ingest funnel: rules -> langid -> exact dedup
+    // -> near dedup -> decontamination, one survivor count per stage; the
+    // oracle chains the stages' proven SQL fragments end to end
+    "llm_pipeline_funnel" -> ((s, dir) => {
+      tune(s)
+      val docs = t(s, dir, "documents")
+      CorpusOps.pipelineFunnel(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+    }),
     // Naive-Bayes quality classifier (the GPT-3/LLaMA "classifier-based
     // filtering" step, fastText-shaped): trained on the doc_id%3 labeled
     // slice (label: lang='en'), applied to the whole corpus; closed-form
@@ -4356,6 +4367,151 @@ object SparkEntry {
          SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp_kn,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
+    // chains the proven per-stage fragments: the gopher/C4 verdict, the
+    // stopword-score langid, min-id-per-digest, the exact+LSH connected
+    // components, and 8-gram decontamination — counting survivors per stage
+    "llm_pipeline_funnel" ->
+      """WITH RECURSIVE
+         corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         gb AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         t -> length(t) > 0) AS toks,
+             list_filter(regexp_split_to_array(text, '\n'),
+                         l -> length(trim(l)) > 0) AS lines
+           FROM corpus),
+         gf AS (
+           SELECT doc_id, text, len(toks) AS nw, len(lines) AS nl,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / len(toks) ELSE 0 END AS mwl,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '^\s*[-*•]'))) AS bullet_lines,
+             len(list_filter(lines,
+                 l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS ell_lines,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ells,
+             len(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_words
+           FROM gb),
+         r1 AS MATERIALIZED (
+           SELECT doc_id, text FROM gf
+           WHERE NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')
+             AND nw >= 50 AND nw <= 100000 AND mwl >= 3 AND mwl <= 10
+             AND (CASE WHEN nw > 0 THEN CAST(hashes + ells AS DOUBLE) / nw
+                       ELSE 0 END) <= 0.1
+             AND (CASE WHEN nl > 0 THEN CAST(bullet_lines AS DOUBLE) / nl
+                       ELSE 0 END) <= 0.9
+             AND (CASE WHEN nl > 0 THEN CAST(ell_lines AS DOUBLE) / nl
+                       ELSE 0 END) <= 0.3
+             AND (CASE WHEN nw > 0
+                       THEN CAST(alpha_words AS DOUBLE) / nw >= 0.8
+                       ELSE FALSE END)),
+         lt AS (
+           SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(text),
+               '\s+'), t -> length(t) > 0), t -> lower(t)) AS toks
+           FROM r1),
+         l2 AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','nicht','mit','ein','zu','den'], t))) AS INT) AS s_de,
+             CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS INT) AS s_en,
+             CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','y','de','que','es','un','para'], t))) AS INT) AS s_es,
+             CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','de','un','une','est','que','pour'], t))) AS INT) AS s_fr,
+             CAST(len(list_filter(toks, t -> list_contains(['il','la','che','di','e','un','una','per','non','sono'], t))) AS INT) AS s_it
+           FROM lt),
+         r2 AS MATERIALIZED (
+           SELECT r1.doc_id, r1.text
+           FROM r1 JOIN l2 ON l2.doc_id = r1.doc_id
+           WHERE greatest(s_de,s_en,s_es,s_fr,s_it) > 0
+             AND NOT s_de = greatest(s_de,s_en,s_es,s_fr,s_it)
+             AND s_en = greatest(s_de,s_en,s_es,s_fr,s_it)),
+         ex AS (SELECT min(doc_id) AS keep_id FROM r2 GROUP BY md5(text)),
+         r3 AS (SELECT doc_id FROM r2
+                WHERE doc_id IN (SELECT keep_id FROM ex)),
+         dt AS (SELECT min(doc_id) AS doc, text FROM r2 GROUP BY text),
+         dtk AS (SELECT doc,
+                   list_filter(regexp_split_to_array(trim(lower(text)),
+                               '\s+'), x -> length(x) > 0) AS toks
+                 FROM dt),
+         shl AS (SELECT doc,
+                  CASE WHEN len(toks) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+2], ' ')))
+                  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                  ELSE [] END AS sh
+                FROM dtk),
+         sn AS MATERIALIZED (SELECT doc, sh FROM shl WHERE len(sh) > 0),
+         he AS (SELECT e.doc, sd.seed,
+                  CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                       & 9223372036854775807 AS BIGINT) AS hv
+                FROM (SELECT doc, unnest(sh) AS shingle FROM sn) e
+                CROSS JOIN (SELECT unnest(range(32)) AS seed) sd),
+         mh AS (SELECT doc, seed, min(hv) AS minh FROM he GROUP BY 1, 2),
+         bk AS (SELECT doc, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM mh GROUP BY doc, seed // 4),
+         cp AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+                FROM bk a JOIN bk b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc < b.doc),
+         nearp AS (SELECT cp.id_a, cp.id_b
+                   FROM cp JOIN sn x ON x.doc = cp.id_a
+                           JOIN sn y ON y.doc = cp.id_b
+                   WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                           / len(list_distinct(x.sh || y.sh)), 6) >= 0.4),
+         exactp AS (SELECT r.id_a, g.doc_id AS id_b
+                    FROM (SELECT md5(text) AS hh, min(doc_id) AS id_a
+                          FROM r2 GROUP BY 1) r
+                    JOIN (SELECT doc_id, md5(text) AS hh FROM r2) g
+                      USING (hh)
+                    WHERE g.doc_id <> r.id_a),
+         prs AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                 FROM (SELECT id_a, id_b FROM nearp
+                       UNION ALL SELECT id_a, id_b FROM exactp)
+                 GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+         lbl AS (SELECT a AS id, a AS c FROM edges
+                 UNION
+                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b),
+         labels AS (SELECT id, min(c) AS cluster FROM lbl GROUP BY id),
+         r4 AS MATERIALIZED (
+           SELECT doc_id, text FROM r2
+           WHERE doc_id NOT IN
+             (SELECT id FROM labels WHERE cluster <> id)),
+         w8 AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)),
+                              '\s+'), t -> length(t) > 0) AS ws
+                FROM r4),
+         g8 AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1,
+                    greatest(len(ws) - 7, 0)),
+                    i -> array_to_string(ws[i:i+7], ' '))) AS gram
+                FROM w8),
+         wb AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(trim(lower(text)),
+                              '\s+'), t -> length(t) > 0) AS ws
+                FROM bench),
+         gb8 AS (SELECT DISTINCT
+                   unnest(list_transform(generate_series(1,
+                     greatest(len(ws) - 7, 0)),
+                     i -> array_to_string(ws[i:i+7], ' '))) AS gram
+                 FROM wb),
+         hits AS (SELECT DISTINCT g8.doc_id
+                  FROM g8 JOIN gb8 USING (gram)),
+         r5 AS (SELECT doc_id FROM r4
+                WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+         SELECT * FROM (
+           SELECT 0 AS step, 'raw' AS stage,
+                  (SELECT count(*) FROM corpus) AS docs
+           UNION ALL SELECT 1, 'rules', (SELECT count(*) FROM r1)
+           UNION ALL SELECT 2, 'lang_en', (SELECT count(*) FROM r2)
+           UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM r3)
+           UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM r4)
+           UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM r5)
+         ) ORDER BY step""",
     "llm_nb_classify" -> nbScoreSql(
       """SELECT doc_id, n_tokens, round(logit, 4) AS logit,
                 logit > 0 AS predicted

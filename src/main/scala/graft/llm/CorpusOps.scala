@@ -903,6 +903,65 @@ object CorpusOps {
           lit(0.25) * col("distinct_exact").cast(DoubleType))
   }
 
+  /** The composed C4-style pretraining ingest FUNNEL — the whole published
+    * cleaning recipe as ONE report: raw → C4+Gopher rule filter →
+    * language gate → exact dedup → near dedup (exact ∪ MinHash-LSH
+    * connected components) → benchmark decontamination, with the surviving
+    * document count after every stage. This is the integration proof that
+    * the individually-oracled stages compose: each row's count is what a
+    * user running the full recipe would keep.
+    *
+    * Stage semantics are EXACTLY the standalone ops'
+    * ([[graft.llm.TextOps.gopherC4Rules]], [[graft.llm.TextOps.langId]],
+    * min-id-per-digest, [[graft.llm.DedupOps.dedupNear]] md5Mode,
+    * [[decontaminate]] n=8), so the oracle replays the funnel by chaining
+    * their proven SQL fragments. The rule gate is the STRUCTURAL subset of
+    * the verdict columns (word count, mean word length, symbol/bullet/
+    * ellipsis, alpha ratio, lorem/brace) — the sentence-count and
+    * English-stopword rules are left to the per-rule report
+    * (`llm_gopher_c4`) because the English-stopword gate would subsume the
+    * language stage and sentence punctuation is corpus-dependent. Monotone
+    * by construction (each stage filters the previous); the near-dedup
+    * stage subsumes exact (a non-rep exact dup shares its component with a
+    * smaller id), so `near ≤ exact` always holds.
+    *
+    * Scale: the language/rules gates are shuffle-free scans; the funnel
+    * pays dedupNear's digest/band shuffles once over the (already gated)
+    * survivor set; the gated intermediate localCheckpoints because three
+    * stages reuse it. Counts are driver-side scalars — |stages| jobs. */
+  def pipelineFunnel(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val s1 = TextOps.gopherC4Rules(corpus, textCol)
+      .filter(Seq("g_wordcount_ok", "g_mwl_ok", "g_symbol_ok",
+        "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok", "c4_no_lorem",
+        "c4_no_brace").map(col).reduce(_ && _))
+      .select(col(idCol), col(textCol))
+    val s2 = s1.filter(TextOps.langId(col(textCol)) === "en")
+      .localCheckpoint(true)
+    val reps = s2.select(md5(col(textCol)).as("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+    val s3 = s2.join(reps, Seq(idCol), "left_semi")
+    val s4 = DedupOps.dedupNear(s2, textCol, idCol, shingleK = 3,
+        bands = 8, rowsPerBand = 4, threshold = 0.4, md5Mode = true)
+      .localCheckpoint(true)
+    val s5 = decontaminate(s4, bench, textCol, idCol, n = 8)
+      .filter(col("contaminated") === 0)
+    val rows = Seq(
+      Row(0, "raw", corpus.count()),
+      Row(1, "rules", s1.count()),
+      Row(2, "lang_en", s2.count()),
+      Row(3, "exact_dedup", s3.count()),
+      Row(4, "near_dedup", s4.count()),
+      Row(5, "decontaminated", s5.count()))
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("stage", StringType, nullable = false),
+      StructField("docs", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995, the
     * Chen-Goodman formulation) — the standard n-gram LM the data-selection
     * literature scores corpora with (e.g. Moore-Lewis filtering uses exactly

@@ -710,6 +710,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("pipelineFunnel: every stage drops exactly its construction") {
+    def passA(tag: String) = (1 to 5).map(i =>
+      s"the quick brown fox jumps over the lazy dog and then it runs back " +
+        s"home to rest $tag number$i.").mkString(" ")
+    val passB = (1 to 5).map(i =>
+      s"tall green trees stand near the quiet river and birds sing " +
+        s"morning songs above bright water verse$i.").mkString(" ")
+    // structurally clean but German-dominant: dropped at the LANG gate
+    val german = (1 to 5).map(i =>
+      "der die und das ist nicht mit ein zu den der die und das ist the " +
+        s"and wanderer bergwald nummer$i.").mkString(" ")
+    val corpus = Seq(
+      (1L, passA("alpha")),
+      (2L, passA("alpha")), // exact dup of 1
+      (3L, passA("alpha").replace("number5.", "number6.")), // near dup of 1
+      (4L, german), // dropped at the language gate
+      (5L, passB), // survives everything
+      (6L, "way too short to pass the word count gate") // dropped by rules
+    ).toDF("doc_id", "text")
+    // bench shares an 8-gram with passA only
+    val bench = Seq((100L,
+      "the quick brown fox jumps over the lazy dog and then"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.pipelineFunnel(corpus, bench, "text", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0, "raw", 6L), (1, "rules", 5L), (2, "lang_en", 4L),
+      (3, "exact_dedup", 3L), (4, "near_dedup", 2L),
+      (5, "decontaminated", 1L)))
+  }
+
   test("kneserNeyLogProb: hand-computed bigram model; full-vocab normalization") {
     // corpus: "a b a b" and "a c"
     // bgCnt (a,b)=2 (b,a)=1 (a,c)=1; ctx a:(c1=3,n1fwd=2) b:(1,1);
