@@ -1179,6 +1179,14 @@ object SparkEntry {
       tune(s)
       CorpusOps.kneserNeyLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // dataset-release manifest: md5 shard assignment + per-shard docs/
+    // tokens/chars and the order-independent exact digest-sum checksum;
+    // one tiny-key shuffle, everything map-side combined
+    "llm_export_manifest" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.exportManifest(t(s, dir, "documents"), "text", "doc_id",
+        nShards = 8)
+    }),
     // the composed C4-style ingest funnel: rules -> langid -> exact dedup
     // -> near dedup -> decontamination, one survivor count per stage; the
     // oracle chains the stages' proven SQL fragments end to end
@@ -4367,6 +4375,22 @@ object SparkEntry {
          SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp_kn,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
+    // replays shard hash, token/char counts, and the exact digest sum
+    "llm_export_manifest" ->
+      """WITH s AS (
+           SELECT CAST((md5_number_lower('shard:' || CAST(doc_id AS VARCHAR))
+                        & 9223372036854775807) % 8 AS INT) AS shard,
+                  CAST(len(list_filter(regexp_split_to_array(trim(text),
+                    '\s+'), t -> length(t) > 0)) AS BIGINT) AS t,
+                  CAST(length(text) AS BIGINT) AS c,
+                  CAST(md5_number_lower(text) & 9223372036854775807
+                       AS BIGINT) AS d
+           FROM documents)
+         SELECT shard, CAST(count(*) AS BIGINT) AS docs,
+                CAST(sum(t) AS BIGINT) AS tokens,
+                CAST(sum(c) AS BIGINT) AS chars,
+                CAST(CAST(sum(d) AS HUGEINT) AS VARCHAR) AS digest_sum
+         FROM s GROUP BY shard ORDER BY shard""",
     // chains the proven per-stage fragments: the gopher/C4 verdict, the
     // stopword-score langid, min-id-per-digest, the exact+LSH connected
     // components, and 8-gram decontamination — counting survivors per stage

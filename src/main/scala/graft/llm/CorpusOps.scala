@@ -903,6 +903,36 @@ object CorpusOps {
           lit(0.25) * col("distinct_exact").cast(DoubleType))
   }
 
+  /** Dataset-release manifest: deterministic shard assignment (md5 of
+    * `"shard:" || id` mod `nShards`) plus the per-shard stats a published
+    * corpus ships — document/token/char counts and an ORDER-INDEPENDENT
+    * content checksum (the exact sum of the shards' 63-bit text digests as
+    * DECIMAL(38,0), so it merges across partials, never overflows, and any
+    * md5-capable engine re-derives it). A consumer re-downloads a shard,
+    * recomputes four aggregates, and knows bit-level integrity.
+    *
+    * 100 TB shape: one shuffle keyed by the (tiny-cardinality) shard id,
+    * everything map-side combined; no digest list is ever collected — the
+    * checksum is a plain sum, so shard-level state is O(1). */
+  def exportManifest(df: DataFrame, textCol: String, idCol: String,
+      nShards: Int = 8): DataFrame = {
+    require(nShards >= 1)
+    val shard = pmod(DedupOps.md5Lower63(concat(lit("shard:"),
+      col(idCol).cast(StringType))), lit(nShards.toLong)).cast(IntegerType)
+    df.select(shard.as("shard"),
+        TextOps.tokenCount(col(textCol)).cast(LongType).as("__t"),
+        length(col(textCol)).cast(LongType).as("__c"),
+        DedupOps.md5Lower63(col(textCol))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__d"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("__t")).as("tokens"),
+        sum(col("__c")).as("chars"),
+        // exact 128-bit-safe decimal sum, emitted as its decimal STRING so
+        // the cross-engine compare never coerces it through a double
+        sum(col("__d")).cast(StringType).as("digest_sum"))
+      .orderBy("shard")
+  }
+
   /** The composed C4-style pretraining ingest FUNNEL — the whole published
     * cleaning recipe as ONE report: raw → C4+Gopher rule filter →
     * language gate → exact dedup → near dedup (exact ∪ MinHash-LSH
@@ -932,12 +962,23 @@ object CorpusOps {
   def pipelineFunnel(corpus: DataFrame, bench: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val spark = corpus.sparkSession
-    val s1 = TextOps.gopherC4Rules(corpus, textCol)
-      .filter(Seq("g_wordcount_ok", "g_mwl_ok", "g_symbol_ok",
+    // the rule + language verdicts come from ONE flagging expression: the
+    // raw/rules/lang counts are a single aggregate pass over it, and the
+    // gated survivor set a second filtered pass whose (much smaller)
+    // output checkpoints for the three later stages — nothing failing the
+    // gates is ever materialized
+    val flagged = TextOps.gopherC4Rules(corpus, textCol)
+      .withColumn("__r", Seq("g_wordcount_ok", "g_mwl_ok", "g_symbol_ok",
         "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok", "c4_no_lorem",
         "c4_no_brace").map(col).reduce(_ && _))
+      .withColumn("__l", TextOps.langId(col(textCol)) === "en")
+      .select(col(idCol), col(textCol), col("__r"), col("__l"))
+    val head = flagged.agg(count(lit(1)).as("n0"),
+      coalesce(sum(when(col("__r"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("__r") && col("__l"), 1L).otherwise(0L)),
+        lit(0L)).as("n2")).head()
+    val s2 = flagged.filter(col("__r") && col("__l"))
       .select(col(idCol), col(textCol))
-    val s2 = s1.filter(TextOps.langId(col(textCol)) === "en")
       .localCheckpoint(true)
     val reps = s2.select(md5(col(textCol)).as("__h"), col(idCol))
       .groupBy("__h").agg(min(col(idCol)).as(idCol))
@@ -948,9 +989,9 @@ object CorpusOps {
     val s5 = decontaminate(s4, bench, textCol, idCol, n = 8)
       .filter(col("contaminated") === 0)
     val rows = Seq(
-      Row(0, "raw", corpus.count()),
-      Row(1, "rules", s1.count()),
-      Row(2, "lang_en", s2.count()),
+      Row(0, "raw", head.getLong(0)),
+      Row(1, "rules", head.getLong(1)),
+      Row(2, "lang_en", head.getLong(2)),
       Row(3, "exact_dedup", s3.count()),
       Row(4, "near_dedup", s4.count()),
       Row(5, "decontaminated", s5.count()))

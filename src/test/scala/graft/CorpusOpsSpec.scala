@@ -710,6 +710,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("exportManifest: shards partition the corpus; checksum is order-independent") {
+    val df = (1L to 60L).map(i => (i, s"doc $i body with tokens " + "w " * (i % 5).toInt))
+      .toDF("doc_id", "text")
+    val a = CorpusOps.exportManifest(df, "text", "doc_id", 4).collect()
+    // shards partition: doc counts sum to the corpus
+    assert(a.map(_.getLong(1)).sum == 60L)
+    // shard assignment replays from the md5 hash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectShard0 = (1L to 60L).count(i =>
+      graft.llm.DedupOps.md5Lower63Jvm(md, s"shard:$i") % 4 == 0)
+    assert(a.find(_.getInt(0) == 0).get.getLong(1) == expectShard0)
+    // order/partitioning independence: same manifest after a repartition
+    val b = CorpusOps.exportManifest(df.repartition(7), "text", "doc_id", 4)
+      .collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // checksum really is the sum of per-doc digests
+    val d0 = (1L to 60L).filter(i =>
+        graft.llm.DedupOps.md5Lower63Jvm(md, s"shard:$i") % 4 == 0)
+      .map { i =>
+        val text = s"doc $i body with tokens " + "w " * (i % 5).toInt
+        BigInt(graft.llm.DedupOps.md5Lower63Jvm(md, text))
+      }.sum
+    assert(a.find(_.getInt(0) == 0).get.getString(4) == d0.toString)
+  }
+
   test("pipelineFunnel: every stage drops exactly its construction") {
     def passA(tag: String) = (1 to 5).map(i =>
       s"the quick brown fox jumps over the lazy dog and then it runs back " +
