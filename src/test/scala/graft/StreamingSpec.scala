@@ -622,4 +622,76 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L)._1 == Seq("[UNK]"))
     assert(got(2L)._3 == 1, "unigram UNKs the un-covered word")
   }
+
+  test("streaming near-dedup: bounded bucket state flags near-dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog and then it " +
+      "runs back home to rest quietly tonight"
+    val verdicts = graft.streaming.StreamingNearDedup.verdicts(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+    val q = verdicts.writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, base),
+        (2L, "a completely different document about rivers and trees"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (one word changed), an exact dup of
+      // doc 1, and a fresh unique doc
+      input.addData(
+        (3L, base.replace("quietly", "loudly")),
+        (4L, base),
+        (5L, "yet another unrelated body of text with novel words only"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_neardup")
+      .select("doc_id", "dup_of", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = got.groupBy(_._1)
+    // 3 and 4 are flagged against the batch-1 owner (doc 1); 2 and 5 never
+    assert(byDoc.keySet == Set(3L, 4L))
+    assert(got.forall(_._2 == 1L))
+    // the exact dup's signature estimate is 1.0 in every flagged band
+    assert(byDoc(4L).forall(_._3 == 1.0))
+    // the near dup estimates below 1 but at/above the threshold
+    assert(byDoc(3L).forall(v => v._3 >= 0.5 && v._3 < 1.0))
+  }
+
+  test("streaming near-dedup: bucket owners survive a checkpointed restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_ckpt")
+    val srcDir = dir.resolve("src").toString
+    val ckpt = dir.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val base = "the quick brown fox jumps over the lazy dog and then it " +
+      "runs back home to rest quietly tonight"
+    def write(n: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(s"$srcDir/batch$n")
+    def runOnce(): Seq[(Long, Long)] = {
+      val got = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(s"$srcDir/batch*")
+      val v = graft.streaming.StreamingNearDedup.verdicts(
+        stream, "text", "doc_id", 3, 8, 4, 0.5)
+      val q = v.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r => got += ((r.getLong(0), r.getLong(1))))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      got.toSeq.distinct
+    }
+    write(1, Seq((1L, base)))
+    assert(runOnce() == Seq.empty) // sole owner, nothing to flag
+    write(2, Seq((7L, base))) // exact dup arriving AFTER the restart
+    // the restarted query still knows doc 1 owns the buckets
+    assert(runOnce() == Seq((7L, 1L)))
+  }
 }
