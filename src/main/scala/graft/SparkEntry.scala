@@ -1849,6 +1849,15 @@ object SparkEntry {
       VectorOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         nClusters = 8, tau = 0.4)
     }),
+    // retrieval eval of the exact cosine ranking: per-query MRR and
+    // nDCG@5 with same-label vectors as the relevance set — the oracle
+    // replays the ranking (the cosine_topk chain) plus both metrics
+    "llm_retrieval_eval" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings")
+      VectorOps.retrievalEval(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") % 100 === 0), k = 5)
+    }),
     // k-center greedy coreset selection (farthest-point sampling): 6
     // rounds, incremental min-distance column, TakeOrdered argmax; the
     // oracle replays seed pick + every argmax + every distance update as
@@ -4829,6 +4838,57 @@ object SparkEntry {
                 CAST(len(b.toks) AS INT) AS n_tokens,
                 CAST(coalesce(cv.nrem, 0) AS INT) AS n_removed
          FROM b LEFT JOIN cv USING (doc_id)""",
+    // replays the cosine ranking, then MRR and the rank-ordered DCG fold
+    // with the min(R,k) ideal prefix
+    "llm_retrieval_eval" ->
+      """WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM n
+               WHERE vec_id % 100 = 0),
+         s AS (
+           SELECT q.query_id, c.vec_id AS nn_id,
+                  list_inner_product(c.v, q.qv) AS sim0
+           FROM n c, q WHERE c.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, nn_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim0 DESC, nn_id) AS rk
+           FROM s),
+         t AS (SELECT query_id, nn_id, rk FROM r WHERE rk <= 5),
+         lab AS (SELECT vec_id, label FROM embeddings),
+         tr AS (SELECT t.query_id, t.rk,
+                  CASE WHEN ql.label = nl.label THEN 1.0 ELSE 0.0 END AS rel,
+                  ql.label AS qlab
+                FROM t JOIN lab ql ON ql.vec_id = t.query_id
+                       JOIN lab nl ON nl.vec_id = t.nn_id),
+         cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+         pq AS (SELECT query_id, qlab,
+                  CAST(sum(rel) AS BIGINT) AS hits,
+                  min(CASE WHEN rel > 0 THEN rk END) AS first_rel,
+                  list_sum(list(rel / log2(rk + 1.0) ORDER BY rk)) AS dcg
+                FROM tr GROUP BY 1, 2),
+         m AS (SELECT pq.query_id,
+                 CAST(cnt.n - 1 AS BIGINT) AS n_rel, pq.hits,
+                 round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+                 pq.dcg,
+                 CASE WHEN cnt.n - 1 >= 1 THEN
+                   list_sum(list_transform(
+                     range(1, least(cnt.n - 1, 5) + 1),
+                     i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0)))
+                 ELSE 0.0 END AS idcg
+               FROM pq JOIN cnt ON cnt.label = pq.qlab)
+         SELECT query_id, n_rel, hits, mrr,
+                CASE WHEN idcg > 0 THEN round(dcg / idcg, 6)
+                     ELSE 0.0 END AS ndcg
+         FROM m ORDER BY query_id""",
     // replays the full greedy trajectory: md5 seed pick, then per round
     // the incremental min-distance update (inner-product identity,
     // quantized at 6) and the (mind DESC, vec_id) argmax

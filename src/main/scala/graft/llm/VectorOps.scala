@@ -582,6 +582,65 @@ object VectorOps {
     * whose cost is Σ|cluster|² — `nClusters` scales ~√N to bound it, and a
     * mega-cluster (the skew case) wants the same exact-dup pre-collapse
     * [[graft.llm.DedupOps.simhashNearDup]] uses before pairing. */
+  /** Retrieval-quality evaluation of the exact cosine ranking: MRR and
+    * nDCG@k per query, with same-label corpus vectors as the relevance
+    * set — the standard eval a retrieval/embedding pipeline reports
+    * (Järvelin & Kekäläinen 2002 for nDCG). Per query over the
+    * [[bruteTopK]] ranking: `hits` (relevant in the top k),
+    * `mrr = 1/rank` of the first relevant (0 when none), and
+    * `ndcg = DCG/IDCG` with binary gains `Σ rel_i / log2(i+1)` and the
+    * ideal prefix `min(R, k)`; `n_rel = R` is the query's total relevant
+    * corpus count. DCG folds the rank-sorted gain list left-to-right and
+    * rounds at 6, so any engine replays it exactly.
+    *
+    * Scale: rides bruteTopK's one corpus scan against the broadcast query
+    * set; the relevance join keys the (tiny) per-label count table; no new
+    * corpus shuffle. Swap any ANN ranking in for bruteTopK to eval an
+    * index — same metric plumbing. */
+  def retrievalEval(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val ranked = bruteTopK(corpus, idCol, vecCol,
+      queries.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("__lid"),
+      col(labelCol).as("__lab"))
+    val relRanked = ranked
+      .join(labels.select(col("__lid").as("query_id"),
+        col("__lab").as("__qlab")), Seq("query_id"))
+      .join(labels.select(col("__lid").as("nn_id"),
+        col("__lab").as("__nlab")), Seq("nn_id"))
+      .withColumn("__rel",
+        when(col("__qlab") === col("__nlab"), 1.0).otherwise(0.0))
+    // R: per-label corpus counts broadcast back to the queries (minus the
+    // query itself)
+    val labCnt = corpus.groupBy(col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__labn"))
+    val perQuery = relRanked.groupBy(col("query_id"), col("__qlab"))
+      .agg(
+        sum(col("__rel")).cast("long").as("hits"),
+        min(when(col("__rel") > 0, col("rank"))).as("__first"),
+        // rank-ordered exact DCG fold
+        aggregate(
+          transform(array_sort(collect_list(struct(col("rank"),
+            col("__rel")))), s => s.getField("__rel") /
+              log2(s.getField("rank") + lit(1.0))),
+          lit(0.0), (a, x) => a + x).as("__dcg"))
+    perQuery
+      .join(broadcast(labCnt), col("__qlab") === col("__lab"))
+      .withColumn("n_rel", (col("__labn") - 1).cast("long"))
+      .withColumn("mrr", round(coalesce(lit(1.0) /
+        col("__first").cast(DoubleType), lit(0.0)), 6))
+      // sequence(1, 0) DESCENDS in Spark (see wordNgrams) — guard n_rel=0
+      .withColumn("__idcg", when(col("n_rel") >= 1, aggregate(
+        sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+        lit(0.0), (a, i) => a + lit(1.0) / log2(i.cast(DoubleType) + lit(1.0))))
+        .otherwise(lit(0.0)))
+      .withColumn("ndcg", when(col("__idcg") > 0,
+        round(col("__dcg") / col("__idcg"), 6)).otherwise(lit(0.0)))
+      .select(col("query_id"), col("n_rel"), col("hits"), col("mrr"),
+        col("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** k-center greedy / farthest-point sampling (Gonzalez 1985) — the
     * coreset SELECTION step of diversity-driven data curation: pick the
     * vector farthest from everything picked so far, `k` times, so the

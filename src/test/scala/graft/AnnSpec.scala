@@ -219,6 +219,43 @@ class AnnSpec extends SparkSpec {
     assert(top1(4) == p4)
   }
 
+  test("retrievalEval: hand-computed MRR and nDCG on a planted ranking") {
+    import spark.implicits._
+    // query 0 at the origin-ish; neighbors engineered so the cosine order
+    // is 1, 2, 3 (monotonically farther); labels make ranks 1 and 3
+    // relevant -> MRR = 1, DCG = 1/log2(2) + 1/log2(4) = 1.5,
+    // R = 2 relevant in corpus -> IDCG = 1/log2(2) + 1/log2(3)
+    val rows = Seq(
+      (0L, Array(1f, 0f), 7),
+      (1L, Array(0.99f, 0.1f), 7), // rank 1, relevant
+      (2L, Array(0.9f, 0.3f), 8), // rank 2, not
+      (3L, Array(0.7f, 0.7f), 7) // rank 3, relevant
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.retrievalEval(rows, "vec_id", "embedding", "label",
+      rows.filter(col("vec_id") === 0), k = 3).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0)
+    val idcg = 1.0 + 1.0 / (math.log(3.0) / math.log(2.0))
+    val q6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == q6(1.5 / idcg))
+  }
+
+  test("retrievalEval: no relevant docs -> mrr 0 and ndcg 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(0.9f, 0.1f), 2),
+      (2L, Array(0.8f, 0.2f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.retrievalEval(rows, "vec_id", "embedding", "label",
+      rows.filter(col("vec_id") === 0), k = 2).head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+  }
+
   test("kCenterGreedy: matches the brute-force farthest-point trajectory") {
     import spark.implicits._
     val pts = Seq(0.0, 1.0, 2.0, 100.0, 101.0, 50.0)
