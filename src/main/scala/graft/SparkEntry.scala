@@ -1179,6 +1179,13 @@ object SparkEntry {
       tune(s)
       CorpusOps.kneserNeyLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // Flesch Reading Ease + Flesch-Kincaid grade: vowel-group syllable
+    // heuristic, fixed term order, shuffle-free scan; the oracle
+    // recomputes syllables, sentences and both scores per document
+    "llm_readability" -> ((s, dir) => {
+      tune(s)
+      TextOps.readability(t(s, dir, "documents"), "doc_id", "text")
+    }),
     // dataset-release manifest: md5 shard assignment + per-shard docs/
     // tokens/chars and the order-independent exact digest-sum checksum;
     // one tiny-key shuffle, everything map-side combined
@@ -4384,6 +4391,31 @@ object SparkEntry {
          SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp_kn,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
+    "llm_readability" ->
+      """WITH w AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> length(t) > 0) AS toks,
+             greatest(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                      s2 -> length(trim(s2)) > 0)), 1) AS ns
+           FROM documents),
+         f AS (SELECT doc_id, len(toks) AS nw, ns,
+                 CAST(coalesce(list_sum(list_transform(toks, t ->
+                   greatest(len(list_filter(
+                     string_split_regex(t, '[^aeiouy]+'),
+                     p -> length(p) > 0)), 1))), 0) AS BIGINT) AS nsyl
+               FROM w)
+         SELECT doc_id, CAST(nw AS INT) AS n_words,
+                CAST(ns AS INT) AS n_sentences, nsyl AS n_syllables,
+                CASE WHEN nw > 0 THEN
+                  round(206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns)
+                        - 84.6 * (CAST(nsyl AS DOUBLE) / nw), 4)
+                END AS fre,
+                CASE WHEN nw > 0 THEN
+                  round(0.39 * (CAST(nw AS DOUBLE) / ns)
+                        + 11.8 * (CAST(nsyl AS DOUBLE) / nw) - 15.59, 4)
+                END AS fk_grade
+         FROM f""",
     // replays shard hash, token/char counts, and the exact digest sum
     "llm_export_manifest" ->
       """WITH s AS (

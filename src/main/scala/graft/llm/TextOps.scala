@@ -182,6 +182,36 @@ object TextOps {
     *
     * Regex classes are spelled ASCII ([A-Za-z], explicit bullet chars) so
     * a DuckDB/RE2 oracle matches Java byte-for-byte. */
+  /** Flesch Reading Ease + Flesch-Kincaid grade (Kincaid et al. 1975) —
+    * the classic readability features a quality pipeline scores alongside
+    * the Gopher ratios. Syllables are the standard vowel-group heuristic:
+    * `[aeiouy]+` runs per lowercased word, floored at 1 per word;
+    * sentences are non-empty `[.!?]` splits floored at 1 for any non-empty
+    * doc. Pure shuffle-free column math; term order is fixed
+    * (left-associated) and outputs round at 4 so any engine replays the
+    * scores. Empty docs yield NULL scores. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val nw = size(toks)
+    val nsRaw = size(filter(split(col(textCol), "[.!?]"),
+      s => length(trim(s)) > 0))
+    val ns = greatest(nsRaw, lit(1))
+    val syl = aggregate(toks, lit(0L), (a, w) =>
+      a + greatest(size(filter(split(w, "[^aeiouy]+"),
+        p => length(p) > 0)), lit(1)).cast(LongType))
+    df.select(col(idCol), nw.as("n_words"), ns.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("fre", when(col("n_words") > 0, round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast(DoubleType) / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast(DoubleType) / col("n_words")),
+        4)))
+      .withColumn("fk_grade", when(col("n_words") > 0, round(
+        lit(0.39) * (col("n_words").cast(DoubleType) / col("n_sentences")) +
+          lit(11.8) * (col("n_syllables").cast(DoubleType) / col("n_words")) -
+          lit(15.59), 4)))
+  }
+
   def gopherC4Rules(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
     val toks = tokens(text)

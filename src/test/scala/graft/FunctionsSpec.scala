@@ -187,6 +187,26 @@ class FunctionsSpec extends SparkSpec {
     assert(norm == "a b\u00e9 c") // BEL gone, runs collapsed, NFC composed, trimmed
   }
 
+  test("readability: hand-computed syllables, sentences, Flesch scores") {
+    // "the quick brown fox jumps. it runs away!" -> 8 words, 2 sentences
+    // syllables: the(1) quick(1: ui run) brown(1) fox(1) jumps.(1: u)
+    //   it(1) runs(1) away!(2: a, ay) = 9
+    val df = Seq((1L, "the quick brown fox jumps. it runs away!"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getInt(1) == 8 && r1.getInt(2) == 2 && r1.getLong(3) == 9)
+    def q4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getDouble(4) == q4(206.835 - 1.015 * (8.0 / 2) - 84.6 * (9.0 / 8)))
+    assert(r1.getDouble(5) == q4(0.39 * (8.0 / 2) + 11.8 * (9.0 / 8) - 15.59))
+    // empty doc: zero words, NULL scores, sentence floor at 1
+    val r2 = got(2L)
+    assert(r2.getInt(1) == 0 && r2.getInt(2) == 1 && r2.getLong(3) == 0)
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
   test("dedupIncremental: exact, near, and keep verdicts against a reference index") {
     val ref = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
