@@ -1179,6 +1179,15 @@ object SparkEntry {
       tune(s)
       CorpusOps.kneserNeyLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // Moore-Lewis cross-entropy-difference selection: in-domain (lang=en)
+    // vs general add-one unigram LMs over the shared vocab, top-25% by
+    // score via the distributed GlobalRank; the oracle replays counts,
+    // both smoothed models, every per-doc mean and the row_number cutoff
+    "llm_moore_lewis" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.mooreLewisSelect(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", keepFraction = 0.25)
+    }),
     // Flesch Reading Ease + Flesch-Kincaid grade: vowel-group syllable
     // heuristic, fixed term order, shuffle-free scan; the oracle
     // recomputes syllables, sentences and both scores per document
@@ -4391,6 +4400,36 @@ object SparkEntry {
          SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp_kn,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
+    "llm_moore_lewis" ->
+      """WITH tk AS (
+           SELECT doc_id, lang = 'en' AS ind, t.w AS w
+           FROM documents, unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             q -> length(q) > 0)) AS t(w)),
+         c AS (SELECT w, count(*) AS cg,
+                      sum(CASE WHEN ind THEN 1 ELSE 0 END) AS ci
+               FROM tk GROUP BY w),
+         tt AS (SELECT CAST(sum(cg) AS BIGINT) AS ng,
+                       CAST(sum(ci) AS BIGINT) AS ni,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM c),
+         d AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+         s AS (SELECT d.doc_id,
+                 round(sum(tf * ((ln(CAST(c.ci AS DOUBLE) + 1.0)
+                          - ln(CAST(tt.ni + tt.v AS DOUBLE)))
+                       - (ln(CAST(c.cg AS DOUBLE) + 1.0)
+                          - ln(CAST(tt.ng + tt.v AS DOUBLE)))))
+                   / sum(tf), 4) AS ml_score,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens
+               FROM d JOIN c USING (w), tt GROUP BY d.doc_id),
+         r AS (SELECT doc_id, n_tokens, ml_score,
+                 row_number() OVER (ORDER BY ml_score DESC, doc_id) AS rank
+               FROM s),
+         n AS (SELECT count(*) AS n FROM s)
+         SELECT doc_id, n_tokens, ml_score, rank,
+                rank <= greatest(1, CAST(floor(n.n * 0.25) AS BIGINT))
+                  AS selected
+         FROM r, n ORDER BY rank""",
     "llm_readability" ->
       """WITH w AS (
            SELECT doc_id,

@@ -903,6 +903,63 @@ object CorpusOps {
           lit(0.25) * col("distinct_exact").cast(DoubleType))
   }
 
+  /** Moore-Lewis data selection (Moore & Lewis 2010): score every corpus
+    * document by the cross-entropy DIFFERENCE between an in-domain unigram
+    * LM and the general-corpus LM — `score = mean_t [ log P_in(t) −
+    * log P_gen(t) ]` — and keep the top `keepFraction` by score (ties to
+    * the lower id). Both LMs are add-one smoothed over the SHARED global
+    * vocabulary (`P(t) = (c(t)+1)/(N+V)`), so in-domain-unseen tokens get
+    * the floor probability and every scored token is general-seen by
+    * construction. This is the real-vocabulary sibling of [[dsirSelect]]
+    * (which hashes the vocab to fixed buckets); here token identity is
+    * exact and the model tables are corpus-derived joins.
+    *
+    * Returns per-doc `(idCol, n_tokens, ml_score, rank, selected)`.
+    *
+    * Scale: one token shuffle builds both count tables (the in-domain side
+    * is a filtered aggregate of the same pass); scoring joins the vocab
+    * table unhinted (AQE broadcasts when small); the global rank uses the
+    * [[graft.functions.GlobalRank]] recipe — range partition + broadcast
+    * offsets, never an `Exchange SinglePartition`. */
+  def mooreLewisSelect(corpus: DataFrame, idCol: String, textCol: String,
+      inDomain: Column, keepFraction: Double = 0.25): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1)
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val base = corpus.select(col(idCol), inDomain.as("__in"), toks.as("__toks"))
+    val tok = base.select(col(idCol), col("__in"),
+      explode(col("__toks")).as("w"))
+    val counts = tok.groupBy("w").agg(
+      count(lit(1)).as("cg"),
+      coalesce(sum(when(col("__in"), 1L).otherwise(0L)), lit(0L)).as("ci"))
+    val tot = counts.agg(
+      sum("cg").as("ng"), sum("ci").as("ni"),
+      count(lit(1)).as("v")).head()
+    val (ng, ni, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val logDenomIn = math.log((ni + v).toDouble)
+    val logDenomGen = math.log((ng + v).toDouble)
+    val perDoc = tok.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .join(counts, Seq("w"))
+      .select(col(idCol), col("tf"),
+        ((log(col("ci").cast(DoubleType) + 1.0) - lit(logDenomIn)) -
+          (log(col("cg").cast(DoubleType) + 1.0) - lit(logDenomGen)))
+          .as("__term"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") * col("__term")) / sum(col("tf")), 4)
+          .as("ml_score"),
+        sum("tf").cast("long").as("n_tokens"))
+    // unique struct key (score desc via negation, id tiebreak) makes the
+    // distributed rank a row_number; the total rides GlobalRank's n column
+    val keyed = perDoc.withColumn("__mlkey",
+      struct((-col("ml_score")).as("k1"), col(idCol).as("k2")))
+    val ranked = graft.operators.GlobalRank.withRank(
+      keyed, "__mlkey", "rank", "__n")
+    ranked.select(col(idCol), col("n_tokens"), col("ml_score"), col("rank"),
+        (col("rank") <= greatest(lit(1L),
+          floor(col("__n") * keepFraction).cast("long"))).as("selected"))
+      .orderBy(col("rank"))
+  }
+
   /** Dataset-release manifest: deterministic shard assignment (md5 of
     * `"shard:" || id` mod `nShards`) plus the per-shard stats a published
     * corpus ships — document/token/char counts and an ORDER-INDEPENDENT

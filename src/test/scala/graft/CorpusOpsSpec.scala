@@ -710,6 +710,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("mooreLewisSelect: in-domain-like docs rank first; smoothing verified by hand") {
+    // in-domain docs speak "aaa bbb"; general noise speaks "xxx yyy"
+    val df = Seq(
+      (1L, "aaa bbb aaa", true), (2L, "aaa bbb bbb", true),
+      (3L, "xxx yyy xxx", false), (4L, "yyy xxx yyy", false),
+      (5L, "aaa bbb aaa", false) // out-of-domain text that LOOKS in-domain
+    ).toDF("doc_id", "text", "flag")
+    val got = CorpusOps.mooreLewisSelect(df, "doc_id", "text",
+      col("flag"), keepFraction = 0.4).collect()
+    // counts: aaa cg=5 ci=3, bbb cg=4 ci=3, xxx cg=3 ci=0, yyy cg=3 ci=0
+    // ng=15 ni=6 v=4 -> denomIn=10, denomGen=19
+    def term(ci: Long, cg: Long) =
+      (math.log(ci + 1.0) - math.log(10.0)) -
+        (math.log(cg + 1.0) - math.log(19.0))
+    def q4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sAaaBbb = q4((2 * term(3, 5) + 1 * term(3, 4)) / 3)
+    val byId = got.map(r => r.getLong(0) ->
+      ((r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(byId(1L)._1 == sAaaBbb && byId(5L)._1 == sAaaBbb)
+    // ranks: in-domain-speaking docs above noise; floor(5*0.4)=2 selected
+    assert(got.count(_.getBoolean(4)) == 2)
+    assert(byId(3L)._1 < sAaaBbb && byId(4L)._1 < sAaaBbb)
+    // tie on score breaks to the lower doc id
+    val tied = got.filter(_.getDouble(2) == sAaaBbb).map(_.getLong(0))
+    val ranks = got.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(tied.sorted.toSeq.sliding(2).forall {
+      case Seq(a, b) => ranks(a) < ranks(b)
+      case _ => true
+    })
+  }
+
   test("exportManifest: shards partition the corpus; checksum is order-independent") {
     val df = (1L to 60L).map(i => (i, s"doc $i body with tokens " + "w " * (i % 5).toInt))
       .toDF("doc_id", "text")
