@@ -1019,24 +1019,22 @@ object CorpusOps {
   def pipelineFunnel(corpus: DataFrame, bench: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val spark = corpus.sparkSession
-    // the rule + language verdicts come from ONE flagging expression: the
-    // raw/rules/lang counts are a single aggregate pass over it, and the
-    // gated survivor set a second filtered pass whose (much smaller)
-    // output checkpoints for the three later stages — nothing failing the
-    // gates is ever materialized
-    val flagged = TextOps.gopherC4Rules(corpus, textCol)
-      .withColumn("__r", Seq("g_wordcount_ok", "g_mwl_ok", "g_symbol_ok",
+    // the regex-heavy rule + language gates evaluate exactly ONCE: the
+    // checkpoint holds the rules-survivors with their langid flag, so the
+    // rules/lang counts are cheap scans of the checkpoint and the raw
+    // count comes straight from the source's metadata (parquet row
+    // groups) — nothing failing the rules gate is ever materialized
+    val s1cp = TextOps.gopherC4Rules(corpus, textCol)
+      .filter(Seq("g_wordcount_ok", "g_mwl_ok", "g_symbol_ok",
         "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok", "c4_no_lorem",
         "c4_no_brace").map(col).reduce(_ && _))
-      .withColumn("__l", TextOps.langId(col(textCol)) === "en")
-      .select(col(idCol), col(textCol), col("__r"), col("__l"))
-    val head = flagged.agg(count(lit(1)).as("n0"),
-      coalesce(sum(when(col("__r"), 1L).otherwise(0L)), lit(0L)).as("n1"),
-      coalesce(sum(when(col("__r") && col("__l"), 1L).otherwise(0L)),
-        lit(0L)).as("n2")).head()
-    val s2 = flagged.filter(col("__r") && col("__l"))
-      .select(col(idCol), col(textCol))
+      .select(col(idCol), col(textCol),
+        (TextOps.langId(col(textCol)) === "en").as("__l"))
       .localCheckpoint(true)
+    val n0 = corpus.count()
+    val n1 = s1cp.count()
+    val s2 = s1cp.filter(col("__l")).select(col(idCol), col(textCol))
+    val n2 = s2.count()
     val reps = s2.select(md5(col(textCol)).as("__h"), col(idCol))
       .groupBy("__h").agg(min(col(idCol)).as(idCol))
     val s3 = s2.join(reps, Seq(idCol), "left_semi")
@@ -1046,9 +1044,9 @@ object CorpusOps {
     val s5 = decontaminate(s4, bench, textCol, idCol, n = 8)
       .filter(col("contaminated") === 0)
     val rows = Seq(
-      Row(0, "raw", head.getLong(0)),
-      Row(1, "rules", head.getLong(1)),
-      Row(2, "lang_en", head.getLong(2)),
+      Row(0, "raw", n0),
+      Row(1, "rules", n1),
+      Row(2, "lang_en", n2),
       Row(3, "exact_dedup", s3.count()),
       Row(4, "near_dedup", s4.count()),
       Row(5, "decontaminated", s5.count()))
