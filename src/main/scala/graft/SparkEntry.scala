@@ -1179,6 +1179,13 @@ object SparkEntry {
       tune(s)
       CorpusOps.kneserNeyLogProb(t(s, dir, "documents"), "text", "doc_id")
     }),
+    // curriculum ordering: perplexity band then deterministic md5 shuffle
+    // within band, one global row_number via GlobalRank; the oracle
+    // replays the LM, the banding and the full position assignment
+    "llm_curriculum_order" -> ((s, dir) => {
+      tune(s)
+      CorpusOps.curriculumOrder(t(s, dir, "documents"), "text", "doc_id")
+    }),
     // Moore-Lewis cross-entropy-difference selection: in-domain (lang=en)
     // vs general add-one unigram LMs over the shared vocab, top-25% by
     // score via the distributed GlobalRank; the oracle replays counts,
@@ -4400,6 +4407,35 @@ object SparkEntry {
          SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp_kn,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
+    "llm_curriculum_order" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             t -> length(t) > 0)) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         uni AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM uni),
+         p AS (SELECT word, ln(CAST(cnt AS DOUBLE) / total) AS logp
+               FROM uni CROSS JOIN tot),
+         lp AS (SELECT tf.doc_id,
+                       round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp
+                FROM tf JOIN p USING (word) GROUP BY 1),
+         rk AS (SELECT doc_id, avg_logp,
+                       rank() OVER (ORDER BY -avg_logp ASC) AS r,
+                       count(*) OVER () AS n
+                FROM lp),
+         b AS (SELECT doc_id, round(exp(-avg_logp), 4) AS ppl,
+                      least(2, CAST(floor((r - 1) * 3.0 / n) AS BIGINT))
+                        AS band
+               FROM rk),
+         k AS (SELECT doc_id, ppl, band,
+                      CAST(md5_number_lower('cur:' || CAST(doc_id AS VARCHAR))
+                           & 9223372036854775807 AS BIGINT) AS ck
+               FROM b)
+         SELECT doc_id, CAST(band AS INT) AS band, ppl,
+                row_number() OVER (ORDER BY band, ck, doc_id) AS position
+         FROM k ORDER BY position""",
     "llm_moore_lewis" ->
       """WITH tk AS (
            SELECT doc_id, lang = 'en' AS ind, t.w AS w

@@ -903,6 +903,31 @@ object CorpusOps {
           lit(0.25) * col("distinct_exact").cast(DoubleType))
   }
 
+  /** Curriculum ordering for training: documents stream cleanest-first —
+    * band = the [[perplexityBuckets]] quality band (0 = lowest unigram
+    * perplexity), position = the global row number over `(band, md5("cur:"
+    * || id), id)` — so each band is internally shuffled by the
+    * [[deterministicShuffle]] recipe (md5 key, replayable anywhere) while
+    * bands emit in quality order. This is the "quality annealing" data
+    * order several pretraining recipes use between selection and packing.
+    *
+    * Scale: rides perplexityBuckets' scoring pass and one more
+    * [[graft.operators.GlobalRank]] over the unique struct key — range
+    * partition + broadcast offsets, never a single-partition window. */
+  def curriculumOrder(corpus: DataFrame, textCol: String, idCol: String,
+      nBands: Int = 3): DataFrame = {
+    val banded = perplexityBuckets(corpus, textCol, idCol, nBands)
+    val keyed = banded.withColumn("__ck",
+      struct(col("bucket").as("k1"),
+        DedupOps.md5Lower63(concat(lit("cur:"), col(idCol).cast(StringType)))
+          .as("k2"),
+        col(idCol).as("k3")))
+    graft.operators.GlobalRank.withRank(keyed, "__ck", "position", "__n")
+      .select(col(idCol), col("bucket").as("band"), col("ppl"),
+        col("position"))
+      .orderBy("position")
+  }
+
   /** Moore-Lewis data selection (Moore & Lewis 2010): score every corpus
     * document by the cross-entropy DIFFERENCE between an in-domain unigram
     * LM and the general-corpus LM — `score = mean_t [ log P_in(t) −

@@ -710,6 +710,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("curriculumOrder: bands emit in order, shuffled within, deterministic") {
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 10).map(j => s"w${(i * 7 + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = CorpusOps.curriculumOrder(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // positions are 1..n and unique
+    assert(a.map(_._3).sorted.toSeq == (1L to 30L).toSeq)
+    // band sequence is non-decreasing along positions
+    val bands = a.sortBy(_._3).map(_._2)
+    assert(bands.zip(bands.tail).forall { case (x, y) => x <= y })
+    // within a band the order is the md5 shuffle, not doc_id order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val band0 = a.filter(_._2 == bands.head).sortBy(_._3).map(_._1)
+    val expect0 = band0.sortBy(i =>
+      (graft.llm.DedupOps.md5Lower63Jvm(md, s"cur:$i"), i))
+    assert(band0.toSeq == expect0.toSeq)
+    // deterministic across physical layout
+    val b = CorpusOps.curriculumOrder(docs.repartition(7), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(a.sortBy(_._3).toSeq == b.sortBy(_._3).toSeq)
+  }
+
   test("mooreLewisSelect: in-domain-like docs rank first; smoothing verified by hand") {
     // in-domain docs speak "aaa bbb"; general noise speaks "xxx yyy"
     val df = Seq(
