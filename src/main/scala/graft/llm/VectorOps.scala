@@ -105,6 +105,47 @@ object VectorOps {
     * Lloyd scans then touch only the sample; assignment stays map-side over
     * the full corpus.
     */
+  /** argmin over centroid dot products (unit vectors: max dot = min L2). */
+  private def ivfBestLists(cents: Array[Array[Double]], v: Column,
+      n: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (ct, i) =>
+      struct((-dot(v, lit(ct))).as("d"), lit(i).as("list"))
+    }.toIndexedSeq: _*)
+    slice(array_sort(scored), 1, n)
+  }
+
+  /** Deterministic IVF quantizer training over normalized `(nn_id, __v)`
+    * rows: lowest-xxhash seed rows + `lloydIters` spherical Lloyd rounds
+    * (one aggregation job each). Shared by [[ivfTopK]] and [[ivfSave]]. */
+  private def ivfTrainCentroids(train: DataFrame, nLists: Int,
+      lloydIters: Int): Array[Array[Double]] = {
+    def normed(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 0) a.map(_ / n) else a
+    }
+    // deterministic pseudo-random seeds: the nLists lowest-hash train rows
+    // (orderBy+limit plans as TakeOrderedAndProject — per-partition top-N,
+    // no full sort)
+    var cents: Array[Array[Double]] = train
+      .orderBy(xxhash64(col("nn_id").cast(StringType)))
+      .limit(nLists).select("__v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until lloydIters) {
+      // one aggregation job per Lloyd step: mean per (list, dimension)
+      val means = train
+        .withColumn("list",
+          element_at(ivfBestLists(cents, col("__v"), 1), 1).getField("list"))
+        .select(col("list"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("list", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getAs[Int]("list"))(r.getAs[Int]("pos")) =
+        r.getAs[Double]("m"))
+      cents = next.map(normed) // spherical: centroids live on the unit sphere
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nLists: Int = 16, nProbe: Int = 2,
@@ -123,39 +164,8 @@ object VectorOps {
       else c0.filter(
         pmod(xxhash64(col("nn_id").cast(StringType)), lit(1000000)) <
           lit((trainFraction * 1000000).toLong))
-
-    def normed(a: Array[Double]): Array[Double] = {
-      val n = math.sqrt(a.map(x => x * x).sum)
-      if (n > 0) a.map(_ / n) else a
-    }
-    // deterministic pseudo-random seeds: the nLists lowest-hash train rows
-    // (orderBy+limit plans as TakeOrderedAndProject — per-partition top-N,
-    // no full sort)
-    var cents: Array[Array[Double]] = train
-      .orderBy(xxhash64(col("nn_id").cast(StringType)))
-      .limit(nLists).select("__v").collect()
-      .map(_.getSeq[Double](0).toArray)
-
-    // argmin over centroid dot products (unit vectors: max dot = min L2)
-    def bestLists(v: Column, n: Int): Column = {
-      val scored = array(cents.zipWithIndex.map { case (ct, i) =>
-        struct((-dot(v, lit(ct))).as("d"), lit(i).as("list"))
-      }.toIndexedSeq: _*)
-      slice(array_sort(scored), 1, n)
-    }
-
-    for (_ <- 0 until lloydIters) {
-      // one aggregation job per Lloyd step: mean per (list, dimension)
-      val means = train
-        .withColumn("list", element_at(bestLists(col("__v"), 1), 1).getField("list"))
-        .select(col("list"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy("list", "pos").agg(avg("x").as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r => next(r.getAs[Int]("list"))(r.getAs[Int]("pos")) =
-        r.getAs[Double]("m"))
-      cents = next.map(normed) // spherical: centroids live on the unit sphere
-    }
+    val cents = ivfTrainCentroids(train, nLists, lloydIters)
+    def bestLists(v: Column, n: Int): Column = ivfBestLists(cents, v, n)
     val c = c0.withColumn("list",
       element_at(bestLists(col("__v"), 1), 1).getField("list"))
     val q = queries.select(col(qIdCol).as("query_id"),
@@ -169,6 +179,64 @@ object VectorOps {
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nn_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Persist an IVF index: normalized vectors written as parquet
+    * PARTITIONED BY inverted-list id (so serving scans only probed
+    * lists via partition pruning), plus the trained centroids. The
+    * build-once/serve-many separation a production ANN deployment needs —
+    * at 100 TB the index is built by one job and queried by many, and
+    * each query's IO is `nProbe/nLists` of the corpus, not a full scan.
+    * Same deterministic trainer as [[ivfTopK]]. */
+  def ivfSave(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, lloydIters: Int = 2): Unit = {
+    val c0 = corpus.select(col(idCol).as("nn_id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ivfTrainCentroids(c0, nLists, lloydIters)
+    c0.withColumn("list",
+        element_at(ivfBestLists(cents, col("__v"), 1), 1).getField("list"))
+      .select(col("nn_id"), col("__v").as("vec"), col("list"))
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$path/index")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("list", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    c0.unpersist()
+  }
+
+  /** Serve top-k cosine queries from a saved [[ivfSave]] index: load the
+    * (tiny) centroid table, compute each query's `nProbe` lists, and read
+    * ONLY those partitions of the index — `.explain` shows the list
+    * filter as a PartitionFilter, so the scan touches `nProbe/nLists` of
+    * the data. Scoring is the same broadcast-query join as [[ivfTopK]];
+    * results are identical to the inline operator for the same
+    * parameters (spec-pinned). */
+  def ivfServe(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val cents: Array[Array[Double]] = spark.read
+      .parquet(s"$path/centroids").orderBy("list")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val q = queries.select(col(qIdCol).as("query_id"),
+      normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+      .withColumn("list", explode(transform(
+        ivfBestLists(cents, col("__q"), nProbe), e => e.getField("list"))))
+    val probed = q.select("list").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(s"$path/index")
+      .filter(col("list").isin(probed: _*))
+    val joined = idx.join(broadcast(q), Seq("list"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("vec"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
   }
 
   /** Product-quantization ANN (the IVF-PQ family's compression half,

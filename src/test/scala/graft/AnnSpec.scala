@@ -219,6 +219,24 @@ class AnnSpec extends SparkSpec {
     assert(top1(4) == p4)
   }
 
+  test("ivfSave/ivfServe: served results equal inline ivfTopK; scan is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    VectorOps.ivfSave(emb, "vec_id", "embedding", dir,
+      nLists = 8, lloydIters = 2)
+    val served = VectorOps.ivfServe(spark, dir, qs, "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    val inline = VectorOps.ivfTopK(emb, "vec_id", "embedding", qs,
+      "vec_id", "embedding", k = 3, nLists = 8, nProbe = 2, lloydIters = 2)
+    val a = served.collect().map(_.toSeq).sortBy(_.toString)
+    val b = inline.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // the index read prunes to the probed lists at PLANNING time
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list"),
+      s"probe filter must be a partition filter:\n$plan")
+  }
+
   test("retrievalEval: hand-computed MRR and nDCG on a planted ranking") {
     import spark.implicits._
     // query 0 at the origin-ish; neighbors engineered so the cosine order
