@@ -1745,8 +1745,11 @@ object SparkEntry {
       val row = out.agg(dotChecks.head,
         (dotChecks.tail ++ meanChecks): _*).collect()(0)
       val orthoRes = (0 until 2).map(c => row.getDouble(c)).max < 1e-9
+      // the centering mean comes from the quantized (order-proof) moment
+      // pass, so the residual mean carries the quantization half-ulp,
+      // |E[x]−μ_q| ≲ 0.5/(10⁶·√n) ~ 1e-8 — bound at 1e-6, not 1e-9
       val meanFree = (0 until 64).map(i =>
-        math.abs(row.getDouble(2 + i))).max < 1e-9
+        math.abs(row.getDouble(2 + i))).max < 1e-6
       s.range(1).select(lit(m.n).as("n"), lit(2).as("removed"),
         lit(orthoRes).as("residual_orthogonal"),
         lit(meanFree).as("mean_removed"))
@@ -3426,29 +3429,48 @@ object SparkEntry {
                 true AS meets_floor""",
     "llm_pca_cov" -> {
       // all 2080 upper-triangular population-covariance entries recomputed
-      // from the raw vectors: cov(i,j) = E[v_i v_j] - E[v_i] E[v_j]
+      // from the SAME quantized integer sums as PcaOps.momentsQ:
+      // cov(i,j) = (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ)/(n²·10¹²), ONE double division over
+      // exact integers — summation-order-proof in both engines
       """WITH v AS (
-           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
-         SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
-                round(avg(v.v[i.range + 1] * v.v[j.range + 1])
-                      - avg(v.v[i.range + 1]) * avg(v.v[j.range + 1]), 6) AS cov
-         FROM v, range(0, 64) i, range(0, 64) j
-         WHERE j.range >= i.range
-         GROUP BY i.range, j.range"""
+           SELECT list_transform(embedding, x ->
+             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+           FROM embeddings),
+         a AS (
+           SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+                  count(*) AS n,
+                  sum(v.v[i.range + 1] * v.v[j.range + 1]) AS qij,
+                  sum(v.v[i.range + 1]) AS si,
+                  sum(v.v[j.range + 1]) AS sj
+           FROM v, range(0, 64) i, range(0, 64) j
+           WHERE j.range >= i.range
+           GROUP BY i.range, j.range)
+         SELECT i, j,
+                round(CAST(n * qij - si * sj AS DOUBLE) /
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6)
+                  AS cov
+         FROM a"""
     },
     "llm_pca_whiten" -> {
-      // trace = sum of the 64 per-dimension population variances,
-      // parenthesized as the JVM's left fold over ascending i
+      // trace = sum of the 64 per-dimension population variances, each the
+      // exact-integer form (n·Σq² − (Σq)²)/(n²·10¹²) over the quantized
+      // components, parenthesized as the JVM's left fold over ascending i
+      val sums = (1 to 64).map(i =>
+        s"sum(v[$i]) AS s$i, sum(v[$i] * v[$i]) AS q$i").mkString(", ")
       val trace = (1 to 64).map(i =>
-          s"(avg(v[$i] * v[$i]) - avg(v[$i]) * avg(v[$i]))")
+          s"(CAST(n * q$i - s$i * s$i AS DOUBLE) / " +
+            s"(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12))")
         .reduce((a, b) => s"($a + $b)")
-      s"""SELECT CAST(count(*) AS BIGINT) AS n, 64 AS dim, 8 AS r,
+      s"""WITH v AS (
+           SELECT list_transform(embedding, x ->
+             CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+           FROM embeddings),
+         a AS (SELECT count(*) AS n, $sums FROM v)
+         SELECT CAST(n AS BIGINT) AS n, 64 AS dim, 8 AS r,
                 round($trace, 6) AS trace,
                 true AS orthonormal, true AS eigs_descending,
                 true AS evr_meets_floor, true AS whitened_unit_var
-         FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings)"""
+         FROM a"""
     },
     "llm_abtt" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, 2 AS removed,
@@ -4451,11 +4473,13 @@ object SparkEntry {
                 FROM c),
          d AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
          s AS (SELECT d.doc_id,
-                 round(sum(tf * ((ln(CAST(c.ci AS DOUBLE) + 1.0)
-                          - ln(CAST(tt.ni + tt.v AS DOUBLE)))
-                       - (ln(CAST(c.cg AS DOUBLE) + 1.0)
-                          - ln(CAST(tt.ng + tt.v AS DOUBLE)))))
-                   / sum(tf), 4) AS ml_score,
+                 round(CAST(sum(tf * CAST(round(
+                          ((ln(CAST(c.ci AS DOUBLE) + 1.0)
+                            - ln(CAST(tt.ni + tt.v AS DOUBLE)))
+                         - (ln(CAST(c.cg AS DOUBLE) + 1.0)
+                            - ln(CAST(tt.ng + tt.v AS DOUBLE)))) * 1e9, 0)
+                        AS BIGINT)) AS DOUBLE)
+                   / CAST(sum(tf) AS DOUBLE) / 1e9, 4) AS ml_score,
                  CAST(sum(tf) AS BIGINT) AS n_tokens
                FROM d JOIN c USING (w), tt GROUP BY d.doc_id),
          r AS (SELECT doc_id, n_tokens, ml_score,

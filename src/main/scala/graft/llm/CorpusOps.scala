@@ -945,7 +945,14 @@ object CorpusOps {
     * is a filtered aggregate of the same pass); scoring joins the vocab
     * table unhinted (AQE broadcasts when small); the global rank uses the
     * [[graft.functions.GlobalRank]] recipe — range partition + broadcast
-    * offsets, never an `Exchange SinglePartition`. */
+    * offsets, never an `Exchange SinglePartition`.
+    *
+    * Determinism: the per-term log-probability difference is quantized to
+    * a scaled long (`round(term·10⁹)`) BEFORE the per-doc aggregation, so
+    * `sum(tf·term)` is an exact integer sum — independent of Spark's
+    * partial-aggregation merge order (the round-9 flake class). The final
+    * `ml_score` is ONE double division over exact integers, identical in
+    * both engines. */
   def mooreLewisSelect(corpus: DataFrame, idCol: String, textCol: String,
       inDomain: Column, keepFraction: Double = 0.25): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1)
@@ -966,11 +973,12 @@ object CorpusOps {
       .agg(count(lit(1)).as("tf"))
       .join(counts, Seq("w"))
       .select(col(idCol), col("tf"),
-        ((log(col("ci").cast(DoubleType) + 1.0) - lit(logDenomIn)) -
+        round(((log(col("ci").cast(DoubleType) + 1.0) - lit(logDenomIn)) -
           (log(col("cg").cast(DoubleType) + 1.0) - lit(logDenomGen)))
-          .as("__term"))
+          * 1e9, 0).cast(LongType).as("__termq"))
       .groupBy(col(idCol))
-      .agg(round(sum(col("tf") * col("__term")) / sum(col("tf")), 4)
+      .agg(round(sum(col("tf") * col("__termq")).cast(DoubleType) /
+            sum(col("tf")).cast(DoubleType) / 1e9, 4)
           .as("ml_score"),
         sum("tf").cast("long").as("n_tokens"))
     // unique struct key (score desc via negation, id tiebreak) makes the
