@@ -1651,8 +1651,8 @@ object SparkEntry {
     }),
     // graph-search recall twin on the same FIXED slice (coverage-bound on
     // structureless vectors like the IVF/LSH twins — ~(entries +
-    // beam·k·rounds)/n distinct candidates tried); self-match excluded to
-    // compare against bruteTopK's non-self ground truth
+    // beam·k·rounds)/n distinct candidates tried); graphSearchTopK itself
+    // excludes the self-match, matching bruteTopK's non-self ground truth
     "llm_ann_graph_recall" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
@@ -1662,8 +1662,8 @@ object SparkEntry {
           k = 5, iters = 2, maxRev = 10)
         .select(col("src"), col("nn_id").as("nbr"))
       val approx = VectorOps.graphSearchTopK(emb, "vec_id", "embedding", g,
-        emb, "vec_id", "embedding", k = 6, beam = 12, rounds = 3,
-        entries = 8).filter(col("query_id") =!= col("nn_id"))
+        emb, "vec_id", "embedding", k = 5, beam = 12, rounds = 3,
+        entries = 8)
       VectorOps.recallAtK(approx, exact).select(lit("graph").as("method"),
         lit(5).as("k"), col("n_queries"),
         (col("recall") >= 0.3).as("meets_floor")) // measured 0.4132
@@ -1978,13 +1978,18 @@ object SparkEntry {
       val base = docs.select(col("source"), col("lang"),
         f.nTokens.cast("long").as("__nt"),
         length(col("text")).cast("long").as("__nc"),
-        round(f.quality, 6).as("__q"), md5(col("text")).as("__d"))
+        // per-doc quality quantized to a 1e6-scaled long (it is already a
+        // 6-dp value) → the per-source mean rides an exact integer sum
+        round(f.quality * 1e6, 0).cast("long").as("__qq"),
+        md5(col("text")).as("__d"))
       val dd = base.groupBy(col("source"), col("__d"))
         .agg(count(lit(1)).as("__c"))
         .groupBy("source").agg(count(lit(1)).as("distinct_docs"))
       base.groupBy("source").agg(
           count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"),
-          sum("__nc").as("n_chars"), round(avg("__q"), 6).as("mean_quality"),
+          sum("__nc").as("n_chars"),
+          round(sum("__qq").cast("double") /
+            count(lit(1)).cast("double") / 1e6, 6).as("mean_quality"),
           round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
             .as("pct_en"),
           round(avg(col("__nt").cast("double")), 6).as("mean_doc_tokens"))
@@ -2054,9 +2059,10 @@ object SparkEntry {
       val tw = pw.map(_._2).sum
       val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
       val ec1 = graft.llm.UnigramOps.expectedCounts(docs, "text", probs0, umL)
-        .as[(String, Double)].collect()
+        .as[(String, Long)].collect()
       val t1 = ec1.map(_._2).sum
-      val probs1 = ec1.map { case (p, e) => p -> (e / t1) }.toMap
+      val probs1 = ec1.map { case (p, e) =>
+        p -> (e.toDouble / t1.toDouble) }.toMap
       graft.llm.UnigramOps.emRound(docs, "text", probs1, umL)
     }),
     // EM convergence verdict: corpus log-likelihood before and after
@@ -2075,18 +2081,22 @@ object SparkEntry {
       val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
       def next(pr: Map[String, Double]) = {
         val ec = U.expectedCounts(docs, "text", pr, umL)
-          .as[(String, Double)].collect()
+          .as[(String, Long)].collect()
         val te = ec.map(_._2).sum
-        ec.map { case (p, e) => p -> (e / te) }.toMap
+        ec.map { case (p, e) => p -> (e.toDouble / te.toDouble) }.toMap
       }
       val probs1 = next(probs0)
       val probs2 = next(probs1)
-      def ll(pr: Map[String, Double]): Double =
-        U.corpusLogLikelihoodDF(docs, "text", pr, umL).head.getDouble(0)
+      // exact 1e9-scaled integer log-likelihoods: the monotone flag
+      // compares integers, the reported values are one IEEE division
+      def ll(pr: Map[String, Double]): Long =
+        U.corpusLogLikelihoodDF(docs, "text", pr, umL).head.getLong(0)
       val (l0, l1, l2) = (ll(probs0), ll(probs1), ll(probs2))
       Seq((l0, l1, l2, l1 >= l0 && l2 >= l1)).toDF("a", "b", "c", "m")
-        .select(round(col("a"), 4).as("ll0"), round(col("b"), 4).as("ll1"),
-          round(col("c"), 4).as("ll2"), col("m").as("monotone"))
+        .select(round(col("a").cast("double") / 1e9, 4).as("ll0"),
+          round(col("b").cast("double") / 1e9, 4).as("ll1"),
+          round(col("c").cast("double") / 1e9, 4).as("ll2"),
+          col("m").as("monotone"))
     }),
     // token-budgeted per-source selection: keep highest-quality docs
     // (rounded-quality order, id tie-break) until each source's token
@@ -2538,7 +2548,12 @@ object SparkEntry {
          w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
                        0.0 AS w3, 0.0 AS w4, 0.0 AS w5)""")
     for (r <- 1 to rounds) {
-      val gs = (0 to 5).map(j => s"sum((p - y) * x$j) AS g$j").mkString(", ")
+      // per-example contributions quantized to 1e9-scaled integers before
+      // the sums — exact aggregates, summation-order-free (mirrors
+      // CorpusOps.logRegFit's qsum)
+      val gs = (0 to 5).map(j =>
+        s"""CAST(sum(CAST(round(((p - y) * x$j) * 1e9, 0) AS BIGINT))
+              AS DOUBLE) / 1e9 AS g$j""").mkString(", ")
       val ws = (0 to 5)
         .map(j => s"round(w.w$j - 1.0 * g.g$j / g.n, 9) AS w$j").mkString(", ")
       sb.append(s""",
@@ -2548,7 +2563,8 @@ object SparkEntry {
            FROM tr t, w${r - 1} w),
          g$r AS MATERIALIZED (
            SELECT $gs,
-                  sum(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS lsum,
+                  CAST(sum(CAST(round((-(y * ln(p) + (1.0 - y) * ln(1.0 - p)))
+                        * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS lsum,
                   CAST(count(*) AS DOUBLE) AS n
            FROM p$r),
          w$r AS (SELECT $ws, round(g.lsum / g.n, 4) AS loss
@@ -2647,18 +2663,20 @@ object SparkEntry {
                         (SELECT count(*) FROM lab WHERE NOT y) AS nn),
          llr AS (
            SELECT r.range AS b,
-             ln((COALESCE(hp.c, 0) + 1.0) / tot.tp)
-               - ln((COALESCE(hn.c, 0) + 1.0) / tot.tn) AS lr
+             CAST(round((ln((COALESCE(hp.c, 0) + 1.0) / tot.tp)
+               - ln((COALESCE(hn.c, 0) + 1.0) / tot.tn)) * 1e9, 0)
+               AS BIGINT) AS lrq
            FROM range(0, 64) r
            LEFT JOIN hp ON hp.b = r.range
            LEFT JOIN hn ON hn.b = r.range, tot),
          sc AS (
            SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
-             ln(CAST(tot.np AS DOUBLE) / tot.nn)
-               + COALESCE((SELECT sum(llr.lr) FROM unnest(d.toks) AS g(u)
+             CAST(CAST(round(ln(CAST(tot.np AS DOUBLE) / tot.nn) * 1e9, 0)
+                    AS BIGINT)
+               + COALESCE((SELECT sum(llr.lrq) FROM unnest(d.toks) AS g(u)
                  JOIN llr ON llr.b =
                    CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT)),
-                 0.0) AS logit
+                 0) AS DOUBLE) / 1e9 AS logit
            FROM d, tot)
          """ + select
 
@@ -2912,7 +2930,8 @@ object SparkEntry {
            s"SELECT w, $j AS pos, v FROM g$sfx$j").mkString(" UNION ALL ")}),
          zT$sfx AS (SELECT w, v FROM alphaT$sfx WHERE pos = length(w)),
          ec$sfx AS (SELECT pc.piece,
-                  sum(p1.cnt * (((aT.v * pc.pr) * gT.v) / z.v)) AS ec
+                  sum(CAST(round((p1.cnt * (((aT.v * pc.pr) * gT.v) / z.v))
+                        * 1e9, 0) AS BIGINT)) AS ecq
                 FROM p1
                 JOIN $p pc ON pc.piece = substr(p1.w, p1.i, p1.l)
                 JOIN alphaT$sfx aT ON aT.w = p1.w AND aT.pos = p1.i - 1
@@ -2920,7 +2939,7 @@ object SparkEntry {
                   AND gT.pos = length(p1.w) - p1.i - p1.l + 1
                 JOIN zT$sfx z ON z.w = p1.w AND z.v > 0
                 GROUP BY 1),
-         tote$sfx AS (SELECT sum(ec) AS t FROM ec$sfx)""")
+         tote$sfx AS (SELECT sum(ecq) AS t FROM ec$sfx)""")
     sb.toString
   }
 
@@ -2930,8 +2949,9 @@ object SparkEntry {
                     SELECT piece, CAST(weight AS DOUBLE) / t AS pr
                     FROM pc CROSS JOIN tot)""" +
       emLatticeSql("") + """
-         SELECT piece, round(ec, 6) AS e_count,
-                round(ln(ec / t), 6) AS logp_new
+         SELECT piece, round(CAST(ecq AS DOUBLE) / 1e9, 6) AS e_count,
+                round(ln(CAST(ecq AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+                  AS logp_new
          FROM ec CROSS JOIN tote"""
 
   /** Two chained EM rounds: round 2's piece table is round 1's
@@ -2944,10 +2964,13 @@ object SparkEntry {
                     FROM pc CROSS JOIN tot)""" +
       emLatticeSql("") + """,
          piecesb AS MATERIALIZED (
-                    SELECT piece, ec / t AS pr FROM ec CROSS JOIN tote)""" +
+                    SELECT piece, CAST(ecq AS DOUBLE) / CAST(t AS DOUBLE)
+                             AS pr
+                    FROM ec CROSS JOIN tote)""" +
       emLatticeSql("b") + """
-         SELECT piece, round(ec, 6) AS e_count,
-                round(ln(ec / t), 6) AS logp_new
+         SELECT piece, round(CAST(ecq AS DOUBLE) / 1e9, 6) AS e_count,
+                round(ln(CAST(ecq AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+                  AS logp_new
          FROM ecb CROSS JOIN toteb"""
 
   /** Three piece models (MLE, after EM round 1, after round 2) and the
@@ -2961,19 +2984,27 @@ object SparkEntry {
                     FROM pc CROSS JOIN tot)""" +
       emLatticeSql("") + """,
          piecesb AS MATERIALIZED (
-                    SELECT piece, ec / t AS pr FROM ec CROSS JOIN tote)""" +
+                    SELECT piece, CAST(ecq AS DOUBLE) / CAST(t AS DOUBLE)
+                             AS pr
+                    FROM ec CROSS JOIN tote)""" +
       emLatticeSql("b") + """,
          piecesc AS MATERIALIZED (
-                    SELECT piece, ec / t AS pr FROM ecb CROSS JOIN toteb)""" +
+                    SELECT piece, CAST(ecq AS DOUBLE) / CAST(t AS DOUBLE)
+                             AS pr
+                    FROM ecb CROSS JOIN toteb)""" +
       emLatticeSql("c") + """,
-         l0 AS (SELECT sum(w0.cnt * ln(z.v)) AS v
+         l0 AS (SELECT sum(CAST(round((w0.cnt * ln(z.v)) * 1e9, 0)
+                  AS BIGINT)) AS v
                 FROM w0 JOIN zT z USING (w) WHERE z.v > 0),
-         l1 AS (SELECT sum(w0.cnt * ln(z.v)) AS v
+         l1 AS (SELECT sum(CAST(round((w0.cnt * ln(z.v)) * 1e9, 0)
+                  AS BIGINT)) AS v
                 FROM w0 JOIN zTb z USING (w) WHERE z.v > 0),
-         l2 AS (SELECT sum(w0.cnt * ln(z.v)) AS v
+         l2 AS (SELECT sum(CAST(round((w0.cnt * ln(z.v)) * 1e9, 0)
+                  AS BIGINT)) AS v
                 FROM w0 JOIN zTc z USING (w) WHERE z.v > 0)
-         SELECT round(l0.v, 4) AS ll0, round(l1.v, 4) AS ll1,
-                round(l2.v, 4) AS ll2,
+         SELECT round(CAST(l0.v AS DOUBLE) / 1e9, 4) AS ll0,
+                round(CAST(l1.v AS DOUBLE) / 1e9, 4) AS ll1,
+                round(CAST(l2.v AS DOUBLE) / 1e9, 4) AS ll2,
                 (l1.v >= l0.v AND l2.v >= l1.v) AS monotone
          FROM l0, l1, l2"""
 
@@ -3413,7 +3444,7 @@ object SparkEntry {
          SELECT qid AS query_id, id AS nn_id, round(sim, 6) AS sim,
                 CAST(rr AS INT) AS rank
          FROM (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid
-                   ORDER BY sim DESC, id) AS rr FROM gb2)
+                   ORDER BY sim DESC, id) AS rr FROM gb2 WHERE id <> qid)
          WHERE rr <= 5"""
     }),
 
@@ -4390,13 +4421,15 @@ object SparkEntry {
          tot AS (SELECT count(*) AS total FROM uni),
          terms AS (
            SELECT db.doc_id, db.tf,
-             ln(0.7::DOUBLE * CAST(bc.cb AS DOUBLE) / u1.cu
-                + 0.3::DOUBLE * CAST(u2.cu AS DOUBLE) / tot.total) AS term
+             CAST(round(ln(0.7::DOUBLE * CAST(bc.cb AS DOUBLE) / u1.cu
+                + 0.3::DOUBLE * CAST(u2.cu AS DOUBLE) / tot.total) * 1e9, 0)
+               AS BIGINT) AS termq
            FROM docbg db
            JOIN bgcnt bc USING (w1, w2)
            JOIN unic u1 ON u1.w = db.w1
            JOIN unic u2 ON u2.w = db.w2, tot)
-         SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp2,
+         SELECT doc_id, round(CAST(sum(tf * termq) AS DOUBLE)
+                  / CAST(sum(tf) AS DOUBLE) / 1e9, 4) AS avg_logp2,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
     "llm_kn_lm" ->
@@ -4419,14 +4452,16 @@ object SparkEntry {
          types AS (SELECT count(*) AS btypes FROM bgcnt),
          terms AS (
            SELECT db.doc_id, db.tf,
-             ln(greatest(CAST(bc.cb AS DOUBLE) - 0.75, 0.0) / cx.c1
+             CAST(round(ln(greatest(CAST(bc.cb AS DOUBLE) - 0.75, 0.0) / cx.c1
                 + 0.75 * cx.n1fwd / cx.c1
-                  * (co.n1back / CAST(ty.btypes AS DOUBLE))) AS term
+                  * (co.n1back / CAST(ty.btypes AS DOUBLE))) * 1e9, 0)
+               AS BIGINT) AS termq
            FROM docbg db
            JOIN bgcnt bc USING (w1, w2)
            JOIN ctx cx ON cx.w1 = db.w1
            JOIN cont co ON co.w2 = db.w2, types ty)
-         SELECT doc_id, round(sum(tf * term) / sum(tf), 4) AS avg_logp_kn,
+         SELECT doc_id, round(CAST(sum(tf * termq) AS DOUBLE)
+                  / CAST(sum(tf) AS DOUBLE) / 1e9, 4) AS avg_logp_kn,
                 CAST(sum(tf) AS BIGINT) AS n_bigrams
          FROM terms GROUP BY 1""",
     "llm_curriculum_order" ->
@@ -4438,10 +4473,12 @@ object SparkEntry {
          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
          uni AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
          tot AS (SELECT sum(cnt) AS total FROM uni),
-         p AS (SELECT word, ln(CAST(cnt AS DOUBLE) / total) AS logp
+         p AS (SELECT word, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e9,
+                 0) AS BIGINT) AS logpq
                FROM uni CROSS JOIN tot),
          lp AS (SELECT tf.doc_id,
-                       round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp
+                       round(CAST(sum(tf.tf * p.logpq) AS DOUBLE)
+                         / CAST(sum(tf.tf) AS DOUBLE) / 1e9, 4) AS avg_logp
                 FROM tf JOIN p USING (word) GROUP BY 1),
          rk AS (SELECT doc_id, avg_logp,
                        rank() OVER (ORDER BY -avg_logp ASC) AS r,
@@ -4700,10 +4737,14 @@ object SparkEntry {
                   (dd.lang = 'en') AS y
            FROM sc JOIN d dd ON dd.doc_id = sc.doc_id
            WHERE sc.doc_id % 3 = 1),
-         pb AS (SELECT 1.0 / (1.0 + exp(-s)) AS p, y FROM ev)
+         pb AS (SELECT 1.0 / (1.0 + exp(-s)) AS p,
+                       CAST(round(1.0 / (1.0 + exp(-s)) * 1e9, 0) AS BIGINT)
+                         AS pq,
+                       y FROM ev)
          SELECT CAST(LEAST(floor(p * 10), 9) AS INT) AS bin,
                 CAST(count(*) AS BIGINT) AS n_docs,
-                round(avg(p), 6) AS mean_predicted,
+                round(CAST(sum(pq) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) / 1e9, 6) AS mean_predicted,
                 round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS observed_rate
          FROM pb GROUP BY 1"""),
     // the ENTIRE 3-round gradient descent replayed: per-round sigmoid
@@ -4758,7 +4799,9 @@ object SparkEntry {
                       ROWS UNBOUNDED PRECEDING) AS tp
                 FROM ev)
          SELECT CAST(count(*) AS BIGINT) AS p,
-                round(avg(CAST(tp AS DOUBLE) / rnk), 6) AS ap
+                round(CAST(sum(CAST(round(CAST(tp AS DOUBLE) / rnk * 1e9, 0)
+                        AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) / 1e9, 6) AS ap
          FROM rr WHERE y"""),
     "llm_dsir" ->
       """WITH d AS (
@@ -4781,17 +4824,18 @@ object SparkEntry {
                         (SELECT count(*) FROM ex) + 64 AS rt),
          ratio AS (
            SELECT r.range AS b,
-             ln((COALESCE(ht.ct, 0) + 1.0) / tot.tt)
-               - ln((COALESCE(hr.cr, 0) + 1.0) / tot.rt) AS lr
+             CAST(round((ln((COALESCE(ht.ct, 0) + 1.0) / tot.tt)
+               - ln((COALESCE(hr.cr, 0) + 1.0) / tot.rt)) * 1e9, 0)
+               AS BIGINT) AS lrq
            FROM range(0, 64) r
            LEFT JOIN ht ON ht.b = r.range
            LEFT JOIN hr ON hr.b = r.range, tot),
          w AS (
            SELECT n.doc_id, CAST(len(n.ngs) AS INT) AS n_features,
-             COALESCE((SELECT sum(ratio.lr) FROM unnest(n.ngs) AS g(u)
+             CAST(COALESCE((SELECT sum(ratio.lrq) FROM unnest(n.ngs) AS g(u)
                JOIN ratio ON ratio.b =
                  CAST((md5_number_lower(g.u) & 9223372036854775807) % 64 AS INT)),
-               0.0) AS logw
+               0) AS DOUBLE) / 1e9 AS logw
            FROM ng n),
          k AS (
            SELECT doc_id, n_features, logw,
@@ -5174,10 +5218,12 @@ object SparkEntry {
          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
          uni AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
          tot AS (SELECT sum(cnt) AS total FROM uni),
-         p AS (SELECT word, ln(CAST(cnt AS DOUBLE) / total) AS logp
+         p AS (SELECT word, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e9,
+                 0) AS BIGINT) AS logpq
                FROM uni CROSS JOIN tot)
          SELECT tf.doc_id,
-                round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp,
+                round(CAST(sum(tf.tf * p.logpq) AS DOUBLE)
+                  / CAST(sum(tf.tf) AS DOUBLE) / 1e9, 4) AS avg_logp,
                 CAST(sum(tf.tf) AS BIGINT) AS n_tokens
          FROM tf JOIN p USING (word) GROUP BY 1""",
     "llm_mixture_sample" ->
@@ -5206,10 +5252,12 @@ object SparkEntry {
          tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
          uni AS (SELECT word, sum(tf) AS cnt FROM tf GROUP BY 1),
          tot AS (SELECT sum(cnt) AS total FROM uni),
-         p AS (SELECT word, ln(CAST(cnt AS DOUBLE) / total) AS logp
+         p AS (SELECT word, CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e9,
+                 0) AS BIGINT) AS logpq
                FROM uni CROSS JOIN tot),
          lp AS (SELECT tf.doc_id,
-                       round(sum(tf.tf * p.logp) / sum(tf.tf), 4) AS avg_logp,
+                       round(CAST(sum(tf.tf * p.logpq) AS DOUBLE)
+                         / CAST(sum(tf.tf) AS DOUBLE) / 1e9, 4) AS avg_logp,
                        CAST(sum(tf.tf) AS BIGINT) AS n_tokens
                 FROM tf JOIN p USING (word) GROUP BY 1),
          rk AS (SELECT doc_id, avg_logp, n_tokens,
@@ -5260,7 +5308,8 @@ object SparkEntry {
          ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                   CAST(sum(nt) AS BIGINT) AS n_tokens,
                   CAST(sum(nc) AS BIGINT) AS n_chars,
-                  round(avg(round(q, 6)), 6) AS mean_quality,
+                  round(CAST(sum(CAST(round(q * 1e6, 0) AS BIGINT)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_quality,
                   round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
                     AS pct_en,
                   round(avg(CAST(nt AS DOUBLE)), 6) AS mean_doc_tokens
@@ -5604,9 +5653,13 @@ object SparkEntry {
          v2 AS (SELECT vec_id AS doc_id,
                        row_number() OVER (ORDER BY sim DESC, vec_id) AS r
                 FROM s2 ORDER BY sim DESC, vec_id LIMIT 50),
-         u AS (SELECT doc_id, 1.0 / (60 + r) AS p FROM b
-               UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM v2)
-         SELECT doc_id, round(sum(p), 6) AS rrf
+         u AS (SELECT doc_id, CAST(round(1.0 / (60 + r) * 1e9, 0) AS BIGINT)
+                        AS pq
+               FROM b
+               UNION ALL
+               SELECT doc_id, CAST(round(1.0 / (60 + r) * 1e9, 0) AS BIGINT)
+               FROM v2)
+         SELECT doc_id, round(CAST(sum(pq) AS DOUBLE) / 1e9, 6) AS rrf
          FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 15""",
     "q_sessionize" ->
       """WITH e AS (

@@ -2,8 +2,8 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType,
-  IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DecimalType,
+  DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Corpus-wide (two-pass) training-data operators: benchmark decontamination,
   * TF-IDF keyword extraction, and unigram language-model scoring.
@@ -269,9 +269,11 @@ object CorpusOps {
 
   /** Per-document average unigram log-probability under the corpus's own
     * unigram distribution — the cheap "perplexity" quality signal used to
-    * rank documents before a real LM scores them. Output is rounded to 4
-    * digits: ln() is correct to 1 ulp per engine and the per-doc sum order
-    * is engine-dependent, so lower digits are not comparable. */
+    * rank documents before a real LM scores them. The per-word log-prob is
+    * quantized to a scaled long (`round(logp·10⁹)`) BEFORE the per-doc
+    * aggregation, so `sum(tf·logp)` is an exact integer — independent of
+    * the partial-aggregation merge order — and the 4-dp `avg_logp` is one
+    * IEEE division over exact integers, identical in both engines. */
   def unigramLogProb(corpus: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = corpus
       .select(col(idCol), explode(TextOps.tokens(lower(col(textCol)))).as("word"))
@@ -279,12 +281,15 @@ object CorpusOps {
     val uni = tf.groupBy("word").agg(sum("tf").as("cnt"))
     val tot = uni.agg(sum("cnt").as("total"))
     val probs = uni.crossJoin(broadcast(tot))
-      .select(col("word"), log(col("cnt").cast("double") / col("total")).as("logp"))
+      .select(col("word"),
+        round(log(col("cnt").cast("double") / col("total")) * 1e9, 0)
+          .cast(LongType).as("logpq"))
     // probs is vocabulary-sized — no broadcast hint (see tfidfTopK); the
     // single-row `tot` above keeps its hint.
     tf.join(probs, Seq("word"))
       .groupBy(idCol)
-      .agg(round(sum(col("tf") * col("logp")) / sum(col("tf")), 4).as("avg_logp"),
+      .agg(round(sum(col("tf") * col("logpq")).cast(DoubleType) /
+          sum(col("tf")).cast(DoubleType) / 1e9, 4).as("avg_logp"),
         sum("tf").cast("long").as("n_tokens"))
   }
 
@@ -367,11 +372,16 @@ object CorpusOps {
       .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
       .crossJoin(broadcast(tot))
+      // per-bigram log-prob quantized to a scaled long before the per-doc
+      // sum: exact integer aggregation, summation-order-free (see
+      // unigramLogProb)
       .select(col(idCol), col("tf"),
-        log(lit(lambda) * col("cb").cast("double") / col("cu1") +
-            lit(mu) * col("cu2").cast("double") / col("total")).as("__term"))
+        round(log(lit(lambda) * col("cb").cast("double") / col("cu1") +
+            lit(mu) * col("cu2").cast("double") / col("total")) * 1e9, 0)
+          .cast(LongType).as("__termq"))
     terms.groupBy(col(idCol))
-      .agg(round(sum(col("tf") * col("__term")) / sum(col("tf")), 4)
+      .agg(round(sum(col("tf") * col("__termq")).cast(DoubleType) /
+            sum(col("tf")).cast(DoubleType) / 1e9, 4)
           .as("avg_logp2"),
         sum("tf").cast("long").as("n_bigrams"))
   }
@@ -506,10 +516,15 @@ object CorpusOps {
   def rrfFusion(rankings: Seq[(DataFrame, Double)], idCol: String, k: Int,
       rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFusion: no rankings")
+    // each contribution quantized to a scaled long → the fused sum is an
+    // exact integer, summation-order-free (see unigramLogProb)
     val scored = rankings.map { case (df, w) =>
-      df.select(col(idCol), (lit(w) / (lit(rrfK) + col("rank"))).as("__rrf"))
+      df.select(col(idCol),
+        round(lit(w) / (lit(rrfK) + col("rank")) * 1e9, 0)
+          .cast(LongType).as("__rrfq"))
     }.reduce(_ unionByName _)
-    scored.groupBy(idCol).agg(round(sum(col("__rrf")), 6).as("rrf"))
+    scored.groupBy(idCol)
+      .agg(round(sum(col("__rrfq")).cast(DoubleType) / 1e9, 6).as("rrf"))
       .orderBy(col("rrf").desc, col(idCol)).limit(k)
   }
 
@@ -609,9 +624,14 @@ object CorpusOps {
     }
     require(nPos > 0 && nNeg > 0, "nbTrainScore needs both classes labeled")
     val (tPos, tNeg) = (pos.sum + buckets, neg.sum + buckets)
+    // bucket LLRs and the prior quantized once to 1e9-scaled longs: each
+    // doc's logit is an exact integer sum, independent of token order on
+    // either engine (the DSIR discipline)
     val llr = Array.tabulate(buckets)(b =>
-      math.log((pos(b) + 1.0) / tPos) - math.log((neg(b) + 1.0) / tNeg))
-    val priorLogOdds = math.log(nPos.toDouble / nNeg.toDouble)
+      UnigramOps.q9((math.log((pos(b) + 1.0) / tPos) -
+        math.log((neg(b) + 1.0) / tNeg)) * 1e9))
+    val priorLogOdds = UnigramOps.q9(
+      math.log(nPos.toDouble / nNeg.toDouble) * 1e9)
     val llrBc = corpus.sparkSession.sparkContext.broadcast(llr)
     val idField = corpus.schema(idCol)
     val rawSchema = StructType(Seq(idField,
@@ -622,13 +642,13 @@ object CorpusOps {
       val lr = llrBc.value
       it.map { r =>
         val toks = tokensJvm(r.getString(1))
-        var logit = priorLogOdds
+        var logitQ = priorLogOdds
         var i = 0
         while (i < toks.length) {
-          logit += lr((DedupOps.md5Lower63Jvm(md, toks(i)) % buckets).toInt)
+          logitQ += lr((DedupOps.md5Lower63Jvm(md, toks(i)) % buckets).toInt)
           i += 1
         }
-        Row(r.get(0), toks.length, logit)
+        Row(r.get(0), toks.length, logitQ.toDouble / 1e9)
       }
     }(Encoders.row(rawSchema))
       // round via Spark's own Round so the value is bit-identical to the
@@ -710,8 +730,12 @@ object CorpusOps {
     val rCnt = bucketHistogram(raw, textCol, buckets)
     val tTot = (tCnt.sum + buckets).toDouble
     val rTot = (rCnt.sum + buckets).toDouble
+    // bucket log-ratios quantized once to 1e9-scaled longs: each doc's
+    // log-weight becomes an exact integer sum — independent of the
+    // n-gram summation order on either engine
     val ratio = Array.tabulate(buckets)(b =>
-      math.log((tCnt(b) + 1.0) / tTot) - math.log((rCnt(b) + 1.0) / rTot))
+      UnigramOps.q9((math.log((tCnt(b) + 1.0) / tTot) -
+        math.log((rCnt(b) + 1.0) / rTot)) * 1e9))
     val spark = raw.sparkSession
     val ratioBc = spark.sparkContext.broadcast(ratio)
     val idField = raw.schema(idCol)
@@ -727,9 +751,10 @@ object CorpusOps {
         val lr = ratioBc.value
         it.map { r =>
           val bs = ngramBuckets(md, r.getString(2), lr.length)
-          var lw = 0.0
+          var lwq = 0L
           var i = 0
-          while (i < bs.length) { lw += lr(bs(i)); i += 1 }
+          while (i < bs.length) { lwq += lr(bs(i)); i += 1 }
+          val lw = lwq.toDouble / 1e9
           val key = gumbelKey(md, r.getString(1), ":dsir", lw)
           Row(r.get(0), bs.length, lw, key, -key)
         }
@@ -1130,12 +1155,16 @@ object CorpusOps {
       .join(ctx, Seq("w1"))
       .join(cont, Seq("w2"))
       .crossJoin(broadcast(types))
+      // quantized scaled-long terms → exact integer per-doc sums (see
+      // unigramLogProb)
       .select(col(idCol), col("tf"),
-        log(greatest(col("cb").cast(DoubleType) - d, lit(0.0)) / col("c1") +
+        round(log(greatest(col("cb").cast(DoubleType) - d, lit(0.0)) / col("c1") +
           d * col("n1fwd") / col("c1") *
-            (col("n1back") / col("btypes").cast(DoubleType))).as("__term"))
+            (col("n1back") / col("btypes").cast(DoubleType))) * 1e9, 0)
+          .cast(LongType).as("__termq"))
       .groupBy(col(idCol))
-      .agg(round(sum(col("tf") * col("__term")) / sum(col("tf")), 4)
+      .agg(round(sum(col("tf") * col("__termq")).cast(DoubleType) /
+            sum(col("tf")).cast(DoubleType) / 1e9, 4)
           .as("avg_logp_kn"),
         sum("tf").cast("long").as("n_bigrams"))
   }
@@ -1268,7 +1297,11 @@ object CorpusOps {
     * at 6, weights are re-quantized at 9 after every update, loss reported
     * at 4 — so the ~1-ulp `exp` differences between engines never survive
     * a round. `w·x` is built left-associated in `xCols` order; the oracle
-    * must sum in the same order.
+    * must sum in the same order. Each example's gradient and loss
+    * contribution is quantized to a 10⁹-scaled DECIMAL before the
+    * aggregate, so the per-round sums are exact integers — independent of
+    * the partial-aggregation merge order at any corpus size (DECIMAL(38),
+    * not long, so they cannot overflow).
     *
     * Returns (one row per round: weights after the update + pre-update
     * mean log-loss, final weight array). 100 TB shape: `rounds` passes
@@ -1289,14 +1322,17 @@ object CorpusOps {
       val z = xCols.zipWithIndex
         .map { case (c, j) => lit(w(j)) * col(c) }.reduceLeft(_ + _)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val aggs = xCols.map(c => sum((p - y) * col(c))) ++ Seq(
-        sum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))),
+      def qsum(e: Column): Column =
+        sum(round(e * 1e9, 0).cast(DecimalType(38, 0)))
+      val aggs = xCols.map(c => qsum((p - y) * col(c))) ++ Seq(
+        qsum(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))),
         count(lit(1)).cast(DoubleType))
       val row = train.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getDouble(k + 1)
       require(n > 0, "logRegFit needs a non-empty train slice")
-      val loss = q(row.getDouble(k) / n, 4)
-      for (j <- 0 until k) w(j) = q(w(j) - lr * row.getDouble(j) / n, 9)
+      def g(i: Int): Double = row.getDecimal(i).doubleValue / 1e9
+      val loss = q(g(k) / n, 4)
+      for (j <- 0 until k) w(j) = q(w(j) - lr * g(j) / n, 9)
       out += org.apache.spark.sql.Row.fromSeq(
         r +: w.map(q(_, 6)).toSeq :+ loss)
     }
@@ -1338,9 +1374,17 @@ object CorpusOps {
           col("__rk") + (col("__g") - 1) / 2.0).otherwise(0d)).as("rsum"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("p"),
         count(lit(1)).as("n_docs"))
+    // mirror prCurve's "needs at least one positive" guard for BOTH
+    // classes: a single-class slice raises a diagnostic instead of
+    // silently returning a null auc
     row.select(col("p"), (col("n_docs") - col("p")).as("n"),
-      round((col("rsum") - col("p") * (col("p") + 1) / 2.0) /
-        (col("p") * (col("n_docs") - col("p"))), 6).as("auc"))
+      when(col("p") === 0 || col("n_docs") === col("p"),
+        raise_error(concat(lit("rocAuc needs both classes: positives="),
+          col("p").cast(StringType), lit("/"),
+          col("n_docs").cast(StringType))))
+        .otherwise(
+          round((col("rsum") - col("p") * (col("p") + 1) / 2.0) /
+            (col("p") * (col("n_docs") - col("p"))), 6)).as("auc"))
   }
 
   /** Reliability diagram (calibration table): sigmoid the logit into a
@@ -1352,13 +1396,18 @@ object CorpusOps {
       buckets: Int = 10): DataFrame = {
     require(buckets > 0)
     val prob = lit(1.0) / (lit(1.0) + exp(-col(scoreCol).cast(DoubleType)))
+    // probabilities quantized to scaled longs before the per-bin mean →
+    // exact integer sums, summation-order-free; the 0/1 observed sum is
+    // already exact
     scored
       .select(least(floor(prob * buckets).cast(IntegerType),
         lit(buckets - 1)).as("bin"),
-        prob.as("__p"), col(labelCol).cast(BooleanType).as("__y"))
+        round(prob * 1e9, 0).cast(LongType).as("__pq"),
+        col(labelCol).cast(BooleanType).as("__y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("__p")), 6).as("mean_predicted"),
+        round(sum(col("__pq")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType) / 1e9, 6).as("mean_predicted"),
         round(avg(when(col("__y"), 1.0).otherwise(0.0)), 6).as("observed_rate"))
   }
 
@@ -1434,15 +1483,18 @@ object CorpusOps {
   /** Average precision (area under the PR curve, the step-function
     * definition used by scikit-learn / TREC): the mean over POSITIVES of
     * the precision at each positive's rank — one verdict row derived
-    * from [[prCurve]]'s sweep with a filter + tiny aggregate. The
-    * average uses the UNROUNDED tp/rank ratio so the result is not a
-    * mean of pre-rounded values. */
+    * from [[prCurve]]'s sweep with a filter + tiny aggregate. Each
+    * tp/rank ratio is quantized to a scaled long before the mean so the
+    * sum is an exact integer — summation-order-free. */
   def averagePrecision(scored: DataFrame, idCol: String, scoreCol: String,
       labelCol: String): DataFrame =
     prCurve(scored, idCol, scoreCol, labelCol)
       .filter(col("is_pos"))
+      .select(round(col("tp").cast(DoubleType) / col("rank") * 1e9, 0)
+        .cast(LongType).as("__apq"))
       .agg(count(lit(1)).as("p"),
-        round(avg(col("tp").cast(DoubleType) / col("rank")), 6).as("ap"))
+        round(sum(col("__apq")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType) / 1e9, 6).as("ap"))
 
   /** Sketch-quantile contract (dataset-card scale path): corpus
     * distribution stats at 100 TB cannot afford the exact percentile's

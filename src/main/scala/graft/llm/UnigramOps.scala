@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Unigram-language-model tokenization (Kudo 2018, the SentencePiece
   * `unigram` algorithm family) — the third tokenizer next to
@@ -122,15 +123,26 @@ object UnigramOps {
   def emRound(df: DataFrame, textCol: String,
       probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
     val ec = expectedCounts(df, textCol, probs, maxPieceLen)
-    val tot = ec.agg(sum("ec").as("t"))
+    val tot = ec.agg(sum("ecq").as("t"))
     ec.crossJoin(broadcast(tot))
-      .select(col("piece"), round(col("ec"), 6).as("e_count"),
-        round(log(col("ec") / col("t")), 6).as("logp_new"))
+      .select(col("piece"),
+        round(col("ecq").cast(DoubleType) / 1e9, 6).as("e_count"),
+        round(log(col("ecq").cast(DoubleType) / col("t").cast(DoubleType)), 6)
+          .as("logp_new"))
   }
 
-  /** E-step only: unrounded expected counts `(piece, ec)` — feed
-    * `ec / sum(ec)` back in as the next round's probabilities to
-    * iterate EM. */
+  /** Decimal half-up rounding to the nearest long — the same rounding
+    * Spark's own `round(x, 0)` applies (BigDecimal HALF_UP), matching
+    * DuckDB round. Callers pass the already-scaled value. */
+  private[llm] def q9(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** E-step only: expected counts as exact 10⁹-scaled integers
+    * `(piece, ecq)` — each per-occurrence contribution `cnt·e` is
+    * quantized BEFORE the piece-keyed sum, so the aggregate is an exact
+    * integer, independent of the shuffle's partial-merge order (and the
+    * oracle quantizes the identical per-occurrence terms). Feed
+    * `ecq / sum(ecq)` back in as the next round's probabilities. */
   def expectedCounts(df: DataFrame, textCol: String,
       probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
     val spark = df.sparkSession
@@ -143,9 +155,9 @@ object UnigramOps {
       .as[(String, Long)]
     words.flatMap { case (w, cnt) =>
       wordExpectedCounts(w, bP.value, maxPieceLen)
-        .map { case (piece, e) => (piece, cnt * e) }
-    }.toDF("piece", "e")
-      .groupBy("piece").agg(sum("e").as("ec"))
+        .map { case (piece, e) => (piece, q9((cnt * e) * 1e9)) }
+    }.toDF("piece", "eq")
+      .groupBy("piece").agg(sum("eq").as("ecq"))
   }
 
   /** Corpus log-likelihood under the piece model: Σ_w cnt·ln(Z_w) over
@@ -167,9 +179,11 @@ object UnigramOps {
       }.sum
   }
 
-  /** Distributed corpus log-likelihood: the forward lattice runs as a
-    * broadcast-map UDF over the distinct-word table and the weighted sum
-    * aggregates in the engine — no word list ever reaches the driver. */
+  /** Distributed corpus log-likelihood as an exact 10⁹-scaled integer
+    * `llq`: the forward lattice runs as a broadcast-map UDF over the
+    * distinct-word table; each word's `cnt·ln(Z)` is quantized to a
+    * scaled long before the engine-side sum, so the aggregate is
+    * summation-order-free (no word list ever reaches the driver). */
   def corpusLogLikelihoodDF(df: DataFrame, textCol: String,
       probs: Map[String, Double], maxPieceLen: Int): DataFrame = {
     val bP = df.sparkSession.sparkContext.broadcast(probs)
@@ -179,7 +193,8 @@ object UnigramOps {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), z(col("w")).as("__z"))
       .agg(sum(when(col("__z") > 0.0,
-        col("cnt") * log(col("__z"))).otherwise(0.0)).as("ll"))
+        round((col("cnt") * log(col("__z"))) * 1e9, 0).cast(LongType))
+        .otherwise(0L)).as("llq"))
   }
 
   /** Forward lattice total probability of one word. */

@@ -750,16 +750,30 @@ object VectorOps {
     def dist6(c: Array[Double]): Column =
       round(col("__sq") + lit(sqOf(c)) - lit(2.0) * dot(col("__v"), lit(c)), 6)
     var cur = base.withColumn("__mind", dist6(cVec)).localCheckpoint(true)
-    for (r <- 2 to k) {
-      val pick = cur.orderBy(col("__mind").desc, col("vec_id")).limit(1).head()
-      cVec = pick.getSeq[Double](1).toArray
-      out += Row(r, pick.getLong(0), pick.getDouble(3))
-      if (r < k) {
-        val prev = cur
-        cur = cur.withColumn("__mind", least(col("__mind"), dist6(cVec)))
-          .localCheckpoint(true)
-        prev.unpersist()
+    // already-selected ids never re-enter the argmax: when k exceeds the
+    // number of distinct vectors (all remaining __mind are 0 and the tie
+    // break would re-pick the lowest id), the result is SHORTER, not
+    // silently duplicated
+    val picked = scala.collection.mutable.Set(seedRow.getLong(0))
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val cand = cur.filter(!col("vec_id").isInCollection(picked))
+        .orderBy(col("__mind").desc, col("vec_id")).limit(1).collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val pick = cand(0)
+        picked += pick.getLong(0)
+        cVec = pick.getSeq[Double](1).toArray
+        out += Row(r, pick.getLong(0), pick.getDouble(3))
+        if (r < k) {
+          val prev = cur
+          cur = cur.withColumn("__mind", least(col("__mind"), dist6(cVec)))
+            .localCheckpoint(true)
+          prev.unpersist()
+        }
       }
+      r += 1
     }
     val schema = StructType(Seq(
       StructField("round", IntegerType, nullable = false),
@@ -1019,7 +1033,11 @@ object VectorOps {
         .dropDuplicates("query_id", "id"))
       prev.unpersist()
     }
-    cur.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // corpus-member queries: drop the self-match before the final ranking
+    // (matching bruteTopK/ivfTopK/ivfServe); the beam itself may traverse
+    // through self — only the result excludes it
+    cur.filter(col("id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("nn_id"),
         round(col("sim"), 6).as("sim"), col("rank").cast(IntegerType)
           .as("rank"))

@@ -101,7 +101,11 @@ object StreamingNearDedup {
                   if (rsig(i) == hsig(i)) eq += 1
                   i += 1
                 }
-                val est = math.rint(eq.toDouble / numHashes * 1e6) / 1e6
+                // HALF_UP like the batch dedup family's round(...,6), not
+                // math.rint's half-even — a batch replay of a streaming
+                // verdict must agree on exact .5-ulp boundaries
+                val est = BigDecimal(eq.toDouble / numHashes)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                 if (est >= threshold) out += ((hid, rid, est))
               case _ => ()
             }

@@ -143,9 +143,9 @@ class UnigramSpec extends SparkSpec {
     var ll = UnigramOps.corpusLogLikelihood(docs, "text", probs, 4)
     (1 to 3).foreach { round =>
       val ec = UnigramOps.expectedCounts(docs, "text", probs, 4)
-        .as[(String, Double)].collect()
+        .as[(String, Long)].collect()
       val t = ec.map(_._2).sum
-      probs = ec.map { case (p, e) => p -> (e / t) }.toMap
+      probs = ec.map { case (p, e) => p -> (e.toDouble / t.toDouble) }.toMap
       val ll2 = UnigramOps.corpusLogLikelihood(docs, "text", probs, 4)
       assert(ll2 >= ll - 1e-9, s"round $round: $ll -> $ll2 decreased")
       assert(ll2 < 0.0, "log-likelihood of a proper model is negative")

@@ -59,3 +59,4 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         fail(name, f"EXC {type(e).__name__}: {e}")
 print(f"\n{len(oracle)-len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)

@@ -1,10 +1,14 @@
 #!/usr/bin/env bash
 # Snapshot preflight: prove the COMMITTED tree compiles (main + test) from
 # a clean checkout — round 7's artifacts were zeroed by a snapshot whose
-# working tree compiled but whose committed state did not. Run this before
-# ending a round (and after any commit you won't follow with a test run).
+# working tree compiled but whose committed state did not — AND that the
+# full sf0.01 oracle passes TWICE under different partition layouts
+# (CPUS=4 and CPUS=32), so summation-order-sensitive float parity (the
+# round-9 flake class) is caught before the snapshot, not by the driver.
+# Run this before ending a round.
 #
-# Usage: tools/preflight.sh [ref]   (default: HEAD)
+# Usage: tools/preflight.sh [ref]           (default: HEAD)
+#        PREFLIGHT_SKIP_ORACLE=1 tools/preflight.sh   (compile check only)
 set -euo pipefail
 
 ref="${1:-HEAD}"
@@ -22,3 +26,25 @@ echo "[preflight] sbt Test/compile from clean export"
   exit 1
 }
 echo "[preflight] OK: $ref compiles (main + test) from a clean export"
+
+if [[ "${PREFLIGHT_SKIP_ORACLE:-0}" != "1" ]]; then
+  sf="${PREFLIGHT_SF_DIR:-/root/testdata/sf0.01}"
+  for cpus in 4 32; do
+    echo "[preflight] full oracle at $sf with SPARK_GRAFT_CPUS=$cpus"
+    (cd "$work" && SPARK_GRAFT_CPUS=$cpus \
+       sbt -batch "runMain graft.Verify $sf $work/v$cpus" \
+       > "$work/verify$cpus.log" 2>&1) || {
+      tail -20 "$work/verify$cpus.log"
+      echo "[preflight] FAIL: Verify run (CPUS=$cpus)" >&2
+      exit 1
+    }
+    python3 "$work/tools/check_oracle.py" "$work/v$cpus" "$sf" \
+      > "$work/oracle$cpus.log" 2>&1 || {
+      grep -v "^OK" "$work/oracle$cpus.log" | tail -20
+      echo "[preflight] FAIL: oracle compare (CPUS=$cpus)" >&2
+      exit 1
+    }
+    tail -2 "$work/oracle$cpus.log"
+  done
+  echo "[preflight] OK: full oracle green under both partition layouts"
+fi
