@@ -2058,8 +2058,12 @@ object SparkEntry {
         .select("piece", "weight").as[(String, Long)].collect()
       val tw = pw.map(_._2).sum
       val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
+      // ecq is DECIMAL(38,0); fold in BigInt so the driver-side total
+      // can't wrap either. The divisions stay IEEE-identical to the old
+      // Long path (integer-valued BigInt.toDouble == Long.toDouble).
       val ec1 = graft.llm.UnigramOps.expectedCounts(docs, "text", probs0, umL)
-        .as[(String, Long)].collect()
+        .as[(String, java.math.BigDecimal)].collect()
+        .map { case (p, e) => (p, BigInt(e.toBigInteger)) }
       val t1 = ec1.map(_._2).sum
       val probs1 = ec1.map { case (p, e) =>
         p -> (e.toDouble / t1.toDouble) }.toMap
@@ -2080,8 +2084,12 @@ object SparkEntry {
       val tw = pw.map(_._2).sum
       val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
       def next(pr: Map[String, Double]) = {
+        // ecq is DECIMAL(38,0); BigInt fold keeps the total exact at any
+        // scale, and the per-piece division is IEEE-identical to the old
+        // Long path
         val ec = U.expectedCounts(docs, "text", pr, umL)
-          .as[(String, Long)].collect()
+          .as[(String, java.math.BigDecimal)].collect()
+          .map { case (p, e) => (p, BigInt(e.toBigInteger)) }
         val te = ec.map(_._2).sum
         ec.map { case (p, e) => p -> (e.toDouble / te.toDouble) }.toMap
       }
@@ -2089,13 +2097,15 @@ object SparkEntry {
       val probs2 = next(probs1)
       // exact 1e9-scaled integer log-likelihoods: the monotone flag
       // compares integers, the reported values are one IEEE division
-      def ll(pr: Map[String, Double]): Long =
-        U.corpusLogLikelihoodDF(docs, "text", pr, umL).head.getLong(0)
+      def ll(pr: Map[String, Double]): BigInt =
+        BigInt(U.corpusLogLikelihoodDF(docs, "text", pr, umL)
+          .head.getDecimal(0).toBigInteger)
       val (l0, l1, l2) = (ll(probs0), ll(probs1), ll(probs2))
-      Seq((l0, l1, l2, l1 >= l0 && l2 >= l1)).toDF("a", "b", "c", "m")
-        .select(round(col("a").cast("double") / 1e9, 4).as("ll0"),
-          round(col("b").cast("double") / 1e9, 4).as("ll1"),
-          round(col("c").cast("double") / 1e9, 4).as("ll2"),
+      Seq((l0.toDouble, l1.toDouble, l2.toDouble, l1 >= l0 && l2 >= l1))
+        .toDF("a", "b", "c", "m")
+        .select(round(col("a") / 1e9, 4).as("ll0"),
+          round(col("b") / 1e9, 4).as("ll1"),
+          round(col("c") / 1e9, 4).as("ll2"),
           col("m").as("monotone"))
     }),
     // token-budgeted per-source selection: keep highest-quality docs
@@ -3478,7 +3488,7 @@ object SparkEntry {
            GROUP BY i.range, j.range)
          SELECT i, j,
                 round(CAST(n * qij - si * sj AS DOUBLE) /
-                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6)
+                      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 6) + 0
                   AS cov
          FROM a"""
     },
@@ -4516,7 +4526,7 @@ object SparkEntry {
                          - (ln(CAST(c.cg AS DOUBLE) + 1.0)
                             - ln(CAST(tt.ng + tt.v AS DOUBLE)))) * 1e9, 0)
                         AS BIGINT)) AS DOUBLE)
-                   / CAST(sum(tf) AS DOUBLE) / 1e9, 4) AS ml_score,
+                   / CAST(sum(tf) AS DOUBLE) / 1e9, 4) + 0 AS ml_score,
                  CAST(sum(tf) AS BIGINT) AS n_tokens
                FROM d JOIN c USING (w), tt GROUP BY d.doc_id),
          r AS (SELECT doc_id, n_tokens, ml_score,
@@ -5085,8 +5095,14 @@ object SparkEntry {
                     AS mind
            FROM v p, c1 c)""" +
         (2 to 6).map { r =>
+          // mirror kCenterGreedy's guard: already-picked ids never
+          // re-enter the argmax, and an exhausted round (every id picked)
+          // emits NO row instead of re-picking the lowest mind=0 id
+          val pickedSoFar = (1 until r)
+            .map(p => s"SELECT vec_id FROM c$p").mkString(" UNION ALL ")
           s""",
          c$r AS MATERIALIZED (SELECT vec_id, vv, sq, mind FROM d${r - 1}
+                 WHERE vec_id NOT IN ($pickedSoFar)
                  ORDER BY mind DESC, vec_id LIMIT 1),
          d$r AS MATERIALIZED (
            SELECT p.vec_id, p.vv, p.sq,

@@ -28,14 +28,25 @@ import org.apache.spark.sql.types._
   * is an exact integer — the moments are a pure function of the data,
   * independent of partition layout and merge order (the round-9 verdict's
   * "partial-sum order drift" class of flake is structurally impossible).
-  * Per-partition sums ride Long (|x|≤4 and ≤5·10⁵ rows/128 MB partition
-  * leave >100× headroom); the driver merge is BigInt, so the global sums
-  * never overflow at any corpus size.
+  * Per-partition accumulation is overflow-PROOF, not overflow-probable:
+  * components are bounded (|x| ≤ 100, i.e. |q| ≤ 10⁸ — enforced with a
+  * loud `require`, covering any sane normalized or unnormalized
+  * embedding), so a per-row product is ≤ 10¹⁶ and a block of 900 rows sums
+  * to ≤ 9·10¹⁸ < Long.MAX; every 900 rows the Long partials are flushed
+  * into per-partition BigInt accumulators (cost: ~(d+d²/2)/900 BigInt adds
+  * per row — noise next to the d²/2 long multiplies). One row of BigInt
+  * bytes leaves each partition; the driver merge is BigInt, so the global
+  * sums never overflow at any corpus size.
   */
 object PcaOps {
 
   /** Quantization scale: components become round(x·1e6) longs. */
   val QScale = 1000000L
+
+  /** Component bound after quantization (|x| ≤ 100). Together with
+    * [[FlushRows]] this makes Long wrap impossible: 900 · (10⁸)² < 2⁶³. */
+  val QCompMax = 100000000L
+  private val FlushRows = 900
 
   final case class Moments(n: Long, mean: Array[Double],
       cov: Array[Array[Double]])
@@ -70,8 +81,8 @@ object PcaOps {
     val tri = dim * (dim + 1) / 2
     val schema = StructType(Seq(
       StructField("c", LongType, nullable = false),
-      StructField("s", ArrayType(LongType, containsNull = false), nullable = false),
-      StructField("q", ArrayType(LongType, containsNull = false), nullable = false)))
+      StructField("s", ArrayType(BinaryType, containsNull = false), nullable = false),
+      StructField("q", ArrayType(BinaryType, containsNull = false), nullable = false)))
     // quantize in Column space so the half-up rounding is the SAME
     // BigDecimal HALF_UP the oracles pair with DuckDB round()
     val qcol = transform(col(vecCol).cast(ArrayType(DoubleType)),
@@ -79,8 +90,18 @@ object PcaOps {
     val partials = df.select(qcol.as("v"))
       .mapPartitions { it =>
         var n = 0L
+        var block = 0
         val s = Array.fill(dim)(0L)
         val q = Array.fill(tri)(0L)
+        val sBig = Array.fill(dim)(BigInt(0))
+        val qBig = Array.fill(tri)(BigInt(0))
+        def flush(): Unit = {
+          var i = 0
+          while (i < dim) { sBig(i) += s(i); s(i) = 0L; i += 1 }
+          var t = 0
+          while (t < tri) { qBig(t) += q(t); q(t) = 0L; t += 1 }
+          block = 0
+        }
         it.foreach { r =>
           val v = r.getSeq[Long](0)
           require(v.length == dim, s"expected dim $dim, got ${v.length}")
@@ -89,25 +110,34 @@ object PcaOps {
           var t = 0
           while (i < dim) {
             val vi = v(i)
+            require(vi <= QCompMax && vi >= -QCompMax,
+              s"component magnitude ${vi.toDouble / QScale} exceeds the " +
+              s"±${QCompMax / QScale} overflow-safety bound of PcaOps.momentsQ")
             s(i) += vi
             var j = i
             while (j < dim) { q(t) += vi * v(j); t += 1; j += 1 }
             i += 1
           }
+          block += 1
+          if (block == FlushRows) flush()
         }
         if (n == 0L) Iterator.empty
-        else Iterator.single(Row(n, s.toSeq, q.toSeq))
+        else {
+          flush()
+          Iterator.single(Row(n, sBig.map(_.toByteArray).toSeq,
+            qBig.map(_.toByteArray).toSeq))
+        }
       }(Encoders.row(schema)).collect()
     val n = partials.map(_.getLong(0)).sum
     require(n > 0, "PCA over an empty table")
     val s = Array.fill(dim)(BigInt(0))
     val q = Array.fill(tri)(BigInt(0))
     partials.foreach { r =>
-      val ps = r.getSeq[Long](1); val pq = r.getSeq[Long](2)
+      val ps = r.getSeq[Array[Byte]](1); val pq = r.getSeq[Array[Byte]](2)
       var i = 0
-      while (i < dim) { s(i) += ps(i); i += 1 }
+      while (i < dim) { s(i) += BigInt(ps(i)); i += 1 }
       var t = 0
-      while (t < tri) { q(t) += pq(t); t += 1 }
+      while (t < tri) { q(t) += BigInt(pq(t)); t += 1 }
     }
     MomentsQ(n, s, q)
   }

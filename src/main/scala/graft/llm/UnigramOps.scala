@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Unigram-language-model tokenization (Kudo 2018, the SentencePiece
   * `unigram` algorithm family) — the third tokenizer next to
@@ -157,7 +157,11 @@ object UnigramOps {
       wordExpectedCounts(w, bP.value, maxPieceLen)
         .map { case (piece, e) => (piece, q9((cnt * e) * 1e9)) }
     }.toDF("piece", "eq")
-      .groupBy("piece").agg(sum("eq").as("ecq"))
+      // sum into DECIMAL(38,0): the global Σ of 10⁹-scaled terms passes
+      // Long.MAX around 10⁹ corpus tokens — far below the 100 TB design
+      // point (the DuckDB twin already sums BIGINT into HUGEINT)
+      .groupBy("piece")
+      .agg(sum(col("eq").cast(DecimalType(38, 0))).as("ecq"))
   }
 
   /** Corpus log-likelihood under the piece model: Σ_w cnt·ln(Z_w) over
@@ -194,7 +198,7 @@ object UnigramOps {
       .select(col("cnt"), z(col("w")).as("__z"))
       .agg(sum(when(col("__z") > 0.0,
         round((col("cnt") * log(col("__z"))) * 1e9, 0).cast(LongType))
-        .otherwise(0L)).as("llq"))
+        .otherwise(0L).cast(DecimalType(38, 0))).as("llq"))
   }
 
   /** Forward lattice total probability of one word. */

@@ -1001,7 +1001,14 @@ object VectorOps {
     * tables, never a scan of the full corpus per query; recall is
     * coverage-bound like IVF/LSH (see the recall twin's floor), rising
     * with `rounds`/`beam` on clustered corpora where graph search
-    * shines. */
+    * shines.
+    *
+    * PRECONDITION — corpus-member query ids: the final ranking drops
+    * rows where `id == query_id` (the bruteTopK/ivfTopK self-match
+    * convention), which assumes query ids ARE corpus ids. A non-corpus
+    * query whose id happens to collide with a corpus id would silently
+    * lose that one legitimate neighbor — give external queries ids
+    * disjoint from the corpus id space (e.g. negative). */
   def graphSearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       graph: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8): DataFrame = {

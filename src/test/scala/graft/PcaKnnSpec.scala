@@ -169,8 +169,9 @@ class PcaKnnSpec extends SparkSpec {
       df, "vec_id", "embedding", k = 3, beam = 8, rounds = 3, entries = 4)
       .collect()
     // every query answered with a full k and a high-cosine best hit (the
-    // query node itself only shows up when the walk reaches it — correct
-    // graph-search behavior, so pin the similarity, not self-identity)
+    // query node is a corpus member here, so the final ranking drops the
+    // self-match — see graphSearchTopK's corpus-member-id precondition —
+    // and the best remaining hit must still be a near-identical neighbor)
     assert(got.length == 24 * 3)
     got.filter(_.getAs[Int]("rank") == 1).foreach { r =>
       assert(r.getAs[Double]("sim") > 0.95, r.toString) }

@@ -143,7 +143,8 @@ class UnigramSpec extends SparkSpec {
     var ll = UnigramOps.corpusLogLikelihood(docs, "text", probs, 4)
     (1 to 3).foreach { round =>
       val ec = UnigramOps.expectedCounts(docs, "text", probs, 4)
-        .as[(String, Long)].collect()
+        .as[(String, java.math.BigDecimal)].collect()
+        .map { case (p, e) => (p, BigInt(e.toBigInteger)) }
       val t = ec.map(_._2).sum
       probs = ec.map { case (p, e) => p -> (e.toDouble / t.toDouble) }.toMap
       val ll2 = UnigramOps.corpusLogLikelihood(docs, "text", probs, 4)

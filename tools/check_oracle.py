@@ -47,11 +47,21 @@ for name, sql in sorted(oracle.items()):
             if gv.dtype == object:
                 eq = (gv.fillna("\0") == wv.fillna("\0")).all()
             elif np.issubdtype(gv.dtype, np.floating):
-                eq = np.allclose(gv.fillna(0), wv.fillna(0), rtol=0, atol=0) and (gv.isna() == wv.isna()).all()
+                # the driver hash-compares string representations, so -0.0 vs
+                # 0.0 must FAIL here too (round-10 lesson: np.allclose alone is
+                # blind to signbit — two rounds shipped red on exactly that)
+                eq = (np.allclose(gv.fillna(0), wv.fillna(0), rtol=0, atol=0)
+                      and (gv.isna() == wv.isna()).all()
+                      and (np.signbit(gv.fillna(0).to_numpy())
+                           == np.signbit(wv.fillna(0).to_numpy())).all())
             else:
                 eq = gv.equals(wv)
             if not eq:
                 bad = (gv != wv) & ~(gv.isna() & wv.isna())
+                if np.issubdtype(gv.dtype, np.floating):
+                    bad = bad | pd.Series(
+                        np.signbit(gv.fillna(0).to_numpy())
+                        != np.signbit(wv.fillna(0).to_numpy()), index=gv.index)
                 i = bad.idxmax()
                 fail(name, f"value {c} row{i}: spark={gv[i]!r} duck={wv[i]!r} ({int(bad.sum())} diffs)"); break
         else:
