@@ -29,6 +29,12 @@ final class Pipeline(
     extensions: Map[String, (DataFrame, JValue) => DataFrame] = Map.empty,
     store: graft.sources.DocumentStore = Pipeline.noStore,
     producer: DataFrame => Unit = _ => (),
+    /** Resolves `$lookup`'s remote `(connectionString, database, from)`
+      * form (Lookup.java:74-78) to a DataFrame — a SECOND catalog keyed by
+      * the connection, so one pipeline can join across databases. `None`
+      * falls back to a connector-native [[graft.sources.MongoStore]] per
+      * (uri, database). */
+    remoteCatalog: Option[(String, String, String) => DataFrame] = None,
     trace: Boolean = false) {
 
   def run(df: DataFrame, pipelineJson: String): DataFrame =
@@ -88,7 +94,9 @@ final class Pipeline(
         else Stages.group(df, spec)
       case "$bucket"      => Stages.group(df, Stages.bucketToGroup(spec))
       case "$count"       => Stages.countStage(df, spec)
-      case "$lookup"      => Stages.lookup(df, spec, catalog)
+      case "$lookup"      => Stages.lookup(df, spec, catalog,
+        remoteCatalog.getOrElse((uri, dbn, coll) =>
+          new graft.sources.MongoStore(df.sparkSession, uri, dbn).read(coll)))
       case "$deduplicate" => Stages.deduplicate(df, spec)
       case "$redact"      => Stages.redact(df, spec)
       case "$merge"       => SinkStages.merge(df, spec, store)
@@ -1225,9 +1233,16 @@ private[graft] object Stages {
     * the huge stream side is never re-grouped. Pipeline/let form and
     * array-valued local fields: join + regroup by a synthetic row id.
     * (Lookup.java:59-201.) */
-  def lookup(df: DataFrame, spec: JValue, catalog: String => DataFrame)
+  def lookup(df: DataFrame, spec: JValue, catalog: String => DataFrame,
+      remote: (String, String, String) => DataFrame = (u, _, _) =>
+        throw new IllegalArgumentException(s"no remote catalog for $u"))
       (implicit ctx: ExprCtx): DataFrame = {
-    val from = catalog(str(spec \ "from"))
+    // remote form (Lookup.java:74-78): connectionString + database switch
+    // the `from` resolution to a second store; all join forms are identical
+    val from = (spec \ "connectionString", spec \ "database") match {
+      case (JString(uri), JString(dbn)) => remote(uri, dbn, str(spec \ "from"))
+      case _                            => catalog(str(spec \ "from"))
+    }
     val as = str(spec \ "as")
     val inner = bool(spec \ "inner", default = false)
     val unwindFlag = bool(spec \ "unwind", default = false)

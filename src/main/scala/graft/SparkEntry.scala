@@ -293,6 +293,32 @@ object SparkEntry {
         {"$project": {"o_orderkey": 1,
                       "ln": "$top.l_linenumber", "qty": "$top.l_quantity"}}
       ]""")),
+    // remote connectionString/database $lookup (Lookup.java:74-78): the
+    // DEFAULT catalog refuses, so the rows prove the second-store path
+    // executed end-to-end (here the "remote database" is the same sfDir
+    // behind a remoteCatalog resolver — in production the None default is
+    // a connector-native MongoStore per (uri, database))
+    "q_lookup_remote" -> ((s, dir) => {
+      tune(s)
+      val p = new Pipeline(
+        catalog = n => throw new IllegalArgumentException(
+          s"local catalog must not serve a remote lookup: $n"),
+        remoteCatalog = Some((uri, db, coll) => {
+          require(uri == "mongodb://dims-host:27017" && db == "dims",
+            s"unexpected remote target: $uri/$db")
+          t(s, dir, coll)
+        }))
+      p.run(t(s, dir, "supplier"),
+        """[
+          {"$lookup": {"from": "nation",
+            "connectionString": "mongodb://dims-host:27017",
+            "database": "dims", "localField": "s_nationkey",
+            "foreignField": "n_nationkey", "as": "n", "unwind": true}},
+          {"$addFields": {"nation": "$n.n_name"}},
+          {"$project": {"s_suppkey": 1, "s_name": 1, "nation": 1}}
+        ]""")
+    }),
+
     "q_lookup_theta" -> ((s, dir) => pipe(s, dir, "orders",
       """[
         {"$match": {"o_orderkey": {"$lt": 50}}},
@@ -3782,6 +3808,10 @@ object SparkEntry {
                 CAST((SELECT count(*) FROM customer c
                       WHERE c.c_custkey = o.o_custkey) AS INT) AS n_cust
          FROM orders o""",
+    "q_lookup_remote" ->
+      """SELECT s_suppkey, s_name, n_name AS nation
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+
     "q_lookup_theta" ->
       """SELECT o_orderkey,
                 CAST((SELECT count(*) FROM customer c

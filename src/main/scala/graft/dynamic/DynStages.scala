@@ -49,6 +49,11 @@ object DynPipeline {
       store: graft.sources.DocumentStore = null,
       catalog: String => DataFrame = name =>
         throw new IllegalArgumentException(s"no catalog for $$lookup from: $name"),
+      /** `$lookup` remote `(connectionString, database, from)` form
+        * (Lookup.java:74-78) — must return the same doc-frame shape as
+        * `catalog`. `None` falls back to a connector-native
+        * [[graft.sources.MongoStore]] read rendered to JSON docs. */
+      remoteCatalog: Option[(String, String, String) => DataFrame] = None,
       /** User stage extensions; built-ins win on a name clash
         * (Pipeline.java:275-276, Context.java:35). */
       extensions: Map[String, (DataFrame, JValue, DynCtx) => DataFrame] = Map.empty)
@@ -1134,6 +1139,7 @@ object DynPipeline {
     }
     val unwindFlag = (spec \ "unwind") == JBool(true)
     val inner = (spec \ "inner") == JBool(true)
+    val fromFrame = resolveFrom(spec, from, ctx, df.sparkSession)
 
     val left = df.as(tuple2Enc).mapPartitions { it =>
       it.map { case (k, s) => (k, s, onKey(parse(s), List(local))) }
@@ -1141,7 +1147,7 @@ object DynPipeline {
     // matched docs ship as one NUL-joined string: NUL cannot appear inside
     // rendered JSON, and a primitive string column avoids a nested-array
     // encoder in the typed-tuple path
-    val right = normalize(ctx.catalog(from)).as(tuple2Enc).mapPartitions { it =>
+    val right = normalize(fromFrame).as(tuple2Enc).mapPartitions { it =>
       it.map { case (_, s) => (onKey(parse(s), List(foreign)), s) }
     }(tuple2Enc).toDF("__fk", "__fdoc")
       .filter(col("__fk").isNotNull)
@@ -1184,6 +1190,22 @@ object DynPipeline {
     *     `_rangeJoin`);
     *  3. trailing `$sort`/`$limit`/`$project` apply per message on the
     *     matched array. */
+  /** Resolve a `$lookup`-family `from` collection, honoring the remote
+    * `connectionString`/`database` form (Lookup.java:74-78): a second
+    * catalog keyed by the connection, defaulting to a connector-native
+    * [[graft.sources.MongoStore]] read rendered to the engine's doc shape. */
+  private def resolveFrom(spec: JValue, from: String, ctx: DynCtx,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    (spec \ "connectionString", spec \ "database") match {
+      case (JString(uri), JString(dbn)) =>
+        ctx.remoteCatalog.map(_(uri, dbn, from)).getOrElse {
+          import spark.implicits._
+          new graft.sources.MongoStore(spark, uri, dbn).read(from)
+            .toJSON.toDF("doc")
+        }
+      case _ => ctx.catalog(from)
+    }
+
   private def pipelineLookup(df: DataFrame, spec: JValue, ctx: DynCtx): DataFrame = {
     import org.json4s.jackson.JsonMethods
     val from = spec \ "from" match {
@@ -1265,9 +1287,10 @@ object DynPipeline {
     val localSides = eqPairs.getOrElse(Nil).map(_._1)
     val foreignSides = eqPairs.getOrElse(Nil).map(_._2)
 
+    val fromFrame = resolveFrom(spec, from, ctx, df.sparkSession)
     val effFrom = normalize(
-      if (prefixStages.isEmpty) ctx.catalog(from)
-      else run(ctx.catalog(from), JArray(prefixStages), ctx))
+      if (prefixStages.isEmpty) fromFrame
+      else run(fromFrame, JArray(prefixStages), ctx))
 
     // no correlated $match -> every message gets the whole prefixed
     // collection under a constant key (like Mongo running the sub-pipeline)

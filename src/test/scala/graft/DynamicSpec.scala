@@ -1132,6 +1132,32 @@ class DynamicSpec extends SparkSpec {
     assert(inner.map(_.path("_id").textValue) == Set("a"))
   }
 
+  test("dynamic $lookup remote connectionString/database uses the second catalog") {
+    // Lookup.java:74-78 — the local catalog must NOT be consulted, and the
+    // remote resolver receives the exact (uri, database, from) triple
+    val dims = docs("""{"k":1,"name":"one"}""", """{"k":2,"name":"two"}""")
+    val seen = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val ctx = DynPipeline.DynCtx(
+      catalog = n => throw new IllegalArgumentException(s"local catalog hit: $n"),
+      remoteCatalog = Some((u, d, c) => { seen += ((u, d, c)); dims }))
+    val out = outDocs(DynPipeline.run(
+      docs("""{"_id":"a","fk":1}""", """{"_id":"b","fk":9}"""),
+      """[{"$lookup": {"from": "d", "connectionString": "mongodb://dims:27017",
+            "database": "dims", "localField": "fk", "foreignField": "k",
+            "as": "m"}}]""", ctx))
+    val byId = out.map(d => d.path("_id").textValue -> d.path("m").size).toMap
+    assert(byId == Map("a" -> 1, "b" -> 0))
+    assert(seen.toList == List(("mongodb://dims:27017", "dims", "d")))
+    // pipeline form routes through the same resolver
+    val out2 = outDocs(DynPipeline.run(
+      docs("""{"_id":"a","fk":1}"""),
+      """[{"$lookup": {"from": "d", "connectionString": "mongodb://dims:27017",
+            "database": "dims", "let": {"v": "$fk"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$k", "$$v"]}}}],
+            "as": "m"}}]""", ctx))
+    assert(out2.head.path("m").size == 1)
+  }
+
   test("dynamic $lookup pipeline form: prefix + eq-correlated $match + trailing stages") {
     val dims = docs(
       """{"k":1,"v":30,"tag":"x"}""", """{"k":1,"v":10,"tag":"keep"}""",

@@ -877,6 +877,47 @@ class StagesSpec extends SparkSpec {
     assert(out.select(size($"m")).head().getInt(0) == 2)
   }
 
+  test("$lookup remote connectionString/database resolves through the second catalog") {
+    // Lookup.java:74-78: connectionString + database switch the `from`
+    // resolution to another store; the local catalog must NOT be consulted
+    val remote = Seq(("r1", 1L), ("r2", 2L)).toDF("_id", "test")
+    val seen = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    val p = new Pipeline(
+      catalog = n => fail(s"local catalog consulted for remote lookup: $n"),
+      remoteCatalog = Some((uri, db, coll) => { seen += ((uri, db, coll)); remote }))
+    val df = Seq(("0", 1L), ("1", 3L)).toDF("_id", "local")
+    val out = p.run(df,
+      """[{"$lookup": {"from": "c", "connectionString": "mongodb://dims:27017",
+                       "database": "dims", "localField": "local",
+                       "foreignField": "test", "as": "m"}}]""")
+    assert(out.filter($"_id" === "0").select(size($"m")).head().getInt(0) == 1)
+    assert(out.filter($"_id" === "1").select(size($"m")).head().getInt(0) == 0)
+    assert(seen.toList == List(("mongodb://dims:27017", "dims", "c")))
+    // without a remoteCatalog the default is a connector-native MongoStore —
+    // a malformed connection string must fail ITS validation, proving the
+    // remote path (not the local catalog) executes
+    val e = intercept[IllegalArgumentException] {
+      new Pipeline(catalog = _ => remote).run(df,
+        """[{"$lookup": {"from": "c", "connectionString": "bogus://x",
+                         "database": "dims", "localField": "local",
+                         "foreignField": "test", "as": "m"}}]""")
+    }
+    assert(e.getMessage.contains("not a MongoDB connection string"))
+  }
+
+  test("$lookup remote form with let+pipeline resolves through the second catalog") {
+    val remote = Seq(("m1", 1L), ("m2", 2L)).toDF("_id", "test")
+    val p = new Pipeline(
+      catalog = n => fail(s"local catalog consulted: $n"),
+      remoteCatalog = Some((_, _, _) => remote))
+    val out = p.run(Seq(("0", 2L)).toDF("_id", "local"),
+      """[{"$lookup": {"from": "c", "connectionString": "mongodb://dims:27017",
+            "database": "dims", "let": {"lv": "$local"},
+            "pipeline": [{"$match": {"$expr": {"$gte": ["$test", "$$lv"]}}}],
+            "as": "m"}}]""")
+    assert(out.select(size($"m")).head().getInt(0) == 1)
+  }
+
   test("$lookup let+pipeline theta join (lookup10)") {
     val df = Seq(("0", 2L)).toDF("_id", "local")
     val out = look.run(df,
