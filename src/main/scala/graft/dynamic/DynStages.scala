@@ -558,7 +558,7 @@ object DynPipeline {
             val parsed: JsonNode =
               if (r.body == null || r.body.isEmpty) MISSING
               else if (HttpIO.isJson(r.contentType)) {
-                val n = parse(r.body)
+                val n = parseOrText(r.body)
                 if (n.isArray && n.size == 1) n.get(0) else n // singleton reduction
               } else if (HttpIO.isText(r.contentType)) text(r.body)
               else MISSING // opaque content types carry no body (Http.java:364-366)
@@ -574,7 +574,7 @@ object DynPipeline {
           case Right(r) =>
             val body: JsonNode =
               if (r.body == null || r.body.isEmpty) NULL
-              else if (HttpIO.isJson(r.contentType)) parse(r.body)
+              else if (HttpIO.isJson(r.contentType)) parseOrText(r.body)
               else text(r.body)
             errOut(r.status, body)
           case Left(m) => errOut(0, text(m))
@@ -582,6 +582,13 @@ object DynPipeline {
       }
     }
   }
+
+  /** A server can declare a JSON content type and still send a malformed
+    * body (a bare 404 page, a proxy error) — degrade to the raw text
+    * instead of crashing the task (sink-fuzz find, round 11; the typed
+    * engine never parses, so it was already immune). */
+  private def parseOrText(s: String): JsonNode =
+    try parse(s) catch { case _: Exception => text(s) }
 
   // ---- barrier stages ---------------------------------------------------------
 
@@ -1006,7 +1013,7 @@ object DynPipeline {
         .distinct().collect().map(_.getInt(0)).toIndexedSeq
       case None => Nil
     }
-    val target = bucketedN match {
+    val target = withOnKeys(bucketedN match {
       case Some(_) => ctx.store.readBuckets(into, touched)
       case None =>
         try ctx.store.read(into)
@@ -1014,7 +1021,7 @@ object DynPipeline {
           import df.sparkSession.implicits._
           Seq.empty[(String, String)].toDF("doc", "__on")
         }
-    }
+    }, on)
 
     val j = target.select(col("doc").as("__tdoc"), col("__on").as("__ton"))
       .join(incoming.select(col("doc").as("__idoc"), col("__on").as("__ion")),
@@ -1106,18 +1113,31 @@ object DynPipeline {
         val touched = keys.select(
             graft.sources.DocumentStore.bucketColumn(onCols, n).as("__b"))
           .distinct().collect().map(_.getInt(0)).toIndexedSeq
-        val target = ctx.store.readBuckets(from, touched)
+        val target = withOnKeys(ctx.store.readBuckets(from, touched), on)
         ctx.store.replaceBuckets(from, touched,
           target.join(keys, target("__on") <=> keys("__on"), "left_anti")
             .withColumn("__bucket",
               graft.sources.DocumentStore.bucketColumn(onCols, n)))
       case None =>
-        val target = ctx.store.read(from)
+        val target = withOnKeys(ctx.store.read(from), on)
         ctx.store.overwrite(from,
           target.join(keys, target("__on") <=> keys("__on"), "left_anti"))
     }
     valid.select(col("key"), col("doc"))
   }
+
+  /** `(doc, __on)` view of a store collection under the CURRENT `on` list.
+    * `__on` is RECOMPUTED from each document rather than read back: a
+    * collection seeded outside the engine carries no `__on` column at all,
+    * and one last written under a DIFFERENT `on` list would carry stale
+    * keys — the typed engine derives keys from its columns the same way
+    * (sink-fuzz find, round 11). Bucketed layouts hash the stored `__on`,
+    * so a bucketed collection's `on` list must stay fixed across writes. */
+  private def withOnKeys(target: DataFrame, on: List[String]): DataFrame =
+    target.select(lit("").as("key"), col("doc")).as(tuple2Enc)
+      .mapPartitions { it =>
+        it.map { case (_, s) => (onKey(parse(s), on), s) }
+      }(tuple2Enc).toDF("__on", "doc")
 
   /** `$lookup` equality form in dynamic mode (Lookup.java:83-109): one
     * hash-distributed equi-join on the canonical foreign value; matches are
