@@ -5,7 +5,9 @@
 # full sf0.01 oracle passes TWICE under different partition layouts
 # (CPUS=4 and CPUS=32), so summation-order-sensitive float parity (the
 # round-9 flake class) is caught before the snapshot, not by the driver.
-# Run this before ending a round.
+# check_oracle.py is signbit-aware since round 11 (and Verify canonicalizes
+# -0.0 on both compare sides), so the round-10 sign-of-zero class is also
+# locally visible. Run this before ending a round.
 #
 # Usage: tools/preflight.sh [ref]           (default: HEAD)
 #        PREFLIGHT_SKIP_ORACLE=1 tools/preflight.sh   (compile check only)
