@@ -428,10 +428,7 @@ private[graft] object SinkStages {
       store: DocumentStore)(implicit ctx: ExprCtx): DataFrame = {
     val duration = cexpr(spec \ "duration").cast(LongType)
     val topic = cexpr(spec \ "topic")
-    val clock = spec \ "_clock" match {
-      case JNothing => current_timestamp()
-      case c        => cexpr(c).cast(TimestampType)
-    }
+    val clock = clockExpr(df, spec)
     val typed = df.withColumn("__topic", topic).withColumn("__durationMs", duration)
     if (typed.schema("__topic").dataType != StringType) df
     else {
@@ -460,6 +457,22 @@ private[graft] object SinkStages {
     }
   }
 
+  /** `_clock` extension shared by `$delay`/`$probe`: the scheduling /
+    * event time, defaulting to the wall clock. A NUMERIC expression is
+    * EPOCH MILLIS (the dynamic engine's contract — a bare long→timestamp
+    * cast would silently read it as seconds, the round-11 producer-fuzz
+    * find); a timestamp/date/string expression casts as a timestamp. */
+  private def clockExpr(df: DataFrame, spec: JValue)
+      (implicit ctx: ExprCtx): Column = spec \ "_clock" match {
+    case JNothing => current_timestamp()
+    case c =>
+      val col0 = cexpr(c)
+      df.select(col0).schema.head.dataType match {
+        case _: NumericType => timestamp_millis(col0.cast(LongType))
+        case _              => col0.cast(TimestampType)
+      }
+  }
+
   /** Redelivery pass (Delay.java:40-52's delayed produce, batch form): pop
     * and return the parked messages of `topic` that are due at `now`; the
     * rest stay parked. In streaming this runs once per micro-batch. */
@@ -486,10 +499,7 @@ private[graft] object SinkStages {
       (implicit ctx: ExprCtx): DataFrame = {
     val name = str(spec \ "name")
     val topic = str(spec \ "topic")
-    val clock = spec \ "_clock" match {
-      case JNothing => current_timestamp()
-      case c        => cexpr(c).cast(TimestampType)
-    }
+    val clock = clockExpr(df, spec)
     val counted = df.groupBy(date_trunc("minute", clock).as("minute"))
       .agg(count(lit(1)).as("count"))
     val lastMinute = counted.agg(max("minute").as("__last"))

@@ -116,6 +116,72 @@ class DifferentialSinkFuzzSpec extends SparkSpec with DifferentialHarness {
     }
   }
 
+  // ---- producer parity: $send / $delay / $probe ---------------------------
+
+  /** Canonical multiset of produced messages. The typed producer receives
+    * the row frame + `__topic` (+ `__deliverAt`); the dynamic producer
+    * receives `(key, doc, __topic[, __deliverAt])` — both normalize to the
+    * payload object with `__topic` (and `__dAt` epoch seconds) folded in. */
+  private def producedSet(frames: Seq[DataFrame]): Set[JsonNode] =
+    frames.flatMap { df =>
+      val cols = df.columns.toSet
+      if (cols("doc")) {
+        df.select(col("__topic"),
+          (if (cols("__deliverAt")) col("__deliverAt").cast("long")
+           else lit(null).cast("long")).as("__dAt"), col("doc"))
+          .collect().map { r =>
+            val o = DynJson.parse(r.getString(2))
+              .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+            o.put("__topic", r.getString(0))
+            if (!r.isNullAt(1)) o.put("__dAt", r.getLong(1))
+            norm(o)
+          }.toSeq
+      } else {
+        val df2 = if (cols("__deliverAt"))
+          df.withColumn("__dAt", col("__deliverAt").cast("long"))
+            .drop("__deliverAt")
+        else df
+        df2.toJSON.collect().map(s => norm(DynJson.parse(s))).toSeq
+      }
+    }.toSet
+
+  private def agreeProducer(pipeline: String): Unit = {
+    val sentT = scala.collection.mutable.Buffer.empty[DataFrame]
+    val stT = new InMemoryStore(spark)
+    val outT = docSet(new Pipeline(store = stT,
+      producer = df => { sentT += df; df.count(); () }).run(sinkTyped, pipeline))
+    val prodT = producedSet(sentT.toSeq)
+
+    val sentD = scala.collection.mutable.Buffer.empty[DataFrame]
+    val stD = new InMemoryStore(spark)
+    val outD = dynDocSet(DynPipeline.run(sinkDyn, pipeline,
+      DynPipeline.DynCtx(store = stD,
+        producer = df => { sentD += df; df.count(); () })))
+    val prodD = producedSet(sentD.toSeq)
+
+    assert(outT == outD,
+      s"passthrough disagrees on $pipeline\n typed: $outT\n dynamic: $outD")
+    assert(prodT == prodD,
+      s"producer disagrees on $pipeline\n typed: $prodT\n dynamic: $prodD")
+  }
+
+  test("$send/$delay/$probe producer payloads agree across engines") {
+    // $send: expression topic — null topic passes through, the rest route
+    agreeProducer(
+      """[{"$send": {"topic":
+           {"$cond": [{"$gte": ["$v", 3]}, "big", null]}}}]""")
+    // $send: field topic over a string column
+    agreeProducer("""[{"$send": {"topic": "$s"}}]""")
+    // $delay: deterministic _clock → identical __deliverAt epoch on both
+    agreeProducer(
+      """[{"$delay": {"duration": {"$multiply": ["$v", 1000]},
+           "topic": "retry", "_clock": 1700000000000}}]""")
+    // $probe: event-time minutes from the docs; complete-minute counts only
+    agreeProducer(
+      """[{"$probe": {"name": "p1", "topic": "probes",
+           "_clock": {"$multiply": ["$v", 60000]}}}]""")
+  }
+
   // ---- $http httpError paths against one live in-JVM server --------------
   private def withServer(f: Int => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress(0), 0)
