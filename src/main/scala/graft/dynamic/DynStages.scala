@@ -787,6 +787,9 @@ object DynPipeline {
         val valid = t != null && t.isTextual && d != null && d.isIntegralNumber
         val base = clockOp.map(_.eval(dctx)) match {
           case Some(c) if c != null && c.isNumber => c.longValue
+          case Some(c) if c != null && c.isTextual &&
+              clockInstant(c.textValue).isDefined =>
+            clockInstant(c.textValue).get
           case _                                  => System.currentTimeMillis()
         }
         if (valid) (k, s, t.textValue, base + d.longValue)
@@ -835,6 +838,9 @@ object DynPipeline {
       it.map { case (k, s) =>
         val ms = clockOp.map(_.eval(DynExpr.DCtx(parse(s), Map.empty))) match {
           case Some(c) if c != null && c.isNumber => c.longValue
+          case Some(c) if c != null && c.isTextual &&
+              clockInstant(c.textValue).isDefined =>
+            clockInstant(c.textValue).get
           case _                                  => System.currentTimeMillis()
         }
         (k, s, ms - ms % 60000L)
@@ -848,6 +854,15 @@ object DynPipeline {
         timestamp_millis(col("__minute")).as("minute"), col("count")))
     stamped.select(col("key"), col("doc"))
   }
+
+  /** `_clock` string form: an ISO-8601 instant (the shape `$toDate`/typed
+    * timestamp columns render to) → epoch millis. Brings the dynamic
+    * engine to parity with the typed one, which casts any non-numeric
+    * `_clock` through TimestampType; numbers stay epoch millis on both. */
+  private def clockInstant(s: String): Option[Long] =
+    try Some(java.time.Instant.parse(
+      if (s.endsWith("Z") || s.contains("+")) s else s + "Z").toEpochMilli)
+    catch { case _: Exception => None }
 
   // ---- store stages -----------------------------------------------------------
 

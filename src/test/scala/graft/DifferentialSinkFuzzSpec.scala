@@ -180,6 +180,11 @@ class DifferentialSinkFuzzSpec extends SparkSpec with DifferentialHarness {
     agreeProducer(
       """[{"$probe": {"name": "p1", "topic": "probes",
            "_clock": {"$multiply": ["$v", 60000]}}}]""")
+    // $delay with an ISO-STRING _clock: typed casts via TimestampType,
+    // dynamic via clockInstant — both land the same epoch millis
+    agreeProducer(
+      """[{"$delay": {"duration": {"$multiply": ["$v", 1000]},
+           "topic": "retry", "_clock": "2024-03-01T00:00:01Z"}}]""")
   }
 
   // ---- $http httpError paths against one live in-JVM server --------------
