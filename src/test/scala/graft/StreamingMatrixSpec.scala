@@ -155,6 +155,34 @@ class StreamingMatrixSpec extends SparkSpec {
         {"$unwind": "$arr"},
         {"$project": {"_id": 1, "w": 1, "arr": 1}}]""")
 
+  test("dynamic stream ≡ batch: stream-static $lookup") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq("""{"k":"a","w":10}""", """{"k":"b","w":20}""").toDF("doc")
+    val ctx = graft.dynamic.DynPipeline.DynCtx(catalog = _ => dims)
+    val json =
+      """[{"$lookup": {"from": "d", "localField": "g", "foreignField": "k",
+                       "as": "m"}},
+          {"$project": {"_id": 1, "n": {"$size": "$m"}}}]"""
+    val b = graft.dynamic.DynPipeline.run(dynDocs.toDF("doc"), json, ctx)
+      .select("doc").collect()
+      .map(r => graft.dynamic.DynJson.parse(r.getString(0)))
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+    val input = MemoryStream[String]
+    val out = graft.dynamic.DynPipeline.run(input.toDF().toDF("doc"), json, ctx)
+    val q = out.writeStream.format("memory").queryName("dynlookupstream")
+      .outputMode("append").start()
+    try {
+      input.addData(dynDocs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(dynDocs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = spark.sql("select doc from dynlookupstream").collect()
+      .map(r => graft.dynamic.DynJson.parse(r.getString(0)))
+      .groupBy(identity).map { case (k, v) => (k, v.size) }
+    assert(s == b, s"\nstream=$s\nbatch =$b")
+  }
+
   // ---- $per buffered state survives a checkpointed restart ---------------
   // (completes the stateful restart set: $group — StreamingSpec:399,
   // $deduplicate+$group+$merge — StreamingSpec:481, near-dedup — :661)

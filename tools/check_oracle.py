@@ -12,7 +12,10 @@ if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
 con = duckdb.connect()
 # big-SF runs: cap DuckDB and let it spill instead of tripping the OOM killer
-con.execute("SET memory_limit='64GB'")
+# (round-11: the full sf1 sweep at 64GB was OOM-killed at 130GB RSS —
+# DuckDB's cap doesn't count pandas copies; run big sweeps chunked with
+# DUCKDB_MEM=32GB)
+con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '64GB')}'")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
