@@ -833,8 +833,15 @@ object SparkEntry {
     }),
     // dynamic window calculus: derivative/linearFill/expMovingAvg over
     // schemaless docs (tie-safe: only bit-identical arithmetic, no rounding)
+    // the window-calculus artifacts run on a BOUNDED slice (the sf0.1
+    // universe: event_id < 100000 keeps every row at the driver's gate
+    // scales): their DuckDB replays fold per-row RUNNING LISTS, which is
+    // inherently O(n²) memory — at the sf1 replica the unbounded oracle
+    // was OOM-killed at 130 GB. The ENGINE side is linear (incremental
+    // window aggregates); only the cross-engine replay needs the bound.
     "q_dynamic_window_calc" -> ((s, dir) => {
-      val docs = t(s, dir, "events").select(to_json(struct(
+      val docs = t(s, dir, "events").filter(col("event_id") < 100000)
+        .select(to_json(struct(
         col("event_id").as("_id"), col("event_type").as("et"),
         when(col("user_id") % 10 === 0, lit(null))
           .otherwise(col("value")).as("v"))).as("doc"))
@@ -856,7 +863,8 @@ object SparkEntry {
     // dynamic windowed N-family: minN/lastN/top via the BSON-ordered packed
     // structs (same oracle as the typed q_window_nfamily)
     "q_dynamic_window_nfamily" -> ((s, dir) => {
-      val docs = t(s, dir, "events").select(to_json(struct(
+      val docs = t(s, dir, "events").filter(col("event_id") < 100000)
+        .select(to_json(struct(
         col("event_id").as("_id"), col("event_type").as("et"),
         col("ts"), col("value").as("v"))).as("doc"))
       val out = graft.dynamic.DynPipeline.run(docs,
@@ -2315,7 +2323,8 @@ object SparkEntry {
                         "avg3": {"$round": ["$avg3", 4]}}}]""")),
     // $setWindowFields statistics family: stddev / covariance / addToSet
     "q_window_stats" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$setWindowFields": {
+      """[{"$match": {"event_id": {"$lt": 100000}}},
+          {"$setWindowFields": {
             "partitionBy": "$event_type",
             "sortBy": {"ts": 1, "event_id": 1},
             "output": {
@@ -2344,7 +2353,8 @@ object SparkEntry {
     // is only meaningful where ts is unique per partition (true for the
     // driver tables; a 10x replica must nudge ts per copy)
     "q_window_calc" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$setWindowFields": {
+      """[{"$match": {"event_id": {"$lt": 100000}}},
+          {"$setWindowFields": {
             "partitionBy": "$event_type",
             "sortBy": {"ts": 1},
             "output": {
@@ -2358,7 +2368,8 @@ object SparkEntry {
     // windowed N-family: $minN/$lastN/$top over document frames (modern MQL
     // window operators, beyond the group accumulators)
     "q_window_nfamily" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$setWindowFields": {
+      """[{"$match": {"event_id": {"$lt": 100000}}},
+          {"$setWindowFields": {
             "partitionBy": "$event_type", "sortBy": {"ts": 1, "event_id": 1},
             "output": {
               "min3": {"$minN": {"input": "$value", "n": 3},
@@ -2390,7 +2401,8 @@ object SparkEntry {
     // $linearFill (interpolate nulls along the sort axis) + $expMovingAvg
     // (cumulative exponential moving average, N=5)
     "q_window_fill" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$addFields": {"v": {"$cond": [
+      """[{"$match": {"event_id": {"$lt": 100000}}},
+          {"$addFields": {"v": {"$cond": [
             {"$eq": [{"$mod": ["$user_id", 10]}, 0]}, null, "$value"]}}},
           {"$setWindowFields": {
             "partitionBy": "$event_type",
@@ -5800,7 +5812,7 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, event_type,
                            CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v,
                            CAST(event_id AS DOUBLE) AS x
-                    FROM events),
+                    FROM events WHERE event_id < 100000),
          s AS (SELECT event_id, v, x,
                       lag(v) OVER w AS pv0, lag(x) OVER w AS px0,
                       last_value(v IGNORE NULLS) OVER wb AS pv,
@@ -5845,7 +5857,7 @@ object SparkEntry {
                 ',' || array_to_string(
                   list_sort(list_distinct(list(user_id % 4) OVER wcum)),
                   ',') AS slots
-         FROM events
+         FROM events WHERE event_id < 100000
          WINDOW
            w6 AS (PARTITION BY event_type ORDER BY ts, event_id
                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
@@ -5855,7 +5867,7 @@ object SparkEntry {
     "q_window_calc" ->
       """WITH e AS (SELECT event_id, event_type, ts, value,
                            epoch_ms(ts) / 1000.0 AS x
-                    FROM events),
+                    FROM events WHERE event_id < 100000),
          a AS (SELECT event_id, event_type, ts, value, x,
                       (x - lag(x) OVER wo) * (value + lag(value) OVER wo) / 2
                         AS ar
@@ -5877,7 +5889,7 @@ object SparkEntry {
            SELECT event_id, event_type, ts, value,
                   row_number() OVER (PARTITION BY event_type
                     ORDER BY value DESC, event_id) AS rw
-           FROM events),
+           FROM events WHERE event_id < 100000),
          b AS (
            SELECT event_id,
                   list_sort(list(value) OVER wc) AS mins,
@@ -5899,7 +5911,7 @@ object SparkEntry {
            SELECT event_id, event_type, ts, value,
                   row_number() OVER (PARTITION BY event_type
                     ORDER BY value DESC, event_id) AS rw
-           FROM events),
+           FROM events WHERE event_id < 100000),
          b AS (
            SELECT event_id,
                   list_sort(list(value) OVER wc) AS mins,
@@ -5926,7 +5938,7 @@ object SparkEntry {
     "q_window_fill" ->
       """WITH e AS (SELECT event_id, event_type,
                            CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v
-                    FROM events),
+                    FROM events WHERE event_id < 100000),
          s AS (SELECT event_id, v,
                       last_value(v IGNORE NULLS) OVER wb AS pv,
                       last_value(CASE WHEN v IS NOT NULL
