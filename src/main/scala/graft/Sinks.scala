@@ -461,7 +461,13 @@ private[graft] object SinkStages {
     * event time, defaulting to the wall clock. A NUMERIC expression is
     * EPOCH MILLIS (the dynamic engine's contract — a bare long→timestamp
     * cast would silently read it as seconds, the round-11 producer-fuzz
-    * find); a timestamp/date/string expression casts as a timestamp. */
+    * find); a timestamp/date/string expression casts as a timestamp.
+    *
+    * BREAKING (r11, documented in README): before r11 the typed engine read
+    * numeric `_clock` as epoch SECONDS via the timestamp cast. A magnitude
+    * guard can't recover the old form — small epoch-millis values (minutes
+    * after epoch) are legitimate deterministic-test clocks — so callers
+    * holding seconds must multiply by 1000 themselves. */
   private def clockExpr(df: DataFrame, spec: JValue)
       (implicit ctx: ExprCtx): Column = spec \ "_clock" match {
     case JNothing => current_timestamp()

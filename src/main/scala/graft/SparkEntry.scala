@@ -832,15 +832,13 @@ object SparkEntry {
           .as("dist_km"))
     }),
     // dynamic window calculus: derivative/linearFill/expMovingAvg over
-    // schemaless docs (tie-safe: only bit-identical arithmetic, no rounding)
-    // the window-calculus artifacts run on a BOUNDED slice (the sf0.1
-    // universe: event_id < 100000 keeps every row at the driver's gate
-    // scales): their DuckDB replays fold per-row RUNNING LISTS, which is
-    // inherently O(n²) memory — at the sf1 replica the unbounded oracle
-    // was OOM-killed at 130 GB. The ENGINE side is linear (incremental
-    // window aggregates); only the cross-engine replay needs the bound.
+    // schemaless docs (tie-safe: only bit-identical arithmetic, no rounding).
+    // UNBOUNDED since round 12: the oracles replay the cumulative folds
+    // with O(n)-memory block-carry recursive CTEs (bit-exact — same fold
+    // op sequence), replacing the per-row running-list SQL that was O(n²)
+    // and OOM-killed at the sf1 replica in round 11.
     "q_dynamic_window_calc" -> ((s, dir) => {
-      val docs = t(s, dir, "events").filter(col("event_id") < 100000)
+      val docs = t(s, dir, "events")
         .select(to_json(struct(
         col("event_id").as("_id"), col("event_type").as("et"),
         when(col("user_id") % 10 === 0, lit(null))
@@ -863,7 +861,7 @@ object SparkEntry {
     // dynamic windowed N-family: minN/lastN/top via the BSON-ordered packed
     // structs (same oracle as the typed q_window_nfamily)
     "q_dynamic_window_nfamily" -> ((s, dir) => {
-      val docs = t(s, dir, "events").filter(col("event_id") < 100000)
+      val docs = t(s, dir, "events")
         .select(to_json(struct(
         col("event_id").as("_id"), col("event_type").as("et"),
         col("ts"), col("value").as("v"))).as("doc"))
@@ -2323,8 +2321,7 @@ object SparkEntry {
                         "avg3": {"$round": ["$avg3", 4]}}}]""")),
     // $setWindowFields statistics family: stddev / covariance / addToSet
     "q_window_stats" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$match": {"event_id": {"$lt": 100000}}},
-          {"$setWindowFields": {
+      """[{"$setWindowFields": {
             "partitionBy": "$event_type",
             "sortBy": {"ts": 1, "event_id": 1},
             "output": {
@@ -2353,8 +2350,7 @@ object SparkEntry {
     // is only meaningful where ts is unique per partition (true for the
     // driver tables; a 10x replica must nudge ts per copy)
     "q_window_calc" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$match": {"event_id": {"$lt": 100000}}},
-          {"$setWindowFields": {
+      """[{"$setWindowFields": {
             "partitionBy": "$event_type",
             "sortBy": {"ts": 1},
             "output": {
@@ -2368,8 +2364,7 @@ object SparkEntry {
     // windowed N-family: $minN/$lastN/$top over document frames (modern MQL
     // window operators, beyond the group accumulators)
     "q_window_nfamily" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$match": {"event_id": {"$lt": 100000}}},
-          {"$setWindowFields": {
+      """[{"$setWindowFields": {
             "partitionBy": "$event_type", "sortBy": {"ts": 1, "event_id": 1},
             "output": {
               "min3": {"$minN": {"input": "$value", "n": 3},
@@ -2401,8 +2396,7 @@ object SparkEntry {
     // $linearFill (interpolate nulls along the sort axis) + $expMovingAvg
     // (cumulative exponential moving average, N=5)
     "q_window_fill" -> ((s, dir) => pipe(s, dir, "events",
-      """[{"$match": {"event_id": {"$lt": 100000}}},
-          {"$addFields": {"v": {"$cond": [
+      """[{"$addFields": {"v": {"$cond": [
             {"$eq": [{"$mod": ["$user_id", 10]}, 0]}, null, "$value"]}}},
           {"$setWindowFields": {
             "partitionBy": "$event_type",
@@ -2534,6 +2528,21 @@ object SparkEntry {
         round(percentile(col("value"), lit(0.5)), 5).as("p50"),
         round(percentile(col("value"), lit(0.9)), 5).as("p90"),
         round(percentile(col("value"), lit(0.99)), 5).as("p99"))
+    }),
+    // round-12: planted nested -0.0 fixture. The struct / array<struct>
+    // doubles round to IEEE -0.0 in DuckDB (Spark's BigDecimal round emits
+    // +0.0), so its strict oracle (localOracleSql — the driver row-sort on
+    // nested columns is undefined, so the driver gets rows-only) is green
+    // ONLY through Verify's deep canonicalization — a regression there goes
+    // red in the local gate instead of on some future nested-float query.
+    "q_negzero_nested" -> ((s, dir) => {
+      tune(s)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag").as("flag")).agg(
+        struct(
+          round(sum(col("l_quantity")) * lit(-1e-18), 6).as("tiny"),
+          round(count(lit(1)).cast("double"), 6).as("cnt")).as("stats"),
+        array(struct(
+          round(max(col("l_tax")) * lit(-1e-15), 6).as("t"))).as("arr"))
     }),
   )
 
@@ -3082,6 +3091,109 @@ object SparkEntry {
          FROM documents, ${(1 to bpeM).map("b" + _).mkString(", ")})
        GROUP BY lang"""
   }
+
+  /** The $expMovingAvg(N=5) fold, shared by the window-calculus oracles —
+    * the exact op sequence the engine runs (acc seeds with the first value,
+    * then acc = y*α + acc*(1-α)), so the replay is bit-identical. */
+  private val emaFold = "(acc, y) -> y * (2.0 / 6.0) + acc * (1.0 - 2.0 / 6.0)"
+
+  /** Block-carry replay of a cumulative left fold, O(n) memory and
+    * near-linear time (round 12; replaces `list() OVER (ROWS UNBOUNDED
+    * PRECEDING)`, which materializes every prefix — O(n²), OOM-killed at
+    * the sf1 replica in round 11). The non-null values of `$valCol` in
+    * CTE `$from` (per event_type partition, ordered by `$ordCol`) are
+    * grouped into fixed-size blocks; a recursive CTE folds block END
+    * states (`car`, #blocks iterations); each row then folds only its
+    * OWN block's prefix seeded by the previous block's carry — the
+    * identical fp op sequence as the engine's sequential fold, so raw
+    * doubles match bit-for-bit (a native windowed aggregate does NOT:
+    * DuckDB's segment-tree summation order diverges from Spark's running
+    * accumulator at ~10⁵-row partitions — the q_window_calc sf1 find).
+    * Emits CTE `em(event_type, i, ema)`: the fold value after the i-th
+    * non-null input. */
+  private def foldBlocks(fold: String, b: Int, from: String,
+                         valCol: String, ordCol: String): String =
+    s"""nn AS (SELECT event_type, $valCol AS v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY $ordCol) AS i
+              FROM $from WHERE $valCol IS NOT NULL),
+        blk AS MATERIALIZED (
+          SELECT event_type, (i - 1) // $b AS b, list(v ORDER BY i) AS vs
+          FROM nn GROUP BY 1, 2),
+        car AS (
+          SELECT event_type, b, list_reduce(vs, $fold) AS acc
+          FROM blk WHERE b = 0
+          UNION ALL
+          SELECT blk.event_type, blk.b,
+                 list_reduce(list_prepend(car.acc, blk.vs), $fold)
+          FROM car JOIN blk ON blk.event_type = car.event_type
+                           AND blk.b = car.b + 1),
+        em AS (
+          SELECT nn.event_type, nn.i,
+                 list_reduce(
+                   CASE WHEN prev.acc IS NULL
+                        THEN list_slice(blk.vs, 1, ((nn.i - 1) % $b) + 1)
+                        ELSE list_prepend(prev.acc,
+                               list_slice(blk.vs, 1, ((nn.i - 1) % $b) + 1))
+                   END, $fold) AS ema
+          FROM nn
+          JOIN blk ON blk.event_type = nn.event_type
+                  AND blk.b = (nn.i - 1) // $b
+          LEFT JOIN car prev ON prev.event_type = nn.event_type
+                            AND prev.b = (nn.i - 1) // $b - 1)"""
+
+  private def emaBlocks(b: Int): String =
+    foldBlocks(emaFold, b, "e", "v", "event_id")
+
+  /** Windowed N-family oracle (shared by the typed and dynamic twins).
+    * Cumulative 3-smallest replays via the same block-carry pattern: the
+    * carry is the 3-smallest list so far (pure selection, no fp math),
+    * merged with each row's own block prefix — O(n·B log B) total instead
+    * of sorting every prefix (O(n²)). */
+  private val nfamilySql: String =
+    """WITH RECURSIVE r0 AS (
+         SELECT event_id, event_type, ts, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value DESC, event_id) AS rw,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS i
+         FROM events),
+       blk AS MATERIALIZED (
+         SELECT event_type, (i - 1) // 64 AS b, list(value ORDER BY i) AS vs
+         FROM r0 GROUP BY 1, 2),
+       car AS (
+         SELECT event_type, b, list_slice(list_sort(vs), 1, 3) AS top3
+         FROM blk WHERE b = 0
+         UNION ALL
+         SELECT blk.event_type, blk.b,
+                list_slice(list_sort(list_concat(car.top3, blk.vs)), 1, 3)
+         FROM car JOIN blk ON blk.event_type = car.event_type
+                          AND blk.b = car.b + 1),
+       m AS (
+         SELECT r0.event_id, r0.event_type, r0.ts, r0.rw,
+                list_slice(list_sort(list_concat(prev.top3,
+                  list_slice(blk.vs, 1, ((r0.i - 1) % 64) + 1))), 1, 3) AS mins
+         FROM r0
+         JOIN blk ON blk.event_type = r0.event_type
+                 AND blk.b = (r0.i - 1) // 64
+         LEFT JOIN car prev ON prev.event_type = r0.event_type
+                           AND prev.b = (r0.i - 1) // 64 - 1),
+       b2 AS (
+         SELECT event_id,
+                mins,
+                list(event_id) OVER w3 AS l2,
+                arg_min(event_id, rw) OVER wc AS topv
+         FROM m
+         WINDOW
+           wc AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING),
+           w3 AS (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+       SELECT event_id, mins[1] AS m1, mins[2] AS m2, mins[3] AS m3,
+              l2[greatest(len(l2) - 1, 1)] AS la,
+              CASE WHEN len(l2) >= 2 THEN l2[len(l2)] END AS lb,
+              topv
+       FROM b2"""
 
   /** DuckDB-equivalent SQL per query (column names/types matched to the Spark
     * output; DuckDB BIGINT/DOUBLE defaults cast where Spark emits INT/LONG). */
@@ -5809,11 +5921,12 @@ object SparkEntry {
          SELECT c_custkey, round(raw * 0.001, 2) + 0 AS dist_km
          FROM d WHERE raw >= 100000 AND raw <= 8000000""",
     "q_dynamic_window_calc" ->
-      """WITH e AS (SELECT event_id, event_type,
-                           CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v,
-                           CAST(event_id AS DOUBLE) AS x
-                    FROM events WHERE event_id < 100000),
-         s AS (SELECT event_id, v, x,
+      s"""WITH RECURSIVE
+         e AS (SELECT event_id, event_type,
+                      CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v,
+                      CAST(event_id AS DOUBLE) AS x
+               FROM events),
+         s AS (SELECT event_id, event_type, v, x,
                       lag(v) OVER w AS pv0, lag(x) OVER w AS px0,
                       last_value(v IGNORE NULLS) OVER wb AS pv,
                       last_value(CASE WHEN v IS NOT NULL THEN x END
@@ -5821,20 +5934,20 @@ object SparkEntry {
                       first_value(v IGNORE NULLS) OVER wf AS nv,
                       first_value(CASE WHEN v IS NOT NULL THEN x END
                                   IGNORE NULLS) OVER wf AS nx,
-                      list_filter(list(v) OVER wb, y -> y IS NOT NULL) AS h
+                      count(v) OVER wb AS ii
                FROM e
                WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
                       wb AS (PARTITION BY event_type ORDER BY event_id
                              ROWS UNBOUNDED PRECEDING),
                       wf AS (PARTITION BY event_type ORDER BY event_id
-                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-         SELECT event_id AS _id,
-                (v - pv0) / (x - px0) AS slope,
-                coalesce(v, pv + (nv - pv) * (x - px) / (nx - px)) AS fill,
-                CASE WHEN len(h) = 0 THEN NULL
-                     ELSE list_reduce(h, (acc, y) ->
-                            y * (2.0 / 6.0) + acc * (1.0 - 2.0 / 6.0)) END AS ema
-         FROM s""",
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         ${emaBlocks(256)}
+         SELECT s.event_id AS _id,
+                (s.v - s.pv0) / (s.x - s.px0) AS slope,
+                coalesce(s.v, s.pv + (s.nv - s.pv)
+                               * (s.x - s.px) / (s.nx - s.px)) AS fill,
+                em.ema AS ema
+         FROM s LEFT JOIN em ON em.event_type = s.event_type AND em.i = s.ii""",
     "q_window_fields" ->
       """SELECT event_id,
                 round(sum(value) OVER w_run, 2) AS running,
@@ -5848,86 +5961,58 @@ object SparkEntry {
                      ROWS UNBOUNDED PRECEDING),
            w_avg AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    // slots (cumulative $addToSet of user_id % 4, sorted-concat) replays
+    // LINEARLY via one seen-flag per domain value — the mod-4 domain is
+    // {0,1,2,3}, so four cumulative max flags replace the O(n²) per-row
+    // running list (round 12; was OOM-bound at the sf1 replica)
     "q_window_stats" ->
       """SELECT event_id,
                 round(stddev_pop(value) OVER w6, 4) AS sdp,
                 round(stddev_samp(value) OVER w6, 4) AS sds,
                 round(covar_pop(value, CAST(user_id AS DOUBLE)) OVER wp, 2) AS cvp,
                 round(covar_samp(value, CAST(user_id AS DOUBLE)) OVER wp, 2) AS cvs,
-                ',' || array_to_string(
-                  list_sort(list_distinct(list(user_id % 4) OVER wcum)),
-                  ',') AS slots
-         FROM events WHERE event_id < 100000
+                ',' || concat_ws(',',
+                  CASE WHEN max(CASE WHEN user_id % 4 = 0 THEN 1 END) OVER wcum = 1 THEN '0' END,
+                  CASE WHEN max(CASE WHEN user_id % 4 = 1 THEN 1 END) OVER wcum = 1 THEN '1' END,
+                  CASE WHEN max(CASE WHEN user_id % 4 = 2 THEN 1 END) OVER wcum = 1 THEN '2' END,
+                  CASE WHEN max(CASE WHEN user_id % 4 = 3 THEN 1 END) OVER wcum = 1 THEN '3' END) AS slots
+         FROM events
          WINDOW
            w6 AS (PARTITION BY event_type ORDER BY ts, event_id
                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
            wp AS (PARTITION BY event_type),
            wcum AS (PARTITION BY event_type ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING)""",
+    // the cumulative area replays through foldBlocks, NOT sum() OVER:
+    // DuckDB's segment-tree window sum and Spark's sequential running
+    // accumulator disagree in the last rounded digit at ~10⁵-row
+    // partitions (20/1M rows at the sf1 replica, round-12 find)
     "q_window_calc" ->
-      """WITH e AS (SELECT event_id, event_type, ts, value,
-                           epoch_ms(ts) / 1000.0 AS x
-                    FROM events WHERE event_id < 100000),
+      s"""WITH RECURSIVE
+         e AS (SELECT event_id, event_type, ts, value,
+                      epoch_ms(ts) / 1000.0 AS x
+               FROM events),
          a AS (SELECT event_id, event_type, ts, value, x,
                       (x - lag(x) OVER wo) * (value + lag(value) OVER wo) / 2
                         AS ar
                FROM e
-               WINDOW wo AS (PARTITION BY event_type ORDER BY ts))
-         SELECT event_id,
-                round((last_value(value) OVER w - first_value(value) OVER w)
-                      / nullif(last_value(x) OVER w - first_value(x) OVER w, 0),
-                      4) + 0 AS slope,
-                round(coalesce(sum(ar) OVER wcum, 0), 2) + 0 AS area
-         FROM a
+               WINDOW wo AS (PARTITION BY event_type ORDER BY ts)),
+         s AS (SELECT event_id, event_type, ts, value, x,
+                      count(ar) OVER (PARTITION BY event_type ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS ii
+               FROM a),
+         ${foldBlocks("(acc, y) -> acc + y", 256, "a", "ar", "ts")}
+         SELECT s.event_id,
+                round((last_value(s.value) OVER w - first_value(s.value) OVER w)
+                      / nullif(last_value(s.x) OVER w - first_value(s.x) OVER w,
+                               0), 4) + 0 AS slope,
+                round(coalesce(em.ema, 0), 2) + 0 AS area
+         FROM s LEFT JOIN em ON em.event_type = s.event_type AND em.i = s.ii
          WINDOW
-           w AS (PARTITION BY event_type ORDER BY ts
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-           wcum AS (PARTITION BY event_type ORDER BY ts
-                    ROWS UNBOUNDED PRECEDING)""",
-    "q_window_nfamily" ->
-      """WITH r0 AS (
-           SELECT event_id, event_type, ts, value,
-                  row_number() OVER (PARTITION BY event_type
-                    ORDER BY value DESC, event_id) AS rw
-           FROM events WHERE event_id < 100000),
-         b AS (
-           SELECT event_id,
-                  list_sort(list(value) OVER wc) AS mins,
-                  list(event_id) OVER w3 AS l2,
-                  arg_min(event_id, rw) OVER wc AS topv
-           FROM r0
-           WINDOW
-             wc AS (PARTITION BY event_type ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING),
-             w3 AS (PARTITION BY event_type ORDER BY ts, event_id
-                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
-         SELECT event_id, mins[1] AS m1, mins[2] AS m2, mins[3] AS m3,
-                l2[greatest(len(l2) - 1, 1)] AS la,
-                CASE WHEN len(l2) >= 2 THEN l2[len(l2)] END AS lb,
-                topv
-         FROM b""",
-    "q_dynamic_window_nfamily" ->
-      """WITH r0 AS (
-           SELECT event_id, event_type, ts, value,
-                  row_number() OVER (PARTITION BY event_type
-                    ORDER BY value DESC, event_id) AS rw
-           FROM events WHERE event_id < 100000),
-         b AS (
-           SELECT event_id,
-                  list_sort(list(value) OVER wc) AS mins,
-                  list(event_id) OVER w3 AS l2,
-                  arg_min(event_id, rw) OVER wc AS topv
-           FROM r0
-           WINDOW
-             wc AS (PARTITION BY event_type ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING),
-             w3 AS (PARTITION BY event_type ORDER BY ts, event_id
-                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
-         SELECT event_id, mins[1] AS m1, mins[2] AS m2, mins[3] AS m3,
-                l2[greatest(len(l2) - 1, 1)] AS la,
-                CASE WHEN len(l2) >= 2 THEN l2[len(l2)] END AS lb,
-                topv
-         FROM b""",
+           w AS (PARTITION BY s.event_type ORDER BY s.ts
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+    "q_window_nfamily" -> nfamilySql,
+    "q_dynamic_window_nfamily" -> nfamilySql,
     "q_window_range" ->
       """SELECT event_id,
                 round(sum(value) OVER wr, 2) AS near_sum,
@@ -5936,10 +6021,11 @@ object SparkEntry {
          WINDOW wr AS (PARTITION BY event_type ORDER BY value
                        RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)""",
     "q_window_fill" ->
-      """WITH e AS (SELECT event_id, event_type,
-                           CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v
-                    FROM events WHERE event_id < 100000),
-         s AS (SELECT event_id, v,
+      s"""WITH RECURSIVE
+         e AS (SELECT event_id, event_type,
+                      CASE WHEN user_id % 10 = 0 THEN NULL ELSE value END AS v
+               FROM events),
+         s AS (SELECT event_id, event_type, v,
                       last_value(v IGNORE NULLS) OVER wb AS pv,
                       last_value(CASE WHEN v IS NOT NULL
                                  THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
@@ -5948,19 +6034,18 @@ object SparkEntry {
                       first_value(CASE WHEN v IS NOT NULL
                                   THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
                         OVER wf AS nx,
-                      list_filter(list(v) OVER wb, x -> x IS NOT NULL) AS h
+                      count(v) OVER wb AS ii
                FROM e
                WINDOW wb AS (PARTITION BY event_type ORDER BY event_id
                              ROWS UNBOUNDED PRECEDING),
                       wf AS (PARTITION BY event_type ORDER BY event_id
-                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-         SELECT event_id,
-                coalesce(v, pv + (nv - pv)
-                      * (CAST(event_id AS DOUBLE) - px) / (nx - px)) AS filled,
-                CASE WHEN len(h) = 0 THEN NULL
-                     ELSE list_reduce(h, (acc, x) ->
-                            x * (2.0 / 6.0) + acc * (1.0 - 2.0 / 6.0)) END AS ema
-         FROM s""",
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         ${emaBlocks(256)}
+         SELECT s.event_id,
+                coalesce(s.v, s.pv + (s.nv - s.pv)
+                      * (CAST(s.event_id AS DOUBLE) - s.px) / (s.nx - s.px)) AS filled,
+                em.ema AS ema
+         FROM s LEFT JOIN em ON em.event_type = s.event_type AND em.i = s.ii""",
     "q_sort_limit" ->
       """SELECT event_id, value FROM events
          ORDER BY value DESC, event_id LIMIT 100""",
@@ -6137,5 +6222,20 @@ object SparkEntry {
                 round(quantile_cont(value, 0.9), 5) AS p90,
                 round(quantile_cont(value, 0.99), 5) AS p99
          FROM events GROUP BY 1""",
+  )
+
+  /** Oracles checked ONLY by the local gate (tools/check_oracle.py), never
+    * dumped into the driver's oracle_sql.json: the driver compare's row-sort
+    * on NESTED (struct/array) output columns is undefined — every driver-
+    * green query to date is flat — so nested-schema fixtures get the
+    * driver's rows-only check plus this strict local twin. Verify dumps
+    * these (wrapped) to local_oracle_sql.json. */
+  def localOracleSql: Map[String, String] = Map(
+    "q_negzero_nested" ->
+      """SELECT l_returnflag AS flag,
+                struct_pack(tiny := round(sum(l_quantity) * -1e-18, 6),
+                            cnt := round(CAST(count(*) AS DOUBLE), 6)) AS stats,
+                [struct_pack(t := round(max(l_tax) * -1e-15, 6))] AS arr
+         FROM lineitem GROUP BY 1""",
   )
 }

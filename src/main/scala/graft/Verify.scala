@@ -18,44 +18,84 @@ import java.nio.file.{Files, Paths}
   * pins one canonical representation of zero on both engines.
   */
 object Verify {
-  /** -0.0 → +0.0 on every top-level float/double column (and array elems). */
+  import org.apache.spark.sql.Column
+
+  private[graft] def containsFloat(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType   => true
+    case s: StructType            => s.fields.exists(f => containsFloat(f.dataType))
+    case ArrayType(et, _)         => containsFloat(et)
+    case MapType(k, v, _)         => containsFloat(k) || containsFloat(v)
+    case u: UserDefinedType[_]    => containsFloat(u.sqlType)
+    case _                        => false
+  }
+
+  /** Canonicalize -0.0 → +0.0 at ANY nesting depth (scalar, array, struct,
+    * map — recursively). Round-11 handled only top-level scalars/arrays and
+    * WARNed on nested floats; round-12 makes the rewrite total, and an
+    * unknown float-bearing type (e.g. a UDT) is a hard error rather than a
+    * silent ship. */
+  private def normExpr(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType =>
+      F.when(c === F.lit(0), F.lit(0d).cast(dt)).otherwise(c)
+    case ArrayType(et, _) if containsFloat(et) =>
+      F.transform(c, x => normExpr(x, et))
+    case st: StructType if containsFloat(st) =>
+      val rebuilt = F.struct(st.fields.map(f =>
+        normExpr(c.getField(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
+      F.when(c.isNull, F.lit(null).cast(st)).otherwise(rebuilt)
+    case MapType(kt, vt, vn) if containsFloat(kt) || containsFloat(vt) =>
+      val rebuilt = F.map_from_arrays(
+        F.transform(F.map_keys(c), k => normExpr(k, kt)),
+        F.transform(F.map_values(c), v => normExpr(v, vt)))
+      F.when(c.isNull, F.lit(null).cast(MapType(kt, vt, vn))).otherwise(rebuilt)
+    case other if containsFloat(other) =>
+      throw new IllegalStateException(
+        s"normNegZero: no -0.0 rewrite for float-bearing type ${other.simpleString}")
+    case _ => c
+  }
+
+  /** -0.0 → +0.0 on every float/double anywhere in the schema. */
   def normNegZero(df: DataFrame): DataFrame = {
     def bq(n: String) = "`" + n.replace("`", "``") + "`"
     val cols = df.schema.fields.map { f =>
-      val c = F.col(bq(f.name))
-      f.dataType match {
-        case DoubleType | FloatType =>
-          F.when(c === F.lit(0), F.lit(0d).cast(f.dataType)).otherwise(c)
-            .as(f.name)
-        case ArrayType(et @ (DoubleType | FloatType), _) =>
-          F.transform(c, x =>
-            F.when(x === F.lit(0), F.lit(0d).cast(et)).otherwise(x)).as(f.name)
-        case _ => c.as(f.name)
-      }
+      normExpr(F.col(bq(f.name)), f.dataType).as(f.name)
     }
     df.select(cols.toIndexedSeq: _*)
   }
 
-  private def containsFloat(dt: DataType): Boolean = dt match {
-    case DoubleType | FloatType => true
-    case s: StructType          => s.fields.exists(f => containsFloat(f.dataType))
-    case ArrayType(et, _)       => containsFloat(et)
-    case MapType(k, v, _)       => containsFloat(k) || containsFloat(v)
-    case _                      => false
+  /** DuckDB-side mirror of [[normExpr]]: an expression string computing the
+    * canonicalized value of `expr` (of Spark type `dt`). `x + 0` clears the
+    * sign of zero (FLOAT + INTEGER stays FLOAT in DuckDB); structs are
+    * rebuilt with struct_pack, maps via map(keys, values). */
+  private def duckNorm(expr: String, dt: DataType): String = dt match {
+    case DoubleType | FloatType => s"($expr + 0)"
+    case ArrayType(et, _) if containsFloat(et) =>
+      s"list_transform($expr, __x -> ${duckNorm("__x", et)})"
+    case st: StructType if containsFloat(st) =>
+      def dq(n: String) = "\"" + n.replace("\"", "\"\"") + "\""
+      val packed = st.fields.map { f =>
+        s"${dq(f.name)} := ${duckNorm(s"($expr).${dq(f.name)}", f.dataType)}"
+      }.mkString(", ")
+      s"(CASE WHEN $expr IS NULL THEN NULL ELSE struct_pack($packed) END)"
+    case MapType(kt, vt, _) if containsFloat(kt) || containsFloat(vt) =>
+      val ks = s"list_transform(map_keys($expr), __k -> ${duckNorm("__k", kt)})"
+      val vs = s"list_transform(map_values($expr), __v -> ${duckNorm("__v", vt)})"
+      s"(CASE WHEN $expr IS NULL THEN NULL ELSE map($ks, $vs) END)"
+    case other if containsFloat(other) =>
+      throw new IllegalStateException(
+        s"wrapOracle: no -0.0 rewrite for float-bearing type ${other.simpleString}")
+    case _ => expr
   }
 
   /** Wrap oracle SQL so DuckDB emits the same canonical +0.0 as the Spark
-    * side — `* REPLACE` keeps names/types, `+ 0` clears the sign of zero. */
+    * side — `* REPLACE` keeps names/types; rewrites recurse into nested
+    * arrays/structs/maps exactly as [[normNegZero]] does. */
   def wrapOracle(sql: String, schema: StructType): String = {
     def dq(n: String) = "\"" + n.replace("\"", "\"\"") + "\""
     val repls = schema.fields.flatMap { f =>
-      f.dataType match {
-        case DoubleType | FloatType =>
-          Some(s"${dq(f.name)} + 0 AS ${dq(f.name)}")
-        case ArrayType(DoubleType | FloatType, _) =>
-          Some(s"list_transform(${dq(f.name)}, x -> x + 0) AS ${dq(f.name)}")
-        case _ => None
-      }
+      if (containsFloat(f.dataType))
+        Some(s"${duckNorm(dq(f.name), f.dataType)} AS ${dq(f.name)}")
+      else None
     }
     if (repls.isEmpty) sql
     else s"SELECT * REPLACE (${repls.mkString(", ")}) FROM ($sql) __graft_negz"
@@ -79,17 +119,11 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
+        // normNegZero/wrapOracle now recurse through every nesting level and
+        // THROW on a float-bearing type they can't rewrite — a nested-float
+        // query can no longer ship uncanonicalized (round-12; was a WARN).
         val df = normNegZero(fn(spark, sfDir))
         schemas(name) = df.schema
-        df.schema.fields.foreach { f =>
-          val deep = f.dataType match {
-            case DoubleType | FloatType                   => false
-            case ArrayType(DoubleType | FloatType, _)     => false
-            case dt                                       => containsFloat(dt)
-          }
-          if (deep) System.err.println(
-            s"[verify] WARN $name.${f.name}: float nested in ${f.dataType.simpleString} is NOT -0.0-canonicalized")
-        }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -107,12 +141,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) =>
-        val sql = schemas.get(k).map(wrapOracle(v, _)).getOrElse(v)
-        s"${q(k)}: ${q(sql)}"
-      }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def dump(oracles: Map[String, String], file: String): Unit = {
+      val json = oracles
+        .map { case (k, v) =>
+          val sql = schemas.get(k).map(wrapOracle(v, _)).getOrElse(v)
+          s"${q(k)}: ${q(sql)}"
+        }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/$file"), json)
+    }
+    dump(SparkEntry.oracleSql, "oracle_sql.json")
+    // nested-schema fixtures: strict compare runs only in the local gate
+    // (the driver's row-sort on struct/array columns is undefined)
+    dump(SparkEntry.localOracleSql, "local_oracle_sql.json")
     spark.stop()
   }
 }

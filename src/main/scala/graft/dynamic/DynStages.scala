@@ -787,9 +787,11 @@ object DynPipeline {
         val valid = t != null && t.isTextual && d != null && d.isIntegralNumber
         val base = clockOp.map(_.eval(dctx)) match {
           case Some(c) if c != null && c.isNumber => c.longValue
-          case Some(c) if c != null && c.isTextual &&
-              clockInstant(c.textValue).isDefined =>
-            clockInstant(c.textValue).get
+          case Some(c) if c != null && c.isTextual =>
+            // unparseable text FAILS LOUDLY — a silent wall-clock fallback
+            // made the output nondeterministic (round-12 advisor find)
+            clockInstant(c.textValue).getOrElse(throw new IllegalArgumentException(
+              s"$$delay _clock: unparseable instant '${c.textValue}'"))
           case _                                  => System.currentTimeMillis()
         }
         if (valid) (k, s, t.textValue, base + d.longValue)
@@ -838,9 +840,9 @@ object DynPipeline {
       it.map { case (k, s) =>
         val ms = clockOp.map(_.eval(DynExpr.DCtx(parse(s), Map.empty))) match {
           case Some(c) if c != null && c.isNumber => c.longValue
-          case Some(c) if c != null && c.isTextual &&
-              clockInstant(c.textValue).isDefined =>
-            clockInstant(c.textValue).get
+          case Some(c) if c != null && c.isTextual =>
+            clockInstant(c.textValue).getOrElse(throw new IllegalArgumentException(
+              s"$$probe _clock: unparseable instant '${c.textValue}'"))
           case _                                  => System.currentTimeMillis()
         }
         (k, s, ms - ms % 60000L)
@@ -859,10 +861,22 @@ object DynPipeline {
     * timestamp columns render to) → epoch millis. Brings the dynamic
     * engine to parity with the typed one, which casts any non-numeric
     * `_clock` through TimestampType; numbers stay epoch millis on both. */
-  private def clockInstant(s: String): Option[Long] =
-    try Some(java.time.Instant.parse(
-      if (s.endsWith("Z") || s.contains("+")) s else s + "Z").toEpochMilli)
-    catch { case _: Exception => None }
+  private def clockInstant(s: String): Option[Long] = {
+    def p(str: String) =
+      try Some(java.time.Instant.parse(str).toEpochMilli)
+      catch { case _: Exception => None }
+    // JDK 12+ ISO_INSTANT accepts ±hh:mm offsets directly, so try the string
+    // verbatim FIRST (the old "append Z unless it ends in Z / contains +"
+    // heuristic corrupted negative offsets: "…T00:00:01-05:00" → "…-05:00Z").
+    // Only a string with NO offset designator after the 'T' gets a Z
+    // appended (local time read as UTC, matching the typed engine's cast).
+    p(s).orElse {
+      val t = s.indexOf('T')
+      val hasOffset = s.endsWith("Z") || s.endsWith("z") ||
+        (t >= 0 && (s.indexOf('+', t) >= 0 || s.indexOf('-', t) >= 0))
+      if (hasOffset) None else p(s + "Z")
+    }
+  }
 
   // ---- store stages -----------------------------------------------------------
 
@@ -1021,7 +1035,11 @@ object DynPipeline {
       .persist()
 
     val onCols = List("__on")
-    val bucketedN = ctx.store.bucketing(into, onCols)
+    // the semantic key spec: __on VALUES depend on the stage's on-field
+    // list, so bucket pruning is only sound when the collection was last
+    // bucketed under the SAME list (else: full-rewrite fallback below)
+    val onSpec = on.mkString("\u0000")
+    val bucketedN = ctx.store.bucketing(into, onCols, onSpec)
     val touched: Seq[Int] = bucketedN match {
       case Some(n) => incoming.select(
           graft.sources.DocumentStore.bucketColumn(onCols, n).as("__b"))
@@ -1088,7 +1106,8 @@ object DynPipeline {
         ctx.store.replaceBuckets(into, touched, newTarget.withColumn("__bucket",
           graft.sources.DocumentStore.bucketColumn(onCols, n)))
       case None => ctx.store match {
-        case b: graft.sources.BucketedParquetStore => b.seed(into, newTarget, onCols)
+        case b: graft.sources.BucketedParquetStore =>
+          b.seed(into, newTarget, onCols, onSpec)
         case _ => ctx.store.overwrite(into, newTarget)
       }
     }
@@ -1123,7 +1142,9 @@ object DynPipeline {
     val valid = keyed.filter(col("__k").isNotNull)
     val keys = valid.select(col("__k").as("__on")).distinct()
     val onCols = List("__on")
-    ctx.store.bucketing(from, onCols) match {
+    // bucket pruning only when the collection was last bucketed under the
+    // SAME on-field list (see $merge's onSpec note)
+    ctx.store.bucketing(from, onCols, on.mkString("\u0000")) match {
       case Some(n) =>
         val touched = keys.select(
             graft.sources.DocumentStore.bucketColumn(onCols, n).as("__b"))
@@ -1135,8 +1156,15 @@ object DynPipeline {
               graft.sources.DocumentStore.bucketColumn(onCols, n)))
       case None =>
         val target = withOnKeys(ctx.store.read(from), on)
-        ctx.store.overwrite(from,
-          target.join(keys, target("__on") <=> keys("__on"), "left_anti"))
+        val remaining =
+          target.join(keys, target("__on") <=> keys("__on"), "left_anti")
+        ctx.store match {
+          // full rewrite recomputes __on under the CURRENT on list, so the
+          // collection's bucketing key spec becomes this stage's list
+          case b: graft.sources.BucketedParquetStore =>
+            b.seed(from, remaining, onCols, on.mkString(" "))
+          case other => other.overwrite(from, remaining)
+        }
     }
     valid.select(col("key"), col("doc"))
   }
@@ -1147,7 +1175,10 @@ object DynPipeline {
     * and one last written under a DIFFERENT `on` list would carry stale
     * keys — the typed engine derives keys from its columns the same way
     * (sink-fuzz find, round 11). Bucketed layouts hash the stored `__on`,
-    * so a bucketed collection's `on` list must stay fixed across writes. */
+    * so bucket PRUNING additionally requires the collection's last-write
+    * on list to equal the stage's — enforced via the store's keySpec
+    * metadata (round 12): a mismatch returns bucketing=None and the stage
+    * takes the full-rewrite path, which is correct under any on list. */
   private def withOnKeys(target: DataFrame, on: List[String]): DataFrame =
     target.select(lit("").as("key"), col("doc")).as(tuple2Enc)
       .mapPartitions { it =>

@@ -35,8 +35,14 @@ final class BucketedParquetStore(
     spark: SparkSession, base: String, val numBuckets: Int = 32)
   extends DocumentStore {
 
-  private final case class State(on: List[String], nextGen: Int, gens: Map[Int, List[Int]])
+  private final case class State(
+      on: List[String], keySpec: String, nextGen: Int, gens: Map[Int, List[Int]])
   private val states = TrieMap.empty[String, State]
+
+  /** Canonical key spec when the caller gives none: the column list itself
+    * (NUL join — cannot appear in column names or on-field paths). */
+  private def ks(on: List[String], keySpec: String): String =
+    if (keySpec == null) on.mkString("\u0000") else keySpec
 
   /** The bucket of a row, from its `on` columns (Murmur3, stable across
     * sessions — safe to persist). */
@@ -60,11 +66,13 @@ final class BucketedParquetStore(
   private def oneFilePerBucket(df: DataFrame): DataFrame =
     df.repartition(numBuckets, col("__bucket"))
 
-  def seed(name: String, df: DataFrame, on: List[String] = List("_id")): Unit = {
+  def seed(name: String, df: DataFrame, on: List[String] = List("_id"),
+           keySpec: String = null): Unit = {
     val g = states.get(name).map(_.nextGen).getOrElse(0)
     oneFilePerBucket(df.withColumn("__bucket", bucketColumn(on)))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path(name, g))
-    states(name) = State(on, g + 1, bucketsIn(name, g).map(_ -> List(g)).toMap)
+    states(name) =
+      State(on, ks(on, keySpec), g + 1, bucketsIn(name, g).map(_ -> List(g)).toMap)
   }
 
   /** Live rows incl. the `__bucket` partition column. */
@@ -83,8 +91,11 @@ final class BucketedParquetStore(
 
   override def read(name: String): DataFrame = readInternal(name).drop("__bucket")
 
-  override def bucketing(name: String, on: List[String]): Option[Int] =
-    states.get(name).filter(_.on == on).map(_ => numBuckets)
+  override def bucketing(name: String, on: List[String], keySpec: String = null)
+      : Option[Int] =
+    states.get(name)
+      .filter(st => st.on == on && st.keySpec == ks(on, keySpec))
+      .map(_ => numBuckets)
 
   override def readBuckets(name: String, touched: Seq[Int]): DataFrame =
     readInternal(name).filter(col("__bucket").isin(touched: _*)).drop("__bucket")
@@ -104,7 +115,7 @@ final class BucketedParquetStore(
     (present -- touched).foreach { b =>
       gens = gens.updated(b, gens.getOrElse(b, Nil) :+ g)
     }
-    states(name) = State(st.on, g + 1, gens)
+    states(name) = State(st.on, st.keySpec, g + 1, gens)
     if (gens.valuesIterator.map(_.size).sum > numBuckets * 4) compact(name)
   }
 
@@ -114,14 +125,18 @@ final class BucketedParquetStore(
     val g = st.nextGen
     oneFilePerBucket(readInternal(name))
       .write.mode("overwrite").partitionBy("__bucket").parquet(path(name, g))
-    states(name) = State(st.on, g + 1, bucketsIn(name, g).map(_ -> List(g)).toMap)
+    states(name) =
+      State(st.on, st.keySpec, g + 1, bucketsIn(name, g).map(_ -> List(g)).toMap)
   }
 
-  /** Full rewrite (legacy path; also the schema-evolution fallback). */
+  /** Full rewrite (legacy path; also the schema-evolution fallback).
+    * Preserves the prior keySpec: an overwrite through the generic sink path
+    * doesn't re-derive keys, so the collection's key identity is unchanged. */
   override def overwrite(name: String, df: DataFrame): Unit = {
-    val on = states.get(name).map(_.on).getOrElse(
+    val prior = states.get(name)
+    val on = prior.map(_.on).getOrElse(
       if (df.columns.contains("_id")) List("_id") else List(df.columns.head))
-    seed(name, df, on)
+    seed(name, df, on, prior.map(_.keySpec).orNull)
   }
 
   /** Test/diagnostic hook: which generations hold each bucket. */

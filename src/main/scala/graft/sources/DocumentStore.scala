@@ -10,10 +10,20 @@ trait DocumentStore {
   def read(name: String): DataFrame
   def overwrite(name: String, df: DataFrame): Unit
 
-  /** Some(n) when collection `name` is hash-bucketed on exactly `on` into n
-    * buckets and supports incremental bucket replacement; None = sinks fall
-    * back to read-all/overwrite-all. */
-  def bucketing(name: String, on: List[String]): Option[Int] = None
+  /** Some(n) when collection `name` is hash-bucketed on exactly the `on`
+    * COLUMNS, was last written under the same semantic `keySpec`, and
+    * supports incremental bucket replacement; None = sinks fall back to
+    * read-all/overwrite-all (always correct, just not pruned).
+    *
+    * `keySpec` exists because a derived key column's NAME doesn't pin its
+    * MEANING: the dynamic engine hashes one `__on` column whose values
+    * depend on the stage's on-field list, so a collection last bucketed
+    * under `on: ["_id"]` must NOT serve pruned bucket reads to a stage
+    * running `on: ["a","b"]` (round-12 advisor find — the stored __bucket
+    * hashes would select the wrong subset). `null` keySpec defaults to the
+    * column list itself, which is the right identity for typed collections
+    * whose key columns are the semantic key. */
+  def bucketing(name: String, on: List[String], keySpec: String = null): Option[Int] = None
 
   /** Rows of just the given buckets (partition-pruned on bucketed stores). */
   def readBuckets(name: String, touched: Seq[Int]): DataFrame = read(name)

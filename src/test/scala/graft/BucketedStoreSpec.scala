@@ -1,5 +1,6 @@
 package graft
 
+import graft.dynamic.DynJson
 import graft.sources.BucketedParquetStore
 import org.apache.spark.sql.functions._
 
@@ -98,5 +99,50 @@ class BucketedStoreSpec extends SparkSpec {
     val got = st.read("c")
     assert(got.columns.toSet == Set("_id", "v", "w"))
     assert(rows(got) == Set(List("1", 11L, "extra")))
+  }
+
+  test("bucketing requires a matching keySpec, not just matching column names") {
+    val (st, _) = mkStore()
+    val df = Seq(("k1", "d1")).toDF("__on", "doc")
+    st.seed("dynColl", df, on = List("__on"), keySpec = "a")
+    assert(st.bucketing("dynColl", List("__on"), "a").contains(8))
+    assert(st.bucketing("dynColl", List("__on"), "b").isEmpty,
+      "same column, different semantic key: pruning must be refused")
+    assert(st.bucketing("dynColl", List("__on")).isEmpty,
+      "null keySpec defaults to the column list, which differs from 'a'")
+    // typed convention unchanged: no keySpec on either side still matches
+    st.seed("typedColl", Seq(("x", 1L)).toDF("f", "v"), on = List("f"))
+    assert(st.bucketing("typedColl", List("f")).contains(8))
+  }
+
+  test("dynamic $delete under a DIFFERENT on list than the last $merge is correct") {
+    // round-12 advisor find: the stored __bucket hashes of a dynamically
+    // merged collection are derived from the MERGE's on list; a $delete with
+    // another on list must not prune by them (it would read/replace the
+    // wrong bucket subset). The keySpec check forces the full-rewrite path.
+    val st = new graft.sources.BucketedParquetStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_keyspec").toString, 8)
+    val seedDocs = (1 to 40).map(i => s"""{"_id":"$i","a":"a$i","b":"b$i"}""")
+      .toDF("doc")
+    graft.dynamic.DynPipeline.run(seedDocs,
+      """[{"$merge": {"into": "c", "on": "a"}}]""",
+      graft.dynamic.DynPipeline.DynCtx(store = st)).count()
+    assert(st.read("c").count() == 40)
+    val del = Seq("""{"b":"b7"}""", """{"b":"b23"}""").toDF("doc")
+    graft.dynamic.DynPipeline.run(del,
+      """[{"$delete": {"from": "c", "on": "b"}}]""",
+      graft.dynamic.DynPipeline.DynCtx(store = st)).count()
+    val left = st.read("c").select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0)).path("b").textValue).toSet
+    assert(left.size == 38 && !left("b7") && !left("b23"),
+      s"expected b7/b23 gone and 38 rows, got ${left.size}")
+    // the full rewrite re-seeded under keySpec=b, so a SAME-list delete now
+    // takes the pruned bucket path again — and stays correct
+    assert(st.bucketing("c", List("__on"), "b").contains(8))
+    graft.dynamic.DynPipeline.run(
+      Seq("""{"b":"b1"}""").toDF("doc"),
+      """[{"$delete": {"from": "c", "on": "b"}}]""",
+      graft.dynamic.DynPipeline.DynCtx(store = st)).count()
+    assert(st.read("c").count() == 37)
   }
 }

@@ -8,6 +8,10 @@ import duckdb, pandas as pd, numpy as np
 outdir, sfdir = sys.argv[1], sys.argv[2]
 only = sys.argv[3].split(",") if len(sys.argv) > 3 else None  # optional name filter
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# local-only strict oracles (nested-schema fixtures the driver checks
+# rows-only — see SparkEntry.localOracleSql)
+if os.path.exists(f"{outdir}/local_oracle_sql.json"):
+    oracle.update(json.load(open(f"{outdir}/local_oracle_sql.json")))
 if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
 con = duckdb.connect()
@@ -19,6 +23,32 @@ con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '64GB')}'")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+def canon_cell(v):
+    """Nested (struct/array/map) cells → one canonical string, floats
+    rendered SIGNBIT-STRICT (-0.0 != 0.0, matching the driver's value-hash
+    discipline). Also makes multi-key row sorts possible at all — pandas
+    factorizes sort keys, and dict/ndarray cells are unhashable."""
+    if v is None:
+        return "null"
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (float, np.floating)):
+        if np.isnan(v):
+            return "nan"
+        if v == 0:
+            return "-0.0" if np.signbit(v) else "0.0"
+        return repr(float(v))
+    return repr(v)
+
+def normalize_nested(df):
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (dict, list, np.ndarray))).any():
+            df[c] = df[c].map(lambda v: None if v is None else canon_cell(v))
+    return df
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -36,8 +66,9 @@ for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             fail(name, "no spark output"); continue
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-        want = con.execute(sql).fetchdf()
+        got = normalize_nested(
+            pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
+        want = normalize_nested(con.execute(sql).fetchdf())
         if sorted(got.columns) != sorted(want.columns):
             fail(name, f"cols: spark={sorted(got.columns)} duck={sorted(want.columns)}"); continue
         if len(got) != len(want):
