@@ -89,6 +89,39 @@ final class StreamingPipeline(pipeline: Pipeline) {
   }
 }
 
+object StreamingPipeline {
+
+  /** Spark's RocksDB state store provider (in sql/core since 3.2; the
+    * rocksdbjni native lib ships with the Spark distribution). */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's state store provider switched (restored
+    * after). The provider is a session conf captured when a streaming query
+    * STARTS, so this scopes correctly around query construction + start.
+    *
+    * When to switch: the default HDFSBackedStateStoreProvider keeps every
+    * key's state in executor HEAP (one in-memory map per store, snapshots
+    * to the checkpoint dir). For `$group`/`$deduplicate`/near-dedup state
+    * at 100 TB input — easily 10⁸–10⁹ keys — that heap residency is the
+    * scale killer; RocksDB keeps the working set off-heap on local SSD
+    * with block-cache reads, bounding heap at O(cache), not O(keys). Rule
+    * of thumb (measured in RocksDBStateSpec at toy scale, extrapolated):
+    * prefer RocksDB beyond ~10⁶ keys per executor or when state-size ×
+    * replay-window no longer fits the executor heap. */
+  def withStateStoreProvider[T](spark: org.apache.spark.sql.SparkSession,
+      provider: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, provider)
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+}
+
 /** Where to cut a pipeline for Structured Streaming — shared by the typed
   * and the dynamic (schemaless) streaming runners. */
 private[streaming] object StreamSplit {
