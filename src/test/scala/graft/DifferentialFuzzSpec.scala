@@ -24,9 +24,13 @@ import scala.util.Random
 class DifferentialFuzzSpec extends SparkSpec with DifferentialHarness {
 
   // fixed seed for CI determinism; override for exploratory mining with
-  // sbt -J-Dgraft.fuzz.seed=N (finds get pasted into the corpus as pins)
+  // GRAFT_FUZZ_SEED=N (env var — tests run in a forked jvm that inherits
+  // the environment, NOT sbt-side -D system properties; finds get pasted
+  // into the corpus as pins)
   private val rnd = new Random(
-    sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(20260813L))
+    sys.env.get("GRAFT_FUZZ_SEED")
+      .orElse(sys.props.get("graft.fuzz.seed"))
+      .map(_.toLong).getOrElse(20260813L))
 
   private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
 

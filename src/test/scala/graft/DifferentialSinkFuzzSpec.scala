@@ -22,13 +22,16 @@ import scala.util.Random
   * (["_id"] and the compound ["s","grp"], whose input carries a DUPLICATE
   * key pair so sequential last-write-wins is exercised) × an optional
   * pre-`$match`. Determinism: fixed seed; a failure reproduces by seed +
-  * index and gets pinned in the corpus. Mine with
-  * `sbt -J-Dgraft.sinkfuzz.seed=N "testOnly graft.DifferentialSinkFuzzSpec"`. */
+  * index and gets pinned in the corpus. Mine with `GRAFT_SINKFUZZ_SEED=N
+  * sbt "testOnly graft.DifferentialSinkFuzzSpec"` (env var — the forked
+  * test jvm inherits the environment, not sbt-side -D properties). */
 class DifferentialSinkFuzzSpec extends SparkSpec with DifferentialHarness {
   import spark.implicits._
 
   private val rnd = new Random(
-    sys.props.get("graft.sinkfuzz.seed").map(_.toLong).getOrElse(20260815L))
+    sys.env.get("GRAFT_SINKFUZZ_SEED")
+      .orElse(sys.props.get("graft.sinkfuzz.seed"))
+      .map(_.toLong).getOrElse(20260815L))
   private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
 
   // sink input: unique _id, a DUPLICATE compound (s, grp) pair (rows 0 and
