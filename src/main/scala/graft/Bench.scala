@@ -65,8 +65,12 @@ object Bench {
     println(s"""{"metric":"poles_seq","unit":"sec","queries":$ps,"sf":"$sfDir"}""")
     // the driver tail-captures the END of stdout and the first line leads
     // with the total, so a long per-query map can push it off the capture —
-    // repeat a short total-only line LAST so the total always survives
-    println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sf":"$sfDir"}""")
+    // repeat a short total-only line LAST so the total always survives.
+    // sec_per_query normalizes across rounds: the total drifts upward with
+    // query-count growth (27.6 s/142 → 43.8 s/213) while per-query wall is
+    // flat — compare THIS number round-over-round, not the raw total.
+    val secPerQuery = if (results.nonEmpty) total / results.size else 0d
+    println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sec_per_query":$secPerQuery,"sf":"$sfDir"}""")
     pool.shutdown()
     spark.stop()
   }
