@@ -859,12 +859,20 @@ object SparkEntry {
         get_json_object(col("doc"), "$.ema").cast("double").as("ema"))
     }),
     // dynamic windowed N-family: minN/lastN/top via the BSON-ordered packed
-    // structs (same oracle as the typed q_window_nfamily)
+    // structs (same oracle as the typed q_window_nfamily).
+    // ts is rendered at FIXED-WIDTH MICROSECOND precision: to_json's
+    // default timestamp format is millis (faithful to BSON dates), which
+    // truncates the sort axis — at the sf10 replica, base events < 1 ms
+    // apart collapsed into ties and the _id tiebreak interleaved replica
+    // copies differently than the oracle's µs ordering (137/10M rows,
+    // round-12 find). A fixed 6-digit fraction sorts lexicographically ==
+    // chronologically.
     "q_dynamic_window_nfamily" -> ((s, dir) => {
       val docs = t(s, dir, "events")
         .select(to_json(struct(
         col("event_id").as("_id"), col("event_type").as("et"),
-        col("ts"), col("value").as("v"))).as("doc"))
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("ts"),
+        col("value").as("v"))).as("doc"))
       val out = graft.dynamic.DynPipeline.run(docs,
         """[{"$setWindowFields": {
               "partitionBy": "$et", "sortBy": {"ts": 1, "_id": 1},
@@ -892,10 +900,13 @@ object SparkEntry {
         get_json_object(col("doc"), "$.topv").cast("long").as("topv"))
     }),
     // dynamic $fill locf over schemaless docs (to_json drops the nulled
-    // value -> MISSING, the dynamic fillable state)
+    // value -> MISSING, the dynamic fillable state). ts at fixed-width µs
+    // precision — see q_dynamic_window_nfamily's note (locf carry order is
+    // tie-sensitive the same way).
     "q_dynamic_fill" -> ((s, dir) => {
       val docs = t(s, dir, "events").select(to_json(struct(
-        col("event_id").as("_id"), col("event_type").as("et"), col("ts"),
+        col("event_id").as("_id"), col("event_type").as("et"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").as("ts"),
         when(col("event_id") % 3 === 0, lit(null))
           .otherwise(col("value")).as("v"))).as("doc"))
       val out = graft.dynamic.DynPipeline.run(docs,
@@ -5948,18 +5959,29 @@ object SparkEntry {
                                * (s.x - s.px) / (s.nx - s.px)) AS fill,
                 em.ema AS ema
          FROM s LEFT JOIN em ON em.event_type = s.event_type AND em.i = s.ii""",
+    // the cumulative `running` sum replays through foldBlocks like
+    // q_window_calc's area: native window sums are segment-tree-ordered in
+    // DuckDB and diverge from Spark's sequential accumulator in the last
+    // rounded digit once partitions reach ~10⁵ rows. This oracle happened
+    // to pass at sf1 only because its magnitudes round safely — the replay
+    // removes the luck. `value` is non-null, so row_number doubles as the
+    // fold index (no separate count(ar) needed).
     "q_window_fields" ->
-      """SELECT event_id,
-                round(sum(value) OVER w_run, 2) AS running,
-                CAST(row_number() OVER w_ord AS INT) AS rnk,
-                coalesce(lag(value, 1) OVER w_ord, 0) AS prev,
-                round(avg(value) OVER w_avg, 4) AS avg3
-         FROM events
+      s"""WITH RECURSIVE
+         a AS (SELECT event_id, event_type, ts, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id) AS ii
+               FROM events),
+         ${foldBlocks("(acc, y) -> acc + y", 256, "a", "value", "ts, event_id")}
+         SELECT a.event_id,
+                round(em.ema, 2) AS running,
+                CAST(a.ii AS INT) AS rnk,
+                coalesce(lag(a.value, 1) OVER w_ord, 0) AS prev,
+                round(avg(a.value) OVER w_avg, 4) AS avg3
+         FROM a JOIN em ON em.event_type = a.event_type AND em.i = a.ii
          WINDOW
-           w_ord AS (PARTITION BY event_type ORDER BY ts, event_id),
-           w_run AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING),
-           w_avg AS (PARTITION BY event_type ORDER BY ts, event_id
+           w_ord AS (PARTITION BY a.event_type ORDER BY a.ts, a.event_id),
+           w_avg AS (PARTITION BY a.event_type ORDER BY a.ts, a.event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     // slots (cumulative $addToSet of user_id % 4, sorted-concat) replays
     // LINEARLY via one seen-flag per domain value — the mod-4 domain is
