@@ -2540,12 +2540,22 @@ object SparkEntry {
         round(percentile(col("value"), lit(0.9)), 5).as("p90"),
         round(percentile(col("value"), lit(0.99)), 5).as("p99"))
     }),
+  )
+
+  /** Queries checked ONLY by the local strict gate, never shown to the
+    * driver (round-13; was in [[queries]]): the driver's pandas comparator
+    * CRASHES sorting nested struct/array cells (unhashable numpy.ndarray —
+    * CORRECTNESS_r12 `q_negzero_nested` err), it does not degrade to
+    * rows-only. Hard rule (FIXTURES.md): driver-visible queries emit FLAT,
+    * pandas-sortable schemas — scalars only at top level. Verify dumps
+    * these under `outDir/__local/` so the driver's glob never sees them;
+    * tools/check_oracle.py pairs them with [[localOracleSql]]. */
+  def localQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // round-12: planted nested -0.0 fixture. The struct / array<struct>
     // doubles round to IEEE -0.0 in DuckDB (Spark's BigDecimal round emits
-    // +0.0), so its strict oracle (localOracleSql — the driver row-sort on
-    // nested columns is undefined, so the driver gets rows-only) is green
-    // ONLY through Verify's deep canonicalization — a regression there goes
-    // red in the local gate instead of on some future nested-float query.
+    // +0.0), so its strict oracle is green ONLY through Verify's deep
+    // canonicalization — a regression there goes red in the local gate
+    // instead of on some future nested-float query.
     "q_negzero_nested" -> ((s, dir) => {
       tune(s)
       t(s, dir, "lineitem").groupBy(col("l_returnflag").as("flag")).agg(
@@ -3181,8 +3191,11 @@ object SparkEntry {
          FROM car JOIN blk ON blk.event_type = car.event_type
                           AND blk.b = car.b + 1),
        m AS (
+         -- coalesce, not NULL-skip: block-0 rows have prev.top3 NULL from
+         -- the LEFT JOIN, and list_concat's NULL handling is version-
+         -- sensitive (|| semantics would NULL the whole first block)
          SELECT r0.event_id, r0.event_type, r0.ts, r0.rw,
-                list_slice(list_sort(list_concat(prev.top3,
+                list_slice(list_sort(list_concat(coalesce(prev.top3, []),
                   list_slice(blk.vs, 1, ((r0.i - 1) % 64) + 1))), 1, 3) AS mins
          FROM r0
          JOIN blk ON blk.event_type = r0.event_type
@@ -6247,11 +6260,11 @@ object SparkEntry {
   )
 
   /** Oracles checked ONLY by the local gate (tools/check_oracle.py), never
-    * dumped into the driver's oracle_sql.json: the driver compare's row-sort
-    * on NESTED (struct/array) output columns is undefined — every driver-
-    * green query to date is flat — so nested-schema fixtures get the
-    * driver's rows-only check plus this strict local twin. Verify dumps
-    * these (wrapped) to local_oracle_sql.json. */
+    * dumped into the driver's oracle_sql.json: the driver compare CRASHES
+    * on NESTED (struct/array) output columns (pandas sort over unhashable
+    * ndarray cells — CORRECTNESS_r12), so nested-schema fixtures live in
+    * [[localQueries]] (dumped under `__local/`) with their strict SQL here.
+    * Verify dumps these (wrapped) to local_oracle_sql.json. */
   def localOracleSql: Map[String, String] = Map(
     "q_negzero_nested" ->
       """SELECT l_returnflag AS flag,

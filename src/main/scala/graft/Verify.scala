@@ -115,7 +115,8 @@ object Verify {
     // Dev-only subset run: SPARK_GRAFT_ONLY=q_a,q_b (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val schemas = scala.collection.mutable.Map.empty[String, StructType]
-    SparkEntry.queries
+    def runAll(qs: Map[String, (SparkSession, String) => DataFrame],
+               sub: String): Unit = qs
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
@@ -124,11 +125,17 @@ object Verify {
         // query can no longer ship uncanonicalized (round-12; was a WARN).
         val df = normNegZero(fn(spark, sfDir))
         schemas(name) = df.schema
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir$sub/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    runAll(SparkEntry.queries, "")
+    // nested-schema fixtures: dumped under __local/ so the driver's glob
+    // never loads them — its pandas comparator crashes sorting nested
+    // struct/array cells (CORRECTNESS_r12 find); checked only by
+    // tools/check_oracle.py against localOracleSql
+    runAll(SparkEntry.localQueries, "/__local")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1143,8 +1143,13 @@ object DynPipeline {
     val keys = valid.select(col("__k").as("__on")).distinct()
     val onCols = List("__on")
     // bucket pruning only when the collection was last bucketed under the
-    // SAME on-field list (see $merge's onSpec note)
-    ctx.store.bucketing(from, onCols, on.mkString("\u0000")) match {
+    // SAME on-field list (see $merge's onSpec note); the full-rewrite seed
+    // below MUST persist the SAME NUL-joined spec, or pruning on every
+    // later same-list stage is silently disabled and a single field
+    // literally named "a b" would collide with List("a","b")
+    // (advisor find, r12)
+    val deleteOnSpec = on.mkString("\u0000")
+    ctx.store.bucketing(from, onCols, deleteOnSpec) match {
       case Some(n) =>
         val touched = keys.select(
             graft.sources.DocumentStore.bucketColumn(onCols, n).as("__b"))
@@ -1162,7 +1167,7 @@ object DynPipeline {
           // full rewrite recomputes __on under the CURRENT on list, so the
           // collection's bucketing key spec becomes this stage's list
           case b: graft.sources.BucketedParquetStore =>
-            b.seed(from, remaining, onCols, on.mkString(" "))
+            b.seed(from, remaining, onCols, deleteOnSpec)
           case other => other.overwrite(from, remaining)
         }
     }

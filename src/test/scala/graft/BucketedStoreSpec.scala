@@ -145,4 +145,38 @@ class BucketedStoreSpec extends SparkSpec {
       graft.dynamic.DynPipeline.DynCtx(store = st)).count()
     assert(st.read("c").count() == 37)
   }
+
+  test("dynamic $delete full rewrite under a MULTI-field on list re-enables pruning") {
+    // round-13 advisor find: the full-rewrite path seeded the store with a
+    // space-joined keySpec while every other site joins on NUL; for a
+    // multi-field on list the stored spec never matched again, silently
+    // disabling bucket pruning on all later same-list stages (and "a b" as
+    // a single literal field name would have collided with List("a","b")).
+    val st = new graft.sources.BucketedParquetStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_keyspec2").toString, 8)
+    val seedDocs = (1 to 40).map(i => s"""{"_id":"$i","a":"a${i % 5}","b":"b$i"}""")
+      .toDF("doc")
+    graft.dynamic.DynPipeline.run(seedDocs,
+      """[{"$merge": {"into": "c", "on": "_id"}}]""",
+      graft.dynamic.DynPipeline.DynCtx(store = st)).count()
+    // different on list than the merge -> full rewrite, re-seeds keySpec
+    graft.dynamic.DynPipeline.run(
+      Seq("""{"a":"a2","b":"b7"}""").toDF("doc"),
+      """[{"$delete": {"from": "c", "on": ["a", "b"]}}]""",
+      graft.dynamic.DynPipeline.DynCtx(store = st)).count()
+    assert(st.read("c").count() == 39)
+    // the re-seeded spec must be the NUL-joined one other sites probe with
+    assert(st.bucketing("c", List("__on"), "a\u0000b").contains(8),
+      "multi-field full rewrite must persist the NUL-joined keySpec")
+    assert(st.bucketing("c", List("__on"), "a b").isEmpty,
+      "a single field literally named \"a b\" must NOT be granted pruning")
+    // and a SAME-list delete now takes the pruned path and stays correct
+    graft.dynamic.DynPipeline.run(
+      Seq("""{"a":"a3","b":"b13"}""").toDF("doc"),
+      """[{"$delete": {"from": "c", "on": ["a", "b"]}}]""",
+      graft.dynamic.DynPipeline.DynCtx(store = st)).count()
+    val left = st.read("c").select("doc").collect()
+      .map(r => DynJson.parse(r.getString(0)).path("b").textValue).toSet
+    assert(left.size == 38 && !left("b7") && !left("b13"))
+  }
 }

@@ -60,4 +60,21 @@ for t, keys in KEYS.items():
                 f"(FORMAT parquet)")
     n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows ({copies}x)")
+
+# ts uniqueness per (event_type) partition is LOAD-BEARING: the engine's
+# $derivative/$integral take exactly ONE sortBy field (MongoDB contract, no
+# tiebreak possible), and the q_window_calc oracle maps rows to fold indices
+# via count() OVER (ORDER BY ts) while foldBlocks uses row_number() — two
+# independently tie-broken orders. Duplicate ts would misalign them
+# NONDETERMINISTICALLY rather than fail loudly (round-12 advisor find), so
+# fail here instead.
+dup = con.execute(
+    f"SELECT count(*) FROM (SELECT event_type, ts FROM "
+    f"read_parquet('{dst}/events.parquet') GROUP BY 1, 2 HAVING count(*) > 1)"
+).fetchone()[0]
+assert dup == 0, (
+    f"{dup} duplicate (event_type, ts) pairs in {dst}/events.parquet — "
+    "the window-calculus oracles need a unique time axis; raise the per-copy "
+    "ts nudge above the copy count")
+print("events: (event_type, ts) unique — window-calculus sort axis OK")
 print(f"replica at {dst}")

@@ -63,7 +63,11 @@ def fail(name, msg):
     print(f"FAIL  {name}: {msg}", flush=True)
 for name, sql in sorted(oracle.items()):
     try:
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        files = (glob.glob(f"{outdir}/{name}/*.parquet")
+                 # local-only nested fixtures live under __local/ (hidden
+                 # from the driver's glob — its comparator crashes on
+                 # nested sort keys, r12 find)
+                 or glob.glob(f"{outdir}/__local/{name}/*.parquet"))
         if not files:
             fail(name, "no spark output"); continue
         got = normalize_nested(
