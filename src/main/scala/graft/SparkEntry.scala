@@ -1685,8 +1685,13 @@ object SparkEntry {
     "llm_ann_graph" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings")
+      // sample=8: ρ-sampled NN-Descent (join list capped at 8 of the
+      // k+maxRev=15 entries, re-drawn per round) — 64 instead of 225
+      // candidate pairs per node per round; search recall is coverage-
+      // bound by (entries + beam·k·rounds), not by build sampling, so
+      // the recall twin's floor holds (measured in llm_ann_graph_recall)
       val g = VectorOps.knnGraph(emb, "vec_id", "embedding",
-          k = 5, iters = 2, maxRev = 10)
+          k = 5, iters = 2, maxRev = 10, sample = 8)
         .select(col("src"), col("nn_id").as("nbr"))
       VectorOps.graphSearchTopK(emb, "vec_id", "embedding", g,
         emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
@@ -1702,7 +1707,7 @@ object SparkEntry {
       val exact = VectorOps.bruteTopK(emb, "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5)
       val g = VectorOps.knnGraph(emb, "vec_id", "embedding",
-          k = 5, iters = 2, maxRev = 10)
+          k = 5, iters = 2, maxRev = 10, sample = 8) // same ρ-sampled build
         .select(col("src"), col("nn_id").as("nbr"))
       val approx = VectorOps.graphSearchTopK(emb, "vec_id", "embedding", g,
         emb, "vec_id", "embedding", k = 5, beam = 12, rounds = 3,
@@ -2655,20 +2660,34 @@ object SparkEntry {
     * random k-out init (tp/e0) and both build rounds (e1/e2, k=5,
     * maxRev=10) — `select` reads FROM e2 (the final graph) or continues
     * the WITH chain (leading comma). */
-  private def knnGraphSql(select: String): String = {
+  private def knnGraphSql(select: String, sample: Int = 0): String = {
       // generated: both NN-Descent rounds unrolled as CTEs — md5 random
-      // k-out init, capped reverse edges, local join, per-node top-k —
-      // the same full-training-loop replay style as llm_bpe_merges
+      // k-out init, capped reverse edges, (optionally ρ-sampled) local
+      // join, per-node top-k — the same full-training-loop replay style
+      // as llm_bpe_merges. `sample` mirrors VectorOps.knnGraph's join-list
+      // sampling (round-salted md5 rank, cap `sample` per node).
       val mask = "9223372036854775807"
       def round(r: Int, prev: String): String = {
+        val uSel =
+          if (sample <= 0)
+            s"""u$r AS (SELECT src, nbr FROM $prev
+                 UNION SELECT src, nbr FROM rev$r WHERE rrk <= 10)"""
+          else
+            s"""ua$r AS (SELECT src, nbr FROM $prev
+                 UNION SELECT src, nbr FROM rev$r WHERE rrk <= 10),
+         u$r AS (SELECT src, nbr FROM (
+                   SELECT src, nbr, row_number() OVER (PARTITION BY src
+                     ORDER BY (md5_number_lower('knnu:$r:'
+                       || CAST(src AS VARCHAR) || ':'
+                       || CAST(nbr AS VARCHAR)) & $mask), nbr) AS urk
+                   FROM ua$r) WHERE urk <= $sample)"""
         s"""rev$r AS (
            SELECT e.nbr AS src, e.src AS nbr,
              row_number() OVER (PARTITION BY e.nbr ORDER BY
                (md5_number_lower('knnr:' || CAST(e.nbr AS VARCHAR) || ':' ||
                   CAST(e.src AS VARCHAR)) & $mask), e.src) AS rrk
            FROM $prev e),
-         u$r AS (SELECT src, nbr FROM $prev
-                 UNION SELECT src, nbr FROM rev$r WHERE rrk <= 10),
+         $uSel,
          c$r AS (SELECT DISTINCT src, cand FROM (
                    SELECT a.src AS src, b.nbr AS cand
                    FROM u$r a JOIN u$r b ON a.nbr = b.src
@@ -3630,7 +3649,7 @@ object SparkEntry {
          FROM (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid
                    ORDER BY sim DESC, id) AS rr FROM gb2 WHERE id <> qid)
          WHERE rr <= 5"""
-    }),
+    }, sample = 8),
 
     "llm_knn_graph_recall" ->
       """SELECT 'nndescent' AS method, 5 AS k,

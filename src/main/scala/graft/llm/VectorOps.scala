@@ -21,6 +21,18 @@ object VectorOps {
     * inner loop. */
   def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
+  /** Widen an under-partitioned input to the cluster's parallelism before a
+    * multi-use materialization. A small embedding table often arrives as ONE
+    * parquet row group, so every split but one is empty and the decode +
+    * normalize + checkpoint of the whole corpus runs on a single thread
+    * (measured 10.6 s of llm_ann_graph's fixed cost at sf10). No-op when the
+    * input is already at least as parallel as the cluster — a 100 TB corpus
+    * with thousands of splits never pays an extra shuffle here. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
@@ -870,6 +882,14 @@ object VectorOps {
     *    reverse edges with the smallest `md5Lower63("knnr:"||src||":"||nbr)`
     *    per node, which bounds the local join at (k+maxRev)² candidates
     *    per node even under hub skew.
+    *  - `sample > 0` additionally ρ-samples the JOIN list itself (the
+    *    paper's §2.3 sampling, applied to the merged forward+reverse
+    *    list): each node enters the local join with only its `sample`
+    *    md5Lower63("knnu:"||round||":"||src||":"||nbr)-smallest entries,
+    *    cutting per-round candidate pairs from (k+maxRev)² to sample² —
+    *    the round number in the hash re-draws the sample each round, so
+    *    no edge is permanently blind. Current edges always stay in the
+    *    candidate set, so graph quality is monotone under sampling.
     *  - ties rank by id.
     *
     * Scale shape per round: one per-node window (reverse cap), one
@@ -885,13 +905,24 @@ object VectorOps {
     * on clustered data it converges to near-exact graphs (AnnSpec pins
     * both). Returns (src, nn_id, sim, rank). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2, maxRev: Int = 0): DataFrame = {
+      iters: Int = 2, maxRev: Int = 0, sample: Int = 0): DataFrame = {
     require(iters >= 1, "knnGraph needs at least one NN-Descent round")
     val spark = df.sparkSession
     val mrev = if (maxRev > 0) maxRev else 2 * k
-    val vecs = df.select(col(idCol).cast(LongType).as("id"),
+    val vecs = spread(df).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .localCheckpoint()
+    // The scoring joins are the round's data movement: without a hint,
+    // each round shuffles every candidate row TWICE, the second time
+    // carrying the already-joined src vector (~0.5 KB/row — measured
+    // ~25 GB/round at n=200k, dim=64). The vector table itself is tiny
+    // (n·dim·8 B), so broadcast it and keep the candidate stream map-side;
+    // the guard keeps billion-vector corpora on shuffle joins.
+    val vSide =
+      if (vecs.count() <= spark.conf
+            .get("graft.ann.broadcastVectors.maxRows", "1000000").toLong)
+        broadcast(vecs)
+      else vecs
     val ranked = graft.operators.GlobalRank.withRank(
       vecs.select(col("id"), DedupOps.md5Lower63(
         concat(lit("knng:"), col("id").cast(StringType))).as("__key")),
@@ -909,14 +940,24 @@ object VectorOps {
       .distinct()
       .localCheckpoint()
     var result: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val rev = edges.select(col("nbr").as("src"), col("src").as("nbr"))
       val wRev = Window.partitionBy(col("src")).orderBy(
         DedupOps.md5Lower63(concat(lit("knnr:"), col("src").cast(StringType),
           lit(":"), col("nbr").cast(StringType))), col("nbr"))
       val revCapped = rev.withColumn("__rrk", row_number().over(wRev))
         .filter(col("__rrk") <= mrev).drop("__rrk")
-      val u = edges.union(revCapped).distinct()
+      val uAll = edges.union(revCapped).distinct()
+      val u =
+        if (sample <= 0) uAll
+        else { // ρ-sample the join list, re-drawn per round via the hash
+          val wU = Window.partitionBy(col("src")).orderBy(
+            DedupOps.md5Lower63(concat(lit(s"knnu:$r:"),
+              col("src").cast(StringType), lit(":"),
+              col("nbr").cast(StringType))), col("nbr"))
+          uAll.withColumn("__urk", row_number().over(wU))
+            .filter(col("__urk") <= sample).drop("__urk")
+        }
       val u2 = u.toDF("__src2", "__nbr2")
       val cand = u.join(u2, col("nbr") === col("__src2"))
         .select(col("src"), col("__nbr2").as("cand"))
@@ -924,11 +965,12 @@ object VectorOps {
         .union(edges.select(col("src"), col("nbr").as("cand")))
         .distinct()
       val scored = cand
-        .join(vecs.select(col("id"), col("__v").as("__vs")),
+        .join(vSide.select(col("id"), col("__v").as("__vs")),
           col("src") === col("id")).drop("id")
-        .join(vecs.select(col("id"), col("__v").as("__vc")),
+        .join(vSide.select(col("id"), col("__v").as("__vc")),
           col("cand") === col("id")).drop("id")
         .withColumn("sim", dot(col("__vs"), col("__vc")))
+        .select(col("src"), col("cand"), col("sim"))
       val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("cand"))
       val prev = edges
       val full = scored.withColumn("rank", row_number().over(w))
@@ -1013,9 +1055,16 @@ object VectorOps {
       graph: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8): DataFrame = {
     require(k <= beam, "k must not exceed the beam width")
-    val vecs = corpus.select(col(idCol).cast(LongType).as("id"),
+    val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .localCheckpoint()
+    // same broadcast guard as knnGraph: candidate rows stay map-side
+    // instead of shuffling per-round against the vector table
+    val vSide =
+      if (vecs.count() <= corpus.sparkSession.conf
+            .get("graft.ann.broadcastVectors.maxRows", "1000000").toLong)
+        broadcast(vecs)
+      else vecs
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
     val entry = vecs.select(col("id"), DedupOps.md5Lower63(
@@ -1027,13 +1076,13 @@ object VectorOps {
     def keepBeam(df: DataFrame): DataFrame =
       df.withColumn("__r", row_number().over(w))
         .filter(col("__r") <= beam).drop("__r").localCheckpoint()
-    var cur = keepBeam(q.crossJoin(broadcast(entry)).join(vecs, "id")
+    var cur = keepBeam(q.crossJoin(broadcast(entry)).join(vSide, "id")
       .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v"))
     for (_ <- 1 to rounds) {
       val cand = cur.select(col("query_id"), col("id"))
         .join(edges, col("id") === col("src"))
         .select(col("query_id"), col("nbr").as("id")).distinct()
-        .join(q, "query_id").join(vecs, "id")
+        .join(q, "query_id").join(vSide, "id")
         .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v")
       val prev = cur
       cur = keepBeam(cur.unionByName(cand)

@@ -71,6 +71,113 @@ object Scratch {
         println(f"KNNSWEEP iters=$iters maxRev=$mrev recall=${r.getAs[Double]("recall")}%.3f")
       }
     }
+    else if (args(0) == "annsweep") { // annsweep <sfDir>: graph-search recall by build sample cap
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 500)
+      val exact = graft.llm.VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
+      for (sample <- Seq(0, 10, 8, 6)) {
+        val g = graft.llm.VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = 2, maxRev = 10, sample = sample)
+          .select(col("src"), col("nn_id").as("nbr"))
+        val approx = graft.llm.VectorOps.graphSearchTopK(emb, "vec_id",
+          "embedding", g, emb, "vec_id", "embedding", k = 5, beam = 12,
+          rounds = 3, entries = 8)
+        val r = graft.llm.VectorOps.recallAtK(approx, exact).collect()(0)
+        println(f"ANNSWEEP sample=$sample recall=${r.getAs[Double]("recall")}%.4f")
+      }
+    }
+    else if (args(0) == "anntime") { // anntime <sfDir> <reps>: sampled vs full build+search, same JVM
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val reps = if (args.length > 2) args(2).toInt else 3
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      for (r <- 1 to reps; sample <- Seq(0, 8)) {
+        val t0 = System.nanoTime()
+        val g = graft.llm.VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = 2, maxRev = 10, sample = sample)
+          .select(col("src"), col("nn_id").as("nbr"))
+        val n = graft.llm.VectorOps.graphSearchTopK(emb, "vec_id",
+          "embedding", g, emb.filter(col("vec_id") % 100 === 0), "vec_id",
+          "embedding", k = 5, beam = 10, rounds = 2, entries = 8).count()
+        println(f"ANNTIME sample=$sample run$r rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    else if (args(0) == "annparts") { // annparts <sfDir> <sample>: build vs search wall time
+      import org.apache.spark.sql.functions._
+      val dir = args(1); val sample = args(2).toInt
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      for (r <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val g = graft.llm.VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = 2, maxRev = 10, sample = sample)
+          .select(col("src"), col("nn_id").as("nbr")).localCheckpoint()
+        val ne = g.count()
+        val t1 = System.nanoTime()
+        val n = graft.llm.VectorOps.graphSearchTopK(emb, "vec_id",
+          "embedding", g, emb.filter(col("vec_id") % 100 === 0), "vec_id",
+          "embedding", k = 5, beam = 10, rounds = 2, entries = 8).count()
+        val t2 = System.nanoTime()
+        println(f"ANNPARTS sample=$sample run$r build=${(t1-t0)/1e9}%.2f s (edges=$ne) search=${(t2-t1)/1e9}%.2f s (rows=$n)")
+      }
+    }
+    else if (args(0) == "annrounds") { // annrounds <sfDir> <sample>: per-iteration build cost
+      import org.apache.spark.sql.functions._
+      val dir = args(1); val sample = args(2).toInt
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      var prev = 0.0
+      for (it <- 1 to 3) {
+        val t0 = System.nanoTime()
+        graft.llm.VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = it, maxRev = 10, sample = sample).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"ANNROUNDS sample=$sample iters=$it total=$dt%.2f s marginal=${dt - prev}%.2f s")
+        prev = dt
+      }
+    }
+    else if (args(0) == "anninit") { // anninit <sfDir>: break down knnGraph fixed costs
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val dir = args(1)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      for (r <- 1 to 2) {
+        var t0 = System.nanoTime()
+        def lap(tag: String): Unit = {
+          val t1 = System.nanoTime()
+          println(f"ANNINIT run$r $tag ${(t1 - t0) / 1e9}%.2f s"); t0 = t1
+        }
+        println("ANNINIT emb_partitions=" + emb.rdd.getNumPartitions)
+        val vecs = emb.repartition(32)
+          .select(col("vec_id").cast(LongType).as("id"),
+          graft.llm.VectorOps.normalize(col("embedding").cast(ArrayType(DoubleType))).as("__v"))
+          .localCheckpoint()
+        lap("vecs_checkpoint")
+        vecs.count(); lap("vecs_count")
+        val ranked = graft.operators.GlobalRank.withRank(
+          vecs.select(col("id"), graft.llm.DedupOps.md5Lower63(
+            concat(lit("knng:"), col("id").cast(StringType))).as("__key")),
+          "__key", "__pos", "__n").select(col("id"), col("__pos"), col("__n"))
+        ranked.count(); lap("globalrank")
+        val offs = spark.range(1, 6L).select(col("id").as("__j"))
+        val edges = ranked.crossJoin(broadcast(offs))
+          .withColumn("__off", lit(1L) + pmod(graft.llm.DedupOps.md5Lower63(
+            concat(lit("knns:"), col("__pos").cast(StringType), lit(":"),
+              col("__j").cast(StringType))), col("__n") - 1))
+          .withColumn("__tpos", ((col("__pos") - 1 + col("__off")) % col("__n")) + 1)
+          .join(ranked.select(col("id").as("nbr"), col("__pos").as("__tp")),
+            col("__tpos") === col("__tp"))
+          .select(col("id").as("src"), col("nbr"))
+          .filter(col("src") =!= col("nbr"))
+          .distinct()
+          .localCheckpoint()
+        lap("init_edges")
+        println(s"ANNINIT run$r edges=${edges.count()}")
+      }
+    }
     else if (args(0) == "explain") {
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       SparkEntry.queries(args(1))(spark, dir).explain("formatted")
