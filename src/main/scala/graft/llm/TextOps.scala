@@ -69,22 +69,25 @@ object TextOps {
 
   /** Heuristic language ID over the stopword lists; deterministic.
     *
-    * Single token pass (round 12): one `aggregate` folds a packed
-    * DECIMAL(38,0) accumulator (7 decimal digits per language) through a
-    * 50-entry token→increment map, replacing five independent `langScore`
-    * scans — measured 7.6 s → 3.3 s over 50k docs on local[24]. All
-    * expensive subtrees stay in UNCONDITIONAL positions: wrapping the
-    * aggregate in a `when` guard defeats Catalyst's subexpression
-    * elimination (conditional branches are not CSE'd) and re-evaluates the
-    * fold per reference — measured 47 s for the same query.
-    *
-    * Semantics unchanged: exact hit counts per language (fields hold
-    * counts to 10^7−1; a single document would need ≥40 MB of stopwords to
-    * overflow — the cheap guard below raises instead of going silently
-    * wrong), argmax with ties broken by sorted language order
-    * (`array_position` returns the FIRST max, matching the old foldRight),
-    * zero hits ⇒ "und". */
-  def langId(text: Column): Column = {
+    * Round 13: one native byte-pass expression
+    * ([[graft.functions.LangIdExpr]]) — the round-12 packed-DECIMAL
+    * `aggregate` still paid a LINEAR 50-string-compare `element_at` map
+    * probe plus a BigDecimal add PER TOKEN (measured 17 s of the sf10
+    * funnel's stage 1); the scanner does one hash-packed binary-search
+    * lookup per token into primitive int counters. Semantics pinned
+    * byte-exact against [[langIdCols]] by TextScanDifferentialSpec: exact
+    * hit counts per language, argmax with ties broken by sorted language
+    * order, zero hits ⇒ "und"; exact to 2^31−1 tokens (the DECIMAL form
+    * needed a 10^7 raise_error guard). */
+  def langId(text: Column): Column = graft.functions.LangIdExpr(text)
+
+  /** The round-12 Column-formula twin of [[langId]], kept as the
+    * differential-spec reference (and as the shape the DuckDB oracles
+    * replay). CSE note that still applies to any Column-composed fold:
+    * wrapping the aggregate in a `when` guard defeats Catalyst's
+    * subexpression elimination (conditional branches are not CSE'd) —
+    * measured 3.3 s → 47 s. */
+  private[graft] def langIdCols(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val lowToks = transform(tokens(text), lower _)
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
@@ -252,6 +255,55 @@ object TextOps {
   }
 
   def gopherC4Rules(df: DataFrame, textCol: String): DataFrame = {
+    // Round 13: the raw statistics come from ONE byte pass
+    // ([[graft.functions.GopherStatsExpr]]; the Column-composed form below,
+    // kept as gopherC4RulesCols for the differential spec, paid a regex
+    // token split, a line split, two per-line rlikes, a per-token rlike and
+    // two whole-text regexp_replaces — measured 20 s of the sf10 funnel's
+    // stage 1). The ratio/round/threshold math stays HERE in Column form,
+    // so the emitted doubles/booleans are bit-identical to the old columns
+    // (pinned by TextScanDifferentialSpec).
+    val st = graft.functions.GopherStatsExpr(col(textCol))
+    val nWords = st.getField("n_words")
+    val nLines = st.getField("n_lines")
+    val mwl = when(nWords > 0,
+      st.getField("sum_word_chars").cast(DoubleType) / nWords).otherwise(0d)
+    val symbolRatio = when(nWords > 0,
+      (st.getField("hash_count") + st.getField("ellipsis_count"))
+        .cast(DoubleType) / nWords).otherwise(0d)
+    val lineFrac = (c: Column) =>
+      when(nLines > 0, c.cast(DoubleType) / nLines).otherwise(0d)
+    val out = df
+      .withColumn("n_words", nWords)
+      .withColumn("n_lines", nLines)
+      .withColumn("n_sentences", st.getField("n_sentences"))
+      .withColumn("mean_word_len", round(mwl, 6))
+      .withColumn("c4_short_line_frac",
+        round(lineFrac(st.getField("short_lines")), 6))
+      .withColumn("c4_sentences_ok", st.getField("n_sentences") >= 3)
+      .withColumn("c4_no_lorem", !st.getField("has_lorem"))
+      .withColumn("c4_no_brace", !st.getField("has_brace"))
+      .withColumn("g_wordcount_ok", nWords >= 50 && nWords <= 100000)
+      .withColumn("g_mwl_ok", mwl >= 3d && mwl <= 10d)
+      .withColumn("g_symbol_ok", symbolRatio <= 0.1)
+      .withColumn("g_bullet_ok", lineFrac(st.getField("bullet_lines")) <= 0.9)
+      .withColumn("g_ellipsis_ok",
+        lineFrac(st.getField("ellipsis_lines")) <= 0.3)
+      .withColumn("g_alpha_ok",
+        when(nWords > 0,
+          st.getField("alpha_words").cast(DoubleType) / nWords >= 0.8)
+          .otherwise(lit(false)))
+      .withColumn("g_stopwords_ok", st.getField("required_hits") >= 2)
+    out.withColumn("keep",
+      Seq("c4_sentences_ok", "c4_no_lorem", "c4_no_brace", "g_wordcount_ok",
+        "g_mwl_ok", "g_symbol_ok", "g_bullet_ok", "g_ellipsis_ok",
+        "g_alpha_ok", "g_stopwords_ok").map(col).reduce(_ && _))
+  }
+
+  /** Column-formula twin of [[gopherC4Rules]] (round-12 form), kept as the
+    * differential-spec reference and as the shape the DuckDB oracles
+    * replay. */
+  private[graft] def gopherC4RulesCols(df: DataFrame, textCol: String): DataFrame = {
     val text = col(textCol)
     val toks = tokens(text)
     val nWords = size(toks)

@@ -178,6 +178,40 @@ object Scratch {
         println(s"ANNINIT run$r edges=${edges.count()}")
       }
     }
+    else if (args(0) == "funnelparts") { // funnelparts <sfDir>: stage-1 cost anatomy
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val gateCols = Seq("g_wordcount_ok", "g_mwl_ok", "g_symbol_ok",
+        "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok", "c4_no_lorem",
+        "c4_no_brace")
+      for (r <- 1 to 2) {
+        var t0 = System.nanoTime()
+        def lap(tag: String, n: Long): Unit = {
+          val t1 = System.nanoTime()
+          println(f"FUNNELPARTS run$r $tag n=$n ${(t1 - t0) / 1e9}%.2f s"); t0 = t1
+        }
+        lap("raw_count", docs.count())
+        // wordcount-only gate (the selective rule alone)
+        lap("wc_only", docs.filter(
+          size(graft.llm.TextOps.tokens(col("text"))).between(50, 100000)).count())
+        // full rule gate
+        val gated = graft.llm.TextOps.gopherC4Rules(docs, "text")
+          .filter(gateCols.map(col).reduce(_ && _))
+        lap("rules_gate", gated.count())
+        // rules + checkpoint, no langId (isolates the checkpoint write)
+        lap("rules_plus_ckpt", graft.llm.TextOps.gopherC4Rules(docs, "text")
+          .filter(gateCols.map(col).reduce(_ && _))
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint(true).count())
+        // rules + langId (the funnel's actual checkpoint projection)
+        lap("rules_plus_langid", graft.llm.TextOps.gopherC4Rules(docs, "text")
+          .filter(gateCols.map(col).reduce(_ && _))
+          .select(col("doc_id"), col("text"),
+            (graft.llm.TextOps.langId(col("text")) === "en").as("__l"))
+          .localCheckpoint(true).count())
+      }
+    }
     else if (args(0) == "explain") {
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       SparkEntry.queries(args(1))(spark, dir).explain("formatted")
