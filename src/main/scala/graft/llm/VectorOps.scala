@@ -53,7 +53,7 @@ object VectorOps {
     * recomputed per pair. */
   def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"),
+    val c = spread(corpus).select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     val q = queries.select(col(qIdCol).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
@@ -78,7 +78,7 @@ object VectorOps {
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       dupThreshold: Double): DataFrame = {
-    val c = corpus.select(col(idCol).as("neg_id"),
+    val c = spread(corpus).select(col(idCol).as("neg_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     val q = queries.select(col(qIdCol).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
@@ -164,7 +164,7 @@ object VectorOps {
       lloydIters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1]: $trainFraction")
-    val c0 = corpus.select(col(idCol).as("nn_id"),
+    val c0 = spread(corpus).select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // At 100 TB the quantizer trains on a deterministic sample — k-means
@@ -202,7 +202,7 @@ object VectorOps {
     * Same deterministic trainer as [[ivfTopK]]. */
   def ivfSave(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nLists: Int = 16, lloydIters: Int = 2): Unit = {
-    val c0 = corpus.select(col(idCol).as("nn_id"),
+    val c0 = spread(corpus).select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = ivfTrainCentroids(c0, nLists, lloydIters)
@@ -287,7 +287,7 @@ object VectorOps {
       seed: String = "pq"): DataFrame = {
     require(m > 0 && ks > 0)
     val spark = corpus.sparkSession
-    val c0 = corpus.select(col(idCol).as("nn_id"),
+    val c0 = spread(corpus).select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     val seedRows = md5Seeds(c0, seed + ":", ks)
     val dim = seedRows.head.length
@@ -417,7 +417,7 @@ object VectorOps {
       seed: String = "ivfpq"): DataFrame = {
     require(nLists > 0 && nProbe > 0 && nProbe <= nLists && m > 0 && ks > 0)
     val spark = corpus.sparkSession
-    val c0 = corpus.select(col(idCol).as("nn_id"),
+    val c0 = spread(corpus).select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     val coarse = md5Seeds(c0, seed + ":coarse:", nLists)
     val seedRows = md5Seeds(c0, seed + ":pq:", ks)
@@ -534,7 +534,7 @@ object VectorOps {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nPlanes: Int = 12, dim: Int = 64,
       multiProbe: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("nn_id"),
+    val c = spread(corpus).select(col(idCol).as("nn_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .withColumn("bucket", hyperplaneBucket(col("__v"), nPlanes, dim))
     val q0 = queries.select(col(qIdCol).as("query_id"),
@@ -564,7 +564,7 @@ object VectorOps {
     * [[embedNearDupLsh]], which only compares within sign-buckets. */
   def embedNearDupExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val n = df.select(col(idCol).as("__id"),
+    val n = spread(df).select(col(idCol).as("__id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     val a = n.select(col("__id").as("id_a"), col("__v").as("__va"))
     val b = n.select(col("__id").as("id_b"), col("__v").as("__vb"))
@@ -583,7 +583,7 @@ object VectorOps {
   def embedNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 8, dim: Int = 64,
       bands: Int = 4): DataFrame = {
-    val n = df.select(col(idCol).as("__id"),
+    val n = spread(df).select(col(idCol).as("__id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     // `bands` independent sign-buckets (disjoint plane sets); a pair is a
     // candidate when ANY band's bucket matches
@@ -744,7 +744,7 @@ object VectorOps {
       k: Int): DataFrame = {
     require(k >= 1)
     val spark = df.sparkSession
-    val base = df.select(col(idCol).cast(LongType).as("vec_id"),
+    val base = spread(df).select(col(idCol).cast(LongType).as("vec_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
       .withColumn("__sq", dot(col("__v"), col("__v")))
     def sqOf(a: Array[Double]): Double = {
@@ -798,7 +798,7 @@ object VectorOps {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, tau: Double, seed: String = "semdedup",
       lloydIters: Int = 0): DataFrame = {
-    val n = df.select(col(idCol).as("vec_id"),
+    val n = spread(df).select(col(idCol).as("vec_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     def normed(a: Array[Double]): Array[Double] = {
       val m = math.sqrt(a.map(x => x * x).sum)
@@ -1001,7 +1001,7 @@ object VectorOps {
   def tripletMine(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       posThreshold: Double, negThreshold: Double): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"),
+    val c = spread(corpus).select(col(idCol).as("cand_id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
     val q = queries.select(col(qIdCol).as("anchor_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
