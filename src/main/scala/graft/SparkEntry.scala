@@ -789,11 +789,17 @@ object SparkEntry {
     // the score surfaced via $meta (exact path; IVF/LSH are the scale twins)
     "q_vector_search" -> ((s, dir) => {
       val qv = (0 until 64).map(i => ((i % 7) - 3) * 0.1).mkString("[", ",", "]")
+      // vec_id mod 1e7 = the replica-copy-invariant base id: $vectorSearch
+      // tie order among EQUAL scores is unspecified (MongoDB contract), and
+      // the 10x/100x replicas duplicate vectors verbatim, so the top-k picks
+      // an arbitrary copy-subset — the projection collapses every copy to
+      // its base id, making the gate scale-invariant (sf10 sweep find,
+      // round 13). At sf0.01/sf0.1 ids are < 1e7, so the mod is identity.
       pipe(s, dir, "embeddings",
         s"""[{"$$vectorSearch": {"path": "embedding", "queryVector": $qv,
                "numCandidates": 100, "limit": 10,
                "filter": {"label": {"$$lte": 3}}}},
-             {"$$project": {"vec_id": 1,
+             {"$$project": {"vec_id": {"$$mod": ["$$vec_id", 10000000]},
                "score": {"$$round": [{"$$meta": "vectorSearchScore"}, 6]}}}]""")
     }),
     // $geoNear: spherical (haversine) distance from a fixed GeoJSON point
@@ -1120,8 +1126,10 @@ object SparkEntry {
                "limit": 10, "filter": {"lbl": {"$$lte": 3}}}},
              {"$$project": {"score":
                {"$$round": [{"$$meta": "vectorSearchScore"}, 6]}}}]""")
+      // mod 1e7: replica-copy-invariant base id (see q_vector_search note)
       out.select(
-        get_json_object(col("doc"), "$._id").cast("long").as("_id"),
+        (get_json_object(col("doc"), "$._id").cast("long") % 10000000L)
+          .as("_id"),
         get_json_object(col("doc"), "$.score").cast("double").as("score"))
     }),
 
@@ -4177,7 +4185,7 @@ object SparkEntry {
                         / (sqrt(list_inner_product(v, v))
                            * sqrt(list_inner_product(qv, qv))) AS sc
                FROM c, q)
-         SELECT vec_id AS _id, round(sc, 6) AS score
+         SELECT vec_id % 10000000 AS _id, round(sc, 6) AS score
          FROM s ORDER BY sc DESC LIMIT 10""",
     "q_redact" ->
       """SELECT o_orderkey,
@@ -5937,7 +5945,7 @@ object SparkEntry {
                         / (sqrt(list_inner_product(v, v))
                            * sqrt(list_inner_product(qv, qv))) AS sc
                FROM c, q)
-         SELECT vec_id, round(sc, 6) AS score
+         SELECT vec_id % 10000000 AS vec_id, round(sc, 6) AS score
          FROM s ORDER BY sc DESC LIMIT 10""",
     "q_geonear" ->
       """WITH c AS (SELECT c_custkey,
