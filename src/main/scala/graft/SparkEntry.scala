@@ -2459,12 +2459,16 @@ object SparkEntry {
       """[{"$search": {"text": {"query": "spark merge", "path": "text"}}},
           {"$project": {"doc_id": 1,
             "sc": {"$round": [{"$meta": "searchScore"}, 6]}}}]""")),
-    // $rankFusion: weighted RRF of two bounded selection pipelines
+    // $rankFusion: weighted RRF of two bounded selection pipelines. BOTH
+    // sub-pipeline sorts carry the o_orderkey tiebreak: replicas duplicate
+    // prices verbatim, so an untiebroken top-40 cut picks arbitrary copies
+    // and the RRF ranks of equal-price rows diverge (sf10 sweep find, r13)
     "q_rank_fusion" -> ((s, dir) => pipe(s, dir, "orders",
       """[{"$addFields": {"_id": "$o_orderkey"}},
           {"$rankFusion": {"input": {"pipelines": {
              "price": [{"$match": {"o_orderstatus": "F"}},
-                       {"$sort": {"o_totalprice": -1}}, {"$limit": 40}],
+                       {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                       {"$limit": 40}],
              "date":  [{"$sort": {"o_orderdate": 1, "o_orderkey": 1}},
                        {"$limit": 40}]}},
             "combination": {"weights": {"price": 2, "date": 1}}}},
