@@ -198,11 +198,21 @@ object SparkEntry {
                       "sum_qty": 1, "avg_price": {"$round": ["$avg_price", 4]},
                       "n": 1}}
       ]""")),
+    // the global sum runs over INTEGER CENTS: a double fold over 15M+
+    // 2-decimal prices diverges from DuckDB in the last rounded digit at
+    // the 100x replica (sum ~3.75e12, addition-order error ~0.1 — sf10
+    // sweep find, r13), while integer-valued doubles to 100x this total
+    // stay exactly representable (< 2^53), making the sum order-free in
+    // both engines
     "q_group_global" -> ((s, dir) => pipe(s, dir, "orders",
       """[
-        {"$group": {"_id": null, "total": {"$sum": "$o_totalprice"},
+        {"$group": {"_id": null,
+                    "total": {"$sum": {"$round":
+                      [{"$multiply": ["$o_totalprice", 100]}, 0]}},
                     "n": {"$count": {}}}},
-        {"$project": {"_id": 1, "total": {"$round": ["$total", 2]}, "n": 1}}
+        {"$project": {"_id": 1,
+                      "total": {"$round":
+                        [{"$divide": ["$total", 100]}, 2]}, "n": 1}}
       ]""")),
     "q_group_minmax" -> ((s, dir) => pipe(s, dir, "orders",
       """[
@@ -3304,7 +3314,8 @@ object SparkEntry {
          FROM lineitem GROUP BY 1, 2""",
     "q_group_global" ->
       """SELECT CAST(NULL AS VARCHAR) AS _id,
-                round(sum(o_totalprice), 2) AS total, count(*) AS n FROM orders""",
+                round(sum(round(o_totalprice * 100, 0)) / 100, 2) AS total,
+                count(*) AS n FROM orders""",
     "q_group_minmax" ->
       """SELECT o_orderstatus AS _id, max(o_totalprice) AS max_total,
                 min(o_totalprice) AS min_total FROM orders GROUP BY 1""",
