@@ -585,9 +585,24 @@ object VectorOps {
       bands: Int = 4): DataFrame = {
     val n = spread(df).select(col(idCol).as("__id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    // Exact-duplicate PRE-COLLAPSE (round 13; the SimHash path already did
+    // this): identical post-normalization vectors land in the same bucket
+    // of EVERY band, so banding them individually floods dense buckets
+    // with |copies|² candidate rows each dragging two vectors through the
+    // join (the 100x replica melted here — 80M 1 KB rows). Group to one
+    // representative per distinct vector, band/score the representatives
+    // (payload joins stay tiny), and expand ID pairs at the end.
+    // Output-identical: same-group pairs share all buckets and score
+    // round(dot(v,v),6); cross-group pairs share a bucket iff their
+    // representatives do. The expansion itself is Θ(Σ|group|²) rows —
+    // that is the op's CONTRACT (it emits every qualifying pair), but the
+    // expanded rows are id/id/cos only, never vectors.
+    val grp = n.groupBy(col("__v"))
+      .agg(min(col("__id")).as("__id"), collect_list(col("__id")).as("__ids"))
+    val reps = grp.select(col("__id"), col("__v"))
     // `bands` independent sign-buckets (disjoint plane sets); a pair is a
     // candidate when ANY band's bucket matches
-    val banded = n.select(col("__id"), col("__v"),
+    val banded = reps.select(col("__id"), col("__v"),
       posexplode(array((0 until bands).map(bd =>
         hyperplaneBucketAt(col("__v"), nPlanes, dim, bd * nPlanes)): _*))
         .as(Seq("bandIdx", "bucket")))
@@ -595,13 +610,31 @@ object VectorOps {
       col("__id").as("id_a"), col("__v").as("__va"))
     val b = banded.select(col("bandIdx"), col("bucket"),
       col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("bandIdx", "bucket"))
+    val repPairs = a.join(b, Seq("bandIdx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(dot(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    // cross-group expansion: each id belongs to exactly one group, so a
+    // pair is produced by exactly one rep pair — no dedup needed
+    val cross = repPairs
+      .join(grp.select(col("__id").as("id_a"), col("__ids").as("__la")), "id_a")
+      .join(grp.select(col("__id").as("id_b"), col("__ids").as("__lb")), "id_b")
+      .select(explode(col("__la")).as("__ia"), col("__lb"), col("cos"))
+      .select(col("__ia"), explode(col("__lb")).as("__ib"), col("cos"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("cos"))
+    // same-group pairs: every copy pair qualifies at cos(v, v)
+    val self = grp.filter(size(col("__ids")) > 1)
+      .withColumn("cos", round(dot(col("__v"), col("__v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(explode(col("__ids")).as("__ia"), col("__ids"), col("cos"))
+      .select(col("__ia"), explode(col("__ids")).as("__ib"), col("cos"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"), col("cos"))
+    cross.unionByName(self)
   }
 
   /** Sign-bucket over an independent plane set per band (seed varies by
