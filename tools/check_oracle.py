@@ -61,6 +61,49 @@ def fail(name, msg):
     # the earlier failure messages
     fails.append((name, msg))
     print(f"FAIL  {name}: {msg}", flush=True)
+
+# Big-output lane: above this many rows the pandas sort_values compare is
+# the bottleneck (q_expr_arith at sf10 = 60M rows timed out at 1500 s),
+# so compare row MULTISETS inside DuckDB instead: count(*) plus a
+# commutative (order-free) sum of per-row hashes over the to_json
+# rendering of the row struct with columns in sorted order. Multiset
+# equality of rows is exactly what the driver's row-sort+hash checks.
+# to_json renders DOUBLEs shortest-roundtrip (verified: 0.30000000000000004
+# does NOT collapse to 0.3), so value discrimination is exact — EXCEPT the
+# sign of zero: DuckDB renders -0.0 as "0.0" in every string lane, so this
+# path is NOT signbit-strict. That is acceptable here and only here: every
+# driver-visible query is -0.0-canonicalized on BOTH sides by Verify
+# (normNegZero + wrapOracle, unconditional on all float columns, scale-
+# independent), and the signbit-strict pandas lane still covers the full
+# surface at sf0.01. Both sides render inside the SAME DuckDB session, so
+# representation is identical by construction. Set BIGCMP_ROWS=0 to disable.
+BIGCMP_ROWS = int(os.environ.get("BIGCMP_ROWS", "5000000"))
+
+def hash_compare(name, sql, files):
+    flist = ",".join(f"'{f}'" for f in files)
+    got_cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet([{flist}])").fetchall()]
+    want_cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM ({sql}) q LIMIT 0").fetchall()]
+    if sorted(got_cols) != sorted(want_cols):
+        fail(name, f"cols: spark={sorted(got_cols)} duck={sorted(want_cols)}")
+        return
+    def dq(c):
+        return '"' + c.replace('"', '""') + '"'
+    cols = ", ".join(dq(c) for c in sorted(got_cols))
+    def digest(src):
+        return con.execute(
+            f"SELECT count(*), sum(hash(to_json(struct_pack({cols}))::VARCHAR)::HUGEINT)"
+            f" FROM ({src}) t").fetchone()
+    gn, gh = digest(f"SELECT * FROM read_parquet([{flist}])")
+    wn, wh = digest(sql)
+    if gn != wn:
+        fail(name, f"rows: spark={gn} duck={wn}")
+    elif gh != wh:
+        fail(name, f"row-multiset hash: spark={gh} duck={wh} ({gn} rows)")
+    else:
+        print(f"OK    {name} ({gn} rows, hash lane)", flush=True)
+
 for name, sql in sorted(oracle.items()):
     try:
         files = (glob.glob(f"{outdir}/{name}/*.parquet")
@@ -70,6 +113,12 @@ for name, sql in sorted(oracle.items()):
                  or glob.glob(f"{outdir}/__local/{name}/*.parquet"))
         if not files:
             fail(name, "no spark output"); continue
+        if BIGCMP_ROWS:
+            flist = ",".join(f"'{f}'" for f in files)
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet([{flist}])").fetchone()[0]
+            if n >= BIGCMP_ROWS:
+                hash_compare(name, sql, files); continue
         got = normalize_nested(
             pd.concat([pd.read_parquet(f) for f in files], ignore_index=True))
         want = normalize_nested(con.execute(sql).fetchdf())
