@@ -3609,6 +3609,10 @@ object SparkEntry {
                  ON a.chunk = b.chunk AND a.bucket = b.bucket AND a.doc < b.doc)
          SELECT id_a, id_b, CAST(bit_count(xor(sa, sb2)) AS INT) AS hamming
          FROM p WHERE bit_count(xor(sa, sb2)) <= 3""",
+    // mirrors the engine's exact-duplicate pre-collapse (output-identical,
+    // see VectorOps.embedNearDupExact): all-pairs over DISTINCT vectors,
+    // then lateral-unnest expansion of the id groups — the naive n² form
+    // was 2e10 pair-dots at sf10 (hours); this runs in seconds
     "llm_embed_neardup" ->
       """WITH u AS (
            SELECT vec_id,
@@ -3619,11 +3623,23 @@ object SparkEntry {
                   CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
                     list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
                   ELSE v0 END AS v
-           FROM u)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_inner_product(a.v, b.v), 6) AS cos
-         FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE round(list_inner_product(a.v, b.v), 6) >= 0.4""",
+           FROM u),
+         g AS (SELECT v, min(vec_id) AS rep,
+                      list(vec_id ORDER BY vec_id) AS ids
+               FROM n GROUP BY v),
+         rp AS (SELECT round(list_inner_product(a.v, b.v), 6) AS cos,
+                       a.ids AS la, b.ids AS lb
+                FROM g a JOIN g b ON a.rep < b.rep
+                WHERE round(list_inner_product(a.v, b.v), 6) >= 0.4),
+         cp AS (SELECT least(ua.ia, ub.ib) AS id_a,
+                       greatest(ua.ia, ub.ib) AS id_b, cos
+                FROM rp, unnest(la) AS ua(ia), unnest(lb) AS ub(ib)),
+         sp AS (SELECT ua.ia AS id_a, ub.ib AS id_b,
+                       round(list_inner_product(v, v), 6) AS cos
+                FROM g, unnest(ids) AS ua(ia), unnest(ids) AS ub(ib)
+                WHERE ua.ia < ub.ib
+                  AND round(list_inner_product(v, v), 6) >= 0.4)
+         SELECT * FROM cp UNION ALL SELECT * FROM sp""",
     // recall harness: the floor booleans are the contract — a recall
     // regression flips them and the hash compare fails. The ground-truth
     // counts (query counts, true-jaccard/cosine pair counts) are derived
@@ -5570,17 +5586,19 @@ object SparkEntry {
          s AS (SELECT q.anchor_id, c.vec_id AS cand_id,
                       list_inner_product(c.v, q.qv) AS sim
                FROM n c, q WHERE c.vec_id <> q.anchor_id),
-         p AS (SELECT anchor_id, cand_id AS pos_id, round(sim, 6) AS pos_cos,
-                      row_number() OVER (PARTITION BY anchor_id
-                          ORDER BY sim DESC, cand_id) AS rk
-               FROM s WHERE round(sim, 6) >= 0.3),
-         g AS (SELECT anchor_id, cand_id AS neg_id, round(sim, 6) AS neg_cos,
-                      row_number() OVER (PARTITION BY anchor_id
-                          ORDER BY sim DESC, cand_id) AS rk
-               FROM s WHERE sim < 0.2)
-         SELECT p.anchor_id, p.pos_id, p.pos_cos, g.neg_id, g.neg_cos
-         FROM p JOIN g ON g.anchor_id = p.anchor_id AND g.rk = 1
-         WHERE p.rk = 1""",
+         -- rank-1 per anchor via lexicographic struct max (sim DESC,
+         -- cand_id ASC == max (sim, -cand_id)): a bounded-state hash
+         -- aggregate over the streamed cross product. The row_number()
+         -- window form materialized + sorted all |n|x|q| pairs — at sf10
+         -- (2e9 rows) that external sort spilled past the box (round-13
+         -- sweep find); this replay is O(|q|) state instead
+         p AS (SELECT anchor_id, max(struct_pack(s := sim, c := -cand_id)) AS w
+               FROM s WHERE round(sim, 6) >= 0.3 GROUP BY 1),
+         g AS (SELECT anchor_id, max(struct_pack(s := sim, c := -cand_id)) AS w
+               FROM s WHERE sim < 0.2 GROUP BY 1)
+         SELECT p.anchor_id, -(p.w).c AS pos_id, round((p.w).s, 6) AS pos_cos,
+                -(g.w).c AS neg_id, round((g.w).s, 6) AS neg_cos
+         FROM p JOIN g ON g.anchor_id = p.anchor_id""",
     // replays the FULL WordPiece pipeline: BPE training (shared unrolled
     // CTE prefix) for the learned pieces, vocab assembly (top-12 words +
     // merge tokens + top-word chars, initial and '##' forms), the

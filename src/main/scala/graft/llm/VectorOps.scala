@@ -558,20 +558,51 @@ object VectorOps {
   /** Embedding-cosine near-duplicate pairs: `(id_a, id_b, cos)` with
     * `cos >= threshold`, `id_a < id_b`. EXACT — every qualifying pair is
     * found (this is the dedup analogue of [[bruteTopK]]: use it to verify,
-    * or on corpora small enough for an all-pairs pass). The self-join has no
-    * equi-key, so Spark plans a broadcast nested-loop: fine up to a few
-    * hundred thousand normalized vectors, O(n²) beyond — at 100 TB use
-    * [[embedNearDupLsh]], which only compares within sign-buckets. */
+    * or on corpora small enough for an all-pairs pass). Exact duplicates
+    * are pre-collapsed first (output-identical, see below), so the
+    * broadcast nested-loop self-join is O(d²) in DISTINCT vectors — fine
+    * up to a few hundred thousand distinct normalized vectors; beyond
+    * that use [[embedNearDupLsh]], which only compares within
+    * sign-buckets. */
   def embedNearDupExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val n = spread(df).select(col(idCol).as("__id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
-    val a = n.select(col("__id").as("id_a"), col("__v").as("__va"))
-    val b = n.select(col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    // Exact-duplicate pre-collapse (round 13, mirrors [[embedNearDupLsh]]):
+    // cosine depends only on the vector VALUES, so grouping identical
+    // post-normalization vectors and running all-pairs over one
+    // representative per group is OUTPUT-IDENTICAL — cross-group pairs
+    // score the same dot, same-group pairs all score round(dot(v,v),6).
+    // All-pairs cost drops from O(n²) to O(d²) in the number of DISTINCT
+    // vectors d (a 10⁴× cut on a 100x-replicated corpus; real dedup
+    // corpora are duplicate-heavy by definition). The expansion emits
+    // only id/id/cos rows — the op's contract — never vectors.
+    val grp = n.groupBy(col("__v"))
+      .agg(min(col("__id")).as("__id"), collect_list(col("__id")).as("__ids"))
+    val reps = grp.select(col("__id"), col("__v"))
+    val a = reps.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = reps.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    val repPairs = a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("__va"), col("__vb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+    // each id belongs to exactly one group, so a cross pair is produced by
+    // exactly one rep pair — no dedup needed
+    val cross = repPairs
+      .join(grp.select(col("__id").as("id_a"), col("__ids").as("__la")), "id_a")
+      .join(grp.select(col("__id").as("id_b"), col("__ids").as("__lb")), "id_b")
+      .select(explode(col("__la")).as("__ia"), col("__lb"), col("cos"))
+      .select(col("__ia"), explode(col("__lb")).as("__ib"), col("cos"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("cos"))
+    val self = grp.filter(size(col("__ids")) > 1)
+      .withColumn("cos", round(dot(col("__v"), col("__v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(explode(col("__ids")).as("__ia"), col("__ids"), col("cos"))
+      .select(col("__ia"), explode(col("__ids")).as("__ib"), col("cos"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"), col("cos"))
+    cross.unionByName(self)
   }
 
   /** LSH-bucketed embedding near-dup: candidate pairs share the full

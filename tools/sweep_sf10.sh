@@ -25,10 +25,13 @@ for q in $(ls "$DUMP"); do
   [ -e "$DUMP/$q/_SUCCESS" ] || continue
   grep -q "^$q " "$RESULTS" && continue
   ln -sfn "$DUMP/$q" "$CHECK/$q"
-  out=$(DUCKDB_MEM=${DUCKDB_MEM:-32GB} timeout "$TMO" \
+  # -s KILL: DuckDB's native execution loop defers Python-level SIGTERM
+  # indefinitely (a training-loop CTE ran 2x past the cap before the
+  # round-13 fix), so the cap must be un-ignorable
+  out=$(DUCKDB_MEM=${DUCKDB_MEM:-32GB} timeout -s KILL "$TMO" \
         python3 tools/check_oracle.py "$CHECK" "$SF" "$q" 2>&1)
   rc=$?
-  if [ $rc -eq 124 ]; then
+  if [ $rc -eq 124 ] || [ $rc -eq 137 ]; then
     echo "$q TIMEOUT ${TMO}s" >> "$RESULTS"
   elif echo "$out" | grep -q "^OK    $q"; then
     echo "$q OK" >> "$RESULTS"
@@ -44,4 +47,5 @@ for q in $(ls "$DUMP"); do
   fi
   tail -1 "$RESULTS"
 done
+rm -rf "$CHECK"
 echo "sweep pass done: $(grep -c ' OK$' "$RESULTS") OK / $(wc -l < "$RESULTS") recorded"
