@@ -3212,6 +3212,32 @@ object SparkEntry {
     * carry is the 3-smallest list so far (pure selection, no fp math),
     * merged with each row's own block prefix — O(n·B log B) total instead
     * of sorting every prefix (O(n²)). */
+  /** Rep-level connected-components replay fragment (round 13). The dedup
+    * oracles' edge sets are always (a) `nearp` edges between GROUP
+    * REPRESENTATIVES only (docs deduplicated by text, rep = min doc_id of
+    * the group) and (b) `exactp` star edges rep -> member with member id >
+    * rep id by construction. A component's min node id therefore equals the
+    * min over its REPS, and each member inherits its rep's cluster — so the
+    * recursive closure only needs the rep graph. The previous all-labels
+    * closure over the full edge set materialized Θ(|cluster|²) rows: 527M
+    * at the 100x replica for the image clusters (OOM), 50M for the text
+    * dedups (20+ min) — this fragment replays the same `labels` in seconds.
+    * Emits CTEs `rne/rl/rc/nds/labels(id, cluster)`; append after `nearp`
+    * and `exactp` inside a WITH RECURSIVE. */
+  private val repCcSql: String =
+    """rne AS (SELECT id_a AS a, id_b AS b FROM nearp
+               UNION SELECT id_b, id_a FROM nearp),
+       rl AS (SELECT a AS id, a AS c FROM rne
+              UNION
+              SELECT e2.a, rl.c FROM rne e2 JOIN rl ON rl.id = e2.b),
+       rc AS (SELECT id AS rep, min(c) AS cl FROM rl GROUP BY id),
+       nds AS (SELECT id_a AS id, id_a AS rep FROM exactp
+               UNION SELECT id_b, id_a FROM exactp
+               UNION SELECT id_a, id_a FROM nearp
+               UNION SELECT id_b, id_b FROM nearp),
+       labels AS (SELECT id, min(coalesce(rc.cl, nds.rep)) AS cluster
+                  FROM nds LEFT JOIN rc ON rc.rep = nds.rep GROUP BY id)"""
+
   private val nfamilySql: String =
     """WITH RECURSIVE r0 AS (
          SELECT event_id, event_type, ts, value,
@@ -3355,7 +3381,7 @@ object SparkEntry {
                 END AS jaccard
          FROM s a JOIN s b ON a.doc_id < b.doc_id""",
     "llm_dedup_near" ->
-      """WITH RECURSIVE
+      ("""WITH RECURSIVE
          dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
          d AS (SELECT doc,
                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -3391,22 +3417,15 @@ object SparkEntry {
                     JOIN (SELECT doc_id, md5(text) AS hh FROM documents) g
                       USING (hh)
                     WHERE g.doc_id <> r.id_a),
-         edges AS (SELECT id_a AS a, id_b AS b FROM nearp
-                   UNION SELECT id_b, id_a FROM nearp
-                   UNION SELECT id_a, id_b FROM exactp
-                   UNION SELECT id_b, id_a FROM exactp),
-         lbl AS (SELECT a AS id, a AS c FROM edges
-                 UNION
-                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b),
-         labels AS (SELECT id, min(c) AS cluster FROM lbl GROUP BY id),
+         """ + repCcSql + """,
          drops AS (SELECT id FROM labels WHERE cluster <> id)
          SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT id FROM drops)""",
+         WHERE doc_id NOT IN (SELECT id FROM drops)"""),
     // same pair + component chain as llm_dedup_near, then both split
     // assignments (cluster-hash vs doc-hash) and the cross-split pair
     // leak counts
     "llm_leakage_split" ->
-      """WITH RECURSIVE
+      ("""WITH RECURSIVE
          dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
          d AS (SELECT doc,
                       list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -3446,11 +3465,7 @@ object SparkEntry {
                    FROM (SELECT id_a, id_b FROM nearp
                          UNION ALL SELECT id_a, id_b FROM exactp)
                    GROUP BY 1, 2),
-         edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
-         lbl AS (SELECT a AS id, a AS c FROM edges
-                 UNION
-                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b),
-         labels AS (SELECT id, min(c) AS cluster FROM lbl GROUP BY id),
+         """ + repCcSql + """,
          docs AS (SELECT dd.doc_id AS id,
                          coalesce(l.cluster, dd.doc_id) AS cluster
                   FROM documents dd LEFT JOIN labels l ON l.id = dd.doc_id),
@@ -3482,7 +3497,7 @@ object SparkEntry {
          SELECT ps.split, CAST(ps.n_docs_safe AS BIGINT) AS n_docs_safe,
                 CAST(ps.n_docs_naive AS BIGINT) AS n_docs_naive,
                 lk.leaked_naive, lk.leaked_safe
-         FROM ps CROSS JOIN lk""",
+         FROM ps CROSS JOIN lk"""),
     // replays the new shard vs reference-index verdicts: digests, per-side
     // distinct-text shingles, 32-seed md5 minhash signatures, band buckets,
     // the cross-corpus candidate join and the exact-Jaccard verification
@@ -4508,48 +4523,67 @@ object SparkEntry {
                  GROUP BY 1, 2)
          SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2""",
     "llm_image_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, doc_id % 64 AS base,
-                                     doc_id // 64 AS v FROM documents),
-         px AS (SELECT doc_id, base, v, t1.range AS x, t2.range AS y
-                FROM d, range(0, 24) t1, range(0, 16) t2),
-         g AS (SELECT doc_id, x, y,
-                 (CASE WHEN v > 0 AND x = v % 24 AND y = (v // 24) % 16
-                       THEN ((base*31 + x*7 + y*13) % 256 + 128) % 256
-                       ELSE (base*31 + x*7 + y*13) % 256 END)
-                 + (base*17 + x*11 + y*5) % 256
-                 + (base*23 + x*3 + y*19) % 256 AS gray
-               FROM px),
-         blk AS (SELECT doc_id, (y // 2) * 8 + (x // 3) AS k, sum(gray) AS bs
-                 FROM g GROUP BY 1, 2),
-         tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY 1),
-         bits AS (SELECT b.doc_id, k,
-                    CASE WHEN 64*bs > ts THEN 1 ELSE 0 END AS bit
-                  FROM blk b JOIN tot USING (doc_id)),
-         bands AS (SELECT doc_id, k // 16 AS band,
-                     sum(bit * (1::BIGINT << (k % 16)))::BIGINT AS bv
-                   FROM bits GROUP BY 1, 2),
-         hk AS (SELECT doc_id, string_agg(bv, ',' ORDER BY band) AS hkey
-                FROM bands GROUP BY 1),
-         reps AS (SELECT hkey, min(doc_id) AS rep FROM hk GROUP BY 1),
-         member AS (SELECT r.rep AS id_a, h.doc_id AS id_b
-                    FROM hk h JOIN reps r USING (hkey) WHERE h.doc_id <> r.rep),
-         rb AS (SELECT b.* FROM bands b JOIN reps r ON b.doc_id = r.rep),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM rb a JOIN rb b ON a.band = b.band AND a.bv = b.bv
-                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         nearp AS (SELECT c.id_a, c.id_b
-                   FROM cand c JOIN rb x ON x.doc_id = c.id_a
-                   JOIN rb y ON y.doc_id = c.id_b AND y.band = x.band
-                   GROUP BY 1, 2
-                   HAVING sum(bit_count(xor(x.bv, y.bv))) <= 2),
-         edges AS (SELECT id_a AS a, id_b AS b FROM member
-                   UNION SELECT id_b, id_a FROM member
-                   UNION SELECT id_a, id_b FROM nearp
-                   UNION SELECT id_b, id_a FROM nearp),
-         lbl AS (SELECT a AS id, a AS c FROM edges
-                 UNION
-                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b)
-         SELECT id, min(c)::BIGINT AS cluster FROM lbl GROUP BY id""",
+      """WITH RECURSIVE
+ bb AS (SELECT bs.base, (t2.range // 2) * 8 + (t1.range // 3) AS k,
+          sum((bs.base*31 + t1.range*7 + t2.range*13) % 256
+            + (bs.base*17 + t1.range*11 + t2.range*5) % 256
+            + (bs.base*23 + t1.range*3 + t2.range*19) % 256) AS bs0
+        FROM range(0, 64) bs(base), range(0, 24) t1, range(0, 16) t2
+        GROUP BY 1, 2),
+ bbl AS (SELECT base, list(bs0 ORDER BY k) AS bl FROM bb GROUP BY base),
+ dd AS (SELECT doc_id, doc_id % 64 AS base, doc_id // 64 AS v FROM documents),
+ dk AS (SELECT doc_id, base, v, v % 24 AS xd, (v // 24) % 16 AS yd FROM dd),
+ dj AS (SELECT doc_id, base, v,
+               ((yd // 2) * 8 + (xd // 3)) AS kd,
+               ((base*31 + xd*7 + yd*13) % 256 + 128) % 256
+                 - (base*31 + xd*7 + yd*13) % 256 AS delta
+        FROM dk),
+ h0 AS (SELECT d.doc_id,
+               list_transform(b.bl, (x, i) ->
+                 x + CASE WHEN d.v > 0 AND i - 1 = d.kd
+                          THEN d.delta ELSE 0 END) AS bs
+        FROM dj d JOIN bbl b USING (base)),
+ h1 AS (SELECT doc_id, bs, list_sum(bs) AS ts FROM h0),
+ h2 AS (SELECT doc_id,
+          list_transform(range(0, 4), b ->
+            list_sum(list_transform(range(0, 16), j ->
+              CASE WHEN 64 * bs[16 * b + j + 1] > ts
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END))) AS bvl
+        FROM h1),
+ hk AS (SELECT doc_id, bvl,
+               array_to_string(bvl, ',') AS hkey FROM h2),
+ reps AS (SELECT hkey, min(doc_id) AS rep FROM hk GROUP BY 1),
+ member AS (SELECT r.rep AS id_a, h.doc_id AS id_b
+            FROM hk h JOIN reps r USING (hkey) WHERE h.doc_id <> r.rep),
+ rb AS (SELECT h.doc_id, u.band - 1 AS band, h.bvl[u.band] AS bv
+        FROM hk h JOIN reps r ON h.doc_id = r.rep,
+             unnest(range(1, 5)) u(band)),
+ cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rb a JOIN rb b ON a.band = b.band AND a.bv = b.bv
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+ nearp AS (SELECT c.id_a, c.id_b
+           FROM cand c JOIN rb x ON x.doc_id = c.id_a
+           JOIN rb y ON y.doc_id = c.id_b AND y.band = x.band
+           GROUP BY 1, 2
+           HAVING sum(bit_count(xor(x.bv, y.bv))) <= 2),
+ -- connected components over REPS ONLY (474 nodes at the 100x replica):
+ -- member edges are rep-stars (rep = min id of its identical-hash group,
+ -- so every member id >= its rep), hence a component's min id is the min
+ -- over its reps and each member inherits its rep's cluster. The direct
+ -- all-labels closure over member edges was Theta(|cluster|^2) rows —
+ -- 527M at the 100x replica (the round-13 sweep OOM)
+ rne AS (SELECT id_a AS a, id_b AS b FROM nearp
+         UNION SELECT id_b, id_a FROM nearp),
+ rl AS (SELECT a AS id, a AS c FROM rne
+        UNION
+        SELECT e2.a, rl.c FROM rne e2 JOIN rl ON rl.id = e2.b),
+ rc AS (SELECT id AS rep, min(c) AS cl FROM rl GROUP BY id),
+ nodes AS (SELECT id_a AS id, id_a AS rep FROM member
+           UNION SELECT id_b, id_a FROM member
+           UNION SELECT id_a, id_a FROM nearp
+           UNION SELECT id_b, id_b FROM nearp)
+ SELECT n.id, min(coalesce(rc.cl, n.rep))::BIGINT AS cluster
+ FROM nodes n LEFT JOIN rc ON rc.rep = n.rep GROUP BY n.id""",
     "llm_media_frames" ->
       """SELECT doc_id AS media_id, CAST(unnest(range(4)) AS INT) AS frame_idx,
                 CAST(unnest(range(4)) * 40 AS BIGINT) AS frame_ts_ms
@@ -4818,7 +4852,7 @@ object SparkEntry {
     // stopword-score langid, min-id-per-digest, the exact+LSH connected
     // components, and 8-gram decontamination — counting survivors per stage
     "llm_pipeline_funnel" ->
-      """WITH RECURSIVE
+      ("""WITH RECURSIVE
          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
          bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
          gb AS (
@@ -4915,15 +4949,7 @@ object SparkEntry {
                     JOIN (SELECT doc_id, md5(text) AS hh FROM r2) g
                       USING (hh)
                     WHERE g.doc_id <> r.id_a),
-         prs AS (SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
-                 FROM (SELECT id_a, id_b FROM nearp
-                       UNION ALL SELECT id_a, id_b FROM exactp)
-                 GROUP BY 1, 2),
-         edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
-         lbl AS (SELECT a AS id, a AS c FROM edges
-                 UNION
-                 SELECT e2.a, lbl.c FROM edges e2 JOIN lbl ON lbl.id = e2.b),
-         labels AS (SELECT id, min(c) AS cluster FROM lbl GROUP BY id),
+         """ + repCcSql + """,
          r4 AS MATERIALIZED (
            SELECT doc_id, text FROM r2
            WHERE doc_id NOT IN
@@ -4958,7 +4984,7 @@ object SparkEntry {
            UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM r3)
            UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM r4)
            UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM r5)
-         ) ORDER BY step""",
+         ) ORDER BY step"""),
     "llm_nb_classify" -> nbScoreSql(
       """SELECT doc_id, n_tokens, round(logit, 4) AS logit,
                 logit > 0 AS predicted
