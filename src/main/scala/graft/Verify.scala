@@ -125,7 +125,18 @@ object Verify {
         // query can no longer ship uncanonicalized (round-12; was a WARN).
         val df = normNegZero(fn(spark, sfDir))
         schemas(name) = df.schema
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir$sub/$name")
+        // coalesce(1) is a NARROW dependency: it collapses the entire
+        // upstream plan into one task, so a quadratic pair join feeding the
+        // dump runs single-core (llm_ngram_jaccard ground 50+ min at the
+        // 100x replica). The driver contract wants one file per query, so
+        // the default stays; big-SF sweeps set SPARK_GRAFT_DUMP_PARTS to
+        // write N files through a real shuffle (upstream stays parallel —
+        // tools/check_oracle.py globs all part files).
+        val sink = sys.env.get("SPARK_GRAFT_DUMP_PARTS") match {
+          case Some(n) => df.repartition(n.toInt)
+          case None    => df.coalesce(1)
+        }
+        sink.write.mode("overwrite").parquet(s"$outDir$sub/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
