@@ -3961,21 +3961,50 @@ object SparkEntry {
            SELECT q.query_id, CAST(j.range AS INT) AS j, ct.cidx,
              (CASE $tChains END) AS t
            FROM q, range(0, 4) j, cent ct),
-         sims AS (
-           SELECT query_id, nn_id, (((t0 + t1) + t2) + t3) AS sim0 FROM (
-             SELECT t.query_id, co.vec_id AS nn_id,
-               MAX(CASE WHEN t.j = 0 THEN t.t END) AS t0,
-               MAX(CASE WHEN t.j = 1 THEN t.t END) AS t1,
-               MAX(CASE WHEN t.j = 2 THEN t.t END) AS t2,
-               MAX(CASE WHEN t.j = 3 THEN t.t END) AS t3
-             FROM codes co JOIN tab t ON t.j = co.j AND t.cidx = co.cidx
-             GROUP BY 1, 2)
-           WHERE nn_id <> query_id),
+         -- code-TUPLE pre-collapse (round 13): ADC sim depends only on the
+         -- vector's 4 PQ codes, so vectors sharing a tuple have identical
+         -- sims to every query. The direct (query x vector) pivot built a
+         -- 400M-group aggregate plus a 400M-row window sort at the 100x
+         -- replica (spilled past the box); per-(query, tuple) is 4M rows.
+         ctup AS (
+           SELECT vec_id,
+                  MAX(CASE WHEN j = 0 THEN cidx END) AS c0,
+                  MAX(CASE WHEN j = 1 THEN cidx END) AS c1,
+                  MAX(CASE WHEN j = 2 THEN cidx END) AS c2,
+                  MAX(CASE WHEN j = 3 THEN cidx END) AS c3
+           FROM codes GROUP BY 1),
+         grp AS (
+           SELECT c0, c1, c2, c3, min(vec_id) AS gid,
+                  list(vec_id ORDER BY vec_id) AS ids
+           FROM ctup GROUP BY 1, 2, 3, 4),
+         gsims AS (
+           SELECT t0.query_id, g.gid, g.ids,
+                  (((t0.t + t1.t) + t2.t) + t3.t) AS sim0
+           FROM grp g
+           JOIN tab t0 ON t0.j = 0 AND t0.cidx = g.c0
+           JOIN tab t1 ON t1.j = 1 AND t1.cidx = g.c1
+                      AND t1.query_id = t0.query_id
+           JOIN tab t2 ON t2.j = 2 AND t2.cidx = g.c2
+                      AND t2.query_id = t0.query_id
+           JOIN tab t3 ON t3.j = 3 AND t3.cidx = g.c3
+                      AND t3.query_id = t0.query_id),
+         -- rank() (not row_number) so tying groups are never pruned; a
+         -- group at rank >= 7 has >= 6 strictly-better groups of which at
+         -- most one is the query's own singleton, i.e. >= 5 strictly
+         -- better candidates — it cannot reach the top 5
+         gr AS (
+           SELECT query_id, gid, ids, sim0,
+             rank() OVER (PARTITION BY query_id ORDER BY sim0 DESC) AS grk
+           FROM gsims),
+         expd AS (
+           SELECT query_id, u.nn_id, sim0
+           FROM gr, unnest(gr.ids) u(nn_id)
+           WHERE grk <= 6 AND u.nn_id <> query_id),
          r AS (
            SELECT query_id, nn_id, sim0,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim0 DESC, nn_id) AS rk
-           FROM sims)
+           FROM expd)
          SELECT query_id, nn_id, round(sim0, 6) AS sim, CAST(rk AS INT) AS rank
          FROM r WHERE rk <= 5"""
     },
