@@ -1508,8 +1508,13 @@ object SparkEntry {
       // entry exists to oracle the exact Jaccard arithmetic itself.
       // shingle ONCE per doc before the pair join — inlining the shingling
       // into the pair expression re-tokenizes per pair (O(pairs × doc_len))
+      // repartition the STREAM side up front: the subsample collapses to
+      // the source's 2-3 input splits, and the O(n²) pair work runs in
+      // whatever partitioning feeds the nested-loop join (at the 100x
+      // replica: 432M pair-intersects on 2 cores without this)
       val d = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
         .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+        .repartition(s.sparkContext.defaultParallelism)
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
