@@ -3950,19 +3950,19 @@ object SparkEntry {
              (md5_number_lower('pq:' || CAST(vec_id AS VARCHAR))
               & 9223372036854775807), vec_id) AS rnk
            FROM n),
-         cent AS (SELECT CAST(rnk - 1 AS INT) AS cidx, v FROM sr WHERE rnk <= 8),
+         cent AS MATERIALIZED (SELECT CAST(rnk - 1 AS INT) AS cidx, v FROM sr WHERE rnk <= 8),
          dists AS (
            SELECT nv.vec_id, CAST(j.range AS INT) AS j, ct.cidx,
              (CASE $dChains END) AS d
            FROM n nv, range(0, 4) j, cent ct),
-         codes AS (
+         codes AS MATERIALIZED (
            SELECT vec_id, j, cidx FROM (
              SELECT vec_id, j, cidx,
                row_number() OVER (PARTITION BY vec_id, j
                                   ORDER BY d, cidx) AS rk
              FROM dists) WHERE rk = 1),
-         q AS (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 100 = 0),
-         tab AS (
+         q AS MATERIALIZED (SELECT vec_id AS query_id, v FROM n WHERE vec_id % 100 = 0),
+         tab AS MATERIALIZED (
            SELECT q.query_id, CAST(j.range AS INT) AS j, ct.cidx,
              (CASE $tChains END) AS t
            FROM q, range(0, 4) j, cent ct),
@@ -3978,12 +3978,12 @@ object SparkEntry {
                   MAX(CASE WHEN j = 2 THEN cidx END) AS c2,
                   MAX(CASE WHEN j = 3 THEN cidx END) AS c3
            FROM codes GROUP BY 1),
-         grp AS (
+         grp AS MATERIALIZED (
            SELECT c0, c1, c2, c3, min(vec_id) AS gid,
                   list(vec_id ORDER BY vec_id) AS ids
            FROM ctup GROUP BY 1, 2, 3, 4),
          gsims AS (
-           SELECT t0.query_id, g.gid, g.ids,
+           SELECT t0.query_id, g.gid,
                   (((t0.t + t1.t) + t2.t) + t3.t) AS sim0
            FROM grp g
            JOIN tab t0 ON t0.j = 0 AND t0.cidx = g.c0
@@ -3993,18 +3993,19 @@ object SparkEntry {
                       AND t2.query_id = t0.query_id
            JOIN tab t3 ON t3.j = 3 AND t3.cidx = g.c3
                       AND t3.query_id = t0.query_id),
-         -- rank() (not row_number) so tying groups are never pruned; a
-         -- group at rank >= 7 has >= 6 strictly-better groups of which at
-         -- most one is the query's own singleton, i.e. >= 5 strictly
-         -- better candidates — it cannot reach the top 5
-         gr AS (
-           SELECT query_id, gid, ids, sim0,
-             rank() OVER (PARTITION BY query_id ORDER BY sim0 DESC) AS grk
-           FROM gsims),
+         -- expand only each group's 6 SMALLEST member ids (lists are
+         -- sorted ascending): within a group all members tie on sim, so a
+         -- member beyond the 6th-smallest has >= 5 better same-group
+         -- candidates even after excluding the query itself — it can
+         -- never reach the top 5. This bound is tie-proof: rank-based
+         -- group pruning kept every tying group, and the synthetic ADC
+         -- sims tie across hundreds of groups (1.9M surviving groups x
+         -- full member lists spilled 45+ GB at the 100x replica)
          expd AS (
-           SELECT query_id, u.nn_id, sim0
-           FROM gr, unnest(gr.ids) u(nn_id)
-           WHERE grk <= 6 AND u.nn_id <> query_id),
+           SELECT s.query_id, u.nn_id, s.sim0
+           FROM gsims s JOIN grp g ON g.gid = s.gid,
+                unnest(list_slice(g.ids, 1, 6)) u(nn_id)
+           WHERE u.nn_id <> s.query_id),
          r AS (
            SELECT query_id, nn_id, sim0,
              row_number() OVER (PARTITION BY query_id
