@@ -28,7 +28,10 @@ while [ $i -lt ${#TODO[@]} ]; do
   batch=("${TODO[@]:$i:$CHUNK}")
   names=$(IFS=,; echo "${batch[*]}")
   echo "=== chunk at $i: ${batch[0]} .. ${batch[-1]} ($(date +%T))"
+  # DUMP_PARTS: without it the dump's coalesce(1) collapses each query's
+  # whole plan into one task (quadratic pair joins ran single-core)
   SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-28} SPARK_GRAFT_ONLY="$names" \
+    SPARK_GRAFT_DUMP_PARTS=${SPARK_GRAFT_DUMP_PARTS:-16} \
     java -Xmx48g $OPENS -cp "$CP" graft.Verify "$SF" "$OUT" \
     2>&1 | grep -E "\[verify\]|Error|Exception" | head -20
   i=$((i + CHUNK))
