@@ -2580,7 +2580,9 @@ object SparkEntry {
     * CORRECTNESS_r12 `q_negzero_nested` err), it does not degrade to
     * rows-only. Hard rule (FIXTURES.md): driver-visible queries emit FLAT,
     * pandas-sortable schemas — scalars only at top level. Verify dumps
-    * these under `outDir/__local/` so the driver's glob never sees them;
+    * these to the SIBLING dir `<outDir>.local/` so no driver enumeration
+    * of outDir can ever see them (r13: even a `__local/` SUBdir was
+    * globbed as a pseudo-query);
     * tools/check_oracle.py pairs them with [[localOracleSql]]. */
   def localQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // round-12: planted nested -0.0 fixture. The struct / array<struct>
@@ -6384,7 +6386,7 @@ object SparkEntry {
     * dumped into the driver's oracle_sql.json: the driver compare CRASHES
     * on NESTED (struct/array) output columns (pandas sort over unhashable
     * ndarray cells — CORRECTNESS_r12), so nested-schema fixtures live in
-    * [[localQueries]] (dumped under `__local/`) with their strict SQL here.
+    * [[localQueries]] (dumped to the `<outDir>.local/` sibling) with their strict SQL here.
     * Verify dumps these (wrapped) to local_oracle_sql.json. */
   def localOracleSql: Map[String, String] = Map(
     "q_negzero_nested" ->

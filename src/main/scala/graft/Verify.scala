@@ -112,11 +112,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Local-only nested fixtures go to a SIBLING directory, not a subdir:
+    // the round-13 driver enumerated outDir/* and treated the former
+    // __local/ subdir itself as a pseudo-query (pandas crash on its nested
+    // parquet). A sibling <outDir>.local/ is invisible to any enumeration
+    // of outDir, glob or listdir alike.
+    val localOut = outDir.replaceAll("/+$", "") + ".local"
+    // Fail fast on a malformed SPARK_GRAFT_DUMP_PARTS: parsed lazily inside
+    // the per-query try it would make every query "fail" with an
+    // unrelated-looking NumberFormatException and dump nothing (ADVICE r13).
+    val dumpParts: Option[Int] = sys.env.get("SPARK_GRAFT_DUMP_PARTS").map { s =>
+      val n = try s.trim.toInt catch { case _: NumberFormatException =>
+        System.err.println(s"[verify] SPARK_GRAFT_DUMP_PARTS must be a positive integer, got '$s'")
+        sys.exit(2); 0
+      }
+      if (n <= 0) {
+        System.err.println(s"[verify] SPARK_GRAFT_DUMP_PARTS must be positive, got $n")
+        sys.exit(2)
+      }
+      n
+    }
     // Dev-only subset run: SPARK_GRAFT_ONLY=q_a,q_b (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val schemas = scala.collection.mutable.Map.empty[String, StructType]
     def runAll(qs: Map[String, (SparkSession, String) => DataFrame],
-               sub: String): Unit = qs
+               base: String): Unit = qs
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
@@ -132,21 +152,21 @@ object Verify {
         // the default stays; big-SF sweeps set SPARK_GRAFT_DUMP_PARTS to
         // write N files through a real shuffle (upstream stays parallel —
         // tools/check_oracle.py globs all part files).
-        val sink = sys.env.get("SPARK_GRAFT_DUMP_PARTS") match {
-          case Some(n) => df.repartition(n.toInt)
+        val sink = dumpParts match {
+          case Some(n) => df.repartition(n)
           case None    => df.coalesce(1)
         }
-        sink.write.mode("overwrite").parquet(s"$outDir$sub/$name")
+        sink.write.mode("overwrite").parquet(s"$base/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    runAll(SparkEntry.queries, "")
-    // nested-schema fixtures: dumped under __local/ so the driver's glob
-    // never loads them — its pandas comparator crashes sorting nested
-    // struct/array cells (CORRECTNESS_r12 find); checked only by
+    runAll(SparkEntry.queries, outDir)
+    // nested-schema fixtures: dumped to the sibling <outDir>.local/ so the
+    // driver can never load them — its pandas comparator crashes sorting
+    // nested struct/array cells (CORRECTNESS_r12/r13 find); checked only by
     // tools/check_oracle.py against localOracleSql
-    runAll(SparkEntry.localQueries, "/__local")
+    runAll(SparkEntry.localQueries, localOut)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -159,18 +179,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def dump(oracles: Map[String, String], file: String): Unit = {
+    def dump(oracles: Map[String, String], path: String): Unit = {
       val json = oracles
         .map { case (k, v) =>
           val sql = schemas.get(k).map(wrapOracle(v, _)).getOrElse(v)
           s"${q(k)}: ${q(sql)}"
         }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/$file"), json)
+      Files.writeString(Paths.get(path), json)
     }
-    dump(SparkEntry.oracleSql, "oracle_sql.json")
+    dump(SparkEntry.oracleSql, s"$outDir/oracle_sql.json")
     // nested-schema fixtures: strict compare runs only in the local gate
-    // (the driver's row-sort on struct/array columns is undefined)
-    dump(SparkEntry.localOracleSql, "local_oracle_sql.json")
+    // (the driver's row-sort on struct/array columns is undefined); the
+    // SQL lives with the fixture dumps in the driver-invisible sibling dir
+    if (SparkEntry.localOracleSql.nonEmpty) {
+      new java.io.File(localOut).mkdirs()
+      dump(SparkEntry.localOracleSql, s"$localOut/local_oracle_sql.json")
+    }
     spark.stop()
   }
 }

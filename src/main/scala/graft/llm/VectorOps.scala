@@ -33,6 +33,24 @@ object VectorOps {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Broadcast a (localCheckpointed) normalized-vector table only when its
+    * estimated in-memory size fits a BYTE budget. A row cap alone is a
+    * scale trap: 1 M rows is a 0.5 GB broadcast at dim=64 but 6-12 GB at
+    * production dims (768-1536) — an executor OOM exactly where the
+    * high-dim ρ-sampling path is supposed to shine (r13 verdict #4). The
+    * dim is read from the first row (plan-time metadata-scale action);
+    * estimate = rows × (dim × 8 B + ~32 B row overhead). Default budget
+    * 256 MB, overridable via graft.ann.broadcastVectors.maxBytes. */
+  private[graft] def maybeBroadcastVecs(vecs: DataFrame): DataFrame = {
+    val maxBytes = vecs.sparkSession.conf
+      .get("graft.ann.broadcastVectors.maxBytes", (256L << 20).toString).toLong
+    val n = vecs.count()
+    val dim =
+      if (n == 0) 0L
+      else vecs.select(size(col("__v"))).head.getInt(0).toLong
+    if (n * (dim * 8 + 32) <= maxBytes) broadcast(vecs) else vecs
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
@@ -979,14 +997,11 @@ object VectorOps {
     // The scoring joins are the round's data movement: without a hint,
     // each round shuffles every candidate row TWICE, the second time
     // carrying the already-joined src vector (~0.5 KB/row — measured
-    // ~25 GB/round at n=200k, dim=64). The vector table itself is tiny
+    // ~25 GB/round at n=200k, dim=64). The vector table is usually small
     // (n·dim·8 B), so broadcast it and keep the candidate stream map-side;
-    // the guard keeps billion-vector corpora on shuffle joins.
-    val vSide =
-      if (vecs.count() <= spark.conf
-            .get("graft.ann.broadcastVectors.maxRows", "1000000").toLong)
-        broadcast(vecs)
-      else vecs
+    // the BYTE-budget guard keeps large or high-dim corpora on shuffle
+    // joins (maybeBroadcastVecs).
+    val vSide = maybeBroadcastVecs(vecs)
     val ranked = graft.operators.GlobalRank.withRank(
       vecs.select(col("id"), DedupOps.md5Lower63(
         concat(lit("knng:"), col("id").cast(StringType))).as("__key")),
@@ -1122,13 +1137,9 @@ object VectorOps {
     val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .localCheckpoint()
-    // same broadcast guard as knnGraph: candidate rows stay map-side
-    // instead of shuffling per-round against the vector table
-    val vSide =
-      if (vecs.count() <= corpus.sparkSession.conf
-            .get("graft.ann.broadcastVectors.maxRows", "1000000").toLong)
-        broadcast(vecs)
-      else vecs
+    // same byte-budget broadcast guard as knnGraph: candidate rows stay
+    // map-side instead of shuffling per-round against the vector table
+    val vSide = maybeBroadcastVecs(vecs)
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
     val entry = vecs.select(col("id"), DedupOps.md5Lower63(

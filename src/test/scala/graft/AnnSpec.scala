@@ -311,4 +311,25 @@ class AnnSpec extends SparkSpec {
     assert(first3.exists(i => pts(i.toInt) <= 2.0) &&
       first3.exists(i => pts(i.toInt) >= 100.0))
   }
+
+  test("vector-table broadcast guard budgets BYTES, not rows (dim-aware)") {
+    import spark.implicits._
+    def vecsOf(n: Int, dim: Int) = (0 until n)
+      .map(i => (i.toLong, Array.fill(dim)(1.0 / dim)))
+      .toDF("id", "__v")
+    def isBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.toString.contains("broadcast")
+    val tight = "graft.ann.broadcastVectors.maxBytes"
+    // 100 rows × dim 8 ≈ 100×(64+32) B — far under any sane budget
+    assert(isBroadcast(VectorOps.maybeBroadcastVecs(vecsOf(100, 8))))
+    // same ROW count at a huge dim must NOT broadcast once the byte
+    // estimate crosses the budget: 100 × (1536×8 + 32) ≈ 1.2 MB > 1 MB
+    spark.conf.set(tight, (1L << 20).toString)
+    try {
+      assert(!isBroadcast(VectorOps.maybeBroadcastVecs(vecsOf(100, 1536))))
+      // and a low-dim table of MORE rows still fits the same budget:
+      // 2000 × (8×8 + 32) ≈ 192 KB < 1 MB
+      assert(isBroadcast(VectorOps.maybeBroadcastVecs(vecsOf(2000, 8))))
+    } finally spark.conf.unset(tight)
+  }
 }

@@ -8,10 +8,15 @@ import duckdb, pandas as pd, numpy as np
 outdir, sfdir = sys.argv[1], sys.argv[2]
 only = sys.argv[3].split(",") if len(sys.argv) > 3 else None  # optional name filter
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-# local-only strict oracles (nested-schema fixtures the driver checks
-# rows-only — see SparkEntry.localOracleSql)
-if os.path.exists(f"{outdir}/local_oracle_sql.json"):
-    oracle.update(json.load(open(f"{outdir}/local_oracle_sql.json")))
+# local-only strict oracles (nested-schema fixtures the driver never sees
+# — see SparkEntry.localOracleSql). Dumped by Verify to the SIBLING dir
+# <outdir>.local/ so no driver enumeration of outdir can find them (r13:
+# even a __local/ SUBdir was globbed as a pseudo-query and crashed pandas).
+localdir = outdir.rstrip("/") + ".local"
+for loc in (f"{localdir}/local_oracle_sql.json",
+            f"{outdir}/local_oracle_sql.json"):  # pre-r14 dump layout
+    if os.path.exists(loc):
+        oracle.update(json.load(open(loc))); break
 if only:
     oracle = {k: v for k, v in oracle.items() if k in only}
 con = duckdb.connect()
@@ -79,37 +84,62 @@ def fail(name, msg):
 # representation is identical by construction. Set BIGCMP_ROWS=0 to disable.
 BIGCMP_ROWS = int(os.environ.get("BIGCMP_ROWS", "5000000"))
 
+# widths the pandas lane also treats as equivalent (Spark INT vs DuckDB
+# BIGINT aggregates of int columns render identically and compare equal in
+# pandas after astype); anything else must match exactly
+_TYPE_EQUIV = {"TINYINT": "BIGINT", "SMALLINT": "BIGINT", "INTEGER": "BIGINT",
+               "HUGEINT": "BIGINT", "FLOAT": "DOUBLE"}
+def _norm_type(t):
+    return _TYPE_EQUIV.get(t, t)
+
 def hash_compare(name, sql, files):
     flist = ",".join(f"'{f}'" for f in files)
-    got_cols = [r[0] for r in con.execute(
-        f"DESCRIBE SELECT * FROM read_parquet([{flist}])").fetchall()]
-    want_cols = [r[0] for r in con.execute(
-        f"DESCRIBE SELECT * FROM ({sql}) q LIMIT 0").fetchall()]
+    got_desc = dict((r[0], r[1]) for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet([{flist}])").fetchall())
+    want_desc = dict((r[0], r[1]) for r in con.execute(
+        f"DESCRIBE SELECT * FROM ({sql}) q LIMIT 0").fetchall())
+    got_cols, want_cols = list(got_desc), list(want_desc)
     if sorted(got_cols) != sorted(want_cols):
         fail(name, f"cols: spark={sorted(got_cols)} duck={sorted(want_cols)}")
+        return
+    # dtype check the to_json rendering would hide (ADVICE r13): an INT32
+    # where the oracle yields BIGINT renders identically under to_json but
+    # fails the driver's pandas-lane str(dtype) compare
+    mism = [(c, got_desc[c], want_desc[c]) for c in sorted(got_cols)
+            if _norm_type(got_desc[c]) != _norm_type(want_desc[c])]
+    if mism:
+        fail(name, f"dtypes (hash lane): {mism}")
         return
     def dq(c):
         return '"' + c.replace('"', '""') + '"'
     cols = ", ".join(dq(c) for c in sorted(got_cols))
     def digest(src):
+        # two independent commutative digests (ADVICE r13 hardening, still
+        # O(1) memory): the plain hash sum, plus a sum of modular products
+        # of the hash under two unrelated primes — offsetting per-row
+        # deltas would have to cancel in both simultaneously. Each second-
+        # digest term is < 2^60 so the HUGEINT sum cannot overflow.
         return con.execute(
-            f"SELECT count(*), sum(hash(to_json(struct_pack({cols}))::VARCHAR)::HUGEINT)"
-            f" FROM ({src}) t").fetchone()
-    gn, gh = digest(f"SELECT * FROM read_parquet([{flist}])")
-    wn, wh = digest(sql)
+            f"SELECT count(*), sum(h::HUGEINT),"
+            f" sum((h % 1000000007)::HUGEINT * (h % 998244353)::HUGEINT)"
+            f" FROM (SELECT hash(to_json(struct_pack({cols}))::VARCHAR) AS h"
+            f"       FROM ({src}) t) u").fetchone()
+    gn, gh, gh2 = digest(f"SELECT * FROM read_parquet([{flist}])")
+    wn, wh, wh2 = digest(sql)
     if gn != wn:
         fail(name, f"rows: spark={gn} duck={wn}")
-    elif gh != wh:
-        fail(name, f"row-multiset hash: spark={gh} duck={wh} ({gn} rows)")
+    elif gh != wh or gh2 != wh2:
+        fail(name, f"row-multiset hash: spark=({gh},{gh2}) duck=({wh},{wh2}) ({gn} rows)")
     else:
         print(f"OK    {name} ({gn} rows, hash lane)", flush=True)
 
 for name, sql in sorted(oracle.items()):
     try:
         files = (glob.glob(f"{outdir}/{name}/*.parquet")
-                 # local-only nested fixtures live under __local/ (hidden
-                 # from the driver's glob — its comparator crashes on
-                 # nested sort keys, r12 find)
+                 # local-only nested fixtures live in the sibling
+                 # <outdir>.local/ (invisible to the driver — its
+                 # comparator crashes on nested sort keys, r12/r13 find)
+                 or glob.glob(f"{localdir}/{name}/*.parquet")
                  or glob.glob(f"{outdir}/__local/{name}/*.parquet"))
         if not files:
             fail(name, "no spark output"); continue

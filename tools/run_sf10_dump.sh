@@ -17,7 +17,7 @@ mapfile -t ALL < "$LIST"
 # skip queries already dumped (rerunnable)
 TODO=()
 for q in "${ALL[@]}"; do
-  if [ -e "$OUT/$q/_SUCCESS" ] || [ -e "$OUT/__local/$q/_SUCCESS" ]; then
+  if [ -e "$OUT/$q/_SUCCESS" ] || [ -e "${OUT%/}.local/$q/_SUCCESS" ]; then
     continue
   fi
   TODO+=("$q")

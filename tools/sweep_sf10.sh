@@ -15,16 +15,25 @@ set -uo pipefail
 DUMP=${1:?dump dir}; SF=${2:?sf dir}; ORACLES=${3:?oracle src dir}
 RESULTS=${4:?results file}; TMO=${5:-420}
 CHECK=$(mktemp -d /tmp/sweepchk.XXXX)
-cp "$ORACLES/oracle_sql.json" "$ORACLES/local_oracle_sql.json" "$CHECK/" 2>/dev/null
-[ -d "$DUMP/__local" ] && ln -sfn "$DUMP/__local" "$CHECK/__local"
+cp "$ORACLES/oracle_sql.json" "$CHECK/" 2>/dev/null
+# local fixtures + their oracle SQL live in the sibling <dump>.local dir
+# (driver-invisible, r14); symlink it as the checker outdir's sibling too
+mkdir -p "$CHECK.local"
+cp "${ORACLES%/}.local/local_oracle_sql.json" "$CHECK.local/" 2>/dev/null \
+  || cp "$ORACLES/local_oracle_sql.json" "$CHECK.local/" 2>/dev/null
+if [ -d "${DUMP%/}.local" ]; then
+  for d in "${DUMP%/}.local"/*/; do
+    [ -d "$d" ] && ln -sfn "${d%/}" "$CHECK.local/$(basename "$d")"
+  done
+fi
 touch "$RESULTS"
 cd "$(dirname "$0")/.."
-for q in $(ls "$DUMP"); do
-  [ -d "$DUMP/$q" ] || continue
-  [ "$q" = "__local" ] && continue
-  [ -e "$DUMP/$q/_SUCCESS" ] || continue
+for q in $(ls "$DUMP" "${DUMP%/}.local" 2>/dev/null | sort -u); do
+  base="$DUMP"; [ -d "$DUMP/$q" ] || base="${DUMP%/}.local"
+  [ -d "$base/$q" ] || continue
+  [ -e "$base/$q/_SUCCESS" ] || continue
   grep -q "^$q " "$RESULTS" && continue
-  ln -sfn "$DUMP/$q" "$CHECK/$q"
+  [ "$base" = "$DUMP" ] && ln -sfn "$DUMP/$q" "$CHECK/$q"
   # -s KILL: DuckDB's native execution loop defers Python-level SIGTERM
   # indefinitely (a training-loop CTE ran 2x past the cap before the
   # round-13 fix), so the cap must be un-ignorable
