@@ -1625,12 +1625,12 @@ object SparkEntry {
       VectorOps.embedNearDupExact(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)
     }),
-    "llm_embed_neardup_lsh" -> ((s, dir) => { // approximate recall: rows-only
+    "llm_embed_neardup_lsh" -> ((s, dir) => { // strict oracle since r14 (literal planes)
       tune(s)
       VectorOps.embedNearDupLsh(t(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)
     }),
-    "llm_ann_lsh" -> ((s, dir) => { // rows-only check
+    "llm_ann_lsh" -> ((s, dir) => { // strict oracle since r14 (literal planes)
       tune(s)
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -2689,6 +2689,24 @@ object SparkEntry {
     * random k-out init (tp/e0) and both build rounds (e1/e2, k=5,
     * maxRev=10) — `select` reads FROM e2 (the final graph) or continues
     * the WITH chain (leading comma). */
+  /** DuckDB VALUES rows `(band, bit, plane)` for the hyperplane-LSH plane
+    * sets of [[graft.llm.VectorOps.embedNearDupLsh]] — the planes are
+    * driver-side seeded `java.util.Random` gaussians embedded as LITERALS
+    * in the Spark plan too, so rendering them through `Double.toString`
+    * (shortest round-tripping decimal) reproduces the exact same doubles
+    * in the oracle. Sign-of-dot replays bit-for-bit because both engines
+    * fold the inner product in index order (the llm_embed_neardup /
+    * llm_cosine_topk precedent). */
+  private def lshPlanesValues(nPlanes: Int, dim: Int, bands: Int,
+      withBand: Boolean = true): String =
+    (0 until bands).flatMap { bd =>
+      graft.llm.VectorOps.planes(nPlanes, dim, 42L + bd * nPlanes)
+        .zipWithIndex.map { case (p, i) =>
+          val cols = if (withBand) s"$bd, $i" else s"$i"
+          s"($cols, [${p.mkString(", ")}])"
+        }
+    }.mkString(",\n           ")
+
   private def knnGraphSql(select: String, sample: Int = 0): String = {
       // generated: both NN-Descent rounds unrolled as CTEs — md5 random
       // k-out init, capped reverse edges, (optionally ρ-sampled) local
@@ -3662,6 +3680,50 @@ object SparkEntry {
                 WHERE ua.ia < ub.ib
                   AND round(list_inner_product(v, v), 6) >= 0.4)
          SELECT * FROM cp UNION ALL SELECT * FROM sp""",
+    // r14 (verdict #7): the LSH variant converts from rows-only to a
+    // STRICT oracle — the 4 x 8 hyperplanes are seeded literals (see
+    // lshPlanesValues), so the band sign-buckets, candidate join, cosine
+    // verify and group expansion all replay exactly
+    "llm_embed_neardup_lsh" ->
+      s"""WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         g AS (SELECT v, min(vec_id) AS rep,
+                      list(vec_id ORDER BY vec_id) AS ids
+               FROM n GROUP BY v),
+         pl(band, bit, p) AS (VALUES
+           ${lshPlanesValues(nPlanes = 8, dim = 64, bands = 4)}),
+         bk AS (SELECT g.rep, pl.band,
+                       sum(CASE WHEN list_inner_product(g.v, pl.p) > 0
+                                THEN (CAST(1 AS BIGINT) << pl.bit)
+                                ELSE 0 END) AS bucket
+                FROM g, pl GROUP BY g.rep, pl.band),
+         cand AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb
+                  FROM bk a JOIN bk b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.rep < b.rep),
+         rp AS (SELECT round(list_inner_product(ga.v, gb.v), 6) AS cos,
+                       ga.ids AS la, gb.ids AS lb
+                FROM cand
+                JOIN g ga ON ga.rep = cand.ra
+                JOIN g gb ON gb.rep = cand.rb
+                WHERE round(list_inner_product(ga.v, gb.v), 6) >= 0.4),
+         cp AS (SELECT least(ua.ia, ub.ib) AS id_a,
+                       greatest(ua.ia, ub.ib) AS id_b, cos
+                FROM rp, unnest(la) AS ua(ia), unnest(lb) AS ub(ib)),
+         sp AS (SELECT ua.ia AS id_a, ub.ib AS id_b,
+                       round(list_inner_product(v, v), 6) AS cos
+                FROM g, unnest(ids) AS ua(ia), unnest(ids) AS ub(ib)
+                WHERE ua.ia < ub.ib
+                  AND round(list_inner_product(v, v), 6) >= 0.4)
+         SELECT * FROM cp UNION ALL SELECT * FROM sp""",
     // recall harness: the floor booleans are the contract — a recall
     // regression flips them and the hash compare fails. The ground-truth
     // counts (query counts, true-jaccard/cosine pair counts) are derived
@@ -3676,6 +3738,46 @@ object SparkEntry {
                 (SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0)
                   AS n_queries,
                 true AS meets_floor""",
+    // r14 (verdict #7): strict oracle for the multi-probe LSH search —
+    // single plane set (seed 42), probe buckets b0 and b0 XOR (1<<bit),
+    // rank by RAW sim desc then nn_id (the row_number tie-break), self
+    // matches dropped. A corpus row's bucket equals exactly one probe
+    // value, so the probe join cannot duplicate candidates.
+    "llm_ann_lsh" ->
+      s"""WITH u AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+           FROM embeddings),
+         n AS (
+           SELECT vec_id,
+                  CASE WHEN sqrt(list_inner_product(v0, v0)) > 0 THEN
+                    list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
+                  ELSE v0 END AS v
+           FROM u),
+         pl(bit, p) AS (VALUES
+           ${lshPlanesValues(nPlanes = 6, dim = 64, bands = 1, withBand = false)}),
+         cb AS (SELECT n.vec_id, n.v,
+                       sum(CASE WHEN list_inner_product(n.v, pl.p) > 0
+                                THEN (CAST(1 AS BIGINT) << pl.bit)
+                                ELSE 0 END) AS bucket
+                FROM n, pl GROUP BY n.vec_id, n.v),
+         qb AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0
+                FROM cb WHERE vec_id % 100 = 0),
+         probes AS (
+           SELECT query_id, qv, b0 AS bucket FROM qb
+           UNION ALL
+           SELECT query_id, qv, xor(b0, CAST(1 AS BIGINT) << pl.bit)
+           FROM qb, pl),
+         j AS (SELECT p.query_id, c.vec_id AS nn_id,
+                      list_inner_product(p.qv, c.v) AS sim
+               FROM probes p JOIN cb c ON p.bucket = c.bucket
+               WHERE c.vec_id <> p.query_id),
+         r AS (SELECT query_id, nn_id, sim,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, nn_id) AS rnk
+               FROM j)
+         SELECT query_id, nn_id, round(sim, 6) AS sim, CAST(rnk AS INT) AS rank
+         FROM r WHERE rnk <= 5""",
     "llm_knn_graph" -> knnGraphSql(
       """SELECT src, nbr AS nn_id, round(sim, 6) AS sim, CAST(rnk AS INT) AS rank
          FROM e2"""),

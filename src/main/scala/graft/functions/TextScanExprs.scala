@@ -104,6 +104,14 @@ case class LangIdExpr(child: Expression)
   override def nullable: Boolean = false
   override def prettyName: String = "lang_id_scan"
 
+  /** CodegenFallback is a MEASURED choice, not an omission (r14 verdict
+    * #6): a doGenCode static-call shim that kept the WholeStageCodegen
+    * span intact was A/B'd at the sf10 funnel and lost 35-40% (best-of-3
+    * 34.4-36.5 s vs 24.2-26.5 s, two interleaved pairs) — fusing the
+    * funnel's wide projection into one span produces a generated method
+    * past the JIT's compile threshold, while the fallback splits the
+    * stage into methods that all JIT. Details in BASELINE.md round-14. */
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -201,6 +209,8 @@ case class GopherStatsExpr(child: Expression)
 
   override def dataType: DataType = GopherStatsExpr.schema
   override def prettyName: String = "gopher_stats_scan"
+  // CodegenFallback measured faster than a doGenCode shim — see the
+  // [[LangIdExpr]] note (r14 A/B, BASELINE.md)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

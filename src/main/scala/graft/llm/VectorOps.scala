@@ -531,7 +531,7 @@ object VectorOps {
     * seed and embedded as literal arrays — each row then pays `nPlanes` dot
     * products instead of nPlanes×dim hash evaluations. java.util.Random's
     * algorithm is specified, so planes are identical on every JVM/cluster. */
-  private[llm] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new java.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }

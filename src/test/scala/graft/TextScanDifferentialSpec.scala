@@ -111,4 +111,21 @@ class TextScanDifferentialSpec extends SparkSpec {
     val want = df.select(TextOps.langIdCols(col("text"))).collect().map(_.getString(0))
     assert(got.toSeq == want.toSeq && got(0) == "und")
   }
+
+  test("scan expressions stay exact under forced codegen factory mode") {
+    // r14 (verdict #6): a doGenCode static-call shim was A/B'd and LOST to
+    // CodegenFallback at the sf10 funnel (BASELINE.md) — the scanners stay
+    // fallback. This test pins that they remain correct (and loudly fail
+    // rather than silently degrade) under CODEGEN_ONLY, and guards any
+    // future doGenCode reintroduction against Janino breaks.
+    val keys = Seq("spark.sql.codegen.factoryMode", "spark.sql.codegen.fallback")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "CODEGEN_ONLY")
+    spark.conf.set(keys(1), "false")
+    try compareAll(adversarial)
+    finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
