@@ -28,7 +28,7 @@ if [ -d "${DUMP%/}.local" ]; then
 fi
 touch "$RESULTS"
 cd "$(dirname "$0")/.."
-for q in $(ls "$DUMP" "${DUMP%/}.local" 2>/dev/null | sort -u); do
+for q in $( { ls "$DUMP" 2>/dev/null; ls "${DUMP%/}.local" 2>/dev/null; } | sort -u ); do
   base="$DUMP"; [ -d "$DUMP/$q" ] || base="${DUMP%/}.local"
   [ -d "$base/$q" ] || continue
   [ -e "$base/$q/_SUCCESS" ] || continue
