@@ -3743,6 +3743,16 @@ object SparkEntry {
     // rank by RAW sim desc then nn_id (the row_number tie-break), self
     // matches dropped. A corpus row's bucket equals exactly one probe
     // value, so the probe join cannot duplicate candidates.
+    //
+    // Exact DISTINCT-VECTOR collapse (the llm_embed_neardup idiom, here
+    // needed so the replay scales — the naive probe join is ~4e9 dots at
+    // the 100x replica): sims depend only on vector VALUES, so candidates
+    // are ranked at the distinct level first. dense_rank <= 6 keeps every
+    // group that can contribute to a top-5: groups beyond the 6th are
+    // reachable only if the first six hold < 5 eligible ids, impossible —
+    // each group holds >= 1 id and only the self group can contribute 0
+    // (when it is the query's own singleton), leaving >= 5; sim ties at
+    // the boundary are all retained by dense_rank.
     "llm_ann_lsh" ->
       s"""WITH u AS (
            SELECT vec_id,
@@ -3754,28 +3764,41 @@ object SparkEntry {
                     list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0)))
                   ELSE v0 END AS v
            FROM u),
+         g AS (SELECT v, min(vec_id) AS rep,
+                      list(vec_id ORDER BY vec_id) AS ids,
+                      list(vec_id ORDER BY vec_id)
+                        FILTER (WHERE vec_id % 100 = 0) AS qids
+               FROM n GROUP BY v),
          pl(bit, p) AS (VALUES
            ${lshPlanesValues(nPlanes = 6, dim = 64, bands = 1, withBand = false)}),
-         cb AS (SELECT n.vec_id, n.v,
-                       sum(CASE WHEN list_inner_product(n.v, pl.p) > 0
+         cb AS (SELECT g.rep, g.v, g.ids,
+                       sum(CASE WHEN list_inner_product(g.v, pl.p) > 0
                                 THEN (CAST(1 AS BIGINT) << pl.bit)
                                 ELSE 0 END) AS bucket
-                FROM n, pl GROUP BY n.vec_id, n.v),
-         qb AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0
-                FROM cb WHERE vec_id % 100 = 0),
+                FROM g, pl GROUP BY g.rep, g.v, g.ids),
+         qb AS (SELECT cb.rep AS qrep, cb.v AS qv, g.qids, cb.bucket AS b0
+                FROM cb JOIN g ON g.rep = cb.rep
+                WHERE len(g.qids) > 0),
          probes AS (
-           SELECT query_id, qv, b0 AS bucket FROM qb
+           SELECT qrep, qv, qids, b0 AS bucket FROM qb
            UNION ALL
-           SELECT query_id, qv, xor(b0, CAST(1 AS BIGINT) << pl.bit)
+           SELECT qrep, qv, qids, xor(b0, CAST(1 AS BIGINT) << pl.bit)
            FROM qb, pl),
-         j AS (SELECT p.query_id, c.vec_id AS nn_id,
-                      list_inner_product(p.qv, c.v) AS sim
-               FROM probes p JOIN cb c ON p.bucket = c.bucket
-               WHERE c.vec_id <> p.query_id),
+         cand AS (SELECT p.qrep, p.qids, c.rep AS crep, c.ids,
+                         list_inner_product(p.qv, c.v) AS sim
+                  FROM probes p JOIN cb c ON p.bucket = c.bucket),
+         top AS (SELECT * FROM (
+                   SELECT qrep, qids, crep, ids, sim,
+                          dense_rank() OVER (PARTITION BY qrep
+                            ORDER BY sim DESC) AS grk
+                   FROM cand) t WHERE grk <= 6),
+         x AS (SELECT uq.q AS query_id, uc.c AS nn_id, sim
+               FROM top, unnest(qids) AS uq(q), unnest(ids) AS uc(c)
+               WHERE uc.c <> uq.q),
          r AS (SELECT query_id, nn_id, sim,
                       row_number() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, nn_id) AS rnk
-               FROM j)
+               FROM x)
          SELECT query_id, nn_id, round(sim, 6) AS sim, CAST(rnk AS INT) AS rank
          FROM r WHERE rnk <= 5""",
     "llm_knn_graph" -> knnGraphSql(
