@@ -361,21 +361,53 @@ object MultimodalOps {
     * like every LSH. Never all-pairs: the join is a hash equi-join on
     * (band, bucket). */
   def imageNearDupPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    // Identical-hash PRE-COLLAPSE (r14; the embedNearDupLsh idiom): band
+    // only one representative per DISTINCT aHash. Without it a
+    // duplicate-heavy corpus floods every band bucket with |copies| rows
+    // and the equi-join materializes |copies|² candidates per bucket —
+    // the 100x replica (500k images, ~8k per visual group) spilled
+    // ~1.6e10 join rows and filled the disk. Candidacy and hamming depend
+    // only on the HASH, so banding reps and expanding the id groups
+    // afterward is output-identical; compute drops to Θ(distinct hashes)
+    // + Θ(output), and the output itself is the op's contract (all
+    // qualifying pairs — inherently quadratic in copies; use
+    // imageDupClusters as the scale path, which feeds this op reps only).
+    val grp = hashed.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("rep"),
+        collect_list(col("media_id")).as("__ids"))
+    val reps = grp.select(col("rep"), col("ahash"))
     val bands = (0 until 4).map(b => ((b * 16), b)).map { case (shift, b) =>
-      hashed.select(col("media_id"), col("ahash"),
+      reps.select(col("rep"), col("ahash"),
         lit(b).as("band"),
         shiftrightunsigned(col("ahash"), shift).bitwiseAND(lit(0xffffL)).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = bands.select(col("media_id").as("id_a"), col("ahash").as("h_a"),
+    val a = bands.select(col("rep").as("rep_a"), col("ahash").as("h_a"),
       col("band"), col("bucket"))
-    val b = bands.select(col("media_id").as("id_b"), col("ahash").as("h_b"),
+    val b = bands.select(col("rep").as("rep_b"), col("ahash").as("h_b"),
       col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val repPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // cross-group expansion: a pair of distinct hashes is produced by
+    // exactly one rep pair, so no dedup is needed
+    val cross = repPairs
+      .join(grp.select(col("rep").as("rep_a"), col("__ids").as("__la")), "rep_a")
+      .join(grp.select(col("rep").as("rep_b"), col("__ids").as("__lb")), "rep_b")
+      .select(explode(col("__la")).as("__ia"), col("__lb"), col("hamming"))
+      .select(col("__ia"), explode(col("__lb")).as("__ib"), col("hamming"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    // same-hash pairs: hamming 0, always qualifying
+    val self = grp.filter(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("__ia"), col("__ids"))
+      .select(col("__ia"), explode(col("__ids")).as("__ib"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        lit(0).cast(IntegerType).as("hamming"))
+    cross.unionByName(self)
   }
 
   /** SCALE path for image dedup — the composed pipeline a training corpus
