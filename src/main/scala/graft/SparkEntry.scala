@@ -3398,13 +3398,24 @@ object SparkEntry {
                                   i -> array_to_string(toks[i:i+2], ' ')))
                   WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
                   ELSE [] END AS sh
-           FROM d)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                CASE WHEN len(list_distinct(a.sh || b.sh)) > 0 THEN
-                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                        len(list_distinct(a.sh || b.sh)), 6)
-                END AS jaccard
-         FROM s a JOIN s b ON a.doc_id < b.doc_id""",
+           FROM d),
+         g AS (SELECT sh, min(doc_id) AS rep,
+                      list(doc_id ORDER BY doc_id) AS ids
+               FROM s GROUP BY sh),
+         rp AS (SELECT a.rep AS ra, b.rep AS rb, a.ids AS la, b.ids AS lb,
+                       CASE WHEN len(list_distinct(a.sh || b.sh)) > 0 THEN
+                         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                               len(list_distinct(a.sh || b.sh)), 6)
+                       END AS jaccard
+                FROM g a JOIN g b ON a.rep < b.rep),
+         cp AS (SELECT least(ua.ia, ub.ib) AS id_a,
+                       greatest(ua.ia, ub.ib) AS id_b, jaccard
+                FROM rp, unnest(la) AS ua(ia), unnest(lb) AS ub(ib)),
+         sp AS (SELECT ua.ia AS id_a, ub.ib AS id_b,
+                       CASE WHEN len(sh) > 0 THEN 1.0 END AS jaccard
+                FROM g, unnest(ids) AS ua(ia), unnest(ids) AS ub(ib)
+                WHERE ua.ia < ub.ib)
+         SELECT * FROM cp UNION ALL SELECT * FROM sp""",
     "llm_dedup_near" ->
       ("""WITH RECURSIVE
          dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
