@@ -13,9 +13,38 @@ import scala.concurrent.duration.Duration
   * wall times inside the concurrent run.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1 when unreadable). */
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1d }
+
+  /** Live JVMs on the box OTHER than this one — concurrent sbt/Spark JVMs
+    * are the proven 35-40% cross-round drift source (r14 A/B). */
+  private def otherJvms(): Long =
+    try {
+      val self = ProcessHandle.current().pid()
+      ProcessHandle.allProcesses().filter { p =>
+        p.pid() != self &&
+          p.info().command().map[Boolean](_.endsWith("java")).orElse(false)
+      }.count()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Self-evidencing artifact (r14 verdict #1): every cross-round bench
+    // comparison so far began with an archaeology session because host load
+    // dominates the numbers (94.3 s loaded vs 53.9 s idle, same code, same
+    // hour). Embed the evidence in the JSON line itself and annotate loudly
+    // when the box is not quiet — the artifact then carries its own
+    // comparability verdict.
+    val startLoad1 = load1()
+    val startJvms = otherJvms()
+    val quiet = startLoad1 >= 0 && startLoad1 <= 1.5
+    if (!quiet) System.err.println(
+      s"[bench] WARNING: box not quiet (load1=$startLoad1, other_jvms=$startJvms)" +
+        " — numbers below are NOT comparable across rounds")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,7 +75,9 @@ object Bench {
     val total = (System.nanoTime() - t0) / 1e9
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadEvidence =
+      s""""load1":$startLoad1,"other_jvms":$startJvms,"load1_end":${load1()},"quiet":$quiet"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$loadEvidence,"queries":$qs,"sf":"$sfDir"}""")
     // Per-query walls above are CONTENTION artifacts (the whole set shares
     // the executor): re-time the slowest 8 SEQUENTIALLY (warm plans) so the
     // artifact carries clean per-query numbers for exactly the queries
@@ -70,7 +101,7 @@ object Bench {
     // query-count growth (27.6 s/142 → 43.8 s/213) while per-query wall is
     // flat — compare THIS number round-over-round, not the raw total.
     val secPerQuery = if (results.nonEmpty) total / results.size else 0d
-    println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sec_per_query":$secPerQuery,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sec_per_query":$secPerQuery,$loadEvidence,"sf":"$sfDir"}""")
     pool.shutdown()
     spark.stop()
   }

@@ -4239,7 +4239,7 @@ object SparkEntry {
                      ELSE o_totalprice END AS o_totalprice,
                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
                      ELSE o_orderpriority END AS o_orderpriority,
-                CASE WHEN o_orderkey % 3 = 0 THEN CAST(1 AS BIGINT)
+                CASE WHEN o_orderkey % 3 = 0 THEN CAST(1 AS INTEGER)
                      ELSE NULL END AS n_updates
          FROM orders""",
     "q_dynamic_merge_pipe" ->

@@ -372,10 +372,17 @@ object MultimodalOps {
     // + Θ(output), and the output itself is the op's contract (all
     // qualifying pairs — inherently quadratic in copies; use
     // imageDupClusters as the scale path, which feeds this op reps only).
-    val grp = hashed.groupBy(col("ahash"))
-      .agg(min(col("media_id")).as("rep"),
-        collect_list(col("media_id")).as("__ids"))
-    val reps = grp.select(col("rep"), col("ahash"))
+    // Membership stays as ROWS, never a collect_list per hash (r15: a viral
+    // image with 10^7 copies would otherwise materialize a ~100 MB array in
+    // ONE aggregation row before the explode — an executor-OOM skew risk the
+    // row-level join form doesn't have). Null hashes are dropped up front
+    // (the pre-r14 equi-join on a null bucket matched nothing, so pairs
+    // among undecodable images were never emitted) and duplicated
+    // (media_id, ahash) input rows are collapsed so the expansion joins stay
+    // duplicate-free (the pre-r14 form deduped the final pairs).
+    val mem = hashed.filter(col("ahash").isNotNull)
+      .select(col("ahash"), col("media_id")).distinct()
+    val reps = mem.groupBy(col("ahash")).agg(min(col("media_id")).as("rep"))
     val bands = (0 until 4).map(b => ((b * 16), b)).map { case (shift, b) =>
       reps.select(col("rep"), col("ahash"),
         lit(b).as("band"),
@@ -391,21 +398,22 @@ object MultimodalOps {
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    // cross-group expansion: a pair of distinct hashes is produced by
-    // exactly one rep pair, so no dedup is needed
+    // cross-group expansion via two hash joins on rep: a pair of distinct
+    // hashes is produced by exactly one rep pair, so no dedup is needed;
+    // each join row carries ONE member id, so no row grows with group size
+    val byRep = mem.join(reps, "ahash").select(col("rep"), col("media_id"))
     val cross = repPairs
-      .join(grp.select(col("rep").as("rep_a"), col("__ids").as("__la")), "rep_a")
-      .join(grp.select(col("rep").as("rep_b"), col("__ids").as("__lb")), "rep_b")
-      .select(explode(col("__la")).as("__ia"), col("__lb"), col("hamming"))
-      .select(col("__ia"), explode(col("__lb")).as("__ib"), col("hamming"))
+      .join(byRep.select(col("rep").as("rep_a"), col("media_id").as("__ia")), "rep_a")
+      .join(byRep.select(col("rep").as("rep_b"), col("media_id").as("__ib")), "rep_b")
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
-    // same-hash pairs: hamming 0, always qualifying
-    val self = grp.filter(size(col("__ids")) > 1)
-      .select(explode(col("__ids")).as("__ia"), col("__ids"))
-      .select(col("__ia"), explode(col("__ids")).as("__ib"))
-      .filter(col("__ia") < col("__ib"))
-      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+    // same-hash pairs: hamming 0, always qualifying — a rep-keyed self-join
+    // with id_a < id_b enumerates each unordered pair exactly once
+    val selfA = byRep.select(col("rep"), col("media_id").as("id_a"))
+    val selfB = byRep.select(col("rep"), col("media_id").as("id_b"))
+    val self = selfA.join(selfB, "rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
         lit(0).cast(IntegerType).as("hamming"))
     cross.unionByName(self)
   }

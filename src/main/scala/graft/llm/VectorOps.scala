@@ -41,14 +41,23 @@ object VectorOps {
     * dim is read from the first row (plan-time metadata-scale action);
     * estimate = rows × (dim × 8 B + ~32 B row overhead). Default budget
     * 256 MB, overridable via graft.ann.broadcastVectors.maxBytes. */
-  private[graft] def maybeBroadcastVecs(vecs: DataFrame): DataFrame = {
-    val maxBytes = vecs.sparkSession.conf
+  private[graft] def maybeBroadcastVecs(vecs: DataFrame,
+      vecCol: String = "__v"): DataFrame = {
+    val conf = vecs.sparkSession.conf
+    val maxBytes = conf
       .get("graft.ann.broadcastVectors.maxBytes", (256L << 20).toString).toLong
+    // the pre-r14 row-cap knob is still honored when set (a deployment that
+    // tuned it must not silently fall back to the byte budget alone)
+    val maxRows = conf
+      .get("graft.ann.broadcastVectors.maxRows", Long.MaxValue.toString).toLong
     val n = vecs.count()
-    val dim =
-      if (n == 0) 0L
-      else vecs.select(size(col("__v"))).head.getInt(0).toLong
-    if (n * (dim * 8 + 32) <= maxBytes) broadcast(vecs) else vecs
+    // dim probe must skip null vectors: size(null) is null and head.getInt
+    // would throw on a null-first table (ADVICE r14)
+    val dim = vecs.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+      .headOption.map(_.getInt(0).toLong).getOrElse(0L)
+    if (n <= maxRows && n * (dim * 8 + 32) <= maxBytes) broadcast(vecs)
+    else vecs
   }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -1133,19 +1142,31 @@ object VectorOps {
   def graphSearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       graph: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8): DataFrame = {
-    require(k <= beam, "k must not exceed the beam width")
     val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .localCheckpoint()
+    val entry = vecs.select(col("id"), DedupOps.md5Lower63(
+        concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
+      .orderBy(col("__e"), col("id")).limit(entries).select("id")
+    val edges = graph.select(col("src"), col("nbr"))
+    beamRounds(vecs, queries, qIdCol, qVecCol, entry, _ => edges,
+      k, beam, rounds)
+  }
+
+  /** The synchronous beam shared by the inline [[graphSearchTopK]] and the
+    * persisted [[graphServe]] — `edgesFor` maps each round's frontier
+    * (query_id, id) to the adjacency rows to expand with, which lets the
+    * served path read ONLY the graph partitions the frontier touches. */
+  private def beamRounds(vecs: DataFrame, queries: DataFrame,
+      qIdCol: String, qVecCol: String, entry: DataFrame,
+      edgesFor: DataFrame => DataFrame,
+      k: Int, beam: Int, rounds: Int): DataFrame = {
+    require(k <= beam, "k must not exceed the beam width")
     // same byte-budget broadcast guard as knnGraph: candidate rows stay
     // map-side instead of shuffling per-round against the vector table
     val vSide = maybeBroadcastVecs(vecs)
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
-    val entry = vecs.select(col("id"), DedupOps.md5Lower63(
-        concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
-      .orderBy(col("__e"), col("id")).limit(entries).select("id")
-    val edges = graph.select(col("src"), col("nbr"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     def keepBeam(df: DataFrame): DataFrame =
@@ -1154,8 +1175,9 @@ object VectorOps {
     var cur = keepBeam(q.crossJoin(broadcast(entry)).join(vSide, "id")
       .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v"))
     for (_ <- 1 to rounds) {
-      val cand = cur.select(col("query_id"), col("id"))
-        .join(edges, col("id") === col("src"))
+      val frontier = cur.select(col("query_id"), col("id"))
+      val cand = frontier
+        .join(edgesFor(frontier), col("id") === col("src"))
         .select(col("query_id"), col("nbr").as("id")).distinct()
         .join(q, "query_id").join(vSide, "id")
         .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v")
@@ -1172,5 +1194,67 @@ object VectorOps {
       .select(col("query_id"), col("id").as("nn_id"),
         round(col("sim"), 6).as("sim"), col("rank").cast(IntegerType)
           .as("rank"))
+  }
+
+  /** Persist an NN-Descent graph index — the [[ivfSave]] pattern for the
+    * graph-ANN family (r14 verdict #5: the two biggest bench poles rebuilt
+    * the same graph every query, and a production deployment couldn't
+    * amortize the build at all). Writes three tables under `path`:
+    *   - `graph`: (src, nbr, sim, rank), parquet PARTITIONED BY
+    *     `part = pmod(src, nParts)` so serving reads only the partitions a
+    *     beam frontier touches (a PartitionFilter, not a full scan);
+    *   - `vectors`: the L2-normalized corpus, same `pmod(id, nParts)`
+    *     layout (scoring side);
+    *   - `entry`: the 64 md5-lowest entry candidates (metadata-scale) —
+    *     [[graphServe]] takes its `entries` prefix, so the search-time
+    *     parameter survives persistence.
+    * Build-once/serve-many: at 100 TB the O(n·k·iters) descent runs in one
+    * job and every query pays only beam·k·rounds pruned reads. */
+  def graphSave(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int, iters: Int = 2, maxRev: Int = 0,
+      sample: Int = 0, nParts: Int = 32): Unit = {
+    val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+    knnGraph(corpus, idCol, vecCol, k, iters, maxRev, sample)
+      .select(col("src"), col("nn_id").as("nbr"), col("sim"), col("rank"))
+      .withColumn("part", pmod(col("src"), lit(nParts.toLong)))
+      .write.mode("overwrite").partitionBy("part").parquet(s"$path/graph")
+    vecs.select(col("id"), col("__v").as("vec"))
+      .withColumn("part", pmod(col("id"), lit(nParts.toLong)))
+      .write.mode("overwrite").partitionBy("part").parquet(s"$path/vectors")
+    vecs.select(col("id"), DedupOps.md5Lower63(
+        concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
+      .orderBy(col("__e"), col("id")).limit(64)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+  }
+
+  /** Serve top-k graph-ANN queries from a saved [[graphSave]] index.
+    * Results are IDENTICAL to [[graphSearchTopK]] over the same build
+    * parameters (spec-pinned): the saved vectors are the same normalize
+    * expression over the same corpus, the saved entry prefix is the same
+    * md5 order, and the beam is literally the same [[beamRounds]] code.
+    * Each expansion round collects the ≤ `nParts` DISTINCT partition ids
+    * its frontier maps to (an aggregate of ints — metadata-scale) and
+    * reads only those partitions of the graph. */
+  def graphServe(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8,
+      nParts: Int = 32): DataFrame = {
+    // saved vectors are already normalized — re-normalizing would shave
+    // ulps (||v|| is 1±ε after the first pass) and break served==inline
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("vec").as("__v")).localCheckpoint()
+    val entry = spark.read.parquet(s"$path/entry")
+      .orderBy(col("__e"), col("id")).limit(entries).select("id")
+    val edgesFor = (frontier: DataFrame) => {
+      val parts = frontier
+        .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      spark.read.parquet(s"$path/graph")
+        .filter(col("part").isin(parts: _*))
+        .select(col("src"), col("nbr"))
+    }
+    beamRounds(vecs, queries, qIdCol, qVecCol, entry, edgesFor,
+      k, beam, rounds)
   }
 }

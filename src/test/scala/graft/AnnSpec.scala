@@ -332,4 +332,24 @@ class AnnSpec extends SparkSpec {
       assert(isBroadcast(VectorOps.maybeBroadcastVecs(vecsOf(2000, 8))))
     } finally spark.conf.unset(tight)
   }
+
+  test("broadcast guard: null-first vector table doesn't throw; legacy maxRows knob honored") {
+    import spark.implicits._
+    def isBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.toString.contains("broadcast")
+    // dim probe must skip null vectors (size(null) is null → getInt threw)
+    val withNull = Seq((0L, Option.empty[Array[Double]]),
+      (1L, Some(Array(1d, 0d)))).toDF("id", "__v")
+    assert(isBroadcast(VectorOps.maybeBroadcastVecs(withNull)))
+    val allNull = Seq((0L, Option.empty[Array[Double]])).toDF("id", "__v")
+    assert(isBroadcast(VectorOps.maybeBroadcastVecs(allNull)))
+    // a deployment that tuned the pre-r14 row cap must still be honored
+    val knob = "graft.ann.broadcastVectors.maxRows"
+    spark.conf.set(knob, "1")
+    try {
+      val two = Seq((0L, Array(1d, 0d)), (1L, Array(0d, 1d))).toDF("id", "__v")
+      assert(!isBroadcast(VectorOps.maybeBroadcastVecs(two)))
+      assert(isBroadcast(VectorOps.maybeBroadcastVecs(two.limit(1))))
+    } finally spark.conf.unset(knob)
+  }
 }

@@ -190,6 +190,21 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.exists(_._3 == 0), "same-base variants should collide exactly")
   }
 
+  test("imageNearDupPairs: null hashes pair with nothing; duplicated input rows don't duplicate pairs") {
+    import spark.implicits._
+    // two ids share hash 5L, one is 1 bit away, two ids have NULL hashes
+    // (undecodable images), and the (1L, 5L) row appears TWICE
+    val rows = Seq(
+      (1L, Some(5L)), (1L, Some(5L)), (2L, Some(5L)), (3L, Some(4L)),
+      (8L, None), (9L, None))
+    val hashed = rows.toDF("media_id", "ahash")
+    val got = MultimodalOps.imageNearDupPairs(hashed, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // null-hash ids (8, 9) appear in NO pair — not even with each other —
+    // and (1,2) appears exactly once despite the duplicated input row
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
   test("imageDupClusters: identical-hash pre-collapse yields the same components as raw pairs") {
     val ids = (0L until 40L).toDF("doc_id")
     val media = MultimodalOps.synthPng(ids, "doc_id", 24, 16, groups = 8)

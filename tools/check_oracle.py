@@ -84,13 +84,13 @@ def fail(name, msg):
 # representation is identical by construction. Set BIGCMP_ROWS=0 to disable.
 BIGCMP_ROWS = int(os.environ.get("BIGCMP_ROWS", "5000000"))
 
-# widths the pandas lane also treats as equivalent (Spark INT vs DuckDB
-# BIGINT aggregates of int columns render identically and compare equal in
-# pandas after astype); anything else must match exactly
-_TYPE_EQUIV = {"TINYINT": "BIGINT", "SMALLINT": "BIGINT", "INTEGER": "BIGINT",
-               "HUGEINT": "BIGINT", "FLOAT": "DOUBLE"}
+# NO width equivalences (ADVICE r14): the driver's pandas lane fails on
+# str(dtype) inequality (int32 vs int64, float32 vs float64), so the hash
+# lane must be exactly as strict — an INTEGER-vs-BIGINT mismatch that the
+# old _TYPE_EQUIV waved through at sf10 would still fail the driver at
+# sf0.01. The two lanes now agree on what a dtype failure is.
 def _norm_type(t):
-    return _TYPE_EQUIV.get(t, t)
+    return t
 
 def hash_compare(name, sql, files):
     flist = ",".join(f"'{f}'" for f in files)
