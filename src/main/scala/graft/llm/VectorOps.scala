@@ -1250,11 +1250,20 @@ object VectorOps {
       val parts = frontier
         .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      spark.read.parquet(s"$path/graph")
-        .filter(col("part").isin(parts: _*))
-        .select(col("src"), col("nbr"))
+      graphEdgesForParts(spark, path, parts)
     }
     beamRounds(vecs, queries, qIdCol, qVecCol, entry, edgesFor,
       k, beam, rounds)
   }
+
+  /** The pruned adjacency read [[graphServe]] issues each round — package-
+    * visible so the spec can assert the frontier filter lands as a
+    * PartitionFilter (the plan is invisible from outside: each beam round
+    * localCheckpoints, so the returned DataFrame's plan starts at an RDD). */
+  private[graft] def graphEdgesForParts(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      parts: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$path/graph")
+      .filter(col("part").isin(parts: _*))
+      .select(col("src"), col("nbr"))
 }

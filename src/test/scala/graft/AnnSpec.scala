@@ -333,6 +333,31 @@ class AnnSpec extends SparkSpec {
     } finally spark.conf.unset(tight)
   }
 
+  test("graphSave/graphServe: served results equal inline graphSearchTopK; graph read is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    VectorOps.graphSave(emb, "vec_id", "embedding", dir,
+      k = 5, iters = 2, maxRev = 10, sample = 8)
+    val served = VectorOps.graphServe(spark, dir, qs, "vec_id", "embedding",
+      k = 5, beam = 10, rounds = 2, entries = 8)
+    val g = VectorOps.knnGraph(emb, "vec_id", "embedding",
+        k = 5, iters = 2, maxRev = 10, sample = 8)
+      .select(col("src"), col("nn_id").as("nbr"))
+    val inline = VectorOps.graphSearchTopK(emb, "vec_id", "embedding", g,
+      qs, "vec_id", "embedding", k = 5, beam = 10, rounds = 2, entries = 8)
+    val a = served.collect().map(_.toSeq).sortBy(_.toString)
+    val b = inline.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // each round's adjacency read prunes to the frontier's partitions at
+    // PLANNING time (the saved graph is partitioned by pmod(src, nParts));
+    // asserted on the exact read graphServe issues — the served result's
+    // own plan starts at a localCheckpoint RDD, hiding the scans
+    val pruned = VectorOps.graphEdgesForParts(spark, dir, Seq(0L, 1L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [part"),
+      s"frontier filter must be a partition filter:\n$plan")
+  }
+
   test("broadcast guard: null-first vector table doesn't throw; legacy maxRows knob honored") {
     import spark.implicits._
     def isBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
