@@ -1481,6 +1481,16 @@ object SparkEntry {
         shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.4,
         md5Mode = true).select("doc_id")
     }),
+    // the skew-proof scale path: pure-LSH bucket co-membership via star
+    // edges (no per-pair Jaccard), Θ(Σm) where dedupNear is Σ m² — flat
+    // under the r15 zipf probe's viral cluster; oracle replays the star
+    // construction and the keep/drop decisions end to end
+    "llm_dedup_near_lsh" -> ((s, dir) => {
+      tune(s)
+      DedupOps.dedupNearLsh(t(s, dir, "documents"), "text", "doc_id",
+        shingleK = 3, bands = 8, rowsPerBand = 4, md5Mode = true)
+        .select("doc_id")
+    }),
     // leakage-safe split audit: hash the dup-CLUSTER label (not the doc
     // id) into train/val/test and COUNT the near-dup pairs the naive
     // per-doc split would leak across splits (leaked_safe ≡ 0 is the
@@ -3516,6 +3526,50 @@ object SparkEntry {
                    FROM p JOIN sn x ON x.doc = p.id_a JOIN sn y ON y.doc = p.id_b
                    WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                                len(list_distinct(x.sh || y.sh)), 6) >= 0.4),
+         exactp AS (SELECT r.id_a, g.doc_id AS id_b
+                    FROM (SELECT md5(text) AS hh, min(doc_id) AS id_a
+                          FROM documents GROUP BY 1) r
+                    JOIN (SELECT doc_id, md5(text) AS hh FROM documents) g
+                      USING (hh)
+                    WHERE g.doc_id <> r.id_a),
+         """ + repCcSql + """,
+         drops AS (SELECT id FROM labels WHERE cluster <> id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM drops)"""),
+    // star edges instead of verified pairs: per (band, bucket) the min doc
+    // centers a star over the other members — CC over stars == CC over the
+    // full bucket-clique graph (co-membership is transitive through the
+    // center), so this replays dedupNearLsh exactly
+    "llm_dedup_near_lsh" ->
+      ("""WITH RECURSIVE
+         dt AS (SELECT min(doc_id) AS doc, text FROM documents GROUP BY text),
+         d AS (SELECT doc,
+                      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> length(x) > 0) AS toks
+               FROM dt),
+         s AS (SELECT doc,
+                      CASE WHEN len(toks) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                      WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                      ELSE [] END AS sh
+               FROM d),
+         sn AS (SELECT doc, sh FROM s WHERE len(sh) > 0),
+         e AS (SELECT doc, unnest(sh) AS shingle FROM sn),
+         h AS (SELECT e.doc, sd.seed,
+                      CAST(md5_number_lower(sd.seed || ':' || e.shingle)
+                           & 9223372036854775807 AS BIGINT) AS hv
+               FROM e CROSS JOIN (SELECT unnest(range(32)) AS seed) sd),
+         m AS (SELECT doc, seed, min(hv) AS minh FROM h GROUP BY doc, seed),
+         bk AS (SELECT doc, seed // 4 AS band,
+                       string_agg(minh, ',' ORDER BY seed) AS bucket
+                FROM m GROUP BY doc, seed // 4),
+         ctr AS (SELECT band, bucket, min(doc) AS ctrd
+                 FROM bk GROUP BY band, bucket),
+         nearp AS (SELECT DISTINCT c.ctrd AS id_a, b.doc AS id_b
+                   FROM bk b JOIN ctr c
+                     ON c.band = b.band AND c.bucket = b.bucket
+                   WHERE b.doc <> c.ctrd),
          exactp AS (SELECT r.id_a, g.doc_id AS id_b
                     FROM (SELECT md5(text) AS hh, min(doc_id) AS id_a
                           FROM documents GROUP BY 1) r

@@ -416,7 +416,13 @@ object DedupOps {
     * ([[clustersLogD]], chain-proof), and every non-minimum member of a
     * component drops. `md5Mode = true` swaps in the cross-engine md5 hash
     * family so an external engine can replay the WHOLE keep/drop decision
-    * (the DuckDB oracle does); default xxhash64 for production speed. */
+    * (the DuckDB oracle does); default xxhash64 for production speed.
+    *
+    * SKEW: the per-pair Jaccard verification makes this Σ_buckets m² — a
+    * VIRAL cluster (one doc mutated m times) is quadratic in m (19 s → 196 s
+    * at equal volume in the r15 zipf probe). When collisions alone are an
+    * acceptable near-dup decision, use [[dedupNearLsh]] — Θ(Σ m) star
+    * edges, flat under any skew. */
   def dedupNear(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, md5Mode: Boolean = false): DataFrame = {
@@ -433,6 +439,71 @@ object DedupOps {
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"))
     val labels = clustersLogD(exactPairs.union(nearPairs), "id_a", "id_b")
+    val drop = labels.filter(col("id") =!= col("cluster")).select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
+  /** Pure-LSH near-duplicate REMOVAL — the SKEW-PROOF scale path beside
+    * [[dedupNear]] (the [[graft.llm.MultimodalOps.imageDupClusters]]
+    * precedent: pairs are the demo, clusters are what a corpus runs).
+    *
+    * [[dedupNear]] verifies every bucket-colliding pair at exact shingle
+    * Jaccard, which is Σ_buckets m² work — correct, but a VIRAL near-dup
+    * cluster (one doc mutated m times, all m landing in the same bucket of
+    * every band) makes that quadratic in m: the round-15 zipf probe
+    * measured 19.4 s uniform vs 196 s skewed at the SAME 50k-doc volume
+    * (top cluster m=7,888). This variant skips per-pair verification and
+    * clusters on bucket CO-MEMBERSHIP alone, the standard large-corpus
+    * recipe (RedPajama/SlimPajama-style MinHashLSH dedup): per
+    * (band, bucket), emit STAR edges (bucket-min doc ← every other
+    * member) — Θ(m) edges whose connected components are EXACTLY the
+    * components of the full m²/2 bucket-clique graph, because bucket
+    * co-membership is transitive through the center. Work is Θ(Σ m),
+    * linear at any skew.
+    *
+    * Semantics trade: a band collision IS the near-dup decision (false-
+    * positive collisions merge clusters that exact Jaccard would have
+    * rejected — tune bands/rowsPerBand for the precision/recall point).
+    * Exact duplicates fold through the md5 digest first, as in
+    * [[dedupNear]]. `md5Mode = true` = cross-engine-replayable hash family
+    * (the DuckDB oracle replays every keep/drop). Returns the kept rows. */
+  def dedupNearLsh(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      md5Mode: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSh = distinctTexts(df, textCol, idCol)
+      .select(col("doc"), shingles(col("__text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
+    val sigs = exploded.groupBy("doc")
+      .agg((if (md5Mode)
+        graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes)
+      else graft.functions.HashAggs.minhash(col("shingle"), numHashes))
+        .as("sig"))
+    val bandCols =
+      if (md5Mode) (0 until bands).map(b =>
+        concat_ws(",", transform(
+          slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
+          x => x.cast(StringType))).as(s"b$b"))
+      else (0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), lit(b * rowsPerBand + 1),
+          lit(rowsPerBand)).cast(StringType)).cast(StringType).as(s"b$b"))
+    val banded = sigs.select(col("doc"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    // star edges: groupBy is a partial-agg (skew-safe), the back-join puts
+    // ONE center row against each hot bucket's members — never m²
+    val ctr = banded.groupBy("band", "bucket").agg(min("doc").as("__ctr"))
+    val nearEdges = banded.join(ctr, Seq("band", "bucket"))
+      .filter(col("doc") =!= col("__ctr"))
+      .select(col("__ctr").as("id_a"), col("doc").as("id_b"))
+      .distinct()
+    val g = df.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h"))
+    val reps = g.groupBy("h").agg(min("id").as("id_a"))
+    val exactPairs = g.join(reps, "h")
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+    val labels = clustersLogD(exactPairs.union(nearEdges), "id_a", "id_b")
     val drop = labels.filter(col("id") =!= col("cluster")).select(col("id"))
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }

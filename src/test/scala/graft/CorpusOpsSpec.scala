@@ -966,6 +966,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.length == 5)
   }
 
+  test("dedupNearLsh: star-edge components equal full bucket-clique components (both hash families)") {
+    import graft.llm.DedupOps
+    // mutated near-dup families + exact dups + singletons: family f docs
+    // share most shingles, so most land in shared LSH buckets
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the rain in spain stays mainly on the plain for every season"
+    val docs = ((0 until 6).flatMap(f => (0 until 5).map(c =>
+      (f * 100L + c, s"$base family $f copy $c"))) ++
+      Seq((900L, "completely unrelated tiny text"),
+        (901L, "completely unrelated tiny text"), // exact dup of 900
+        (950L, "another lonely document without any twin at all")))
+      .toDF("doc_id", "text")
+    for (md5Mode <- Seq(true, false)) {
+      val kept = DedupOps.dedupNearLsh(docs, "text", "doc_id",
+          shingleK = 3, bands = 8, rowsPerBand = 4, md5Mode = md5Mode)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // ground truth: union-find over the FULL bucket-clique pair set
+      // (id < id within every band bucket) + exact-dup pairs — the m²
+      // graph the star construction must reproduce component-for-component
+      val numHashes = 32
+      val withSh = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc"))
+        .select(col("doc"), DedupOps.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sigs = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
+        .groupBy("doc")
+        .agg((if (md5Mode) graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes)
+        else graft.functions.HashAggs.minhash(col("shingle"), numHashes)).as("sig"))
+      val banded = sigs.select(col("doc"), posexplode(array((0 until 8).map(b =>
+        concat_ws(",", transform(slice(col("sig"), lit(b * 4 + 1), lit(4)),
+          x => x.cast("string")))): _*)).as(Seq("band", "bucket")))
+      val aa = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+      val bb = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+      val cliquePairs = aa.join(bb, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val exact = Seq((900L, 901L))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      (cliquePairs ++ exact).foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val all = docs.select("doc_id").collect().map(_.getLong(0))
+      val expectKept = all.filter(id => find(id) == id).toSet
+      assert(kept == expectKept, s"md5Mode=$md5Mode")
+      // the families must actually have collided (the test would be vacuous
+      // if every doc were kept)
+      assert(kept.size < all.length)
+    }
+  }
+
   test("logRegFit: weights are quantized at 9, output at 6") {
     val df = Seq((1.0, 0.3, true), (1.0, 0.7, false)).toDF("b", "x", "y")
     val (roundsDf, w) = CorpusOps.logRegFit(df, Seq("b", "x"), "y", rounds = 2)

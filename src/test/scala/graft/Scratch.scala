@@ -28,6 +28,70 @@ object Scratch {
         println(f"TIME ${args(1)} run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    else if (args(0) == "skewprobe") {
+      // skewprobe <name,csv> <dirA> <dirB> [reps]: same queries on a
+      // uniform vs a zipf-skewed replica of equal volume (r15 verdict #1)
+      val names = args(1).split(",").toSeq
+      val dirs = Seq(args(2), args(3))
+      val reps = if (args.length > 4) args(4).toInt else 2
+      for (name <- names; dir <- dirs; i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(f"SKEWPROBE $name $dir run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    else if (args(0) == "skewjoin") {
+      // skewjoin <dir> [reps]: force the orders⋈customer join onto the
+      // shuffle path (broadcast off) so AQE's skew-split has something to
+      // do, then print whether it fired (`skew=true` on the SMJ node)
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dir = args(1)
+      val reps = if (args.length > 2) args(2).toInt else 2
+      // optional 4th arg: AQE skew threshold (default 256MB targets
+      // production partitions; the probe's hot partition is ~60MB, so
+      // pass e.g. 8m to see the split fire at replica scale)
+      if (args.length > 3) {
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", args(3))
+        spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", args(3))
+        // the SMJ here is mid-plan (an agg follows), so vanilla AQE skips
+        // the split to avoid the extra shuffle — force it so the probe
+        // demonstrates the mechanism the way a root-stage join gets it
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        // the replica is ONE parquet file = one mapper, and AQE splits a
+        // skewed reducer partition by MAPPER ranges — give the scan
+        // several mappers or there is nothing to split (probe find, r15)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      }
+      println("adaptive.enabled=" +
+        spark.conf.get("spark.sql.adaptive.enabled") +
+        " skewJoin.enabled=" +
+        spark.conf.get("spark.sql.adaptive.skewJoin.enabled"))
+      for (i <- 1 to reps) {
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+        val c = spark.read.parquet(s"$dir/customer.parquet")
+        // ROOT-level join (no agg above): the canonical skew-split shape
+        val j = o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(o("o_orderkey"), o("o_totalprice"), c("c_mktsegment"))
+        val t0 = System.nanoTime()
+        // collect() executes THIS queryExecution's AdaptiveSparkPlanExec
+        // instance (count()/rdd/write each wrap a NEW execution, leaving
+        // j's own AQE state unfinalized — probe find, r15)
+        val n = j.collect().length
+        val plan = j.queryExecution.executedPlan.toString
+        val skewFired = plan.contains("skew=true")
+        println(f"SKEWJOIN $dir run$i rows=$n skewSplit=$skewFired ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (sys.env.contains("SKEWJOIN_PLAN"))
+          println(plan.split("\n").filter(l => l.contains("SortMergeJoin")
+            || l.contains("AQEShuffleRead") || l.contains("skew")).mkString("\n"))
+        sys.env.get("SKEWJOIN_PLAN_FILE").foreach { f =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(f),
+            plan.getBytes("UTF-8"))
+        }
+      }
+    }
     else if (args(0) == "capbench") { // capbench <sfDir> <k> [reps]: BoundedTopK at corpus-scale k
       val dir = args(1); val k = args(2).toInt
       val reps = if (args.length > 3) args(3).toInt else 2
