@@ -135,6 +135,9 @@ object SparkEntry {
           {"o_totalprice": {"$gt": 50000, "$lte": 200000}},
           {"o_orderstatus": {"$ne": "P"}},
           {"o_custkey": {"$exists": true}}]}},
+        {"$match": {"$nor": [{"o_orderpriority": "3-MEDIUM"},
+                             {"o_totalprice": {"$gt": 150000}}],
+                    "$comment": "operator-manifest pin: $nor + $comment"}},
         {"$project": {"o_orderkey": 1, "o_custkey": 1}}
       ]""")),
     "q_match_regex" -> ((s, dir) => pipe(s, dir, "part",
@@ -604,6 +607,8 @@ object SparkEntry {
           "rc": {"$round": [{"$cos": "$l_quantity"}, 6]},
           "ra": {"$round": [{"$atan2": ["$l_quantity", 10]}, 6]},
           "rad": {"$round": [{"$degreesToRadians": "$l_quantity"}, 6]},
+          "rac": {"$round": [{"$acos": {"$divide": ["$l_linenumber", 10]}}, 6]},
+          "rl10": {"$round": [{"$log10": "$l_quantity"}, 6]},
           "range_sum": {"$sum": {"$range": [0, "$l_linenumber"]}},
           "range_avg": {"$avg": {"$range": [0, "$l_linenumber"]}},
           "range_max": {"$max": {"$range": [0, "$l_linenumber"]}}}}
@@ -2483,8 +2488,10 @@ object SparkEntry {
             "sortBy": {"event_id": 1},
             "output": {
               "filled": {"$linearFill": "$v"},
+              "last_seen": {"$locf": "$v"},
               "ema": {"$expMovingAvg": {"input": "$v", "N": 5}}}}},
-          {"$project": {"event_id": 1, "filled": 1, "ema": 1}}]""")),
+          {"$project": {"event_id": 1, "filled": 1, "last_seen": 1,
+                        "ema": 1}}]""")),
     // batch-only MQL stages (the reference's unbounded streams exclude them)
     "q_sort_limit" -> ((s, dir) => pipe(s, dir, "events",
       """[{"$sort": {"value": -1, "event_id": 1}}, {"$limit": 100},
@@ -3403,7 +3410,8 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
            AND o_totalprice > 50000 AND o_totalprice <= 200000
-           AND o_orderstatus <> 'P' AND o_custkey IS NOT NULL""",
+           AND o_orderstatus <> 'P' AND o_custkey IS NOT NULL
+           AND NOT (o_orderpriority = '3-MEDIUM' OR o_totalprice > 150000)""",
     "q_match_regex" ->
       """SELECT p_partkey, p_type FROM part
          WHERE regexp_matches(p_type, '^STANDARD.*BRASS$')""",
@@ -4518,6 +4526,8 @@ object SparkEntry {
                 round(cos(l_quantity), 6) AS rc,
                 round(atan2(l_quantity, 10), 6) AS ra,
                 round(radians(l_quantity), 6) AS rad,
+                round(acos(l_linenumber / 10.0), 6) AS rac,
+                round(log10(l_quantity), 6) AS rl10,
                 CAST(coalesce(list_sum(range(0, l_linenumber)), 0) AS BIGINT) AS range_sum,
                 CAST(list_avg(range(0, l_linenumber)) AS DOUBLE) AS range_avg,
                 CAST(list_max(range(0, l_linenumber)) AS BIGINT) AS range_max
@@ -6434,6 +6444,7 @@ object SparkEntry {
          SELECT s.event_id,
                 coalesce(s.v, s.pv + (s.nv - s.pv)
                       * (CAST(s.event_id AS DOUBLE) - s.px) / (s.nx - s.px)) AS filled,
+                s.pv AS last_seen,
                 em.ema AS ema
          FROM s LEFT JOIN em ON em.event_type = s.event_type AND em.i = s.ii""",
     "q_sort_limit" ->
