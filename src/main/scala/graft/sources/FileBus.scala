@@ -94,18 +94,61 @@ final class FileBus(root: String) {
     spark.read.schema(recordSchema).json(topicDir(topic))
   }
 
+  /** Commit `write` into the bus through a PRODUCER-UNIQUE staging dir,
+    * then rename the committed part files into place. A direct
+    * `.mode("append")` on a shared directory is only safe for ONE producer
+    * at a time: every Spark job stages under the same
+    * `<dir>/_temporary/0/`, so two concurrent producers (Kafka's normal
+    * model — e.g. an external feeder plus a pipeline's `$send`, possibly
+    * in different JVMs) delete each other's staging on job commit
+    * (round-15 soak find: `chmod: cannot access …/_temporary/…`). Staging
+    * under `<root>/.staging/<uuid>` isolates the jobs; the per-file rename
+    * is atomic on HDFS/local, so tailing consumers still never see a
+    * half-written record. Part file names already carry a job UUID, so
+    * renamed files never collide either. */
+  private def commitThrough(spark: SparkSession, staging: String)(
+      write: String => Unit)(destFor: String => String): Unit = {
+    write(staging)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = new Path(staging)
+    try {
+      if (fs.exists(st)) {
+        val entries = fs.listStatus(st).toSeq
+        val files = entries.filter(_.isFile) ++
+          entries.filter(_.isDirectory)
+            .flatMap(d => fs.listStatus(d.getPath).toSeq)
+        for (f <- files if f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith(".")) {
+          val dest = new Path(destFor(f.getPath.getParent.getName))
+          fs.mkdirs(dest)
+          fs.rename(f.getPath, new Path(dest, f.getPath.getName))
+        }
+      }
+    } finally { fs.delete(st, true); () }
+  }
+
+  private def stagingDir(): String =
+    s"$root/.staging/${java.util.UUID.randomUUID}"
+
   /** Producer callback for `Pipeline(producer = …)` — the `$send`/`$delay`/
-    * `$probe` transport. One distributed append per produce call; the
-    * `__topic` routing column fans records out across topic directories. */
+    * `$probe` transport. One distributed job per produce call; the
+    * `__topic` routing column fans records out across topic directories.
+    * Safe under CONCURRENT producers (see [[commitThrough]]). */
   def producer(defaultTopic: String): DataFrame => Unit = { batch =>
-    Messages.routed(batch, defaultTopic)
-      .write.partitionBy("topic").mode("append").json(root)
+    commitThrough(batch.sparkSession, stagingDir()) { st =>
+      Messages.routed(batch, defaultTopic)
+        .write.partitionBy("topic").mode("overwrite").json(st)
+    } { parent => s"$root/$parent" } // parent dir name is "topic=<name>"
   }
 
   /** Per-micro-batch collect sink for `StreamingPipeline.start(collect = …)`:
-    * the batch→topic leg of the topic-to-topic loop. */
+    * the batch→topic leg of the topic-to-topic loop. Concurrent-producer
+    * safe like [[producer]]. */
   def collect(topic: String): DataFrame => Unit = { batch =>
     ensure(batch.sparkSession, topic)
-    Messages.toJson(batch).write.mode("append").json(topicDir(topic))
+    commitThrough(batch.sparkSession, stagingDir()) { st =>
+      Messages.toJson(batch).write.mode("overwrite").json(st)
+    } { _ => topicDir(topic) }
   }
 }

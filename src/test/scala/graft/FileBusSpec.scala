@@ -96,4 +96,27 @@ class FileBusSpec extends SparkSpec {
       org.apache.spark.sql.functions.lit("2026-01-01T00:00:02Z").cast("timestamp"))
     assert(due.select("_id").as[String].collect().toSet == Set("j1", "j2"))
   }
+
+  test("concurrent producers to one bus root never lose records (staging isolation)") {
+    // Kafka's model allows many producers; the pre-r15 direct append shared
+    // <root>/_temporary/0 across jobs, so concurrent produces (the soak's
+    // external feeder + a pipeline's $send, even cross-JVM) deleted each
+    // other's staging on commit. 4 threads x 6 produces each, all records
+    // must land exactly once.
+    val bus = newBus()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        for (i <- 0 until 6) {
+          val rowsIn = (0 until 5).map(j => (s"d$t-$i-$j", "g", j.toLong))
+          bus.producer("in")(rowsIn.toDF("_id", "g", "v"))
+        }
+      }, s"producer-$t")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val got = bus.read(spark, Seq("in"), inSchema)
+      .select("_id").as[String].collect().toSeq
+    assert(got.size == 4 * 6 * 5, s"records lost or duplicated: ${got.size}")
+    assert(got.toSet.size == got.size)
+  }
 }
