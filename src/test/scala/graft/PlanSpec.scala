@@ -83,6 +83,18 @@ class PlanSpec extends SparkSpec {
       s"LSH pair formation must stay an equi-join:\n$p")
   }
 
+  test("dedupNearLsh star edges: equi-joins only, partial-agg bucket centers (skew-safe)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.llm.DedupOps.dedupNearLsh(docs, "text", "doc_id")
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"star-edge formation must stay an equi-join:\n$p")
+    // the bucket-center min(doc) must be a partial (map-side) aggregate —
+    // that's what makes a viral bucket skew-safe
+    assert(p.contains("partial_min"),
+      s"bucket centers must partial-aggregate map-side:\n$p")
+  }
+
   test("embed near-dup LSH pair formation is a bucketed equi-join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = graft.llm.VectorOps.embedNearDupLsh(emb, "vec_id", "embedding", 0.3)
