@@ -382,36 +382,42 @@ object MultimodalOps {
     // duplicate-free (the pre-r14 form deduped the final pairs).
     val mem = hashed.filter(col("ahash").isNotNull)
       .select(col("ahash"), col("media_id")).distinct()
-    val reps = mem.groupBy(col("ahash")).agg(min(col("media_id")).as("rep"))
+    // group identity is the HASH itself, end to end. (An earlier form keyed
+    // membership by the group's min-id representative, but a media_id that
+    // appears under TWO different hashes can be the min of both groups —
+    // rep-keyed joins then merged distinct-hash groups and rep_a < rep_b
+    // dedup dropped their legitimate cross pairs. Hash keys cannot
+    // collide with themselves.) If one media_id really does carry several
+    // hashes (re-ingest with a changed decode), it is simply a member of
+    // several groups, and a pair may be witnessed once per qualifying
+    // hash pair.
+    val hashes = mem.select(col("ahash")).distinct()
     val bands = (0 until 4).map(b => ((b * 16), b)).map { case (shift, b) =>
-      reps.select(col("rep"), col("ahash"),
+      hashes.select(col("ahash"),
         lit(b).as("band"),
         shiftrightunsigned(col("ahash"), shift).bitwiseAND(lit(0xffffL)).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = bands.select(col("rep").as("rep_a"), col("ahash").as("h_a"),
-      col("band"), col("bucket"))
-    val b = bands.select(col("rep").as("rep_b"), col("ahash").as("h_b"),
-      col("band"), col("bucket"))
-    val repPairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("rep_a") < col("rep_b"))
-      .select(col("rep_a"), col("rep_b"),
+    val a = bands.select(col("ahash").as("h_a"), col("band"), col("bucket"))
+    val b = bands.select(col("ahash").as("h_b"), col("band"), col("bucket"))
+    val hashPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("h_a") < col("h_b"))
+      .select(col("h_a"), col("h_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast(IntegerType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    // cross-group expansion via two hash joins on rep: a pair of distinct
-    // hashes is produced by exactly one rep pair, so no dedup is needed;
-    // each join row carries ONE member id, so no row grows with group size
-    val byRep = mem.join(reps, "ahash").select(col("rep"), col("media_id"))
-    val cross = repPairs
-      .join(byRep.select(col("rep").as("rep_a"), col("media_id").as("__ia")), "rep_a")
-      .join(byRep.select(col("rep").as("rep_b"), col("media_id").as("__ib")), "rep_b")
+    // cross-group expansion via two hash joins on the hash: each join row
+    // carries ONE member id, so no row grows with group size
+    val cross = hashPairs
+      .join(mem.select(col("ahash").as("h_a"), col("media_id").as("__ia")), "h_a")
+      .join(mem.select(col("ahash").as("h_b"), col("media_id").as("__ib")), "h_b")
+      .filter(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
-    // same-hash pairs: hamming 0, always qualifying — a rep-keyed self-join
-    // with id_a < id_b enumerates each unordered pair exactly once
-    val selfA = byRep.select(col("rep"), col("media_id").as("id_a"))
-    val selfB = byRep.select(col("rep"), col("media_id").as("id_b"))
-    val self = selfA.join(selfB, "rep")
+    // same-hash pairs: hamming 0, always qualifying — a hash-keyed
+    // self-join with id_a < id_b enumerates each unordered pair once
+    val selfA = mem.select(col("ahash"), col("media_id").as("id_a"))
+    val selfB = mem.select(col("ahash"), col("media_id").as("id_b"))
+    val self = selfA.join(selfB, "ahash")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         lit(0).cast(IntegerType).as("hamming"))

@@ -1213,8 +1213,15 @@ object VectorOps {
   def graphSave(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int = 2, maxRev: Int = 0,
       sample: Int = 0, nParts: Int = 32): Unit = {
+    val entryPool = 64
+    // one normalization pass feeds BOTH the vectors and entry writes
+    // (uncached it would re-scan the corpus per write); knnGraph runs its
+    // own pass on the RAW corpus — feeding it these already-normalized
+    // vectors would normalize twice and shave ulps off the sims the
+    // inline oracle replays
     val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+      .localCheckpoint()
     knnGraph(corpus, idCol, vecCol, k, iters, maxRev, sample)
       .select(col("src"), col("nn_id").as("nbr"), col("sim"), col("rank"))
       .withColumn("part", pmod(col("src"), lit(nParts.toLong)))
@@ -1224,8 +1231,16 @@ object VectorOps {
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/vectors")
     vecs.select(col("id"), DedupOps.md5Lower63(
         concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
-      .orderBy(col("__e"), col("id")).limit(64)
+      .orderBy(col("__e"), col("id")).limit(entryPool)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    // build facts serving MUST agree on: nParts drives partition pruning
+    // (a mismatched pmod would silently prune the WRONG partitions) and
+    // entryPool bounds the serve-time `entries` parameter
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((nParts, entryPool, k, iters, maxRev, sample))
+      .toDF("nParts", "entryPool", "k", "iters", "maxRev", "sample")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Serve top-k graph-ANN queries from a saved [[graphSave]] index.
@@ -1238,8 +1253,18 @@ object VectorOps {
     * reads only those partitions of the graph. */
   def graphServe(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8,
-      nParts: Int = 32): DataFrame = {
+      k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8): DataFrame = {
+    // nParts comes from the index's own meta, never a caller parameter: a
+    // mismatched pmod would request partitions the layout doesn't have and
+    // silently drop adjacency (wrong neighbors, no error). Same for the
+    // entry pool: asking for more entry points than the build persisted
+    // would silently serve a different search than inline.
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nParts = meta.getAs[Int]("nParts")
+    val entryPool = meta.getAs[Int]("entryPool")
+    require(entries <= entryPool,
+      s"entries=$entries exceeds the $entryPool entry candidates persisted " +
+        s"by graphSave at $path — rebuild with a larger pool or lower entries")
     // saved vectors are already normalized — re-normalizing would shave
     // ulps (||v|| is 1±ε after the first pass) and break served==inline
     val vecs = spark.read.parquet(s"$path/vectors")

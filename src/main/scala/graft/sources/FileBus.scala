@@ -122,7 +122,14 @@ final class FileBus(root: String) {
             && !f.getPath.getName.startsWith(".")) {
           val dest = new Path(destFor(f.getPath.getParent.getName))
           fs.mkdirs(dest)
-          fs.rename(f.getPath, new Path(dest, f.getPath.getName))
+          // Hadoop rename reports most failures by returning FALSE, not
+          // throwing — ignoring it would silently drop this file's records
+          // when the staging dir is deleted below. Throwing makes the
+          // produce FAIL LOUDLY; the caller retries (at-least-once, same
+          // as a Kafka producer retry, which can also duplicate).
+          if (!fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+            throw new java.io.IOException(
+              s"bus produce failed: could not move ${f.getPath} into $dest")
         }
       }
     } finally { fs.delete(st, true); () }

@@ -356,6 +356,22 @@ class AnnSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [part"),
       s"frontier filter must be a partition filter:\n$plan")
+    // serving takes nParts from the index's OWN meta (a caller-supplied
+    // value could silently prune the wrong partitions): a build with a
+    // non-default layout must serve identically with no layout parameter
+    val dir8 = java.nio.file.Files.createTempDirectory("graft_gidx8").toString
+    VectorOps.graphSave(emb, "vec_id", "embedding", dir8,
+      k = 5, iters = 2, maxRev = 10, sample = 8, nParts = 8)
+    val served8 = VectorOps.graphServe(spark, dir8, qs, "vec_id", "embedding",
+      k = 5, beam = 10, rounds = 2, entries = 8)
+    assert(served8.collect().map(_.toSeq).sortBy(_.toString).toSeq == b.toSeq)
+    // entry pool is a build fact too: over-asking must fail loudly, not
+    // silently serve a different search than inline
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.graphServe(spark, dir8, qs, "vec_id", "embedding",
+        k = 5, beam = 200, rounds = 1, entries = 100)
+    }
+    assert(e.getMessage.contains("entry candidates"))
   }
 
   test("broadcast guard: null-first vector table doesn't throw; legacy maxRows knob honored") {

@@ -205,6 +205,23 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
   }
 
+  test("imageNearDupPairs: one media_id under two hashes never merges distinct-hash groups") {
+    import spark.implicits._
+    // media 1 re-ingested with a changed decode carries BOTH h1=0 and
+    // h2=32 (hamming(h1,h2)=1); media 2 only h1, media 3 only h2. A
+    // rep-keyed formulation merges the two groups through their shared
+    // min-id (1) — emitting a bogus (2,3,hamming=0) and dropping the
+    // legitimate cross pairs (code-review find, r15)
+    val hashed = Seq((1L, 0L), (2L, 0L), (1L, 32L), (3L, 32L))
+      .toDF("media_id", "ahash")
+    val got = MultimodalOps.imageNearDupPairs(hashed, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // within h1: (1,2,0); within h2: (1,3,0); cross h1×h2 at hamming 1:
+    // (1,2) via (2@h1, 1@h2), (1,3) via (1@h1, 3@h2), (2,3); never (x,x)
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 0),
+      (1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
   test("imageDupClusters: identical-hash pre-collapse yields the same components as raw pairs") {
     val ids = (0L until 40L).toDF("doc_id")
     val media = MultimodalOps.synthPng(ids, "doc_id", 24, 16, groups = 8)

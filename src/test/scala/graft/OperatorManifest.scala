@@ -34,7 +34,11 @@ object OperatorManifest {
     val s = text.indexOf(from)
     require(s >= 0, s"region start '$from' not found")
     val t = text.substring(s)
-    to.map(e => t.substring(0, t.indexOf(e))).getOrElse(t)
+    to.map { e =>
+      val i = t.indexOf(e)
+      require(i >= 0, s"region end '$e' not found after '$from'")
+      t.substring(0, i)
+    }.getOrElse(t)
   }
 
   case class Section(title: String, source: String, ops: Seq[String])
