@@ -55,7 +55,7 @@ def zipf_scale(n, target):
         c *= target / tot
     return c
 
-VERBATIM = ["region", "nation", "part", "supplier", "events", "embeddings"]
+VERBATIM = ["region", "nation", "part", "supplier", "embeddings"]
 for t in VERBATIM:
     con.execute(f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
                 f"TO '{dst}/{t}.parquet' (FORMAT parquet)")
@@ -79,6 +79,13 @@ SKEWED = [
      ["l_orderkey", "l_partkey", "l_suppkey"], None),
     ("documents", "hash(source)", ["doc_id"],
      ("text", "CASE WHEN j = 0 THEN text ELSE text || ' uq' || CAST(j AS VARCHAR) END")),
+    # events: ranked by hash(user_id) -> one VIRAL user owns a double-digit
+    # share of all events — the WINDOW-FUNCTION skew pole (sessionize and
+    # the per-user windows sort one unsplittable partition). user_id stays
+    # verbatim (the skew); ts nudges +j ms so the window-calculus sort axis
+    # stays unique (asserted below, the build_sf1 discipline).
+    ("events", "hash(user_id)", ["event_id"],
+     ("ts", "ts + to_microseconds(j * 1000)")),
 ]
 for t, rank_expr, off_keys, rewrite in SKEWED:
     n = nrows(t)
@@ -115,6 +122,17 @@ for t, rank_expr, off_keys, rewrite in SKEWED:
       LATERAL (SELECT greatest(1, CAST(round({c} / pow(r, {S})) AS BIGINT)) AS m)
       ORDER BY m DESC LIMIT 1""").fetchone()[0]
     print(f"{t}: {got} rows (target {target}), top-row multiplicity {top}")
+
+# the window-calculus oracles need a unique (event_type, ts) axis — same
+# load-bearing assertion as build_sf1.py (the +j ms nudge must not collide
+# two different base rows' shifted timestamps)
+dup = con.execute(
+    f"SELECT count(*) FROM (SELECT event_type, ts FROM "
+    f"read_parquet('{dst}/events.parquet') GROUP BY 1, 2 HAVING count(*) > 1)"
+).fetchone()[0]
+assert dup == 0, (
+    f"{dup} duplicate (event_type, ts) pairs in {dst}/events.parquet — "
+    "raise the per-copy ts nudge")
 
 # skew evidence: the hot keys the probe will hit
 for q, label in [
