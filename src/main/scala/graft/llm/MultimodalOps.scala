@@ -421,7 +421,13 @@ object MultimodalOps {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         lit(0).cast(IntegerType).as("hamming"))
-    cross.unionByName(self)
+    // distinct over the OUTPUT rows: two media sharing two or more hashes
+    // (both re-ingested with a changed decode) would otherwise witness the
+    // same (id_a, id_b, hamming) row once per shared hash / hash pair. A
+    // no-op shuffle-wise for the normal one-hash-per-id corpus, and the
+    // output is this demo op's contract size anyway (clusters is the
+    // scale path).
+    cross.unionByName(self).distinct()
   }
 
   /** SCALE path for image dedup — the composed pipeline a training corpus

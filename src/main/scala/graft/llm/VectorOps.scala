@@ -1212,20 +1212,17 @@ object VectorOps {
     * job and every query pays only beam·k·rounds pruned reads. */
   def graphSave(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int = 2, maxRev: Int = 0,
-      sample: Int = 0, nParts: Int = 32): Unit = {
-    val entryPool = 64
+      sample: Int = 0, nParts: Int = 32, entryPool: Int = 64): Unit = {
     // one normalization pass feeds BOTH the vectors and entry writes
     // (uncached it would re-scan the corpus per write); knnGraph runs its
     // own pass on the RAW corpus — feeding it these already-normalized
     // vectors would normalize twice and shave ulps off the sims the
-    // inline oracle replays
+    // inline oracle replays. The two writes run BEFORE the descent so the
+    // checkpointed copy's storage hold window is the two writes, not the
+    // whole O(n·k·iters) build.
     val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .localCheckpoint()
-    knnGraph(corpus, idCol, vecCol, k, iters, maxRev, sample)
-      .select(col("src"), col("nn_id").as("nbr"), col("sim"), col("rank"))
-      .withColumn("part", pmod(col("src"), lit(nParts.toLong)))
-      .write.mode("overwrite").partitionBy("part").parquet(s"$path/graph")
     vecs.select(col("id"), col("__v").as("vec"))
       .withColumn("part", pmod(col("id"), lit(nParts.toLong)))
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/vectors")
@@ -1233,6 +1230,10 @@ object VectorOps {
         concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
       .orderBy(col("__e"), col("id")).limit(entryPool)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    knnGraph(corpus, idCol, vecCol, k, iters, maxRev, sample)
+      .select(col("src"), col("nn_id").as("nbr"), col("sim"), col("rank"))
+      .withColumn("part", pmod(col("src"), lit(nParts.toLong)))
+      .write.mode("overwrite").partitionBy("part").parquet(s"$path/graph")
     // build facts serving MUST agree on: nParts drives partition pruning
     // (a mismatched pmod would silently prune the WRONG partitions) and
     // entryPool bounds the serve-time `entries` parameter
@@ -1259,6 +1260,11 @@ object VectorOps {
     // silently drop adjacency (wrong neighbors, no error). Same for the
     // entry pool: asking for more entry points than the build persisted
     // would silently serve a different search than inline.
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    require(metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(metaPath),
+      s"$path has no meta table — the index predates the meta format " +
+        "(or is not a graphSave index); rebuild it with graphSave")
     val meta = spark.read.parquet(s"$path/meta").head()
     val nParts = meta.getAs[Int]("nParts")
     val entryPool = meta.getAs[Int]("entryPool")

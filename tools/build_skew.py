@@ -23,7 +23,12 @@ the hot key's rows get the largest multiplicities:
              doc_id offset; source verbatim.
 - customer:  uniform copies (volume only — makes the lookup dim too big
              to trivially broadcast, so join skew is actually exercised).
-- region/nation/part/supplier/events/embeddings: verbatim single copy.
+- events:    ranked by hash(user_id) — one VIRAL user owns a double-digit
+             share of all events (the WINDOW-FUNCTION skew pole:
+             sessionize / per-user windows sort one unsplittable
+             partition). event_id offset; user_id verbatim; ts nudged
+             +j ms, (event_type, ts) uniqueness asserted post-build.
+- region/nation/part/supplier/embeddings: verbatim single copy.
 
 Volume target per replicated table = copies x source rows (default 10x
 sf0.1 = the sf1-equivalent volume the round-15 probe wants).
