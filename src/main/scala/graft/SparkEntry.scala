@@ -24,25 +24,69 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
-  /** One persisted NN-Descent index per (JVM, sfDir), built lazily —
-    * llm_ann_graph and llm_ann_graph_served SERVE from this shared build
-    * (graphSave/graphServe), so Verify and Bench pay the descent once.
-    * computeIfAbsent makes concurrent Bench queries share a single build. */
-  private val savedAnnGraphDirs =
+  /** One persisted NN-Descent index per (JVM, sfDir, slice), built lazily —
+    * the graph-ANN queries SERVE from these shared builds
+    * (graphSave/graphServe), so Verify and Bench pay each descent once.
+    * computeIfAbsent makes concurrent Bench queries share a single build.
+    * A JVM shutdown hook removes the temp trees (r15 advice: repeated
+    * Verify/Bench runs were accumulating full index copies in /tmp —
+    * nontrivial at sf10). */
+  private val savedIdxDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def savedAnnGraph(s: SparkSession, dir: String): String =
-    savedAnnGraphDirs.computeIfAbsent(dir, _ => {
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      savedIdxDirs.values().forEach { d =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(Path.of(d)).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () } // best-effort: exit path
+      }))
+  }
+  private def savedIdx(key: String)(build: String => Unit): String =
+    savedIdxDirs.computeIfAbsent(key, _ => {
       val path =
         java.nio.file.Files.createTempDirectory("graft_gidx").toString
-      // sample=8: ρ-sampled NN-Descent (join list capped at 8 of the
-      // k+maxRev=15 entries, re-drawn per round) — 64 instead of 225
-      // candidate pairs per node per round; search recall is coverage-
-      // bound by (entries + beam·k·rounds), not by build sampling, so
-      // the recall twin's floor holds (measured in llm_ann_graph_recall)
+      build(path)
+      path
+    })
+  // sample=8: ρ-sampled NN-Descent (join list capped at 8 of the
+  // k+maxRev=15 entries, re-drawn per round) — 64 instead of 225
+  // candidate pairs per node per round; search recall is coverage-
+  // bound by (entries + beam·k·rounds), not by build sampling, so
+  // the recall twin's floor holds (measured in llm_ann_graph_recall)
+  private def savedAnnGraph(s: SparkSession, dir: String): String =
+    savedIdx(s"full:$dir")(path =>
       graft.llm.VectorOps.graphSave(t(s, dir, "embeddings"),
         "vec_id", "embedding", path,
+        k = 5, iters = 2, maxRev = 10, sample = 8))
+  /** The recall twin's index: the SAME build parameters over the FIXED
+    * vec_id < 500 slice (NOT the full-corpus index above — on
+    * structureless vectors recall ≈ candidates tried / n, so serving the
+    * 500-query floor from a corpus-sized index would dilute recall with
+    * sf; the fixed slice keeps the pinned floor scale-independent). */
+  private def savedRecallGraph(s: SparkSession, dir: String): String =
+    savedIdx(s"recall500:$dir")(path =>
+      graft.llm.VectorOps.graphSave(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", path,
+        k = 5, iters = 2, maxRev = 10, sample = 8))
+  /** The incremental-maintenance index (r15 verdict #5): built on a FIXED
+    * 400-doc slice, then GROWN by graphUpsert with the vec_id < 100
+    * arrivals — llm_ann_graph_upsert serves from the result, so the
+    * grow-don't-rebuild path is driver-covered end to end. Fixed slices
+    * keep the pinned floors scale-independent (see savedRecallGraph). */
+  private def savedUpsertGraph(s: SparkSession, dir: String): String =
+    savedIdx(s"upsert:$dir")(path => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.VectorOps.graphSave(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 500),
+        "vec_id", "embedding", path,
         k = 5, iters = 2, maxRev = 10, sample = 8)
-      path
+      graft.llm.VectorOps.graphUpsert(s, path,
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding")
+      ()
     })
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
@@ -1768,22 +1812,49 @@ object SparkEntry {
     }),
     // graph-search recall twin on the same FIXED slice (coverage-bound on
     // structureless vectors like the IVF/LSH twins — ~(entries +
-    // beam·k·rounds)/n distinct candidates tried); graphSearchTopK itself
-    // excludes the self-match, matching bruteTopK's non-self ground truth
+    // beam·k·rounds)/n distinct candidates tried); graphSearchTopK/
+    // graphServe exclude the self-match, matching bruteTopK's non-self
+    // ground truth. SERVES from a persisted slice index (r15 verdict #1:
+    // this query was the last one paying an inline NN-Descent per run);
+    // served == inline graphSearchTopK over the same build parameters is
+    // AnnSpec-pinned, so the measured recall — and the 0.3 floor — is the
+    // SAME number the inline path produced (measured 0.4132).
     "llm_ann_graph_recall" -> ((s, dir) => {
       tune(s)
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
       val exact = VectorOps.bruteTopK(emb, "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5)
-      val g = VectorOps.knnGraph(emb, "vec_id", "embedding",
-          k = 5, iters = 2, maxRev = 10, sample = 8) // same ρ-sampled build
-        .select(col("src"), col("nn_id").as("nbr"))
-      val approx = VectorOps.graphSearchTopK(emb, "vec_id", "embedding", g,
+      val approx = VectorOps.graphServe(s, savedRecallGraph(s, dir),
         emb, "vec_id", "embedding", k = 5, beam = 12, rounds = 3,
         entries = 8)
       VectorOps.recallAtK(approx, exact).select(lit("graph").as("method"),
         lit(5).as("k"), col("n_queries"),
-        (col("recall") >= 0.3).as("meets_floor")) // measured 0.4132
+        (col("recall") >= 0.3).as("meets_floor"))
+    }),
+    // incremental index maintenance end-to-end (r15 verdict #5): serve the
+    // GROWN index (graphSave on 400 docs + graphUpsert of 100 arrivals) —
+    // recall of the new arrivals against the union-corpus ground truth
+    // holds the same coverage-bound floor class as the rebuilt index, and
+    // the new nodes are RETRIEVABLE for old queries (reverse edges landed,
+    // not just searchable-from)
+    "llm_ann_graph_upsert" -> ((s, dir) => {
+      tune(s)
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val fresh = emb.filter(col("vec_id") < 100)
+      val path = savedUpsertGraph(s, dir)
+      val exact = VectorOps.bruteTopK(emb, "vec_id", "embedding",
+        fresh, "vec_id", "embedding", k = 5)
+      val served = VectorOps.graphServe(s, path, fresh,
+        "vec_id", "embedding", k = 5, beam = 12, rounds = 3, entries = 8)
+      val oldServed = VectorOps.graphServe(s, path,
+        emb.filter(col("vec_id") % 25 === 0 && col("vec_id") >= 100),
+        "vec_id", "embedding", k = 5, beam = 12, rounds = 3, entries = 8)
+      val newFound = oldServed.filter(col("nn_id") < 100)
+        .agg(count(lit(1)).as("__cnt"))
+      VectorOps.recallAtK(served, exact).crossJoin(newFound)
+        .select(lit("graph_upsert").as("method"), lit(5).as("k"),
+          col("n_queries"), (col("recall") >= 0.2).as("meets_floor"),
+          (col("__cnt") > 0).as("new_retrievable"))
     }),
     // recall twin on a FIXED slice (vec_id < 500) so the pinned floor is
     // scale-independent: on STRUCTURELESS vectors NN-Descent is coverage-
@@ -3962,6 +4033,11 @@ object SparkEntry {
                 (SELECT count(*) FROM embeddings WHERE vec_id < 500)
                   AS n_queries,
                 true AS meets_floor""",
+    "llm_ann_graph_upsert" ->
+      """SELECT 'graph_upsert' AS method, 5 AS k,
+                (SELECT count(*) FROM embeddings WHERE vec_id < 100)
+                  AS n_queries,
+                true AS meets_floor, true AS new_retrievable""",
     "llm_pca_cov" -> {
       // all 2080 upper-triangular population-covariance entries recomputed
       // from the SAME quantized integer sums as PcaOps.momentsQ:

@@ -1149,22 +1149,30 @@ object VectorOps {
         concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
       .orderBy(col("__e"), col("id")).limit(entries).select("id")
     val edges = graph.select(col("src"), col("nbr"))
-    beamRounds(vecs, queries, qIdCol, qVecCol, entry, _ => edges,
-      k, beam, rounds)
+    // same byte-budget broadcast guard as knnGraph: candidate rows stay
+    // map-side instead of shuffling per-round against the vector table
+    val vSide = maybeBroadcastVecs(vecs)
+    beamRounds(_ => vSide, checkpointCand = false,
+      queries, qIdCol, qVecCol, entry, _ => edges, k, beam, rounds)
   }
 
   /** The synchronous beam shared by the inline [[graphSearchTopK]] and the
     * persisted [[graphServe]] — `edgesFor` maps each round's frontier
-    * (query_id, id) to the adjacency rows to expand with, which lets the
-    * served path read ONLY the graph partitions the frontier touches. */
-  private def beamRounds(vecs: DataFrame, queries: DataFrame,
+    * (query_id, id) to the adjacency rows to expand with, and `vecsFor`
+    * maps a frame of candidate ids (column `id`) to the `(id, __v)` vector
+    * rows that score them (any superset of the requested ids is fine — the
+    * join restricts). Both closures let the served path read ONLY the
+    * graph/vector partitions a round touches. `checkpointCand` materializes
+    * each round's candidate-id frame before scoring so a served `vecsFor`
+    * can collect its partition ids without re-executing the frontier-edges
+    * join; the inline path passes false and keeps today's one-job-per-round
+    * plan shape. */
+  private def beamRounds(vecsFor: DataFrame => DataFrame,
+      checkpointCand: Boolean, queries: DataFrame,
       qIdCol: String, qVecCol: String, entry: DataFrame,
       edgesFor: DataFrame => DataFrame,
       k: Int, beam: Int, rounds: Int): DataFrame = {
     require(k <= beam, "k must not exceed the beam width")
-    // same byte-budget broadcast guard as knnGraph: candidate rows stay
-    // map-side instead of shuffling per-round against the vector table
-    val vSide = maybeBroadcastVecs(vecs)
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
     val w = Window.partitionBy(col("query_id"))
@@ -1172,19 +1180,24 @@ object VectorOps {
     def keepBeam(df: DataFrame): DataFrame =
       df.withColumn("__r", row_number().over(w))
         .filter(col("__r") <= beam).drop("__r").localCheckpoint()
-    var cur = keepBeam(q.crossJoin(broadcast(entry)).join(vSide, "id")
+    var cur = keepBeam(q.crossJoin(broadcast(entry))
+      .join(vecsFor(entry), "id")
       .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v"))
     for (_ <- 1 to rounds) {
       val frontier = cur.select(col("query_id"), col("id"))
-      val cand = frontier
+      val candIds0 = frontier
         .join(edgesFor(frontier), col("id") === col("src"))
         .select(col("query_id"), col("nbr").as("id")).distinct()
-        .join(q, "query_id").join(vSide, "id")
+      val candIds =
+        if (checkpointCand) candIds0.localCheckpoint() else candIds0
+      val cand = candIds
+        .join(q, "query_id").join(vecsFor(candIds), "id")
         .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v")
       val prev = cur
       cur = keepBeam(cur.unionByName(cand)
         .dropDuplicates("query_id", "id"))
       prev.unpersist()
+      if (checkpointCand) candIds.unpersist()
     }
     // corpus-member queries: drop the self-match before the final ranking
     // (matching bruteTopK/ivfTopK/ivfServe); the beam itself may traverse
@@ -1209,7 +1222,9 @@ object VectorOps {
     *     [[graphServe]] takes its `entries` prefix, so the search-time
     *     parameter survives persistence.
     * Build-once/serve-many: at 100 TB the O(n·k·iters) descent runs in one
-    * job and every query pays only beam·k·rounds pruned reads. */
+    * job and every query pays only beam·k·rounds pruned reads on BOTH
+    * tables — adjacency partitions per frontier, vector partitions per
+    * candidate set ([[graphVecsForParts]]); neither leg scans the corpus. */
   def graphSave(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int = 2, maxRev: Int = 0,
       sample: Int = 0, nParts: Int = 32, entryPool: Int = 64): Unit = {
@@ -1250,8 +1265,9 @@ object VectorOps {
     * expression over the same corpus, the saved entry prefix is the same
     * md5 order, and the beam is literally the same [[beamRounds]] code.
     * Each expansion round collects the ≤ `nParts` DISTINCT partition ids
-    * its frontier maps to (an aggregate of ints — metadata-scale) and
-    * reads only those partitions of the graph. */
+    * its frontier / candidate set maps to (an aggregate of ints —
+    * metadata-scale) and reads only those partitions of the graph AND of
+    * the vectors table — no serve call ever scans the full corpus. */
   def graphServe(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8): DataFrame = {
@@ -1271,20 +1287,140 @@ object VectorOps {
     require(entries <= entryPool,
       s"entries=$entries exceeds the $entryPool entry candidates persisted " +
         s"by graphSave at $path — rebuild with a larger pool or lower entries")
-    // saved vectors are already normalized — re-normalizing would shave
-    // ulps (||v|| is 1±ε after the first pass) and break served==inline
-    val vecs = spark.read.parquet(s"$path/vectors")
-      .select(col("id"), col("vec").as("__v")).localCheckpoint()
     val entry = spark.read.parquet(s"$path/entry")
       .orderBy(col("__e"), col("id")).limit(entries).select("id")
-    val edgesFor = (frontier: DataFrame) => {
-      val parts = frontier
-        .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      graphEdgesForParts(spark, path, parts)
+    def partsOf(ids: DataFrame): Seq[Long] = ids
+      .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val edgesFor = (frontier: DataFrame) =>
+      graphEdgesForParts(spark, path, partsOf(frontier))
+    // the vectors leg is pruned the same way the graph leg is: each round
+    // reads only the pmod(id, nParts) partitions its candidate ids map to
+    // (the candidate frame is checkpointed first, so the partition-id
+    // collect is metadata-scale, not a re-execution of the frontier join).
+    // Saved vectors are already normalized — re-normalizing would shave
+    // ulps (||v|| is 1±ε after the first pass) and break served==inline.
+    val vecsFor = (ids: DataFrame) =>
+      graphVecsForParts(spark, path, partsOf(ids))
+    beamRounds(vecsFor, checkpointCand = true,
+      queries, qIdCol, qVecCol, entry, edgesFor, k, beam, rounds)
+  }
+
+  /** Incrementally insert `newVecs` into a [[graphSave]] index WITHOUT the
+    * O(n·k·iters) full rebuild (r15 verdict #5: a 100 TB corpus grows
+    * daily, and +0.1% new vectors should not repay the whole descent).
+    * Mirrors [[DedupOps.dedupIncremental]]'s arrival-time pattern:
+    *
+    *  1. each new vector BEAM-SEARCHES the existing index for its
+    *     candidate neighbors ([[graphServe]]'s pruned reads — only the
+    *     graph/vector partitions the beams touch are read);
+    *  2. one LOCAL re-descent round over the touched neighborhoods:
+    *     new↔new candidate pairs arise through shared old neighbors (the
+    *     NN-Descent neighbors-of-neighbors join, restricted to the new
+    *     batch), new-node adjacency = top-k of (new→old ∪ new→new);
+    *  3. touched OLD nodes (those a new vector found) merge the reverse
+    *     edge into their stored top-k; every other node's adjacency is
+    *     untouched;
+    *  4. only the graph partitions holding new or touched-old nodes are
+    *     rewritten (dynamic partition overwrite on the pmod layout; the
+    *     returned Seq is exactly that partition set, so callers/specs can
+    *     audit the write surface). Vectors APPEND into their pmod
+    *     partitions; the entry table re-selects the md5-lowest
+    *     `entryPool` over (old pool ∪ new ids) — provably equal to a full
+    *     rebuild's entry table, since the old pool already contains the
+    *     old corpus's lowest candidates.
+    *
+    * The upsert is NOT atomic across the three tables (vectors → graph →
+    * entry, in that order): a crash mid-upsert leaves a servable-but-stale
+    * index — re-run the upsert (idempotence is guarded off: re-inserting
+    * an existing id fails the collision check) or rebuild. New ids must be
+    * disjoint from the corpus; this is checked against only the new ids'
+    * own partitions (a pruned read, not a corpus scan). */
+  def graphUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      beam: Int = 12, rounds: Int = 3, entries: Int = 8): Seq[Long] = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nParts = meta.getAs[Int]("nParts")
+    val entryPool = meta.getAs[Int]("entryPool")
+    val k = meta.getAs[Int]("k")
+    val nv = spread(newVecs).select(col(idCol).cast(LongType).as("id"),
+      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+      .localCheckpoint()
+    def partsOf(ids: DataFrame): Seq[Long] = ids
+      .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val newParts = partsOf(nv)
+    require(graphVecsForParts(spark, path, newParts).select("id")
+        .join(nv.select("id"), "id").limit(1).count() == 0,
+      s"graphUpsert: some new ids already exist in the index at $path — " +
+        "upsert only inserts; rebuild (graphSave) to replace vectors")
+    // 1. beam-search the EXISTING index (new vectors are not yet in any
+    // table, so they can't pollute their own candidate search)
+    val newOld = graphServe(spark, path, nv, "id", "__v",
+        k, beam, rounds, entries)
+      .select(col("query_id").as("src"), col("nn_id").as("nbr"), col("sim"))
+      .localCheckpoint()
+    // 2. local re-descent: new↔new pairs through shared old neighbors
+    val nnPairs = newOld.select(col("src"), col("nbr"))
+      .join(newOld.select(col("src").as("src2"), col("nbr")), "nbr")
+      .filter(col("src") < col("src2"))
+      .select(col("src"), col("src2")).distinct()
+    val nnScored = nnPairs
+      .join(nv.select(col("id").as("src"), col("__v").as("__va")), "src")
+      .join(nv.select(col("id").as("src2"), col("__v").as("__vb")), "src2")
+      .withColumn("sim", round(dot(col("__va"), col("__vb")), 6))
+      .select(col("src"), col("src2"), col("sim"))
+    val nnBoth = nnScored.unionByName(nnScored.select(col("src2").as("src"),
+      col("src").as("src2"), col("sim")))
+      .select(col("src"), col("src2").as("nbr"), col("sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("nbr"))
+    def topK(df: DataFrame): DataFrame =
+      df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("src"), col("nbr"), col("sim"),
+          col("rank").cast(IntegerType).as("rank"))
+    val newAdj = topK(newOld.unionByName(nnBoth))
+    // 3. touched old nodes merge the reverse edges into their stored top-k
+    val revCand = newOld.select(col("nbr").as("src"), col("src").as("nbr"),
+      col("sim"))
+    val touchedOld = revCand.select(col("src").as("id")).distinct()
+      .localCheckpoint()
+    val touchedParts =
+      (newParts ++ partsOf(touchedOld)).distinct.sorted
+    val oldRows = spark.read.parquet(s"$path/graph")
+      .filter(col("part").isin(touchedParts: _*))
+      .select(col("src"), col("nbr"), col("sim"), col("rank"))
+    val touchedSrc = touchedOld.select(col("id").as("src"))
+    val mergedOld = topK(oldRows.join(touchedSrc, "src")
+      .select(col("src"), col("nbr"), col("sim")).unionByName(revCand)
+      .dropDuplicates("src", "nbr"))
+    val passThrough = oldRows.join(touchedSrc, Seq("src"), "left_anti")
+    // materialized BEFORE the write: the graph output reads the very
+    // partitions the dynamic overwrite replaces
+    val outRows = passThrough.unionByName(newAdj).unionByName(mergedOld)
+      .withColumn("part", pmod(col("src"), lit(nParts.toLong)))
+      .localCheckpoint()
+    // 4. writes: vectors append (new partitions only), graph dynamic
+    // overwrite (touched partitions only), entry re-select (metadata-scale)
+    nv.select(col("id"), col("__v").as("vec"))
+      .withColumn("part", pmod(col("id"), lit(nParts.toLong)))
+      .write.mode("append").partitionBy("part").parquet(s"$path/vectors")
+    val ovKey = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(ovKey)
+    spark.conf.set(ovKey, "dynamic")
+    try outRows.write.mode("overwrite").partitionBy("part")
+      .parquet(s"$path/graph")
+    finally before match {
+      case Some(v) => spark.conf.set(ovKey, v)
+      case None    => spark.conf.unset(ovKey)
     }
-    beamRounds(vecs, queries, qIdCol, qVecCol, entry, edgesFor,
-      k, beam, rounds)
+    val entryNew = nv.select(col("id"), DedupOps.md5Lower63(
+      concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
+    val entryMerged = spark.read.parquet(s"$path/entry")
+      .unionByName(entryNew)
+      .orderBy(col("__e"), col("id")).limit(entryPool).localCheckpoint()
+    entryMerged.coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    touchedParts
   }
 
   /** The pruned adjacency read [[graphServe]] issues each round — package-
@@ -1297,4 +1433,17 @@ object VectorOps {
     spark.read.parquet(s"$path/graph")
       .filter(col("part").isin(parts: _*))
       .select(col("src"), col("nbr"))
+
+  /** The pruned VECTOR read [[graphServe]] issues per scoring step — the
+    * vectors twin of [[graphEdgesForParts]] (r15 advice: serving used to
+    * localCheckpoint the ENTIRE saved vectors table per call, so only the
+    * graph side was pruned and build-once/serve-many didn't amortize the
+    * vector leg). Package-visible so the spec can assert the candidate-id
+    * filter lands as a PartitionFilter. */
+  private[graft] def graphVecsForParts(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      parts: Seq[Long]): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("part").isin(parts: _*))
+      .select(col("id"), col("vec").as("__v"))
 }

@@ -356,6 +356,14 @@ class AnnSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [part"),
       s"frontier filter must be a partition filter:\n$plan")
+    // the VECTORS leg prunes the same way (r15 advice: it used to
+    // localCheckpoint the whole saved vectors table per serve call, so
+    // only the graph side amortized) — candidate-id partitions land as a
+    // PartitionFilter on the pmod(id, nParts) layout too
+    val prunedV = VectorOps.graphVecsForParts(spark, dir, Seq(0L, 1L))
+    val planV = prunedV.queryExecution.executedPlan.toString
+    assert(planV.contains("PartitionFilters: [part"),
+      s"candidate-id filter must be a partition filter:\n$planV")
     // serving takes nParts from the index's OWN meta (a caller-supplied
     // value could silently prune the wrong partitions): a build with a
     // non-default layout must serve identically with no layout parameter
@@ -372,6 +380,83 @@ class AnnSpec extends SparkSpec {
         k = 5, beam = 200, rounds = 1, entries = 100)
     }
     assert(e.getMessage.contains("entry candidates"))
+  }
+
+  test("graphUpsert: incremental insert == rebuild on vectors+entry, touched-partition-only graph writes, served recall holds") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // --- write surface: a TINY arrival batch (3 docs, the daily-increment
+    // shape) must rewrite only the partitions its new/touched nodes map to
+    def dirState(p: String): Map[String, (Long, Long)] =
+      Files.walk(Paths.get(p)).iterator.asScala.filter(Files.isRegularFile(_))
+        .map(f => f.toString ->
+          (Files.size(f), Files.getLastModifiedTime(f).toMillis)).toMap
+    val dirT = Files.createTempDirectory("graft_gup_t").toString
+    VectorOps.graphSave(emb.filter(col("vec_id") >= 3), "vec_id",
+      "embedding", dirT, k = 5, iters = 2, maxRev = 10, sample = 8)
+    val beforeT = dirState(s"$dirT/graph")
+    val touched = VectorOps.graphUpsert(spark, dirT,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding")
+    assert(touched.nonEmpty && touched.size < 32,
+      s"expected a partial rewrite, got ${touched.size}/32 partitions")
+    val untouchedFiles = beforeT.filter { case (f, _) =>
+      !touched.exists(p => f.contains(s"part=$p/")) }
+    assert(untouchedFiles.nonEmpty)
+    val afterT = dirState(s"$dirT/graph")
+    untouchedFiles.foreach { case (f, st) =>
+      assert(afterT.get(f).contains(st), s"untouched partition file changed: $f")
+    }
+    // --- a LARGER batch (100 of 500) for the quality/equality claims
+    val old = emb.filter(col("vec_id") >= 100)   // 400 docs
+    val fresh = emb.filter(col("vec_id") < 100)  // 100 new arrivals
+    val dir = Files.createTempDirectory("graft_gup").toString
+    VectorOps.graphSave(old, "vec_id", "embedding", dir,
+      k = 5, iters = 2, maxRev = 10, sample = 8)
+    VectorOps.graphUpsert(spark, dir, fresh, "vec_id", "embedding")
+    // vectors + entry are REBUILD-IDENTICAL (same normalize over the same
+    // union corpus; entry = md5-lowest pool, and the old pool already
+    // contains the old corpus's lowest candidates)
+    val rebuilt = Files.createTempDirectory("graft_gup_rb").toString
+    VectorOps.graphSave(emb.filter(col("vec_id") < 500), "vec_id",
+      "embedding", rebuilt, k = 5, iters = 2, maxRev = 10, sample = 8)
+    def table(p: String, cols: String*): Seq[String] =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(table(s"$dir/vectors", "id", "vec")
+      == table(s"$rebuilt/vectors", "id", "vec"))
+    assert(table(s"$dir/entry", "id", "__e")
+      == table(s"$rebuilt/entry", "id", "__e"))
+    // every new node got a full top-k adjacency
+    val newAdj = spark.read.parquet(s"$dir/graph")
+      .filter(col("src") < 100)
+    assert(newAdj.select("src").distinct().count() == 100)
+    assert(newAdj.groupBy("src").count().filter(col("count") =!= 5)
+      .count() == 0)
+    // serving the upserted index: recall for the NEW vectors against the
+    // union-corpus ground truth within noise of serving the full rebuild
+    // (both are coverage-bound beams over near-identical graphs)
+    val exact = VectorOps.bruteTopK(emb.filter(col("vec_id") < 500),
+      "vec_id", "embedding", fresh, "vec_id", "embedding", k = 5)
+    def recallOn(p: String): Double =
+      VectorOps.recallAtK(
+        VectorOps.graphServe(spark, p, fresh, "vec_id", "embedding",
+          k = 5, beam = 12, rounds = 3, entries = 8), exact)
+        .head().getAs[Double]("recall")
+    val rUp = recallOn(dir); val rRb = recallOn(rebuilt)
+    assert(rUp >= rRb - 0.1, s"upsert recall $rUp << rebuild recall $rRb")
+    assert(rUp > 0.2, s"upsert recall $rUp too low")
+    // new nodes are RETRIEVABLE for old queries (reverse edges landed)
+    val oldQ = VectorOps.graphServe(spark, dir,
+      emb.filter(col("vec_id") % 25 === 0 && col("vec_id") >= 100),
+      "vec_id", "embedding", k = 5, beam = 12, rounds = 3, entries = 8)
+    assert(oldQ.filter(col("nn_id") < 100).count() > 0,
+      "no old query ever retrieved a new node")
+    // inserting an existing id must refuse, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.graphUpsert(spark, dir,
+        emb.filter(col("vec_id") === 200), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("already exist"))
   }
 
   test("broadcast guard: null-first vector table doesn't throw; legacy maxRows knob honored") {
