@@ -78,9 +78,37 @@ object DedupOps {
   private def distinctTexts(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(col(textCol).as("__text")).agg(min(col(idCol)).as("doc"))
 
+  /** Refuse-the-scale-killer guard (r15 verdict #3, the q_lookup_theta
+    * precedent): the per-pair verification join plans Σ_buckets m(m-1)/2
+    * candidate pairs, and a VIRAL near-dup cluster (m mutated copies of one
+    * doc, colliding in every band) makes that quadratic in m — 19 s uniform
+    * vs 196 s zipf at the SAME 50k-doc volume in the round-15 probe, i.e.
+    * days at 100 TB, silently. One partial aggregate over the banded
+    * relation (skew-safe by construction: groupBy(band, bucket) is a
+    * map-side combine) prices the join BEFORE planning it; over budget →
+    * an actionable error instead of a runaway job. Budget knob:
+    * `graft.dedup.maxPairBudget` (candidate pairs, default 100M — uniform
+    * corpora at sf10 stay well under it, the r15 viral cluster's 8 × 31M
+    * blows it). */
+  private def checkPairBudget(banded: DataFrame): Unit = {
+    val budget = banded.sparkSession.conf
+      .get("graft.dedup.maxPairBudget", "100000000").toLong
+    val r = banded.groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) DIV 2")).as("pairs"), max("m").as("maxM"))
+      .head()
+    val pairs = if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (pairs > budget) throw new IllegalStateException(
+      s"near-dup pair budget exceeded: the LSH buckets contain $pairs " +
+        s"candidate pairs (largest bucket m=${r.getLong(1)}) > " +
+        s"graft.dedup.maxPairBudget=$budget — a viral near-dup cluster " +
+        "makes per-pair Jaccard verification quadratic in the cluster " +
+        "size; use dedupNearLsh (Θ(Σ m) star edges, no per-pair verify) " +
+        "or raise graft.dedup.maxPairBudget")
+  }
+
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, guardPairs: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     // persisted: this per-doc relation feeds the banding AND both payload
     // re-joins — without persist the shingle subtree runs 3x
@@ -107,6 +135,7 @@ object DedupOps {
         xxhash64(lit(b), slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))
           .cast(StringType))): _*))
         .as(Seq("band", "bucket")))
+    if (guardPairs) checkPairBudget(banded)
     val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -264,7 +293,7 @@ object DedupOps {
     * Spark. Same banding math, same exact-Jaccard verify. */
   def minhashLshMd5(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, guardPairs: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSh = distinctTexts(df, textCol, idCol)
       .select(col("doc"), shingles(col("__text"), shingleK).as("sh"))
@@ -272,10 +301,13 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE aggregate (graft.functions.Md5MinHashAgg) computes the whole
     // signature in a JVM loop — the explode-by-seed formulation shuffled
-    // numHashes rows per SHINGLE; this shuffles numHashes longs per DOC
+    // numHashes rows per SHINGLE; this shuffles numHashes longs per DOC.
+    // Persisted like the xxhash sibling's: both sides of the bucket
+    // self-join scan the banding, and the guard probe adds a third scan.
     val sigs = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
       .groupBy("doc")
       .agg(graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // band bucket = the band's minhash values joined as a string — the same
     // string DuckDB's string_agg(minh, ',' ORDER BY seed) produces
     val banded = sigs.select(col("doc"),
@@ -284,6 +316,7 @@ object DedupOps {
           slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
           x => x.cast(StringType)))): _*))
         .as(Seq("band", "bucket")))
+    if (guardPairs) checkPairBudget(banded)
     val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -420,8 +453,12 @@ object DedupOps {
     *
     * SKEW: the per-pair Jaccard verification makes this Σ_buckets m² — a
     * VIRAL cluster (one doc mutated m times) is quadratic in m (19 s → 196 s
-    * at equal volume in the r15 zipf probe). When collisions alone are an
-    * acceptable near-dup decision, use [[dedupNearLsh]] — Θ(Σ m) star
+    * at equal volume in the r15 zipf probe). The banding is therefore
+    * PRICED before the verification join plans ([[checkPairBudget]]): when
+    * the candidate-pair count exceeds `graft.dedup.maxPairBudget`
+    * (default 100M) the call FAILS with an actionable error instead of
+    * silently running for days at corpus scale. When collisions alone are
+    * an acceptable near-dup decision, use [[dedupNearLsh]] — Θ(Σ m) star
     * edges, flat under any skew. */
   def dedupNear(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
@@ -433,9 +470,9 @@ object DedupOps {
       .select(col("id_a"), col("id").as("id_b"))
     val nearPairs =
       (if (md5Mode) minhashLshMd5(df, textCol, idCol, shingleK, bands,
-        rowsPerBand, threshold)
+        rowsPerBand, threshold, guardPairs = true)
        else minhashLsh(df, textCol, idCol, shingleK, bands, rowsPerBand,
-         threshold))
+         threshold, guardPairs = true))
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"))
     val labels = clustersLogD(exactPairs.union(nearPairs), "id_a", "id_b")

@@ -1019,6 +1019,78 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupNear: viral bucket blows the pair budget -> actionable refusal naming dedupNearLsh") {
+    import graft.llm.DedupOps
+    // one doc mutated m=60 times — the r15 zipf-probe shape: all m copies
+    // share nearly every shingle, so they collide in every band and the
+    // verification join would plan ~8 × m²/2 ≈ 14k candidate pairs
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the rain in spain stays mainly on the plain for every season"
+    val viral = (0 until 60).map(i => (i.toLong, s"$base uq$i"))
+      .toDF("doc_id", "text")
+    val knob = "graft.dedup.maxPairBudget"
+    spark.conf.set(knob, "1000")
+    try {
+      for (md5Mode <- Seq(true, false)) {
+        val e = intercept[IllegalStateException] {
+          DedupOps.dedupNear(viral, "text", "doc_id",
+            md5Mode = md5Mode).count()
+        }
+        assert(e.getMessage.contains("dedupNearLsh"), e.getMessage)
+        assert(e.getMessage.contains(knob), e.getMessage)
+      }
+      // the skew-proof sibling runs the same corpus under the same budget
+      // (star edges never enumerate pairs) — the refusal's suggestion works
+      assert(DedupOps.dedupNearLsh(viral, "text", "doc_id").count() >= 1)
+    } finally spark.conf.unset(knob)
+    // default budget: the same viral corpus is far under 100M pairs — runs
+    assert(DedupOps.dedupNear(viral, "text", "doc_id").count() >= 1)
+  }
+
+  test("dedupNearLsh operating point (8 bands x 4 rows): precision/recall of the collision decision pinned") {
+    import graft.llm.DedupOps
+    // the EXACT fixture `Scratch lshsweep` measures (r15 verdict #6):
+    // 100 families x 10 copies with 0..8 of 40 words mutated + 1000
+    // singletons, seed 20260816. Truth = exact shingle-Jaccard >= 0.5
+    // (what dedupNear verifies per pair); decision = any shared band
+    // bucket (what dedupNearLsh clusters on). The shipped default (8, 4)
+    // sits at precision 0.630 / recall 0.724 on this fixture — sweep
+    // table in FIXTURES.md; sharper trades: (16,2) -> recall 1.000 /
+    // precision 0.241, (8,8) -> precision 0.943 / recall 0.251. Counts
+    // are pinned EXACTLY (seeded generator, own hash family) so the
+    // operating point cannot silently drift.
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = (0 until 400).map(i => s"w$i")
+    def doc(): Array[String] = Array.fill(40)(vocab(rnd.nextInt(vocab.size)))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    for (_ <- 0 until 100) {
+      val base = doc()
+      for (_ <- 0 until 10) {
+        val words = base.clone()
+        val m = rnd.nextInt(9)
+        (0 until m).foreach { _ =>
+          words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        }
+        id += 1; rows += ((id, words.mkString(" ")))
+      }
+    }
+    for (_ <- 0 until 1000) { id += 1; rows += ((id, doc().mkString(" "))) }
+    val df = rows.toSeq.toDF("doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(
+      DedupOps.jaccardPairsExact(df, "text", "doc_id", 3, 0.5))
+    val cand = pairSet(DedupOps.minhashLsh(df, "text", "doc_id",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.0))
+    df.unpersist()
+    assert(truth.size == 785, s"truth=${truth.size}")
+    assert(cand.size == 901, s"cand=${cand.size}")
+    assert((cand & truth).size == 568, s"tp=${(cand & truth).size}")
+  }
+
   test("logRegFit: weights are quantized at 9, output at 6") {
     val df = Seq((1.0, 0.3, true), (1.0, 0.7, false)).toDF("b", "x", "y")
     val (roundsDf, w) = CorpusOps.logRegFit(df, Seq("b", "x"), "y", rounds = 2)
