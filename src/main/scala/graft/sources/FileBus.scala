@@ -108,9 +108,10 @@ final class FileBus(root: String) {
     * renamed files never collide either. */
   private def commitThrough(spark: SparkSession, staging: String)(
       write: String => Unit)(destFor: String => String): Unit = {
-    write(staging)
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleStaging(fs)
+    write(staging)
     val st = new Path(staging)
     try {
       if (fs.exists(st)) {
@@ -137,6 +138,27 @@ final class FileBus(root: String) {
 
   private def stagingDir(): String =
     s"$root/.staging/${java.util.UUID.randomUUID}"
+
+  /** Best-effort reaper for staging dirs a KILLED producer left behind
+    * (r15 advice: the in-process `finally` cleans up a crashed WRITE, but a
+    * `kill -9`'d JVM — exactly the soak scenario — leaks its
+    * `.staging/<uuid>` forever). Entries older than 15 minutes cannot
+    * belong to a live produce (a single produce is one micro-batch write +
+    * renames); anything younger is left alone so a slow concurrent
+    * producer is never reaped mid-commit. Every failure is swallowed: the
+    * sweep must never fail the produce it piggybacks on. */
+  private def sweepStaleStaging(fs: org.apache.hadoop.fs.FileSystem): Unit =
+    try {
+      val st = new Path(s"$root/.staging")
+      if (fs.exists(st)) {
+        val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
+        fs.listStatus(st).foreach { d =>
+          if (d.getModificationTime < cutoff)
+            try { fs.delete(d.getPath, true); () }
+            catch { case _: Throwable => () }
+        }
+      }
+    } catch { case _: Throwable => () }
 
   /** Producer callback for `Pipeline(producer = …)` — the `$send`/`$delay`/
     * `$probe` transport. One distributed job per produce call; the

@@ -16,8 +16,37 @@ import scala.jdk.CollectionConverters._
   * Run `Test/runMain graft.GenOperators` to regenerate the manifest.
   */
 object OperatorManifest {
+  /** Repo root the source/manifest paths resolve against (r15 advice: bare
+    * cwd-relative reads threw an opaque NoSuchFileException when the test
+    * JVM ran from a different working directory — IDE runners, forked JVMs
+    * with their own baseDirectory). Resolution order: `graft.repo.root`
+    * system property, then the cwd and its ancestors probed for
+    * `src/main/scala/graft` — with a clear error naming the fix. */
+  private[graft] lazy val repoRoot: java.nio.file.Path = {
+    val marker = Paths.get("src", "main", "scala", "graft")
+    sys.props.get("graft.repo.root").map { r =>
+      val p = Paths.get(r)
+      require(Files.isDirectory(p.resolve(marker)),
+        s"-Dgraft.repo.root=$r does not contain $marker")
+      p
+    }.getOrElse {
+      var dir = Paths.get("").toAbsolutePath
+      var found: Option[java.nio.file.Path] = None
+      while (found.isEmpty && dir != null) {
+        if (Files.isDirectory(dir.resolve(marker))) found = Some(dir)
+        else dir = dir.getParent
+      }
+      require(found.isDefined,
+        s"cannot locate the repo root: no $marker under " +
+          s"${Paths.get("").toAbsolutePath} or its ancestors — run tests " +
+          "from the repo (or pass -Dgraft.repo.root=<repo>)")
+      found.get
+    }
+  }
+
   private def read(p: String): String =
-    new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+    new String(Files.readAllBytes(repoRoot.resolve(p)),
+      StandardCharsets.UTF_8)
 
   /** All `$op` names reachable from `case` patterns in `text`, including
     * multi-line alternations (`case "$a" | "$b" |\n "$c" =>`). */
@@ -104,7 +133,7 @@ object OperatorManifest {
   }
 
   private lazy val specFiles: Seq[(String, String)] = {
-    val dir = Paths.get("src/test/scala/graft")
+    val dir = repoRoot.resolve("src/test/scala/graft")
     Files.list(dir).iterator.asScala
       .filter(_.toString.endsWith("Spec.scala"))
       .map(p => p.getFileName.toString -> read(p.toString))
@@ -158,7 +187,7 @@ object OperatorManifest {
 /** Writes docs/OPERATORS.md. */
 object GenOperators {
   def main(args: Array[String]): Unit = {
-    val out = Paths.get("docs/OPERATORS.md")
+    val out = OperatorManifest.repoRoot.resolve("docs/OPERATORS.md")
     Files.write(out, OperatorManifest.manifest()
       .getBytes(StandardCharsets.UTF_8))
     println(s"wrote $out")

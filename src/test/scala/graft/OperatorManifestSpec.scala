@@ -16,7 +16,7 @@ class OperatorManifestSpec extends AnyFunSuite {
 
   test("docs/OPERATORS.md is current") {
     val want = OperatorManifest.manifest()
-    val p = java.nio.file.Paths.get("docs/OPERATORS.md")
+    val p = OperatorManifest.repoRoot.resolve("docs/OPERATORS.md")
     val got =
       if (java.nio.file.Files.exists(p))
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
