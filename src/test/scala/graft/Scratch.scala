@@ -92,6 +92,188 @@ object Scratch {
         }
       }
     }
+    else if (args(0) == "streamskew") {
+      // streamskew [nBatches] [rowsPerBatch]: the STREAMING twin of the r15
+      // zipf probe (r15 verdict #4) — drive the stateful $deduplicate →
+      // $group core through nBatches micro-batches of identical volume with
+      // a uniform vs a zipf-skewed key feed (one group key = 50% of rows;
+      // redeliveries concentrated on ONE hot _id), under BOTH state-store
+      // providers, and print per-batch trigger latency + state size so
+      // BASELINE.md can carry the uniform-vs-skewed table. Flat-vs-batch#
+      // and flat-vs-skew are the claims under test: streaming aggregation
+      // partial-aggregates before the state update, so a 50% hot key folds
+      // to one row per partition per batch, and dedup state is keyed by
+      // unique _ids either way.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingPipeline
+      import scala.jdk.CollectionConverters._
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val nBatches = if (args.length > 1) args(1).toInt else 30
+      val rows = if (args.length > 2) args(2).toInt else 20000
+      val providers = Seq(
+        "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "rocksdb" -> StreamingPipeline.RocksDBProvider)
+      for ((pname, pclass) <- providers; skewed <- Seq(false, true)) {
+        val leg = if (skewed) "zipf" else "uniform"
+        val rnd = new scala.util.Random(20260816L)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft_sskew_$leg").toString
+        StreamingPipeline.withStateStoreProvider(spark, pclass) {
+          val input = MemoryStream[(String, String, Long)]
+          // the collect must CONSUME the batch (update-mode output = changed
+          // keys, ≤ ~1k rows/batch here); an empty body fails the query
+          val q = new StreamingPipeline(new Pipeline()).start(
+            input.toDF().toDF("_id", "g", "v"), SoakChild.coreJson,
+            df => { df.collect(); () }, trigger = Trigger.ProcessingTime(0),
+            checkpoint = Some(ckpt))
+          var k = 0L
+          val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+          try {
+            for (b <- 1 to nBatches) {
+              val batch = (0 until rows).map { _ =>
+                // 20% redeliveries in BOTH legs (same volume, same fresh-id
+                // state growth); zipf redelivers ONE viral _id, uniform a
+                // random earlier one
+                if (k > 0 && rnd.nextInt(5) == 0) {
+                  val id = if (skewed) 1L
+                    else 1 + (math.abs(rnd.nextLong()) % k)
+                  (s"m$id", "r", 1L)
+                } else {
+                  k += 1
+                  val g = if (skewed) {
+                    if (rnd.nextBoolean()) "g0"
+                    else s"g${1 + rnd.nextInt(1000)}"
+                  } else s"g${rnd.nextInt(1000)}"
+                  (s"m$k", g, (k % 7) + 1L)
+                }
+              }
+              input.addData(batch: _*)
+              val t0 = System.nanoTime()
+              q.processAllAvailable()
+              val wall = (System.nanoTime() - t0) / 1e9
+              walls += wall
+              val p = q.lastProgress
+              val (srows, sbytes) =
+                if (p == null) (-1L, -1L)
+                else (p.stateOperators.map(_.numRowsTotal).sum,
+                  p.stateOperators.map(_.memoryUsedBytes).sum)
+              if (b % 5 == 0 || b == 1) println(
+                f"STREAMSKEW $leg $pname batch=$b rows=$rows wall=$wall%.3f" +
+                  f" stateRows=$srows stateBytes=$sbytes")
+            }
+          } finally q.stop()
+          val h = walls.size / 2
+          println(f"STREAMSKEW-SUMMARY $leg $pname batches=$nBatches " +
+            f"firstHalfAvg=${walls.take(h).sum / h}%.3f " +
+            f"secondHalfAvg=${walls.drop(h).sum / (walls.size - h)}%.3f " +
+            f"totalRows=${nBatches.toLong * rows}")
+        }
+      }
+    }
+    else if (args(0) == "variantspike") {
+      // variantspike <sfDir> [reps]: the Spark-4 VariantType storage spike
+      // for the dynamic lane (r15 verdict #8). Measures, on the documents
+      // table rendered as one JSON-string doc column (the dynamic lane's
+      // transport):
+      //   A jackson  — today's path: DynPipeline $match (fused Jackson
+      //                parse + MQL eval per doc)
+      //   B parse    — parse_json per query + variant_get filter
+      //   C stored   — docs PERSISTED as a parquet VariantType column
+      //                (one-time parse), variant_get filter only
+      //   D mutate   — the $set-shaped round trip a MUTATING stage would
+      //                pay under variant transport: variant_get reads +
+      //                re-render to_json + parse_json back (Spark 4.1 has
+      //                no incremental variant construction API)
+      // plus row-count agreement across legs. Decision recorded in
+      // BASELINE.md.
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val reps = if (args.length > 2) args(2).toInt else 3
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = raw.select(to_json(struct(raw.columns.map(col): _*))
+        .as("doc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n0 = docs.count()
+      val vDir = java.nio.file.Files
+        .createTempDirectory("graft_variant").toString
+      docs.select(expr("parse_json(doc)").as("v"))
+        .write.mode("overwrite").parquet(vDir)
+      val matchJson =
+        """[{"$match": {"lang": "en", "n_chars": {"$gte": 500}}}]"""
+      def time(name: String)(body: => Long): Unit =
+        for (i <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val n = body
+          println(f"VARIANTSPIKE $name run$i rows=$n " +
+            f"${(System.nanoTime() - t0) / 1e9}%.3f s (of $n0)")
+        }
+      time("A_jackson") {
+        graft.dynamic.DynPipeline.run(docs, matchJson).count()
+      }
+      time("B_parse_json") {
+        docs.filter(
+          expr("variant_get(parse_json(doc), '$.lang', 'string')") === "en" &&
+          expr("variant_get(parse_json(doc), '$.n_chars', 'long')") >= 500)
+          .count()
+      }
+      time("C_stored_variant") {
+        spark.read.parquet(vDir).filter(
+          expr("variant_get(v, '$.lang', 'string')") === "en" &&
+          expr("variant_get(v, '$.n_chars', 'long')") >= 500).count()
+      }
+      time("D_mutate_roundtrip") {
+        spark.read.parquet(vDir)
+          .withColumn("v2", expr("parse_json(to_json(v))")) // the $set tax
+          .filter(expr("variant_get(v2, '$.lang', 'string')") === "en" &&
+            expr("variant_get(v2, '$.n_chars', 'long')") >= 500).count()
+      }
+    }
+    else if (args(0) == "lshsweep") {
+      // lshsweep: quantify dedupNearLsh's precision trade (r15 verdict #6)
+      // — a LABELED fixture (mutated near-dup families + singletons, the
+      // ' uq<j>'-style generator), band-collision decisions vs the exact
+      // shingle-Jaccard >= 0.5 truth that dedupNear verifies per pair.
+      // precision = P(jacc >= 0.5 | band collision); recall = P(collision |
+      // jacc >= 0.5). Results recorded in FIXTURES.md; the (8,4) default
+      // operating point is spec-pinned in CorpusOpsSpec.
+      import graft.llm.DedupOps
+      import spark.implicits._
+      val rnd = new scala.util.Random(20260816L)
+      val vocab = (0 until 400).map(i => s"w$i")
+      def doc(): Array[String] =
+        Array.fill(40)(vocab(rnd.nextInt(vocab.size)))
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      for (_ <- 0 until 100) {
+        val base = doc()
+        for (_ <- 0 until 10) {
+          val words = base.clone()
+          val m = rnd.nextInt(9) // 0..8 of 40 words mutated
+          (0 until m).foreach { _ =>
+            words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+          }
+          id += 1; rows += ((id, words.mkString(" ")))
+        }
+      }
+      for (_ <- 0 until 1000) { id += 1; rows += ((id, doc().mkString(" "))) }
+      val df = rows.toSeq.toDF("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def pairSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        d.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairSet(
+        DedupOps.jaccardPairsExact(df, "text", "doc_id", 3, 0.5))
+      for ((b, r) <- Seq((4, 8), (8, 8), (8, 4), (16, 4), (8, 2), (16, 2))) {
+        val cand = pairSet(DedupOps.minhashLsh(df, "text", "doc_id",
+          shingleK = 3, bands = b, rowsPerBand = r, threshold = 0.0))
+        val tp = (cand & truth).size
+        println(f"LSHSWEEP bands=$b rowsPerBand=$r cand=${cand.size} " +
+          f"truth=${truth.size} precision=${tp.toDouble / cand.size}%.3f " +
+          f"recall=${tp.toDouble / truth.size}%.3f")
+      }
+    }
     else if (args(0) == "capbench") { // capbench <sfDir> <k> [reps]: BoundedTopK at corpus-scale k
       val dir = args(1); val k = args(2).toInt
       val reps = if (args.length > 3) args(3).toInt else 2

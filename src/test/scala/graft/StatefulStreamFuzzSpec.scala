@@ -146,18 +146,20 @@ class StatefulStreamFuzzSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  private def typedStream(json: String): Seq[String] = withCkpt { ckpt =>
-    implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(String, String, Long)]
-    val out = scala.collection.mutable.Buffer.empty[String]
-    runWithRestart(
-      () => new StreamingPipeline(pipeline).start(
-        input.toDF().toDF("_id", "g", "v"), json,
-        df => out.synchronized { out ++= df.toJSON.collect() },
-        trigger = Trigger.ProcessingTime(0), checkpoint = Some(ckpt)),
-      b => { input.addData(batches(b): _*); () })
-    out.toSeq
-  }
+  private def typedStream(json: String,
+      feed: Seq[Seq[(String, String, Long)]] = batches): Seq[String] =
+    withCkpt { ckpt =>
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, String, Long)]
+      val out = scala.collection.mutable.Buffer.empty[String]
+      runWithRestart(
+        () => new StreamingPipeline(pipeline).start(
+          input.toDF().toDF("_id", "g", "v"), json,
+          df => out.synchronized { out ++= df.toJSON.collect() },
+          trigger = Trigger.ProcessingTime(0), checkpoint = Some(ckpt)),
+        b => { input.addData(feed(b): _*); () })
+      out.toSeq
+    }
 
   private def typedBatch(json: String): Seq[String] =
     pipeline.run(allDocs.toDF("_id", "g", "v"), json).toJSON.collect().toSeq
@@ -402,6 +404,42 @@ class StatefulStreamFuzzSpec extends SparkSpec {
         else StreamingPipeline.withStateStoreProvider(
           spark, StreamingPipeline.RocksDBProvider)(run())
       }
+    }
+  }
+
+  test("zipf-skewed feed: $deduplicate -> $group state correct across a " +
+    "restart under a ~50% hot group key and a viral redelivered doc, " +
+    "both state-store providers") {
+    // the streaming twin of the r15 batch zipf probe (r15 verdict #4): the
+    // fixed fuzz feed is uniform and tiny, so a hot-key pathology in the
+    // state path (every update landing in one state-store partition) would
+    // never show. 3 batches × 300 docs; ~50% of fresh docs carry group
+    // "hot", ~20% of rows are verbatim redeliveries and half of THOSE
+    // replay doc m1 — one viral dedup key read every batch.
+    val rnd = new Random(20260816L)
+    var k = 0L
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val skewFeed: Seq[Seq[(String, String, Long)]] = Seq.fill(3) {
+      (0 until 300).map { _ =>
+        if (sent.nonEmpty && rnd.nextInt(5) == 0) {
+          if (rnd.nextBoolean()) sent(0) else sent(rnd.nextInt(sent.size))
+        } else {
+          k += 1
+          val g = if (rnd.nextBoolean()) "hot" else s"g${rnd.nextInt(20)}"
+          val d = (s"m$k", g, (k % 7) + 1L); sent += d; d
+        }
+      }
+    }
+    val hot = skewFeed.flatten.count(_._2 == "hot").toDouble /
+      skewFeed.flatten.size
+    assert(hot > 0.35 && hot < 0.6, s"feed must actually be skewed: $hot")
+    val json = SoakChild.coreJson
+    val want = pipeline
+      .run(skewFeed.flatten.toDF("_id", "g", "v"), json).toJSON.collect().toSeq
+    compare("group", typedStream(json, skewFeed), want)
+    StreamingPipeline.withStateStoreProvider(
+      spark, StreamingPipeline.RocksDBProvider) {
+      compare("group", typedStream(json, skewFeed), want)
     }
   }
 }

@@ -29,10 +29,17 @@ object SoakChild {
   def main(args: Array[String]): Unit = {
     val busRoot = args(0)
     val ckpt = args(1)
-    val spark = SparkSession.builder().master("local[4]")
+    // optional args(2): state-store provider ("hdfs" default | "rocksdb")
+    // — the soak must cover BOTH providers (r15 verdict #4); the conf is
+    // captured at query START, so it is set on the builder, before start
+    val builder = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = (if (args.length > 2 && args(2) == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.StreamingPipeline.RocksDBProvider)
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val bus = new FileBus(busRoot)
     val stream = bus.readStream(spark, Seq("in"), inSchema).drop("key")
@@ -85,24 +92,41 @@ class StreamingSoakSpec extends SparkSpec {
       java.nio.file.Files.createTempFile("graft_soak", ".log").toFile
     val bus = new FileBus(busRoot)
     val rnd = new Random(20260816L)
+    // GRAFT_SOAK_SKEW=1 → zipf-shaped feed (r15 verdict #4, the streaming
+    // twin of the batch zipf probe): ONE group key takes ~50% of rows (the
+    // $group state's hot partition) and redeliveries concentrate on ONE
+    // viral doc (the $deduplicate state's hot read key). Uniform otherwise.
+    val skewed = sys.env.get("GRAFT_SOAK_SKEW").contains("1")
+    // GRAFT_SOAK_PROVIDER=rocksdb swaps the child's state-store provider
+    val provider = sys.env.getOrElse("GRAFT_SOAK_PROVIDER", "hdfs")
 
     // ---- feeder ----------------------------------------------------------
     val fed = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]
     @volatile var feeding = true
     val groups = Seq("a", "b", "c", null)
+    def pickGroup(): String =
+      if (!skewed) groups(rnd.nextInt(groups.size))
+      else if (rnd.nextBoolean()) "hot"
+      else groups(rnd.nextInt(groups.size)) match {
+        case null => null
+        case g    => s"$g${rnd.nextInt(8)}"
+      }
     val feeder = new Thread(() => {
       var k = 0L
       val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       while (feeding) {
         val fresh = (0 until 1 + rnd.nextInt(8)).map { _ =>
           k += 1
-          (s"m$k", groups(rnd.nextInt(groups.size)), (k % 7) + 1L)
+          (s"m$k", pickGroup(), (k % 7) + 1L)
         }
         // ~30% of ticks redeliver an earlier doc VERBATIM (dedup state must
-        // drop it even when the redelivery spans a kill)
+        // drop it even when the redelivery spans a kill); under skew, half
+        // of those redeliveries hit the FIRST doc — one viral dedup key
         val redeliver =
           if (sent.nonEmpty && rnd.nextInt(10) < 3)
-            Seq(sent(rnd.nextInt(sent.size))) else Seq.empty
+            Seq(if (skewed && rnd.nextBoolean()) sent(0)
+                else sent(rnd.nextInt(sent.size)))
+          else Seq.empty
         val batch = fresh ++ redeliver
         sent ++= fresh
         batch.foreach(fed.add)
@@ -116,7 +140,7 @@ class StreamingSoakSpec extends SparkSpec {
       val cmd = (Seq(
         System.getProperty("java.home") + "/bin/java", "-Xmx4g") ++ opens ++
         Seq("-cp", System.getProperty("java.class.path"),
-          "graft.SoakChild", busRoot, ckpt)).toArray
+          "graft.SoakChild", busRoot, ckpt, provider)).toArray
       new ProcessBuilder(cmd: _*)
         .redirectErrorStream(true)
         .redirectOutput(log)
@@ -180,6 +204,7 @@ class StreamingSoakSpec extends SparkSpec {
       s"final state != batch replay after $kills kills over " +
         s"${allFed.size} docs\n got=$got\n want=$expected")
     info(s"soak green: ${allFed.size} docs fed, $kills hard kills, " +
-      s"${expected.size} group keys verified against the batch replay")
+      s"${expected.size} group keys verified against the batch replay " +
+      s"(feed=${if (skewed) "zipf" else "uniform"}, provider=$provider)")
   }
 }
