@@ -172,6 +172,44 @@ object Scratch {
         }
       }
     }
+    else if (args(0) == "upsertprobe") {
+      // upsertprobe <sfDir> [newN]: graphUpsert's amortization claim with
+      // numbers — wall of a FULL graphSave rebuild on the corpus vs a
+      // graphUpsert of newN synthetic arrivals (perturbed copies of corpus
+      // vectors, ids offset by 10M), plus a serve sanity on the grown
+      // index. The r15 verdict's shape: a daily +0.1-1% increment must not
+      // repay the O(n·k·iters) descent.
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      val newN = if (args.length > 2) args(2).toInt else 500
+      val nParts = if (args.length > 3) args(3).toInt else 32
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_upsertprobe").toString
+      var t0 = System.nanoTime()
+      graft.llm.VectorOps.graphSave(emb, "vec_id", "embedding", idx,
+        k = 5, iters = 2, maxRev = 10, sample = 8, nParts = nParts)
+      println(f"UPSERTPROBE build n=$n nParts=$nParts " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // id offset far above any replica id space (build_sf1 copies offset
+      // ids by millions per copy — a 1e7 offset collided with copy 20's
+      // range and the collision guard correctly refused)
+      val arrivals = emb.limit(newN)
+        .select((col("vec_id") + 1000000000000L).as("vec_id"),
+          transform(col("embedding"), x => x * 1.01f).as("embedding"))
+      t0 = System.nanoTime()
+      val touched = graft.llm.VectorOps.graphUpsert(spark, idx, arrivals,
+        "vec_id", "embedding")
+      println(f"UPSERTPROBE upsert newN=$newN touchedParts=${touched.size} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      val served = graft.llm.VectorOps.graphServe(spark, idx,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, beam = 10, rounds = 2, entries = 8).count()
+      println(f"UPSERTPROBE serve rows=$served " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     else if (args(0) == "variantspike") {
       // variantspike <sfDir> [reps]: the Spark-4 VariantType storage spike
       // for the dynamic lane (r15 verdict #8). Measures, on the documents
