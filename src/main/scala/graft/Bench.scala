@@ -53,14 +53,17 @@ object Bench {
     // previous correctness run's load still decaying — or a foreign JVM
     // alive), sleep-poll until it goes quiet or the wait budget expires,
     // THEN measure. GRAFT_BENCH_REQUIRE_QUIET=0 bypasses the wait;
-    // GRAFT_BENCH_QUIET_WAIT_SEC bounds it (default 600 s).
+    // GRAFT_BENCH_QUIET_WAIT_SEC bounds it (default 300 s — 1-min load
+    // decays e^(-t/60), so even a fully loaded 32-core box reads < 1.5
+    // within ~3 minutes of going idle; a longer stall would risk any
+    // caller-side timeout for little gain).
     def quietNow(): (Boolean, Double, Long) = {
       val l = load1(); val j = otherJvms()
       (l >= 0 && l <= 1.5 && j == 0, l, j)
     }
     if (sys.env.getOrElse("GRAFT_BENCH_REQUIRE_QUIET", "1") != "0") {
       val budgetSec =
-        sys.env.getOrElse("GRAFT_BENCH_QUIET_WAIT_SEC", "600").toInt
+        sys.env.getOrElse("GRAFT_BENCH_QUIET_WAIT_SEC", "300").toInt
       val deadline = System.nanoTime() + budgetSec * 1000000000L
       var st = quietNow()
       while (!st._1 && System.nanoTime() < deadline) {

@@ -1846,10 +1846,12 @@ object SparkEntry {
         fresh, "vec_id", "embedding", k = 5)
       val served = VectorOps.graphServe(s, path, fresh,
         "vec_id", "embedding", k = 5, beam = 12, rounds = 3, entries = 8)
-      val oldServed = VectorOps.graphServe(s, path,
-        emb.filter(col("vec_id") % 25 === 0 && col("vec_id") >= 100),
-        "vec_id", "embedding", k = 5, beam = 12, rounds = 3, entries = 8)
-      val newFound = oldServed.filter(col("nn_id") < 100)
+      // "reverse edges landed" is an ADJACENCY fact — read it off the
+      // grown graph table (one scan of a metadata-scale index) instead of
+      // paying a second beam serve per run; search-level retrievability of
+      // new nodes by old queries is AnnSpec-pinned on the same build
+      val newFound = s.read.parquet(s"$path/graph")
+        .filter(col("src") >= 100 && col("nbr") < 100)
         .agg(count(lit(1)).as("__cnt"))
       VectorOps.recallAtK(served, exact).crossJoin(newFound)
         .select(lit("graph_upsert").as("method"), lit(5).as("k"),
