@@ -61,7 +61,13 @@ object Bench {
       val l = load1(); val j = otherJvms()
       (l >= 0 && l <= 1.5 && j == 0, l, j)
     }
-    if (sys.env.getOrElse("GRAFT_BENCH_REQUIRE_QUIET", "1") != "0") {
+    // -1 means "metric unreadable" (no /proc/loadavg, ProcessHandle denied)
+    // — a box that can't be measured must not wait the whole budget for a
+    // quiet it can never observe; it starts immediately and stamps
+    // quiet=false, the pre-r16 behavior
+    val measurable = load1() >= 0 && otherJvms() >= 0
+    if (measurable &&
+        sys.env.getOrElse("GRAFT_BENCH_REQUIRE_QUIET", "1") != "0") {
       val budgetSec =
         sys.env.getOrElse("GRAFT_BENCH_QUIET_WAIT_SEC", "300").toInt
       val deadline = System.nanoTime() + budgetSec * 1000000000L

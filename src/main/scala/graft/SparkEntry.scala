@@ -48,7 +48,19 @@ object SparkEntry {
     savedIdxDirs.computeIfAbsent(key, _ => {
       val path =
         java.nio.file.Files.createTempDirectory("graft_gidx").toString
-      build(path)
+      try build(path)
+      catch { case e: Throwable =>
+        // a failed build never reaches the map, so the shutdown hook would
+        // never see its half-written tree — delete it on the spot (and
+        // every retry would otherwise leak another copy)
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(Path.of(path)).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        } catch { case _: Throwable => () }
+        throw e
+      }
       path
     })
   // sample=8: ρ-sampled NN-Descent (join list capped at 8 of the

@@ -71,6 +71,12 @@ object DedupOps {
     *
     * Returns candidate pairs `(id_a, id_b, jaccard)` with exact shingle-set
     * Jaccard computed only for candidates, filtered at `threshold`.
+    *
+    * `guardPairs` (default ON for every caller — r16: the round-15 guard
+    * covered only dedupNear, leaving the identical quadratic join
+    * reachable through minhashLsh/minhashLshMd5/leakageSplit) prices the
+    * verification join via [[checkPairBudget]] and refuses over-budget
+    * viral corpora; pass false only when the corpus is known-bounded.
     */
   /** Collapse exact-duplicate texts to their min-id representative before
     * near-dup detection: exact dups are [[exact]]'s job, and identical texts
@@ -108,7 +114,7 @@ object DedupOps {
 
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, guardPairs: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, guardPairs: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     // persisted: this per-doc relation feeds the banding AND both payload
     // re-joins — without persist the shingle subtree runs 3x
@@ -293,7 +299,7 @@ object DedupOps {
     * Spark. Same banding math, same exact-Jaccard verify. */
   def minhashLshMd5(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, guardPairs: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, guardPairs: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSh = distinctTexts(df, textCol, idCol)
       .select(col("doc"), shingles(col("__text"), shingleK).as("sh"))

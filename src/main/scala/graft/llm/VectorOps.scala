@@ -1289,11 +1289,8 @@ object VectorOps {
         s"by graphSave at $path — rebuild with a larger pool or lower entries")
     val entry = spark.read.parquet(s"$path/entry")
       .orderBy(col("__e"), col("id")).limit(entries).select("id")
-    def partsOf(ids: DataFrame): Seq[Long] = ids
-      .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
-      .distinct().collect().map(_.getLong(0)).toSeq
     val edgesFor = (frontier: DataFrame) =>
-      graphEdgesForParts(spark, path, partsOf(frontier))
+      graphEdgesForParts(spark, path, pmodPartsOf(frontier, nParts))
     // the vectors leg is pruned the same way the graph leg is: each round
     // reads only the pmod(id, nParts) partitions its candidate ids map to
     // (the candidate frame is checkpointed first, so the partition-id
@@ -1301,10 +1298,18 @@ object VectorOps {
     // Saved vectors are already normalized — re-normalizing would shave
     // ulps (||v|| is 1±ε after the first pass) and break served==inline.
     val vecsFor = (ids: DataFrame) =>
-      graphVecsForParts(spark, path, partsOf(ids))
+      graphVecsForParts(spark, path, pmodPartsOf(ids, nParts))
     beamRounds(vecsFor, checkpointCand = true,
       queries, qIdCol, qVecCol, entry, edgesFor, k, beam, rounds)
   }
+
+  /** The ONE partition-mapping used by every pruned read and write of a
+    * [[graphSave]] layout — serve-side pruning and upsert-side rewrites
+    * must never disagree on it (a mismatched pmod silently prunes the
+    * wrong partitions). Collects ≤ nParts distinct ints: metadata-scale. */
+  private def pmodPartsOf(ids: DataFrame, nParts: Int): Seq[Long] = ids
+    .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
+    .distinct().collect().map(_.getLong(0)).toSeq
 
   /** Incrementally insert `newVecs` into a [[graphSave]] index WITHOUT the
     * O(n·k·iters) full rebuild (r15 verdict #5: a 100 TB corpus grows
@@ -1346,18 +1351,27 @@ object VectorOps {
     val nv = spread(newVecs).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .localCheckpoint()
-    def partsOf(ids: DataFrame): Seq[Long] = ids
-      .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // refuse, don't corrupt — BOTH collision classes: an id duplicated
+    // WITHIN the arrival batch would append two vector rows for one id
+    // (duplicate join candidates, rebuild-equality broken) just as
+    // silently as one that already exists in the index
+    val counts = nv.agg(count(lit(1)), count_distinct(col("id"))).head()
+    require(counts.getLong(0) == counts.getLong(1),
+      s"graphUpsert: the arrival batch contains duplicate ids " +
+        s"(${counts.getLong(0)} rows, ${counts.getLong(1)} distinct) — " +
+        "deduplicate arrivals before upserting")
+    def partsOf(ids: DataFrame): Seq[Long] = pmodPartsOf(ids, nParts)
     val newParts = partsOf(nv)
     require(graphVecsForParts(spark, path, newParts).select("id")
         .join(nv.select("id"), "id").limit(1).count() == 0,
       s"graphUpsert: some new ids already exist in the index at $path — " +
         "upsert only inserts; rebuild (graphSave) to replace vectors")
     // 1. beam-search the EXISTING index (new vectors are not yet in any
-    // table, so they can't pollute their own candidate search)
+    // table, so they can't pollute their own candidate search). The beam
+    // widens to the index's own k when needed: beamRounds requires
+    // k <= beam, and k here comes from meta, not the caller.
     val newOld = graphServe(spark, path, nv, "id", "__v",
-        k, beam, rounds, entries)
+        k, math.max(beam, k), rounds, entries)
       .select(col("query_id").as("src"), col("nn_id").as("nbr"), col("sim"))
       .localCheckpoint()
     // 2. local re-descent: new↔new pairs through shared old neighbors
@@ -1405,15 +1419,12 @@ object VectorOps {
     nv.select(col("id"), col("__v").as("vec"))
       .withColumn("part", pmod(col("id"), lit(nParts.toLong)))
       .write.mode("append").partitionBy("part").parquet(s"$path/vectors")
-    val ovKey = "spark.sql.sources.partitionOverwriteMode"
-    val before = spark.conf.getOption(ovKey)
-    spark.conf.set(ovKey, "dynamic")
-    try outRows.write.mode("overwrite").partitionBy("part")
-      .parquet(s"$path/graph")
-    finally before match {
-      case Some(v) => spark.conf.set(ovKey, v)
-      case None    => spark.conf.unset(ovKey)
-    }
+    // per-WRITE dynamic-overwrite option, not a session-conf flip: Bench
+    // runs queries concurrently on one session, and a global conf mutation
+    // would race other partitioned overwrites (or be reverted mid-write)
+    outRows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(s"$path/graph")
     val entryNew = nv.select(col("id"), DedupOps.md5Lower63(
       concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
     val entryMerged = spark.read.parquet(s"$path/entry")

@@ -142,20 +142,31 @@ final class FileBus(root: String) {
   /** Best-effort reaper for staging dirs a KILLED producer left behind
     * (r15 advice: the in-process `finally` cleans up a crashed WRITE, but a
     * `kill -9`'d JVM — exactly the soak scenario — leaks its
-    * `.staging/<uuid>` forever). Entries older than 15 minutes cannot
-    * belong to a live produce (a single produce is one micro-batch write +
-    * renames); anything younger is left alone so a slow concurrent
-    * producer is never reaped mid-commit. Every failure is swallowed: the
-    * sweep must never fail the produce it piggybacks on. */
+    * `.staging/<uuid>` forever). Staleness is judged by the NEWEST file
+    * anywhere under the entry, not the entry dir's own mtime: a long write
+    * job lands task files under `_temporary/` subdirs without touching the
+    * uuid dir, so an mtime test would reap a LIVE producer whose single
+    * produce runs longer than the window — a dead producer's tree stops
+    * changing, a live one keeps writing. Entries whose newest file is
+    * older than 15 minutes are removed; the recursive listing is bounded
+    * (staging entries are rare and small). Every failure is swallowed:
+    * the sweep must never fail the produce it piggybacks on. */
   private def sweepStaleStaging(fs: org.apache.hadoop.fs.FileSystem): Unit =
     try {
       val st = new Path(s"$root/.staging")
       if (fs.exists(st)) {
         val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
         fs.listStatus(st).foreach { d =>
-          if (d.getModificationTime < cutoff)
-            try { fs.delete(d.getPath, true); () }
-            catch { case _: Throwable => () }
+          try {
+            var newest = d.getModificationTime
+            val it = fs.listFiles(d.getPath, true)
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getModificationTime > newest)
+                newest = f.getModificationTime
+            }
+            if (newest < cutoff) { fs.delete(d.getPath, true); () }
+          } catch { case _: Throwable => () }
         }
       }
     } catch { case _: Throwable => () }

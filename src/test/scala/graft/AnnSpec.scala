@@ -457,6 +457,15 @@ class AnnSpec extends SparkSpec {
         emb.filter(col("vec_id") === 200), "vec_id", "embedding")
     }
     assert(e.getMessage.contains("already exist"))
+    // ...and so must an id duplicated WITHIN the arrival batch (it would
+    // append two vector rows for one id just as silently)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.graphUpsert(spark, dir, dup.unionAll(dup),
+        "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("duplicate ids"))
   }
 
   test("broadcast guard: null-first vector table doesn't throw; legacy maxRows knob honored") {

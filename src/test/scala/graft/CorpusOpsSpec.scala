@@ -1049,7 +1049,8 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("dedupNearLsh operating point (8 bands x 4 rows): precision/recall of the collision decision pinned") {
     import graft.llm.DedupOps
-    // the EXACT fixture `Scratch lshsweep` measures (r15 verdict #6):
+    // the EXACT fixture `Scratch lshsweep` measures, by construction
+    // (shared LshSweepFixture generator; r15 verdict #6):
     // 100 families x 10 copies with 0..8 of 40 words mutated + 1000
     // singletons, seed 20260816. Truth = exact shingle-Jaccard >= 0.5
     // (what dedupNear verifies per pair); decision = any shared band
@@ -1059,24 +1060,7 @@ class CorpusOpsSpec extends SparkSpec {
     // precision 0.241, (8,8) -> precision 0.943 / recall 0.251. Counts
     // are pinned EXACTLY (seeded generator, own hash family) so the
     // operating point cannot silently drift.
-    val rnd = new scala.util.Random(20260816L)
-    val vocab = (0 until 400).map(i => s"w$i")
-    def doc(): Array[String] = Array.fill(40)(vocab(rnd.nextInt(vocab.size)))
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    var id = 0L
-    for (_ <- 0 until 100) {
-      val base = doc()
-      for (_ <- 0 until 10) {
-        val words = base.clone()
-        val m = rnd.nextInt(9)
-        (0 until m).foreach { _ =>
-          words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
-        }
-        id += 1; rows += ((id, words.mkString(" ")))
-      }
-    }
-    for (_ <- 0 until 1000) { id += 1; rows += ((id, doc().mkString(" "))) }
-    val df = rows.toSeq.toDF("doc_id", "text")
+    val df = LshSweepFixture.docs().toDF("doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pairSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       d.select("id_a", "id_b").collect()

@@ -129,6 +129,12 @@ object Scratch {
             df => { df.collect(); () }, trigger = Trigger.ProcessingTime(0),
             checkpoint = Some(ckpt))
           var k = 0L
+          // redeliveries must be VERBATIM copies of earlier docs (the
+          // soak's rule): a same-_id row with a different payload makes
+          // $deduplicate's keep nondeterministic when both land in one
+          // micro-batch, polluting the state-row comparison
+          val sent =
+            scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
           val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
           try {
             for (b <- 1 to nBatches) {
@@ -136,17 +142,16 @@ object Scratch {
                 // 20% redeliveries in BOTH legs (same volume, same fresh-id
                 // state growth); zipf redelivers ONE viral _id, uniform a
                 // random earlier one
-                if (k > 0 && rnd.nextInt(5) == 0) {
-                  val id = if (skewed) 1L
-                    else 1 + (math.abs(rnd.nextLong()) % k)
-                  (s"m$id", "r", 1L)
+                if (sent.nonEmpty && rnd.nextInt(5) == 0) {
+                  if (skewed) sent(0)
+                  else sent((math.abs(rnd.nextLong()) % sent.size).toInt)
                 } else {
                   k += 1
                   val g = if (skewed) {
                     if (rnd.nextBoolean()) "g0"
                     else s"g${1 + rnd.nextInt(1000)}"
                   } else s"g${rnd.nextInt(1000)}"
-                  (s"m$k", g, (k % 7) + 1L)
+                  val d = (s"m$k", g, (k % 7) + 1L); sent += d; d
                 }
               }
               input.addData(batch: _*)
@@ -164,10 +169,10 @@ object Scratch {
                   f" stateRows=$srows stateBytes=$sbytes")
             }
           } finally q.stop()
-          val h = walls.size / 2
+          val h = math.max(1, walls.size / 2)
           println(f"STREAMSKEW-SUMMARY $leg $pname batches=$nBatches " +
             f"firstHalfAvg=${walls.take(h).sum / h}%.3f " +
-            f"secondHalfAvg=${walls.drop(h).sum / (walls.size - h)}%.3f " +
+            f"secondHalfAvg=${walls.drop(h).sum / math.max(1, walls.size - h)}%.3f " +
             f"totalRows=${nBatches.toLong * rows}")
         }
       }
@@ -278,25 +283,7 @@ object Scratch {
       // operating point is spec-pinned in CorpusOpsSpec.
       import graft.llm.DedupOps
       import spark.implicits._
-      val rnd = new scala.util.Random(20260816L)
-      val vocab = (0 until 400).map(i => s"w$i")
-      def doc(): Array[String] =
-        Array.fill(40)(vocab(rnd.nextInt(vocab.size)))
-      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      var id = 0L
-      for (_ <- 0 until 100) {
-        val base = doc()
-        for (_ <- 0 until 10) {
-          val words = base.clone()
-          val m = rnd.nextInt(9) // 0..8 of 40 words mutated
-          (0 until m).foreach { _ =>
-            words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
-          }
-          id += 1; rows += ((id, words.mkString(" ")))
-        }
-      }
-      for (_ <- 0 until 1000) { id += 1; rows += ((id, doc().mkString(" "))) }
-      val df = rows.toSeq.toDF("doc_id", "text")
+      val df = LshSweepFixture.docs().toDF("doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def pairSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         d.select("id_a", "id_b").collect()
