@@ -83,7 +83,11 @@ object SparkEntry {
       graft.llm.VectorOps.graphSave(
         t(s, dir, "embeddings").filter(col("vec_id") < 500),
         "vec_id", "embedding", path,
-        k = 5, iters = 2, maxRev = 10, sample = 8))
+        // nParts=8 on the FIXED 500-doc slice: 32 dirs per table is all
+        // file-creation overhead at this size (the cold build cost shows
+        // up in every fresh bench JVM); the full-corpus index above keeps
+        // the production layout
+        k = 5, iters = 2, maxRev = 10, sample = 8, nParts = 8))
   /** The incremental-maintenance index (r15 verdict #5): built on a FIXED
     * 400-doc slice, then GROWN by graphUpsert with the vec_id < 100
     * arrivals — llm_ann_graph_upsert serves from the result, so the
@@ -95,7 +99,7 @@ object SparkEntry {
       graft.llm.VectorOps.graphSave(
         emb.filter(col("vec_id") >= 100 && col("vec_id") < 500),
         "vec_id", "embedding", path,
-        k = 5, iters = 2, maxRev = 10, sample = 8)
+        k = 5, iters = 2, maxRev = 10, sample = 8, nParts = 8)
       graft.llm.VectorOps.graphUpsert(s, path,
         emb.filter(col("vec_id") < 100), "vec_id", "embedding")
       ()
