@@ -97,7 +97,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // cpus/2 workers: per-query wall time is dominated by one-time Janino
     // codegen + planning (driver-side, parallel across queries), so more
-    // in-flight queries overlap compilation with other queries' execution
+    // in-flight queries overlap compilation with other queries' execution.
+    // r16 re-measured cpus (32) vs cpus/2 (16) on the shared-build tree:
+    // 16 wins (59.8 s vs 77.7 s same session) — the wider pool adds
+    // driver-side planning contention without adding task parallelism.
     val pool = Executors.newFixedThreadPool(math.max(4, cpus.toInt / 2))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()

@@ -44,15 +44,23 @@ object SparkEntry {
         } catch { case _: Throwable => () } // best-effort: exit path
       }))
   }
+  // two-phase memo like [[shared]] (r16): computeIfAbsent only inserts a
+  // cheap lazy cell — running a 10-25 s index build while holding the
+  // map's bin lock can serialize OTHER keys' builds that hash to the same
+  // bin (independent indexes must build concurrently). The build runs
+  // under the cell's own per-key lock; savedIdxDirs keeps only the
+  // SUCCESSFUL paths for the shutdown hook.
+  private val savedIdxCells =
+    new java.util.concurrent.ConcurrentHashMap[String, LazyCell]()
   private def savedIdx(key: String)(build: String => Unit): String =
-    savedIdxDirs.computeIfAbsent(key, _ => {
+    savedIdxCells.computeIfAbsent(key, _ => new LazyCell(() => {
       val path =
         java.nio.file.Files.createTempDirectory("graft_gidx").toString
       try build(path)
       catch { case e: Throwable =>
-        // a failed build never reaches the map, so the shutdown hook would
-        // never see its half-written tree — delete it on the spot (and
-        // every retry would otherwise leak another copy)
+        // a failed build never reaches savedIdxDirs, so the shutdown hook
+        // would never see its half-written tree — delete it on the spot
+        // (a lazy-cell retry would otherwise leak another copy)
         try {
           import java.nio.file.{Files, Path}
           import java.util.Comparator
@@ -61,8 +69,9 @@ object SparkEntry {
         } catch { case _: Throwable => () }
         throw e
       }
+      savedIdxDirs.put(key, path)
       path
-    })
+    })).value.asInstanceOf[String]
   // sample=8: ρ-sampled NN-Descent (join list capped at 8 of the
   // k+maxRev=15 entries, re-drawn per round) — 64 instead of 225
   // candidate pairs per node per round; search recall is coverage-
@@ -124,11 +133,41 @@ object SparkEntry {
     else df
   }
 
+  /** Shared-BUILD memo — the [[savedIdx]] precedent generalized (r16):
+    * several queries exercise the SAME deterministic training pass (the
+    * 6-merge BPE vocabulary four times, the unigram piece table four
+    * times, the NB model four times, the logreg fit twice) before
+    * diverging into their own scoring/eval. Training once per (session,
+    * sfDir) and sharing the result changes NO query's output — each
+    * memoized value is exactly what every caller recomputed, and each
+    * query's own scoring/eval still runs per query (and its oracle still
+    * replays training end to end in SQL). DataFrame-valued entries are
+    * keyed by session identity: plans are session-bound. */
+  private final class LazyCell(thunk: () => AnyRef) {
+    lazy val value: AnyRef = thunk()
+  }
+  private val sharedBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, LazyCell]()
+  // two-phase memo: computeIfAbsent only INSERTS a cheap lazy cell (never
+  // runs the multi-second build while holding the map's bin lock — a
+  // long-running compute inside computeIfAbsent serializes every other
+  // memo whose key hashes to the same bin, and a build that itself calls
+  // shared() would be a recursive map update); the build then runs under
+  // the cell's own per-key lazy-val lock.
+  private def shared[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
+      build: => T): T =
+    sharedBuilds.computeIfAbsent(
+      s"$tag:${System.identityHashCode(s)}:$dir",
+      _ => new LazyCell(() => build)).value.asInstanceOf[T]
+
   /** Shared setup of the NB-classifier eval queries (llm_nb_pr/_auc/
     * _calibration): train on doc_id%3==0 (label = lang=='en'), score the
     * whole corpus, keep the HELD-OUT doc_id%3==1 slice with its true
-    * label joined back on. */
-  private def nbHeldOutScored(s: SparkSession, dir: String): DataFrame = {
+    * label joined back on. Memoized: the NB count-model collect runs once
+    * per (session, sfDir), not once per eval query. */
+  private def nbHeldOutScored(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "nbheld") { nbHeldOutScoredBuild(s, dir) }
+  private def nbHeldOutScoredBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val labeled = docs.filter(col("doc_id") % 3 === 0)
       .withColumn("__lab", col("lang") === "en")
@@ -145,14 +184,15 @@ object SparkEntry {
   private val logRegX =
     Seq("x_bias", "x_len", "x_punct", "x_upper", "x_digit", "x_sw")
   private def logRegBits(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Array[Double]) = {
-    val docs = graft.llm.CorpusOps.logRegFeatures(t(s, dir, "documents"), "text")
-      .withColumn("__y", col("lang") === "en")
-    val (roundsDf, w) = graft.llm.CorpusOps.logRegFit(
-      docs.filter(col("doc_id") % 3 === 0), logRegX, "__y",
-      rounds = 3, lr = 1.0)
-    (docs, roundsDf, w)
-  }
+      : (DataFrame, DataFrame, Array[Double]) =
+    shared(s, dir, "logreg") {
+      val docs = graft.llm.CorpusOps.logRegFeatures(t(s, dir, "documents"), "text")
+        .withColumn("__y", col("lang") === "en")
+      val (roundsDf, w) = graft.llm.CorpusOps.logRegFit(
+        docs.filter(col("doc_id") % 3 === 0), logRegX, "__y",
+        rounds = 3, lr = 1.0)
+      (docs, roundsDf, w)
+    }
 
   /** Run a Mongo pipeline against a table, with all sf tables as $lookup catalog. */
   private def pipe(s: SparkSession, dir: String, table: String, json: String): DataFrame = {
@@ -2154,14 +2194,14 @@ object SparkEntry {
     "llm_bpe_merges" -> ((s, dir) => {
       tune(s)
       import s.implicits._
-      graft.llm.BpeOps.train(t(s, dir, "documents"), "text", bpeM)
+      sharedBpeMerges(s, dir)
         .zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
         .toDF("rank", "l", "r")
     }),
     "llm_bpe_encode" -> ((s, dir) => {
       tune(s)
       val docs = t(s, dir, "documents")
-      val merges = graft.llm.BpeOps.train(docs, "text", bpeM)
+      val merges = sharedBpeMerges(s, dir)
       graft.llm.BpeOps.encode(docs, "text", merges)
         .select(col("doc_id"), size(col("bpe")).as("n_tok"))
     }),
@@ -2213,7 +2253,7 @@ object SparkEntry {
     "llm_wordpiece" -> ((s, dir) => {
       tune(s)
       val docs = t(s, dir, "documents")
-      val merges = graft.llm.BpeOps.train(docs, "text", bpeM)
+      val merges = sharedBpeMerges(s, dir)
       val vocab = graft.llm.BpeOps.wordpieceVocab(docs, "text", 12,
         extraPieces = merges.map(m => m._1 + m._2), fullCharCoverage = false)
       graft.llm.BpeOps.wordpieceEncode(docs, "text", vocab)
@@ -2228,10 +2268,8 @@ object SparkEntry {
     "llm_unigram_tok" -> ((s, dir) => {
       tune(s)
       val docs = t(s, dir, "documents")
-      import s.implicits._
-      val pieces = graft.llm.UnigramOps.train(docs, "text", umL,
-        umMinFrac.toDouble)
-        .select("piece", "logp").as[(String, Double)].collect().toMap
+      val pieces = unigramTrainRows(s, dir)
+        .map { case (p, _, lp) => p -> lp }.toMap
       graft.llm.UnigramOps.encode(docs, "text", pieces, umL)
         .select(col("doc_id"), col("um_n").as("n_pieces"),
           round(col("um_logp"), 4).as("logp"), col("um_unk").as("n_unk"))
@@ -2244,13 +2282,7 @@ object SparkEntry {
     "llm_unigram_em" -> ((s, dir) => {
       tune(s)
       val docs = t(s, dir, "documents")
-      import s.implicits._
-      val pw = graft.llm.UnigramOps.train(docs, "text", umL,
-        umMinFrac.toDouble)
-        .select("piece", "weight").as[(String, Long)].collect()
-      val tw = pw.map(_._2).sum
-      val probs = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
-      graft.llm.UnigramOps.emRound(docs, "text", probs, umL)
+      graft.llm.UnigramOps.emRound(docs, "text", unigramProbs0(s, dir), umL)
     }),
     // two CHAINED EM rounds — round 2's model is round 1's renormalized
     // (unrounded) expected counts; EmSpec pins that each round is
@@ -2258,22 +2290,7 @@ object SparkEntry {
     "llm_unigram_em2" -> ((s, dir) => {
       tune(s)
       val docs = t(s, dir, "documents")
-      import s.implicits._
-      val pw = graft.llm.UnigramOps.train(docs, "text", umL,
-        umMinFrac.toDouble)
-        .select("piece", "weight").as[(String, Long)].collect()
-      val tw = pw.map(_._2).sum
-      val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
-      // ecq is DECIMAL(38,0); fold in BigInt so the driver-side total
-      // can't wrap either. The divisions stay IEEE-identical to the old
-      // Long path (integer-valued BigInt.toDouble == Long.toDouble).
-      val ec1 = graft.llm.UnigramOps.expectedCounts(docs, "text", probs0, umL)
-        .as[(String, java.math.BigDecimal)].collect()
-        .map { case (p, e) => (p, BigInt(e.toBigInteger)) }
-      val t1 = ec1.map(_._2).sum
-      val probs1 = ec1.map { case (p, e) =>
-        p -> (e.toDouble / t1.toDouble) }.toMap
-      graft.llm.UnigramOps.emRound(docs, "text", probs1, umL)
+      graft.llm.UnigramOps.emRound(docs, "text", unigramProbs1(s, dir), umL)
     }),
     // EM convergence verdict: corpus log-likelihood before and after
     // each of two EM rounds plus the monotonicity flag — EM's defining
@@ -2285,10 +2302,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       import s.implicits._
       val U = graft.llm.UnigramOps
-      val pw = U.train(docs, "text", umL, umMinFrac.toDouble)
-        .select("piece", "weight").as[(String, Long)].collect()
-      val tw = pw.map(_._2).sum
-      val probs0 = pw.map { case (p, w) => p -> (w.toDouble / tw) }.toMap
+      val probs0 = unigramProbs0(s, dir)
       def next(pr: Map[String, Double]) = {
         // ecq is DECIMAL(38,0); BigInt fold keeps the total exact at any
         // scale, and the per-piece division is IEEE-identical to the old
@@ -2299,7 +2313,7 @@ object SparkEntry {
         val te = ec.map(_._2).sum
         ec.map { case (p, e) => p -> (e.toDouble / te.toDouble) }.toMap
       }
-      val probs1 = next(probs0)
+      val probs1 = unigramProbs1(s, dir)
       val probs2 = next(probs1)
       // exact 1e9-scaled integer log-likelihoods: the monotone flag
       // compares integers, the reported values are one IEEE division
@@ -2393,7 +2407,7 @@ object SparkEntry {
     "llm_bpe_fertility" -> ((s, dir) => {
       tune(s)
       val docs = t(s, dir, "documents")
-      val merges = graft.llm.BpeOps.train(docs, "text", bpeM)
+      val merges = sharedBpeMerges(s, dir)
       graft.llm.BpeOps.encode(docs, "text", merges)
         .select(col("lang"), size(col("bpe")).cast("long").as("__t"),
           TextOps.tokenCount(col("text")).cast("long").as("__w"),
@@ -2740,6 +2754,48 @@ object SparkEntry {
 
   /** Merge rounds for the BPE oracle pair. */
   private val bpeM = 6
+
+  /** The 6-merge BPE train shared by llm_bpe_merges/encode/fertility and
+    * llm_wordpiece (r16, [[shared]]): four byte-identical training loops
+    * collapse to one — each query's oracle still replays the full loop. */
+  private def sharedBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    shared(s, dir, "bpe") {
+      graft.llm.BpeOps.train(t(s, dir, "documents"), "text", bpeM)
+    }
+
+  /** The unigram-LM piece table collect shared by llm_unigram_tok/_em/_em2/
+    * _em_ll (r16, [[shared]]): one train, one collect; each caller derives
+    * its own (piece → logp / weight) view from the same rows. */
+  private def unigramTrainRows(s: SparkSession, dir: String)
+      : Array[(String, Long, Double)] =
+    shared(s, dir, "umtrain") {
+      import s.implicits._
+      graft.llm.UnigramOps.train(t(s, dir, "documents"), "text", umL,
+        umMinFrac.toDouble)
+        .select("piece", "weight", "logp").as[(String, Long, Double)].collect()
+    }
+  /** Initial unigram model (renormalized train weights) — the identical
+    * map every caller used to rebuild from its own collect. */
+  private def unigramProbs0(s: SparkSession, dir: String): Map[String, Double] =
+    shared(s, dir, "umprobs0") {
+      val pw = unigramTrainRows(s, dir)
+      val tw = pw.map(_._2).sum
+      pw.map { case (p, w, _) => p -> (w.toDouble / tw) }.toMap
+    }
+  /** Round-1 EM model: expected counts under probs0, renormalized (BigInt
+    * fold — ecq is DECIMAL(38,0); integer-valued BigInt.toDouble ==
+    * Long.toDouble keeps the divisions IEEE-identical to the old path).
+    * Shared by llm_unigram_em2 and llm_unigram_em_ll. */
+  private def unigramProbs1(s: SparkSession, dir: String): Map[String, Double] =
+    shared(s, dir, "umprobs1") {
+      import s.implicits._
+      val ec1 = graft.llm.UnigramOps.expectedCounts(
+          t(s, dir, "documents"), "text", unigramProbs0(s, dir), umL)
+        .as[(String, java.math.BigDecimal)].collect()
+        .map { case (p, e) => (p, BigInt(e.toBigInteger)) }
+      val t1 = ec1.map(_._2).sum
+      ec1.map { case (p, e) => p -> (e.toDouble / t1.toDouble) }.toMap
+    }
 
   /** Shared CTE prefix for the quality oracles: per-doc features (f1)
     * and the composite score q (f, UNROUNDED — callers round). Carries

@@ -50,17 +50,26 @@ object BpeOps {
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false
-    var prevCkpt: Dataset[(Seq[String], Long)] = null
+    var prevMat: Dataset[(Seq[String], Long)] = null
     while (!done && round < numMerges) {
-      val ckpt = words.localCheckpoint() // eager: materialized before prev is dropped
-      if (prevCkpt ne null) prevCkpt.unpersist()
-      prevCkpt = ckpt
-      words = ckpt
+      // ONE job per round (r16): persist + let the argmax job materialize
+      // the round's vocab as a side effect — the old eager localCheckpoint
+      // spent a whole extra job per round materializing first. Lineage
+      // grows one map() per round over a cached relation (linear analysis
+      // cost), so every 8th round still checkpoints to truncate it — at a
+      // production 32k-merge vocabulary the plan stays bounded instead of
+      // accreting 32k map nodes.
+      val mat =
+        if (round % 8 == 7) words.localCheckpoint()
+        else words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      words = mat
       val top = words.flatMap { case (toks, c) =>
         toks.zip(toks.drop(1)).map { case (a, b) => (a, b, c) }
       }.toDF("l", "r", "c").groupBy("l", "r").agg(sum("c").as("wt"))
         .orderBy(col("wt").desc, col("l"), col("r")).limit(1)
-        .as[(String, String, Long)].collect()
+        .as[(String, String, Long)].collect() // materializes `mat`
+      if (prevMat ne null) prevMat.unpersist()
+      prevMat = mat
       top match {
         case Array((l, r, wt)) if wt >= minCount =>
           merges += ((l, r))
@@ -69,7 +78,7 @@ object BpeOps {
       }
       round += 1
     }
-    if (prevCkpt ne null) prevCkpt.unpersist()
+    if (prevMat ne null) prevMat.unpersist()
     merges.result()
   }
 

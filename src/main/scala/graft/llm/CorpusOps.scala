@@ -1093,9 +1093,12 @@ object CorpusOps {
     val n1 = s1cp.count()
     val s2 = s1cp.filter(col("__l")).select(col(idCol), col(textCol))
     val n2 = s2.count()
-    val reps = s2.select(md5(col(textCol)).as("__h"), col(idCol))
-      .groupBy("__h").agg(min(col(idCol)).as(idCol))
-    val s3 = s2.join(reps, Seq(idCol), "left_semi")
+    // exact-dedup SURVIVOR COUNT == number of distinct text digests: the
+    // min-id-per-digest semi-join kept exactly one doc per digest, so the
+    // count never needed the groupBy + join it used to pay (r16 — one
+    // partial-aggregating scan replaces two Exchanges and a semi-join; the
+    // per-doc keep/drop decision itself is still what llm_dedup_exact pins)
+    val n3 = s2.agg(count_distinct(md5(col(textCol)))).head().getLong(0)
     val s4 = DedupOps.dedupNear(s2, textCol, idCol, shingleK = 3,
         bands = 8, rowsPerBand = 4, threshold = 0.4, md5Mode = true)
       .localCheckpoint(true)
@@ -1105,7 +1108,7 @@ object CorpusOps {
       Row(0, "raw", n0),
       Row(1, "rules", n1),
       Row(2, "lang_en", n2),
-      Row(3, "exact_dedup", s3.count()),
+      Row(3, "exact_dedup", n3),
       Row(4, "near_dedup", s4.count()),
       Row(5, "decontaminated", s5.count()))
     val schema = StructType(Seq(

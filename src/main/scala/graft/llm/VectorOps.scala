@@ -996,13 +996,22 @@ object VectorOps {
     * on clustered data it converges to near-exact graphs (AnnSpec pins
     * both). Returns (src, nn_id, sim, rank). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2, maxRev: Int = 0, sample: Int = 0): DataFrame = {
-    require(iters >= 1, "knnGraph needs at least one NN-Descent round")
-    val spark = df.sparkSession
-    val mrev = if (maxRev > 0) maxRev else 2 * k
-    val vecs = spread(df).select(col(idCol).cast(LongType).as("id"),
+      iters: Int = 2, maxRev: Int = 0, sample: Int = 0): DataFrame =
+    knnGraphOn(spread(df).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
-      .localCheckpoint()
+      .localCheckpoint(), k, iters, maxRev, sample)
+
+  /** [[knnGraph]] over an ALREADY normalized, materialized `(id, __v)`
+    * frame — [[graphSave]] computes exactly that frame for its vectors
+    * table, so the descent must not repeat the spread + normalize +
+    * checkpoint pass (r16: one corpus pass saved per index build; the
+    * values are identical because it is the same normalize expression over
+    * the same corpus). */
+  private[llm] def knnGraphOn(vecs: DataFrame, k: Int,
+      iters: Int, maxRev: Int, sample: Int): DataFrame = {
+    require(iters >= 1, "knnGraph needs at least one NN-Descent round")
+    val spark = vecs.sparkSession
+    val mrev = if (maxRev > 0) maxRev else 2 * k
     // The scoring joins are the round's data movement: without a hint,
     // each round shuffles every candidate row TWICE, the second time
     // carrying the already-joined src vector (~0.5 KB/row — measured
@@ -1035,16 +1044,27 @@ object VectorOps {
           lit(":"), col("nbr").cast(StringType))), col("nbr"))
       val revCapped = rev.withColumn("__rrk", row_number().over(wRev))
         .filter(col("__rrk") <= mrev).drop("__rrk")
-      val uAll = edges.union(revCapped).distinct()
       val u =
-        if (sample <= 0) uAll
-        else { // ρ-sample the join list, re-drawn per round via the hash
+        if (sample <= 0) edges.union(revCapped).distinct()
+        else { // ρ-sample the join list, re-drawn per round via the hash.
+          // Dedup fused into the sampling window (r16: the separate
+          // .distinct() cost an extra Exchange per round): a (src, nbr)
+          // present both forward and reversed yields two identical rows,
+          // ADJACENT under orderBy(hash, nbr) since the hash is a function
+          // of (r, src, nbr) — lag(nbr) == nbr marks the copy, and
+          // dense_rank (tying only on those identical keys) equals
+          // row_number-among-distinct-nbrs, so the sampled set is exactly
+          // the one distinct() + row_number kept.
           val wU = Window.partitionBy(col("src")).orderBy(
             DedupOps.md5Lower63(concat(lit(s"knnu:$r:"),
               col("src").cast(StringType), lit(":"),
               col("nbr").cast(StringType))), col("nbr"))
-          uAll.withColumn("__urk", row_number().over(wU))
-            .filter(col("__urk") <= sample).drop("__urk")
+          edges.union(revCapped)
+            .withColumn("__urk", dense_rank().over(wU))
+            .withColumn("__up", lag(col("nbr"), 1).over(wU))
+            .filter(col("__urk") <= sample &&
+              (col("__up").isNull || col("__up") =!= col("nbr")))
+            .drop("__urk", "__up")
         }
       val u2 = u.toDF("__src2", "__nbr2")
       val cand = u.join(u2, col("nbr") === col("__src2"))
@@ -1152,50 +1172,87 @@ object VectorOps {
     // same byte-budget broadcast guard as knnGraph: candidate rows stay
     // map-side instead of shuffling per-round against the vector table
     val vSide = maybeBroadcastVecs(vecs)
-    beamRounds(_ => vSide, checkpointCand = false,
-      queries, qIdCol, qVecCol, entry, _ => edges, k, beam, rounds)
+    beamRounds((_, _) => vSide, checkpointCand = false,
+      queries, qIdCol, qVecCol, entry, (_, _) => edges, k, beam, rounds)
   }
 
   /** The synchronous beam shared by the inline [[graphSearchTopK]] and the
     * persisted [[graphServe]] — `edgesFor` maps each round's frontier
-    * (query_id, id) to the adjacency rows to expand with, and `vecsFor`
-    * maps a frame of candidate ids (column `id`) to the `(id, __v)` vector
-    * rows that score them (any superset of the requested ids is fine — the
-    * join restricts). Both closures let the served path read ONLY the
-    * graph/vector partitions a round touches. `checkpointCand` materializes
-    * each round's candidate-id frame before scoring so a served `vecsFor`
-    * can collect its partition ids without re-executing the frontier-edges
-    * join; the inline path passes false and keeps today's one-job-per-round
-    * plan shape. */
-  private def beamRounds(vecsFor: DataFrame => DataFrame,
+    * (query_id, id) plus that frame's layout-partition ids to the adjacency
+    * rows to expand with, and `vecsFor` maps a frame of candidate ids
+    * (column `id`) plus ITS partition ids to the `(id, __v)` vector rows
+    * that score them (any superset of the requested ids is fine — the join
+    * restricts). Both let the served path read ONLY the graph/vector
+    * partitions a round touches. `checkpointCand` materializes each round's
+    * candidate-id frame before scoring so the pruned reads never re-execute
+    * the frontier-edges join; the inline path passes false and ignores the
+    * parts. `partIdOf` (Some on the served path) maps an id column to its
+    * pmod partition: the partition ids are then OBSERVED inside the very
+    * job that materializes each frame (r16 — the old design ran a separate
+    * distinct().collect() job per round per table, ~2 extra jobs/round; an
+    * `Observation` rides along at metadata scale, ≤ nParts ints). */
+  private def beamRounds(vecsFor: (DataFrame, Seq[Long]) => DataFrame,
       checkpointCand: Boolean, queries: DataFrame,
       qIdCol: String, qVecCol: String, entry: DataFrame,
-      edgesFor: DataFrame => DataFrame,
-      k: Int, beam: Int, rounds: Int): DataFrame = {
+      edgesFor: (DataFrame, Seq[Long]) => DataFrame,
+      k: Int, beam: Int, rounds: Int,
+      partIdOf: Option[Column => Column] = None): DataFrame = {
     require(k <= beam, "k must not exceed the beam width")
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
-    def keepBeam(df: DataFrame): DataFrame =
-      df.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= beam).drop("__r").localCheckpoint()
-    var cur = keepBeam(q.crossJoin(broadcast(entry))
-      .join(vecsFor(entry), "id")
+    // localCheckpoint + the frame's partition ids in ONE action: the
+    // Observation's collect_set aggregate is computed by the checkpoint job
+    // itself and read back after it completes (bounded: values are pmod
+    // results, ≤ nParts distinct ints).
+    def ckptWithParts(df: DataFrame): (DataFrame, Seq[Long]) = partIdOf match {
+      case Some(p) =>
+        val obs = org.apache.spark.sql.Observation()
+        val ck = df.observe(obs, collect_set(p(col("id"))).as("parts"))
+          .localCheckpoint()
+        val parts = obs.get("parts").asInstanceOf[scala.collection.Seq[Any]]
+          .map { case l: Long => l }.toSeq.sorted
+        (ck, parts)
+      case None => (df.localCheckpoint(), Nil)
+    }
+    // Dedup + beam cap in ONE window pass (r16 optimization: the old
+    // dropDuplicates("query_id","id") + row_number() pair cost two
+    // Exchanges per round). Duplicate (query_id, id) rows are bitwise-
+    // identical — sim is the same deterministic dot over the same stored
+    // vector — so they are ADJACENT under orderBy(sim desc, id):
+    // lag(id) == id marks every copy after the first, and dense_rank
+    // (which ties only on identical (sim, id), i.e. exactly those copies)
+    // equals row_number-among-distinct-ids. Kept set is provably the one
+    // dropDuplicates + row_number kept; one hash partitioning replaces two.
+    def keepBeam(df: DataFrame): (DataFrame, Seq[Long]) =
+      ckptWithParts(df.withColumn("__r", dense_rank().over(w))
+        .withColumn("__p", lag(col("id"), 1).over(w))
+        .filter(col("__r") <= beam &&
+          (col("__p").isNull || col("__p") =!= col("id")))
+        .drop("__r", "__p"))
+    // the entry frame is metadata-scale (≤ entryPool rows) — its parts come
+    // from one tiny collect rather than an observe (it is never checkpointed)
+    val entryParts = partIdOf.map(p => entry
+      .select(p(col("id")).as("__part")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted).getOrElse(Nil)
+    var (cur, curParts) = keepBeam(q.crossJoin(broadcast(entry))
+      .join(vecsFor(entry, entryParts), "id")
       .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v"))
     for (_ <- 1 to rounds) {
       val frontier = cur.select(col("query_id"), col("id"))
       val candIds0 = frontier
-        .join(edgesFor(frontier), col("id") === col("src"))
+        .join(edgesFor(frontier, curParts), col("id") === col("src"))
         .select(col("query_id"), col("nbr").as("id")).distinct()
-      val candIds =
-        if (checkpointCand) candIds0.localCheckpoint() else candIds0
+      val (candIds, candParts) =
+        if (checkpointCand) ckptWithParts(candIds0) else (candIds0, Nil)
       val cand = candIds
-        .join(q, "query_id").join(vecsFor(candIds), "id")
+        .join(q, "query_id").join(vecsFor(candIds, candParts), "id")
         .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v")
       val prev = cur
-      cur = keepBeam(cur.unionByName(cand)
-        .dropDuplicates("query_id", "id"))
+      val next = keepBeam(cur.unionByName(cand))
+      cur = next._1
+      curParts = next._2
       prev.unpersist()
       if (checkpointCand) candIds.unpersist()
     }
@@ -1227,34 +1284,43 @@ object VectorOps {
     * candidate set ([[graphVecsForParts]]); neither leg scans the corpus. */
   def graphSave(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, iters: Int = 2, maxRev: Int = 0,
-      sample: Int = 0, nParts: Int = 32, entryPool: Int = 64): Unit = {
-    // one normalization pass feeds BOTH the vectors and entry writes
-    // (uncached it would re-scan the corpus per write); knnGraph runs its
-    // own pass on the RAW corpus — feeding it these already-normalized
-    // vectors would normalize twice and shave ulps off the sims the
-    // inline oracle replays. The two writes run BEFORE the descent so the
-    // checkpointed copy's storage hold window is the two writes, not the
-    // whole O(n·k·iters) build.
+      sample: Int = 0, nParts: Int = 0, entryPool: Int = 64): Unit = {
+    // one normalization pass feeds the vectors write, the entry write AND
+    // the descent ([[knnGraphOn]] — r16: knnGraph used to re-run spread +
+    // normalize + checkpoint on the raw corpus, a whole extra corpus pass
+    // per build; the shared frame is the same normalize expression over the
+    // same corpus, so the sims the inline oracle replays are unchanged).
     val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .localCheckpoint()
+    // Scale-adaptive default layout (r16, guide §6: derive file layout from
+    // input size, not a constant tuned for either local mode or the
+    // cluster): ~128k vectors per partition ≈ 64 MB parquet at dim=64 —
+    // large enough files at any corpus size, fine enough that serve-side
+    // pruning still skips most of a big index (a toy corpus gets the 8-part
+    // floor instead of 32 near-empty directories per table; 1e9 vectors get
+    // 1024 parts ≈ 500 MB each). Explicit nParts still wins when passed;
+    // serving always reads the CHOSEN value back from the meta table, so
+    // the layout can never be mis-pruned.
+    val np = if (nParts > 0) nParts
+      else math.max(8L, math.min(1024L, vecs.count() / 131072L + 1L)).toInt
     vecs.select(col("id"), col("__v").as("vec"))
-      .withColumn("part", pmod(col("id"), lit(nParts.toLong)))
+      .withColumn("part", pmod(col("id"), lit(np.toLong)))
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/vectors")
     vecs.select(col("id"), DedupOps.md5Lower63(
         concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
       .orderBy(col("__e"), col("id")).limit(entryPool)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
-    knnGraph(corpus, idCol, vecCol, k, iters, maxRev, sample)
+    knnGraphOn(vecs, k, iters, maxRev, sample)
       .select(col("src"), col("nn_id").as("nbr"), col("sim"), col("rank"))
-      .withColumn("part", pmod(col("src"), lit(nParts.toLong)))
+      .withColumn("part", pmod(col("src"), lit(np.toLong)))
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/graph")
     // build facts serving MUST agree on: nParts drives partition pruning
     // (a mismatched pmod would silently prune the WRONG partitions) and
     // entryPool bounds the serve-time `entries` parameter
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((nParts, entryPool, k, iters, maxRev, sample))
+    Seq((np, entryPool, k, iters, maxRev, sample))
       .toDF("nParts", "entryPool", "k", "iters", "maxRev", "sample")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -1289,27 +1355,20 @@ object VectorOps {
         s"by graphSave at $path — rebuild with a larger pool or lower entries")
     val entry = spark.read.parquet(s"$path/entry")
       .orderBy(col("__e"), col("id")).limit(entries).select("id")
-    val edgesFor = (frontier: DataFrame) =>
-      graphEdgesForParts(spark, path, pmodPartsOf(frontier, nParts))
-    // the vectors leg is pruned the same way the graph leg is: each round
-    // reads only the pmod(id, nParts) partitions its candidate ids map to
-    // (the candidate frame is checkpointed first, so the partition-id
-    // collect is metadata-scale, not a re-execution of the frontier join).
+    // both legs are pruned reads: each round reads only the pmod(id, nParts)
+    // partitions its frontier / candidate set maps to. The partition ids
+    // arrive via beamRounds' partIdOf observation — computed inside the jobs
+    // that materialize each round's frames, never a separate collect pass.
     // Saved vectors are already normalized — re-normalizing would shave
     // ulps (||v|| is 1±ε after the first pass) and break served==inline.
-    val vecsFor = (ids: DataFrame) =>
-      graphVecsForParts(spark, path, pmodPartsOf(ids, nParts))
+    val edgesFor = (_: DataFrame, parts: Seq[Long]) =>
+      graphEdgesForParts(spark, path, parts)
+    val vecsFor = (_: DataFrame, parts: Seq[Long]) =>
+      graphVecsForParts(spark, path, parts)
     beamRounds(vecsFor, checkpointCand = true,
-      queries, qIdCol, qVecCol, entry, edgesFor, k, beam, rounds)
+      queries, qIdCol, qVecCol, entry, edgesFor, k, beam, rounds,
+      partIdOf = Some(c => pmod(c, lit(nParts.toLong))))
   }
-
-  /** The ONE partition-mapping used by every pruned read and write of a
-    * [[graphSave]] layout — serve-side pruning and upsert-side rewrites
-    * must never disagree on it (a mismatched pmod silently prunes the
-    * wrong partitions). Collects ≤ nParts distinct ints: metadata-scale. */
-  private def pmodPartsOf(ids: DataFrame, nParts: Int): Seq[Long] = ids
-    .select(pmod(col("id"), lit(nParts.toLong)).as("part"))
-    .distinct().collect().map(_.getLong(0)).toSeq
 
   /** Incrementally insert `newVecs` into a [[graphSave]] index WITHOUT the
     * O(n·k·iters) full rebuild (r15 verdict #5: a 100 TB corpus grows
@@ -1348,9 +1407,17 @@ object VectorOps {
     val nParts = meta.getAs[Int]("nParts")
     val entryPool = meta.getAs[Int]("entryPool")
     val k = meta.getAs[Int]("k")
+    // the arrival batch's partition ids ride the checkpoint job as an
+    // Observation (r16: was a separate distinct().collect() pass) — ≤
+    // nParts ints, metadata-scale
+    val nvObs = org.apache.spark.sql.Observation()
     val nv = spread(newVecs).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+      .observe(nvObs,
+        collect_set(pmod(col("id"), lit(nParts.toLong))).as("parts"))
       .localCheckpoint()
+    val newParts = nvObs.get("parts").asInstanceOf[scala.collection.Seq[Any]]
+      .map { case l: Long => l }.toSeq.sorted
     // refuse, don't corrupt — BOTH collision classes: an id duplicated
     // WITHIN the arrival batch would append two vector rows for one id
     // (duplicate join candidates, rebuild-equality broken) just as
@@ -1360,8 +1427,6 @@ object VectorOps {
       s"graphUpsert: the arrival batch contains duplicate ids " +
         s"(${counts.getLong(0)} rows, ${counts.getLong(1)} distinct) — " +
         "deduplicate arrivals before upserting")
-    def partsOf(ids: DataFrame): Seq[Long] = pmodPartsOf(ids, nParts)
-    val newParts = partsOf(nv)
     require(graphVecsForParts(spark, path, newParts).select("id")
         .join(nv.select("id"), "id").limit(1).count() == 0,
       s"graphUpsert: some new ids already exist in the index at $path — " +
@@ -1397,10 +1462,14 @@ object VectorOps {
     // 3. touched old nodes merge the reverse edges into their stored top-k
     val revCand = newOld.select(col("nbr").as("src"), col("src").as("nbr"),
       col("sim"))
+    val toObs = org.apache.spark.sql.Observation()
     val touchedOld = revCand.select(col("src").as("id")).distinct()
+      .observe(toObs,
+        collect_set(pmod(col("id"), lit(nParts.toLong))).as("parts"))
       .localCheckpoint()
-    val touchedParts =
-      (newParts ++ partsOf(touchedOld)).distinct.sorted
+    val touchedOldParts = toObs.get("parts")
+      .asInstanceOf[scala.collection.Seq[Any]].map { case l: Long => l }.toSeq
+    val touchedParts = (newParts ++ touchedOldParts).distinct.sorted
     val oldRows = spark.read.parquet(s"$path/graph")
       .filter(col("part").isin(touchedParts: _*))
       .select(col("src"), col("nbr"), col("sim"), col("rank"))

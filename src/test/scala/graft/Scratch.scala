@@ -449,6 +449,167 @@ object Scratch {
         println(s"ANNINIT run$r edges=${edges.count()}")
       }
     }
+    else if (args(0) == "upsertparts") {
+      // upsertparts <sfDir>: cold llm_ann_graph_upsert cost anatomy —
+      // graphSave(400) vs graphUpsert(100) vs the query's own serve +
+      // brute ground truth. Warmup job first to exclude first-job cost.
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      for (r <- 1 to 2) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_upsertparts").toString
+        var t0 = System.nanoTime()
+        def lap(tag: String): Unit = {
+          val t1 = System.nanoTime()
+          println(f"UPSERTPARTS run$r $tag ${(t1 - t0) / 1e9}%.2f s"); t0 = t1
+        }
+        graft.llm.VectorOps.graphSave(
+          emb.filter(col("vec_id") >= 100), "vec_id", "embedding", path,
+          k = 5, iters = 2, maxRev = 10, sample = 8, nParts = 8)
+        lap("graphSave_400")
+        graft.llm.VectorOps.graphUpsert(spark, path,
+          emb.filter(col("vec_id") < 100), "vec_id", "embedding")
+        lap("graphUpsert_100")
+        val fresh = emb.filter(col("vec_id") < 100)
+        val exact = graft.llm.VectorOps.bruteTopK(emb, "vec_id", "embedding",
+          fresh, "vec_id", "embedding", k = 5)
+        exact.count(); lap("bruteTopK")
+        val served = graft.llm.VectorOps.graphServe(spark, path, fresh,
+          "vec_id", "embedding", k = 5, beam = 12, rounds = 3, entries = 8)
+        served.count(); lap("serve_100q")
+        val nf = spark.read.parquet(s"$path/graph")
+          .filter(col("src") >= 100 && col("nbr") < 100)
+          .agg(count(lit(1))).head().getLong(0)
+        lap(s"adjacency_scan(nf=$nf)")
+      }
+    }
+    else if (args(0) == "beamplan") {
+      // beamplan <outDir>: dump the physical plan of ONE beam round's
+      // keep-top-beam step, in the pre-r16 formulation (dropDuplicates +
+      // row_number = two hash Exchanges) and the r16 fused formulation
+      // (dense_rank + lag in one window = one Exchange), over the same
+      // representative input — the committed evidence for the plan claim
+      // (the executed beam is invisible from outside: each round
+      // localCheckpoints, so returned plans start at an RDD scan).
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val out = args(1)
+      val df = spark.range(12000)
+        .select((col("id") % 500).as("query_id"), (col("id") % 900).as("id"),
+          (col("id") % 97).cast("double").as("sim"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("id"))
+      val before = df.dropDuplicates("query_id", "id")
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= 12).drop("__r")
+      val after = df.withColumn("__r", dense_rank().over(w))
+        .withColumn("__p", lag(col("id"), 1).over(w))
+        .filter(col("__r") <= 12 &&
+          (col("__p").isNull || col("__p") =!= col("id")))
+        .drop("__r", "__p")
+      def dump(d: org.apache.spark.sql.DataFrame, f: String): Unit =
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+          d.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      dump(before, s"$out/beam_round_before.txt")
+      dump(after, s"$out/beam_round_after.txt")
+      println("BEAMPLAN dumped to " + out)
+    }
+    else if (args(0) == "aqeprobe") {
+      // aqeprobe: does AQE coalesce the tiny window/dedup shuffles the beam
+      // rounds and graph builds are made of, and how many partitions does a
+      // localCheckpoint of such a frame carry into downstream jobs?
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      println("adaptive.enabled=" + spark.conf.get("spark.sql.adaptive.enabled")
+        + " coalescePartitions=" +
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        + " shuffle.partitions=" + spark.conf.get("spark.sql.shuffle.partitions"))
+      val df = spark.range(6000)
+        .select((col("id") % 500).as("query_id"), col("id").as("id"),
+          rand(7).as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+      val kept = df.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= 12).drop("__r")
+      val ck = kept.localCheckpoint()
+      println("checkpointed partitions=" + ck.rdd.getNumPartitions)
+      val dd = df.dropDuplicates("query_id", "id")
+      println("dropDup partitions=" + dd.rdd.getNumPartitions)
+      val t0 = System.nanoTime()
+      ck.select(pmod(col("id"), lit(8L)).as("p")).distinct().collect()
+      println(f"partsOf-job ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t1 = System.nanoTime()
+      ck.count()
+      println(f"count-job ${(System.nanoTime() - t1) / 1e9}%.3f s")
+      // does an Observation fire on localCheckpoint(eager), with a bounded
+      // wait? (the fused partsOf design depends on it)
+      val obs = org.apache.spark.sql.Observation("parts")
+      val ck2 = kept.observe(obs, collect_set(pmod(col("id"), lit(8L))))
+        .localCheckpoint()
+      val got = obs.getAsJava // blocks until the action's metrics arrive
+      println("observe-on-checkpoint parts=" + got)
+      println("ck2 partitions=" + ck2.rdd.getNumPartitions)
+    }
+    else if (args(0) == "gsaveparts") {
+      // gsaveparts <sfDir>: cold graphSave+graphServe cost anatomy on the
+      // FIXED 500-doc slice (the bench's savedRecallGraph shape) — where do
+      // the ~20 s of cold time go? A warmup job first so JVM/Spark first-job
+      // cost is excluded from the laps.
+      import org.apache.spark.sql.functions._
+      val dir = args(1)
+      spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 500)
+      for (r <- 1 to 2) {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_gsaveparts").toString
+        var t0 = System.nanoTime()
+        def lap(tag: String): Unit = {
+          val t1 = System.nanoTime()
+          println(f"GSAVEPARTS run$r $tag ${(t1 - t0) / 1e9}%.2f s"); t0 = t1
+        }
+        // --- graphSave body, inlined for lap boundaries ---
+        import org.apache.spark.sql.types._
+        val vecs = emb.repartition(32)
+          .select(col("vec_id").cast(LongType).as("id"),
+            graft.llm.VectorOps.normalize(
+              col("embedding").cast(ArrayType(DoubleType))).as("__v"))
+          .localCheckpoint()
+        lap("vecs_checkpoint")
+        vecs.select(col("id"), col("__v").as("vec"))
+          .withColumn("part", pmod(col("id"), lit(8L)))
+          .write.mode("overwrite").partitionBy("part").parquet(s"$idx/vectors")
+        lap("vectors_write")
+        vecs.select(col("id"), graft.llm.DedupOps.md5Lower63(
+            concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
+          .orderBy(col("__e"), col("id")).limit(64)
+          .coalesce(1).write.mode("overwrite").parquet(s"$idx/entry")
+        lap("entry_write")
+        val g = graft.llm.VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 5, iters = 2, maxRev = 10, sample = 8)
+        g.select(col("src"), col("nn_id").as("nbr"), col("sim"), col("rank"))
+          .withColumn("part", pmod(col("src"), lit(8L)))
+          .write.mode("overwrite").partitionBy("part").parquet(s"$idx/graph")
+        lap("knngraph_plus_write")
+        import spark.implicits._
+        Seq((8, 64, 5, 2, 10, 8))
+          .toDF("nParts", "entryPool", "k", "iters", "maxRev", "sample")
+          .coalesce(1).write.mode("overwrite").parquet(s"$idx/meta")
+        lap("meta_write")
+        val served = graft.llm.VectorOps.graphServe(spark, idx,
+          emb, "vec_id", "embedding", k = 5, beam = 12, rounds = 3,
+          entries = 8).count()
+        lap(s"serve_500q_cold(rows=$served)")
+        graft.llm.VectorOps.graphServe(spark, idx,
+          emb, "vec_id", "embedding", k = 5, beam = 12, rounds = 3,
+          entries = 8).count()
+        lap("serve_500q_warm")
+      }
+    }
     else if (args(0) == "funnelparts") { // funnelparts <sfDir>: stage-1 cost anatomy
       import org.apache.spark.sql.functions._
       val dir = args(1)
