@@ -1173,7 +1173,8 @@ object VectorOps {
     // map-side instead of shuffling per-round against the vector table
     val vSide = maybeBroadcastVecs(vecs)
     beamRounds((_, _) => vSide, checkpointCand = false,
-      queries, qIdCol, qVecCol, entry, (_, _) => edges, k, beam, rounds)
+      queries, qIdCol, qVecCol, entry, (_, _) => edges, k, beam, rounds,
+      entryCount = entries)
   }
 
   /** The synchronous beam shared by the inline [[graphSearchTopK]] and the
@@ -1196,7 +1197,9 @@ object VectorOps {
       qIdCol: String, qVecCol: String, entry: DataFrame,
       edgesFor: (DataFrame, Seq[Long]) => DataFrame,
       k: Int, beam: Int, rounds: Int,
-      partIdOf: Option[Column => Column] = None): DataFrame = {
+      partIdOf: Option[Column => Column] = None,
+      entryCount: Int = Int.MaxValue,
+      entryPartsPre: Option[Seq[Long]] = None): DataFrame = {
     require(k <= beam, "k must not exceed the beam width")
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
@@ -1232,13 +1235,22 @@ object VectorOps {
           (col("__p").isNull || col("__p") =!= col("id")))
         .drop("__r", "__p"))
     // the entry frame is metadata-scale (≤ entryPool rows) — its parts come
-    // from one tiny collect rather than an observe (it is never checkpointed)
-    val entryParts = partIdOf.map(p => entry
+    // precomputed from the caller (graphServe collects the entry ids once,
+    // driver-side) or from one tiny collect (never an observe: the entry
+    // frame is not checkpointed)
+    val entryParts = entryPartsPre.getOrElse(partIdOf.map(p => entry
       .select(p(col("id")).as("__part")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted).getOrElse(Nil)
-    var (cur, curParts) = keepBeam(q.crossJoin(broadcast(entry))
+      .collect().map(_.getLong(0)).toSeq.sorted).getOrElse(Nil))
+    val entryScored = q.crossJoin(broadcast(entry))
       .join(vecsFor(entry, entryParts), "id")
-      .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v"))
+      .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v")
+    // when the entry pool fits the beam the init window is a NO-OP (each
+    // query holds at most `entryCount` DISTINCT candidates, so the cap
+    // filter passes every row and there is nothing to dedup) — skip its
+    // Exchange+Sort outright (r16); entryCount > beam keeps the cap
+    var (cur, curParts) =
+      if (entryCount <= beam) ckptWithParts(entryScored)
+      else keepBeam(entryScored)
     for (_ <- 1 to rounds) {
       val frontier = cur.select(col("query_id"), col("id"))
       val candIds0 = frontier
@@ -1353,8 +1365,18 @@ object VectorOps {
     require(entries <= entryPool,
       s"entries=$entries exceeds the $entryPool entry candidates persisted " +
         s"by graphSave at $path — rebuild with a larger pool or lower entries")
-    val entry = spark.read.parquet(s"$path/entry")
+    // the entry table is metadata-scale BY BUILD CONTRACT (≤ entryPool
+    // rows): collect the chosen prefix once — the local relation feeds the
+    // init crossJoin broadcast directly and the entry partition set is
+    // computed driver-side (pmod == floorMod for a positive divisor), so
+    // serving spends no Spark job on entry bookkeeping (r16).
+    val entryIds = spark.read.parquet(s"$path/entry")
       .orderBy(col("__e"), col("id")).limit(entries).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    val entry = entryIds.toDF("id")
+    val entryParts =
+      entryIds.map(i => java.lang.Math.floorMod(i, nParts.toLong)).distinct.sorted
     // both legs are pruned reads: each round reads only the pmod(id, nParts)
     // partitions its frontier / candidate set maps to. The partition ids
     // arrive via beamRounds' partIdOf observation — computed inside the jobs
@@ -1367,7 +1389,8 @@ object VectorOps {
       graphVecsForParts(spark, path, parts)
     beamRounds(vecsFor, checkpointCand = true,
       queries, qIdCol, qVecCol, entry, edgesFor, k, beam, rounds,
-      partIdOf = Some(c => pmod(c, lit(nParts.toLong))))
+      partIdOf = Some(c => pmod(c, lit(nParts.toLong))),
+      entryCount = entries, entryPartsPre = Some(entryParts))
   }
 
   /** Incrementally insert `newVecs` into a [[graphSave]] index WITHOUT the
