@@ -19,6 +19,19 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1d }
 
+  /** (stealTicks, totalTicks) from /proc/stat's aggregate cpu line —
+    * hypervisor STEAL is the one load source neither load1 nor otherJvms
+    * can see (r16: same-tree quiet-stamped runs spread 53.8-90.6 s while
+    * /proc/stat showed heavy steal), so the artifact embeds the steal
+    * fraction measured across its own run. (-1, -1) when unreadable. */
+  private def stealTicks(): (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1)
+        .map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** Live JVMs on the box OTHER than this one and its ancestors —
     * concurrent sbt/Spark JVMs are the proven 35-40% cross-round drift
     * source (r14 A/B). Ancestors are excluded (r15 advice): the sbt
@@ -87,6 +100,7 @@ object Bench {
     }
     val startLoad1 = load1()
     val startJvms = otherJvms()
+    val startSteal = stealTicks()
     // BOTH components gate the stamp (r15 advice: momentarily-idle foreign
     // JVMs passed a load-only predicate, then woke up mid-measure)
     val quiet = startLoad1 >= 0 && startLoad1 <= 1.5 && startJvms == 0
@@ -131,8 +145,13 @@ object Bench {
     val total = (System.nanoTime() - t0) / 1e9
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val (stealEnd, totEnd) = stealTicks()
+    val stealPct =
+      if (startSteal._1 < 0 || stealEnd < 0 || totEnd <= startSteal._2) -1d
+      else 100d * (stealEnd - startSteal._1) / (totEnd - startSteal._2)
     val loadEvidence =
-      s""""load1":$startLoad1,"other_jvms":$startJvms,"load1_end":${load1()},"quiet":$quiet"""
+      s""""load1":$startLoad1,"other_jvms":$startJvms,"load1_end":${load1()},""" +
+        s""""steal_pct":${math.round(stealPct * 100) / 100d},"quiet":$quiet"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",$loadEvidence,"queries":$qs,"sf":"$sfDir"}""")
     // Per-query walls above are CONTENTION artifacts (the whole set shares
     // the executor): re-time the slowest 8 SEQUENTIALLY (warm plans) so the

@@ -440,6 +440,11 @@ object MultimodalOps {
     * pairs through connected components. Returns (media_id, cluster) with
     * cluster = min member id; keep `media_id == cluster` to dedup. */
   def imageDupClusters(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    // NOT persisted (r16 measured): although `hashed` feeds several
+    // subtrees, clustersLogD checkpoints the union in its first job, so the
+    // decode subtree executes once either way — adding persist here
+    // measured SLOWER (5.2 → 6.6 s warm at sf0.1), cache-write overhead
+    // for no avoided work.
     val reps = hashed.groupBy("ahash").agg(min("media_id").as("rep"))
     val memberEdges = hashed.join(reps, "ahash")
       .filter(col("media_id") =!= col("rep"))

@@ -604,8 +604,14 @@ object VectorOps {
     // vectors d (a 10⁴× cut on a 100x-replicated corpus; real dedup
     // corpora are duplicate-heavy by definition). The expansion emits
     // only id/id/cos rows — the op's contract — never vectors.
+    // persisted (r16): several subtrees scan this aggregate (rep sides,
+    // both cross-group re-joins, the self expansion) — unpersisted, the
+    // plan recomputed the spread + groupBy(__v) per scan (audit:
+    // plans/r16/llm_embed_neardup_audit.txt counted 5 copies of the
+    // HashAggregate+Exchange pair; one compute + cached reads replace them)
     val grp = n.groupBy(col("__v"))
       .agg(min(col("__id")).as("__id"), collect_list(col("__id")).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = grp.select(col("__id"), col("__v"))
     val a = reps.select(col("__id").as("id_a"), col("__v").as("__va"))
     val b = reps.select(col("__id").as("id_b"), col("__v").as("__vb"))
@@ -655,8 +661,14 @@ object VectorOps {
     // representatives do. The expansion itself is Θ(Σ|group|²) rows —
     // that is the op's CONTRACT (it emits every qualifying pair), but the
     // expanded rows are id/id/cos only, never vectors.
+    // persisted (r16): several subtrees scan this aggregate (rep sides,
+    // both cross-group re-joins, the self expansion) — unpersisted, the
+    // plan recomputed the spread + groupBy(__v) per scan (audit:
+    // plans/r16/llm_embed_neardup_audit.txt counted 5 copies of the
+    // HashAggregate+Exchange pair; one compute + cached reads replace them)
     val grp = n.groupBy(col("__v"))
       .agg(min(col("__id")).as("__id"), collect_list(col("__id")).as("__ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = grp.select(col("__id"), col("__v"))
     // `bands` independent sign-buckets (disjoint plane sets); a pair is a
     // candidate when ANY band's bucket matches

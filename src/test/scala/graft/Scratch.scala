@@ -28,6 +28,24 @@ object Scratch {
         println(f"TIME ${args(1)} run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
+    else if (args(0) == "timeseq") {
+      // timeseq <name,csv|ALL> <sfDir> [reps]: sequential isolated walls for
+      // many queries in ONE warm JVM (run1 = cold plan, run2+ = warm)
+      val dir = args(2)
+      val reps = if (args.length > 3) args(3).toInt else 2
+      val names =
+        if (args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+        else args(1).split(",").toSeq
+      for (name <- names; i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        try {
+          val n = SparkEntry.queries(name)(spark, dir).count()
+          println(f"TIMESEQ $name run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch { case e: Throwable =>
+          println(s"TIMESEQ $name run$i FAILED ${e.getMessage}")
+        }
+      }
+    }
     else if (args(0) == "skewprobe") {
       // skewprobe <name,csv> <dirA> <dirB> [reps]: same queries on a
       // uniform vs a zipf-skewed replica of equal volume (r15 verdict #1)
@@ -518,6 +536,50 @@ object Scratch {
       dump(before, s"$out/beam_round_before.txt")
       dump(after, s"$out/beam_round_after.txt")
       println("BEAMPLAN dumped to " + out)
+    }
+    else if (args(0) == "miscplans") {
+      // miscplans <outDir>: committed plan evidence for the r16 fragment
+      // rewrites whose executed form is invisible from outside (driver-side
+      // scalars / checkpointed loops): the funnel's exact-dedup count and
+      // knnGraph's ρ-sampling window, each in pre-r16 and r16 form over the
+      // same input.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val out = args(1)
+      def dump(d: org.apache.spark.sql.DataFrame, f: String): Unit =
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+          d.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      // ---- funnel exact-dedup count ----
+      val s2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val reps = s2.select(md5(col("text")).as("__h"), col("doc_id"))
+        .groupBy("__h").agg(min(col("doc_id")).as("doc_id"))
+      dump(s2.join(reps, Seq("doc_id"), "left_semi")
+        .groupBy().count(), s"$out/funnel_exactdedup_before.txt")
+      dump(s2.agg(count_distinct(md5(col("text")))),
+        s"$out/funnel_exactdedup_after.txt")
+      // ---- knnGraph ρ-sampling window ----
+      val edges = spark.range(5000)
+        .select((col("id") % 500).as("src"), (col("id") % 37).as("nbr"))
+        .localCheckpoint()
+      val rev = edges.select(col("nbr").as("src"), col("src").as("nbr"))
+      val wU = Window.partitionBy(col("src")).orderBy(
+        graft.llm.DedupOps.md5Lower63(concat(lit("knnu:1:"),
+          col("src").cast("string"), lit(":"),
+          col("nbr").cast("string"))), col("nbr"))
+      dump(edges.union(rev).distinct()
+        .withColumn("__urk", row_number().over(wU))
+        .filter(col("__urk") <= 8).drop("__urk"),
+        s"$out/knn_sample_window_before.txt")
+      dump(edges.union(rev)
+        .withColumn("__urk", dense_rank().over(wU))
+        .withColumn("__up", lag(col("nbr"), 1).over(wU))
+        .filter(col("__urk") <= 8 &&
+          (col("__up").isNull || col("__up") =!= col("nbr")))
+        .drop("__urk", "__up"),
+        s"$out/knn_sample_window_after.txt")
+      println("MISCPLANS dumped to " + out)
     }
     else if (args(0) == "aqeprobe") {
       // aqeprobe: does AQE coalesce the tiny window/dedup shuffles the beam
