@@ -29,7 +29,10 @@ object Bench {
       val f = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1)
         .map(_.toLong)
-      (if (f.length > 7) f(7) else 0L, f.sum)
+      // total = user..steal (first 8 fields) only: guest/guest_nice are
+      // already folded into user/nice by the kernel, so summing them too
+      // double-counts and understates steal_pct (r16 advice)
+      (if (f.length > 7) f(7) else 0L, f.take(8).sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** Live JVMs on the box OTHER than this one and its ancestors —
@@ -115,13 +118,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // cpus/2 workers: per-query wall time is dominated by one-time Janino
-    // codegen + planning (driver-side, parallel across queries), so more
-    // in-flight queries overlap compilation with other queries' execution.
-    // r16 re-measured cpus (32) vs cpus/2 (16) on the shared-build tree:
-    // 16 wins (59.8 s vs 77.7 s same session) — the wider pool adds
-    // driver-side planning contention without adding task parallelism.
-    val pool = Executors.newFixedThreadPool(math.max(4, cpus.toInt / 2))
+    // In-flight query count (guide §2.6: "2-3 jobs in flight is plenty —
+    // enough to fill the tail, not so many that they fight"). r16 ran
+    // cpus/2 (16 at 32 cores) and the driver's 32-core protocol run
+    // regressed to 173.8 s while the SAME tree ran 88.6 s at 8 cores
+    // (pool 4): per-query isolated walls are sub-second, so the wall is
+    // almost pure scheduler/memo-blocking contention, and it grows with
+    // the pool, not with the work. r17 A/B at 32 cores, quiet, same tree:
+    // pool 16 = 92.7 s, pool 6 = see OPTIMIZATION_r17.md — the pool is now
+    // a small constant (6) independent of cores, env-overridable for
+    // probes. More cores then help the queries that can use them instead
+    // of admitting more rivals.
+    val poolN = sys.env.getOrElse("GRAFT_BENCH_POOL", "6").toInt
+    val pool = Executors.newFixedThreadPool(poolN)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // Submission order stays the queries map's own iteration order — r16
     // A/B'd longest-chain-first (classic LPT) against it at equal start
@@ -168,15 +177,19 @@ object Bench {
     }
     val ps = poleSeq.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"poles_seq","unit":"sec","queries":$ps,"sf":"$sfDir"}""")
-    // the driver tail-captures the END of stdout and the first line leads
-    // with the total, so a long per-query map can push it off the capture —
-    // repeat a short total-only line LAST so the total always survives.
+    // poles_seq rides under its OWN key: r15/r16 printed it as a second
+    // "queries" line AFTER the full map, and the driver's parser takes the
+    // LAST queries-bearing line — two rounds of per-query comparison went
+    // blind on an 8-entry shadow map (PERF_r16 n_common=0). The final line
+    // below is now the only "queries" line that follows the full map.
+    println(s"""{"metric":"poles_seq","unit":"sec","poles_seq":$ps,"sf":"$sfDir"}""")
+    // FINAL line = the driver's line: total + the FULL per-query map
+    // (restores the per-query bench contract, r16 verdict #2).
     // sec_per_query normalizes across rounds: the total drifts upward with
     // query-count growth (27.6 s/142 → 43.8 s/213) while per-query wall is
     // flat — compare THIS number round-over-round, not the raw total.
     val secPerQuery = if (results.nonEmpty) total / results.size else 0d
-    println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sec_per_query":$secPerQuery,$loadEvidence,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_sec","value":$total,"unit":"sec","nQueries":${results.size},"sec_per_query":$secPerQuery,$loadEvidence,"queries":$qs,"sf":"$sfDir"}""")
     pool.shutdown()
     spark.stop()
   }

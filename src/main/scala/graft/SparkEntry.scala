@@ -114,8 +114,26 @@ object SparkEntry {
       ()
     })
 
+  // Resolved-table memo (r17): every spark.read.parquet schedules a
+  // 1-task schema-inference job, and the bench's 216 queries re-resolved
+  // their input tables on every call — ~300 serialized driver-side jobs
+  // of pure fixed cost per run (the per-job floor is 0.05-0.3 s on this
+  // harness). A real deployment reads tables through a catalog, which
+  // resolves once; this memo is that catalog. Plan-level only — no data
+  // is cached, every action still scans the parquet. Entries are bounded:
+  // the map is cleared past 512 keys (tests churn short-lived sessions;
+  // re-resolving is the pre-memo behavior, never wrong).
+  private val tableCells =
+    new java.util.concurrent.ConcurrentHashMap[String, LazyCell]()
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     tune(s)
+    if (tableCells.size > 512) tableCells.clear()
+    tableCells.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir:$name",
+      _ => new LazyCell(() => loadTable(s, dir, name)))
+      .value.asInstanceOf[DataFrame]
+  }
+  private def loadTable(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       // testdata generations differ: ts has shipped as TIMESTAMP(NANOS)

@@ -21,6 +21,50 @@ object VectorOps {
     * inner loop. */
   def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
+  /** Resolved graph-index handle, memoized per (session, path) — r17.
+    * A warm 2-round serve was spending ~10 of its ~30 jobs re-resolving
+    * the SAME four immutable-within-a-JVM tables: every
+    * `spark.read.parquet` schedules a 1-task schema job, plus the meta
+    * `head()` and entry `collect()` re-ran per serve. The memo holds the
+    * RESOLVED relations and the two metadata-scale driver values (meta
+    * row, sorted entry pool ≤ entryPool rows); no vector or adjacency
+    * data is cached — every serve still reads its pruned partitions from
+    * parquet. [[graphSave]]/[[graphUpsert]] invalidate the path's entries
+    * after writing (the file set changed), so a stale file index can
+    * never serve. */
+  private final case class GraphIdx(nParts: Int, entryPool: Int, k: Int,
+      entryIdsSorted: Seq[Long], graph: DataFrame, vectors: DataFrame)
+  private final class IdxCell(thunk: () => GraphIdx) {
+    lazy val value: GraphIdx = thunk()
+  }
+  private val idxCells =
+    new java.util.concurrent.ConcurrentHashMap[String, IdxCell]()
+  private def idxKey(spark: org.apache.spark.sql.SparkSession, path: String) =
+    s"${System.identityHashCode(spark)} \u0000 $path"
+  private def invalidateIdx(path: String): Unit =
+    idxCells.keySet.removeIf(_.endsWith("\u0000 " + path))
+  private def loadIdx(spark: org.apache.spark.sql.SparkSession,
+      path: String): GraphIdx = {
+    if (idxCells.size > 256) idxCells.clear() // tests churn sessions/paths
+    idxCells.computeIfAbsent(idxKey(spark, path), _ => new IdxCell(() => {
+      val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+      require(metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(metaPath),
+        s"$path has no meta table — the index predates the meta format " +
+          "(or is not a graphSave index); rebuild it with graphSave")
+      val meta = spark.read.parquet(s"$path/meta").head()
+      // the ENTIRE entry pool (≤ entryPool rows by build contract), in
+      // serve order — each serve takes its `entries` prefix driver-side
+      val entryIds = spark.read.parquet(s"$path/entry")
+        .orderBy(col("__e"), col("id")).select("id")
+        .collect().map(_.getLong(0)).toSeq
+      GraphIdx(meta.getAs[Int]("nParts"), meta.getAs[Int]("entryPool"),
+        meta.getAs[Int]("k"), entryIds,
+        spark.read.parquet(s"$path/graph"),
+        spark.read.parquet(s"$path/vectors"))
+    })).value
+  }
+
   /** Widen an under-partitioned input to the cluster's parallelism before a
     * multi-use materialization. A small embedding table often arrives as ONE
     * parquet row group, so every split but one is empty and the decode +
@@ -42,7 +86,7 @@ object VectorOps {
     * estimate = rows × (dim × 8 B + ~32 B row overhead). Default budget
     * 256 MB, overridable via graft.ann.broadcastVectors.maxBytes. */
   private[graft] def maybeBroadcastVecs(vecs: DataFrame,
-      vecCol: String = "__v"): DataFrame = {
+      vecCol: String = "__v", knownRows: Option[Long] = None): DataFrame = {
     val conf = vecs.sparkSession.conf
     val maxBytes = conf
       .get("graft.ann.broadcastVectors.maxBytes", (256L << 20).toString).toLong
@@ -50,7 +94,9 @@ object VectorOps {
     // tuned it must not silently fall back to the byte budget alone)
     val maxRows = conf
       .get("graft.ann.broadcastVectors.maxRows", Long.MaxValue.toString).toLong
-    val n = vecs.count()
+    // a caller that already counted the frame (graphSave's checkpoint
+    // Observation) passes the count in — one probe job less per build (r17)
+    val n = knownRows.getOrElse(vecs.count())
     // dim probe must skip null vectors: size(null) is null and head.getInt
     // would throw on a null-first table (ADVICE r14)
     val dim = vecs.filter(col(vecCol).isNotNull)
@@ -1020,7 +1066,8 @@ object VectorOps {
     * values are identical because it is the same normalize expression over
     * the same corpus). */
   private[llm] def knnGraphOn(vecs: DataFrame, k: Int,
-      iters: Int, maxRev: Int, sample: Int): DataFrame = {
+      iters: Int, maxRev: Int, sample: Int,
+      knownRows: Option[Long] = None): DataFrame = {
     require(iters >= 1, "knnGraph needs at least one NN-Descent round")
     val spark = vecs.sparkSession
     val mrev = if (maxRev > 0) maxRev else 2 * k
@@ -1031,7 +1078,7 @@ object VectorOps {
     // (n·dim·8 B), so broadcast it and keep the candidate stream map-side;
     // the BYTE-budget guard keeps large or high-dim corpora on shuffle
     // joins (maybeBroadcastVecs).
-    val vSide = maybeBroadcastVecs(vecs)
+    val vSide = maybeBroadcastVecs(vecs, knownRows = knownRows)
     val ranked = graft.operators.GlobalRank.withRank(
       vecs.select(col("id"), DedupOps.md5Lower63(
         concat(lit("knng:"), col("id").cast(StringType))).as("__key")),
@@ -1213,8 +1260,15 @@ object VectorOps {
       entryCount: Int = Int.MaxValue,
       entryPartsPre: Option[Seq[Long]] = None): DataFrame = {
     require(k <= beam, "k must not exceed the beam width")
+    // materialize the normalized query frame ONCE (r17): it joins into the
+    // entry scoring AND every round's candidate scoring, and un-checkpointed
+    // each of those re-ran the full upstream scan (the job trace showed one
+    // whole-corpus scan PER ROUND feeding the q-side broadcast — rounds×
+    // corpus passes at any scale). Values are unchanged: localCheckpoint
+    // stores exactly the doubles the expression computes.
     val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
       normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     // localCheckpoint + the frame's partition ids in ONE action: the
@@ -1240,12 +1294,14 @@ object VectorOps {
     // (which ties only on identical (sim, id), i.e. exactly those copies)
     // equals row_number-among-distinct-ids. Kept set is provably the one
     // dropDuplicates + row_number kept; one hash partitioning replaces two.
-    def keepBeam(df: DataFrame): (DataFrame, Seq[Long]) =
-      ckptWithParts(df.withColumn("__r", dense_rank().over(w))
+    def dedupCap(df: DataFrame): DataFrame =
+      df.withColumn("__r", dense_rank().over(w))
         .withColumn("__p", lag(col("id"), 1).over(w))
         .filter(col("__r") <= beam &&
           (col("__p").isNull || col("__p") =!= col("id")))
-        .drop("__r", "__p"))
+        .drop("__r", "__p")
+    def keepBeam(df: DataFrame): (DataFrame, Seq[Long]) =
+      ckptWithParts(dedupCap(df))
     // the entry frame is metadata-scale (≤ entryPool rows) — its parts come
     // precomputed from the caller (graphServe collects the entry ids once,
     // driver-side) or from one tiny collect (never an observe: the entry
@@ -1263,7 +1319,7 @@ object VectorOps {
     var (cur, curParts) =
       if (entryCount <= beam) ckptWithParts(entryScored)
       else keepBeam(entryScored)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val frontier = cur.select(col("query_id"), col("id"))
       val candIds0 = frontier
         .join(edgesFor(frontier, curParts), col("id") === col("src"))
@@ -1273,12 +1329,25 @@ object VectorOps {
       val cand = candIds
         .join(q, "query_id").join(vecsFor(candIds, candParts), "id")
         .withColumn("sim", dot(col("__q"), col("__v"))).drop("__v")
-      val prev = cur
-      val next = keepBeam(cur.unionByName(cand))
-      cur = next._1
-      curParts = next._2
-      prev.unpersist()
-      if (checkpointCand) candIds.unpersist()
+      val merged = cur.unionByName(cand)
+      if (r == rounds) {
+        // LAST round (r17): nothing downstream reads this frame's
+        // partition set or re-expands it, so its checkpoint job bought
+        // nothing — return the dedup+cap TRANSFORMATION and let the
+        // caller's one action compute it together with the final ranking
+        // (same window key, one Exchange; values identical). The inputs
+        // it still depends on (cur, candIds) stay persisted; the session
+        // cleaner reclaims them.
+        cur = dedupCap(merged)
+        curParts = Nil
+      } else {
+        val prev = cur
+        val next = keepBeam(merged)
+        cur = next._1
+        curParts = next._2
+        prev.unpersist()
+        if (checkpointCand) candIds.unpersist()
+      }
     }
     // corpus-member queries: drop the self-match before the final ranking
     // (matching bruteTopK/ivfTopK/ivfServe); the beam itself may traverse
@@ -1314,9 +1383,15 @@ object VectorOps {
     // normalize + checkpoint on the raw corpus, a whole extra corpus pass
     // per build; the shared frame is the same normalize expression over the
     // same corpus, so the sims the inline oracle replays are unchanged).
+    // the corpus count rides the checkpoint job as an Observation (r17 —
+    // was a separate count() job): it feeds the default layout below AND
+    // saves knnGraphOn's broadcast-budget probe its own count job
+    val cntObs = org.apache.spark.sql.Observation()
     val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
+      .observe(cntObs, count(lit(1)).as("n"))
       .localCheckpoint()
+    val nVecs = cntObs.get("n").asInstanceOf[Long]
     // Scale-adaptive default layout (r16, guide §6: derive file layout from
     // input size, not a constant tuned for either local mode or the
     // cluster): ~128k vectors per partition ≈ 64 MB parquet at dim=64 —
@@ -1327,7 +1402,7 @@ object VectorOps {
     // serving always reads the CHOSEN value back from the meta table, so
     // the layout can never be mis-pruned.
     val np = if (nParts > 0) nParts
-      else math.max(8L, math.min(1024L, vecs.count() / 131072L + 1L)).toInt
+      else math.max(8L, math.min(1024L, nVecs / 131072L + 1L)).toInt
     vecs.select(col("id"), col("__v").as("vec"))
       .withColumn("part", pmod(col("id"), lit(np.toLong)))
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/vectors")
@@ -1335,7 +1410,7 @@ object VectorOps {
         concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
       .orderBy(col("__e"), col("id")).limit(entryPool)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
-    knnGraphOn(vecs, k, iters, maxRev, sample)
+    knnGraphOn(vecs, k, iters, maxRev, sample, knownRows = Some(nVecs))
       .select(col("src"), col("nn_id").as("nbr"), col("sim"), col("rank"))
       .withColumn("part", pmod(col("src"), lit(np.toLong)))
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/graph")
@@ -1347,6 +1422,7 @@ object VectorOps {
     Seq((np, entryPool, k, iters, maxRev, sample))
       .toDF("nParts", "entryPool", "k", "iters", "maxRev", "sample")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    invalidateIdx(path) // the file set under `path` just changed
   }
 
   /** Serve top-k graph-ANN queries from a saved [[graphSave]] index.
@@ -1366,25 +1442,21 @@ object VectorOps {
     // silently drop adjacency (wrong neighbors, no error). Same for the
     // entry pool: asking for more entry points than the build persisted
     // would silently serve a different search than inline.
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    require(metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(metaPath),
-      s"$path has no meta table — the index predates the meta format " +
-        "(or is not a graphSave index); rebuild it with graphSave")
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val nParts = meta.getAs[Int]("nParts")
-    val entryPool = meta.getAs[Int]("entryPool")
-    require(entries <= entryPool,
-      s"entries=$entries exceeds the $entryPool entry candidates persisted " +
+    // Meta row, entry pool and the two table relations come from the
+    // per-(session, path) memo (r17): repeat serves pay ZERO resolution
+    // jobs — the pre-memo path re-ran 4 schema jobs + meta head + entry
+    // collect on every call.
+    val idx = loadIdx(spark, path)
+    val nParts = idx.nParts
+    require(entries <= idx.entryPool,
+      s"entries=$entries exceeds the ${idx.entryPool} entry candidates persisted " +
         s"by graphSave at $path — rebuild with a larger pool or lower entries")
     // the entry table is metadata-scale BY BUILD CONTRACT (≤ entryPool
-    // rows): collect the chosen prefix once — the local relation feeds the
-    // init crossJoin broadcast directly and the entry partition set is
-    // computed driver-side (pmod == floorMod for a positive divisor), so
-    // serving spends no Spark job on entry bookkeeping (r16).
-    val entryIds = spark.read.parquet(s"$path/entry")
-      .orderBy(col("__e"), col("id")).limit(entries).select("id")
-      .collect().map(_.getLong(0)).toSeq
+    // rows): the memoized sorted pool's prefix feeds the init crossJoin
+    // broadcast directly and the entry partition set is computed
+    // driver-side (pmod == floorMod for a positive divisor), so serving
+    // spends no Spark job on entry bookkeeping (r16).
+    val entryIds = idx.entryIdsSorted.take(entries)
     import spark.implicits._
     val entry = entryIds.toDF("id")
     val entryParts =
@@ -1396,9 +1468,11 @@ object VectorOps {
     // Saved vectors are already normalized — re-normalizing would shave
     // ulps (||v|| is 1±ε after the first pass) and break served==inline.
     val edgesFor = (_: DataFrame, parts: Seq[Long]) =>
-      graphEdgesForParts(spark, path, parts)
+      idx.graph.filter(col("part").isin(parts: _*))
+        .select(col("src"), col("nbr"))
     val vecsFor = (_: DataFrame, parts: Seq[Long]) =>
-      graphVecsForParts(spark, path, parts)
+      idx.vectors.filter(col("part").isin(parts: _*))
+        .select(col("id"), col("vec").as("__v"))
     beamRounds(vecsFor, checkpointCand = true,
       queries, qIdCol, qVecCol, entry, edgesFor, k, beam, rounds,
       partIdOf = Some(c => pmod(c, lit(nParts.toLong))),
@@ -1438,10 +1512,10 @@ object VectorOps {
   def graphUpsert(spark: org.apache.spark.sql.SparkSession, path: String,
       newVecs: DataFrame, idCol: String, vecCol: String,
       beam: Int = 12, rounds: Int = 3, entries: Int = 8): Seq[Long] = {
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val nParts = meta.getAs[Int]("nParts")
-    val entryPool = meta.getAs[Int]("entryPool")
-    val k = meta.getAs[Int]("k")
+    val idx = loadIdx(spark, path)
+    val nParts = idx.nParts
+    val entryPool = idx.entryPool
+    val k = idx.k
     // the arrival batch's partition ids ride the checkpoint job as an
     // Observation (r16: was a separate distinct().collect() pass) — ≤
     // nParts ints, metadata-scale
@@ -1462,7 +1536,7 @@ object VectorOps {
       s"graphUpsert: the arrival batch contains duplicate ids " +
         s"(${counts.getLong(0)} rows, ${counts.getLong(1)} distinct) — " +
         "deduplicate arrivals before upserting")
-    require(graphVecsForParts(spark, path, newParts).select("id")
+    require(idx.vectors.filter(col("part").isin(newParts: _*)).select("id")
         .join(nv.select("id"), "id").limit(1).count() == 0,
       s"graphUpsert: some new ids already exist in the index at $path — " +
         "upsert only inserts; rebuild (graphSave) to replace vectors")
@@ -1505,7 +1579,7 @@ object VectorOps {
     val touchedOldParts = toObs.get("parts")
       .asInstanceOf[scala.collection.Seq[Any]].map { case l: Long => l }.toSeq
     val touchedParts = (newParts ++ touchedOldParts).distinct.sorted
-    val oldRows = spark.read.parquet(s"$path/graph")
+    val oldRows = idx.graph
       .filter(col("part").isin(touchedParts: _*))
       .select(col("src"), col("nbr"), col("sim"), col("rank"))
     val touchedSrc = touchedOld.select(col("id").as("src"))
@@ -1535,6 +1609,7 @@ object VectorOps {
       .unionByName(entryNew)
       .orderBy(col("__e"), col("id")).limit(entryPool).localCheckpoint()
     entryMerged.coalesce(1).write.mode("overwrite").parquet(s"$path/entry")
+    invalidateIdx(path) // vectors/graph/entry under `path` all changed
     touchedParts
   }
 

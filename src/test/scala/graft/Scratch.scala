@@ -706,6 +706,57 @@ object Scratch {
           .localCheckpoint(true).count())
       }
     }
+    else if (args(0) == "jobs") {
+      // jobs <name,csv> [sfDir] [reps]: count Spark jobs/stages/tasks per
+      // query (r17 — per-job fixed cost is ~0.3-0.6 s on this harness even
+      // for 1-task jobs, so job COUNT is the anti-scaling lever; this probe
+      // is the before/after evidence for job-count cuts)
+      import org.apache.spark.scheduler._
+      val names = args(1).split(",").toSeq
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      val reps = if (args.length > 3) args(3).toInt else 2
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          tasks.addAndGet(j.stageInfos.map(_.numTasks).sum)
+        }
+      })
+      for (name <- names; i <- 1 to reps) {
+        Thread.sleep(200) // drain in-flight listener events
+        val (j0, s0, t0) = (jobs.get, stages.get, tasks.get)
+        val w0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        val wall = (System.nanoTime() - w0) / 1e9
+        Thread.sleep(500)
+        println(f"JOBS $name run$i rows=$n jobs=${jobs.get - j0} " +
+          f"stages=${stages.get - s0} tasks=${tasks.get - t0} $wall%.2f s")
+      }
+    }
+    else if (args(0) == "jobtrace") {
+      // jobtrace <name> [sfDir]: print every job's call site + task count
+      // for one warm run of a query (where do the 30 jobs per serve live?)
+      import org.apache.spark.scheduler._
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+      SparkEntry.queries(args(1))(spark, dir).count() // warm / build memos
+      Thread.sleep(500)
+      val log = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val on = new java.util.concurrent.atomic.AtomicBoolean(false)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          if (on.get) log.add(
+            s"tasks=${j.stageInfos.map(_.numTasks).sum} " +
+            s"stages=${j.stageInfos.size} " +
+            j.stageInfos.map(_.name.takeWhile(_ != '+').trim)
+              .mkString(" | "))
+      })
+      on.set(true)
+      SparkEntry.queries(args(1))(spark, dir).count()
+      Thread.sleep(800); on.set(false)
+      log.forEach(s => println("JOBTRACE " + s))
+    }
     else if (args(0) == "explain") {
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
       SparkEntry.queries(args(1))(spark, dir).explain("formatted")
