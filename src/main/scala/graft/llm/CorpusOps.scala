@@ -1434,17 +1434,35 @@ object CorpusOps {
       labelCol: String): DataFrame = {
     val spark = scored.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = scored
+    // per-partition (rows, positives) ride the checkpoint job as an
+    // Observation (r17, the GlobalRank fusion): 2·parts conditional sums,
+    // metadata-scale; separate count job only when parts is large enough
+    // that the aggregate list would bloat codegen
+    val fuseStats = parts <= 128
+    val obs = org.apache.spark.sql.Observation()
+    val sorted0 = scored
       .select(col(idCol), col(scoreCol).cast(DoubleType).as("__s"),
         col(labelCol).cast(BooleanType).as("__y"))
       .repartitionByRange(parts, col("__s").desc, col(idCol).asc)
       .sortWithinPartitions(col("__s").desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
+    val sorted = (if (fuseStats)
+        { val aggs = (0 until parts).flatMap(p => Seq(
+            sum(when(col("__pid") === p, 1L).otherwise(0L)).as(s"n$p"),
+            sum(when(col("__pid") === p && col("__y"), 1L).otherwise(0L))
+              .as(s"p$p")))
+          sorted0.observe(obs, aggs.head, aggs.tail: _*) }
+      else sorted0)
       .localCheckpoint()
-    val stats: Map[Int, (Long, Long)] = sorted.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("p"))
-      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stats: Map[Int, (Long, Long)] =
+      if (fuseStats) {
+        val row = obs.get
+        (0 until parts).map(p => p -> ((row(s"n$p").asInstanceOf[Long],
+          row(s"p$p").asInstanceOf[Long]))).filter(_._2._1 > 0).toMap
+      } else sorted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("p"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val totalP = stats.values.map(_._2).sum
     require(totalP > 0, "prCurve needs at least one positive label")
     var accN = 0L; var accP = 0L

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -75,7 +76,7 @@ object DedupOps {
     * `guardPairs` (default ON for every caller — r16: the round-15 guard
     * covered only dedupNear, leaving the identical quadratic join
     * reachable through minhashLsh/minhashLshMd5/leakageSplit) prices the
-    * verification join via [[checkPairBudget]] and refuses over-budget
+    * verification join via [[guardedBanding]] and refuses over-budget
     * viral corpora; pass false only when the corpus is known-bounded.
     */
   /** Collapse exact-duplicate texts to their min-id representative before
@@ -96,20 +97,37 @@ object DedupOps {
     * `graft.dedup.maxPairBudget` (candidate pairs, default 100M — uniform
     * corpora at sf10 stay well under it, the r15 viral cluster's 8 × 31M
     * blows it). */
-  private def checkPairBudget(banded: DataFrame): Unit = {
+  /** The guard now RIDES the banding materialization (r17, r16 verdict #7):
+    * the r16 shape ran a separate eager aggregate job over the banding to
+    * price the join, then the pair self-join recomputed the banding (from
+    * the persisted signatures) twice more — three passes plus one extra
+    * construction-time job per LSH query. Here the per-bucket size `m`
+    * comes from a window over the SAME (band, bucket) key, and
+    * Σ m(m−1)/2 = Σ_rows (m−1) / 2 plus max(m) ride the banding's
+    * localCheckpoint as an Observation — ONE linear job that both prices
+    * the join and materializes the banding the self-join then reads (the
+    * signature aggregate now runs exactly once). The budget still trips
+    * BEFORE the quadratic join is planned. */
+  private def guardedBanding(banded: DataFrame): DataFrame = {
     val budget = banded.sparkSession.conf
       .get("graft.dedup.maxPairBudget", "100000000").toLong
-    val r = banded.groupBy("band", "bucket").agg(count(lit(1)).as("m"))
-      .agg(sum(expr("m * (m - 1) DIV 2")).as("pairs"), max("m").as("maxM"))
-      .head()
-    val pairs = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val wB = Window.partitionBy(col("band"), col("bucket"))
+    val obs = org.apache.spark.sql.Observation()
+    val ck = banded.withColumn("__m", count(lit(1)).over(wB))
+      .observe(obs, sum(col("__m") - 1).as("twicePairs"),
+        max(col("__m")).as("maxM"))
+      .localCheckpoint()
+    val row = obs.get
+    val pairs = Option(row("twicePairs"))
+      .map(_.asInstanceOf[Long] / 2).getOrElse(0L)
     if (pairs > budget) throw new IllegalStateException(
       s"near-dup pair budget exceeded: the LSH buckets contain $pairs " +
-        s"candidate pairs (largest bucket m=${r.getLong(1)}) > " +
+        s"candidate pairs (largest bucket m=${row("maxM")}) > " +
         s"graft.dedup.maxPairBudget=$budget — a viral near-dup cluster " +
         "makes per-pair Jaccard verification quadratic in the cluster " +
         "size; use dedupNearLsh (Θ(Σ m) star edges, no per-pair verify) " +
         "or raise graft.dedup.maxPairBudget")
+    ck.drop("__m")
   }
 
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
@@ -129,19 +147,22 @@ object DedupOps {
     // alternative (numHashes separate min(xxhash64) aggs) spends more time in
     // Janino than in data.
     val exploded = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
-    // persisted: both sides of the bucket self-join scan the banding, which
-    // would otherwise recompute the signature aggregate twice
-    val sigs = exploded.groupBy("doc")
+    // guarded path: [[guardedBanding]] localCheckpoints the banding, so the
+    // signature aggregate runs exactly once and needs no persist; unguarded
+    // path keeps the r16 persist (both sides of the bucket self-join scan
+    // the banding, which would otherwise recompute the aggregate twice)
+    val sigs0 = exploded.groupBy("doc")
       .agg(graft.functions.HashAggs.minhash(col("shingle"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs =
+      if (guardPairs) sigs0 else sigs0.persist(StorageLevel.MEMORY_AND_DISK)
     // (doc, band, bucket) only — shingle sets are NOT carried through the
     // bucket join; payloads re-attach after pair-dedup
-    val banded = sigs.select(col("doc"),
+    val banded0 = sigs.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))
           .cast(StringType))): _*))
         .as(Seq("band", "bucket")))
-    if (guardPairs) checkPairBudget(banded)
+    val banded = if (guardPairs) guardedBanding(banded0) else banded0
     val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -308,21 +329,22 @@ object DedupOps {
     // ONE aggregate (graft.functions.Md5MinHashAgg) computes the whole
     // signature in a JVM loop — the explode-by-seed formulation shuffled
     // numHashes rows per SHINGLE; this shuffles numHashes longs per DOC.
-    // Persisted like the xxhash sibling's: both sides of the bucket
-    // self-join scan the banding, and the guard probe adds a third scan.
-    val sigs = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
+    // Guarded path rides [[guardedBanding]]'s checkpoint (single aggregate
+    // run, no persist); unguarded keeps the xxhash sibling's persist.
+    val sigs0 = withSh.select(col("doc"), explode(col("sh")).as("shingle"))
       .groupBy("doc")
       .agg(graft.functions.Md5HashAggs.minhash(col("shingle"), numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs =
+      if (guardPairs) sigs0 else sigs0.persist(StorageLevel.MEMORY_AND_DISK)
     // band bucket = the band's minhash values joined as a string — the same
     // string DuckDB's string_agg(minh, ',' ORDER BY seed) produces
-    val banded = sigs.select(col("doc"),
+    val banded0 = sigs.select(col("doc"),
       posexplode(array((0 until bands).map(b =>
         concat_ws(",", transform(
           slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)),
           x => x.cast(StringType)))): _*))
         .as(Seq("band", "bucket")))
-    if (guardPairs) checkPairBudget(banded)
+    val banded = if (guardPairs) guardedBanding(banded0) else banded0
     val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
@@ -460,7 +482,7 @@ object DedupOps {
     * SKEW: the per-pair Jaccard verification makes this Σ_buckets m² — a
     * VIRAL cluster (one doc mutated m times) is quadratic in m (19 s → 196 s
     * at equal volume in the r15 zipf probe). The banding is therefore
-    * PRICED before the verification join plans ([[checkPairBudget]]): when
+    * PRICED before the verification join plans ([[guardedBanding]]): when
     * the candidate-pair count exceeds `graft.dedup.maxPairBudget`
     * (default 100M) the call FAILS with an actionable error instead of
     * silently running for days at corpus scale. When collisions alone are

@@ -77,6 +77,28 @@ object VectorOps {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** localCheckpoint + row count in ONE job, then COALESCE the materialized
+    * frame to a row-proportional partition count (r17). [[spread]] widens a
+    * frame to `defaultParallelism` so the decode/normalize parallelizes, but
+    * a metadata-scale frame (a 400-row build slice, a 500-query serve batch)
+    * then drags 32 near-empty partitions through every downstream job — and
+    * in local mode the per-task fixed cost scales with cores, which is
+    * exactly the 32-core anti-scaling PERF_r16 flagged (scaling 0.13 on the
+    * graph pole). Coalesce is a NARROW dependency on the already-
+    * materialized checkpoint: no second shuffle, no recompute, identical
+    * rows — only the physical slice count changes. Frames at or above
+    * `rowsPerPart` rows/partition are untouched, so a production-scale
+    * corpus keeps its parallelism. */
+  private def ckptCompact(df: DataFrame,
+      rowsPerPart: Long = 65536): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val n = obs.get("n").asInstanceOf[Long]
+    val cur = ck.rdd.getNumPartitions
+    val want = math.max(1L, math.min(cur.toLong, n / rowsPerPart + 1)).toInt
+    (if (want < cur) ck.coalesce(want) else ck, n)
+  }
+
   /** Broadcast a (localCheckpointed) normalized-vector table only when its
     * estimated in-memory size fits a BYTE budget. A row cap alone is a
     * scale trap: 1 M rows is a 0.5 GB broadcast at dim=64 but 6-12 GB at
@@ -1054,10 +1076,12 @@ object VectorOps {
     * on clustered data it converges to near-exact graphs (AnnSpec pins
     * both). Returns (src, nn_id, sim, rank). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 2, maxRev: Int = 0, sample: Int = 0): DataFrame =
-    knnGraphOn(spread(df).select(col(idCol).cast(LongType).as("id"),
-      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
-      .localCheckpoint(), k, iters, maxRev, sample)
+      iters: Int = 2, maxRev: Int = 0, sample: Int = 0): DataFrame = {
+    val (vecs, n) = ckptCompact(
+      spread(df).select(col(idCol).cast(LongType).as("id"),
+        normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v")))
+    knnGraphOn(vecs, k, iters, maxRev, sample, knownRows = Some(n))
+  }
 
   /** [[knnGraph]] over an ALREADY normalized, materialized `(id, __v)`
     * frame — [[graphSave]] computes exactly that frame for its vectors
@@ -1221,9 +1245,9 @@ object VectorOps {
   def graphSearchTopK(corpus: DataFrame, idCol: String, vecCol: String,
       graph: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, beam: Int = 10, rounds: Int = 2, entries: Int = 8): DataFrame = {
-    val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
-      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
-      .localCheckpoint()
+    val (vecs, _) = ckptCompact(
+      spread(corpus).select(col(idCol).cast(LongType).as("id"),
+        normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v")))
     val entry = vecs.select(col("id"), DedupOps.md5Lower63(
         concat(lit("gse:"), col("id").cast(StringType))).as("__e"))
       .orderBy(col("__e"), col("id")).limit(entries).select("id")
@@ -1266,9 +1290,9 @@ object VectorOps {
     // whole-corpus scan PER ROUND feeding the q-side broadcast — rounds×
     // corpus passes at any scale). Values are unchanged: localCheckpoint
     // stores exactly the doubles the expression computes.
-    val q = queries.select(col(qIdCol).cast(LongType).as("query_id"),
-      normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q"))
-      .localCheckpoint()
+    val (q, _) = ckptCompact(
+      queries.select(col(qIdCol).cast(LongType).as("query_id"),
+        normalize(col(qVecCol).cast(ArrayType(DoubleType))).as("__q")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     // localCheckpoint + the frame's partition ids in ONE action: the
@@ -1383,15 +1407,14 @@ object VectorOps {
     // normalize + checkpoint on the raw corpus, a whole extra corpus pass
     // per build; the shared frame is the same normalize expression over the
     // same corpus, so the sims the inline oracle replays are unchanged).
-    // the corpus count rides the checkpoint job as an Observation (r17 —
-    // was a separate count() job): it feeds the default layout below AND
-    // saves knnGraphOn's broadcast-budget probe its own count job
-    val cntObs = org.apache.spark.sql.Observation()
-    val vecs = spread(corpus).select(col(idCol).cast(LongType).as("id"),
-      normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
-      .observe(cntObs, count(lit(1)).as("n"))
-      .localCheckpoint()
-    val nVecs = cntObs.get("n").asInstanceOf[Long]
+    // the corpus count rides the checkpoint job (ckptCompact, r17 — was a
+    // separate count() job): it feeds the default layout below AND saves
+    // knnGraphOn's broadcast-budget probe its own count job; the compacted
+    // partitioning keeps a toy build slice from dragging 32 near-empty
+    // partitions through every descent-round job
+    val (vecs, nVecs) = ckptCompact(
+      spread(corpus).select(col(idCol).cast(LongType).as("id"),
+        normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v")))
     // Scale-adaptive default layout (r16, guide §6: derive file layout from
     // input size, not a constant tuned for either local mode or the
     // cluster): ~128k vectors per partition ≈ 64 MB parquet at dim=64 —
@@ -1520,13 +1543,23 @@ object VectorOps {
     // Observation (r16: was a separate distinct().collect() pass) — ≤
     // nParts ints, metadata-scale
     val nvObs = org.apache.spark.sql.Observation()
-    val nv = spread(newVecs).select(col(idCol).cast(LongType).as("id"),
+    val nv0 = spread(newVecs).select(col(idCol).cast(LongType).as("id"),
       normalize(col(vecCol).cast(ArrayType(DoubleType))).as("__v"))
       .observe(nvObs,
-        collect_set(pmod(col("id"), lit(nParts.toLong))).as("parts"))
+        collect_set(pmod(col("id"), lit(nParts.toLong))).as("parts"),
+        count(lit(1)).as("n"))
       .localCheckpoint()
-    val newParts = nvObs.get("parts").asInstanceOf[scala.collection.Seq[Any]]
+    val nvRow = nvObs.get
+    val newParts = nvRow("parts").asInstanceOf[scala.collection.Seq[Any]]
       .map { case l: Long => l }.toSeq.sorted
+    // compact the arrival frame like ckptCompact (its count already rode
+    // the observe): an incremental batch is metadata-scale next to the
+    // corpus and must not drag defaultParallelism empty slices through
+    // the serve + re-descent chain below
+    val nvN = nvRow("n").asInstanceOf[Long]
+    val nvCur = nv0.rdd.getNumPartitions
+    val nvWant = math.max(1L, math.min(nvCur.toLong, nvN / 65536L + 1)).toInt
+    val nv = if (nvWant < nvCur) nv0.coalesce(nvWant) else nv0
     // refuse, don't corrupt — BOTH collision classes: an id duplicated
     // WITHIN the arrival batch would append two vector rows for one id
     // (duplicate join candidates, rebuild-equality broken) just as

@@ -24,15 +24,35 @@ object GlobalRank {
   def withRank(df: DataFrame, key: String, rkName: String, nName: String): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df
+    // Per-partition row counts ride the checkpoint job as an Observation
+    // (r17 — was a separate groupBy+collect job; the per-job fixed cost is
+    // the dominant term for every metadata-scale caller): one conditional
+    // sum per partition, `parts` longs total. Falls back to the separate
+    // count job when `parts` is large enough that `parts` aggregate
+    // expressions would bloat codegen (the observe is a win only in the
+    // fixed-cost regime anyway).
+    val fuseCounts = parts <= 128
+    val obs = org.apache.spark.sql.Observation()
+    val sorted0 = df
       .repartitionByRange(parts, col(key).asc)
       .sortWithinPartitions(col(key).asc)
       .withColumn("__grank_pid", spark_partition_id())
+    val sorted = (if (fuseCounts)
+        { val aggs = (0 until parts).map(p =>
+            sum(when(col("__grank_pid") === p, 1L).otherwise(0L))
+              .as(s"c$p"))
+          sorted0.observe(obs, aggs.head, aggs.tail: _*) }
+      else sorted0)
       .localCheckpoint()
     val pidIdx = sorted.schema.fieldIndex("__grank_pid")
     val keyIdx = sorted.schema.fieldIndex(key)
-    val counts: Map[Int, Long] = sorted.groupBy(col("__grank_pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts: Map[Int, Long] =
+      if (fuseCounts) {
+        val row = obs.get
+        (0 until parts).map(p => p -> row(s"c$p").asInstanceOf[Long])
+          .filter(_._2 > 0).toMap
+      } else sorted.groupBy(col("__grank_pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     val offsets: Map[Int, Long] = {
       var acc = 0L

@@ -740,8 +740,11 @@ object Scratch {
       // for one warm run of a query (where do the 30 jobs per serve live?)
       import org.apache.spark.scheduler._
       val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
-      SparkEntry.queries(args(1))(spark, dir).count() // warm / build memos
-      Thread.sleep(500)
+      val cold = args.length > 3 && args(3) == "cold"
+      if (!cold) { // warm / build memos unless tracing the cold chain
+        SparkEntry.queries(args(1))(spark, dir).count()
+        Thread.sleep(500)
+      }
       val log = new java.util.concurrent.ConcurrentLinkedQueue[String]
       val on = new java.util.concurrent.atomic.AtomicBoolean(false)
       spark.sparkContext.addSparkListener(new SparkListener {
