@@ -114,7 +114,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.scheduler.mode", "FAIR")
+      // Scheduler mode: FAIR. The r17 A/B at 32 cores, quiet, same tree
+      // (OPTIMIZATION_r17.md) measured FIFO at 83.1s vs FAIR 62.4s — FIFO
+      // head-of-line-blocks every other chain's tiny jobs behind long
+      // stages, so guide §2.6's back-fill intuition loses here where 6
+      // heterogeneous query chains share the pool. Env knob kept for probes.
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("GRAFT_BENCH_SCHED", "FAIR"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
