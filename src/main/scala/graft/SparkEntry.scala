@@ -129,7 +129,7 @@ object SparkEntry {
     tune(s)
     if (tableCells.size > 512) tableCells.clear()
     tableCells.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir:$name",
+      s"${sessionToken(s)}:$dir:$name",
       _ => new LazyCell(() => loadTable(s, dir, name)))
       .value.asInstanceOf[DataFrame]
   }
@@ -172,11 +172,30 @@ object SparkEntry {
   // memo whose key hashes to the same bin, and a build that itself calls
   // shared() would be a recursive map update); the build then runs under
   // the cell's own per-key lazy-val lock.
+  // keyed by sessionUUID, not identityHashCode (ADVICE r16): identity
+  // hashes are not unique — two live sessions (or a new session reusing a
+  // GC'd address) could be served another session's session-bound plans.
+  // Bounded like tableCells: cleared past 256 entries so churned test
+  // sessions don't pin collected model arrays for the JVM lifetime.
   private def shared[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
-      build: => T): T =
+      build: => T): T = {
+    if (sharedBuilds.size > 256) sharedBuilds.clear()
     sharedBuilds.computeIfAbsent(
-      s"$tag:${System.identityHashCode(s)}:$dir",
+      s"$tag:${sessionToken(s)}:$dir",
       _ => new LazyCell(() => build)).value.asInstanceOf[T]
+  }
+
+  /** Guaranteed-unique per-session memo key (ADVICE r16):
+    * System.identityHashCode can collide across live sessions or recycle a
+    * GC'd session's address, serving another session's session-bound plans.
+    * A weak map (SparkSession does not override equals, so keys compare by
+    * identity) issues one UUID per live session and lets a closed session's
+    * token be collected with it. */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionToken(s: SparkSession): String =
+    sessionTokens.computeIfAbsent(s,
+      _ => java.util.UUID.randomUUID().toString)
 
   /** Shared setup of the NB-classifier eval queries (llm_nb_pr/_auc/
     * _calibration): train on doc_id%3==0 (label = lang=='en'), score the
@@ -3954,6 +3973,13 @@ object SparkEntry {
                  ON a.chunk = b.chunk AND a.bucket = b.bucket AND a.doc < b.doc)
          SELECT id_a, id_b, CAST(bit_count(xor(sa, sb2)) AS INT) AS hamming
          FROM p WHERE bit_count(xor(sa, sb2)) <= 3""",
+    // r17 (r16 verdict #3): the three queries the driver could never replay
+    // (err:"no_oracle" since r15) get full DuckDB oracles — Spark's XXH64
+    // implemented in SQL (see XxhOracleSql for the algorithm and the
+    // DuckDB-1.0 constraints that shape the generated text)
+    "llm_simhash_neardup" -> XxhOracleSql.simhashNearDup,
+    "llm_minhash_pairs" -> XxhOracleSql.minhashPairs,
+    "llm_ann_ivf" -> XxhOracleSql.annIvf,
     // mirrors the engine's exact-duplicate pre-collapse (output-identical,
     // see VectorOps.embedNearDupExact): all-pairs over DISTINCT vectors,
     // then lateral-unnest expansion of the id groups — the naive n² form

@@ -1454,15 +1454,19 @@ object CorpusOps {
           sorted0.observe(obs, aggs.head, aggs.tail: _*) }
       else sorted0)
       .localCheckpoint()
-    val stats: Map[Int, (Long, Long)] =
-      if (fuseStats) {
-        val row = obs.get
-        (0 until parts).map(p => p -> ((row(s"n$p").asInstanceOf[Long],
-          row(s"p$p").asInstanceOf[Long]))).filter(_._2._1 > 0).toMap
-      } else sorted.groupBy(col("__pid"))
+    def statsJob(): Map[Int, (Long, Long)] =
+      sorted.groupBy(col("__pid"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("__y"), 1L).otherwise(0L)).as("p"))
         .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stats: Map[Int, (Long, Long)] =
+      if (fuseStats)
+        // bounded wait; fallback = the pre-fusion stats job (ADVICE r16)
+        graft.operators.Obs.tryMap(obs).map(row =>
+          (0 until parts).map(p => p -> ((row(s"n$p").asInstanceOf[Long],
+            row(s"p$p").asInstanceOf[Long]))).filter(_._2._1 > 0).toMap)
+          .getOrElse(statsJob())
+      else statsJob()
     val totalP = stats.values.map(_._2).sum
     require(totalP > 0, "prCurve needs at least one positive label")
     var accN = 0L; var accP = 0L

@@ -117,7 +117,12 @@ object DedupOps {
       .observe(obs, sum(col("__m") - 1).as("twicePairs"),
         max(col("__m")).as("maxM"))
       .localCheckpoint()
-    val row = obs.get
+    // bounded wait; fallback = one explicit aggregate over the checkpoint
+    // (ADVICE r16: never hang on the eager-checkpoint-fires-metrics probe)
+    val row: Map[String, Any] = graft.operators.Obs.tryMap(obs).getOrElse {
+      val r = ck.agg(sum(col("__m") - 1), max(col("__m"))).head()
+      Map("twicePairs" -> r.get(0), "maxM" -> r.get(1))
+    }
     val pairs = Option(row("twicePairs"))
       .map(_.asInstanceOf[Long] / 2).getOrElse(0L)
     if (pairs > budget) throw new IllegalStateException(

@@ -93,7 +93,11 @@ object VectorOps {
       rowsPerPart: Long = 65536): (DataFrame, Long) = {
     val obs = org.apache.spark.sql.Observation()
     val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
-    val n = obs.get("n").asInstanceOf[Long]
+    // bounded wait + explicit-count fallback (ADVICE r16): never hang on
+    // the probed-but-undocumented "eager checkpoint fires CollectMetrics"
+    val n = graft.operators.Obs.tryMap(obs)
+      .map(_("n").asInstanceOf[Long])
+      .getOrElse(ck.agg(count(lit(1))).head().getLong(0))
     val cur = ck.rdd.getNumPartitions
     val want = math.max(1L, math.min(cur.toLong, n / rowsPerPart + 1)).toInt
     (if (want < cur) ck.coalesce(want) else ck, n)
@@ -1304,8 +1308,14 @@ object VectorOps {
         val obs = org.apache.spark.sql.Observation()
         val ck = df.observe(obs, collect_set(p(col("id"))).as("parts"))
           .localCheckpoint()
-        val parts = obs.get("parts").asInstanceOf[scala.collection.Seq[Any]]
-          .map { case l: Long => l }.toSeq.sorted
+        // bounded wait; fallback = the pre-r16 distinct() pass over the
+        // materialized checkpoint (ADVICE r16)
+        val parts = graft.operators.Obs.tryMap(obs)
+          .map(_("parts").asInstanceOf[scala.collection.Seq[Any]]
+            .map { case l: Long => l }.toSeq)
+          .getOrElse(ck.select(p(col("id")).as("__p")).distinct()
+            .collect().map(_.getLong(0)).toSeq)
+          .sorted
         (ck, parts)
       case None => (df.localCheckpoint(), Nil)
     }
@@ -1549,7 +1559,10 @@ object VectorOps {
         collect_set(pmod(col("id"), lit(nParts.toLong))).as("parts"),
         count(lit(1)).as("n"))
       .localCheckpoint()
-    val nvRow = nvObs.get
+    val nvRow = graft.operators.Obs.tryMap(nvObs).getOrElse(Map(
+      "parts" -> nv0.select(pmod(col("id"), lit(nParts.toLong)).as("__p"))
+        .distinct().collect().map(_.getLong(0)).toSeq,
+      "n" -> nv0.agg(count(lit(1))).head().getLong(0)))
     val newParts = nvRow("parts").asInstanceOf[scala.collection.Seq[Any]]
       .map { case l: Long => l }.toSeq.sorted
     // compact the arrival frame like ckptCompact (its count already rode
@@ -1609,8 +1622,11 @@ object VectorOps {
       .observe(toObs,
         collect_set(pmod(col("id"), lit(nParts.toLong))).as("parts"))
       .localCheckpoint()
-    val touchedOldParts = toObs.get("parts")
-      .asInstanceOf[scala.collection.Seq[Any]].map { case l: Long => l }.toSeq
+    val touchedOldParts = graft.operators.Obs.tryMap(toObs)
+      .map(_("parts").asInstanceOf[scala.collection.Seq[Any]]
+        .map { case l: Long => l }.toSeq)
+      .getOrElse(touchedOld.select(pmod(col("id"), lit(nParts.toLong))
+        .as("__p")).distinct().collect().map(_.getLong(0)).toSeq)
     val touchedParts = (newParts ++ touchedOldParts).distinct.sorted
     val oldRows = idx.graph
       .filter(col("part").isin(touchedParts: _*))

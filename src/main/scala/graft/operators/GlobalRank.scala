@@ -46,13 +46,17 @@ object GlobalRank {
       .localCheckpoint()
     val pidIdx = sorted.schema.fieldIndex("__grank_pid")
     val keyIdx = sorted.schema.fieldIndex(key)
-    val counts: Map[Int, Long] =
-      if (fuseCounts) {
-        val row = obs.get
-        (0 until parts).map(p => p -> row(s"c$p").asInstanceOf[Long])
-          .filter(_._2 > 0).toMap
-      } else sorted.groupBy(col("__grank_pid")).count()
+    def countsJob(): Map[Int, Long] =
+      sorted.groupBy(col("__grank_pid")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts: Map[Int, Long] =
+      if (fuseCounts)
+        // bounded wait; fallback = the pre-fusion count job (ADVICE r16)
+        Obs.tryMap(obs).map(row =>
+          (0 until parts).map(p => p -> row(s"c$p").asInstanceOf[Long])
+            .filter(_._2 > 0).toMap)
+          .getOrElse(countsJob())
+      else countsJob()
     val total = counts.values.sum
     val offsets: Map[Int, Long] = {
       var acc = 0L

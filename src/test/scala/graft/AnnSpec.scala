@@ -348,6 +348,16 @@ class AnnSpec extends SparkSpec {
     val a = served.collect().map(_.toSeq).sortBy(_.toString)
     val b = inline.collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
+    // ADVICE r16: the fused dense_rank+lag beam dedup equals
+    // dropDuplicates+row_number ONLY while duplicate (query_id, id) beam
+    // rows carry bitwise-identical sims (deterministic dots over stored
+    // vectors). Pin the consequence: a determinism regression would emit
+    // duplicate nn_ids in the final top-k — fail here, not silently.
+    for (rows <- Seq(a, b)) {
+      val pairs = rows.map(r => (r(0), r(1))).toSeq
+      assert(pairs.distinct.size == pairs.size,
+        s"duplicate (query_id, nn_id) in graph top-k: $pairs")
+    }
     // each round's adjacency read prunes to the frontier's partitions at
     // PLANNING time (the saved graph is partitioned by pmod(src, nParts));
     // asserted on the exact read graphServe issues — the served result's
