@@ -1082,26 +1082,43 @@ object CorpusOps {
     // rules/lang counts are cheap scans of the checkpoint and the raw
     // count comes straight from the source's metadata (parquet row
     // groups) — nothing failing the rules gate is ever materialized
+    // the rules/lang survivor counts RIDE the checkpoint job as an
+    // Observation (r17, the ckptCompact/GlobalRank discipline): two whole
+    // scans of the checkpoint become zero extra jobs; values are the same
+    // count(*) / count-where-__l the scans computed
+    val s1obs = org.apache.spark.sql.Observation()
     val s1cp = TextOps.gopherC4Rules(corpus, textCol)
       .filter(Seq("g_wordcount_ok", "g_mwl_ok", "g_symbol_ok",
         "g_bullet_ok", "g_ellipsis_ok", "g_alpha_ok", "c4_no_lorem",
         "c4_no_brace").map(col).reduce(_ && _))
       .select(col(idCol), col(textCol),
         (TextOps.langId(col(textCol)) === "en").as("__l"))
+      .observe(s1obs, count(lit(1)).as("n1"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n2"))
       .localCheckpoint(true)
     val n0 = corpus.count()
-    val n1 = s1cp.count()
+    val s1row = graft.operators.Obs.tryMap(s1obs).getOrElse {
+      val r = s1cp.agg(count(lit(1)),
+        sum(when(col("__l"), 1L).otherwise(0L))).head()
+      Map("n1" -> r.getLong(0), "n2" -> r.getLong(1))
+    }
+    val n1 = s1row("n1").asInstanceOf[Long]
     val s2 = s1cp.filter(col("__l")).select(col(idCol), col(textCol))
-    val n2 = s2.count()
+    val n2 = Option(s1row("n2")).map(_.asInstanceOf[Long]).getOrElse(0L)
     // exact-dedup SURVIVOR COUNT == number of distinct text digests: the
     // min-id-per-digest semi-join kept exactly one doc per digest, so the
     // count never needed the groupBy + join it used to pay (r16 — one
     // partial-aggregating scan replaces two Exchanges and a semi-join; the
     // per-doc keep/drop decision itself is still what llm_dedup_exact pins)
     val n3 = s2.agg(count_distinct(md5(col(textCol)))).head().getLong(0)
+    // the near-dedup survivor count rides s4's checkpoint the same way
+    val s4obs = org.apache.spark.sql.Observation()
     val s4 = DedupOps.dedupNear(s2, textCol, idCol, shingleK = 3,
         bands = 8, rowsPerBand = 4, threshold = 0.4, md5Mode = true)
+      .observe(s4obs, count(lit(1)).as("n4"))
       .localCheckpoint(true)
+    val n4 = graft.operators.Obs.tryMap(s4obs)
+      .map(_("n4").asInstanceOf[Long]).getOrElse(s4.count())
     val s5 = decontaminate(s4, bench, textCol, idCol, n = 8)
       .filter(col("contaminated") === 0)
     val rows = Seq(
@@ -1109,7 +1126,7 @@ object CorpusOps {
       Row(1, "rules", n1),
       Row(2, "lang_en", n2),
       Row(3, "exact_dedup", n3),
-      Row(4, "near_dedup", s4.count()),
+      Row(4, "near_dedup", n4),
       Row(5, "decontaminated", s5.count()))
     val schema = StructType(Seq(
       StructField("step", IntegerType, nullable = false),
